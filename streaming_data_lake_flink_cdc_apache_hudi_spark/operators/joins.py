@@ -1,0 +1,80 @@
+"""The flagship pipeline: 3-way inner equi-join → keyed upsert view.
+
+Reference: CDC-Hudi-Notebook.zpln:2161 (¶49, console flavor) and
+:2317 (¶53, INSERT INTO ticket_view):
+
+    SELECT person.full_name,
+           CAST(sporting_event_ticket.id AS string) AS id,
+           sporting_event_ticket.ticket_price,
+           CAST(ticket_purchase_hist.transaction_date_time AS string)
+               AS transaction_date_time
+    FROM person
+    JOIN sporting_event_ticket
+      ON person.id = sporting_event_ticket.ticketholder_id
+    JOIN ticket_purchase_hist
+      ON ticket_purchase_hist.sporting_event_ticket_id
+       = sporting_event_ticket.id
+
+materialized into a Hudi table keyed on full_name (zpln:2234 ¶51) —
+i.e. at most one live row per person, latest transaction wins.
+
+Fixture mapping (FIXTURES.md §Mapping): customer ≙ person
+(c_custkey=id, c_name=full_name), orders ≙ sporting_event_ticket
+(o_orderkey=id, o_custkey=ticketholder_id, o_totalprice=
+ticket_price), lineitem ≙ ticket_purchase_hist (l_orderkey=
+sporting_event_ticket_id, l_shipdate=transaction_date_time).
+
+Scale notes: both joins are plain equi-joins, left to Catalyst/AQE —
+at bench scale the dims go broadcast; at 100 TB AQE picks sort-merge
+with skew splitting. The LWW dedup adds exactly one hash shuffle on
+the view key. Column pruning: we select only the 4 projected columns
+plus the precedence columns, so the parquet scans read a fraction of
+each table (check with .explain: ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .upsert import latest_by_key
+
+# precedence (latest-wins) for the view: newest transaction, with a
+# unique (orderkey, linenumber) tiebreak so the winner is total
+_PRECEDENCE = ["transaction_date_time", "_order_id", "_line_no"]
+
+
+def flagship_join(
+    person: DataFrame, ticket: DataFrame, hist: DataFrame
+) -> DataFrame:
+    """The raw 3-way join + projection (¶49/¶53), pre-dedup.
+
+    Inputs are fixture tables (customer/orders/lineitem). Output
+    columns: full_name, id (string), ticket_price,
+    transaction_date_time (string) + precedence helper columns.
+    """
+    joined = (
+        person.join(ticket, person["c_custkey"] == ticket["o_custkey"], "inner")
+        .join(hist, hist["l_orderkey"] == ticket["o_orderkey"], "inner")
+    )
+    return joined.select(
+        F.col("c_name").alias("full_name"),
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_totalprice").alias("ticket_price"),
+        F.col("l_shipdate").cast("string").alias("transaction_date_time"),
+        F.col("o_orderkey").alias("_order_id"),
+        F.col("l_linenumber").alias("_line_no"),
+    )
+
+
+def ticket_view(person: DataFrame, ticket: DataFrame, hist: DataFrame) -> DataFrame:
+    """Flagship view: join + upsert-by-PK materialization (¶53 + ¶51).
+
+    PRIMARY KEY = full_name → at most one row per person; the live
+    row is the latest transaction (LWW, SURVEY.md §2.2 R11).
+    """
+    raw = flagship_join(person, ticket, hist)
+    deduped = latest_by_key(raw, "full_name", _PRECEDENCE)
+    return deduped.select(
+        "full_name", "id", "ticket_price", "transaction_date_time"
+    )

@@ -1,0 +1,72 @@
+"""Driver-contract mirror: run every registered query on Spark and its
+DuckDB oracle side-by-side at sf0.01 and compare row count, column
+names, and order-insensitive values — the same gate the driver's
+CORRECTNESS check applies (__spark_entry__.py docstring).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.plans.queries import QUERIES
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import TPCH_TABLES
+
+from .conftest import SF_ORACLE
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    return v
+
+
+def _rowset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    )
+
+
+ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, name):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, SF_ORACLE)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(SF_ORACLE)
+    res = con.sql(spec.oracle)
+    dcols = res.columns
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    assert _rowset(srows, scols) == _rowset(drows, dcols), f"{name}: values differ"
+
+
+def test_all_queries_return_rows_or_are_checks(spark):
+    # every query must at least run at smoke scale; emptiness is only
+    # legitimate for invariant checks (dup_check)
+    from .conftest import SF_SMOKE
+
+    for name, spec in QUERIES.items():
+        n = spec.fn(spark, SF_SMOKE).count()
+        if "check" not in name:
+            assert n > 0, f"{name} returned no rows at smoke scale"
