@@ -1,0 +1,115 @@
+"""Table registry (≙ the Glue Data Catalog role, SURVEY.md §1.1/§2.1
+S6-S8).
+
+The reference registers every table — schema + connector + options —
+in Glue via `CREATE TABLE ... WITH (...)` (CDC-Hudi-Notebook.zpln:292
+¶7 etc.) so definitions survive sessions, and drops them with
+`DROP TABLE IF EXISTS` (S7). The PRIMARY KEY NOT ENFORCED clause (S8)
+is metadata that drives upsert behavior, not a constraint.
+
+Here: a JSON-file registry mapping name → {kind, path, key, options}.
+``resolve`` returns a DataFrame (parquet/feed tables) or an
+UpsertLakeTable handle (upsert tables). Spark temp views are also
+registered so `spark.sql` can reference tables by name — the same
+dual role Glue plays for Flink SQL and Athena (§3 entry point D
+collapses to "sink tables are queryable DataFrames").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources.parquet import load_table
+from .streaming.upsert_sink import UpsertLakeTable
+
+
+@dataclass
+class TableDef:
+    name: str
+    kind: str  # 'parquet' | 'upsert' | 'feed'
+    path: str
+    key: list[str] = field(default_factory=list)  # ≙ PRIMARY KEY NOT ENFORCED
+    options: dict = field(default_factory=dict)
+
+
+class TableRegistry:
+    def __init__(self, spark: SparkSession, registry_path: str):
+        self.spark = spark
+        self.registry_path = registry_path
+        self._tables: dict[str, TableDef] = {}
+        if os.path.exists(registry_path):
+            with open(registry_path) as fh:
+                for d in json.load(fh):
+                    self._tables[d["name"]] = TableDef(**d)
+
+    def _persist(self):
+        os.makedirs(os.path.dirname(self.registry_path) or ".", exist_ok=True)
+        tmp = self.registry_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump([asdict(t) for t in self._tables.values()], fh, indent=1)
+        os.replace(tmp, self.registry_path)
+
+    def create_table(
+        self,
+        name: str,
+        kind: str,
+        path: str,
+        key: list[str] | None = None,
+        if_not_exists: bool = False,
+        **options,
+    ) -> TableDef:
+        """≙ CREATE TABLE ... WITH (connector=..., ...) (S6)."""
+        if name in self._tables:
+            if if_not_exists:
+                return self._tables[name]
+            raise ValueError(f"table {name} already exists")
+        t = TableDef(name, kind, path, key or [], options)
+        self._tables[name] = t
+        self._persist()
+        return t
+
+    def drop_table(self, name: str, if_exists: bool = True) -> None:
+        """≙ DROP TABLE IF EXISTS (S7)."""
+        if name not in self._tables:
+            if if_exists:
+                return
+            raise KeyError(name)
+        del self._tables[name]
+        self.spark.catalog.dropTempView(name)
+        self._persist()
+
+    def tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    def upsert_handle(self, name: str) -> UpsertLakeTable:
+        t = self._tables[name]
+        if t.kind != "upsert":
+            raise TypeError(f"{name} is kind={t.kind}, not upsert")
+        return UpsertLakeTable(
+            self.spark,
+            t.path,
+            key=t.key,
+            num_buckets=int(t.options.get("num_buckets", 16)),
+            compact_every=int(t.options.get("compact_every", 5)),
+        )
+
+    def resolve(self, name: str) -> DataFrame:
+        """Current-state DataFrame for any registered table; also
+        (re-)binds it as a temp view for spark.sql access."""
+        t = self._tables[name]
+        if t.kind == "parquet":
+            df = (
+                load_table(self.spark, os.path.dirname(t.path), name)
+                if t.path.endswith(".parquet")
+                else self.spark.read.parquet(t.path)
+            )
+        elif t.kind == "upsert":
+            df = self.upsert_handle(name).snapshot()
+        else:
+            raise TypeError(f"unknown table kind {t.kind}")
+        df.createOrReplaceTempView(name)
+        return df

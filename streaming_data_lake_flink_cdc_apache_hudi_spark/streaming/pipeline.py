@@ -1,0 +1,111 @@
+"""Streaming CDC pipelines (SURVEY.md §2.1 S1-S3, §3 entry point A).
+
+The reference's main path is: postgres-cdc changelog → streaming SQL
+(project/cast/join) → Hudi keyed-upsert sink, committing once per
+1-min checkpoint (CDC-Hudi-Notebook.zpln:2317 ¶53; checkpointing ¶2-3).
+
+Spark mapping implemented here:
+- micro-batch = commit: ``trigger(processingTime=...)`` (or
+  availableNow for tests/backfill) with a checkpointLocation gives
+  the same checkpoint-coupled commit cadence (E1).
+- retract handling (¶42): inside each micro-batch the envelope rows
+  are reduced per key to the latest (ts, seq) event — Flink's
+  retract+replace collapses to last-write-wins before the sink — and
+  the reduced delta is MERGEd into an UpsertLakeTable. Cross-batch
+  ordering is guaranteed by monotone commit seqs + the LWW merge.
+- exactly-once: foreachBatch epoch id is the commit id; replayed
+  epochs are skipped by the sink (idempotent MERGE).
+
+Why foreachBatch-IVM instead of native stream-stream joins for the
+flagship: Spark's stream-stream join cannot consume update/retract
+inputs (SURVEY.md §2.2 R7). Maintaining per-source current-state
+tables and re-joining per micro-batch is the Spark-idiomatic
+equivalent; `stream_static_join` covers the snapshot side natively.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.upsert import latest_by_key
+from .upsert_sink import UpsertLakeTable
+
+
+def reduce_changelog_batch(
+    batch: DataFrame, key: str | Sequence[str]
+) -> DataFrame:
+    """Reduce one micro-batch of envelope rows to a keyed delta:
+    one row per key (latest ts,seq), post-image columns + _deleted.
+
+    D events carry their pre-image columns so the delta schema stays
+    uniform; the sink only needs the key + tombstone flag for them.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    keyed = batch.withColumns(
+        {
+            f"__k_{k}": F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}"))
+            for k in keys
+        }
+    )
+    latest = latest_by_key(keyed, [f"__k_{k}" for k in keys], ["ts", "seq"])
+    row_cols = [f.name for f in batch.schema["after"].dataType.fields]
+    return latest.select(
+        *[
+            F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
+            for c in row_cols
+        ],
+        (F.col("op") == "D").alias("_deleted"),
+        F.col("ts").alias("_cdc_ts"),
+        F.col("seq").alias("_cdc_seq"),
+    )
+
+
+def stream_upsert(
+    changelog: DataFrame,
+    table: UpsertLakeTable,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """changelog stream → (optional per-batch transform) → keyed MERGE.
+
+    ``transform`` runs on the reduced delta inside each batch (e.g. a
+    stream-static dimension join or projection) and must preserve the
+    table key and the ``_deleted`` flag.
+    """
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        delta = reduce_changelog_batch(batch, table.key)
+        if transform is not None:
+            delta = transform(delta)
+        delta = delta.drop("_cdc_ts", "_cdc_seq")
+        table.write(
+            delta,
+            commit_id=f"epoch-{epoch_id}",
+            delete_col="_deleted",
+        )
+
+    writer = (
+        changelog.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def stream_static_join(
+    changelog_delta: DataFrame,
+    static_dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """R7's snapshot side: join a per-batch delta against a static
+    dimension (person snapshot ≙ zpln:1101 ¶25). Catalyst broadcasts
+    the dim when small; at 100 TB scale pre-bucket the dim on the
+    join key so each micro-batch joins shuffle-free."""
+    return changelog_delta.join(static_dim, on, how)

@@ -1,0 +1,165 @@
+"""FlagshipViewIVM vs full batch recompute.
+
+Emulates the reference workload (FIXTURES.md §W: generateticketactivity
+ticket transfers — UPDATE sporting_event_ticket.ticketholder_id +
+INSERT ticket_purchase_hist — plus occasional person INSERT/UPDATE/
+DELETE) and asserts after every micro-batch that the incrementally-
+maintained view equals a from-scratch recompute over source state.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.upsert import (
+    latest_by_key,
+)
+from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.ivm import (
+    FlagshipViewIVM,
+)
+
+P_SCHEMA = (
+    "id double, full_name string, last_name string, first_name string, "
+    "_deleted boolean, _before_full_name string"
+)
+T_SCHEMA = (
+    "id double, sporting_event_id double, sport_location_id double, "
+    "seat_level int, seat_section string, seat_row string, seat string, "
+    "ticketholder_id double, ticket_price float, "
+    "_deleted boolean, _before_ticketholder_id double"
+)
+H_SCHEMA = (
+    "sporting_event_ticket_id double, purchase_by_id double, "
+    "transaction_date_time timestamp, transferred_from_id double, "
+    "purchase_price float, _deleted boolean"
+)
+
+
+def _person(i, name, deleted=False, before_name=None):
+    first, last = name.split(" ", 1)
+    return (float(i), name, last, first, deleted, before_name)
+
+
+def _ticket(i, holder, price, deleted=False, before_holder=None):
+    return (
+        float(i), 1.0, 1.0, 1, "S", "R", str(i), float(holder), price,
+        deleted, None if before_holder is None else float(before_holder),
+    )
+
+
+def _hist(tid, buyer, ts, frm, price):
+    import datetime as dt
+
+    return (
+        float(tid), float(buyer), dt.datetime.fromisoformat(ts), float(frm),
+        price, False,
+    )
+
+
+def _recompute_view(ivm):
+    """Oracle: the batch flagship join over current source state."""
+    p, t, h = ivm.person.snapshot(), ivm.ticket.snapshot(), ivm.hist.snapshot()
+    joined = (
+        p.join(t, p["id"] == t["ticketholder_id"])
+        .join(h, h["sporting_event_ticket_id"] == t["id"])
+        .select(
+            p["full_name"],
+            t["id"].cast("string").alias("tid_str"),
+            t["ticket_price"],
+            h["transaction_date_time"],
+            h["purchase_by_id"],
+        )
+    )
+    return (
+        latest_by_key(
+            joined, "full_name",
+            ["transaction_date_time", "tid_str", "purchase_by_id"],
+        )
+        .select(
+            "full_name",
+            F.col("tid_str").alias("id"),
+            "ticket_price",
+            F.col("transaction_date_time").cast("string").alias(
+                "transaction_date_time"
+            ),
+        )
+    )
+
+
+def _assert_view_matches(ivm):
+    got = sorted(map(tuple, ivm.view.snapshot().collect()))
+    want = sorted(map(tuple, _recompute_view(ivm).collect()))
+    assert got == want, f"IVM drifted:\n got={got[:5]}...\nwant={want[:5]}..."
+
+
+def test_ivm_matches_batch_recompute(spark, tmp_path):
+    rng = random.Random(42)
+    ivm = FlagshipViewIVM(spark, str(tmp_path / "ivm"))
+
+    n_persons, n_tickets = 12, 30
+    holders = {t: rng.randrange(1, n_persons + 1) for t in range(1, n_tickets + 1)}
+
+    # batch 0: initial snapshot inserts (S1 snapshot phase)
+    persons = [_person(i, f"Person Num{i}") for i in range(1, n_persons + 1)]
+    tickets = [
+        _ticket(t, holders[t], round(10 + t * 1.5, 2)) for t in holders
+    ]
+    ivm.apply(
+        person_delta=spark.createDataFrame(persons, P_SCHEMA),
+        ticket_delta=spark.createDataFrame(tickets, T_SCHEMA),
+        hist_delta=None,
+        commit_id="b0",
+    )
+    _assert_view_matches(ivm)  # all persons childless → view empty
+    assert ivm.view.snapshot().count() == 0  # inner join: no hist yet
+
+    # batches 1..4: ticket transfers + person churn (workload §W)
+    day = 1
+    for b in range(1, 5):
+        t_rows, h_rows, p_rows = [], [], []
+        for _ in range(6):  # ≤500/min in the reference; 6 per batch here
+            tid = rng.randrange(1, n_tickets + 1)
+            old = holders[tid]
+            new = rng.randrange(1, n_persons + 1)
+            holders[tid] = new
+            price = round(10 + tid * 1.5, 2)
+            t_rows.append(_ticket(tid, new, price, before_holder=old))
+            h_rows.append(
+                _hist(tid, new, f"2024-01-{day:02d}T12:{b:02d}:00", old, price)
+            )
+            day += 1
+        if b == 2:  # ¶40-style rename: view PK changes
+            p_rows.append(
+                _person(3, "Person Renamed3", before_name="Person Num3")
+            )
+        if b == 3:  # person delete → their view row must vanish
+            p_rows.append(
+                _person(5, "Person Num5", deleted=True,
+                        before_name="Person Num5")
+            )
+        # dedup ticket rows per key within batch (last transfer wins)
+        seen = {}
+        for r in t_rows:
+            seen[r[0]] = r
+        ivm.apply(
+            person_delta=(
+                spark.createDataFrame(p_rows, P_SCHEMA) if p_rows else None
+            ),
+            ticket_delta=spark.createDataFrame(list(seen.values()), T_SCHEMA),
+            hist_delta=spark.createDataFrame(h_rows, H_SCHEMA),
+            commit_id=f"b{b}",
+        )
+        _assert_view_matches(ivm)
+
+    # invariant: one live row per person key (zpln:2757 ¶61)
+    dups = (
+        ivm.view.snapshot()
+        .groupBy("full_name")
+        .agg(F.count("*").alias("cnt"))
+        .filter("cnt > 1")
+        .count()
+    )
+    assert dups == 0

@@ -1,0 +1,184 @@
+"""End-to-end streaming CDC: feed dir → readStream → foreachBatch
+MERGE → lake snapshot (golden scenario 3: a source UPDATE propagates
+to the queryable view; zpln:1793 ¶40 → :1527 ¶34), plus the flagship
+stream-static join flavor (R7).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.cdc_feed import (
+    envelope_schema,
+    read_feed_stream,
+    write_feed_events,
+)
+from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.pipeline import (
+    stream_static_join,
+    stream_upsert,
+)
+from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+    UpsertLakeTable,
+)
+
+PERSON = T.StructType(
+    [
+        T.StructField("id", T.DoubleType()),
+        T.StructField("full_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("first_name", T.StringType()),
+    ]
+)
+
+
+def _env_rows(events):
+    # events: list of (op, ts_str, seq, before_dict|None, after_dict|None)
+    def mk(d):
+        return None if d is None else Row(**d)
+
+    return [
+        Row(op=op, ts=ts, seq=seq, before=mk(b), after=mk(a))
+        for (op, ts, seq, b, a) in events
+    ]
+
+
+def _feed_df(spark, events):
+    import datetime as dt
+
+    rows = _env_rows(
+        [
+            (op, dt.datetime.fromisoformat(ts), seq, b, a)
+            for (op, ts, seq, b, a) in events
+        ]
+    )
+    return spark.createDataFrame(rows, envelope_schema(PERSON))
+
+
+def _p(i, name):
+    first, last = name.split(" ", 1)
+    return {"id": float(i), "full_name": name, "last_name": last, "first_name": first}
+
+
+@pytest.fixture
+def feed_dir(tmp_path):
+    d = tmp_path / "feed"
+    d.mkdir()
+    return str(d)
+
+
+def _run_pipeline(spark, feed_dir, table, ckpt):
+    stream = read_feed_stream(spark, feed_dir, PERSON, max_files_per_trigger=1)
+    q = stream_upsert(stream, table, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+
+def test_cdc_update_propagates_golden3(spark, tmp_path, feed_dir):
+    table = UpsertLakeTable(spark, str(tmp_path / "person_view"), key="id")
+    ckpt = str(tmp_path / "ckpt")
+
+    # commit 1: snapshot-phase inserts (≙ S1 snapshot)
+    write_feed_events(
+        spark,
+        feed_dir,
+        _feed_df(
+            spark,
+            [
+                ("I", "2024-01-01T00:00:01", 1, None, _p(1, "Abby Aboushi")),
+                ("I", "2024-01-01T00:00:02", 2, None, _p(2, "Bob Burger")),
+            ],
+        ),
+        commit_id="c1",
+    )
+    _run_pipeline(spark, feed_dir, table, ckpt)
+    assert table.snapshot().count() == 2
+
+    # commit 2: the ¶40 UPDATE — rename person 1; and a delete of 2
+    write_feed_events(
+        spark,
+        feed_dir,
+        _feed_df(
+            spark,
+            [
+                (
+                    "U",
+                    "2024-01-01T00:01:00",
+                    3,
+                    _p(1, "Abby Aboushi"),
+                    _p(1, "Abby Renamed"),
+                ),
+                ("D", "2024-01-01T00:01:01", 4, _p(2, "Bob Burger"), None),
+            ],
+        ),
+        commit_id="c2",
+    )
+    _run_pipeline(spark, feed_dir, table, ckpt)  # same checkpoint → tail only
+    snap = table.snapshot()
+    rows = {r["id"]: r["full_name"] for r in snap.collect()}
+    assert rows == {1.0: "Abby Renamed"}
+
+
+def test_out_of_order_events_resolve_by_ts_seq(spark, tmp_path, feed_dir):
+    # SURVEY.md §7 trap 1: a late-arriving older update must not win
+    table = UpsertLakeTable(spark, str(tmp_path / "v"), key="id")
+    write_feed_events(
+        spark,
+        feed_dir,
+        _feed_df(
+            spark,
+            [
+                ("U", "2024-01-01T00:05:00", 10, None, _p(1, "Newer Name")),
+                ("U", "2024-01-01T00:01:00", 2, None, _p(1, "Older Name")),
+            ],
+        ),
+        commit_id="c1",
+    )
+    _run_pipeline(spark, feed_dir, table, str(tmp_path / "ck"))
+    assert table.snapshot().collect()[0]["full_name"] == "Newer Name"
+
+
+def test_stream_static_join_flagship(spark, tmp_path, feed_dir):
+    # R7 stream-static flavor: ticket changes joined to person dim
+    # inside the per-batch transform, materialized keyed on ticket id
+    TICKET = T.StructType(
+        [
+            T.StructField("id", T.DoubleType()),
+            T.StructField("ticketholder_id", T.DoubleType()),
+            T.StructField("ticket_price", T.FloatType()),
+        ]
+    )
+    person_dim = spark.createDataFrame(
+        [(1.0, "Abby Aboushi"), (2.0, "Bob Burger")], "pid double, full_name string"
+    )
+
+    def _t(i, holder, price):
+        return {"id": float(i), "ticketholder_id": float(holder), "ticket_price": price}
+
+    feed = spark.createDataFrame(
+        _env_rows(
+            [
+                ("I", __import__("datetime").datetime(2024, 1, 1), 1, None, _t(10, 1, 43.97)),
+                ("I", __import__("datetime").datetime(2024, 1, 1, 0, 1), 2, None, _t(11, 2, 9.5)),
+            ]
+        ),
+        envelope_schema(TICKET),
+    )
+    write_feed_events(spark, feed_dir, feed, commit_id="c1")
+    table = UpsertLakeTable(spark, str(tmp_path / "tv"), key="id")
+
+    def joined(delta):
+        return stream_static_join(
+            delta, F.broadcast(person_dim), delta["ticketholder_id"] == person_dim["pid"]
+        ).select("id", "full_name", "ticket_price", "_deleted")
+
+    stream = read_feed_stream(spark, feed_dir, TICKET)
+    q = stream_upsert(
+        stream, table, str(tmp_path / "ck"), transform=joined,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: (r["full_name"], r["ticket_price"]) for r in table.snapshot().collect()}
+    assert got[10.0][0] == "Abby Aboushi" and abs(got[10.0][1] - 43.97) < 1e-5
+    assert got[11.0][0] == "Bob Burger"

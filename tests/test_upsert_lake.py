@@ -1,0 +1,122 @@
+"""UpsertLakeTable semantics: the reference's Hudi-table behavior
+(golden scenarios 1-2 + compaction + exactly-once), FIXTURES.md F4.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+    UpsertLakeTable,
+)
+
+T1_ROWS = [
+    ("id1", "Danny", 23, "1970-01-01 00:00:01"),
+    ("id2", "Stephen", 33, "1970-01-01 00:00:02"),
+    ("id3", "Julian", 53, "1970-01-01 00:00:03"),
+    ("id4", "Fabian", 31, "1970-01-01 00:00:04"),
+    ("id5", "Sophia", 18, "1970-01-01 00:00:05"),
+    ("id6", "Emma", 20, "1970-01-01 00:00:06"),
+    ("id7", "Grace", 19, "1970-01-01 00:00:07"),
+    ("id8", "Han", 56, "1970-01-01 00:00:08"),
+]
+SCHEMA = "uuid string, name string, age int, ts string"
+
+
+def _t1(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return UpsertLakeTable(
+        spark, str(tmp_path / "t1"), key="uuid", num_buckets=4, compact_every=3
+    )
+
+
+def test_insert_then_scan_golden1(spark, table):
+    # zpln:375 ¶9 → :463 ¶11: 8 rows in, exactly those 8 back
+    table.write(_t1(spark, T1_ROWS), commit_id="seed")
+    got = {tuple(r) for r in table.snapshot().select("uuid", "name", "age").collect()}
+    assert got == {(u, n, a) for (u, n, a, _) in T1_ROWS}
+
+
+def test_upsert_replaces_key_golden2(spark, table):
+    # zpln:577 ¶13 → :665 ¶15: re-insert id1 → only the new row remains
+    table.write(_t1(spark, T1_ROWS), commit_id="seed")
+    table.write(
+        _t1(spark, [("id1", "Francisco Morillo", 29, "2023-06-15 12:00:00")]),
+        commit_id="upsert1",
+    )
+    snap = table.snapshot()
+    assert snap.count() == 8  # still one live row per key
+    id1 = snap.filter(F.col("uuid") == "id1").collect()
+    assert len(id1) == 1 and id1[0]["name"] == "Francisco Morillo" and id1[0]["age"] == 29
+    # no-duplicates invariant (zpln:2757 ¶61)
+    dups = (
+        snap.groupBy("uuid").agg(F.count("*").alias("cnt")).filter("cnt > 1").count()
+    )
+    assert dups == 0
+
+
+def test_delete_tombstone(spark, table):
+    table.write(_t1(spark, T1_ROWS), commit_id="seed")
+    victim = _t1(spark, [("id3", "Julian", 53, "1970-01-01 00:00:03")]).withColumn(
+        "_gone", F.lit(True)
+    )
+    table.write(victim, commit_id="del1", delete_col="_gone")
+    snap = table.snapshot()
+    assert snap.count() == 7
+    assert snap.filter(F.col("uuid") == "id3").count() == 0
+
+
+def test_compaction_preserves_snapshot(spark, table):
+    table.write(_t1(spark, T1_ROWS), commit_id="seed")
+    table.write(
+        _t1(spark, [("id1", "A", 1, "1980-01-01 00:00:00")]), commit_id="c2"
+    )
+    # 3rd delta crosses compact_every=3 → auto-compaction folds the log
+    table.write(
+        _t1(spark, [("id2", "B", 2, "1981-01-01 00:00:00")]), commit_id="c3"
+    )
+    kinds = [c["kind"] for c in table.commits()]
+    assert "compaction" in kinds
+    assert not os.path.isdir(table._log)  # log truncated
+    snap = {r["uuid"]: r["name"] for r in table.snapshot().collect()}
+    assert snap["id1"] == "A" and snap["id2"] == "B" and len(snap) == 8
+    # writes after compaction still merge correctly (base ∪ new log)
+    table.write(
+        _t1(spark, [("id1", "Z", 9, "1990-01-01 00:00:00")]), commit_id="c4"
+    )
+    assert {
+        r["uuid"]: r["name"] for r in table.snapshot().collect()
+    }["id1"] == "Z"
+
+
+def test_replayed_commit_is_noop(spark, table):
+    table.write(_t1(spark, T1_ROWS), commit_id="seed")
+    seq = table.write(
+        _t1(spark, [("id1", "X", 1, "2000-01-01 00:00:00")]), commit_id="epoch-7"
+    )
+    assert seq > 0
+    # replay of the same epoch (foreachBatch retry) must not double-apply
+    again = table.write(
+        _t1(spark, [("id1", "Y", 2, "2000-01-01 00:00:00")]), commit_id="epoch-7"
+    )
+    assert again == 0
+    assert table.snapshot().filter("uuid = 'id1'").collect()[0]["name"] == "X"
+
+
+def test_meta_columns(spark, table):
+    # ≙ _hoodie_* metadata columns (lib/rds-cdc-flink-hudi-stack.ts:470-489)
+    table.write(_t1(spark, T1_ROWS), commit_id="seed")
+    meta = table.snapshot(with_meta=True)
+    for c in ("_record_key", "_commit_seq", "_commit_time", "_op"):
+        assert c in meta.columns
+    row = meta.filter("uuid = 'id5'").collect()[0]
+    assert row["_record_key"] == "id5" and row["_commit_seq"] == 1
