@@ -1,0 +1,314 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7
+Phase 4): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Scale design (the point of every choice here):
+- Nothing ever materializes the O(n²) pair space. Candidate pairs
+  come from equi-joins on LSH bucket keys — hash-shuffle joins
+  Catalyst executes sort-merge/broadcast as appropriate.
+- MinHash/Jaccard math is JVM-side array functions (no UDF);
+  SimHash uses one Arrow-batched pandas UDF (bit-twiddling is not
+  expressible in codegen-friendly form).
+- Each stage is a plain DataFrame → the optimizer prunes columns
+  into the parquet scan (only ``text``/``embedding`` + id are read).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vectors as V
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct text (md5 fingerprint), keeping the
+    smallest id — the canonical exact-dedup pass."""
+    fp = TX.fingerprint(F.col(text_col)).alias("fingerprint")
+    ranked = df.select(F.col(id_col), fp).groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
+    )
+    return ranked.select(id_col, "fingerprint", "dup_count")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + banded LSH (shingle → minhash → band → bucket join)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    text_col: Column, num_hashes: int = 32, shingle_n: int = 3
+) -> Column:
+    """Array of ``num_hashes`` min-hashes over word shingles.
+
+    h_i(s) = xxhash64(i, s); the min over shingles estimates set
+    similarity (Broder's MinHash). All JVM-side: transform + array_min.
+    """
+    sh = TX.shingles(text_col, shingle_n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, verified with the
+    exact MinHash similarity estimate.
+
+    bands of r = num_hashes/bands rows; a pair collides if any band's
+    sub-signature matches exactly → candidates via equi-join on
+    (band_id, band_hash) — never O(n²). Returns (id_a, id_b,
+    est_jaccard) with id_a < id_b and est_jaccard >= threshold.
+    """
+    r = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+    )
+    banded = sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("_sig", b * r + j + 1) for j in range(r)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_sig", "bk.band", "bk.bhash")
+
+    left = banded.select(
+        F.col("band"), F.col("bhash"),
+        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("band").alias("band_r"), F.col("bhash").alias("bhash_r"),
+        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (left["band"] == right["band_r"])
+            & (left["bhash"] == right["bhash_r"])
+            & (left["id_a"] < right["id_b"]),
+        )
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (for verification / small candidate sets)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs.
+
+    Without ``block_col`` the candidates are all pairs (quadratic —
+    only for small inputs / verification); with it, only pairs
+    sharing the blocking key are compared (scale path: block on an
+    LSH bucket or cheap surrogate like token count band).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(TX.shingles(F.col(text_col), shingle_n)).alias("_sh"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
+        *( [F.col("_blk").alias("blk_a")] if block_col else [] ),
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
+        *( [F.col("_blk").alias("blk_b")] if block_col else [] ),
+    )
+    cond = a["id_a"] < b["id_b"]
+    if block_col:
+        cond = cond & (a["blk_a"] == b["blk_b"])
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) + hamming-banded near-dup
+# ---------------------------------------------------------------------------
+
+
+def _simhash_pdf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per doc (Charikar): sign-sum of token-hash bits.
+    Arrow-batched pandas UDF — the one Python step in this module."""
+    import hashlib
+
+    out = []
+    for t in texts:
+        counts = [0] * 64
+        for tok in (t or "").split(" "):
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            for j in range(64):
+                counts[j] += 1 if (h >> j) & 1 else -1
+        sig = 0
+        for j in range(64):
+            if counts[j] > 0:
+                sig |= 1 << j
+        # store as signed 64-bit for Spark LongType
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pd.Series(out)
+
+
+def simhash_udf():
+    # built lazily: pandas_udf registration needs an active session
+    return F.pandas_udf(_simhash_pdf, "long")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into ``bands`` chunks; any pair
+    within distance < bands must agree exactly on >=1 chunk → candidate
+    generation is an equi-join on (chunk_id, chunk_value).
+    """
+    width = 64 // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("_sim")
+    )
+    chunks = sh.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("_sim", c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cval"),
+                    )
+                    for c in range(bands)
+                ]
+            )
+        ).alias("ck"),
+    ).select("_id", "_sim", "ck.chunk", "ck.cval")
+    a = chunks.select(
+        "chunk", "cval", F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a")
+    )
+    b = chunks.select(
+        F.col("chunk").alias("chunk_b"), F.col("cval").alias("cval_b"),
+        F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["chunk"] == b["chunk_b"])
+            & (a["cval"] == b["cval_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (sign-LSH bucketed)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine >= threshold, candidates pruned by sign-LSH
+    bucket equality (near-identical vectors agree on all plane signs
+    with high probability)."""
+    planes = V.random_hyperplanes(dim, n_planes, seed)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        V.as_double(F.col(vec_col)).alias("_v"),
+        V.lsh_bucket(F.col(vec_col), planes).alias("_bkt"),
+    )
+    a = base.select(
+        F.col("_bkt"), F.col("_id").alias("id_a"), F.col("_v").alias("v_a")
+    )
+    b = base.select(
+        F.col("_bkt").alias("_bkt_b"), F.col("_id").alias("id_b"),
+        F.col("_v").alias("v_b"),
+    )
+    cand = a.join(
+        b, (a["_bkt"] == b["_bkt_b"]) & (a["id_a"] < b["id_b"])
+    )
+    cos = V.dot(F.col("v_a"), F.col("v_b")) / (
+        F.sqrt(V.dot(F.col("v_a"), F.col("v_a")))
+        * F.sqrt(V.dot(F.col("v_b"), F.col("v_b")))
+    )
+    return (
+        cand.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )

@@ -315,3 +315,250 @@ def q_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+# ===========================================================================
+# Phase-4 extensions: training-data pipeline operators over documents /
+# embeddings (SURVEY.md §7 Phase 4; first-class per the build brief)
+# ===========================================================================
+
+from ..functions import text as TX  # noqa: E402
+from ..operators import dedup as DD  # noqa: E402
+from ..operators import similarity as SIM  # noqa: E402
+
+
+@register(
+    "text_stats",
+    """
+SELECT lang,
+       count(*) AS n_docs,
+       ROUND(AVG(length(text)), 2) AS avg_chars,
+       ROUND(AVG(array_length(string_split(text, ' '))), 2) AS avg_tokens,
+       SUM(array_length(string_split(text, ' '))) AS total_tokens
+FROM documents
+GROUP BY lang
+""",
+    headline=True,
+    doc="Per-language corpus stats (token counting + agg).",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        F.round(F.avg(TX.token_count(F.col("text"))), 2).alias("avg_tokens"),
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
+_STOP_SQL = "('the','a','of','and','is')"
+
+
+@register(
+    "doc_quality",
+    f"""
+SELECT doc_id,
+       array_length(string_split(text, ' ')) AS n_tokens,
+       array_length(list_filter(string_split(text, ' '),
+                                t -> t IN {_STOP_SQL})) AS n_stopwords,
+       ROUND(array_length(list_filter(string_split(text, ' '),
+                                      t -> t IN {_STOP_SQL}))
+             / CAST(array_length(string_split(text, ' ')) AS DOUBLE),
+             4) AS stop_ratio,
+       ROUND(CAST(
+         (CASE WHEN array_length(string_split(text,' ')) BETWEEN 50 AND 100000
+               THEN 1.0 ELSE 0.0 END) * 0.4
+       + (CASE WHEN array_length(list_filter(string_split(text,' '),
+                                             t -> t IN {_STOP_SQL}))
+                    / CAST(array_length(string_split(text,' ')) AS DOUBLE) > 0.01
+               THEN 1.0 ELSE 0.0 END) * 0.3
+       + (CASE WHEN (length(text) - array_length(string_split(text,' ')) + 1)
+                    / CAST(array_length(string_split(text,' ')) AS DOUBLE)
+                    BETWEEN 2.5 AND 12.0
+               THEN 1.0 ELSE 0.0 END) * 0.3 AS DOUBLE), 2) AS quality
+FROM documents
+""",
+    doc="Per-document quality scoring: token counts, stopword ratio, "
+    "length/token-length band rules (C4/Gopher-style heuristics).",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.stopword_count(t).alias("n_stopwords"),
+        F.round(TX.stopword_ratio(t), 4).alias("stop_ratio"),
+        F.round(TX.quality_score(t), 2).alias("quality"),
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
+    return (
+        f"array_length(list_filter(string_split(text,' '), t -> t IN ({words})))"
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+SELECT predicted_lang, lang, count(*) AS n FROM (
+  SELECT lang,
+         CASE
+           WHEN {_marker_sql('en')} >= GREATEST({_marker_sql('es')}, {_marker_sql('fr')}, {_marker_sql('de')}, {_marker_sql('zh')}) THEN 'en'
+           WHEN {_marker_sql('es')} >= GREATEST({_marker_sql('fr')}, {_marker_sql('de')}, {_marker_sql('zh')}) THEN 'es'
+           WHEN {_marker_sql('fr')} >= GREATEST({_marker_sql('de')}, {_marker_sql('zh')}) THEN 'fr'
+           WHEN {_marker_sql('de')} >= {_marker_sql('zh')} THEN 'de'
+           ELSE 'zh'
+         END AS predicted_lang
+  FROM documents
+) GROUP BY predicted_lang, lang
+""",
+    doc="Language-ID heuristic (stopword-marker argmax) vs labeled lang: "
+    "confusion counts.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TX.lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "token_count_regex",
+    """
+SELECT source,
+       SUM(array_length(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_tokens,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+""",
+    doc="BPE-ish regex tokenizer counts per source.",
+)
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(TX.regex_token_count(F.col("text"))).alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+""",
+    headline=True,
+    doc="Exact dedup: one row per distinct text (md5), keeper = min id.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(d, "text", "doc_id").select(
+        "fingerprint", "doc_id", "dup_count"
+    )
+
+
+_COS_SQL = (
+    "list_dot_product(e.emb_d, q.qv) / "
+    "(sqrt(list_dot_product(e.emb_d, e.emb_d)) * sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+
+@register(
+    "embedding_topk",
+    f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings
+)
+SELECT vec_id, ROUND({_COS_SQL}, 4) AS cos_sim
+FROM e, q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    headline=True,
+    doc="Brute-force cosine top-10 against the vec_id=0 embedding "
+    "(exact ANN baseline; JVM-side zip_with/aggregate math).",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return SIM.cosine_topk(e, "embedding", "vec_id", qv, k=10)
+
+
+@register(
+    "knn_multi",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings
+), scored AS (
+  SELECT q.query_id, e.vec_id, ROUND({_COS_SQL}, 4) AS cos_sim
+  FROM e, q
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="Batch k-NN: exact top-5 per query for 3 query vectors "
+    "(broadcast cross join + per-query window rank).",
+)
+def q_knn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk_multi(
+        e, "embedding", "vec_id", q, "query_id", "embedding", k=5
+    )
+
+
+# --- approximate / non-SQL-expressible ops: rows-only driver check, but
+# covered by planted-duplicate pytest oracles in tests/test_dedup.py ---
+
+
+@register(
+    "minhash_pairs",
+    None,
+    headline=True,
+    doc="MinHash+LSH near-dup candidate pairs (32 hashes, 8 bands, "
+    "3-shingles), est_jaccard >= 0.5. Approximate: no SQL oracle; "
+    "verified by planted-duplicate tests.",
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(d, "text", "doc_id")
+
+
+@register(
+    "simhash_pairs",
+    None,
+    doc="SimHash near-dup pairs (64-bit, hamming<=3, pigeonhole "
+    "banding). Pandas-UDF signature computation.",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(d, "text", "doc_id")
+
+
+@register(
+    "embedding_near_dup",
+    None,
+    doc="Embedding-cosine near-dup pairs (sign-LSH bucketed, "
+    "cos >= 0.95).",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return DD.embedding_near_dup_pairs(e, "embedding", "vec_id")

@@ -1,0 +1,154 @@
+"""Extension-operator correctness: planted-duplicate oracles for the
+approximate dedup family (MinHash-LSH, SimHash, embedding near-dup)
+and exactness checks for similarity search (LSH-ANN vs brute force).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import dedup as DD
+from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import (
+    similarity as SIM,
+)
+
+WORDS = (
+    "the quick brown fox jumps over lazy dog spark query join filter "
+    "table row batch stream data key value sort merge window group"
+).split()
+
+
+def _doc(rng, n=80):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _mutate(rng, text, n_edits=3):
+    toks = text.split()
+    for _ in range(n_edits):
+        toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(7)
+    rows = []
+    # 40 distinct docs
+    for i in range(40):
+        rows.append((i, _doc(rng)))
+    # planted near-dups: 100<->original pairs (small edits)
+    for i in range(5):
+        rows.append((100 + i, _mutate(rng, rows[i][1])))
+    # planted exact dup of doc 10
+    rows.append((200, rows[10][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_finds_planted_dup(spark, docs):
+    res = DD.exact_dedup(docs, "text", "doc_id")
+    assert res.count() == docs.count() - 1  # one exact dup collapses
+    dup = res.filter(F.col("dup_count") > 1).collect()
+    assert len(dup) == 1 and dup[0]["doc_id"] == 10
+
+
+def test_minhash_finds_planted_neardups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(
+            docs, "text", "doc_id", jaccard_threshold=0.3
+        ).collect()
+    }
+    for i in range(5):
+        assert (i, 100 + i) in pairs, f"planted pair {(i, 100+i)} missed"
+    assert (10, 200) in pairs  # exact dup trivially found
+    # sanity: no flood of false pairs among distinct docs
+    false_pairs = [p for p in pairs if p[0] < 40 and p[1] < 40]
+    assert len(false_pairs) <= 2
+
+
+def test_jaccard_exact_agrees_with_minhash_estimate(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in DD.minhash_lsh_pairs(
+            docs, "text", "doc_id", jaccard_threshold=0.3
+        ).collect()
+    }
+    common = set(exact) & set(est)
+    assert len(common) >= 5
+    for p in common:
+        assert abs(exact[p] - est[p]) < 0.35  # 32-hash estimator tolerance
+
+
+def test_simhash_finds_planted_neardups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_pairs(
+            docs, "text", "doc_id", max_hamming=12
+        ).collect()
+    }
+    found = sum((i, 100 + i) in pairs for i in range(5))
+    assert found >= 3  # simhash is coarser; most planted pairs surface
+    assert (10, 200) in pairs
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+    # planted near-dup: 100 = tiny perturbation of vec 3
+    rows.append(
+        (100, [x + rng.gauss(0, 0.01) for x in rows[3][1]])
+    )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_embedding_near_dup_finds_planted(spark, vecs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in DD.embedding_near_dup_pairs(
+            vecs, "embedding", "vec_id", threshold=0.9
+        ).collect()
+    }
+    assert (3, 100) in pairs and pairs[(3, 100)] > 0.99
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, vecs):
+    qv = vecs.filter(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("qv")
+    )
+    exact = [r["vec_id"] for r in SIM.cosine_topk(vecs, "embedding", "vec_id", qv, k=5).collect()]
+    assert exact[0] == 3 and 100 in exact[:2]  # self + planted neighbor on top
+    approx = [
+        r["vec_id"]
+        for r in SIM.lsh_ann_topk(
+            vecs, "embedding", "vec_id", qv, k=5, n_planes=6
+        ).collect()
+    ]
+    # the planted near-identical vector must be found by LSH probing
+    assert 3 in approx and 100 in approx
+
+
+def test_multi_query_knn_rank_contract(spark, vecs):
+    q = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = SIM.cosine_topk_multi(
+        vecs, "embedding", "vec_id", q, "query_id", "embedding", k=4
+    )
+    rows = res.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    for qid in (0, 1):
+        ranked = sorted(
+            (r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        assert [r["rank"] for r in ranked] == [1, 2, 3, 4]
+        assert ranked[0]["vec_id"] == qid  # self is the nearest

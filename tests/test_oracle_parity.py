@@ -66,7 +66,12 @@ def test_all_queries_return_rows_or_are_checks(spark):
     # legitimate for invariant checks (dup_check)
     from .conftest import SF_SMOKE
 
+    # pair-mining queries may legitimately find nothing in the random
+    # testdata (no near-dups planted); their correctness is covered by
+    # the planted-duplicate tests in test_dedup_similarity.py
+    may_be_empty = {"ticket_view_dup_check", "minhash_pairs",
+                    "simhash_pairs", "embedding_near_dup"}
     for name, spec in QUERIES.items():
         n = spec.fn(spark, SF_SMOKE).count()
-        if "check" not in name:
+        if name not in may_be_empty:
             assert n > 0, f"{name} returned no rows at smoke scale"
