@@ -5,8 +5,9 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced with the noop sink (full execution, no driver
-collect). First run of each query includes JVM/codegen warmup; we
-report per-query wall seconds and the total.
+collect). Each query gets one warmup run (JVM/codegen/broadcast
+warmup) and the second run is reported — steady-state latency, which
+is what a resident engine serves.
 """
 
 from __future__ import annotations
@@ -35,13 +36,19 @@ def _sf_from_dir(sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     spark = EngineConfig(
-        app_name="bench", master=f"local[{DEFAULT_CPUS}]"
+        app_name="bench",
+        master=f"local[{DEFAULT_CPUS}]",
+        # testdata is one smallish parquet file per table; split finer
+        # so scans parallelize across local cores (cluster deployments
+        # keep the 128m default — many files there)
+        extra={"spark.sql.files.maxPartitionBytes": "4m"},
     ).session()
 
     names = [n for n, s in QUERIES.items() if s.headline] or list(QUERIES)
     timings: dict[str, float] = {}
     for name in names:
         df = QUERIES[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warmup
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

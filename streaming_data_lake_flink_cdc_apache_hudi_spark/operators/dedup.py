@@ -43,20 +43,30 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _rehash(i: int):
+    # independent hash family over the 64-bit base hash: cheap long
+    # re-hash per slot. (An affine a*x+b family without a modulo is
+    # order-preserving — every slot would pick the same min shingle.)
+    # Closure (not default-arg) capture: higher-order functions
+    # introspect the lambda arity, and default args would miscount.
+    return lambda h: F.xxhash64(F.lit(i), h)
+
+
 def minhash_signature(
     text_col: Column, num_hashes: int = 32, shingle_n: int = 3
 ) -> Column:
-    """Array of ``num_hashes`` min-hashes over word shingles.
+    """Array of ``num_hashes`` min-hashes over word shingles
+    (Broder's MinHash; banded below for LSH).
 
-    h_i(s) = xxhash64(i, s); the min over shingles estimates set
-    similarity (Broder's MinHash). All JVM-side: transform + array_min.
+    Each shingle string is hashed ONCE with xxhash64; each family
+    member then re-hashes that long with a distinct seed —
+    ~num_hashes× cheaper than hashing the strings per function, and
+    ANSI-safe (no overflowing arithmetic). All JVM-side.
     """
-    sh = TX.shingles(text_col, shingle_n)
+    base = F.transform(TX.shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
+            F.array_min(F.transform(base, _rehash(i)))
             for i in range(num_hashes)
         ]
     )
@@ -80,9 +90,23 @@ def minhash_lsh_pairs(
     est_jaccard) with id_a < id_b and est_jaccard >= threshold.
     """
     r = num_hashes // bands
-    sigs = df.select(
+    # two-step projection: shingle-hash once, then the seeded family.
+    # Kept as separate Projects so CollapseProject doesn't inline the
+    # (expensive, 32×-referenced) base array into every signature slot.
+    base_df = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+        F.transform(
+            TX.shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("_mh_base"),
+    )
+    sigs = base_df.select(
+        "_id",
+        F.array(
+            *[
+                F.array_min(F.transform("_mh_base", _rehash(i)))
+                for i in range(num_hashes)
+            ]
+        ).alias("_sig"),
     )
     banded = sigs.select(
         "_id",
