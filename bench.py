@@ -53,6 +53,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    streaming = _streaming_ingest_bench(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -62,10 +64,62 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                "streaming": streaming,
             }
         )
     )
     spark.stop()
+
+
+def _streaming_ingest_bench(spark) -> dict:
+    """BASELINE.md targets: sustain >=500 change-events/min (reference
+    Lambda rate) through the CDC feed -> foreachBatch -> upsert-lake
+    path. Generates one minute's reference workload (500 transfers =
+    1000 envelope events) and measures end-to-end ingest seconds."""
+    import shutil
+    import tempfile
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.cdc_feed import (
+        read_feed_stream,
+        write_feed_events,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.workload import (
+        TICKET_SCHEMA,
+        TicketWorkload,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.pipeline import (
+        stream_upsert,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        wl = TicketWorkload(spark, n_persons=1000, n_tickets=5000)
+        feed = f"{root}/feed"
+        write_feed_events(spark, feed, wl.snapshot_tickets(), commit_id="snap")
+        t_env, _ = wl.transfer_batch(500)  # one reference-minute of transfers
+        write_feed_events(spark, feed, t_env, commit_id="m1")
+        table = UpsertLakeTable(spark, f"{root}/table", key="id")
+        t0 = time.perf_counter()
+        q = stream_upsert(
+            read_feed_stream(spark, feed, TICKET_SCHEMA, max_files_per_trigger=1),
+            table,
+            f"{root}/ck",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+        ingest_sec = round(time.perf_counter() - t0, 3)
+        n_rows = table.snapshot().count()
+        return {
+            "ingest_events": 5500,  # 5000 snapshot inserts + 500 updates
+            "ingest_sec": ingest_sec,
+            "events_per_min_capacity": round(5500 / ingest_sec * 60, 0),
+            "table_rows": n_rows,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

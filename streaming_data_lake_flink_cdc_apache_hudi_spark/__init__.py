@@ -15,3 +15,6 @@ semantics Spark-first:
 """
 
 __version__ = "0.1.0"
+
+from .config import EngineConfig, get_spark  # noqa: E402,F401
+from .session import EngineSession  # noqa: E402,F401

@@ -562,3 +562,310 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return DD.embedding_near_dup_pairs(e, "embedding", "vec_id")
+
+
+# ===========================================================================
+# Relational surface beyond the reference (SURVEY.md §2.5 extension
+# operators): windows, sessionization, set ops, rollup, pivot, distinct
+# agg, as-of join. All deterministic with DuckDB oracles.
+# ===========================================================================
+
+from pyspark.sql import Window as W  # noqa: E402
+
+
+@register(
+    "window_rank",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+    doc="Top-3 orders per customer (ranking window; WindowGroupLimit "
+    "pushes the limit below the shuffle).",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "window_running",
+    """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS running_spend
+FROM orders
+""",
+    doc="Running per-customer spend (analytic frame window).",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "sessionize",
+    """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, event_id,
+         SUM(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM gaps
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+""",
+    doc="Sessionization: 30-min-gap sessions per user via lag + "
+    "running sum (classic pattern; same shape as streaming "
+    "session_window).",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = W.partitionBy("user_id").orderBy(*order)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = (
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    run = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        ev.withColumn("session_no", F.sum(new_s).over(run))
+        .groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "session_no", "n_events")
+    )
+
+
+@register(
+    "semi_anti_join",
+    """
+SELECT 'with_orders' AS grp, count(*) AS n
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'without_orders' AS grp, count(*) AS n
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+    doc="Left-semi (EXISTS) and left-anti (NOT EXISTS) joins + UNION ALL.",
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("with_orders").alias("grp"), "n")
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("without_orders").alias("grp"), "n")
+    return semi.unionByName(anti)
+
+
+@register(
+    "outer_join_agg",
+    """
+SELECT n_name,
+       count(c_custkey) AS n_customers,
+       ROUND(COALESCE(SUM(c_acctbal), 0), 2) AS total_bal
+FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    doc="Left outer join + agg (nations keep rows with zero customers).",
+)
+def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, c["c_nationkey"] == n["n_nationkey"], "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias(
+                "total_bal"
+            ),
+        )
+    )
+
+
+@register(
+    "rollup_agg",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS cnt,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP grouping sets with subtotal rows.",
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "distinct_agg",
+    """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Multiple COUNT(DISTINCT) in one agg (expand + two-phase agg).",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "pivot_agg",
+    """
+SELECT l_returnflag,
+       ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS O,
+       ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS F
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Pivot linestatus into columns (conditional aggregation).",
+)
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce("O", F.lit(0.0)).alias("O"),
+        F.coalesce("F", F.lit(0.0)).alias("F"),
+    )
+
+
+@register(
+    "asof_join",
+    """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS last_click_ts
+  FROM events
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM tagged WHERE event_type = 'purchase'
+""",
+    doc="As-of join: each purchase matched to the user's most recent "
+    "strictly-prior click (interleaved-window formulation — one "
+    "shuffle, no range join explosion).",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "click_ts"
+            ),
+        )
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    """
+SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       event_type,
+       count(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling 5-min event-time windows (batch flavor of the "
+    "streaming windowed agg; streaming parity in tests).",
+)
+def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -52,3 +52,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or TPCH_TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str):
+    """events table as an unbounded stream (micro-batched file source).
+
+    Same ns-timestamp handling as ``load_table``: the stream schema
+    declares ts as long (ns) and converts to a microsecond timestamp.
+    """
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the table is a single FILE; the file-stream source requires a
+    # directory or glob, so match it with a glob pattern
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(os.path.join(sf_dir, "events.parque*"))
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )

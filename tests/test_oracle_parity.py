@@ -27,6 +27,8 @@ def _duck(sf_dir: str):
 
 
 def _norm(v):
+    if v is None:
+        return "\x00__NULL__"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -37,7 +39,7 @@ def _norm(v):
 def _rowset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(repr(_norm(r[i])) for i in order) for r in rows)
     )
 
 

@@ -1,0 +1,118 @@
+"""Streaming windowed aggregation parity: the streaming flavor of the
+tumbling-window agg (watermark + window groupBy, SURVEY.md guide
+patterns) must produce exactly the batch/oracle result once the
+bounded stream drains. Plus a custom stateful operator via
+applyInPandasWithState (the reference platform's Python escape hatch,
+§2.5 → our engine's stateful-op surface).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.plans.queries import QUERIES
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+    load_table,
+    read_events_stream,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_streaming_windowed_agg_matches_batch(spark):
+    batch = {
+        tuple(r)
+        for r in QUERIES["tumbling_window_agg"].fn(spark, SF_SMOKE).collect()
+    }
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_agg")
+        .start()
+    )
+    q.processAllAvailable()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM win_agg").collect()}
+    q.stop()
+    assert got == batch
+
+
+def test_stateful_running_max_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful streaming op: per-user running max of `value`
+    emitted per micro-batch (applyInPandasWithState)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    # bounded replay: copy events to a stream dir in two chunks
+    d = tmp_path / "feed"
+    d.mkdir()
+    half = ev.count() // 2
+    ev.limit(half).write.mode("overwrite").parquet(str(d / "a.parquet"))
+    ev.subtract(ev.limit(half)).write.mode("overwrite").parquet(
+        str(d / "b.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("run_max", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("mx", T.DoubleType())])
+
+    def fn(key, pdfs, state: GroupState):
+        mx = state.get[0] if state.exists else float("-inf")
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((mx,))
+        yield pd.DataFrame({"user_id": [key[0]], "run_max": [mx]})
+
+    res = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        res.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("runmax")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        r["user_id"]: r["run_max"]
+        for r in spark.sql(
+            "SELECT user_id, max(run_max) AS run_max FROM runmax GROUP BY user_id"
+        ).collect()
+    }
+    q.stop()
+    want = {
+        r["user_id"]: r["mx"]
+        for r in ev.groupBy("user_id").agg(F.max("value").alias("mx")).collect()
+    }
+    assert got == want
