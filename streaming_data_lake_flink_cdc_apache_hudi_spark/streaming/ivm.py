@@ -48,6 +48,29 @@ _HIST_SCHEMA = T.StructType(
     ]
 )
 
+_PERSON_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.DoubleType()),
+        T.StructField("full_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("first_name", T.StringType()),
+    ]
+)
+
+_TICKET_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.DoubleType()),
+        T.StructField("sporting_event_id", T.DoubleType()),
+        T.StructField("sport_location_id", T.DoubleType()),
+        T.StructField("seat_level", T.IntegerType()),
+        T.StructField("seat_section", T.StringType()),
+        T.StructField("seat_row", T.StringType()),
+        T.StructField("seat", T.StringType()),
+        T.StructField("ticketholder_id", T.DoubleType()),
+        T.StructField("ticket_price", T.FloatType()),
+    ]
+)
+
 
 class FlagshipViewIVM:
     """Maintains ticket_view (¶51/¶53) from three changelog deltas.
@@ -58,8 +81,12 @@ class FlagshipViewIVM:
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.person = UpsertLakeTable(spark, f"{root}/state/person", key="id")
-        self.ticket = UpsertLakeTable(spark, f"{root}/state/ticket", key="id")
+        self.person = UpsertLakeTable(
+            spark, f"{root}/state/person", key="id", schema=_PERSON_SCHEMA
+        )
+        self.ticket = UpsertLakeTable(
+            spark, f"{root}/state/ticket", key="id", schema=_TICKET_SCHEMA
+        )
         self.hist = UpsertLakeTable(
             spark,
             f"{root}/state/hist",
@@ -230,3 +257,168 @@ class FlagshipViewIVM:
             dead.withColumn("_deleted", F.lit(True))
         )
         self.view.write(delta, commit_id=f"{cid}-view", delete_col="_deleted")
+
+
+# ---------------------------------------------------------------------------
+# Streaming wiring: one multiplexed CDC feed -> synchronized foreachBatch
+# over all three sources (≙ the Flink job consuming 3 connectors in one
+# graph, CDC-Hudi-Notebook.zpln:2317 ¶53)
+# ---------------------------------------------------------------------------
+
+_PERSON_FIELDS = ["id", "full_name", "last_name", "first_name"]
+_TICKET_FIELDS = [
+    "id", "sporting_event_id", "sport_location_id", "seat_level",
+    "seat_section", "seat_row", "seat", "ticketholder_id", "ticket_price",
+]
+_HIST_FIELDS = [
+    "sporting_event_ticket_id", "purchase_by_id", "transaction_date_time",
+    "transferred_from_id", "purchase_price",
+]
+
+# union-of-schemas payload struct: one changelog stream carries all three
+# sources (sparse nulls), tagged by `src` — lets a single streaming query
+# see every source's events in the same micro-batch, which is what keeps
+# the three state tables and the view transactionally in step
+MUX_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.DoubleType()),
+        T.StructField("full_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("first_name", T.StringType()),
+        T.StructField("sporting_event_id", T.DoubleType()),
+        T.StructField("sport_location_id", T.DoubleType()),
+        T.StructField("seat_level", T.IntegerType()),
+        T.StructField("seat_section", T.StringType()),
+        T.StructField("seat_row", T.StringType()),
+        T.StructField("seat", T.StringType()),
+        T.StructField("ticketholder_id", T.DoubleType()),
+        T.StructField("ticket_price", T.FloatType()),
+        T.StructField("sporting_event_ticket_id", T.DoubleType()),
+        T.StructField("purchase_by_id", T.DoubleType()),
+        T.StructField("transaction_date_time", T.TimestampType()),
+        T.StructField("transferred_from_id", T.DoubleType()),
+        T.StructField("purchase_price", T.FloatType()),
+    ]
+)
+
+
+def mux_envelope(src: str, env: DataFrame) -> DataFrame:
+    """Lift a single-source envelope DataFrame into the multiplexed
+    shape: (src, op, ts, seq, before, after) with union-struct
+    payloads (missing fields null)."""
+
+    def widen(col):
+        present = {f.name for f in env.schema[col].dataType.fields}
+        return F.when(
+            F.col(col).isNull(), F.lit(None).cast(MUX_ROW_SCHEMA)
+        ).otherwise(
+            F.struct(
+                *[
+                    (
+                        F.col(f"{col}.{f.name}").cast(f.dataType)
+                        if f.name in present
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in MUX_ROW_SCHEMA.fields
+                ]
+            )
+        )
+
+    return env.select(
+        F.lit(src).alias("src"),
+        "op",
+        "ts",
+        "seq",
+        widen("before").alias("before"),
+        widen("after").alias("after"),
+    )
+
+
+def mux_feed_schema() -> T.StructType:
+    from ..sources.cdc_feed import envelope_schema
+
+    base = envelope_schema(MUX_ROW_SCHEMA)
+    return T.StructType([T.StructField("src", T.StringType(), False)] + base.fields)
+
+
+class FlagshipStreamRunner:
+    """End-to-end streaming flagship: multiplexed feed dir →
+    FlagshipViewIVM, one IVM transaction per micro-batch."""
+
+    def __init__(self, spark: SparkSession, root: str, feed_dir: str):
+        self.spark = spark
+        self.ivm = FlagshipViewIVM(spark, root)
+        self.feed_dir = feed_dir
+        self.checkpoint = f"{root}/_checkpoint"
+
+    def start(self, trigger: dict | None = None):
+        import os
+
+        from ..sources.cdc_feed import envelope_schema  # noqa: F401
+        from .pipeline import reduce_changelog_batch
+
+        stream = (
+            self.spark.readStream.schema(mux_feed_schema())
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(self.feed_dir, "*"))
+        )
+
+        def _apply(batch: DataFrame, epoch_id: int) -> None:
+            def delta(src, fields, key, before_cols):
+                sub = batch.filter(F.col("src") == src).drop("src")
+                if sub.isEmpty():
+                    return None
+                red = reduce_changelog_batch(sub, key)
+                cols = [c for c in fields] + ["_deleted"]
+                out = red.select(*cols)
+                if not before_cols:
+                    return out
+                # carry pre-image columns for the IVM diff
+                pre = (
+                    sub.select(
+                        *[
+                            F.col(f"before.{c}").alias(f"_before_{c}")
+                            for c in before_cols
+                        ],
+                        *[
+                            F.coalesce(
+                                F.col(f"after.{key0}"), F.col(f"before.{key0}")
+                            ).alias(key0)
+                            for key0 in ([key] if isinstance(key, str) else key)
+                        ],
+                    )
+                    .groupBy(*([key] if isinstance(key, str) else key))
+                    .agg(
+                        *[
+                            F.first(f"_before_{c}", ignorenulls=True).alias(
+                                f"_before_{c}"
+                            )
+                            for c in before_cols
+                        ]
+                    )
+                )
+                return out.join(pre, [key] if isinstance(key, str) else key, "left")
+
+            self.ivm.apply(
+                person_delta=delta(
+                    "person", _PERSON_FIELDS, "id", ["full_name"]
+                ),
+                ticket_delta=delta(
+                    "ticket", _TICKET_FIELDS, "id", ["ticketholder_id"]
+                ),
+                hist_delta=delta(
+                    "hist",
+                    _HIST_FIELDS,
+                    ["sporting_event_ticket_id", "purchase_by_id",
+                     "transaction_date_time"],
+                    [],
+                ),
+                commit_id=f"epoch-{epoch_id}",
+            )
+
+        writer = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", self.checkpoint)
+            .outputMode("update")
+        )
+        return writer.trigger(**(trigger or {"availableNow": True})).start()

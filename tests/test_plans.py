@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the optimizations the engine
+relies on at 100 TB must be visible in .explain output — predicate
+pushdown into parquet scans, column pruning, broadcast joins for
+dims, partial aggregation, and windowed top-k group limits. A change
+that silently loses one of these passes correctness tests but
+regresses at scale; these tests pin the plan shape.
+"""
+
+from __future__ import annotations
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.plans.queries import QUERIES
+
+from .conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = QUERIES[name].fn(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _tree(plan: str) -> str:
+    # formatted explain = operator tree, then per-operator details;
+    # count operators in the tree only (details repeat every name)
+    return plan.split("\n\n(")[0]
+
+
+def test_keyed_filter_pushes_predicate(spark):
+    plan = _plan(spark, "keyed_filter")
+    assert "PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]" in plan
+    # column pruning: only the 3 projected columns are read
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double>" in plan
+
+
+def test_flagship_joins_broadcast_and_prune(spark):
+    plan = _plan(spark, "ticket_view")
+    assert _tree(plan).count("BroadcastHashJoin") == 2  # both joins shuffle-free
+    assert "SortMergeJoin" not in plan
+    # LWW dedup pushes top-1-per-key below the exchange
+    assert "WindowGroupLimit" in plan
+    assert _tree(plan).count("- Exchange (") == 1  # single LWW hash shuffle
+    # lineitem scan reads only the 3 needed columns of 11
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_shipdate:timestamp_ntz>"
+        in plan
+    )
+
+
+def test_group_agg_partial_aggregation(spark):
+    plan = _plan(spark, "group_agg")
+    # map-side partial agg before the exchange (two HashAggregate tiers)
+    assert _tree(plan).count("HashAggregate") == 2
+    assert _tree(plan).count("- Exchange (") == 1
+
+
+def test_orderby_limit_is_topk_not_full_sort(spark):
+    plan = _plan(spark, "orderby_limit")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_window_rank_group_limit(spark):
+    plan = _plan(spark, "window_rank")
+    assert "WindowGroupLimit" in plan
+
+
+def test_embedding_topk_broadcasts_query_vector(spark):
+    plan = _plan(spark, "embedding_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_no_cartesian_product(spark):
+    plan = _plan(spark, "minhash_pairs")
+    # candidates come from the band equi-join, never a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
