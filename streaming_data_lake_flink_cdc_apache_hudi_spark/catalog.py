@@ -113,3 +113,30 @@ class TableRegistry:
             raise TypeError(f"unknown table kind {t.kind}")
         df.createOrReplaceTempView(name)
         return df
+
+
+def export_external_ddl(
+    table: TableDef, columns: list[tuple[str, str]]
+) -> str:
+    """Glue/Athena-style external-table DDL for a lake table (≙ the
+    reference's Glue table so Athena can query the Hudi output,
+    lib/rds-cdc-flink-hudi-stack.ts:458-519 — including the metadata
+    columns it surfaces alongside data columns).
+
+    ``columns``: (name, sql_type) pairs for the data columns; the
+    engine's audit columns (≙ _hoodie_*) are prepended like the
+    reference's Glue DDL does.
+    """
+    meta = [
+        ("_record_key", "string"),
+        ("_commit_seq", "bigint"),
+        ("_commit_time", "string"),
+        ("_op", "string"),
+    ]
+    cols = ",\n  ".join(f"`{n}` {t}" for n, t in meta + list(columns))
+    return (
+        f"CREATE EXTERNAL TABLE `{table.name}` (\n  {cols}\n)\n"
+        f"PARTITIONED BY (`bucket` int)\n"
+        f"STORED AS PARQUET\n"
+        f"LOCATION '{table.path}/base'"
+    )

@@ -336,3 +336,32 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level near-dup removal (keep-list)
+# ---------------------------------------------------------------------------
+
+
+def near_dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """The end-to-end dedup pass a training pipeline runs: drop every
+    document that near-duplicates a lower-id document (MinHash-LSH
+    candidates at ``jaccard_threshold``).
+
+    Greedy lowest-id-wins (id_b of any pair is dropped) rather than
+    full connected components: one extra anti-join, no iterative
+    algorithm, and the kept set is deterministic. Chains (a~b~c with
+    a!~c) keep only a — the conservative choice for training data.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col,
+        jaccard_threshold=jaccard_threshold, **minhash_kwargs,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -869,3 +869,17 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "dedup_near_corpus",
+    None,
+    doc="Corpus after near-dup removal: MinHash-LSH pairs at "
+    "est_jaccard>=0.5, greedy lowest-id-wins keep-list (the full "
+    "training-data dedup pass). Approximate -> rows-only check.",
+)
+def q_dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.near_dedup_corpus(d, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -76,3 +76,10 @@ class EngineSession:
 
     def queries(self) -> dict[str, str]:
         return {n: s.doc for n, s in QUERIES.items()}
+
+    # -- write path (≙ R1/R2: INSERT INTO sink SELECT ...) ------------------
+
+    def insert_into(self, name: str, df: DataFrame, commit_id: str | None = None) -> int:
+        """INSERT INTO a registered upsert table (batch flavor of the
+        flagship R2 pipeline; literal-rows R1 when df is literals)."""
+        return self.registry.upsert_handle(name).write(df, commit_id=commit_id)

@@ -1,0 +1,87 @@
+"""EngineSession / catalog API surface: insert_into (R1/R2), DDL
+export (S9), near-dedup corpus pass, and salted-join equivalence."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.catalog import (
+    TableDef,
+    export_external_ddl,
+)
+from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import dedup as DD
+from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.skew import (
+    salted_join,
+)
+from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+
+def test_insert_into_and_queryback(spark, tmp_path):
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg.json")
+    )
+    eng.create_upsert_table("t1", str(tmp_path / "t1"), key=["uuid"])
+    rows = spark.createDataFrame(
+        [("id1", "Danny", 23), ("id2", "Stephen", 33)],
+        "uuid string, name string, age int",
+    )
+    assert eng.insert_into("t1", rows, commit_id="c1") == 1
+    # R1 upsert of an existing key through the same path
+    eng.insert_into(
+        "t1",
+        spark.createDataFrame(
+            [("id1", "Francisco", 29)], "uuid string, name string, age int"
+        ),
+        commit_id="c2",
+    )
+    got = {r["uuid"]: r["age"] for r in eng.table("t1").collect()}
+    assert got == {"id1": 29, "id2": 33}
+    # S7: drop removes from registry + view
+    eng.drop_table("t1")
+    assert "t1" not in eng.registry.tables()
+
+
+def test_export_external_ddl():
+    ddl = export_external_ddl(
+        TableDef("ticket_view", "upsert", "/lake/ticket_view", ["full_name"]),
+        [("full_name", "string"), ("id", "string"),
+         ("ticket_price", "float"), ("transaction_date_time", "string")],
+    )
+    assert "CREATE EXTERNAL TABLE `ticket_view`" in ddl
+    assert "`_record_key` string" in ddl  # ≙ _hoodie_* columns
+    assert "LOCATION '/lake/ticket_view/base'" in ddl
+    assert "PARTITIONED BY (`bucket` int)" in ddl
+
+
+def test_near_dedup_corpus_removes_planted(spark):
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rng = random.Random(3)
+    docs = [(i, " ".join(rng.choice(words) for _ in range(60))) for i in range(20)]
+    docs.append((100, docs[4][1]))  # exact dup of 4
+    toks = docs[7][1].split(); toks[3] = "zeta"
+    docs.append((101, " ".join(toks)))  # near dup of 7
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in DD.near_dedup_corpus(df, "text", "doc_id", jaccard_threshold=0.4)
+        .select("doc_id")
+        .collect()
+    }
+    assert 100 not in kept and 101 not in kept  # dups dropped
+    assert 4 in kept and 7 in kept  # originals kept
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavily skewed left side: 90% of rows share key 0
+    left = spark.createDataFrame(
+        [(0 if i % 10 else i % 7, f"v{i}") for i in range(2000)], "k int, v string"
+    )
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(7)], "k int, r string")
+    plain = salted_join(left, right, "k")
+    want = left.join(right, "k")
+    assert plain.count() == want.count()
+    assert (
+        plain.groupBy("k").count().subtract(want.groupBy("k").count()).count() == 0
+    )
