@@ -23,6 +23,18 @@ from ..functions import text as TX
 from ..functions import vectors as V
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input arrives in fewer partitions (single-file test tables read as
+    one split -> every CPU-heavy map stage below would run on one
+    core). No-op at real scale where inputs already have many splits —
+    the guard keeps us from adding a pointless shuffle there."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
@@ -89,6 +101,7 @@ def minhash_lsh_pairs(
     (band_id, band_hash) — never O(n²). Returns (id_a, id_b,
     est_jaccard) with id_a < id_b and est_jaccard >= threshold.
     """
+    df = _spread(df)
     r = num_hashes // bands
     # two-step projection: shingle-hash once, then the seeded family.
     # Kept as separate Projects so CollapseProject doesn't inline the
@@ -108,6 +121,12 @@ def minhash_lsh_pairs(
             ]
         ).alias("_sig"),
     )
+    # materialize signatures once: the 32-slot higher-order-function
+    # expression tree is too wide for whole-stage codegen when embedded
+    # under the self-join, and would otherwise be re-evaluated
+    # (interpreted!) on both join sides. At warehouse scale this step
+    # is a signatures table write; localCheckpoint is its local analog.
+    sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         "_id",
         "_sig",
@@ -126,22 +145,27 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("_id", "_sig", "bk.band", "bk.bhash")
 
-    left = banded.select(
-        F.col("band"), F.col("bhash"),
-        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"),
-    )
-    right = banded.select(
-        F.col("band").alias("band_r"), F.col("bhash").alias("bhash_r"),
-        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"),
-    )
+    # dataset-alias self-join: both sides keep the IDENTICAL plan, so
+    # the sort-merge shuffle on (band, bhash) is computed once and
+    # reused (ReusedExchange) — signatures aren't built twice
+    # merge-join hint: with identical subplans on both sides, the
+    # shuffle on (band, bhash) is planned once and reused
+    # (ReusedExchange) — a broadcast here would rebuild signatures
+    # for the build side AND ship the sig arrays to every task
+    a, b = banded.alias("a").hint("merge"), banded.alias("b").hint("merge")
     cand = (
-        left.join(
-            right,
-            (left["band"] == right["band_r"])
-            & (left["bhash"] == right["bhash_r"])
-            & (left["id_a"] < right["id_b"]),
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a._id") < F.col("b._id")),
         )
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     est = F.aggregate(
@@ -176,6 +200,7 @@ def jaccard_pairs(
     sharing the blocking key are compared (scale path: block on an
     LSH bucket or cheap surrogate like token count band).
     """
+    df = _spread(df)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(TX.shingles(F.col(text_col), shingle_n)).alias("_sh"),
@@ -249,9 +274,12 @@ def simhash_pairs(
     generation is an equi-join on (chunk_id, chunk_value).
     """
     width = 64 // bands
+    df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("_sim")
     )
+    # materialize: the pandas UDF must run once, not once per join side
+    sh = sh.localCheckpoint(eager=True)
     chunks = sh.select(
         "_id",
         "_sim",
@@ -269,21 +297,20 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("_id", "_sim", "ck.chunk", "ck.cval")
-    a = chunks.select(
-        "chunk", "cval", F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a")
-    )
-    b = chunks.select(
-        F.col("chunk").alias("chunk_b"), F.col("cval").alias("cval_b"),
-        F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"),
-    )
+    a, b = chunks.alias("a").hint("merge"), chunks.alias("b").hint("merge")
     cand = (
         a.join(
             b,
-            (a["chunk"] == b["chunk_b"])
-            & (a["cval"] == b["cval_b"])
-            & (a["id_a"] < b["id_b"]),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a._id") < F.col("b._id")),
         )
-        .select("id_a", "id_b", "sim_a", "sim_b")
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sim").alias("sim_a"),
+            F.col("b._sim").alias("sim_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
@@ -317,15 +344,18 @@ def embedding_near_dup_pairs(
         V.as_double(F.col(vec_col)).alias("_v"),
         V.lsh_bucket(F.col(vec_col), planes).alias("_bkt"),
     )
-    a = base.select(
-        F.col("_bkt"), F.col("_id").alias("id_a"), F.col("_v").alias("v_a")
-    )
-    b = base.select(
-        F.col("_bkt").alias("_bkt_b"), F.col("_id").alias("id_b"),
-        F.col("_v").alias("v_b"),
-    )
+    # materialize: n_planes dot products per row, reused on both sides
+    base = base.localCheckpoint(eager=True)
+    a, b = base.alias("a").hint("merge"), base.alias("b").hint("merge")
     cand = a.join(
-        b, (a["_bkt"] == b["_bkt_b"]) & (a["id_a"] < b["id_b"])
+        b,
+        (F.col("a._bkt") == F.col("b._bkt"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a._v").alias("v_a"),
+        F.col("b._v").alias("v_b"),
     )
     cos = V.dot(F.col("v_a"), F.col("v_b")) / (
         F.sqrt(V.dot(F.col("v_a"), F.col("v_a")))
