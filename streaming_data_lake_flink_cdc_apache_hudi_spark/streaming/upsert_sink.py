@@ -150,6 +150,7 @@ class UpsertLakeTable:
         commit_id = commit_id or f"c{int(time.time() * 1e6)}"
         if commit_id in self._seen_commit_ids():
             return 0  # replayed epoch → no-op (exactly-once)
+        self._validate_schema(delta, delete_col)
         if precombine:
             delta = latest_by_key(delta, self.key, precombine)
         seq = self.last_commit_seq() + 1
@@ -197,6 +198,37 @@ class UpsertLakeTable:
             base if base is not None else log
         )
         return latest_by_key(both, self.key, "_commit_seq")
+
+    def _validate_schema(self, delta: DataFrame, delete_col: str | None) -> None:
+        """Declared-schema write validation (≙ the reference's "the
+        schema of the query has to match the Hudi Table Definition",
+        CDC-Hudi-Notebook.zpln:2275 ¶52). Compares the delta's data
+        columns (names + types, order-insensitive) against the
+        table's recorded schema."""
+        import json as _json
+
+        p = os.path.join(self.path, "_schema.json")
+        if not os.path.exists(p):
+            return
+        from pyspark.sql import types as T
+
+        stored = T.StructType.fromJson(_json.loads(open(p).read()))
+        expect = {
+            f.name: f.dataType.simpleString()
+            for f in stored.fields
+            if f.name not in META_COLS and f.name != "bucket"
+        }
+        skip = set(META_COLS) | {"bucket", delete_col or ""}
+        got = {
+            f.name: f.dataType.simpleString()
+            for f in delta.schema.fields
+            if f.name not in skip
+        }
+        if got != expect:
+            raise ValueError(
+                f"schema mismatch for upsert table {self.path}: "
+                f"table={expect} delta={got}"
+            )
 
     def _save_schema(self, df: DataFrame) -> None:
         p = os.path.join(self.path, "_schema.json")

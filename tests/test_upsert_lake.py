@@ -120,3 +120,14 @@ def test_meta_columns(spark, table):
         assert c in meta.columns
     row = meta.filter("uuid = 'id5'").collect()[0]
     assert row["_record_key"] == "id5" and row["_commit_seq"] == 1
+
+
+def test_write_rejects_schema_mismatch(spark, table):
+    # ≙ ¶52: "the schema of the query has to match the Hudi Table
+    # Definition" — validated on write, not silently coerced
+    table.write(_t1(spark, T1_ROWS), commit_id="seed")
+    bad = spark.createDataFrame(
+        [("id1", 1.5)], "uuid string, wrong double"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table.write(bad, commit_id="badc")
