@@ -127,3 +127,85 @@ def lsh_ann_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroid_sample_seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize vectors to their
+    nearest centroid (inverted lists), then rank only the lists the
+    query probes.
+
+    Centroids are a deterministic sample of the corpus (hash-ranked —
+    cheap and stable; a k-means refinement would slot in here without
+    changing the query shape). Assignment = argmax of centroid dot
+    products via ``max_by`` over a posexploded dot array — all
+    JVM-side. At scale the corpus is written partitioned by
+    ``_list_id`` so a probe reads n_probe/n_centroids of the data.
+    """
+    from pyspark.sql import Window
+
+    # deterministic centroid sample: top-n_centroids by hashed id
+    w = Window.orderBy(F.xxhash64(F.col("_cid"), F.lit(centroid_sample_seed)))
+    cents = (
+        df.select(F.col(id_col).alias("_cid"), V.as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_centroids)
+        .drop("_rk")
+    )
+    cents = F.broadcast(cents.groupBy().agg(
+        F.collect_list(F.struct("_cid", "_cv")).alias("_cents")
+    ))
+
+    def nearest_lists(vec, n: int):
+        # dots: array of (list_id, dot) structs over the centroid set
+        dots = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                c["_cid"].alias("list_id"),
+                V.dot(vec, c["_cv"]).alias("dot"),
+            ),
+        )
+        ranked = F.reverse(F.array_sort(
+            F.transform(dots, lambda d: F.struct(d["dot"].alias("dot"),
+                                                 d["list_id"].alias("list_id")))
+        ))
+        return F.slice(ranked, 1, n)
+
+    base = (
+        df.crossJoin(cents)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            nearest_lists(V.as_double(F.col(vec_col)), 1)[0]["list_id"].alias(
+                "_list_id"
+            ),
+        )
+    )
+    q = (
+        query_vec.crossJoin(cents)
+        .select(
+            "qv",
+            F.explode(
+                F.transform(
+                    nearest_lists(V.as_double(F.col("qv")), n_probe),
+                    lambda s: s["list_id"],
+                )
+            ).alias("_list_id"),
+        )
+    )
+    cand = base.join(F.broadcast(q), "_list_id")
+    cos = V.cosine(V.as_double(F.col(vec_col)), V.as_double(F.col("qv")))
+    return (
+        cand.select(F.col(id_col), F.round(cos, 4).alias("cos_sim"))
+        .dropDuplicates([id_col])
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

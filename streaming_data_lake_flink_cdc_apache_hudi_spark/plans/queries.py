@@ -966,3 +966,68 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "corpus_curation",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, text,
+         array_length(string_split(text, ' ')) AS n_tokens,
+         CAST(
+           (CASE WHEN array_length(string_split(text,' ')) BETWEEN 50 AND 100000
+                 THEN 1.0 ELSE 0.0 END) * 0.4
+         + (CASE WHEN array_length(list_filter(string_split(text,' '),
+                                               t -> t IN {_STOP_SQL}))
+                      / CAST(array_length(string_split(text,' ')) AS DOUBLE) > 0.01
+                 THEN 1.0 ELSE 0.0 END) * 0.3
+         + (CASE WHEN (length(text) - array_length(string_split(text,' ')) + 1)
+                      / CAST(array_length(string_split(text,' ')) AS DOUBLE)
+                      BETWEEN 2.5 AND 12.0
+                 THEN 1.0 ELSE 0.0 END) * 0.3 AS DOUBLE) AS quality
+  FROM documents
+), kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM scored WHERE quality >= 0.7
+  ) WHERE rn = 1
+)
+SELECT lang, source, count(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM kept GROUP BY lang, source
+""",
+    doc="End-to-end corpus curation (exact ops only -> full oracle): "
+    "quality-filter >= 0.7, exact-dedup by md5 keeping min doc_id, "
+    "then per (lang, source) token accounting.",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id", "lang", "source", "text",
+        TX.token_count(t).alias("n_tokens"),
+        TX.quality_score(t).alias("quality"),
+    ).filter(F.col("quality") >= 0.7)
+    kept = latest_by_key(
+        scored.withColumn("fp", TX.fingerprint(F.col("text")))
+        .withColumn("neg_id", -F.col("doc_id")),
+        "fp",
+        "neg_id",  # min doc_id wins == max(-doc_id)
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@register(
+    "ivf_ann_topk",
+    None,
+    doc="IVF approximate top-10 (16 inverted lists, probe 4) vs the "
+    "vec_id=0 query. Approximate -> rows-only; exhaustive-probe "
+    "equivalence to brute force is pinned in tests.",
+)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return SIM.ivf_topk(e, "embedding", "vec_id", qv, k=10)

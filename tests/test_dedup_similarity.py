@@ -152,3 +152,43 @@ def test_multi_query_knn_rank_contract(spark, vecs):
         )
         assert [r["rank"] for r in ranked] == [1, 2, 3, 4]
         assert ranked[0]["vec_id"] == qid  # self is the nearest
+
+
+def test_ivf_topk_finds_planted_neighbor(spark, vecs):
+    qv = vecs.filter(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("qv")
+    )
+    exact = [
+        r["vec_id"]
+        for r in SIM.cosine_topk(vecs, "embedding", "vec_id", qv, k=5).collect()
+    ]
+    approx = [
+        r["vec_id"]
+        for r in SIM.ivf_topk(
+            vecs, "embedding", "vec_id", qv, k=5, n_centroids=8, n_probe=4
+        ).collect()
+    ]
+    # the planted near-identical vector quantizes to the same list as
+    # its twin -> IVF must find both
+    assert 3 in approx and 100 in approx
+    # decent recall vs exact top-5 with half the lists probed
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_ivf_probe_prunes_corpus(spark, vecs):
+    # with n_probe == n_centroids the probe is exhaustive -> must equal
+    # brute force exactly (sanity for the quantization plumbing)
+    qv = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    exact = [
+        (r["vec_id"], r["cos_sim"])
+        for r in SIM.cosine_topk(vecs, "embedding", "vec_id", qv, k=5).collect()
+    ]
+    full_probe = [
+        (r["vec_id"], r["cos_sim"])
+        for r in SIM.ivf_topk(
+            vecs, "embedding", "vec_id", qv, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    ]
+    assert exact == full_probe

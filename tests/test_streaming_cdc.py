@@ -182,3 +182,54 @@ def test_stream_static_join_flagship(spark, tmp_path, feed_dir):
     got = {r["id"]: (r["full_name"], r["ticket_price"]) for r in table.snapshot().collect()}
     assert got[10.0][0] == "Abby Aboushi" and abs(got[10.0][1] - 43.97) < 1e-5
     assert got[11.0][0] == "Bob Burger"
+
+
+def test_continuous_trigger_live_appends(spark, tmp_path, feed_dir):
+    """processingTime trigger (≙ the reference's 1-min checkpoint
+    cadence, scaled down): commits appended WHILE the query runs are
+    picked up and merged within a few intervals."""
+    import time
+
+    table = UpsertLakeTable(spark, str(tmp_path / "live"), key="id")
+    write_feed_events(
+        spark, feed_dir,
+        _feed_df(spark, [("I", "2024-01-01T00:00:01", 1, None, _p(1, "Ann A"))]),
+        commit_id="c1",
+    )
+    stream = read_feed_stream(spark, feed_dir, PERSON, max_files_per_trigger=10)
+    q = stream_upsert(
+        stream, table, str(tmp_path / "ck_live"),
+        trigger={"processingTime": "1 seconds"},
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if table.snapshot().count() >= 1:
+                    break
+            except FileNotFoundError:
+                pass
+            time.sleep(1)
+        # live append while the query is running
+        write_feed_events(
+            spark, feed_dir,
+            _feed_df(
+                spark,
+                [
+                    ("U", "2024-01-01T00:01:00", 2,
+                     _p(1, "Ann A"), _p(1, "Ann B")),
+                    ("I", "2024-01-01T00:01:01", 3, None, _p(2, "Bob B")),
+                ],
+            ),
+            commit_id="c2",
+        )
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            got = {r["id"]: r["full_name"] for r in table.snapshot().collect()}
+            if got == {1.0: "Ann B", 2.0: "Bob B"}:
+                break
+            time.sleep(1)
+        assert got == {1.0: "Ann B", 2.0: "Bob B"}
+    finally:
+        q.stop()
