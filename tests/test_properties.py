@@ -109,3 +109,57 @@ def test_latest_by_key_is_argmax(spark, rows):
         if k not in want or (o, i) > want[k]:
             want[k] = (o, i)
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    st.lists(  # commits: list of batches; each batch: list of (k, v, is_del)
+        st.lists(
+            st.tuples(
+                st.integers(0, 3), st.integers(0, 99), st.booleans()
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_lake_table_equals_dict_replay(spark, tmp_path_factory, commits):
+    """UpsertLakeTable under arbitrary commit sequences (upserts +
+    deletes, multiple rows per key per commit resolved by precombine)
+    must equal a dict replay. Covers compaction boundaries too
+    (compact_every=2)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    path = str(tmp_path_factory.mktemp("lake_prop") / "t")
+    table = UpsertLakeTable(spark, path, key="k", num_buckets=2, compact_every=2)
+    state: dict[int, int] = {}
+    for ci, batch in enumerate(commits):
+        # precombine order: later index in batch wins
+        df = spark.createDataFrame(
+            [(k, v, d, i) for i, (k, v, d) in enumerate(batch)],
+            "k int, v int, _del boolean, _ord int",
+        )
+        table.write(
+            df, commit_id=f"c{ci}", precombine="_ord", delete_col="_del"
+        )
+        resolved = {}
+        for k, v, d in batch:  # last occurrence of k wins
+            resolved[k] = (v, d)
+        for k, (v, d) in resolved.items():
+            if d:
+                state.pop(k, None)
+            else:
+                state[k] = v
+    got = {r["k"]: r["v"] for r in table.snapshot().select("k", "v").collect()}
+    assert got == state
