@@ -112,11 +112,25 @@ def _streaming_ingest_bench(spark) -> dict:
         q.awaitTermination(300)
         ingest_sec = round(time.perf_counter() - t0, 3)
         n_rows = table.snapshot().count()
+        # BASELINE.md target 2: snapshot + 3-way join + keyed upsert
+        # materialization of the flagship view (reference bound: <6 min
+        # to first data). Batch flavor over the sf tables.
+        from streaming_data_lake_flink_cdc_apache_hudi_spark.plans.queries import (
+            QUERIES as _Q,
+        )
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+        view = UpsertLakeTable(spark, f"{root}/ticket_view", key="full_name")
+        t0 = time.perf_counter()
+        view.write(_Q["ticket_view"].fn(spark, sf_dir), commit_id="backfill")
+        view.snapshot().count()
+        backfill_sec = round(time.perf_counter() - t0, 3)
         return {
             "ingest_events": 5500,  # 5000 snapshot inserts + 500 updates
             "ingest_sec": ingest_sec,
             "events_per_min_capacity": round(5500 / ingest_sec * 60, 0),
             "table_rows": n_rows,
+            "flagship_backfill_sec": backfill_sec,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

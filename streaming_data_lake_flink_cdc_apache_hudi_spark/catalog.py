@@ -109,6 +109,10 @@ class TableRegistry:
             )
         elif t.kind == "upsert":
             df = self.upsert_handle(name).snapshot()
+        elif t.kind == "feed":
+            # bounded read of a CDC envelope feed dir (schema embedded
+            # in the parquet commit files)
+            df = self.spark.read.parquet(os.path.join(t.path, "*"))
         else:
             raise TypeError(f"unknown table kind {t.kind}")
         df.createOrReplaceTempView(name)

@@ -169,13 +169,14 @@ class UpsertLakeTable:
             enriched = enriched.drop(delete_col)
         enriched = self._with_bucket(enriched)
         self._save_schema(enriched)
-        n = enriched.count()
+        # no pre-count: counting would execute the (possibly expensive)
+        # delta plan twice; the commit records row count -1 (unknown)
         (
             enriched.write.mode("append")
             .partitionBy("bucket")
             .parquet(self._log)
         )
-        self._record_commit(seq, commit_id, "delta", n)
+        self._record_commit(seq, commit_id, "delta", -1)
         if self._delta_commits_since_compaction() >= self.compact_every:
             self.compact()
         return seq

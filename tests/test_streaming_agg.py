@@ -116,3 +116,45 @@ def test_stateful_running_max_applyinpandaswithstate(spark, tmp_path):
         for r in ev.groupBy("user_id").agg(F.max("value").alias("mx")).collect()
     }
     assert got == want
+
+
+def test_streaming_agg_materialized_to_lake(spark, tmp_path):
+    """R8 -> S3: a streaming grouped aggregation materialized into the
+    keyed lake table via foreachBatch (update-mode agg deltas MERGEd
+    by group key) must converge to the batch aggregate."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        read_events_stream,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    table = UpsertLakeTable(spark, str(tmp_path / "agg_lake"), key="event_type")
+    stream = read_events_stream(spark, SF_SMOKE)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+    def merge(batch, epoch_id):
+        table.write(batch, commit_id=f"agg-{epoch_id}")
+
+    q = (
+        agg.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in table.snapshot().collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert got == want
