@@ -158,3 +158,74 @@ def test_streaming_agg_materialized_to_lake(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_native_stream_stream_join_append_only(spark, tmp_path):
+    """Where Spark's native stream-stream join DOES apply — both sides
+    append-only with watermarks — the engine uses it directly (no IVM
+    needed): purchases joined to the same user's clicks within a
+    10-minute window."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        read_events_stream,
+    )
+
+    clicks = (
+        read_events_stream(spark, SF_SMOKE)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, SF_SMOKE)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")),
+        ).select("purchase_id", "click_id").collect()
+    }
+    assert got == want and len(got) > 0
