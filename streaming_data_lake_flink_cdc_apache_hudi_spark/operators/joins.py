@@ -40,8 +40,11 @@ from pyspark.sql import functions as F
 from .upsert import latest_by_key
 
 # precedence (latest-wins) for the view: newest transaction, with a
-# unique (orderkey, linenumber) tiebreak so the winner is total
-_PRECEDENCE = ["transaction_date_time", "_order_id", "_line_no"]
+# unique (orderkey, linenumber) tiebreak so the winner is total.
+# Sorted on the RAW timestamp (8 bytes), not its string cast —
+# identical order (ISO strings sort chronologically) at a fraction of
+# the window-sort cost; the cast happens after dedup on 1 row per key.
+_PRECEDENCE = ["_tx_ts", "_order_id", "_line_no"]
 
 
 def flagship_join(
@@ -62,6 +65,7 @@ def flagship_join(
         F.col("o_orderkey").cast("string").alias("id"),
         F.col("o_totalprice").alias("ticket_price"),
         F.col("l_shipdate").cast("string").alias("transaction_date_time"),
+        F.col("l_shipdate").alias("_tx_ts"),
         F.col("o_orderkey").alias("_order_id"),
         F.col("l_linenumber").alias("_line_no"),
     )

@@ -1031,3 +1031,25 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return SIM.ivf_topk(e, "embedding", "vec_id", qv, k=10)
+
+
+@register(
+    "percentiles",
+    """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles per group (Spark `percentile` "
+    "== DuckDB quantile_cont; approx_percentile is the 100 TB path, "
+    "not oracle-comparable).",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
+    )
