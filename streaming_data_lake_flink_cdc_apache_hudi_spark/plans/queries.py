@@ -1053,3 +1053,20 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
     )
+
+
+@register(
+    "jaccard_block_pairs",
+    None,
+    doc="Exact n-gram Jaccard pairs >= 0.5 with token-count-band "
+    "blocking (candidates limited to docs whose lengths could "
+    "possibly reach the threshold). Rows-only; exact-vs-estimate "
+    "agreement is pinned in tests.",
+)
+def q_jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_len_band", (TX.token_count(F.col("text")) / 32).cast("int")
+    )
+    return DD.jaccard_pairs(
+        d, "text", "doc_id", threshold=0.5, block_col="_len_band"
+    )
