@@ -191,32 +191,63 @@ def jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    block_col: str | None = None,
+    length_blocking: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over candidate pairs.
 
-    Without ``block_col`` the candidates are all pairs (quadratic —
-    only for small inputs / verification); with it, only pairs
-    sharing the blocking key are compared (scale path: block on an
-    LSH bucket or cheap surrogate like token count band).
+    Without ``length_blocking`` the candidates are all pairs
+    (quadratic — only for small inputs / verification). With it, the
+    join is blocked WITHOUT losing any pair that can reach the
+    threshold: J(A,B) >= t implies |B| in [t*|A|, |A|/t] (size
+    containment), so docs are banded by floor(log(|shingles|) /
+    log(1/t)) — any threshold-feasible pair differs by at most one
+    band — and one side is exploded to bands {b-1, b, b+1}. The join
+    is an equi-join on the band (shuffle-partitionable at scale) plus
+    the exact size-ratio bound; each pair matches exactly once (the
+    probe side keeps its single true band).
     """
     df = _spread(df)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(TX.shingles(F.col(text_col), shingle_n)).alias("_sh"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
     )
-    a = base.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
-        *( [F.col("_blk").alias("blk_a")] if block_col else [] ),
-    )
-    b = base.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
-        *( [F.col("_blk").alias("blk_b")] if block_col else [] ),
-    )
-    cond = a["id_a"] < b["id_b"]
-    if block_col:
-        cond = cond & (a["blk_a"] == b["blk_b"])
+    if not length_blocking:
+        a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+        b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+        cond = a["id_a"] < b["id_b"]
+    else:
+        # log-band over the *distinct shingle-set size* — the exact
+        # quantity the containment bound speaks about (token-count
+        # bands are a lossy surrogate: ratio-feasible long docs can
+        # span many linear bands).
+        log_inv_t = float(__import__("math").log(1.0 / threshold))
+        sized = base.withColumn("_sz", F.greatest(F.size("_sh"), F.lit(1)))
+        band = F.floor(F.log(F.col("_sz").cast("double")) / F.lit(log_inv_t))
+        a = (
+            sized.withColumn("_band", band)
+            .select(
+                F.col("_id").alias("id_a"),
+                F.col("_sh").alias("sh_a"),
+                F.col("_sz").alias("sz_a"),
+                F.explode(
+                    F.array(
+                        F.col("_band") - 1, F.col("_band"), F.col("_band") + 1
+                    )
+                ).alias("band_a"),
+            )
+        )
+        b = sized.withColumn("_band", band).select(
+            F.col("_id").alias("id_b"),
+            F.col("_sh").alias("sh_b"),
+            F.col("_sz").alias("sz_b"),
+            F.col("_band").alias("band_b"),
+        )
+        cond = (
+            (a["id_a"] < b["id_b"])
+            & (a["band_a"] == b["band_b"])
+            & (b["sz_b"].cast("double") >= a["sz_a"] * F.lit(threshold))
+            & (a["sz_a"].cast("double") >= b["sz_b"] * F.lit(threshold))
+        )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (

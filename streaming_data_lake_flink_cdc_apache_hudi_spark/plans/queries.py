@@ -334,7 +334,7 @@ SELECT lang,
        count(*) AS n_docs,
        ROUND(AVG(length(text)), 2) AS avg_chars,
        ROUND(AVG(array_length(string_split(text, ' '))), 2) AS avg_tokens,
-       SUM(array_length(string_split(text, ' '))) AS total_tokens
+       CAST(SUM(array_length(string_split(text, ' '))) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY lang
 """,
@@ -431,7 +431,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count_regex",
     """
 SELECT source,
-       SUM(array_length(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_tokens,
+       CAST(SUM(array_length(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_tokens,
        count(*) AS n_docs
 FROM documents
 GROUP BY source
@@ -993,7 +993,8 @@ WITH scored AS (
     FROM scored WHERE quality >= 0.7
   ) WHERE rn = 1
 )
-SELECT lang, source, count(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT lang, source, count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM kept GROUP BY lang, source
 """,
     doc="End-to-end corpus curation (exact ops only -> full oracle): "
@@ -1058,15 +1059,14 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jaccard_block_pairs",
     None,
-    doc="Exact n-gram Jaccard pairs >= 0.5 with token-count-band "
-    "blocking (candidates limited to docs whose lengths could "
-    "possibly reach the threshold). Rows-only; exact-vs-estimate "
-    "agreement is pinned in tests.",
+    doc="Exact n-gram Jaccard pairs >= 0.5 with lossless "
+    "size-containment blocking: log-banded shingle-set sizes + "
+    "neighbor-band join cover every pair that can reach the "
+    "threshold (J>=t implies size ratio within [t, 1/t]). "
+    "Rows-only; blocked==unblocked parity is pinned in tests.",
 )
 def q_jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "_len_band", (TX.token_count(F.col("text")) / 32).cast("int")
-    )
+    d = load_table(spark, sf_dir, "documents")
     return DD.jaccard_pairs(
-        d, "text", "doc_id", threshold=0.5, block_col="_len_band"
+        d, "text", "doc_id", threshold=0.5, length_blocking=True
     )

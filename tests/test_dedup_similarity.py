@@ -86,6 +86,61 @@ def test_jaccard_exact_agrees_with_minhash_estimate(spark, docs):
         assert abs(exact[p] - est[p]) < 0.35  # 32-hash estimator tolerance
 
 
+def test_jaccard_length_blocking_is_lossless(spark):
+    """The size-containment blocking must return EXACTLY the pairs the
+    unblocked quadratic join finds — the bound is a guarantee, not a
+    heuristic (round-1 linear token bands dropped 2 of 25 true pairs
+    at sf0.01)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+    )
+
+    from .conftest import SF_ORACLE
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in DD.jaccard_pairs(
+            d, "text", "doc_id", threshold=0.5, length_blocking=True
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in DD.jaccard_pairs(d, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert blocked == full
+    assert len(full) > 0  # sf0.01 plants near-dups; 25 at current seed
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Quantified quality gate for the approximate family: exact
+    blocked Jaccard at sf0.01 is the ground truth; MinHash-LSH at
+    est>=0.5 must recover >=80% of pairs with true Jaccard >= 0.6
+    (margin above the estimator's banding threshold)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+    )
+
+    from .conftest import SF_ORACLE
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in DD.jaccard_pairs(
+            d, "text", "doc_id", threshold=0.6, length_blocking=True
+        ).collect()
+    }
+    assert truth, "testdata must plant near-dup docs"
+    est = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(
+            d, "text", "doc_id", jaccard_threshold=0.5
+        ).collect()
+    }
+    recall = len(est & truth) / len(truth)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} < 0.8 ({len(truth)} truth pairs)"
+
+
 def test_simhash_finds_planted_neardups(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"])
