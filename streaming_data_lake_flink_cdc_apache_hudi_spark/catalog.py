@@ -131,11 +131,18 @@ def export_external_ddl(
     engine's audit columns (≙ _hoodie_*) are prepended like the
     reference's Glue DDL does.
     """
+    # 5-column parity with Hudi's _hoodie_* set (commit time, seqno,
+    # record key, partition path, file name) plus the CDC op flag;
+    # _partition_path/_file_name are read-time columns in snapshots,
+    # surfaced here so the external schema matches with_meta reads
     meta = [
         ("_record_key", "string"),
         ("_commit_seq", "bigint"),
+        ("_commit_seqno", "string"),
         ("_commit_time", "string"),
         ("_op", "string"),
+        ("_partition_path", "string"),
+        ("_file_name", "string"),
     ]
     cols = ",\n  ".join(f"`{n}` {t}" for n, t in meta + list(columns))
     return (

@@ -150,15 +150,15 @@ def ivf_topk(
     JVM-side. At scale the corpus is written partitioned by
     ``_list_id`` so a probe reads n_probe/n_centroids of the data.
     """
-    from pyspark.sql import Window
-
-    # deterministic centroid sample: top-n_centroids by hashed id
-    w = Window.orderBy(F.xxhash64(F.col("_cid"), F.lit(centroid_sample_seed)))
+    # deterministic centroid sample: top-n_centroids by hashed id.
+    # orderBy().limit() plans as TakeOrderedAndProject — each partition
+    # keeps its local top-n and the driver merges n·p rows. (A global
+    # Window.orderBy + row_number here would funnel the WHOLE corpus
+    # through one task — fatal at scale.)
     cents = (
         df.select(F.col(id_col).alias("_cid"), V.as_double(F.col(vec_col)).alias("_cv"))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n_centroids)
-        .drop("_rk")
+        .orderBy(F.xxhash64(F.col("_cid"), F.lit(centroid_sample_seed)))
+        .limit(n_centroids)
     )
     cents = F.broadcast(cents.groupBy().agg(
         F.collect_list(F.struct("_cid", "_cv")).alias("_cents")

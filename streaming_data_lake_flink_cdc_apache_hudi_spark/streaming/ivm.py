@@ -24,9 +24,25 @@ per micro-batch:
    the view PK itself can change).
 
 Scale: every step is a join keyed on person/ticket id — the affected
-set is O(delta), state access is semi-join-pruned, nothing touches
-the driver. At 100 TB the state tables are the big objects; they are
-bucketed on their keys, so step-3 slices read only matching buckets.
+set is O(delta) and every per-batch state read is bucket-PRUNED to
+the buckets the affected keys hash to (``snapshot(bucket_filter=…)``
+pushes a partition-dir filter below the LWW merge), so micro-batch
+cost is proportional to the delta, not the state:
+
+- person state (keyed+bucketed by id) is probed by affected person id;
+- ticket state is probed two ways, so it is kept twice (the classic
+  secondary-index trade): the primary table keyed+bucketed by ticket
+  id (probed by hist rows), and a ``tickets_by_holder`` projection
+  bucketed by ticketholder_id (probed by affected person). Holder is
+  MUTABLE, so on transfer the writer appends a move-tombstone to the
+  old holder's bucket — stale buckets self-describe and a pruned
+  read can never resurrect a moved ticket;
+- hist state (keyed by the composite) is bucketed by its
+  sporting_event_ticket_id component — probed by the affected
+  persons' ticket ids.
+
+The only driver-side values in the read path are the bucket-id lists
+(≤ num_buckets ints per table). Everything else stays distributed.
 """
 
 from __future__ import annotations
@@ -87,13 +103,27 @@ class FlagshipViewIVM:
         self.ticket = UpsertLakeTable(
             spark, f"{root}/state/ticket", key="id", schema=_TICKET_SCHEMA
         )
+        # secondary projection of ticket state bucketed by HOLDER — the
+        # column the flagship join probes on. Maintained with
+        # move-tombstones (holder is mutable; see apply()).
+        self.ticket_by_holder = UpsertLakeTable(
+            spark,
+            f"{root}/state/ticket_by_holder",
+            key="id",
+            schema=_TICKET_SCHEMA,
+            partition_cols="ticketholder_id",
+        )
         self.hist = UpsertLakeTable(
             spark,
             f"{root}/state/hist",
             key=["sporting_event_ticket_id", "purchase_by_id", "transaction_date_time"],
             schema=_HIST_SCHEMA,
+            partition_cols="sporting_event_ticket_id",
         )
         self.view = UpsertLakeTable(spark, f"{root}/view", key="full_name")
+        # bucket filters used by the last apply() — introspection for
+        # the delta-proportional-read tests
+        self.last_read_buckets: dict[str, list[int] | None] = {}
 
     # delta inputs: reduced-changelog shape (post-image cols +
     # _deleted + _cdc_ts/_cdc_seq), as produced by
@@ -105,7 +135,7 @@ class FlagshipViewIVM:
         person_delta: DataFrame | None,
         ticket_delta: DataFrame | None,
         hist_delta: DataFrame | None,
-        ticket_state: DataFrame,
+        ticket_state: DataFrame | None,
     ) -> DataFrame:
         parts = []
         if person_delta is not None:
@@ -145,7 +175,17 @@ class FlagshipViewIVM:
         hist_delta: DataFrame | None = None,
         commit_id: str | None = None,
     ) -> None:
-        """Apply one micro-batch of source deltas to state + view."""
+        """Apply one micro-batch of source deltas to state + view.
+
+        Delta contract: post-image columns + ``_deleted`` (+ optional
+        ``_cdc_ts``/``_cdc_seq`` precombine fields), plus
+        ``_before_<col>`` columns carrying the PRE-BATCH before-image
+        (the value before the batch's EARLIEST event for that key —
+        what ``reduce_changelog_batch`` + the runner's min_by pre-image
+        produce). A mid-batch intermediate value is NOT a valid
+        before-image: the move-tombstone for tickets_by_holder must
+        land in the pre-batch holder's bucket.
+        """
         cid = commit_id or "batch"
         # 1. merge deltas into per-source state
         if person_delta is not None:
@@ -157,12 +197,36 @@ class FlagshipViewIVM:
                 delete_col="_deleted",
             )
         if ticket_delta is not None:
+            tkt_cols = [
+                c for c in ticket_delta.columns if c.startswith("_before_")
+            ]
             self.ticket.write(
-                ticket_delta.drop(
-                    *[c for c in ticket_delta.columns if c.startswith("_before_")]
-                ),
+                ticket_delta.drop(*tkt_cols),
                 commit_id=f"{cid}-ticket",
                 delete_col="_deleted",
+            )
+            # by-holder projection: live row into the NEW holder's
+            # bucket; a move-tombstone into the OLD holder's bucket
+            # whenever the holder changed, so a pruned read of the old
+            # bucket sees the departure instead of the stale row
+            tbh = ticket_delta.drop(*tkt_cols)
+            if "_before_ticketholder_id" in ticket_delta.columns:
+                moved = (
+                    ticket_delta.filter(
+                        F.col("_before_ticketholder_id").isNotNull()
+                        & ~F.col("_before_ticketholder_id").eqNullSafe(
+                            F.col("ticketholder_id")
+                        )
+                    )
+                    .withColumn(
+                        "ticketholder_id", F.col("_before_ticketholder_id")
+                    )
+                    .withColumn("_deleted", F.lit(True))
+                    .drop(*tkt_cols)
+                )
+                tbh = tbh.unionByName(moved)
+            self.ticket_by_holder.write(
+                tbh, commit_id=f"{cid}-tbh", delete_col="_deleted"
             )
         if hist_delta is not None:
             self.hist.write(
@@ -173,37 +237,74 @@ class FlagshipViewIVM:
                 delete_col="_deleted",
             )
 
-        # prefix every side's columns so the 3-way join + affected-set
-        # semi-joins never share attribute lineage (Spark's ambiguous
-        # self-join check trips otherwise: deltas, state snapshots and
-        # the affected set all descend from the same scans)
-        p_state = self.person.snapshot().select(
+        # 2. affected view slice. The hist-delta resolution probes
+        # ticket state by its KEY (ticket id) → bucket-pruned read.
+        # localCheckpoint materializes the (O(delta)-sized) affected
+        # set: it is reused by three bucket collects + two semi-joins,
+        # and the truncated lineage sidesteps Spark's ambiguous-
+        # self-join check between state reads.
+        ticket_probe = None
+        if hist_delta is not None:
+            t_buckets = self.ticket.bucket_filter_for(
+                hist_delta.select(F.col("sporting_event_ticket_id").alias("id"))
+            )
+            ticket_probe = self.ticket.snapshot(bucket_filter=t_buckets).select(
+                "id", "ticketholder_id"
+            )
+        else:
+            t_buckets = []
+        affected = (
+            self._affected_person_ids(
+                person_delta, ticket_delta, hist_delta, ticket_probe
+            )
+            .select(F.col("pid").alias("a_pid"))
+            .localCheckpoint(eager=True)
+        )
+
+        # 3. recompute the flagship join for affected persons only —
+        # every state read pruned to the buckets the probe keys hash to.
+        # Column prefixes keep the join sides' attribute lineage
+        # disjoint (ambiguous-self-join check).
+        p_buckets = self.person.bucket_filter_for(
+            affected.select(F.col("a_pid").alias("id"))
+        )
+        p_state = self.person.snapshot(bucket_filter=p_buckets).select(
             F.col("id").alias("p_id"), F.col("full_name").alias("p_full_name")
         )
-        t_state = self.ticket.snapshot().select(
+        tbh_buckets = self.ticket_by_holder.bucket_filter_for(
+            affected.select(F.col("a_pid").alias("ticketholder_id"))
+        )
+        t_state = self.ticket_by_holder.snapshot(
+            bucket_filter=tbh_buckets
+        ).select(
             F.col("id").alias("t_id"),
             F.col("ticketholder_id").alias("t_holder"),
             F.col("ticket_price").alias("t_price"),
         )
-        h_state = self.hist.snapshot().select(
+        p = p_state.join(affected, p_state["p_id"] == affected["a_pid"], "left_semi")
+        # affected persons' tickets: O(delta)-sized; materialized so the
+        # hist bucket collect and the final join don't recompute it
+        pt = (
+            p.join(t_state, p["p_id"] == t_state["t_holder"])
+            .select("p_full_name", "t_id", "t_price")
+            .localCheckpoint(eager=True)
+        )
+        h_buckets = self.hist.bucket_filter_for(
+            pt.select(F.col("t_id").alias("sporting_event_ticket_id"))
+        )
+        h_state = self.hist.snapshot(bucket_filter=h_buckets).select(
             F.col("sporting_event_ticket_id").alias("h_tid"),
             F.col("transaction_date_time").alias("h_ts"),
             F.col("purchase_by_id").alias("h_buyer"),
         )
-
-        # 2. affected view slice — built from an INDEPENDENT snapshot
-        # read of ticket state so the later p⋈t join doesn't see the
-        # same lineage twice (ambiguous-self-join check)
-        affected = self._affected_person_ids(
-            person_delta, ticket_delta, hist_delta,
-            self.ticket.snapshot().select("id", "ticketholder_id"),
-        ).select(F.col("pid").alias("a_pid"))
-
-        # 3. recompute the flagship join for affected persons only
-        p = p_state.join(affected, p_state["p_id"] == affected["a_pid"], "left_semi")
+        self.last_read_buckets = {
+            "ticket": t_buckets,
+            "person": p_buckets,
+            "ticket_by_holder": tbh_buckets,
+            "hist": h_buckets,
+        }
         joined = (
-            p.join(t_state, p["p_id"] == t_state["t_holder"])
-            .join(h_state, h_state["h_tid"] == t_state["t_id"])
+            pt.join(h_state, h_state["h_tid"] == pt["t_id"])
             .select(
                 F.col("p_full_name").alias("full_name"),
                 F.col("t_id").cast("string").alias("tid_str"),
@@ -369,35 +470,48 @@ class FlagshipStreamRunner:
                 if sub.isEmpty():
                     return None
                 red = reduce_changelog_batch(sub, key)
-                cols = [c for c in fields] + ["_deleted"]
+                # keep _cdc_ts/_cdc_seq: the state tables store them as
+                # precombine fields (cross-batch event-time LWW)
+                cols = [c for c in fields] + ["_deleted", "_cdc_ts", "_cdc_seq"]
                 out = red.select(*cols)
                 if not before_cols:
                     return out
-                # carry pre-image columns for the IVM diff
+                keys = [key] if isinstance(key, str) else list(key)
+                # pre-image = the before-image of the EARLIEST (ts, seq)
+                # event per key — the pre-BATCH value. min_by over the
+                # event-time order is deterministic however the batch is
+                # partitioned; F.first in an unordered groupBy is not,
+                # and a key changing twice per batch would corrupt the
+                # retract set. An earliest-event null before-image (the
+                # key was INSERTed this batch) is correct: there is no
+                # prior state to retract.
                 pre = (
                     sub.select(
                         *[
-                            F.col(f"before.{c}").alias(f"_before_{c}")
-                            for c in before_cols
-                        ],
-                        *[
                             F.coalesce(
-                                F.col(f"after.{key0}"), F.col(f"before.{key0}")
-                            ).alias(key0)
-                            for key0 in ([key] if isinstance(key, str) else key)
+                                F.col(f"after.{k}"), F.col(f"before.{k}")
+                            ).alias(k)
+                            for k in keys
                         ],
+                        F.struct("ts", "seq").alias("_ord"),
+                        F.struct(
+                            *[
+                                F.col(f"before.{c}").alias(f"_before_{c}")
+                                for c in before_cols
+                            ]
+                        ).alias("_pre"),
                     )
-                    .groupBy(*([key] if isinstance(key, str) else key))
-                    .agg(
+                    .groupBy(*keys)
+                    .agg(F.min_by("_pre", "_ord").alias("_pre"))
+                    .select(
+                        *keys,
                         *[
-                            F.first(f"_before_{c}", ignorenulls=True).alias(
-                                f"_before_{c}"
-                            )
+                            F.col(f"_pre._before_{c}").alias(f"_before_{c}")
                             for c in before_cols
-                        ]
+                        ],
                     )
                 )
-                return out.join(pre, [key] if isinstance(key, str) else key, "left")
+                return out.join(pre, keys, "left")
 
             self.ivm.apply(
                 person_delta=delta(

@@ -82,7 +82,11 @@ def stream_upsert(
         delta = reduce_changelog_batch(batch, table.key)
         if transform is not None:
             delta = transform(delta)
-        delta = delta.drop("_cdc_ts", "_cdc_seq")
+        # _cdc_ts/_cdc_seq stay in the delta: the sink stores them as
+        # its precombine/ordering fields, so an event arriving a
+        # micro-batch late (older ts,seq in a newer commit) can never
+        # overwrite newer state — cross-commit LWW is event-time total,
+        # not just commit-ordered
         table.write(
             delta,
             commit_id=f"epoch-{epoch_id}",

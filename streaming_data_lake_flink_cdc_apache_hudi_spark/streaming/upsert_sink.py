@@ -47,7 +47,24 @@ from pyspark.sql import functions as F
 
 from ..operators.upsert import latest_by_key
 
-META_COLS = ("_record_key", "_commit_seq", "_commit_time", "_op")
+# ≙ the 5 _hoodie_* columns (lib/rds-cdc-flink-hudi-stack.ts:470-489):
+# _commit_time/_commit_seq(no)/_record_key stored per record;
+# _partition_path/_file_name derived at read time (snapshot(with_meta=True)).
+# _cdc_ts/_cdc_seq are the event-time precombine fields (≙ Hudi's
+# precombine/ordering field): kept in storage when the delta carries
+# them, used for cross-commit LWW, hidden from plain snapshots.
+META_COLS = (
+    "_record_key",
+    "_commit_seq",
+    "_commit_seqno",
+    "_commit_time",
+    "_op",
+    "_cdc_ts",
+    "_cdc_seq",
+)
+READ_META_COLS = ("_partition_path", "_file_name")
+# event-time ordering fields, newest-first precedence ahead of commit order
+PRECOMBINE_COLS = ("_cdc_ts", "_cdc_seq")
 
 
 class UpsertLakeTable:
@@ -61,10 +78,29 @@ class UpsertLakeTable:
         num_buckets: int = 16,
         compact_every: int = 5,  # ≙ compaction.delta_commits (zpln:2234 ¶51)
         schema=None,  # row StructType; lets an empty table snapshot as typed-empty
+        partition_cols: str | Sequence[str] | None = None,
     ):
+        """``partition_cols`` picks the bucketing columns (default: the
+        key) — ≙ Hudi's partition path being independent of the record
+        key. Point a table at the column its reads PROBE on (e.g. a
+        fact table keyed on a composite but probed by one component)
+        and ``snapshot(bucket_filter=...)`` turns into partition-dir
+        pruning. If a partition column can CHANGE for a live key, the
+        writer must append a move-tombstone (a ``_deleted`` row
+        carrying the old partition value) in the same delta so stale
+        buckets self-describe — see FlagshipViewIVM's tickets-by-holder
+        projection."""
         self.spark = spark
         self.path = path
         self.key = [key] if isinstance(key, str) else list(key)
+        if partition_cols is None:
+            self.partition_cols = list(self.key)
+        else:
+            self.partition_cols = (
+                [partition_cols]
+                if isinstance(partition_cols, str)
+                else list(partition_cols)
+            )
         self.num_buckets = num_buckets
         self.compact_every = compact_every
         self.schema = schema
@@ -112,10 +148,28 @@ class UpsertLakeTable:
 
     # -- helpers ------------------------------------------------------------
 
+    def _bucket_expr(self, cols: Sequence[str] | None = None):
+        cols = list(cols) if cols is not None else self.partition_cols
+        concat = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+        return F.pmod(F.xxhash64(concat), F.lit(self.num_buckets))
+
     def _with_bucket(self, df: DataFrame) -> DataFrame:
-        key_concat = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in self.key])
-        return df.withColumn(
-            "bucket", F.pmod(F.xxhash64(key_concat), F.lit(self.num_buckets))
+        return df.withColumn("bucket", self._bucket_expr())
+
+    def bucket_filter_for(self, keys_df: DataFrame) -> list[int]:
+        """Bucket ids the given partition-column values hash to.
+
+        ``keys_df`` must carry the table's partition columns (same
+        types as the table's). The returned list is at most
+        ``num_buckets`` ints — the one driver-side collect in the
+        read path, O(num_buckets) never O(data) — and feeds
+        ``snapshot(bucket_filter=...)`` for partition-dir-pruned
+        delta-proportional reads."""
+        return sorted(
+            int(r[0])
+            for r in keys_df.select(self._bucket_expr().alias("_b"))
+            .distinct()
+            .collect()
         )
 
     def _record_key_col(self):
@@ -163,6 +217,13 @@ class UpsertLakeTable:
             delta.withColumn("_op", op)
             .withColumn("_record_key", self._record_key_col())
             .withColumn("_commit_seq", F.lit(seq).cast("long"))
+            # ≙ _hoodie_commit_seqno: unique per record within the
+            # commit, built from shuffle-free per-partition ids (a
+            # global row_number would single-partition the write)
+            .withColumn(
+                "_commit_seqno",
+                F.concat_ws("_", F.lit(seq), F.monotonically_increasing_id()),
+            )
             .withColumn("_commit_time", F.current_timestamp().cast("string"))
         )
         if delete_col:
@@ -191,14 +252,38 @@ class UpsertLakeTable:
 
     # -- read path (≙ snapshot query S4) ------------------------------------
 
-    def _merged(self) -> DataFrame | None:
+    def _merged(
+        self,
+        bucket_filter: Sequence[int] | None = None,
+        with_file: bool = False,
+    ) -> DataFrame | None:
         base, log = self._read_dir(self._base), self._read_dir(self._log)
         if base is None and log is None:
             return None
+        if with_file:
+            # ≙ _hoodie_file_name: must be captured at scan time (before
+            # the LWW window loses file provenance)
+            base = base and base.withColumn("_file_name", F.input_file_name())
+            log = log and log.withColumn("_file_name", F.input_file_name())
         both = base.unionByName(log) if base is not None and log is not None else (
             base if base is not None else log
         )
-        return latest_by_key(both, self.key, "_commit_seq")
+        if bucket_filter is not None:
+            # partition filter — prunes to the matching bucket= dirs at
+            # the scan, BELOW the LWW window: the read is proportional
+            # to the probed buckets, not the table
+            buckets = [int(b) for b in bucket_filter]
+            both = both.filter(
+                F.col("bucket").isin(buckets) if buckets else F.lit(False)
+            )
+        # cross-commit LWW: event-time precombine fields (when stored)
+        # take precedence over commit order, so a late-arriving older
+        # event in a newer commit cannot overwrite newer state
+        # (≙ Hudi's DefaultHoodieRecordPayload ordering-field compare).
+        # _op breaks exact ties deterministically ('U' > 'D': a move
+        # tombstone never beats its same-commit live twin).
+        order = [c for c in PRECOMBINE_COLS if c in both.columns]
+        return latest_by_key(both, self.key, [*order, "_commit_seq", "_op"])
 
     def _validate_schema(self, delta: DataFrame, delete_col: str | None) -> None:
         """Declared-schema write validation (≙ the reference's "the
@@ -246,19 +331,35 @@ class UpsertLakeTable:
         schema = T.StructType.fromJson(json.loads(open(p).read()))
         return self.spark.createDataFrame([], schema)
 
-    def snapshot(self, with_meta: bool = False) -> DataFrame:
+    def snapshot(
+        self,
+        with_meta: bool = False,
+        bucket_filter: Sequence[int] | None = None,
+    ) -> DataFrame:
         """Current table state: base ∪ log, latest commit per key wins,
         deletes dropped (merge-on-read snapshot, ¶10). An empty table
-        that has seen a schema returns a typed empty DataFrame."""
-        merged = self._merged()
+        that has seen a schema returns a typed empty DataFrame.
+
+        ``bucket_filter`` (from :meth:`bucket_filter_for`) prunes the
+        scan to the matching ``bucket=`` partition dirs before the LWW
+        merge — the delta-proportional read path for per-batch IVM
+        state access. ``with_meta`` adds the 5 Hudi-parity audit
+        columns incl. read-time ``_partition_path``/``_file_name``."""
+        merged = self._merged(bucket_filter=bucket_filter, with_file=with_meta)
         if merged is None:
             merged = self._empty()
         if merged is None:
             if self.schema is not None and not with_meta:
                 return self.spark.createDataFrame([], self.schema)
             raise FileNotFoundError(f"empty table at {self.path}")
-        live = merged.filter(F.col("_op") != "D").drop("bucket")
-        return live if with_meta else live.drop(*META_COLS)
+        live = merged.filter(F.col("_op") != "D")
+        if not with_meta:
+            return live.drop("bucket", *META_COLS, *READ_META_COLS)
+        if "_file_name" not in live.columns:  # typed-empty fallback
+            live = live.withColumn("_file_name", F.lit(None).cast("string"))
+        return live.withColumn(
+            "_partition_path", F.concat(F.lit("bucket="), F.col("bucket"))
+        ).drop("bucket")
 
     # -- compaction (≙ Hudi MoR compaction) ---------------------------------
 

@@ -140,9 +140,14 @@ def test_ivm_matches_batch_recompute(spark, tmp_path):
                 _person(5, "Person Num5", deleted=True,
                         before_name="Person Num5")
             )
-        # dedup ticket rows per key within batch (last transfer wins)
+        # dedup ticket rows per key within batch (last transfer wins,
+        # but the before-image must stay the PRE-BATCH holder — the
+        # delta contract; mid-batch intermediate holders are not valid
+        # before-images)
         seen = {}
         for r in t_rows:
+            if r[0] in seen:
+                r = r[:-1] + (seen[r[0]][-1],)
             seen[r[0]] = r
         ivm.apply(
             person_delta=(

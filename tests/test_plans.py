@@ -75,6 +75,15 @@ def test_embedding_topk_broadcasts_query_vector(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ivf_centroid_sample_is_topk_not_global_window(spark):
+    # centroid selection must be per-partition top-k (TakeOrderedAndProject),
+    # never a single-partition global sort/window over the whole corpus
+    plan = _plan(spark, "ivf_ann_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in _tree(plan)
+    assert "Window" not in _tree(plan)
+
+
 def test_minhash_no_cartesian_product(spark):
     plan = _plan(spark, "minhash_pairs")
     # candidates come from the band equi-join, never a cross product

@@ -113,13 +113,28 @@ def test_replayed_commit_is_noop(spark, table):
 
 
 def test_meta_columns(spark, table):
-    # ≙ _hoodie_* metadata columns (lib/rds-cdc-flink-hudi-stack.ts:470-489)
+    # ≙ the 5 _hoodie_* metadata columns (lib/rds-cdc-flink-hudi-stack.ts:470-489):
+    # commit time, per-record seqno, record key, partition path, file name
     table.write(_t1(spark, T1_ROWS), commit_id="seed")
     meta = table.snapshot(with_meta=True)
-    for c in ("_record_key", "_commit_seq", "_commit_time", "_op"):
+    for c in (
+        "_record_key",
+        "_commit_seq",
+        "_commit_seqno",
+        "_commit_time",
+        "_op",
+        "_partition_path",
+        "_file_name",
+    ):
         assert c in meta.columns
     row = meta.filter("uuid = 'id5'").collect()[0]
     assert row["_record_key"] == "id5" and row["_commit_seq"] == 1
+    assert row["_commit_seqno"].startswith("1_")
+    assert row["_partition_path"].startswith("bucket=")
+    assert row["_file_name"].endswith(".parquet")
+    # seqno is unique per record within the commit
+    n = meta.count()
+    assert meta.select("_commit_seqno").distinct().count() == n
 
 
 def test_write_rejects_schema_mismatch(spark, table):
