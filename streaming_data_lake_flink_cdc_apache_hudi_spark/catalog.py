@@ -89,13 +89,54 @@ class TableRegistry:
         t = self._tables[name]
         if t.kind != "upsert":
             raise TypeError(f"{name} is kind={t.kind}, not upsert")
+        from pyspark.sql import types as T
+
+        schema_json = t.options.get("schema_json")
         return UpsertLakeTable(
             self.spark,
             t.path,
             key=t.key,
             num_buckets=int(t.options.get("num_buckets", 16)),
             compact_every=int(t.options.get("compact_every", 5)),
+            schema=(
+                T.StructType.fromJson(json.loads(schema_json))
+                if schema_json
+                else None
+            ),
         )
+
+    def execute_ddl(self, statement: str) -> DataFrame | None:
+        """Route a CREATE/DROP TABLE connector-DDL string into the
+        registry (≙ pasting the notebook's ¶7/¶24 paragraphs). Returns
+        an empty status DataFrame when handled, None when the statement
+        is not engine DDL (caller falls through to spark.sql)."""
+        from .ddl import parse_ddl
+
+        stmt = parse_ddl(statement)
+        if stmt is None:
+            return None
+        if stmt.action == "drop":
+            self.drop_table(stmt.name, if_exists=stmt.if_exists)
+        else:
+            opts = dict(stmt.options)
+            path = opts.pop("path", None) or os.path.join(
+                os.path.dirname(self.registry_path), "tables", stmt.name
+            )
+            if stmt.schema is not None:
+                opts["schema_json"] = stmt.schema.json()
+            self.create_table(
+                stmt.name,
+                stmt.kind,
+                path,
+                key=stmt.key,
+                if_not_exists=stmt.if_not_exists,
+                **opts,
+            )
+            if stmt.kind == "upsert":
+                # bind a typed view immediately — queryable before the
+                # first write, exactly like a freshly-declared Hudi table
+                self.resolve(stmt.name)
+        return self.spark.createDataFrame([], "result string")
 
     def resolve(self, name: str) -> DataFrame:
         """Current-state DataFrame for any registered table; also

@@ -265,24 +265,41 @@ def jaccard_pairs(
 
 def _simhash_pdf(texts: pd.Series) -> pd.Series:
     """64-bit SimHash per doc (Charikar): sign-sum of token-hash bits.
-    Arrow-batched pandas UDF — the one Python step in this module."""
+    Arrow-batched pandas UDF — the one Python step in this module.
+
+    Vectorized: token→hash results are memoized per batch (vocab ≪
+    token instances) and the per-bit sign sum is one numpy matrix
+    reduction per doc instead of a tokens×64 Python loop (~100×)."""
     import hashlib
 
-    out = []
-    for t in texts:
-        counts = [0] * 64
-        for tok in (t or "").split(" "):
+    import numpy as np
+
+    cache: dict[str, int] = {}
+
+    def tok_hash(tok: str) -> int:
+        h = cache.get(tok)
+        if h is None:
             h = int.from_bytes(
                 hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
             )
-            for j in range(64):
-                counts[j] += 1 if (h >> j) & 1 else -1
-        sig = 0
-        for j in range(64):
-            if counts[j] > 0:
-                sig |= 1 << j
+            cache[tok] = h
+        return h
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+    powers = (np.uint64(1) << bit_idx)
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split(" ")
+        h = np.fromiter(
+            (tok_hash(tok) for tok in toks), dtype=np.uint64, count=len(toks)
+        )
+        ones = ((h[:, None] >> bit_idx) & np.uint64(1)).sum(
+            axis=0, dtype=np.int64
+        )
+        # sign-sum > 0 <=> ones > tokens/2 (2*ones - n > 0)
+        sig = int(powers[2 * ones > len(toks)].sum(dtype=np.uint64))
         # store as signed 64-bit for Spark LongType
-        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
     return pd.Series(out)
 
 
@@ -365,10 +382,16 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     dim: int = 64,
     seed: int = 42,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """Pairs with cosine >= threshold, candidates pruned by sign-LSH
-    bucket equality (near-identical vectors agree on all plane signs
-    with high probability)."""
+    bucket equality. With ``multi_probe`` (default) one side also
+    probes every hamming-1 neighbor bucket: a pair of near-identical
+    vectors straddling ONE hyperplane (a sign boundary — likely
+    exactly at cos≈threshold) still collides. (n_planes+1)×
+    replication of one join side — the standard recall/cost trade;
+    pairs differing in >=2 plane signs are genuinely dissimilar at
+    high thresholds."""
     planes = V.random_hyperplanes(dim, n_planes, seed)
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -377,7 +400,22 @@ def embedding_near_dup_pairs(
     )
     # materialize: n_planes dot products per row, reused on both sides
     base = base.localCheckpoint(eager=True)
-    a, b = base.alias("a").hint("merge"), base.alias("b").hint("merge")
+    probe = base
+    if multi_probe:
+        probe = base.select(
+            "_id",
+            "_v",
+            F.explode(
+                F.array(
+                    F.col("_bkt"),
+                    *[
+                        F.col("_bkt").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)
+                    ],
+                )
+            ).alias("_bkt"),
+        )
+    a, b = probe.alias("a").hint("merge"), base.alias("b").hint("merge")
     cand = a.join(
         b,
         (F.col("a._bkt") == F.col("b._bkt"))

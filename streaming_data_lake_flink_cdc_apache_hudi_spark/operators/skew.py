@@ -30,7 +30,17 @@ def salted_join(
     ``other`` is replicated ``salt_buckets`` times — keep it the
     smaller input. Deterministic salt (hash of all columns) so
     retries/replays place rows identically.
+
+    ``how`` is restricted to joins whose output is row-preserving for
+    the replicated side: with right/full outer, every unmatched
+    ``other`` row would be emitted once per salt (duplicates).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left_outer/left_semi, got how={how!r}: "
+            "right/full outer would duplicate unmatched replicated rows "
+            "salt_buckets times"
+        )
     skew_salted = skewed.withColumn(
         "_salt",
         F.pmod(

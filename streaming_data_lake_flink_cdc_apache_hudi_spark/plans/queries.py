@@ -545,6 +545,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_pairs",
     None,
+    headline=True,  # tracks the vectorized pandas-UDF signature cost
     doc="SimHash near-dup pairs (64-bit, hamming<=3, pigeonhole "
     "banding). Pandas-UDF signature computation.",
 )
@@ -631,9 +632,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH gaps AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN ts - lag(ts) OVER (
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                   PARTITION BY user_id ORDER BY ts, event_id)
-                  > INTERVAL 30 MINUTE
+                  > 1800000000
               OR lag(ts) OVER (
                   PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
@@ -657,9 +658,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     order = [F.col("ts"), F.col("event_id")]
     w = W.partitionBy("user_id").orderBy(*order)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond precision on BOTH engines (Spark µs == DuckDB
+    # epoch_us): a whole-second cast would split gaps in (1800, 1801)s
+    # differently from the oracle's full-precision interval compare
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     new_s = (
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0))
     )
     run = W.partitionBy("user_id").orderBy(*order).rowsBetween(
         W.unboundedPreceding, W.currentRow

@@ -67,7 +67,13 @@ class EngineSession:
     # -- query entry points (≙ A: %flink.ssql, D: Athena) -------------------
 
     def sql(self, statement: str) -> DataFrame:
-        return self.spark.sql(statement)
+        """SQL entry point (≙ %flink.ssql). Engine-table DDL strings —
+        CREATE TABLE ... WITH ('connector' = ...) / USING upsert
+        OPTIONS(...) and DROP TABLE — are routed into the registry so
+        the notebook's paste-DDL workflow (¶7/¶24) works verbatim;
+        everything else goes to spark.sql."""
+        handled = self.registry.execute_ddl(statement)
+        return handled if handled is not None else self.spark.sql(statement)
 
     def query(self, name: str, sf_dir: str = "/root/testdata/sf0.01") -> DataFrame:
         """Run a named query from the engine's registry (SURVEY.md §2

@@ -361,6 +361,43 @@ class UpsertLakeTable:
             "_partition_path", F.concat(F.lit("bucket="), F.col("bucket"))
         ).drop("bucket")
 
+    def incremental(self, since_seq: int) -> DataFrame:
+        """Rows of keys that changed after commit ``since_seq`` — the
+        current version per changed key, metadata included so
+        consumers see ``_op`` ('D' rows surface as delete markers for
+        downstream propagation). ≙ Hudi's incremental query type
+        ("By default the query type will be Snapshot", zpln:421 ¶10 —
+        this is the non-default one), the natural consumer of the
+        commit log for chained pipelines.
+
+        Like Hudi, incremental visibility is bounded by compaction:
+        once commits are folded into the base their per-commit
+        attribution collapses to the compaction seq. Read path:
+        changed keys come from a `_commit_seq > N` scan filter (per
+        log file this is a parquet min/max stats skip), then the
+        state read is bucket-pruned to the changed keys' buckets when
+        the table is bucketed on its key."""
+        base, log = self._read_dir(self._base), self._read_dir(self._log)
+        parts = [d for d in (base, log) if d is not None]
+        if not parts:
+            empty = self._empty()
+            if empty is not None:
+                return empty.drop("bucket")
+            raise FileNotFoundError(f"empty table at {self.path}")
+        rows = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        changed_keys = (
+            rows.filter(F.col("_commit_seq") > int(since_seq))
+            .select(*self.key)
+            .distinct()
+        )
+        buckets = None
+        if self.partition_cols == self.key:
+            buckets = self.bucket_filter_for(changed_keys)
+        merged = self._merged(bucket_filter=buckets)
+        # fresh scan lineage on the merged side (the _read_dir calls
+        # above made their own), so this is not an ambiguous self-join
+        return merged.join(changed_keys, self.key, "left_semi").drop("bucket")
+
     # -- compaction (≙ Hudi MoR compaction) ---------------------------------
 
     def _log_buckets(self) -> list[int]:

@@ -166,6 +166,55 @@ def vecs(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
 
 
+def test_embedding_near_dup_multiprobe_crosses_plane_boundary(spark):
+    """A near-identical pair whose tiny perturbation flips exactly one
+    plane sign lands in hamming-1 buckets: single-bucket equality
+    misses it, the hamming-1 multi-probe must find it."""
+    import pyspark.sql.functions as SF
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.functions import (
+        vectors as V,
+    )
+
+    rng = random.Random(5)
+    planes = V.random_hyperplanes(64, 12, 42)
+
+    def bucket_of(vec):
+        df = spark.createDataFrame([(vec,)], "embedding array<float>")
+        return df.select(
+            V.lsh_bucket(SF.col("embedding"), planes).alias("b")
+        ).collect()[0]["b"]
+
+    # search deterministically for a perturbation that flips exactly 1 bit
+    found = None
+    for attempt in range(200):
+        u = [rng.gauss(0, 1) for _ in range(64)]
+        v = [x + rng.gauss(0, 0.02) for x in u]
+        bu, bv = bucket_of(u), bucket_of(v)
+        if bin(bu ^ bv).count("1") == 1:
+            found = (u, v)
+            break
+    assert found is not None, "no 1-bit-flip perturbation found in 200 tries"
+    rows = [(1, found[0]), (2, found[1])] + [
+        (10 + i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.95, multi_probe=False
+        ).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.95, multi_probe=True
+        ).collect()
+    }
+    assert (1, 2) not in single  # the boundary pair is invisible to equality
+    assert (1, 2) in multi  # hamming-1 probing recovers it
+
+
 def test_embedding_near_dup_finds_planted(spark, vecs):
     pairs = {
         (r["id_a"], r["id_b"]): r["cos_sim"]

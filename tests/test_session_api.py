@@ -55,6 +55,61 @@ def test_export_external_ddl():
     assert "PARTITIONED BY (`bucket` int)" in ddl
 
 
+def test_sql_ddl_create_write_query_drop(spark, tmp_path):
+    """The notebook's paste-DDL workflow (zpln:292 ¶7 / :1060 ¶24):
+    declare an upsert table purely via a SQL string (Flink-style WITH
+    connector options), write through the registry, query it back via
+    SQL, drop via SQL."""
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    eng.sql(
+        f"""
+        CREATE TABLE person_sql (
+          id DOUBLE,
+          full_name STRING,
+          age INT,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH (
+          'connector' = 'hudi',
+          'path' = '{tmp_path / "person_sql"}',
+          'num_buckets' = '4'
+        )
+        """
+    )
+    assert "person_sql" in eng.registry.tables()
+    # queryable (typed-empty) before the first write, like declared Hudi tables
+    assert eng.sql("SELECT * FROM person_sql").count() == 0
+    eng.insert_into(
+        "person_sql",
+        spark.createDataFrame(
+            [(1.0, "A B", 30), (2.0, "C D", 40)],
+            "id double, full_name string, age int",
+        ),
+        commit_id="c1",
+    )
+    eng.table("person_sql")  # rebind view over current snapshot
+    got = {r["id"]: r["age"] for r in eng.sql(
+        "SELECT id, age FROM person_sql"
+    ).collect()}
+    assert got == {1.0: 30, 2.0: 40}
+    # upsert key declared via PRIMARY KEY ... NOT ENFORCED is honored
+    eng.insert_into(
+        "person_sql",
+        spark.createDataFrame([(1.0, "A B", 31)], "id double, full_name string, age int"),
+        commit_id="c2",
+    )
+    assert eng.table("person_sql").count() == 2
+    eng.sql("DROP TABLE IF EXISTS person_sql")
+    assert "person_sql" not in eng.registry.tables()
+    # spark-style OPTIONS spelling also parses
+    eng.sql(
+        f"CREATE TABLE t2 (k STRING, v INT, PRIMARY KEY (k) NOT ENFORCED) "
+        f"USING upsert OPTIONS (path '{tmp_path / 't2'}')"
+    )
+    assert "t2" in eng.registry.tables()
+    # non-DDL statements still pass through to spark.sql
+    assert eng.sql("SELECT 1 AS one").collect()[0]["one"] == 1
+
+
 def test_near_dedup_corpus_removes_planted(spark):
     words = "alpha beta gamma delta epsilon zeta eta theta".split()
     rng = random.Random(3)

@@ -137,6 +137,45 @@ def test_meta_columns(spark, table):
     assert meta.select("_commit_seqno").distinct().count() == n
 
 
+def test_incremental_read_chains_to_snapshot(spark, tmp_path):
+    """Hudi-style incremental query type: rows changed after commit N,
+    with delete markers — applying the increment to a copy of the old
+    state must reproduce the current snapshot (chained pipelines).
+    compact_every is kept above the commit count: like Hudi, incremental
+    visibility (delete markers especially) is bounded by compaction."""
+    table = UpsertLakeTable(
+        spark, str(tmp_path / "t1"), key="uuid", num_buckets=4, compact_every=10
+    )
+    table.write(_t1(spark, T1_ROWS), commit_id="seed")  # commit 1
+    table.write(
+        _t1(spark, [("id1", "New Name", 30, "2024-01-01 00:00:00")]),
+        commit_id="c2",
+    )
+    victim = _t1(spark, [("id3", "Julian", 53, "1970-01-01 00:00:03")]).withColumn(
+        "_gone", F.lit(True)
+    )
+    table.write(victim, commit_id="c3", delete_col="_gone")
+
+    inc = table.incremental(since_seq=1)
+    got = {r["uuid"]: r["_op"] for r in inc.collect()}
+    assert got == {"id1": "U", "id3": "D"}  # changed keys only, ops visible
+    assert inc.filter("uuid = 'id1'").collect()[0]["name"] == "New Name"
+
+    # chain: old snapshot (as of commit 1) + increment == current snapshot
+    mirror = UpsertLakeTable(spark, str(tmp_path / "mirror"), key="uuid")
+    mirror.write(_t1(spark, T1_ROWS), commit_id="m1")
+    delta = inc.withColumn("_del", F.col("_op") == "D").select(
+        "uuid", "name", "age", "ts", "_del"
+    )
+    mirror.write(delta, commit_id="m2", delete_col="_del")
+    cur = sorted(map(tuple, table.snapshot().collect()))
+    chained = sorted(map(tuple, mirror.snapshot().collect()))
+    assert cur == chained
+
+    # nothing changed after the latest commit → empty increment
+    assert table.incremental(since_seq=table.last_commit_seq()).count() == 0
+
+
 def test_write_rejects_schema_mismatch(spark, table):
     # ≙ ¶52: "the schema of the query has to match the Hudi Table
     # Definition" — validated on write, not silently coerced
