@@ -29,9 +29,13 @@ Spark-first design, sized for 100 TB:
   commit-id (foreachBatch epoch); a replayed epoch is skipped, and
   LWW makes replays idempotent anyway (SURVEY.md §7 hard-part #2).
 
-Local-FS caveat: marker-file commits are atomic enough for a single
-writer (the reference also has exactly one writer per table —
-`write.tasks` fan-out happens inside one job).
+Single-writer enforcement: the reference also has exactly one writer
+per table (`write.tasks` fan-out happens inside one Flink job), but
+nothing stopped a second job from corrupting the commit sequence
+here. ``write``/``compact`` now take a lease — an O_EXCL marker file
+with owner + expiry (the local analog of Hudi's lock providers); a
+concurrent writer gets ``ConcurrentWriterError`` instead of
+interleaved commits, and a crashed writer's lease expires.
 """
 
 from __future__ import annotations
@@ -65,6 +69,69 @@ META_COLS = (
 READ_META_COLS = ("_partition_path", "_file_name")
 # event-time ordering fields, newest-first precedence ahead of commit order
 PRECOMBINE_COLS = ("_cdc_ts", "_cdc_seq")
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another live writer holds this table's lease."""
+
+
+class _WriterLease:
+    """Table-level single-writer lease: an O_EXCL-created JSON marker
+    with owner id + expiry. Atomic on local/posix FS and on object
+    stores with conditional puts; expiry covers crashed writers. The
+    local analog of Hudi's lock-provider configs."""
+
+    def __init__(self, path: str, owner: str, ttl_secs: float = 300.0):
+        self.path = path
+        self.owner = owner
+        self.ttl = ttl_secs
+        self._acquired = False  # False on re-entrant enters: the outer
+        # context owns the marker and is the one to release it
+
+    def __enter__(self):
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as fh:
+                    json.dump(
+                        {"owner": self.owner, "expires": time.time() + self.ttl},
+                        fh,
+                    )
+                self._acquired = True
+                return self
+            except FileExistsError:
+                try:
+                    with open(self.path) as fh:
+                        held = json.load(fh)
+                except (OSError, ValueError):  # holder mid-write/just released
+                    time.sleep(0.05)
+                    continue
+                if held.get("owner") == self.owner:
+                    return self  # re-entrant (write() -> compact())
+                if held.get("expires", 0) < time.time():
+                    # crashed writer: break the stale lease and retry
+                    try:
+                        os.remove(self.path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise ConcurrentWriterError(
+                    f"table is locked by writer {held.get('owner')!r} "
+                    f"(expires in {held.get('expires', 0) - time.time():.0f}s); "
+                    "one writer per table — the reference has the same "
+                    "constraint (one Flink job per Hudi table)"
+                ) from None
+
+    def __exit__(self, *exc):
+        if not self._acquired:
+            return False
+        try:
+            with open(self.path) as fh:
+                if json.load(fh).get("owner") == self.owner:
+                    os.remove(self.path)
+        except (OSError, ValueError):
+            pass
+        return False
 
 
 class UpsertLakeTable:
@@ -108,6 +175,11 @@ class UpsertLakeTable:
         self._log = os.path.join(path, "log")
         self._commits = os.path.join(path, "_commits")
         os.makedirs(self._commits, exist_ok=True)
+        self._writer_id = f"w-{os.getpid()}-{id(self):x}"
+        self._lease_path = os.path.join(path, "_writer.lease")
+
+    def _lease(self) -> _WriterLease:
+        return _WriterLease(self._lease_path, self._writer_id)
 
     # -- commit bookkeeping -------------------------------------------------
 
@@ -202,45 +274,49 @@ class UpsertLakeTable:
         Returns the commit seq (0 if skipped as a duplicate).
         """
         commit_id = commit_id or f"c{int(time.time() * 1e6)}"
-        if commit_id in self._seen_commit_ids():
-            return 0  # replayed epoch → no-op (exactly-once)
-        self._validate_schema(delta, delete_col)
-        if precombine:
-            delta = latest_by_key(delta, self.key, precombine)
-        seq = self.last_commit_seq() + 1
-        op = (
-            F.when(F.col(delete_col), F.lit("D")).otherwise(F.lit("U"))
-            if delete_col
-            else F.lit("U")
-        )
-        enriched = (
-            delta.withColumn("_op", op)
-            .withColumn("_record_key", self._record_key_col())
-            .withColumn("_commit_seq", F.lit(seq).cast("long"))
-            # ≙ _hoodie_commit_seqno: unique per record within the
-            # commit, built from shuffle-free per-partition ids (a
-            # global row_number would single-partition the write)
-            .withColumn(
-                "_commit_seqno",
-                F.concat_ws("_", F.lit(seq), F.monotonically_increasing_id()),
+        with self._lease():
+            if commit_id in self._seen_commit_ids():
+                return 0  # replayed epoch → no-op (exactly-once)
+            self._validate_schema(delta, delete_col)
+            if precombine:
+                delta = latest_by_key(delta, self.key, precombine)
+            seq = self.last_commit_seq() + 1
+            op = (
+                F.when(F.col(delete_col), F.lit("D")).otherwise(F.lit("U"))
+                if delete_col
+                else F.lit("U")
             )
-            .withColumn("_commit_time", F.current_timestamp().cast("string"))
-        )
-        if delete_col:
-            enriched = enriched.drop(delete_col)
-        enriched = self._with_bucket(enriched)
-        self._save_schema(enriched)
-        # no pre-count: counting would execute the (possibly expensive)
-        # delta plan twice; the commit records row count -1 (unknown)
-        (
-            enriched.write.mode("append")
-            .partitionBy("bucket")
-            .parquet(self._log)
-        )
-        self._record_commit(seq, commit_id, "delta", -1)
-        if self._delta_commits_since_compaction() >= self.compact_every:
-            self.compact()
-        return seq
+            enriched = (
+                delta.withColumn("_op", op)
+                .withColumn("_record_key", self._record_key_col())
+                .withColumn("_commit_seq", F.lit(seq).cast("long"))
+                # ≙ _hoodie_commit_seqno: unique per record within the
+                # commit, built from shuffle-free per-partition ids (a
+                # global row_number would single-partition the write)
+                .withColumn(
+                    "_commit_seqno",
+                    F.concat_ws(
+                        "_", F.lit(seq), F.monotonically_increasing_id()
+                    ),
+                )
+                .withColumn("_commit_time", F.current_timestamp().cast("string"))
+            )
+            if delete_col:
+                enriched = enriched.drop(delete_col)
+            enriched = self._with_bucket(enriched)
+            self._save_schema(enriched)
+            # no pre-count: counting would execute the (possibly
+            # expensive) delta plan twice; the commit records row
+            # count -1 (unknown)
+            (
+                enriched.write.mode("append")
+                .partitionBy("bucket")
+                .parquet(self._log)
+            )
+            self._record_commit(seq, commit_id, "delta", -1)
+            if self._delta_commits_since_compaction() >= self.compact_every:
+                self.compact()
+            return seq
 
     def _delta_commits_since_compaction(self) -> int:
         n = 0
@@ -418,25 +494,26 @@ class UpsertLakeTable:
         by delta size x bucket fan-in, not table size — the property
         that keeps merge-on-read viable at 100 TB.
         """
-        affected = self._log_buckets()
-        if not affected:
-            return 0
-        merged = self._merged().filter(F.col("bucket").isin(affected))
-        # deletes are physically dropped at compaction time (like
-        # Hudi's compactor); tombstones only need to outlive the log
-        compacted = merged.filter(F.col("_op") != "D")
-        tmp = os.path.join(self.path, "_compact_tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
-        compacted.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        for b in affected:
-            src = os.path.join(tmp, f"bucket={b}")
-            dst = os.path.join(self._base, f"bucket={b}")
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):  # bucket may compact to empty (all deletes)
-                os.makedirs(self._base, exist_ok=True)
-                shutil.move(src, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(self._log, ignore_errors=True)
-        seq = self.last_commit_seq() + 1
-        self._record_commit(seq, f"compaction-{seq}", "compaction", -1)
-        return seq
+        with self._lease():
+            affected = self._log_buckets()
+            if not affected:
+                return 0
+            merged = self._merged().filter(F.col("bucket").isin(affected))
+            # deletes are physically dropped at compaction time (like
+            # Hudi's compactor); tombstones only need to outlive the log
+            compacted = merged.filter(F.col("_op") != "D")
+            tmp = os.path.join(self.path, "_compact_tmp")
+            shutil.rmtree(tmp, ignore_errors=True)
+            compacted.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+            for b in affected:
+                src = os.path.join(tmp, f"bucket={b}")
+                dst = os.path.join(self._base, f"bucket={b}")
+                shutil.rmtree(dst, ignore_errors=True)
+                if os.path.isdir(src):  # bucket may compact to empty (all deletes)
+                    os.makedirs(self._base, exist_ok=True)
+                    shutil.move(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(self._log, ignore_errors=True)
+            seq = self.last_commit_seq() + 1
+            self._record_commit(seq, f"compaction-{seq}", "compaction", -1)
+            return seq

@@ -176,6 +176,38 @@ def test_incremental_read_chains_to_snapshot(spark, tmp_path):
     assert table.incremental(since_seq=table.last_commit_seq()).count() == 0
 
 
+def test_single_writer_lease(spark, table, tmp_path):
+    """Two live writers on one table must not interleave commits: the
+    second gets ConcurrentWriterError while the lease is held; an
+    expired lease (crashed writer) is broken and the write proceeds."""
+    import json
+    import time
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        ConcurrentWriterError,
+    )
+
+    table.write(_t1(spark, T1_ROWS), commit_id="seed")
+    assert not os.path.exists(table._lease_path)  # released after write
+
+    # a live foreign writer holds the lease -> refuse
+    with open(table._lease_path, "w") as fh:
+        json.dump({"owner": "other-writer", "expires": time.time() + 300}, fh)
+    with pytest.raises(ConcurrentWriterError, match="other-writer"):
+        table.write(
+            _t1(spark, [("id1", "X", 1, "2000-01-01 00:00:00")]), commit_id="c2"
+        )
+
+    # a crashed writer's expired lease is broken and the write proceeds
+    with open(table._lease_path, "w") as fh:
+        json.dump({"owner": "dead-writer", "expires": time.time() - 1}, fh)
+    seq = table.write(
+        _t1(spark, [("id1", "X", 1, "2000-01-01 00:00:00")]), commit_id="c2"
+    )
+    assert seq == 2
+    assert not os.path.exists(table._lease_path)
+
+
 def test_write_rejects_schema_mismatch(spark, table):
     # ≙ ¶52: "the schema of the query has to match the Hudi Table
     # Definition" — validated on write, not silently coerced
