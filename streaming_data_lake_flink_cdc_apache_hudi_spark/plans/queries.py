@@ -1074,3 +1074,136 @@ def q_jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(
         d, "text", "doc_id", threshold=0.5, length_blocking=True
     )
+
+
+@register(
+    "cube_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE over (returnflag, linestatus) with GROUPING() flags — the "
+    "full grouping-sets surface beyond rollup_agg. Map-side partial "
+    "agg expands the grouping sets before one shuffle.",
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.count("*").alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
+
+
+@register(
+    "topk_ngrams",
+    """
+SELECT ngram, count(*) AS n FROM (
+  SELECT unnest(list_transform(range(1, array_length(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS ngram
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+) GROUP BY ngram ORDER BY n DESC, ngram LIMIT 10
+""",
+    doc="Corpus n-gram mining: top-10 bigrams by frequency (text-analysis "
+    "staple). Bigrams from zip_with over adjacent token slices — all "
+    "JVM-side array functions, explode + one count shuffle + "
+    "TakeOrderedAndProject.",
+)
+def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.zip_with(
+        F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"),
+        F.expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(10)
+    )
+
+
+@register(
+    "purchase_click_attribution",
+    """
+SELECT p.event_id AS purchase_id, count(c.event_id) AS n_clicks
+FROM events p LEFT JOIN events c
+  ON p.user_id = c.user_id AND c.event_type = 'click'
+  AND epoch_us(c.ts) <= epoch_us(p.ts)
+  AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+    doc="Attribution range join: clicks by the same user within 10 min "
+    "before each purchase. Equi key (user_id) drives the shuffle "
+    "partitioning; the time-range predicate filters within partitions, "
+    "so the join scales with per-user activity, never cross-user. "
+    "Microsecond comparisons on both engines (ns-parquet gotcha).",
+)
+def q_purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = p.join(
+        c,
+        (p["p_user"] == c["c_user"])
+        & (c["c_us"] <= p["p_us"])
+        & (c["c_us"] >= p["p_us"] - 600_000_000),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("click_id").alias("n_clicks")
+    )
+
+
+@register(
+    "incremental_read",
+    """
+SELECT * FROM (VALUES ('id1', 'New Name', 30, 'U'),
+                      ('id3', 'Julian', 53, 'D'))
+AS t(uuid, name, age, _op)
+""",
+    doc="Hudi-style incremental query (S4 non-default query type, "
+    "zpln:421 ¶10): keys changed after commit 1 of a 3-commit lake "
+    "table — the upserted row as 'U', the deleted key as a 'D' "
+    "marker. Literal oracle pins the exact incremental contract.",
+)
+def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    root = tempfile.mkdtemp(prefix="inc_read_")
+    t = UpsertLakeTable(spark, f"{root}/t", key="uuid", compact_every=10)
+    schema = "uuid string, name string, age int, ts string"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    t.write(df(_T1_ROWS), commit_id="c1")
+    t.write(df([("id1", "New Name", 30, "2024-01-01 00:00:00")]), commit_id="c2")
+    t.write(
+        df([("id3", "Julian", 53, "1970-01-01 00:00:03")]).withColumn(
+            "_del", F.lit(True)
+        ),
+        commit_id="c3",
+        delete_col="_del",
+    )
+    return t.incremental(since_seq=1).select("uuid", "name", "age", "_op")

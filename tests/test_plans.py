@@ -89,3 +89,26 @@ def test_minhash_no_cartesian_product(spark):
     # candidates come from the band equi-join, never a cross product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cube_agg_partial_before_exchange(spark):
+    plan = _plan(spark, "cube_agg")
+    tree = _tree(plan)
+    assert "Expand" in tree  # grouping sets expanded map-side
+    assert tree.count("HashAggregate") == 2  # partial + final
+    assert tree.count("- Exchange (") == 1
+
+
+def test_topk_ngrams_is_topk_not_full_sort(spark):
+    plan = _plan(spark, "topk_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert _tree(plan).count("HashAggregate") == 2  # map-side combine
+
+
+def test_attribution_range_join_is_equi_keyed(spark):
+    # the time-range predicate must ride on the user_id equi join —
+    # never a cartesian/nested-loop over all (purchase, click) pairs
+    plan = _plan(spark, "purchase_click_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

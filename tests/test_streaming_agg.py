@@ -56,6 +56,43 @@ def test_streaming_windowed_agg_matches_batch(spark):
     assert got == batch
 
 
+def test_streaming_session_window_matches_batch_sessionize(spark):
+    """Native streaming session windows (F.session_window, 30-min gap)
+    must carve the same sessions as the batch sessionize query — the
+    per-user multiset of session sizes is identical once the bounded
+    stream drains."""
+    batch = QUERIES["sessionize"].fn(spark, SF_SMOKE)
+    want = {
+        (r["user_id"], r["n_events"]): r["cnt"]
+        for r in batch.groupBy("user_id", "n_events")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_win")
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        (r["user_id"], r["n_events"]): r["cnt"]
+        for r in spark.sql(
+            "SELECT user_id, n_events, count(*) AS cnt FROM sess_win "
+            "GROUP BY user_id, n_events"
+        ).collect()
+    }
+    q.stop()
+    assert got == want
+
+
 def test_stateful_running_max_applyinpandaswithstate(spark, tmp_path):
     """Custom stateful streaming op: per-user running max of `value`
     emitted per micro-batch (applyInPandasWithState)."""
