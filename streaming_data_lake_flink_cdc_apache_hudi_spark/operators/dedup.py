@@ -28,7 +28,14 @@ def _spread(df: DataFrame) -> DataFrame:
     input arrives in fewer partitions (single-file test tables read as
     one split -> every CPU-heavy map stage below would run on one
     core). No-op at real scale where inputs already have many splits —
-    the guard keeps us from adding a pointless shuffle there."""
+    the guard keeps us from adding a pointless shuffle there.
+
+    The probe is ``df.rdd.getNumPartitions()``: it builds the RDD
+    lineage driver-side once per operator call, but it is the only
+    probe that sees the TRUE scan parallelism (a single parquet file
+    still splits into many partitions under maxPartitionBytes — a
+    file-count heuristic would shuffle those DOWN and serialize the
+    downstream pandas/HOF stages)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -1207,3 +1207,39 @@ def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_col="_del",
     )
     return t.incremental(since_seq=1).select("uuid", "name", "age", "_op")
+
+
+@register(
+    "time_travel_read",
+    f"""
+SELECT uuid, name, age FROM {_t1_values_sql(_T1_ROWS)}
+""",
+    doc="Point-in-time (time travel) snapshot: reading AS OF commit 1 "
+    "ignores the later upsert and delete — the Hudi point-in-time "
+    "query over the same 3-commit table as incremental_read; the "
+    "literal oracle is exactly the seed rows.",
+)
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    root = tempfile.mkdtemp(prefix="time_travel_")
+    t = UpsertLakeTable(spark, f"{root}/t", key="uuid", compact_every=10)
+    schema = "uuid string, name string, age int, ts string"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    t.write(df(_T1_ROWS), commit_id="c1")
+    t.write(df([("id1", "New Name", 30, "2024-01-01 00:00:00")]), commit_id="c2")
+    t.write(
+        df([("id3", "Julian", 53, "1970-01-01 00:00:03")]).withColumn(
+            "_del", F.lit(True)
+        ),
+        commit_id="c3",
+        delete_col="_del",
+    )
+    return t.snapshot(as_of_seq=1).select("uuid", "name", "age")

@@ -146,6 +146,7 @@ class UpsertLakeTable:
         compact_every: int = 5,  # ≙ compaction.delta_commits (zpln:2234 ¶51)
         schema=None,  # row StructType; lets an empty table snapshot as typed-empty
         partition_cols: str | Sequence[str] | None = None,
+        archive_after: int = 64,  # active timeline size before archiving
     ):
         """``partition_cols`` picks the bucketing columns (default: the
         key) — ≙ Hudi's partition path being independent of the record
@@ -171,6 +172,7 @@ class UpsertLakeTable:
         self.num_buckets = num_buckets
         self.compact_every = compact_every
         self.schema = schema
+        self.archive_after = archive_after
         self._base = os.path.join(path, "base")
         self._log = os.path.join(path, "log")
         self._commits = os.path.join(path, "_commits")
@@ -185,15 +187,50 @@ class UpsertLakeTable:
 
     def _commit_files(self) -> list[str]:
         return sorted(
-            f for f in os.listdir(self._commits) if f.endswith(".json")
+            f
+            for f in os.listdir(self._commits)
+            if f.endswith(".json") and f != "archive.json"
         )
 
+    def _archived(self) -> list[dict]:
+        p = os.path.join(self._commits, "archive.json")
+        if not os.path.exists(p):
+            return []
+        with open(p) as fh:
+            return json.load(fh)
+
     def commits(self) -> list[dict]:
-        out = []
+        out = self._archived()
         for f in self._commit_files():
             with open(os.path.join(self._commits, f)) as fh:
                 out.append(json.load(fh))
         return out
+
+    def _maybe_archive_timeline(self) -> None:
+        """≙ Hudi timeline archiving: when the active timeline exceeds
+        ``archive_after`` markers, fold everything strictly older than
+        the latest compaction into one archive file. Keeps the
+        per-write bookkeeping (marker listing + exactly-once id scan)
+        proportional to the active window, not table lifetime; archived
+        ids stay visible to the replay check via ``commits()``."""
+        files = self._commit_files()
+        if len(files) <= self.archive_after:
+            return
+        metas = []
+        for f in files:
+            with open(os.path.join(self._commits, f)) as fh:
+                metas.append(json.load(fh))
+        comp_idx = [i for i, m in enumerate(metas) if m["kind"] == "compaction"]
+        if not comp_idx or comp_idx[-1] == 0:
+            return  # nothing safely archivable before the last compaction
+        cut = comp_idx[-1]
+        arch_path = os.path.join(self._commits, "archive.json")
+        tmp = arch_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._archived() + metas[:cut], fh)
+        os.replace(tmp, arch_path)
+        for f in files[:cut]:
+            os.remove(os.path.join(self._commits, f))
 
     def last_commit_seq(self) -> int:
         cs = self._commit_files()
@@ -316,6 +353,7 @@ class UpsertLakeTable:
             self._record_commit(seq, commit_id, "delta", -1)
             if self._delta_commits_since_compaction() >= self.compact_every:
                 self.compact()
+            self._maybe_archive_timeline()
             return seq
 
     def _delta_commits_since_compaction(self) -> int:
@@ -332,6 +370,7 @@ class UpsertLakeTable:
         self,
         bucket_filter: Sequence[int] | None = None,
         with_file: bool = False,
+        as_of_seq: int | None = None,
     ) -> DataFrame | None:
         base, log = self._read_dir(self._base), self._read_dir(self._log)
         if base is None and log is None:
@@ -344,6 +383,12 @@ class UpsertLakeTable:
         both = base.unionByName(log) if base is not None and log is not None else (
             base if base is not None else log
         )
+        if as_of_seq is not None:
+            # time travel: versions after the target commit are invisible
+            # (a scan filter parquet min/max stats can skip on — log
+            # files are per-commit appends). History is bounded by
+            # compaction, like Hudi's cleaner retention.
+            both = both.filter(F.col("_commit_seq") <= int(as_of_seq))
         if bucket_filter is not None:
             # partition filter — prunes to the matching bucket= dirs at
             # the scan, BELOW the LWW window: the read is proportional
@@ -411,6 +456,7 @@ class UpsertLakeTable:
         self,
         with_meta: bool = False,
         bucket_filter: Sequence[int] | None = None,
+        as_of_seq: int | None = None,
     ) -> DataFrame:
         """Current table state: base ∪ log, latest commit per key wins,
         deletes dropped (merge-on-read snapshot, ¶10). An empty table
@@ -420,8 +466,13 @@ class UpsertLakeTable:
         scan to the matching ``bucket=`` partition dirs before the LWW
         merge — the delta-proportional read path for per-batch IVM
         state access. ``with_meta`` adds the 5 Hudi-parity audit
-        columns incl. read-time ``_partition_path``/``_file_name``."""
-        merged = self._merged(bucket_filter=bucket_filter, with_file=with_meta)
+        columns incl. read-time ``_partition_path``/``_file_name``.
+        ``as_of_seq`` reads the table AS OF that commit (time travel —
+        Hudi's point-in-time query); history visibility is bounded by
+        compaction, like Hudi's cleaner retention."""
+        merged = self._merged(
+            bucket_filter=bucket_filter, with_file=with_meta, as_of_seq=as_of_seq
+        )
         if merged is None:
             merged = self._empty()
         if merged is None:

@@ -106,6 +106,49 @@ def test_topk_ngrams_is_topk_not_full_sort(spark):
     assert _tree(plan).count("HashAggregate") == 2  # map-side combine
 
 
+def test_cobucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key merge-join bucket-locally:
+    the plan must contain NO Exchange on either side — the write-time
+    shuffle is amortized over every later join (the 100 TB pattern for
+    repeated fact⋈fact joins)."""
+    import contextlib
+    import io
+
+    from pyspark.sql.functions import col as F_col
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.bucketed import (
+        cobucketed_join,
+        write_bucketed_table,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+    )
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        F_col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed_table(orders, "b_orders", "o_orderkey", num_buckets=8)
+    write_bucketed_table(li, "b_lineitem", "o_orderkey", num_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cobucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        tree = buf.getvalue().split("\n\n(")[0]
+        assert "SortMergeJoin" in tree
+        assert "- Exchange (" not in tree, f"shuffle in co-bucketed join:\n{tree}"
+        assert joined.count() == load_table(spark, SF_ORACLE, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_attribution_range_join_is_equi_keyed(spark):
     # the time-range predicate must ride on the user_id equi join —
     # never a cartesian/nested-loop over all (purchase, click) pairs

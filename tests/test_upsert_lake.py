@@ -176,6 +176,63 @@ def test_incremental_read_chains_to_snapshot(spark, tmp_path):
     assert table.incremental(since_seq=table.last_commit_seq()).count() == 0
 
 
+def test_time_travel_snapshot(spark, tmp_path):
+    """snapshot(as_of_seq=N) reads the table as of commit N (Hudi
+    point-in-time query); history visibility is compaction-bounded."""
+    table = UpsertLakeTable(
+        spark, str(tmp_path / "t1"), key="uuid", num_buckets=4, compact_every=10
+    )
+    table.write(_t1(spark, T1_ROWS), commit_id="c1")
+    table.write(
+        _t1(spark, [("id1", "New Name", 30, "2024-01-01 00:00:00")]),
+        commit_id="c2",
+    )
+    victim = _t1(spark, [("id3", "Julian", 53, "1970-01-01 00:00:03")]).withColumn(
+        "_gone", F.lit(True)
+    )
+    table.write(victim, commit_id="c3", delete_col="_gone")
+
+    as_of_1 = {r["uuid"]: r["name"] for r in table.snapshot(as_of_seq=1).collect()}
+    assert as_of_1["id1"] == "Danny" and len(as_of_1) == 8
+    as_of_2 = {r["uuid"]: r["name"] for r in table.snapshot(as_of_seq=2).collect()}
+    assert as_of_2["id1"] == "New Name" and "id3" in as_of_2 and len(as_of_2) == 8
+    now = {r["uuid"]: r["name"] for r in table.snapshot().collect()}
+    assert "id3" not in now and len(now) == 7
+
+
+def test_timeline_archiving_bounds_active_markers(spark, tmp_path):
+    """≙ Hudi timeline archiving: old markers fold into one archive
+    file; exactly-once replay detection still sees archived ids and
+    commits() returns the full history."""
+    table = UpsertLakeTable(
+        spark,
+        str(tmp_path / "t1"),
+        key="uuid",
+        num_buckets=2,
+        compact_every=3,
+        archive_after=4,
+    )
+    for i in range(12):
+        table.write(
+            _t1(spark, [("id1", f"n{i}", i, "2024-01-01 00:00:00")]),
+            commit_id=f"c{i}",
+        )
+    kinds = [c["kind"] for c in table.commits()]
+    assert kinds.count("delta") == 12 and "compaction" in kinds  # full history
+    active = table._commit_files()
+    assert len(active) <= 8, f"active timeline not bounded: {len(active)}"
+    assert os.path.exists(os.path.join(table._commits, "archive.json"))
+    # replaying an ARCHIVED commit id is still a no-op
+    assert (
+        table.write(
+            _t1(spark, [("id1", "dup", 99, "2024-01-01 00:00:00")]),
+            commit_id="c0",
+        )
+        == 0
+    )
+    assert table.snapshot().filter("uuid = 'id1'").collect()[0]["name"] == "n11"
+
+
 def test_single_writer_lease(spark, table, tmp_path):
     """Two live writers on one table must not interleave commits: the
     second gets ConcurrentWriterError while the lease is held; an
