@@ -291,7 +291,19 @@ class UpsertLakeTable:
             not e.startswith("_") for e in os.listdir(d)
         ):
             return None
-        return self.spark.read.option("basePath", d).parquet(d)
+        df = self.spark.read.option("basePath", d).parquet(d)
+        if "commit" in df.columns:
+            # log layout: commit=<seq> partition dirs. Visibility =
+            # recorded commits only — a partition filter, so orphan
+            # dirs from crashed writes are never even listed into the
+            # scan. (Restores _commit_seq's long type: partition
+            # inference reads the dir value as int.)
+            df = (
+                df.filter(F.col("commit") <= self.last_commit_seq())
+                .withColumn("_commit_seq", F.col("commit").cast("long"))
+                .drop("commit")
+            )
+        return df
 
     # -- write path (≙ Hudi sink S3) ---------------------------------------
 
@@ -342,12 +354,24 @@ class UpsertLakeTable:
                 enriched = enriched.drop(delete_col)
             enriched = self._with_bucket(enriched)
             self._save_schema(enriched)
+            # crash atomicity: data lands under log/commit=<seq>/ and
+            # only becomes VISIBLE when the commit marker is recorded —
+            # readers filter commit <= last recorded seq. A crashed
+            # attempt leaves an orphan dir at exactly seq = last+1,
+            # which the next write (same seq, lease-held) cleans first,
+            # so a seq can never be shared by two different commits.
+            # ('commit', not '_commit_seq', as the dir name: Spark file
+            # listings skip underscore-prefixed paths.)
+            shutil.rmtree(
+                os.path.join(self._log, f"commit={seq}"), ignore_errors=True
+            )
             # no pre-count: counting would execute the (possibly
             # expensive) delta plan twice; the commit records row
             # count -1 (unknown)
             (
-                enriched.write.mode("append")
-                .partitionBy("bucket")
+                enriched.withColumn("commit", F.lit(seq))
+                .write.mode("append")
+                .partitionBy("commit", "bucket")
                 .parquet(self._log)
             )
             self._record_commit(seq, commit_id, "delta", -1)
@@ -528,13 +552,25 @@ class UpsertLakeTable:
     # -- compaction (≙ Hudi MoR compaction) ---------------------------------
 
     def _log_buckets(self) -> list[int]:
+        """Buckets touched by COMMITTED log deltas (FS listing, no data
+        scan); orphan commit dirs from crashed writes are excluded."""
         if not os.path.isdir(self._log):
             return []
-        return sorted(
-            int(e.split("=", 1)[1])
-            for e in os.listdir(self._log)
-            if e.startswith("bucket=")
-        )
+        last = self.last_commit_seq()
+        out: set[int] = set()
+        for e in os.listdir(self._log):
+            p = os.path.join(self._log, e)
+            if e.startswith("commit=") and os.path.isdir(p):
+                if int(e.split("=", 1)[1]) > last:
+                    continue
+                out.update(
+                    int(b.split("=", 1)[1])
+                    for b in os.listdir(p)
+                    if b.startswith("bucket=")
+                )
+            elif e.startswith("bucket="):  # pre-commit-dir layout
+                out.add(int(e.split("=", 1)[1]))
+        return sorted(out)
 
     def compact(self) -> int:
         """Fold the delta log into the bucketed base and truncate the log.

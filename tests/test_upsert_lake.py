@@ -176,6 +176,35 @@ def test_incremental_read_chains_to_snapshot(spark, tmp_path):
     assert table.incremental(since_seq=table.last_commit_seq()).count() == 0
 
 
+def test_crashed_write_orphan_is_invisible(spark, table):
+    """Data files without a commit marker (a writer crashed between
+    the parquet write and the marker record) must be INVISIBLE to
+    snapshots, and the next write must reclaim the orphan's seq
+    without mixing rows from two attempts."""
+    import shutil
+
+    table.write(_t1(spark, T1_ROWS), commit_id="c1")
+    before = sorted(map(tuple, table.snapshot().collect()))
+    # simulate the crash: seq-2 data exists, marker was never written
+    shutil.copytree(
+        os.path.join(table._log, "commit=1"),
+        os.path.join(table._log, "commit=2"),
+    )
+    assert sorted(map(tuple, table.snapshot().collect())) == before
+    # the next writer (lease-held) reclaims seq 2: orphan rows are
+    # cleaned, only the new commit's rows appear
+    table.write(
+        _t1(spark, [("id9", "Ida", 44, "2024-01-01 00:00:00")]), commit_id="c2"
+    )
+    snap = table.snapshot()
+    assert snap.count() == 9
+    assert snap.filter("uuid = 'id9'").count() == 1
+    dups = (
+        snap.groupBy("uuid").agg(F.count("*").alias("c")).filter("c > 1").count()
+    )
+    assert dups == 0
+
+
 def test_time_travel_snapshot(spark, tmp_path):
     """snapshot(as_of_seq=N) reads the table as of commit N (Hudi
     point-in-time query); history visibility is compaction-bounded."""
