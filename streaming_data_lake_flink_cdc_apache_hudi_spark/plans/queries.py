@@ -1243,3 +1243,100 @@ def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_col="_del",
     )
     return t.snapshot(as_of_seq=1).select("uuid", "name", "age")
+
+
+@register(
+    "cdc_changes_read",
+    """
+SELECT * FROM (VALUES ('id1', 'update', 'New Name', 30, 'Danny', 23),
+                      ('id9', 'insert', 'Ida', 44, NULL, NULL),
+                      ('id3', 'delete', NULL, NULL, 'Julian', 53))
+AS t(uuid, _change_type, name, age, before_name, before_age)
+""",
+    doc="Hudi cdc-query parity: before/after change images for keys "
+    "changed after commit 1 of the 3-commit lake table — the upsert "
+    "as update (with pre-image), the new key as insert, the tombstone "
+    "as delete (after-image NULL). Literal oracle pins the change "
+    "contract; UpsertLakeTable.changes docstring has the scale shape.",
+)
+def q_cdc_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    root = tempfile.mkdtemp(prefix="cdc_changes_")
+    t = UpsertLakeTable(spark, f"{root}/t", key="uuid", compact_every=10)
+    schema = "uuid string, name string, age int, ts string"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    t.write(df(_T1_ROWS), commit_id="c1")
+    t.write(
+        df(
+            [
+                ("id1", "New Name", 30, "2024-01-01 00:00:00"),
+                ("id9", "Ida", 44, "2024-01-01 00:00:00"),
+            ]
+        ),
+        commit_id="c2",
+    )
+    t.write(
+        df([("id3", "Julian", 53, "1970-01-01 00:00:03")]).withColumn(
+            "_del", F.lit(True)
+        ),
+        commit_id="c3",
+        delete_col="_del",
+    )
+    ch = t.changes(since_seq=1)
+    return ch.select(
+        "uuid",
+        "_change_type",
+        "name",
+        "age",
+        F.col("_before.name").alias("before_name"),
+        F.col("_before.age").alias("before_age"),
+    )
+
+
+@register(
+    "read_optimized_read",
+    f"""
+SELECT uuid, name, age
+FROM (SELECT * FROM {_t1_values_sql(_T1_ROWS)}
+      WHERE uuid <> 'id1'
+      UNION ALL SELECT 'id1', 'New Name', 30, TIMESTAMP '2024-01-01 00:00:00')
+""",
+    doc="Hudi read-optimized query parity (zpln:421 ¶10 names Snapshot "
+    "as the default of several query types): base files only — state "
+    "as of the last compaction (seed + upserted id1), the post-"
+    "compaction delete of id3 not yet visible. Pure columnar scan, "
+    "no LWW merge window.",
+)
+def q_read_optimized_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    root = tempfile.mkdtemp(prefix="ro_read_")
+    t = UpsertLakeTable(spark, f"{root}/t", key="uuid", compact_every=2)
+    schema = "uuid string, name string, age int, ts string"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    t.write(df(_T1_ROWS), commit_id="c1")
+    t.write(df([("id1", "New Name", 30, "2024-01-01 00:00:00")]), commit_id="c2")
+    # compaction fired after c2 (compact_every=2); this delete stays in the log
+    t.write(
+        df([("id3", "Julian", 53, "1970-01-01 00:00:03")]).withColumn(
+            "_del", F.lit(True)
+        ),
+        commit_id="c3",
+        delete_col="_del",
+    )
+    return t.read_optimized().select("uuid", "name", "age")

@@ -549,6 +549,147 @@ class UpsertLakeTable:
         # above made their own), so this is not an ambiguous self-join
         return merged.join(changed_keys, self.key, "left_semi").drop("bucket")
 
+    def read_optimized(self) -> DataFrame:
+        """Base-files-only read (≙ Hudi's read-optimized query on a
+        MERGE_ON_READ table, the third query type next to snapshot and
+        incremental, zpln:421 ¶10): serves the state as of the last
+        compaction without merging the delta log — a pure columnar
+        scan with no LWW window, trading freshness for the cheapest
+        possible read. Compaction already merged keys and dropped
+        tombstones, so the base holds exactly one live row per key."""
+        base = self._read_dir(self._base)
+        if base is None:
+            empty = self._empty()
+            if empty is None:
+                raise FileNotFoundError(f"empty table at {self.path}")
+            base = empty
+        return base.drop(
+            "bucket", *[c for c in META_COLS if c in base.columns]
+        )
+
+    def changes(self, since_seq: int, end_seq: int | None = None) -> DataFrame:
+        """CDC-format read: one change row per key whose state changed
+        in ``(since_seq, end_seq]`` — the Hudi `cdc` query flavor
+        (before/after images per change), the push-style complement of
+        :meth:`incremental`.
+
+        Output: key columns, the after-image data columns (NULL for
+        deletes), ``_change_type`` in ``insert|update|delete``, and a
+        ``_before`` struct of the pre-image data columns (NULL for
+        inserts). A key inserted AND deleted inside the range nets to
+        no row. Like :meth:`incremental`, change visibility is bounded
+        by compaction: once commits fold into the base their
+        per-commit attribution collapses.
+
+        Scale shape: changed keys come from a commit-range scan filter
+        (per-commit log dirs make it a partition filter; on the base a
+        parquet min/max skip), both state reads are bucket-pruned to
+        the changed keys' buckets when the table is bucketed on its
+        key, and the before/after reconciliation is one key-hash
+        full-outer join — everything is delta-proportional."""
+        end_seq = self.last_commit_seq() if end_seq is None else int(end_seq)
+        since_seq = int(since_seq)
+        base, log = self._read_dir(self._base), self._read_dir(self._log)
+        parts = [d for d in (base, log) if d is not None]
+        if not parts:
+            raise FileNotFoundError(f"empty table at {self.path}")
+        rows = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        changed = (
+            rows.filter(
+                (F.col("_commit_seq") > since_seq)
+                & (F.col("_commit_seq") <= end_seq)
+            )
+            .select(*self.key)
+            .distinct()
+        )
+        buckets = None
+        if self.partition_cols == self.key:
+            buckets = self.bucket_filter_for(changed)
+        after = self._merged(bucket_filter=buckets, as_of_seq=end_seq)
+        before = self._merged(bucket_filter=buckets, as_of_seq=since_seq)
+        val_cols = [
+            c
+            for c in after.columns
+            if c not in META_COLS and c != "bucket" and c not in self.key
+        ]
+        a = after.join(changed, self.key, "left_semi")
+        b = (
+            before.filter(F.col("_op") != "D")
+            .join(changed, self.key, "left_semi")
+            .select(
+                *[
+                    F.col(k).alias(f"_bk_{i}")
+                    for i, k in enumerate(self.key)
+                ],
+                F.struct(*val_cols).alias("_before"),
+            )
+        )
+        cond = None
+        for i, k in enumerate(self.key):
+            c = a[k] == b[f"_bk_{i}"]
+            cond = c if cond is None else (cond & c)
+        j = a.join(b, cond, "full_outer")
+        change = (
+            F.when(
+                F.col("_op").isNull() | (F.col("_op") == "D"),
+                # no pre-image -> insert+delete inside the range: net nothing
+                F.when(F.col("_before").isNull(), F.lit(None)).otherwise(
+                    F.lit("delete")
+                ),
+            )
+            .when(F.col("_before").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+        )
+        j = j.withColumn("_change_type", change).filter(
+            F.col("_change_type").isNotNull()
+        )
+        out_keys = [
+            F.coalesce(j[k], j[f"_bk_{i}"]).alias(k)
+            for i, k in enumerate(self.key)
+        ]
+        out_vals = [
+            F.when(F.col("_change_type") == "delete", F.lit(None))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in val_cols
+        ]
+        return j.select(
+            *out_keys, *out_vals, F.col("_change_type"), F.col("_before")
+        )
+
+    def restore(self, to_seq: int) -> None:
+        """Roll the table back to commit ``to_seq`` (≙ Hudi savepoint +
+        restore): every later delta commit's files and markers are
+        removed, and the sequence continues from ``to_seq``. Restore
+        cannot cross a compaction — those deltas are already folded
+        into the base (take a savepoint cadence >= compact_every to
+        guarantee restorable points, exactly Hudi's savepoint rule)."""
+        to_seq = int(to_seq)
+        with self._lease():
+            for c in self.commits():
+                if c["seq"] > to_seq and c["kind"] == "compaction":
+                    raise ValueError(
+                        f"cannot restore to seq {to_seq}: compaction at seq "
+                        f"{c['seq']} folded later deltas into the base"
+                    )
+            if os.path.isdir(self._log):
+                for e in os.listdir(self._log):
+                    if e.startswith("bucket="):
+                        raise ValueError(
+                            "restore requires the commit-partitioned log "
+                            "layout (table written by an older engine)"
+                        )
+                    if (
+                        e.startswith("commit=")
+                        and int(e.split("=", 1)[1]) > to_seq
+                    ):
+                        shutil.rmtree(
+                            os.path.join(self._log, e), ignore_errors=True
+                        )
+            for f in self._commit_files():
+                if int(f.split("-")[1].split(".")[0]) > to_seq:
+                    os.remove(os.path.join(self._commits, f))
+
     # -- compaction (≙ Hudi MoR compaction) ---------------------------------
 
     def _log_buckets(self) -> list[int]:

@@ -205,6 +205,134 @@ def test_crashed_write_orphan_is_invisible(spark, table):
     assert dups == 0
 
 
+def test_read_optimized_serves_compacted_state(spark, tmp_path):
+    """Hudi read-optimized query parity: base files only — the state as
+    of the last compaction, ignoring newer log deltas."""
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "ro"), key="uuid", num_buckets=4, compact_every=2
+    )
+    t.write(_t1(spark, T1_ROWS), commit_id="c1")
+    t.write(  # 2nd delta triggers compaction (compact_every=2)
+        _t1(spark, [("id1", "New Name", 30, "2024-01-01 00:00:00")]),
+        commit_id="c2",
+    )
+    t.write(  # post-compaction delta, log only
+        _t1(spark, [("id3", "Julian", 53, "1970-01-01 00:00:03")]).withColumn(
+            "_del", F.lit(True)
+        ),
+        commit_id="c3",
+        delete_col="_del",
+    )
+    assert t.snapshot().count() == 7  # id3 deleted in snapshot view
+    ro = {
+        tuple(r)
+        for r in t.read_optimized().select("uuid", "name", "age").collect()
+    }
+    assert ("id3", "Julian", 53) in ro  # RO ignores the uncompacted delete
+    assert ("id1", "New Name", 30) in ro  # ...but serves compacted upserts
+    assert len(ro) == 8
+
+
+def test_cdc_changes_insert_update_delete(spark, tmp_path):
+    """CDC-format read: before/after images per changed key. (Own
+    table, high compact_every: compaction legitimately collapses
+    change history, which is not what's under test here.)"""
+    table = UpsertLakeTable(
+        spark, str(tmp_path / "cdc"), key="uuid", num_buckets=4, compact_every=20
+    )
+    table.write(_t1(spark, T1_ROWS), commit_id="c1")
+    table.write(
+        _t1(
+            spark,
+            [
+                ("id1", "New Name", 30, "2024-01-01 00:00:00"),
+                ("id9", "Ida", 44, "2024-01-01 00:00:00"),
+            ],
+        ),
+        commit_id="c2",
+    )
+    table.write(
+        _t1(spark, [("id3", "Julian", 53, "1970-01-01 00:00:03")]).withColumn(
+            "_del", F.lit(True)
+        ),
+        commit_id="c3",
+        delete_col="_del",
+    )
+    ch = table.changes(since_seq=1)
+    got = {
+        r["uuid"]: (
+            r["_change_type"],
+            r["name"],
+            r["_before"]["name"] if r["_before"] is not None else None,
+        )
+        for r in ch.collect()
+    }
+    assert got == {
+        "id1": ("update", "New Name", "Danny"),
+        "id9": ("insert", "Ida", None),
+        "id3": ("delete", None, "Julian"),
+    }
+    # bounded range: only c2's changes
+    assert {
+        r["uuid"]: r["_change_type"]
+        for r in table.changes(since_seq=1, end_seq=2).collect()
+    } == {"id1": "update", "id9": "insert"}
+    # key inserted AND deleted within the range nets to nothing
+    table.write(
+        _t1(spark, [("id10", "Tmp", 1, "2024-01-01 00:00:00")]), commit_id="c4"
+    )
+    table.write(
+        _t1(spark, [("id10", "Tmp", 1, "2024-01-01 00:00:00")]).withColumn(
+            "_del", F.lit(True)
+        ),
+        commit_id="c5",
+        delete_col="_del",
+    )
+    assert table.changes(since_seq=3).count() == 0
+
+
+def test_restore_rolls_back_commits(spark, tmp_path):
+    """Savepoint/restore parity: restore(N) removes later deltas; the
+    seq continues from N; restore across a compaction refuses."""
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "rs"), key="uuid", num_buckets=4, compact_every=10
+    )
+    t.write(_t1(spark, T1_ROWS), commit_id="c1")
+    want = sorted(map(tuple, t.snapshot().collect()))
+    t.write(
+        _t1(spark, [("id1", "New Name", 30, "2024-01-01 00:00:00")]),
+        commit_id="c2",
+    )
+    t.write(
+        _t1(spark, [("id3", "Julian", 53, "1970-01-01 00:00:03")]).withColumn(
+            "_del", F.lit(True)
+        ),
+        commit_id="c3",
+        delete_col="_del",
+    )
+    t.restore(to_seq=1)
+    assert t.last_commit_seq() == 1
+    assert sorted(map(tuple, t.snapshot().collect())) == want
+    # writes continue from the restored seq; the rolled-back commit_id
+    # is forgotten (it can be legitimately re-applied)
+    seq = t.write(
+        _t1(spark, [("id9", "Ida", 44, "2024-01-01 00:00:00")]), commit_id="c2"
+    )
+    assert seq == 2
+    assert t.snapshot().count() == 9
+    # compaction blocks restore past it
+    t2 = UpsertLakeTable(
+        spark, str(tmp_path / "rs2"), key="uuid", num_buckets=4, compact_every=2
+    )
+    t2.write(_t1(spark, T1_ROWS), commit_id="c1")
+    t2.write(
+        _t1(spark, [("id1", "New Name", 30, "2024-01-01 00:00:00")]),
+        commit_id="c2",
+    )  # triggers compaction at seq 3
+    with pytest.raises(ValueError, match="compaction"):
+        t2.restore(to_seq=1)
+
+
 def test_time_travel_snapshot(spark, tmp_path):
     """snapshot(as_of_seq=N) reads the table as of commit N (Hudi
     point-in-time query); history visibility is compaction-bounded."""
