@@ -1302,6 +1302,43 @@ def q_cdc_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_evolution_read",
+    f"""
+SELECT uuid, name, age, CAST(NULL AS VARCHAR) AS email
+FROM {_t1_values_sql(_T1_ROWS)} WHERE uuid <> 'id1'
+UNION ALL SELECT 'id1', 'New Name', 30, 'new@x.io'
+""",
+    doc="Hudi-style schema evolution: commit 2 adds an `email` column "
+    "(evolve_schema write); the snapshot serves the union schema with "
+    "pre-evolution rows reading NULL. Literal oracle pins the "
+    "add-column contract (UpsertLakeTable._validate_schema/_conform).",
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    root = tempfile.mkdtemp(prefix="schema_ev_")
+    t = UpsertLakeTable(spark, f"{root}/t", key="uuid", compact_every=10)
+    schema = "uuid string, name string, age int, ts string"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    t.write(df(_T1_ROWS), commit_id="c1")
+    t.write(
+        df([("id1", "New Name", 30, "2024-01-01 00:00:00")]).withColumn(
+            "email", F.lit("new@x.io")
+        ),
+        commit_id="c2",
+        evolve_schema=True,
+    )
+    return t.snapshot().select("uuid", "name", "age", "email")
+
+
+@register(
     "read_optimized_read",
     f"""
 SELECT uuid, name, age

@@ -291,7 +291,14 @@ class UpsertLakeTable:
             not e.startswith("_") for e in os.listdir(d)
         ):
             return None
-        df = self.spark.read.option("basePath", d).parquet(d)
+        evolved = os.path.exists(os.path.join(self.path, "_evolved"))
+        reader = self.spark.read.option("basePath", d)
+        if evolved:
+            # schema-evolved table: files predating an added column
+            # lack it; mergeSchema unions file footers (paid only on
+            # evolved tables — the marker gates the extra footer reads)
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(d)
         if "commit" in df.columns:
             # log layout: commit=<seq> partition dirs. Visibility =
             # recorded commits only — a partition filter, so orphan
@@ -303,7 +310,34 @@ class UpsertLakeTable:
                 .withColumn("_commit_seq", F.col("commit").cast("long"))
                 .drop("commit")
             )
+        if evolved:
+            df = self._conform(df)
         return df
+
+    def _conform(self, df: DataFrame) -> DataFrame:
+        """Project onto the table's current (evolved) schema: columns a
+        file set predates read as typed NULLs, so base and log always
+        union cleanly."""
+        stored = self._stored_schema()
+        if stored is None:
+            return df
+        cols = [
+            F.col(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in stored.fields
+        ]
+        extra = [c for c in df.columns if c not in stored.fieldNames()]
+        return df.select(*cols, *extra)
+
+    def _stored_schema(self):
+        p = os.path.join(self.path, "_schema.json")
+        if not os.path.exists(p):
+            return None
+        from pyspark.sql import types as T
+
+        with open(p) as fh:
+            return T.StructType.fromJson(json.loads(fh.read()))
 
     # -- write path (≙ Hudi sink S3) ---------------------------------------
 
@@ -313,6 +347,7 @@ class UpsertLakeTable:
         commit_id: str | None = None,
         precombine: str | Sequence[str] | None = None,
         delete_col: str | None = None,
+        evolve_schema: bool = False,
     ) -> int:
         """Apply one delta commit (upserts and, optionally, deletes).
 
@@ -320,13 +355,18 @@ class UpsertLakeTable:
         ``precombine`` set, multiple rows per key inside the delta are
         reduced to the latest first (≙ Hudi precombine field).
         ``delete_col`` names a boolean column marking delete events.
-        Returns the commit seq (0 if skipped as a duplicate).
+        ``evolve_schema`` opts this write into Hudi-style schema
+        evolution: the delta may ADD new columns (pre-existing rows
+        read them as NULL) or omit existing non-key columns (this
+        write's rows carry NULL there — LWW replaces whole rows);
+        type changes are rejected. Returns the commit seq (0 if
+        skipped as a duplicate).
         """
         commit_id = commit_id or f"c{int(time.time() * 1e6)}"
         with self._lease():
             if commit_id in self._seen_commit_ids():
                 return 0  # replayed epoch → no-op (exactly-once)
-            self._validate_schema(delta, delete_col)
+            self._validate_schema(delta, delete_col, evolve=evolve_schema)
             if precombine:
                 delta = latest_by_key(delta, self.key, precombine)
             seq = self.last_commit_seq() + 1
@@ -430,20 +470,19 @@ class UpsertLakeTable:
         order = [c for c in PRECOMBINE_COLS if c in both.columns]
         return latest_by_key(both, self.key, [*order, "_commit_seq", "_op"])
 
-    def _validate_schema(self, delta: DataFrame, delete_col: str | None) -> None:
+    def _validate_schema(
+        self, delta: DataFrame, delete_col: str | None, evolve: bool = False
+    ) -> None:
         """Declared-schema write validation (≙ the reference's "the
         schema of the query has to match the Hudi Table Definition",
         CDC-Hudi-Notebook.zpln:2275 ¶52). Compares the delta's data
         columns (names + types, order-insensitive) against the
-        table's recorded schema."""
-        import json as _json
-
-        p = os.path.join(self.path, "_schema.json")
-        if not os.path.exists(p):
+        table's recorded schema. With ``evolve`` the comparison
+        relaxes to Hudi's evolution rules: add / omit columns OK,
+        key columns required, type changes rejected."""
+        stored = self._stored_schema()
+        if stored is None:
             return
-        from pyspark.sql import types as T
-
-        stored = T.StructType.fromJson(_json.loads(open(p).read()))
         expect = {
             f.name: f.dataType.simpleString()
             for f in stored.fields
@@ -455,17 +494,57 @@ class UpsertLakeTable:
             for f in delta.schema.fields
             if f.name not in skip
         }
-        if got != expect:
+        if got == expect:
+            return
+        if not evolve:
             raise ValueError(
                 f"schema mismatch for upsert table {self.path}: "
-                f"table={expect} delta={got}"
+                f"table={expect} delta={got} "
+                "(pass evolve_schema=True to add/omit columns)"
+            )
+        missing_keys = [k for k in self.key if k not in got]
+        if missing_keys:
+            raise ValueError(
+                f"schema evolution cannot drop key columns {missing_keys}"
+            )
+        retyped = {
+            n: (expect[n], t) for n, t in got.items()
+            if n in expect and expect[n] != t
+        }
+        if retyped:
+            raise ValueError(
+                f"schema evolution cannot change column types: {retyped}"
             )
 
     def _save_schema(self, df: DataFrame) -> None:
+        """Record / evolve the table schema. A write whose column SET
+        differs from the stored schema (validation permitting) unions
+        the new columns in and flips the ``_evolved`` marker that
+        turns on mergeSchema + conforming reads."""
         p = os.path.join(self.path, "_schema.json")
         if not os.path.exists(p):
             with open(p, "w") as fh:
                 fh.write(df.schema.json())
+            return
+        stored = self._stored_schema()
+        if set(df.columns) == set(stored.fieldNames()):
+            return
+        from pyspark.sql import types as T
+
+        new_fields = [
+            T.StructField(f.name, f.dataType, nullable=True)
+            for f in df.schema.fields
+            if f.name not in stored.fieldNames()
+        ]
+        union = T.StructType(list(stored.fields) + new_fields)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(union.json())
+        os.replace(tmp, p)
+        marker = os.path.join(self.path, "_evolved")
+        if not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write("")
 
     def _empty(self) -> DataFrame | None:
         p = os.path.join(self.path, "_schema.json")

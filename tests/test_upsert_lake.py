@@ -291,6 +291,46 @@ def test_cdc_changes_insert_update_delete(spark, tmp_path):
     assert table.changes(since_seq=3).count() == 0
 
 
+def test_schema_evolution_add_and_omit_columns(spark, tmp_path):
+    """Hudi-style schema evolution: an evolve_schema write may add new
+    columns (old rows read NULL) or omit non-key columns (its rows
+    carry NULL); plain writes still hard-reject mismatches; type
+    changes and key drops are always rejected."""
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "ev"), key="uuid", num_buckets=4, compact_every=3
+    )
+    t.write(_t1(spark, T1_ROWS), commit_id="c1")
+    widened = _t1(
+        spark, [("id1", "New Name", 30, "2024-01-01 00:00:00")]
+    ).withColumn("email", F.lit("new@x.io"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.write(widened, commit_id="c2")
+    t.write(widened, commit_id="c2", evolve_schema=True)
+    snap = t.snapshot()
+    assert "email" in snap.columns
+    got = {r["uuid"]: r["email"] for r in snap.collect()}
+    assert got["id1"] == "new@x.io"
+    assert got["id2"] is None  # pre-evolution rows read the column as NULL
+    # an old-schema writer may keep writing (column omitted -> NULL)
+    t.write(
+        _t1(spark, [("id2", "Stephen II", 34, "2024-02-01 00:00:00")]),
+        commit_id="c3",
+        evolve_schema=True,
+    )
+    # c3 was the 3rd delta -> compaction ran; evolution must survive it
+    snap = t.snapshot()
+    got = {r["uuid"]: (r["name"], r["email"]) for r in snap.collect()}
+    assert got["id2"] == ("Stephen II", None)
+    assert got["id1"] == ("New Name", "new@x.io")
+    assert snap.count() == 8
+    # type change rejected even with evolve_schema
+    retyped = _t1(spark, [("id4", "Fabian", 31, "2024-01-01 00:00:00")]).withColumn(
+        "email", F.lit(7)
+    )
+    with pytest.raises(ValueError, match="type"):
+        t.write(retyped, commit_id="c4", evolve_schema=True)
+
+
 def test_restore_rolls_back_commits(spark, tmp_path):
     """Savepoint/restore parity: restore(N) removes later deltas; the
     seq continues from N; restore across a compaction refuses."""
