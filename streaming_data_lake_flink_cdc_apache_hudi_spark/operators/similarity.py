@@ -129,6 +129,110 @@ def lsh_ann_topk(
     )
 
 
+def _normalize(v: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    seed: int = 42,
+    train_limit: int | None = 65536,
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd) centroid training for IVF, pure
+    DataFrame ops — the refinement slot named in :func:`ivf_topk`.
+
+    Scale shape (100 TB-safe by construction):
+    - the training set is a deterministic hash-ranked sample of at
+      most ``train_limit`` vectors (TakeOrderedAndProject — bounded
+      driver merge, never a global sort), materialized once with
+      ``localCheckpoint`` so iterations don't rescan the corpus (the
+      local analog of writing a sample table);
+    - assignment is map-only: centroids ride into the plan as broadcast
+      literals, argmax over the dot products via ``array_max`` on a
+      (dot, cid) struct array (deterministic tiebreak);
+    - the recompute is posexplode → groupBy(cid, pos) with map-side
+      partial aggregation, so each iteration's shuffle carries at most
+      k·dim partials per task — never the vectors themselves;
+    - the only driver-side state is the k×dim centroid matrix
+      (bounded metadata, like ``bucket_filter_for``).
+
+    Returns the k centroid vectors (unit-normalized — spherical
+    k-means makes dot == cosine for assignment). Empty clusters keep
+    their previous centroid."""
+    vecs = df.select(
+        F.col(id_col).alias("_id"), V.as_double(F.col(vec_col)).alias("_v")
+    )
+    if train_limit is not None:
+        vecs = vecs.orderBy(F.xxhash64(F.col("_id"), F.lit(seed))).limit(
+            train_limit
+        )
+    sample = vecs.localCheckpoint(eager=True)
+    # k-means++-style init: from a bounded hash-ranked pool, greedily
+    # pick the vector farthest (min max-cosine) from those chosen so
+    # far — random init can seed two centroids in one cluster and
+    # leave another cluster uncovered, which Lloyd cannot repair.
+    # Pool is O(k) rows collected to the driver — bounded metadata.
+    pool_rows = (
+        sample.orderBy(F.xxhash64(F.col("_id"), F.lit(seed + 1)))
+        .limit(max(8 * n_centroids, 64))
+        .collect()
+    )
+    pool = [_normalize(list(r["_v"])) for r in pool_rows]
+    cents = pool[:1]
+    while len(cents) < n_centroids and len(cents) < len(pool):
+        best, best_score = None, None
+        for v in pool:
+            closeness = max(sum(a * b for a, b in zip(v, c)) for c in cents)
+            if best_score is None or closeness < best_score:
+                best, best_score = v, closeness
+        cents.append(best)
+    cents = cents[:n_centroids] or [[0.0]]
+    for _ in range(max(0, n_iters)):
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        dots = F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                V.dot(F.col("_v"), c["cv"]).alias("dot"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        assigned = sample.select(
+            F.col("_v"), F.array_max(dots)["cid"].alias("_cid")
+        )
+        new_rows = (
+            assigned.select("_cid", F.posexplode("_v"))
+            .groupBy("_cid", "pos")
+            .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
+            .withColumn("m", F.col("s") / F.col("n"))
+            .groupBy("_cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "_cid", F.transform("pm", lambda x: x["m"]).alias("_cv")
+            )
+            .collect()
+        )
+        by_cid = {r["_cid"]: _normalize(list(r["_cv"])) for r in new_rows}
+        cents = [by_cid.get(i, cents[i]) for i in range(n_centroids)]
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -138,31 +242,61 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroid_sample_seed: int = 42,
+    refine_iters: int = 0,
+    train_limit: int | None = 65536,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize vectors to their
     nearest centroid (inverted lists), then rank only the lists the
     query probes.
 
     Centroids are a deterministic sample of the corpus (hash-ranked —
-    cheap and stable; a k-means refinement would slot in here without
-    changing the query shape). Assignment = argmax of centroid dot
-    products via ``max_by`` over a posexploded dot array — all
-    JVM-side. At scale the corpus is written partitioned by
-    ``_list_id`` so a probe reads n_probe/n_centroids of the data.
+    cheap and stable), optionally refined with ``refine_iters`` rounds
+    of spherical k-means (:func:`kmeans_centroids` — tighter lists,
+    better recall per probe, identical query shape). Assignment =
+    argmax of centroid dot products via ``max_by`` over a posexploded
+    dot array — all JVM-side. At scale the corpus is written
+    partitioned by ``_list_id`` so a probe reads n_probe/n_centroids
+    of the data.
     """
-    # deterministic centroid sample: top-n_centroids by hashed id.
-    # orderBy().limit() plans as TakeOrderedAndProject — each partition
-    # keeps its local top-n and the driver merges n·p rows. (A global
-    # Window.orderBy + row_number here would funnel the WHOLE corpus
-    # through one task — fatal at scale.)
-    cents = (
-        df.select(F.col(id_col).alias("_cid"), V.as_double(F.col(vec_col)).alias("_cv"))
-        .orderBy(F.xxhash64(F.col("_cid"), F.lit(centroid_sample_seed)))
-        .limit(n_centroids)
-    )
-    cents = F.broadcast(cents.groupBy().agg(
-        F.collect_list(F.struct("_cid", "_cv")).alias("_cents")
-    ))
+    if refine_iters > 0:
+        trained = kmeans_centroids(
+            df,
+            vec_col,
+            id_col,
+            n_centroids=n_centroids,
+            n_iters=refine_iters,
+            seed=centroid_sample_seed,
+            train_limit=train_limit,
+        )
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(f"k{i}").alias("_cid"),
+                    F.array(*[F.lit(float(x)) for x in c]).alias("_cv"),
+                )
+                for i, c in enumerate(trained)
+            ]
+        )
+        cents = F.broadcast(
+            df.sparkSession.range(1).select(cent_lit.alias("_cents"))
+        )
+    else:
+        # deterministic centroid sample: top-n_centroids by hashed id.
+        # orderBy().limit() plans as TakeOrderedAndProject — each
+        # partition keeps its local top-n and the driver merges n·p
+        # rows. (A global Window.orderBy + row_number here would funnel
+        # the WHOLE corpus through one task — fatal at scale.)
+        sampled = (
+            df.select(
+                F.col(id_col).cast("string").alias("_cid"),
+                V.as_double(F.col(vec_col)).alias("_cv"),
+            )
+            .orderBy(F.xxhash64(F.col("_cid"), F.lit(centroid_sample_seed)))
+            .limit(n_centroids)
+        )
+        cents = F.broadcast(sampled.groupBy().agg(
+            F.collect_list(F.struct("_cid", "_cv")).alias("_cents")
+        ))
 
     def nearest_lists(vec, n: int):
         # dots: array of (list_id, dot) structs over the centroid set

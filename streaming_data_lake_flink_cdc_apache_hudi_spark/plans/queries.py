@@ -1039,6 +1039,35 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_kmeans_topk",
+    f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb_d FROM embeddings
+)
+SELECT vec_id, ROUND({_COS_SQL}, 4) AS cos_sim
+FROM e, q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    doc="IVF with spherical k-means-refined centroids (2 Lloyd "
+    "iterations, distributed posexplode/partial-agg recompute) at "
+    "exhaustive probe — quantization must be lossless, so the full "
+    "brute-force oracle applies. The approximate (pruned-probe) "
+    "flavor is ivf_ann_topk; recall tests pin the planted-neighbor "
+    "behavior.",
+)
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return SIM.ivf_topk(
+        e, "embedding", "vec_id", qv, k=10, n_centroids=8, n_probe=8,
+        refine_iters=2,
+    )
+
+
+@register(
     "percentiles",
     """
 SELECT l_returnflag,

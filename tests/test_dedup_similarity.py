@@ -279,6 +279,61 @@ def test_ivf_topk_finds_planted_neighbor(spark, vecs):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_kmeans_centroids_separate_planted_clusters(spark):
+    """3 well-separated clusters -> spherical k-means with k=3 puts one
+    centroid per cluster: every member's nearest centroid is the same
+    as its cluster-mates' and differs across clusters."""
+    rng = random.Random(17)
+    means = [[8.0 if d == c * 20 else 0.0 for d in range(64)] for c in range(3)]
+    rows = []
+    for i in range(120):
+        c = i % 3
+        rows.append(
+            (i, [m + rng.gauss(0, 0.3) for m in means[c]])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.kmeans_centroids(
+        df, "embedding", "vec_id", n_centroids=3, n_iters=3, seed=1
+    )
+    assert len(cents) == 3
+    import math
+
+    def nearest(v):
+        return max(
+            range(3), key=lambda i: sum(a * b for a, b in zip(v, cents[i]))
+        )
+
+    assignment = {}
+    for i, v in rows:
+        assignment.setdefault(i % 3, set()).add(nearest(v))
+    # each cluster maps to exactly one centroid, all three distinct
+    assert all(len(s) == 1 for s in assignment.values())
+    assert len(set.union(*assignment.values())) == 3
+    # centroids are unit-normalized (spherical k-means invariant)
+    for c in cents:
+        assert math.isclose(sum(x * x for x in c), 1.0, rel_tol=1e-9)
+
+
+def test_ivf_refined_exhaustive_probe_equals_brute_force(spark, vecs):
+    # k-means-refined centroids change the lists, not the math:
+    # exhaustive probe must still equal brute force exactly
+    qv = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    exact = [
+        (r["vec_id"], r["cos_sim"])
+        for r in SIM.cosine_topk(vecs, "embedding", "vec_id", qv, k=5).collect()
+    ]
+    refined = [
+        (r["vec_id"], r["cos_sim"])
+        for r in SIM.ivf_topk(
+            vecs, "embedding", "vec_id", qv, k=5, n_centroids=8, n_probe=8,
+            refine_iters=2,
+        ).collect()
+    ]
+    assert exact == refined
+
+
 def test_ivf_probe_prunes_corpus(spark, vecs):
     # with n_probe == n_centroids the probe is exhaustive -> must equal
     # brute force exactly (sanity for the quantization plumbing)
