@@ -49,9 +49,12 @@ def main() -> None:
     for name in names:
         df = QUERIES[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warmup
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: shields the number from host
+            t0 = time.perf_counter()  # contention spikes (observed 3-8x)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     streaming = _streaming_ingest_bench(spark)
 
