@@ -1,0 +1,111 @@
+"""Deterministic sampling and sequence packing for training-data
+pipelines (extension surface — the reference exposes nothing like
+this; mandated by the build brief's LLM-pipeline operator set).
+
+Why hash-based sampling (not ``df.sample``): training-data curation
+needs samples that are REPRODUCIBLE across engines, runs, and
+partitionings — ``rand()``-based sampling changes membership whenever
+the partition layout changes. Keying the keep-decision off
+``md5(id)`` gives every row a stable coin flip: the same row is
+always in or out at a given rate, rates compose monotonically
+(a 10% sample is a subset of the 50% sample), and the exact same
+predicate runs in any SQL engine (md5 is everywhere) — so the DuckDB
+oracle checks membership bit-for-bit.
+
+Scale notes:
+- sampling is a map-only filter (no shuffle, no state); it pushes
+  into the scan like any other predicate.
+- ``concat_chunk_pack`` is the GPT-style concat-and-chunk packing:
+  lay all documents end-to-end in a deterministic order, cut every
+  ``capacity`` tokens. One windowed pass — a per-group sort, no
+  joins, no iteration. Partition by shard/stratum (``partition_col``)
+  so each group packs independently in its own task; a global pack
+  order (partition_col=None) funnels the sort through one task and
+  is only for small inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX_SPACE = 16**8  # keep-threshold resolution: first 8 md5 hex chars
+
+
+def hash_keep(id_col: Column, rate: float) -> Column:
+    """Deterministic per-row keep predicate at the given rate: the
+    row's md5 prefix (uniform over the hex space) is compared against
+    the rate threshold. Same literal threshold string works in any
+    engine with md5 — lexicographic compare of fixed-width lowercase
+    hex == numeric compare."""
+    if rate >= 1.0:
+        return F.lit(True)
+    if rate <= 0.0:
+        return F.lit(False)
+    thr = format(int(rate * HEX_SPACE), "08x")
+    return F.substring(F.md5(id_col.cast("string")), 1, 8) < F.lit(thr)
+
+
+def hash_keep_threshold(rate: float) -> str:
+    """The 8-hex-char threshold for ``rate`` — exported so oracle SQL
+    is generated from the identical constant."""
+    return format(int(rate * HEX_SPACE), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum (language,
+    source, quality band, ...) keeps its own fraction — the data-mixing
+    primitive for training corpora (e.g. upsample low-resource
+    languages, downsample boilerplate-heavy sources)."""
+    pred = hash_keep(F.col(id_col), default_rate)
+    for stratum, rate in rates.items():
+        pred = F.when(
+            F.col(stratum_col) == stratum, hash_keep(F.col(id_col), rate)
+        ).otherwise(pred)
+    return df.filter(pred)
+
+
+def concat_chunk_pack(
+    df: DataFrame,
+    token_count_col: str,
+    order_col: str,
+    capacity: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end to
+    end in ``order_col`` order (within each ``partition_col`` group)
+    and cut into fixed ``capacity``-token chunks. Adds:
+
+    - ``start_off``: the document's first token's offset in the
+      concatenated stream (exclusive running sum);
+    - ``first_chunk`` / ``n_chunks``: which chunk the document starts
+      in and how many chunks it spans (a document may straddle a
+      boundary — that is the point of concat-and-chunk packing; use
+      the offsets to slice).
+
+    All bigint, all one window — the oracle is the same three
+    expressions in ANSI SQL."""
+    w = (
+        Window.partitionBy(partition_col) if partition_col else Window
+    ).orderBy(order_col)
+    start = F.coalesce(
+        F.sum(F.col(token_count_col).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    out = df.withColumn("start_off", start)
+    first = F.floor(F.col("start_off") / capacity)
+    last = F.floor(
+        (F.col("start_off") + F.col(token_count_col).cast("long") - 1)
+        / capacity
+    )
+    return out.withColumn("first_chunk", first).withColumn(
+        "n_chunks", last - first + F.lit(1).cast("long")
+    )

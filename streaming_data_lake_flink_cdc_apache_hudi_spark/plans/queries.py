@@ -324,6 +324,7 @@ def q_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..functions import text as TX  # noqa: E402
 from ..operators import dedup as DD  # noqa: E402
+from ..operators import sampling as SAMP  # noqa: E402
 from ..operators import similarity as SIM  # noqa: E402
 
 
@@ -1036,6 +1037,80 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return SIM.ivf_topk(e, "embedding", "vec_id", qv, k=10)
+
+
+_SAMPLE_RATES = {"en": 0.5, "es": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def _keep_sql(rate: float) -> str:
+    from ..operators.sampling import hash_keep_threshold
+
+    return (
+        f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "
+        f"'{hash_keep_threshold(rate)}'"
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""
+SELECT doc_id, lang FROM documents
+WHERE CASE WHEN lang = 'en' THEN {_keep_sql(0.5)}
+           WHEN lang = 'es' THEN {_keep_sql(0.25)}
+           ELSE {_keep_sql(0.1)} END
+""",
+    doc="Deterministic per-stratum sampling (training-data mixing): "
+    "md5-hash keep-decision per doc -> reproducible across engines, "
+    "runs and partitionings; rates compose monotonically. Map-only "
+    "filter, pushes into the scan. operators/sampling.py.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return SAMP.stratified_sample(
+        docs, "lang", "doc_id", _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    ).select("doc_id", "lang")
+
+
+@register(
+    "sequence_packing",
+    """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, start_off,
+       CAST(FLOOR(start_off / 512.0) AS BIGINT) AS first_chunk,
+       CAST(FLOOR((start_off + n_tokens - 1) / 512.0) AS BIGINT)
+         - CAST(FLOOR(start_off / 512.0) AS BIGINT) + 1 AS n_chunks
+FROM c
+""",
+    doc="GPT-style concat-and-chunk sequence packing: documents laid "
+    "end-to-end per language in doc_id order, cut every 512 tokens; "
+    "emits each doc's stream offset + chunk span. One windowed pass, "
+    "partition-parallel per stratum (at scale: per shard). "
+    "operators/sampling.py concat_chunk_pack.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = SAMP.concat_chunk_pack(
+        docs, "n_tokens", "doc_id", capacity=512, partition_col="lang"
+    )
+    return packed.select(
+        "doc_id", "lang", "n_tokens", "start_off", "first_chunk", "n_chunks"
+    )
 
 
 @register(

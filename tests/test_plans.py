@@ -155,3 +155,22 @@ def test_attribution_range_join_is_equi_keyed(spark):
     plan = _plan(spark, "purchase_click_attribution")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_packing_window_is_stratum_parallel(spark):
+    # packing partitions by lang: the window must hash-distribute by
+    # the stratum, never collapse to a single-partition global sort
+    plan = _plan(spark, "sequence_packing")
+    tree = _tree(plan)
+    assert "Exchange SinglePartition" not in tree
+    assert "hashpartitioning(lang" in plan
+
+
+def test_stratified_sample_is_scan_level_filter(spark):
+    # the keep-predicate is a map-only filter on the scan: no shuffle,
+    # no join, no aggregation anywhere in the plan
+    plan = _plan(spark, "stratified_sample")
+    tree = _tree(plan)
+    assert "- Exchange (" not in tree
+    assert "Join" not in tree
+    assert "Aggregate" not in tree
