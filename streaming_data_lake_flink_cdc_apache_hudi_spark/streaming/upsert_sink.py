@@ -811,7 +811,18 @@ class UpsertLakeTable:
             compacted = merged.filter(F.col("_op") != "D")
             tmp = os.path.join(self.path, "_compact_tmp")
             shutil.rmtree(tmp, ignore_errors=True)
-            compacted.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+            # clustering (≙ Hudi clustering / sort on write): key-sort
+            # within each bucket so parquet row-group min/max stats on
+            # the key are tight — a keyed read skips whole row groups
+            # instead of scanning the bucket. One extra shuffle of the
+            # compacted slice only (bounded by the affected buckets).
+            (
+                compacted.repartition("bucket")
+                .sortWithinPartitions("bucket", *self.key)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(tmp)
+            )
             for b in affected:
                 src = os.path.join(tmp, f"bucket={b}")
                 dst = os.path.join(self._base, f"bucket={b}")

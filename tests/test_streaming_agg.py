@@ -266,3 +266,31 @@ def test_native_stream_stream_join_append_only(spark, tmp_path):
         ).select("purchase_id", "click_id").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Streaming exact-once event dedup (dropDuplicatesWithinWatermark):
+    redelivered event_ids inside the watermark horizon are dropped —
+    the stream-level complement of the sink's commit-id replay guard.
+    State is bounded by the watermark (old ids age out), so this holds
+    at any stream length — unlike an unbounded dropDuplicates."""
+    events = read_events_stream(spark, SF_SMOKE)
+    # simulate at-least-once delivery: every event arrives twice
+    redelivered = events.union(events)
+    deduped = redelivered.withWatermark(
+        "ts", "10 minutes"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream"
+    ).collect()[0]
+    q.stop()
+    expected = load_table(spark, SF_SMOKE, "events").count()
+    assert got["d"] == expected  # every event survives exactly once
+    assert got["n"] == expected  # and no duplicate made it through

@@ -291,6 +291,27 @@ def test_cdc_changes_insert_update_delete(spark, tmp_path):
     assert table.changes(since_seq=3).count() == 0
 
 
+def test_compaction_clusters_by_key(spark, tmp_path):
+    """Hudi-clustering parity: compaction key-sorts within each bucket
+    file so parquet row-group min/max stats on the key are tight (a
+    keyed read skips row groups instead of scanning the bucket)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "cl"), key="uuid", num_buckets=2, compact_every=1
+    )
+    rows = [(f"id{i:03d}", f"n{i}", i, "2024-01-01 00:00:00") for i in range(200)]
+    t.write(_t1(spark, rows), commit_id="c1")  # compacts immediately
+    files = glob.glob(str(tmp_path / "cl" / "base" / "bucket=*" / "*.parquet"))
+    assert files
+    for f in files:
+        keys = pq.read_table(f, columns=["uuid"])["uuid"].to_pylist()
+        assert keys == sorted(keys), f"bucket file not key-sorted: {f}"
+    assert t.snapshot().count() == 200
+
+
 def test_schema_evolution_add_and_omit_columns(spark, tmp_path):
     """Hudi-style schema evolution: an evolve_schema write may add new
     columns (old rows read NULL) or omit non-key columns (its rows
