@@ -1039,6 +1039,58 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(e, "embedding", "vec_id", qv, k=10)
 
 
+@register(
+    "debezium_parse",
+    """
+SELECT * FROM (VALUES
+  ('I', '2023-06-15 12:00:00', 101, 'id1', 'Danny', 23),
+  ('U', '2023-06-15 12:00:01', 102, 'id1', 'Dan', 24),
+  ('D', '2023-06-15 12:00:02', 103, 'id2', 'Stephen', 33),
+  ('I', '2023-06-15 12:00:03', 104, 'id3', 'Julian', 53))
+AS t(op, ts_str, seq, uuid, name, age)
+""",
+    doc="Debezium JSON change events (the wire format under the "
+    "reference's postgres-cdc connector, zpln:1060 ¶24) parsed to the "
+    "engine envelope: c/r->I, u->U, d->D; ts_ms->commit ts; WAL "
+    "lsn->seq. Delete rows surface their before-image. Pure from_json "
+    "— map-only, shuffle-free. sources/debezium.py.",
+)
+def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.debezium import parse_debezium_json
+
+    row_schema = T.StructType(
+        [
+            T.StructField("uuid", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.IntegerType()),
+        ]
+    )
+    raw = [
+        '{"op":"c","ts_ms":1686830400000,"before":null,'
+        '"after":{"uuid":"id1","name":"Danny","age":23},"source":{"lsn":101}}',
+        '{"op":"u","ts_ms":1686830401000,'
+        '"before":{"uuid":"id1","name":"Danny","age":23},'
+        '"after":{"uuid":"id1","name":"Dan","age":24},"source":{"lsn":102}}',
+        '{"op":"d","ts_ms":1686830402000,'
+        '"before":{"uuid":"id2","name":"Stephen","age":33},'
+        '"after":null,"source":{"lsn":103}}',
+        '{"op":"r","ts_ms":1686830403000,"before":null,'
+        '"after":{"uuid":"id3","name":"Julian","age":53},"source":{"lsn":104}}',
+    ]
+    df = spark.createDataFrame([(s,) for s in raw], "value string")
+    env = parse_debezium_json(df, "value", row_schema)
+    return env.select(
+        "op",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "seq",
+        F.coalesce(F.col("after.uuid"), F.col("before.uuid")).alias("uuid"),
+        F.coalesce(F.col("after.name"), F.col("before.name")).alias("name"),
+        F.coalesce(F.col("after.age"), F.col("before.age")).alias("age"),
+    )
+
+
 _SAMPLE_RATES = {"en": 0.5, "es": 0.25}
 _SAMPLE_DEFAULT = 0.1
 

@@ -233,3 +233,46 @@ def test_continuous_trigger_live_appends(spark, tmp_path, feed_dir):
         assert got == {1.0: "Ann B", 2.0: "Bob B"}
     finally:
         q.stop()
+
+
+def test_debezium_parse_wrapped_and_chained_to_state(spark):
+    """Debezium schemas.enable framing unwraps; unknown ops parse to
+    NULL op; the parsed envelope chains straight into current_state."""
+    from pyspark.sql import types as T
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.changelog import (
+        current_state,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.debezium import (
+        parse_debezium_json,
+    )
+
+    row_schema = T.StructType(
+        [
+            T.StructField("uuid", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.IntegerType()),
+        ]
+    )
+    wrapped = [
+        '{"schema":{"type":"struct"},"payload":{"op":"c","ts_ms":1000,'
+        '"before":null,"after":{"uuid":"a","name":"A","age":1},'
+        '"source":{"lsn":1}}}',
+        '{"schema":{"type":"struct"},"payload":{"op":"u","ts_ms":2000,'
+        '"before":{"uuid":"a","name":"A","age":1},'
+        '"after":{"uuid":"a","name":"A2","age":2},"source":{"lsn":2}}}',
+        '{"schema":{"type":"struct"},"payload":{"op":"c","ts_ms":3000,'
+        '"before":null,"after":{"uuid":"b","name":"B","age":3},'
+        '"source":{"lsn":3}}}',
+        '{"schema":{"type":"struct"},"payload":{"op":"d","ts_ms":4000,'
+        '"before":{"uuid":"b","name":"B","age":3},"after":null,'
+        '"source":{"lsn":4}}}',
+        # tombstone-ish unknown op -> NULL op row (policy: caller filters)
+        '{"schema":{"type":"struct"},"payload":{"op":"x","ts_ms":5000,'
+        '"before":null,"after":null,"source":{"lsn":5}}}',
+    ]
+    df = spark.createDataFrame([(s,) for s in wrapped], "value string")
+    env = parse_debezium_json(df, "value", row_schema, wrapped=True)
+    assert env.filter(F.col("op").isNull()).count() == 1
+    live = current_state(env.filter(F.col("op").isNotNull()), key="uuid")
+    assert [tuple(r) for r in live.collect()] == [("a", "A2", 2)]
