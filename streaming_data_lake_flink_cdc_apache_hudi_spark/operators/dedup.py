@@ -471,3 +471,62 @@ def near_dedup_corpus(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# connected components over a pair graph (transitive near-dup clusters)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, comp) labeling of the undirected graph given as an edge
+    list: ``comp`` is the minimum node id reachable from ``node`` —
+    the transitive-closure complement of ``near_dedup_corpus``'s
+    greedy pass (a~b~c with a!~c clusters all three here; pick one
+    representative per comp to dedup transitively).
+
+    Scale shape (the map-reduce CC pattern): min-label propagation —
+    per iteration ONE equi-join (each node pulls its neighbors'
+    labels) and ONE groupBy-min, both O(E) hash shuffles; no driver
+    state beyond a converged? count. Iterations needed = graph
+    diameter, which for near-dup graphs is tiny (clusters are cliques
+    or near-cliques); ``max_iters`` bounds adversarial chains. Labels
+    are ``localCheckpoint``-ed per iteration so lineage stays flat
+    (the cluster analog writes a labels table per round). A
+    convergence check costs one ``limit(1).count()`` — stops early,
+    O(1) driver data.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels, edges["v"] == labels["node"], "inner"
+        ).select(edges["u"].alias("node"), F.col("comp"))
+        new = (
+            labels.select("node", "comp")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(
+                labels.select("node", F.col("comp").alias("_old")), "node"
+            )
+            .filter(F.col("comp") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -1039,6 +1039,37 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(e, "embedding", "vec_id", qv, k=10)
 
 
+_CC_EDGES = [(1, 2), (2, 3), (3, 4), (5, 6), (8, 9), (9, 10)]
+_CC_VALUES = ",".join(f"({u},{v})" for u, v in _CC_EDGES)
+
+
+@register(
+    "connected_components",
+    f"""
+WITH RECURSIVE und(u, v) AS (
+  SELECT u, v FROM (VALUES {_CC_VALUES}) e(u, v)
+  UNION SELECT v, u FROM (VALUES {_CC_VALUES}) e(u, v)
+),
+reach(node, x) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT e.u, r.x FROM und e JOIN reach r ON r.node = e.v
+)
+SELECT node, MIN(x) AS comp FROM reach GROUP BY node
+""",
+    doc="Connected components over a near-dup pair graph (min-label "
+    "propagation, operators/dedup.py) — transitive dedup clustering. "
+    "The oracle recomputes the same labeling with a recursive CTE "
+    "(min reachable node id), so the iterative DataFrame algorithm "
+    "is checked against an independent fixpoint formulation.",
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    edges = spark.createDataFrame(_CC_EDGES, "id_a long, id_b long")
+    return connected_components(edges)
+
+
 @register(
     "debezium_parse",
     """

@@ -351,3 +351,52 @@ def test_ivf_probe_prunes_corpus(spark, vecs):
         ).collect()
     ]
     assert exact == full_probe
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graph: the distributed min-label propagation must equal
+    a driver-side union-find ground truth exactly."""
+    rng = random.Random(23)
+    n = 200
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_graph = {x for e in edges for x in e}
+    # canonical truth: min node id per component
+    min_of = {}
+    for x in in_graph:
+        r = find(x)
+        min_of[r] = min(min_of.get(r, x), x)
+    truth = {x: min_of[find(x)] for x in in_graph}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["comp"]
+        for r in DD.connected_components(df).collect()
+    }
+    assert got == truth
+
+
+def test_transitive_cluster_vs_greedy_keep(spark):
+    """A chain a~b, b~c (a!~c) clusters transitively: connected
+    components put all three in one cluster even though the greedy
+    pair pass only sees the two edges."""
+    edges = spark.createDataFrame([(7, 8), (8, 9)], "id_a long, id_b long")
+    got = {
+        (r["node"], r["comp"])
+        for r in DD.connected_components(edges).collect()
+    }
+    assert got == {(7, 7), (8, 7), (9, 7)}
