@@ -1039,6 +1039,25 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(e, "embedding", "vec_id", qv, k=10)
 
 
+@register(
+    "approx_sketches",
+    None,
+    doc="The 100 TB flavor of percentiles/distinct_agg: HLL++ "
+    "approx_count_distinct and t-digest-style approx_percentile per "
+    "group — single-pass, mergeable, bounded-memory sketches (exact "
+    "variants shuffle all distinct values / sort groups). No oracle "
+    "(estimators are engine-specific); tests pin relative error "
+    "against the exact queries.",
+)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
+    )
+
+
 _CC_EDGES = [(1, 2), (2, 3), (3, 4), (5, 6), (8, 9), (9, 10)]
 _CC_VALUES = ",".join(f"({u},{v})" for u, v in _CC_EDGES)
 

@@ -66,3 +66,34 @@ def test_concat_chunk_pack_offsets_are_gapless(spark):
             end = off + r["n_tokens"] - 1
             assert r["n_chunks"] == end // 512 - off // 512 + 1
             off += r["n_tokens"]
+
+
+def test_approx_sketches_error_bounds(spark):
+    """HLL++ distinct and approx percentiles must land within tight
+    relative error of the exact answers (the sketches are the scale
+    path; exactness within rsd is their contract)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.plans.queries import (
+        QUERIES,
+    )
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["approx_sketches"].fn(spark, SF_ORACLE).collect()
+    }
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supps"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_supps"] - e["supps"]) / e["supps"] < 0.05
+        assert abs(a["approx_p50"] - e["p50"]) / e["p50"] < 0.02
+        assert abs(a["approx_p99"] - e["p99"]) / e["p99"] < 0.02
