@@ -58,8 +58,29 @@ class EngineSession:
         )
         return self.registry.upsert_handle(name)
 
-    def table(self, name: str) -> DataFrame:
-        return self.registry.resolve(name)
+    def table(
+        self,
+        name: str,
+        query_type: str = "snapshot",
+        as_of_seq: int | None = None,
+        since_seq: int | None = None,
+    ) -> DataFrame:
+        """Read a registered table. For upsert (lake) tables the full
+        Hudi query-type surface applies: ``snapshot`` (default,
+        optionally ``as_of_seq`` = time travel), ``incremental`` /
+        ``cdc`` (require ``since_seq``), ``read_optimized``."""
+        if query_type == "snapshot" and as_of_seq is None and since_seq is None:
+            return self.registry.resolve(name)
+        h = self.registry.upsert_handle(name)
+        if query_type == "snapshot":
+            return h.snapshot(as_of_seq=as_of_seq)
+        if query_type == "incremental":
+            return h.incremental(since_seq=since_seq)
+        if query_type == "cdc":
+            return h.changes(since_seq=since_seq)
+        if query_type == "read_optimized":
+            return h.read_optimized()
+        raise ValueError(f"unknown query_type {query_type!r}")
 
     def drop_table(self, name: str) -> None:
         self.registry.drop_table(name)
@@ -71,9 +92,35 @@ class EngineSession:
         CREATE TABLE ... WITH ('connector' = ...) / USING upsert
         OPTIONS(...) and DROP TABLE — are routed into the registry so
         the notebook's paste-DDL workflow (¶7/¶24) works verbatim;
-        everything else goes to spark.sql."""
+        ``<upsert-table> VERSION AS OF n`` (Spark's time-travel
+        spelling) binds the point-in-time snapshot; everything else
+        goes to spark.sql."""
         handled = self.registry.execute_ddl(statement)
-        return handled if handled is not None else self.spark.sql(statement)
+        if handled is not None:
+            return handled
+        return self.spark.sql(self._rewrite_time_travel(statement))
+
+    def _rewrite_time_travel(self, statement: str) -> str:
+        """Bind `t VERSION AS OF n` references to registered upsert
+        tables as point-in-time temp views (plain temp views cannot
+        carry v2 time-travel syntax, so the snapshot is materialized
+        as a view named t__v<n> and the reference rewritten)."""
+        import re
+
+        def sub(m: re.Match) -> str:
+            name, seq = m.group(1), int(m.group(2))
+            try:
+                h = self.registry.upsert_handle(name)
+            except Exception:
+                return m.group(0)  # not an engine upsert table
+            view = f"{name}__v{seq}"
+            h.snapshot(as_of_seq=seq).createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"`?(\w+)`?\s+VERSION\s+AS\s+OF\s+(\d+)", sub, statement,
+            flags=re.IGNORECASE,
+        )
 
     def query(self, name: str, sf_dir: str = "/root/testdata/sf0.01") -> DataFrame:
         """Run a named query from the engine's registry (SURVEY.md §2

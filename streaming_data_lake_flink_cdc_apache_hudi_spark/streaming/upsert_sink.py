@@ -232,6 +232,28 @@ class UpsertLakeTable:
         for f in files[:cut]:
             os.remove(os.path.join(self._commits, f))
 
+    def timeline(self) -> DataFrame:
+        """The commit timeline as a DataFrame (≙ Hudi CLI `commits
+        show` / the timeline server): one row per commit with seq,
+        caller commit-id, kind (delta|compaction) and wall time.
+        Driver-side O(active timeline + archive), bounded by
+        ``archive_after`` — metadata, not data."""
+        rows = [
+            (
+                int(c["seq"]),
+                c.get("commit_id"),
+                c["kind"],
+                int(c.get("n_rows", -1)),
+                float(c.get("wall_time", 0.0)),
+            )
+            for c in self.commits()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "seq long, commit_id string, kind string, "
+            "n_rows long, wall_time double",
+        )
+
     def last_commit_seq(self) -> int:
         cs = self._commit_files()
         return int(cs[-1].split("-")[1].split(".")[0]) if cs else 0

@@ -140,3 +140,40 @@ def test_salted_join_equals_plain_join(spark):
     assert (
         plain.groupBy("k").count().subtract(want.groupBy("k").count()).count() == 0
     )
+
+
+def test_query_types_and_version_as_of_sql(spark, tmp_path):
+    """The full Hudi query-type surface through the session facade:
+    table(query_type=...) and the `VERSION AS OF` SQL spelling."""
+    from pyspark.sql import functions as F
+
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    t = eng.create_upsert_table(
+        "qt", str(tmp_path / "qt"), key=["id"], compact_every=10
+    )
+    t.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+        commit_id="c1",
+    )
+    t.write(
+        spark.createDataFrame([(1, "a2")], "id int, v string"), commit_id="c2"
+    )
+    # snapshot vs time travel (python + SQL spellings agree)
+    assert {tuple(r) for r in eng.table("qt").collect()} == {(1, "a2"), (2, "b")}
+    assert {
+        tuple(r) for r in eng.table("qt", as_of_seq=1).collect()
+    } == {(1, "a"), (2, "b")}
+    sql_tt = eng.sql("SELECT id, v FROM qt VERSION AS OF 1 ORDER BY id")
+    assert [tuple(r) for r in sql_tt.collect()] == [(1, "a"), (2, "b")]
+    # incremental + cdc + read_optimized flavors
+    inc = eng.table("qt", query_type="incremental", since_seq=1)
+    assert [r["id"] for r in inc.collect()] == [1]
+    cdc = eng.table("qt", query_type="cdc", since_seq=1)
+    assert [
+        (r["id"], r["_change_type"]) for r in cdc.collect()
+    ] == [(1, "update")]
+    assert eng.table("qt", query_type="read_optimized").count() == 0  # no base yet
+    # timeline (Hudi CLI `commits show` parity)
+    tl = t.timeline().orderBy("seq").collect()
+    assert [(r["seq"], r["kind"]) for r in tl] == [(1, "delta"), (2, "delta")]
+    assert {r["commit_id"] for r in tl} == {"c1", "c2"}
