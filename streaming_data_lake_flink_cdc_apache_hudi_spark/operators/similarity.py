@@ -343,3 +343,100 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index at rest: corpus partitioned by inverted list
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    n_centroids: int = 16,
+    refine_iters: int = 2,
+    train_limit: int | None = 65536,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Materialize the IVF layout :func:`ivf_topk` only simulates:
+    train centroids (spherical k-means), assign every vector to its
+    inverted list, and write the corpus parquet-partitioned by
+    ``_list_id`` with the centroid matrix stored alongside
+    (``_centroids.json`` — underscore-prefixed, invisible to Spark
+    file listings). A probe then reads n_probe/n_centroids of the
+    data as a PARTITION-DIR filter — no scan of unprobed lists, the
+    property that makes IVF pay at 100 TB. Returns the centroids."""
+    import json
+    import os
+
+    cents = kmeans_centroids(
+        df, vec_col, id_col,
+        n_centroids=n_centroids, n_iters=refine_iters,
+        seed=seed, train_limit=train_limit,
+    )
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    dots = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            V.dot(V.as_double(F.col(vec_col)), c["cv"]).alias("dot"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_max(dots)["cid"].alias("_list_id"),
+    )
+    assigned.write.mode("overwrite").partitionBy("_list_id").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump(cents, fh)
+    return cents
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a :func:`write_ivf_index` layout: rank centroids against
+    the query DRIVER-side (k×dim floats — metadata), then read only
+    the probed ``_list_id=`` partition dirs (`isin` partition filter →
+    dir pruning at the scan) and brute-force the survivors. Output
+    matches :func:`ivf_topk`: (id, cos_sim) deterministic order."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        cents = json.load(fh)
+    scored = sorted(
+        (
+            (sum(a * b for a, b in zip(query_vec, c)), i)
+            for i, c in enumerate(cents)
+        ),
+        reverse=True,
+    )
+    probes = [i for _, i in scored[:n_probe]]
+    corpus = spark.read.option("basePath", path).parquet(path).filter(
+        F.col("_list_id").isin(probes)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = V.cosine(V.as_double(F.col(vec_col)), V.as_double(qv))
+    return (
+        corpus.select(F.col(id_col), F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -400,3 +400,56 @@ def test_transitive_cluster_vs_greedy_keep(spark):
         for r in DD.connected_components(edges).collect()
     }
     assert got == {(7, 7), (8, 7), (9, 7)}
+
+
+def test_ivf_index_at_rest_prunes_partitions(spark, vecs, tmp_path):
+    """write_ivf_index + ivf_probe_index: the probe must (a) return
+    exactly what the in-memory ivf_topk returns for the same
+    centroids/probe budget, and (b) physically read ONLY the probed
+    _list_id= partition dirs."""
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(
+        vecs, "embedding", "vec_id", path, n_centroids=8, refine_iters=2
+    )
+    q = [
+        r["embedding"]
+        for r in vecs.filter(F.col("vec_id") == 0).collect()
+    ][0]
+    got = SIM.ivf_probe_index(
+        spark, path, list(q), "embedding", "vec_id", k=5, n_probe=3
+    )
+    mem = SIM.ivf_topk(
+        vecs,
+        "embedding",
+        "vec_id",
+        vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv")),
+        k=5,
+        n_centroids=8,
+        n_probe=3,
+        refine_iters=2,
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]
+    # partition pruning: every file actually read lives in a probed dir
+    corpus = spark.read.option("basePath", path).parquet(path)
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        cents = json.load(fh)
+    probes = [
+        i
+        for _, i in sorted(
+            ((sum(a * b for a, b in zip(q, c)), i) for i, c in enumerate(cents)),
+            reverse=True,
+        )[:3]
+    ]
+    files = [
+        r[0]
+        for r in corpus.filter(F.col("_list_id").isin(probes))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    assert files
+    for f in files:
+        assert any(f"_list_id={p}/" in f for p in probes), f
