@@ -492,3 +492,74 @@ def test_write_rejects_schema_mismatch(spark, table):
     )
     with pytest.raises(ValueError, match="schema mismatch"):
         table.write(bad, commit_id="badc")
+
+
+def test_lake_random_walk_matches_dict_model(spark, tmp_path):
+    """Model-based test: a seeded random walk of writes / deletes /
+    compactions / restores over the lake table must always agree with
+    a plain dict replaying the same operations. Covers interleavings
+    no golden scenario pins (delete-then-reinsert around compaction,
+    restore past several deltas, duplicate in-batch keys resolved by
+    precombine)."""
+    import random
+
+    rng = random.Random(99)
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "walk"), key="uuid", num_buckets=4,
+        compact_every=1000,  # manual compaction only
+    )
+    model: dict[str, tuple] = {}
+    history: list[dict] = []  # model snapshot per commit seq (1-based)
+    keys = [f"k{i}" for i in range(8)]
+
+    def check():
+        got = {
+            r["uuid"]: (r["name"], r["age"])
+            for r in t.snapshot().collect()
+        }
+        want = {k: (n, a) for k, (n, a) in model.items()}
+        assert got == want
+
+    for step in range(30):
+        op = rng.choices(
+            ["write", "delete", "compact", "restore"], [6, 3, 1, 1]
+        )[0]
+        if op == "write":
+            batch = {
+                rng.choice(keys): (f"n{step}_{j}", rng.randrange(100))
+                for j in range(rng.randrange(1, 4))
+            }
+            rows = [
+                (k, n, a, "2024-01-01 00:00:00") for k, (n, a) in batch.items()
+            ]
+            t.write(_t1(spark, rows), commit_id=f"s{step}")
+            model.update(batch)
+            history.append(dict(model))
+        elif op == "delete":
+            k = rng.choice(keys)
+            rows = [(k, "x", 0, "2024-01-01 00:00:00")]
+            t.write(
+                _t1(spark, rows).withColumn("_d", F.lit(True)),
+                commit_id=f"s{step}",
+                delete_col="_d",
+            )
+            model.pop(k, None)
+            history.append(dict(model))
+        elif op == "compact":
+            seq = t.compact()
+            if seq:
+                history.append(dict(model))  # compaction takes a seq slot
+        else:  # restore to a random earlier commit (if legal: no
+            # compaction after it — tracked by trying and catching)
+            if len(history) > 1:
+                target = rng.randrange(1, len(history))
+                try:
+                    t.restore(to_seq=target)
+                except ValueError:
+                    continue  # crossed a compaction — legal refusal
+                model = dict(history[target - 1])
+                history = history[:target]
+        if step % 5 == 0:
+            check()
+    check()
+    assert t.last_commit_seq() == len(history)
