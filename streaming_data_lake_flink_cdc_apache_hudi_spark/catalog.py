@@ -105,13 +105,87 @@ class TableRegistry:
             ),
         )
 
+    def _insert_schema(self, name: str):
+        """Data-column StructType for INSERT alignment: the declared
+        DDL schema if the table was DDL-created, else the on-disk
+        written schema (meta/bucket columns stripped)."""
+        from pyspark.sql import types as T
+
+        t = self._tables[name]
+        sj = t.options.get("schema_json")
+        if sj:
+            return T.StructType.fromJson(json.loads(sj))
+        h = self.upsert_handle(name)
+        from .streaming.upsert_sink import META_COLS
+
+        stored = h._stored_schema()
+        if stored is None:
+            return None
+        return T.StructType(
+            [
+                f
+                for f in stored.fields
+                if f.name not in META_COLS and f.name != "bucket"
+            ]
+        )
+
+    def _execute_insert(self, statement: str) -> DataFrame | None:
+        """`INSERT INTO <upsert-table> SELECT ... | VALUES ...` — the
+        notebook's ¶9 (literal rows) and ¶53 (flagship SELECT)
+        statements, verbatim. Column matching is positional with
+        implicit casts to the table types (SQL INSERT semantics).
+        Returns a one-row status frame, or None when the target is not
+        a registered upsert table (falls through to spark.sql)."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        m = re.match(
+            r"^\s*INSERT\s+INTO\s+`?(\w+)`?\s+(.+)$",
+            statement.strip().rstrip(";"),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return None
+        name, body = m.group(1), m.group(2).strip()
+        if name not in self._tables or self._tables[name].kind != "upsert":
+            return None
+        schema = self._insert_schema(name)
+        if re.match(r"^VALUES", body, re.IGNORECASE):
+            if schema is None:
+                raise ValueError(
+                    f"INSERT INTO {name} VALUES needs a declared schema"
+                )
+            cols = ", ".join(f.name for f in schema.fields)
+            body = f"SELECT * FROM ({body}) AS _ins({cols})"
+        df = self.spark.sql(body)
+        if schema is not None:
+            if len(df.columns) != len(schema.fields):
+                raise ValueError(
+                    f"INSERT INTO {name}: {len(schema.fields)} columns "
+                    f"expected, query produced {len(df.columns)}"
+                )
+            df = df.select(
+                *[
+                    F.col(df.columns[i]).cast(f.dataType).alias(f.name)
+                    for i, f in enumerate(schema.fields)
+                ]
+            )
+        seq = self.upsert_handle(name).write(df)
+        self.resolve(name)  # refresh the bound temp view
+        return self.spark.createDataFrame([(str(seq),)], "result string")
+
     def execute_ddl(self, statement: str) -> DataFrame | None:
-        """Route a CREATE/DROP TABLE connector-DDL string into the
-        registry (≙ pasting the notebook's ¶7/¶24 paragraphs). Returns
-        an empty status DataFrame when handled, None when the statement
-        is not engine DDL (caller falls through to spark.sql)."""
+        """Route a CREATE/DROP TABLE connector-DDL string — or an
+        INSERT INTO an upsert table — into the registry (≙ pasting the
+        notebook's ¶7/¶24 DDL and ¶9/¶53 INSERT paragraphs). Returns
+        a status DataFrame when handled, None when the statement is
+        not engine SQL (caller falls through to spark.sql)."""
         from .ddl import parse_ddl
 
+        ins = self._execute_insert(statement)
+        if ins is not None:
+            return ins
         stmt = parse_ddl(statement)
         if stmt is None:
             return None

@@ -177,3 +177,50 @@ def test_query_types_and_version_as_of_sql(spark, tmp_path):
     tl = t.timeline().orderBy("seq").collect()
     assert [(r["seq"], r["kind"]) for r in tl] == [(1, "delta"), (2, "delta")]
     assert {r["commit_id"] for r in tl} == {"c1", "c2"}
+
+
+def test_sql_insert_into_values_and_select(spark, tmp_path):
+    """The notebook's ¶9 INSERT INTO ... VALUES and ¶53 INSERT INTO
+    sink SELECT statements run VERBATIM through eng.sql against a
+    DDL-declared upsert table (positional columns, implicit casts)."""
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    eng.sql(
+        f"""
+        CREATE TABLE t1_sql (
+          uuid STRING, name STRING, age INT, ts TIMESTAMP,
+          PRIMARY KEY (uuid) NOT ENFORCED
+        ) WITH ('connector' = 'hudi', 'path' = '{tmp_path / "t1_sql"}')
+        """
+    )
+    eng.sql(
+        "INSERT INTO t1_sql VALUES "
+        "('id1', 'Danny', 23, TIMESTAMP '1970-01-01 00:00:01'), "
+        "('id2', 'Stephen', 33, TIMESTAMP '1970-01-01 00:00:02')"
+    )
+    # upsert of an existing key, notebook ¶13 style
+    eng.sql(
+        "INSERT INTO t1_sql VALUES "
+        "('id1', 'Francisco Morillo', 29, TIMESTAMP '2023-06-15 12:00:00')"
+    )
+    got = {
+        r["uuid"]: (r["name"], r["age"])
+        for r in eng.sql("SELECT * FROM t1_sql").collect()
+    }
+    assert got == {
+        "id1": ("Francisco Morillo", 29),
+        "id2": ("Stephen", 33),
+    }
+    # INSERT INTO sink SELECT ... (flagship ¶53 shape) with implicit cast
+    eng.sql(
+        f"""
+        CREATE TABLE ages_sql (
+          uuid STRING, age DOUBLE,
+          PRIMARY KEY (uuid) NOT ENFORCED
+        ) WITH ('connector' = 'upsert', 'path' = '{tmp_path / "ages_sql"}')
+        """
+    )
+    eng.sql("INSERT INTO ages_sql SELECT uuid, age FROM t1_sql")
+    ages = {
+        r["uuid"]: r["age"] for r in eng.sql("SELECT * FROM ages_sql").collect()
+    }
+    assert ages == {"id1": 29.0, "id2": 33.0}  # INT -> DOUBLE implicit cast
