@@ -171,7 +171,16 @@ class TableRegistry:
                     for i, f in enumerate(schema.fields)
                 ]
             )
-        seq = self.upsert_handle(name).write(df)
+        # ≙ Hudi's precombine field declared in the table DDL (the
+        # reference sets 'precombine.field' in its WITH options): a
+        # multi-row-per-key INSERT resolves to the latest row first
+        pre = self._tables[name].options.get(
+            "precombine"
+        ) or self._tables[name].options.get("precombine.field")
+        seq = self.upsert_handle(name).write(
+            df,
+            precombine=[c.strip() for c in pre.split(",")] if pre else None,
+        )
         self.resolve(name)  # refresh the bound temp view
         return self.spark.createDataFrame([(str(seq),)], "result string")
 

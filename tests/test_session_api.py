@@ -224,3 +224,91 @@ def test_sql_insert_into_values_and_select(spark, tmp_path):
         r["uuid"]: r["age"] for r in eng.sql("SELECT * FROM ages_sql").collect()
     }
     assert ages == {"id1": 29.0, "id2": 33.0}  # INT -> DOUBLE implicit cast
+
+
+def test_verbatim_flagship_sql_through_engine(spark, tmp_path):
+    """The reference notebook's ¶53 INSERT INTO statement — its actual
+    SQL text, table names and all — runs through eng.sql against
+    renamed fixture views, with the sink's DDL-declared precombine
+    resolving multi-row keys exactly like the Hudi sink."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+    )
+
+    from .conftest import SF_SMOKE
+
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    # fixture tables under their reference names/columns (FIXTURES.md §Mapping)
+    load_table(spark, SF_SMOKE, "customer").selectExpr(
+        "c_custkey AS id", "c_name AS full_name"
+    ).createOrReplaceTempView("person")
+    load_table(spark, SF_SMOKE, "orders").selectExpr(
+        "o_orderkey AS id",
+        "o_custkey AS ticketholder_id",
+        "o_totalprice AS ticket_price",
+    ).createOrReplaceTempView("sporting_event_ticket")
+    load_table(spark, SF_SMOKE, "lineitem").selectExpr(
+        "l_orderkey AS sporting_event_ticket_id",
+        "l_shipdate AS transaction_date_time",
+    ).createOrReplaceTempView("ticket_purchase_hist")
+    eng.sql(
+        f"""
+        CREATE TABLE ticketview (
+          full_name STRING, id STRING, ticket_price DOUBLE,
+          transaction_date_time STRING,
+          PRIMARY KEY (full_name) NOT ENFORCED
+        ) WITH ('connector' = 'hudi', 'path' = '{tmp_path / "ticketview"}',
+                'precombine.field' = 'transaction_date_time,id')
+        """
+    )
+    # CDC-Hudi-Notebook.zpln:2317 ¶53, verbatim
+    eng.sql(
+        """
+        INSERT INTO ticketview
+        SELECT person.full_name,
+               CAST(sporting_event_ticket.id AS string) AS id,
+               sporting_event_ticket.ticket_price,
+               CAST(ticket_purchase_hist.transaction_date_time AS string)
+                   AS transaction_date_time
+        FROM person
+        JOIN sporting_event_ticket
+          ON person.id = sporting_event_ticket.ticketholder_id
+        JOIN ticket_purchase_hist
+          ON ticket_purchase_hist.sporting_event_ticket_id
+           = sporting_event_ticket.id
+        """
+    )
+    got = {
+        r["full_name"]: (r["id"], r["transaction_date_time"])
+        for r in eng.sql("SELECT * FROM ticketview").collect()
+    }
+    # independent ground truth: same join, window LWW on the declared
+    # precombine order (transaction_date_time DESC, id DESC)
+    want = {
+        r["full_name"]: (r["id"], r["transaction_date_time"])
+        for r in spark.sql(
+            """
+            SELECT full_name, id, transaction_date_time FROM (
+              SELECT person.full_name,
+                     CAST(t.id AS string) AS id,
+                     CAST(h.transaction_date_time AS string)
+                         AS transaction_date_time,
+                     row_number() OVER (
+                       PARTITION BY person.full_name
+                       ORDER BY CAST(h.transaction_date_time AS string) DESC,
+                                CAST(t.id AS string) DESC) AS rn
+              FROM person
+              JOIN sporting_event_ticket t ON person.id = t.ticketholder_id
+              JOIN ticket_purchase_hist h
+                ON h.sporting_event_ticket_id = t.id
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # no-duplicates invariant (¶61)
+    dup = eng.sql(
+        "SELECT full_name FROM ticketview GROUP BY full_name HAVING count(*) > 1"
+    )
+    assert dup.count() == 0
