@@ -100,6 +100,31 @@ def fingerprint(col) -> Column:
     return F.md5(col)
 
 
+# --- PII masking (map-only regexes; DuckDB mirrors need the 'g'
+# flag — Spark's regexp_replace is global by default, DuckDB's is
+# first-match-only) ---
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+def mask_digits(col) -> Column:
+    """Redact every digit (phone/account-number masking)."""
+    return F.regexp_replace(col, "[0-9]", "X")
+
+
+def digit_count(col) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, "[0-9]", ""))
+
+
+def digits_last4(col) -> Column:
+    """Last 4 digits kept for operator joins/audit (card-style)."""
+    return F.substring(F.regexp_replace(col, "[^0-9]", ""), -4, 4)
+
+
+def email_count(col) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0))
+
+
 def shingles(col, n: int = 3) -> Column:
     """Word n-gram shingles (for Jaccard/MinHash dedup): array of
     space-joined n-token windows."""

@@ -1,0 +1,152 @@
+"""Corpus-curation operators for training-data pipelines: eval-set
+decontamination, repetition metrics, PII masking, and deterministic
+shard assignment (extension surface — the reference exposes nothing
+like this; mandated by the build brief's LLM-pipeline operator set).
+
+All four are built from JVM-side ``pyspark.sql.functions`` (no Python
+in the hot path) and have exact DuckDB oracles.
+
+Scale shapes (the 100 TB contract for each):
+- ``decontaminate``: eval sets are small (a benchmark is thousands of
+  documents, the training corpus is billions) — the distinct eval
+  n-gram set is broadcast, so the training side is a map + broadcast
+  semi-join; the only shuffles are the distinct over the (small) eval
+  n-grams and the distinct over contaminated doc ids (bounded by the
+  contamination rate, not the corpus).
+- ``repetition_metrics``: map-only per-document column math; the
+  top-token scan is O(tokens x distinct tokens) per doc inside
+  whole-stage codegen — no shuffle, no state.
+- ``mask_digits``/PII helpers (functions/text.py): map-only regexes.
+- ``shard_assign``: map-only md5-bucket assignment — reproducible
+  across engines/partitionings for the same reason as
+  ``sampling.hash_keep`` (the hash, not the layout, decides). The
+  within-shard ``pack_position`` window partitions BY SHARD, so at
+  scale each shard sorts independently in its own task set — there is
+  deliberately no global window (single-partition sort) anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def eval_ngram_set(
+    eval_df: DataFrame, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Distinct word n-grams of the eval/benchmark set — the
+    contamination dictionary. One distinct over the (small) eval
+    side; the result is the broadcast side of ``decontaminate``."""
+    return (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(TX.shingles(F.col(text_col), shingle_n))
+            ).alias("_ng")
+        )
+        .distinct()
+    )
+
+
+def contaminated_ids(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Training doc ids sharing at least one word n-gram with the eval
+    set (the classic benchmark-decontamination test, n-gram overlap).
+
+    Shape: explode train shingles (map-only) -> broadcast hash
+    semi-join against the eval n-gram set -> distinct ids. The join
+    never shuffles the corpus; only the matching ids are shuffled for
+    the distinct.
+    """
+    ngrams = eval_ngram_set(eval_df, text_col, shingle_n)
+    exploded = train_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(TX.shingles(F.col(text_col), shingle_n))
+        ).alias("_ng"),
+    )
+    return (
+        exploded.join(F.broadcast(ngrams), "_ng", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Training rows with every eval-overlapping document removed."""
+    bad = contaminated_ids(train_df, eval_df, text_col, id_col, shingle_n)
+    return train_df.join(bad, id_col, "left_anti")
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str, round_to: int = 4
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, appended as
+    columns:
+
+    - ``dup_bigram_frac``: fraction of word-bigram occurrences that
+      are repeats (1 - distinct/total) — high for boilerplate and
+      looped generations;
+    - ``top_token_frac``: share of the document taken by its single
+      most frequent token — high for keyword-stuffed spam.
+
+    Pure column math over token arrays (whole-stage codegen); the
+    top-token count is O(tokens x distinct) per document, which is
+    the right trade at corpus scale versus an explode + groupBy
+    (which would shuffle every token of every document).
+    """
+    toks = TX.tokens(F.col(text_col))
+    bg = TX.shingles(F.col(text_col), 2)
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return df.withColumn(
+        "dup_bigram_frac", F.round(dup_frac, round_to)
+    ).withColumn(
+        "top_token_frac", F.round(top / F.size(toks), round_to)
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "",
+    with_position: bool = True,
+) -> DataFrame:
+    """Deterministic shard + within-shard order for training-shard
+    writes: shard = md5-bucket of the id (stable under any partition
+    layout, reproducible in any engine), ``pack_position`` = rank of
+    the id's md5 within its shard — a pseudo-random but fully
+    deterministic global shuffle of the corpus, materialized as
+    (shard, position) instead of an actual global sort.
+
+    The position window partitions by shard: at 100 TB this is
+    n_shards independent sorts, each the size of one output shard —
+    never a single-partition global window. Downstream,
+    ``df.repartition(n_shards, "shard")`` + sortWithinPartitions
+    writes each shard as one sorted file set.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed)))
+    prefix = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    out = df.withColumn("shard", (prefix % n_shards).cast("int"))
+    if with_position:
+        w = Window.partitionBy("shard").orderBy(h, F.col(id_col))
+        out = out.withColumn("pack_position", F.row_number().over(w))
+    return out

@@ -1268,12 +1268,34 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "jaccard_block_pairs",
-    None,
+    """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(toks) < 3 THEN [text]
+      ELSE [array_to_string(toks[i:i+2], ' ')
+            for i in generate_series(1, len(toks)-2)]
+      END) AS s
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(a.s || b.s)), 4) AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND len(b.s) >= 0.5 * len(a.s)
+ AND len(a.s) >= 0.5 * len(b.s)
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(a.s || b.s)) >= 0.5
+""",
     doc="Exact n-gram Jaccard pairs >= 0.5 with lossless "
     "size-containment blocking: log-banded shingle-set sizes + "
     "neighbor-band join cover every pair that can reach the "
     "threshold (J>=t implies size ratio within [t, 1/t]). "
-    "Rows-only; blocked==unblocked parity is pinned in tests.",
+    "Full DuckDB oracle: all-pairs exact Jaccard with the same "
+    "size-ratio bound; blocked==unblocked parity also pinned in "
+    "tests.",
 )
 def q_jaccard_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -1583,3 +1605,143 @@ def q_read_optimized_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_col="_del",
     )
     return t.read_optimized().select("uuid", "name", "age")
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation II: decontamination, repetition, PII, sharding
+# ---------------------------------------------------------------------------
+
+from ..operators import curation as CUR  # noqa: E402
+
+_DOC_SHINGLES_SQL = """
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(toks) < 3 THEN [text]
+      ELSE [array_to_string(toks[i:i+2], ' ')
+            for i in generate_series(1, len(toks)-2)]
+      END) AS s
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents)
+"""
+
+
+@register(
+    "decontaminate_docs",
+    f"""
+WITH sh AS ({_DOC_SHINGLES_SQL}),
+ev AS (SELECT DISTINCT unnest(s) AS ng FROM sh WHERE doc_id % 97 = 0)
+SELECT d.doc_id, d.source
+FROM documents d JOIN sh USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+  AND NOT EXISTS (SELECT 1 FROM ev
+                  WHERE list_contains(sh.s, ev.ng))
+""",
+    doc="Benchmark decontamination (extension surface; brief-mandated "
+    "LLM-pipeline op): docs with doc_id % 97 == 0 stand in for the "
+    "held-out eval set; every training doc sharing ANY word 3-gram "
+    "with it is removed. Spark shape: broadcast the distinct eval "
+    "n-grams, explode+semi-join the corpus (map + broadcast join, no "
+    "corpus shuffle), anti-join the contaminated ids.",
+)
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    return CUR.decontaminate(train, ev, "text", "doc_id").select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "doc_repetition",
+    """
+SELECT doc_id,
+  ROUND(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 4)
+    AS dup_bigram_frac,
+  ROUND(list_max([len(list_filter(toks, x -> x = t))
+                  for t in list_distinct(toks)]) * 1.0 / len(toks), 4)
+    AS top_token_frac
+FROM (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) < 2 THEN [text]
+    ELSE [array_to_string(toks[i:i+1], ' ')
+          for i in generate_series(1, len(toks)-1)]
+    END AS bg
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents)
+)
+""",
+    doc="Gopher-style repetition signals per document: duplicate-"
+    "bigram fraction + top-token share. Map-only column math in "
+    "whole-stage codegen — no shuffle, no UDF; the boilerplate/"
+    "keyword-stuffing filter of a curation pipeline.",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CUR.repetition_metrics(d, "text").select(
+        "doc_id", "dup_bigram_frac", "top_token_frac"
+    )
+
+
+@register(
+    "pii_scrub",
+    """
+WITH c AS (
+  SELECT c_custkey,
+    c_name || ' tel +' || CAST(c_custkey * 2718281 + c_nationkey
+                               AS VARCHAR) AS contact
+  FROM customer
+)
+SELECT c_custkey,
+  regexp_replace(contact, '[0-9]', 'X', 'g') AS masked,
+  CAST(len(contact) - len(regexp_replace(contact, '[0-9]', '', 'g'))
+       AS INT) AS n_digits,
+  right(regexp_replace(contact, '[^0-9]', '', 'g'), 4) AS last4
+FROM c
+""",
+    doc="PII masking pass: a deterministic contact string (name + "
+    "synthetic phone from integer keys — testdata has no phone "
+    "column) is digit-redacted with digit-count + last-4 audit "
+    "columns kept. Map-only regex columns (functions/text.py "
+    "mask_digits/digit_count/digits_last4); DuckDB mirror uses the "
+    "'g' flag to match Spark's global regexp_replace.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" tel +"),
+        (F.col("c_custkey") * 2718281 + F.col("c_nationkey")).cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        TX.mask_digits(contact).alias("masked"),
+        TX.digit_count(contact).cast("int").alias("n_digits"),
+        TX.digits_last4(contact).alias("last4"),
+    )
+
+
+@register(
+    "shard_assign",
+    """
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+       AS INT) AS pack_position
+FROM (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 8 AS INT) AS shard
+  FROM documents
+)
+""",
+    doc="Deterministic training-shard assignment + within-shard "
+    "pseudo-random order: shard = md5-bucket of the id (engine- and "
+    "layout-independent, like sampling.hash_keep), position = md5 "
+    "rank within the shard. The window partitions BY SHARD — "
+    "n_shards independent sorts at scale, never a global window.",
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CUR.shard_assign(d, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "pack_position"
+    )

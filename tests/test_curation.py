@@ -1,0 +1,102 @@
+"""Planted-case tests for the curation-II operators: eval-set
+decontamination, repetition metrics, PII masking, shard assignment —
+plus plan-shape assertions for their 100 TB contracts (broadcast
+eval side, no global window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.functions import text as TX
+from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import curation as CUR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about spark engines"),
+            (3, "another clean document with no benchmark overlap"),
+        ],
+    )
+    ev = _docs(spark, [(100, "quick brown fox ate my benchmark")])
+    # doc 1 shares the 3-gram "quick brown fox" with the eval set
+    out = CUR.decontaminate(train, ev, "text", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+    bad = CUR.contaminated_ids(train, ev, "text", "doc_id")
+    assert [r.doc_id for r in bad.collect()] == [1]
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    import contextlib
+    import io
+
+    train = _docs(spark, [(i, f"w{i} x{i} y{i} z{i}") for i in range(50)])
+    ev = _docs(spark, [(99, "w1 x1 y1 z1")])
+    df = CUR.decontaminate(train, ev, "text", "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # eval n-grams go broadcast; the corpus is never cross-joined
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_metrics_planted_values(spark):
+    # "a a a a b": bigrams [a a, a a, a a, a b] -> distinct 2 of 4;
+    # top token a = 4 of 5
+    d = _docs(spark, [(1, "a a a a b"), (2, "u v w x y")])
+    out = {
+        r.doc_id: (r.dup_bigram_frac, r.top_token_frac)
+        for r in CUR.repetition_metrics(d, "text").collect()
+    }
+    assert out[1] == (0.5, 0.8)
+    assert out[2] == (0.0, 0.2)
+
+
+def test_pii_masking_functions(spark):
+    row = (
+        spark.range(1)
+        .select(
+            TX.mask_digits(F.lit("call 415-555-0199 now")).alias("m"),
+            TX.digit_count(F.lit("call 415-555-0199 now")).alias("n"),
+            TX.digits_last4(F.lit("call 415-555-0199 now")).alias("l4"),
+            TX.email_count(F.lit("a@b.com and c.d@e.org, no@no")).alias("ne"),
+        )
+        .collect()[0]
+    )
+    assert row.m == "call XXX-XXX-XXXX now"
+    assert row.n == 10
+    assert row.l4 == "0199"
+    assert row.ne == 2
+
+
+def test_shard_assign_deterministic_and_partition_local(spark):
+    d = _docs(spark, [(i, "t") for i in range(200)])
+    a = CUR.shard_assign(d, "doc_id", n_shards=8)
+    b = CUR.shard_assign(d.repartition(7), "doc_id", n_shards=8)
+    ra = sorted((r.doc_id, r.shard, r.pack_position) for r in a.collect())
+    rb = sorted((r.doc_id, r.shard, r.pack_position) for r in b.collect())
+    # layout-independent: same shard + position under any partitioning
+    assert ra == rb
+    shards = {s for _, s, _ in ra}
+    assert shards <= set(range(8)) and len(shards) == 8
+    # positions are dense 1..k within each shard
+    for s in shards:
+        pos = sorted(p for _, sh, p in ra if sh == s)
+        assert pos == list(range(1, len(pos) + 1))
+    # plan: the position window partitions by shard, no single-partition
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        a.explain("formatted")
+    assert "Exchange SinglePartition" not in buf.getvalue()
