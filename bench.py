@@ -49,9 +49,12 @@ def main() -> None:
     for name in names:
         df = QUERIES[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warmup
+        # drain pending JVM garbage so a major GC doesn't land inside a
+        # timed save (observed 3-8x spikes floating between queries)
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
-        for _ in range(2):  # min-of-2: shields the number from host
-            t0 = time.perf_counter()  # contention spikes (observed 3-8x)
+        for _ in range(3):  # min-of-3: shields from host contention
+            t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
