@@ -71,21 +71,53 @@ def _rehash(i: int):
     return lambda h: F.xxhash64(F.lit(i), h)
 
 
+# --- portable hash family (md5-derived, reproducible in any engine
+# with md5 — so the FULL minhash->LSH->verify pipeline has an exact
+# DuckDB oracle; xxhash64 above is the faster JVM-only default) ---
+
+import hashlib as _hashlib
+
+# 60-bit seeds, derivable in SQL as
+# ('0x'||substr(md5('minhash-slot-'||i),1,15))::BIGINT
+PORTABLE_SEEDS: tuple[int, ...] = tuple(
+    int(_hashlib.md5(f"minhash-slot-{i}".encode()).hexdigest()[:15], 16)
+    for i in range(64)
+)
+
+
+def _portable_base(s: Column) -> Column:
+    # 60-bit positive base hash from the md5 hex prefix
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def _portable_rehash(i: int):
+    # xor by a fixed seed: a bijection on the 60-bit space, so each
+    # slot's argmin is an (approximately) independent permutation pick
+    return lambda h: h.bitwiseXOR(F.lit(PORTABLE_SEEDS[i]))
+
+
 def minhash_signature(
-    text_col: Column, num_hashes: int = 32, shingle_n: int = 3
+    text_col: Column,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> Column:
     """Array of ``num_hashes`` min-hashes over word shingles
     (Broder's MinHash; banded below for LSH).
 
-    Each shingle string is hashed ONCE with xxhash64; each family
+    Each shingle string is hashed ONCE with the base hash; each family
     member then re-hashes that long with a distinct seed —
     ~num_hashes× cheaper than hashing the strings per function, and
     ANSI-safe (no overflowing arithmetic). All JVM-side.
+    ``hash_family``: "xxhash64" (fast JVM default) or "portable"
+    (md5-derived — reproducible in any engine; see PORTABLE_SEEDS).
     """
-    base = F.transform(TX.shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+    base_fn = _portable_base if hash_family == "portable" else F.xxhash64
+    rehash = _portable_rehash if hash_family == "portable" else _rehash
+    base = F.transform(TX.shingles(text_col, shingle_n), lambda s: base_fn(s))
     return F.array(
         *[
-            F.array_min(F.transform(base, _rehash(i)))
+            F.array_min(F.transform(base, rehash(i)))
             for i in range(num_hashes)
         ]
     )
@@ -99,6 +131,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with the
     exact MinHash similarity estimate.
@@ -107,23 +140,30 @@ def minhash_lsh_pairs(
     sub-signature matches exactly → candidates via equi-join on
     (band_id, band_hash) — never O(n²). Returns (id_a, id_b,
     est_jaccard) with id_a < id_b and est_jaccard >= threshold.
+
+    ``hash_family``: "xxhash64" (default, fastest JVM path) or
+    "portable" (md5-derived base + xor-seed slots + md5 band keys —
+    bit-identical reproducible in any engine with md5, giving the
+    whole approximate pipeline an exact DuckDB oracle).
     """
     df = _spread(df)
     r = num_hashes // bands
+    base_fn = _portable_base if hash_family == "portable" else F.xxhash64
+    rehash = _portable_rehash if hash_family == "portable" else _rehash
     # two-step projection: shingle-hash once, then the seeded family.
     # Kept as separate Projects so CollapseProject doesn't inline the
     # (expensive, 32×-referenced) base array into every signature slot.
     base_df = df.select(
         F.col(id_col).alias("_id"),
         F.transform(
-            TX.shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+            TX.shingles(F.col(text_col), shingle_n), lambda s: base_fn(s)
         ).alias("_mh_base"),
     )
     sigs = base_df.select(
         "_id",
         F.array(
             *[
-                F.array_min(F.transform("_mh_base", _rehash(i)))
+                F.array_min(F.transform("_mh_base", rehash(i)))
                 for i in range(num_hashes)
             ]
         ).alias("_sig"),
@@ -134,6 +174,12 @@ def minhash_lsh_pairs(
     # (interpreted!) on both join sides. At warehouse scale this step
     # is a signatures table write; localCheckpoint is its local analog.
     sigs = sigs.localCheckpoint(eager=True)
+    def _band_key(b: int) -> Column:
+        slots = [F.element_at("_sig", b * r + j + 1) for j in range(r)]
+        if hash_family == "portable":
+            return F.md5(F.concat_ws(",", *[s.cast("string") for s in slots]))
+        return F.xxhash64(*slots)
+
     banded = sigs.select(
         "_id",
         "_sig",
@@ -142,9 +188,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("_sig", b * r + j + 1) for j in range(r)]
-                        ).alias("bhash"),
+                        _band_key(b).alias("bhash"),
                     )
                     for b in range(bands)
                 ]

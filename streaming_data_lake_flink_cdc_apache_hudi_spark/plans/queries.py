@@ -1745,3 +1745,75 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.shard_assign(d, "doc_id", n_shards=8).select(
         "doc_id", "shard", "pack_position"
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash MinHash: the approximate pipeline under an exact oracle
+# ---------------------------------------------------------------------------
+
+# The md5-derived hash family (operators/dedup.py PORTABLE_SEEDS) is
+# bit-identical in DuckDB, so minhash->LSH banding->estimate-verify —
+# normally "approximate, rows-only" — gets a full value-hash oracle.
+# num_hashes=32, bands=8 (r=4), threshold 0.5, word 3-shingles.
+_MINHASH_PORTABLE_ORACLE = f"""
+WITH sh AS ({_DOC_SHINGLES_SQL.replace("list_distinct(", "(")}),
+base AS (
+  SELECT doc_id,
+    [('0x'||substr(md5(g),1,15))::BIGINT for g in s] AS xs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    [list_min([xor(x, ('0x'||substr(md5('minhash-slot-'||CAST(i AS VARCHAR)),1,15))::BIGINT)
+               for x in xs])
+     for i in generate_series(0, 31)] AS sg
+  FROM base
+),
+bd AS (
+  SELECT doc_id, sg,
+    [CAST(b AS VARCHAR)||':'||md5(array_to_string(sg[b*4+1:b*4+4], ','))
+     for b in generate_series(0, 7)] AS bands
+  FROM sig
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(list_sum([CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END
+                  for i in generate_series(1, 32)]) / 32.0, 4)
+    AS est_jaccard
+FROM bd a JOIN bd b
+  ON a.doc_id < b.doc_id AND list_has_any(a.bands, b.bands)
+WHERE list_sum([CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END
+                for i in generate_series(1, 32)]) / 32.0 >= 0.5
+"""
+
+
+@register(
+    "minhash_portable_pairs",
+    _MINHASH_PORTABLE_ORACLE,
+    doc="MinHash+LSH near-dup pairs under the PORTABLE md5-derived "
+    "hash family: same banded equi-join plan as minhash_pairs, but "
+    "every hash is reproducible in DuckDB, so banding AND the "
+    "signature estimate are value-hash oracle-checked end to end "
+    "(the xxhash64 default stays the fast path).",
+)
+def q_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(d, "text", "doc_id", hash_family="portable")
+
+
+@register(
+    "dedup_near_corpus_portable",
+    f"""
+WITH pairs AS ({_MINHASH_PORTABLE_ORACLE})
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
+""",
+    doc="Greedy corpus near-dedup pass (lowest-id-wins anti-join) "
+    "under the portable hash family — the full end-to-end dedup "
+    "pipeline with an exact DuckDB oracle.",
+)
+def q_dedup_near_corpus_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.near_dedup_corpus(
+        d, "text", "doc_id", hash_family="portable"
+    ).select("doc_id", "source")

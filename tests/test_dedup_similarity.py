@@ -111,6 +111,20 @@ def test_jaccard_length_blocking_is_lossless(spark):
     assert blocked == full
     assert len(full) > 0  # sf0.01 plants near-dups; 25 at current seed
 
+def test_minhash_portable_family_finds_planted_neardups(spark, docs):
+    # the md5-derived portable family (exact-DuckDB-oracle path) must
+    # have the same planted-pair recall as the xxhash64 default
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(
+            docs, "text", "doc_id",
+            jaccard_threshold=0.3, hash_family="portable",
+        ).collect()
+    }
+    for i in range(5):
+        assert (i, 100 + i) in pairs, f"planted pair {(i, 100+i)} missed"
+    assert (10, 200) in pairs
+
 
 def test_minhash_recall_vs_exact_jaccard(spark):
     """Quantified quality gate for the approximate family: exact
