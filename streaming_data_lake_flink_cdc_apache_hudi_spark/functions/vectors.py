@@ -56,3 +56,30 @@ def lsh_bucket(vec, planes: list[list[float]]) -> Column:
         bit = (dot(as_double(vec), p) >= 0).cast("long")
         bucket = bucket + (bit * F.lit(1 << i)).cast("long")
     return bucket
+
+
+# --- int8 scalar quantization (the 100 TB embedding-storage path:
+# 4x smaller vectors, cosine served from int8 with a per-vector
+# scale; exact DuckDB parity via the floor(x+0.5) rounding formula —
+# both engines' IEEE doubles agree, unlike engine-native round()) ---
+
+
+def quantize_scale(vec) -> Column:
+    """Per-vector symmetric scale: max|x| / 127 (guarded for the
+    all-zero vector)."""
+    return F.greatest(
+        F.array_max(F.transform(as_double(vec), lambda x: F.abs(x))) / 127.0,
+        F.lit(1e-30),
+    )
+
+
+def quantize_int8(vec, scale) -> Column:
+    """int8 codes: floor(x/scale + 0.5) — round-half-toward-+inf,
+    deterministic and identical in any engine with floor."""
+    return F.transform(
+        as_double(vec), lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+    )
+
+
+def dequantize(q, scale) -> Column:
+    return F.transform(q, lambda x: x.cast("double") * scale)

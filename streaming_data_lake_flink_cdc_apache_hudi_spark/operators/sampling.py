@@ -109,3 +109,54 @@ def concat_chunk_pack(
     return out.withColumn("first_chunk", first).withColumn(
         "n_chunks", last - first + F.lit(1).cast("long")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    budget: int,
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Temperature-based corpus mixing: resample strata toward the
+    flattened distribution w_s ∝ n_s^τ (τ<1 upweights low-resource
+    strata — the standard multilingual-corpus rebalancing), keeping
+    an expected ``budget`` documents total, never replicating
+    (per-stratum rate capped at 1).
+
+    Everything stays in the plan — per-stratum counts and rates are
+    computed as a tiny aggregate joined back by broadcast, and the
+    keep-decision is the same md5-threshold coin as ``hash_keep``,
+    so membership is deterministic, layout-independent, and exactly
+    reproducible in the DuckDB oracle. Shape at 100 TB: one partial
+    agg over the corpus (counts), a broadcast join of |strata| rows,
+    then a map-only filter.
+
+    Rates are rounded to 6 decimals before thresholding so the
+    engine's and the oracle's floating sums agree bit-for-bit.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("_n").cast("double"), temperature)).alias("_tw")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.pow(F.col("_n").cast("double"), temperature)
+                / F.col("_tw")
+                * budget
+                / F.col("_n"),
+                6,
+            ),
+        ).alias("_rate"),
+    )
+    thr = F.format_string(
+        "%08x", F.floor(F.col("_rate") * F.lit(float(HEX_SPACE))).cast("long")
+    )
+    keyed = df.join(F.broadcast(rates), stratum_col)
+    keep = (F.col("_rate") >= 1.0) | (
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < thr
+    )
+    return keyed.filter(keep).drop("_rate")

@@ -1817,3 +1817,92 @@ def q_dedup_near_corpus_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.near_dedup_corpus(
         d, "text", "doc_id", hash_family="portable"
     ).select("doc_id", "source")
+
+
+@register(
+    "mixture_resample",
+    """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT SUM(pow(n, 0.5)) AS tw FROM c),
+r AS (SELECT lang,
+        LEAST(1.0, ROUND(pow(n, 0.5) / tw * 300 / n, 6)) AS rate
+      FROM c, t)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE rate >= 1.0
+   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))
+""",
+    doc="Temperature-based corpus mixing (tau=0.5, budget 300): "
+    "strata resampled toward w proportional to n^tau — upweights "
+    "low-resource languages, downsamples the head, never "
+    "replicates. In-plan rate computation (tiny agg + broadcast "
+    "join) + md5-threshold membership -> deterministic, layout-"
+    "independent, exact DuckDB oracle.",
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return SAMP.mixture_resample(
+        d, "lang", "doc_id", budget=300, temperature=0.5
+    ).select("doc_id", "lang")
+
+
+@register(
+    "embedding_quantize",
+    """
+WITH d AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+    GREATEST(list_max([abs(x) for x in v]) / 127.0, 1e-30) AS scale
+  FROM d
+),
+q AS (
+  SELECT vec_id, v, scale,
+    [CAST(floor(x / scale + 0.5) AS INT) for x in v] AS code
+  FROM s
+)
+SELECT vec_id,
+  ROUND(scale, 6) AS scale_r,
+  CAST(list_sum(code) AS BIGINT) AS q_sum,
+  CAST(list_min(code) AS INT) AS q_min,
+  CAST(list_max(code) AS INT) AS q_max,
+  ROUND(list_max([abs(v[i] - code[i] * scale)
+                  for i in generate_series(1, len(v))]), 6) AS max_err
+FROM q
+""",
+    doc="Symmetric int8 scalar quantization of the embedding table "
+    "(functions/vectors.py quantize_int8): per-vector max-abs/127 "
+    "scale, floor(x/s+0.5) codes — the 4x-smaller storage path for "
+    "100 TB embedding stores. Map-only, codegen, exact cross-engine "
+    "parity (no engine-native round in the code path); output = "
+    "per-vector code summary + reconstruction error bound.",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as VEC
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = VEC.as_double(F.col("embedding"))
+    d = e.select("vec_id", v.alias("v")).withColumn(
+        "scale", VEC.quantize_scale(F.col("v"))
+    )
+    d = d.withColumn("code", VEC.quantize_int8(F.col("v"), F.col("scale")))
+    err = F.array_max(
+        F.zip_with(
+            "v",
+            "code",
+            lambda x, c: F.abs(x - c.cast("double") * F.col("scale")),
+        )
+    )
+    return d.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate(
+            "code", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        F.array_min("code").alias("q_min"),
+        F.array_max("code").alias("q_max"),
+        F.round(err, 6).alias("max_err"),
+    )

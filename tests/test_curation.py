@@ -100,3 +100,42 @@ def test_shard_assign_deterministic_and_partition_local(spark):
     with contextlib.redirect_stdout(buf):
         a.explain("formatted")
     assert "Exchange SinglePartition" not in buf.getvalue()
+
+
+def test_int8_quantized_cosine_preserves_topk(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.functions import (
+        vectors as VEC,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+    )
+
+    from .conftest import SF_ORACLE
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    q = [r["embedding"] for r in e.filter(F.col("vec_id") == 0).collect()][0]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+
+    exact = [
+        r["vec_id"]
+        for r in e.filter(F.col("vec_id") != 0)
+        .select("vec_id", VEC.cosine(VEC.as_double("embedding"), qcol).alias("c"))
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    d = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    d = d.withColumn("s", VEC.quantize_scale("v"))
+    d = d.withColumn("code", VEC.quantize_int8("v", F.col("s")))
+    deq = VEC.dequantize(F.col("code"), F.col("s"))
+    approx = [
+        r["vec_id"]
+        for r in d.select("vec_id", VEC.cosine(deq, qcol).alias("c"))
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    # int8 reconstruction keeps at least 8 of the true top-10
+    assert len(set(exact) & set(approx)) >= 8

@@ -97,3 +97,35 @@ def test_approx_sketches_error_bounds(spark):
         assert abs(a["approx_supps"] - e["supps"]) / e["supps"] < 0.05
         assert abs(a["approx_p50"] - e["p50"]) / e["p50"] < 0.02
         assert abs(a["approx_p99"] - e["p99"]) / e["p99"] < 0.02
+
+
+def test_mixture_resample_flattens_distribution(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.sampling import (
+        mixture_resample,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+    )
+
+    from .conftest import SF_ORACLE
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    before = {r["lang"]: r["n"] for r in
+              d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = mixture_resample(d, "lang", "doc_id", budget=300, temperature=0.5)
+    after = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # head stratum (en) is downsampled; tail strata keep most docs
+    assert after["en"] < before["en"]
+    for lang in before:
+        assert after[lang] <= before[lang]  # never replicates
+    # flattening: en's share of the corpus strictly drops
+    sb = before["en"] / sum(before.values())
+    sa = after["en"] / sum(after.values())
+    assert sa < sb
+    # deterministic: same membership on a different partitioning
+    out2 = mixture_resample(
+        d.repartition(13), "lang", "doc_id", budget=300, temperature=0.5
+    )
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in out2.select("doc_id").collect())
