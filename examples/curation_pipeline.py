@@ -3,12 +3,15 @@ extension operators the engine adds beyond the reference (build-brief
 mandate), chained the way a real 100 TB pipeline would run them:
 
   1. quality + language scoring        (map-only column functions)
-  2. deterministic stratified sampling (md5-hash data mixing)
-  3. near-dup removal, transitively    (MinHash-LSH pairs →
+  2. repetition + PII scrub            (Gopher-style boilerplate
+                                        signals; digit masking)
+  3. temperature mixture resampling    (w ∝ n^τ, md5-hash mixing)
+  4. near-dup removal, transitively    (MinHash-LSH pairs →
                                         connected components)
-  4. sequence packing                  (concat-and-chunk per stratum)
-  5. ANN index at rest                 (k-means IVF, partition-pruned
-                                        probes over embeddings)
+  5. eval-set decontamination          (broadcast n-gram anti-join)
+  6. shard assignment + packing        (md5 shards; concat-and-chunk)
+  7. ANN index at rest + int8 codes    (k-means IVF probes; 4×
+                                        quantized embedding storage)
 
 Every step is a DataFrame op (no driver loops over data); the same
 code pointed at an object store + a real cluster is the production
@@ -59,13 +62,24 @@ scored = docs.select(
 kept = scored.filter(F.col("quality") >= 0.7)
 print(f"   {docs.count()} docs -> {kept.count()} past the quality gate")
 
-print("== 2. deterministic stratified sample (data mixing) ==")
-mixed = SAMP.stratified_sample(
-    kept, "lang", "doc_id", {"en": 0.9, "es": 0.6}, default_rate=0.3
+print("== 2. repetition + PII scrub ==")
+from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import (
+    curation as CUR,
+)
+
+rep = CUR.repetition_metrics(kept, "text")
+clean = rep.filter(
+    (F.col("dup_bigram_frac") <= 0.4) & (F.col("top_token_frac") <= 0.3)
+).withColumn("text", TX.mask_digits(F.col("text")))
+print(f"   {kept.count()} -> {clean.count()} past the repetition gate")
+
+print("== 3. temperature mixture resample (w ~ n^tau, tau=0.5) ==")
+mixed = SAMP.mixture_resample(
+    clean, "lang", "doc_id", budget=400, temperature=0.5
 )
 mixed.groupBy("lang").count().orderBy("lang").show()
 
-print("== 3. transitive near-dup removal (LSH pairs -> components) ==")
+print("== 4. transitive near-dup removal (LSH pairs -> components) ==")
 pairs = DD.minhash_lsh_pairs(mixed, "text", "doc_id", jaccard_threshold=0.5)
 comps = DD.connected_components(pairs)
 # keep one representative (the min doc_id) per duplicate cluster
@@ -75,9 +89,16 @@ losers = comps.filter(F.col("node") != F.col("comp")).select(
 deduped = mixed.join(losers, "doc_id", "left_anti")
 print(f"   {mixed.count()} sampled -> {deduped.count()} after dedup")
 
-print("== 4. sequence packing (concat-and-chunk, 512 tokens) ==")
+print("== 5. eval-set decontamination (broadcast n-gram anti-join) ==")
+eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+final = CUR.decontaminate(deduped, eval_set, "text", "doc_id")
+print(f"   {deduped.count()} -> {final.count()} after decontamination")
+
+print("== 6. shard assignment + sequence packing (512 tokens) ==")
+sharded = CUR.shard_assign(final, "doc_id", n_shards=4)
+sharded.groupBy("shard").count().orderBy("shard").show()
 packed = SAMP.concat_chunk_pack(
-    deduped.select("doc_id", "lang", "n_tokens"),
+    final.select("doc_id", "lang", "n_tokens"),
     "n_tokens",
     "doc_id",
     capacity=512,
@@ -88,8 +109,19 @@ packed.groupBy("lang").agg(
     F.max("first_chunk").alias("chunks"),
 ).orderBy("lang").show()
 
-print("== 5. ANN index at rest (k-means IVF, partition-pruned probes) ==")
+print("== 7. ANN index at rest + int8 quantized codes ==")
+from streaming_data_lake_flink_cdc_apache_hudi_spark.functions import (
+    vectors as VEC,
+)
+
 emb = load_table(spark, SF_DIR, "embeddings")
+qz = emb.select(
+    "vec_id", VEC.quantize_scale(F.col("embedding")).alias("scale")
+)
+qz.agg(
+    F.round(F.avg("scale"), 5).alias("avg_scale"),
+    F.count("*").alias("vectors"),
+).show()
 idx = os.path.join(root, "ivf")
 SIM.write_ivf_index(emb, "embedding", "vec_id", idx, n_centroids=8)
 q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
