@@ -16,7 +16,7 @@ Scale design (the point of every choice here):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -247,63 +247,84 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard over candidate pairs.
 
     Without ``length_blocking`` the candidates are all pairs
-    (quadratic — only for small inputs / verification). With it, the
-    join is blocked WITHOUT losing any pair that can reach the
-    threshold: J(A,B) >= t implies |B| in [t*|A|, |A|/t] (size
-    containment), so docs are banded by floor(log(|shingles|) /
-    log(1/t)) — any threshold-feasible pair differs by at most one
-    band — and one side is exploded to bands {b-1, b, b+1}. The join
-    is an equi-join on the band (shuffle-partitionable at scale) plus
-    the exact size-ratio bound; each pair matches exactly once (the
-    probe side keeps its single true band).
+    (quadratic — only for small inputs / verification). With it,
+    candidates come from PPJoin-style **prefix filtering** (Xiao et
+    al., WWW'08 — public algorithm), which is lossless for J >= t:
+
+    - order every doc's distinct shingles by a single global total
+      order — ascending document frequency, ties by shingle text —
+      so each prefix is made of the RAREST shingles;
+    - a pair with J(A,B) >= t has overlap >= ceil(t*max(|A|,|B|))
+      (since |A∩B| >= t*|A∪B|), and two sets with overlap >= α must
+      share an element within their first |X|-α+1 elements of any
+      common order; hence prefixes of length |X| - ceil(t*|X|) + 1
+      (a superset of the required window on both sides) intersect;
+    - candidates = equi-join of the exploded prefixes on the shingle,
+      plus the size-containment bound |B| ∈ [t*|A|, |A|/t].
+
+    Every stage is a linear shuffle (df count, df join-back, per-doc
+    rank window, prefix self-join, verification fetch) — no band ever
+    goes quadratic the way size-band blocking does when the corpus
+    has a dominant length band. Rare-first ordering keeps posting
+    lists short: stop-shingles ("in the of") never enter a prefix.
     """
     df = _spread(df)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(TX.shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = (inter / union).alias("jaccard")
     if not length_blocking:
         a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
         b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-        cond = a["id_a"] < b["id_b"]
-    else:
-        # log-band over the *distinct shingle-set size* — the exact
-        # quantity the containment bound speaks about (token-count
-        # bands are a lossy surrogate: ratio-feasible long docs can
-        # span many linear bands).
-        log_inv_t = float(__import__("math").log(1.0 / threshold))
-        sized = base.withColumn("_sz", F.greatest(F.size("_sh"), F.lit(1)))
-        band = F.floor(F.log(F.col("_sz").cast("double")) / F.lit(log_inv_t))
-        a = (
-            sized.withColumn("_band", band)
-            .select(
-                F.col("_id").alias("id_a"),
-                F.col("_sh").alias("sh_a"),
-                F.col("_sz").alias("sz_a"),
-                F.explode(
-                    F.array(
-                        F.col("_band") - 1, F.col("_band"), F.col("_band") + 1
-                    )
-                ).alias("band_a"),
-            )
+        return (
+            a.join(b, a["id_a"] < b["id_b"])
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         )
-        b = sized.withColumn("_band", band).select(
-            F.col("_id").alias("id_b"),
-            F.col("_sh").alias("sh_b"),
-            F.col("_sz").alias("sz_b"),
-            F.col("_band").alias("band_b"),
+    # the shingle table is scanned by three downstream stages (df
+    # count, postings, verification fetch) — materialize it once,
+    # the local analog of writing a shingles table at scale.
+    sized = base.withColumn(
+        "_sz", F.greatest(F.size("_sh"), F.lit(1))
+    ).localCheckpoint(eager=False)
+    ex = sized.select("_id", "_sz", F.explode("_sh").alias("_s"))
+    dfreq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
+    win = Window.partitionBy("_id").orderBy("_df", "_s")
+    prefix_len = (
+        F.col("_sz") - F.ceil(F.col("_sz") * F.lit(threshold)) + 1
+    ).cast("int")
+    postings = (
+        ex.join(dfreq, "_s")
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("_id", "_sz", "_s")
+    )
+    pa = postings.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_s"
+    )
+    pb = postings.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), "_s"
+    )
+    cand = (
+        pa.join(pb, "_s")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b").cast("double") >= F.col("sz_a") * F.lit(threshold))
+            & (F.col("sz_a").cast("double") >= F.col("sz_b") * F.lit(threshold))
         )
-        cond = (
-            (a["id_a"] < b["id_b"])
-            & (a["band_a"] == b["band_b"])
-            & (b["sz_b"].cast("double") >= a["sz_a"] * F.lit(threshold))
-            & (a["sz_a"].cast("double") >= b["sz_b"] * F.lit(threshold))
-        )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = sized.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    fb = sized.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
-        a.join(b, cond)
-        .withColumn("jaccard", inter / union)
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )

@@ -1289,10 +1289,11 @@ FROM sh a JOIN sh b
 WHERE len(list_intersect(a.s, b.s)) * 1.0
       / len(list_distinct(a.s || b.s)) >= 0.5
 """,
-    doc="Exact n-gram Jaccard pairs >= 0.5 with lossless "
-    "size-containment blocking: log-banded shingle-set sizes + "
-    "neighbor-band join cover every pair that can reach the "
-    "threshold (J>=t implies size ratio within [t, 1/t]). "
+    doc="Exact n-gram Jaccard pairs >= 0.5 with lossless PPJoin-style "
+    "prefix filtering: shingles ordered rare-first by global document "
+    "frequency; candidates = equi-join of the first |s|-ceil(t*|s|)+1 "
+    "shingles per doc (provably covers every pair with J>=t) plus the "
+    "size-containment bound. Every stage is a linear shuffle. "
     "Full DuckDB oracle: all-pairs exact Jaccard with the same "
     "size-ratio bound; blocked==unblocked parity also pinned in "
     "tests.",
