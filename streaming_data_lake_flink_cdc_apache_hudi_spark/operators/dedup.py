@@ -567,7 +567,13 @@ def connected_components(
     O(1) driver data.
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge list once: every iteration joins against it,
+    # and without this the whole upstream pair generation (e.g. the
+    # MinHash LSH pipeline) re-runs per iteration. The cluster analog
+    # is writing the edges table before the CC job.
+    edges = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
     nodes = edges.select(F.col("u").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint(
         eager=True
