@@ -123,6 +123,58 @@ def repetition_metrics(
     )
 
 
+def source_cap(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    seed: str = "",
+    prefilter_factor: float | None = None,
+) -> DataFrame:
+    """Per-source/domain document cap: keep at most ``cap`` rows per
+    ``group_col`` value, chosen deterministically by md5 rank of the id
+    (layout- and engine-independent, like ``sampling.hash_keep``) — the
+    standard crawl-curation guard against a handful of giant domains
+    dominating a pretraining mix.
+
+    Scale shape: the rank window partitions BY GROUP, so each domain
+    sorts independently. For heavy-hitter domains (millions of docs in
+    one group, all landing in one window task), pass
+    ``prefilter_factor`` (e.g. 4.0): a first pass counts each group
+    (map-side partial agg; the counts table is tiny relative to the
+    corpus), then a map-only md5-prefix threshold keeps
+    ~``cap * factor`` random candidates per group BEFORE the window —
+    bounding the per-group sort to O(cap * factor) regardless of
+    domain size. The threshold keeps every row whose 32-bit hash
+    prefix falls below ``cap * factor / n``; the exact top-``cap``
+    ranks are preserved whenever the cap-th smallest hash lies under
+    the threshold (overwhelmingly likely for factor >= 4; the planted
+    test pins prefiltered == exact on the testdata corpus).
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed)))
+    out = df
+    if prefilter_factor is not None:
+        counts = df.groupBy(group_col).agg(F.count("*").alias("_grp_n"))
+        prefix = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+        keep_p = F.least(
+            F.lit(1.0), F.lit(float(cap) * prefilter_factor) / F.col("_grp_n")
+        )
+        # Unhinted join: AQE broadcasts the counts side when the domain
+        # dim is small; with a huge domain dim it becomes a shuffle on
+        # group_col — the same partitioning the window needs anyway.
+        out = (
+            out.join(counts, group_col)
+            .where(prefix < keep_p * F.lit(float(2**32)))
+            .drop("_grp_n")
+        )
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        out.withColumn("_cap_rank", F.row_number().over(w))
+        .where(F.col("_cap_rank") <= cap)
+        .drop("_cap_rank")
+    )
+
+
 def shard_assign(
     df: DataFrame,
     id_col: str,

@@ -1907,3 +1907,27 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("code").alias("q_max"),
         F.round(err, 6).alias("max_err"),
     )
+
+
+@register(
+    "source_cap",
+    """
+SELECT doc_id, source
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+) <= 10
+""",
+    doc="Per-source document cap (crawl curation: no domain may "
+    "contribute more than N docs to the mix). Deterministic md5-rank "
+    "keep-set — layout/engine independent; the rank window partitions "
+    "BY SOURCE (independent per-domain sorts at scale; "
+    "prefilter_factor bounds heavy-hitter groups, pinned equal to "
+    "the exact path in tests/test_curation.py).",
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CUR.source_cap(d, "doc_id", "source", cap=10).select(
+        "doc_id", "source"
+    )

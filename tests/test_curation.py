@@ -139,3 +139,42 @@ def test_int8_quantized_cosine_preserves_topk(spark):
     ]
     # int8 reconstruction keeps at least 8 of the true top-10
     assert len(set(exact) & set(approx)) >= 8
+
+
+def test_source_cap_exact_and_prefiltered_agree(spark):
+    """The heavy-hitter prefilter path (count -> hash-threshold ->
+    rank) must reproduce the exact per-group md5-rank keep-set, and
+    every group must land at <= cap rows."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+    )
+    from .conftest import SF_ORACLE
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    exact = CUR.source_cap(d, "doc_id", "source", cap=10)
+    pre = CUR.source_cap(
+        d, "doc_id", "source", cap=10, prefilter_factor=4.0
+    )
+    rows_e = sorted(
+        (r["doc_id"], r["source"])
+        for r in exact.select("doc_id", "source").collect()
+    )
+    rows_p = sorted(
+        (r["doc_id"], r["source"])
+        for r in pre.select("doc_id", "source").collect()
+    )
+    assert rows_e == rows_p
+    per_group = (
+        exact.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_group <= 10
+    # deterministic across partition layouts
+    rows_r = sorted(
+        (r["doc_id"], r["source"])
+        for r in CUR.source_cap(
+            d.repartition(13), "doc_id", "source", cap=10
+        )
+        .select("doc_id", "source")
+        .collect()
+    )
+    assert rows_r == rows_e
