@@ -2,7 +2,11 @@
 extension operators the engine adds beyond the reference (build-brief
 mandate), chained the way a real 100 TB pipeline would run them:
 
+  0. JSONL ingestion + quarantine      (schema-declared text scan;
+                                        malformed lines audited, not
+                                        dropped)
   1. quality + language scoring        (map-only column functions)
+  1b. per-source/domain cap            (md5-rank keep-set per source)
   2. repetition + PII scrub            (Gopher-style boilerplate
                                         signals; digit masking)
   3. temperature mixture resampling    (w ∝ n^τ, md5-hash mixing)
@@ -49,8 +53,18 @@ root = tempfile.mkdtemp(prefix="curation_demo_")
 spark = EngineConfig(app_name="curation-demo").session()
 spark.sparkContext.setLogLevel("ERROR")
 
-print(f"== 1. score quality + language ({SF_DIR}) ==")
-docs = load_table(spark, SF_DIR, "documents")
+print(f"== 0. ingest JSONL shards with quarantine ({SF_DIR}) ==")
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources import jsonl as J
+
+corpus_dir = os.path.join(root, "jsonl_corpus")
+J.write_jsonl(load_table(spark, SF_DIR, "documents"), corpus_dir, num_files=4)
+with open(os.path.join(corpus_dir, "part-bad.json"), "w") as fh:
+    fh.write('{"doc_id": broken line\n')
+docs, quarantined = J.read_jsonl(spark, corpus_dir, J.DOCUMENT_SCHEMA)
+print(f"   {docs.count()} documents ingested, "
+      f"{quarantined.count()} malformed line(s) quarantined")
+
+print("== 1. score quality + language ==")
 scored = docs.select(
     "doc_id",
     "lang",
@@ -62,11 +76,20 @@ scored = docs.select(
 kept = scored.filter(F.col("quality") >= 0.7)
 print(f"   {docs.count()} docs -> {kept.count()} past the quality gate")
 
-print("== 2. repetition + PII scrub ==")
+print("== 1b. per-source cap (<= 10 docs per domain) ==")
 from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import (
     curation as CUR,
 )
 
+docs_src = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+capped = CUR.source_cap(
+    kept.join(docs_src, "doc_id"), "doc_id", "source", cap=10,
+    prefilter_factor=4.0,
+)
+print(f"   {kept.count()} -> {capped.count()} after the domain cap")
+kept = capped.drop("source")
+
+print("== 2. repetition + PII scrub ==")
 rep = CUR.repetition_metrics(kept, "text")
 clean = rep.filter(
     (F.col("dup_bigram_frac") <= 0.4) & (F.col("top_token_frac") <= 0.3)
