@@ -138,8 +138,13 @@ def source_cap(
     dominating a pretraining mix.
 
     Scale shape: the rank window partitions BY GROUP, so each domain
-    sorts independently. For heavy-hitter domains (millions of docs in
-    one group, all landing in one window task), pass
+    sorts independently — and Catalyst compiles the ``rank <= cap``
+    filter to a map-side ``WindowGroupLimit`` BELOW the exchange
+    (pinned in tests/test_plans.py): every map task keeps at most
+    ``cap`` rows per group before shuffling, so the post-shuffle sort
+    for any group is bounded by cap x map-partitions, not the domain
+    size. For extreme heavy hitters (when even cap x map-partitions
+    shuffle volume matters), pass
     ``prefilter_factor`` (e.g. 4.0): a first pass counts each group
     (map-side partial agg; the counts table is tiny relative to the
     corpus), then a map-only md5-prefix threshold keeps

@@ -174,3 +174,19 @@ def test_stratified_sample_is_scan_level_filter(spark):
     assert "- Exchange (" not in tree
     assert "Join" not in tree
     assert "Aggregate" not in tree
+
+
+def test_source_cap_has_map_side_group_limit(spark):
+    """source_cap's rank<=cap must compile to WindowGroupLimit BELOW
+    the exchange (each map task keeps <=cap rows per source before
+    shuffling — the property that bounds heavy-hitter domains) and
+    never a single-partition global window."""
+    plan = _plan(spark, "source_cap")
+    tree = _tree(plan)
+    assert "Exchange SinglePartition" not in plan
+    # two WindowGroupLimit nodes: partial (map-side) + final
+    assert tree.count("WindowGroupLimit") == 2
+    first_wgl = tree.index("WindowGroupLimit")
+    last_wgl = tree.rindex("WindowGroupLimit")
+    exch = tree.index("Exchange")
+    assert first_wgl > exch > last_wgl or last_wgl > exch > first_wgl
