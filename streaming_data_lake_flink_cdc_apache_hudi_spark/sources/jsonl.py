@@ -76,6 +76,36 @@ def read_jsonl(
     return good, bad
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming variant: continuously ingest JSONL shards as they
+    land (the corpus-drop pattern — crawlers/exports append files; the
+    pipeline picks them up per micro-batch).
+
+    Returns one streaming DataFrame with the declared columns plus the
+    ``_corrupt_line`` audit column (NULL for clean rows) — a streaming
+    query can't be forked driver-side, so the caller splits: filter
+    ``_corrupt_line IS NULL`` into the curation pipeline / lake upsert,
+    and the remainder into a quarantine sink. Same single text scan +
+    ``from_json`` shape as :func:`read_jsonl`; file-source checkpoints
+    give exactly-once per shard.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.text(path).select(
+        F.from_json(F.col("value"), full, opts).alias("_r")
+    ).select("_r.*")
+
+
 def write_jsonl(df: DataFrame, path: str, num_files: int | None = None) -> None:
     """Write a corpus as JSONL shards (one JSON object per line, one
     file per partition). ``num_files`` repartitions first — at scale,

@@ -59,3 +59,41 @@ def test_jsonl_roundtrip_documents(spark, tmp_path):
     orig = sorted(tuple(r) for r in d.select(*sorted(d.columns)).collect())
     back = sorted(tuple(r) for r in good.select(*sorted(good.columns)).collect())
     assert back == orig
+
+
+def test_jsonl_stream_ingests_incrementally(spark, tmp_path):
+    """Files dropped into the corpus dir arrive as micro-batches;
+    clean rows and corrupt lines split downstream of one scan."""
+    import json as _json
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": "one", "lang": "en",
+                     "source": "s", "n_chars": 3}) + "\n"
+    )
+    stream = J.read_jsonl_stream(spark, str(d), J.DOCUMENT_SCHEMA)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (d / "b.jsonl").write_text(
+            "not json at all\n"
+            + _json.dumps({"doc_id": 2, "text": "two", "lang": "fr",
+                           "source": "s", "n_chars": 3}) + "\n"
+        )
+        q.processAllAvailable()
+        tbl = spark.table("jsonl_feed")
+        good = tbl.where(F.col("_corrupt_line").isNull())
+        bad = tbl.where(F.col("_corrupt_line").isNotNull())
+        assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+        assert [r["_corrupt_line"] for r in bad.collect()] == [
+            "not json at all"
+        ]
+    finally:
+        q.stop()
