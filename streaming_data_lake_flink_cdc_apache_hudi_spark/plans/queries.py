@@ -1931,3 +1931,54 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.source_cap(d, "doc_id", "source", cap=10).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "table_profile",
+    """
+WITH w AS (
+  SELECT
+    count(*) AS rows_all,
+    CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS price_nulls,
+    CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS price_distinct,
+    CAST(min(l_extendedprice) AS VARCHAR) AS price_min,
+    CAST(max(l_extendedprice) AS VARCHAR) AS price_max,
+    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS flag_nulls,
+    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS flag_distinct,
+    CAST(min(l_returnflag) AS VARCHAR) AS flag_min,
+    CAST(max(l_returnflag) AS VARCHAR) AS flag_max,
+    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS qty_nulls,
+    CAST(count(DISTINCT l_quantity) AS BIGINT) AS qty_distinct,
+    CAST(min(l_quantity) AS VARCHAR) AS qty_min,
+    CAST(max(l_quantity) AS VARCHAR) AS qty_max
+  FROM lineitem
+)
+SELECT 'l_extendedprice' AS column, rows_all AS n_rows,
+       price_nulls AS n_nulls, price_distinct AS n_distinct,
+       price_min AS min_val, price_max AS max_val FROM w
+UNION ALL
+SELECT 'l_returnflag', rows_all, flag_nulls, flag_distinct,
+       flag_min, flag_max FROM w
+UNION ALL
+SELECT 'l_quantity', rows_all, qty_nulls, qty_distinct,
+       qty_min, qty_max FROM w
+""",
+    doc="ANALYZE-style per-column stats (rows/nulls/distinct/min/max) "
+    "for three lineitem columns in ONE scan: all metrics partial-"
+    "aggregate map-side into a single fixed-width row, then unpivot "
+    "via stack — never one pass per column. exact_distinct=True here "
+    "for oracle parity; the default is HLL++ approx_count_distinct "
+    "(the 100 TB path).",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(
+        li,
+        ["l_extendedprice", "l_returnflag", "l_quantity"],
+        exact_distinct=True,
+    )

@@ -1,0 +1,48 @@
+"""Table profiling operator (operators/profile.py): planted values,
+approx-vs-exact distinct, and the one-scan plan contract."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.profile import profile
+
+
+def test_profile_planted_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        ["x", "y"],
+    )
+    rows = {
+        r["column"]: r
+        for r in profile(df, exact_distinct=True).collect()
+    }
+    assert rows["x"]["n_rows"] == 4
+    assert rows["x"]["n_nulls"] == 1
+    assert rows["x"]["n_distinct"] == 2
+    assert (rows["x"]["min_val"], rows["x"]["max_val"]) == ("1", "2")
+    assert rows["y"]["n_nulls"] == 1
+    assert rows["y"]["n_distinct"] == 2
+    assert (rows["y"]["min_val"], rows["y"]["max_val"]) == ("a", "b")
+
+
+def test_profile_is_single_scan(spark):
+    """All columns' metrics come from ONE aggregation pass — the plan
+    must contain exactly one parquet scan and no join/union of
+    per-column subplans."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+    )
+    from .conftest import SF_ORACLE
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    out = profile(li, ["l_extendedprice", "l_returnflag", "l_quantity"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    tree = buf.getvalue().split("\n\n(")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Union" not in tree and "Join" not in tree
+    # HLL sketch by default (the 100 TB path)
+    assert out.count() == 3
