@@ -97,3 +97,76 @@ def test_jsonl_stream_ingests_incrementally(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_jsonl_stream_to_lake_with_incremental_pickup(spark, tmp_path):
+    """Full corpus-landing loop: JSONL shards drop -> streaming parse
+    -> clean rows MERGE into the lake keyed by doc_id -> a downstream
+    consumer reads ONLY the new docs via incremental(); corrupt lines
+    go to a quarantine parquet sink. Exercises the composition a real
+    continuous-curation pipeline runs."""
+    import json as _json
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    quarantine = str(tmp_path / "quarantine")
+    table = UpsertLakeTable(
+        spark, str(tmp_path / "corpus_lake"), key="doc_id"
+    )
+
+    def land(batch, epoch_id):
+        good = batch.where(F.col("_corrupt_line").isNull()).drop(
+            "_corrupt_line"
+        )
+        bad = batch.where(F.col("_corrupt_line").isNotNull()).select(
+            F.col("_corrupt_line").alias("raw_line")
+        )
+        table.write(good, commit_id=f"jsonl-{epoch_id}")
+        bad.write.mode("append").parquet(quarantine)
+
+    (d / "a.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": "one", "lang": "en",
+                     "source": "s", "n_chars": 3}) + "\n"
+    )
+    stream = J.read_jsonl_stream(spark, str(d), J.DOCUMENT_SCHEMA)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        seq_after_first = max(
+            (c["seq"] for c in table.commits()), default=0
+        )
+        assert sorted(
+            r["doc_id"] for r in table.snapshot().collect()
+        ) == [1]
+
+        (d / "b.jsonl").write_text(
+            "corrupt!\n"
+            + _json.dumps({"doc_id": 2, "text": "two", "lang": "fr",
+                           "source": "s", "n_chars": 3}) + "\n"
+            + _json.dumps({"doc_id": 1, "text": "one-v2", "lang": "en",
+                           "source": "s", "n_chars": 6}) + "\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # lake converged: doc 1 updated in place, doc 2 appended
+    snap = {r["doc_id"]: r["text"] for r in table.snapshot().collect()}
+    assert snap == {1: "one-v2", 2: "two"}
+    # incremental consumer sees exactly the second batch's changes
+    inc = sorted(
+        r["doc_id"]
+        for r in table.incremental(since_seq=seq_after_first).collect()
+    )
+    assert inc == [1, 2]
+    # corrupt line quarantined for audit
+    qrows = [r["raw_line"] for r in spark.read.parquet(quarantine).collect()]
+    assert qrows == ["corrupt!"]
