@@ -1982,3 +1982,54 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_extendedprice", "l_returnflag", "l_quantity"],
         exact_distinct=True,
     )
+
+
+@register(
+    "gap_filled_rollup",
+    """
+WITH agg AS (
+  SELECT event_type, time_bucket(INTERVAL 5 MINUTE, ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+  FROM agg GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS bucket
+  FROM bounds
+)
+SELECT s.event_type,
+       strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COALESCE(a.n, 0) AS n,
+       COALESCE(a.total, 0.0) AS total
+FROM spine s LEFT JOIN agg a USING (event_type, bucket)
+""",
+    doc="Dense 'hypertable' rollup: 5-min buckets per event_type with "
+    "every gap between each series' first and last bucket filled "
+    "with zeros (operators/timeseries.py gap_filled_rollup). The "
+    "spine is sequence+explode over a tiny bounds table — in-plan, "
+    "executor-side; final join shuffles rollup-sized data, never raw "
+    "events.",
+)
+def q_gap_filled_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gap_filled_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    out = gap_filled_rollup(
+        ev,
+        "ts",
+        ["event_type"],
+        "5 minutes",
+        aggs={
+            "n": F.count(F.lit(1)),
+            "total": F.round(F.sum("value"), 2),
+        },
+        fills={"n": 0, "total": 0.0},
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("double").alias("total"),
+    )
