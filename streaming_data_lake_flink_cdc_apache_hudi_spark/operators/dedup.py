@@ -380,25 +380,76 @@ def simhash_udf():
     return F.pandas_udf(_simhash_pdf, "long")
 
 
+def _bit_pred(j: int):
+    # closure factory, not a default-arg capture: Spark HOFs introspect
+    # lambda arity, so `lambda h, j=j:` would be rejected
+    return lambda h: (
+        F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == F.lit(1)
+    )
+
+
+def _portable_simhash(hs: Column, n: Column, bits: int = 60) -> Column:
+    """SimHash from a pre-computed token-hash array, pure JVM column
+    math: bit j of the signature is set iff more than half the token
+    hashes have bit j set (sign-sum > 0). 60 bits (the portable md5
+    prefix width); the per-bit counts are ``size(filter(...))`` over
+    the array — O(bits x tokens) inside codegen, no Python."""
+    import functools
+    import operator
+
+    terms = [
+        F.when(
+            F.size(F.filter(hs, _bit_pred(j))) * 2 > n,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    ]
+    return functools.reduce(operator.add, terms)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    hash_family: str = "blake2b",
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= max_hamming.
 
-    Pigeonhole banding: split 64 bits into ``bands`` chunks; any pair
-    within distance < bands must agree exactly on >=1 chunk → candidate
-    generation is an equi-join on (chunk_id, chunk_value).
+    Pigeonhole banding: split the signature bits into ``bands`` chunks;
+    any pair within distance < bands must agree exactly on >=1 chunk →
+    candidate generation is an equi-join on (chunk_id, chunk_value).
+
+    ``hash_family``: "blake2b" (64-bit, vectorized pandas UDF — the
+    fast default) or "portable" (60-bit md5-derived token hashes, all
+    JVM-side, bit-identical in DuckDB — gives the whole SimHash →
+    banding → hamming-verify pipeline an exact value-hash oracle, same
+    trade as ``minhash_signature(hash_family="portable")``).
     """
-    width = 64 // bands
+    total_bits = 60 if hash_family == "portable" else 64
+    width = total_bits // bands
     df = _spread(df)
-    sh = df.select(
-        F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("_sim")
-    )
-    # materialize: the pandas UDF must run once, not once per join side
+    if hash_family == "portable":
+        toks = TX.tokens(F.col(text_col))
+        pre = df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(toks, lambda t: _portable_base(t)).alias("_hs"),
+            F.size(toks).alias("_n"),
+        )
+        # materialize the token hashes behind a plan boundary:
+        # CollapseProject would otherwise inline the md5 transform into
+        # all 60 per-bit filters (60x re-evaluation per row)
+        pre = pre.localCheckpoint(eager=True)
+        sh = pre.select(
+            "_id", _portable_simhash(F.col("_hs"), F.col("_n")).alias("_sim")
+        )
+    else:
+        sh = df.select(
+            F.col(id_col).alias("_id"),
+            simhash_udf()(F.col(text_col)).alias("_sim"),
+        )
+    # materialize: the signature must be computed once, not per join side
     sh = sh.localCheckpoint(eager=True)
     chunks = sh.select(
         "_id",

@@ -2033,3 +2033,44 @@ def q_gap_filled_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("total").cast("double").alias("total"),
     )
+
+
+@register(
+    "simhash_portable_pairs",
+    """
+WITH hs AS (
+  SELECT doc_id, len(toks) AS n,
+    [('0x'||substr(md5(t),1,15))::BIGINT for t in toks] AS xs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+sig AS (
+  SELECT doc_id,
+    list_sum([CASE WHEN 2*len(list_filter(xs, x -> (x >> j) & 1 = 1)) > n
+              THEN (1::BIGINT << j) ELSE 0::BIGINT END
+              for j in generate_series(0, 59)]) AS sm
+  FROM hs
+),
+bd AS (
+  SELECT doc_id, sm,
+    [CAST(b AS VARCHAR)||':'||CAST((sm >> (b*15)) & 32767 AS VARCHAR)
+     for b in generate_series(0, 3)] AS bands
+  FROM sig
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.sm, b.sm)) AS BIGINT) AS hamming
+FROM bd a JOIN bd b
+  ON a.doc_id < b.doc_id AND list_has_any(a.bands, b.bands)
+WHERE bit_count(xor(a.sm, b.sm)) <= 3
+""",
+    doc="SimHash near-dup pairs under the PORTABLE md5-derived token "
+    "hash (60-bit, all JVM-side — no pandas UDF): signature, "
+    "pigeonhole banding, and hamming verification are all "
+    "value-hash oracle-checked against DuckDB end to end. The "
+    "blake2b pandas-UDF default stays the fast path "
+    "(simhash_pairs).",
+)
+def q_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(
+        d, "text", "doc_id", hash_family="portable"
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

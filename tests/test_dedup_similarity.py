@@ -167,6 +167,29 @@ def test_simhash_finds_planted_neardups(spark, docs):
     assert (10, 200) in pairs
 
 
+def test_simhash_portable_family_finds_planted_neardups(spark, docs):
+    """The JVM-side portable (md5-derived, 60-bit) SimHash family must
+    surface the same planted near-dups as the blake2b pandas-UDF
+    default — and its signatures must be deterministic across runs
+    (they feed a cross-engine oracle)."""
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_pairs(
+            docs, "text", "doc_id", max_hamming=12, hash_family="portable"
+        ).collect()
+    }
+    found = sum((i, 100 + i) in pairs for i in range(5))
+    assert found >= 3
+    assert (10, 200) in pairs
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_pairs(
+            docs, "text", "doc_id", max_hamming=12, hash_family="portable"
+        ).collect()
+    }
+    assert again == pairs
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     rng = random.Random(11)
