@@ -814,7 +814,11 @@ class UpsertLakeTable:
                 out.add(int(e.split("=", 1)[1]))
         return sorted(out)
 
-    def compact(self) -> int:
+    def compact(
+        self,
+        expire_col: str | None = None,
+        expire_before=None,
+    ) -> int:
         """Fold the delta log into the bucketed base and truncate the log.
 
         Only the buckets the log actually touches are re-merged and
@@ -822,6 +826,19 @@ class UpsertLakeTable:
         untouched buckets are left as-is. This bounds compaction cost
         by delta size x bucket fan-in, not table size — the property
         that keeps merge-on-read viable at 100 TB.
+
+        ``expire_col``/``expire_before`` is the OPTIONAL state-TTL knob
+        (SURVEY.md §7 "expose optional watermark/TTL knobs": the
+        reference's Flink tables declare no watermark, so unbounded
+        retention stays the default): rows whose ``expire_col`` is
+        strictly below the caller-supplied ``expire_before`` horizon
+        are physically dropped while the affected buckets are being
+        rewritten anyway — zero extra passes. The horizon is explicit
+        (never derived from a hidden full-table max), so expiry is
+        deterministic and the same on every engine. Only compacted
+        buckets apply it; expired rows in untouched buckets go on the
+        next compaction that touches them — the same eventual contract
+        as Hudi's cleaner / Flink state TTL.
         """
         with self._lease():
             affected = self._log_buckets()
@@ -831,6 +848,10 @@ class UpsertLakeTable:
             # deletes are physically dropped at compaction time (like
             # Hudi's compactor); tombstones only need to outlive the log
             compacted = merged.filter(F.col("_op") != "D")
+            if expire_col is not None and expire_before is not None:
+                compacted = compacted.filter(
+                    F.col(expire_col) >= F.lit(expire_before)
+                )
             tmp = os.path.join(self.path, "_compact_tmp")
             shutil.rmtree(tmp, ignore_errors=True)
             # clustering (≙ Hudi clustering / sort on write): key-sort

@@ -563,3 +563,43 @@ def test_lake_random_walk_matches_dict_model(spark, tmp_path):
             check()
     check()
     assert t.last_commit_seq() == len(history)
+
+
+def test_compaction_state_ttl_expires_old_rows(spark, tmp_path):
+    """The optional state-TTL knob (SURVEY §7): compaction with an
+    explicit event-time horizon drops rows older than the horizon in
+    the buckets it rewrites; fresh rows and later updates survive.
+    Unbounded retention stays the default (no-knob compaction keeps
+    everything)."""
+    import datetime as dt
+
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "ttl"), key="uuid", num_buckets=2,
+        compact_every=100,
+    )
+    t.write(_t1(spark, T1_ROWS), commit_id="seed")
+    # id1 gets a FRESH update — TTL must judge the surviving version
+    t.write(
+        _t1(spark, [("id1", "Mary2", 25, "1970-01-01 01:00:00")]),
+        commit_id="refresh",
+    )
+    horizon = dt.datetime(1970, 1, 1, 0, 0, 5)  # ids 1-4 stale, 5-8 fresh
+    t.compact(expire_col="ts", expire_before=horizon)
+    kept = sorted(
+        r["uuid"] for r in t.snapshot().select("uuid").collect()
+    )
+    # id1 survives via its fresh update; id2-4 expired; id5-8 in horizon
+    assert kept == ["id1", "id5", "id6", "id7", "id8"]
+    assert (
+        t.snapshot().filter(F.col("uuid") == "id1").collect()[0]["name"]
+        == "Mary2"
+    )
+
+    # default compaction (no knob) retains everything
+    t2 = UpsertLakeTable(
+        spark, str(tmp_path / "nottl"), key="uuid", num_buckets=2,
+        compact_every=100,
+    )
+    t2.write(_t1(spark, T1_ROWS), commit_id="seed")
+    t2.compact()
+    assert t2.snapshot().count() == len(T1_ROWS)
