@@ -385,6 +385,7 @@ class UpsertLakeTable:
         skipped as a duplicate).
         """
         commit_id = commit_id or f"c{int(time.time() * 1e6)}"
+        self._ensure_recovered()
         with self._lease():
             if commit_id in self._seen_commit_ids():
                 return 0  # replayed epoch → no-op (exactly-once)
@@ -595,6 +596,7 @@ class UpsertLakeTable:
         ``as_of_seq`` reads the table AS OF that commit (time travel —
         Hudi's point-in-time query); history visibility is bounded by
         compaction, like Hudi's cleaner retention."""
+        self._ensure_recovered()
         merged = self._merged(
             bucket_filter=bucket_filter, with_file=with_meta, as_of_seq=as_of_seq
         )
@@ -629,6 +631,7 @@ class UpsertLakeTable:
         log file this is a parquet min/max stats skip), then the
         state read is bucket-pruned to the changed keys' buckets when
         the table is bucketed on its key."""
+        self._ensure_recovered()
         base, log = self._read_dir(self._base), self._read_dir(self._log)
         parts = [d for d in (base, log) if d is not None]
         if not parts:
@@ -658,6 +661,7 @@ class UpsertLakeTable:
         scan with no LWW window, trading freshness for the cheapest
         possible read. Compaction already merged keys and dropped
         tombstones, so the base holds exactly one live row per key."""
+        self._ensure_recovered()
         base = self._read_dir(self._base)
         if base is None:
             empty = self._empty()
@@ -688,6 +692,7 @@ class UpsertLakeTable:
         the changed keys' buckets when the table is bucketed on its
         key, and the before/after reconciliation is one key-hash
         full-outer join — everything is delta-proportional."""
+        self._ensure_recovered()
         end_seq = self.last_commit_seq() if end_seq is None else int(end_seq)
         since_seq = int(since_seq)
         base, log = self._read_dir(self._base), self._read_dir(self._log)
@@ -766,6 +771,7 @@ class UpsertLakeTable:
         into the base (take a savepoint cadence >= compact_every to
         guarantee restorable points, exactly Hudi's savepoint rule)."""
         to_seq = int(to_seq)
+        self._ensure_recovered()
         with self._lease():
             for c in self.commits():
                 if c["seq"] > to_seq and c["kind"] == "compaction":
@@ -840,6 +846,7 @@ class UpsertLakeTable:
         next compaction that touches them — the same eventual contract
         as Hudi's cleaner / Flink state TTL.
         """
+        self._ensure_recovered()
         with self._lease():
             affected = self._log_buckets()
             if not affected:
@@ -866,15 +873,67 @@ class UpsertLakeTable:
                 .partitionBy("bucket")
                 .parquet(tmp)
             )
+            # Crash-safe swap: the old bucket dirs are RENAMED into a
+            # seq-tagged trash dir, never deleted before the compaction
+            # commit is recorded — a crash at any point leaves every
+            # row recoverable (old buckets in trash + intact log, or
+            # committed new buckets). _recover_compaction() rolls back
+            # or finishes cleanup depending on whether the marker
+            # landed. (The previous rmtree-then-move swap could lose a
+            # bucket's base rows to a crash between the two calls.)
+            seq = self.last_commit_seq() + 1
+            trash = os.path.join(self.path, f"_compact_trash_seq={seq}")
+            shutil.rmtree(trash, ignore_errors=True)
+            os.makedirs(trash)
+            for b in affected:
+                dst = os.path.join(self._base, f"bucket={b}")
+                if os.path.isdir(dst):
+                    shutil.move(dst, os.path.join(trash, f"bucket={b}"))
+            os.makedirs(self._base, exist_ok=True)
             for b in affected:
                 src = os.path.join(tmp, f"bucket={b}")
-                dst = os.path.join(self._base, f"bucket={b}")
-                shutil.rmtree(dst, ignore_errors=True)
                 if os.path.isdir(src):  # bucket may compact to empty (all deletes)
-                    os.makedirs(self._base, exist_ok=True)
-                    shutil.move(src, dst)
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(self._log, ignore_errors=True)
-            seq = self.last_commit_seq() + 1
+                    shutil.move(src, os.path.join(self._base, f"bucket={b}"))
+            # the marker is the commit point; everything after is cleanup
             self._record_commit(seq, f"compaction-{seq}", "compaction", -1)
+            shutil.rmtree(self._log, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
             return seq
+
+    def _ensure_recovered(self) -> None:
+        """Repair a compaction interrupted by a crash. No-op (one
+        directory listing) unless a ``_compact_trash_seq=N`` dir
+        exists. If the compaction marker N was recorded, the swap
+        completed — finish the cleanup it never got to. Otherwise roll
+        back: restore every trashed bucket dir (renames) and drop any
+        half-installed compacted buckets; the delta log was not yet
+        truncated, so the table returns to its exact pre-compaction
+        state."""
+        trashes = [
+            d
+            for d in os.listdir(self.path)
+            if d.startswith("_compact_trash_seq=")
+        ] if os.path.isdir(self.path) else []
+        if not trashes:
+            return
+        with self._lease():
+            for name in trashes:
+                trash = os.path.join(self.path, name)
+                if not os.path.isdir(trash):
+                    continue
+                seq = int(name.split("=")[1])
+                if self.last_commit_seq() >= seq:
+                    # committed: old buckets are garbage; the log (if the
+                    # crash beat its truncation) is idempotent to re-merge
+                    shutil.rmtree(trash, ignore_errors=True)
+                else:
+                    for bdir in os.listdir(trash):
+                        dst = os.path.join(self._base, bdir)
+                        shutil.rmtree(dst, ignore_errors=True)
+                        os.makedirs(self._base, exist_ok=True)
+                        shutil.move(os.path.join(trash, bdir), dst)
+                    shutil.rmtree(trash, ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(self.path, "_compact_tmp"), ignore_errors=True
+            )

@@ -603,3 +603,68 @@ def test_compaction_state_ttl_expires_old_rows(spark, tmp_path):
     t2.write(_t1(spark, T1_ROWS), commit_id="seed")
     t2.compact()
     assert t2.snapshot().count() == len(T1_ROWS)
+
+
+def test_compaction_crash_rolls_back_cleanly(spark, tmp_path):
+    """Crash mid-swap (old buckets in trash, marker NOT recorded):
+    every entry point self-heals back to the exact pre-compaction
+    state — no lost rows, log intact."""
+    import os
+    import shutil
+
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "c1"), key="uuid", num_buckets=2,
+        compact_every=100,
+    )
+    t.write(_t1(spark, T1_ROWS), commit_id="seed")
+    t.compact()  # materialize the base the crashed swap will touch
+    t.write(
+        _t1(spark, [("id1", "Mary2", 25, "1970-01-01 01:00:00")]),
+        commit_id="delta2",
+    )
+    before = {tuple(r) for r in t.snapshot().select("uuid", "name").collect()}
+
+    # simulate the crash window: buckets renamed into a trash dir
+    # tagged with the NEXT seq, marker never recorded, base emptied
+    seq = t.last_commit_seq() + 1
+    trash = os.path.join(t.path, f"_compact_trash_seq={seq}")
+    os.makedirs(trash)
+    base = os.path.join(t.path, "base")
+    for b in os.listdir(base):
+        if b.startswith("bucket="):
+            shutil.move(os.path.join(base, b), os.path.join(trash, b))
+
+    got = {tuple(r) for r in t.snapshot().select("uuid", "name").collect()}
+    assert got == before
+    assert not os.path.exists(trash)
+    # and the table keeps working: a new write + real compaction
+    t.write(
+        _t1(spark, [("id9", "Iris", 30, "1970-01-01 00:00:09")]),
+        commit_id="post-crash",
+    )
+    t.compact()
+    assert t.snapshot().count() == len(T1_ROWS) + 1
+
+
+def test_compaction_crash_after_marker_finishes_cleanup(spark, tmp_path):
+    """Crash AFTER the compaction marker (trash + possibly the log
+    left behind): recovery discards the trash; a leftover log is
+    harmless because re-merging folded commits is idempotent."""
+    import os
+
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "c2"), key="uuid", num_buckets=2,
+        compact_every=100,
+    )
+    t.write(_t1(spark, T1_ROWS), commit_id="seed")
+    t.compact()
+    after = {tuple(r) for r in t.snapshot().select("uuid", "name").collect()}
+
+    # simulate: a trash dir whose seq is <= the recorded compaction
+    trash = os.path.join(t.path, f"_compact_trash_seq={t.last_commit_seq()}")
+    os.makedirs(trash)
+    os.makedirs(os.path.join(trash, "bucket=0"))
+
+    got = {tuple(r) for r in t.snapshot().select("uuid", "name").collect()}
+    assert got == after
+    assert not os.path.exists(trash)
