@@ -786,6 +786,24 @@ class UpsertLakeTable:
                             "restore requires the commit-partitioned log "
                             "layout (table written by an older engine)"
                         )
+            # markers first, newest first: a commit without its marker
+            # is an orphan the readers already ignore, so every crash
+            # point leaves a consistent (merely less-restored) timeline.
+            # Data dirs before markers would leave phantom commits —
+            # marker present, rows gone.
+            doomed = sorted(
+                (
+                    f
+                    for f in self._commit_files()
+                    if int(f.split("-")[1].split(".")[0]) > to_seq
+                ),
+                key=lambda f: int(f.split("-")[1].split(".")[0]),
+                reverse=True,
+            )
+            for f in doomed:
+                os.remove(os.path.join(self._commits, f))
+            if os.path.isdir(self._log):
+                for e in os.listdir(self._log):
                     if (
                         e.startswith("commit=")
                         and int(e.split("=", 1)[1]) > to_seq
@@ -793,9 +811,6 @@ class UpsertLakeTable:
                         shutil.rmtree(
                             os.path.join(self._log, e), ignore_errors=True
                         )
-            for f in self._commit_files():
-                if int(f.split("-")[1].split(".")[0]) > to_seq:
-                    os.remove(os.path.join(self._commits, f))
 
     # -- compaction (≙ Hudi MoR compaction) ---------------------------------
 

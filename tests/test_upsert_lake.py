@@ -668,3 +668,39 @@ def test_compaction_crash_after_marker_finishes_cleanup(spark, tmp_path):
     got = {tuple(r) for r in t.snapshot().select("uuid", "name").collect()}
     assert got == after
     assert not os.path.exists(trash)
+
+
+def test_restore_crash_leaves_consistent_timeline(spark, tmp_path):
+    """restore() removes markers before data dirs (newest first): a
+    crash mid-restore leaves orphan commit dirs that readers already
+    ignore — never a marker whose data is gone. Simulated: marker for
+    the newest commit removed, its data dir left behind."""
+    import os
+
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "r1"), key="uuid", num_buckets=2,
+        compact_every=100,
+    )
+    t.write(_t1(spark, T1_ROWS), commit_id="seed")
+    t.write(
+        _t1(spark, [("id1", "Mary2", 25, "1970-01-01 01:00:00")]),
+        commit_id="second",
+    )
+    seq2 = t.last_commit_seq()
+    # crash simulation: marker gone, commit dir still on disk
+    os.remove(os.path.join(t.path, "_commits", f"commit-{seq2:012d}.json"))
+    assert os.path.isdir(os.path.join(t.path, "log", f"commit={seq2}"))
+    # readers see the pre-second state (orphan dir invisible)
+    assert (
+        t.snapshot().filter(F.col("uuid") == "id1").collect()[0]["name"]
+        == "Danny"
+    )
+    # re-running restore completes the cleanup
+    t.restore(to_seq=seq2 - 1)
+    assert not os.path.isdir(os.path.join(t.path, "log", f"commit={seq2}"))
+    # the table remains writable and the seq is reclaimed
+    t.write(
+        _t1(spark, [("id2", "Nikki2", 20, "1970-01-01 01:00:02")]),
+        commit_id="after-restore",
+    )
+    assert t.last_commit_seq() == seq2
