@@ -200,11 +200,15 @@ class UpsertLakeTable:
             return json.load(fh)
 
     def commits(self) -> list[dict]:
-        out = self._archived()
+        # keyed by seq: a crash between the archive write and the
+        # archived markers' removal leaves the same commit in both
+        # places — the active marker wins and nothing duplicates
+        by_seq = {m["seq"]: m for m in self._archived()}
         for f in self._commit_files():
             with open(os.path.join(self._commits, f)) as fh:
-                out.append(json.load(fh))
-        return out
+                m = json.load(fh)
+            by_seq[m["seq"]] = m
+        return [by_seq[s] for s in sorted(by_seq)]
 
     def _maybe_archive_timeline(self) -> None:
         """≙ Hudi timeline archiving: when the active timeline exceeds
@@ -226,8 +230,14 @@ class UpsertLakeTable:
         cut = comp_idx[-1]
         arch_path = os.path.join(self._commits, "archive.json")
         tmp = arch_path + ".tmp"
+        # seq-keyed merge: re-archiving after a crashed cleanup (or any
+        # overlap between archive and still-active markers) is a no-op,
+        # never a duplicate entry
+        merged = {m["seq"]: m for m in self._archived()}
+        for m in metas[:cut]:
+            merged[m["seq"]] = m
         with open(tmp, "w") as fh:
-            json.dump(self._archived() + metas[:cut], fh)
+            json.dump([merged[s] for s in sorted(merged)], fh)
         os.replace(tmp, arch_path)
         for f in files[:cut]:
             os.remove(os.path.join(self._commits, f))

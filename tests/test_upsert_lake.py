@@ -704,3 +704,43 @@ def test_restore_crash_leaves_consistent_timeline(spark, tmp_path):
         commit_id="after-restore",
     )
     assert t.last_commit_seq() == seq2
+
+
+def test_archive_crash_never_duplicates_timeline(spark, tmp_path):
+    """Crash between the archive write and the archived markers'
+    removal leaves a commit in BOTH places: commits() must dedupe by
+    seq, and the next archive fold must not double the entry."""
+    import json
+    import os
+
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "a1"), key="uuid", num_buckets=2,
+        compact_every=2, archive_after=3,
+    )
+    for i in range(6):  # several deltas; compactions every 2nd write
+        t.write(
+            _t1(spark, [("id1", f"v{i}", i, f"1970-01-01 00:00:0{i + 1}")]),
+            commit_id=f"w{i}",
+        )
+    seqs = [c["seq"] for c in t.commits()]
+    assert seqs == sorted(set(seqs)), "timeline must be seq-unique"
+    n_before = len(seqs)
+
+    # crash simulation: copy an archived entry back as an active marker
+    arch = json.load(open(os.path.join(t.path, "_commits", "archive.json")))
+    assert arch, "archive must have folded something"
+    m = arch[0]
+    with open(
+        os.path.join(t.path, "_commits", f"commit-{m['seq']:012d}.json"), "w"
+    ) as fh:
+        json.dump(m, fh)
+
+    seqs2 = [c["seq"] for c in t.commits()]
+    assert seqs2 == sorted(set(seqs2)) and len(seqs2) == n_before
+    # further writes (and any re-archiving they trigger) stay clean
+    t.write(
+        _t1(spark, [("id2", "x", 1, "1970-01-01 00:01:00")]),
+        commit_id="post",
+    )
+    seqs3 = [c["seq"] for c in t.commits()]
+    assert seqs3 == sorted(set(seqs3)) == sorted(seqs3)
