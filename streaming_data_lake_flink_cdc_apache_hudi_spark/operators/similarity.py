@@ -359,6 +359,7 @@ def write_ivf_index(
     refine_iters: int = 2,
     train_limit: int | None = 65536,
     seed: int = 42,
+    quantize: bool = False,
 ) -> list[list[float]]:
     """Materialize the IVF layout :func:`ivf_topk` only simulates:
     train centroids (spherical k-means), assign every vector to its
@@ -367,7 +368,15 @@ def write_ivf_index(
     (``_centroids.json`` — underscore-prefixed, invisible to Spark
     file listings). A probe then reads n_probe/n_centroids of the
     data as a PARTITION-DIR filter — no scan of unprobed lists, the
-    property that makes IVF pay at 100 TB. Returns the centroids."""
+    property that makes IVF pay at 100 TB. Returns the centroids.
+
+    ``quantize=True`` stores int8 codes + per-vector scale in place of
+    the raw floats (IVF-SQ8): 4x narrower logical element width (the
+    on-disk ratio depends on parquet encoding — int8 is INT32-physical
+    with bit-packing, so the win shows at real row counts, not toy
+    files); probe reads self-describe and dequantize. The recall cost
+    is bounded (int8 keeps >=8/10 of true top-10 — pinned in
+    tests/test_curation.py and tests/test_dedup_similarity.py)."""
     import json
     import os
 
@@ -392,11 +401,27 @@ def write_ivf_index(
             c["cid"].alias("cid"),
         ),
     )
-    assigned = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.array_max(dots)["cid"].alias("_list_id"),
-    )
+    if quantize:
+        # IVF-SQ8: store per-vector int8 codes + scale instead of the
+        # raw floats — 4x smaller lists at rest (the standard IVF+SQ
+        # recipe); the probe dequantizes on read. tinyint storage is
+        # the honest 1-byte layout (codes are in [-127, 127]).
+        scale = V.quantize_scale(F.col(vec_col))
+        assigned = df.select(
+            F.col(id_col),
+            F.transform(
+                V.quantize_int8(F.col(vec_col), scale),
+                lambda x: x.cast("tinyint"),
+            ).alias("_code"),
+            scale.alias("_scale"),
+            F.array_max(dots)["cid"].alias("_list_id"),
+        )
+    else:
+        assigned = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.array_max(dots)["cid"].alias("_list_id"),
+        )
     assigned.write.mode("overwrite").partitionBy("_list_id").parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as fh:
         json.dump(cents, fh)
@@ -434,7 +459,11 @@ def ivf_probe_index(
         F.col("_list_id").isin(probes)
     )
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = V.cosine(V.as_double(F.col(vec_col)), V.as_double(qv))
+    if "_code" in corpus.columns:  # IVF-SQ8 layout: self-describing
+        vec = V.dequantize(F.col("_code"), F.col("_scale"))
+    else:
+        vec = V.as_double(F.col(vec_col))
+    cos = V.cosine(vec, V.as_double(qv))
     return (
         corpus.select(F.col(id_col), F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
