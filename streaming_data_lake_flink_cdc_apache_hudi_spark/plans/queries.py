@@ -659,12 +659,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     order = [F.col("ts"), F.col("event_id")]
     w = W.partitionBy("user_id").orderBy(*order)
-    # microsecond precision on BOTH engines (Spark µs == DuckDB
-    # epoch_us): a whole-second cast would split gaps in (1800, 1801)s
-    # differently from the oracle's full-precision interval compare
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # Native timestamp compare at full microsecond precision — works for
+    # both TIMESTAMP and TIMESTAMP_NTZ readings of the naive parquet
+    # column (unix_micros() only accepts LTZ, so epoch math is fragile).
+    # ts - prev > 30min  <=>  ts > prev + INTERVAL 30 min.
+    prev = F.lag(F.col("ts")).over(w)
     new_s = (
-        F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+        F.when(
+            prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 1800 SECONDS")),
+            F.lit(1),
+        ).otherwise(F.lit(0))
     )
     run = W.partitionBy("user_id").orderBy(*order).rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -1374,25 +1378,26 @@ GROUP BY p.event_id
     "before each purchase. Equi key (user_id) drives the shuffle "
     "partitioning; the time-range predicate filters within partitions, "
     "so the join scales with per-user activity, never cross-user. "
-    "Microsecond comparisons on both engines (ns-parquet gotcha).",
+    "Native timestamp/interval compares keep full microsecond precision "
+    "and work for both TIMESTAMP and TIMESTAMP_NTZ parquet readings.",
 )
 def q_purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
-        F.unix_micros("ts").alias("p_us"),
+        F.col("ts").alias("p_ts"),
         F.col("event_id").alias("purchase_id"),
     )
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
-        F.unix_micros("ts").alias("c_us"),
+        F.col("ts").alias("c_ts"),
         F.col("event_id").alias("click_id"),
     )
     joined = p.join(
         c,
         (p["p_user"] == c["c_user"])
-        & (c["c_us"] <= p["p_us"])
-        & (c["c_us"] >= p["p_us"] - 600_000_000),
+        & (c["c_ts"] <= p["p_ts"])
+        & (c["c_ts"] >= p["p_ts"] - F.expr("INTERVAL 600 SECONDS")),
         "left",
     )
     return joined.groupBy("purchase_id").agg(
