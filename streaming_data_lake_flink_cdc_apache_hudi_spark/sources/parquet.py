@@ -29,16 +29,29 @@ TPCH_TABLES = (
 )
 
 
+def _parquet_ts_unit(path: str, column: str = "ts") -> str | None:
+    """Time unit ('ns', 'us', 'ms', 's') a parquet timestamp column is
+    stored in, read from the file footer — never assume the unit; the
+    driver's testdata is timestamp[us] but other feeds may be ns."""
+    try:
+        import pyarrow.parquet as pq
+
+        typ = pq.read_schema(path).field(column).type
+        return getattr(typ, "unit", None)
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (snapshot read).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default; read it via the nanosAsLong legacy mode
-    and convert back to a (microsecond) timestamp. Works regardless of
-    which session the driver hands us.
+    ``events.parquet`` may store TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects by default; when the footer says ns, read it
+    via the nanosAsLong legacy mode and convert back to a (microsecond)
+    timestamp. Micro/milli/second timestamps read natively.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _parquet_ts_unit(path) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
@@ -57,16 +70,25 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 def read_events_stream(spark: SparkSession, sf_dir: str):
     """events table as an unbounded stream (micro-batched file source).
 
-    Same ns-timestamp handling as ``load_table``: the stream schema
-    declares ts as long (ns) and converts to a microsecond timestamp.
+    The ``ts`` unit is detected from the parquet footer, same as
+    ``load_table``: nanosecond files are declared long and converted to
+    a microsecond timestamp; microsecond files (the driver's testdata)
+    are declared ``TIMESTAMP`` and read natively. Watermarks reject
+    TIMESTAMP_NTZ, so the stream uses TIMESTAMP — with the session
+    timezone pinned UTC (config.py) its wall clock is identical to the
+    batch side's TIMESTAMP_NTZ read, preserving streaming/batch parity.
     """
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    is_ns = _parquet_ts_unit(path) == "ns"
+    ts_type = T.LongType() if is_ns else T.TimestampType()
+    if is_ns:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -79,6 +101,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str):
         spark.readStream.schema(schema)
         .parquet(os.path.join(sf_dir, "events.parque*"))
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    if is_ns:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return raw
