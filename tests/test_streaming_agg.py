@@ -268,6 +268,148 @@ def test_native_stream_stream_join_append_only(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def _feed_batch(spark, feed_dir, rows):
+    """Append one parquet file to the feed dir = one micro-batch."""
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed_dir)
+
+
+def test_tumbling_window_late_data_dropped_in_horizon_merged(spark, tmp_path):
+    """Watermark semantics on tumbling windows (SURVEY.md §2.5's
+    late-data trap): an event older than the watermark is DROPPED (its
+    already-tracked window is not reopened), while a late-but-in-horizon
+    event is MERGED into its still-open window."""
+    from datetime import datetime as dt
+
+    feed = str(tmp_path / "feed")
+    _feed_batch(
+        spark,
+        feed,
+        [
+            (dt(2024, 1, 1, 10, 0, 0), 1, 1.0),
+            (dt(2024, 1, 1, 10, 30, 0), 1, 2.0),  # advances watermark to 10:20
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.date_format("w.start", "HH:mm").alias("w_start"), "n", "total"
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_tumbling")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()  # watermark now 10:20; window 10:00 closed
+    _feed_batch(
+        spark,
+        feed,
+        [
+            (dt(2024, 1, 1, 10, 1, 0), 1, 100.0),  # < 10:20 watermark: DROP
+            (dt(2024, 1, 1, 10, 25, 0), 1, 3.0),  # in horizon: open new window
+            (dt(2024, 1, 1, 10, 28, 0), 1, 4.0),  # in horizon: MERGE into it
+        ],
+    )
+    q.processAllAvailable()
+    # push the watermark far forward so every touched window finalizes
+    _feed_batch(spark, feed, [(dt(2024, 1, 1, 12, 0, 0), 2, 5.0)])
+    q.processAllAvailable()
+    got = {
+        r["w_start"]: (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM late_tumbling").collect()
+    }
+    q.stop()
+    assert got["10:00"] == (1, 1.0)  # late 100.0 NOT re-opened into it
+    assert got["10:25"] == (2, 7.0)  # both in-horizon events merged
+    assert got["10:30"] == (1, 2.0)
+    assert "12:00" not in got  # watermark has not passed its end
+
+
+def test_session_window_late_data_dropped_in_horizon_merged(spark, tmp_path):
+    """Same watermark contract for session windows: a late event cannot
+    re-open a finalized session; an in-horizon event extends the still
+    open session of its key."""
+    from datetime import datetime as dt
+
+    feed = str(tmp_path / "feed")
+    _feed_batch(
+        spark,
+        feed,
+        [
+            (dt(2024, 1, 1, 10, 0, 0), 1, 1.0),
+            (dt(2024, 1, 1, 10, 5, 0), 1, 1.0),  # u1 session [10:00,10:20)
+            (dt(2024, 1, 1, 10, 40, 0), 2, 1.0),  # watermark -> 10:30
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "15 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_session")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()  # u1 session end 10:20 < wm 10:30: finalized
+    _feed_batch(
+        spark,
+        feed,
+        [
+            (dt(2024, 1, 1, 10, 2, 0), 1, 1.0),  # late beyond wm: DROP
+            (dt(2024, 1, 1, 10, 44, 0), 2, 1.0),  # in horizon: extend u2
+        ],
+    )
+    q.processAllAvailable()
+    _feed_batch(spark, feed, [(dt(2024, 1, 1, 12, 0, 0), 3, 1.0)])
+    q.processAllAvailable()
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM late_session").collect()
+    }
+    q.stop()
+    assert (1, 2) in got  # u1 session kept its 2 events; late one dropped
+    assert (1, 1) not in got and (1, 3) not in got
+    assert (2, 2) in got  # u2 session merged the in-horizon event
+    assert not any(u == 3 for u, _ in got)  # u3 session still open
+
+
 def test_streaming_dedup_within_watermark(spark):
     """Streaming exact-once event dedup (dropDuplicatesWithinWatermark):
     redelivered event_ids inside the watermark horizon are dropped —
