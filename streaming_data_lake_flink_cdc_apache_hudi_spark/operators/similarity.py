@@ -244,6 +244,7 @@ def ivf_topk(
     centroid_sample_seed: int = 42,
     refine_iters: int = 0,
     train_limit: int | None = 65536,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize vectors to their
     nearest centroid (inverted lists), then rank only the lists the
@@ -257,6 +258,14 @@ def ivf_topk(
     dot array — all JVM-side. At scale the corpus is written
     partitioned by ``_list_id`` so a probe reads n_probe/n_centroids
     of the data.
+
+    ``hash_family``: "fast" ranks the centroid sample by xxhash64;
+    "portable" ranks by md5 of ``id || '-' || seed`` and rounds
+    centroid dot products to 6 decimals before ranking lists, making
+    centroid choice, list assignment, and probe selection — hence the
+    whole pruned-probe result — reproducible in any SQL engine (the
+    DuckDB oracle for ``ivf_ann_topk`` replays all three). Same plan
+    shape either way.
     """
     if refine_iters > 0:
         trained = kmeans_centroids(
@@ -286,12 +295,18 @@ def ivf_topk(
         # partition keeps its local top-n and the driver merges n·p
         # rows. (A global Window.orderBy + row_number here would funnel
         # the WHOLE corpus through one task — fatal at scale.)
+        if hash_family == "portable":
+            rank = F.md5(
+                F.concat(F.col("_cid"), F.lit(f"-{centroid_sample_seed}"))
+            )
+        else:
+            rank = F.xxhash64(F.col("_cid"), F.lit(centroid_sample_seed))
         sampled = (
             df.select(
                 F.col(id_col).cast("string").alias("_cid"),
                 V.as_double(F.col(vec_col)).alias("_cv"),
             )
-            .orderBy(F.xxhash64(F.col("_cid"), F.lit(centroid_sample_seed)))
+            .orderBy(rank)
             .limit(n_centroids)
         )
         cents = F.broadcast(sampled.groupBy().agg(
@@ -299,12 +314,18 @@ def ivf_topk(
         ))
 
     def nearest_lists(vec, n: int):
-        # dots: array of (list_id, dot) structs over the centroid set
+        # dots: array of (list_id, dot) structs over the centroid set.
+        # Portable family rounds to 6 decimals so cross-engine float
+        # accumulation noise cannot flip a list ranking.
+        def _dot(v, cv):
+            d = V.dot(v, cv)
+            return F.round(d, 6) if hash_family == "portable" else d
+
         dots = F.transform(
             F.col("_cents"),
             lambda c: F.struct(
                 c["_cid"].alias("list_id"),
-                V.dot(vec, c["_cv"]).alias("dot"),
+                _dot(vec, c["_cv"]).alias("dot"),
             ),
         )
         ranked = F.reverse(F.array_sort(

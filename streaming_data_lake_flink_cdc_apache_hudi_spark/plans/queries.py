@@ -526,33 +526,12 @@ def q_knn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- approximate / non-SQL-expressible ops: rows-only driver check, but
-# covered by planted-duplicate pytest oracles in tests/test_dedup.py ---
-
-
-@register(
-    "minhash_pairs",
-    None,
-    headline=True,
-    doc="MinHash+LSH near-dup candidate pairs (32 hashes, 8 bands, "
-    "3-shingles), est_jaccard >= 0.5. Approximate: no SQL oracle; "
-    "verified by planted-duplicate tests.",
-)
-def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return DD.minhash_lsh_pairs(d, "text", "doc_id")
-
-
-@register(
-    "simhash_pairs",
-    None,
-    headline=True,  # tracks the vectorized pandas-UDF signature cost
-    doc="SimHash near-dup pairs (64-bit, hamming<=3, pigeonhole "
-    "banding). Pandas-UDF signature computation.",
-)
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return DD.simhash_pairs(d, "text", "doc_id")
+# --- approximate ops. minhash_pairs / simhash_pairs / dedup_near_corpus
+# are registered further down under the PORTABLE md5-derived hash family
+# (full DuckDB oracles); the fast JVM families (xxhash64 / blake2b UDF)
+# stay function-level options pinned by planted-pair tests in
+# tests/test_dedup.py. Only genuinely engine-specific estimators remain
+# rows-only. ---
 
 
 @register(
@@ -881,20 +860,6 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_near_corpus",
-    None,
-    doc="Corpus after near-dup removal: MinHash-LSH pairs at "
-    "est_jaccard>=0.5, greedy lowest-id-wins keep-list (the full "
-    "training-data dedup pass). Approximate -> rows-only check.",
-)
-def q_dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return DD.near_dedup_corpus(d, "text", "doc_id").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-
-
-@register(
     "revenue_by_nation",
     """
 SELECT n_name,
@@ -1032,15 +997,53 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_ann_topk",
-    None,
+    """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cents AS (
+  SELECT CAST(vec_id AS VARCHAR) AS cid, v AS cv
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || '-42')
+  LIMIT 16
+), assigned AS (
+  SELECT vec_id, v, cid AS list_id FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_dot_product(e.v, c.cv), 6) DESC,
+                      c.cid DESC
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT cid FROM cents c, q
+  ORDER BY ROUND(list_dot_product(q.qv, c.cv), 6) DESC, cid DESC
+  LIMIT 4
+)
+SELECT a.vec_id,
+       ROUND(list_dot_product(a.v, q.qv) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+FROM assigned a JOIN probes p ON a.list_id = p.cid, q
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 10
+""",
     doc="IVF approximate top-10 (16 inverted lists, probe 4) vs the "
-    "vec_id=0 query. Approximate -> rows-only; exhaustive-probe "
-    "equivalence to brute force is pinned in tests.",
+    "vec_id=0 query, under the portable md5 centroid-sample family: "
+    "the oracle replays centroid sampling, argmax list assignment, "
+    "and probe selection in DuckDB, so the PRUNED-probe result "
+    "itself is value-hash checked (not just row counts). "
+    "Exhaustive-probe equivalence to brute force stays pinned in "
+    "tests; ivf_kmeans_topk covers the k-means-refined flavor.",
 )
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return SIM.ivf_topk(e, "embedding", "vec_id", qv, k=10)
+    return SIM.ivf_topk(
+        e, "embedding", "vec_id", qv, k=10, hash_family="portable"
+    )
 
 
 @register(
@@ -1793,32 +1796,35 @@ WHERE list_sum([CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END
 
 
 @register(
-    "minhash_portable_pairs",
+    "minhash_pairs",
     _MINHASH_PORTABLE_ORACLE,
-    doc="MinHash+LSH near-dup pairs under the PORTABLE md5-derived "
-    "hash family: same banded equi-join plan as minhash_pairs, but "
-    "every hash is reproducible in DuckDB, so banding AND the "
-    "signature estimate are value-hash oracle-checked end to end "
-    "(the xxhash64 default stays the fast path).",
+    headline=True,
+    doc="MinHash+LSH near-dup candidate pairs (32 hashes, 8 bands, "
+    "3-shingles), est_jaccard >= 0.5, under the PORTABLE md5-derived "
+    "hash family: every hash is reproducible in DuckDB, so banding "
+    "AND the signature estimate are value-hash oracle-checked end to "
+    "end (the xxhash64 fast family stays a function-level option "
+    "pinned by planted-pair tests).",
 )
-def q_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(d, "text", "doc_id", hash_family="portable")
 
 
 @register(
-    "dedup_near_corpus_portable",
+    "dedup_near_corpus",
     f"""
 WITH pairs AS ({_MINHASH_PORTABLE_ORACLE})
 SELECT d.doc_id, d.source
 FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
 """,
-    doc="Greedy corpus near-dedup pass (lowest-id-wins anti-join) "
-    "under the portable hash family — the full end-to-end dedup "
-    "pipeline with an exact DuckDB oracle.",
+    doc="Corpus after near-dup removal: MinHash-LSH pairs at "
+    "est_jaccard>=0.5, greedy lowest-id-wins anti-join keep-list "
+    "(the full training-data dedup pass) under the portable hash "
+    "family — end-to-end exact DuckDB oracle.",
 )
-def q_dedup_near_corpus_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return DD.near_dedup_corpus(
         d, "text", "doc_id", hash_family="portable"
@@ -2041,7 +2047,7 @@ def q_gap_filled_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "simhash_portable_pairs",
+    "simhash_pairs",
     """
 WITH hs AS (
   SELECT doc_id, len(toks) AS n,
@@ -2067,14 +2073,15 @@ FROM bd a JOIN bd b
   ON a.doc_id < b.doc_id AND list_has_any(a.bands, b.bands)
 WHERE bit_count(xor(a.sm, b.sm)) <= 3
 """,
-    doc="SimHash near-dup pairs under the PORTABLE md5-derived token "
-    "hash (60-bit, all JVM-side — no pandas UDF): signature, "
-    "pigeonhole banding, and hamming verification are all "
-    "value-hash oracle-checked against DuckDB end to end. The "
-    "blake2b pandas-UDF default stays the fast path "
-    "(simhash_pairs).",
+    headline=True,
+    doc="SimHash near-dup pairs (hamming<=3, pigeonhole banding) "
+    "under the PORTABLE md5-derived token hash (60-bit, all "
+    "JVM-side — no pandas UDF): signature, pigeonhole banding, and "
+    "hamming verification are all value-hash oracle-checked against "
+    "DuckDB end to end. The blake2b pandas-UDF family stays a "
+    "function-level option pinned by planted-pair tests.",
 )
-def q_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return DD.simhash_pairs(
         d, "text", "doc_id", hash_family="portable"
