@@ -98,6 +98,8 @@ class TableRegistry:
             key=t.key,
             num_buckets=int(t.options.get("num_buckets", 16)),
             compact_every=int(t.options.get("compact_every", 5)),
+            # ≙ 'compaction.async.enabled' in the reference's WITH options
+            compaction_mode=t.options.get("compaction_mode", "inline"),
             schema=(
                 T.StructType.fromJson(json.loads(schema_json))
                 if schema_json

@@ -744,3 +744,66 @@ def test_archive_crash_never_duplicates_timeline(spark, tmp_path):
     )
     seqs3 = [c["seq"] for c in t.commits()]
     assert seqs3 == sorted(set(seqs3)) == sorted(seqs3)
+
+
+# --- async compaction (≙ compaction.async.enabled, zpln:2234 ¶51) ---------
+
+
+def test_async_mode_commit_is_delta_only(spark, tmp_path, monkeypatch):
+    # the write that crosses compact_every must COMMIT without folding
+    # the log (no inline bucket rewrite on the commit path); the fold is
+    # requested from a background compactor instead
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "t"), key="uuid", num_buckets=4,
+        compact_every=2, compaction_mode="async",
+    )
+    spawned = []
+    monkeypatch.setattr(t, "_spawn_compactor", lambda: spawned.append(1))
+    t.write(_t1(spark, T1_ROWS), commit_id="c1")
+    t.write(
+        _t1(spark, [("id1", "Upd", 24, "2024-01-01 00:00:00")]),
+        commit_id="c2",
+    )
+    kinds = [c["kind"] for c in t.commits()]
+    assert kinds == ["delta", "delta"]  # threshold write stayed delta-only
+    assert spawned == [1]  # ...and handed the fold to the compactor
+    assert len(t._log_buckets()) > 0  # log not rewritten synchronously
+    # the deferred fold produces the same table the inline mode would
+    assert t.maybe_compact() > 0
+    assert [c["kind"] for c in t.commits()][-1] == "compaction"
+    assert t._log_buckets() == []
+    snap = {r["uuid"]: r["name"] for r in t.snapshot().collect()}
+    assert len(snap) == 8 and snap["id1"] == "Upd"
+
+
+def test_async_compactor_thread_end_to_end(spark, tmp_path):
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "t"), key="uuid", num_buckets=4,
+        compact_every=2, compaction_mode="async",
+    )
+    t.write(_t1(spark, T1_ROWS), commit_id="c1")
+    t.write(
+        _t1(spark, [("id2", "Upd2", 34, "2024-01-01 00:00:00")]),
+        commit_id="c2",
+    )
+    t.wait_for_compaction(timeout=120.0)
+    assert any(c["kind"] == "compaction" for c in t.commits())
+    assert t._log_buckets() == []
+    snap = {r["uuid"]: r["name"] for r in t.snapshot().collect()}
+    assert len(snap) == 8 and snap["id2"] == "Upd2"
+    # next write starts a fresh delta epoch on the compacted base
+    t.write(
+        _t1(spark, [("id9", "New", 40, "2024-01-02 00:00:00")]),
+        commit_id="c3",
+    )
+    assert t.snapshot().count() == 9
+
+
+def test_maybe_compact_below_threshold_is_noop(spark, tmp_path):
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "t"), key="uuid", num_buckets=4,
+        compact_every=5, compaction_mode="async",
+    )
+    t.write(_t1(spark, T1_ROWS), commit_id="c1")
+    assert t.maybe_compact() == 0
+    assert [c["kind"] for c in t.commits()] == ["delta"]
