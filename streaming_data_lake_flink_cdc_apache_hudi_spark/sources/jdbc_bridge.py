@@ -1,0 +1,200 @@
+"""JDBC → CDC-feed poll bridge (≙ the reference's LIVE WAL tail,
+CDC-Hudi-Notebook.zpln:1060 ¶24: `'connector'='postgres-cdc'` with a
+replication slot + pgoutput plugin, feeding the streaming pipeline
+continuously).
+
+A pure-PySpark engine cannot open a replication slot, but the same
+capability — "point the engine at a live JDBC database and the lake
+table follows it" — is the standard query-based CDC pattern (what
+Kafka's JDBC source connector does): periodic INCREMENTAL pulls by a
+monotonic cursor column, each pull appended to the engine's CDC feed
+as one envelope commit batch, which ``read_feed_stream`` +
+``stream_upsert`` then consume exactly like the file-feed emulation.
+
+Two source shapes:
+
+- **outbox mode** (``op_col`` set): the polled table IS a changelog
+  (an outbox/audit table with op + monotonic seq + commit ts — the
+  WAL-shaped case). Every op including deletes flows through; the
+  cursor is the outbox seq (≙ LSN).
+- **table mode** (no ``op_col``): the polled table is the live OLTP
+  table with a monotonic last-modified column. Inserts and updates
+  surface as 'U' upserts (LWW downstream makes that exact); deletes
+  are invisible — the documented limit of query-based CDC everywhere,
+  and why the reference uses a replication slot. Use outbox mode (or
+  soft-delete flags mapped to ``op_col``) when deletes matter.
+
+Delivery is at-least-once: the cursor file advances AFTER the feed
+batch lands, so a crash between the two replays rows — harmless,
+because the downstream sink reduces by (ts, seq) LWW and commit
+replay is idempotent (SURVEY.md §7 hard-part #2).
+
+Scale: each pull is pushed down as a WHERE cursor > last subquery
+(only new rows cross the wire) and can be range-partitioned like any
+:func:`read_jdbc_table`; the bridge itself holds only the cursor —
+O(1) state, no row buffering.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cdc_feed import write_feed_events
+
+
+class JdbcFeedBridge:
+    """Incremental JDBC puller writing CDC envelope batches to a feed.
+
+    ``cursor_col`` must be monotonic non-repeating per change (an
+    outbox seq / auto-increment id / change LSN). ``ts_col`` names the
+    commit-time column for the envelope's event-time LWW ordering
+    (defaults to the cursor being the only order). ``op_col`` (outbox
+    mode) holds 'I'/'U'/'D' per row.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        table: str,
+        cursor_col: str,
+        feed_dir: str,
+        driver: str | None = None,
+        op_col: str | None = None,
+        ts_col: str | None = None,
+        max_rows_per_poll: int = 100_000,
+        jdbc_options: dict[str, str] | None = None,
+    ):
+        self.spark = spark
+        self.url = url
+        self.table = table
+        self.cursor_col = cursor_col
+        self.feed_dir = feed_dir
+        self.driver = driver
+        self.op_col = op_col
+        self.ts_col = ts_col
+        self.max_rows = int(max_rows_per_poll)
+        self.jdbc_options = dict(jdbc_options or {})
+        os.makedirs(feed_dir, exist_ok=True)
+        self._cursor_path = os.path.join(feed_dir, "_jdbc_cursor.json")
+
+    # -- cursor state (O(1), crash-safe via atomic replace) -----------------
+
+    def last_cursor(self) -> int:
+        if not os.path.exists(self._cursor_path):
+            return -1
+        with open(self._cursor_path) as fh:
+            return int(json.load(fh)["cursor"])
+
+    def _save_cursor(self, value: int) -> None:
+        tmp = self._cursor_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"cursor": int(value), "table": self.table}, fh)
+        os.replace(tmp, self._cursor_path)
+
+    # -- one pull -----------------------------------------------------------
+
+    def _pull(self, after: int) -> DataFrame:
+        # WHERE cursor > last is evaluated SOURCE-side (dbtable
+        # subquery): only new rows cross the wire. FETCH FIRST bounds a
+        # backlog catch-up pull; the next poll continues from there.
+        # ANSI-quoted cursor identifier: tables created by Spark's JDBC
+        # writer have case-sensitive (quoted) column names.
+        qc = f'"{self.cursor_col}"'
+        sub = (
+            f"(SELECT * FROM {self.table} WHERE {qc} > {int(after)} "
+            f"ORDER BY {qc} "
+            f"FETCH FIRST {self.max_rows} ROWS ONLY) poll_sub"
+        )
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", sub)
+        )
+        if self.driver:
+            reader = reader.option("driver", self.driver)
+        for k, v in self.jdbc_options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def _to_envelope(self, batch: DataFrame) -> DataFrame:
+        # normalize identifiers: JDBC dialects fold case (Derby/Oracle
+        # uppercase) — the feed contract is lowercase row fields
+        batch = batch.toDF(*[c.lower() for c in batch.columns])
+        cursor = self.cursor_col.lower()
+        drop = {cursor}
+        op = F.lit("U")
+        if self.op_col:
+            op = F.upper(F.col(self.op_col.lower())).substr(1, 1)
+            drop.add(self.op_col.lower())
+        ts = (
+            F.col(self.ts_col.lower()).cast("timestamp")
+            if self.ts_col
+            else F.timestamp_seconds(F.col(cursor).cast("long"))
+        )
+        row_cols = [c for c in batch.columns if c not in drop]
+        image = F.struct(*[F.col(c) for c in row_cols])
+        null_image = F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{batch.schema[c].dataType.simpleString()}" for c in row_cols
+            ) + ">"
+        )
+        # D rows carry their last image as the PRE-image (the post-image
+        # of a delete is nothing) — reduce_changelog_batch keys off
+        # coalesce(after, before), so tombstones resolve their key.
+        return batch.select(
+            op.alias("op"),
+            ts.alias("ts"),
+            F.col(cursor).cast("long").alias("seq"),
+            F.when(op == "D", image).otherwise(null_image).alias("before"),
+            F.when(op != "D", image).otherwise(null_image).alias("after"),
+        )
+
+    def poll_once(self) -> int:
+        """One incremental pull → at most one feed commit batch.
+        Returns the number of change events appended (0 = caught up)."""
+        after = self.last_cursor()
+        batch = self._pull(after).persist()
+        try:
+            n = batch.count()
+            if n == 0:
+                return 0
+            hi = batch.agg(
+                F.max(F.col(self.cursor_col).cast("long"))
+            ).collect()[0][0]
+            write_feed_events(
+                self.spark,
+                self.feed_dir,
+                self._to_envelope(batch),
+                commit_id=f"jdbc-{after + 1}-{hi}",
+            )
+            self._save_cursor(hi)
+            return n
+        finally:
+            batch.unpersist()
+
+    def run(
+        self,
+        poll_interval_secs: float = 5.0,
+        max_polls: int | None = None,
+        stop_when_idle: bool = False,
+    ) -> int:
+        """Poll loop (≙ the connector's continuous tail). Returns total
+        events bridged. ``stop_when_idle`` ends the loop on the first
+        empty poll (backfill-to-caught-up runs); otherwise it keeps
+        tailing until ``max_polls``."""
+        total, polls = 0, 0
+        while max_polls is None or polls < max_polls:
+            n = self.poll_once()
+            total += n
+            polls += 1
+            if n == 0 and stop_when_idle:
+                break
+            if max_polls is None or polls < max_polls:
+                time.sleep(poll_interval_secs if n == 0 else 0.0)
+        return total
