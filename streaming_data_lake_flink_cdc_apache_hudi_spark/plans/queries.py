@@ -1148,6 +1148,67 @@ def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_decode",
+    """
+SELECT media_id, kind, n_bytes, checksum, width, height,
+       CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+       CAST(f2 AS DOUBLE) AS f2
+FROM (VALUES
+  (CAST(1 AS BIGINT), 'image', CAST(23 AS BIGINT), CAST(1982 AS BIGINT),
+   2, 2, 0.5, 0.5, 0.5),
+  (CAST(2 AS BIGINT), 'image', CAST(78 AS BIGINT), CAST(729 AS BIGINT),
+   2, 3, 0.0392, 0.0784, 0.1176),
+  (CAST(3 AS BIGINT), 'video', CAST(16 AS BIGINT), CAST(24 AS BIGINT),
+   16, 8, 0.0, 0.0627, 0.0))
+AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
+""",
+    doc="Multimodal decode through mapInPandas (operators/"
+    "multimodal.py): a real PPM (P6) file, a real padded bottom-up "
+    "24-bit BMP, and a stub-header 'video' payload decoded to dims, "
+    "checksum, and pixel color features. The oracle rows are the "
+    "HAND-derived decode of the fixed payloads (header byte sums, "
+    "per-channel pixel means), so the pure-Python codecs are checked "
+    "against independent arithmetic, not themselves.",
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    p1 = encode_ppm(2, 2, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255,
+                                 255, 255, 255]))
+    p2 = encode_bmp(2, 3, bytes([10, 20, 30] * 6))
+    p3 = bytes([0, 16, 0, 8, 0, 0, 0, 0]) + bytes(8)
+    rows = [
+        (1, "image", bytearray(p1),
+         {"mime": "image/x-portable-pixmap", "n_bytes": len(p1),
+          "width": 2, "height": 2, "duration_ms": None}),
+        (2, "image", bytearray(p2),
+         {"mime": "image/bmp", "n_bytes": len(p2),
+          "width": 2, "height": 3, "duration_ms": None}),
+        (3, "video", bytearray(p3),
+         {"mime": "video/x-stub", "n_bytes": len(p3),
+          "width": 16, "height": 8, "duration_ms": 8}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    dec = decode_media(media)
+    return dec.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "checksum",
+        "width",
+        "height",
+        F.round(F.col("feature")[0].cast("double"), 4).alias("f0"),
+        F.round(F.col("feature")[1].cast("double"), 4).alias("f1"),
+        F.round(F.col("feature")[2].cast("double"), 4).alias("f2"),
+    )
+
+
 _SAMPLE_RATES = {"en": 0.5, "es": 0.25}
 _SAMPLE_DEFAULT = 0.1
 

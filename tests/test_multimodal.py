@@ -63,3 +63,91 @@ def test_decode_rejects_headerless_payload(spark):
     )
     with pytest.raises(Exception, match="stub header|NotImplementedError"):
         MM.decode_media(bad).collect()
+
+
+# --- real in-container codecs: PPM (P6) and 24-bit BMP --------------------
+
+
+def test_ppm_decodes_real_bytes_to_real_dimensions(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_ppm,
+    )
+
+    # 2x2 image: red, green, blue, white — a real P6 file, byte-exact
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    payload = encode_ppm(2, 2, rgb)
+    assert payload.startswith(b"P6\n2 2\n255\n")
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload),
+          {"mime": "image/x-portable-pixmap", "n_bytes": len(payload),
+           "width": 2, "height": 2, "duration_ms": None})],
+        MEDIA_SCHEMA,
+    )
+    row = decode_media(df).collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    # per-channel means of the actual pixels: R=(255+0+0+255)/4 etc.
+    feat = row["feature"]
+    assert abs(feat[0] - (510 / 4) / 255.0) < 1e-6
+    assert abs(feat[1] - (510 / 4) / 255.0) < 1e-6
+    assert abs(feat[2] - (510 / 4) / 255.0) < 1e-6
+    assert feat[3] == feat[4] == feat[5] == 1.0  # every channel peaks at 255
+
+
+def test_ppm_header_comments_are_skipped(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        _decode_ppm,
+    )
+
+    raw = b"P6\n# made by hand\n3 1\n# another\n255\n" + bytes(9)
+    w, h, rgb = _decode_ppm(raw)
+    assert (w, h) == (3, 1) and rgb == bytes(9)
+
+
+def test_bmp_roundtrip_with_row_padding(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        _decode_bmp,
+        encode_bmp,
+    )
+
+    # width 3 -> 9-byte rows padded to 12 on disk: the decode must
+    # un-pad, un-flip (bottom-up), and un-BGR
+    rgb = bytes(range(3 * 2 * 3))
+    payload = encode_bmp(3, 2, rgb)
+    assert payload[:2] == b"BM"
+    w, h, back = _decode_bmp(payload)
+    assert (w, h) == (3, 2) and back == rgb
+
+
+def test_bmp_through_decode_media_operator(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_bmp,
+    )
+
+    rgb = bytes([10, 20, 30] * 6)
+    payload = encode_bmp(2, 3, rgb)
+    df = spark.createDataFrame(
+        [(7, "image", bytearray(payload),
+          {"mime": "image/bmp", "n_bytes": len(payload),
+           "width": 2, "height": 3, "duration_ms": None})],
+        MEDIA_SCHEMA,
+    )
+    row = decode_media(df).collect()[0]
+    assert (row["width"], row["height"]) == (2, 3)
+    assert abs(row["feature"][0] - 10 / 255.0) < 1e-6
+    assert abs(row["feature"][1] - 20 / 255.0) < 1e-6
+    assert abs(row["feature"][2] - 30 / 255.0) < 1e-6
+
+
+def test_jpeg_magic_is_a_declared_stub(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        _decode_bytes,
+    )
+
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="PIL"):
+        _decode_bytes(b"\xff\xd8\xff\xe0" + bytes(16))
