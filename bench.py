@@ -60,6 +60,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     streaming = _streaming_ingest_bench(spark)
+    per_sf = _per_sf_sweep(spark, names, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -71,10 +72,47 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
                 "streaming": streaming,
+                "per_sf": per_sf,
             }
         )
     )
     spark.stop()
+
+
+def _per_sf_sweep(
+    spark, names, main_sf_dir: str, main_timings: dict[str, float]
+) -> dict:
+    """Scale-factor sweep: the headline set timed at every available
+    testdata SF. A query whose time grows faster than the data (e.g.
+    10x rows -> >>10x sec) is superlinear — the early-warning signal
+    for a plan that won't survive 100 TB. The main SF reuses the
+    already-measured timings (same protocol, no double work)."""
+    main = os.path.basename(main_sf_dir.rstrip("/"))
+    root = os.path.dirname(main_sf_dir.rstrip("/"))
+    sweep: dict[str, dict] = {}
+    for d in sorted(os.listdir(root) if os.path.isdir(root) else []):
+        sf_dir = os.path.join(root, d)
+        if not re.fullmatch(r"sf[0-9.]+", d) or not os.path.isdir(sf_dir):
+            continue
+        if d == main:
+            timings = dict(main_timings)
+        else:
+            timings = {}
+            for name in names:
+                df = QUERIES[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()  # warmup
+                spark.sparkContext._jvm.System.gc()  # same protocol as main
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                timings[name] = round(best, 3)
+        sweep[d[2:]] = {
+            "total": round(sum(timings.values()), 3),
+            "queries": timings,
+        }
+    return sweep
 
 
 def _streaming_ingest_bench(spark) -> dict:
@@ -137,9 +175,45 @@ def _streaming_ingest_bench(spark) -> dict:
             "events_per_min_capacity": round(5500 / ingest_sec * 60, 0),
             "table_rows": n_rows,
             "flagship_backfill_sec": backfill_sec,
+            "commit_latency": _commit_latency_bench(spark, root),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _commit_latency_bench(spark, root: str) -> dict:
+    """Inline vs async compaction commit latency: 6 small delta writes
+    at compact_every=3. Inline shows the every-Nth-commit rewrite
+    spike; async keeps every commit delta-only (the fold happens on a
+    daemon thread off the commit path — reference
+    'compaction.trigger.strategy'='num_or_time', zpln:2234 ¶51)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    out = {}
+    rows = [(f"id{i}", f"v{i}") for i in range(2000)]
+    for mode in ("inline", "async"):
+        t = UpsertLakeTable(
+            spark,
+            f"{root}/lat_{mode}",
+            key="k",
+            num_buckets=8,
+            compact_every=3,
+            compaction_mode=mode,
+        )
+        lats = []
+        for c in range(6):
+            delta = spark.createDataFrame(rows, "k string, v string")
+            t0 = time.perf_counter()
+            t.write(delta, commit_id=f"c{c}")
+            lats.append(time.perf_counter() - t0)
+        t.wait_for_compaction(timeout=120.0)
+        out[mode] = {
+            "max_commit_sec": round(max(lats), 3),
+            "mean_commit_sec": round(sum(lats) / len(lats), 3),
+        }
+    return out
 
 
 if __name__ == "__main__":
