@@ -2147,3 +2147,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(
         d, "text", "doc_id", hash_family="portable"
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# Extension packs register into the same QUERIES dict; imported last so
+# `register` exists (safe partial-module import).
+from . import analytics  # noqa: E402,F401

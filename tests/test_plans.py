@@ -190,3 +190,67 @@ def test_source_cap_has_map_side_group_limit(spark):
     last_wgl = tree.rindex("WindowGroupLimit")
     exch = tree.index("Exchange")
     assert first_wgl > exch > last_wgl or last_wgl > exch > first_wgl
+
+
+# --- analytics pack (plans/analytics.py) ---------------------------------
+
+
+def test_pricing_summary_partial_agg_and_pushdown(spark):
+    """Q1 shape: the shipdate filter must reach the parquet scan and
+    the 8 aggregates must partial-aggregate map-side (one tiny
+    shuffle of grouped rows, never raw lineitem)."""
+    plan = _plan(spark, "pricing_summary")
+    tree = _tree(plan)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("- Exchange (") == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_order_priority_exists_is_semi_join(spark):
+    """Q4 shape: EXISTS must decorrelate to a semi-join (never a
+    cartesian probe), and the quarter filter must push into orders."""
+    plan = _plan(spark, "order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed quarter bound
+
+
+def test_returned_items_topk_and_broadcast(spark):
+    """Q10 shape: final top-20 is TakeOrderedAndProject (no global
+    sort) and every join is broadcast at this dim/filter selectivity."""
+    plan = _plan(spark, "returned_items")
+    tree = _tree(plan)
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in tree
+
+
+def test_market_share_single_agg_no_second_shuffle(spark):
+    """Q8 shape: the share ratio folds numerator+denominator into ONE
+    grouped aggregation — exactly one exchange above the join tree,
+    all dims broadcast."""
+    plan = _plan(spark, "market_share")
+    tree = _tree(plan)
+    assert tree.count("- Exchange (") == 1
+    assert "SortMergeJoin" not in tree
+    assert tree.count("BroadcastHashJoin") >= 6
+
+
+def test_top_supplier_scalar_max_is_broadcast_not_window(spark):
+    """Q15 shape: the global max joins back via broadcast — never a
+    single-partition global window over the per-supplier rollup."""
+    plan = _plan(spark, "top_supplier")
+    tree = _tree(plan)
+    assert "Window" not in tree
+    assert "BroadcastHashJoin" in tree
+
+
+def test_dormant_customers_anti_join_and_scalar_broadcast(spark):
+    """Q22 shape: NOT EXISTS compiles to a left-anti join with the
+    date filter pushed into the orders scan; the average balance is a
+    broadcast one-row aggregate, not a window."""
+    plan = _plan(spark, "dormant_customers")
+    tree = _tree(plan)
+    assert "LeftAnti" in tree
+    assert "Window" not in tree
+    assert "GreaterThanOrEqual(o_orderdate" in plan
