@@ -7,15 +7,16 @@ the lakehouse-idiomatic layout (cf. Spark's built-in ``image`` and
 tested: schemas, Arrow batch shapes, ``mapInPandas`` operator
 signatures, partition-parallel execution.
 
-Codecs: ``_decode_bytes`` sniffs the payload magic. PPM (P6) and
-uncompressed 24-bit BMP decode FOR REAL — pure-Python header parse +
-numpy pixel math, end-to-end in this container (dims, checksum, and
-an 8-dim color feature from actual pixels). Compressed formats
-(JPEG/PNG) and av containers stay a declared
+Codecs: ``_decode_bytes`` sniffs the payload magic. PPM (P6),
+uncompressed 24-bit BMP, and RIFF/WAVE PCM16 audio decode FOR REAL —
+pure-Python header parse + numpy sample/pixel math, end-to-end in
+this container (dims/rate/duration, checksum, and an 8-dim feature
+from actual pixels or samples). Compressed formats (JPEG/PNG,
+non-PCM audio) and av containers stay a declared
 ``NotImplementedError`` stub — decoding them needs PIL/ffmpeg, which
 this environment doesn't ship; swapping a real codec in changes only
-``_decode_bytes``. Payloads with neither magic use the deterministic
-8-byte fake header (test fixtures).
+``_decode_bytes``. Payloads with no known magic use the
+deterministic 8-byte fake header (test fixtures).
 
 Scale: mapInPandas streams Arrow batches, so per-executor memory is
 bounded by batch size × blob size, not partition size; decode is
@@ -54,7 +55,8 @@ MEDIA_SCHEMA = T.StructType(
 
 DECODED_SCHEMA = (
     "media_id long, kind string, n_bytes long, checksum long, "
-    "width int, height int, feature array<float>"
+    "width int, height int, sample_rate int, duration_ms int, "
+    "feature array<float>"
 )
 
 
@@ -154,6 +156,88 @@ def _decode_bmp(b: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Canonical RIFF/WAVE PCM16 encoder (44-byte header + LE int16
+    frames) — a real audio format, byte-exact. ``samples`` is
+    interleaved per-channel int16 values."""
+    import struct
+
+    if len(samples) % channels:
+        raise ValueError("samples must interleave evenly across channels")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + struct.pack(
+            "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+        )
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def _decode_wav(b: bytes) -> tuple[int, int, int, "object"]:
+    """RIFF chunk walk -> (sample_rate, channels, n_frames, float
+    samples in [-1,1] shaped (frames, channels)). PCM16 only — the
+    format every in-container fixture and most raw-audio lakes use;
+    compressed codecs stay behind the declared stub."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 WAV decodes here (format={audio_format}, bits={bits}); "
+            "swap a real codec into _decode_bytes for compressed audio"
+        )
+    frames = len(data) // (channels * 2)
+    a = (
+        np.frombuffer(data[: frames * channels * 2], dtype="<i2")
+        .reshape(frames, channels)
+        .astype(np.float64)
+        / 32768.0
+    )
+    return sample_rate, channels, frames, a
+
+
+def _audio_feature(a, sample_rate: int) -> list[float]:
+    """8-dim feature from REAL samples: rms, peak, zero-crossing rate,
+    mean |x|, and energy in four equal time quarters — the downstream
+    audio-embedding shape."""
+    import numpy as np
+
+    mono = a.mean(axis=1)
+    n = max(len(mono), 1)
+    rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+    peak = float(np.max(np.abs(mono))) if len(mono) else 0.0
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+    mean_abs = float(np.mean(np.abs(mono))) if len(mono) else 0.0
+    quarters = [
+        float(np.sqrt(np.mean(q**2))) if len(q) else 0.0
+        for q in np.array_split(mono, 4)
+    ]
+    return [rms, peak, zcr, mean_abs, *quarters]
+
+
 def _pixel_feature(w: int, h: int, rgb: bytes) -> list[float]:
     """8-dim color feature from REAL pixels: per-channel mean + max
     (normalized) + normalized dims — the downstream embedding shape."""
@@ -190,7 +274,20 @@ def _decode_bytes(payload: bytes) -> dict:
             "checksum": checksum,
             "width": w,
             "height": h,
+            "sample_rate": None,
+            "duration_ms": None,
             "feature": _pixel_feature(w, h, rgb),
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, channels, frames, a = _decode_wav(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": checksum,
+            "width": channels,  # channel count in the layout slot
+            "height": None,
+            "sample_rate": rate,
+            "duration_ms": int(frames * 1000 // rate) if rate else None,
+            "feature": _audio_feature(a, rate),
         }
     if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError(
@@ -207,6 +304,8 @@ def _decode_bytes(payload: bytes) -> dict:
         "checksum": checksum,
         "width": width,
         "height": height,
+        "sample_rate": None,
+        "duration_ms": None,
         "feature": feature,
     }
 
@@ -226,6 +325,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                     "checksum": [d["checksum"] for d in dec],
                     "width": [d["width"] for d in dec],
                     "height": [d["height"] for d in dec],
+                    "sample_rate": [d["sample_rate"] for d in dec],
+                    "duration_ms": [d["duration_ms"] for d in dec],
                     "feature": [d["feature"] for d in dec],
                 }
             )

@@ -19,7 +19,8 @@ def media(spark):
 def test_decode_schema_and_determinism(spark, media):
     dec = MM.decode_media(media)
     assert dec.columns == [
-        "media_id", "kind", "n_bytes", "checksum", "width", "height", "feature"
+        "media_id", "kind", "n_bytes", "checksum", "width", "height",
+        "sample_rate", "duration_ms", "feature"
     ]
     rows = {r["media_id"]: r for r in dec.collect()}
     assert len(rows) == 30
@@ -151,3 +152,77 @@ def test_jpeg_magic_is_a_declared_stub(spark):
 
     with pytest.raises(NotImplementedError, match="PIL"):
         _decode_bytes(b"\xff\xd8\xff\xe0" + bytes(16))
+
+# --- real in-container audio codec: RIFF/WAVE PCM16 -----------------------
+
+
+def test_wav_sine_decodes_to_real_audio_features(spark):
+    import math
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_wav,
+    )
+
+    # 0.5s of a 440 Hz sine at half amplitude, 8 kHz mono PCM16
+    rate, secs, amp = 8000, 0.5, 0.5
+    samples = [
+        int(32767 * amp * math.sin(2 * math.pi * 440 * t / rate))
+        for t in range(int(rate * secs))
+    ]
+    payload = encode_wav(rate, 1, samples)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    df = spark.createDataFrame(
+        [(3, "audio", bytearray(payload),
+          {"mime": "audio/wav", "n_bytes": len(payload),
+           "width": None, "height": None, "duration_ms": 500})],
+        MEDIA_SCHEMA,
+    )
+    row = decode_media(df).collect()[0]
+    assert row["sample_rate"] == 8000
+    assert row["duration_ms"] == 500
+    assert row["width"] == 1  # channel count
+    feat = row["feature"]
+    # rms of a sine = amp/sqrt(2); zcr of 440 Hz at 8 kHz = 2*440/8000
+    assert abs(feat[0] - amp / math.sqrt(2)) < 1e-3
+    assert abs(feat[1] - amp) < 1e-3          # peak
+    assert abs(feat[2] - 2 * 440 / rate) < 5e-3  # zero-crossing rate
+    # steady tone: all four quarter energies equal the global rms
+    for q in feat[4:8]:
+        assert abs(q - feat[0]) < 1e-3
+
+
+def test_wav_stereo_interleave_and_word_alignment(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        _decode_wav,
+        encode_wav,
+    )
+
+    # L channel constant +0.25, R channel constant -0.25, 10 frames
+    left, right = int(0.25 * 32768), -int(0.25 * 32768)
+    inter = []
+    for _ in range(10):
+        inter += [left, right]
+    rate_, ch, frames, a = _decode_wav(encode_wav(16000, 2, inter))
+    assert (rate_, ch, frames) == (16000, 2, 10)
+    assert abs(a[:, 0].mean() - 0.25) < 1e-3
+    assert abs(a[:, 1].mean() + 0.25) < 1e-3
+
+
+def test_wav_non_pcm_is_a_declared_stub(spark):
+    import struct
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        _decode_bytes,
+    )
+
+    # format tag 3 = IEEE float: compressed/non-PCM16 stays a stub
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    payload = (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little") + fmt
+        + b"data" + (0).to_bytes(4, "little")
+    )
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        _decode_bytes(payload)
