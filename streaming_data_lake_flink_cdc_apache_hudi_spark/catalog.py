@@ -36,6 +36,26 @@ class TableDef:
     options: dict = field(default_factory=dict)
 
 
+def _split_assignments(text: str) -> list[str]:
+    """Split `a = f(x, y), b = 2` on top-level commas only (parens and
+    single-quoted strings nest)."""
+    out, depth, in_str, start = [], 0, False, 0
+    for i, ch in enumerate(text):
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(text[start:i])
+            start = i + 1
+    out.append(text[start:])
+    return [p for p in (x.strip() for x in out) if p]
+
+
 class TableRegistry:
     def __init__(self, spark: SparkSession, registry_path: str):
         self.spark = spark
@@ -186,17 +206,170 @@ class TableRegistry:
         self.resolve(name)  # refresh the bound temp view
         return self.spark.createDataFrame([(str(seq),)], "result string")
 
+    def _execute_merge(self, statement: str) -> DataFrame | None:
+        """`MERGE INTO <upsert-table> [AS t] USING <src>|(<subquery>)
+        [AS s] ON <cond> WHEN ...` — the Spark-SQL/Hudi spelling of the
+        keyed upsert the reference drives through Hudi's PRIMARY KEY.
+        Supported clauses, applied in declared order (first match
+        wins, standard MERGE semantics):
+
+          WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = expr, ...
+          WHEN MATCHED [AND <cond>] THEN DELETE
+          WHEN NOT MATCHED [AND <cond>] THEN INSERT * | (cols) VALUES (exprs)
+
+        Compiles to ONE delta DataFrame (updates + delete-flagged rows
+        + inserts) written through ``UpsertLakeTable.write`` with
+        ``delete_col`` — a single commit, so crash atomicity and the
+        writer lease apply exactly as for any other write. Returns
+        None when the target is not a registered upsert table."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        m = re.match(
+            r"^\s*MERGE\s+INTO\s+`?(\w+)`?(?:\s+AS\s+(\w+))?\s+"
+            r"USING\s+(\((?:[^()]|\([^()]*\))*\)|`?\w+`?)(?:\s+AS\s+(\w+))?\s+"
+            r"ON\s+(.*?)\s+(WHEN\s+.*)$",
+            statement.strip().rstrip(";"),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return None
+        name = m.group(1)
+        if name not in self._tables or self._tables[name].kind != "upsert":
+            return None
+        ta = m.group(2) or name
+        src_ref, sa, on_cond, when_text = (
+            m.group(3), m.group(4), m.group(5), m.group(6)
+        )
+        if src_ref.startswith("("):
+            src_df = self.spark.sql(src_ref[1:-1])
+            sa = sa or "src"
+        else:
+            src_name = src_ref.strip("`")
+            if src_name in self._tables:
+                src_df = self.resolve(src_name)
+            else:
+                src_df = self.spark.table(src_name)
+            sa = sa or src_name
+
+        clause_re = re.compile(
+            r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+"
+            r"(UPDATE\s+SET\s+(?:.(?!WHEN\s))*.|DELETE|INSERT\s+(?:.(?!WHEN\s))*.)",
+            re.IGNORECASE | re.DOTALL,
+        )
+        clauses = [
+            (bool(c.group(1)), c.group(2), c.group(3).strip())
+            for c in clause_re.finditer(when_text)
+        ]
+        if not clauses:
+            raise ValueError("MERGE needs at least one WHEN clause")
+
+        handle = self.upsert_handle(name)
+        tgt_df = handle.snapshot()
+        cols = [c for c in tgt_df.columns]
+        t, s = tgt_df.alias(ta), src_df.alias(sa)
+
+        def _tcol(c):
+            return F.col(f"{ta}.{c}")
+
+        def _set_star():
+            # by-name assignment (Delta/Hudi SET * semantics)
+            return {
+                c: F.col(f"{sa}.{c}") if c in src_df.columns else _tcol(c)
+                for c in cols
+            }
+
+        def _assignments(text):
+            out = {c: _tcol(c) for c in cols}
+            for part in _split_assignments(text):
+                lhs, rhs = part.split("=", 1)
+                lhs = lhs.strip().split(".")[-1].strip("`")
+                if lhs not in out:
+                    raise ValueError(f"MERGE SET: unknown column {lhs!r}")
+                out[lhs] = F.expr(rhs.strip())
+            return out
+
+        matched = s.join(t, F.expr(on_cond), "inner")
+        parts = []
+        prior = F.lit(False)
+        for is_not_matched, extra, action in clauses:
+            if is_not_matched:
+                continue
+            cond = F.expr(extra) if extra else F.lit(True)
+            take = cond & ~prior
+            prior = prior | cond
+            act = action.strip()
+            if re.match(r"^DELETE$", act, re.IGNORECASE):
+                sel = {c: _tcol(c) for c in cols}
+                flag = F.lit(True)
+            else:
+                am = re.match(r"^UPDATE\s+SET\s+(.*)$", act, re.IGNORECASE | re.DOTALL)
+                if not am:
+                    raise ValueError(f"unsupported MERGE action: {act!r}")
+                body = am.group(1).strip()
+                sel = _set_star() if body == "*" else _assignments(body)
+                flag = F.lit(False)
+            parts.append(
+                matched.filter(take).select(
+                    *[sel[c].alias(c) for c in cols],
+                    flag.alias("_merge_delete"),
+                )
+            )
+        for is_not_matched, extra, action in clauses:
+            if not is_not_matched:
+                continue
+            unmatched = s.join(t, F.expr(on_cond), "left_anti")
+            if extra:
+                unmatched = unmatched.filter(F.expr(extra))
+            act = action.strip()
+            im = re.match(
+                r"^INSERT\s*(?:\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))$",
+                act,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not im:
+                raise ValueError(f"unsupported MERGE insert: {act!r}")
+            if im.group(1) is None:  # INSERT *
+                sel = {
+                    c: (F.col(f"{sa}.{c}") if c in src_df.columns else F.lit(None))
+                    for c in cols
+                }
+            else:
+                names = [x.strip().strip("`") for x in im.group(1).split(",")]
+                exprs = _split_assignments(im.group(2))
+                if len(names) != len(exprs):
+                    raise ValueError("MERGE INSERT: column/value count mismatch")
+                given = dict(zip(names, (F.expr(x.strip()) for x in exprs)))
+                sel = {c: given.get(c, F.lit(None)) for c in cols}
+            parts.append(
+                unmatched.select(
+                    *[sel[c].cast(tgt_df.schema[c].dataType).alias(c) for c in cols],
+                    F.lit(False).alias("_merge_delete"),
+                )
+            )
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        seq = handle.write(delta, delete_col="_merge_delete")
+        self.resolve(name)  # refresh the bound temp view
+        return self.spark.createDataFrame([(str(seq),)], "result string")
+
     def execute_ddl(self, statement: str) -> DataFrame | None:
         """Route a CREATE/DROP TABLE connector-DDL string — or an
-        INSERT INTO an upsert table — into the registry (≙ pasting the
-        notebook's ¶7/¶24 DDL and ¶9/¶53 INSERT paragraphs). Returns
-        a status DataFrame when handled, None when the statement is
-        not engine SQL (caller falls through to spark.sql)."""
+        INSERT INTO / MERGE INTO an upsert table — into the registry
+        (≙ pasting the notebook's ¶7/¶24 DDL and ¶9/¶53 INSERT
+        paragraphs). Returns a status DataFrame when handled, None
+        when the statement is not engine SQL (caller falls through to
+        spark.sql)."""
         from .ddl import parse_ddl
 
         ins = self._execute_insert(statement)
         if ins is not None:
             return ins
+        mrg = self._execute_merge(statement)
+        if mrg is not None:
+            return mrg
         stmt = parse_ddl(statement)
         if stmt is None:
             return None

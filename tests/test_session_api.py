@@ -312,3 +312,73 @@ def test_verbatim_flagship_sql_through_engine(spark, tmp_path):
         "SELECT full_name FROM ticketview GROUP BY full_name HAVING count(*) > 1"
     )
     assert dup.count() == 0
+
+
+def test_sql_merge_into_update_delete_insert(spark, tmp_path):
+    """Spark-SQL/Hudi MERGE INTO spelling of the keyed upsert: one
+    statement compiles to ONE lake commit carrying updates, deletes,
+    and inserts; clause order is first-match-wins."""
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    eng.sql(
+        f"""
+        CREATE TABLE acct (
+          id BIGINT, name STRING, bal DOUBLE,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector' = 'hudi', 'path' = '{tmp_path / "acct"}',
+                'num_buckets' = '2')
+        """
+    )
+    eng.sql("INSERT INTO acct VALUES (1, 'a', 10.0), (2, 'b', 20.0), (3, 'c', 30.0)")
+    spark.createDataFrame(
+        [(1, "a2", 11.0), (3, "c", -1.0), (4, "d", 40.0)],
+        "id long, name string, bal double",
+    ).createOrReplaceTempView("acct_changes")
+    before_seq = eng.registry.upsert_handle("acct").last_commit_seq()
+    eng.sql(
+        """
+        MERGE INTO acct AS t USING acct_changes AS s
+        ON t.id = s.id
+        WHEN MATCHED AND s.bal < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    h = eng.registry.upsert_handle("acct")
+    # exactly one commit for the whole MERGE
+    assert h.last_commit_seq() == before_seq + 1
+    got = {r["id"]: (r["name"], r["bal"]) for r in h.snapshot().collect()}
+    assert got == {1: ("a2", 11.0), 2: ("b", 20.0), 4: ("d", 40.0)}
+
+
+def test_sql_merge_assignments_subquery_source_and_conditional_insert(spark, tmp_path):
+    """SET col = expr assignments evaluate in the joined scope;
+    USING (subquery) sources work; NOT MATCHED AND <cond> filters
+    inserts."""
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    eng.sql(
+        f"""
+        CREATE TABLE inv (
+          sku STRING, qty INT, updated BIGINT,
+          PRIMARY KEY (sku) NOT ENFORCED
+        ) WITH ('connector' = 'hudi', 'path' = '{tmp_path / "inv"}',
+                'num_buckets' = '2')
+        """
+    )
+    eng.sql("INSERT INTO inv VALUES ('x', 5, 1), ('y', 7, 1)")
+    spark.createDataFrame(
+        [("x", 3, 2), ("z", 9, 2), ("w", 0, 2)],
+        "sku string, delta int, ts long",
+    ).createOrReplaceTempView("inv_feed")
+    eng.sql(
+        """
+        MERGE INTO inv AS t
+        USING (SELECT sku, delta, ts FROM inv_feed) AS s
+        ON t.sku = s.sku
+        WHEN MATCHED THEN UPDATE SET qty = t.qty + s.delta, updated = s.ts
+        WHEN NOT MATCHED AND s.delta > 0
+          THEN INSERT (sku, qty, updated) VALUES (s.sku, s.delta, s.ts)
+        """
+    )
+    got = {r["sku"]: (r["qty"], r["updated"])
+           for r in eng.registry.upsert_handle("inv").snapshot().collect()}
+    assert got == {"x": (8, 2), "y": (7, 1), "z": (9, 2)}  # 'w' filtered out
