@@ -207,3 +207,133 @@ def shard_assign(
         w = Window.partitionBy("shard").orderBy(h, F.col(id_col))
         out = out.withColumn("pack_position", F.row_number().over(w))
     return out
+
+
+def paragraph_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    words_per_para: int = 10,
+) -> DataFrame:
+    """Explode each document into fixed-width word chunks — the
+    "paragraph" unit for paragraph-level dedup. Real corpora split on
+    blank lines; the synthetic testdata has no newlines, so the unit
+    is ``words_per_para`` consecutive whitespace tokens, which keeps
+    the operator's semantics (sub-document dedup granularity) and the
+    oracle exact in both engines.
+
+    Map-only: split + in-array chunking (``F.transform`` over a
+    ``sequence`` of chunk indexes, ``F.slice`` per chunk) then one
+    ``posexplode`` — no shuffle, no UDF. Output: (id, para_idx, para).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.when(
+        F.size(words) > 0,
+        F.floor((F.size(words) - F.lit(1)) / words_per_para).cast("int")
+        + F.lit(1),
+    ).otherwise(F.lit(0))
+    paras = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, (i - 1) * words_per_para + 1, words_per_para)
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.when(n_chunks > 0, paras).otherwise(F.array())).alias(
+            "para_idx", "para"
+        ),
+    )
+
+
+def paragraph_dup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    words_per_para: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document duplicated-paragraph statistics: how much of each
+    document is made of paragraphs that occur more than once ANYWHERE
+    in the corpus — the metric behind boilerplate stripping (headers,
+    footers, licence blocks) in crawl curation.
+
+    Scale shape: chunking is map-only; corpus-wide paragraph counts
+    are one groupBy on the md5 of the paragraph (map-side partial
+    count, then a shuffle of DISTINCT paragraphs — far smaller than
+    the corpus); the count joins back on the same hash key (AQE picks
+    broadcast when the distinct-paragraph side is small); the final
+    per-document rollup is one shuffle on the id. Never O(n²), no
+    driver state.
+    """
+    paras = paragraph_chunks(df, text_col, id_col, words_per_para)
+    hashed = paras.select(
+        F.col(id_col), F.md5(F.col("para")).alias("para_hash")
+    )
+    counts = hashed.groupBy("para_hash").agg(
+        F.count("*").alias("corpus_occurrences")
+    )
+    return (
+        hashed.join(counts, "para_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_paras"),
+            F.sum((F.col("corpus_occurrences") > 1).cast("int"))
+            .cast("int")
+            .alias("n_dup_paras"),
+            F.round(
+                F.avg((F.col("corpus_occurrences") > 1).cast("double")),
+                round_to,
+            ).alias("dup_para_frac"),
+        )
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    words_per_para: int = 10,
+) -> DataFrame:
+    """Paragraph-level corpus dedup: every paragraph keeps exactly ONE
+    occurrence corpus-wide — the first in (id, para_idx) order — and
+    each document is rebuilt from its surviving paragraphs (the
+    C4/RefinedWeb-style sub-document dedup that removes boilerplate
+    without dropping whole documents).
+
+    Output: (id, clean_text, n_kept, n_removed); documents whose
+    every paragraph was seen earlier come back with empty
+    ``clean_text`` (and are trivially filterable), so the row count is
+    exactly the input row count.
+
+    Scale shape: the keep/drop decision is a row_number window keyed
+    on the paragraph hash — one shuffle whose partitions are
+    per-paragraph occurrence lists (bounded by the duplication rate,
+    not the corpus); document rebuild is one groupBy(id) with an
+    in-array sort (``array_sort`` of (idx, para) structs), never a
+    global sort.
+    """
+    paras = paragraph_chunks(df, text_col, id_col, words_per_para)
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(
+        F.col(id_col), F.col("para_idx")
+    )
+    marked = paras.withColumn("_rn", F.row_number().over(w))
+    kept_sorted = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("para_idx"),
+                    (F.col("_rn") == 1).alias("_keep"),
+                    F.col("para"),
+                )
+            )
+        ),
+        lambda s: s["_keep"],
+    )
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(
+            " ", F.transform(kept_sorted, lambda s: s["para"])
+        ).alias("clean_text"),
+        F.sum((F.col("_rn") == 1).cast("int")).cast("int").alias("n_kept"),
+        F.sum((F.col("_rn") != 1).cast("int")).cast("int").alias("n_removed"),
+    )

@@ -2149,6 +2149,70 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+_PARAS_SQL = r"""
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, CAST(i AS INT) AS para_idx,
+         array_to_string(w[(i*10+1):((i+1)*10)], ' ') AS para
+  FROM words, UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+)
+"""
+
+
+@register(
+    "paragraph_dup_stats",
+    f"""
+WITH {_PARAS_SQL}
+SELECT doc_id,
+  CAST(count(*) AS INT) AS n_paras,
+  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_paras,
+  ROUND(avg(CASE WHEN c > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_para_frac
+FROM (
+  SELECT doc_id, count(*) OVER (PARTITION BY md5(para)) AS c FROM paras
+) GROUP BY doc_id
+""",
+    doc="Per-document duplicated-paragraph share (paragraph = 10-word "
+    "chunk; testdata has no newlines): the boilerplate-stripping "
+    "metric of crawl curation. Chunking is map-only array math; "
+    "corpus paragraph counts are one groupBy on md5(para); rollup is "
+    "one shuffle on doc_id — linear, never O(n²).",
+)
+def q_paragraph_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CUR.paragraph_dup_stats(d, "text", "doc_id")
+
+
+@register(
+    "paragraph_dedup",
+    f"""
+WITH {_PARAS_SQL}
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx),
+           '') AS clean_text,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+  CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS INT) AS n_removed
+FROM (
+  SELECT doc_id, para_idx, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, para_idx) AS rn
+  FROM paras
+) GROUP BY doc_id
+""",
+    doc="Paragraph-level corpus dedup (C4/RefinedWeb-style): each "
+    "paragraph keeps exactly one corpus-wide occurrence (first in "
+    "(doc_id, idx) order) and documents are rebuilt from survivors. "
+    "Keep/drop is a row_number window keyed on the paragraph hash "
+    "(partitions are per-paragraph occurrence lists); rebuild is one "
+    "groupBy(doc_id) with an in-array sort — no global sort.",
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CUR.dedup_paragraphs(d, "text", "doc_id")
+
+
 # Extension packs register into the same QUERIES dict; imported last so
 # `register` exists (safe partial-module import).
 from . import analytics  # noqa: E402,F401

@@ -178,3 +178,42 @@ def test_source_cap_exact_and_prefiltered_agree(spark):
         .collect()
     )
     assert rows_r == rows_e
+
+
+def test_paragraph_dedup_planted_boilerplate(spark):
+    # two docs share an identical 10-word "paragraph" (boilerplate);
+    # the second occurrence must be stripped, unique content kept
+    boiler = "copyright notice all rights reserved please do not redistribute ever"
+    uniq_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq_b = "one two three four five six seven eight nine ten"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{boiler} {uniq_a}"),
+            (2, f"{boiler} {uniq_b}"),
+            (3, uniq_b),  # whole doc seen already (as doc 2's chunk)
+        ],
+    )
+    out = {r.doc_id: r for r in CUR.dedup_paragraphs(docs, "text", "doc_id").collect()}
+    assert out[1].clean_text == f"{boiler} {uniq_a}"
+    assert (out[1].n_kept, out[1].n_removed) == (2, 0)
+    assert out[2].clean_text == uniq_b
+    assert (out[2].n_kept, out[2].n_removed) == (1, 1)
+    assert out[3].clean_text == ""
+    assert (out[3].n_kept, out[3].n_removed) == (0, 1)
+    # idempotence: dedup of the cleaned non-empty corpus removes nothing
+    cleaned = spark.createDataFrame(
+        [(k, v.clean_text) for k, v in out.items() if v.clean_text],
+        "doc_id long, text string",
+    )
+    again = CUR.dedup_paragraphs(cleaned, "text", "doc_id").collect()
+    assert all(r.n_removed == 0 for r in again)
+
+
+def test_paragraph_dup_stats_counts(spark):
+    boiler = "a b c d e f g h i j"
+    docs = _docs(spark, [(1, f"{boiler} k l m"), (2, boiler)])
+    stats = {r.doc_id: r for r in CUR.paragraph_dup_stats(docs, "text", "doc_id").collect()}
+    assert (stats[1].n_paras, stats[1].n_dup_paras) == (2, 1)
+    assert (stats[2].n_paras, stats[2].n_dup_paras) == (1, 1)
+    assert abs(stats[1].dup_para_frac - 0.5) < 1e-9
