@@ -2149,6 +2149,46 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+@register(
+    "json_extract_agg",
+    """
+SELECT event_type,
+  CAST((k // 10) * 10 AS INT) AS k_decile,
+  CAST(count(*) AS BIGINT) AS n,
+  ROUND(sum(value), 2) AS total_value,
+  CAST(min(k) AS INT) AS min_k, CAST(max(k) AS INT) AS max_k
+FROM (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+WHERE k >= 20
+GROUP BY event_type, (k // 10) * 10
+""",
+    doc="Semi-structured analytics: the events.props JSON payload is "
+    "parsed with a DECLARED schema (from_json, JVM-side Jackson — "
+    "never a Python UDF), filtered on the extracted field, and "
+    "rolled up by event_type x value decile. At scale the parse is "
+    "map-only inside codegen and the post-parse filter prunes before "
+    "the single grouped shuffle.",
+)
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    parsed = ev.select("event_type", "value", k.alias("k")).filter(
+        F.col("k") >= 20
+    )
+    return parsed.groupBy(
+        "event_type",
+        (F.floor(F.col("k") / 10) * 10).cast("int").alias("k_decile"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+
+
 _PARAS_SQL = r"""
 words AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
