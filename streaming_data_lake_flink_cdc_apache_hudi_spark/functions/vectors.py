@@ -83,3 +83,40 @@ def quantize_int8(vec, scale) -> Column:
 
 def dequantize(q, scale) -> Column:
     return F.transform(q, lambda x: x.cast("double") * scale)
+
+
+def projection_signs(dim: int, n_out: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for sparse random projection
+    (Achlioptas, JL-lemma family). Driver-side constants — like
+    ``random_hyperplanes`` they are baked into the plan as literals
+    and into the generated DuckDB oracle, so the reduction is exactly
+    reproducible in any engine with no RNG at query time."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_out)]
+
+
+def random_project(vec, signs: list[list[int]]) -> Column:
+    """Project ``vec`` (array<double>) to ``len(signs)`` dimensions:
+    out[i] = (1/sqrt(n_out)) * sum_j vec[j] * signs[i][j].
+
+    Pure column math (one zip_with + sequential aggregate fold per
+    output dim) — map-only, codegen-side, no UDF and no shuffle; the
+    standard cheap dimensionality reduction before ANN indexing or
+    clustering at corpus scale."""
+    import math
+
+    scale = 1.0 / math.sqrt(len(signs))
+    outs = []
+    for row in signs:
+        lits = F.array(*[F.lit(float(s)) for s in row])
+        outs.append(
+            F.lit(scale)
+            * F.aggregate(
+                F.zip_with(vec, lits, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*outs)

@@ -2149,6 +2149,61 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _random_projection_oracle(dim: int = 64, n_out: int = 16) -> str:
+    """Generate the DuckDB mirror of ``vectors.random_project`` with
+    the SAME ±1 sign literals and the same left-to-right summation
+    order, so values match bit-for-bit before the shared rounding."""
+    from ..functions import vectors as VEC
+
+    signs = VEC.projection_signs(dim, n_out)
+    terms = []
+    for row in signs:
+        body = " + ".join(
+            f"e[{j + 1}] * {'1.0' if s > 0 else '-1.0'}"
+            for j, s in enumerate(row)
+        )
+        terms.append(f"ROUND(0.25 * ({body}), 4)")
+    plist = ",\n    ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+p AS (
+  SELECT vec_id, [
+    {plist}
+  ] AS p FROM e
+)
+SELECT vec_id, CAST(i - 1 AS INT) AS dim, p[CAST(i AS INT)] AS val
+FROM p, generate_series(1, {n_out}) AS u(i)
+"""
+
+
+@register(
+    "random_projection",
+    None,  # filled below — the oracle is generated from the sign matrix
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 dims with a "
+    "deterministic ±1 sign matrix (Achlioptas family): the cheap "
+    "reduction before ANN indexing/clustering at corpus scale. "
+    "Map-only zip_with/aggregate column math, no UDF, no shuffle; "
+    "the sign literals are baked into BOTH the Spark plan and the "
+    "generated DuckDB oracle, so the reduction is fully value-"
+    "checked (long (vec_id, dim, val) format, rounded to 4).",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as VEC
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = VEC.projection_signs(64, 16)
+    proj = VEC.random_project(VEC.as_double(F.col("embedding")), signs)
+    return emb.select(
+        "vec_id", F.posexplode(F.transform(proj, lambda x: F.round(x, 4)))
+        .alias("dim", "val")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "val")
+
+
+QUERIES["random_projection"].oracle = _random_projection_oracle()
+
+
 @register(
     "json_extract_agg",
     """

@@ -530,3 +530,34 @@ def test_ivf_sq8_quantized_index(spark, vecs, tmp_path):
         ).collect()
     ]
     assert len(set(exact) & set(approx)) >= 8
+
+
+def test_random_projection_preserves_distances(spark):
+    # JL property: with 16 output dims, pairwise L2 distances of random
+    # 64-dim unit-ish vectors survive within a loose distortion band
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.functions import vectors as VEC
+
+    rng = random.Random(11)
+    vecs = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(64)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    signs = VEC.projection_signs(64, 16)
+    out = {
+        r.vec_id: r.p
+        for r in df.select(
+            "vec_id", VEC.random_project(F.col("embedding"), signs).alias("p")
+        ).collect()
+    }
+    raw = dict(vecs)
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = []
+    for i in range(20):
+        for j in range(i + 1, 20):
+            ratios.append(d2(out[i], out[j]) / d2(raw[i], raw[j]))
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3, mean          # unbiased on average
+    assert all(0.2 < r < 2.5 for r in ratios), (min(ratios), max(ratios))
