@@ -439,3 +439,79 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _R2(F.sum("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "customer_distribution",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS INT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape: distribution of per-customer order counts "
+    "(customers with zero orders included via the OUTER join; the "
+    "priority predicate lives in the join condition, NOT a WHERE — "
+    "a WHERE would silently turn the outer join inner). Two-level "
+    "aggregation: the second groupBy shuffles only one row per "
+    "distinct count value.",
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("int").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "disjunctive_revenue",
+    """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_type = 'PROMO' AND l_quantity >= 25)
+""",
+    doc="TPC-H Q19 shape: revenue under an OR of brand/size/quantity "
+    "conjunctions. The part-only disjuncts (brand+size, type) are "
+    "derivable prefilters Catalyst pushes below the broadcast join; "
+    "the mixed predicate applies post-join. One single-row global "
+    "aggregate — no grouped shuffle at all.",
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 25))
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            _R2(F.sum(_disc())).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
