@@ -1,0 +1,185 @@
+"""Custom stateful streaming operators on ``applyInPandasWithState``
+(extension surface — the reference's platform exposes Flink keyed
+state as its escape hatch for operators SQL can't say; the Spark
+equivalent is Arrow-batched grouped state, SURVEY.md §2.5).
+
+Both operators keep O(distinct keys) state, partitioned BY KEY across
+executors by the groupBy shuffle — at 100 TB the state store scales
+horizontally with the key space and no single task ever holds more
+than its key range. Rows cross the Python boundary in Arrow batches
+(never row-at-a-time), and the per-key reducers below are numpy/
+pandas vector ops over each batch, so the Python path does O(batches)
+work, not O(rows).
+
+These are deliberately NOT SQL-expressible (cross-micro-batch
+running state with update-mode emission), so they carry parity tests
+against batch aggregates instead of DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_RUN_STATS_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("variance", T.DoubleType()),
+        T.StructField("min", T.DoubleType()),
+        T.StructField("max", T.DoubleType()),
+    ]
+)
+
+_RUN_STATS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("m2", T.DoubleType()),
+        T.StructField("mn", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def running_stats(
+    stream: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key running count/mean/variance/min/max across micro-batches
+    (Welford/Chan parallel-merge form — numerically stable, merges a
+    whole Arrow batch at a time instead of iterating rows).
+
+    Emits one updated row per key per micro-batch ("update" output):
+    the streaming-quality monitor for a CDC feed — drift in ``mean``
+    or a variance spike on a keyed metric is visible the micro-batch
+    it happens, long before a batch rollup would run.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            n, mean, m2, mn, mx = state.get
+        else:
+            n, mean, m2, mn, mx = 0, 0.0, 0.0, math.inf, -math.inf
+        for pdf in pdfs:
+            v = pdf[value_col].astype("float64")
+            nb = int(v.count())
+            if nb == 0:
+                continue
+            mb = float(v.mean())
+            m2b = float(v.var(ddof=0)) * nb
+            if n == 0:
+                n, mean, m2 = nb, mb, m2b
+            else:
+                delta = mb - mean
+                tot = n + nb
+                mean = mean + delta * nb / tot
+                m2 = m2 + m2b + delta * delta * n * nb / tot
+                n = tot
+            mn = min(mn, float(v.min()))
+            mx = max(mx, float(v.max()))
+        state.update((n, mean, m2, mn, mx))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n": [n],
+                "mean": [mean],
+                "variance": [m2 / n if n else 0.0],
+                "min": [mn],
+                "max": [mx],
+            }
+        )
+
+    return (
+        stream.selectExpr(f"CAST({key_col} AS STRING) AS key", value_col)
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            _RUN_STATS_OUT,
+            _RUN_STATS_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_FIRST_SEEN_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_in_batch", T.LongType()),
+    ]
+)
+
+_FIRST_SEEN_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def first_seen_keys(
+    stream: DataFrame,
+    key_col: str,
+    event_time_col: str | None = None,
+    ttl_minutes: int | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Cross-micro-batch keyed dedup: emit each key exactly once — on
+    the micro-batch where it first appears (with how many copies that
+    batch carried) — and suppress every later occurrence.
+
+    ``ttl_minutes`` (requires ``event_time_col``) bounds the state:
+    a key whose last event is older than the TTL behind the watermark
+    is evicted via EventTimeTimeout, so it MAY re-emit if it returns
+    after a long silence — the standard trade that keeps state finite
+    on an unbounded key space, mirroring the upsert lake's event-time
+    state TTL at compaction. Event-time (not processing-time) timeout
+    is deliberate: eviction advances only when data advances the
+    watermark, so the engine never schedules wall-clock timer batches
+    (ProcessingTimeTimeout makes the micro-batch engine spin no-data
+    batches re-checking timers — unusable under availableNow or
+    processAllAvailable test triggers, and wasteful in production).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    with_ttl = ttl_minutes is not None
+    if with_ttl and event_time_col is None:
+        raise ValueError("ttl_minutes requires event_time_col")
+    ttl_ms = (ttl_minutes or 0) * 60 * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total = 0
+        max_ts_ms = None
+        for pdf in pdfs:
+            total += len(pdf)
+            if with_ttl and len(pdf):
+                m = pdf["_ts"].max()
+                ms = int(m.value // 1_000_000)  # pandas Timestamp -> ms
+                max_ts_ms = ms if max_ts_ms is None else max(max_ts_ms, ms)
+        fresh = not state.exists
+        state.update((True,))
+        if with_ttl and max_ts_ms is not None:
+            state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
+        if fresh and total:
+            yield pd.DataFrame({"key": [str(key[0])], "n_in_batch": [total]})
+
+    cols = [f"CAST({key_col} AS STRING) AS key"]
+    if with_ttl:
+        cols.append(f"{event_time_col} AS _ts")
+        projected = stream.selectExpr(*cols).withWatermark(
+            "_ts", watermark_delay
+        )
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        projected = stream.selectExpr(*cols)
+        timeout = GroupStateTimeout.NoTimeout
+
+    return projected.groupBy("key").applyInPandasWithState(
+        fn, _FIRST_SEEN_OUT, _FIRST_SEEN_STATE, "update", timeout
+    )

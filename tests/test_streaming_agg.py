@@ -436,3 +436,138 @@ def test_streaming_dedup_within_watermark(spark):
     expected = load_table(spark, SF_SMOKE, "events").count()
     assert got["d"] == expected  # every event survives exactly once
     assert got["n"] == expected  # and no duplicate made it through
+
+
+def _two_chunk_stream(spark, tmp_path, ev):
+    d = tmp_path / "feed2"
+    d.mkdir()
+    half = ev.count() // 2
+    ev.limit(half).write.mode("overwrite").parquet(str(d / "a.parquet"))
+    ev.subtract(ev.limit(half)).write.mode("overwrite").parquet(
+        str(d / "b.parquet")
+    )
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+
+
+def test_stateful_running_stats_matches_batch(spark, tmp_path):
+    """streaming/stateful.py running_stats: the LAST emitted row per
+    key (Welford state across micro-batches) must equal the batch
+    count/mean/population-variance/min/max exactly."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.stateful import running_stats
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    res = running_stats(_two_chunk_stream(spark, tmp_path, ev), "user_id", "value")
+    q = (
+        res.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("runstats")
+        .option("checkpointLocation", str(tmp_path / "ck_rs"))
+        .start()
+    )
+    q.processAllAvailable()
+    # last emission per key = the one with the largest n
+    got = {
+        r["key"]: (r["n"], round(r["mean"], 6), round(r["variance"], 6),
+                   r["min"], r["max"])
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY key ORDER BY n DESC) rn FROM runstats) WHERE rn=1"
+        ).collect()
+    }
+    q.stop()
+    want = {
+        str(r["user_id"]): (r["n"], round(r["mean"], 6), round(r["var"], 6),
+                            r["mn"], r["mx"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_pop("value").alias("var"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_first_seen_dedup_across_batches(spark, tmp_path):
+    """streaming/stateful.py first_seen_keys: every key emits exactly
+    once even when it recurs in later micro-batches."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.stateful import first_seen_keys
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    res = first_seen_keys(_two_chunk_stream(spark, tmp_path, ev), "user_id")
+    q = (
+        res.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("firstseen")
+        .option("checkpointLocation", str(tmp_path / "ck_fs"))
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql("SELECT key, count(*) c FROM firstseen GROUP BY key").collect()
+    q.stop()
+    assert rows, "no keys emitted"
+    assert all(r["c"] == 1 for r in rows), "a key emitted more than once"
+    n_keys = ev.select("user_id").distinct().count()
+    assert len(rows) == n_keys
+
+
+def test_stateful_first_seen_ttl_evicts_and_reemits(spark, tmp_path):
+    """Event-time TTL: a key silent longer than the TTL behind the
+    watermark is evicted, so its return after the quiet period emits
+    again — and state stays bounded by the event-time horizon."""
+    import os
+    import time as _time
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.stateful import first_seen_keys
+
+    d = tmp_path / "ttlfeed"
+    d.mkdir()
+    base = "2024-01-01 00:00:00"
+    t = lambda h: f"2024-01-01 {h:02d}:00:00"  # noqa: E731
+    chunks = [
+        [(1, t(0)), (2, t(0))],   # first sight of 1 and 2
+        [(4, t(2))],              # advances watermark past 1's TTL
+        [(4, t(4))],              # batch where 1's timeout fires -> evict
+        [(1, t(5))],              # 1 returns after eviction -> re-emits
+    ]
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(rows, "user_id long, ts_s string").selectExpr(
+            "user_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        )
+        path = str(d / f"c{i}.parquet")
+        df.coalesce(1).write.parquet(path)
+        _time.sleep(0.05)
+        stamp = _time.time() + i  # strictly increasing mtimes => batch order
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+    schema = "user_id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d / "*"))
+    )
+    res = first_seen_keys(stream, "user_id", event_time_col="ts", ttl_minutes=60)
+    q = (
+        res.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ttlseen")
+        .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+        .start()
+    )
+    q.processAllAvailable()
+    emits = {}
+    for r in spark.sql("SELECT key, count(*) c FROM ttlseen GROUP BY key").collect():
+        emits[r["key"]] = r["c"]
+    q.stop()
+    assert emits["1"] == 2, emits   # evicted then re-emitted
+    assert emits["2"] == 1, emits   # never returned -> emitted once
+    assert emits["4"] == 1, emits   # continuously live -> suppressed
