@@ -928,6 +928,8 @@ class UpsertLakeTable:
         self,
         expire_col: str | None = None,
         expire_before=None,
+        cluster_by: Sequence[str] | None = None,
+        target_file_rows: int | None = None,
     ) -> int:
         """Fold the delta log into the bucketed base and truncate the log.
 
@@ -970,13 +972,33 @@ class UpsertLakeTable:
             # the key are tight — a keyed read skips whole row groups
             # instead of scanning the bucket. One extra shuffle of the
             # compacted slice only (bounded by the affected buckets).
-            (
+            # ``cluster_by`` switches the layout to a z-order sort over
+            # SEVERAL probe columns (≙ Hudi's z-order clustering
+            # strategy): min-max stats stay tight on every clustered
+            # column, so filters on ANY of them skip files/row groups.
+            # ``target_file_rows`` is the file-sizing knob (≙
+            # hoodie.parquet.max.file.size): smaller files = finer
+            # pruning granularity at the cost of more files.
+            if cluster_by:
+                from ..operators.zorder import column_bounds, zorder_value
+
+                mins, maxs = column_bounds(compacted, list(cluster_by))
+                sort_cols = [
+                    F.col("bucket"),
+                    zorder_value(
+                        [F.col(c) for c in cluster_by], mins, maxs
+                    ).alias("_z"),
+                ]
+            else:
+                sort_cols = [F.col("bucket"), *[F.col(k) for k in self.key]]
+            writer = (
                 compacted.repartition("bucket")
-                .sortWithinPartitions("bucket", *self.key)
+                .sortWithinPartitions(*sort_cols)
                 .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(tmp)
             )
+            if target_file_rows:
+                writer = writer.option("maxRecordsPerFile", target_file_rows)
+            writer.partitionBy("bucket").parquet(tmp)
             # Crash-safe swap: the old bucket dirs are RENAMED into a
             # seq-tagged trash dir, never deleted before the compaction
             # commit is recorded — a crash at any point leaves every

@@ -807,3 +807,72 @@ def test_maybe_compact_below_threshold_is_noop(spark, tmp_path):
     t.write(_t1(spark, T1_ROWS), commit_id="c1")
     assert t.maybe_compact() == 0
     assert [c["kind"] for c in t.commits()] == ["delta"]
+
+
+def _file_ranges(base_dir, cols):
+    """Per-parquet-file (min, max) of each column, via footer stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = {c: [] for c in cols}
+    for f in glob.glob(os.path.join(base_dir, "**", "*.parquet"), recursive=True):
+        md = pq.read_metadata(f)
+        schema_names = md.schema.to_arrow_schema().names
+        mn = {c: None for c in cols}
+        mx = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    mn[name] = s.min if mn[name] is None else min(mn[name], s.min)
+                    mx[name] = s.max if mx[name] is None else max(mx[name], s.max)
+        for c in cols:
+            if mn[c] is not None:
+                out[c].append((mn[c], mx[c]))
+    return out
+
+
+def _avg_range_frac(ranges, domain):
+    return sum(mx - mn for mn, mx in ranges) / (len(ranges) * domain)
+
+
+def test_zorder_compaction_tightens_stats_on_both_columns(spark, tmp_path):
+    """cluster_by z-order layout: after compaction, parquet file
+    min/max stats are tight on BOTH clustered columns (a filter on
+    either prunes most files), where the default key sort only helps
+    the leading key. Snapshot content must be identical either way."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(1000), rng.randrange(1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    def build(path, **compact_kw):
+        t = UpsertLakeTable(spark, str(path), key="id", num_buckets=1,
+                            compact_every=10**9)
+        t.write(df, commit_id="c1")
+        t.compact(**compact_kw)
+        return t
+
+    plain = build(tmp_path / "plain", target_file_rows=500)
+    zord = build(tmp_path / "zord", cluster_by=["x", "y"], target_file_rows=500)
+
+    # correctness: identical table content under either layout
+    a = sorted(tuple(r) for r in plain.snapshot().select("id", "x", "y").collect())
+    b = sorted(tuple(r) for r in zord.snapshot().select("id", "x", "y").collect())
+    assert a == b and len(a) == 4000
+
+    pr = _file_ranges(os.path.join(str(tmp_path / "plain"), "base"), ["x", "y"])
+    zr = _file_ranges(os.path.join(str(tmp_path / "zord"), "base"), ["x", "y"])
+    assert len(zr["x"]) >= 4, "expected multiple files (target_file_rows)"
+    # key-sorted layout: x and y are unsorted within files -> each file
+    # spans ~the whole domain on both
+    assert _avg_range_frac(pr["x"], 1000) > 0.9
+    assert _avg_range_frac(pr["y"], 1000) > 0.9
+    # z-order: both columns' per-file spans shrink materially
+    assert _avg_range_frac(zr["x"], 1000) < 0.62, _avg_range_frac(zr["x"], 1000)
+    assert _avg_range_frac(zr["y"], 1000) < 0.62, _avg_range_frac(zr["y"], 1000)
