@@ -2149,6 +2149,61 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+@register(
+    "tfidf_top_terms",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, term, tfidf
+FROM (
+  SELECT doc_id, term,
+         ROUND(tf * ln(n * 1.0 / df), 4) AS tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY ROUND(tf * ln(n * 1.0 / df), 4) DESC, term) AS rn
+  FROM tf JOIN dfr USING (term) CROSS JOIN nd
+) WHERE rn <= 3
+""",
+    doc="TF-IDF keyword extraction: top-3 scoring terms per document "
+    "(tf x ln(N/df), ranked on the ROUNDED score + term so the order "
+    "is total and ulp-stable across engines). Scale shape: token "
+    "explode -> one (doc,term) groupBy; document frequencies are a "
+    "groupBy over the (much smaller) tf table and broadcast back; "
+    "the corpus size N is a one-row broadcast cross join (never a "
+    "driver-side count); the top-3 window partitions per document.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = F.broadcast(d.agg(F.count("*").alias("_n")))
+    score = F.round(
+        F.col("tf") * F.log(F.col("_n") / F.col("df")), 4
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(dfr), "term")
+        .join(nd)
+        .withColumn("tfidf", score)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
 def _random_projection_oracle(dim: int = 64, n_out: int = 16) -> str:
     """Generate the DuckDB mirror of ``vectors.random_project`` with
     the SAME ±1 sign literals and the same left-to-right summation
