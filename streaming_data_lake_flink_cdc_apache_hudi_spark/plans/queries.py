@@ -2150,6 +2150,27 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_distinct_count",
+    """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+""",
+    doc="Exact distinct users per event type via the SALTED two-phase "
+    "plan (operators/skew.py): values bucket by hash(value) so a hot "
+    "group's distinct set is deduplicated across n_salts parallel "
+    "tasks and the final merge sums bounded partial counts — the "
+    "skew-proof form of COUNT(DISTINCT). Oracle is the plain "
+    "count(DISTINCT): same answer by construction.",
+)
+def q_skew_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_distinct_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_distinct_count(ev, ["event_type"], "user_id")
+
+
+@register(
     "tfidf_top_terms",
     """
 WITH toks AS (
