@@ -1,95 +1,88 @@
-"""Skew-mitigation operators: salted join and salted distinct-count.
+"""Skew-handling join helpers (100 TB concern; SURVEY.md build brief).
 
-AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`,
-on by default in the engine config) is the first line of defense and
-needs no code. These operators cover the two cases AQE does NOT fix:
+AQE's skew-join splitting (enabled in EngineConfig) handles most
+skew at runtime. ``salted_join`` is the explicit fallback for the
+pathological case AQE can't fix: a single hot key on BOTH sides of a
+shuffle join (AQE can split a skewed partition of one side, but the
+matching build side still concentrates).
 
-- ``salted_join``: a sort-merge join where ONE probe key is so hot
-  that even a split partition is dominated by it, and the build side
-  is too big to broadcast. Salting replicates each build row
-  ``n_salts`` times and spreads the probe side's hot key over
-  ``n_salts`` subpartitions — turning one straggler task into
-  ``n_salts`` parallel ones at the cost of an ``n_salts``-times
-  larger build shuffle. Use ONLY for diagnosed skew; the default
-  engine path stays the plain equi-join.
-- ``salted_distinct_count``: an exact COUNT(DISTINCT v) GROUP BY k
-  where one group's distinct set is too large for a single task's
-  aggregation hash table. Values are pre-bucketed by hash(v), so each
-  task deduplicates a DISJOINT slice of the hot group and the final
-  per-key merge only sums ``n_salts`` partial counts. (Plain
-  count_distinct is fine for non-skewed data — Spark expands it to a
-  two-phase plan itself; this version fixes the single-hot-group
-  case. The approximate alternative is approx_count_distinct/HLL —
-  plans/queries.py approx_sketches.)
-
-Both are deterministic: the salt comes from a hash of data columns
-(never ``rand()``), so retried tasks and resumed runs reproduce the
-same partitioning.
+Mechanics: the skewed (large) side gets a random salt in [0, S); the
+small side is exploded S× with every salt value; the join key becomes
+(key, salt). Each hot key now spreads across S reducers at the cost
+of replicating the other side S times — the classic trade.
 """
 
 from __future__ import annotations
-
-from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt_col(cols: Sequence[str], n_salts: int):
-    h = F.xxhash64(*[F.col(c) for c in cols])
-    return F.pmod(h, F.lit(n_salts)).cast("int")
-
-
 def salted_join(
-    fact: DataFrame,
-    dim: DataFrame,
-    on: Sequence[str],
-    n_salts: int = 8,
-    salt_source: Sequence[str] | None = None,
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
     how: str = "inner",
+    salt_buckets: int = 8,
 ) -> DataFrame:
-    """Equi-join ``fact`` (skewed side) to ``dim`` (replicated side)
-    on ``on``, spreading each fact key over ``n_salts`` shuffle
-    subpartitions.
+    """Equi-join ``skewed`` ⋈ ``other`` on column ``on`` with salting.
 
-    ``salt_source`` names the fact columns the salt is hashed from
-    (default: all non-join columns is wrong — it must be columns that
-    VARY within the hot key, e.g. the fact's unique id / timestamp;
-    required). Supports ``inner`` and ``left`` (each fact row carries
-    exactly one salt, so multiplicity is preserved; right/full would
-    double-count unmatched dim rows across replicas and are rejected).
+    ``other`` is replicated ``salt_buckets`` times — keep it the
+    smaller input. Deterministic salt (hash of all columns) so
+    retries/replays place rows identically.
+
+    ``how`` is restricted to joins whose output is row-preserving for
+    the replicated side: with right/full outer, every unmatched
+    ``other`` row would be emitted once per salt (duplicates).
     """
-    if how not in ("inner", "left"):
-        raise ValueError("salted_join supports how='inner'|'left'")
-    if not salt_source:
-        raise ValueError("salt_source: fact columns to derive the salt from")
-    f2 = fact.withColumn("_salt", _salt_col(salt_source, n_salts))
-    d2 = dim.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-    ).withColumn("_salt", F.col("_salt").cast("int"))
-    return f2.join(d2, [*on, "_salt"], how).drop("_salt")
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left_outer/left_semi, got how={how!r}: "
+            "right/full outer would duplicate unmatched replicated rows "
+            "salt_buckets times"
+        )
+    skew_salted = skewed.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in skewed.columns]),
+            F.lit(salt_buckets),
+        ).cast("int"),
+    )
+    other_rep = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = skew_salted.join(other_rep, [on, "_salt"], how)
+    return out.drop("_salt")
 
 
 def salted_distinct_count(
     df: DataFrame,
-    group_cols: Sequence[str],
+    group_cols,
     distinct_col: str,
     n_salts: int = 16,
 ) -> DataFrame:
-    """Exact per-group distinct count that stays parallel under a hot
-    group: values are bucketed by hash(value) %% n_salts, each
-    (group, bucket) deduplicates its disjoint value slice, and the
-    final merge sums the ``n_salts`` partial counts per group. Output:
-    group_cols + ``n_distinct``. Three linear shuffles, none keyed on
-    the bare hot group until the last (n_salts-row-per-group) merge.
+    """Exact per-group COUNT(DISTINCT v) that stays parallel under a
+    hot group — the aggregation-side sibling of ``salted_join``.
+
+    Plain count_distinct is fine for balanced data (Spark expands it
+    to a two-phase plan itself), but ONE group whose distinct set
+    exceeds a task's aggregation hash table still serializes on that
+    task. Here values are pre-bucketed by hash(value) % n_salts, so
+    each (group, bucket) task deduplicates a DISJOINT slice of the hot
+    group's values and the final merge per group only sums
+    ``n_salts`` bounded partial counts. Deterministic (salt is a hash
+    of the value, never rand()), exact by construction — the
+    approximate alternative at 100 TB is approx_count_distinct/HLL
+    (plans/queries.py approx_sketches). Output: group_cols +
+    ``n_distinct``.
     """
-    g = list(group_cols)
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     per_bucket = (
         df.select(*g, F.col(distinct_col).alias("_v"))
-        .withColumn("_salt", _salt_col(["_v"], n_salts))
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64("_v"), F.lit(n_salts)).cast("int")
+        )
         .groupBy(*g, "_salt")
         .agg(F.count_distinct("_v").alias("_part"))
     )
-    return per_bucket.groupBy(*g).agg(
-        F.sum("_part").alias("n_distinct")
-    )
+    return per_bucket.groupBy(*g).agg(F.sum("_part").alias("n_distinct"))

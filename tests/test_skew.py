@@ -1,6 +1,7 @@
-"""Planted-skew tests for operators/skew.py: salted join and salted
+"""Planted-skew tests for operators/skew.py: salted join (existing,
+equivalence also pinned in test_session_api) and the salted exact
 distinct-count must return exactly the un-salted answers while
-spreading the hot key across shuffle subpartitions.
+spreading the hot key/group across shuffle subpartitions.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ def test_salted_join_matches_plain_inner(spark):
     )
     salted = Counter(
         tuple(r)
-        for r in salted_join(fact, dim, ["k"], n_salts=8, salt_source=["fid"])
+        for r in salted_join(fact, dim, "k", salt_buckets=8)
         .select("fid", "k", "k_name")
         .collect()
     )
@@ -49,25 +50,26 @@ def test_salted_join_matches_plain_left(spark):
     )
     salted = Counter(
         tuple(r)
-        for r in salted_join(
-            fact, dim, ["k"], n_salts=8, salt_source=["fid"], how="left"
-        )
+        for r in salted_join(fact, dim, "k", how="left", salt_buckets=8)
         .select("fid", "k", "k_name")
         .collect()
     )
     assert salted == plain
 
 
-def test_salted_join_spreads_hot_key(spark):
+def test_salted_join_deterministic_and_spreads_hot_key(spark):
     fact, dim = _skewed_fact(spark), _dim(spark)
-    out = salted_join(fact, dim, ["k"], n_salts=8, salt_source=["fid"])
+    out = salted_join(fact, dim, "k", salt_buckets=8)
     # deterministic salt: same call twice -> identical result
     a = Counter(tuple(r) for r in out.collect())
     b = Counter(tuple(r) for r in out.collect())
     assert a == b
-    # the hot key's rows really do carry >1 distinct salt value
+    # the hot key's rows really do carry every salt value
     n_salts_used = (
-        fact.withColumn("_s", F.pmod(F.xxhash64("fid"), F.lit(8)))
+        fact.withColumn(
+            "_s",
+            F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8)),
+        )
         .filter(F.col("k") == 7)
         .select("_s")
         .distinct()
@@ -78,9 +80,7 @@ def test_salted_join_spreads_hot_key(spark):
 
 def test_salted_distinct_count_exact(spark):
     # hot group "a": many duplicated values; plain answer is the oracle
-    rows = [("a", i % 700) for i in range(8000)] + [
-        ("b", i) for i in range(30)
-    ]
+    rows = [("a", i % 700) for i in range(8000)] + [("b", i) for i in range(30)]
     df = spark.createDataFrame(rows, "g string, v long")
     got = {
         r["g"]: r["n_distinct"]
@@ -92,11 +92,16 @@ def test_salted_distinct_count_exact(spark):
 def test_salted_distinct_count_no_bare_group_shuffle_of_rows(spark):
     """Plan shape: the first aggregate keys on (group, salt) — the raw
     rows are never shuffled on the bare group key."""
-    rows = [("a", i) for i in range(100)]
-    df = spark.createDataFrame(rows, "g string, v long")
-    plan = salted_distinct_count(df, ["g"], "v", n_salts=4)._jdf.queryExecution().executedPlan().toString()
     import re
 
+    rows = [("a", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    plan = (
+        salted_distinct_count(df, ["g"], "v", n_salts=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert exchanges, plan
     # at least one exchange carries the salt; none is a single partition
