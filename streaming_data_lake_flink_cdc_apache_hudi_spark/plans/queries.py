@@ -2150,6 +2150,123 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pmi_collocations",
+    """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+1], ' ')
+                      for i in generate_series(1, len(t)-1)] END) AS bigram
+  FROM toks
+),
+bgc AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram),
+uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+),
+tb AS (SELECT sum(c_ab) AS n_bg FROM bgc),
+tt AS (SELECT sum(c) AS n_tok FROM uni)
+SELECT bigram, c_ab, pmi FROM (
+  SELECT bigram, c_ab,
+    ROUND(ln((c_ab * 1.0 / n_bg)
+             / ((u1.c * 1.0 / n_tok) * (u2.c * 1.0 / n_tok))), 4) AS pmi
+  FROM bgc
+  JOIN uni u1 ON u1.tok = string_split(bigram, ' ')[1]
+  JOIN uni u2 ON u2.tok = string_split(bigram, ' ')[2]
+  CROSS JOIN tb CROSS JOIN tt
+  WHERE c_ab >= 5
+)
+ORDER BY pmi DESC, bigram LIMIT 15
+""",
+    doc="Pointwise-mutual-information collocations: the 15 strongest "
+    "word pairs (PMI of bigram vs unigram frequencies, support >= 5) "
+    "— the classic corpus-linguistics / tokenizer-merge-candidate "
+    "statistic. Scale shape: bigram and unigram counts are two "
+    "grouped shuffles of DISTINCT grams (vocabulary-sized, far "
+    "smaller than the corpus); the totals are one-row broadcast "
+    "cross joins; ranking on the ROUNDED score + bigram tiebreak is "
+    "a TakeOrderedAndProject — never a global sort.",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX2
+
+    d = load_table(spark, sf_dir, "documents")
+    bgc = (
+        d.select(F.explode(TX2.shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    uni = (
+        d.select(F.explode(TX2.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tb = F.broadcast(bgc.agg(F.sum("c_ab").alias("n_bg")))
+    tt = F.broadcast(uni.agg(F.sum("c").alias("n_tok")))
+    u1 = uni.select(F.col("tok").alias("_t1"), F.col("c").alias("_c1"))
+    u2 = uni.select(F.col("tok").alias("_t2"), F.col("c").alias("_c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("n_bg"))
+            / ((F.col("_c1") / F.col("n_tok")) * (F.col("_c2") / F.col("n_tok")))
+        ),
+        4,
+    )
+    return (
+        bgc.filter(F.col("c_ab") >= 5)
+        .withColumn("_w", F.split(F.col("bigram"), " "))
+        .join(F.broadcast(u1), F.col("_w")[0] == F.col("_t1"))
+        .join(F.broadcast(u2), F.col("_w")[1] == F.col("_t2"))
+        .join(tb)
+        .join(tt)
+        .select("bigram", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(15)
+    )
+
+
+@register(
+    "inverted_index",
+    """
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(
+         (list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
+FROM (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+GROUP BY term
+""",
+    doc="Inverted-index build (search-engine posting lists): term -> "
+    "document frequency + first 20 doc ids ascending (stringified so "
+    "the value-hash oracle is engine-neutral). Scale shape: distinct "
+    "(doc, term) explode then ONE grouped shuffle per term; posting "
+    "lists are capped at 20 in-plan (slice after array_sort), so no "
+    "group materializes an unbounded array — the heavy-hitter-safe "
+    "form of index building.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX2
+
+    d = load_table(spark, sf_dir, "documents")
+    td = d.select(
+        "doc_id", F.explode(F.array_distinct(TX2.tokens(F.col("text")))).alias("term")
+    )
+    return td.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+
+
+@register(
     "skew_distinct_count",
     """
 SELECT event_type,
