@@ -14,6 +14,14 @@ work, not O(rows).
 These are deliberately NOT SQL-expressible (cross-micro-batch
 running state with update-mode emission), so they carry parity tests
 against batch aggregates instead of DuckDB oracles.
+
+API choice: Spark 4 also ships transformWithStateInPandas (the
+StatefulProcessor/ListState/timer API), but its Python driver worker
+requires the ``protobuf`` package, absent from this runtime — it
+fails at query start with STREAMING_PYTHON_RUNNER_INITIALIZATION
+regardless of state-store provider. applyInPandasWithState covers the
+same per-key state semantics on the stock HDFS-backed store with no
+extra dependency, so it is the deliberate choice here.
 """
 
 from __future__ import annotations

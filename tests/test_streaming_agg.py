@@ -571,3 +571,54 @@ def test_stateful_first_seen_ttl_evicts_and_reemits(spark, tmp_path):
     assert emits["1"] == 2, emits   # evicted then re-emitted
     assert emits["2"] == 1, emits   # never returned -> emitted once
     assert emits["4"] == 1, emits   # continuously live -> suppressed
+
+
+def test_streaming_paragraph_dedup_composition(spark, tmp_path):
+    """Composition: paragraph chunking (batch operator) applied inside
+    a stream + first_seen_keys = STREAMING corpus dedup — each distinct
+    paragraph hash emits exactly once across micro-batches, matching
+    the batch distinct count."""
+    from pyspark.sql import functions as F2
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.curation import (
+        paragraph_chunks,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.stateful import (
+        first_seen_keys,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    d = tmp_path / "docfeed"
+    d.mkdir()
+    half = docs.count() // 2
+    docs.limit(half).write.parquet(str(d / "a.parquet"))
+    docs.subtract(docs.limit(half)).write.parquet(str(d / "b.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    paras = paragraph_chunks(stream, "text", "doc_id").withColumn(
+        "para_hash", F2.md5("para")
+    )
+    res = first_seen_keys(paras, "para_hash")
+    q = (
+        res.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("streamdedup")
+        .option("checkpointLocation", str(tmp_path / "ck_sd"))
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql(
+        "SELECT key, count(*) c FROM streamdedup GROUP BY key"
+    ).collect()
+    q.stop()
+    assert all(r["c"] == 1 for r in rows)
+    want = (
+        paragraph_chunks(docs, "text", "doc_id")
+        .select(F2.md5("para"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == want
