@@ -226,7 +226,9 @@ def paragraph_chunks(
     ``sequence`` of chunk indexes, ``F.slice`` per chunk) then one
     ``posexplode`` — no shuffle, no UDF. Output: (id, para_idx, para).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
     n_chunks = F.when(
         F.size(words) > 0,
         F.floor((F.size(words) - F.lit(1)) / words_per_para).cast("int")

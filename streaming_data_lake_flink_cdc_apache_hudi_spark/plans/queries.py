@@ -2439,7 +2439,9 @@ def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PARAS_SQL = r"""
 words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
   FROM documents
 ),
 paras AS (

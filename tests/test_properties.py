@@ -163,3 +163,85 @@ def test_lake_table_equals_dict_replay(spark, tmp_path_factory, commits):
                 state[k] = v
     got = {r["k"]: r["v"] for r in table.snapshot().select("k", "v").collect()}
     assert got == state
+
+
+# --- paragraph dedup properties (round-4 curation ops) -----------------
+
+words_strategy = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=0,
+    max_size=35,
+)
+docs_strategy = st.lists(words_strategy, min_size=1, max_size=6)
+
+
+def _naive_paragraphs(text: str, w: int = 10):
+    toks = [t for t in text.strip().split() if t]
+    return [" ".join(toks[i : i + w]) for i in range(0, len(toks), w)]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs_strategy)
+def test_paragraph_dedup_matches_naive_replay(spark, docs):
+    """dedup_paragraphs == a single-threaded first-occurrence replay in
+    (doc_id, para_idx) order, for arbitrary small corpora (including
+    empty docs and repeated chunks within one doc)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.curation import (
+        dedup_paragraphs,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in dedup_paragraphs(df, "text", "doc_id").collect()
+    }
+
+    seen: set[str] = set()
+    want = {}
+    for i, ws in enumerate(docs):
+        paras = _naive_paragraphs(" ".join(ws))
+        kept = []
+        removed = 0
+        for p in paras:
+            if p in seen:
+                removed += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        if paras:
+            want[i] = (" ".join(kept), len(kept), removed)
+    assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 9)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 8),
+)
+def test_salted_distinct_count_matches_naive(spark, rows, n_salts):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.skew import (
+        salted_distinct_count,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in salted_distinct_count(df, ["g"], "v", n_salts=n_salts).collect()
+    }
+    want: dict[str, set] = {}
+    for g, v in rows:
+        want.setdefault(g, set()).add(v)
+    assert got == {g: len(s) for g, s in want.items()}
