@@ -2193,16 +2193,21 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX2
 
     d = load_table(spark, sf_dir, "documents")
+    # each gram table feeds three consumers (pair counts, totals,
+    # probability joins); localCheckpoint materializes it ONCE so the
+    # corpus is scanned once per gram type, not once per consumer (the
+    # cluster analog is a counts-table write — same pattern as the
+    # MinHash signatures table, operators/dedup.py)
     bgc = (
         d.select(F.explode(TX2.shingles(F.col("text"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("c_ab"))
-    )
+    ).localCheckpoint(eager=False)
     uni = (
         d.select(F.explode(TX2.tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
-    )
+    ).localCheckpoint(eager=False)
     tb = F.broadcast(bgc.agg(F.sum("c_ab").alias("n_bg")))
     tt = F.broadcast(uni.agg(F.sum("c").alias("n_tok")))
     u1 = uni.select(F.col("tok").alias("_t1"), F.col("c").alias("_c1"))
