@@ -2326,7 +2326,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds both the score join and the document frequencies;
+    # materialize it once (cluster analog: a term-frequency table
+    # write) so the corpus token explode runs a single time
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint(eager=False)
     dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
     nd = F.broadcast(d.agg(F.count("*").alias("_n")))
     score = F.round(
