@@ -269,9 +269,12 @@ def paragraph_dup_stats(
     driver state.
     """
     paras = paragraph_chunks(df, text_col, id_col, words_per_para)
+    # hashed feeds both the corpus counts and the join back; checkpoint
+    # so the chunk explode over the corpus runs once (cluster analog: a
+    # paragraph-hash table write)
     hashed = paras.select(
         F.col(id_col), F.md5(F.col("para")).alias("para_hash")
-    )
+    ).localCheckpoint(eager=False)
     counts = hashed.groupBy("para_hash").agg(
         F.count("*").alias("corpus_occurrences")
     )
