@@ -1,0 +1,145 @@
+"""Product/event-analytics pack over the events stream table: trailing
+moving averages, funnel conversion, and cohort retention — the query
+shapes an events lake is interrogated with once the CDC pipeline has
+landed the data (extension surface; the reference's notebook stops at
+the flagship join).
+
+Scale notes: every query here shuffles per-user or per-gram rollups,
+never raw-event global sorts; window frames are bounded RANGE frames
+(state is the 30-minute tail, not the partition); funnel stages scan
+the events table once per stage with the stage's type filter pushed
+into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .queries import register
+
+
+@register(
+    "moving_average",
+    """
+SELECT event_id, user_id,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+       ROUND(avg(value) OVER (
+         PARTITION BY user_id ORDER BY date_trunc('second', ts)
+         RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+       ), 4) AS mavg
+FROM events
+""",
+    doc="Per-user 30-minute trailing average of the event value — the "
+    "time-series smoothing/anomaly baseline. RANGE frame on the "
+    "SECOND-truncated event time (identical peer semantics in both "
+    "engines); per-user partitions, frame state bounded by the "
+    "30-minute tail — never the whole partition.",
+)
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # NTZ -> TZ (session is UTC) -> epoch seconds (truncates micros)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-30 * 60, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(F.avg("value").over(w), 4).alias("mavg"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.tv
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase
+""",
+    doc="Ordered funnel: users who viewed, then clicked AFTER their "
+    "first view, then purchased AFTER that first qualifying click. "
+    "Each stage is one type-filtered scan (filter pushed into "
+    "parquet) joined to the previous stage's per-user firsts — "
+    "stage tables shrink monotonically, and nothing ever sorts raw "
+    "events.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame | None, prev_ts: str, out_ts: str):
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    v = first_after("view", None, "", "tv")
+    c = first_after("click", v, "tv", "tc")
+    p = first_after("purchase", c, "tc", "tp")
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .join(c.agg(F.count("*").alias("n_click")))
+        .join(p.agg(F.count("*").alias("n_purchase")))
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cw, aw) // 7 AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY cw, date_diff('day', cw, aw) // 7
+""",
+    doc="Cohort retention matrix: users grouped by first-seen ISO "
+    "week, counted in each later activity week. Two per-user "
+    "rollups (first-seen, distinct active weeks) joined user-to-user "
+    "— the classic retention triangle; both engines truncate weeks "
+    "to ISO Monday, so the matrix is engine-exact.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("aw"), F.col("cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

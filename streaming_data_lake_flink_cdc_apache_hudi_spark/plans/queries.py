@@ -2516,3 +2516,4 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension packs register into the same QUERIES dict; imported last so
 # `register` exists (safe partial-module import).
 from . import analytics  # noqa: E402,F401
+from . import events_analytics  # noqa: E402,F401
