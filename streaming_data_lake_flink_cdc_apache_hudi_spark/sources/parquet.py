@@ -106,3 +106,64 @@ def read_events_stream(spark: SparkSession, sf_dir: str):
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
     return raw
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    granularity: str = "day",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` date-partitioned on ``ts_col`` (``dt=YYYY-MM-DD``
+    dirs for "day", ``dt=YYYY-MM`` for "month") — the canonical lake
+    layout for event/time-series tables: a time-range query prunes
+    whole partition DIRECTORIES before any file is opened, so a
+    one-day probe of a years-deep 100 TB table lists one directory.
+    The partition column is redundant with ``ts_col`` (derived, kept
+    string-typed so dir names are stable across engines); readers get
+    pruning automatically because Spark rewrites ``ts_col`` range
+    predicates onto ``dt`` only if the query filters on ``dt`` — so
+    ``read_time_partitioned`` derives the ``dt`` bounds from the
+    requested time range for the caller.
+    """
+    from pyspark.sql import functions as F
+
+    fmt = {"day": "yyyy-MM-dd", "month": "yyyy-MM"}[granularity]
+    (
+        df.withColumn("dt", F.date_format(F.col(ts_col), fmt))
+        .write.mode(mode)
+        .partitionBy("dt")
+        .parquet(path)
+    )
+
+
+def read_time_partitioned(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    start: str | None = None,
+    end: str | None = None,
+    granularity: str = "day",
+) -> DataFrame:
+    """Read a ``write_time_partitioned`` table with an optional
+    [start, end) time range. The range is applied BOTH as a ``dt``
+    partition filter (string compare on the dir value — prunes
+    directories in the scan's PartitionFilters) and as the exact
+    ``ts_col`` predicate (row-level correctness inside the boundary
+    partitions)."""
+    from pyspark.sql import functions as F
+
+    fmt_len = {"day": 10, "month": 7}[granularity]
+    df = spark.read.parquet(path)
+    if start is not None:
+        df = df.filter(
+            (F.col("dt") >= start[:fmt_len])
+            & (F.col(ts_col) >= F.lit(start).cast("timestamp"))
+        )
+    if end is not None:
+        df = df.filter(
+            (F.col("dt") <= end[:fmt_len])
+            & (F.col(ts_col) < F.lit(end).cast("timestamp"))
+        )
+    return df

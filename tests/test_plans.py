@@ -254,3 +254,38 @@ def test_dormant_customers_anti_join_and_scalar_broadcast(spark):
     assert "LeftAnti" in tree
     assert "Window" not in tree
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_time_partitioned_read_prunes_directories(spark, tmp_path):
+    """write_time_partitioned + read_time_partitioned: a one-day probe
+    must carry the dt bound in the scan's PartitionFilters (directory
+    pruning — at 100 TB the listing is one dir, not the table) AND
+    return exactly the rows a plain ts filter would."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+        read_time_partitioned,
+        write_time_partitioned,
+    )
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    path = str(tmp_path / "events_by_day")
+    write_time_partitioned(ev, path, "ts", granularity="day")
+
+    out = read_time_partitioned(
+        spark, path, "ts", start="2024-01-05 00:00:00", end="2024-01-06 00:00:00"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the dt bounds must appear in the partition filters, not (only)
+    # as a post-scan row filter
+    pf = plan[plan.index("PartitionFilters"):]
+    pf = pf[: pf.index("]") + 1]
+    assert "dt" in pf, pf
+
+    from pyspark.sql import functions as F
+
+    want = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp"))
+    ).count()
+    assert out.count() == want and want > 0
