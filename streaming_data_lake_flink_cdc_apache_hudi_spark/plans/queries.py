@@ -2501,6 +2501,7 @@ FROM (
   FROM paras
 ) GROUP BY doc_id
 """,
+    headline=True,
     doc="Paragraph-level corpus dedup (C4/RefinedWeb-style): each "
     "paragraph keeps exactly one corpus-wide occurrence (first in "
     "(doc_id, idx) order) and documents are rebuilt from survivors. "
