@@ -403,3 +403,45 @@ def make_fake_media(spark, n: int = 32, seed: int = 7) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize for the in-container image codecs:
+    PPM/BMP payloads are decoded, index-resampled with numpy (one
+    vectorized gather per image, no per-pixel Python), and re-encoded
+    as PPM. Non-image/unparseable payloads pass through untouched, so
+    the operator is total over a mixed media table. Same mapInPandas
+    Arrow-batch shape as ``decode_media`` — swap in PIL/turbojpeg for
+    the decode/encode pair on a cluster with those libs and nothing
+    else changes."""
+    import numpy as np
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                b = bytes(p)
+                try:
+                    if b[:2] == b"P6":
+                        w, h, rgb = _decode_ppm(b)
+                    elif b[:2] == b"BM":
+                        w, h, rgb = _decode_bmp(b)
+                    else:
+                        out.append(b)
+                        continue
+                    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                    ys = (np.arange(target_h) * h) // target_h
+                    xs = (np.arange(target_w) * w) // target_w
+                    r = a[ys][:, xs]
+                    out.append(encode_ppm(target_w, target_h, r.tobytes()))
+                except (ValueError, IndexError):
+                    out.append(b)
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return df.mapInPandas(_op, df.schema)

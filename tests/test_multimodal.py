@@ -226,3 +226,41 @@ def test_wav_non_pcm_is_a_declared_stub(spark):
     )
     with pytest.raises(NotImplementedError, match="PCM16"):
         _decode_bytes(payload)
+
+
+def test_resize_images_real_nearest_neighbor(spark):
+    """resize_images on a real PPM: output decodes to the target dims
+    with exactly the nearest-neighbor-selected pixels."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        _decode_ppm,
+        encode_ppm,
+        resize_images,
+    )
+
+    # 4x2 image, each pixel value = 10*x + y in all three channels
+    rgb = bytes(
+        v for y in range(2) for x in range(4) for v in [10 * x + y] * 3
+    )
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(encode_ppm(4, 2, rgb)))],
+        "media_id long, kind string, payload binary",
+    )
+    out = resize_images(df, 2, 1).collect()[0]
+    w, h, small = _decode_ppm(bytes(out["payload"]))
+    assert (w, h) == (2, 1)
+    # nearest-neighbor with floor mapping picks x in {0, 2}, y = 0
+    assert list(small) == [0, 0, 0, 20, 20, 20]
+
+
+def test_resize_images_passes_through_non_images(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    payload = b"\x00\x01\x00\x01not-an-image"
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(payload))],
+        "media_id long, kind string, payload binary",
+    )
+    out = resize_images(df, 8, 8).collect()[0]
+    assert bytes(out["payload"]) == payload
