@@ -342,3 +342,76 @@ def dedup_paragraphs(
         F.sum((F.col("_rn") == 1).cast("int")).cast("int").alias("n_kept"),
         F.sum((F.col("_rn") != 1).cast("int")).cast("int").alias("n_removed"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document mean log-probability under the corpus's own MLE
+    unigram language model — the classic cheap fluency/quality signal
+    (a KenLM-style perplexity filter reduced to its unigram core,
+    expressible with an exact cross-engine oracle).
+
+    Shape: one explode (map-only) -> vocab-sized count aggregation
+    (the only corpus-keyed shuffle; the key is the token) -> the
+    log-prob table joins back onto the token stream. The join is left
+    to AQE: at test scale the vocab broadcasts automatically; at
+    100 TB a natural-language vocab (~1e7 rows) exceeds broadcast and
+    AQE picks a linear shuffle join on the token key. The final
+    per-doc average shuffles one row per document.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("_t")
+    ).filter(F.col("_t") != "")
+    counts = tok.groupBy("_t").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_n"))
+    lp = counts.crossJoin(F.broadcast(total)).select(
+        "_t", F.log(F.col("_c") / F.col("_n")).alias("_lp")
+    )
+    return (
+        tok.join(lp, "_t")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("_lp"), 4).alias("avg_logprob"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+def dup_span_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document duplicated-substring exposure: the fraction of a
+    document's word n-gram occurrences that also appear in at least
+    one OTHER document (the span-level dedup signal of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" —
+    suffix-array substring dedup reduced to fixed-width n-gram spans,
+    which keeps it a linear Spark plan with an exact oracle).
+
+    Shape: explode n-gram occurrences (map-only), md5 the gram so the
+    shuffle key is fixed-width bytes rather than arbitrary-length
+    text, count distinct docs per gram (one linear shuffle on the
+    gram hash), left-join the multi-doc gram set back onto the
+    occurrence stream (same key, ReusedExchange-friendly), then one
+    row per document out. No pairwise comparison anywhere — cost is
+    O(total grams), never O(docs^2).
+    """
+    g = df.select(
+        F.col(id_col),
+        F.explode(TX.shingles(F.col(text_col), n)).alias("_g"),
+    ).select(F.col(id_col), F.md5("_g").alias("_h"))
+    multi = (
+        g.distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("_h", F.lit(1).alias("_dup"))
+    )
+    return (
+        g.join(multi, "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.count("_dup") / F.count("*"), 4).alias("dup_frac"),
+        )
+    )

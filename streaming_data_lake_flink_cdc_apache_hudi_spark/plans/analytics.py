@@ -515,3 +515,203 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "forecast_revenue",
+    """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape: forecast revenue change. Pure scan-aggregate "
+    "— all three predicates and the 4-column projection push into the "
+    "parquet scan (min/max rowgroup stats prune by shipdate at 100 TB "
+    "when the lake is date-laid-out); a single-row global aggregate, "
+    "zero join, zero grouped shuffle.",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _R2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+WITH pf AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+),
+lf AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN pf ON p_partkey = l_partkey
+),
+thr AS (
+  SELECT l_partkey AS t_partkey, 0.5 * AVG(l_quantity) AS lim
+  FROM lf GROUP BY 1
+)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lf JOIN thr ON l_partkey = t_partkey
+WHERE l_quantity < lim
+""",
+    doc="TPC-H Q17 shape: revenue from small-quantity orders of a "
+    "brand/type slice, vs a per-part correlated AVG subquery. Scale "
+    "plan: the part filter broadcasts FIRST, so lineitem is pruned to "
+    "the slice before the per-part average is computed — the grouped "
+    "shuffle and the join-back both run over slice-sized data, never "
+    "the full fact table; the per-part threshold table (<= filtered "
+    "part count rows) broadcasts back. The naive plan (global per-part "
+    "AVG over all of lineitem) would shuffle 100 TB to use 0.1%% of it.",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pf = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    lf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .drop("p_partkey")
+    )
+    thr = lf.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("lim")
+    )
+    return (
+        lf.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            _R2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "set_ops_customers",
+    """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    doc="Set operations (SURVEY.md 2.5 extension surface: UNION/"
+    "INTERSECT/EXCEPT are absent from the reference): high-balance "
+    "customers who placed an urgent order but never a finished one. "
+    "INTERSECT/EXCEPT compile to hash-aggregated left-semi/left-anti "
+    "joins on the single projected column; each input is pruned to "
+    "one column at the scan and the distinct aggregation is partial "
+    "before the shuffle.",
+)
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # SQL-standard precedence: INTERSECT binds tighter than EXCEPT.
+    return c.intersect(urgent).exceptAll(finished.distinct())
+
+
+@register(
+    "grouping_sets_agg",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+           AS gid,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    doc="Arbitrary GROUPING SETS (beyond rollup/cube, which are "
+    "separate entries): detail, per-flag, and grand-total levels in "
+    "one pass. Expressed through the engine's SQL route (the "
+    "DataFrame API exposes only rollup/cube); Expand + two-tier "
+    "HashAggregate, partial before the shuffle, 3x row expansion "
+    "bounded by the grouping-set count.",
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gs"
+    )
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "sliding_window_agg",
+    """
+WITH offs AS (SELECT * FROM (VALUES (0), (1)) AS t(i))
+SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts) - i * INTERVAL 5 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events CROSS JOIN offs
+GROUP BY 1, 2
+""",
+    doc="Sliding event-time windows, 10-min size / 5-min slide "
+    "(completes the window-type triad with tumbling_window_agg and "
+    "sessionize; streaming flavor shares the same F.window call). "
+    "Each event lands in size/slide = 2 windows; Spark's window() "
+    "expands in-map (Expand node) before the grouped shuffle, so "
+    "shuffle volume is 2x the aggregated rows, not 2x the events.",
+)
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

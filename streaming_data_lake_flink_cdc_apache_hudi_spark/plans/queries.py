@@ -2514,6 +2514,68 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.dedup_paragraphs(d, "text", "doc_id")
 
 
+@register(
+    "unigram_logprob",
+    """
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM cnt)
+SELECT doc_id,
+       ROUND(AVG(ln(c * 1.0 / n)), 4) AS avg_logprob,
+       count(*) AS n_tokens
+FROM tok JOIN cnt USING (t) CROSS JOIN tot
+GROUP BY doc_id
+""",
+    doc="Corpus-fit unigram-LM fluency score per document (KenLM-style "
+    "perplexity filtering reduced to its oracle-checkable unigram "
+    "core). One vocab-keyed shuffle to fit the model, AQE-chosen join "
+    "back (broadcast at test scale, linear shuffle at 100 TB vocab), "
+    "one row per doc out.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CUR.unigram_logprob(d, "text", "doc_id")
+
+
+@register(
+    "dup_span_stats",
+    """
+WITH gr AS (
+  SELECT doc_id, md5(g) AS h FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(toks) < 5 THEN [text]
+      ELSE [array_to_string(toks[i:i+4], ' ')
+            for i in generate_series(1, len(toks)-4)]
+      END) AS g
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+          FROM documents))
+),
+multi AS (
+  SELECT h, 1 AS dup FROM (
+    SELECT h, count(DISTINCT doc_id) AS nd FROM gr GROUP BY h)
+  WHERE nd > 1
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       ROUND(count(dup) * 1.0 / count(*), 4) AS dup_frac
+FROM gr LEFT JOIN multi USING (h)
+GROUP BY doc_id
+""",
+    doc="Span-level duplicated-text exposure per document (Lee et al. "
+    "substring dedup signal at fixed n-gram width): fraction of each "
+    "doc's 5-gram occurrences appearing in >1 document. md5 gram keys "
+    "keep the shuffle fixed-width; two linear gram-keyed shuffles, "
+    "zero pairwise work.",
+)
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CUR.dup_span_stats(d, "text", "doc_id", n=5)
+
+
 # Extension packs register into the same QUERIES dict; imported last so
 # `register` exists (safe partial-module import).
 from . import analytics  # noqa: E402,F401
