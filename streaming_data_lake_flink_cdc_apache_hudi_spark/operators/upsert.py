@@ -7,9 +7,13 @@ the notebook's upsert demo (¶13 re-insert of key id1 → ¶15 shows only
 the new row) and the no-duplicates check (¶61, zero rows with
 count>1).
 
-Spark-first implementation: a window ranked by the precedence
-columns, keep rank 1. At scale this is a single hash shuffle on the
-key — the same shuffle an aggregation would need, no extra pass.
+Spark-first implementation: ``max_by(struct(<row>), struct(<prec>))``
+hash aggregation — one hash shuffle on the key with map-side partial
+aggregation (each mapper emits at most one row per key), and NO sort
+anywhere. The earlier window/row_number formulation had the same
+shuffle volume (WindowGroupLimit applies the top-1 partially before
+the exchange) but paid a full per-partition sort on both sides of
+it; the hash aggregate replaces both sorts with O(rows) hash upserts.
 Ties must be impossible: callers pass enough ``order_by`` columns to
 make precedence total (FIXTURES.md F6 ``seq`` exists for exactly
 this).
@@ -36,14 +40,25 @@ def latest_by_key(
 
     ≙ Hudi's precombine semantics (latest ts wins). ``order_by``
     must be a total order within each key for determinism.
+
+    Null precedence matches the previous window formulation's
+    ``desc_nulls_last``: Spark's struct ordering ranks a null field
+    below any value, so ``max_by`` prefers non-null precedence.
     """
     keys = _cols(key)
-    order = [F.col(c).desc_nulls_last() for c in _cols(order_by)]
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    order = _cols(order_by)
+    others = [c for c in df.columns if c not in keys]
+    picked = df.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in others]),
+            F.struct(*[F.col(c) for c in order]),
+        ).alias("__row")
+    )
+    return picked.select(
+        *[
+            F.col(c) if c in keys else F.col(f"__row.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 

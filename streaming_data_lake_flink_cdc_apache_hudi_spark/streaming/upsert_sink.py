@@ -704,6 +704,21 @@ class UpsertLakeTable:
             "_partition_path", F.concat(F.lit("bucket="), F.col("bucket"))
         ).drop("bucket")
 
+    def export_delta(self, dest: str, with_meta: bool = False) -> int:
+        """Materialize the current snapshot as a Delta Lake table at
+        ``dest`` (public transaction-log protocol v1) so any external
+        Delta reader — delta-spark, delta-rs, DuckDB's delta extension
+        — can mount the lake's output without this engine. The
+        read-side counterpart of ``catalog.export_external_ddl``; see
+        ``sources/delta_interop.py`` for the format boundary."""
+        from ..sources.delta_interop import export_delta as _export
+
+        return _export(
+            self.snapshot(with_meta=with_meta),
+            dest,
+            name=os.path.basename(self.path.rstrip("/")),
+        )
+
     def incremental(self, since_seq: int) -> DataFrame:
         """Rows of keys that changed after commit ``since_seq`` — the
         current version per changed key, metadata included so

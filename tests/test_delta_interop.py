@@ -337,3 +337,28 @@ def test_empty_table_schema_from_metadata(spark, tmp_path):
     _log(path, 0, _proto_meta(sj))
     df = read_delta(spark, path)
     assert df.columns == ["id", "name"] and df.count() == 0
+
+
+def test_lake_table_export_delta_round_trip(spark, tmp_path):
+    """The lake's keyed-upsert table hands its snapshot to any Delta
+    reader: upserts applied, delete dropped, log replayable."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "tkt"), key="k", num_buckets=4
+    )
+    rows = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k LONG, v STRING, ts LONG"
+    )
+    t.write(rows, commit_id="c1")
+    upd = spark.createDataFrame([(2, "B", 2)], "k LONG, v STRING, ts LONG")
+    t.write(upd, commit_id="c2")
+    dest = str(tmp_path / "tkt_delta")
+    n = t.export_delta(dest)
+    assert n >= 1
+    got = sorted(
+        (r["k"], r["v"]) for r in read_delta(spark, dest).collect()
+    )
+    assert got == [(1, "a"), (2, "B")]

@@ -622,3 +622,42 @@ def test_streaming_paragraph_dedup_composition(spark, tmp_path):
         .count()
     )
     assert len(rows) == want
+
+
+def test_streaming_sliding_window_matches_batch(spark):
+    """Sliding windows (10-min size, 5-min slide) in streaming mode
+    must produce the batch sliding_window_agg result exactly once the
+    bounded stream drains — same F.window call on both sides."""
+    batch = {
+        tuple(r)
+        for r in QUERIES["sliding_window_agg"].fn(spark, SF_SMOKE).collect()
+    }
+    stream = read_events_stream(spark, SF_SMOKE)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slide_agg")
+        .start()
+    )
+    q.processAllAvailable()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM slide_agg").collect()}
+    q.stop()
+    assert got == batch
