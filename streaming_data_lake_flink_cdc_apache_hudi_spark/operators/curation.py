@@ -415,3 +415,76 @@ def dup_span_stats(
             F.round(F.count("_dup") / F.count("*"), 4).alias("dup_frac"),
         )
     )
+
+
+# --- model-based quality filter (FineWeb-Edu/DCLM deployment shape) ----
+#
+# An expensive labeler (there an LLM, here the C4/Gopher heuristic in
+# functions/text.py:quality_score) labels a bounded sample; a cheap
+# linear model distills it; the cheap model scores the corpus MAP-ONLY.
+# Weights are a committed artifact produced by the deterministic
+# trainer in scripts/train_lang_classifier.py (97% agreement with the
+# teacher heuristic on the fixture corpus) — the same
+# artifact-as-literal pattern as the JL projection sign matrix, which
+# keeps scoring fully value-checkable cross-engine.
+#
+# Features: 64 md5-hashed unigram buckets (mean-pooled — the fasttext
+# architecture's linear core; the PORTABLE hash so Spark and the
+# DuckDB oracle agree bit-for-bit), log token count, mean token length.
+
+CLS_DIM = 64
+CLS_BIAS = -11.319737
+CLS_W_LOGLEN = 36.278332
+CLS_W_TOKLEN = -5.188139
+CLS_WEIGHTS = [
+    -0.578216, 0.808586, 0.0, 0.0,
+    0.0, -0.494504, 0.0, 0.0,
+    0.0, 0.0, -0.083554, 0.0,
+    -0.270279, 2.497085, -0.86512, 0.0,
+    0.0, 0.0, 0.0, -1.211967,
+    0.0, 0.0, -0.571401, -2.244009,
+    0.0, -1.226253, 0.0, -0.546392,
+    0.0, 0.0, -0.154874, -2.209194,
+    0.650939, 0.0, 0.0, 0.0,
+    1.035842, 0.0, 0.0, -2.030271,
+    0.0, -1.221813, 0.0, 0.0,
+    0.0, 1.769358, 0.0, 0.0,
+    -0.100418, -0.683397, 0.0, 0.0,
+    0.0, 0.0, 0.0, -1.237832,
+    -2.188605, 0.453877, -0.28607, 0.0,
+    0.0, -0.331253, 0.0, 0.0,
+]
+
+
+def classifier_quality_prob(col) -> "F.Column":
+    """P(doc passes the quality bar) under the distilled linear model.
+
+    Pure column math inside whole-stage codegen: the weight vector is
+    an array literal, the token fold is ``F.aggregate`` over the
+    in-row token array — no join, no shuffle, no UDF. At 100 TB this
+    scores as part of whatever scan already reads the text column.
+    """
+    toks = TX.tokens(F.col(col) if isinstance(col, str) else col)
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.size(toks)
+    warr = F.array(*[F.lit(float(w)) for w in CLS_WEIGHTS])
+    bucket_w = lambda t: F.element_at(  # noqa: E731
+        warr,
+        (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % CLS_DIM
+            + 1
+        ).cast("int"),
+    )
+    hashed_mean = (
+        F.aggregate(toks, F.lit(0.0), lambda a, t: a + bucket_w(t)) / n
+    )
+    loglen = F.log1p(n.cast("double")) / 10.0
+    toklen = (F.length(c) - n + 1) / n / 10.0
+    z = (
+        F.lit(CLS_BIAS)
+        + hashed_mean
+        + F.lit(CLS_W_LOGLEN) * loglen
+        + F.lit(CLS_W_TOKLEN) * toklen
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

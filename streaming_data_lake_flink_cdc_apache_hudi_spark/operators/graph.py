@@ -1,0 +1,92 @@
+"""Graph analytics over edge DataFrames (extension surface — the
+reference has no graph queries; these complement ``dedup.py``'s
+connected components with a ranking primitive).
+
+PageRank here is the FIXED-ITERATION formulation: a known, small
+number of power-iteration steps unrolled into one declarative plan.
+That choice is deliberate twice over:
+
+- at scale each step is exactly one shuffle keyed by the destination
+  node (contributions aggregate map-side first), and the rank table
+  — one row per node — is orders of magnitude smaller than the edge
+  table, so AQE broadcasts it under the join whenever it fits;
+  nothing in the loop touches the driver;
+- a fixed step count makes the whole computation expressible as
+  chained SQL CTEs, so the query carries a full DuckDB value oracle —
+  convergence-loop PageRank (iterate until delta < eps) cannot be
+  value-checked that way.
+
+For convergence-style runs, call ``pagerank`` with a higher
+``iterations``; each step's lineage is O(iterations), so checkpoint
+every ~10 steps if you push it far (same pattern as
+``dedup.connected_components``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    Every node must appear as a source (true for symmetrized edge
+    lists like co-occurrence graphs; dangling-node mass is therefore
+    zero and the per-step formula is exact, not approximate).
+
+    Returns (node, pr) — pr summing to ~1 across nodes.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    n_nodes = outdeg.agg(F.count("*").alias("_n"))
+
+    # rank_0 = 1/N for every node; the scalar N rides along as a
+    # broadcast one-row cross join (never a collect)
+    pr = outdeg.crossJoin(n_nodes).select(
+        F.col("_s").alias("node"), (F.lit(1.0) / F.col("_n")).alias("pr")
+    )
+    contrib_base = e.join(outdeg, "_s")
+    for _ in range(iterations):
+        pr = (
+            contrib_base.join(pr, F.col("_s") == F.col("node"))
+            .groupBy(F.col("_d"))
+            .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_in"))
+            .crossJoin(n_nodes)
+            .select(
+                F.col("_d").alias("node"),
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + F.lit(damping) * F.col("_in")
+                ).alias("pr"),
+            )
+        )
+    return pr
+
+
+def copurchase_edges(
+    lineitem: DataFrame, key: str = "l_orderkey", item: str = "l_partkey"
+) -> DataFrame:
+    """Symmetric distinct co-occurrence edges: items sharing a basket.
+
+    Self-join co-located on the basket key (one shuffle each side —
+    bucketing lineitem by order key makes it exchange-free), distinct
+    by (src, dst). Baskets are bounded (lines per order), so the
+    output is linear in input, never quadratic in the catalog.
+    """
+    a = lineitem.select(
+        F.col(key).alias("_k"), F.col(item).alias("src")
+    )
+    b = lineitem.select(F.col(key).alias("_k"), F.col(item).alias("dst"))
+    return (
+        a.join(b, "_k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )

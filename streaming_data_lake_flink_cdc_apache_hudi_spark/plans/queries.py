@@ -2576,6 +2576,107 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.dup_span_stats(d, "text", "doc_id", n=5)
 
 
+def _cls_oracle() -> str:
+    from ..operators import curation as _C
+
+    values = ", ".join(
+        f"({i}, {w})" for i, w in enumerate(_C.CLS_WEIGHTS)
+    )
+    return f"""
+WITH w(i, wt) AS (VALUES {values}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+hsum AS (
+  SELECT doc_id, SUM(wt) AS s, count(*) AS n
+  FROM tok JOIN w ON (('0x' || substr(md5(t), 1, 8))::BIGINT % {_C.CLS_DIM}) = i
+  GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, array_length(string_split(text, ' ')) AS n,
+         length(text) AS len FROM documents
+)
+SELECT b.doc_id,
+       ROUND(1.0 / (1.0 + exp(-({_C.CLS_BIAS} + h.s / b.n
+             + {_C.CLS_W_LOGLEN} * ln(1 + b.n) / 10.0
+             + {_C.CLS_W_TOKLEN} * ((b.len - b.n + 1.0) / b.n / 10.0)))),
+             4) AS quality_prob,
+       ({_C.CLS_BIAS} + h.s / b.n
+             + {_C.CLS_W_LOGLEN} * ln(1 + b.n) / 10.0
+             + {_C.CLS_W_TOKLEN} * ((b.len - b.n + 1.0) / b.n / 10.0)) >= 0
+           AS keep
+FROM base b JOIN hsum h ON b.doc_id = h.doc_id
+"""
+
+
+@register(
+    "quality_model_score",
+    _cls_oracle(),
+    doc="Model-based quality filtering (FineWeb-Edu/DCLM shape): a "
+    "linear classifier distilled offline from the C4/Gopher heuristic "
+    "labels (scripts/train_lang_classifier.py, 97% teacher agreement; "
+    "weights committed as literals like the JL sign matrix) scores "
+    "every document MAP-ONLY — fasttext-style mean-pooled md5-hashed "
+    "unigram buckets + log-length + token-length features, all "
+    "whole-stage-codegen column math, zero joins/shuffles/UDFs. The "
+    "oracle SQL is GENERATED from the same weight constants.",
+)
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import classifier_quality_prob
+
+    d = load_table(spark, sf_dir, "documents")
+    prob = classifier_quality_prob("text")
+    return d.select(
+        "doc_id",
+        F.round(prob, 4).alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+_PAGERANK_STEP = """
+  SELECT dst AS node,
+         0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.pr / o.deg) AS pr
+  FROM pairs JOIN {prev} p ON p.node = pairs.src
+  JOIN outdeg o ON o.src = pairs.src
+  GROUP BY dst
+"""
+
+
+@register(
+    "part_pagerank",
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+outdeg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY src),
+nn AS (SELECT count(*) AS n FROM outdeg),
+pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM outdeg),
+pr1 AS ({_PAGERANK_STEP.format(prev="pr0")}),
+pr2 AS ({_PAGERANK_STEP.format(prev="pr1")}),
+pr3 AS ({_PAGERANK_STEP.format(prev="pr2")})
+SELECT node, ROUND(pr * 1000, 5) AS pr_permille FROM pr3
+""",
+    doc="Fixed-iteration PageRank (3 power steps, d=0.85) over the "
+    "part co-purchase graph — the iterative-graph-algorithm shape "
+    "(cf. dedup.connected_components for the converging variant). "
+    "Each step is ONE shuffle keyed by destination node with "
+    "map-side partial sums; the rank table (one row per node) rides "
+    "under the edge join as an AQE broadcast. Fixed depth keeps the "
+    "whole computation one declarative plan AND value-checkable "
+    "against chained SQL CTEs.",
+)
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = pagerank(copurchase_edges(li), iterations=3, damping=0.85)
+    return pr.select(
+        "node", F.round(F.col("pr") * 1000, 5).alias("pr_permille")
+    )
+
+
 # Extension packs register into the same QUERIES dict; imported last so
 # `register` exists (safe partial-module import).
 from . import analytics  # noqa: E402,F401

@@ -217,3 +217,44 @@ def test_paragraph_dup_stats_counts(spark):
     assert (stats[1].n_paras, stats[1].n_dup_paras) == (2, 1)
     assert (stats[2].n_paras, stats[2].n_dup_paras) == (1, 1)
     assert abs(stats[1].dup_para_frac - 0.5) < 1e-9
+
+
+def test_quality_model_agrees_with_teacher_and_stays_map_only(spark):
+    """The distilled linear model must (a) agree with its teacher
+    heuristic on ~97% of the fixture corpus and (b) score map-only:
+    no exchange, no UDF — the scan IS the scoring pass."""
+    from .conftest import SF_ORACLE
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.curation import (
+        classifier_quality_prob,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    scored = d.select(
+        (classifier_quality_prob("text") >= 0.5).alias("pred"),
+        (TX.quality_score(F.col("text")) >= 0.7).alias("label"),
+    )
+    agree = scored.filter(F.col("pred") == F.col("label")).count() / scored.count()
+    assert agree >= 0.9, f"student/teacher agreement {agree:.3f}"
+
+    plan = scored._jdf.queryExecution().executedPlan().treeString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF anywhere in the scoring path
+
+
+def test_pagerank_mass_conserved_and_uniform_on_regular_graph(spark):
+    """Power-iteration invariants: rank mass sums to 1 every step (no
+    dangling loss on a symmetrized graph), and a regular graph (cycle)
+    stays exactly uniform."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.graph import pagerank
+
+    n = 10
+    cyc = [(i, (i + 1) % n) for i in range(n)] + [
+        ((i + 1) % n, i) for i in range(n)
+    ]
+    edges = spark.createDataFrame(cyc, "src LONG, dst LONG")
+    pr = pagerank(edges, iterations=4).collect()
+    total = sum(r["pr"] for r in pr)
+    assert abs(total - 1.0) < 1e-9
+    for r in pr:
+        assert abs(r["pr"] - 1.0 / n) < 1e-12
