@@ -1,0 +1,107 @@
+"""Bloom file-skipping index: distributed build (bit_or aggregation),
+no false negatives, real file pruning on a planted rare value, and
+exactness of the pruned read."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.skipindex import (
+    build_bloom_index,
+    candidate_files,
+    read_with_bloom,
+)
+
+
+def _mk_dataset(spark, path, n_files=8, rows_per=500):
+    """n_files parquet files of clustered ids; a rare needle value
+    lives in exactly one file."""
+    for i in range(n_files):
+        vals = [(i * rows_per + j, f"user_{i}_{j % 50}") for j in range(rows_per)]
+        if i == 3:
+            vals[17] = (vals[17][0], "needle-value")
+        spark.createDataFrame(vals, "id LONG, who STRING").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+
+def test_bloom_prunes_files_and_read_is_exact(spark, tmp_path):
+    path = str(tmp_path / "data")
+    _mk_dataset(spark, path)
+    idx = build_bloom_index(spark, path, "who")
+    n_files = len(idx)
+    assert n_files >= 8
+
+    files, total = candidate_files(path, "who", "needle-value")
+    assert total == n_files
+    # the needle is in one file; bloom may false-positive a few more
+    # but must prune most of the directory
+    assert 1 <= len(files) <= max(2, n_files // 2)
+
+    got = read_with_bloom(spark, path, "who", "needle-value").collect()
+    want = (
+        spark.read.parquet(path)
+        .filter(F.col("who") == "needle-value")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 1
+
+
+def test_no_false_negatives_over_every_value(spark, tmp_path):
+    """Bloom guarantee: every (file, value) actually present must pass
+    the membership test — sweep all distinct values."""
+    path = str(tmp_path / "data2")
+    _mk_dataset(spark, path, n_files=4, rows_per=200)
+    build_bloom_index(spark, path, "who")
+    present = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"), "who")
+        .distinct()
+        .collect()
+    )
+    for r in present:
+        files, _ = candidate_files(path, "who", r["who"])
+        assert any(
+            os.path.basename(f) == os.path.basename(r["f"]) for f in files
+        ), f"false negative for {r['who']}"
+
+
+def test_absent_value_yields_empty_typed_frame(spark, tmp_path):
+    path = str(tmp_path / "data3")
+    _mk_dataset(spark, path, n_files=3, rows_per=100)
+    build_bloom_index(spark, path, "who")
+    df = read_with_bloom(spark, path, "who", "no-such-value-xyz")
+    assert df.count() == 0
+    assert set(df.columns) == {"id", "who"}
+
+
+def test_build_is_partial_aggregated(spark, tmp_path):
+    """The index build must partial-aggregate map-side: two
+    HashAggregate tiers around one exchange, shuffle rows bounded by
+    files — never a row-level shuffle."""
+    path = str(tmp_path / "data4")
+    _mk_dataset(spark, path, n_files=3, rows_per=100)
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.skipindex import (
+        WORDS,
+        _positions_col,
+    )
+
+    df = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("_file"), F.col("who").alias("_v"))
+    )
+    pos = _positions_col(F.col("_v"))
+    m = F.lit(0).cast("long")
+    for p in pos:
+        m = m.bitwiseOR(F.when(
+            (p / 64).cast("int") == 0,
+            F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                ),
+        ).otherwise(F.lit(0).cast("long")))
+    agg = df.groupBy("_file").agg(F.bit_or(m).alias("w0"))
+    plan = agg._jdf.queryExecution().executedPlan().treeString()
+    assert plan.count("HashAggregate") == 2
