@@ -704,6 +704,81 @@ class UpsertLakeTable:
             "_partition_path", F.concat(F.lit("bucket="), F.col("bucket"))
         ).drop("bucket")
 
+    def build_bloom(self, column: str) -> int:
+        """Build the bloom file-skip sidecar for ``column`` over the
+        BASE files (≙ Hudi's bloom/metadata-table index; see
+        operators/skipindex.py for the distributed bit_or build).
+        Call after compaction — log deltas are small and are read in
+        full at probe time anyway. Returns indexed file count."""
+        from ..operators.skipindex import build_bloom_index
+
+        self._ensure_recovered()
+        return len(build_bloom_index(self.spark, self._base, column))
+
+    def equality_scan(self, column: str, value) -> DataFrame:
+        """``snapshot().filter(column == value)`` with the base side
+        pruned by the bloom sidecar: only candidate base files are
+        opened (no false negatives — a row with the value is always
+        in a candidate file), the log is read in full (delta-sized),
+        and the usual cross-commit LWW merge runs on top so a probe
+        never resurrects superseded or deleted rows. Falls back to
+        the unpruned snapshot when the sidecar is missing or stale
+        (base rewritten by a newer compaction) — pruning is an
+        optimization, never a correctness dependency."""
+        from ..operators.skipindex import candidate_files
+
+        self._ensure_recovered()
+        full = lambda: self.snapshot().filter(  # noqa: E731
+            F.col(column) == value
+        )
+        if os.path.exists(os.path.join(self.path, "_evolved")):
+            # evolved schemas need mergeSchema+conform on the base
+            # read; take the simple exact path there
+            return full()
+        try:
+            files, _ = candidate_files(self._base, column, value)
+        except FileNotFoundError:
+            return full()
+        current = set()
+        if os.path.isdir(self._base):
+            for root, _dirs, fs in os.walk(self._base):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        current.add(os.path.join(root, f))
+        indexed_ok = all(os.path.exists(f) for f in files)
+        from ..operators.skipindex import index_path
+        import json as _json
+
+        with open(index_path(self._base, column)) as fh:
+            idx_files = set(_json.load(fh)["files"])
+        covered = {
+            os.path.relpath(p, os.path.abspath(self._base)) for p in current
+        } <= idx_files
+        if not indexed_ok or not covered:
+            return full()  # stale sidecar: base was rewritten since
+        log = self._read_dir(self._log)
+        base = (
+            self.spark.read.option("basePath", self._base).parquet(*files)
+            if files
+            else None
+        )
+        if base is None and log is None:
+            return full()
+        both = (
+            base.unionByName(log)
+            if base is not None and log is not None
+            else (base if base is not None else log)
+        )
+        order = [c for c in PRECOMBINE_COLS if c in both.columns]
+        merged = latest_by_key(
+            both, self.key, [*order, "_commit_seq", "_op"]
+        )
+        return (
+            merged.filter(F.col("_op") != "D")
+            .filter(F.col(column) == value)
+            .drop("bucket", *META_COLS, *READ_META_COLS)
+        )
+
     def export_delta(self, dest: str, with_meta: bool = False) -> int:
         """Materialize the current snapshot as a Delta Lake table at
         ``dest`` (public transaction-log protocol v1) so any external

@@ -105,3 +105,75 @@ def test_build_is_partial_aggregated(spark, tmp_path):
     agg = df.groupBy("_file").agg(F.bit_or(m).alias("w0"))
     plan = agg._jdf.queryExecution().executedPlan().treeString()
     assert plan.count("HashAggregate") == 2
+
+
+def _mk_lake(spark, path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    t = UpsertLakeTable(spark, path, key="k", num_buckets=4, compact_every=1)
+    rows = [(i, f"city_{i % 7}", i) for i in range(200)]
+    rows[42] = (42, "atlantis", 42)
+    t.write(
+        spark.createDataFrame(rows, "k LONG, city STRING, ts LONG"),
+        commit_id="c1",
+    )
+    t.compact()
+    return t
+
+
+def test_lake_equality_scan_prunes_and_matches_snapshot(spark, tmp_path):
+    t = _mk_lake(spark, str(tmp_path / "lake"))
+    n = t.build_bloom("city")
+    assert n >= 1
+    got = sorted(map(tuple, t.equality_scan("city", "atlantis").collect()))
+    want = sorted(
+        map(
+            tuple,
+            t.snapshot().filter(F.col("city") == "atlantis").collect(),
+        )
+    )
+    assert got == want == [(42, "atlantis", 42)]
+    # pruning is real: the needle's candidates are a strict subset
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.skipindex import (
+        candidate_files,
+    )
+
+    files, total = candidate_files(t._base, "city", "atlantis")
+    assert total >= 4 and len(files) < total
+
+
+def test_lake_equality_scan_sees_log_updates_and_deletes(spark, tmp_path):
+    """Bloom pruning must never resurrect superseded/deleted rows nor
+    miss post-index log writes: update the needle row and delete
+    another AFTER the index was built."""
+    t = _mk_lake(spark, str(tmp_path / "lake2"))
+    t.build_bloom("city")
+    upd = spark.createDataFrame(
+        [(42, "utopia", 100), (7, "atlantis", 100)],
+        "k LONG, city STRING, ts LONG",
+    )
+    t.write(upd, commit_id="c2")
+    got = sorted(map(tuple, t.equality_scan("city", "atlantis").collect()))
+    # key 42 moved away from atlantis; key 7 moved in (log-only row)
+    assert got == [(7, "atlantis", 100)]
+    assert sorted(
+        map(tuple, t.equality_scan("city", "utopia").collect())
+    ) == [(42, "utopia", 100)]
+
+
+def test_lake_equality_scan_stale_index_falls_back(spark, tmp_path):
+    """After a NEW compaction rewrites base files, the old sidecar is
+    stale — the scan must fall back to the exact unpruned path."""
+    t = _mk_lake(spark, str(tmp_path / "lake3"))
+    t.build_bloom("city")
+    t.write(
+        spark.createDataFrame(
+            [(300, "valhalla", 1)], "k LONG, city STRING, ts LONG"
+        ),
+        commit_id="c3",
+    )
+    t.compact()  # rewrites touched buckets -> sidecar now stale
+    got = t.equality_scan("city", "valhalla").collect()
+    assert [tuple(r) for r in got] == [(300, "valhalla", 1)]
