@@ -355,6 +355,41 @@ class TableRegistry:
         self.resolve(name)  # refresh the bound temp view
         return self.spark.createDataFrame([(str(seq),)], "result string")
 
+    def _execute_ctas(self, statement: str) -> DataFrame | None:
+        """CREATE TABLE ... AS SELECT: evaluate the SELECT through the
+        session (registered views resolve), create the table with the
+        result's schema, and make the initial write as commit
+        ``ctas`` (one upsert-lake commit for upsert kind; a parquet
+        dir for parquet kind). The standard lakehouse materialization
+        spelling the reference's DDL surface lacks."""
+        from .ddl import parse_ctas
+
+        parsed = parse_ctas(statement)
+        if parsed is None:
+            return None
+        stmt, select_sql = parsed
+        df = self.spark.sql(select_sql)
+        opts = dict(stmt.options)
+        path = opts.pop("path", None) or os.path.join(
+            os.path.dirname(self.registry_path), "tables", stmt.name
+        )
+        opts["schema_json"] = df.schema.json()
+        self.create_table(
+            stmt.name,
+            stmt.kind,
+            path,
+            key=stmt.key,
+            if_not_exists=stmt.if_not_exists,
+            **opts,
+        )
+        if stmt.kind == "upsert":
+            self.upsert_handle(stmt.name).write(df, commit_id="ctas")
+            self.resolve(stmt.name)
+        else:
+            df.write.mode("overwrite").parquet(path)
+            self.resolve(stmt.name)
+        return self.spark.createDataFrame([], "result string")
+
     def execute_ddl(self, statement: str) -> DataFrame | None:
         """Route a CREATE/DROP TABLE connector-DDL string — or an
         INSERT INTO / MERGE INTO an upsert table — into the registry
@@ -370,6 +405,9 @@ class TableRegistry:
         mrg = self._execute_merge(statement)
         if mrg is not None:
             return mrg
+        ctas = self._execute_ctas(statement)
+        if ctas is not None:
+            return ctas
         stmt = parse_ddl(statement)
         if stmt is None:
             return None

@@ -174,3 +174,53 @@ def parse_ddl(statement: str) -> DDLStatement | None:
         kind=kind,
         options=options,
     )
+
+
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?`?(?P<name>\w+)`?"
+    r"\s*(?P<clauses>(?:USING\s+`?\w+`?\s*|(?:WITH|OPTIONS)\s*\(.*?\)\s*)*)"
+    r"\bAS\s+(?P<select>SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_ctas(statement: str) -> tuple[DDLStatement, str] | None:
+    """Parse CREATE TABLE ... [USING kind] [OPTIONS/WITH (...)] AS
+    SELECT — the CTAS spelling (no column list; the schema comes from
+    the SELECT). Returns (ddl, select_sql) or None when the statement
+    is not CTAS. The record key comes from a ``key`` option
+    (comma-separated) since CTAS has no PRIMARY KEY clause."""
+    stmt = statement.strip().rstrip(";")
+    m = _CTAS_RE.match(stmt)
+    if m is None:
+        return None
+    clauses = m.group("clauses") or ""
+    kind = "upsert"
+    um = re.search(r"\bUSING\s+`?(\w+)`?", clauses, re.IGNORECASE)
+    if um:
+        kind = um.group(1).lower()
+    options: dict = {}
+    om = re.search(r"\b(?:WITH|OPTIONS)\s*\(", clauses, re.IGNORECASE)
+    if om:
+        oend = _balanced(clauses, om.end() - 1)
+        for g1, g2, val in _OPT_RE.findall(clauses[om.end() : oend - 1]):
+            options[(g1 or g2).lower()] = val
+    connector = options.pop("connector", None)
+    if connector:
+        kind = {"hudi": "upsert", "upsert": "upsert",
+                "filesystem": "parquet", "parquet": "parquet"}.get(
+            connector.lower(), connector.lower()
+        )
+    key = [
+        c.strip() for c in options.pop("key", "").split(",") if c.strip()
+    ]
+    ddl = DDLStatement(
+        action="create",
+        name=m.group("name"),
+        if_not_exists=bool(m.group("ine")),
+        schema=None,
+        key=key,
+        kind=kind,
+        options=options,
+    )
+    return ddl, m.group("select")

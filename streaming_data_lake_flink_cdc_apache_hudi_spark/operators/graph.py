@@ -34,6 +34,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -41,10 +42,21 @@ def pagerank(
     lists like co-occurrence graphs; dangling-node mass is therefore
     zero and the per-step formula is exact, not approximate).
 
+    ``materialize`` localCheckpoints the degree-annotated edge table
+    once before iterating (same pattern as
+    ``dedup.connected_components``): without it, every iteration
+    re-derives the edges from source — 3x the scans and shuffles for
+    a 3-step run, and unbounded lineage growth for long runs. Pass
+    False only when the caller already cached/checkpointed edges.
+
     Returns (node, pr) — pr summing to ~1 across nodes.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    contrib_base = e.join(outdeg, "_s")
+    if materialize:
+        contrib_base = contrib_base.localCheckpoint(eager=True)
+        outdeg = contrib_base.select("_s", "_deg").distinct()
     n_nodes = outdeg.agg(F.count("*").alias("_n"))
 
     # rank_0 = 1/N for every node; the scalar N rides along as a
@@ -52,7 +64,6 @@ def pagerank(
     pr = outdeg.crossJoin(n_nodes).select(
         F.col("_s").alias("node"), (F.lit(1.0) / F.col("_n")).alias("pr")
     )
-    contrib_base = e.join(outdeg, "_s")
     for _ in range(iterations):
         pr = (
             contrib_base.join(pr, F.col("_s") == F.col("node"))

@@ -490,3 +490,421 @@ def ivf_probe_index(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --- product quantization (Jégou et al. TPAMI'11; FAISS IndexPQ shape) --
+#
+# Codebooks are a committed deterministic artifact from
+# scripts/train_pq_codebooks.py (m=4 subspaces x k=16 codes over the
+# 64-dim embeddings, trained on unit-normalized vectors so ADC L2
+# ranking is cosine-equivalent) — the artifact-as-literal pattern
+# (JL signs, classifier weights) that makes encode + asymmetric-
+# distance scoring PURE column math with a full cross-engine oracle:
+# no UDF, no join, no shuffle until the final top-k.
+#
+# Scale shape: encoding is map-only (16 candidate distances x 4
+# subspaces inside whole-stage codegen per row); codes are m bytes a
+# vector (16x compression of the float payload at m=16/k=16, the point of PQ at
+# 100 TB); query scoring decodes NOTHING — it reads only the code
+# column and folds m element_at lookups per row; top-k is
+# TakeOrderedAndProject, never a global sort.
+
+PQ_M, PQ_K = 16, 16
+PQ_CODEBOOKS = [
+  [
+    [0.018217, 0.1588, -0.100844, -0.149068],
+    [-0.003344, -0.148727, 0.100426, 0.100414],
+    [0.034732, 0.040994, -0.185434, 0.087694],
+    [0.014389, 0.008986, -0.009446, 0.174525],
+    [-0.049854, -0.031558, 0.229417, -0.086352],
+    [-0.179641, 0.076186, 0.048601, 0.038578],
+    [0.022804, 0.076546, 0.153738, 0.040166],
+    [-0.110313, -0.169283, 0.037266, -0.066783],
+    [0.099812, -0.129457, -0.085168, -0.00398],
+    [0.08445, 0.047881, -0.007577, -0.068206],
+    [0.247148, -0.010599, 0.048929, 0.067754],
+    [-0.072811, 0.021518, 0.03283, -0.137786],
+    [-0.177908, -0.033847, -0.115864, 0.027502],
+    [0.170545, -0.056639, 0.053988, -0.130858],
+    [-0.076311, -0.067961, -0.150922, -0.135787],
+    [0.005661, 0.244536, 0.030036, 0.013781],
+  ],
+  [
+    [0.196038, -0.032051, -0.12483, 0.017761],
+    [-0.007432, -0.124308, -0.12009, 0.016447],
+    [0.042104, -0.03053, 0.091639, -0.15278],
+    [0.137115, -0.091796, 0.070003, 0.046283],
+    [0.094884, -0.20604, -0.05636, 0.160958],
+    [-0.145172, 0.091752, -0.149865, -0.013911],
+    [-0.151459, 0.134764, 0.074311, -0.017746],
+    [-0.164936, -0.13861, 0.020278, 0.00115],
+    [0.028827, -0.010433, -0.124629, 0.169389],
+    [-0.08101, -0.019946, 0.075242, 0.141417],
+    [-0.007769, -0.059671, 0.26042, 0.051648],
+    [-0.00453, 0.049164, -0.023892, -0.039747],
+    [0.087269, 0.152456, -0.212879, -0.053346],
+    [0.000691, -0.087634, -0.098384, -0.225605],
+    [0.134189, 0.153899, 0.103196, -0.087312],
+    [0.048264, 0.146335, -0.005362, 0.160319],
+  ],
+  [
+    [0.206703, 0.082796, 0.029644, 0.035013],
+    [0.04509, -0.120141, 0.19424, 0.096773],
+    [0.080748, -0.089536, -0.120186, -0.031289],
+    [-0.026449, 0.224411, -0.01789, -0.020527],
+    [0.046527, 0.1337, -0.11764, 0.136289],
+    [-0.074335, 0.043258, -0.314995, 0.219172],
+    [-0.187619, 0.249938, -0.086334, -0.204464],
+    [-0.046084, 0.005366, -0.051758, -0.203172],
+    [0.021561, 0.051173, 0.183926, -0.08892],
+    [0.041561, -0.055997, 0.034273, 0.023252],
+    [-0.11721, 0.129684, 0.075948, 0.154078],
+    [-0.038708, -0.213892, 0.009753, -0.074293],
+    [-0.14336, -0.02956, 0.102436, -0.051719],
+    [0.137706, 0.026287, 0.000702, -0.140054],
+    [-0.008652, -0.058294, -0.048663, 0.173665],
+    [-0.150556, -0.044015, -0.133462, 0.008724],
+  ],
+  [
+    [-0.186574, -0.064383, -0.042069, -0.003576],
+    [-0.100269, 0.04456, -0.126219, 0.127498],
+    [-0.135709, 0.023658, 0.156792, -0.033899],
+    [-0.041895, 0.215869, 0.02398, -0.048128],
+    [0.034833, 0.033439, 0.007764, 0.030114],
+    [0.178882, 0.173682, -0.000864, 0.098937],
+    [0.085409, -0.161928, 0.08383, -0.010709],
+    [0.06297, -0.115089, -0.0827, 0.122055],
+    [0.095362, 0.062813, 0.191141, 0.039509],
+    [-0.092053, -0.277158, 0.106075, -0.043315],
+    [0.076654, -0.01959, 0.076369, -0.168361],
+    [-0.042576, 0.015123, -0.14252, -0.127225],
+    [-0.117333, -0.108921, -0.038185, -0.165135],
+    [0.281763, 0.034455, -0.074142, -0.188164],
+    [-0.03516, 0.038125, 0.097886, 0.175235],
+    [0.079783, 0.106724, -0.204094, 0.047969],
+  ],
+  [
+    [0.046196, 0.108448, -0.066927, 0.124157],
+    [0.026509, -0.194918, -0.114735, 0.115788],
+    [-0.033855, -0.033429, 0.239294, 0.056249],
+    [-0.104961, 0.007058, 0.021001, 0.150073],
+    [-0.140185, 0.028834, 0.068735, -0.106601],
+    [0.177261, 0.064971, -0.027745, -0.088766],
+    [0.058174, 0.039667, 0.117442, -0.093844],
+    [-0.007679, 0.113523, -0.057681, -0.205702],
+    [-0.055367, -0.145446, 0.060017, 0.000893],
+    [-0.136375, 0.162965, -0.051344, 0.040072],
+    [-0.168419, -0.114853, -0.142261, -0.019324],
+    [0.236705, -0.096976, -0.001148, 0.024279],
+    [0.046743, -0.03631, -0.147867, 0.03457],
+    [0.128169, 0.009325, 0.124725, 0.136981],
+    [-0.002485, 0.221579, 0.039755, -0.047524],
+    [0.072494, -0.1374, -0.050976, -0.149849],
+  ],
+  [
+    [-0.109356, -0.020583, 0.095762, -0.001855],
+    [0.02997, -0.053614, -0.155783, 0.012373],
+    [0.117965, 0.098585, 0.141478, -0.002664],
+    [-0.023737, 0.174701, -0.024277, 0.09584],
+    [0.097491, -0.035153, 0.036595, -0.048779],
+    [-0.180984, 0.044703, -0.13245, -0.068143],
+    [-0.103389, -0.013779, -0.064962, 0.230114],
+    [-0.066327, 0.148436, 0.066673, -0.163193],
+    [-0.009173, -0.175193, 0.132494, -0.093453],
+    [0.132103, 0.079055, -0.10876, 0.030063],
+    [-0.095882, 0.085988, 0.122866, 0.175509],
+    [-0.265356, -0.220853, -0.001963, 0.215876],
+    [-0.09616, -0.131868, -0.060166, 0.002385],
+    [0.100923, -0.038279, 0.093332, -0.278696],
+    [0.069977, -0.125512, 0.023063, 0.102756],
+    [-0.040107, -0.034203, -0.055992, -0.163601],
+  ],
+  [
+    [-0.027007, 0.23215, 0.105288, -0.060864],
+    [-0.035726, 0.017015, -0.169326, 0.099704],
+    [0.079478, -0.108475, 0.060835, 0.148008],
+    [-0.124578, -0.0356, -0.030315, -0.179663],
+    [0.163096, -0.04718, -0.152109, 0.130474],
+    [-0.053374, 0.020645, 0.031564, 0.022617],
+    [0.155084, 0.104068, 0.114554, -0.04129],
+    [0.100711, 0.140949, -0.035131, 0.08299],
+    [0.057713, 0.02876, -0.106436, -0.090846],
+    [-0.0809, 0.025352, 0.073867, 0.228303],
+    [0.193873, -0.119471, 0.03916, -0.068107],
+    [-0.159907, 0.021723, 0.194954, 0.000356],
+    [0.028991, -0.183398, -0.034187, -0.018224],
+    [-0.014156, -0.116771, 0.171047, -0.068214],
+    [-0.136586, -0.13877, -0.069517, 0.067962],
+    [-0.152519, 0.168824, -0.118474, 0.019386],
+  ],
+  [
+    [0.045293, 0.130457, 0.030978, 0.227444],
+    [0.090704, 0.082939, -0.060097, -0.008509],
+    [0.153483, -0.004043, 0.068326, -0.136622],
+    [-0.025938, -0.067004, 0.109122, 0.099922],
+    [-0.202067, 0.007419, 0.143266, -0.070742],
+    [-0.004839, -0.016352, -0.065801, -0.257272],
+    [0.100666, -0.202098, -0.09533, -0.018371],
+    [0.037545, 0.003584, -0.223509, 0.017174],
+    [-0.065484, 0.176364, -0.071201, 0.068699],
+    [-0.17773, 0.012663, -0.144549, -0.039643],
+    [0.174934, -0.004052, 0.02102, 0.117509],
+    [0.027128, 0.079469, 0.202687, -0.006795],
+    [-0.058664, -0.083338, -0.084775, 0.155527],
+    [-0.048492, -0.055486, 0.005782, -0.052413],
+    [-0.029261, 0.193517, 0.031912, -0.12043],
+    [-0.016666, -0.194024, 0.118163, -0.115575],
+  ],
+  [
+    [-0.25396, -0.113964, 0.020497, 0.059748],
+    [-0.020732, -0.196648, -0.0786, 0.029304],
+    [-0.24431, 0.130356, 0.023118, -0.074879],
+    [-0.076261, 0.075352, -0.102185, -0.038945],
+    [0.070365, 0.104234, 0.147, 0.141412],
+    [0.017945, 0.262503, -0.0271, 0.036594],
+    [-0.071208, 0.016582, -0.050534, 0.161123],
+    [-0.015777, -0.003431, 0.226776, -0.100401],
+    [0.047985, -0.007794, -0.067573, -0.262334],
+    [0.119884, 0.003803, -0.083629, 0.153255],
+    [-0.00807, -0.088402, 0.099631, 0.101874],
+    [-0.12586, -0.00879, 0.041909, -0.135044],
+    [-0.006415, -0.10956, 0.000361, -0.084254],
+    [0.161422, -0.093961, 0.069384, -0.065133],
+    [0.097979, -0.101491, -0.171701, -0.056324],
+    [0.121511, 0.12911, 0.014537, -0.049949],
+  ],
+  [
+    [-0.004413, 0.002637, 0.110491, 0.020734],
+    [-0.106638, 0.164302, 0.000231, 0.063432],
+    [0.096944, -0.147186, -0.215375, 0.063863],
+    [0.100596, 0.186109, 0.065115, -0.04175],
+    [-0.050598, 0.018913, -0.112393, 0.165285],
+    [-0.041486, -0.13415, -0.009744, -0.103432],
+    [-0.104414, -0.189247, 0.033947, 0.119584],
+    [0.044141, 0.177561, -0.184998, -0.050467],
+    [0.026471, 0.074945, 0.141873, 0.222316],
+    [0.047343, -0.016816, 0.17481, -0.186214],
+    [-0.213936, -0.046595, 0.191171, -0.003442],
+    [-0.157837, 0.071872, -0.008391, -0.176073],
+    [-0.095984, 0.031836, -0.12713, -0.03626],
+    [0.091817, -0.042667, -0.008831, 0.101033],
+    [0.088329, -0.022886, -0.102803, -0.119274],
+    [0.195528, -0.049922, 0.046881, -0.011352],
+  ],
+  [
+    [0.013726, -0.07765, -0.189415, -0.045898],
+    [-0.154052, -0.056175, 0.075082, 0.109241],
+    [0.100387, 0.14576, 0.133988, 0.032963],
+    [-0.047992, 0.134021, -0.123958, -0.141226],
+    [0.2166, -0.103769, 0.016142, -0.031857],
+    [-0.057576, 0.021125, 0.19372, -0.080613],
+    [0.11251, -0.003384, -0.035132, 0.225397],
+    [-0.030945, -0.16225, -0.105739, 0.128712],
+    [-0.051487, 0.055061, -0.087969, 0.06174],
+    [0.045702, -0.043466, 0.011627, -0.188556],
+    [0.141155, 0.108709, -0.085141, -0.063626],
+    [-0.085647, 0.19417, 0.042744, -0.029373],
+    [-0.024047, -0.192624, 0.034417, -0.039358],
+    [-0.198782, -0.026018, -0.065756, -0.051061],
+    [0.037356, -0.078846, 0.274001, 0.04125],
+    [0.06606, -0.030327, 0.041377, 0.089854],
+  ],
+  [
+    [0.033784, 0.113303, 0.092058, -0.154517],
+    [0.08405, 0.190797, 0.00892, 0.075073],
+    [0.149814, -0.000964, 0.123002, 0.075949],
+    [-0.235058, 0.111672, 0.133832, -0.068814],
+    [0.086652, -0.083982, -0.012987, -0.172848],
+    [0.000632, -0.115359, -0.198166, -0.025483],
+    [0.041773, -0.134257, 0.106936, -0.055079],
+    [-0.044479, 0.124561, 0.153277, 0.079771],
+    [-0.149088, -0.023188, 0.071388, 0.088252],
+    [-0.014542, 0.012728, -0.085335, 0.261626],
+    [0.141942, 0.060773, -0.127843, 0.007286],
+    [-0.109737, 0.058528, -0.126746, 0.018228],
+    [-0.111724, 0.140404, -0.088754, -0.151813],
+    [-0.134167, -0.090401, 0.00504, -0.11511],
+    [-0.043997, -0.23405, -0.035064, 0.079975],
+    [0.027061, -0.012113, -0.011835, 0.073924],
+  ],
+  [
+    [0.074368, -0.210035, -0.021259, 0.119674],
+    [0.052676, 0.196826, 0.109288, -0.040779],
+    [-0.183974, 0.044152, 0.034732, -0.010527],
+    [0.039181, -0.013098, 0.133079, -0.031461],
+    [0.000584, -0.090552, 0.1617, 0.116341],
+    [-0.100067, -0.131509, -0.076657, 0.011742],
+    [-0.070781, 0.085256, -0.139654, -0.001561],
+    [-0.000941, 0.101384, 0.072156, 0.112065],
+    [0.070994, 0.009534, -0.118878, 0.178686],
+    [0.007099, 0.06349, 0.076845, -0.229951],
+    [-0.162513, -0.021644, -0.01815, 0.198827],
+    [0.148571, 0.071559, -0.034595, -0.060595],
+    [0.135261, -0.063346, -0.199834, -0.027757],
+    [-0.035665, -0.042332, -0.098962, -0.137418],
+    [0.173559, -0.163604, 0.058539, -0.068118],
+    [-0.112415, -0.175507, 0.108801, -0.046966],
+  ],
+  [
+    [0.051578, -0.111937, 0.030062, -0.011838],
+    [-0.042032, 0.064083, -0.182158, -0.1034],
+    [-0.039996, 0.096449, -0.045678, -0.204785],
+    [0.222543, -0.109551, -0.126862, 0.121928],
+    [0.032391, 0.153297, 0.054604, -0.02698],
+    [0.157584, -0.033401, 0.106875, 0.104553],
+    [0.043082, -0.131806, -0.128737, -0.051322],
+    [-0.132175, -0.13666, -0.118765, 0.059942],
+    [0.04384, 0.065826, -0.097456, 0.09216],
+    [-0.108882, 0.092807, -0.004706, 0.165982],
+    [-0.183221, 0.005116, 0.08287, -0.035302],
+    [0.038114, -0.04588, 0.198762, -0.052286],
+    [-0.011793, -0.079242, 0.081816, 0.171106],
+    [-0.021032, -0.114985, 0.020599, -0.192499],
+    [-0.08621, 0.119915, 0.184029, 0.058577],
+    [0.182388, 0.021894, 0.009996, -0.065669],
+  ],
+  [
+    [0.107221, -0.016654, -0.218695, -0.053499],
+    [-0.140888, 0.078684, 0.065609, 0.001344],
+    [0.054265, 0.038632, 0.204347, 0.02772],
+    [-0.072219, -0.143165, -0.104159, -0.08645],
+    [0.034852, -0.039595, -0.12452, 0.160783],
+    [0.165747, -0.06001, 0.006269, 0.076517],
+    [0.076222, 0.166205, 0.004667, 0.018337],
+    [-0.091546, 0.054399, -0.03358, -0.133731],
+    [-0.034926, 0.040767, 0.08813, 0.18334],
+    [0.032159, -0.181533, 0.050751, -0.025084],
+    [-0.076473, 0.211145, -0.169296, -0.07143],
+    [0.134026, 0.071388, 0.079851, -0.123499],
+    [0.047763, -0.008856, -0.063846, -0.22854],
+    [-0.110858, -0.030033, -0.043041, 0.084122],
+    [-0.075295, -0.011657, -0.236878, 0.047703],
+    [-0.101739, -0.033741, 0.147576, -0.120881],
+  ],
+  [
+    [0.058174, -0.076643, 0.043733, -0.240221],
+    [0.106788, 0.022886, -0.191163, 0.050572],
+    [-0.187199, 0.003275, 0.044878, -0.118782],
+    [0.023286, 0.076034, -0.133375, -0.156647],
+    [0.054431, -0.145296, -0.06921, 0.075463],
+    [-0.147015, 0.086485, -0.124404, 0.015295],
+    [-0.122543, -0.129748, -0.115895, -0.057841],
+    [0.036643, 0.159736, -0.061491, 0.039126],
+    [0.196077, -0.020008, -0.008459, -0.03792],
+    [0.01039, 0.223662, 0.087562, -0.049452],
+    [-0.119711, 0.031328, 0.045554, 0.127304],
+    [-0.00591, -0.119312, 0.171926, -0.037741],
+    [0.08788, 0.10111, 0.159483, 0.06673],
+    [-0.0213, 0.005472, 0.029217, -0.038366],
+    [0.11044, -0.010221, 0.001759, 0.195225],
+    [-0.075621, -0.141405, 0.09807, 0.190656],
+  ],
+]
+
+PQ_DSUB = 64 // PQ_M
+
+
+def _pq_cb_lit(s: int):
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in PQ_CODEBOOKS[s]
+        ]
+    )
+
+
+def unit_normalize(vec) -> "F.Column":
+    """array<float> -> unit-norm array<double> (cosine-equivalent L2)."""
+    dv = F.transform(vec, lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(dv, lambda x: x / nrm)
+
+
+def _sq_l2(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codes(vec_norm) -> "F.Column":
+    """Per-subspace nearest-codeword ids (1-based, array<int> of m).
+
+    Distances are rounded to 6 decimals BEFORE the argmin in both
+    this plan and the oracle SQL, so sub-ulp float-summation
+    differences between engines can never flip a code assignment;
+    ties break to the lowest code id in both (first-match argmin ==
+    ORDER BY dist, code)."""
+    codes = []
+    for s in range(PQ_M):
+        sub = F.slice(vec_norm, s * PQ_DSUB + 1, PQ_DSUB)
+        dists = F.transform(
+            _pq_cb_lit(s), lambda c: F.round(_sq_l2(sub, c), 6)
+        )
+        codes.append(
+            F.array_position(dists, F.array_min(dists)).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_adc_score(codes, query_norm) -> "F.Column":
+    """Asymmetric distance: sum over subspaces of L2^2 between the
+    query's subvector and the row's selected codeword. Reads only the
+    4-byte code column — the compressed-domain scan that makes PQ
+    worth it at corpus scale."""
+    total = F.lit(0.0)
+    for s in range(PQ_M):
+        qsub = F.slice(query_norm, s * PQ_DSUB + 1, PQ_DSUB)
+        centroid = F.element_at(_pq_cb_lit(s), F.element_at(codes, s + 1))
+        total = total + _sq_l2(qsub, centroid)
+    return total
+
+
+def pq_rerank_topk(
+    df, vec_col: str, id_col: str, query_vec, k: int = 10, shortlist: int = 50
+):
+    """The production PQ pattern (FAISS IndexPQ + refine): ADC over
+    the compressed codes shortlists ``shortlist`` candidates, exact
+    cosine re-ranks only those to the final ``k``. At corpus scale
+    the exact pass touches ``shortlist`` rows' float vectors instead
+    of the corpus — the scan stays in the compressed domain.
+
+    ``query_vec``: python list/array (driver-held; normalized
+    DRIVER-SIDE and embedded as plain float literals — queries are
+    tiny; the corpus never moves).
+
+    Expression hygiene matters here: the normalized corpus vector is
+    bound as a NAMED COLUMN before the per-subspace slices reference
+    it. Inlining ``unit_normalize`` under all m slices duplicates its
+    aggregate subtree m x k times and drives Catalyst analysis into
+    minutes — attribute references keep the plan linear in m.
+    """
+    import math
+
+    nrm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    qn_vals = [float(x) / nrm for x in query_vec]
+    qn = F.array(*[F.lit(x) for x in qn_vals])
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        unit_normalize(F.col(vec_col)).alias("_vn"),
+    )
+    adc = pq_adc_score(pq_codes(F.col("_vn")), qn)
+    short = (
+        base.select(
+            F.col(id_col), F.col("_vn"), adc.alias("_adc")
+        )
+        .orderBy("_adc", id_col)
+        .limit(shortlist)
+    )
+    cos = F.aggregate(
+        F.zip_with(F.col("_vn"), qn, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        short.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )

@@ -143,3 +143,67 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "value_anomalies",
+    """
+WITH st AS (
+  SELECT event_id, user_id, event_type, value,
+         avg(value) OVER (
+           PARTITION BY event_type ORDER BY date_trunc('second', ts)
+           RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                     AND INTERVAL 1 SECOND PRECEDING) AS mu,
+         stddev_pop(value) OVER (
+           PARTITION BY event_type ORDER BY date_trunc('second', ts)
+           RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                     AND INTERVAL 1 SECOND PRECEDING) AS sd,
+         count(*) OVER (
+           PARTITION BY event_type ORDER BY date_trunc('second', ts)
+           RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                     AND INTERVAL 1 SECOND PRECEDING) AS n_base
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       ROUND((value - mu) / sd, 2) AS zscore
+FROM st
+WHERE n_base >= 10 AND sd > 0
+ORDER BY ROUND(abs((value - mu) / sd), 2) DESC, event_id
+LIMIT 50
+""",
+    doc="Rolling z-score anomaly ranking per event type: each event "
+    "scored against the trailing 24-hour baseline EXCLUDING itself "
+    "and its same-second peers (the 1-second-preceding upper bound — "
+    "identical peer semantics cross-engine); the 50 most anomalous "
+    "surface (top-N, not a fixed sigma cut — robust to how heavy the "
+    "tail actually is). RANGE window per event_type: state bounded "
+    "by the 24-hour tail; the top-N is TakeOrderedAndProject, "
+    "never a global sort.",
+)
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(sec)
+        .rangeBetween(-24 * 60 * 60, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    n = F.count("*").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(z, 2).alias("zscore"),
+            n.alias("_n"),
+            sd.alias("_sd"),
+            F.round(F.abs(z), 2).alias("_az"),
+        )
+        .filter((F.col("_n") >= 10) & (F.col("_sd") > 0))
+        .orderBy(F.col("_az").desc(), "event_id")
+        .limit(50)
+        .drop("_n", "_sd", "_az")
+    )

@@ -2633,6 +2633,85 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle() -> str:
+    from ..operators import similarity as _S
+
+    cb_rows = ", ".join(
+        f"({s}, {j + 1}, [{', '.join(str(x) for x in c)}])"
+        for s in range(_S.PQ_M)
+        for j, c in enumerate(_S.PQ_CODEBOOKS[s])
+    )
+    d = _S.PQ_DSUB
+    return f"""
+WITH cb(s, j, cw) AS (VALUES {cb_rows}),
+norm AS (
+  SELECT vec_id,
+         [x / sqrt(list_sum([y * y for y in embedding])) for x in embedding]
+             AS v
+  FROM embeddings
+),
+d AS (
+  SELECT n.vec_id, cb.s, cb.j,
+         ROUND(list_sum([(v[cb.s * {d} + i] - cw[i]) ^ 2
+                         for i in generate_series(1, {d})]), 6) AS dist
+  FROM norm n CROSS JOIN cb
+),
+code AS (
+  SELECT vec_id, s, j AS cj FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, j) AS rn
+    FROM d) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM norm WHERE vec_id = 0),
+sc AS (
+  SELECT code.vec_id,
+         SUM(list_sum([(qv[code.s * {d} + i] - cb.cw[i]) ^ 2
+                       for i in generate_series(1, {d})])) AS adc
+  FROM code JOIN cb ON cb.s = code.s AND cb.j = code.cj CROSS JOIN q
+  GROUP BY code.vec_id
+)
+SELECT vec_id, ROUND(adc, 5) AS adc_dist
+FROM sc ORDER BY ROUND(adc, 5), vec_id LIMIT 10
+"""
+
+
+@register(
+    "pq_ann_topk",
+    _pq_oracle(),
+    doc="Product-quantization ANN (Jégou et al. TPAMI'11; FAISS "
+    "IndexPQ shape): 4x16 codebooks COMMITTED AS LITERALS (trained "
+    "deterministically offline, scripts/train_pq_codebooks.py), so "
+    "encode (map-only argmin over codewords, distances rounded "
+    "before argmin for cross-engine determinism) and asymmetric-"
+    "distance scoring (4 element_at lookups per row over the 4-byte "
+    "code column — 64x compression, the compressed-domain scan that "
+    "matters at 100 TB) are pure codegen column math with a FULL "
+    "generated DuckDB oracle. Top-k = TakeOrderedAndProject.",
+)
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # bind the normalized vector as a named column BEFORE the
+    # per-subspace slices — inlining duplicates the normalize subtree
+    # m x k times and blows up Catalyst analysis (see pq_rerank_topk)
+    enc = e.select(
+        "vec_id", SIM.unit_normalize(F.col("embedding")).alias("_vn")
+    ).select("vec_id", SIM.pq_codes(F.col("_vn")).alias("codes"))
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(SIM.unit_normalize(F.col("embedding")).alias("qv"))
+    )
+    scored = enc.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            SIM.pq_adc_score(F.col("codes"), F.col("qv")), 5
+        ).alias("adc_dist"),
+    )
+    return scored.orderBy("adc_dist", "vec_id").limit(10)
+
+
 _PAGERANK_STEP = """
   SELECT dst AS node,
          0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.pr / o.deg) AS pr
@@ -2658,6 +2737,7 @@ pr2 AS ({_PAGERANK_STEP.format(prev="pr1")}),
 pr3 AS ({_PAGERANK_STEP.format(prev="pr2")})
 SELECT node, ROUND(pr * 1000, 5) AS pr_permille FROM pr3
 """,
+    headline=True,
     doc="Fixed-iteration PageRank (3 power steps, d=0.85) over the "
     "part co-purchase graph — the iterative-graph-algorithm shape "
     "(cf. dedup.connected_components for the converging variant). "

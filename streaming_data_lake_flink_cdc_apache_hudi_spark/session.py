@@ -134,5 +134,9 @@ class EngineSession:
 
     def insert_into(self, name: str, df: DataFrame, commit_id: str | None = None) -> int:
         """INSERT INTO a registered upsert table (batch flavor of the
-        flagship R2 pipeline; literal-rows R1 when df is literals)."""
-        return self.registry.upsert_handle(name).write(df, commit_id=commit_id)
+        flagship R2 pipeline; literal-rows R1 when df is literals).
+        Rebinds the table's temp view afterwards, like the SQL-string
+        INSERT route does, so a following ``sql()`` sees the commit."""
+        n = self.registry.upsert_handle(name).write(df, commit_id=commit_id)
+        self.registry.resolve(name)
+        return n

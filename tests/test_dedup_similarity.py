@@ -561,3 +561,52 @@ def test_random_projection_preserves_distances(spark):
     mean = sum(ratios) / len(ratios)
     assert 0.7 < mean < 1.3, mean          # unbiased on average
     assert all(0.2 < r < 2.5 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_pq_rerank_recall_against_exact(spark):
+    """PQ shortlist-50 + exact re-rank must recover >=0.8 of the true
+    cosine top-10 averaged over 5 probe vectors (m=16/k=16 codebooks;
+    pure codegen column math end to end — no UDF)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import similarity as SIM
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+    )
+    from .conftest import SF_ORACLE
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in e.filter(F.col("vec_id") < 5).collect()
+    }
+    total = 0.0
+    for qid, qv in vecs.items():
+        qdf = e.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qv")
+        )
+        exact = SIM.cosine_topk(e, "embedding", "vec_id", qdf, k=11)
+        want = [r["vec_id"] for r in exact.collect() if r["vec_id"] != qid][:10]
+        got_df = SIM.pq_rerank_topk(e, "embedding", "vec_id", qv, k=11)
+        got = [r["vec_id"] for r in got_df.collect() if r["vec_id"] != qid][:10]
+        total += len(set(want) & set(got)) / 10
+    assert total / len(vecs) >= 0.8, f"mean recall {total / len(vecs):.2f}"
+
+
+def test_pq_codes_plan_is_udf_free_map_only(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import similarity as SIM
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+    )
+    from .conftest import SF_ORACLE
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    enc = e.select(
+        "vec_id",
+        SIM.pq_codes(SIM.unit_normalize(F.col("embedding"))).alias("codes"),
+    )
+    plan = enc._jdf.queryExecution().executedPlan().treeString()
+    assert "Exchange" not in plan and "Python" not in plan
+    # every code within [1, k]
+    row = enc.selectExpr(
+        "min(array_min(codes)) AS lo", "max(array_max(codes)) AS hi"
+    ).collect()[0]
+    assert row["lo"] >= 1 and row["hi"] <= SIM.PQ_K

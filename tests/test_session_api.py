@@ -382,3 +382,45 @@ def test_sql_merge_assignments_subquery_source_and_conditional_insert(spark, tmp
     got = {r["sku"]: (r["qty"], r["updated"])
            for r in eng.registry.upsert_handle("inv").snapshot().collect()}
     assert got == {"x": (8, 2), "y": (7, 1), "z": (9, 2)}  # 'w' filtered out
+
+
+def test_ctas_upsert_and_parquet(spark, tmp_path):
+    """CREATE TABLE ... AS SELECT — both spellings: USING upsert
+    OPTIONS(key ...) materializes a keyed lake table (upserts apply
+    afterwards), USING parquet writes a plain table. Schema comes
+    from the SELECT."""
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.0), (2, "b", 7.0)],
+        "id LONG, name STRING, score DOUBLE",
+    ).createOrReplaceTempView("ctas_src")
+
+    eng.sql(
+        f"""
+        CREATE TABLE ctas_t USING upsert OPTIONS(
+          'path' = '{tmp_path / "ctas_t"}', 'key' = 'id',
+          'num_buckets' = '2'
+        ) AS SELECT DISTINCT id, name, score FROM ctas_src
+        """
+    )
+    got = sorted(map(tuple, eng.sql("SELECT * FROM ctas_t").collect()))
+    assert got == [(1, "a", 5.0), (2, "b", 7.0)]
+    # it is a real upsert table: a later keyed write replaces the row
+    eng.insert_into(
+        "ctas_t",
+        spark.createDataFrame([(2, "B2", 9.0)], "id LONG, name STRING, score DOUBLE"),
+        commit_id="c2",
+    )
+    got = sorted(map(tuple, eng.sql("SELECT * FROM ctas_t").collect()))
+    assert got == [(1, "a", 5.0), (2, "B2", 9.0)]
+
+    eng.sql(
+        f"""
+        CREATE TABLE ctas_p USING parquet OPTIONS(
+          'path' = '{tmp_path / "ctas_p"}'
+        ) AS SELECT id, score * 2 AS dbl FROM ctas_src WHERE id = 1
+        """
+    )
+    assert [tuple(r) for r in eng.sql("SELECT * FROM ctas_p").collect()] == [
+        (1, 10.0)
+    ]
