@@ -245,3 +245,53 @@ def test_salted_distinct_count_matches_naive(spark, rows, n_salts):
     for g, v in rows:
         want.setdefault(g, set()).add(v)
     assert got == {g: len(s) for g, s in want.items()}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("pqr"),          # key
+            st.integers(0, 5),               # ts (ties likely)
+            st.integers(0, 10_000),          # seq (tie-break)
+            st.sampled_from(["x", "y", "z", None]),  # payload w/ nulls
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: (t[0], t[1], t[2]),  # total order per key
+    )
+)
+def test_latest_by_key_agg_matches_window_reference(spark, rows):
+    """The max_by hash-aggregation LWW must pick exactly the rows the
+    original window/row_number formulation picked, including null
+    payloads and tie-breaking through the secondary seq column —
+    latest_by_key is the engine-wide upsert primitive, so this pins
+    the rewrite against the reference semantics on arbitrary data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.upsert import (
+        latest_by_key,
+    )
+
+    df = spark.createDataFrame(
+        rows, "k STRING, ts INT, seq INT, payload STRING"
+    )
+    got = {
+        tuple(r) for r in latest_by_key(df, "k", ["ts", "seq"]).collect()
+    }
+    w = Window.partitionBy("k").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("seq").desc_nulls_last()
+    )
+    want = {
+        tuple(r)
+        for r in df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .collect()
+    }
+    assert got == want

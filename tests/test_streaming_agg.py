@@ -661,3 +661,95 @@ def test_streaming_sliding_window_matches_batch(spark):
     got = {tuple(r) for r in spark.sql("SELECT * FROM slide_agg").collect()}
     q.stop()
     assert got == batch
+
+
+def test_native_stream_stream_left_outer_join(spark, tmp_path):
+    """LEFT OUTER stream-stream join (watermarks + time-bound on both
+    sides, the shape Spark requires to emit null-extended rows once
+    the watermark passes): every purchase appears exactly once, with
+    its click when one exists in the 10-minute window and NULL when
+    not — verified against the equivalent batch outer join."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+        read_events_stream,
+    )
+
+    def sides(reader):
+        clicks = (
+            reader.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+        )
+        purchases = (
+            reader.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+        )
+        return clicks, purchases
+
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")
+        )
+    )
+
+    bc, bp = sides(load_table(spark, SF_SMOKE, "events"))
+    # rows still inside the watermark horizon when the bounded stream
+    # ends are (correctly) never outer-emitted — compare only
+    # purchases the final global watermark has passed
+    import datetime as _dt
+
+    wm_delay = _dt.timedelta(seconds=10)
+    cut = (
+        min(
+            bc.agg(F.max("click_ts")).collect()[0][0],
+            bp.agg(F.max("purchase_ts")).collect()[0][0],
+        )
+        - wm_delay
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in bp.join(bc, cond, "left_outer")
+        .filter(F.col("purchase_ts") < F.lit(cut))
+        .select("purchase_id", "click_id")
+        .collect()
+    }
+
+    sc_, sp = sides(read_events_stream(spark, SF_SMOKE))
+    joined = (
+        sp.withWatermark("purchase_ts", "10 seconds")
+        .join(
+            sc_.withWatermark("click_ts", "10 seconds"),
+            cond,
+            "left_outer",
+        )
+        .select("purchase_id", "click_id", "purchase_ts")
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_loj")
+        .option("checkpointLocation", str(tmp_path / "ck_loj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql(
+            "SELECT * FROM ss_loj"
+        ).collect()
+        if r["purchase_ts"] < cut
+    }
+    q.stop()
+    assert got == want
+    assert any(c is None for _, c in got)  # outer rows really present
