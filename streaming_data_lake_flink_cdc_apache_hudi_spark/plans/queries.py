@@ -2633,6 +2633,90 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_asof_join",
+    """
+WITH dedup AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS prio,
+         o_orderdate AS vf, o_orderkey AS ok
+  FROM orders
+  QUALIFY row_number() OVER (
+      PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) = 1
+),
+dim AS (
+  SELECT custkey, prio, vf,
+         COALESCE(lead(vf) OVER (PARTITION BY custkey ORDER BY vf, ok),
+           TIMESTAMP '9999-12-31 00:00:00') AS vt
+  FROM dedup
+),
+fact AS (
+  SELECT o_custkey AS custkey, l_orderkey, l_linenumber, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT f.l_orderkey, f.l_linenumber,
+       strftime(f.l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+       d.prio AS prio_at_ship
+FROM fact f JOIN dim d
+  ON f.custkey = d.custkey
+ AND f.l_shipdate >= d.vf AND f.l_shipdate < d.vt
+""",
+    doc="SCD2 versioned-dimension as-of join (the Kimball type-2 "
+    "pattern the lake's CDC history enables): a customer's "
+    "order-priority 'state' gets [valid_from, valid_to) intervals "
+    "via LEAD over its change history (one key-partitioned window, "
+    "deduped per change instant), and each shipped line joins the "
+    "version VALID AT ITS SHIP TIME. Scale shape: both sides "
+    "shuffle once on the dimension key; within a key the interval "
+    "predicate evaluates post-join on version-count-bounded "
+    "candidates (versions per key, not corpus) — never a cross "
+    "product over time.",
+)
+def q_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wv = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wdup = W.partitionBy("o_custkey", "o_orderdate").orderBy("o_orderkey")
+    dim = (
+        o.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").alias("vf"),
+            F.coalesce(
+                F.lead("o_orderdate").over(
+                    W.partitionBy("o_custkey").orderBy(
+                        "o_orderdate", "o_orderkey"
+                    )
+                ),
+                F.lit("9999-12-31").cast("timestamp"),
+            ).alias("vt"),
+        )
+    )
+    fact = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_custkey").alias("custkey"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+    )
+    return (
+        fact.join(
+            dim,
+            (fact["custkey"] == dim["custkey"])
+            & (F.col("l_shipdate") >= F.col("vf"))
+            & (F.col("l_shipdate") < F.col("vt")),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "ship_ts"
+            ),
+            F.col("prio").alias("prio_at_ship"),
+        )
+    )
+
+
 def _pq_oracle() -> str:
     from ..operators import similarity as _S
 
