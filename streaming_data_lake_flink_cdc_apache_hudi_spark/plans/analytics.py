@@ -20,7 +20,7 @@ Registered into the same ``QUERIES`` registry as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
@@ -714,4 +714,133 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "total_value",
         )
+    )
+
+
+@register(
+    "product_profit",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) / 1000, 1)
+           AS profit_k
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN ps       ON ps.l_partkey = lineitem.l_partkey
+             AND ps.l_suppkey = lineitem.l_suppkey
+JOIN supplier ON s_suppkey = lineitem.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN part     ON p_partkey = lineitem.l_partkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q9 shape (product-type profit by nation and year), "
+    "with the partsupp bridge DERIVED as the distinct (part, "
+    "supplier) pairs actually traded — the testdata carries no "
+    "partsupp table, and deriving it exercises a 6-way join with a "
+    "self-derived dimension. Scale: part/supplier/nation broadcast; "
+    "the derived ps is supplier-catalog-sized (distinct pairs), far "
+    "smaller than the fact table; one grouped shuffle of "
+    "(nation x year) rows after map-side partials. Profit reported "
+    "in thousands at 1 decimal: group sums reach ~1e7 where double "
+    "summation-order noise (~1e-2 absolute) flips a cents-level "
+    "ROUND across engines; thousand-scale rounding leaves 4 orders "
+    "of margin.",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    ps = li.select("l_partkey", "l_suppkey").distinct().select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_disc()) / 1000, 1).alias("profit_k"))
+    )
+
+
+@register(
+    "parts_supplier_stats",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_size >= 20
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+""",
+    doc="TPC-H Q16 shape (supplier count per part brand/type, "
+    "excluding a supplier blacklist) over the derived partsupp "
+    "bridge. The NOT IN compiles to a broadcast anti-join (the "
+    "blacklist is supplier-sized); count(DISTINCT) expands via "
+    "Spark's two-tier distinct aggregation, partial before the "
+    "shuffle.",
+)
+def q_parts_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "supplier_rank_stats",
+    """
+WITH rev AS (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS r
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey,
+       r AS revenue,
+       CAST(ntile(10) OVER (ORDER BY r, l_suppkey) AS INT) AS decile,
+       ROUND(percent_rank() OVER (ORDER BY r, l_suppkey), 4) AS pct_rank,
+       ROUND(cume_dist() OVER (ORDER BY r, l_suppkey), 4) AS cume
+FROM rev
+""",
+    doc="Ranking-function triple (ntile / percent_rank / cume_dist) "
+    "over per-supplier revenue — completes the window-function "
+    "inventory beyond rank/row_number/lag. The global ORDER BY "
+    "window runs over the AGGREGATED supplier table (catalog-sized, "
+    "one row per supplier), never the fact table — the pre-aggregate "
+    "is what makes a global ranking window acceptable at scale.",
+)
+def q_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(_R2(F.sum(_disc())).alias("r"))
+    w = Window.orderBy("r", "l_suppkey")
+    return rev.select(
+        "l_suppkey",
+        F.col("r").alias("revenue"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
