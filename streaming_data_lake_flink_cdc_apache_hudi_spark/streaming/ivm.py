@@ -47,6 +47,8 @@ The only driver-side values in the read path are the bucket-id lists
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -536,3 +538,140 @@ class FlagshipStreamRunner:
             .outputMode("update")
         )
         return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
+class GroupAggIVM:
+    """Incrementally maintained grouped aggregate over a CDC changelog
+    (the retract-stream aggregation of the reference's ¶42/R8,
+    generalized from the flagship JOIN view to GROUP BY views): a
+    lake table holding ``SUM(measure)``s and a row count per group,
+    updated per micro-batch from signed contributions.
+
+    Correctness model: a true CDC stream carries exact before/after
+    images, so each change contributes ``+after - before`` and the
+    per-group running sums TELESCOPE — order within or across batches
+    cannot change the total, group-moving updates debit the old group
+    and credit the new one, and a group whose row count returns to
+    zero is tombstoned. (This is why aggregate IVM tolerates
+    out-of-order delivery that LWW state must sort out explicitly.)
+
+    Scale shape per batch: one map over the batch (two signed
+    projections, union), one grouped shuffle of DELTA-sized data,
+    state read bucket-pruned to the touched groups
+    (``bucket_filter_for``), one lake commit. Exactly-once by
+    epoch-id commit dedup, same as the flagship runner.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_cols: Sequence[str],
+        sum_cols: Sequence[str],
+        num_buckets: int = 16,
+    ):
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.table = UpsertLakeTable(
+            spark, path, key=self.group_cols, num_buckets=num_buckets
+        )
+
+    def _signed(self, batch: DataFrame, side: str, sign: int) -> DataFrame:
+        ops = ("I", "U") if side == "after" else ("U", "D")
+        return batch.filter(F.col("op").isin(*ops)).select(
+            *[F.col(f"{side}.{g}").alias(g) for g in self.group_cols],
+            *[
+                (F.lit(sign) * F.col(f"{side}.{c}")).alias(f"sum_{c}")
+                for c in self.sum_cols
+            ],
+            F.lit(sign).cast("long").alias("n_rows"),
+        )
+
+    def apply(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        deltas = (
+            self._signed(batch, "after", 1)
+            .unionByName(self._signed(batch, "before", -1))
+            .groupBy(*self.group_cols)
+            .agg(
+                *[
+                    F.sum(f"sum_{c}").alias(f"sum_{c}")
+                    for c in self.sum_cols
+                ],
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+        try:
+            buckets = self.table.bucket_filter_for(
+                deltas.select(*self.group_cols)
+            )
+            cur = self.table.snapshot(bucket_filter=buckets).join(
+                deltas.select(*self.group_cols), self.group_cols, "left_semi"
+            )
+        except FileNotFoundError:
+            cur = None  # first batch: no state yet
+        if cur is not None:
+            merged = (
+                cur.select(
+                    *self.group_cols,
+                    *[F.col(f"sum_{c}").alias(f"_c_sum_{c}") for c in self.sum_cols],
+                    F.col("n_rows").alias("_c_n"),
+                )
+                .join(deltas, self.group_cols, "full_outer")
+                .select(
+                    *self.group_cols,
+                    *[
+                        (
+                            F.coalesce(F.col(f"_c_sum_{c}"), F.lit(0.0))
+                            + F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
+                        ).alias(f"sum_{c}")
+                        for c in self.sum_cols
+                    ],
+                    (
+                        F.coalesce(F.col("_c_n"), F.lit(0))
+                        + F.coalesce(F.col("n_rows"), F.lit(0))
+                    ).alias("n_rows"),
+                )
+            )
+        else:
+            merged = deltas
+        out = merged.withColumn("_gone", F.col("n_rows") <= 0)
+        self.table.write(
+            out,
+            commit_id=None if epoch_id is None else f"aggivm-{epoch_id}",
+            delete_col="_gone",
+        )
+
+    def view(self) -> DataFrame:
+        """Current aggregate view (one row per live group)."""
+        return self.table.snapshot()
+
+
+def stream_group_agg(
+    spark: SparkSession,
+    feed_dir: str,
+    row_schema: T.StructType,
+    path: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+    num_buckets: int = 16,
+):
+    """Continuously maintain a GROUP BY SUM/COUNT view from a CDC
+    envelope feed (readStream -> foreachBatch -> GroupAggIVM.apply):
+    the retract-aggregation pipeline of SURVEY §2.2 R8 as one call.
+    Exactly-once: epoch ids dedup replayed batches in the lake."""
+    from ..sources.cdc_feed import read_feed_stream
+
+    ivm = GroupAggIVM(
+        spark, path, group_cols, sum_cols, num_buckets=num_buckets
+    )
+    stream = read_feed_stream(spark, feed_dir, row_schema)
+    writer = stream.writeStream.foreachBatch(
+        lambda b, e: ivm.apply(b, epoch_id=e)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return ivm, writer.start()

@@ -168,3 +168,201 @@ def test_ivm_matches_batch_recompute(spark, tmp_path):
         .count()
     )
     assert dups == 0
+
+
+def _env_rows(rows):
+    """rows: (op, ts, seq, before|None, after|None) with images as
+    (id, cat, amt)."""
+    return rows
+
+
+def test_group_agg_ivm_matches_batch_aggregate(spark, tmp_path):
+    """Randomized CDC history with inserts, amount updates,
+    GROUP-MOVING updates, and deletes, applied in three micro-batches:
+    the maintained SUM/COUNT per category must equal the batch
+    aggregate of the final entity state, and emptied groups must
+    disappear."""
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.changelog import (
+        current_state,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.ivm import GroupAggIVM
+
+    rng = random.Random(7)
+    cats = ["a", "b", "c", "d"]
+    state: dict[int, tuple[str, float]] = {}
+    events = []
+    seq = 0
+    next_id = 1000
+    for step in range(300):
+        seq += 1
+        ts = step // 3
+        alive = list(state)
+        act = rng.random()
+        if not alive or act < 0.5:
+            i = next_id
+            next_id += 1
+            img = (i, rng.choice(cats), round(rng.uniform(1, 9), 2))
+            state[i] = img[1:]
+            events.append(("I", ts, seq, None, img))
+        elif act < 0.85:
+            i = rng.choice(alive)
+            old = (i, *state[i])
+            img = (i, rng.choice(cats), round(rng.uniform(1, 9), 2))
+            state[i] = img[1:]
+            events.append(("U", ts, seq, old, img))
+        else:
+            i = rng.choice(alive)
+            old = (i, *state[i])
+            del state[i]
+            events.append(("D", ts, seq, old, None))
+
+    env_schema = (
+        "op STRING, ts LONG, seq LONG, "
+        "before STRUCT<id: LONG, cat: STRING, amt: DOUBLE>, "
+        "after STRUCT<id: LONG, cat: STRING, amt: DOUBLE>"
+    )
+    ivm = GroupAggIVM(
+        spark, str(tmp_path / "agg"), group_cols=["cat"], sum_cols=["amt"],
+        num_buckets=4,
+    )
+    third = len(events) // 3
+    for bi, lo in enumerate(range(0, len(events), third)):
+        batch = spark.createDataFrame(events[lo : lo + third], env_schema)
+        ivm.apply(batch, epoch_id=bi)
+
+    got = {
+        r["cat"]: (round(r["sum_amt"], 2), r["n_rows"])
+        for r in ivm.view().collect()
+    }
+    all_env = spark.createDataFrame(events, env_schema)
+    final = current_state(all_env, "id")
+    want = {
+        r["cat"]: (round(r["s"], 2), r["n"])
+        for r in final.groupBy("cat")
+        .agg(F.sum("amt").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # replaying a batch must be a no-op (exactly-once by epoch id)
+    ivm.apply(
+        spark.createDataFrame(events[:third], env_schema), epoch_id=0
+    )
+    got2 = {
+        r["cat"]: (round(r["sum_amt"], 2), r["n_rows"])
+        for r in ivm.view().collect()
+    }
+    assert got2 == want
+
+
+def test_group_agg_ivm_tombstones_emptied_group(spark, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.ivm import GroupAggIVM
+
+    env_schema = (
+        "op STRING, ts LONG, seq LONG, "
+        "before STRUCT<id: LONG, cat: STRING, amt: DOUBLE>, "
+        "after STRUCT<id: LONG, cat: STRING, amt: DOUBLE>"
+    )
+    ivm = GroupAggIVM(
+        spark, str(tmp_path / "agg2"), group_cols=["cat"], sum_cols=["amt"],
+        num_buckets=2,
+    )
+    ivm.apply(
+        spark.createDataFrame(
+            [
+                ("I", 0, 1, None, (1, "x", 5.0)),
+                ("I", 0, 2, None, (2, "y", 3.0)),
+            ],
+            env_schema,
+        ),
+        epoch_id=0,
+    )
+    # move the only x row to y: group x must vanish
+    ivm.apply(
+        spark.createDataFrame(
+            [("U", 1, 3, (1, "x", 5.0), (1, "y", 7.0))], env_schema
+        ),
+        epoch_id=1,
+    )
+    got = {r["cat"]: (r["sum_amt"], r["n_rows"]) for r in ivm.view().collect()}
+    assert got == {"y": (10.0, 2)}
+
+
+def test_stream_group_agg_end_to_end_feed(spark, tmp_path):
+    """Feed-dir streaming flavor: two envelope commits land in the
+    feed, the running query folds both into the aggregate view."""
+    from pyspark.sql import types as T
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.cdc_feed import (
+        write_feed_events,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.ivm import (
+        stream_group_agg,
+    )
+
+    row_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cat", T.StringType()),
+            T.StructField("amt", T.DoubleType()),
+        ]
+    )
+    env_schema = (
+        "op STRING, ts TIMESTAMP, seq LONG, "
+        "before STRUCT<id: LONG, cat: STRING, amt: DOUBLE>, "
+        "after STRUCT<id: LONG, cat: STRING, amt: DOUBLE>"
+    )
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    t1 = _dt.datetime(2024, 1, 1, 0, 1)
+    feed = str(tmp_path / "feed")
+    write_feed_events(
+        spark,
+        feed,
+        spark.createDataFrame(
+            [
+                ("I", t0, 1, None, (1, "x", 2.0)),
+                ("I", t0, 2, None, (2, "x", 3.0)),
+                ("I", t0, 3, None, (3, "y", 4.0)),
+            ],
+            env_schema,
+        ),
+    )
+    ivm, q = stream_group_agg(
+        spark,
+        feed,
+        row_schema,
+        str(tmp_path / "aggview"),
+        group_cols=["cat"],
+        sum_cols=["amt"],
+        checkpoint_dir=str(tmp_path / "ck"),
+        num_buckets=2,
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            r["cat"]: (r["sum_amt"], r["n_rows"])
+            for r in ivm.view().collect()
+        }
+        assert got1 == {"x": (5.0, 2), "y": (4.0, 1)}
+        write_feed_events(
+            spark,
+            feed,
+            spark.createDataFrame(
+                [
+                    ("U", t1, 4, (1, "x", 2.0), (1, "y", 6.0)),
+                    ("D", t1, 5, (3, "y", 4.0), None),
+                ],
+                env_schema,
+            ),
+        )
+        q.processAllAvailable()
+        got2 = {
+            r["cat"]: (r["sum_amt"], r["n_rows"])
+            for r in ivm.view().collect()
+        }
+        assert got2 == {"x": (3.0, 1), "y": (6.0, 1)}
+    finally:
+        q.stop()
