@@ -16,6 +16,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -906,5 +908,50 @@ def pq_rerank_topk(
     return (
         short.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )
+
+
+def pq_encode_table(
+    df, vec_col: str, id_col: str, dest: str
+) -> int:
+    """Materialize the PQ index at rest: (id, codes array<int> of m)
+    parquet — encode ONCE at ingest, query forever from 16 bytes a
+    vector. At 100 TB this table is ~1/16th the embedding payload
+    and is the only thing ANN queries scan. Returns row count written.
+    """
+    base = df.select(
+        F.col(id_col), unit_normalize(F.col(vec_col)).alias("_vn")
+    )
+    enc = base.select(F.col(id_col), pq_codes(F.col("_vn")).alias("codes"))
+    enc.write.mode("overwrite").parquet(dest)
+    import pyarrow.parquet as pq  # bounded: footer metadata only
+
+    return sum(
+        pq.ParquetFile(os.path.join(dest, f)).metadata.num_rows
+        for f in os.listdir(dest)
+        if f.endswith(".parquet")
+    )
+
+
+def pq_query_codes(
+    spark, dest: str, query_vec, k: int = 10
+):
+    """ADC top-k directly over the at-rest code table — no float
+    vectors read at all (fully compressed-domain query; re-rank
+    against the source table when exactness of the final order
+    matters, cf. pq_rerank_topk)."""
+    import math
+
+    nrm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    qn = F.array(*[F.lit(float(x) / nrm) for x in query_vec])
+    codes = spark.read.parquet(dest)
+    id_col = [c for c in codes.columns if c != "codes"][0]
+    return (
+        codes.select(
+            F.col(id_col),
+            F.round(pq_adc_score(F.col("codes"), qn), 5).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", id_col)
         .limit(k)
     )

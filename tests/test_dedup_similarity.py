@@ -610,3 +610,37 @@ def test_pq_codes_plan_is_udf_free_map_only(spark):
         "min(array_min(codes)) AS lo", "max(array_max(codes)) AS hi"
     ).collect()[0]
     assert row["lo"] >= 1 and row["hi"] <= SIM.PQ_K
+
+
+def test_pq_index_at_rest_round_trip(spark, tmp_path):
+    """Encode once to a codes table, query from codes only: the ADC
+    top-k from the at-rest index must equal the in-plan ADC top-k,
+    and the code table must be read WITHOUT the embedding column."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import similarity as SIM
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.plans.queries import QUERIES
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+    )
+    from .conftest import SF_ORACLE
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    dest = str(tmp_path / "pq_codes")
+    n = SIM.pq_encode_table(e, "embedding", "vec_id", dest)
+    assert n == e.count()
+    qv = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    got = [
+        tuple(r)
+        for r in SIM.pq_query_codes(spark, dest, qv, k=10).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in QUERIES["pq_ann_topk"].fn(spark, SF_ORACLE).collect()
+    ]
+    assert got == want
+    plan = (
+        SIM.pq_query_codes(spark, dest, qv, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .treeString()
+    )
+    assert "embedding" not in plan  # compressed-domain only
