@@ -555,6 +555,12 @@ class GroupAggIVM:
     zero is tombstoned. (This is why aggregate IVM tolerates
     out-of-order delivery that LWW state must sort out explicitly.)
 
+    Deliberate boundary: SUM/COUNT/AVG-family only. MIN/MAX cannot
+    telescope — deleting the current extremum forces a per-group
+    recompute against the full entity state, so a MIN/MAX view
+    belongs on the entity table (``current_state`` + batch agg, or a
+    periodic materialization), not in this incremental path.
+
     Scale shape per batch: one map over the batch (two signed
     projections, union), one grouped shuffle of DELTA-sized data,
     state read bucket-pruned to the touched groups

@@ -753,3 +753,42 @@ def test_native_stream_stream_left_outer_join(spark, tmp_path):
     q.stop()
     assert got == want
     assert any(c is None for _, c in got)  # outer rows really present
+
+
+def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
+    """Native streaming dedup (dropDuplicatesWithinWatermark, the
+    at-least-once-ingest guard): a feed that delivers every event
+    TWICE (in-batch and cross-batch duplicates) must come out exactly
+    once per event_id; state for old ids is evictable past the
+    watermark (unlike plain dropDuplicates, whose state only grows)."""
+    import shutil
+
+    src_dir = tmp_path / "dup_src"
+    src_dir.mkdir()
+    ev = load_table(spark, SF_SMOKE, "events").limit(400)
+    ev.write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    # same file content delivered twice = cross-batch duplicates
+    for i, f in enumerate(
+        sorted(p for p in (tmp_path / "stage").iterdir() if p.suffix == ".parquet")
+    ):
+        shutil.copy(f, src_dir / f"a{i}.parquet")
+        shutil.copy(f, src_dir / f"b{i}.parquet")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> TZ
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_stream").collect()]
+    q.stop()
+    assert len(got) == len(set(got)) == ev.count()
