@@ -844,3 +844,56 @@ def q_supplier_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+@register(
+    "big_spenders",
+    """
+WITH spend AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         ROUND(SUM(o_totalprice), 2) AS total
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name, c_nationkey
+),
+nat AS (
+  SELECT c_nationkey AS nk, AVG(total) AS nat_avg FROM spend GROUP BY 1
+)
+SELECT n_name, c_name, total,
+       ROUND(total / nat_avg, 2) AS x_nation_avg
+FROM spend
+JOIN nat ON nk = c_nationkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE total > 2 * nat_avg
+""",
+    doc="Correlated aggregate comparison (customers spending >2x "
+    "their nation's average): the correlated scalar subquery "
+    "decorrelates into a per-nation aggregate over the ALREADY "
+    "customer-sized spend rollup (nation-count rows), broadcast back "
+    "— two grouped shuffles of shrinking size, the fact table "
+    "touched once.",
+)
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    spend = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(_R2(F.sum("o_totalprice")).alias("total"))
+    )
+    nat = spend.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.avg("total").alias("nat_avg")
+    )
+    return (
+        spend.join(F.broadcast(nat), F.col("nk") == F.col("c_nationkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .filter(F.col("total") > 2 * F.col("nat_avg"))
+        .select(
+            "n_name",
+            "c_name",
+            "total",
+            F.round(F.col("total") / F.col("nat_avg"), 2).alias(
+                "x_nation_avg"
+            ),
+        )
+    )
