@@ -779,6 +779,36 @@ class UpsertLakeTable:
             .drop("bucket", *META_COLS, *READ_META_COLS)
         )
 
+    def storage_stats(self) -> dict:
+        """Operational storage summary (≙ Hudi CLI `stats filesizes` /
+        `commits show` at a glance): base and log file counts/bytes,
+        delta commits since the last compaction (the compaction-debt
+        signal), per-bucket base skew, and timeline depth. Pure
+        metadata walk — no data files are opened."""
+        self._ensure_recovered()
+        base_files, base_bytes = _dir_file_stats(self._base)
+        log_files, log_bytes = _dir_file_stats(self._log)
+        per_bucket: dict[str, int] = {}
+        if os.path.isdir(self._base):
+            for d in sorted(os.listdir(self._base)):
+                if d.startswith("bucket="):
+                    per_bucket[d] = _dir_file_stats(
+                        os.path.join(self._base, d)
+                    )[1]
+        commits = self.commits()
+        return {
+            "commits": len(commits),
+            "last_commit_seq": self.last_commit_seq(),
+            "delta_commits_since_compaction": (
+                self._delta_commits_since_compaction()
+            ),
+            "base_files": base_files,
+            "base_bytes": base_bytes,
+            "log_files": log_files,
+            "log_bytes": log_bytes,
+            "base_bytes_per_bucket": per_bucket,
+        }
+
     def export_delta(self, dest: str, with_meta: bool = False) -> int:
         """Materialize the current snapshot as a Delta Lake table at
         ``dest`` (public transaction-log protocol v1) so any external
@@ -1153,3 +1183,13 @@ class UpsertLakeTable:
             shutil.rmtree(
                 os.path.join(self.path, "_compact_tmp"), ignore_errors=True
             )
+
+
+def _dir_file_stats(root: str) -> tuple[int, int]:
+    files = bytes_ = 0
+    for r, _d, fs in os.walk(root):
+        for f in fs:
+            if f.endswith(".parquet"):
+                files += 1
+                bytes_ += os.path.getsize(os.path.join(r, f))
+    return files, bytes_

@@ -876,3 +876,32 @@ def test_zorder_compaction_tightens_stats_on_both_columns(spark, tmp_path):
     # z-order: both columns' per-file spans shrink materially
     assert _avg_range_frac(zr["x"], 1000) < 0.62, _avg_range_frac(zr["x"], 1000)
     assert _avg_range_frac(zr["y"], 1000) < 0.62, _avg_range_frac(zr["y"], 1000)
+
+
+def test_storage_stats_tracks_log_growth_and_compaction(spark, tmp_path):
+    """storage_stats must show log debt accumulating across delta
+    commits and returning to zero (log folded into base) after
+    compaction — the operational signal a table operator watches."""
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "t"), key="k", num_buckets=2, compact_every=100
+    )
+    rows = spark.createDataFrame(
+        [(i, f"v{i}", i) for i in range(50)], "k LONG, v STRING, ts LONG"
+    )
+    t.write(rows, commit_id="c1")
+    s1 = t.storage_stats()
+    assert s1["log_files"] > 0 and s1["log_bytes"] > 0
+    assert s1["delta_commits_since_compaction"] == 1
+    t.write(
+        spark.createDataFrame([(1, "x", 99)], "k LONG, v STRING, ts LONG"),
+        commit_id="c2",
+    )
+    s2 = t.storage_stats()
+    assert s2["delta_commits_since_compaction"] == 2
+    assert s2["log_files"] > s1["log_files"]
+    t.compact()
+    s3 = t.storage_stats()
+    assert s3["delta_commits_since_compaction"] == 0
+    assert s3["log_files"] == 0 and s3["base_files"] > 0
+    assert sum(s3["base_bytes_per_bucket"].values()) == s3["base_bytes"]
+    assert s3["last_commit_seq"] >= 3  # two deltas + the compaction
