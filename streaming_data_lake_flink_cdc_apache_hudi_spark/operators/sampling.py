@@ -160,3 +160,36 @@ def mixture_resample(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < thr
     )
     return keyed.filter(keep).drop("_rate")
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col, n: int, seed: str = ""
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis
+    & Spirakis, IPL 2006 A-ES): each row draws u in (0,1] from its
+    id's md5 hash and ranks by ln(u)/w — the top-n ranks are a
+    weighted sample, rows with double the weight twice as likely.
+
+    Deterministic like every sampler in this module (the hash, not
+    the partition layout, decides), so the draw is reproducible
+    across engines and re-runs, composes with re-partitioning, and
+    carries an exact oracle. Scale: map-only scoring + a top-n
+    (TakeOrderedAndProject) — no shuffle beyond the bounded top-n
+    merge, never a global sort.
+    """
+    prefix = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (prefix + 1.0) / F.lit(float(2**32))
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    score = F.log(u) / w  # in (-inf, 0]; larger (closer to 0) wins
+    return (
+        df.withColumn("_es_key", F.round(score, 10))
+        .orderBy(F.col("_es_key").desc(), F.col(id_col))
+        .limit(n)
+        .drop("_es_key")
+    )

@@ -2717,6 +2717,36 @@ def q_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_sample_docs",
+    """
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'es1'),
+                     1, 8))::BIGINT + 1.0) / 4294967296.0)
+               / n_chars, 10) AS k
+  FROM documents
+)
+ORDER BY k DESC, doc_id
+LIMIT 50
+""",
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-ES): 50 documents drawn with probability "
+    "proportional to n_chars, via ln(u)/w ranks where u comes from "
+    "the row id's md5 — the hash, not the layout, decides, so the "
+    "draw reproduces across engines/partitionings and carries an "
+    "exact oracle. Map-only scoring + TakeOrderedAndProject top-n.",
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample(d, "doc_id", "n_chars", 50, seed="es1")
+
+
 def _pq_oracle() -> str:
     from ..operators import similarity as _S
 

@@ -129,3 +129,33 @@ def test_mixture_resample_flattens_distribution(spark):
     )
     assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
            sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+
+
+def test_weighted_sample_biases_toward_heavy_rows_and_is_layout_free(spark):
+    """A-ES sample must (a) over-represent heavy rows (sample mean
+    weight above corpus mean), (b) be identical under repartitioning
+    (the hash decides, not the layout), (c) be top-n planned, not a
+    global sort."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.parquet import (
+        load_table,
+    )
+    from .conftest import SF_ORACLE
+
+    d = load_table(spark, SF_ORACLE, "documents").select("doc_id", "n_chars")
+    samp = weighted_sample(d, "doc_id", "n_chars", 100, seed="t")
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = samp.agg(F.avg("n_chars")).collect()[0][0]
+    assert sample_mean > corpus_mean
+
+    again = weighted_sample(
+        d.repartition(13, "n_chars"), "doc_id", "n_chars", 100, seed="t"
+    )
+    assert sorted(r["doc_id"] for r in samp.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    plan = samp._jdf.queryExecution().executedPlan().treeString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
