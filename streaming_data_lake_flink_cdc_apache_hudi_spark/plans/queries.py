@@ -2875,3 +2875,43 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `register` exists (safe partial-module import).
 from . import analytics  # noqa: E402,F401
 from . import events_analytics  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Driver CORRECTNESS-window rotation.
+#
+# The verify driver records at most 50 CORRECTNESS rows, taken in
+# registration order.  Rounds 2-4 all covered the same first 50 names,
+# leaving the rest of the registry driver-unverified (they pass the
+# identical DuckDB oracles when run out-of-band, but the bar is a
+# driver-green row per query).  Promote every query that does NOT yet
+# have a driver-green row to the front of the registry, keeping
+# registration order within each group, so successive rounds together
+# cover the whole registry.  Names verified by the driver in r04:
+_DRIVER_VERIFIED = frozenset({
+    "ticket_view", "ticket_view_dup_check", "keyed_filter", "full_scan",
+    "projection_cast", "orderby_limit", "group_agg", "upsert_literals",
+    "cdc_current_state", "text_stats", "doc_quality", "lang_id",
+    "token_count_regex", "dedup_exact", "embedding_topk", "knn_multi",
+    "embedding_near_dup", "window_rank", "window_running", "sessionize",
+    "semi_anti_join", "outer_join_agg", "rollup_agg", "distinct_agg",
+    "pivot_agg", "asof_join", "tumbling_window_agg", "revenue_by_nation",
+    "shipping_priority", "corpus_curation", "ivf_ann_topk",
+    "approx_sketches", "connected_components", "debezium_parse",
+    "media_decode", "stratified_sample", "sequence_packing",
+    "ivf_kmeans_topk", "percentiles", "jaccard_block_pairs", "cube_agg",
+    "topk_ngrams", "purchase_click_attribution", "incremental_read",
+    "time_travel_read", "cdc_changes_read", "schema_evolution_read",
+    "read_optimized_read", "decontaminate_docs", "doc_repetition",
+})
+
+
+def _rotate_registry() -> None:
+    front = {n: s for n, s in QUERIES.items() if n not in _DRIVER_VERIFIED}
+    back = {n: s for n, s in QUERIES.items() if n in _DRIVER_VERIFIED}
+    QUERIES.clear()
+    QUERIES.update(front)
+    QUERIES.update(back)
+
+
+_rotate_registry()
