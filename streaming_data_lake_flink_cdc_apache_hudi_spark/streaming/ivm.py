@@ -555,17 +555,21 @@ class GroupAggIVM:
     zero is tombstoned. (This is why aggregate IVM tolerates
     out-of-order delivery that LWW state must sort out explicitly.)
 
-    Deliberate boundary: SUM/COUNT/AVG-family only. MIN/MAX cannot
-    telescope — deleting the current extremum forces a per-group
-    recompute against the full entity state, so a MIN/MAX view
-    belongs on the entity table (``current_state`` + batch agg, or a
-    periodic materialization), not in this incremental path.
+    MIN/MAX cannot telescope — deleting the current extremum needs
+    more than a running total — so ``minmax_cols`` are maintained the
+    way Flink's retract aggregates do it: a per-group VALUE MULTISET
+    (one small lake table per tracked column, keyed by
+    ``group + value`` with a reference count). A delete decrements
+    the count; when the count of the current extremum reaches zero
+    the next extremum is simply the min/max over the surviving
+    multiset rows — no rescan of the entity table, ever.
 
     Scale shape per batch: one map over the batch (two signed
     projections, union), one grouped shuffle of DELTA-sized data,
     state read bucket-pruned to the touched groups
-    (``bucket_filter_for``), one lake commit. Exactly-once by
-    epoch-id commit dedup, same as the flagship runner.
+    (``bucket_filter_for``), one lake commit (plus one per tracked
+    minmax column). Exactly-once by epoch-id commit dedup, same as
+    the flagship runner.
     """
 
     def __init__(
@@ -575,22 +579,97 @@ class GroupAggIVM:
         group_cols: Sequence[str],
         sum_cols: Sequence[str],
         num_buckets: int = 16,
+        minmax_cols: Sequence[str] | None = None,
     ):
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.minmax_cols = list(minmax_cols or [])
         self.table = UpsertLakeTable(
             spark, path, key=self.group_cols, num_buckets=num_buckets
         )
+        # One value-multiset table per MIN/MAX column, keyed by
+        # (group..., value): rows are distinct observed values with a
+        # refcount, so state size is O(distinct values per group).
+        self.value_tables = {
+            c: UpsertLakeTable(
+                spark,
+                f"{path}_values_{c}",
+                key=self.group_cols + ["val"],
+                num_buckets=num_buckets,
+            )
+            for c in self.minmax_cols
+        }
 
     def _signed(self, batch: DataFrame, side: str, sign: int) -> DataFrame:
         ops = ("I", "U") if side == "after" else ("U", "D")
         return batch.filter(F.col("op").isin(*ops)).select(
             *[F.col(f"{side}.{g}").alias(g) for g in self.group_cols],
             *[
-                (F.lit(sign) * F.col(f"{side}.{c}")).alias(f"sum_{c}")
+                # double from batch one so the first-commit schema
+                # matches the merged (coalesce-with-0.0) schema when
+                # the source column is integer-typed
+                (F.lit(sign) * F.col(f"{side}.{c}"))
+                .cast("double")
+                .alias(f"sum_{c}")
                 for c in self.sum_cols
             ],
             F.lit(sign).cast("long").alias("n_rows"),
+        )
+
+    def _signed_values(
+        self, batch: DataFrame, col: str, side: str, sign: int
+    ) -> DataFrame:
+        ops = ("I", "U") if side == "after" else ("U", "D")
+        return (
+            batch.filter(F.col("op").isin(*ops))
+            .select(
+                *[F.col(f"{side}.{g}").alias(g) for g in self.group_cols],
+                F.col(f"{side}.{col}").alias("val"),
+                F.lit(sign).cast("long").alias("cnt"),
+            )
+            .filter(F.col("val").isNotNull())  # SQL MIN/MAX skip nulls
+        )
+
+    def _apply_values(
+        self, batch: DataFrame, col: str, epoch_id: int | None
+    ) -> None:
+        vt = self.value_tables[col]
+        keys = self.group_cols + ["val"]
+        deltas = (
+            self._signed_values(batch, col, "after", 1)
+            .unionByName(self._signed_values(batch, col, "before", -1))
+            .groupBy(*keys)
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+        )
+        try:
+            buckets = vt.bucket_filter_for(deltas.select(*keys))
+            cur = vt.snapshot(bucket_filter=buckets).join(
+                deltas.select(*keys), keys, "left_semi"
+            )
+        except FileNotFoundError:
+            cur = None
+        if cur is not None:
+            merged = (
+                cur.select(*keys, F.col("cnt").alias("_c_cnt"))
+                .join(deltas, keys, "full_outer")
+                .select(
+                    *keys,
+                    (
+                        F.coalesce(F.col("_c_cnt"), F.lit(0))
+                        + F.coalesce(F.col("cnt"), F.lit(0))
+                    ).alias("cnt"),
+                )
+            )
+        else:
+            merged = deltas
+        out = merged.withColumn("_gone", F.col("cnt") <= 0)
+        vt.write(
+            out,
+            commit_id=None
+            if epoch_id is None
+            else f"aggivm-{col}-{epoch_id}",
+            delete_col="_gone",
         )
 
     def apply(self, batch: DataFrame, epoch_id: int | None = None) -> None:
@@ -646,10 +725,27 @@ class GroupAggIVM:
             commit_id=None if epoch_id is None else f"aggivm-{epoch_id}",
             delete_col="_gone",
         )
+        for c in self.minmax_cols:
+            self._apply_values(batch, c, epoch_id)
 
     def view(self) -> DataFrame:
-        """Current aggregate view (one row per live group)."""
-        return self.table.snapshot()
+        """Current aggregate view (one row per live group); MIN/MAX
+        columns (``min_<c>``/``max_<c>``) are folded in from the
+        value-multiset tables — one grouped aggregate over rows that
+        are already distinct values per group."""
+        base = self.table.snapshot()
+        for c in self.minmax_cols:
+            ext = (
+                self.value_tables[c]
+                .snapshot()
+                .groupBy(*self.group_cols)
+                .agg(
+                    F.min("val").alias(f"min_{c}"),
+                    F.max("val").alias(f"max_{c}"),
+                )
+            )
+            base = base.join(ext, self.group_cols, "left")
+        return base
 
 
 def stream_group_agg(

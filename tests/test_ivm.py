@@ -366,3 +366,171 @@ def test_stream_group_agg_end_to_end_feed(spark, tmp_path):
         assert got2 == {"x": (3.0, 1), "y": (6.0, 1)}
     finally:
         q.stop()
+
+
+def test_group_agg_ivm_integer_sum_col_two_batches(spark, tmp_path):
+    """Regression: an integer-typed sum_col must not flip the state
+    schema between batch 1 (native sum type) and batch 2 (coalesce
+    with 0.0 -> double) — measures are cast to double from the first
+    commit."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.ivm import GroupAggIVM
+
+    env_schema = (
+        "op STRING, ts LONG, seq LONG, "
+        "before STRUCT<id: LONG, cat: STRING, qty: LONG>, "
+        "after STRUCT<id: LONG, cat: STRING, qty: LONG>"
+    )
+    ivm = GroupAggIVM(
+        spark, str(tmp_path / "iagg"), group_cols=["cat"], sum_cols=["qty"],
+        num_buckets=2,
+    )
+    ivm.apply(
+        spark.createDataFrame(
+            [("I", 0, 1, None, (1, "x", 5)), ("I", 0, 2, None, (2, "x", 3))],
+            env_schema,
+        ),
+        epoch_id=0,
+    )
+    # second batch used to raise: table bigint vs delta double
+    ivm.apply(
+        spark.createDataFrame(
+            [("U", 1, 3, (1, "x", 5), (1, "x", 9))], env_schema
+        ),
+        epoch_id=1,
+    )
+    got = {r["cat"]: (r["sum_qty"], r["n_rows"]) for r in ivm.view().collect()}
+    assert got == {"x": (12.0, 2)}
+
+
+def test_group_agg_ivm_minmax_survives_extremum_delete(spark, tmp_path):
+    """MIN/MAX under retraction: deleting the row holding the current
+    MAX (or MIN) must surface the next extremum from the value
+    multiset — including duplicate values, where one of two equal
+    extrema being deleted must NOT change the aggregate."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.ivm import GroupAggIVM
+
+    env_schema = (
+        "op STRING, ts LONG, seq LONG, "
+        "before STRUCT<id: LONG, cat: STRING, amt: DOUBLE>, "
+        "after STRUCT<id: LONG, cat: STRING, amt: DOUBLE>"
+    )
+    ivm = GroupAggIVM(
+        spark, str(tmp_path / "mmagg"), group_cols=["cat"], sum_cols=["amt"],
+        minmax_cols=["amt"], num_buckets=2,
+    )
+    ivm.apply(
+        spark.createDataFrame(
+            [
+                ("I", 0, 1, None, (1, "x", 5.0)),
+                ("I", 0, 2, None, (2, "x", 9.0)),
+                ("I", 0, 3, None, (3, "x", 9.0)),  # duplicate max
+                ("I", 0, 4, None, (4, "y", 2.0)),
+            ],
+            env_schema,
+        ),
+        epoch_id=0,
+    )
+    got = {r["cat"]: (r["min_amt"], r["max_amt"]) for r in ivm.view().collect()}
+    assert got == {"x": (5.0, 9.0), "y": (2.0, 2.0)}
+    # delete ONE of the two 9.0 rows: max must stay 9.0
+    ivm.apply(
+        spark.createDataFrame(
+            [("D", 1, 5, (2, "x", 9.0), None)], env_schema
+        ),
+        epoch_id=1,
+    )
+    got = {r["cat"]: (r["min_amt"], r["max_amt"]) for r in ivm.view().collect()}
+    assert got["x"] == (5.0, 9.0)
+    # delete the last 9.0: max falls back to 5.0
+    ivm.apply(
+        spark.createDataFrame(
+            [("D", 2, 6, (3, "x", 9.0), None)], env_schema
+        ),
+        epoch_id=2,
+    )
+    got = {r["cat"]: (r["min_amt"], r["max_amt"]) for r in ivm.view().collect()}
+    assert got["x"] == (5.0, 5.0)
+
+
+def test_group_agg_ivm_minmax_randomized_matches_batch(spark, tmp_path):
+    """Randomized retract history (inserts, updates incl. group moves,
+    deletes) in three micro-batches: maintained MIN/MAX must equal the
+    batch aggregate over the final entity state — the VERDICT r4 #2
+    done-condition."""
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.changelog import (
+        current_state,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.ivm import GroupAggIVM
+
+    rng = random.Random(11)
+    cats = ["a", "b", "c"]
+    # few distinct amounts -> lots of duplicate extrema + real
+    # extremum deletions
+    amts = [1.0, 2.0, 3.0, 5.0, 8.0]
+    state: dict[int, tuple[str, float]] = {}
+    events = []
+    seq = 0
+    next_id = 1
+    for step in range(240):
+        seq += 1
+        alive = list(state)
+        act = rng.random()
+        if not alive or act < 0.45:
+            i = next_id
+            next_id += 1
+            img = (i, rng.choice(cats), rng.choice(amts))
+            state[i] = img[1:]
+            events.append(("I", step, seq, None, img))
+        elif act < 0.8:
+            i = rng.choice(alive)
+            old = (i, *state[i])
+            img = (i, rng.choice(cats), rng.choice(amts))
+            state[i] = img[1:]
+            events.append(("U", step, seq, old, img))
+        else:
+            i = rng.choice(alive)
+            old = (i, *state[i])
+            del state[i]
+            events.append(("D", step, seq, old, None))
+
+    env_schema = (
+        "op STRING, ts LONG, seq LONG, "
+        "before STRUCT<id: LONG, cat: STRING, amt: DOUBLE>, "
+        "after STRUCT<id: LONG, cat: STRING, amt: DOUBLE>"
+    )
+    ivm = GroupAggIVM(
+        spark, str(tmp_path / "rmm"), group_cols=["cat"], sum_cols=["amt"],
+        minmax_cols=["amt"], num_buckets=4,
+    )
+    third = len(events) // 3
+    for bi, lo in enumerate(range(0, len(events), third)):
+        batch = spark.createDataFrame(events[lo : lo + third], env_schema)
+        ivm.apply(batch, epoch_id=bi)
+
+    got = {
+        r["cat"]: (round(r["sum_amt"], 2), r["n_rows"], r["min_amt"], r["max_amt"])
+        for r in ivm.view().collect()
+    }
+    all_env = spark.createDataFrame(events, env_schema)
+    final = current_state(all_env, "id")
+    want = {
+        r["cat"]: (round(r["s"], 2), r["n"], r["mn"], r["mx"])
+        for r in final.groupBy("cat")
+        .agg(
+            F.sum("amt").alias("s"),
+            F.count("*").alias("n"),
+            F.min("amt").alias("mn"),
+            F.max("amt").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+    # exactly-once: replaying a batch (incl. value-table commits) is a no-op
+    ivm.apply(spark.createDataFrame(events[:third], env_schema), epoch_id=0)
+    got2 = {
+        r["cat"]: (round(r["sum_amt"], 2), r["n_rows"], r["min_amt"], r["max_amt"])
+        for r in ivm.view().collect()
+    }
+    assert got2 == want
