@@ -497,7 +497,7 @@ def ivf_probe_index(
 # --- product quantization (Jégou et al. TPAMI'11; FAISS IndexPQ shape) --
 #
 # Codebooks are a committed deterministic artifact from
-# scripts/train_pq_codebooks.py (m=4 subspaces x k=16 codes over the
+# scripts/train_pq_codebooks.py (m=16 subspaces x k=16 codes over the
 # 64-dim embeddings, trained on unit-normalized vectors so ADC L2
 # ranking is cosine-equivalent) — the artifact-as-literal pattern
 # (JL signs, classifier weights) that makes encode + asymmetric-
@@ -853,7 +853,7 @@ def pq_codes(vec_norm) -> "F.Column":
 def pq_adc_score(codes, query_norm) -> "F.Column":
     """Asymmetric distance: sum over subspaces of L2^2 between the
     query's subvector and the row's selected codeword. Reads only the
-    4-byte code column — the compressed-domain scan that makes PQ
+    16-byte code column — the compressed-domain scan that makes PQ
     worth it at corpus scale."""
     total = F.lit(0.0)
     for s in range(PQ_M):

@@ -2794,12 +2794,12 @@ FROM sc ORDER BY ROUND(adc, 5), vec_id LIMIT 10
     "pq_ann_topk",
     _pq_oracle(),
     doc="Product-quantization ANN (Jégou et al. TPAMI'11; FAISS "
-    "IndexPQ shape): 4x16 codebooks COMMITTED AS LITERALS (trained "
+    "IndexPQ shape): 16x16 codebooks COMMITTED AS LITERALS (trained "
     "deterministically offline, scripts/train_pq_codebooks.py), so "
     "encode (map-only argmin over codewords, distances rounded "
     "before argmin for cross-engine determinism) and asymmetric-"
-    "distance scoring (4 element_at lookups per row over the 4-byte "
-    "code column — 64x compression, the compressed-domain scan that "
+    "distance scoring (16 element_at lookups per row over the 16-byte "
+    "code column — 16x compression, the compressed-domain scan that "
     "matters at 100 TB) are pure codegen column math with a FULL "
     "generated DuckDB oracle. Top-k = TakeOrderedAndProject.",
 )

@@ -222,15 +222,36 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     if not part_cols:
         files = [os.path.join(path, a["path"]) for a in adds.values()]
         return spark.read.parquet(*files)
+    # partition values are serialized as strings in the log; recover
+    # each column's real type from metaData.schemaString so a date/int
+    # partition column does not come back as string
+    part_types = {}
+    if meta is not None:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        part_types = {f.name: f.dataType for f in schema.fields}
     # group files by identical partitionValues to keep scan count low
     groups: dict[tuple, list[str]] = {}
     for a in adds.values():
-        key = tuple(a.get("partitionValues", {}).get(c) for c in part_cols)
+        vals = a.get("partitionValues", {})
+        key = tuple(
+            None
+            if (v := vals.get(c)) in (None, "__HIVE_DEFAULT_PARTITION__")
+            else v
+            for c in part_cols
+        )
         groups.setdefault(key, []).append(os.path.join(path, a["path"]))
     out = None
-    for key, files in sorted(groups.items()):
+    # None-safe ordering: null partition values sort last
+    for key, files in sorted(
+        groups.items(), key=lambda kv: tuple((x is None, x) for x in kv[0])
+    ):
         df = spark.read.parquet(*files)
         for c, v in zip(part_cols, key):
-            df = df.withColumn(c, F.lit(v))
+            lit = F.lit(v)
+            if c in part_types:
+                lit = lit.cast(part_types[c])
+            df = df.withColumn(c, lit)
         out = df if out is None else out.unionByName(df)
     return out

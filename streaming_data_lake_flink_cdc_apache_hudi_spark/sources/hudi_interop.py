@@ -31,6 +31,7 @@ as Hudi's own read-optimized query type — and a snapshot read raises
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -77,20 +78,61 @@ def _walk_base_files(path: str):
                 yield ("" if rel == "." else rel, f, m)
 
 
+def _replaced_file_groups(
+    path: str, done: set[str]
+) -> set[tuple[str, str]]:
+    """(partition, fileId) groups killed by completed replacecommits
+    (Hudi clustering / insert_overwrite record the groups they
+    obsolete in ``partitionToReplaceFileIds``); serving them alongside
+    their replacements would duplicate rows."""
+    tl = os.path.join(path, _HOODIE)
+    out: set[tuple[str, str]] = set()
+    for f in os.listdir(tl):
+        if not f.endswith(".replacecommit"):
+            continue
+        stem = f[: -len(".replacecommit")]
+        if stem not in done:
+            continue
+        full = os.path.join(tl, f)
+        raw = open(full, "rb").read()
+        if not raw.strip():
+            continue  # empty marker: nothing replaced
+        try:
+            meta = json.loads(raw)
+        except (UnicodeDecodeError, json.JSONDecodeError) as exc:
+            raise UnsupportedHudiFeature(
+                f"replacecommit {f} is not JSON (avro-encoded timeline "
+                "metadata needs the Hudi runtime); cannot determine "
+                "replaced file groups safely"
+            ) from exc
+        for part, ids in (
+            meta.get("partitionToReplaceFileIds") or {}
+        ).items():
+            norm = "" if part in ("", ".") else part
+            for fid in ids:
+                out.add((norm, fid))
+    return out
+
+
 def live_file_slices(
     path: str, as_of: str | None = None
 ) -> list[tuple[str, str]]:
     """(relative path, instant) of the newest committed base file per
-    file group, optionally time-traveled to ``as_of`` (inclusive)."""
+    file group, optionally time-traveled to ``as_of`` (inclusive).
+    File groups replaced by a completed replacecommit (clustering /
+    insert_overwrite) are excluded."""
     done = set(completed_instants(path))
     if as_of is not None:
         done = {i for i in done if i <= as_of}
+    replaced = _replaced_file_groups(path, done)
     latest: dict[tuple[str, str], tuple[str, str]] = {}
     for part, fname, m in _walk_base_files(path):
         inst = m.group("instant")
         if inst not in done:
             continue  # inflight or newer-than-as_of write
         key = (part, m.group("file_id"))
+        if key in replaced:
+            continue  # obsoleted by clustering/insert_overwrite
         rel = os.path.join(part, fname) if part else fname
         if key not in latest or inst > latest[key][1]:
             latest[key] = (rel, inst)

@@ -362,3 +362,63 @@ def test_lake_table_export_delta_round_trip(spark, tmp_path):
         (r["k"], r["v"]) for r in read_delta(spark, dest).collect()
     )
     assert got == [(1, "a"), (2, "B")]
+
+
+def test_partition_values_typed_and_null_safe(spark, tmp_path):
+    """Partition values are strings in the log; an int/date partition
+    column must come back with its schemaString type, and a null
+    partition value (absent or __HIVE_DEFAULT_PARTITION__) must map to
+    a typed NULL instead of crashing the file-group sort."""
+    import datetime
+
+    path = str(tmp_path / "typed_delta")
+    os.makedirs(path)
+
+    def _stage(rows, schema, dest):
+        stage = tmp_path / ("stage_" + dest.replace("/", "_"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.makedirs(os.path.dirname(os.path.join(path, dest)), exist_ok=True)
+        os.rename(str(stage / part), os.path.join(path, dest))
+
+    _stage([(1,)], "id LONG", "b=7/dt=2024-01-01/f1.parquet")
+    _stage([(2,)], "id LONG", "b=8/dt=null/f2.parquet")
+    sj = spark.createDataFrame(
+        [], "id LONG, b INT, dt DATE"
+    ).schema.json()
+
+    def add(p, pv):
+        return {
+            "add": {
+                "path": p,
+                "partitionValues": pv,
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+
+    _log(
+        path,
+        0,
+        _proto_meta(sj, partition_cols=["b", "dt"])
+        + [
+            add("b=7/dt=2024-01-01/f1.parquet", {"b": "7", "dt": "2024-01-01"}),
+            add(
+                "b=8/dt=null/f2.parquet",
+                {"b": "8", "dt": "__HIVE_DEFAULT_PARTITION__"},
+            ),
+        ],
+    )
+    df = read_delta(spark, path)
+    types = dict(df.dtypes)
+    assert types["b"] == "int" and types["dt"] == "date"
+    got = sorted(
+        map(tuple, df.collect()), key=lambda t: t[0]
+    )
+    assert got == [
+        (1, 7, datetime.date(2024, 1, 1)),
+        (2, 8, None),
+    ]

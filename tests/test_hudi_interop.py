@@ -137,3 +137,46 @@ def test_hive_partitioned_table(spark, tmp_path):
     assert "dt" in df.columns
     got = sorted((r["key"], str(r["dt"])) for r in df.collect())
     assert got == [(1, "2024-01-01"), (2, "2024-01-02")]
+
+
+def test_replacecommit_excludes_replaced_file_groups(spark, tmp_path):
+    """Clustering / insert_overwrite: a completed .replacecommit lists
+    the file groups it obsoleted in partitionToReplaceFileIds — they
+    must vanish from the live set even though their instants are still
+    completed (serving both would duplicate rows)."""
+    import json
+
+    root = str(tmp_path / "hudi_repl")
+    t1, t2, _ = _mk_table(spark, root)
+    # instant 004: clustering rewrites BOTH groups into one new group
+    t4 = "20240101000000004"
+    fg3 = "0d5c3d1a-9999-8888-7777-666655554444-0"
+    _write_one(
+        spark,
+        [(1, "a"), (2, "B2"), (3, "c")],
+        "key LONG, val STRING",
+        os.path.join(root, f"{fg3}_0-4-0_{t4}.parquet"),
+    )
+    with open(os.path.join(root, ".hoodie", f"{t4}.replacecommit"), "w") as fh:
+        json.dump({"partitionToReplaceFileIds": {"": [FG1, FG2]}}, fh)
+    got = sorted(map(tuple, read_hudi(spark, root).collect()))
+    assert got == [(1, "a"), (2, "B2"), (3, "c")]  # no duplicates
+    slices = live_file_slices(root)
+    assert len(slices) == 1 and slices[0][1] == t4
+    # time travel BEFORE the clustering still serves the old groups
+    got_t2 = sorted(map(tuple, read_hudi(spark, root, as_of=t2).collect()))
+    assert got_t2 == [(1, "a"), (2, "B2"), (3, "c")]
+    slices_t2 = live_file_slices(root, as_of=t2)
+    assert len(slices_t2) == 2
+
+
+def test_unparseable_replacecommit_raises(spark, tmp_path):
+    root = str(tmp_path / "hudi_badrepl")
+    _mk_table(spark, root)
+    t4 = "20240101000000004"
+    with open(
+        os.path.join(root, ".hoodie", f"{t4}.replacecommit"), "wb"
+    ) as fh:
+        fh.write(b"\x00\x01avro-ish-binary\xff")
+    with pytest.raises(UnsupportedHudiFeature):
+        read_hudi(spark, root)

@@ -177,3 +177,118 @@ def test_lake_equality_scan_stale_index_falls_back(spark, tmp_path):
     t.compact()  # rewrites touched buckets -> sidecar now stale
     got = t.equality_scan("city", "valhalla").collect()
     assert [tuple(r) for r in got] == [(300, "valhalla", 1)]
+
+
+def test_probe_rendering_matches_spark_cast_exactly(spark, tmp_path):
+    """The Python probe hash must render values byte-identically to
+    Spark's CAST(col AS STRING) — booleans (true/false), doubles in
+    Java Double.toString layout (1.0E-7, 1.23456789E7), decimals with
+    declared scale, dates and fraction-trimmed timestamps. Any
+    divergence is a silent bloom FALSE NEGATIVE."""
+    import datetime
+    import decimal
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.skipindex import (
+        _positions_col,
+        _positions_py,
+        _spark_cast_string,
+    )
+
+    cases = [
+        ("boolean", [True, False]),
+        (
+            "double",
+            [
+                1e-7, 0.001, 0.0001, 1234567.0, 12345678.9, 1e7, -0.0,
+                0.1, 3.14159, 1e16, -2.5e-5, 42.0, float("inf"),
+            ],
+        ),
+        ("decimal(10,3)", [decimal.Decimal("1.500"), decimal.Decimal("-0.010")]),
+        ("date", [datetime.date(2024, 1, 1), datetime.date(1999, 12, 31)]),
+        (
+            "timestamp",
+            [
+                datetime.datetime(2024, 1, 1, 12, 34, 56, 123000),
+                datetime.datetime(2024, 1, 1, 12, 34, 56),
+                datetime.datetime(2024, 1, 1, 12, 34, 56, 120000),
+            ],
+        ),
+        ("long", [0, -7, 123456789012]),
+        ("string", ["abc", "ünïcode", ""]),
+    ]
+    for typ, vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], f"v {typ}")
+        rendered = [
+            r["s"]
+            for r in df.select(F.col("v").cast("string").alias("s")).collect()
+        ]
+        for v, spark_s in zip(vals, rendered):
+            assert _spark_cast_string(v) == spark_s, (typ, v, spark_s)
+        spark_pos = df.select(
+            *[
+                p.alias(f"p{i}")
+                for i, p in enumerate(_positions_col(F.col("v")))
+            ]
+        ).collect()
+        for v, row in zip(vals, spark_pos):
+            assert _positions_py(v) == [row["p0"], row["p1"], row["p2"]], (
+                typ,
+                v,
+            )
+
+
+def test_probe_rejects_untrustworthy_values(spark):
+    import datetime
+
+    import pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.skipindex import (
+        _spark_cast_string,
+    )
+
+    with pytest.raises(TypeError):
+        _spark_cast_string(None)
+    with pytest.raises(TypeError):
+        _spark_cast_string(5e-324)  # subnormal: Java digits diverge
+    with pytest.raises(TypeError):
+        _spark_cast_string(
+            datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+        )
+
+
+def test_distributed_parquet_sidecar_collects_only_matches(spark, tmp_path):
+    """millions-of-files shape: the mask table is written distributed
+    (no driver collect at build), and candidate resolution filters in
+    Spark so the driver receives only matching paths — results must
+    be identical to the json path."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.skipindex import (
+        candidate_files_distributed,
+        index_parquet_path,
+    )
+
+    path = str(tmp_path / "data_pq")
+    _mk_dataset(spark, path, n_files=6, rows_per=300)
+    n = build_bloom_index(spark, path, "who", sidecar_format="parquet")
+    assert n >= 6
+    assert os.path.isdir(index_parquet_path(path, "who"))
+
+    files, total = candidate_files_distributed(
+        spark, path, "who", "needle-value"
+    )
+    assert total == n
+    assert 1 <= len(files) <= max(2, n // 2)
+    # parity with the json path on the same data
+    build_bloom_index(spark, path, "who", sidecar_format="json")
+    jfiles, jtotal = candidate_files(path, "who", "needle-value")
+    assert files == jfiles and total == jtotal
+
+    # read_with_bloom prefers the distributed sidecar and stays exact
+    got = read_with_bloom(spark, path, "who", "needle-value").collect()
+    want = (
+        spark.read.parquet(path)
+        .filter(F.col("who") == "needle-value")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the sidecar dir is _-prefixed: data reads must not pick it up
+    assert spark.read.parquet(path).columns == ["id", "who"]
