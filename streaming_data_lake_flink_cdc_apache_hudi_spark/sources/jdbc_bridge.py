@@ -19,10 +19,19 @@ Two source shapes:
   cursor is the outbox seq (≙ LSN).
 - **table mode** (no ``op_col``): the polled table is the live OLTP
   table with a monotonic last-modified column. Inserts and updates
-  surface as 'U' upserts (LWW downstream makes that exact); deletes
-  are invisible — the documented limit of query-based CDC everywhere,
-  and why the reference uses a replication slot. Use outbox mode (or
-  soft-delete flags mapped to ``op_col``) when deletes matter.
+  surface as 'U' upserts (LWW downstream makes that exact); hard
+  deletes are invisible to the cursor poll — the documented limit of
+  query-based CDC everywhere, and why the reference uses a
+  replication slot. Two ways to capture them here: outbox mode (or
+  soft-delete flags mapped to ``op_col``), or **keys-diff mode**
+  (``key_cols`` set): :meth:`poll_deletes` pulls the source's key
+  set (key columns only cross the wire), anti-joins it against the
+  previous key snapshot kept next to the feed, and emits a 'D'
+  envelope per vanished key. The snapshot swap is versioned +
+  pointer-atomic and the delete batch's commit id is derived from
+  the snapshot version, so crash-retry replays dedup downstream.
+  Keys-diff deletes are eventually-consistent at the diff cadence
+  (a delete+reinsert between diffs is correctly invisible).
 
 Delivery is at-least-once: the cursor file advances AFTER the feed
 batch lands, so a crash between the two replays rows — harmless,
@@ -69,6 +78,7 @@ class JdbcFeedBridge:
         ts_col: str | None = None,
         max_rows_per_poll: int = 100_000,
         jdbc_options: dict[str, str] | None = None,
+        key_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.url = url
@@ -80,8 +90,14 @@ class JdbcFeedBridge:
         self.ts_col = ts_col
         self.max_rows = int(max_rows_per_poll)
         self.jdbc_options = dict(jdbc_options or {})
+        self.key_cols = [k.lower() for k in (key_cols or [])]
         os.makedirs(feed_dir, exist_ok=True)
         self._cursor_path = os.path.join(feed_dir, "_jdbc_cursor.json")
+        # key snapshots are PARQUET DIRS: they must live OUTSIDE the
+        # feed dir or the feed's glob read would pick their files up
+        self._state_dir = feed_dir.rstrip("/") + ".bridge-state"
+        os.makedirs(self._state_dir, exist_ok=True)
+        self._keys_ptr_path = os.path.join(self._state_dir, "keys_ptr.json")
 
     # -- cursor state (O(1), crash-safe via atomic replace) -----------------
 
@@ -178,21 +194,160 @@ class JdbcFeedBridge:
         finally:
             batch.unpersist()
 
+    # -- keys-diff delete capture (table mode) ------------------------------
+
+    def _jdbc_read(self, select_sql: str) -> DataFrame:
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", f"({select_sql}) diff_sub")
+        )
+        if self.driver:
+            reader = reader.option("driver", self.driver)
+        for k, v in self.jdbc_options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def _row_fields(self) -> list[tuple[str, str]]:
+        """(name, spark-type) of the envelope row fields, in source
+        column order — from a zero-row schema probe (WHERE 1=0)."""
+        probe = self._jdbc_read(f"SELECT * FROM {self.table} WHERE 1=0")
+        probe = probe.toDF(*[c.lower() for c in probe.columns])
+        drop = {self.cursor_col.lower()}
+        if self.op_col:
+            drop.add(self.op_col.lower())
+        return [
+            (f.name, f.dataType.simpleString())
+            for f in probe.schema.fields
+            if f.name not in drop
+        ]
+
+    def _keys_version(self) -> tuple[int, str | None]:
+        if not os.path.exists(self._keys_ptr_path):
+            return 0, None
+        with open(self._keys_ptr_path) as fh:
+            ptr = json.load(fh)
+        return int(ptr["version"]), os.path.join(self._state_dir, ptr["dir"])
+
+    def poll_deletes(self) -> int:
+        """One keys-diff cycle: pull the source's current key set (key
+        + ordering columns ONLY cross the wire), anti-join the previous
+        snapshot against it, and emit one 'D' envelope batch for the
+        vanished keys. Returns the number of delete events appended.
+
+        The 'D' pre-image carries the key fields (nulls elsewhere) —
+        exactly what keyed LWW / tombstone reduction needs. Ordering
+        stays in SOURCE EVENT TIME: the snapshot remembers each key's
+        last-known (ts, seq), and the delete is stamped that ts + 1µs
+        with the same seq — strictly after every committed change of
+        the key, strictly before any later re-insert (whose new ts is
+        later). Wall clock is never used, so a delete can never
+        outrank legitimate future events. The snapshot advances via
+        versioned dirs + an atomic pointer swap, and the delete commit
+        id embeds the new version, so a crash between feed write and
+        pointer swap replays an identical batch that downstream
+        commit-dedup drops.
+        """
+        if not self.key_cols:
+            raise ValueError("poll_deletes requires key_cols")
+        if self.op_col:
+            raise ValueError(
+                "outbox mode already carries deletes; keys-diff is for "
+                "table mode"
+            )
+        cursor = self.cursor_col.lower()
+        pull_cols = list(self.key_cols) + [cursor]
+        if self.ts_col:
+            pull_cols.append(self.ts_col.lower())
+        qcols = ", ".join(f'"{c}"' for c in dict.fromkeys(pull_cols))
+        cur = self._jdbc_read(f"SELECT {qcols} FROM {self.table}")
+        cur = cur.toDF(*[c.lower() for c in cur.columns])
+        # normalized snapshot: key cols + the key's LWW position
+        ts_expr = (
+            F.col(self.ts_col.lower()).cast("timestamp")
+            if self.ts_col
+            else F.timestamp_seconds(F.col(cursor).cast("long"))
+        )
+        cur = cur.select(
+            *self.key_cols,
+            ts_expr.alias("_ts"),
+            F.col(cursor).cast("long").alias("_seq"),
+        )
+        version, prev_dir = self._keys_version()
+        new_version = version + 1
+        new_dir = f"keys_v{new_version}"
+        n_deleted = 0
+        if prev_dir is not None:
+            prev = self.spark.read.parquet(prev_dir)
+            deleted = prev.join(
+                cur.select(*self.key_cols), self.key_cols, "left_anti"
+            )
+            fields = self._row_fields()
+            image = F.struct(
+                *[
+                    (
+                        F.col(name)
+                        if name in self.key_cols
+                        else F.lit(None).cast(typ)
+                    ).alias(name)
+                    for name, typ in fields
+                ]
+            )
+            null_image = F.lit(None).cast(
+                "struct<"
+                + ",".join(f"{n}:{t}" for n, t in fields)
+                + ">"
+            )
+            events = deleted.select(
+                F.lit("D").alias("op"),
+                (F.col("_ts") + F.expr("INTERVAL 1 MICROSECOND")).alias(
+                    "ts"
+                ),
+                F.col("_seq").alias("seq"),
+                image.alias("before"),
+                null_image.alias("after"),
+            )
+            n_deleted = events.count()
+            if n_deleted:
+                write_feed_events(
+                    self.spark,
+                    self.feed_dir,
+                    events,
+                    commit_id=f"jdbc-del-v{new_version}",
+                )
+        # advance the snapshot: versioned dir, then atomic pointer swap
+        cur.write.mode("overwrite").parquet(
+            os.path.join(self._state_dir, new_dir)
+        )
+        tmp = self._keys_ptr_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": new_version, "dir": new_dir}, fh)
+        os.replace(tmp, self._keys_ptr_path)
+        if prev_dir is not None:
+            import shutil
+
+            shutil.rmtree(prev_dir, ignore_errors=True)
+        return n_deleted
+
     def run(
         self,
         poll_interval_secs: float = 5.0,
         max_polls: int | None = None,
         stop_when_idle: bool = False,
+        deletes_every: int | None = None,
     ) -> int:
         """Poll loop (≙ the connector's continuous tail). Returns total
         events bridged. ``stop_when_idle`` ends the loop on the first
         empty poll (backfill-to-caught-up runs); otherwise it keeps
-        tailing until ``max_polls``."""
+        tailing until ``max_polls``. ``deletes_every=N`` interleaves a
+        keys-diff delete capture every N polls (requires key_cols)."""
         total, polls = 0, 0
         while max_polls is None or polls < max_polls:
             n = self.poll_once()
             total += n
             polls += 1
+            if deletes_every and polls % deletes_every == 0:
+                total += self.poll_deletes()
             if n == 0 and stop_when_idle:
                 break
             if max_polls is None or polls < max_polls:
