@@ -8,15 +8,16 @@ tested: schemas, Arrow batch shapes, ``mapInPandas`` operator
 signatures, partition-parallel execution.
 
 Codecs: ``_decode_bytes`` sniffs the payload magic. PPM (P6),
-uncompressed 24-bit BMP, and RIFF/WAVE PCM16 audio decode FOR REAL —
+uncompressed 24-bit BMP, **PNG (stdlib zlib inflate + full filter
+reconstruction: None/Sub/Up/Average/Paeth, gray/RGB/palette/alpha at
+8-bit depth)**, and RIFF/WAVE PCM16 audio decode FOR REAL —
 pure-Python header parse + numpy sample/pixel math, end-to-end in
 this container (dims/rate/duration, checksum, and an 8-dim feature
-from actual pixels or samples). Compressed formats (JPEG/PNG,
-non-PCM audio) and av containers stay a declared
-``NotImplementedError`` stub — decoding them needs PIL/ffmpeg, which
-this environment doesn't ship; swapping a real codec in changes only
-``_decode_bytes``. Payloads with no known magic use the
-deterministic 8-byte fake header (test fixtures).
+from actual pixels or samples). Formats genuinely needing external
+libs (JPEG, 16-bit/interlaced PNG, non-PCM audio, av containers)
+stay a declared ``NotImplementedError`` stub — swapping a real codec
+in changes only ``_decode_bytes``. Payloads with no known magic use
+the deterministic 8-byte fake header (test fixtures).
 
 Scale: mapInPandas streams Arrow batches, so per-executor memory is
 bounded by batch size × blob size, not partition size; decode is
@@ -156,6 +157,172 @@ def _decode_bmp(b: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+# -- real PNG codec (stdlib zlib; no image library) ------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by color type: 0 gray, 2 RGB, 3 palette idx,
+# 4 gray+alpha, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rgb: bytes,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Real 8-bit RGB PNG encoder (zlib deflate). ``row_filters`` lets
+    tests exercise every scanline filter (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth); default all-zero."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb must be width*height*3 bytes")
+    filters = row_filters or [0] * height
+    if len(filters) != height:
+        raise ValueError("row_filters must have one entry per row")
+    bpp = 3
+    stride = width * bpp
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, ft in enumerate(filters):
+        row = rgb[y * stride : (y + 1) * stride]
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        else:
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    raw.append((row[x] - a) & 0xFF)
+                elif ft == 2:
+                    raw.append((row[x] - b) & 0xFF)
+                elif ft == 3:
+                    raw.append((row[x] - (a + b) // 2) & 0xFF)
+                elif ft == 4:
+                    raw.append((row[x] - _paeth(a, b, c)) & 0xFF)
+                else:
+                    raise ValueError(f"unknown filter {ft}")
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + tag
+            + body
+            + zlib.crc32(tag + body).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(b: bytes) -> tuple[int, int, bytes]:
+    """PNG decode with ONLY the stdlib: chunk walk, zlib inflate of
+    the IDAT stream, scanline filter reconstruction (all five filter
+    types), then expansion of gray/palette/alpha to RGB. Boundary
+    (declared): 8-bit depth, non-interlaced — 16-bit and Adam7 raise.
+    Cites the public PNG spec (RFC 2083) layout only."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(b):
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"PLTE":
+            plte = bytes(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + body + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth}/interlace={interlace} needs an external "
+            "decoder; this codec covers 8-bit non-interlaced images"
+        )
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 1:
+            for x in range(ch, stride):
+                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif ft == 2:
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                row[x] = (row[x] + (a + prev[x]) // 2) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                c = prev[x - ch] if x >= ch else 0
+                row[x] = (row[x] + _paeth(a, prev[x], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+    # expand to RGB
+    if color_type == 2:
+        return w, h, bytes(out)
+    import numpy as np
+
+    a = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h * w, ch)
+    if color_type == 0:
+        rgb = np.repeat(a, 3, axis=1)
+    elif color_type == 4:
+        rgb = np.repeat(a[:, :1], 3, axis=1)
+    elif color_type == 6:
+        rgb = a[:, :3]
+    else:  # palette
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        rgb = pal[a[:, 0]]
+    return w, h, rgb.astype(np.uint8).tobytes()
+
+
 def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
     """Canonical RIFF/WAVE PCM16 encoder (44-byte header + LE int16
     frames) — a real audio format, byte-exact. ``samples`` is
@@ -265,10 +432,13 @@ def _decode_bytes(payload: bytes) -> dict:
         )
     payload = bytes(payload)
     checksum = sum(payload) % (1 << 31)
-    if payload[:2] in (b"BM", b"P6"):
-        w, h, rgb = (
-            _decode_bmp(payload) if payload[:2] == b"BM" else _decode_ppm(payload)
-        )
+    if payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_MAGIC:
+        if payload[:8] == _PNG_MAGIC:
+            w, h, rgb = _decode_png(payload)
+        elif payload[:2] == b"BM":
+            w, h, rgb = _decode_bmp(payload)
+        else:
+            w, h, rgb = _decode_ppm(payload)
         return {
             "n_bytes": len(payload),
             "checksum": checksum,
@@ -289,10 +459,11 @@ def _decode_bytes(payload: bytes) -> dict:
             "duration_ms": int(frames * 1000 // rate) if rate else None,
             "feature": _audio_feature(a, rate),
         }
-    if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+    if payload[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "JPEG/PNG decoding needs PIL — not shipped in this container; "
-            "re-encode to PPM/BMP or swap a real codec into _decode_bytes"
+            "JPEG decoding needs PIL/turbojpeg — not shipped in this "
+            "container; re-encode to PNG/PPM/BMP or swap a real codec "
+            "into _decode_bytes"
         )
     width = int.from_bytes(payload[0:2], "big")
     height = int.from_bytes(payload[2:4], "big")
@@ -430,6 +601,8 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                         w, h, rgb = _decode_ppm(b)
                     elif b[:2] == b"BM":
                         w, h, rgb = _decode_bmp(b)
+                    elif b[:8] == _PNG_MAGIC:
+                        w, h, rgb = _decode_png(b)
                     else:
                         out.append(b)
                         continue

@@ -264,3 +264,129 @@ def test_resize_images_passes_through_non_images(spark):
     )
     out = resize_images(df, 8, 8).collect()[0]
     assert bytes(out["payload"]) == payload
+
+
+def _random_rgb(rng, w, h):
+    return bytes(rng.randrange(256) for _ in range(w * h * 3))
+
+
+def test_png_roundtrip_every_filter_type(spark):
+    """Real PNG codec (stdlib zlib): encode with each of the five
+    scanline filters (None/Sub/Up/Average/Paeth) and per-row mixes —
+    decode must reproduce the exact pixels."""
+    import random
+
+    rng = random.Random(3)
+    w, h = 9, 7  # odd dims exercise filter edge columns
+    rgb = _random_rgb(rng, w, h)
+    for ft in range(5):
+        png = MM.encode_png(w, h, rgb, row_filters=[ft] * h)
+        gw, gh, grgb = MM._decode_png(png)
+        assert (gw, gh) == (w, h) and grgb == rgb, f"filter {ft}"
+    mixed = [rng.randrange(5) for _ in range(h)]
+    png = MM.encode_png(w, h, rgb, row_filters=mixed)
+    assert MM._decode_png(png)[2] == rgb
+
+
+def test_png_gray_palette_alpha_color_types(spark):
+    """Hand-built PNGs for color types 0 (gray), 3 (palette),
+    4 (gray+alpha), 6 (RGBA) — all expand to RGB."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            len(body).to_bytes(4, "big") + tag + body
+            + zlib.crc32(tag + body).to_bytes(4, "big")
+        )
+
+    def png(w, h, ctype, raw_scanlines, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        body = MM._PNG_MAGIC + chunk(b"IHDR", ihdr)
+        if plte:
+            body += chunk(b"PLTE", plte)
+        return body + chunk(b"IDAT", zlib.compress(raw_scanlines)) + chunk(b"IEND", b"")
+
+    # gray 2x2: values 10,20 / 30,40
+    g = png(2, 2, 0, bytes([0, 10, 20, 0, 30, 40]))
+    assert MM._decode_png(g) == (2, 2, bytes([10]*3 + [20]*3 + [30]*3 + [40]*3))
+    # palette 2x1: indices 1,0 into [(255,0,0),(0,255,0)]
+    p = png(2, 1, 3, bytes([0, 1, 0]), plte=bytes([255, 0, 0, 0, 255, 0]))
+    assert MM._decode_png(p) == (2, 1, bytes([0, 255, 0, 255, 0, 0]))
+    # gray+alpha 1x1: gray 77, alpha 128 -> RGB 77,77,77
+    ga = png(1, 1, 4, bytes([0, 77, 128]))
+    assert MM._decode_png(ga) == (1, 1, bytes([77, 77, 77]))
+    # RGBA 1x1: alpha dropped
+    rgba = png(1, 1, 6, bytes([0, 1, 2, 3, 200]))
+    assert MM._decode_png(rgba) == (1, 1, bytes([1, 2, 3]))
+
+
+def test_png_through_decode_media_operator(spark):
+    """VERDICT r4 #5 done-condition: a real PNG decodes to dimensions
+    + pixel features through media_decode."""
+    import random
+
+    rng = random.Random(5)
+    w, h = 12, 8
+    rgb = _random_rgb(rng, w, h)
+    png = MM.encode_png(w, h, rgb, row_filters=[4] * h)  # Paeth rows
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png),
+          {"mime": "image/png", "n_bytes": len(png), "width": w,
+           "height": h, "duration_ms": None})],
+        MM.MEDIA_SCHEMA,
+    )
+    r = MM.decode_media(df).collect()[0]
+    assert (r["width"], r["height"]) == (w, h)
+    # features computed from REAL pixels: compare to direct math
+    import numpy as np
+
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(float)
+    want = list(a.mean(axis=0) / 255.0) + list(a.max(axis=0) / 255.0)
+    got = r["feature"][:6]
+    assert all(abs(x - y) < 1e-6 for x, y in zip(got, want))
+
+
+def test_png_interlaced_and_16bit_are_declared_stubs(spark):
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            len(body).to_bytes(4, "big") + tag + body
+            + zlib.crc32(tag + body).to_bytes(4, "big")
+        )
+
+    for depth, interlace in [(16, 0), (8, 1)]:
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, 2, 0, 0, interlace)
+        bad = (
+            MM._PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            MM._decode_png(bad)
+
+
+def test_resize_handles_png_payloads(spark):
+    import random
+
+    rng = random.Random(9)
+    w, h = 16, 10
+    rgb = _random_rgb(rng, w, h)
+    png = MM.encode_png(w, h, rgb, row_filters=[2] * h)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png),
+          {"mime": "image/png", "n_bytes": len(png), "width": w,
+           "height": h, "duration_ms": None})],
+        MM.MEDIA_SCHEMA,
+    )
+    out = MM.resize_images(df, 8, 5).collect()[0]
+    gw, gh, grgb = MM._decode_ppm(bytes(out["payload"]))
+    assert (gw, gh) == (8, 5)
+    import numpy as np
+
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(5) * h) // 5
+    xs = (np.arange(8) * w) // 8
+    assert grgb == a[ys][:, xs].tobytes()
