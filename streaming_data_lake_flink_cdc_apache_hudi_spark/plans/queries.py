@@ -1048,20 +1048,46 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_sketches",
-    None,
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS exact_supps,
+       TRUE AS cd_ok, TRUE AS p50_ok, TRUE AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+""",
     doc="The 100 TB flavor of percentiles/distinct_agg: HLL++ "
     "approx_count_distinct and t-digest-style approx_percentile per "
     "group — single-pass, mergeable, bounded-memory sketches (exact "
-    "variants shuffle all distinct values / sort groups). No oracle "
-    "(estimators are engine-specific); tests pin relative error "
-    "against the exact queries.",
+    "variants shuffle all distinct values / sort groups). Sketch "
+    "estimates are engine-specific, so the value-checked surface is "
+    "the EXACT distinct count plus error-bound FLAGS computed "
+    "in-plan (|approx-exact|/exact within 5% / 2%): the oracle pins "
+    "the exact side and that every flag is TRUE — the sketch "
+    "breaking its bound fails the hash. At 100 TB you run only the "
+    "sketch columns; the exact sides here are the verification "
+    "harness.",
 )
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("_exact_p99"),
+    )
+
+    def _within(approx, exact, tol):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) <= tol * F.abs(F.col(exact))
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_supps",
+        _within("approx_supps", "exact_supps", 0.05).alias("cd_ok"),
+        _within("approx_p50", "_exact_p50", 0.02).alias("p50_ok"),
+        _within("approx_p99", "_exact_p99", 0.02).alias("p99_ok"),
     )
 
 
