@@ -49,11 +49,11 @@ def main() -> None:
     for name in names:
         df = QUERIES[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warmup
-        # drain pending JVM garbage so a major GC doesn't land inside a
-        # timed save (observed 3-8x spikes floating between queries)
-        spark.sparkContext._jvm.System.gc()
         best = float("inf")
-        for _ in range(3):  # min-of-3: shields from host contention
+        for _ in range(5):  # min-of-5: shields from host contention
+            # drain pending JVM garbage before EVERY timed run so a
+            # major GC can't land inside a save (observed 3-8x spikes)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

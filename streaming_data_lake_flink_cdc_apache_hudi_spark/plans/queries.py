@@ -872,8 +872,14 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
     headline=True,
-    doc="4-way star join + agg (TPC-H Q5 shape): fact-to-dims with "
-    "broadcast dims, partial aggregation.",
+    doc="4-way star join + agg (TPC-H Q5 shape): the FACT table "
+    "(lineitem) is the streamed probe side of every join — written "
+    "fact-first so Catalyst can never pick the fact as a broadcast "
+    "build (its 3-column size estimate fits the 10 MB threshold at "
+    "small SF, which both costs a 600k-entry hash build per run and "
+    "is exactly the plan that dies at 100 TB). customer and nation "
+    "are explicit broadcasts; orders is left to AQE (broadcast at "
+    "bench SF, sort-merge at scale).",
 )
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -881,9 +887,15 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     n = load_table(spark, sf_dir, "nation")
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
-        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        li.join(
+            o.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(
             F.round(

@@ -16,12 +16,18 @@ running state with update-mode emission), so they carry parity tests
 against batch aggregates instead of DuckDB oracles.
 
 API choice: Spark 4 also ships transformWithStateInPandas (the
-StatefulProcessor/ListState/timer API), but its Python driver worker
-requires the ``protobuf`` package, absent from this runtime — it
-fails at query start with STREAMING_PYTHON_RUNNER_INITIALIZATION
-regardless of state-store provider. applyInPandasWithState covers the
-same per-key state semantics on the stock HDFS-backed store with no
-extra dependency, so it is the deliberate choice here.
+StatefulProcessor/ListState/timer API). Its Python worker requires
+the ``protobuf`` package — absent from this runtime, it fails at
+query start with STREAMING_PYTHON_RUNNER_INITIALIZATION regardless
+of state-store provider. So the operators here run on
+applyInPandasWithState (same per-key state semantics, stock
+HDFS-backed store, no extra dependency), and the NATIVE path ships
+behind an explicit gate: :func:`tws_available` probes the API + its
+protobuf dependency, and :func:`first_seen_keys_native` is the
+transformWithState spelling of :func:`first_seen_keys` — used
+automatically where the runtime supports it, parity-tested against
+the fallback when it does (and the gate itself is asserted when it
+doesn't).
 """
 
 from __future__ import annotations
@@ -190,4 +196,73 @@ def first_seen_keys(
 
     return projected.groupBy("key").applyInPandasWithState(
         fn, _FIRST_SEEN_OUT, _FIRST_SEEN_STATE, "update", timeout
+    )
+
+
+# -- transformWithState native path (gated) ---------------------------------
+
+
+def tws_available() -> tuple[bool, str]:
+    """Can transformWithStateInPandas actually run here? Needs both
+    the Spark 4 StatefulProcessor API and the python ``protobuf``
+    package (the TWS python worker's wire format; without it the query
+    dies at start with STREAMING_PYTHON_RUNNER_INITIALIZATION)."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError as exc:  # Spark < 4
+        return False, f"no StatefulProcessor API: {exc}"
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False, (
+            "python 'protobuf' package missing — the "
+            "transformWithState python worker requires it"
+        )
+    return True, ""
+
+
+def first_seen_keys_native(stream: DataFrame, key_col: str) -> DataFrame:
+    """:func:`first_seen_keys` on the Spark-4-native
+    transformWithStateInPandas API (ValueState per key). Same output
+    contract: each key emits exactly once, on its first micro-batch,
+    with that batch's copy count. Raises with the probed reason when
+    the runtime can't run TWS — callers pick the fallback then."""
+    ok, why = tws_available()
+    if not ok:
+        raise RuntimeError(f"transformWithState unavailable: {why}")
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "seen boolean")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            total = sum(len(pdf) for pdf in rows)
+            if not self._seen.exists():
+                self._seen.update((True,))
+                if total:
+                    yield pd.DataFrame(
+                        {"key": [str(key[0])], "n_in_batch": [total]}
+                    )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.selectExpr(f"CAST({key_col} AS STRING) AS key")
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=_FirstSeen(),
+            outputStructType=_FIRST_SEEN_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
     )
