@@ -20,7 +20,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
-def fingerprint(plan: str) -> dict:
+_REDUCERS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "Limit",
+    "Deduplicate",
+)
+
+
+def _broadcasts_raw_fact(exec_plan: str, fact: str = "lineitem.parquet") -> bool:
+    """True if any BroadcastExchange subtree contains an UNREDUCED scan
+    of the fact table — hash-building the biggest relation is the plan
+    that dies at 100 TB (smaller sides like orders/events building
+    under a fact probe are the intended orientation; AQE swaps them to
+    sort-merge when they outgrow the threshold)."""
+
+    def depth(line: str) -> int:
+        m = re.search(r"[:+]-", line)
+        return m.start() if m else -1
+
+    lines = exec_plan.splitlines()
+    for i, l in enumerate(lines):
+        if "BroadcastExchange" not in l:
+            continue
+        d = depth(l)
+        sub = []
+        for j in range(i + 1, len(lines)):
+            dj = depth(lines[j])
+            if dj >= 0 and dj <= d:
+                break
+            sub.append(lines[j])
+        txt = "\n".join(sub)
+        if fact in txt and not any(r in txt for r in _REDUCERS):
+            return True
+    return False
+
+
+def fingerprint(plan: str, exec_plan: str) -> dict:
     tree = plan.split("\n\n(")[0]
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     scan_cols = [len(s.split(",")) if s else 0 for s in scans]
@@ -41,6 +79,7 @@ def fingerprint(plan: str) -> dict:
                     "Exchange rangepartitioning" in plan
                     and "TakeOrderedAndProject" not in tree,
                 ),
+                ("FACT-BROADCAST", _broadcasts_raw_fact(exec_plan)),
             ]
             if bad
         )
@@ -62,10 +101,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
     for name, fn in sorted(entry.queries().items()):
+        df = fn(spark, SF_DIR)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            fn(spark, SF_DIR).explain("formatted")
-        rows.append((name, fingerprint(buf.getvalue())))
+            df.explain("formatted")
+        exec_plan = df._jdf.queryExecution().executedPlan().toString()
+        rows.append((name, fingerprint(buf.getvalue(), exec_plan)))
 
     out = [
         "# PLANS — physical-plan fingerprints (generated)",
@@ -73,8 +114,12 @@ def main() -> None:
         f"One line per registry query at `{SF_DIR}`; regenerate with",
         "`python scripts/gen_plans.py`. The audit columns must stay",
         "clean: no cartesian products, no single-partition exchanges,",
-        "no unbounded global sorts (pinned per-query in",
-        "`tests/test_plans.py`; swept here across the whole registry).",
+        "no unbounded global sorts, and no broadcast hash-build of an",
+        "unreduced lineitem (fact) scan — the fact must always be the",
+        "streamed probe side (smaller sides building under it is the",
+        "intended orientation; AQE swaps them to sort-merge at scale).",
+        "Pinned per-query in `tests/test_plans.py`; swept here across",
+        "the whole registry.",
         "",
         "| query | exchanges | broadcast joins | sort-merge joins |"
         " window group-limits | top-k | scans | audit flags |",

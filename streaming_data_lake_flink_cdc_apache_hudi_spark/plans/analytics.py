@@ -82,24 +82,27 @@ WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
 GROUP BY o_orderpriority
 """,
-    doc="TPC-H Q4 shape: EXISTS decorrelated to a left-semi join "
-    "(late-shipping orders per priority). The quarter filter pushes "
-    "into the orders scan; the semi-join never materializes "
-    "lineitem columns past the probe.",
+    doc="TPC-H Q4 shape: EXISTS(l_shipdate > o_orderdate) is "
+    "algebraically MAX(l_shipdate) > o_orderdate per order, so the "
+    "fact side pre-aggregates to one (orderkey, max_ship) row per "
+    "order BEFORE the join — the hash build shrinks from every "
+    "lineitem row to one row per order and is a reduced relation, "
+    "never a raw fact scan. The quarter filter pushes into the "
+    "orders scan.",
 )
 def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_max_ship"))
+    )
     return (
-        o.join(
-            li,
-            (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (F.col("l_shipdate") > F.col("o_orderdate")),
-            "left_semi",
-        )
+        o.join(last_ship, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("_max_ship") > F.col("o_orderdate"))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
@@ -274,9 +277,11 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    # fact-first: the returned-lineitem scan probes; the date-filtered
+    # orders and customer sides build (never the fact)
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_R2(F.sum(_disc())).alias("revenue"))
@@ -379,20 +384,25 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 HAVING SUM(l_quantity) > 250
 """,
     doc="TPC-H Q18 shape: orders whose total quantity exceeds 250, "
-    "with their customer. HAVING filters after one grouped "
-    "aggregation keyed on the order; timestamps stringified for "
-    "cross-engine hashing.",
+    "with their customer. The quantity sum is keyed on the ORDER, so "
+    "it pre-aggregates on the fact table alone and the HAVING "
+    "applies BEFORE any join — only qualifying orders (a tiny "
+    "fraction) ever join orders/customer, and no raw fact scan is "
+    "ever a hash build. Timestamps stringified for cross-engine "
+    "hashing.",
 )
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_sq"))
-        .filter(F.col("_sq") > 250)
+        .filter(F.col("_sq") > 250)  # HAVING, pushed before the joins
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -426,8 +436,14 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = F.broadcast(
         c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
     )
-    recent = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    # the anti join needs only the KEY SET of recent orderers: distinct
+    # first so the hash build is one row per recent customer, not one
+    # per recent order
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
     )
     return (
         c.join(avg_bal)
@@ -454,22 +470,26 @@ FROM (
 GROUP BY c_count
 """,
     doc="TPC-H Q13 shape: distribution of per-customer order counts "
-    "(customers with zero orders included via the OUTER join; the "
-    "priority predicate lives in the join condition, NOT a WHERE — "
-    "a WHERE would silently turn the outer join inner). Two-level "
-    "aggregation: the second groupBy shuffles only one row per "
-    "distinct count value.",
+    "(customers with zero orders included). The per-customer count "
+    "is computed on the ORDERS side ALONE first (one grouped pass "
+    "over the fact, map-side partials), then LEFT-joined onto "
+    "customer — the outer join's build side is one row per ordering "
+    "customer instead of one per order, and zero-order customers "
+    "surface as COALESCE 0 (the original predicate-in-join-condition "
+    "semantics, aggregated early). The second groupBy shuffles one "
+    "row per distinct count value.",
 )
 def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
-    ).select("o_custkey", "o_orderkey")
-    per_cust = (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("int").alias("c_count"))
+    ocnt = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("int").alias("_n"))
     )
+    per_cust = c.join(
+        ocnt, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+    ).select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
 
 

@@ -673,11 +673,17 @@ FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 )
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").agg(
+    # semi/anti joins need only the KEY SET of the right side: distinct
+    # first, so the hash build is one row per customer-with-orders
+    # instead of one per order (10x smaller build, and the distinct
+    # partial-aggregates map-side before its shuffle)
+    okeys = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    )
+    semi = c.join(okeys, c["c_custkey"] == okeys["o_custkey"], "left_semi").agg(
         F.count("*").alias("n")
     ).select(F.lit("with_orders").alias("grp"), "n")
-    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").agg(
+    anti = c.join(okeys, c["c_custkey"] == okeys["o_custkey"], "left_anti").agg(
         F.count("*").alias("n")
     ).select(F.lit("without_orders").alias("grp"), "n")
     return semi.unionByName(anti)
@@ -935,9 +941,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1995-03-15"
     )
+    # fact-first: the filtered lineitem scan streams as the probe side;
+    # the filtered orders/customer sides are the hash builds (broadcast
+    # at bench SF, SMJ via AQE at scale) — never build on the fact
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
