@@ -207,11 +207,16 @@ def test_pricing_summary_partial_agg_and_pushdown(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
 
 
-def test_order_priority_exists_is_semi_join(spark):
-    """Q4 shape: EXISTS must decorrelate to a semi-join (never a
-    cartesian probe), and the quarter filter must push into orders."""
+def test_order_priority_exists_is_preaggregated_join(spark):
+    """Q4 shape: EXISTS(l_shipdate > o_orderdate) is computed as
+    MAX(l_shipdate) per order BEFORE the join (the build side is the
+    reduced per-order aggregate, never the raw fact), with the
+    quarter filter pushed into orders and no cartesian probe."""
     plan = _plan(spark, "order_priority")
-    assert "LeftSemi" in plan
+    tree = _tree(plan)
+    # the fact side pre-aggregates: partial+final tiers over lineitem
+    assert "HashAggregate" in tree
+    assert "partial_max" in plan
     assert "CartesianProduct" not in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed quarter bound
 
@@ -290,3 +295,33 @@ def test_time_partitioned_read_prunes_directories(spark, tmp_path):
         & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp"))
     ).count()
     assert out.count() == want and want > 0
+
+
+def test_no_query_broadcasts_raw_fact_scan(spark):
+    """Sweep the whole registry: no BroadcastExchange may hash-build
+    an UNREDUCED lineitem scan — the fact table must always be the
+    streamed probe side of its joins (smaller sides building under it
+    is the intended orientation; AQE swaps those to sort-merge at
+    scale). Mirrors the FACT-BROADCAST flag in scripts/gen_plans.py."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from gen_plans import _broadcasts_raw_fact
+
+    offenders = []
+    for name, spec in QUERIES.items():
+        try:
+            df = spec.fn(spark, SF_ORACLE)
+            exec_plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            continue
+        if _broadcasts_raw_fact(exec_plan):
+            offenders.append(name)
+    assert offenders == []
