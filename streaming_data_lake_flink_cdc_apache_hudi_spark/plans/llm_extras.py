@@ -1,0 +1,197 @@
+"""Round-5 LLM-pipeline extensions: RAG-style overlapping chunking,
+deterministic per-group sampling, and matryoshka embedding retrieval.
+
+Registered into the same ``QUERIES`` registry as
+:mod:`plans.queries` (imported from there, after the warehouse and
+events packs, so these land at the END of the driver's rotation
+order — the 49 previously-unverified queries keep the CORRECTNESS
+window this round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .queries import register
+
+# -- RAG chunking: word windows with overlap --------------------------------
+
+_CHUNK_W, _CHUNK_STRIDE = 64, 48  # window, stride (overlap 16)
+
+
+@register(
+    "doc_chunks_overlap",
+    f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+),
+n AS (
+  SELECT doc_id, ws, len(ws) AS nw,
+         CAST(GREATEST(1, CEIL((len(ws) - {_CHUNK_W - _CHUNK_STRIDE})
+                               / {_CHUNK_STRIDE}.0)) AS INT) AS n_chunks
+  FROM w
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(len(list_slice(ws, i * {_CHUNK_STRIDE} + 1,
+                           i * {_CHUNK_STRIDE} + {_CHUNK_W})) AS INT)
+           AS n_words,
+       md5(array_to_string(
+           list_slice(ws, i * {_CHUNK_STRIDE} + 1,
+                      i * {_CHUNK_STRIDE} + {_CHUNK_W}), ' ')) AS chunk_md5
+FROM n, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(i)
+""",
+    doc="RAG-prep chunking: every document split into overlapping "
+    f"word windows (size {_CHUNK_W}, stride {_CHUNK_STRIDE}, overlap "
+    f"{_CHUNK_W - _CHUNK_STRIDE}) — the retrieval-corpus unit between "
+    "paragraph_chunks (structural) and sequence_packing (token "
+    "budget). Pure JVM column ops: one split per doc, an in-map "
+    "sequence+posexplode fan-out (no shuffle, no UDF), md5 chunk "
+    "fingerprints for downstream dedup/decontamination. At 100 TB "
+    "the fan-out multiplies rows ~len/stride map-side only; the "
+    "identical window arithmetic runs as the DuckDB oracle.",
+)
+def q_doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    overlap = _CHUNK_W - _CHUNK_STRIDE
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.size(ws) - overlap) / F.lit(float(_CHUNK_STRIDE))),
+        )
+        .cast("int")
+        .alias("n_chunks"),
+    )
+    d = d.select(
+        "doc_id",
+        "ws",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_idx", "_i"
+        ),
+    )
+    chunk = F.slice(
+        F.col("ws"), F.col("chunk_idx") * _CHUNK_STRIDE + 1, _CHUNK_W
+    )
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.size(chunk).cast("int").alias("n_words"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+# -- deterministic per-group sampling ---------------------------------------
+
+
+@register(
+    "sample_per_group",
+    """
+SELECT o_orderpriority, o_orderkey
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+    doc="Per-group reservoir-equivalent sampling: k=3 rows per order "
+    "priority, chosen by md5 hash rank — deterministic, "
+    "layout/engine-independent (the same keys win in any engine, "
+    "any partitioning), the per-STRATUM counterpart of "
+    "stratified_sample's per-row coin flips. WindowGroupLimit "
+    "applies the top-k partially before the exchange, so the "
+    "shuffle carries at most k rows per group per mapper — never "
+    "the fact table.",
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey")
+    )
+
+
+# -- matryoshka embedding retrieval -----------------------------------------
+
+_MAT_DIMS = 16
+_MAT_K = 10
+
+
+@register(
+    "matryoshka_topk",
+    f"""
+WITH q AS (
+  SELECT embedding AS qe
+  FROM embeddings WHERE vec_id = 1
+),
+trunc AS (
+  SELECT vec_id,
+         list_slice(embedding, 1, {_MAT_DIMS}) AS te,
+         list_slice(qe, 1, {_MAT_DIMS}) AS tq
+  FROM embeddings, q
+  WHERE vec_id <> 1
+)
+SELECT vec_id,
+       ROUND(list_dot_product(te, tq)
+             / (sqrt(list_dot_product(te, te))
+                * sqrt(list_dot_product(tq, tq))), 4) AS cos_sim
+FROM trunc
+ORDER BY cos_sim DESC, vec_id
+LIMIT {_MAT_K}
+""",
+    doc="Matryoshka-representation retrieval: score on the FIRST "
+    f"{_MAT_DIMS} dims of the stored embeddings (MRL-style prefix "
+    "truncation — the cheap first pass of a two-stage retrieval "
+    "where full-dim rerank follows, cf. pq_rerank_topk). Cosine over "
+    "the truncated prefix in pure JVM expressions (F.aggregate "
+    "zip-multiply, no UDF), TakeOrderedAndProject top-k with a "
+    "vec_id tiebreak. At 100 TB the prefix scan reads 16/64 of the "
+    "vector bytes before any rerank touches full vectors.",
+)
+def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 1).select(
+            F.slice("embedding", 1, _MAT_DIMS).alias("tq")
+        )
+    )
+    base = emb.filter(F.col("vec_id") != 1).select(
+        "vec_id", F.slice("embedding", 1, _MAT_DIMS).alias("te")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = base.crossJoin(q).select(
+        "vec_id",
+        F.round(
+            dot(F.col("te"), F.col("tq"))
+            / (
+                F.sqrt(dot(F.col("te"), F.col("te")))
+                * F.sqrt(dot(F.col("tq"), F.col("tq")))
+            ),
+            4,
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(_MAT_K)

@@ -2922,6 +2922,7 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `register` exists (safe partial-module import).
 from . import analytics  # noqa: E402,F401
 from . import events_analytics  # noqa: E402,F401
+from . import llm_extras  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
