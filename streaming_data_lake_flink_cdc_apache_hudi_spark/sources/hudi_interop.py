@@ -175,3 +175,153 @@ def read_hudi(
     files = [os.path.join(path, rel) for rel, _ in slices]
     # basePath keeps hive-style partition dirs resolving to columns
     return spark.read.option("basePath", path).parquet(*files)
+
+
+# -- exporter: spec-conformant Hudi COPY_ON_WRITE layout --------------------
+
+
+def export_hudi_cow(
+    df: DataFrame,
+    path: str,
+    record_key: str,
+    table_name: str | None = None,
+    instant: str | None = None,
+    num_files: int = 4,
+) -> int:
+    """Write ``df`` as a single-commit Hudi COPY_ON_WRITE table whose
+    on-disk layout follows the public Hudi storage spec
+    (https://hudi.apache.org/tech-specs/) — the write-side
+    counterpart of :func:`read_hudi`, closing the interop gap the
+    same way ``export_delta`` does for Delta:
+
+    - base files named ``<fileId>_<writeToken>_<instantTime>.parquet``
+      with the five ``_hoodie_*`` meta columns MATERIALIZED in the
+      parquet (commit time, seqno, record key, partition path, file
+      name — the columns Athena's Hudi integration expects,
+      lib/rds-cdc-flink-hudi-stack.ts:470-489);
+    - a ``.hoodie`` timeline with requested/inflight markers and the
+      completed ``<instant>.commit`` holding HoodieCommitMetadata
+      JSON (partitionToWriteStats per file);
+    - ``hoodie.properties`` declaring table name/type/version and the
+      record key field.
+
+    Scale: the data write is the normal distributed parquet writer
+    (``repartition(num_files)`` by key so a record key lands wholly
+    in one file group); only per-file rename + stats (one dict per
+    file) touch the driver — the same footprint every Hudi writer's
+    commit phase has. Returns the number of base files committed.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    if instant is None:
+        instant = _time.strftime("%Y%m%d%H%M%S") + "000"
+    name = table_name or os.path.basename(path.rstrip("/"))
+    os.makedirs(os.path.join(path, _HOODIE), exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    # deterministic fileId per output partition; filename derivable
+    # from the partition id so _hoodie_file_name can be materialized
+    # BEFORE the files exist
+    def file_id(pid: int) -> str:
+        return str(_uuid.uuid5(_uuid.NAMESPACE_URL, f"{name}/{pid}")) + "-0"
+
+    def file_name(pid: int) -> str:
+        return f"{file_id(pid)}_0-{pid}-0_{instant}.parquet"
+
+    name_map = F.create_map(
+        *[
+            x
+            for pid in range(num_files)
+            for x in (F.lit(pid), F.lit(file_name(pid)))
+        ]
+    )
+    staged = os.path.join(path, ".export_stage")
+    with_meta = (
+        df.repartition(num_files, F.col(record_key))
+        .withColumn("_hoodie_commit_time", F.lit(instant))
+        .withColumn(
+            "_hoodie_commit_seqno",
+            F.concat_ws(
+                "_",
+                F.lit(instant),
+                F.spark_partition_id().cast("string"),
+                (F.monotonically_increasing_id() % (1 << 33)).cast("string"),
+            ),
+        )
+        .withColumn("_hoodie_record_key", F.col(record_key).cast("string"))
+        .withColumn("_hoodie_partition_path", F.lit(""))
+        .withColumn("_hoodie_file_name", name_map[F.spark_partition_id()])
+    )
+    # meta columns first, payload after — the Hudi column order
+    meta_cols = [
+        "_hoodie_commit_time",
+        "_hoodie_commit_seqno",
+        "_hoodie_record_key",
+        "_hoodie_partition_path",
+        "_hoodie_file_name",
+    ]
+    with_meta = with_meta.select(*meta_cols, *df.columns)
+    with_meta.write.mode("overwrite").parquet(staged)
+
+    # rename staged part-<pid>-* files to their spec names (part file
+    # numbering equals the partition id of the repartition above)
+    write_stats = []
+    for f in sorted(os.listdir(staged)):
+        m = re.match(r"part-(\d+)-.*\.parquet$", f)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        dest = os.path.join(path, file_name(pid))
+        os.replace(os.path.join(staged, f), dest)
+        write_stats.append(
+            {
+                "fileId": file_id(pid),
+                "path": file_name(pid),
+                "numWrites": None,  # filled below
+                "fileSizeInBytes": os.path.getsize(dest),
+            }
+        )
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
+    # per-file row counts from the parquet footers (metadata read)
+    import pyarrow.parquet as pq
+
+    for st in write_stats:
+        st["numWrites"] = pq.ParquetFile(
+            os.path.join(path, st["path"])
+        ).metadata.num_rows
+
+    props = os.path.join(path, _HOODIE, "hoodie.properties")
+    if not os.path.exists(props):
+        with open(props, "w") as fh:
+            fh.write(
+                "\n".join(
+                    [
+                        f"hoodie.table.name={name}",
+                        "hoodie.table.type=COPY_ON_WRITE",
+                        "hoodie.table.version=6",
+                        "hoodie.timeline.layout.version=1",
+                        f"hoodie.table.recordkey.fields={record_key}",
+                        "hoodie.datasource.write.hive_style_partitioning=false",
+                        "hoodie.table.partition.fields=",
+                    ]
+                )
+                + "\n"
+            )
+    # timeline: requested -> inflight -> completed
+    open(
+        os.path.join(path, _HOODIE, f"{instant}.commit.requested"), "w"
+    ).close()
+    open(os.path.join(path, _HOODIE, f"{instant}.inflight"), "w").close()
+    meta = {
+        "partitionToWriteStats": {"": write_stats},
+        "operationType": "INSERT",
+        "compacted": False,
+        "extraMetadata": {},
+    }
+    with open(os.path.join(path, _HOODIE, f"{instant}.commit"), "w") as fh:
+        json.dump(meta, fh)
+    return len(write_stats)

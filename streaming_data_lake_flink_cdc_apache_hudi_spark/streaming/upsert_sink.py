@@ -824,6 +824,24 @@ class UpsertLakeTable:
             name=os.path.basename(self.path.rstrip("/")),
         )
 
+    def export_hudi(self, dest: str, instant: str | None = None) -> int:
+        """Materialize the current snapshot as a spec-conformant Hudi
+        COPY_ON_WRITE table at ``dest`` (base-file naming, .hoodie
+        timeline, materialized ``_hoodie_*`` meta columns) so external
+        Hudi readers — including this engine's own ``read_hudi`` and
+        Athena's Hudi integration (lib/rds-cdc-flink-hudi-stack.ts:
+        470-519) — can mount the lake's output without this engine.
+        See ``sources/hudi_interop.export_hudi_cow``."""
+        from ..sources.hudi_interop import export_hudi_cow
+
+        return export_hudi_cow(
+            self.snapshot(),
+            dest,
+            record_key=self.key[0] if isinstance(self.key, list) else self.key,
+            table_name=os.path.basename(self.path.rstrip("/")),
+            instant=instant,
+        )
+
     def incremental(self, since_seq: int) -> DataFrame:
         """Rows of keys that changed after commit ``since_seq`` — the
         current version per changed key, metadata included so
