@@ -652,3 +652,92 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join (SymSpell deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+
+def _deletion_variants(col: Column, max_dist: int) -> Column:
+    """All strings reachable from ``col`` by deleting up to
+    ``max_dist`` characters (the string itself included) — the
+    SymSpell key set. Pure column math: one ``transform`` over the
+    position sequence per deletion level, flatten + distinct."""
+
+    # substring with column args needs F.substr (Spark >= 3.4)
+    def deletes(s: Column) -> Column:
+        return F.when(
+            F.length(s) <= 1, F.array(F.lit(""))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.concat(
+                    F.substr(s, F.lit(1), i - 1),
+                    F.substr(s, i + 1, F.length(s)),
+                ),
+            )
+        )
+
+    level = F.array(col)
+    out = level
+    for _ in range(max_dist):
+        level = F.array_distinct(
+            F.flatten(F.transform(level, lambda s: deletes(s)))
+        )
+        out = F.array_union(out, level)
+    return out
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist``, without a
+    cartesian product: SymSpell deletion-neighborhood blocking — two
+    strings within distance d always share at least one common
+    ``<=d``-deletion variant, so candidates come from an EQUI-JOIN on
+    the exploded variant keys and are then verified with the exact
+    ``levenshtein`` (lossless: blocking only ever adds candidates).
+
+    Scale shape: key fan-out is O(len^d / d!) per row (len+1 keys at
+    d=1), all generated map-side; the join is a hash join on the
+    variant string; verification runs only on candidates. ``max_dist``
+    is capped at 2 — beyond that the key fan-out stops being the
+    right blocking (use q-gram PPJoin instead, cf.
+    :func:`jaccard_pairs`).
+
+    Returns (id_a, id_b, dist) with id_a < id_b.
+    """
+    if not 1 <= max_dist <= 2:
+        raise ValueError("max_dist must be 1 or 2 (see docstring)")
+    df = _spread(df)
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.explode(
+            _deletion_variants(F.col(text_col), max_dist)
+        ).alias("_k"),
+    )
+    a, b = keyed.alias("a").hint("merge"), keyed.alias("b").hint("merge")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._k") == F.col("b._k"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._t").alias("_ta"),
+            F.col("b._t").alias("_tb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -955,3 +955,64 @@ def pq_query_codes(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group centroid outliers (embedding-space curation)
+# ---------------------------------------------------------------------------
+
+
+def centroid_outliers(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """The ``k`` vectors LEAST similar to their own group's centroid,
+    per group — the embedding-space curation primitive behind
+    mislabel/contamination detection (a doc whose embedding sits far
+    from its source/label centroid is a labeling or crawl anomaly)
+    and cluster pruning (SemDeDup-style: drop the fringe).
+
+    Scale shape: one ``posexplode`` of the vectors (linear, n x dim
+    rows), one grouped partial-aggregated shuffle for the per-(group,
+    dim) means, one dim-keyed join back to the exploded rows with a
+    per-(id) re-aggregation for the dot/norms, then a per-GROUP
+    bottom-k window (WindowGroupLimit — never a global sort). The
+    centroid table is groups x dim rows — broadcastable under the
+    join at any realistic group count.
+
+    Returns (group, id, cos_centroid) — ``cos_centroid`` rounded to 4
+    so the score is hash-comparable cross-engine.
+    """
+    from pyspark.sql import Window
+
+    x = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    cent = x.groupBy("grp", "dim").agg(F.avg("val").alias("cv"))
+    dots = (
+        x.join(cent, ["grp", "dim"])
+        .groupBy("grp", "_id")
+        .agg(
+            F.sum(F.col("val") * F.col("cv")).alias("dp"),
+            F.sum(F.col("val") * F.col("val")).alias("na"),
+            F.sum(F.col("cv") * F.col("cv")).alias("nc"),
+        )
+    )
+    scored = dots.select(
+        "grp",
+        "_id",
+        F.round(
+            F.col("dp") / (F.sqrt("na") * F.sqrt("nc")), 4
+        ).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("grp").orderBy("cos_centroid", "_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "_id", "cos_centroid")
+    )

@@ -195,3 +195,85 @@ def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(_MAT_K)
+
+
+# -- edit-distance similarity join ------------------------------------------
+
+
+@register(
+    "name_typo_pairs",
+    """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a, customer b
+WHERE a.c_custkey < b.c_custkey
+  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+    doc="Edit-distance similarity join (SymSpell deletion-neighborhood "
+    "blocking, operators/dedup.edit_distance_pairs): all customer-name "
+    "pairs within Levenshtein distance 1, candidates from an "
+    "EQUI-JOIN on shared deletion variants (len+1 keys per row, "
+    "map-side fan-out) verified with the exact levenshtein — never a "
+    "cartesian product (the oracle brute-forces the quadratic form "
+    "DuckDB-side, which is exactly what the blocking avoids at "
+    "scale). The fuzzy-matching primitive for entity resolution / "
+    "typo-cluster dedup.",
+)
+def q_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import edit_distance_pairs
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit_distance_pairs(c, "c_name", "c_custkey", max_dist=1).select(
+        F.col("id_a"), F.col("id_b"), F.col("dist").cast("int").alias("dist")
+    )
+
+
+# -- embedding centroid outliers --------------------------------------------
+
+
+@register(
+    "embedding_outliers",
+    """
+WITH x AS (
+  SELECT vec_id, label, u.val, u.ord
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS val,
+                       generate_subscripts(embedding, 1) AS ord) u
+),
+c AS (SELECT label, ord, AVG(val) AS cv FROM x GROUP BY label, ord),
+dots AS (
+  SELECT x.vec_id, x.label,
+         SUM(x.val * c.cv) AS dp,
+         SUM(x.val * x.val) AS na,
+         SUM(c.cv * c.cv) AS nc
+  FROM x JOIN c ON x.label = c.label AND x.ord = c.ord
+  GROUP BY x.vec_id, x.label
+),
+scored AS (
+  SELECT label AS grp, vec_id AS _id,
+         ROUND(dp / (sqrt(na) * sqrt(nc)), 4) AS cos_centroid
+  FROM dots
+)
+SELECT grp, _id, cos_centroid
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY grp ORDER BY cos_centroid, _id) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+""",
+    doc="Per-label centroid outliers (operators/similarity."
+    "centroid_outliers): the 5 embeddings least cosine-similar to "
+    "their own label's mean vector — the SemDeDup/mislabel-detection "
+    "curation primitive. One posexplode (linear n x dim rows), one "
+    "partial-aggregated shuffle for (label, dim) means, one join "
+    "back + per-id re-aggregation, then a per-GROUP bottom-k window "
+    "(WindowGroupLimit, no global sort). Scores ranked on the "
+    "ROUNDED value + id so ordering is ulp-stable cross-engine.",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, "label", "embedding", "vec_id", k=5)

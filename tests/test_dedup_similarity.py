@@ -644,3 +644,71 @@ def test_pq_index_at_rest_round_trip(spark, tmp_path):
         .treeString()
     )
     assert "embedding" not in plan  # compressed-domain only
+
+
+def test_edit_distance_pairs_planted_and_lossless(spark):
+    """SymSpell deletion blocking: planted typo pairs (substitute /
+    insert / delete, and a d=2 double-edit) must come back exactly —
+    equal to the brute-force levenshtein join — and the plan must
+    contain no cartesian product."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    rows = [
+        (1, "jonathan smith"),
+        (2, "jonathon smith"),   # substitution  (d=1 of 1)
+        (3, "jonathan smiths"),  # insertion     (d=1 of 1)
+        (4, "jonathan smit"),    # deletion      (d=1 of 1)
+        (5, "jonathon smiths"),  # d=2 of 1, d=1 of 2 and 3
+        (6, "completely different name"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, name STRING")
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, "name", "id", max_dist=d).collect()
+        }
+        # brute force ground truth
+        import itertools
+
+        want = set()
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            lv = spark.createDataFrame(
+                [(ta, tb)], "a STRING, b STRING"
+            ).select(F.levenshtein("a", "b").alias("d")).collect()[0]["d"]
+            if lv <= d:
+                want.add((ia, ib, lv))
+        assert got == want, d
+    plan = (
+        edit_distance_pairs(df, "name", "id", max_dist=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_centroid_outliers_planted(spark):
+    """A vector pointing away from its group's centroid must rank as
+    the group's worst; in-cluster vectors must not."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for g in ("a", "b"):
+        base = [1.0, 0.0, 0.0, 0.0] if g == "a" else [0.0, 1.0, 0.0, 0.0]
+        for i in range(10):
+            v = [x + rng.uniform(-0.05, 0.05) for x in base]
+            rows.append((g, g + str(i), v))
+    rows.append(("a", "a_outlier", [-1.0, 0.05, 0.0, 0.0]))  # anti-centroid
+    df = spark.createDataFrame(rows, "grp STRING, id STRING, vec ARRAY<DOUBLE>")
+    out = centroid_outliers(df, "grp", "vec", "id", k=1)
+    worst = {r["grp"]: r["_id"] for r in out.collect()}
+    assert worst["a"] == "a_outlier"
+    assert worst["b"].startswith("b")
