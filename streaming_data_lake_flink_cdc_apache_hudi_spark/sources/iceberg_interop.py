@@ -1,0 +1,352 @@
+"""Apache Iceberg table-format interop — reader and exporter, from
+the public spec (https://iceberg.apache.org/spec/) only.
+
+Completes the lakehouse-format trio (Delta: ``delta_interop``, Hudi:
+``hudi_interop``): the engine can MOUNT an Iceberg table written by
+Spark/Flink/Trino with a filesystem (Hadoop) catalog layout, and
+EXPORT any DataFrame as a v1 Iceberg table those engines can mount.
+
+The metadata tree is walked exactly as the spec defines it:
+
+- ``metadata/version-hint.text`` (or the highest ``vN.metadata.json``)
+  names the current table metadata;
+- the metadata JSON carries schemas, partition specs, and the
+  snapshot log; each snapshot points at a MANIFEST LIST (Avro);
+- the manifest list names MANIFEST FILES (Avro), each of which lists
+  data files with a status (EXISTING/ADDED/DELETED) and per-file
+  stats; live files = entries whose status != DELETED reachable from
+  the chosen snapshot;
+- data files are plain parquet → one pruned ``spark.read.parquet``
+  over exactly the live files, pushdown untouched.
+
+The Avro layer is ``avro_codec`` (stdlib-only, schema-driven off the
+embedded writer schema), so v1 and v2 manifest layouts both decode —
+v2 DELETE FILES (merge-on-read row deletes) are a gated boundary:
+applying them needs positional/equality delete semantics, so a table
+that has any raises ``UnsupportedIcebergFeature`` rather than
+returning resurrected rows.
+
+Scale notes: the metadata walk touches only KB-scale Avro files
+driver-side (the same footprint every Iceberg client has — that IS
+Iceberg's design: metadata small enough to read, data enumerated
+without listing); the data scan is Spark-native.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .avro_codec import read_avro, write_avro
+
+
+class UnsupportedIcebergFeature(RuntimeError):
+    """Table requires features beyond this reader (e.g. delete files)."""
+
+
+_META_DIR = "metadata"
+
+
+# -- reader -----------------------------------------------------------------
+
+
+def _current_metadata_path(path: str) -> str:
+    md = os.path.join(path, _META_DIR)
+    hint = os.path.join(md, "version-hint.text")
+    if os.path.exists(hint):
+        v = open(hint).read().strip()
+        cand = os.path.join(md, f"v{v}.metadata.json")
+        if os.path.exists(cand):
+            return cand
+    versions = []
+    for f in os.listdir(md):
+        m = re.match(r"v(\d+)\.metadata\.json$", f)
+        if m:
+            versions.append((int(m.group(1)), f))
+    if not versions:
+        raise FileNotFoundError(f"no vN.metadata.json under {md}")
+    return os.path.join(md, max(versions)[1])
+
+
+def _resolve(path_in_meta: str, table_path: str) -> str:
+    """Manifest/data paths in metadata are absolute URIs from the
+    writing environment; re-root them at the local table path so a
+    copied/downloaded table still resolves."""
+    p = path_in_meta
+    if "://" in p:  # strip scheme + authority
+        rest = p.split("://", 1)[1]
+        p = "/" + rest.split("/", 1)[1] if "/" in rest else rest
+    if os.path.exists(p):
+        return p
+    # re-root at the table-relative tail (metadata/ or data/)
+    for anchor in ("/metadata/", "/data/"):
+        if anchor in p:
+            return os.path.join(
+                table_path, anchor.strip("/"), p.split(anchor, 1)[1]
+            )
+    return os.path.join(table_path, os.path.basename(p))
+
+
+def live_data_files(
+    path: str, snapshot_id: int | None = None
+) -> list[str]:
+    """Data-file paths reachable from the chosen snapshot (default:
+    current), with DELETED manifest entries dropped and v2 delete
+    files gated."""
+    meta = json.load(open(_current_metadata_path(path)))
+    snaps = meta.get("snapshots", [])
+    if not snaps:
+        return []
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in snaps if s["snapshot-id"] == snapshot_id), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not in table metadata")
+    mlist_path = _resolve(snap["manifest-list"], path)
+    _, manifests = read_avro(mlist_path)
+    out = []
+    for m in manifests:
+        if m.get("content", 0) == 1:
+            raise UnsupportedIcebergFeature(
+                "v2 delete manifests present; row-level deletes need "
+                "an Iceberg runtime to apply"
+            )
+        _, entries = read_avro(_resolve(m["manifest_path"], path))
+        for e in entries:
+            if e.get("status") == 2:  # DELETED
+                continue
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) != 0:
+                raise UnsupportedIcebergFeature(
+                    "delete file entries present; row-level deletes "
+                    "need an Iceberg runtime to apply"
+                )
+            fmt = (df_rec.get("file_format") or "PARQUET").upper()
+            if fmt != "PARQUET":
+                raise UnsupportedIcebergFeature(
+                    f"data file format {fmt} (parquet only)"
+                )
+            out.append(_resolve(df_rec["file_path"], path))
+    return sorted(set(out))
+
+
+def read_iceberg(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Mount an Iceberg table (filesystem catalog layout) as a
+    DataFrame; ``snapshot_id`` time-travels over the snapshot log."""
+    files = live_data_files(path, snapshot_id)
+    if not files:
+        raise FileNotFoundError(
+            f"Iceberg table at {path} has no live data files"
+        )
+    return spark.read.option("basePath", path).parquet(*files)
+
+
+def snapshots(path: str) -> list[dict]:
+    """The table's snapshot log (id, timestamp, summary) — the
+    time-travel surface."""
+    meta = json.load(open(_current_metadata_path(path)))
+    return [
+        {
+            "snapshot_id": s["snapshot-id"],
+            "timestamp_ms": s.get("timestamp-ms"),
+            "summary": s.get("summary", {}),
+        }
+        for s in meta.get("snapshots", [])
+    ]
+
+
+# -- exporter (format-version 1, unpartitioned) -----------------------------
+
+_SPARK_TO_ICEBERG = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "field-id": 1,
+        },
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {
+                        "name": "file_size_in_bytes",
+                        "type": "long",
+                        "field-id": 104,
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {
+            "name": "added_snapshot_id",
+            "type": ["null", "long"],
+            "field-id": 503,
+        },
+    ],
+}
+
+
+def export_iceberg(
+    df: DataFrame, path: str, table_name: str | None = None
+) -> int:
+    """Write ``df`` as a new single-snapshot, unpartitioned Iceberg
+    v1 table at ``path`` (filesystem catalog layout: data/ parquet +
+    metadata/ tree with version-hint). Data goes through the normal
+    distributed parquet writer; only per-file stats (one record per
+    file) pass through the driver — the footprint every Iceberg
+    writer's commit has. Returns the number of data files."""
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(path, "data")
+    df.write.mode("overwrite").parquet(data_dir)
+    parts = sorted(
+        f
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    now_ms = int(time.time() * 1000)
+    entries = []
+    total_rows = 0
+    for f in parts:
+        full = os.path.join(data_dir, f)
+        n = pq.ParquetFile(full).metadata.num_rows
+        total_rows += n
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": full,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(full),
+                },
+            }
+        )
+    md = os.path.join(path, _META_DIR)
+    manifest_path = os.path.join(md, f"manifest-{snapshot_id}.avro")
+    write_avro(
+        manifest_path,
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        metadata={
+            "schema": json.dumps(_iceberg_schema(df)).encode(),
+            "partition-spec": b"[]",
+        },
+    )
+    mlist_path = os.path.join(md, f"snap-{snapshot_id}.avro")
+    write_avro(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 1,
+        "table-uuid": str(uuid.uuid4()),
+        "location": path,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(df.schema.fields),
+        "schema": _iceberg_schema(df),
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {
+            **({"name": table_name} if table_name else {}),
+            "write.format.default": "parquet",
+        },
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "timestamp-ms": now_ms,
+                "manifest-list": mlist_path,
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(parts)),
+                    "added-records": str(total_rows),
+                },
+            }
+        ],
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return len(parts)
+
+
+def _iceberg_schema(df: DataFrame) -> dict:
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        t = _SPARK_TO_ICEBERG.get(f.dataType.simpleString())
+        if t is None:
+            raise UnsupportedIcebergFeature(
+                f"no Iceberg mapping for column {f.name}: "
+                f"{f.dataType.simpleString()} (export supports "
+                "primitive columns)"
+            )
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": t,
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}

@@ -758,15 +758,18 @@ def stream_group_agg(
     checkpoint_dir: str | None = None,
     trigger: dict | None = None,
     num_buckets: int = 16,
+    minmax_cols: Sequence[str] | None = None,
 ):
-    """Continuously maintain a GROUP BY SUM/COUNT view from a CDC
-    envelope feed (readStream -> foreachBatch -> GroupAggIVM.apply):
-    the retract-aggregation pipeline of SURVEY §2.2 R8 as one call.
-    Exactly-once: epoch ids dedup replayed batches in the lake."""
+    """Continuously maintain a GROUP BY SUM/COUNT (+MIN/MAX via
+    ``minmax_cols``) view from a CDC envelope feed (readStream ->
+    foreachBatch -> GroupAggIVM.apply): the retract-aggregation
+    pipeline of SURVEY §2.2 R8 as one call. Exactly-once: epoch ids
+    dedup replayed batches in the lake."""
     from ..sources.cdc_feed import read_feed_stream
 
     ivm = GroupAggIVM(
-        spark, path, group_cols, sum_cols, num_buckets=num_buckets
+        spark, path, group_cols, sum_cols, num_buckets=num_buckets,
+        minmax_cols=minmax_cols,
     )
     stream = read_feed_stream(spark, feed_dir, row_schema)
     writer = stream.writeStream.foreachBatch(
