@@ -842,6 +842,19 @@ class UpsertLakeTable:
             instant=instant,
         )
 
+    def export_iceberg(self, dest: str) -> int:
+        """Materialize the current snapshot as an Iceberg v1 table at
+        ``dest`` (filesystem-catalog layout: data/ parquet + metadata/
+        tree) so external Iceberg readers can mount the lake's output
+        without this engine. See ``sources/iceberg_interop``."""
+        from ..sources.iceberg_interop import export_iceberg
+
+        return export_iceberg(
+            self.snapshot(),
+            dest,
+            table_name=os.path.basename(self.path.rstrip("/")),
+        )
+
     def incremental(self, since_seq: int) -> DataFrame:
         """Rows of keys that changed after commit ``since_seq`` — the
         current version per changed key, metadata included so

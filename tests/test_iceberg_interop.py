@@ -219,3 +219,27 @@ def test_v2_delete_manifests_are_gated(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(UnsupportedIcebergFeature):
         read_iceberg(spark, path)
+
+
+def test_lake_table_export_iceberg_round_trip(spark, tmp_path):
+    """The lake's keyed-upsert table hands its snapshot to any
+    Iceberg reader: upserts applied, metadata tree on disk."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    t = UpsertLakeTable(spark, str(tmp_path / "tkt"), key="k", num_buckets=4)
+    rows = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k LONG, v STRING, ts LONG"
+    )
+    t.write(rows, commit_id="c1")
+    upd = spark.createDataFrame([(2, "B", 2)], "k LONG, v STRING, ts LONG")
+    t.write(upd, commit_id="c2")
+    dest = str(tmp_path / "tkt_iceberg")
+    n = t.export_iceberg(dest)
+    assert n >= 1
+    got = sorted(
+        (r["k"], r["v"])
+        for r in read_iceberg(spark, dest).select("k", "v").collect()
+    )
+    assert got == [(1, "a"), (2, "B")]
