@@ -8,9 +8,10 @@ the model-based curation and compressed-vector features:
   2. bloom file-skip index               (equality probes on a
                                           non-key column open only
                                           candidate files)
-  3. Delta Lake export                   (any external Delta reader
-                                          can mount the snapshot)
-  4. Delta + Hudi CoW read               (tables written by OTHER
+  3. Delta / Hudi / Iceberg export       (any external reader of the
+                                          three lakehouse formats can
+                                          mount the snapshot)
+  4. Delta + Hudi + Iceberg read         (tables written by OTHER
                                           engines mount here)
   5. model-based quality filter          (distilled linear classifier
                                           scores map-only)
@@ -88,6 +89,31 @@ def main() -> None:
         back = read_delta(spark, delta_dir)
         assert back.count() == n
         print(f"4. Delta read-back: {back.count()} rows, schema OK")
+
+        # -- 4b. the same snapshot as Hudi CoW and Iceberg v1 ---------
+        from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import read_hudi
+        from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import read_iceberg
+
+        hudi_dir = os.path.join(work, "cust_hudi")
+        t.export_hudi(hudi_dir)
+        assert read_hudi(spark, hudi_dir).count() == n
+        ice_dir = os.path.join(work, "cust_iceberg")
+        t.export_iceberg(ice_dir)
+        assert read_iceberg(spark, ice_dir).count() == n
+        print("4b. Hudi CoW + Iceberg v1 exports mount back: "
+              f"{n} rows each (full lakehouse-format trio)")
+
+        # -- 4c. HLL sketch sidecar: distinct counts from metadata ----
+        from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.sketchindex import (
+            build_hll_sidecar,
+            distinct_estimate,
+        )
+
+        data_dir = os.path.join(ice_dir, "data")
+        build_hll_sidecar(spark, data_dir, "c_mktsegment")
+        est = distinct_estimate(spark, data_dir, "c_mktsegment")
+        print(f"4c. HLL sidecar distinct(c_mktsegment) ~= {est} "
+              "(no data file opened)")
 
         # -- 5. model-based quality filter over documents -------------
         docs = load_table(spark, SF_DIR, "documents")
