@@ -295,3 +295,63 @@ def test_latest_by_key_agg_matches_window_reference(spark, rows):
         .collect()
     }
     assert got == want
+
+
+# -- Avro codec: arbitrary values round-trip --------------------------------
+
+_AVRO_VALUE_SCHEMA = {
+    "type": "record",
+    "name": "P",
+    "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "o", "type": ["null", "double", "string"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+        {"name": "by", "type": "bytes"},
+        {"name": "b", "type": "boolean"},
+    ],
+}
+
+_avro_records = st.lists(
+    st.fixed_dictionaries(
+        {
+            "i": st.integers(min_value=-(2**62), max_value=2**62),
+            "s": st.text(max_size=40),
+            "o": st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+                st.text(max_size=10),
+            ),
+            "arr": st.lists(st.integers(-(2**31), 2**31), max_size=8),
+            "m": st.dictionaries(
+                st.text(min_size=1, max_size=8), st.integers(-100, 100),
+                max_size=5,
+            ),
+            "by": st.binary(max_size=20),
+            "b": st.booleans(),
+        }
+    ),
+    max_size=25,
+)
+
+
+@settings(max_examples=40, suppress_health_check=[HealthCheck.too_slow])
+@given(records=_avro_records, codec=st.sampled_from(["null", "deflate"]))
+def test_avro_codec_round_trips_arbitrary_values(tmp_path_factory, records, codec):
+    """Spec conformance under fuzzing: any record set the schema
+    admits (unicode, negative varints, NaN-free doubles, empty
+    arrays/maps, union branch flips) must survive write->read
+    byte-exactly."""
+    import os as _os
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.avro_codec import (
+        read_avro,
+        write_avro,
+    )
+
+    d = tmp_path_factory.mktemp("avro_prop")
+    p = _os.path.join(str(d), "t.avro")
+    write_avro(p, _AVRO_VALUE_SCHEMA, records, codec=codec)
+    _, back = read_avro(p)
+    assert back == records
