@@ -41,9 +41,9 @@ def test_flagship_joins_broadcast_and_prune(spark):
     plan = _plan(spark, "ticket_view")
     assert _tree(plan).count("BroadcastHashJoin") == 2  # both joins shuffle-free
     assert "SortMergeJoin" not in plan
-    # LWW dedup is a max_by aggregation: partial (map-side) tier below
-    # the exchange, final above — each mapper ships one row per key
-    assert "partial_max_by" in plan
+    # LWW dedup is a max(struct) aggregation: partial (map-side) tier
+    # below the exchange, final above — each mapper ships one row per key
+    assert "partial_max" in plan
     assert _tree(plan).count("- Exchange (") == 1  # single LWW hash shuffle
     # lineitem scan reads only the 3 needed columns of 11
     assert (
