@@ -151,6 +151,11 @@ class StreamingNearDupIndex:
         matches (doc_id, dup_of, est_jaccard) — ``doc_id`` is always
         the NEW document, ``dup_of`` the earlier one — and commits
         matches + signatures + band rows to the index tables."""
+        if batch.isEmpty():  # no-data micro-batch: nothing to index
+            idt = batch.schema[id_col].dataType.simpleString()
+            return self.spark.createDataFrame(
+                [], f"doc_id {idt}, dup_of {idt}, est_jaccard double"
+            )
         est = F.aggregate(
             F.zip_with("sig", "old_sig", lambda x, y: (x == y).cast("int")),
             F.lit(0),

@@ -102,3 +102,20 @@ def test_stream_near_dup_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert got == want and want
+
+
+def test_empty_and_single_doc_batches(spark, tmp_path):
+    """No-data micro-batches are no-ops; a single-doc batch indexes
+    cleanly; an exact copy in a later batch is detected."""
+    idx = StreamingNearDupIndex(spark, str(tmp_path / "nd2"), num_buckets=2)
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert idx.apply(empty, epoch_id=0).count() == 0
+    one = spark.createDataFrame(
+        [(1, "hello world this is a doc")], "doc_id LONG, text STRING"
+    )
+    assert idx.apply(one, epoch_id=1).count() == 0
+    two = spark.createDataFrame(
+        [(2, "hello world this is a doc")], "doc_id LONG, text STRING"
+    )
+    got = [(r["doc_id"], r["dup_of"]) for r in idx.apply(two, epoch_id=2).collect()]
+    assert got == [(2, 1)]
