@@ -917,3 +917,193 @@ def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "min_cost_supplier",
+    """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+regional AS (
+  SELECT u.l_partkey, u.l_suppkey, u.unit_price, s_name
+  FROM unit u
+  JOIN supplier ON s_suppkey = u.l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT p_partkey, s_name,
+       FLOOR(unit_price * 100 + 0.5) / 100 AS best_price
+FROM (
+  SELECT r.*, p_partkey,
+         row_number() OVER (
+           PARTITION BY r.l_partkey
+           ORDER BY r.unit_price, r.l_suppkey) AS rn
+  FROM regional r JOIN part ON p_partkey = r.l_partkey
+  WHERE p_size >= 30
+)
+WHERE rn = 1
+""",
+    doc="TPC-H Q2 shape (min-cost supplier per part within a region), "
+    "with supply cost DERIVED as the minimum traded unit price per "
+    "(part, supplier) — the testdata carries no partsupp. The "
+    "correlated MIN subquery decorrelates to a per-part window over "
+    "the ALREADY-AGGREGATED bridge (one grouped pass over the fact, "
+    "then part-keyed WindowGroupLimit); supplier/nation/region "
+    "broadcast; the p_size filter prunes parts before the window.",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 30)
+        .select("p_partkey")
+    )
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_price"
+        )
+    )
+    regional = (
+        unit.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"), "left_semi")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+    )
+    w = W2.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    return (
+        regional.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "s_name",
+            # half-up on the BINARY double (floor(x*100+0.5)/100):
+            # Spark's ROUND goes through Double.toString decimals and
+            # DuckDB's rounds the binary value, so they disagree on
+            # exact .5 boundaries; this form is bit-identical in both
+            (F.floor(F.col("unit_price") * 100 + 0.5) / 100).alias(
+                "best_price"
+            ),
+        )
+    )
+
+
+@register(
+    "linestatus_priority_counts",
+    """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+    doc="TPC-H Q12 shape (priority split per ship category; the "
+    "testdata has no l_shipmode, so l_linestatus is the category): "
+    "conditional-sum pivot in ONE aggregation, shipdate year pushed "
+    "into the fact scan, fact-first join with orders as the build "
+    "side (2 columns).",
+)
+def q_linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(is_high.cast("long")).alias("high_count"),
+            F.sum((~is_high).cast("long")).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "last_shipper",
+    """
+WITH per_order AS (
+  SELECT l_orderkey,
+         MAX(l_shipdate) AS max_ship,
+         COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem GROUP BY l_orderkey
+),
+last_suppliers AS (
+  SELECT li.l_orderkey, li.l_suppkey
+  FROM lineitem li
+  JOIN per_order p ON p.l_orderkey = li.l_orderkey
+                  AND li.l_shipdate = p.max_ship
+  WHERE p.n_supp >= 2
+  GROUP BY li.l_orderkey, li.l_suppkey
+),
+sole AS (
+  SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey
+  FROM last_suppliers
+  GROUP BY l_orderkey
+  HAVING COUNT(*) = 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM sole JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+    doc="TPC-H Q21 shape (suppliers solely responsible for an order's "
+    "final shipment, multi-supplier orders only; the testdata has no "
+    "receipt/commit dates, so 'kept waiting' = sole latest shipper). "
+    "Both EXISTS/NOT-EXISTS decorrelate into per-order aggregates: "
+    "one grouped pass for (max_ship, n_supp), a self-join on the "
+    "order key filtered to the max-ship rows, a sole-supplier HAVING "
+    "— every step an order-keyed hash shuffle, top-10 via "
+    "TakeOrderedAndProject.",
+)
+def q_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.count_distinct("l_suppkey").alias("n_supp"),
+    )
+    last_sup = (
+        li.join(
+            per_order.filter(F.col("n_supp") >= 2),
+            ["l_orderkey"],
+        )
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        last_sup.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.count("*").alias("_n"),
+        )
+        .filter(F.col("_n") == 1)
+    )
+    return (
+        sole.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
