@@ -76,6 +76,10 @@ class ConcurrentWriterError(RuntimeError):
     """Another live writer holds this table's lease."""
 
 
+class CheckConstraintViolation(ValueError):
+    """A delta commit violated a declared CHECK constraint."""
+
+
 class _WriterLease:
     """Table-level single-writer lease: an O_EXCL-created JSON marker
     with owner id + expiry. Atomic on local/posix FS and on object
@@ -165,6 +169,7 @@ class UpsertLakeTable:
         partition_cols: str | Sequence[str] | None = None,
         archive_after: int = 64,  # active timeline size before archiving
         compaction_mode: str = "inline",  # "inline" | "async"
+        check_constraints: dict[str, str] | None = None,
     ):
         """``partition_cols`` picks the bucketing columns (default: the
         key) — ≙ Hudi's partition path being independent of the record
@@ -212,6 +217,10 @@ class UpsertLakeTable:
         if compaction_mode not in ("inline", "async"):
             raise ValueError(f"unknown compaction_mode {compaction_mode!r}")
         self.compaction_mode = compaction_mode
+        # ≙ Delta CHECK constraints / Hudi pre-commit validators:
+        # name -> SQL boolean expression over the row columns, enforced
+        # on every non-delete row BEFORE a commit becomes visible
+        self.check_constraints = dict(check_constraints or {})
         self._mutex = threading.RLock()
         self._compactor: threading.Thread | None = None
 
@@ -435,6 +444,8 @@ class UpsertLakeTable:
             if commit_id in self._seen_commit_ids():
                 return 0  # replayed epoch → no-op (exactly-once)
             self._validate_schema(delta, delete_col, evolve=evolve_schema)
+            if self.check_constraints:
+                self._enforce_checks(delta, delete_col)
             if precombine:
                 delta = latest_by_key(delta, self.key, precombine)
             seq = self.last_commit_seq() + 1
@@ -494,6 +505,44 @@ class UpsertLakeTable:
                     self._spawn_compactor()
             self._maybe_archive_timeline()
             return seq
+
+    def _enforce_checks(self, delta: DataFrame, delete_col: str | None) -> None:
+        """Pre-commit validation (≙ Delta CHECK constraints / Hudi's
+        pre-commit validators): every declared predicate must hold on
+        every non-delete row of the delta, or the WHOLE commit is
+        refused before any byte lands — readers can rely on the
+        invariants table-wide. SQL-standard semantics: a predicate
+        evaluating to NULL passes (violation = IS FALSE). Deletes are
+        exempt (tombstones carry key images, not business rows).
+
+        Cost: one aggregation job over the delta (all constraints
+        partial-aggregate in a single pass), which executes the delta
+        plan once more — the same trade Hudi's validators make; cache
+        the delta upstream if its plan is expensive."""
+        rows = delta
+        if delete_col:
+            rows = rows.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            )
+        counts = rows.agg(
+            *[
+                F.sum(
+                    (F.coalesce(F.expr(pred), F.lit(True)) == F.lit(False))
+                    .cast("long")
+                ).alias(name)
+                for name, pred in self.check_constraints.items()
+            ]
+        ).collect()[0]
+        bad = {
+            name: int(counts[name] or 0)
+            for name in self.check_constraints
+            if (counts[name] or 0) > 0
+        }
+        if bad:
+            raise CheckConstraintViolation(
+                f"commit refused: constraint violations {bad} "
+                f"(constraints: { {n: self.check_constraints[n] for n in bad} })"
+            )
 
     def _delta_commits_since_compaction(self) -> int:
         n = 0

@@ -905,3 +905,47 @@ def test_storage_stats_tracks_log_growth_and_compaction(spark, tmp_path):
     assert s3["log_files"] == 0 and s3["base_files"] > 0
     assert sum(s3["base_bytes_per_bucket"].values()) == s3["base_bytes"]
     assert s3["last_commit_seq"] >= 3  # two deltas + the compaction
+
+
+def test_check_constraints_gate_commits(spark, tmp_path):
+    """Delta-CHECK/Hudi-pre-commit-validator parity: a violating delta
+    is refused atomically (no commit recorded, state unchanged), NULL
+    predicate results pass (SQL CHECK semantics), and delete
+    tombstones are exempt."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        CheckConstraintViolation,
+        UpsertLakeTable,
+    )
+
+    t = UpsertLakeTable(
+        spark,
+        str(tmp_path / "ck"),
+        key="id",
+        num_buckets=2,
+        check_constraints={
+            "positive_price": "price > 0",
+            "holder_set": "length(holder) > 0",
+        },
+    )
+    ok = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", None)],  # NULL price passes (UNKNOWN)
+        "id INT, holder STRING, price DOUBLE",
+    )
+    assert t.write(ok, commit_id="c1") == 1
+    bad = spark.createDataFrame(
+        [(3, "carol", -5.0), (4, "", 2.0)],
+        "id INT, holder STRING, price DOUBLE",
+    )
+    with pytest.raises(CheckConstraintViolation) as exc:
+        t.write(bad, commit_id="c2")
+    assert "positive_price" in str(exc.value) and "holder_set" in str(exc.value)
+    # atomic refusal: nothing landed, seq unchanged, replay-safe
+    assert t.last_commit_seq() == 1
+    assert {r["id"] for r in t.snapshot().collect()} == {1, 2}
+    # deletes are exempt even when the tombstone image violates
+    delete = spark.createDataFrame(
+        [(1, "alice", -999.0, True)],
+        "id INT, holder STRING, price DOUBLE, _del BOOLEAN",
+    )
+    assert t.write(delete, commit_id="c3", delete_col="_del") == 2
+    assert {r["id"] for r in t.snapshot().collect()} == {2}
