@@ -112,6 +112,14 @@ class TableRegistry:
         from pyspark.sql import types as T
 
         schema_json = t.options.get("schema_json")
+        # DDL spelling of CHECK constraints (≙ Delta's ALTER TABLE ADD
+        # CONSTRAINT / Hudi pre-commit validators): any option key
+        # 'check.<name>' = '<sql predicate>' is enforced on every write
+        checks = {
+            k[len("check."):]: v
+            for k, v in t.options.items()
+            if k.startswith("check.")
+        }
         return UpsertLakeTable(
             self.spark,
             t.path,
@@ -125,6 +133,7 @@ class TableRegistry:
                 if schema_json
                 else None
             ),
+            check_constraints=checks or None,
         )
 
     def _insert_schema(self, name: str):

@@ -424,3 +424,33 @@ def test_ctas_upsert_and_parquet(spark, tmp_path):
     assert [tuple(r) for r in eng.sql("SELECT * FROM ctas_p").collect()] == [
         (1, 10.0)
     ]
+
+
+def test_ddl_check_constraint_option_gates_inserts(spark, tmp_path):
+    """'check.<name>' WITH-options become enforced CHECK constraints:
+    the SQL front door refuses violating INSERTs atomically."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        CheckConstraintViolation,
+    )
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg.json")
+    )
+    eng.sql(
+        f"""
+        CREATE TABLE gated (
+          id INT, price DOUBLE, PRIMARY KEY (id) NOT ENFORCED
+        ) WITH (
+          'connector' = 'upsert', 'path' = '{tmp_path}/gated',
+          'num_buckets' = '2', 'check.positive_price' = 'price > 0'
+        )
+        """
+    )
+    eng.sql("INSERT INTO gated VALUES (1, 5.0)")
+    with _pytest.raises(CheckConstraintViolation):
+        eng.sql("INSERT INTO gated VALUES (2, -1.0)")
+    rows = eng.sql("SELECT id, price FROM gated").collect()
+    assert [(r["id"], r["price"]) for r in rows] == [(1, 5.0)]
