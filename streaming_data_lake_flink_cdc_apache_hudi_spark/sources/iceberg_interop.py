@@ -81,6 +81,8 @@ def _resolve(path_in_meta: str, table_path: str) -> str:
     if "://" in p:  # strip scheme + authority
         rest = p.split("://", 1)[1]
         p = "/" + rest.split("/", 1)[1] if "/" in rest else rest
+    if not os.path.isabs(p):  # relative paths resolve against the table
+        return os.path.join(table_path, p)
     if os.path.exists(p):
         return p
     # re-root at the table-relative tail (metadata/ or data/)

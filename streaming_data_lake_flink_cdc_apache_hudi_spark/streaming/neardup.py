@@ -177,6 +177,9 @@ class StreamingNearDupIndex:
         if idx is not None:
             cand = (
                 banded.join(idx, ["band", "bhash"])
+                # a re-ingested doc_id collides with its own indexed
+                # bands — self-pairs are not duplicates
+                .filter(F.col("doc_id") != F.col("dup_of"))
                 .select("doc_id", "dup_of")
                 .dropDuplicates(["doc_id", "dup_of"])
             )

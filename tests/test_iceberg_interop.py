@@ -243,3 +243,53 @@ def test_lake_table_export_iceberg_round_trip(spark, tmp_path):
         for r in read_iceberg(spark, dest).select("k", "v").collect()
     )
     assert got == [(1, "a"), (2, "B")]
+
+
+def test_relative_paths_in_metadata_resolve_against_table(spark, tmp_path):
+    """Some writers record table-relative manifest/data paths; they
+    must resolve against the table root."""
+    path = str(tmp_path / "rel_iceberg")
+    sch = "id LONG, v STRING"
+    fa = os.path.join(path, "data", "a.parquet")
+    _stage_parquet(spark, [(1, "one")], sch, fa)
+    rel_entry = {
+        "status": 1,
+        "snapshot_id": 1,
+        "data_file": {
+            "file_path": "data/a.parquet",  # table-relative
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(fa),
+        },
+    }
+    m1 = _manifest(path, "m1.avro", [rel_entry])
+    lp = os.path.join(path, "metadata", "snap-1.avro")
+    write_avro(
+        lp,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": "metadata/m1.avro",  # table-relative
+                "manifest_length": os.path.getsize(m1),
+                "partition_spec_id": 0,
+                "added_snapshot_id": 1,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 1, "table-uuid": "u", "location": path,
+        "last-updated-ms": 0, "last-column-id": 2,
+        "schema": {"type": "struct", "fields": []},
+        "partition-spec": [], "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0, "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1,
+             "manifest-list": "metadata/snap-1.avro"}
+        ],
+    }
+    with open(os.path.join(path, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    got = sorted(map(tuple, read_iceberg(spark, path).collect()))
+    assert got == [(1, "one")]

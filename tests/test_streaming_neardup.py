@@ -119,3 +119,17 @@ def test_empty_and_single_doc_batches(spark, tmp_path):
     )
     got = [(r["doc_id"], r["dup_of"]) for r in idx.apply(two, epoch_id=2).collect()]
     assert got == [(2, 1)]
+
+
+def test_reingested_doc_does_not_match_itself(spark, tmp_path):
+    """A doc_id arriving again (source replay / re-crawl) collides
+    with its own indexed band keys — that must NOT surface as a
+    duplicate pair."""
+    idx = StreamingNearDupIndex(spark, str(tmp_path / "nd3"), num_buckets=2)
+    doc = spark.createDataFrame(
+        [(7, "the same document text arriving twice over time")],
+        "doc_id LONG, text STRING",
+    )
+    assert idx.apply(doc, epoch_id=0).count() == 0
+    again = idx.apply(doc, epoch_id=1)
+    assert again.count() == 0  # self-match filtered
