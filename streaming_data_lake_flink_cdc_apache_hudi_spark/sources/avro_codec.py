@@ -308,6 +308,8 @@ def write_avro(
     _write_long(out, len(payload))
     out.extend(payload)
     out.extend(sync)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with open(path, "wb") as fh:
         fh.write(bytes(out))
