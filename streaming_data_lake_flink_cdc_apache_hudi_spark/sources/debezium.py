@@ -80,3 +80,58 @@ def parse_debezium_json(
         p["_p"]["before"].alias("before"),
         p["_p"]["after"].alias("after"),
     )
+
+
+# -- outbound: lake changes -> Debezium wire format -------------------------
+
+_OUT_OP_MAP = {"insert": "c", "update": "u", "delete": "d"}
+
+
+def to_debezium_json(
+    changes: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    ts_ms: Column | None = None,
+    lsn: Column | None = None,
+) -> DataFrame:
+    """The OUTBOUND half of the Debezium bridge: rows in the shape
+    ``UpsertLakeTable.changes()`` emits (key cols + after-image value
+    cols + ``_change_type`` + ``_before`` struct) serialized as
+    Debezium JSON change events — what a downstream Kafka topic /
+    another CDC consumer expects, and exactly what
+    :func:`parse_debezium_json` parses back (round-trip pinned in
+    tests). One ``to_json`` per row: map-only, JVM-side.
+
+    ``ts_ms`` / ``lsn`` override the event timestamp / log sequence
+    expressions (defaults: current wall clock, per-partition
+    monotonic ids — pass real columns when the caller tracks them).
+    Returns a single-column (``value`` string) DataFrame.
+    """
+    ts_ms = (
+        ts_ms
+        if ts_ms is not None
+        else (F.unix_timestamp(F.current_timestamp()) * 1000)
+    )
+    lsn = lsn if lsn is not None else F.monotonically_increasing_id()
+    op = F.lit(None).cast("string")
+    for eng, dbz in _OUT_OP_MAP.items():
+        op = F.when(F.col("_change_type") == eng, F.lit(dbz)).otherwise(op)
+    after_img = F.when(
+        F.col("_change_type") == "delete", F.lit(None)
+    ).otherwise(
+        F.struct(*[F.col(c) for c in [*key_cols, *value_cols]])
+    )
+    before_img = F.when(F.col("_before").isNull(), F.lit(None)).otherwise(
+        F.struct(
+            *[F.col(k) for k in key_cols],
+            *[F.col("_before")[c].alias(c) for c in value_cols],
+        )
+    )
+    payload = F.struct(
+        op.alias("op"),
+        ts_ms.cast("long").alias("ts_ms"),
+        before_img.alias("before"),
+        after_img.alias("after"),
+        F.struct(lsn.cast("long").alias("lsn")).alias("source"),
+    )
+    return changes.select(F.to_json(payload).alias("value"))

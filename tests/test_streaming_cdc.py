@@ -276,3 +276,69 @@ def test_debezium_parse_wrapped_and_chained_to_state(spark):
     assert env.filter(F.col("op").isNull()).count() == 1
     live = current_state(env.filter(F.col("op").isNotNull()), key="uuid")
     assert [tuple(r) for r in live.collect()] == [("a", "A2", 2)]
+
+
+def test_lake_changes_round_trip_through_debezium_wire(spark, tmp_path):
+    """Outbound CDC: UpsertLakeTable.changes() -> to_debezium_json ->
+    parse_debezium_json reconstructs the same inserts/updates/deletes
+    with before/after images — the lake can FEED a Debezium-shaped
+    topic, not just consume one."""
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.debezium import (
+        parse_debezium_json,
+        to_debezium_json,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "cdcout"), key="id", num_buckets=2,
+        compact_every=100,
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, "alice", 10.0), (2, "bob", 20.0)],
+            "id INT, holder STRING, price DOUBLE",
+        ),
+        commit_id="c1",
+    )
+    s1 = t.last_commit_seq()
+    upd = spark.createDataFrame(
+        [(2, "bob2", 25.0), (3, "carol", 30.0)],
+        "id INT, holder STRING, price DOUBLE",
+    )
+    t.write(upd, commit_id="c2")
+    dele = spark.createDataFrame(
+        [(1, "alice", 10.0, True)],
+        "id INT, holder STRING, price DOUBLE, _d BOOLEAN",
+    )
+    t.write(dele, commit_id="c3", delete_col="_d")
+
+    ch = t.changes(since_seq=s1)
+    wire = to_debezium_json(
+        ch, key_cols=["id"], value_cols=["holder", "price"],
+        ts_ms=F2.lit(1700000000000), lsn=F2.col("id").cast("long"),
+    )
+    row_schema = T2.StructType(
+        [
+            T2.StructField("id", T2.IntegerType()),
+            T2.StructField("holder", T2.StringType()),
+            T2.StructField("price", T2.DoubleType()),
+        ]
+    )
+    env = parse_debezium_json(wire, "value", row_schema)
+    got = {
+        (r["op"],
+         r["after"]["id"] if r["after"] else r["before"]["id"]):
+        (r["after"]["holder"] if r["after"] else None,
+         r["before"]["holder"] if r["before"] else None)
+        for r in env.collect()
+    }
+    assert got == {
+        ("I", 3): ("carol", None),
+        ("U", 2): ("bob2", "bob"),
+        ("D", 1): (None, "alice"),
+    }
