@@ -20,7 +20,7 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
@@ -61,3 +61,119 @@ def gap_filled_rollup(
     for n in aggs:
         filled = filled.withColumn(n, F.coalesce(F.col(n), F.lit(fills[n])))
     return filled
+
+
+def interpolate_linear(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    every_secs: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Resample each series onto a regular ``every_secs`` grid with
+    LINEAR interpolation between the surrounding samples — the
+    hypertable ``interpolate()``/``time_bucket_gapfill`` companion of
+    :func:`gap_filled_rollup` (which zero-fills aggregates; this
+    reconstructs a continuous signal). Grid points outside a series'
+    observed range stay absent (strict interpolation, no
+    extrapolation).
+
+    Scale shape: exact-timestamp collisions collapse via one grouped
+    mean; the grid is generated IN-PLAN from a per-series (min, max)
+    aggregate (sequence + explode — executor-side, tiny bounds table);
+    samples ∪ grid sort once per series inside a keyed window where
+    ``last(..., ignorenulls)`` / ``first(..., ignorenulls)`` carry
+    the bracketing samples to every grid point — two window passes
+    over (samples + grid) rows, all shuffles keyed by the series,
+    never a global sort.
+
+    Output: (series, grid ts as 'yyyy-MM-dd HH:mm:ss' string, value)
+    — value rounded for cross-engine hashing, the lerp arithmetic
+    itself is exact IEEE on µs-integer timestamps.
+    """
+    w_prev = (
+        Window.partitionBy("_s")
+        .orderBy("_t", "_is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("_s")
+        .orderBy("_t", "_is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    samples = (
+        df.select(
+            F.col(series_col).alias("_s"),
+            us.alias("_t"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .groupBy("_s", "_t")
+        .agg(F.avg("_v").alias("_v"))
+        .withColumn("_is_grid", F.lit(0))
+    )
+    step = every_secs * 1_000_000
+    bounds = samples.groupBy("_s").agg(
+        F.min("_t").alias("_lo"), F.max("_t").alias("_hi")
+    )
+    # PURE-LONG grid alignment (modulo, no float division anywhere —
+    # a double div at 1e15 µs can round across the integer boundary
+    # and desync engines): epoch-µs timestamps are non-negative
+    lo_up = F.col("_lo") + step - 1
+    lo_aligned = lo_up - (lo_up % step)  # ceil(lo/step)*step
+    hi_aligned = F.col("_hi") - (F.col("_hi") % step)  # floor*step
+    grid = bounds.select(
+        "_s",
+        F.explode(
+            F.sequence(lo_aligned, hi_aligned, F.lit(step))
+        ).alias("_t"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(1).alias("_is_grid"),
+    )
+    u = samples.unionByName(grid)
+    u = (
+        u.withColumn("_pv", F.last("_v", ignorenulls=True).over(w_prev))
+        .withColumn(
+            "_pt",
+            F.last(
+                F.when(F.col("_v").isNotNull(), F.col("_t")),
+                ignorenulls=True,
+            ).over(w_prev),
+        )
+        .withColumn("_nv", F.first("_v", ignorenulls=True).over(w_next))
+        .withColumn(
+            "_nt",
+            F.first(
+                F.when(F.col("_v").isNotNull(), F.col("_t")),
+                ignorenulls=True,
+            ).over(w_next),
+        )
+    )
+    # a grid point landing exactly on a sample needs no right bracket
+    # (the series' last sample would otherwise drop off the grid)
+    lerp = F.when(F.col("_pt") == F.col("_t"), F.col("_pv")).otherwise(
+        F.col("_pv")
+        + (F.col("_nv") - F.col("_pv"))
+        * (F.col("_t") - F.col("_pt"))
+        / (F.col("_nt") - F.col("_pt"))
+    )
+    return (
+        u.filter(
+            (F.col("_is_grid") == 1)
+            & F.col("_pv").isNotNull()
+            & (F.col("_nv").isNotNull() | (F.col("_pt") == F.col("_t")))
+        )
+        .select(
+            F.col("_s").alias(series_col),
+            F.date_format(
+                F.timestamp_micros(F.col("_t")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("grid_ts"),
+            # binary-exact half-up (floor(x*10^k + 0.5)/10^k): Spark's
+            # ROUND rounds Double.toString decimals, other engines the
+            # binary value — they disagree on exact .5 boundaries
+            (
+                F.floor(lerp * (10**round_to) + 0.5) / (10**round_to)
+            ).alias("value"),
+        )
+    )

@@ -277,3 +277,72 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return centroid_outliers(emb, "label", "embedding", "vec_id", k=5)
+
+
+# -- time-series linear interpolation ----------------------------------------
+
+_INTERP_STEP = 300  # seconds
+
+
+@register(
+    "interpolated_series",
+    f"""
+WITH samples AS (
+  SELECT event_type AS s, epoch_us(ts) AS t, AVG(value) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT s, MIN(t) AS lo, MAX(t) AS hi FROM samples GROUP BY s),
+grid AS (
+  SELECT s, CAST(g.g AS BIGINT) AS t, CAST(NULL AS DOUBLE) AS v,
+         1 AS is_grid
+  FROM bounds, LATERAL unnest(generate_series(
+      (lo + {_INTERP_STEP * 1000000} - 1)
+        - ((lo + {_INTERP_STEP * 1000000} - 1) % {_INTERP_STEP * 1000000}),
+      hi - (hi % {_INTERP_STEP * 1000000}),
+      {_INTERP_STEP * 1000000})) AS g(g)
+),
+u AS (
+  SELECT s, t, v, 0 AS is_grid FROM samples
+  UNION ALL SELECT s, t, v, is_grid FROM grid
+),
+w AS (
+  SELECT *,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY s ORDER BY t, is_grid
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+      (PARTITION BY s ORDER BY t, is_grid
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY s ORDER BY t, is_grid
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+      (PARTITION BY s ORDER BY t, is_grid
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM u
+)
+SELECT s AS event_type,
+       strftime(make_timestamp(t), '%Y-%m-%d %H:%M:%S') AS grid_ts,
+       FLOOR((CASE WHEN pt = t THEN pv
+                   ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END)
+             * 10000 + 0.5) / 10000 AS value
+FROM w
+WHERE is_grid = 1 AND pv IS NOT NULL AND (nv IS NOT NULL OR pt = t)
+""",
+    doc="Time-series linear interpolation onto a regular 5-minute "
+    "grid per event type (operators/timeseries.interpolate_linear — "
+    "the hypertable interpolate()/time_bucket_gapfill companion of "
+    "gap_filled_rollup's zero-filled aggregates). Grid generated "
+    "IN-PLAN from per-series bounds with PURE-LONG alignment (a "
+    "float div at 1e15 µs can round across an integer boundary and "
+    "desync engines); bracketing samples carried to every grid point "
+    "by ignorenulls window functions; strict interpolation (no "
+    "extrapolation past either end); binary-exact half-up rounding.",
+)
+def q_interpolated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import interpolate_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    return interpolate_linear(
+        ev, "event_type", "ts", "value", every_secs=_INTERP_STEP
+    )

@@ -46,3 +46,35 @@ def test_profile_is_single_scan(spark):
     assert "Union" not in tree and "Join" not in tree
     # HLL sketch by default (the 100 TB path)
     assert out.count() == 3
+
+
+def test_interpolate_linear_known_values_and_edges(spark):
+    """Hand-checkable lerp: interior points interpolate linearly,
+    grid points on samples return the sample, nothing extrapolates
+    past either end, exact-ts duplicates average first."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    rows = [
+        ("a", "2024-01-01 00:00:03", 10.0),
+        ("a", "2024-01-01 00:00:13", 30.0),
+        ("a", "2024-01-01 00:00:23", 10.0),
+        ("b", "2024-01-01 00:00:00", 4.0),
+        ("b", "2024-01-01 00:00:00", 6.0),   # exact-ts collision -> avg 5
+        ("b", "2024-01-01 00:00:10", 15.0),
+    ]
+    df = spark.createDataFrame(rows, "s STRING, ts STRING, v DOUBLE")
+    got = {
+        (r["s"], r["grid_ts"]): r["value"]
+        for r in interpolate_linear(df, "s", "ts", "v", every_secs=5).collect()
+    }
+    assert got == {
+        ("a", "2024-01-01 00:00:05"): 14.0,
+        ("a", "2024-01-01 00:00:10"): 24.0,
+        ("a", "2024-01-01 00:00:15"): 26.0,
+        ("a", "2024-01-01 00:00:20"): 16.0,
+        ("b", "2024-01-01 00:00:00"): 5.0,   # on-sample grid point
+        ("b", "2024-01-01 00:00:05"): 10.0,
+        ("b", "2024-01-01 00:00:10"): 15.0,  # last sample kept
+    }
