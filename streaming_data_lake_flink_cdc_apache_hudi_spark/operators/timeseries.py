@@ -177,3 +177,79 @@ def interpolate_linear(
             ).alias("value"),
         )
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    series, split the time range into ``n_buckets`` equal-width
+    buckets and keep, per bucket, the FIRST, LAST, MIN-value and
+    MAX-value points — the four pixel-exact extremes a line chart of
+    that width actually renders. Error-free for min/max envelopes at
+    a fixed output size, unlike averaging resamplers.
+
+    Scale shape: pure aggregation — one grouped pass computing four
+    lexicographic ``min/max(struct(...))`` aggregates per (series,
+    bucket) (all partial-aggregate map-side), then an in-map unpivot
+    + distinct. Bucket assignment is PURE LONG arithmetic
+    (``(t - lo) * n div (range + 1)``; float division at epoch-µs
+    magnitudes desyncs engines). Values pass through untouched (they
+    are actual samples), so no rounding is needed anywhere.
+
+    Output: (series, ts 'yyyy-MM-dd HH:mm:ss.SSSSSS' string, value),
+    one row per distinct kept point.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    samples = df.select(
+        F.col(series_col).alias("_s"),
+        us.alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    bounds = samples.groupBy("_s").agg(
+        F.min("_t").alias("_lo"), F.max("_t").alias("_hi")
+    )
+    b = samples.join(F.broadcast(bounds), "_s").withColumn(
+        "_b",
+        F.expr(f"((_t - _lo) * {n_buckets}) div (_hi - _lo + 1)"),
+    )
+    agg = b.groupBy("_s", "_b").agg(
+        F.min(F.struct("_t", "_v")).alias("first"),
+        F.max(F.struct("_t", "_v")).alias("last"),
+        F.min(F.struct("_v", "_t")).alias("vmin"),
+        F.max(F.struct("_v", "_t")).alias("vmax"),
+    )
+    pts = agg.select(
+        "_s",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("first._t").alias("_t"),
+                    F.col("first._v").alias("_v"),
+                ),
+                F.struct(
+                    F.col("last._t").alias("_t"),
+                    F.col("last._v").alias("_v"),
+                ),
+                F.struct(
+                    F.col("vmin._t").alias("_t"),
+                    F.col("vmin._v").alias("_v"),
+                ),
+                F.struct(
+                    F.col("vmax._t").alias("_t"),
+                    F.col("vmax._v").alias("_v"),
+                ),
+            )
+        ).alias("p"),
+    ).select("_s", "p._t", "p._v").distinct()
+    return pts.select(
+        F.col("_s").alias(series_col),
+        F.date_format(
+            F.timestamp_micros(F.col("_t")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("point_ts"),
+        F.col("_v").alias("value"),
+    )

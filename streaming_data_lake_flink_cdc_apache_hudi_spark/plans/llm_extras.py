@@ -346,3 +346,55 @@ def q_interpolated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interpolate_linear(
         ev, "event_type", "ts", "value", every_secs=_INTERP_STEP
     )
+
+
+# -- M4 visualization downsampling -------------------------------------------
+
+_M4_BUCKETS = 64
+
+
+@register(
+    "m4_downsample",
+    f"""
+WITH samples AS (
+  SELECT event_type AS s, epoch_us(ts) AS t, value AS v FROM events
+),
+bounds AS (SELECT s, MIN(t) AS lo, MAX(t) AS hi FROM samples GROUP BY s),
+bucketed AS (
+  SELECT samples.s, t, v,
+         ((t - lo) * {_M4_BUCKETS}) // (hi - lo + 1) AS b
+  FROM samples JOIN bounds ON samples.s = bounds.s
+),
+agg AS (
+  SELECT s, b,
+         min(struct_pack(t := t, v := v)) AS first,
+         max(struct_pack(t := t, v := v)) AS last,
+         min(struct_pack(v := v, t := t)) AS vmin,
+         max(struct_pack(v := v, t := t)) AS vmax
+  FROM bucketed GROUP BY s, b
+),
+pts AS (
+  SELECT s, first.t AS t, first.v AS v FROM agg
+  UNION SELECT s, last.t, last.v FROM agg
+  UNION SELECT s, vmin.t, vmin.v FROM agg
+  UNION SELECT s, vmax.t, vmax.v FROM agg
+)
+SELECT DISTINCT s AS event_type,
+       strftime(make_timestamp(t), '%Y-%m-%d %H:%M:%S.%f') AS point_ts,
+       v AS value
+FROM pts
+""",
+    doc=f"M4 visualization downsampling (Jugel et al., VLDB 2014) of "
+    f"each event-type series to {_M4_BUCKETS} pixel buckets x 4 "
+    "extreme points (first/last/min/max) — error-free min/max "
+    "envelopes at fixed output size (operators/timeseries."
+    "m4_downsample). Pure aggregation: four lexicographic "
+    "min/max(struct) aggregates per bucket, partial map-side; bucket "
+    "assignment in PURE LONG arithmetic; values are untouched "
+    "samples so nothing needs rounding.",
+)
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import m4_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    return m4_downsample(ev, "event_type", "ts", "value", _M4_BUCKETS)

@@ -78,3 +78,36 @@ def test_interpolate_linear_known_values_and_edges(spark):
         ("b", "2024-01-01 00:00:05"): 10.0,
         ("b", "2024-01-01 00:00:10"): 15.0,  # last sample kept
     }
+
+
+def test_m4_downsample_keeps_extremes_and_bounds_output(spark):
+    """M4 contract: the global min/max/first/last of every series
+    survive downsampling; output size <= 4 points per bucket."""
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.timeseries import (
+        m4_downsample,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    base = 1_700_000_000
+    for s in ("x", "y"):
+        for i in range(500):
+            rows.append(
+                (s, f"2024-01-01 {i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}",
+                 rng.uniform(-100, 100))
+            )
+    df = spark.createDataFrame(rows, "s STRING, ts STRING, v DOUBLE")
+    out = m4_downsample(df, "s", "ts", "v", n_buckets=16)
+    pts = out.collect()
+    assert len(pts) <= 2 * 16 * 4
+    per_series = {}
+    for r in pts:
+        per_series.setdefault(r["s"], []).append(r["value"])
+    raw = {}
+    for s, ts, v in rows:
+        raw.setdefault(s, []).append(v)
+    for s in raw:
+        assert max(raw[s]) in per_series[s]  # global max survives
+        assert min(raw[s]) in per_series[s]  # global min survives
