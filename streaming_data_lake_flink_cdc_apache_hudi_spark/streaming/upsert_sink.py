@@ -828,6 +828,53 @@ class UpsertLakeTable:
             .drop("bucket", *META_COLS, *READ_META_COLS)
         )
 
+    def fsck(self, repair: bool = False) -> dict:
+        """Audit (and optionally repair) the table's on-disk state —
+        ≙ Hudi CLI `repair`: finds log commit dirs with NO recorded
+        commit marker (a crashed write's invisible orphan; harmless to
+        readers but dead bytes) and leftover compaction scratch dirs.
+        ``repair=True`` removes them under the writer lease. Returns
+        {orphan_commit_dirs, scratch_dirs, removed} — a pure
+        metadata/directory walk, no data scan."""
+        self._ensure_recovered()
+        recorded = {m["seq"] for m in self.commits()}
+        orphans = []
+        if os.path.isdir(self._log):
+            for d in os.listdir(self._log):
+                if not d.startswith("commit="):
+                    continue
+                try:
+                    seq = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if seq not in recorded:
+                    orphans.append(os.path.join(self._log, d))
+        scratch = [
+            os.path.join(self.path, d)
+            for d in (os.listdir(self.path) if os.path.isdir(self.path) else [])
+            if d == "_compact_tmp" or d.startswith("_compact_trash_seq=")
+        ]
+        removed = 0
+        if repair and (orphans or scratch):
+            with self._lease():
+                # re-check under the lease: a concurrent write may have
+                # just recorded the seq we saw as orphaned
+                recorded = {m["seq"] for m in self.commits()}
+                for p_ in orphans:
+                    seq = int(os.path.basename(p_).split("=", 1)[1])
+                    if seq not in recorded and os.path.isdir(p_):
+                        shutil.rmtree(p_, ignore_errors=True)
+                        removed += 1
+                for p_ in scratch:
+                    if os.path.isdir(p_):
+                        shutil.rmtree(p_, ignore_errors=True)
+                        removed += 1
+        return {
+            "orphan_commit_dirs": sorted(orphans),
+            "scratch_dirs": sorted(scratch),
+            "removed": removed,
+        }
+
     def storage_stats(self) -> dict:
         """Operational storage summary (≙ Hudi CLI `stats filesizes` /
         `commits show` at a glance): base and log file counts/bytes,

@@ -949,3 +949,31 @@ def test_check_constraints_gate_commits(spark, tmp_path):
     )
     assert t.write(delete, commit_id="c3", delete_col="_del") == 2
     assert {r["id"] for r in t.snapshot().collect()} == {2}
+
+
+def test_fsck_finds_and_repairs_orphan_commit_dirs(spark, tmp_path):
+    """A crashed write leaves an unrecorded log/commit=N dir: fsck
+    reports it, repair removes it, live data untouched."""
+    import os
+    import shutil as _sh
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    t = UpsertLakeTable(spark, str(tmp_path / "fsck"), key="id", num_buckets=2)
+    t.write(
+        spark.createDataFrame([(1, "a")], "id INT, v STRING"), commit_id="c1"
+    )
+    assert t.fsck() == {
+        "orphan_commit_dirs": [], "scratch_dirs": [], "removed": 0
+    }
+    # fake a crashed write: copy the committed dir to seq 99 (never recorded)
+    src = os.path.join(str(tmp_path / "fsck"), "log", "commit=1")
+    orphan = os.path.join(str(tmp_path / "fsck"), "log", "commit=99")
+    _sh.copytree(src, orphan)
+    rep = t.fsck()
+    assert rep["orphan_commit_dirs"] == [orphan] and rep["removed"] == 0
+    rep = t.fsck(repair=True)
+    assert rep["removed"] == 1 and not os.path.isdir(orphan)
+    assert {r["id"] for r in t.snapshot().collect()} == {1}
