@@ -398,3 +398,50 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return m4_downsample(ev, "event_type", "ts", "value", _M4_BUCKETS)
+
+
+# -- entity resolution: typo pairs -> transitive clusters --------------------
+
+
+@register(
+    "name_entity_clusters",
+    """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM customer a, customer b
+  WHERE a.c_custkey < b.c_custkey
+    AND abs(length(a.c_name) - length(b.c_name)) <= 1
+    AND levenshtein(a.c_name, b.c_name) <= 1
+),
+und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach AS (
+  SELECT u AS node, u AS x FROM und
+  UNION
+  SELECT e.u, r.x FROM und e JOIN reach r ON r.node = e.v
+),
+labels AS (SELECT node, MIN(x) AS comp FROM reach GROUP BY node)
+SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+FROM labels GROUP BY comp
+ORDER BY cluster_size DESC, comp
+LIMIT 20
+""",
+    doc="Entity resolution end to end: fuzzy candidate pairs "
+    "(SymSpell edit-distance join) fed into transitive clustering "
+    "(min-label-propagation connected components) — top-20 largest "
+    "typo clusters with their canonical (minimum) id. The oracle "
+    "recomputes the identical labeling with a recursive CTE over the "
+    "brute-forced pair set, so the two-operator COMPOSITION is "
+    "value-checked, not just each piece.",
+)
+def q_name_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, edit_distance_pairs
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = edit_distance_pairs(c, "c_name", "c_custkey", max_dist=1)
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("comp")
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), "comp")
+        .limit(20)
+    )
