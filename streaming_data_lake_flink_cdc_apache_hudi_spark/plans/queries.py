@@ -2954,10 +2954,75 @@ _DRIVER_VERIFIED = frozenset({
 })
 
 
+def _verified_names() -> frozenset:
+    """Names with a GREEN driver row in any CORRECTNESS_r*.json at the
+    repo root (value-hash match, or rows-match for rows-only checks),
+    unioned with the static r04 set — so each round's results
+    automatically rotate the next round's window onto whatever has
+    never passed a driver check yet. Failed rows stay in the window
+    for re-verification."""
+    import glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    names = set(_DRIVER_VERIFIED)
+    for path in glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            rows = _json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict) or r.get("err"):
+                continue
+            if r.get("hash_match") or (
+                r.get("hash_match") is None and r.get("rows_match")
+            ):
+                names.add(name)
+    return frozenset(names)
+
+
+# Names that have NEVER had a driver CORRECTNESS row (as of r04) get
+# absolute priority for the 50-slot window this round — queries added
+# later in round 5 must not displace them (VERDICT r4 ask #1).
+_WINDOW_PRIORITY = (
+    "pii_scrub", "shard_assign", "minhash_pairs", "dedup_near_corpus",
+    "mixture_resample", "embedding_quantize", "source_cap",
+    "table_profile", "gap_filled_rollup", "simhash_pairs",
+    "pmi_collocations", "inverted_index", "skew_distinct_count",
+    "tfidf_top_terms", "random_projection", "json_extract_agg",
+    "paragraph_dup_stats", "paragraph_dedup", "unigram_logprob",
+    "dup_span_stats", "quality_model_score", "scd2_asof_join",
+    "weighted_sample_docs", "pq_ann_topk", "part_pagerank",
+    "pricing_summary", "order_priority", "volume_shipping",
+    "market_share", "returned_items", "promo_revenue", "top_supplier",
+    "large_orders", "dormant_customers", "customer_distribution",
+    "disjunctive_revenue", "forecast_revenue",
+    "small_quantity_revenue", "set_ops_customers",
+    "grouping_sets_agg", "sliding_window_agg", "product_profit",
+    "parts_supplier_stats", "supplier_rank_stats", "big_spenders",
+    "moving_average", "funnel_conversion", "cohort_retention",
+    "value_anomalies",
+)
+
+
 def _rotate_registry() -> None:
-    front = {n: s for n, s in QUERIES.items() if n not in _DRIVER_VERIFIED}
-    back = {n: s for n, s in QUERIES.items() if n in _DRIVER_VERIFIED}
+    verified = _verified_names()
+    prio = {
+        n: QUERIES[n]
+        for n in _WINDOW_PRIORITY
+        if n in QUERIES and n not in verified
+    }
+    front = {
+        n: s
+        for n, s in QUERIES.items()
+        if n not in verified and n not in prio
+    }
+    back = {n: s for n, s in QUERIES.items() if n in verified}
     QUERIES.clear()
+    QUERIES.update(prio)
     QUERIES.update(front)
     QUERIES.update(back)
 
