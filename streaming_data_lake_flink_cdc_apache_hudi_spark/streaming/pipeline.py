@@ -25,6 +25,7 @@ equivalent; `stream_static_join` covers the snapshot side natively.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
@@ -32,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.upsert import latest_by_key
-from .upsert_sink import UpsertLakeTable
+from .upsert_sink import META_COLS, READ_META_COLS, UpsertLakeTable
 
 
 def reduce_changelog_batch(
@@ -113,3 +114,64 @@ def stream_static_join(
     the dim when small; at 100 TB scale pre-bucket the dim on the
     join key so each micro-batch joins shuffle-free."""
     return changelog_delta.join(static_dim, on, how)
+
+
+def sync_incremental(
+    src: UpsertLakeTable,
+    dst: UpsertLakeTable,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> tuple[int, int]:
+    """One medallion hop (silver → gold): propagate everything that
+    changed in ``src`` since the last sync into ``dst``, exactly once
+    per commit range.
+
+    The src side is an ``incremental()`` read — delta-proportional,
+    bucket-pruned, delete markers included — so a chained pipeline
+    never rescans the upstream table. ``transform`` (optional) maps
+    the payload DataFrame (src columns plus a ``_sync_deleted``
+    boolean) to the dst schema; it must keep dst's key columns and
+    ``_sync_deleted``. Returns (rows_propagated, synced_through_seq).
+
+    Exactly-once / crash story: the watermark file under dst advances
+    AFTER the dst commit lands. A crash between the two replays the
+    same range — the commit id embeds (since, end), so an identical
+    replay dedups outright, and a widened range re-applies CURRENT
+    row versions through dst's keyed LWW, which converges (upserts
+    are idempotent by content, deletes re-delete). Repeated calls
+    with no upstream changes are free (one seq comparison).
+    """
+    import json as _json
+
+    state_path = os.path.join(
+        dst.path, f"_sync_from_{abs(hash(os.path.abspath(src.path))):x}.json"
+    )
+    since = -1
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            since = int(_json.load(fh)["synced_through"])
+    end = src.last_commit_seq()
+    if end <= since:
+        return 0, since
+    delta = src.incremental(max(since, 0))
+    payload_cols = [
+        c
+        for c in delta.columns
+        if c not in META_COLS and c not in READ_META_COLS
+    ]
+    rows = delta.select(
+        *payload_cols, (F.col("_op") == "D").alias("_sync_deleted")
+    )
+    if transform is not None:
+        rows = transform(rows)
+    n = rows.count()
+    if n:
+        dst.write(
+            rows,
+            commit_id=f"sync-{os.path.basename(src.path)}-{since}-{end}",
+            delete_col="_sync_deleted",
+        )
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"synced_through": end, "src": src.path}, fh)
+    os.replace(tmp, state_path)
+    return n, end

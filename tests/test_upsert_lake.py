@@ -977,3 +977,68 @@ def test_fsck_finds_and_repairs_orphan_commit_dirs(spark, tmp_path):
     rep = t.fsck(repair=True)
     assert rep["removed"] == 1 and not os.path.isdir(orphan)
     assert {r["id"] for r in t.snapshot().collect()} == {1}
+
+
+def test_sync_incremental_chains_tables_exactly_once(spark, tmp_path):
+    """Medallion hop: dst follows src through inserts, updates and
+    deletes via delta-proportional incremental reads; replays dedup;
+    a transform reshapes the payload."""
+    from pyspark.sql import functions as F2
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.pipeline import (
+        sync_incremental,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    src = UpsertLakeTable(
+        spark, str(tmp_path / "silver"), key="id", num_buckets=2,
+        compact_every=100,
+    )
+    dst = UpsertLakeTable(
+        spark, str(tmp_path / "gold"), key="id", num_buckets=2,
+        compact_every=100,
+    )
+    src.write(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id INT, v STRING, price DOUBLE"
+        ),
+        commit_id="s1",
+    )
+
+    def gold_shape(df):
+        return df.select(
+            "id", F2.upper(F2.col("v")).alias("v_upper"),
+            (F2.col("price") * 2).alias("price2x"), "_sync_deleted",
+        )
+
+    n, through = sync_incremental(src, dst, transform=gold_shape)
+    assert n == 2 and through == src.last_commit_seq()
+    got = {r["id"]: (r["v_upper"], r["price2x"]) for r in dst.snapshot().collect()}
+    assert got == {1: ("A", 20.0), 2: ("B", 40.0)}
+
+    # update + delete upstream, then sync again
+    src.write(
+        spark.createDataFrame([(2, "b2", 25.0)], "id INT, v STRING, price DOUBLE"),
+        commit_id="s2",
+    )
+    src.write(
+        spark.createDataFrame(
+            [(1, "a", 10.0, True)], "id INT, v STRING, price DOUBLE, _d BOOLEAN"
+        ),
+        commit_id="s3",
+        delete_col="_d",
+    )
+    n, _ = sync_incremental(src, dst, transform=gold_shape)
+    assert n == 2  # the changed keys (1 delete marker + 1 update)
+    got = {r["id"]: (r["v_upper"], r["price2x"]) for r in dst.snapshot().collect()}
+    assert got == {2: ("B2", 50.0)}
+
+    # no upstream change -> free no-op; replay of the same range dedups
+    assert sync_incremental(src, dst, transform=gold_shape)[0] == 0
+    state = [
+        f for f in __import__("os").listdir(str(tmp_path / "gold"))
+        if f.startswith("_sync_from_")
+    ]
+    assert len(state) == 1
