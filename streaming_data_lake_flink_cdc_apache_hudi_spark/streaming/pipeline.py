@@ -140,11 +140,14 @@ def sync_incremental(
     are idempotent by content, deletes re-delete). Repeated calls
     with no upstream changes are free (one seq comparison).
     """
+    import hashlib as _hashlib
     import json as _json
 
-    state_path = os.path.join(
-        dst.path, f"_sync_from_{abs(hash(os.path.abspath(src.path))):x}.json"
-    )
+    # stable across processes (builtin hash() is per-process salted)
+    src_tag = _hashlib.md5(
+        os.path.abspath(src.path).encode()
+    ).hexdigest()[:12]
+    state_path = os.path.join(dst.path, f"_sync_from_{src_tag}.json")
     since = -1
     if os.path.exists(state_path):
         with open(state_path) as fh:
