@@ -63,6 +63,27 @@ def gap_filled_rollup(
     return filled
 
 
+def _epoch_us_ntz(ts_col: str) -> Column:
+    """Microseconds since 1970 of a (string or ntz) timestamp treated
+    as WALL TIME — tz-free on purpose: ``unix_micros(cast(ts AS
+    TIMESTAMP))`` interprets the wall time in the SESSION zone, so a
+    non-UTC session would shift every bucket/grid boundary (and
+    desync the UTC-agnostic DuckDB oracle). timestampdiff over
+    TIMESTAMP_NTZ never consults the session zone."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST(`{ts_col}` AS TIMESTAMP_NTZ))"
+    )
+
+
+def _ntz_from_us(us_col: str) -> Column:
+    """Inverse of :func:`_epoch_us_ntz` (tz-free)."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, `{us_col}`, "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+
+
 def interpolate_linear(
     df: DataFrame,
     series_col: str,
@@ -102,7 +123,7 @@ def interpolate_linear(
         .orderBy("_t", "_is_grid")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = _epoch_us_ntz(ts_col)
     samples = (
         df.select(
             F.col(series_col).alias("_s"),
@@ -167,7 +188,7 @@ def interpolate_linear(
         .select(
             F.col("_s").alias(series_col),
             F.date_format(
-                F.timestamp_micros(F.col("_t")), "yyyy-MM-dd HH:mm:ss"
+                _ntz_from_us("_t"), "yyyy-MM-dd HH:mm:ss"
             ).alias("grid_ts"),
             # binary-exact half-up (floor(x*10^k + 0.5)/10^k): Spark's
             # ROUND rounds Double.toString decimals, other engines the
@@ -204,7 +225,7 @@ def m4_downsample(
     Output: (series, ts 'yyyy-MM-dd HH:mm:ss.SSSSSS' string, value),
     one row per distinct kept point.
     """
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = _epoch_us_ntz(ts_col)
     samples = df.select(
         F.col(series_col).alias("_s"),
         us.alias("_t"),
@@ -249,7 +270,7 @@ def m4_downsample(
     return pts.select(
         F.col("_s").alias(series_col),
         F.date_format(
-            F.timestamp_micros(F.col("_t")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            _ntz_from_us("_t"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
         ).alias("point_ts"),
         F.col("_v").alias("value"),
     )
