@@ -1185,9 +1185,16 @@ def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     df = spark.createDataFrame([(s,) for s in raw], "value string")
     env = parse_debezium_json(df, "value", row_schema)
+    # present the instant as UTC WALL TIME regardless of session zone
+    # (date_format on a TIMESTAMP renders in the session zone — a
+    # non-UTC session would shift the string vs the literal oracle)
+    ts_utc = F.expr(
+        "timestampadd(MICROSECOND, unix_micros(ts), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
     return env.select(
         "op",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.date_format(ts_utc, "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         "seq",
         F.coalesce(F.col("after.uuid"), F.col("before.uuid")).alias("uuid"),
         F.coalesce(F.col("after.name"), F.col("before.name")).alias("name"),
