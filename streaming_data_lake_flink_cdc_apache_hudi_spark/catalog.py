@@ -399,6 +399,35 @@ class TableRegistry:
             self.resolve(stmt.name)
         return self.spark.createDataFrame([], "result string")
 
+    _EXPORT_RE = None  # compiled lazily below
+
+    def _execute_export(self, statement: str) -> DataFrame | None:
+        """EXPORT TABLE <name> AS DELTA|HUDI|ICEBERG LOCATION '<path>'
+        — the SQL spelling of the lakehouse-format exporters, so the
+        interop trio is reachable from the paste-SQL front door."""
+        import re as _re
+
+        m = _re.match(
+            r"^\s*EXPORT\s+TABLE\s+`?(\w+)`?\s+AS\s+"
+            r"(DELTA|HUDI|ICEBERG)\s+LOCATION\s+'([^']+)'\s*;?\s*$",
+            statement,
+            _re.IGNORECASE,
+        )
+        if not m:
+            return None
+        name, fmt, dest = m.group(1), m.group(2).upper(), m.group(3)
+        h = self.upsert_handle(name)
+        if fmt == "DELTA":
+            n = h.export_delta(dest)
+        elif fmt == "HUDI":
+            n = h.export_hudi(dest)
+        else:
+            n = h.export_iceberg(dest)
+        return self.spark.createDataFrame(
+            [(name, fmt, dest, n)],
+            "table STRING, format STRING, location STRING, data_files INT",
+        )
+
     def execute_ddl(self, statement: str) -> DataFrame | None:
         """Route a CREATE/DROP TABLE connector-DDL string — or an
         INSERT INTO / MERGE INTO an upsert table — into the registry
@@ -408,6 +437,9 @@ class TableRegistry:
         spark.sql)."""
         from .ddl import parse_ddl
 
+        exp = self._execute_export(statement)
+        if exp is not None:
+            return exp
         ins = self._execute_insert(statement)
         if ins is not None:
             return ins

@@ -454,3 +454,43 @@ def test_ddl_check_constraint_option_gates_inserts(spark, tmp_path):
         eng.sql("INSERT INTO gated VALUES (2, -1.0)")
     rows = eng.sql("SELECT id, price FROM gated").collect()
     assert [(r["id"], r["price"]) for r in rows] == [(1, 5.0)]
+
+
+def test_export_table_ddl_all_three_formats(spark, tmp_path):
+    """EXPORT TABLE ... AS DELTA|HUDI|ICEBERG LOCATION '...' routes
+    the lakehouse exporters through the SQL front door; every export
+    mounts back with its own reader."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        read_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        read_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        read_iceberg,
+    )
+
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    eng.sql(
+        f"""
+        CREATE TABLE exp_src (id INT, v STRING, PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector' = 'upsert', 'path' = '{tmp_path}/exp_src',
+              'num_buckets' = '2')
+        """
+    )
+    eng.sql("INSERT INTO exp_src VALUES (1, 'a'), (2, 'b')")
+    for fmt, reader in [
+        ("DELTA", read_delta),
+        ("HUDI", read_hudi),
+        ("ICEBERG", read_iceberg),
+    ]:
+        dest = str(tmp_path / f"out_{fmt.lower()}")
+        res = eng.sql(
+            f"EXPORT TABLE exp_src AS {fmt} LOCATION '{dest}'"
+        ).collect()[0]
+        assert res["format"] == fmt and res["data_files"] >= 1
+        got = sorted(
+            (r["id"], r["v"]) for r in reader(spark, dest).select("id", "v").collect()
+        )
+        assert got == [(1, "a"), (2, "b")], fmt
