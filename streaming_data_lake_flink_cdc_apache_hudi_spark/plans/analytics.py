@@ -1107,3 +1107,122 @@ def q_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "stock_concentration",
+    """
+WITH supplier_nation AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_10'
+),
+part_value AS (
+  SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
+  FROM lineitem JOIN supplier_nation ON s_suppkey = l_suppkey
+  GROUP BY l_partkey
+)
+SELECT l_partkey, ROUND(value, 2) AS value
+FROM part_value,
+     (SELECT SUM(value) AS total FROM part_value) t
+WHERE value > 0.002 * total
+ORDER BY value DESC, l_partkey
+""",
+    doc="TPC-H Q11 shape (inventory-value concentration): per-part "
+    "traded value restricted to one nation's suppliers, keeping "
+    "parts above a FRACTION OF THE GLOBAL TOTAL — the "
+    "scalar-subquery-in-HAVING pattern. The nation's supplier keys "
+    "broadcast as a semi-join; the global total is a one-row "
+    "aggregate REUSED from the same grouped result (no second scan) "
+    "and broadcast under the filter; top-k order via "
+    "TakeOrderedAndProject... actually a full ORDER BY of the "
+    "surviving concentrated parts (a tiny fraction by construction).",
+)
+def q_stock_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_10"
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        li.join(
+            F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias(
+                "value"
+            )
+        )
+    )
+    total = pv.agg(F.sum("value").alias("total"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value") > 0.002 * F.col("total"))
+        .select("l_partkey", _R2(F.col("value")).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "excess_stock_suppliers",
+    """
+WITH apart AS (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'),
+shipped AS (
+  SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+  FROM lineitem JOIN apart ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+),
+qualifying AS (
+  SELECT DISTINCT l_suppkey FROM shipped WHERE qty > 60
+)
+SELECT s_name, s_suppkey
+FROM supplier JOIN qualifying ON supplier.s_suppkey = qualifying.l_suppkey
+ORDER BY s_suppkey
+""",
+    doc="TPC-H Q20 shape (suppliers with excess movement of a part "
+    "family in a year; the testdata has no partsupp availqty, so the "
+    "threshold applies to shipped quantity of gear parts): the nested "
+    "IN(part-family) / correlated-quantity chain decorrelates into a "
+    "broadcast semi-join on the part family + ONE grouped pass per "
+    "(supplier, part) + a distinct key set — each step strictly "
+    "shrinking, no correlated re-scans.",
+)
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apart = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(
+            F.broadcast(apart), F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    qualifying = (
+        shipped.filter(F.col("qty") > 60).select("l_suppkey").distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
