@@ -10,7 +10,9 @@ signatures, partition-parallel execution.
 Codecs: ``_decode_bytes`` sniffs the payload magic. PPM (P6),
 uncompressed 24-bit BMP, **PNG (stdlib zlib inflate + full filter
 reconstruction: None/Sub/Up/Average/Paeth, gray/RGB/palette/alpha at
-8-bit depth)**, and RIFF/WAVE PCM16 audio decode FOR REAL —
+8-bit depth)**, **GIF87a/89a (pure-Python LZW, color tables,
+deinterlace; animations decode to frame 1)**, and RIFF/WAVE PCM16
+audio decode FOR REAL —
 pure-Python header parse + numpy sample/pixel math, end-to-end in
 this container (dims/rate/duration, checksum, and an 8-dim feature
 from actual pixels or samples). Formats genuinely needing external
@@ -432,9 +434,15 @@ def _decode_bytes(payload: bytes) -> dict:
         )
     payload = bytes(payload)
     checksum = sum(payload) % (1 << 31)
-    if payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_MAGIC:
+    if (
+        payload[:2] in (b"BM", b"P6")
+        or payload[:8] == _PNG_MAGIC
+        or payload[:6] in _GIF_MAGICS
+    ):
         if payload[:8] == _PNG_MAGIC:
             w, h, rgb = _decode_png(payload)
+        elif payload[:6] in _GIF_MAGICS:
+            w, h, rgb = _decode_gif(payload)
         elif payload[:2] == b"BM":
             w, h, rgb = _decode_bmp(payload)
         else:
@@ -603,6 +611,8 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                         w, h, rgb = _decode_bmp(b)
                     elif b[:8] == _PNG_MAGIC:
                         w, h, rgb = _decode_png(b)
+                    elif b[:6] in _GIF_MAGICS:
+                        w, h, rgb = _decode_gif(b)
                     else:
                         out.append(b)
                         continue
@@ -618,3 +628,212 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(_op, df.schema)
+
+
+# -- real GIF codec (LZW, stdlib only) --------------------------------------
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """Real single-frame GIF89a encoder: palette built from the
+    image's distinct colors (<= 256 required), LZW-compressed index
+    stream per the GIF spec. Exists so tests can round-trip the
+    decoder against an independent layout of the same spec."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb must be width*height*3 bytes")
+    pixels = [tuple(rgb[i : i + 3]) for i in range(0, len(rgb), 3)]
+    palette = sorted(set(pixels))
+    if len(palette) > 256:
+        raise ValueError("GIF encoder supports <= 256 distinct colors")
+    # color table size = next power of two >= max(2, len(palette))
+    size_exp = max(1, (max(2, len(palette)) - 1).bit_length())
+    table_n = 1 << size_exp
+    index = {c: i for i, c in enumerate(palette)}
+    codes = [index[p] for p in pixels]
+
+    # LZW encode with variable code width
+    min_code_size = max(2, size_exp)
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    dict_ = {(i,): i for i in range(1 << min_code_size)}
+    next_code = eoi + 1
+    width_bits = min_code_size + 1
+    out_codes = [clear]
+    w: tuple = ()
+    for c in codes:
+        wc = w + (c,)
+        if wc in dict_:
+            w = wc
+        else:
+            out_codes.append(dict_[w])
+            dict_[wc] = next_code
+            next_code += 1
+            w = (c,)
+            if next_code > (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+            elif next_code > (1 << 12):
+                out_codes.append(clear)
+                dict_ = {(i,): i for i in range(1 << min_code_size)}
+                next_code = eoi + 1
+                width_bits = min_code_size + 1
+    if w:
+        out_codes.append(dict_[w])
+    out_codes.append(eoi)
+    # pack codes LSB-first with the width each code was EMITTED at
+    bits = bitpos = 0
+    buf = bytearray()
+    width_bits = min_code_size + 1
+    next_code = eoi + 1
+    for code in out_codes:
+        bits |= code << bitpos
+        bitpos += width_bits
+        while bitpos >= 8:
+            buf.append(bits & 0xFF)
+            bits >>= 8
+            bitpos -= 8
+        if code == clear:
+            next_code = eoi + 1
+            width_bits = min_code_size + 1
+        elif code != eoi:
+            next_code += 1
+            if next_code > (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+    if bitpos:
+        buf.append(bits & 0xFF)
+
+    def u16(n: int) -> bytes:
+        return n.to_bytes(2, "little")
+
+    gct = bytearray()
+    for i in range(table_n):
+        gct += bytes(palette[i]) if i < len(palette) else b"\x00\x00\x00"
+    out = bytearray()
+    out += b"GIF89a" + u16(width) + u16(height)
+    out.append(0x80 | (size_exp - 1))  # GCT present, 2^size_exp entries
+    out += b"\x00\x00"  # bg color, aspect
+    out += bytes(gct)
+    out += b"," + u16(0) + u16(0) + u16(width) + u16(height) + b"\x00"
+    out.append(min_code_size)
+    for i in range(0, len(buf), 255):
+        chunk = bytes(buf[i : i + 255])
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00;"  # block terminator + trailer
+    return bytes(out)
+
+
+def _decode_gif(b: bytes) -> tuple[int, int, bytes]:
+    """GIF87a/89a decode with ONLY the stdlib: header + color tables,
+    extension skip, LZW decompression of the FIRST image frame,
+    deinterlace when flagged. Animated GIFs decode to frame 1 — the
+    standard thumbnail semantic. Cites the public GIF89a spec layout
+    only."""
+    if b[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    pos = 6
+    sw = int.from_bytes(b[pos : pos + 2], "little")
+    sh = int.from_bytes(b[pos + 2 : pos + 4], "little")
+    packed = b[pos + 4]
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            interlaced = bool(ipacked & 0x40)
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = b[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code_size = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decode(bytes(data), min_code_size)
+            if len(indices) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            indices = indices[: iw * ih]
+            if interlaced:
+                deinter = [0] * (iw * ih)
+                rows = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                for src_row, dst_row in enumerate(rows):
+                    deinter[dst_row * iw : (dst_row + 1) * iw] = indices[
+                        src_row * iw : (src_row + 1) * iw
+                    ]
+                indices = deinter
+            rgb = bytearray()
+            for idx in indices:
+                o = idx * 3
+                rgb += ct[o : o + 3]
+            return iw, ih, bytes(rgb)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF carries no image frame")
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: variable code width, LSB-first packing, CLEAR
+    and END codes, 12-bit dictionary cap."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(1 << min_code_size)]
+    table += [[], []]  # clear, eoi placeholders
+    out: list[int] = []
+    bits = bitpos = 0
+    prev: list[int] | None = None
+    i = 0
+    while True:
+        while bitpos < width and i < len(data):
+            bits |= data[i] << bitpos
+            bitpos += 8
+            i += 1
+        if bitpos < width:
+            break
+        code = bits & ((1 << width) - 1)
+        bits >>= width
+        bitpos -= width
+        if code == clear:
+            table = [[i_] for i_ in range(1 << min_code_size)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("corrupt LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out

@@ -390,3 +390,84 @@ def test_resize_handles_png_payloads(spark):
     ys = (np.arange(5) * h) // 5
     xs = (np.arange(8) * w) // 8
     assert grgb == a[ys][:, xs].tobytes()
+
+
+def test_gif_roundtrip_and_through_decode_media(spark):
+    """Real GIF codec (pure-Python LZW): random palettes round-trip;
+    a GIF payload decodes to dimensions + pixel features through the
+    media operator."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    w, h, nc = 17, 11, 23
+    pal = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(nc)]
+    rgb = b"".join(bytes(pal[rng.randrange(nc)]) for _ in range(w * h))
+    gif = MM.encode_gif(w, h, rgb)
+    assert MM._decode_gif(gif) == (w, h, rgb)
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(gif),
+          {"mime": "image/gif", "n_bytes": len(gif), "width": w,
+           "height": h, "duration_ms": None})],
+        MM.MEDIA_SCHEMA,
+    )
+    r = MM.decode_media(df).collect()[0]
+    assert (r["width"], r["height"]) == (w, h)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(float)
+    want = list(a.mean(axis=0) / 255.0)
+    assert all(abs(x - y) < 1e-6 for x, y in zip(r["feature"][:3], want))
+
+
+def test_gif_interlaced_decodes(spark):
+    """Hand-interlace a GIF's index stream per the 4-pass scheme; the
+    decoder must reassemble row order."""
+    import random
+
+    rng = random.Random(5)
+    w, h = 8, 16
+    pal = [(i * 16, 0, 255 - i * 16) for i in range(16)]
+    idx_rows = [[rng.randrange(16) for _ in range(w)] for _ in range(h)]
+    rgb = b"".join(
+        bytes(pal[i]) for row in idx_rows for i in row
+    )
+    plain = MM.encode_gif(w, h, rgb)
+    # rebuild the same file with the interlace flag + reordered rows
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    inter_rgb = b"".join(
+        bytes(pal[i]) for r in order for i in idx_rows[r]
+    )
+    inter = bytearray(MM.encode_gif(w, h, inter_rgb))
+    # image descriptor: ',' u16*4 then packed byte -> set interlace bit
+    comma = inter.index(ord(","), 13)
+    inter[comma + 9] |= 0x40
+    gw, gh, grgb = MM._decode_gif(bytes(inter))
+    assert (gw, gh) == (w, h) and grgb == rgb
+
+
+def test_resize_handles_gif_payloads(spark):
+    import random
+
+    import numpy as np
+
+    rng = random.Random(9)
+    w, h = 20, 12
+    pal = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(50)]
+    rgb = b"".join(bytes(pal[rng.randrange(50)]) for _ in range(w * h))
+    gif = MM.encode_gif(w, h, rgb)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(gif),
+          {"mime": "image/gif", "n_bytes": len(gif), "width": w,
+           "height": h, "duration_ms": None})],
+        MM.MEDIA_SCHEMA,
+    )
+    out = MM.resize_images(df, 10, 6).collect()[0]
+    gw, gh, grgb = MM._decode_ppm(bytes(out["payload"]))
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(6) * h) // 6
+    xs = (np.arange(10) * w) // 10
+    assert (gw, gh) == (10, 6) and grgb == a[ys][:, xs].tobytes()
