@@ -355,3 +355,46 @@ def test_avro_codec_round_trips_arbitrary_values(tmp_path_factory, records, code
     write_avro(p, _AVRO_VALUE_SCHEMA, records, codec=codec)
     _, back = read_avro(p)
     assert back == records
+
+
+# -- SymSpell deletion blocking is lossless for levenshtein <= d -------------
+
+_words = st.text(alphabet="abcde", min_size=0, max_size=7)
+
+
+@settings(max_examples=10, suppress_health_check=[HealthCheck.too_slow],
+          deadline=None)
+@given(
+    texts=st.lists(_words, min_size=2, max_size=8, unique=True),
+    d=st.integers(1, 2),
+)
+def test_edit_distance_pairs_equals_bruteforce(spark, texts, d):
+    """For ANY string set, the deletion-neighborhood join must return
+    exactly the brute-force levenshtein<=d pairs (lossless blocking +
+    exact verification)."""
+    import itertools
+
+    from pyspark.sql import functions as F2
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "id INT, t STRING")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, "t", "id", max_dist=d).collect()
+    }
+    lev_rows = [
+        (a, b, ta, tb) for (a, ta), (b, tb) in itertools.combinations(rows, 2)
+    ]
+    brute = spark.createDataFrame(
+        lev_rows, "id_a INT, id_b INT, ta STRING, tb STRING"
+    ).select("id_a", "id_b", F2.levenshtein("ta", "tb").alias("dist"))
+    want = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in brute.collect()
+        if r["dist"] <= d
+    }
+    assert got == want
