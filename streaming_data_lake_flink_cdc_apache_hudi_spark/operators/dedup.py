@@ -741,3 +741,91 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster, then prune within-cluster ε-balls)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 8,
+    tau: float = 0.33,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    coarse-cluster the embedding space, then inside each cluster drop
+    every vector that has a smaller-id neighbor with cosine >= tau.
+    Output is one row per input vector: (id, cluster, kept) — the
+    keep-list IS the curated corpus membership.
+
+    Determinism/portability (same contract as ``ivf_topk``'s
+    portable family): centroids are the top-``n_clusters`` corpus
+    vectors ranked by ``md5(id || '-' || seed)``; assignment is
+    argmax of ROUND(dot, 6) with ties to the LARGER centroid id;
+    pair cosine is ROUNDed to 6 decimals before the tau comparison —
+    every step replays exactly in the DuckDB oracle.
+
+    Scale shape: centroid pick is TakeOrderedAndProject (never a
+    global sort); assignment is a broadcast crossJoin of an
+    n_clusters-entry literal array (map-only); the pair space is an
+    equi-join on cluster id, so cost is Σ cluster² not corpus² — at
+    real scale pick n_clusters ≈ corpus_size/10⁴ (the published
+    SemDeDup regime) so clusters stay bounded; the keep decision is
+    one distinct + left-join, both linear. The smaller-id-neighbor
+    rule (vs the paper's keep-farthest-from-centroid) makes the
+    keep-list order-free and exactly reproducible cross-engine.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(id_col).cast("string").alias("_cid"),
+        V.as_double(F.col(vec_col)).alias("_v"),
+    )
+    sampled = (
+        base.select("_cid", F.col("_v").alias("_cv"))
+        .orderBy(F.md5(F.concat(F.col("_cid"), F.lit(f"-{seed}"))))
+        .limit(n_clusters)
+    )
+    cents = F.broadcast(
+        sampled.groupBy().agg(
+            F.collect_list(F.struct("_cid", "_cv")).alias("_cents")
+        )
+    )
+    dots = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.round(V.dot(F.col("_v"), c["_cv"]), 6).alias("dot"),
+            c["_cid"].alias("cid"),
+        ),
+    )
+    # ascending (dot, cid) sort reversed -> max dot, ties to larger cid
+    assigned = base.crossJoin(cents).select(
+        F.col(id_col),
+        F.col("_v"),
+        F.reverse(F.array_sort(dots))[0]["cid"].alias("cluster"),
+    )
+    assigned = assigned.localCheckpoint(eager=True)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = V.dot(F.col("a._v"), F.col("b._v")) / (
+        F.sqrt(V.dot(F.col("a._v"), F.col("a._v")))
+        * F.sqrt(V.dot(F.col("b._v"), F.col("b._v")))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(F.round(cos, 6) >= tau)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        "cluster",
+        F.col("_dup").isNull().alias("kept"),
+    )

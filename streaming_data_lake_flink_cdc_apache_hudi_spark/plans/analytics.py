@@ -1114,7 +1114,7 @@ def q_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH supplier_nation AS (
   SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
-  WHERE n_name = 'NATION_10'
+  WHERE n_name = 'NATION_12'
 ),
 part_value AS (
   SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
@@ -1144,7 +1144,7 @@ def q_stock_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(
                 load_table(spark, sf_dir, "nation").filter(
-                    F.col("n_name") == "NATION_10"
+                    F.col("n_name") == "NATION_12"
                 )
             ),
             F.col("n_nationkey") == F.col("s_nationkey"),

@@ -445,3 +445,112 @@ def q_name_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cluster_size"), "comp")
         .limit(20)
     )
+
+
+# -- hybrid retrieval: BM25 + dense cosine, reciprocal-rank fusion ----------
+
+_RRF_TERMS = ["vector", "scan", "merge"]
+
+
+@register(
+    "hybrid_search_rrf",
+    """
+WITH terms(t) AS (VALUES ('vector'), ('scan'), ('merge')),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok JOIN terms USING (t)
+       GROUP BY doc_id, t),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+             tf.tf * 2.2 /
+             (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4)
+           AS score
+  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 100)),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cs AS (SELECT vec_id AS doc_id,
+              ROUND(list_dot_product(e.ev, q.qv) /
+                    (sqrt(list_dot_product(e.ev, e.ev)) *
+                     sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+       FROM (SELECT vec_id, embedding::DOUBLE[] ev FROM embeddings) e
+       CROSS JOIN qv q),
+vr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+       FROM (SELECT * FROM cs ORDER BY cos_sim DESC, doc_id LIMIT 100))
+SELECT COALESCE(bmr.doc_id, vr.doc_id) AS doc_id,
+       CAST(bmr.bm25_rank AS INT) AS bm25_rank,
+       CAST(vr.vec_rank AS INT) AS vec_rank,
+       ROUND(COALESCE(1.0/(60 + bmr.bm25_rank), 0)
+             + COALESCE(1.0/(60 + vr.vec_rank), 0), 6) AS rrf_score
+FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+    doc="Hybrid first-stage retrieval (the RAG deployment shape): "
+    "Okapi BM25 over the documents table fused with dense cosine "
+    "ranking over the aligned embeddings table by reciprocal-rank "
+    "fusion sum(1/(60+rank)) across the union of the two top-100 "
+    "lists. Token explosion is filtered to the literal query terms "
+    "before any shuffle; N/avgdl/df are broadcast scalar frames; "
+    "each list is cut by TakeOrderedAndProject so the rank window "
+    "runs over <=pool rows, never the corpus. Rounded scores + id "
+    "tie-breaks make both rankings engine-exact — the oracle "
+    "replays BM25, the cosine list, and the fusion verbatim.",
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(docs, emb, _RRF_TERMS, k=10, pool=100)
+
+
+# -- SemDeDup: cluster-then-prune semantic deduplication --------------------
+
+
+@register(
+    "semantic_dedup",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] ev FROM embeddings),
+c AS (SELECT CAST(vec_id AS VARCHAR) cid, ev cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR) || '-42') LIMIT 8),
+dots AS (SELECT e.vec_id, c.cid,
+                ROUND(list_dot_product(e.ev, c.cv), 6) AS d
+         FROM e CROSS JOIN c),
+a AS (SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cid DESC) AS rn
+        FROM dots) WHERE rn = 1),
+dup AS (SELECT DISTINCT y.vec_id
+        FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        JOIN e ex ON ex.vec_id = x.vec_id
+        JOIN e ey ON ey.vec_id = y.vec_id
+        WHERE ROUND(list_dot_product(ex.ev, ey.ev) /
+              (sqrt(list_dot_product(ex.ev, ex.ev)) *
+               sqrt(list_dot_product(ey.ev, ey.ev))), 6) >= 0.33)
+SELECT a.vec_id, a.cluster,
+       (dup.vec_id IS NULL) AS kept
+FROM a LEFT JOIN dup USING (vec_id)
+""",
+    doc="SemDeDup (Abbas et al. 2023) semantic deduplication: "
+    "coarse k-cluster the embedding space (portable hash-ranked "
+    "centroid sample, argmax-dot assignment), then inside each "
+    "cluster drop every vector with a smaller-id neighbor at "
+    "cosine >= 0.33 — one (id, cluster, kept) row per vector. The "
+    "pair space is an equi-join on cluster id (sum of cluster^2, "
+    "never corpus^2; at scale n_clusters ~ corpus/10^4 keeps "
+    "clusters bounded). Every float compare is on ROUNDed values, "
+    "so centroid pick, assignment, and the keep-list replay "
+    "identically in the DuckDB oracle.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "embedding", "vec_id", n_clusters=8, tau=0.33)
