@@ -90,6 +90,64 @@ def cosine_topk_multi(
     )
 
 
+def hard_negative_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    query_label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors whose label DIFFERS from the
+    query's — the highest-cosine wrong-class examples are exactly the
+    negatives that carry gradient signal (in-batch easy negatives
+    don't). Same scale shape as :func:`cosine_topk_multi`: the query
+    batch broadcasts, the corpus streams map-side through the scoring
+    crossJoin, and the per-query window ranks k·|queries| survivors —
+    never a corpus-sized sort. Output: (query_id, id, label, cos_sim,
+    rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(query_label_col).alias("_qlabel"),
+            V.as_double(F.col(query_vec_col)).alias("_qv"),
+        )
+    )
+    scored = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("_label"),
+            V.as_double(F.col(vec_col)).alias("_v"),
+        )
+        .crossJoin(q)
+        .filter(F.col("_label") != F.col("_qlabel"))
+        .select(
+            "_qid",
+            "_id",
+            "_label",
+            F.round(V.cosine(F.col("_v"), F.col("_qv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("cos_sim").desc(), F.col("_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            F.col("_label").alias(label_col),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     vec_col: str,

@@ -554,3 +554,51 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, "embedding", "vec_id", n_clusters=8, tau=0.33)
+
+
+# -- contrastive-training prep: ANN hard-negative mining --------------------
+
+
+@register(
+    "hard_negatives",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+), e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         ROUND(list_dot_product(e.ev, q.qv) /
+               (sqrt(list_dot_product(e.ev, e.ev)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+  FROM e JOIN q ON e.label <> q.qlabel
+)
+SELECT query_id, vec_id, label, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="Hard-negative mining for contrastive training: per query "
+    "vector (the standing vec_id<3 batch), the top-5 most-similar "
+    "corpus vectors with a DIFFERENT label — the wrong-class "
+    "examples nearest the decision boundary. Query batch broadcasts "
+    "with labels attached; the corpus streams map-side through the "
+    "scoring join; per-query window ranks only the k*|queries| "
+    "survivors. The oracle replays scoring, the label filter, and "
+    "the ranking exactly.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        "embedding",
+    )
+    return SIM.hard_negative_topk(
+        e, "embedding", "vec_id", "label", q, "query_id", "embedding",
+        "qlabel", k=5,
+    )

@@ -135,3 +135,33 @@ def test_semantic_dedup_is_cluster_local(spark):
         keeper = min(m["vec_id"] for m in members)
         for m in members:
             assert m["kept"] is (m["vec_id"] == keeper)
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, "A", [1.0, 0.0]),
+            (1, "A", [0.99, 0.1]),   # nearest overall but same label
+            (2, "B", [0.9, 0.4]),    # nearest wrong-label -> rank 1
+            (3, "B", [0.0, 1.0]),
+            (4, "C", [0.5, 0.5]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        "embedding",
+    )
+    out = hard_negative_topk(
+        emb, "embedding", "vec_id", "label", q, "query_id", "embedding",
+        "qlabel", k=3,
+    ).collect()
+    ids = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert 1 not in ids and 0 not in ids  # label A never appears
+    assert ids[0] == 2                    # closest wrong-label first
+    assert all(r["label"] != "A" for r in out)
