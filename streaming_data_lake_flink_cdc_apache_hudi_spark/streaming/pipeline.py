@@ -116,6 +116,55 @@ def stream_static_join(
     return changelog_delta.join(static_dim, on, how)
 
 
+def stream_lookup_join(
+    changelog: DataFrame,
+    dim: UpsertLakeTable,
+    on: str | Sequence[str],
+    sink: UpsertLakeTable,
+    checkpoint_dir: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Processing-time temporal enrichment — Flink's ``LOOKUP JOIN …
+    FOR SYSTEM_TIME AS OF proc_time`` spelled in Spark micro-batches:
+    every batch's reduced delta joins the dimension lake table's
+    CURRENT snapshot, re-resolved at batch time, so a dim row updated
+    between two batches enriches the later batch with the NEW version
+    while rows already written keep the version they saw (exactly the
+    processing-time semantics; contrast ``stream_static_join``, which
+    freezes the dim at query start, and the as-of/SCD2 batch joins,
+    which are event-time).
+
+    ``broadcast_dim`` (default) hints the per-batch snapshot for
+    broadcast — the lookup-dim regime is a small, hot table; disable
+    it for big dims and AQE picks shuffle strategy (at 100 TB
+    pre-bucket dim and sink on the key so each batch joins
+    shuffle-free). Exactly-once like every sink here: the epoch id is
+    the commit id, replayed epochs dedup in the MERGE.
+    """
+
+    def _enrich(batch: DataFrame, epoch_id: int) -> None:
+        delta = reduce_changelog_batch(batch, sink.key)
+        snap = dim.snapshot()
+        enriched = delta.join(
+            F.broadcast(snap) if broadcast_dim else snap, on, how
+        )
+        sink.write(
+            enriched,
+            commit_id=f"lookup-epoch-{epoch_id}",
+            delete_col="_deleted",
+        )
+
+    writer = (
+        changelog.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
 def sync_incremental(
     src: UpsertLakeTable,
     dst: UpsertLakeTable,
