@@ -49,7 +49,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark.sql import types as T
@@ -780,3 +780,159 @@ def stream_group_agg(
     if trigger:
         writer = writer.trigger(**trigger)
     return ivm, writer.start()
+
+
+class TopNIVM:
+    """Continuously maintained per-group top-N under a retract stream
+    — Flink's signature `ROW_NUMBER() OVER (PARTITION BY g ORDER BY
+    v) WHERE rn <= N` on update inputs (the streaming flavor of
+    SURVEY §2.4's ORDER BY … LIMIT), which Spark's native streaming
+    cannot express (rank over an update stream needs retraction).
+
+    State model (the Flink parity point): deleting the current #1
+    must PROMOTE the runner-up, so the operator keeps ALL live rows,
+    not just the top N — ``_rows`` is a lake table keyed by the row
+    id but BUCKETED BY GROUP (``partition_cols=group_cols``), so the
+    per-batch re-rank reads only the touched groups' buckets, never
+    the full state. A group-changing update appends a move tombstone
+    for the old group in the same commit (the sink's documented
+    contract for mutable partition columns). The VIEW table is keyed
+    (group, rank): publishing a refreshed group overwrites ranks
+    1..k and tombstones k+1..N when the group shrinks — consumers
+    read a dense, always-current ranking.
+
+    Per-batch cost: one keyed reduce of the delta, one state commit,
+    then a window rank over ONLY the touched groups (bucket-pruned
+    read); the published view delta is ≤ |touched groups|·N rows.
+    Exactly-once by epoch-id commit dedup, as everywhere else.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_cols: Sequence[str],
+        row_key: str,
+        order_col: str,
+        n: int,
+        ascending: bool = False,
+        num_buckets: int = 16,
+    ):
+        self.group_cols = list(group_cols)
+        self.row_key = row_key
+        self.order_col = order_col
+        self.n = n
+        self.ascending = ascending
+        # composite (group, row) key: a group-moving update's move
+        # tombstone (old group, row) and its upsert (new group, row)
+        # are then DIFFERENT record keys — both apply in one commit
+        # without an LWW tie on the same key
+        self.rows = UpsertLakeTable(
+            spark,
+            f"{path}_rows",
+            key=self.group_cols + [row_key],
+            partition_cols=self.group_cols,
+            num_buckets=num_buckets,
+        )
+        self.view_table = UpsertLakeTable(
+            spark,
+            path,
+            key=self.group_cols + ["rank"],
+            partition_cols=self.group_cols,
+            num_buckets=num_buckets,
+        )
+
+    def _order(self):
+        c = F.col(self.order_col)
+        first = c.asc_nulls_last() if self.ascending else c.desc_nulls_last()
+        return [first, F.col(self.row_key).asc()]
+
+    def apply(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        from .pipeline import reduce_changelog_batch
+
+        delta = reduce_changelog_batch(batch, self.row_key)
+        # every (old-group, row) pair the batch's pre-images mention,
+        # minus the rows' final live placement = move/delete tombstones
+        # (covers chains A->B->C inside one batch: A and B both fold)
+        befores = (
+            batch.filter(F.col("op").isin("U", "D"))
+            .filter(F.col("before").isNotNull())
+            .select(
+                *[F.col(f"before.{g}").alias(g) for g in self.group_cols],
+                F.col(f"before.{self.row_key}").alias(self.row_key),
+                F.col("ts").alias("_cdc_ts"),
+                F.col("seq").alias("_cdc_seq"),
+            )
+            .groupBy(*self.group_cols, self.row_key)
+            .agg(
+                F.max("_cdc_ts").alias("_cdc_ts"),
+                F.max("_cdc_seq").alias("_cdc_seq"),
+            )
+        )
+        finals = delta.filter(~F.col("_deleted")).select(
+            *self.group_cols, self.row_key
+        )
+        payload_cols = [
+            c
+            for c in delta.columns
+            if c
+            not in {*self.group_cols, self.row_key, "_deleted", "_cdc_ts", "_cdc_seq"}
+        ]
+        move_tombs = befores.join(
+            finals, self.group_cols + [self.row_key], "left_anti"
+        ).select(
+            *self.group_cols,
+            self.row_key,
+            *[
+                F.lit(None).cast(delta.schema[c].dataType).alias(c)
+                for c in payload_cols
+            ],
+            F.lit(True).alias("_deleted"),
+            "_cdc_ts",
+            "_cdc_seq",
+        )
+        self.rows.write(
+            delta.select(*move_tombs.columns).unionByName(move_tombs),
+            commit_id=None if epoch_id is None else f"topn-rows-{epoch_id}",
+            delete_col="_deleted",
+        )
+
+        touched = (
+            delta.select(*self.group_cols)
+            .unionByName(befores.select(*self.group_cols))
+            .distinct()
+        )
+        buckets = self.rows.bucket_filter_for(touched)
+        live = self.rows.snapshot(bucket_filter=buckets).join(
+            F.broadcast(touched), self.group_cols, "left_semi"
+        )
+        w = Window.partitionBy(*self.group_cols).orderBy(*self._order())
+        ranked = (
+            live.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.n)
+            .select(
+                *self.group_cols,
+                "rank",
+                self.row_key,
+                *payload_cols,
+            )
+        )
+        # dense rank-slot frame: every (touched group, 1..N) slot —
+        # missing slots after the refresh become tombstones
+        slots = touched.select(
+            *self.group_cols,
+            F.explode(F.sequence(F.lit(1), F.lit(self.n))).alias("rank"),
+        )
+        refreshed = slots.join(
+            ranked, self.group_cols + ["rank"], "left"
+        ).withColumn("_gone", F.col(self.row_key).isNull())
+        self.view_table.write(
+            refreshed,
+            commit_id=None if epoch_id is None else f"topn-view-{epoch_id}",
+            delete_col="_gone",
+        )
+
+    def view(self) -> DataFrame:
+        """Current top-N view: one row per (group, rank), dense from
+        1 up to min(N, group size)."""
+        return self.view_table.snapshot()
