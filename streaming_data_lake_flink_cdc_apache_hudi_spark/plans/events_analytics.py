@@ -207,3 +207,48 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("_n", "_sd", "_az")
     )
+
+
+@register(
+    "cep_pattern_match",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts, 2) OVER w AS end_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS start_event_id,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(date_trunc('second', end_ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+FROM o
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND epoch_us(end_ts) - epoch_us(ts) <= 86400000000::BIGINT
+""",
+    doc="MATCH_RECOGNIZE reduced to its relational core (Flink CEP "
+    "parity): PATTERN (view click purchase) on STRICTLY CONSECUTIVE "
+    "rows of each user's timeline, WITHIN 24h, AFTER MATCH SKIP TO "
+    "NEXT ROW (every match position enumerated). Strict contiguity = "
+    "lead(type, i) equality over ONE key-partitioned window sort — "
+    "the sessionization shuffle, no joins, no state, no "
+    "backtracking; the WITHIN bound is wall-time microsecond "
+    "arithmetic (TIMESTAMP_NTZ), session-zone independent. "
+    "Quantified/skip-past-last patterns need sequential per-key "
+    "state (the applyInPandasWithState family) — documented "
+    "boundary in operators/cep.py.",
+)
+def q_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import pattern_match
+
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_match(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        type_col="event_type",
+        pattern=["view", "click", "purchase"],
+        within_seconds=86400,
+    )
