@@ -152,5 +152,39 @@ SIM.ivf_probe_index(
     spark, idx, list(q), "embedding", "vec_id", k=5, n_probe=2
 ).show()
 
+print("== 8. SemDeDup semantic dedup (cluster -> prune eps-balls) ==")
+sem = DD.semantic_dedup(emb, "embedding", "vec_id", n_clusters=8, tau=0.33)
+sem.groupBy("kept").count().orderBy("kept").show()
+
+print("== 9. hybrid retrieval (BM25 + dense cosine, RRF fusion) ==")
+from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import (
+    retrieval as RET,
+)
+
+RET.hybrid_rrf_topk(
+    docs.select("doc_id", "text"), emb, ["vector", "scan", "merge"], k=5
+).show()
+
+print("== 10. hard negatives for contrastive training ==")
+qv = emb.filter(F.col("vec_id") < 2).select(
+    F.col("vec_id").alias("query_id"),
+    F.col("label").alias("qlabel"),
+    "embedding",
+)
+SIM.hard_negative_topk(
+    emb, "embedding", "vec_id", "label", qv, "query_id", "embedding",
+    "qlabel", k=3,
+).show()
+
+print("== 11. materialize training shards (manifest + verify) ==")
+from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import (
+    shards as SH,
+)
+
+shard_dir = os.path.join(root, "shards")
+manifest = SH.write_training_shards(final, "doc_id", shard_dir, n_shards=4)
+print(f"   {manifest['total_rows']} rows in {manifest['n_shards']} shards; "
+      f"verify: {SH.verify_shards(spark, shard_dir)['ok']}")
+
 shutil.rmtree(root, ignore_errors=True)
 print("curation pipeline complete.")
