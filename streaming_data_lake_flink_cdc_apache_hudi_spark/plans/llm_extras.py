@@ -602,3 +602,60 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "embedding", "vec_id", "label", q, "query_id", "embedding",
         "qlabel", k=5,
     )
+
+
+# -- CCNet-style perplexity bucketing ---------------------------------------
+
+_PPL_HEAD, _PPL_MID = -3.40, -3.45  # avg-logprob edges (head >= -3.40)
+
+
+@register(
+    "perplexity_buckets",
+    f"""
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM cnt),
+d AS (SELECT doc_id, ROUND(AVG(ln(c * 1.0 / n)), 4) AS lp
+      FROM tok JOIN cnt USING (t) CROSS JOIN tot GROUP BY doc_id)
+SELECT lang,
+       CASE WHEN lp >= {_PPL_HEAD} THEN 'head'
+            WHEN lp >= {_PPL_MID} THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(lp), 4) AS mean_logprob
+FROM d JOIN documents USING (doc_id)
+GROUP BY 1, 2
+""",
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): "
+    "documents split into head/middle/tail by their corpus-unigram "
+    "average log-probability against FIXED literal edges, rolled up "
+    "per language — the standard crawl-quality triage that decides "
+    "which slice trains, which gets re-scored, which is dropped. "
+    "Bucket compare runs on the already-ROUNDed score, so the edge "
+    "decision is engine-exact; adds one (lang,bucket) aggregate on "
+    "top of unigram_logprob's linear shape.",
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as CUR
+
+    d = load_table(spark, sf_dir, "documents")
+    lp = CUR.unigram_logprob(d, "text", "doc_id").withColumnRenamed(
+        "avg_logprob", "lp"
+    )
+    bucket = (
+        F.when(F.col("lp") >= _PPL_HEAD, "head")
+        .when(F.col("lp") >= _PPL_MID, "middle")
+        .otherwise("tail")
+    )
+    return (
+        lp.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("lp"), 4).alias("mean_logprob"),
+        )
+    )
