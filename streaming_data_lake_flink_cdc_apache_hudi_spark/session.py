@@ -98,7 +98,74 @@ class EngineSession:
         handled = self.registry.execute_ddl(statement)
         if handled is not None:
             return handled
+        statement = self._rewrite_window_tvf(statement)
         return self.spark.sql(self._rewrite_time_travel(statement))
+
+    _TVF_RE = None  # compiled lazily below
+
+    def _rewrite_window_tvf(self, statement: str) -> str:
+        """Flink SQL windowing-TVF spellings → Spark's window()
+        function, so the notebook dialect's windowed queries run
+        verbatim:
+
+          TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTES))
+          TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTES,
+                    INTERVAL '10' MINUTES))           -- slide, size
+
+        become derived tables exposing Flink's ``window_start`` /
+        ``window_end`` columns (Spark's window() in a projection
+        expands one row per containing window — for HOP that is the
+        size/slide fan-out, exactly the TVF's row multiplication).
+        SESSION TVFs are gated with a pointed error: Spark's
+        session_window is an aggregation construct, so the gap-window
+        path is `F.session_window` / `sessionize` (see §2.5), not a
+        row-expanding TVF.
+        """
+        import re
+
+        if EngineSession._TVF_RE is None:
+            iv = r"INTERVAL\s+'([^']+)'\s+(\w+)"
+            EngineSession._TVF_RE = re.compile(
+                r"TABLE\s*\(\s*(TUMBLE|HOP|SESSION)\s*\(\s*(?:TABLE\s+)?"
+                r"`?(\w+)`?\s*,\s*DESCRIPTOR\s*\(\s*`?(\w+)`?\s*\)\s*,\s*"
+                + iv
+                + r"(?:\s*,\s*"
+                + iv
+                + r")?\s*\)\s*\)",
+                re.IGNORECASE,
+            )
+
+        def canon(amount: str, unit: str) -> str:
+            u = unit.lower().rstrip("s")
+            if u not in {"second", "minute", "hour", "day"}:
+                raise ValueError(f"unsupported window interval unit {unit!r}")
+            return f"{amount} {u}s"
+
+        def sub(m: re.Match) -> str:
+            kind, tbl, ts = m.group(1).upper(), m.group(2), m.group(3)
+            first = canon(m.group(4), m.group(5))
+            second = (
+                canon(m.group(6), m.group(7)) if m.group(6) else None
+            )
+            if kind == "SESSION":
+                raise ValueError(
+                    "SESSION window TVF: use F.session_window / the "
+                    "sessionize operator (aggregation construct in "
+                    "Spark, not a row-expanding TVF)"
+                )
+            if kind == "TUMBLE":
+                win = f"window(`{ts}`, '{first}')"
+            else:  # HOP(slide, size) -> window(ts, size, slide)
+                if second is None:
+                    raise ValueError("HOP needs slide AND size intervals")
+                win = f"window(`{ts}`, '{second}', '{first}')"
+            return (
+                "(SELECT * EXCEPT (_w), _w.start AS window_start, "
+                f"_w.end AS window_end FROM (SELECT *, {win} AS _w "
+                f"FROM {tbl}))"
+            )
+
+        return EngineSession._TVF_RE.sub(sub, statement)
 
     def _rewrite_time_travel(self, statement: str) -> str:
         """Bind `t VERSION AS OF n` references to registered upsert

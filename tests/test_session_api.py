@@ -494,3 +494,66 @@ def test_export_table_ddl_all_three_formats(spark, tmp_path):
             (r["id"], r["v"]) for r in reader(spark, dest).select("id", "v").collect()
         )
         assert got == [(1, "a"), (2, "b")], fmt
+
+
+def test_flink_window_tvf_tumble_spelling(spark, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "tables.json")
+    )
+    eng.register_testdata("/root/testdata/sf0.001")
+    got = eng.sql(
+        "SELECT window_start, window_end, COUNT(*) AS n "
+        "FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), "
+        "INTERVAL '10' MINUTES)) "
+        "GROUP BY window_start, window_end ORDER BY window_start"
+    ).collect()
+    import pyspark.sql.functions as F
+
+    want = (
+        spark.table("events")
+        .groupBy(F.window("ts", "10 minutes"))
+        .count()
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col("count").alias("n"),
+        )
+        .orderBy("window_start")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_flink_window_tvf_hop_expands_rows(spark, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "tables.json")
+    )
+    eng.register_testdata("/root/testdata/sf0.001")
+    # HOP(slide 5m, size 10m): every event lands in exactly 2 windows
+    rows = eng.sql(
+        "SELECT COUNT(*) AS n FROM TABLE(HOP(TABLE events, "
+        "DESCRIPTOR(ts), INTERVAL '5' MINUTES, INTERVAL '10' MINUTES))"
+    ).collect()
+    base = spark.table("events").count()
+    assert rows[0]["n"] == 2 * base
+
+
+def test_flink_window_tvf_session_is_gated(spark, tmp_path):
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "tables.json")
+    )
+    eng.register_testdata("/root/testdata/sf0.001")
+    with _pytest.raises(ValueError, match="session_window"):
+        eng.sql(
+            "SELECT * FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts), "
+            "INTERVAL '5' MINUTES))"
+        )
