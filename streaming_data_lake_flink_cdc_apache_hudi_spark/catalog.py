@@ -428,6 +428,40 @@ class TableRegistry:
             "table STRING, format STRING, location STRING, data_files INT",
         )
 
+    def _execute_alter(self, statement: str) -> DataFrame | None:
+        """ALTER TABLE <name> ADD COLUMN[S] (col TYPE [, ...]) — the
+        DDL spelling of metadata-only schema evolution (files
+        predating the column read as typed NULLs; no rewrite). Both
+        the parenthesized multi-column and bare single-column forms
+        parse."""
+        import re as _re
+
+        m = _re.match(
+            r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+COLUMNS?\s+"
+            r"(\((?:[^()]|\([^()]*\))*\)|.+?)\s*;?\s*$",
+            statement,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if not m:
+            return None
+        from .ddl import _split_top_level
+
+        name, body = m.group(1), m.group(2).strip()
+        if body.startswith("("):
+            body = body[1:-1]
+        cols: dict[str, str] = {}
+        for item in _split_top_level(body):
+            cm = _re.match(r"`?(\w+)`?\s+(.+)$", item.strip(), _re.DOTALL)
+            if not cm:
+                raise ValueError(f"bad ADD COLUMN item: {item!r}")
+            cols[cm.group(1)] = cm.group(2).strip()
+        h = self.upsert_handle(name)
+        h.alter_add_columns(cols)
+        self.resolve(name)  # rebind the view with the evolved schema
+        return self.spark.createDataFrame(
+            [(name, ", ".join(cols))], "table STRING, added STRING"
+        )
+
     def execute_ddl(self, statement: str) -> DataFrame | None:
         """Route a CREATE/DROP TABLE connector-DDL string — or an
         INSERT INTO / MERGE INTO an upsert table — into the registry
@@ -440,6 +474,9 @@ class TableRegistry:
         exp = self._execute_export(statement)
         if exp is not None:
             return exp
+        alt = self._execute_alter(statement)
+        if alt is not None:
+            return alt
         ins = self._execute_insert(statement)
         if ins is not None:
             return ins

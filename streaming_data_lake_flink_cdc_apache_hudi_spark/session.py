@@ -199,11 +199,21 @@ class EngineSession:
 
     # -- write path (≙ R1/R2: INSERT INTO sink SELECT ...) ------------------
 
-    def insert_into(self, name: str, df: DataFrame, commit_id: str | None = None) -> int:
+    def insert_into(
+        self,
+        name: str,
+        df: DataFrame,
+        commit_id: str | None = None,
+        **write_kwargs,
+    ) -> int:
         """INSERT INTO a registered upsert table (batch flavor of the
         flagship R2 pipeline; literal-rows R1 when df is literals).
         Rebinds the table's temp view afterwards, like the SQL-string
-        INSERT route does, so a following ``sql()`` sees the commit."""
-        n = self.registry.upsert_handle(name).write(df, commit_id=commit_id)
+        INSERT route does, so a following ``sql()`` sees the commit.
+        Extra kwargs pass through to ``UpsertLakeTable.write`` (e.g.
+        ``evolve_schema=True``, ``delete_col=...``)."""
+        n = self.registry.upsert_handle(name).write(
+            df, commit_id=commit_id, **write_kwargs
+        )
         self.registry.resolve(name)
         return n

@@ -707,6 +707,42 @@ class UpsertLakeTable:
             with open(marker, "w") as fh:
                 fh.write("")
 
+    def alter_add_columns(self, columns: dict[str, str]) -> None:
+        """Metadata-only schema evolution (the DDL flavor of the
+        write-path ``evolve_schema``): append nullable columns to the
+        stored schema and flip the ``_evolved`` marker. No data is
+        rewritten — files predating the column read as typed NULLs
+        through the conforming-read path, exactly as if the column
+        had arrived via an evolving write. Existing names and key
+        collisions are rejected (evolution never retypes)."""
+        from pyspark.sql import types as T
+
+        from ..ddl import _parse_sql_type
+
+        stored = self._stored_schema()
+        if stored is None:
+            raise ValueError(
+                "ALTER on an unwritten table: declare columns in "
+                "CREATE TABLE instead"
+            )
+        dupes = [c for c in columns if c in stored.fieldNames()]
+        if dupes:
+            raise ValueError(f"column(s) already exist: {dupes}")
+        new_fields = [
+            T.StructField(name, _parse_sql_type(sql_type), nullable=True)
+            for name, sql_type in columns.items()
+        ]
+        union = T.StructType(list(stored.fields) + new_fields)
+        p = os.path.join(self.path, "_schema.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(union.json())
+        os.replace(tmp, p)
+        marker = os.path.join(self.path, "_evolved")
+        if not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write("")
+
     def _empty(self) -> DataFrame | None:
         p = os.path.join(self.path, "_schema.json")
         if not os.path.exists(p):

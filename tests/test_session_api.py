@@ -557,3 +557,61 @@ def test_flink_window_tvf_session_is_gated(spark, tmp_path):
             "SELECT * FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts), "
             "INTERVAL '5' MINUTES))"
         )
+
+
+def test_alter_table_add_column_ddl(spark, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "tables.json")
+    )
+    eng.sql(
+        "CREATE TABLE acc (id BIGINT, v DOUBLE, PRIMARY KEY (id) NOT "
+        f"ENFORCED) WITH ('path' = '{tmp_path / 'acc'}')"
+    )
+    eng.insert_into(
+        "acc", spark.createDataFrame([(1, 1.5), (2, 2.5)], "id long, v double")
+    )
+    eng.sql("ALTER TABLE acc ADD COLUMNS (tag STRING, score DOUBLE)")
+    snap = eng.sql("SELECT id, v, tag, score FROM acc ORDER BY id")
+    rows = snap.collect()
+    # pre-ALTER rows surface the new columns as typed NULLs, no rewrite
+    assert [(r["id"], r["tag"], r["score"]) for r in rows] == [
+        (1, None, None),
+        (2, None, None),
+    ]
+    assert dict(snap.dtypes)["tag"] == "string"
+    assert dict(snap.dtypes)["score"] == "double"
+    # a later write fills the evolved column; old rows keep NULL
+    eng.insert_into(
+        "acc",
+        spark.createDataFrame(
+            [(3, 3.5, "new", 0.9)], "id long, v double, tag string, score double"
+        ),
+        commit_id="c2",
+        evolve_schema=True,
+    )
+    got = {
+        r["id"]: (r["tag"], r["score"])
+        for r in eng.sql("SELECT * FROM acc").collect()
+    }
+    assert got == {1: (None, None), 2: (None, None), 3: ("new", 0.9)}
+
+
+def test_alter_table_rejects_existing_and_unwritten(spark, tmp_path):
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "tables.json")
+    )
+    eng.sql(
+        "CREATE TABLE acc2 (id BIGINT, v DOUBLE, PRIMARY KEY (id) NOT "
+        f"ENFORCED) WITH ('path' = '{tmp_path / 'acc2'}')"
+    )
+    eng.insert_into(
+        "acc2", spark.createDataFrame([(1, 1.0)], "id long, v double")
+    )
+    with _pytest.raises(ValueError, match="already exist"):
+        eng.sql("ALTER TABLE acc2 ADD COLUMN v DOUBLE")
