@@ -659,3 +659,46 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 4).alias("mean_logprob"),
         )
     )
+
+
+# -- graph: triangle counting ----------------------------------------------
+
+
+@register(
+    "part_triangles",
+    """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e0 e1 JOIN e0 e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN e0 e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+pern AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tri UNION ALL
+    SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY node
+)
+SELECT node, CAST(triangles AS BIGINT) AS triangles
+FROM pern ORDER BY triangles DESC, node LIMIT 20
+""",
+    doc="Per-node triangle counts over the part co-purchase graph "
+    "(clustering-coefficient numerator; the companion to "
+    "part_pagerank): canonical u<v edges, wedge self-join on the "
+    "shared lower endpoint, closure against the edge set — each "
+    "triangle enumerated exactly once (a<b<c), 3 linear equi-join "
+    "shuffles, no cartesian. Top-20 densest parts via "
+    "TakeOrderedAndProject. At power-law scale pre-orient edges by "
+    "DEGREE instead of id (same plan, arboricity-bounded fan-out) — "
+    "id orientation keeps the oracle exact here.",
+)
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tc = triangle_count(copurchase_edges(li))
+    return tc.orderBy(F.desc("triangles"), "node").limit(20)

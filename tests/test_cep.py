@@ -78,3 +78,21 @@ def test_partitioned_by_key_and_tiebreak_same_second(spark):
     )
     got = {(r["user_id"], r["start_event_id"]) for r in _match(df, ["a", "b"]).collect()}
     assert got == {(1, 1)}
+
+
+def test_triangle_count_planted_graph(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+    # edge 4-5 (no triangle) and a duplicate/reversed edge noise
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (4, 5), (2, 1), (3, 1),   # reversed duplicates collapse
+        ],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
