@@ -936,3 +936,45 @@ class TopNIVM:
         """Current top-N view: one row per (group, rank), dense from
         1 up to min(N, group size)."""
         return self.view_table.snapshot()
+
+
+def stream_topn(
+    spark: SparkSession,
+    feed_dir: str,
+    row_schema: T.StructType,
+    path: str,
+    group_cols: Sequence[str],
+    row_key: str,
+    order_col: str,
+    n: int,
+    ascending: bool = False,
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+    num_buckets: int = 16,
+):
+    """Continuously maintain a per-group top-N view from a CDC
+    envelope feed (readStream -> foreachBatch -> TopNIVM.apply): the
+    retract-rank pipeline as one call, mirroring
+    :func:`stream_group_agg`. Exactly-once: epoch ids dedup replayed
+    batches in both state tables."""
+    from ..sources.cdc_feed import read_feed_stream
+
+    ivm = TopNIVM(
+        spark,
+        path,
+        group_cols,
+        row_key,
+        order_col,
+        n,
+        ascending=ascending,
+        num_buckets=num_buckets,
+    )
+    stream = read_feed_stream(spark, feed_dir, row_schema)
+    writer = stream.writeStream.foreachBatch(
+        lambda b, e: ivm.apply(b, epoch_id=e)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return ivm, writer.start()

@@ -154,3 +154,48 @@ def test_topn_replayed_epoch_is_idempotent(spark, tmp_path):
     before = _view_map(ivm)
     ivm.apply(batch, epoch_id=0)  # crash-replay of the same epoch
     assert _view_map(ivm) == before
+
+
+def test_stream_topn_end_to_end_feed(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.cdc_feed import (
+        envelope_schema,
+        write_feed_events,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.ivm import stream_topn
+
+    ROW = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cat", T.StringType()),
+            T.StructField("amt", T.DoubleType()),
+        ]
+    )
+    feed = str(tmp_path / "feed")
+    import os
+
+    os.makedirs(feed)
+    ev = spark.createDataFrame(
+        [
+            Row(op="I", ts=dt.datetime(2024, 1, 1), seq=1, before=None,
+                after=Row(id=1, cat="x", amt=5.0)),
+            Row(op="I", ts=dt.datetime(2024, 1, 1), seq=2, before=None,
+                after=Row(id=2, cat="x", amt=9.0)),
+            Row(op="I", ts=dt.datetime(2024, 1, 1), seq=3, before=None,
+                after=Row(id=3, cat="x", amt=7.0)),
+        ],
+        envelope_schema(ROW),
+    )
+    write_feed_events(spark, feed, ev)
+    ivm, q = stream_topn(
+        spark, feed, ROW, str(tmp_path / "topn"), ["cat"], "id", "amt",
+        n=2, checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True}, num_buckets=2,
+    )
+    q.awaitTermination(120)
+    got = {(r["cat"], r["rank"]): r["id"] for r in ivm.view().collect()}
+    assert got == {("x", 1): 2, ("x", 2): 3}
