@@ -837,3 +837,207 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
                 width += 1
         prev = entry
     return out
+
+
+# -- perceptual hash (pHash) + image near-dup pairing -----------------------
+#
+# The image twin of the text near-dup stack: a 64-bit DCT perceptual
+# hash per image (robust to resize/re-encode/small noise), then
+# pigeonhole-banded hamming pairing — the same candidates-from-
+# equi-join discipline as simhash_pairs, never O(n^2).
+
+
+def _phash_bits(w: int, h: int, rgb: bytes, dct_dim: int = 32) -> int:
+    """Classic pHash: grayscale -> nearest-resize to 32x32 (the same
+    index-gather as resize_images) -> 2-D DCT-II -> top-left 8x8
+    coefficient block thresholded at its median -> 64 bits. Pure
+    numpy (matrix DCT); deterministic on every platform."""
+    import numpy as np
+
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    gray = a.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    ys = (np.arange(dct_dim) * h) // dct_dim
+    xs = (np.arange(dct_dim) * w) // dct_dim
+    small = gray[np.ix_(ys, xs)]
+    n = dct_dim
+    k = np.arange(n)[:, None]
+    m = (2 * np.arange(n)[None, :] + 1) * np.pi / (2 * n)
+    C = np.cos(k * m)  # DCT-II basis (unnormalized — threshold-invariant)
+    d = C @ small @ C.T
+    block = d[:8, :8].ravel()
+    bits = block > np.median(block)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # two's-complement into a signed 64-bit long (Spark LongType)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """(media_id, phash) for every decodable image payload; non-image
+    or stub payloads yield NULL, keeping the operator total over a
+    mixed media table. Arrow-batched mapInPandas like decode_media."""
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                try:
+                    p = bytes(p)
+                    if p[:8] == _PNG_MAGIC:
+                        w, h, rgb = _decode_png(p)
+                    elif p[:6] in _GIF_MAGICS:
+                        w, h, rgb = _decode_gif(p)
+                    elif p[:2] == b"BM":
+                        w, h, rgb = _decode_bmp(p)
+                    elif p[:2] == b"P6":
+                        w, h, rgb = _decode_ppm(p)
+                    else:
+                        hashes.append(None)
+                        continue
+                    hashes.append(_phash_bits(w, h, rgb))
+                except Exception:
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return df.mapInPandas(_op, "media_id long, phash long")
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Image near-dup pairs: hamming(phash_a, phash_b) <= max_hamming.
+
+    Candidates come from equality on any of ``n_bands`` 8-bit bands
+    of the hash (pigeonhole: a pair within hamming n_bands-1 MUST
+    agree on some band, so the default 8 bands are LOSSLESS for
+    max_hamming <= 7); verification is one xor + bit_count — all JVM
+    column math, no UDF. Same shape as simhash_pairs: band explode,
+    band equi-join, never a cross join."""
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole needs max_hamming < n_bands")
+    width = 64 // n_bands
+    base = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._b") == F.col("b._b"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -- audio spectral features (FFT over decoded PCM) -------------------------
+
+
+def _spectral_feature(a, rate: int) -> list[float]:
+    """Frequency-domain descriptors from REAL samples: spectral
+    centroid, bandwidth, 85% rolloff (Hz), flatness, plus energy in
+    four equal frequency bands — the classic audio-fingerprint
+    nucleus (numpy rfft; no audio library)."""
+    import numpy as np
+
+    mono = a.mean(axis=1).astype(np.float64)
+    if len(mono) < 2 or rate <= 0:
+        return [0.0] * 8
+    mag = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(len(mono), d=1.0 / rate)
+    tot = float(mag.sum())
+    if tot <= 0:
+        return [0.0] * 8
+    centroid = float((freqs * mag).sum() / tot)
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * mag).sum() / tot))
+    cum = np.cumsum(mag)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * tot))])
+    power = mag**2
+    flatness = float(
+        np.exp(np.mean(np.log(power + 1e-12))) / (np.mean(power) + 1e-12)
+    )
+    bands = [
+        float(np.sqrt(np.mean(q**2))) if len(q) else 0.0
+        for q in np.array_split(mag, 4)
+    ]
+    return [centroid, bandwidth, rolloff, flatness, *bands]
+
+
+def audio_spectral_features(df: DataFrame) -> DataFrame:
+    """(media_id, sample_rate, centroid_hz, bandwidth_hz, rolloff_hz,
+    flatness, band_rms[4]) for every RIFF/WAVE payload; NULL row
+    values otherwise (total over mixed media)."""
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": list(pdf["media_id"]),
+                "sample_rate": [],
+                "centroid_hz": [],
+                "bandwidth_hz": [],
+                "rolloff_hz": [],
+                "flatness": [],
+                "band_rms": [],
+            }
+            for p in pdf["payload"]:
+                try:
+                    p = bytes(p)
+                    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                        rate, _ch, _fr, a = _decode_wav(p)
+                        f = _spectral_feature(a, rate)
+                        out["sample_rate"].append(rate)
+                        out["centroid_hz"].append(f[0])
+                        out["bandwidth_hz"].append(f[1])
+                        out["rolloff_hz"].append(f[2])
+                        out["flatness"].append(f[3])
+                        out["band_rms"].append(f[4:8])
+                        continue
+                except Exception:
+                    pass
+                out["sample_rate"].append(None)
+                out["centroid_hz"].append(None)
+                out["bandwidth_hz"].append(None)
+                out["rolloff_hz"].append(None)
+                out["flatness"].append(None)
+                out["band_rms"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        _op,
+        "media_id long, sample_rate int, centroid_hz double, "
+        "bandwidth_hz double, rolloff_hz double, flatness double, "
+        "band_rms array<double>",
+    )

@@ -471,3 +471,99 @@ def test_resize_handles_gif_payloads(spark):
     ys = (np.arange(6) * h) // 6
     xs = (np.arange(10) * w) // 10
     assert (gw, gh) == (10, 6) and grgb == a[ys][:, xs].tobytes()
+
+
+# -- pHash + spectral features ----------------------------------------------
+
+
+def _rand_image(rng, w=64, h=48):
+    import numpy as np
+
+    a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    # smooth it so pHash has structure (pure noise hashes are fragile)
+    a = ((a.astype(int) + np.roll(a, 1, 0).astype(int)
+          + np.roll(a, 1, 1).astype(int)) // 3).astype(np.uint8)
+    return a
+
+
+def test_phash_invariant_across_encodings_and_resize(spark):
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_phash,
+    )
+
+    rng = np.random.default_rng(5)
+    a = _rand_image(rng)
+    h, w = a.shape[:2]
+    rgb = a.tobytes()
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_png(w, h, rgb)), {"mime": "image/png"}),
+            (2, "image", bytearray(encode_bmp(w, h, rgb)), {"mime": "image/bmp"}),
+            (3, "audio", bytearray(b"RIFFxxxxWAVE"), {"mime": "audio/wav"}),
+        ],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    got = {r["media_id"]: r["phash"] for r in image_phash(df).collect()}
+    assert got[1] is not None and got[1] == got[2]  # same pixels, any container
+    assert got[3] is None                            # non-image -> NULL
+
+
+def test_phash_pairs_find_noised_near_dup_not_distinct(spark):
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        encode_ppm,
+        image_phash,
+        phash_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = _rand_image(rng)
+    h, w = base.shape[:2]
+    noised = base.copy()
+    noised[0, 0] = (noised[0, 0] + 3) % 256  # one-pixel perturbation
+    other = _rand_image(np.random.default_rng(999))
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_ppm(w, h, base.tobytes())), {}),
+            (2, "image", bytearray(encode_ppm(w, h, noised.tobytes())), {}),
+            (3, "image", bytearray(encode_ppm(w, h, other.tobytes())), {}),
+        ],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    pairs = phash_pairs(image_phash(df)).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_spectral_features_locate_a_pure_tone(spark):
+    import math
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav,
+    )
+
+    rate, freq, n = 8000, 1000, 4096
+    samples = [
+        int(20000 * math.sin(2 * math.pi * freq * i / rate)) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(encode_wav(rate, 1, samples)), {}),
+            (2, "image", bytearray(b"P6 junk"), {}),
+        ],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    rows = {r["media_id"]: r for r in audio_spectral_features(df).collect()}
+    tone = rows[1]
+    assert abs(tone["centroid_hz"] - freq) < 25      # energy concentrated at 1 kHz
+    assert abs(tone["rolloff_hz"] - freq) < 25
+    assert tone["bandwidth_hz"] < 120                # narrow line
+    assert tone["flatness"] < 0.01                   # tonal, not noisy
+    assert rows[2]["centroid_hz"] is None            # non-audio -> NULLs
