@@ -462,6 +462,37 @@ class TableRegistry:
             [(name, ", ".join(cols))], "table STRING, added STRING"
         )
 
+    def _execute_optimize(self, statement: str) -> DataFrame | None:
+        """OPTIMIZE <name> [ZORDER BY (col [, ...])] — Delta's layout
+        DDL mapped onto the lake's compaction: folds the delta log
+        into the base (rewriting only touched buckets) and, with
+        ZORDER BY, Morton-clusters the rewritten files on the given
+        columns so min/max footer stats stay tight on every listed
+        column."""
+        import re as _re
+
+        m = _re.match(
+            r"^\s*OPTIMIZE\s+`?(\w+)`?"
+            r"(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*$",
+            statement,
+            _re.IGNORECASE,
+        )
+        if not m:
+            return None
+        name = m.group(1)
+        cluster = (
+            [c.strip(" `") for c in m.group(2).split(",")]
+            if m.group(2)
+            else None
+        )
+        h = self.upsert_handle(name)
+        seq = h.compact(cluster_by=cluster)
+        self.resolve(name)
+        return self.spark.createDataFrame(
+            [(name, seq, ", ".join(cluster) if cluster else None)],
+            "table STRING, commit_seq BIGINT, zorder_by STRING",
+        )
+
     def execute_ddl(self, statement: str) -> DataFrame | None:
         """Route a CREATE/DROP TABLE connector-DDL string — or an
         INSERT INTO / MERGE INTO an upsert table — into the registry
@@ -477,6 +508,9 @@ class TableRegistry:
         alt = self._execute_alter(statement)
         if alt is not None:
             return alt
+        opt = self._execute_optimize(statement)
+        if opt is not None:
+            return opt
         ins = self._execute_insert(statement)
         if ins is not None:
             return ins

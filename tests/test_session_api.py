@@ -615,3 +615,37 @@ def test_alter_table_rejects_existing_and_unwritten(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="already exist"):
         eng.sql("ALTER TABLE acc2 ADD COLUMN v DOUBLE")
+
+
+def test_optimize_zorder_ddl_compacts_and_clusters(spark, tmp_path):
+    import os
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "tables.json")
+    )
+    eng.sql(
+        "CREATE TABLE zt (id BIGINT, x BIGINT, y BIGINT, PRIMARY KEY (id) "
+        f"NOT ENFORCED) WITH ('path' = '{tmp_path / 'zt'}')"
+    )
+    rows = [(i, i % 37, (i * 7) % 41) for i in range(500)]
+    eng.insert_into(
+        "zt", spark.createDataFrame(rows, "id long, x long, y long")
+    )
+    before = eng.sql("SELECT * FROM zt ORDER BY id").collect()
+    res = eng.sql("OPTIMIZE zt ZORDER BY (x, y)").collect()
+    assert res[0]["zorder_by"] == "x, y"
+    # log folded into base, snapshot identical
+    assert not os.path.isdir(str(tmp_path / "zt" / "log")) or not os.listdir(
+        str(tmp_path / "zt" / "log")
+    )
+    after = eng.sql("SELECT * FROM zt ORDER BY id").collect()
+    assert after == before
+    # plain OPTIMIZE (no zorder) also parses and runs
+    eng.insert_into(
+        "zt", spark.createDataFrame([(999, 1, 1)], "id long, x long, y long")
+    )
+    res2 = eng.sql("OPTIMIZE zt").collect()
+    assert res2[0]["zorder_by"] is None
+    assert eng.sql("SELECT COUNT(*) n FROM zt").collect()[0]["n"] == 501
