@@ -511,6 +511,17 @@ class TableRegistry:
         opt = self._execute_optimize(statement)
         if opt is not None:
             return opt
+        import re as _re
+
+        hm = _re.match(
+            r"^\s*DESCRIBE\s+HISTORY\s+`?(\w+)`?\s*;?\s*$",
+            statement,
+            _re.IGNORECASE,
+        )
+        if hm:
+            # Delta's DESCRIBE HISTORY spelling -> the commit timeline
+            # (≙ Hudi CLI `commits show`); metadata-only
+            return self.upsert_handle(hm.group(1)).timeline()
         ins = self._execute_insert(statement)
         if ins is not None:
             return ins

@@ -649,3 +649,30 @@ def test_optimize_zorder_ddl_compacts_and_clusters(spark, tmp_path):
     res2 = eng.sql("OPTIMIZE zt").collect()
     assert res2[0]["zorder_by"] is None
     assert eng.sql("SELECT COUNT(*) n FROM zt").collect()[0]["n"] == 501
+
+
+def test_describe_history_ddl(spark, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "tables.json")
+    )
+    eng.sql(
+        "CREATE TABLE ht (id BIGINT, v DOUBLE, PRIMARY KEY (id) NOT "
+        f"ENFORCED) WITH ('path' = '{tmp_path / 'ht'}')"
+    )
+    eng.insert_into(
+        "ht", spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        commit_id="first",
+    )
+    eng.insert_into(
+        "ht", spark.createDataFrame([(2, 2.0)], "id long, v double"),
+        commit_id="second",
+    )
+    hist = eng.sql("DESCRIBE HISTORY ht").orderBy("seq").collect()
+    assert [(r["seq"], r["commit_id"], r["kind"]) for r in hist] == [
+        (1, "first", "delta"),
+        (2, "second", "delta"),
+    ]
+    assert all(isinstance(r["n_rows"], int) for r in hist)
+    assert all(r["wall_time"] > 0 for r in hist)
