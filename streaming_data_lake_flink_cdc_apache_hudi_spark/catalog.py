@@ -522,6 +522,21 @@ class TableRegistry:
             # Delta's DESCRIBE HISTORY spelling -> the commit timeline
             # (≙ Hudi CLI `commits show`); metadata-only
             return self.upsert_handle(hm.group(1)).timeline()
+        if _re.match(
+            r"^\s*SHOW\s+ENGINE\s+TABLES\s*;?\s*$", statement, _re.IGNORECASE
+        ):
+            # the registry's own catalog listing (`SHOW TABLES` without
+            # ENGINE falls through to spark.sql's temp-view listing)
+            from pyspark.sql import functions as F
+
+            rows = [
+                (n, t.kind, t.path, ",".join(t.key or []))
+                for n, t in sorted(self._tables.items())
+            ]
+            return self.spark.createDataFrame(
+                rows or [("", "", "", "")],
+                "name STRING, kind STRING, path STRING, key STRING",
+            ).filter(F.col("name") != "")
         ins = self._execute_insert(statement)
         if ins is not None:
             return ins

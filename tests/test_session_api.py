@@ -676,3 +676,24 @@ def test_describe_history_ddl(spark, tmp_path):
     ]
     assert all(isinstance(r["n_rows"], int) for r in hist)
     assert all(r["wall_time"] > 0 for r in hist)
+
+
+def test_show_engine_tables_ddl(spark, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "tables.json")
+    )
+    eng.sql(
+        "CREATE TABLE st1 (id BIGINT, PRIMARY KEY (id) NOT ENFORCED) "
+        f"WITH ('path' = '{tmp_path / 'st1'}')"
+    )
+    eng.sql(
+        "CREATE TABLE st2 (id BIGINT, PRIMARY KEY (id) NOT ENFORCED) "
+        f"WITH ('path' = '{tmp_path / 'st2'}')"
+    )
+    got = {
+        r["name"]: (r["kind"], r["key"])
+        for r in eng.sql("SHOW ENGINE TABLES").collect()
+    }
+    assert got == {"st1": ("upsert", "id"), "st2": ("upsert", "id")}
