@@ -462,6 +462,157 @@ class TableRegistry:
             [(name, ", ".join(cols))], "table STRING, added STRING"
         )
 
+    # -- materialized views over CDC feeds (Flink dynamic-table parity) ----
+
+    _MV_AGG_RE = r"(SUM|COUNT|MIN|MAX)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+`?(\w+)`?"
+
+    def _execute_create_mv(self, statement: str) -> DataFrame | None:
+        """CREATE MATERIALIZED VIEW mv AS SELECT g…, AGG(col) AS a…
+        FROM <feed-table> GROUP BY g… — Flink's defining feature
+        (a continuously maintained aggregate over a changelog) as
+        registry DDL. The view is a :class:`GroupAggIVM` lake table:
+        SUM/COUNT telescope from signed contributions, MIN/MAX ride
+        the refcounted value-multiset tables, so DELETEs and UPDATEs
+        in the feed retract correctly. The CREATE runs an initial
+        refresh over the whole feed; `REFRESH MATERIALIZED VIEW mv`
+        applies only envelope rows with seq beyond the stored
+        watermark (delta-proportional), exactly-once via a
+        watermark-derived commit id."""
+        import re as _re
+
+        m = _re.match(
+            r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?\s+AS\s+"
+            r"SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?\s+GROUP\s+BY\s+(.*?)\s*;?\s*$",
+            statement,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if not m:
+            return None
+        from .ddl import _split_top_level
+
+        name, items, src, group_txt = m.groups()
+        group_cols = [g.strip(" `") for g in group_txt.split(",")]
+        sums: dict[str, str] = {}
+        minmax: dict[str, tuple[str, str]] = {}  # alias -> (fn, col)
+        count_alias = None
+        for item in _split_top_level(items):
+            item = item.strip()
+            if item.strip(" `") in group_cols:
+                continue
+            am = _re.match(self._MV_AGG_RE + r"$", item, _re.IGNORECASE)
+            if not am:
+                raise ValueError(
+                    f"materialized views support group columns and "
+                    f"SUM/COUNT/MIN/MAX aggregates with aliases; got "
+                    f"{item!r}"
+                )
+            fn, col, alias = am.group(1).upper(), am.group(2), am.group(3)
+            if fn == "COUNT":
+                if col != "*":
+                    raise ValueError("only COUNT(*) is maintained")
+                count_alias = alias
+            elif fn == "SUM":
+                sums[alias] = col
+            else:
+                minmax[alias] = (fn, col)
+        src_def = self._tables.get(src)
+        if src_def is None or src_def.kind != "feed":
+            raise ValueError(
+                f"materialized view source must be a registered feed "
+                f"table; {src!r} is "
+                f"{'missing' if src_def is None else src_def.kind}"
+            )
+        path = os.path.join(
+            os.path.dirname(self.registry_path), "matviews", name
+        )
+        self.create_table(
+            name,
+            "matview",
+            path,
+            key=group_cols,
+            mv_source=src,
+            mv_sums=json.dumps(sums),
+            mv_minmax=json.dumps(minmax),
+            mv_count_alias=count_alias or "",
+        )
+        n = self._refresh_mv(name)
+        return self.spark.createDataFrame(
+            [(name, src, n)], "view STRING, source STRING, rows_applied BIGINT"
+        )
+
+    def _mv_ivm(self, name: str):
+        from .streaming.ivm import GroupAggIVM
+
+        t = self._tables[name]
+        sums = json.loads(t.options["mv_sums"])
+        minmax = json.loads(t.options["mv_minmax"])
+        ivm = GroupAggIVM(
+            self.spark,
+            t.path,
+            group_cols=t.key,
+            sum_cols=sorted(set(sums.values())),
+            minmax_cols=sorted({c for _fn, c in minmax.values()}),
+        )
+        return ivm, t, sums, minmax
+
+    def _refresh_mv(self, name: str) -> int:
+        from pyspark.sql import functions as F
+
+        ivm, t, _sums, _minmax = self._mv_ivm(name)
+        src = self._tables[t.options["mv_source"]]
+        wm_path = os.path.join(t.path, "_mv_watermark.json")
+        since = -1
+        if os.path.exists(wm_path):
+            with open(wm_path) as fh:
+                since = int(json.load(fh)["seq"])
+        feed = self.spark.read.parquet(os.path.join(src.path, "*")).filter(
+            F.col("seq") > since
+        )
+        hi_row = feed.agg(
+            F.max("seq").alias("hi"), F.count("*").alias("n")
+        ).collect()[0]
+        if hi_row["n"] == 0:
+            return 0
+        # watermark-range commit id: a crash between commit and
+        # watermark replays the identical range and dedups in the lake
+        ivm.apply(feed, epoch_id=f"mv-{since}-{hi_row['hi']}")
+        tmp = wm_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"seq": int(hi_row["hi"])}, fh)
+        os.replace(tmp, wm_path)
+        self.resolve(name)
+        return int(hi_row["n"])
+
+    def _execute_refresh_mv(self, statement: str) -> DataFrame | None:
+        import re as _re
+
+        m = _re.match(
+            r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?\s*;?\s*$",
+            statement,
+            _re.IGNORECASE,
+        )
+        if not m:
+            return None
+        n = self._refresh_mv(m.group(1))
+        return self.spark.createDataFrame(
+            [(m.group(1), n)], "view STRING, rows_applied BIGINT"
+        )
+
+    def _mv_view_df(self, name: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        ivm, t, sums, minmax = self._mv_ivm(name)
+        df = ivm.view()
+        cols = [F.col(g) for g in t.key]
+        for alias, col in sums.items():
+            cols.append(F.col(f"sum_{col}").alias(alias))
+        ca = t.options.get("mv_count_alias")
+        if ca:
+            cols.append(F.col("n_rows").alias(ca))
+        for alias, (fn, col) in minmax.items():
+            cols.append(F.col(f"{fn.lower()}_{col}").alias(alias))
+        return df.select(*cols)
+
     def _execute_optimize(self, statement: str) -> DataFrame | None:
         """OPTIMIZE <name> [ZORDER BY (col [, ...])] — Delta's layout
         DDL mapped onto the lake's compaction: folds the delta log
@@ -511,6 +662,12 @@ class TableRegistry:
         opt = self._execute_optimize(statement)
         if opt is not None:
             return opt
+        mv = self._execute_create_mv(statement)
+        if mv is not None:
+            return mv
+        rmv = self._execute_refresh_mv(statement)
+        if rmv is not None:
+            return rmv
         import re as _re
 
         hm = _re.match(
@@ -588,6 +745,8 @@ class TableRegistry:
             # bounded read of a CDC envelope feed dir (schema embedded
             # in the parquet commit files)
             df = self.spark.read.parquet(os.path.join(t.path, "*"))
+        elif t.kind == "matview":
+            df = self._mv_view_df(name)
         else:
             raise TypeError(f"unknown table kind {t.kind}")
         df.createOrReplaceTempView(name)
