@@ -96,3 +96,35 @@ def test_triangle_count_planted_graph(spark):
     )
     got = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pattern_match_randomized_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    for u in range(6):
+        for s in range(40):
+            eid += 1
+            rows.append((eid, u, s, rng.choice("abc")))
+    df = _ev(spark, rows)
+    pattern = ["a", "b"]
+    got = {
+        (r["user_id"], r["start_event_id"])
+        for r in _match(df, pattern, within=30).collect()
+    }
+    # brute force: per-user ordered scan
+    want = set()
+    by_user: dict[int, list] = {}
+    for (i, u, s, t) in rows:
+        by_user.setdefault(u, []).append((s, i, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        for j in range(len(evs) - len(pattern) + 1):
+            win = evs[j : j + len(pattern)]
+            if [t for (_, _, t) in win] == pattern and (
+                win[-1][0] - win[0][0] <= 30
+            ):
+                want.add((u, win[0][1]))
+    assert got == want

@@ -567,3 +567,38 @@ def test_spectral_features_locate_a_pure_tone(spark):
     assert tone["bandwidth_hz"] < 120                # narrow line
     assert tone["flatness"] < 0.01                   # tonal, not noisy
     assert rows[2]["centroid_hz"] is None            # non-audio -> NULLs
+
+
+def test_phash_band_join_is_lossless_vs_bruteforce(spark):
+    """The pigeonhole guarantee: for max_hamming < n_bands the banded
+    candidate join must find EXACTLY the brute-force hamming pairs."""
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        phash_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    base = int(rng.integers(0, 1 << 63))
+    hashes = [base]
+    for _ in range(40):
+        h = hashes[rng.integers(0, len(hashes))]
+        flips = rng.integers(0, 10)  # cluster of mutated hashes
+        for _ in range(int(flips)):
+            h ^= 1 << int(rng.integers(0, 64))
+        hashes.append(h)
+    signed = [x - (1 << 64) if x >= (1 << 63) else x for x in hashes]
+    df = spark.createDataFrame(
+        list(enumerate(signed)), "media_id long, phash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_pairs(df, max_hamming=6).collect()
+    }
+    want = set()
+    for i in range(len(signed)):
+        for j in range(i + 1, len(signed)):
+            d = bin((signed[i] ^ signed[j]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                want.add((i, j, d))
+    assert got == want
