@@ -727,6 +727,13 @@ class TableRegistry:
                 # bind a typed view immediately — queryable before the
                 # first write, exactly like a freshly-declared Hudi table
                 self.resolve(stmt.name)
+            elif stmt.kind == "feed":
+                # bind the envelope view if the feed already has
+                # commits (an empty dir binds on first resolve)
+                try:
+                    self.resolve(stmt.name)
+                except Exception:
+                    pass
         return self.spark.createDataFrame([], "result string")
 
     def resolve(self, name: str) -> DataFrame:

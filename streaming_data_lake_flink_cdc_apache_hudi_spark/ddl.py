@@ -164,7 +164,11 @@ def parse_ddl(statement: str) -> DDLStatement | None:
     connector = options.pop("connector", None)
     if connector:
         kind = {"hudi": "upsert", "upsert": "upsert", "filesystem": "parquet",
-                "parquet": "parquet"}.get(connector.lower(), connector.lower())
+                "parquet": "parquet",
+                # the reference's source connector (zpln:1060 ¶24) and
+                # the engine's own format both register a feed dir
+                "postgres-cdc": "feed", "cdcfeed": "feed",
+                }.get(connector.lower(), connector.lower())
     return DDLStatement(
         action="create",
         name=name,

@@ -121,3 +121,27 @@ def test_mv_rejects_non_feed_source_and_expressions(spark, tmp_path, eng):
             "CREATE MATERIALIZED VIEW bad2 AS SELECT cat, AVG(amt) AS a "
             "FROM f2 GROUP BY cat"
         )
+
+
+def test_postgres_cdc_connector_ddl_registers_feed(spark, tmp_path, eng):
+    """The notebook's ¶24 source DDL spelling (connector=postgres-cdc)
+    registers a FEED table that feeds a materialized view end to end."""
+    feed = str(tmp_path / "pgfeed")
+    os.makedirs(feed)
+    write_feed_events(
+        spark, feed, _env(spark, [("I", 1, 1, None, _r(1, "x", 4.0))])
+    )
+    eng.sql(
+        "CREATE TABLE pg_src (id BIGINT, cat STRING, amt DOUBLE, "
+        "PRIMARY KEY (id) NOT ENFORCED) WITH ("
+        "'connector' = 'postgres-cdc', "
+        f"'path' = '{feed}')"
+    )
+    assert eng.registry._tables["pg_src"].kind == "feed"
+    # feed table is queryable (envelope rows) and drives an MV
+    assert eng.sql("SELECT COUNT(*) n FROM pg_src").collect()[0]["n"] == 1
+    eng.sql(
+        "CREATE MATERIALIZED VIEW pg_mv AS SELECT cat, SUM(amt) AS s "
+        "FROM pg_src GROUP BY cat"
+    )
+    assert eng.sql("SELECT * FROM pg_mv").collect()[0]["s"] == 4.0
