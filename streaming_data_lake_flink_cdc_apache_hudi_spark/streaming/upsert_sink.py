@@ -315,6 +315,26 @@ class UpsertLakeTable:
     def _seen_commit_ids(self) -> set[str]:
         return {c.get("commit_id") for c in self.commits()}
 
+    def _footer_rows(self, seq: int) -> int:
+        """Row count of a just-written commit from its parquet footers
+        — one metadata read per part file, never a data scan. Returns
+        -1 if any footer is unreadable (never fails a commit over a
+        stats nicety)."""
+        root = os.path.join(self._log, f"commit={seq}")
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith("_"):
+                        total += pq.ParquetFile(
+                            os.path.join(dirpath, f)
+                        ).metadata.num_rows
+            return total
+        except Exception:
+            return -1
+
     def _record_commit(self, seq: int, commit_id: str, kind: str, n_rows: int):
         marker = os.path.join(self._commits, f"commit-{seq:012d}.json")
         tmp = marker + ".tmp"
@@ -485,15 +505,18 @@ class UpsertLakeTable:
                 os.path.join(self._log, f"commit={seq}"), ignore_errors=True
             )
             # no pre-count: counting would execute the (possibly
-            # expensive) delta plan twice; the commit records row
-            # count -1 (unknown)
+            # expensive) delta plan twice; the row count is recovered
+            # AFTER the write from the parquet footers (metadata-only
+            # walk, ≙ Hudi's HoodieCommitMetadata numWrites)
             (
                 enriched.withColumn("commit", F.lit(seq))
                 .write.mode("append")
                 .partitionBy("commit", "bucket")
                 .parquet(self._log)
             )
-            self._record_commit(seq, commit_id, "delta", -1)
+            self._record_commit(
+                seq, commit_id, "delta", self._footer_rows(seq)
+            )
             if self._delta_commits_since_compaction() >= self.compact_every:
                 if self.compaction_mode == "inline":
                     self.compact()

@@ -674,7 +674,7 @@ def test_describe_history_ddl(spark, tmp_path):
         (1, "first", "delta"),
         (2, "second", "delta"),
     ]
-    assert all(isinstance(r["n_rows"], int) for r in hist)
+    assert all(r["n_rows"] == 1 for r in hist)  # footer-recovered counts
     assert all(r["wall_time"] > 0 for r in hist)
 
 
