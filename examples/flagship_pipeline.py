@@ -105,6 +105,73 @@ meta = runner.ivm.view.snapshot(with_meta=True).select(
 print("== audit columns (≙ _hoodie_*) ==")
 meta.show(4, truncate=False)
 
+# -- 5. the round-5 SQL surface on the same session ------------------------
+import os as _os
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+eng = EngineSession(
+    spark=spark, registry_path=_os.path.join(root, "reg", "tables.json")
+)
+eng.register_testdata("/root/testdata/sf0.001")
+print("== Flink window TVF spelling through eng.sql ==")
+eng.sql(
+    "SELECT window_start, COUNT(*) AS n FROM TABLE(TUMBLE(TABLE events, "
+    "DESCRIPTOR(ts), INTERVAL '6' HOURS)) GROUP BY window_start "
+    "ORDER BY window_start"
+).show(4)
+
+print("== materialized view over a CDC feed (retract-correct aggs) ==")
+import datetime as _dt
+
+from pyspark.sql import Row as _Row
+from pyspark.sql import types as _T
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.cdc_feed import (
+    envelope_schema as _envs,
+)
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.cdc_feed import (
+    write_feed_events as _wfe,
+)
+
+_ROW = _T.StructType(
+    [
+        _T.StructField("id", _T.LongType()),
+        _T.StructField("cat", _T.StringType()),
+        _T.StructField("amt", _T.DoubleType()),
+    ]
+)
+mv_feed = _os.path.join(root, "mv_feed")
+_os.makedirs(mv_feed)
+_wfe(spark, mv_feed, spark.createDataFrame(
+    [
+        _Row(op="I", ts=_dt.datetime(2024, 1, 1), seq=1, before=None,
+             after=_Row(id=1, cat="a", amt=5.0)),
+        _Row(op="I", ts=_dt.datetime(2024, 1, 1), seq=2, before=None,
+             after=_Row(id=2, cat="a", amt=9.0)),
+    ],
+    _envs(_ROW),
+))
+eng.registry.create_table("demo_feed", "feed", mv_feed)
+eng.sql(
+    "CREATE MATERIALIZED VIEW mv_cats AS SELECT cat, SUM(amt) AS total, "
+    "COUNT(*) AS n, MAX(amt) AS hi FROM demo_feed GROUP BY cat"
+)
+eng.sql("SELECT * FROM mv_cats").show()
+# a DELETE retracts the current MAX; REFRESH applies just the delta
+_wfe(spark, mv_feed, spark.createDataFrame(
+    [_Row(op="D", ts=_dt.datetime(2024, 1, 2), seq=3,
+          before=_Row(id=2, cat="a", amt=9.0), after=None)],
+    _envs(_ROW),
+))
+eng.sql("REFRESH MATERIALIZED VIEW mv_cats")
+eng.sql("SELECT * FROM mv_cats").show()
+
+print("== table services DDL: history + catalog ==")
+eng.registry.create_table("view_tbl", "upsert", _os.path.join(root, "flagship", "view"), key=["full_name"])
+eng.sql("DESCRIBE HISTORY view_tbl").orderBy("seq").show(5)
+eng.sql("SHOW ENGINE TABLES").show(truncate=False)
+
 spark.stop()
 shutil.rmtree(root, ignore_errors=True)
 print("demo complete")
