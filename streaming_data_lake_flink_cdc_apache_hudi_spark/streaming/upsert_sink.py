@@ -290,6 +290,11 @@ class UpsertLakeTable:
         """The commit timeline as a DataFrame (≙ Hudi CLI `commits
         show` / the timeline server): one row per commit with seq,
         caller commit-id, kind (delta|compaction) and wall time.
+        Row counts (≙ HoodieCommitMetadata numWrites) are recovered
+        LAZILY here from the commit's parquet footers — a footer walk
+        on the hot write path costs ~0.2 s/commit (A/B-measured), so
+        the rare metadata query pays it instead; commits whose log
+        dirs a compaction already folded report -1 (unknown).
         Driver-side O(active timeline + archive), bounded by
         ``archive_after`` — metadata, not data."""
         rows = [
@@ -297,7 +302,9 @@ class UpsertLakeTable:
                 int(c["seq"]),
                 c.get("commit_id"),
                 c["kind"],
-                int(c.get("n_rows", -1)),
+                int(c.get("n_rows", -1))
+                if int(c.get("n_rows", -1)) >= 0
+                else self._footer_rows(int(c["seq"])),
                 float(c.get("wall_time", 0.0)),
             )
             for c in self.commits()
@@ -316,11 +323,13 @@ class UpsertLakeTable:
         return {c.get("commit_id") for c in self.commits()}
 
     def _footer_rows(self, seq: int) -> int:
-        """Row count of a just-written commit from its parquet footers
-        — one metadata read per part file, never a data scan. Returns
-        -1 if any footer is unreadable (never fails a commit over a
-        stats nicety)."""
+        """Row count of a commit from its log parquet footers — one
+        metadata read per part file, never a data scan. Returns -1
+        when the commit's log dir is gone (folded by compaction) or a
+        footer is unreadable (a stats nicety must never fail reads)."""
         root = os.path.join(self._log, f"commit={seq}")
+        if not os.path.isdir(root):
+            return -1
         try:
             import pyarrow.parquet as pq
 
@@ -505,18 +514,17 @@ class UpsertLakeTable:
                 os.path.join(self._log, f"commit={seq}"), ignore_errors=True
             )
             # no pre-count: counting would execute the (possibly
-            # expensive) delta plan twice; the row count is recovered
-            # AFTER the write from the parquet footers (metadata-only
-            # walk, ≙ Hudi's HoodieCommitMetadata numWrites)
+            # expensive) delta plan twice, and even a footer walk here
+            # costs ~0.2 s/commit (A/B-measured) on the hot commit
+            # path. The commit records -1; timeline() recovers real
+            # counts lazily from the parquet footers at read time.
             (
                 enriched.withColumn("commit", F.lit(seq))
                 .write.mode("append")
                 .partitionBy("commit", "bucket")
                 .parquet(self._log)
             )
-            self._record_commit(
-                seq, commit_id, "delta", self._footer_rows(seq)
-            )
+            self._record_commit(seq, commit_id, "delta", -1)
             if self._delta_commits_since_compaction() >= self.compact_every:
                 if self.compaction_mode == "inline":
                     self.compact()
