@@ -41,6 +41,13 @@ class EngineSession:
             registry_path
             or os.path.join(os.getcwd(), ".engine", "tables.json"),
         )
+        try:
+            # format("cdcfeed") available on every engine session
+            from .sources.datasource import register_cdcfeed_source
+
+            register_cdcfeed_source(self.spark)
+        except Exception:
+            pass  # Python DataSource API absent (older Spark) — helpers remain
 
     # -- table management (≙ S6-S8) -----------------------------------------
 

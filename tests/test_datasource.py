@@ -96,3 +96,11 @@ def test_empty_feed_schema_inference_raises(spark, tmp_path):
     os.makedirs(d)
     with pytest.raises(Exception, match="cdcfeed"):
         spark.read.format("cdcfeed").option("path", d).load().collect()
+
+
+def test_engine_session_auto_registers_format(spark, tmp_path, feed):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    n = spark.read.format("cdcfeed").option("path", feed).load().count()
+    assert n == 2
