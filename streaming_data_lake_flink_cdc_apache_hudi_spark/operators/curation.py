@@ -488,3 +488,68 @@ def classifier_quality_prob(col) -> "F.Column":
         + F.lit(CLS_W_TOKLEN) * toklen
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, App. A):
+    each published rule surfaced as its OWN stat + flag column, with
+    ``passes`` = AND of flags — the triage table a curation run keeps
+    for auditability (you filter on ``passes`` but debug per rule).
+
+    Rules (thresholds per the paper): word count in [50, 100k]; mean
+    word length in [3, 10]; symbol-to-word ratio (# / ellipsis)
+    <= 0.1; >= 80% of words contain an alphabetic char; >= 2 distinct
+    required stopwords present. The line-level rules (bullet /
+    ellipsis line fractions) degenerate on the newline-free synthetic
+    corpus and are intentionally omitted rather than vacuously
+    claimed.
+
+    All JVM array/lambda math over one split — map-only, no shuffle,
+    no UDF; every ratio ROUNDed so the DuckDB oracle replays the
+    flags exactly.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(ws)
+    total_chars = F.aggregate(
+        ws, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.round(total_chars / n, 4)
+    n_sym = F.size(
+        F.filter(
+            ws,
+            lambda w: w.contains("#")
+            | w.contains("...")
+            | w.contains("…"),
+        )
+    )
+    sym_ratio = F.round(n_sym / n, 4)
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.round(n_alpha / n, 4)
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(ws, lambda w: w.isin(*TX.STOPWORDS))
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_req_stopwords"),
+    )
+    flags = {
+        "ok_word_count": (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000),
+        "ok_mean_word_len": (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0),
+        "ok_symbol_ratio": F.col("symbol_ratio") <= 0.1,
+        "ok_alpha_words": F.col("alpha_word_frac") >= 0.8,
+        "ok_stopwords": F.col("n_req_stopwords") >= 2,
+    }
+    for name, c in flags.items():
+        out = out.withColumn(name, c)
+    passes = None
+    for name in flags:
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return out.withColumn("passes", passes)

@@ -707,3 +707,61 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     tc = triangle_count(copurchase_edges(li))
     return tc.orderBy(F.desc("triangles"), "node").limit(20)
+
+
+# -- Gopher rule-based quality filter ---------------------------------------
+
+
+@register(
+    "gopher_rules",
+    """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         ROUND(list_sum(list_transform(ws, x -> length(x))) * 1.0
+               / len(ws), 4) AS mean_word_len,
+         ROUND(len(list_filter(ws, x -> contains(x, '#')
+                   OR contains(x, '...') OR contains(x, '…'))) * 1.0
+               / len(ws), 4) AS symbol_ratio,
+         ROUND(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               * 1.0 / len(ws), 4) AS alpha_word_frac,
+         len(list_distinct(list_filter(ws,
+             x -> x IN ('the','a','of','and','is')))) AS n_req_stopwords
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       mean_word_len, symbol_ratio, alpha_word_frac,
+       CAST(n_req_stopwords AS INT) AS n_req_stopwords,
+       (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+       (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+       (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+       (alpha_word_frac >= 0.8) AS ok_alpha_words,
+       (n_req_stopwords >= 2) AS ok_stopwords,
+       ((n_words BETWEEN 50 AND 100000)
+        AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        AND (symbol_ratio <= 0.1)
+        AND (alpha_word_frac >= 0.8)
+        AND (n_req_stopwords >= 2)) AS passes
+FROM stats
+""",
+    doc="Gopher rule-based quality filter (Rae et al. 2021 App. A): "
+    "word-count band, mean word length band, symbol-to-word ratio, "
+    "alphabetic-word fraction, required-stopword count — each rule "
+    "its own stat + flag column, passes = AND, so a curation run "
+    "filters on one boolean but debugs per rule. Map-only JVM "
+    "array/lambda math over one split; every ratio ROUNDed so the "
+    "flag decisions replay exactly in the oracle. Line-level rules "
+    "(bullet/ellipsis fractions) are omitted on the newline-free "
+    "corpus rather than vacuously claimed.",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import gopher_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_rules(d, "text", "doc_id")

@@ -258,3 +258,29 @@ def test_pagerank_mass_conserved_and_uniform_on_regular_graph(spark):
     assert abs(total - 1.0) < 1e-9
     for r in pr:
         assert abs(r["pr"] - 1.0 / n) < 1e-12
+
+
+def test_gopher_rules_planted_failures(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.curation import (
+        gopher_rules,
+    )
+
+    good = "the quick brown fox jumps of and is " + "word " * 60
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                   # passes all
+            (2, "the of " + "a " * 60),                  # mean word len < 3
+            (3, good.replace("word", "wo#rd")),          # symbol ratio > 0.1
+            (4, "zz " * 60),                             # no required stopwords
+            (5, "the of and " + "word " * 3),            # too short
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(docs, "text", "doc_id").collect()}
+    assert got[1]["passes"] is True
+    assert got[2]["passes"] is False and got[2]["ok_mean_word_len"] is False
+    assert got[3]["passes"] is False and got[3]["ok_symbol_ratio"] is False
+    assert got[4]["passes"] is False and got[4]["ok_stopwords"] is False
+    assert got[5]["passes"] is False and got[5]["ok_word_count"] is False
+    # flags are independent: the short doc still reports its stats
+    assert got[5]["n_words"] < 50 and got[5]["n_req_stopwords"] >= 2
