@@ -145,3 +145,34 @@ def test_postgres_cdc_connector_ddl_registers_feed(spark, tmp_path, eng):
         "FROM pg_src GROUP BY cat"
     )
     assert eng.sql("SELECT * FROM pg_mv").collect()[0]["s"] == 4.0
+
+
+def test_mv_group_move_debits_and_credits(spark, tmp_path, eng):
+    feed = str(tmp_path / "feed3")
+    os.makedirs(feed)
+    write_feed_events(
+        spark,
+        feed,
+        _env(
+            spark,
+            [
+                ("I", 1, 1, None, _r(1, "x", 5.0)),
+                ("I", 2, 2, None, _r(2, "y", 2.0)),
+            ],
+        ),
+    )
+    eng.registry.create_table("f3", "feed", feed)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv3 AS SELECT cat, SUM(amt) AS s, "
+        "COUNT(*) AS n FROM f3 GROUP BY cat"
+    )
+    # the row MOVES group x -> y with a new amount
+    write_feed_events(
+        spark,
+        feed,
+        _env(spark, [("U", 3, 3, _r(1, "x", 5.0), _r(1, "y", 8.0))]),
+    )
+    eng.sql("REFRESH MATERIALIZED VIEW mv3")
+    got = {r["cat"]: (r["s"], r["n"]) for r in eng.table("mv3").collect()}
+    # group x emptied -> tombstoned out of the view entirely
+    assert got == {"y": (10.0, 2)}
