@@ -34,7 +34,9 @@ each table (check with .explain: ReadSchema).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .upsert import latest_by_key
@@ -97,3 +99,77 @@ def ticket_view(person: DataFrame, ticket: DataFrame, hist: DataFrame) -> DataFr
         "ticket_price",
         F.col("_tx_ts").cast("string").alias("transaction_date_time"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-time temporal join (Flink FOR SYSTEM_TIME AS OF <rowtime>)
+# ---------------------------------------------------------------------------
+
+
+def temporal_join(
+    events: DataFrame,
+    versions: DataFrame,
+    key_cols: Sequence[str],
+    event_ts: str,
+    version_ts: str,
+    value_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Enrich each event with the dimension VERSION valid at the
+    event's own timestamp — Flink SQL's event-time temporal join
+    (`JOIN dim FOR SYSTEM_TIME AS OF e.rowtime`), the event-time
+    complement of the processing-time `stream_lookup_join`.
+
+    Shape (the scalable one): versions and events are UNIONED as
+    tagged rows and sorted once per key by (ts, tag) — versions
+    before events at equal ts, so a version effective exactly at the
+    event time is visible — then one `last(value, ignorenulls)`
+    running window per value column resolves each event's prevailing
+    version. ONE key-partitioned window sort total, linear in
+    |events| + |versions|; no per-event interval probe, no range
+    join, no version-count blowup (contrast the interval self-join
+    spelling, which pays |events| x versions-per-key).
+
+    ``how="left"`` keeps events that predate every version (null
+    values); ``"inner"`` drops them.
+    """
+    keys = list(key_cols)
+    ev = events.withColumn("_ts", F.col(event_ts)).withColumn(
+        "_tag", F.lit(1)
+    )
+    for c in value_cols:
+        if c in ev.columns:
+            raise ValueError(f"value column {c!r} collides with events")
+        ev = ev.withColumn(c, F.lit(None).cast(versions.schema[c].dataType))
+    vr = versions.select(
+        *keys,
+        F.col(version_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        *value_cols,
+    )
+    ev_cols = [c for c in ev.columns if c not in vr.columns]
+    vr = vr.select(
+        *[F.lit(None).cast(ev.schema[c].dataType).alias(c) for c in ev_cols],
+        *vr.columns,
+    )
+    tagged = ev.select(*vr.columns).unionByName(vr)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    resolved = tagged
+    for c in value_cols:
+        resolved = resolved.withColumn(
+            c, F.last(c, ignorenulls=True).over(w)
+        )
+    out = resolved.filter(F.col("_tag") == 1).drop("_ts", "_tag")
+    if how == "inner":
+        cond = None
+        for c in value_cols:
+            nn = F.col(c).isNotNull()
+            cond = nn if cond is None else (cond | nn)
+        out = out.filter(cond)
+    elif how != "left":
+        raise ValueError("how must be 'left' or 'inner'")
+    return out

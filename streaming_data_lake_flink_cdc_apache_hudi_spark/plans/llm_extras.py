@@ -765,3 +765,65 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return gopher_rules(d, "text", "doc_id")
+
+
+# -- event-time temporal join ----------------------------------------------
+
+
+@register(
+    "temporal_enrich",
+    """
+WITH tagged AS (
+  SELECT user_id, ts, 0 AS tag, NULL::BIGINT AS event_id, value AS sv
+  FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, ts, 1 AS tag, event_id, NULL::DOUBLE AS sv
+  FROM events WHERE event_type = 'purchase'
+),
+resolved AS (
+  SELECT user_id, ts, tag, event_id,
+         last_value(sv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, tag
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_value
+  FROM tagged
+)
+SELECT user_id, event_id,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       ROUND(signup_value, 2) AS signup_value
+FROM resolved WHERE tag = 1
+""",
+    doc="Event-time temporal join (Flink `JOIN dim FOR SYSTEM_TIME "
+    "AS OF e.rowtime`): every purchase enriched with the dim VERSION "
+    "valid at the purchase's own event time (here: the user's "
+    "prevailing signup value; NULL when no version predates the "
+    "event — the left flavor). One union + one key-partitioned "
+    "window sort, linear in events+versions — never an interval "
+    "probe per event. The reusable operator is "
+    "operators/joins.temporal_join; the streaming flavor is "
+    "stream_temporal_enrich.",
+)
+def q_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import temporal_join
+
+    ev = load_table(spark, sf_dir, "events")
+    versions = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = temporal_join(
+        purchases,
+        versions,
+        ["user_id"],
+        event_ts="ts",
+        version_ts="ts",
+        value_cols=["signup_value"],
+        how="left",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("signup_value", 2).alias("signup_value"),
+    )

@@ -165,6 +165,55 @@ def stream_lookup_join(
     return writer.trigger(**trigger).start()
 
 
+def stream_temporal_enrich(
+    changelog: DataFrame,
+    versions: UpsertLakeTable,
+    key_cols: Sequence[str],
+    event_ts: str,
+    version_ts: str,
+    value_cols: Sequence[str],
+    sink: UpsertLakeTable,
+    checkpoint_dir: str,
+    how: str = "left",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """EVENT-time temporal enrichment — Flink's `JOIN dim FOR
+    SYSTEM_TIME AS OF e.rowtime` in micro-batches: each batch's
+    events join the dim version valid AT THE EVENT'S OWN TIMESTAMP
+    (contrast ``stream_lookup_join``, which is processing-time: the
+    version current at batch time). ``versions`` is an append-only
+    version-history lake table (key cols + ``version_ts`` + value
+    cols — the SCD2 layout); per batch the history is pruned to the
+    batch's keys with a semi-join before the one-window-sort
+    temporal join, so batch cost is events + touched keys' versions,
+    not the whole history. Exactly-once by epoch-id commit dedup."""
+    from ..operators.joins import temporal_join
+
+    def _enrich(batch: DataFrame, epoch_id: int) -> None:
+        delta = reduce_changelog_batch(batch, sink.key)
+        hist = versions.snapshot().join(
+            F.broadcast(delta.select(*key_cols).distinct()),
+            list(key_cols),
+            "left_semi",
+        )
+        enriched = temporal_join(
+            delta, hist, key_cols, event_ts, version_ts, value_cols, how=how
+        )
+        sink.write(
+            enriched,
+            commit_id=f"temporal-epoch-{epoch_id}",
+            delete_col="_deleted",
+        )
+
+    writer = (
+        changelog.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
 def sync_incremental(
     src: UpsertLakeTable,
     dst: UpsertLakeTable,

@@ -159,3 +159,102 @@ def test_lookup_join_left_keeps_unmatched_and_deletes(spark, tmp_path):
     )
     _run(spark, feed_dir, dim_t, sink, ckpt)
     assert {r["order_id"] for r in sink.snapshot().collect()} == {201}
+
+
+def test_temporal_join_batch_semantics(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.joins import (
+        temporal_join,
+    )
+
+    versions = spark.createDataFrame(
+        [(1, 10, "v1"), (1, 20, "v2"), (2, 15, "w1")],
+        "k long, vts long, name string",
+    )
+    events = spark.createDataFrame(
+        [(1, 5, 100), (1, 10, 101), (1, 25, 102), (2, 14, 103)],
+        "k long, ets long, eid long",
+    )
+    out = temporal_join(
+        events, versions, ["k"], "ets", "vts", ["name"], how="left"
+    )
+    got = {r["eid"]: r["name"] for r in out.collect()}
+    # event at 5 predates all versions; at 10 the version EFFECTIVE AT
+    # the same instant is visible; at 25 the latest (v2) prevails
+    assert got == {100: None, 101: "v1", 102: "v2", 103: None}
+    inner = temporal_join(
+        events, versions, ["k"], "ets", "vts", ["name"], how="inner"
+    )
+    assert {r["eid"] for r in inner.collect()} == {101, 102}
+
+
+def test_stream_temporal_enrich_uses_event_time(spark, tmp_path):
+    """The discriminating case vs the processing-time lookup join: a
+    LATE event (older event time than the current dim version) must
+    pick the OLD version even though the new one is current."""
+    import os
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.pipeline import (
+        stream_temporal_enrich,
+    )
+
+    ORDER_T = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField("cust_id", T.LongType()),
+            T.StructField("evt", T.LongType()),  # the order's event time
+        ]
+    )
+
+    def env_t(events):
+        rows = [
+            Row(
+                op=op,
+                ts=dt.datetime.fromisoformat(ts),
+                seq=seq,
+                before=None,
+                after=Row(order_id=oid, cust_id=c, evt=evt),
+            )
+            for (op, ts, seq, oid, c, evt) in events
+        ]
+        return spark.createDataFrame(rows, envelope_schema(ORDER_T))
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    versions = UpsertLakeTable(
+        spark, str(tmp_path / "versions"), key=["cust_id", "vts"]
+    )
+    versions.write(
+        spark.createDataFrame(
+            [(1, 10, "tier-bronze"), (1, 100, "tier-gold")],
+            "cust_id long, vts long, tier string",
+        ),
+        commit_id="v1",
+    )
+    sink = UpsertLakeTable(spark, str(tmp_path / "enriched"), key="order_id")
+
+    # order 7 is LATE (event time 50 < gold's 100); order 8 is fresh
+    write_feed_events(
+        spark,
+        feed,
+        env_t(
+            [
+                ("I", "2024-01-01T00:00:01", 1, 7, 1, 50),
+                ("I", "2024-01-01T00:00:02", 2, 8, 1, 120),
+            ]
+        ),
+    )
+    stream = read_feed_stream(spark, feed, ORDER_T, max_files_per_trigger=10)
+    q = stream_temporal_enrich(
+        stream,
+        versions,
+        ["cust_id"],
+        event_ts="evt",
+        version_ts="vts",
+        value_cols=["tier"],
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    got = {r["order_id"]: r["tier"] for r in sink.snapshot().collect()}
+    assert got == {7: "tier-bronze", 8: "tier-gold"}
