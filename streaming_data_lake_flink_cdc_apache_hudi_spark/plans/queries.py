@@ -2942,8 +2942,29 @@ from . import llm_extras  # noqa: E402,F401
 # driver-green row per query).  Promote every query that does NOT yet
 # have a driver-green row to the front of the registry, keeping
 # registration order within each group, so successive rounds together
-# cover the whole registry.  Names verified by the driver in r04:
+# cover the whole registry.  Names verified by the driver in r04/r05
+# (folded in statically so the rotation does not depend on the
+# CORRECTNESS_r*.json working-tree files surviving a clean checkout):
 _DRIVER_VERIFIED = frozenset({
+    # --- r05 green rows (all 50 full value-hash matches) ---
+    "big_spenders", "cohort_retention", "customer_distribution",
+    "dedup_near_corpus", "disjunctive_revenue", "dormant_customers",
+    "dup_span_stats", "embedding_quantize", "forecast_revenue",
+    "funnel_conversion", "gap_filled_rollup", "grouping_sets_agg",
+    "inverted_index", "json_extract_agg", "large_orders", "market_share",
+    "min_cost_supplier", "minhash_pairs", "mixture_resample",
+    "moving_average", "order_priority", "paragraph_dedup",
+    "paragraph_dup_stats", "part_pagerank", "parts_supplier_stats",
+    "pii_scrub", "pmi_collocations", "pq_ann_topk", "pricing_summary",
+    "product_profit", "promo_revenue", "quality_model_score",
+    "random_projection", "returned_items", "scd2_asof_join",
+    "set_ops_customers", "shard_assign", "simhash_pairs",
+    "skew_distinct_count", "sliding_window_agg",
+    "small_quantity_revenue", "source_cap", "supplier_rank_stats",
+    "table_profile", "tfidf_top_terms", "top_supplier",
+    "unigram_logprob", "value_anomalies", "volume_shipping",
+    "weighted_sample_docs",
+    # --- r01-r04 green rows ---
     "ticket_view", "ticket_view_dup_check", "keyed_filter", "full_scan",
     "projection_cast", "orderby_limit", "group_agg", "upsert_literals",
     "cdc_current_state", "text_stats", "doc_quality", "lang_id",
@@ -2991,27 +3012,18 @@ def _verified_names() -> frozenset:
     return frozenset(names)
 
 
-# Names that have NEVER had a driver CORRECTNESS row (as of r04) get
+# Names that have NEVER had a driver CORRECTNESS row (as of r05) get
 # absolute priority for the 50-slot window this round — queries added
-# later in round 5 must not displace them (VERDICT r4 ask #1).
+# later in round 6 must not displace them (VERDICT r5 ask #1; all 20
+# below were judge-verified green at sf0.01 in the r5 session).
 _WINDOW_PRIORITY = (
-    "pii_scrub", "shard_assign", "minhash_pairs", "dedup_near_corpus",
-    "mixture_resample", "embedding_quantize", "source_cap",
-    "table_profile", "gap_filled_rollup", "simhash_pairs",
-    "pmi_collocations", "inverted_index", "skew_distinct_count",
-    "tfidf_top_terms", "random_projection", "json_extract_agg",
-    "paragraph_dup_stats", "paragraph_dedup", "unigram_logprob",
-    "dup_span_stats", "quality_model_score", "scd2_asof_join",
-    "weighted_sample_docs", "pq_ann_topk", "part_pagerank",
-    "pricing_summary", "order_priority", "volume_shipping",
-    "market_share", "returned_items", "promo_revenue", "top_supplier",
-    "large_orders", "dormant_customers", "customer_distribution",
-    "disjunctive_revenue", "forecast_revenue",
-    "small_quantity_revenue", "set_ops_customers",
-    "grouping_sets_agg", "sliding_window_agg", "product_profit",
-    "parts_supplier_stats", "supplier_rank_stats", "big_spenders",
-    "moving_average", "funnel_conversion", "cohort_retention",
-    "value_anomalies",
+    "linestatus_priority_counts", "last_shipper", "stock_concentration",
+    "excess_stock_suppliers", "cep_pattern_match", "doc_chunks_overlap",
+    "sample_per_group", "matryoshka_topk", "name_typo_pairs",
+    "embedding_outliers", "interpolated_series", "m4_downsample",
+    "name_entity_clusters", "hybrid_search_rrf", "semantic_dedup",
+    "hard_negatives", "perplexity_buckets", "part_triangles",
+    "gopher_rules", "temporal_enrich",
 )
 
 
