@@ -772,9 +772,13 @@ def semantic_dedup(
     Scale shape: centroid pick is TakeOrderedAndProject (never a
     global sort); assignment is a broadcast crossJoin of an
     n_clusters-entry literal array (map-only); the pair space is an
-    equi-join on cluster id, so cost is Σ cluster² not corpus² — at
-    real scale pick n_clusters ≈ corpus_size/10⁴ (the published
-    SemDeDup regime) so clusters stay bounded; the keep decision is
+    equi-join on cluster id, so cost is Σ cluster² not corpus² — the
+    invariant that matters is a cluster count LINEAR in the corpus so
+    cluster sizes stay bounded; this engine's standing regime is
+    n_clusters ≈ corpus_size/100 (~100 vectors/cluster, what
+    ``q_semantic_dedup`` derives from footer stats; the paper ran
+    ~10⁴-vector clusters on much larger corpora — any bounded-size
+    choice keeps the pair space linear); the keep decision is
     one distinct + left-join, both linear. The smaller-id-neighbor
     rule (vs the paper's keep-farthest-from-centroid) makes the
     keep-list order-free and exactly reproducible cross-engine.

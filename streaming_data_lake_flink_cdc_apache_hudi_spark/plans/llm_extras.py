@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, parquet_row_count
 from .queries import register
 
 # -- RAG chunking: word windows with overlap --------------------------------
@@ -557,9 +557,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count with the corpus (~100 vectors/cluster, floor 8) so the
     # within-cluster pair space grows linearly, not quadratically.
     # At the oracle's sf0.01 (500 vectors) the formula lands on the
-    # oracle-pinned 8; the one count() job here is trivia next to the
-    # pair join it shrinks (6x fewer pairs at sf0.1).
-    n_clusters = max(8, emb.count() // 100)
+    # oracle-pinned 8. The corpus size comes from the parquet FOOTER
+    # (a metadata read), not a count() job on the query path.
+    n_rows = parquet_row_count(sf_dir, "embeddings")
+    if n_rows is None:
+        n_rows = emb.count()
+    n_clusters = max(8, n_rows // 100)
     return semantic_dedup(
         emb, "embedding", "vec_id", n_clusters=n_clusters, tau=0.33
     )

@@ -42,6 +42,23 @@ def _parquet_ts_unit(path: str, column: str = "ts") -> str | None:
         return None
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a testdata table from parquet FOOTER
+    metadata — no Spark job, no data pages read. Returns None when the
+    footer can't be read (caller falls back to ``df.count()``). Used by
+    queries that size an algorithm parameter from the corpus size
+    (e.g. ``q_semantic_dedup``'s cluster count) so the sizing costs a
+    metadata read instead of a driver job on the query path."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ).num_rows
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (snapshot read).
 
