@@ -45,6 +45,23 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     ]
 
 
+def portable_hyperplanes(
+    dim: int, n_planes: int, seed: int = 42
+) -> list[list[float]]:
+    """``random_hyperplanes`` quantized to integer-valued doubles
+    (floor(w*1000 + 0.5)). Against vectors that are themselves
+    integer-valued (the portable near-dup family), every plane dot
+    product is an exact integer below 2^53 — its double sum is
+    identical in ANY engine and ANY summation order, so sign-LSH
+    bucket ids replay exactly in an external oracle."""
+    import math
+
+    return [
+        [float(math.floor(w * 1000 + 0.5)) for w in plane]
+        for plane in random_hyperplanes(dim, n_planes, seed)
+    ]
+
+
 def lsh_bucket(vec, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: one bit per hyperplane (sign of the dot
     product), packed into a long. Vectors close in cosine land in the

@@ -506,6 +506,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     multi_probe: bool = True,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """Pairs with cosine >= threshold, candidates pruned by sign-LSH
     bucket equality. With ``multi_probe`` (default) one side also
@@ -514,12 +515,31 @@ def embedding_near_dup_pairs(
     exactly at cos≈threshold) still collides. (n_planes+1)×
     replication of one join side — the standard recall/cost trade;
     pairs differing in >=2 plane signs are genuinely dissimilar at
-    high thresholds."""
-    planes = V.random_hyperplanes(dim, n_planes, seed)
+    high thresholds.
+
+    ``hash_family="portable"`` makes every float decision replayable
+    in another engine (the full-oracle contract of the minhash/simhash
+    portable families). FP summation order differs between engines, so
+    instead of rounding sums we make them EXACT: vectors are quantized
+    to integer-valued doubles (``floor(x*1e6 + 0.5)``, the
+    quantize_int8 parity formula) and the hyperplanes to integer
+    literals — every dot product is then an integer below 2^53, whose
+    double sum is exact in ANY summation order; bucket signs and
+    ROUND(cos, 4) are bit-identical cross-engine by construction."""
+    portable = hash_family == "portable"
+    if portable:
+        planes = V.portable_hyperplanes(dim, n_planes, seed)
+        vec = F.transform(
+            V.as_double(F.col(vec_col)),
+            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("double"),
+        )
+    else:
+        planes = V.random_hyperplanes(dim, n_planes, seed)
+        vec = V.as_double(F.col(vec_col))
     base = df.select(
         F.col(id_col).alias("_id"),
-        V.as_double(F.col(vec_col)).alias("_v"),
-        V.lsh_bucket(F.col(vec_col), planes).alias("_bkt"),
+        vec.alias("_v"),
+        V.lsh_bucket(vec, planes).alias("_bkt"),
     )
     # materialize: n_planes dot products per row, reused on both sides
     base = base.localCheckpoint(eager=True)
@@ -553,6 +573,16 @@ def embedding_near_dup_pairs(
         F.sqrt(V.dot(F.col("v_a"), F.col("v_a")))
         * F.sqrt(V.dot(F.col("v_b"), F.col("v_b")))
     )
+    if portable:
+        # quantize with the floor(x+0.5) parity formula BEFORE the
+        # threshold filter: round() half-handling differs between
+        # engines on boundary doubles (e.g. 0.99985), floor does not
+        cos = F.floor(cos * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+        return (
+            cand.withColumn("cos_sim", cos)
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
     return (
         cand.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)

@@ -545,6 +545,109 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_near_dup_pairs(e, "embedding", "vec_id")
 
 
+# --- embedding near-dup, PORTABLE family (full value oracle) --------------
+#
+# The plain `embedding_near_dup` query's true answer at oracle scale is
+# ZERO pairs (no organic cosine>=0.95 neighbors in the testdata), so its
+# rows-only driver row never exercises the pairing math.  This variant
+# derives planted near-duplicates FROM the embeddings table itself —
+# every 25th vector gets a perturbed copy (component j scaled by
+# 1 + ((vec_id+j)%7-3)/100, a deterministic ±3% wobble) under a shifted
+# id — and runs the identical sign-LSH pipeline (bucket -> hamming-1
+# probe -> cosine verify) under the portable contract: vectors and
+# hyperplanes quantized to integer-valued doubles, so every dot
+# product is an EXACT integer (< 2^53) whose sum is engine- and
+# order-independent; the hyperplane literals are regenerated inside
+# the DuckDB oracle below.  Nonzero pairs, every float decision
+# replayed exactly.
+
+def _near_dup_portable_oracle() -> str:
+    from ..functions import vectors as VEC
+
+    planes = VEC.portable_hyperplanes(64, 12, 42)
+    bkt = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(w) for w in plane)
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pl AS (
+  -- perturb with the ORIGINAL id in the inner query (DuckDB lateral
+  -- alias binding would otherwise resolve vec_id to the shifted id)
+  SELECT vec_id + 100000 AS vec_id, pv AS v FROM (
+    SELECT vec_id,
+           [v[j+1] * (1 + ((vec_id + j) % 7 - 3) / 100.0)
+            for j in generate_series(0, 63)] AS pv
+    FROM e WHERE vec_id % 25 = 0
+  )
+),
+uq AS (SELECT * FROM e UNION ALL SELECT * FROM pl),
+u AS (SELECT vec_id, [floor(x * 1e6 + 0.5) for x in v] AS v FROM uq),
+b AS (SELECT vec_id, v, CAST({bkt} AS BIGINT) AS bkt FROM u),
+pr AS (
+  SELECT vec_id,
+         unnest([bkt] || [xor(bkt, CAST(1 AS BIGINT) << i)
+                          for i in generate_series(0, 11)]) AS bkt
+  FROM b
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, t.vec_id AS id_b
+  FROM pr a JOIN b t ON a.bkt = t.bkt AND a.vec_id < t.vec_id
+)
+SELECT id_a, id_b,
+  floor(list_dot_product(x.v, y.v) /
+        (sqrt(list_dot_product(x.v, x.v)) *
+         sqrt(list_dot_product(y.v, y.v))) * 1e4 + 0.5) / 1e4 AS cos_sim
+FROM cand c JOIN u x ON x.vec_id = c.id_a JOIN u y ON y.vec_id = c.id_b
+WHERE floor(list_dot_product(x.v, y.v) /
+        (sqrt(list_dot_product(x.v, x.v)) *
+         sqrt(list_dot_product(y.v, y.v))) * 1e4 + 0.5) / 1e4 >= 0.95
+"""
+
+
+@register(
+    "embedding_near_dup_portable",
+    _near_dup_portable_oracle(),
+    doc="Embedding-cosine near-dup pairs over the corpus plus planted "
+    "perturbed copies (deterministically derived from the table), "
+    "sign-LSH bucketed with hamming-1 multi-probe, under the PORTABLE "
+    "rounded-float family — the full pairing math (bucket, probe, "
+    "cosine threshold) is value-hash oracle-checked with nonzero "
+    "pairs. Scale shape identical to embedding_near_dup: bucket "
+    "equi-join, (n_planes+1)x probe replication, never a cartesian.",
+)
+def q_embedding_near_dup_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions import vectors as VEC
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double(F.col("embedding")).alias("embedding")
+    )
+    vid = F.col("vec_id")
+    # perturb with the ORIGINAL id, THEN rename: a single select would
+    # lateral-alias-resolve vec_id inside the lambda to the shifted id
+    # (both Spark and DuckDB bind lambda refs to the select's aliases)
+    planted = (
+        e.filter(vid % 25 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, j: x
+                * (F.lit(1.0) + (((vid + j) % 7 - 3) / F.lit(100.0))),
+            ).alias("embedding"),
+        )
+        .select((vid + 100000).alias("vec_id"), "embedding")
+    )
+    return DD.embedding_near_dup_pairs(
+        e.unionByName(planted), "embedding", "vec_id",
+        hash_family="portable",
+    )
+
+
 # ===========================================================================
 # Relational surface beyond the reference (SURVEY.md §2.5 extension
 # operators): windows, sessionization, set ops, rollup, pivot, distinct
@@ -658,6 +761,59 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select("user_id", "session_no", "n_events")
     )
+
+
+@register(
+    "session_window_tvf",
+    """
+WITH flags AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM flags
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM numbered GROUP BY user_id, sess_no
+""",
+    doc="Flink SESSION window TVF spelling — TABLE(SESSION(TABLE t "
+    "PARTITION BY k, DESCRIPTOR(ts), INTERVAL '30' MINUTES)) — run "
+    "verbatim through the engine's SQL rewrite "
+    "(session.rewrite_window_tvf): gaps-and-islands lag flag + "
+    "running-sum session number + per-session min/max window "
+    "bounds, all three window functions sharing ONE user_id "
+    "exchange (Catalyst reuses it). Half-open Flink boundary: an "
+    "event at exactly last_ts + gap starts a NEW session. Cf. "
+    "reference CDC-Hudi-Notebook.zpln windowed-SQL surface "
+    "(SURVEY.md §2.5); completes TUMBLE/HOP/SESSION.",
+)
+def q_session_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import rewrite_window_tvf  # lazy: session imports us
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_stvf"
+    )
+    sql = rewrite_window_tvf(
+        "SELECT user_id, "
+        "date_format(window_start, 'yyyy-MM-dd HH:mm:ss') "
+        "  AS session_start, "
+        "date_format(window_end, 'yyyy-MM-dd HH:mm:ss') AS session_end, "
+        "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value "
+        "FROM TABLE(SESSION(TABLE events_stvf PARTITION BY user_id, "
+        "DESCRIPTOR(ts), INTERVAL '30' MINUTES)) "
+        "GROUP BY user_id, window_start, window_end"
+    )
+    return spark.sql(sql)
 
 
 @register(

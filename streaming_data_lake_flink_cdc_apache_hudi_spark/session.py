@@ -108,71 +108,8 @@ class EngineSession:
         statement = self._rewrite_window_tvf(statement)
         return self.spark.sql(self._rewrite_time_travel(statement))
 
-    _TVF_RE = None  # compiled lazily below
-
     def _rewrite_window_tvf(self, statement: str) -> str:
-        """Flink SQL windowing-TVF spellings → Spark's window()
-        function, so the notebook dialect's windowed queries run
-        verbatim:
-
-          TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTES))
-          TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTES,
-                    INTERVAL '10' MINUTES))           -- slide, size
-
-        become derived tables exposing Flink's ``window_start`` /
-        ``window_end`` columns (Spark's window() in a projection
-        expands one row per containing window — for HOP that is the
-        size/slide fan-out, exactly the TVF's row multiplication).
-        SESSION TVFs are gated with a pointed error: Spark's
-        session_window is an aggregation construct, so the gap-window
-        path is `F.session_window` / `sessionize` (see §2.5), not a
-        row-expanding TVF.
-        """
-        import re
-
-        if EngineSession._TVF_RE is None:
-            iv = r"INTERVAL\s+'([^']+)'\s+(\w+)"
-            EngineSession._TVF_RE = re.compile(
-                r"TABLE\s*\(\s*(TUMBLE|HOP|SESSION)\s*\(\s*(?:TABLE\s+)?"
-                r"`?(\w+)`?\s*,\s*DESCRIPTOR\s*\(\s*`?(\w+)`?\s*\)\s*,\s*"
-                + iv
-                + r"(?:\s*,\s*"
-                + iv
-                + r")?\s*\)\s*\)",
-                re.IGNORECASE,
-            )
-
-        def canon(amount: str, unit: str) -> str:
-            u = unit.lower().rstrip("s")
-            if u not in {"second", "minute", "hour", "day"}:
-                raise ValueError(f"unsupported window interval unit {unit!r}")
-            return f"{amount} {u}s"
-
-        def sub(m: re.Match) -> str:
-            kind, tbl, ts = m.group(1).upper(), m.group(2), m.group(3)
-            first = canon(m.group(4), m.group(5))
-            second = (
-                canon(m.group(6), m.group(7)) if m.group(6) else None
-            )
-            if kind == "SESSION":
-                raise ValueError(
-                    "SESSION window TVF: use F.session_window / the "
-                    "sessionize operator (aggregation construct in "
-                    "Spark, not a row-expanding TVF)"
-                )
-            if kind == "TUMBLE":
-                win = f"window(`{ts}`, '{first}')"
-            else:  # HOP(slide, size) -> window(ts, size, slide)
-                if second is None:
-                    raise ValueError("HOP needs slide AND size intervals")
-                win = f"window(`{ts}`, '{second}', '{first}')"
-            return (
-                "(SELECT * EXCEPT (_w), _w.start AS window_start, "
-                f"_w.end AS window_end FROM (SELECT *, {win} AS _w "
-                f"FROM {tbl}))"
-            )
-
-        return EngineSession._TVF_RE.sub(sub, statement)
+        return rewrite_window_tvf(statement)
 
     def _rewrite_time_travel(self, statement: str) -> str:
         """Bind `t VERSION AS OF n` references to registered upsert
@@ -224,3 +161,117 @@ class EngineSession:
         )
         self.registry.resolve(name)
         return n
+
+
+# ---------------------------------------------------------------------------
+# Flink windowing-TVF dialect → Spark SQL rewrite (module-level so the
+# registry queries and tests can use it without an EngineSession).
+# ---------------------------------------------------------------------------
+
+_TVF_RE = None  # compiled lazily
+
+
+def rewrite_window_tvf(statement: str) -> str:
+    """Flink SQL windowing-TVF spellings → Spark SQL, so the notebook
+    dialect's windowed queries run verbatim:
+
+      TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTES))
+      TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTES,
+                INTERVAL '10' MINUTES))            -- slide, size
+      TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts),
+                    INTERVAL '5' MINUTES))         -- gap
+
+    TUMBLE/HOP become derived tables over Spark's ``window()``
+    function exposing Flink's ``window_start`` / ``window_end``
+    columns (window() in a projection expands one row per containing
+    window — for HOP that is the size/slide fan-out, exactly the
+    TVF's row multiplication).
+
+    SESSION becomes the gaps-and-islands rewrite: a lag() new-session
+    flag, a running-sum session number, then min/max over the session
+    — every input row tagged with its merged session's
+    [window_start, window_end). Boundary semantics match Flink and
+    ``F.session_window``: windows are half-open, so an event at
+    exactly last_ts + gap starts a NEW session (`>=` in the flag).
+    With PARTITION BY the three window functions all shuffle ONCE on
+    the same key (Catalyst reuses the exchange; sessions are per-key
+    sorts). Without it the session spec is a single global sort —
+    Flink's semantics for the keyless spelling; partition when the
+    data is big.
+    """
+    import re
+
+    global _TVF_RE
+    if _TVF_RE is None:
+        iv = r"INTERVAL\s+'([^']+)'\s+(\w+)"
+        _TVF_RE = re.compile(
+            r"TABLE\s*\(\s*(TUMBLE|HOP|SESSION)\s*\(\s*(?:TABLE\s+)?"
+            r"`?(\w+)`?"
+            r"(?:\s+PARTITION\s+BY\s+((?:`?\w+`?\s*,\s*)*`?\w+`?))?"
+            r"\s*,\s*DESCRIPTOR\s*\(\s*`?(\w+)`?\s*\)\s*,\s*"
+            + iv
+            + r"(?:\s*,\s*"
+            + iv
+            + r")?\s*\)\s*\)",
+            re.IGNORECASE,
+        )
+
+    def canon(amount: str, unit: str) -> str:
+        u = unit.lower().rstrip("s")
+        if u not in {"second", "minute", "hour", "day"}:
+            raise ValueError(f"unsupported window interval unit {unit!r}")
+        return f"{amount} {u}s"
+
+    def sub(m: re.Match) -> str:
+        kind, tbl, part, ts = (
+            m.group(1).upper(),
+            m.group(2),
+            m.group(3),
+            m.group(4),
+        )
+        first = canon(m.group(5), m.group(6))
+        second = canon(m.group(7), m.group(8)) if m.group(7) else None
+        if part and kind != "SESSION":
+            raise ValueError("PARTITION BY is only valid in SESSION TVFs")
+        if kind == "SESSION":
+            keys = [k.strip().strip("`") for k in part.split(",")] if part else []
+            pb = (
+                "PARTITION BY " + ", ".join(f"`{k}`" for k in keys)
+                if keys
+                else ""
+            )
+            ivl = f"INTERVAL {first}"
+            over_ord = f"OVER ({pb} ORDER BY `{ts}`)".replace("( ", "(")
+            flag = (
+                f"CASE WHEN lag(`{ts}`) {over_ord} IS NULL "
+                f"OR `{ts}` >= lag(`{ts}`) {over_ord} + {ivl} "
+                "THEN 1 ELSE 0 END AS _new_sess"
+            )
+            over_run = (
+                f"OVER ({pb} ORDER BY `{ts}` ROWS BETWEEN UNBOUNDED "
+                "PRECEDING AND CURRENT ROW)"
+            ).replace("( ", "(")
+            sess_part = "PARTITION BY " + ", ".join(
+                [f"`{k}`" for k in keys] + ["_sess_no"]
+            )
+            return (
+                "(SELECT * EXCEPT (_sess_no), "
+                f"min(`{ts}`) OVER ({sess_part}) AS window_start, "
+                f"max(`{ts}`) OVER ({sess_part}) + {ivl} AS window_end "
+                "FROM (SELECT * EXCEPT (_new_sess), "
+                f"SUM(_new_sess) {over_run} AS _sess_no "
+                f"FROM (SELECT *, {flag} FROM {tbl})))"
+            )
+        if kind == "TUMBLE":
+            win = f"window(`{ts}`, '{first}')"
+        else:  # HOP(slide, size) -> window(ts, size, slide)
+            if second is None:
+                raise ValueError("HOP needs slide AND size intervals")
+            win = f"window(`{ts}`, '{second}', '{first}')"
+        return (
+            "(SELECT * EXCEPT (_w), _w.start AS window_start, "
+            f"_w.end AS window_end FROM (SELECT *, {win} AS _w "
+            f"FROM {tbl}))"
+        )
+
+    return _TVF_RE.sub(sub, statement)

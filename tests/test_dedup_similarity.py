@@ -262,6 +262,48 @@ def test_embedding_near_dup_finds_planted(spark, vecs):
     assert (3, 100) in pairs and pairs[(3, 100)] > 0.99
 
 
+def test_embedding_near_dup_portable_family(spark, vecs):
+    """The portable family finds the planted pair too, its quantized
+    dot products are exact integers (the cross-engine-parity
+    invariant), and its cos_sim agrees with the fast family to the
+    quantization tolerance."""
+    fast = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in DD.embedding_near_dup_pairs(
+            vecs, "embedding", "vec_id", threshold=0.9
+        ).collect()
+    }
+    port = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in DD.embedding_near_dup_pairs(
+            vecs, "embedding", "vec_id", threshold=0.9,
+            hash_family="portable",
+        ).collect()
+    }
+    assert (3, 100) in port and port[(3, 100)] > 0.99
+    for pair in set(fast) & set(port):
+        assert abs(fast[pair] - port[pair]) < 5e-4
+    # quantized plane dots are integer-valued (sum-order independent)
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.functions import (
+        vectors as V,
+    )
+
+    planes = V.portable_hyperplanes(64, 2, 42)
+    q = vecs.select(
+        F.transform(
+            V.as_double(F.col("embedding")),
+            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("double"),
+        ).alias("qv")
+    )
+    d = q.select(
+        V.dot(
+            F.col("qv"), F.array(*[F.lit(w) for w in planes[0]])
+        ).alias("d")
+    )
+    for r in d.collect():
+        assert r["d"] == int(r["d"])
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, vecs):
     qv = vecs.filter(F.col("vec_id") == 3).select(
         F.col("embedding").alias("qv")

@@ -543,8 +543,10 @@ def test_flink_window_tvf_hop_expands_rows(spark, tmp_path):
     assert rows[0]["n"] == 2 * base
 
 
-def test_flink_window_tvf_session_is_gated(spark, tmp_path):
-    import pytest as _pytest
+def test_flink_window_tvf_session_matches_session_window(spark, tmp_path):
+    """SESSION TVF rewrite agrees with F.session_window (Flink's
+    half-open gap semantics) on per-session event counts."""
+    import pyspark.sql.functions as F
 
     from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
 
@@ -552,11 +554,63 @@ def test_flink_window_tvf_session_is_gated(spark, tmp_path):
         spark=spark, registry_path=str(tmp_path / "reg" / "tables.json")
     )
     eng.register_testdata("/root/testdata/sf0.001")
-    with _pytest.raises(ValueError, match="session_window"):
-        eng.sql(
-            "SELECT * FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts), "
-            "INTERVAL '5' MINUTES))"
+    got = sorted(
+        tuple(r)
+        for r in eng.sql(
+            "SELECT user_id, window_start, window_end, COUNT(*) AS n "
+            "FROM TABLE(SESSION(TABLE events PARTITION BY user_id, "
+            "DESCRIPTOR(ts), INTERVAL '30' MINUTES)) "
+            "GROUP BY user_id, window_start, window_end"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.table("events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("window_start"),
+            F.col("session_window.end").alias("window_end"),
+            "n",
         )
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_flink_window_tvf_session_keyless_and_boundary(spark, tmp_path):
+    """Keyless SESSION TVF; an event at exactly last_ts + gap starts
+    a NEW session (half-open windows, Flink/session_window parity)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import (
+        rewrite_window_tvf,
+    )
+
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-01 00:05:00",),
+         ("2024-01-01 00:10:00",), ("2024-01-01 00:30:00",)],
+        "t string",
+    ).selectExpr("CAST(t AS TIMESTAMP) AS ts").createOrReplaceTempView(
+        "sess_edge"
+    )
+    rows = spark.sql(
+        rewrite_window_tvf(
+            "SELECT window_start, window_end, COUNT(*) AS n "
+            "FROM TABLE(SESSION(TABLE sess_edge, DESCRIPTOR(ts), "
+            "INTERVAL '5' MINUTES)) "
+            "GROUP BY window_start, window_end ORDER BY window_start"
+        )
+    ).collect()
+    # 00:00,00:05,00:10 chain (each gap exactly 5m starts a NEW
+    # session under half-open semantics) -> 3 singleton sessions,
+    # then 00:30 alone
+    assert [(str(r["window_start"]), str(r["window_end"]), r["n"]) for r in rows] == [
+        ("2024-01-01 00:00:00", "2024-01-01 00:05:00", 1),
+        ("2024-01-01 00:05:00", "2024-01-01 00:10:00", 1),
+        ("2024-01-01 00:10:00", "2024-01-01 00:15:00", 1),
+        ("2024-01-01 00:30:00", "2024-01-01 00:35:00", 1),
+    ]
 
 
 def test_alter_table_add_column_ddl(spark, tmp_path):
