@@ -10,12 +10,21 @@ Why this shape scales: strict contiguity over a per-key ordered
 timeline is exactly ``lead(type, i)`` equality checks — one
 key-partitioned window sort (the same shuffle sessionization pays),
 then map-side comparisons. No joins, no state, no quantifier
-backtracking. Greedy/reluctant quantifiers and SKIP PAST LAST ROW
-need sequential per-key state — that flavor belongs to the
-`applyInPandasWithState` family (cf. streaming/stateful.py) and is
-deliberately out of scope here; the fixed-sequence core covers the
-funnel/escalation/fraud probes MATCH_RECOGNIZE is typically used
-for, with an exact cross-engine oracle.
+backtracking. :func:`pattern_match` stays the windowed fast path for
+fixed sequences.
+
+Greedy quantifiers (``A+ B* C?``) and ``AFTER MATCH SKIP PAST LAST
+ROW`` genuinely need sequential per-key matching, so
+:func:`pattern_match_quantified` runs the Arrow-batched grouped path
+(``applyInPandas``): ONE shuffle on the key — the identical exchange
+the window version pays — then a per-key greedy backtracking scan in
+numpy-backed pandas. Per-task memory is one key-group's timeline,
+the same keyed-state contract Flink's MATCH_RECOGNIZE operator has;
+the streaming flavor (``streaming/stateful.py:pattern_match_stream``)
+holds only the unfinalized tail per key. Backtracking is benign
+here: every pattern variable is a single literal type, so expansion
+is run-length bounded and the scan is O(rows · pattern_len) worst
+case, not regex-exponential.
 """
 
 from __future__ import annotations
@@ -74,4 +83,173 @@ def pattern_match(
             F.date_format(time_col, "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
             F.date_format("_end", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
         )
+    )
+
+# -- greedy-quantifier matcher core (shared with the streaming flavor) ------
+
+
+def parse_pattern(pattern: Sequence[str]) -> list[tuple[str, int, int | None]]:
+    """``["a+", "b*", "c?", "d"]`` → ``[(type, min_rep, max_rep)]``
+    with ``max_rep=None`` meaning unbounded. Flink MATCH_RECOGNIZE's
+    greedy quantifier surface (reluctant variants are out of scope —
+    with single-literal variables and ONE ROW PER MATCH they only
+    change which of several overlapping matches is reported)."""
+    toks: list[tuple[str, int, int | None]] = []
+    for p in pattern:
+        if p.endswith("+"):
+            toks.append((p[:-1], 1, None))
+        elif p.endswith("*"):
+            toks.append((p[:-1], 0, None))
+        elif p.endswith("?"):
+            toks.append((p[:-1], 0, 1))
+        else:
+            toks.append((p, 1, 1))
+    if not any(lo > 0 for _, lo, _ in toks):
+        raise ValueError(
+            "pattern must contain at least one non-optional variable"
+        )
+    return toks
+
+
+def match_at(
+    types,
+    times_us,
+    start: int,
+    toks: list[tuple[str, int, int | None]],
+    within_us: int | None,
+) -> tuple[int | None, bool]:
+    """Greedy-with-backtracking match attempt at row ``start`` over a
+    per-key timeline sorted by (time, tiebreak). Returns
+    ``(end_index_inclusive | None, hit_buffer_end)`` — the second
+    flag is True when any quantifier expansion was truncated by the
+    END of the buffer (rather than a mismatching row or the WITHIN
+    bound), i.e. the outcome could still change if later rows were
+    appended; the streaming flavor defers those. WITHIN truncation is
+    final because timelines are time-sorted: once a row exceeds
+    start_ts + within, every later row does too."""
+    n = len(types)
+    limit = (
+        times_us[start] + within_us if within_us is not None else None
+    )
+    hit_end = False
+
+    def rec(pos: int, ti: int) -> int | None:
+        nonlocal hit_end
+        if ti == len(toks):
+            return pos - 1 if pos > start else None
+        et, lo, hi = toks[ti]
+        k = 0
+        while (
+            pos + k < n
+            and types[pos + k] == et
+            and (limit is None or times_us[pos + k] <= limit)
+            and (hi is None or k < hi)
+        ):
+            k += 1
+        if pos + k >= n and (hi is None or k < hi):
+            hit_end = True
+        for take in range(k, lo - 1, -1):
+            r = rec(pos + take, ti + 1)
+            if r is not None:
+                return r
+        return None
+
+    return rec(start, 0), hit_end
+
+
+def scan_matches(
+    types,
+    times_us,
+    toks: list[tuple[str, int, int | None]],
+    within_us: int | None,
+    skip_past_last_row: bool,
+) -> list[tuple[int, int]]:
+    """Left-to-right scan emitting every match as (start, end) index
+    pairs. ``skip_past_last_row`` resumes after a match's last row
+    (AFTER MATCH SKIP PAST LAST ROW — matches never overlap);
+    otherwise at start+1 (SKIP TO NEXT ROW — overlaps enumerated,
+    the fixed-sequence operator's convention)."""
+    out: list[tuple[int, int]] = []
+    p, n = 0, len(types)
+    while p < n:
+        end, _ = match_at(types, times_us, p, toks, within_us)
+        if end is not None:
+            out.append((p, end))
+            p = end + 1 if skip_past_last_row else p + 1
+        else:
+            p += 1
+    return out
+
+
+def pattern_match_quantified(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    order_tiebreak: str,
+    type_col: str,
+    pattern: Sequence[str],
+    within_seconds: int | None = None,
+    after_match: str = "past_last_row",
+) -> DataFrame:
+    """MATCH_RECOGNIZE with greedy quantifiers, ONE ROW PER MATCH:
+    one output row per match — (key, start_<tiebreak>, start/end
+    second strings, n_rows). ``after_match``: ``"past_last_row"``
+    (Flink's default — non-overlapping, scan resumes after the
+    match) or ``"next_row"`` (overlap enumeration).
+
+    Scale: groupBy(key).applyInPandas — one key shuffle, Arrow
+    batches, per-task memory = one key's timeline (Flink keyed-state
+    contract). Cf. reference CDC-Hudi-Notebook.zpln's Flink SQL
+    surface, where MATCH_RECOGNIZE is the platform's CEP spelling
+    (SURVEY.md §2.5 extension)."""
+    import pandas as pd
+
+    toks = parse_pattern(pattern)
+    if after_match not in ("past_last_row", "next_row"):
+        raise ValueError(f"unknown after_match {after_match!r}")
+    skip_past = after_match == "past_last_row"
+    within_us = (
+        int(within_seconds) * 1_000_000 if within_seconds is not None else None
+    )
+    dtypes = dict(df.dtypes)
+    out_cols = [
+        key_col,
+        "start_" + order_tiebreak,
+        "start_ts",
+        "end_ts",
+        "n_rows",
+    ]
+    schema = (
+        f"`{key_col}` {dtypes[key_col]}, "
+        f"`start_{order_tiebreak}` {dtypes[order_tiebreak]}, "
+        "start_ts string, end_ts string, n_rows long"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [time_col, order_tiebreak], kind="mergesort"
+        ).reset_index(drop=True)
+        types = pdf[type_col].to_numpy()
+        times_us = (
+            pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        fmt = pdf[time_col].dt.strftime("%Y-%m-%d %H:%M:%S")
+        rows = [
+            (
+                pdf[key_col].iat[0],
+                pdf[order_tiebreak].iat[s],
+                fmt.iat[s],
+                fmt.iat[e],
+                e - s + 1,
+            )
+            for s, e in scan_matches(
+                types, times_us, toks, within_us, skip_past
+            )
+        ]
+        return pd.DataFrame(rows, columns=out_cols)
+
+    return (
+        df.select(key_col, time_col, order_tiebreak, type_col)
+        .groupBy(key_col)
+        .applyInPandas(fn, schema)
     )

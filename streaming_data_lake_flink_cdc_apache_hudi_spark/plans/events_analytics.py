@@ -252,3 +252,55 @@ def q_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern=["view", "click", "purchase"],
         within_seconds=86400,
     )
+
+
+@register(
+    "cep_quantified_match",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), isl AS (
+  SELECT *, rn - row_number() OVER (
+             PARTITION BY user_id, event_type ORDER BY rn) AS grp
+  FROM ordered
+), runs AS (
+  SELECT user_id, grp, max(rn) AS ern,
+         arg_min(event_id, rn) AS start_event_id,
+         strftime(date_trunc('second', min(ts)),
+                  '%Y-%m-%d %H:%M:%S') AS start_ts,
+         count(*) AS n_clicks
+  FROM isl WHERE event_type = 'click'
+  GROUP BY user_id, grp
+)
+SELECT r.user_id, r.start_event_id, r.start_ts,
+       strftime(date_trunc('second', o.ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+       r.n_clicks + 1 AS n_rows
+FROM runs r JOIN ordered o
+  ON o.user_id = r.user_id AND o.rn = r.ern + 1
+     AND o.event_type = 'purchase'
+""",
+    doc="MATCH_RECOGNIZE with a GREEDY quantifier: PATTERN (click+ "
+    "purchase), AFTER MATCH SKIP PAST LAST ROW, ONE ROW PER MATCH — "
+    "a maximal run of consecutive clicks ending in a purchase, with "
+    "the run length surfaced (operators/cep.py "
+    "pattern_match_quantified: one key shuffle + Arrow-batched "
+    "greedy backtracking scan per key, run-length bounded, never "
+    "regex-exponential; streaming flavor in streaming/stateful.py). "
+    "The oracle replays greedy+skip-past semantics relationally: "
+    "gaps-and-islands maximal click runs joined to the immediately "
+    "following row being a purchase.",
+)
+def q_cep_quantified_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import pattern_match_quantified
+
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_match_quantified(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        type_col="event_type",
+        pattern=["click+", "purchase"],
+    )

@@ -266,3 +266,124 @@ def first_seen_keys_native(stream: DataFrame, key_col: str) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# -- streaming MATCH_RECOGNIZE with greedy quantifiers -----------------------
+
+_CEP_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("start_id", T.LongType()),
+        T.StructField("start_ts", T.StringType()),
+        T.StructField("end_ts", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+)
+
+_CEP_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("types", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def pattern_match_stream(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    order_tiebreak: str,
+    type_col: str,
+    pattern,
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE with greedy quantifiers and
+    AFTER MATCH SKIP PAST LAST ROW — the cross-micro-batch flavor of
+    ``operators/cep.py:pattern_match_quantified`` (same matcher
+    core, parity-tested against it).
+
+    A match is emitted only once FINALIZED: no quantifier expansion
+    in its attempt was truncated by the end of the key's buffered
+    timeline (``match_at``'s hit_buffer_end flag), so appending rows
+    cannot change the outcome — greedy ``a+`` runs at the buffer tail
+    wait for the row that closes them. Per-key state is ONLY the
+    unfinalized tail: rows before the first provisional position are
+    dropped every batch (their match attempts are conclusively
+    decided), so with a WITHIN bound state is bounded by the bound's
+    row span; without one it is bounded by the longest open run.
+
+    Contract: per-key event-time-ordered arrival across micro-batches
+    (the CDC feed replay order); rows within a batch are sorted, a
+    cross-batch regression in (time, tiebreak) raises downstream
+    nonsense, not an error — same contract as Flink's ascending-
+    timestamps MATCH_RECOGNIZE mode. The tiebreak column is cast to
+    long."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.cep import match_at, parse_pattern
+
+    toks = parse_pattern(pattern)
+    within_us = (
+        int(within_seconds) * 1_000_000 if within_seconds is not None else None
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ts_l, id_l, ty_l = state.get
+            ts_l, id_l, ty_l = list(ts_l), list(id_l), list(ty_l)
+        else:
+            ts_l, id_l, ty_l = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_l.extend(
+                pdf["_ts"].astype("datetime64[us]").astype("int64").tolist()
+            )
+            id_l.extend(pdf["_id"].astype("int64").tolist())
+            ty_l.extend(pdf["_ty"].tolist())
+        order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], id_l[i]))
+        ts_l = [ts_l[i] for i in order]
+        id_l = [id_l[i] for i in order]
+        ty_l = [ty_l[i] for i in order]
+
+        n = len(ty_l)
+        rows, p, keep_from = [], 0, n
+        while p < n:
+            end, hit = match_at(ty_l, ts_l, p, toks, within_us)
+            if end is not None and not hit:
+                rows.append((p, end))
+                p = end + 1
+            elif hit:
+                keep_from = p
+                break
+            else:
+                p += 1
+        state.update(
+            (ts_l[keep_from:], id_l[keep_from:], ty_l[keep_from:])
+        )
+        if rows:
+            fmt = lambda us: pd.Timestamp(us, unit="us").strftime(  # noqa: E731
+                "%Y-%m-%d %H:%M:%S"
+            )
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])] * len(rows),
+                    "start_id": [id_l[s] for s, _ in rows],
+                    "start_ts": [fmt(ts_l[s]) for s, _ in rows],
+                    "end_ts": [fmt(ts_l[e]) for _, e in rows],
+                    "n_rows": [e - s + 1 for s, e in rows],
+                }
+            )
+
+    projected = stream.selectExpr(
+        f"CAST({key_col} AS STRING) AS key",
+        f"{time_col} AS _ts",
+        f"CAST({order_tiebreak} AS LONG) AS _id",
+        f"{type_col} AS _ty",
+    )
+    return projected.groupBy("key").applyInPandasWithState(
+        fn, _CEP_OUT, _CEP_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -128,3 +128,167 @@ def test_pattern_match_randomized_vs_bruteforce(spark):
             ):
                 want.add((u, win[0][1]))
     assert got == want
+
+
+# -- greedy quantifiers (pattern_match_quantified) ---------------------------
+
+import random
+import re
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+    pattern_match_quantified,
+)
+
+
+def _brute(rows, pattern, within=None, skip_past=True):
+    """Independent per-key brute force: encode the type sequence as a
+    string and drive Python's regex engine (greedy backtracking) over
+    it — WITHIN handled by truncating the searchable prefix at each
+    start (rows beyond start_ts + within are unconsumable).
+    rows: [(id, ts_seconds, type)] sorted by (ts, id)."""
+    base = sorted({t for _, _, t in rows} | {p.rstrip("+*?") for p in pattern})
+    enc = {t: chr(97 + i) for i, t in enumerate(base)}
+    s = "".join(enc[t] for _, _, t in rows)
+    rx = re.compile(
+        "".join(
+            re.escape(enc[p.rstrip("+*?")])
+            + (p[-1] if p[-1] in "+*?" else "")
+            for p in pattern
+        )
+    )
+    out, p, n = [], 0, len(s)
+    while p < n:
+        if within is None:
+            m = rx.match(s, p)
+        else:
+            limit = rows[p][1] + within
+            q = p
+            while q < n and rows[q][1] <= limit:
+                q += 1
+            m = rx.match(s[:q], p)
+        if m and m.end() > p:
+            out.append((p, m.end() - 1))
+            p = m.end() if skip_past else p + 1
+        else:
+            p += 1
+    return out
+
+
+def _qmatch(df, pattern, within=None, after="past_last_row"):
+    return pattern_match_quantified(
+        df, "user_id", "ts", "event_id", "event_type", pattern,
+        within_seconds=within, after_match=after,
+    )
+
+
+def test_quantified_greedy_consumes_maximal_run(spark):
+    df = _ev(
+        spark,
+        [(1, 7, 1, "a"), (2, 7, 2, "a"), (3, 7, 3, "a"), (4, 7, 4, "b"),
+         (5, 7, 5, "a"), (6, 7, 6, "b")],
+    )
+    got = sorted(
+        (r["start_event_id"], r["n_rows"])
+        for r in _qmatch(df, ["a+", "b"]).collect()
+    )
+    # greedy a+ eats the whole run 1-3 then b at 4; SKIP PAST LAST ROW
+    # resumes at 5
+    assert got == [(1, 4), (5, 2)]
+
+
+def test_quantified_optional_and_star(spark):
+    df = _ev(
+        spark,
+        [(1, 7, 1, "a"), (2, 7, 2, "x"), (3, 7, 3, "x"), (4, 7, 4, "b"),
+         (5, 8, 1, "a"), (6, 8, 2, "b"), (7, 9, 1, "a"), (8, 9, 2, "c")],
+    )
+    got = sorted(
+        (r["user_id"], r["start_event_id"], r["n_rows"])
+        for r in _qmatch(df, ["a", "x*", "b"]).collect()
+    )
+    assert got == [(7, 1, 4), (8, 5, 2)]
+    got = sorted(
+        (r["user_id"], r["start_event_id"], r["n_rows"])
+        for r in _qmatch(df, ["a", "c?"]).collect()
+    )
+    # greedy c? takes c when present
+    assert got == [(7, 1, 1), (8, 5, 1), (9, 7, 2)]
+
+
+def test_quantified_randomized_differential_vs_bruteforce(spark):
+    """Randomized sequences x random quantified patterns x both skip
+    modes x with/without WITHIN, engine vs independent regex-driven
+    brute force."""
+    patterns = [
+        ["a+", "b"],
+        ["a+", "b+"],
+        ["a", "b*", "c"],
+        ["a+", "x?", "b"],
+        ["a", "a+"],
+        ["c?", "a+", "b*", "c"],
+    ]
+    rng = random.Random(42)
+    cases = []
+    per_key = {}
+    key = 0
+    for _ in range(12):
+        n = rng.randint(10, 60)
+        seq = rng.choices("abcx", weights=[4, 3, 2, 2], k=n)
+        ts = []
+        t = 0
+        for _ in range(n):
+            t += rng.choice([0, 1, 1, 2, 5, 30])
+            ts.append(t)
+        rows = [(i + 1, ts[i], seq[i]) for i in range(n)]
+        per_key[key] = rows
+        key += 1
+    data = [
+        (rid, k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), ty)
+        for k, rows in per_key.items()
+        for (rid, s, ty) in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    for pattern in patterns:
+        for after, skip_past in [("past_last_row", True), ("next_row", False)]:
+            for within in [None, 10]:
+                got = sorted(
+                    (r["user_id"], r["start_event_id"], r["n_rows"])
+                    for r in _qmatch(
+                        df, pattern, within=within, after=after
+                    ).collect()
+                )
+                want = sorted(
+                    (k, rows[s][0], e - s + 1)
+                    for k, rows in per_key.items()
+                    for s, e in _brute(
+                        rows, pattern, within=within, skip_past=skip_past
+                    )
+                )
+                assert got == want, (pattern, after, within)
+                cases.append(len(want))
+    assert sum(cases) > 100, "differential corpus too thin to mean much"
+
+
+def test_quantified_within_bounds_greedy_expansion(spark):
+    # a's 30s apart: within=40 lets a+ take only 2 before b is out of
+    # reach at 1..; starting at the 2nd a, a+b fits
+    df = spark.createDataFrame(
+        [
+            (i, 7, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), t)
+            for (i, s, t) in [(1, 0, "a"), (2, 30, "a"), (3, 60, "b")]
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = sorted(
+        (r["start_event_id"], r["n_rows"])
+        for r in _qmatch(df, ["a+", "b"], within=40).collect()
+    )
+    assert got == [(2, 2)]
+    got = sorted(
+        (r["start_event_id"], r["n_rows"])
+        for r in _qmatch(df, ["a+", "b"], within=60).collect()
+    )
+    assert got == [(1, 3)]

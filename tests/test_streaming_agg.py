@@ -855,3 +855,85 @@ def test_streaming_paragraph_dedup_native_tws_or_gated(spark, tmp_path):
         .count()
     )
     assert len(rows) == want
+
+
+def test_stream_pattern_match_parity_with_batch(spark, tmp_path):
+    """streaming/stateful.py pattern_match_stream: greedy-quantified
+    CEP across time-split micro-batches emits exactly the batch
+    operator's finalized matches — including a greedy a+ run that
+    STRADDLES the batch boundary (provisional tail carried in
+    state)."""
+    import datetime as dt
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        pattern_match_quantified,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.stateful import (
+        pattern_match_stream,
+    )
+
+    rng = random.Random(7)
+    rows, rid = [], 0
+    for user in range(6):
+        t = 0
+        for _ in range(40):
+            rid += 1
+            t += rng.choice([1, 2, 5])
+            rows.append(
+                (
+                    rid,
+                    user,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t),
+                    rng.choice(["a", "a", "b", "x"]),
+                )
+            )
+    # close every tail run so the streaming flavor finalizes everything
+    for user in range(6):
+        rid += 1
+        rows.append(
+            (rid, user, dt.datetime(2024, 1, 1, 1), "x")
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    # time-ordered split (the operator's arrival contract): first half
+    # by ts into file a, rest into b
+    d = tmp_path / "cepfeed"
+    d.mkdir()
+    ordered = ev.orderBy("ts", "event_id").collect()
+    half = len(ordered) // 2
+    for name, chunk in [("a", ordered[:half]), ("b", ordered[half:])]:
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    res = pattern_match_stream(
+        stream, "user_id", "ts", "event_id", "event_type", ["a+", "b"]
+    )
+    q = (
+        res.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cepstream")
+        .option("checkpointLocation", str(tmp_path / "ck_cep"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = sorted(
+        (int(r["key"]), r["start_id"], r["start_ts"], r["end_ts"], r["n_rows"])
+        for r in spark.sql("SELECT * FROM cepstream").collect()
+    )
+    q.stop()
+    want = sorted(
+        (r["user_id"], r["start_event_id"], r["start_ts"], r["end_ts"],
+         r["n_rows"])
+        for r in pattern_match_quantified(
+            ev, "user_id", "ts", "event_id", "event_type", ["a+", "b"]
+        ).collect()
+    )
+    assert got == want
+    assert len(got) > 20
