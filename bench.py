@@ -61,6 +61,7 @@ def main() -> None:
 
     streaming = _streaming_ingest_bench(spark)
     per_sf = _per_sf_sweep(spark, names, sf_dir, timings)
+    ab = _prev_round_ab(spark, names, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -73,10 +74,105 @@ def main() -> None:
                 "sf": _sf_from_dir(sf_dir),
                 "streaming": streaming,
                 "per_sf": per_sf,
+                "ab_vs_prev": ab,
             }
         )
     )
     spark.stop()
+
+
+_PKG = "streaming_data_lake_flink_cdc_apache_hudi_spark"
+
+
+def _prev_round_ab(spark, names, sf_dir: str) -> dict:
+    """Same-session A/B against the PREVIOUS round's code: cross-
+    session bench numbers on this host swing ±30% (host contention +
+    JIT state), so round-over-round deltas in the headline table
+    cannot distinguish regression from noise. This measures both
+    revisions inside ONE SparkSession, interleaved (gc, prev, gc,
+    now, x3 — min of each), which cancels the session-level noise;
+    the previous round's query registry is imported from a
+    `git archive` of the last driver round-commit under a swapped
+    module namespace, plans built against the SAME JVM.
+
+    delta_pct > 0 means the current revision is slower. Interleaved
+    min-of-3 still carries a few-percent jitter — adjudicate on
+    |delta| >~ 10%, not single digits. Never raises: any failure
+    (no git, shallow clone, import error) degrades to {"skipped":
+    reason} — the bench contract line must always print."""
+    import importlib
+    import shutil
+    import subprocess
+    import tempfile
+
+    try:
+        rev = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-1", "--format=%H"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=30,
+        ).stdout.strip()
+    except Exception as exc:  # noqa: BLE001
+        return {"skipped": f"git unavailable: {exc}"}
+    if not rev:
+        return {"skipped": "no prior round commit found"}
+    tmp = tempfile.mkdtemp(prefix="bench_prev_")
+    saved = {
+        k: v for k, v in sys.modules.items() if k.split(".")[0] == _PKG
+    }
+    try:
+        ar = subprocess.run(
+            ["git", "archive", rev, _PKG],
+            capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=60,
+        )
+        subprocess.run(
+            ["tar", "-x", "-C", tmp], input=ar.stdout, check=True, timeout=60
+        )
+        for k in saved:
+            del sys.modules[k]
+        sys.path.insert(0, tmp)
+        prev_q = importlib.import_module(f"{_PKG}.plans.queries").QUERIES
+        out: dict[str, dict] = {}
+        for name in names:
+            if name not in prev_q:
+                continue
+            df_prev = prev_q[name].fn(spark, sf_dir)
+            # restore CURRENT modules to build the now-plan (query fns
+            # resolve their module globals at call time)
+            sys.modules.update(saved)
+            df_now = QUERIES[name].fn(spark, sf_dir)
+            for k in saved:
+                del sys.modules[k]
+            best = {"prev": float("inf"), "now": float("inf")}
+            for df, tag in ((df_prev, "prev"), (df_now, "now")):
+                df.write.format("noop").mode("overwrite").save()  # warmup
+            for _ in range(3):
+                for df, tag in ((df_prev, "prev"), (df_now, "now")):
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    best[tag] = min(best[tag], time.perf_counter() - t0)
+            out[name] = {
+                "prev": round(best["prev"], 3),
+                "now": round(best["now"], 3),
+                "delta_pct": round(
+                    (best["now"] - best["prev"]) / best["prev"] * 100, 1
+                ),
+            }
+        return {"prev_rev": rev[:12], "queries": out}
+    except Exception as exc:  # noqa: BLE001
+        return {"skipped": f"{type(exc).__name__}: {exc}"}
+    finally:
+        for k in list(sys.modules):
+            if k.split(".")[0] == _PKG and k not in saved:
+                del sys.modules[k]
+        sys.modules.update(saved)
+        if tmp in sys.path:
+            sys.path.remove(tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _per_sf_sweep(

@@ -123,33 +123,58 @@ def temporal_join(
     Shape (the scalable one): versions and events are UNIONED as
     tagged rows and sorted once per key by (ts, tag) — versions
     before events at equal ts, so a version effective exactly at the
-    event time is visible — then one `last(value, ignorenulls)`
-    running window per value column resolves each event's prevailing
-    version. ONE key-partitioned window sort total, linear in
+    event time is visible — then ONE `last(struct, ignorenulls)`
+    running window resolves each event's prevailing version. All
+    value columns ride in a single struct (with a constant non-null
+    `_matched` marker), so a version whose individual value column is
+    legitimately NULL is still the version that wins — resolving
+    columns independently would let an event mix columns from
+    DIFFERENT versions (each column skipping back to its own last
+    non-null). ONE key-partitioned window sort total, linear in
     |events| + |versions|; no per-event interval probe, no range
     join, no version-count blowup (contrast the interval self-join
     spelling, which pays |events| x versions-per-key).
 
     ``how="left"`` keeps events that predate every version (null
-    values); ``"inner"`` drops them.
+    values); ``"inner"`` drops them — decided by the struct marker,
+    so an all-NULL matched version still counts as matched.
     """
+    from pyspark.sql import types as T
+
     keys = list(key_cols)
-    ev = events.withColumn("_ts", F.col(event_ts)).withColumn(
-        "_tag", F.lit(1)
-    )
     for c in value_cols:
-        if c in ev.columns:
+        if c in events.columns:
             raise ValueError(f"value column {c!r} collides with events")
-        ev = ev.withColumn(c, F.lit(None).cast(versions.schema[c].dataType))
+    vtype = T.StructType(
+        [T.StructField("_matched", T.BooleanType(), True)]
+        + [
+            T.StructField(c, versions.schema[c].dataType, True)
+            for c in value_cols
+        ]
+    )
+    ev = events.select(
+        "*",
+        F.col(event_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(vtype).alias("_v"),
+    )
     vr = versions.select(
         *keys,
         F.col(version_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
-        *value_cols,
+        F.struct(
+            F.lit(True).alias("_matched"),
+            *[F.col(c) for c in value_cols],
+        )
+        .cast(vtype)
+        .alias("_v"),
     )
-    ev_cols = [c for c in ev.columns if c not in vr.columns]
+    ev_only = [c for c in ev.columns if c not in vr.columns]
     vr = vr.select(
-        *[F.lit(None).cast(ev.schema[c].dataType).alias(c) for c in ev_cols],
+        *[
+            F.lit(None).cast(ev.schema[c].dataType).alias(c)
+            for c in ev_only
+        ],
         *vr.columns,
     )
     tagged = ev.select(*vr.columns).unionByName(vr)
@@ -158,18 +183,15 @@ def temporal_join(
         .orderBy("_ts", "_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    resolved = tagged
-    for c in value_cols:
-        resolved = resolved.withColumn(
-            c, F.last(c, ignorenulls=True).over(w)
-        )
-    out = resolved.filter(F.col("_tag") == 1).drop("_ts", "_tag")
+    resolved = tagged.withColumn(
+        "_v", F.last("_v", ignorenulls=True).over(w)
+    )
+    out = resolved.filter(F.col("_tag") == 1)
     if how == "inner":
-        cond = None
-        for c in value_cols:
-            nn = F.col(c).isNotNull()
-            cond = nn if cond is None else (cond | nn)
-        out = out.filter(cond)
+        out = out.filter(F.col("_v._matched"))
     elif how != "left":
         raise ValueError("how must be 'left' or 'inner'")
-    return out
+    return out.select(
+        *[c for c in out.columns if c not in ("_ts", "_tag", "_v")],
+        *[F.col(f"_v.{c}").alias(c) for c in value_cols],
+    )

@@ -98,6 +98,10 @@ class JdbcFeedBridge:
         self._state_dir = feed_dir.rstrip("/") + ".bridge-state"
         os.makedirs(self._state_dir, exist_ok=True)
         self._keys_ptr_path = os.path.join(self._state_dir, "keys_ptr.json")
+        # high-water mark of (ts, seq) already EMITTED to the feed by
+        # poll_once — keys-diff deletes must be stamped after it, not
+        # just after the key snapshot (see poll_deletes)
+        self._wm_path = os.path.join(self._state_dir, "emit_watermark.json")
 
     # -- cursor state (O(1), crash-safe via atomic replace) -----------------
 
@@ -180,9 +184,17 @@ class JdbcFeedBridge:
             n = batch.count()
             if n == 0:
                 return 0
-            hi = batch.agg(
-                F.max(F.col(self.cursor_col).cast("long"))
-            ).collect()[0][0]
+            ts_expr = (
+                F.col(self.ts_col).cast("timestamp")
+                if self.ts_col
+                else F.timestamp_seconds(
+                    F.col(self.cursor_col).cast("long")
+                )
+            )
+            hi, wm_ts = batch.agg(
+                F.max(F.col(self.cursor_col).cast("long")),
+                F.max(ts_expr),
+            ).collect()[0]
             write_feed_events(
                 self.spark,
                 self.feed_dir,
@@ -190,9 +202,34 @@ class JdbcFeedBridge:
                 commit_id=f"jdbc-{after + 1}-{hi}",
             )
             self._save_cursor(hi)
+            self._save_watermark(wm_ts, hi)
             return n
         finally:
             batch.unpersist()
+
+    def _save_watermark(self, wm_ts, wm_seq: int) -> None:
+        """Advance the emitted (ts, seq) high-water mark — monotonic,
+        crash-safe via atomic replace; written AFTER the feed batch
+        lands (replays only re-raise it to the same value)."""
+        prev_ts, prev_seq = self._load_watermark()
+        new_iso = wm_ts.isoformat(sep=" ") if wm_ts is not None else None
+        if new_iso is None or (prev_ts is not None and new_iso <= prev_ts):
+            wm_iso = prev_ts
+        else:
+            wm_iso = new_iso
+        tmp = self._wm_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"ts": wm_iso, "seq": max(int(wm_seq), prev_seq or 0)}, fh
+            )
+        os.replace(tmp, self._wm_path)
+
+    def _load_watermark(self) -> tuple[str | None, int | None]:
+        if not os.path.exists(self._wm_path):
+            return None, None
+        with open(self._wm_path) as fh:
+            wm = json.load(fh)
+        return wm.get("ts"), wm.get("seq")
 
     # -- keys-diff delete capture (table mode) ------------------------------
 
@@ -237,16 +274,24 @@ class JdbcFeedBridge:
 
         The 'D' pre-image carries the key fields (nulls elsewhere) —
         exactly what keyed LWW / tombstone reduction needs. Ordering
-        stays in SOURCE EVENT TIME: the snapshot remembers each key's
-        last-known (ts, seq), and the delete is stamped that ts + 1µs
-        with the same seq — strictly after every committed change of
-        the key, strictly before any later re-insert (whose new ts is
-        later). Wall clock is never used, so a delete can never
-        outrank legitimate future events. The snapshot advances via
-        versioned dirs + an atomic pointer swap, and the delete commit
-        id embeds the new version, so a crash between feed write and
-        pointer swap replays an identical batch that downstream
-        commit-dedup drops.
+        stays in SOURCE EVENT TIME: the delete is stamped 1µs after
+        the LATER of (a) the key's last-known (ts, seq) in the key
+        snapshot and (b) the bridge's emitted high-water mark — the
+        max (ts, seq) poll_once has already written to the feed.
+        (b) closes the update-then-delete anomaly: a row updated
+        AFTER the last key snapshot (update already emitted with a
+        later ts) and then deleted would otherwise get a delete
+        stamped before the update, and downstream LWW would
+        resurrect the row permanently. Stamping past the global
+        emitted watermark is safe for other keys — the delete only
+        competes in ITS key's LWW group. A later re-insert still
+        wins: its source event time postdates everything emitted
+        before this diff (the same source-clock monotonicity the
+        cursor poll already relies on). Wall clock is never used.
+        The snapshot advances via versioned dirs + an atomic pointer
+        swap, and the delete commit id embeds the new version, so a
+        crash between feed write and pointer swap replays an
+        identical batch that downstream commit-dedup drops.
         """
         if not self.key_cols:
             raise ValueError("poll_deletes requires key_cols")
@@ -298,12 +343,19 @@ class JdbcFeedBridge:
                 + ",".join(f"{n}:{t}" for n, t in fields)
                 + ">"
             )
+            wm_ts, wm_seq = self._load_watermark()
+            stamp_ts = F.col("_ts")
+            stamp_seq = F.col("_seq")
+            if wm_ts is not None:
+                stamp_ts = F.greatest(
+                    stamp_ts, F.lit(wm_ts).cast("timestamp")
+                )
+            if wm_seq is not None:
+                stamp_seq = F.greatest(stamp_seq, F.lit(int(wm_seq)))
             events = deleted.select(
                 F.lit("D").alias("op"),
-                (F.col("_ts") + F.expr("INTERVAL 1 MICROSECOND")).alias(
-                    "ts"
-                ),
-                F.col("_seq").alias("seq"),
+                (stamp_ts + F.expr("INTERVAL 1 MICROSECOND")).alias("ts"),
+                stamp_seq.alias("seq"),
                 image.alias("before"),
                 null_image.alias("after"),
             )

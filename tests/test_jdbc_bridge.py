@@ -266,3 +266,61 @@ def test_keys_diff_captures_hard_deletes(spark, tmp_path):
     q.awaitTermination(120)
     snap = {r["id"]: r["holder"] for r in table.snapshot().collect()}
     assert snap == {1: "alice", 2: "bob-back", 3: "carol"}
+
+
+def test_keys_diff_update_then_delete_not_resurrected(spark, tmp_path):
+    """ADVICE r5 (medium): a row UPDATED after the last key snapshot
+    (the update already emitted with a later ts) and then hard-deleted
+    must stay deleted — the 'D' stamp must clear the emitted
+    watermark, not just the stale snapshot ts."""
+    url = "jdbc:derby:memory:bridge_udel;create=true"
+    rows = spark.createDataFrame(
+        [
+            (1, 10, "alice", "2024-01-01 10:00:00"),
+            (2, 11, "bob", "2024-01-01 10:00:01"),
+        ],
+        "id int, ver long, holder string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    _append_jdbc(rows, url, "person_ud")
+    feed = str(tmp_path / "feed")
+    bridge = JdbcFeedBridge(
+        spark, url, "person_ud", cursor_col="ver", feed_dir=feed,
+        driver=DRIVER, ts_col="updated_at", key_cols=["id"],
+    )
+    assert bridge.poll_once() == 2
+    assert bridge.poll_deletes() == 0  # baseline key snapshot
+
+    # update AFTER the snapshot (cursor-visible, much later event time)
+    _exec_sql(
+        spark, url,
+        "UPDATE person_ud SET \"ver\" = 20, \"holder\" = 'bob2', "
+        "\"updated_at\" = TIMESTAMP('2024-01-01 12:00:00') "
+        'WHERE "id" = 2',
+    )
+    assert bridge.poll_once() == 1  # update emitted with ts 12:00
+    # then the hard delete, before any new key snapshot
+    _exec_sql(spark, url, 'DELETE FROM person_ud WHERE "id" = 2')
+    assert bridge.poll_once() == 0
+    assert bridge.poll_deletes() == 1
+
+    row_schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField("holder", T.StringType(), True),
+            T.StructField("updated_at", T.TimestampType(), True),
+        ]
+    )
+    table = UpsertLakeTable(
+        spark, str(tmp_path / "t"), key="id", num_buckets=4
+    )
+    q = stream_upsert(
+        read_feed_stream(spark, feed, row_schema),
+        table,
+        str(tmp_path / "ck"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    # without the emitted-watermark stamp the 12:00 update outranks the
+    # delete (stamped 10:00:01+1us from the stale snapshot) and bob is
+    # permanently resurrected
+    assert {r["id"] for r in table.snapshot().collect()} == {1}
