@@ -300,6 +300,23 @@ class TableRegistry:
             return out
 
         matched = s.join(t, F.expr(on_cond), "inner")
+        has_matched_action = any(not nm for nm, _, _ in clauses)
+        if has_matched_action:
+            # standard MERGE cardinality check (Spark/Delta raise the
+            # same way): two source rows hitting one target row would
+            # make the update/delete outcome order-dependent
+            dup = (
+                matched.groupBy(*[_tcol(k) for k in handle.key])
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE: multiple source rows matched the same "
+                    "target row; aggregate the source first"
+                )
         parts = []
         prior = F.lit(False)
         for is_not_matched, extra, action in clauses:
@@ -325,12 +342,16 @@ class TableRegistry:
                     flag.alias("_merge_delete"),
                 )
             )
+        unmatched_all = s.join(t, F.expr(on_cond), "left_anti")
+        nm_prior = F.lit(False)
         for is_not_matched, extra, action in clauses:
             if not is_not_matched:
                 continue
-            unmatched = s.join(t, F.expr(on_cond), "left_anti")
-            if extra:
-                unmatched = unmatched.filter(F.expr(extra))
+            # same first-match-wins exclusion as the matched path: a
+            # source row satisfying two INSERT clauses inserts once
+            cond = F.expr(extra) if extra else F.lit(True)
+            unmatched = unmatched_all.filter(cond & ~nm_prior)
+            nm_prior = nm_prior | cond
             act = action.strip()
             im = re.match(
                 r"^INSERT\s*(?:\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))$",

@@ -198,10 +198,10 @@ def _encode(schema, value, out: bytearray, named: dict) -> None:
         _write_long(out, value)
         return
     if schema == "float":
-        out.extend(struct.pack("<f", value))
+        out.extend(struct.pack("<f", float(value)))
         return
     if schema == "double":
-        out.extend(struct.pack("<d", value))
+        out.extend(struct.pack("<d", float(value)))
         return
     if schema == "bytes":
         _write_bytes(out, bytes(value))
@@ -233,8 +233,10 @@ def _matches(schema, value, named) -> bool:
         "boolean": isinstance(value, bool),
         "int": isinstance(value, int) and not isinstance(value, bool),
         "long": isinstance(value, int) and not isinstance(value, bool),
-        "float": isinstance(value, float),
-        "double": isinstance(value, float),
+        # Avro permits int values against float/double branches (spec
+        # §schema-resolution promotion) — coerce, don't reject
+        "float": isinstance(value, (float, int)) and not isinstance(value, bool),
+        "double": isinstance(value, (float, int)) and not isinstance(value, bool),
         "bytes": isinstance(value, (bytes, bytearray)),
         "string": isinstance(value, str),
     }.get(schema, False)

@@ -20,11 +20,19 @@ The metadata tree is walked exactly as the spec defines it:
   over exactly the live files, pushdown untouched.
 
 The Avro layer is ``avro_codec`` (stdlib-only, schema-driven off the
-embedded writer schema), so v1 and v2 manifest layouts both decode —
-v2 DELETE FILES (merge-on-read row deletes) are a gated boundary:
-applying them needs positional/equality delete semantics, so a table
-that has any raises ``UnsupportedIcebergFeature`` rather than
-returning resurrected rows.
+embedded writer schema), so v1 and v2 manifest layouts both decode.
+v2 POSITION deletes (merge-on-read row deletes) are applied at read
+time: delete files are parquet of (file_path, pos), the data scan
+exposes Spark's parquet ``_metadata.file_path`` / ``row_index``
+hidden columns, and one distributed anti-join on the normalized
+(file, pos) pair drops the deleted rows — no driver materialization,
+the same shape an Iceberg runtime's MoR scan has. Boundaries that
+still gate with ``UnsupportedIcebergFeature``: EQUALITY deletes
+(need the table's equality-field semantics) and sequence-number
+scoping (position deletes are applied globally within the snapshot —
+exact for the append+delete workflows that produce them, since data
+file names are UUIDs and positions are file-scoped; a rewrite that
+reuses a data-file path would need sequence-aware filtering).
 
 Scale notes: the metadata walk touches only KB-scale Avro files
 driver-side (the same footprint every Iceberg client has — that IS
@@ -98,12 +106,26 @@ def live_data_files(
     path: str, snapshot_id: int | None = None
 ) -> list[str]:
     """Data-file paths reachable from the chosen snapshot (default:
-    current), with DELETED manifest entries dropped and v2 delete
-    files gated."""
+    current), with DELETED manifest entries dropped. Position-delete
+    files are ignored here (``read_iceberg`` applies them); equality
+    deletes gate."""
+    return sorted(_live_files(path, snapshot_id)[0].values())
+
+
+def _live_files(
+    path: str, snapshot_id: int | None = None
+) -> tuple[dict[str, str], list[str]]:
+    """({recorded_data_path: resolved_local_path}, position_delete
+    files) reachable from the chosen snapshot. The recorded form is
+    kept because position-delete rows reference data files by the
+    URI the WRITER recorded, not by our re-rooted local path. v2
+    manifest-list entries carry ``content`` (0 data / 1 deletes);
+    delete-manifest entries carry ``data_file.content`` (1 position /
+    2 equality)."""
     meta = json.load(open(_current_metadata_path(path)))
     snaps = meta.get("snapshots", [])
     if not snaps:
-        return []
+        return {}, []
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
     snap = next(
@@ -113,43 +135,89 @@ def live_data_files(
         raise ValueError(f"snapshot {snapshot_id} not in table metadata")
     mlist_path = _resolve(snap["manifest-list"], path)
     _, manifests = read_avro(mlist_path)
-    out = []
+    data: dict[str, str] = {}
+    deletes: list[str] = []
     for m in manifests:
-        if m.get("content", 0) == 1:
-            raise UnsupportedIcebergFeature(
-                "v2 delete manifests present; row-level deletes need "
-                "an Iceberg runtime to apply"
-            )
         _, entries = read_avro(_resolve(m["manifest_path"], path))
         for e in entries:
             if e.get("status") == 2:  # DELETED
                 continue
             df_rec = e["data_file"]
-            if df_rec.get("content", 0) != 0:
-                raise UnsupportedIcebergFeature(
-                    "delete file entries present; row-level deletes "
-                    "need an Iceberg runtime to apply"
-                )
+            content = df_rec.get("content", 0) or m.get("content", 0)
             fmt = (df_rec.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
                 raise UnsupportedIcebergFeature(
                     f"data file format {fmt} (parquet only)"
                 )
-            out.append(_resolve(df_rec["file_path"], path))
-    return sorted(set(out))
+            if content == 0:
+                data[df_rec["file_path"]] = _resolve(
+                    df_rec["file_path"], path
+                )
+            elif content == 1:
+                deletes.append(_resolve(df_rec["file_path"], path))
+            else:
+                raise UnsupportedIcebergFeature(
+                    "equality delete files present; applying them "
+                    "needs the table's equality-field semantics"
+                )
+    return data, sorted(set(deletes))
 
 
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """Mount an Iceberg table (filesystem catalog layout) as a
-    DataFrame; ``snapshot_id`` time-travels over the snapshot log."""
-    files = live_data_files(path, snapshot_id)
-    if not files:
+    DataFrame; ``snapshot_id`` time-travels over the snapshot log.
+
+    v2 position deletes are applied distributedly: the data scan adds
+    Spark's hidden parquet ``_metadata.file_path`` / ``row_index``
+    columns, the delete side is a pruned parquet scan of the
+    (file_path, pos) delete files joined through a BROADCAST
+    recorded-URI -> local-path mapping (one row per data file —
+    metadata scale), and one anti-join on (file, pos) drops deleted
+    rows. Row positions never pass through the driver."""
+    from pyspark.sql import functions as F
+
+    mapping, delete_files = _live_files(path, snapshot_id)
+    if not mapping:
         raise FileNotFoundError(
             f"Iceberg table at {path} has no live data files"
         )
-    return spark.read.option("basePath", path).parquet(*files)
+    files = sorted(mapping.values())
+    df = spark.read.option("basePath", path).parquet(*files)
+    if not delete_files:
+        return df
+    cols = df.columns
+    data = df.select(
+        "*",
+        # file:///abs/p, file:/abs/p, hdfs://nn/abs/p -> /abs/p,
+        # matching the mapping's local form
+        F.regexp_replace(
+            F.col("_metadata.file_path"),
+            r"^[A-Za-z0-9+.-]+:(//[^/]*)?",
+            "",
+        ).alias("_ice_fp"),
+        F.col("_metadata.row_index").alias("_ice_pos"),
+    )
+    map_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in mapping.items()],
+            "_ice_recorded string, _ice_fp string",
+        )
+    )
+    dels = (
+        spark.read.parquet(*delete_files)
+        .select(
+            F.col("file_path").alias("_ice_recorded"),
+            F.col("pos").alias("_ice_pos"),
+        )
+        .join(map_df, "_ice_recorded")
+        .select("_ice_fp", "_ice_pos")
+        .distinct()
+    )
+    return data.join(
+        dels, ["_ice_fp", "_ice_pos"], "left_anti"
+    ).select(*cols)
 
 
 def snapshots(path: str) -> list[dict]:
@@ -266,7 +334,8 @@ def export_iceberg(
                 "status": 1,  # ADDED
                 "snapshot_id": snapshot_id,
                 "data_file": {
-                    "file_path": full,
+                    # spec: file_path is a full URI, not a bare path
+                    "file_path": "file://" + full,
                     "file_format": "PARQUET",
                     "partition": {},
                     "record_count": n,
@@ -280,9 +349,15 @@ def export_iceberg(
         manifest_path,
         _MANIFEST_ENTRY_SCHEMA,
         entries,
+        # key-value metadata Java manifest readers require (spec
+        # "Manifests": schema, spec, ids, format-version, content)
         metadata={
             "schema": json.dumps(_iceberg_schema(df)).encode(),
+            "schema-id": b"0",
             "partition-spec": b"[]",
+            "partition-spec-id": b"0",
+            "format-version": b"1",
+            "content": b"data",
         },
     )
     mlist_path = os.path.join(md, f"snap-{snapshot_id}.avro")
@@ -291,12 +366,16 @@ def export_iceberg(
         _MANIFEST_LIST_SCHEMA,
         [
             {
-                "manifest_path": manifest_path,
+                "manifest_path": "file://" + manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
                 "partition_spec_id": 0,
                 "added_snapshot_id": snapshot_id,
             }
         ],
+        metadata={
+            "format-version": b"1",
+            "snapshot-id": str(snapshot_id).encode(),
+        },
     )
     meta = {
         "format-version": 1,
@@ -317,7 +396,7 @@ def export_iceberg(
             {
                 "snapshot-id": snapshot_id,
                 "timestamp-ms": now_ms,
-                "manifest-list": mlist_path,
+                "manifest-list": "file://" + mlist_path,
                 "summary": {
                     "operation": "append",
                     "added-data-files": str(len(parts)),

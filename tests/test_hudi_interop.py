@@ -275,3 +275,95 @@ def test_lake_table_export_hudi_round_trip(spark, tmp_path):
         (r["k"], r["v"]) for r in read_hudi(spark, dest).select("k", "v").collect()
     )
     assert got == [(1, "a"), (2, "B")]
+
+
+def test_export_hudi_glue_ddl_conformance(spark, tmp_path):
+    """VERDICT r5 #8 done-condition: EXPORT TABLE ... AS HUDI produces
+    a directory the reference's Athena/Glue table definition
+    (lib/rds-cdc-flink-hudi-stack.ts:458-519) could mount — the Glue
+    DDL's EXACT column surface (five _hoodie_* strings first, then
+    full_name string, id string, ticket_price float,
+    transaction_date_time string), plain-parquet readability at the
+    location root (what ParquetHiveSerDe does), and the timeline
+    layout HoodieParquetInputFormat walks (hoodie.properties +
+    requested/inflight/completed instant triplet with
+    HoodieCommitMetadata JSON)."""
+    import json as _json
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.plans.queries import QUERIES
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    from pyspark.sql import functions as F
+
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    # declared at the Glue DDL's types (the notebook's sink table
+    # declares ticket_price FLOAT; the view's double narrows on insert)
+    view = QUERIES["ticket_view"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).withColumn("ticket_price", F.col("ticket_price").cast("float"))
+    eng.create_upsert_table(
+        "ticket_view", str(tmp_path / "tv"), key=["full_name"]
+    )
+    eng.insert_into("ticket_view", view, commit_id="backfill")
+    dest = str(tmp_path / "tv_hudi")
+    res = eng.sql(f"EXPORT TABLE ticket_view AS HUDI LOCATION '{dest}'")
+    assert res.collect()[0]["data_files"] >= 1
+
+    # 1. column surface == the Glue DDL's storageDescriptor.columns,
+    #    in order (ts:458-519's five meta strings + payload types)
+    raw = spark.read.parquet(dest)
+    glue_columns = [
+        ("_hoodie_commit_time", "string"),
+        ("_hoodie_commit_seqno", "string"),
+        ("_hoodie_record_key", "string"),
+        ("_hoodie_partition_path", "string"),
+        ("_hoodie_file_name", "string"),
+        ("full_name", "string"),
+        ("id", "string"),
+        ("ticket_price", "float"),
+        ("transaction_date_time", "string"),
+    ]
+    assert [(f.name, f.dataType.simpleString()) for f in raw.schema.fields] \
+        == glue_columns
+
+    # 2. plain parquet at the location root (the ParquetHiveSerDe
+    #    view) serves exactly the table rows — no stage leftovers, no
+    #    stray files a Hive mount would double-read
+    want = sorted(map(tuple, view.collect()))
+    got = sorted(
+        map(tuple, raw.select("full_name", "id", "ticket_price",
+                              "transaction_date_time").collect())
+    )
+    assert got == want
+    stray = [
+        f for f in os.listdir(dest)
+        if not f.endswith(".parquet") and f != ".hoodie"
+    ]
+    assert stray == []
+
+    # 3. timeline layout: hoodie.properties keys + instant triplet +
+    #    commit metadata accounting for every base file
+    hoodie = os.path.join(dest, ".hoodie")
+    props = dict(
+        line.split("=", 1)
+        for line in open(os.path.join(hoodie, "hoodie.properties"))
+        .read().strip().splitlines()
+    )
+    assert props["hoodie.table.type"] == "COPY_ON_WRITE"
+    assert props["hoodie.table.recordkey.fields"] == "full_name"
+    assert props["hoodie.table.name"]
+    instants = [
+        f[: -len(".commit")] for f in os.listdir(hoodie)
+        if f.endswith(".commit")
+    ]
+    assert len(instants) == 1
+    inst = instants[0]
+    assert f"{inst}.commit.requested" in os.listdir(hoodie)
+    assert f"{inst}.inflight" in os.listdir(hoodie)
+    meta = _json.load(open(os.path.join(hoodie, f"{inst}.commit")))
+    stats = meta["partitionToWriteStats"][""]
+    base_files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert {s["path"] for s in stats} == set(base_files)
+    assert all(
+        f.split("_")[-1] == f"{inst}.parquet" for f in base_files
+    ), "base-file instant suffix must match the commit instant"

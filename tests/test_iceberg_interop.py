@@ -169,35 +169,40 @@ def test_hand_built_two_snapshots_time_travel_and_deletes(spark, tmp_path):
     assert old == [(1, "one"), (2, "two")]
 
 
-def test_v2_delete_manifests_are_gated(spark, tmp_path):
-    """A manifest list advertising delete content (v2 row-level
-    deletes) must raise, never resurrect rows."""
-    path = str(tmp_path / "gated_iceberg")
-    sch = "id LONG, v STRING"
-    fa = os.path.join(path, "data", "a.parquet")
-    _stage_parquet(spark, [(1, "one")], sch, fa)
-    m1 = _manifest(path, "m1.avro", [_entry(fa)])
-    # hand-write a manifest list with a content=1 (deletes) entry
-    mlist_schema = {
-        "type": "record",
-        "name": "manifest_file",
-        "fields": _MANIFEST_LIST_SCHEMA["fields"]
-        + [{"name": "content", "type": "int", "field-id": 517}],
-    }
-    lp = os.path.join(path, "metadata", "snap-1.avro")
-    write_avro(
-        lp,
-        mlist_schema,
-        [
-            {
-                "manifest_path": m1,
-                "manifest_length": os.path.getsize(m1),
-                "partition_spec_id": 0,
-                "added_snapshot_id": 1,
-                "content": 1,
-            }
-        ],
-    )
+def _entry_v2(fp, content, status=1, snap=2):
+    """Manifest entry whose data_file carries the v2 ``content`` field
+    (0 data / 1 position deletes / 2 equality deletes)."""
+    e = _entry(fp, status=status, snap=snap)
+    e["data_file"]["content"] = content
+    return e
+
+
+_V2_DF_FIELDS = [
+    {"name": "content", "type": "int", "field-id": 134}
+] + _MANIFEST_ENTRY_SCHEMA["fields"][2]["type"]["fields"]
+
+_MANIFEST_ENTRY_V2_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        _MANIFEST_ENTRY_SCHEMA["fields"][0],
+        _MANIFEST_ENTRY_SCHEMA["fields"][1],
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {"type": "record", "name": "r2", "fields": _V2_DF_FIELDS},
+        },
+    ],
+}
+
+
+def _manifest_v2(path, name, entries):
+    p = os.path.join(path, "metadata", name)
+    write_avro(p, _MANIFEST_ENTRY_V2_SCHEMA, entries)
+    return p
+
+
+def _v2_meta(path, snapshots_list, current):
     meta = {
         "format-version": 2,
         "table-uuid": "u",
@@ -209,14 +214,75 @@ def test_v2_delete_manifests_are_gated(spark, tmp_path):
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "default-spec-id": 0,
         "properties": {},
-        "current-snapshot-id": 1,
-        "snapshots": [
-            {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": lp}
-        ],
+        "current-snapshot-id": current,
+        "snapshots": snapshots_list,
     }
     os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
     with open(os.path.join(path, "metadata", "v1.metadata.json"), "w") as fh:
         json.dump(meta, fh)
+
+
+def test_v2_position_deletes_applied_with_time_travel(spark, tmp_path):
+    """VERDICT r5 #6: v2 position-delete files are APPLIED at read
+    time (anti-join on (file, pos) via the hidden parquet _metadata
+    columns); time travel to the pre-delete snapshot still serves
+    every row."""
+    path = str(tmp_path / "v2_iceberg")
+    sch = "id LONG, v STRING"
+    fa = os.path.join(path, "data", "a.parquet")
+    fb = os.path.join(path, "data", "b.parquet")
+    _stage_parquet(
+        spark,
+        [(1, "one"), (2, "two"), (3, "three"), (4, "four"), (5, "five")],
+        sch, fa,
+    )
+    _stage_parquet(spark, [(6, "six"), (7, "seven")], sch, fb)
+    # position-delete file: rows 1 and 3 of a.parquet (ids 2 and 4),
+    # referencing the data file by its RECORDED path
+    fd = os.path.join(path, "data", "del-1.parquet")
+    _stage_parquet(
+        spark, [(fa, 1), (fa, 3)], "file_path STRING, pos LONG", fd
+    )
+    m1 = _manifest(path, "m1.avro", [_entry(fa), _entry(fb)])
+    md = _manifest_v2(path, "m2-del.avro", [_entry_v2(fd, content=1)])
+    l1 = _mlist(path, "snap-1.avro", [m1], 1)
+    l2 = _mlist(path, "snap-2.avro", [m1, md], 2)
+    _v2_meta(
+        path,
+        [
+            {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": l1},
+            {"snapshot-id": 2, "timestamp-ms": 2, "manifest-list": l2},
+        ],
+        current=2,
+    )
+    cur = sorted(map(tuple, read_iceberg(spark, path).collect()))
+    assert cur == [(1, "one"), (3, "three"), (5, "five"),
+                   (6, "six"), (7, "seven")]
+    old = sorted(
+        map(tuple, read_iceberg(spark, path, snapshot_id=1).collect())
+    )
+    assert old == [(1, "one"), (2, "two"), (3, "three"), (4, "four"),
+                   (5, "five"), (6, "six"), (7, "seven")]
+
+
+def test_v2_equality_deletes_are_gated(spark, tmp_path):
+    """Equality-delete files (content=2) still gate: applying them
+    needs the table's equality-field semantics, and serving
+    resurrected rows would be wrong."""
+    path = str(tmp_path / "v2_eq_iceberg")
+    sch = "id LONG, v STRING"
+    fa = os.path.join(path, "data", "a.parquet")
+    _stage_parquet(spark, [(1, "one")], sch, fa)
+    fd = os.path.join(path, "data", "eqdel.parquet")
+    _stage_parquet(spark, [(1,)], "id LONG", fd)
+    m1 = _manifest(path, "m1.avro", [_entry(fa)])
+    md = _manifest_v2(path, "m2-del.avro", [_entry_v2(fd, content=2)])
+    l1 = _mlist(path, "snap-1.avro", [m1, md], 1)
+    _v2_meta(
+        path,
+        [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": l1}],
+        current=1,
+    )
     with pytest.raises(UnsupportedIcebergFeature):
         read_iceberg(spark, path)
 
@@ -293,3 +359,32 @@ def test_relative_paths_in_metadata_resolve_against_table(spark, tmp_path):
         json.dump(meta, fh)
     got = sorted(map(tuple, read_iceberg(spark, path).collect()))
     assert got == [(1, "one")]
+
+
+def test_avro_union_accepts_int_for_float_double_branch(tmp_path):
+    """ADVICE r5: Avro permits whole-number values against
+    float/double (union) branches — coerce, don't raise."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.avro_codec import (
+        read_avro,
+        write_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [
+            {"name": "x", "type": ["null", "double"]},
+            {"name": "y", "type": "float"},
+            {"name": "z", "type": ["null", "long"]},
+        ],
+    }
+    p = str(tmp_path / "u.avro")
+    recs = [{"x": 3, "y": 2, "z": 4}, {"x": None, "y": 7.5, "z": None}]
+    write_avro(p, schema, recs)
+    _, back = read_avro(p)
+    # ints against float/double encode as floats; the long branch
+    # still wins for z (first matching branch)
+    assert back == [
+        {"x": 3.0, "y": 2.0, "z": 4},
+        {"x": None, "y": 7.5, "z": None},
+    ]

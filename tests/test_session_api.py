@@ -751,3 +751,52 @@ def test_show_engine_tables_ddl(spark, tmp_path):
         for r in eng.sql("SHOW ENGINE TABLES").collect()
     }
     assert got == {"st1": ("upsert", "id"), "st2": ("upsert", "id")}
+
+
+def test_sql_merge_multi_insert_clauses_first_match_wins(spark, tmp_path):
+    """ADVICE r5: a source row satisfying TWO NOT MATCHED clauses must
+    insert once (first clause wins), and two source rows matching one
+    target row must raise (standard MERGE cardinality error), not be
+    silently LWW-resolved."""
+    import pytest as _pytest
+
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    eng.sql(
+        f"""
+        CREATE TABLE m2 (
+          id BIGINT, tag STRING, v DOUBLE,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector' = 'hudi', 'path' = '{tmp_path / "m2"}',
+                'num_buckets' = '2')
+        """
+    )
+    eng.sql("INSERT INTO m2 VALUES (1, 'seed', 1.0)")
+    spark.createDataFrame(
+        [(2, 5.0), (3, -5.0)], "id long, v double"
+    ).createOrReplaceTempView("m2_src")
+    eng.sql(
+        """
+        MERGE INTO m2 AS t USING m2_src AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED AND s.v > 0
+          THEN INSERT (id, tag, v) VALUES (s.id, 'pos', s.v)
+        WHEN NOT MATCHED
+          THEN INSERT (id, tag, v) VALUES (s.id, 'other', s.v)
+        """
+    )
+    got = {r["id"]: (r["tag"], r["v"])
+           for r in eng.registry.upsert_handle("m2").snapshot().collect()}
+    # id=2 matches BOTH insert clauses -> exactly one row, first clause
+    assert got == {1: ("seed", 1.0), 2: ("pos", 5.0), 3: ("other", -5.0)}
+
+    spark.createDataFrame(
+        [(1, 9.0), (1, 8.0)], "id long, v double"
+    ).createOrReplaceTempView("m2_dup")
+    with _pytest.raises(ValueError, match="multiple source rows"):
+        eng.sql(
+            """
+            MERGE INTO m2 AS t USING m2_dup AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET v = s.v
+            """
+        )
