@@ -665,6 +665,92 @@ class TableRegistry:
             "table STRING, commit_seq BIGINT, zorder_by STRING",
         )
 
+    def _execute_delete_from(self, statement: str) -> DataFrame | None:
+        """`DELETE FROM <upsert-table> [WHERE <cond>]` — the Delta/
+        Hudi Spark-SQL row-deletion spelling. Compiles to ONE commit
+        of delete-flagged rows through ``UpsertLakeTable.write``
+        (``delete_col``), so crash atomicity, the writer lease, and
+        CDC-changes visibility apply exactly as for any other write.
+        Only matching rows are rewritten as tombstones — never a
+        table rewrite. Returns None when the target is not a
+        registered upsert table."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        m = _re.match(
+            r"^\s*DELETE\s+FROM\s+`?(\w+)`?(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+            statement.strip(),
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if not m:
+            return None
+        name, cond = m.group(1), m.group(2)
+        if name not in self._tables or self._tables[name].kind != "upsert":
+            return None
+        h = self.upsert_handle(name)
+        snap = h.snapshot()
+        doomed = snap.filter(F.expr(cond)) if cond else snap
+        delta = doomed.withColumn("_dml_delete", F.lit(True))
+        n = delta.count()
+        if n:
+            h.write(delta, delete_col="_dml_delete")
+            self.resolve(name)
+        return self.spark.createDataFrame(
+            [(name, n)], "table STRING, deleted_rows BIGINT"
+        )
+
+    def _execute_update(self, statement: str) -> DataFrame | None:
+        """`UPDATE <upsert-table> SET c = expr[, ...] [WHERE <cond>]`
+        — the Delta/Hudi Spark-SQL row-update spelling. One keyed
+        upsert commit carrying ONLY the matching rows with the
+        assignments applied; expressions evaluate in the row's scope
+        (``SET qty = qty + 1`` works). Returns None when the target
+        is not a registered upsert table."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        m = _re.match(
+            r"^\s*UPDATE\s+`?(\w+)`?\s+SET\s+(.+?)"
+            r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+            statement.strip(),
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if not m:
+            return None
+        name, set_text, cond = m.group(1), m.group(2), m.group(3)
+        if name not in self._tables or self._tables[name].kind != "upsert":
+            return None
+        h = self.upsert_handle(name)
+        snap = h.snapshot()
+        assigns = {}
+        for part in _split_assignments(set_text):
+            lhs, rhs = part.split("=", 1)
+            lhs = lhs.strip().strip("`")
+            if lhs not in snap.columns:
+                raise ValueError(f"UPDATE SET: unknown column {lhs!r}")
+            if lhs in h.key:
+                raise ValueError(
+                    f"UPDATE SET: {lhs!r} is a record-key column; "
+                    "key changes are a delete + insert, use MERGE"
+                )
+            assigns[lhs] = F.expr(rhs.strip())
+        touched = snap.filter(F.expr(cond)) if cond else snap
+        delta = touched.select(
+            *[
+                assigns.get(c, F.col(c)).cast(snap.schema[c].dataType).alias(c)
+                for c in snap.columns
+            ]
+        )
+        n = delta.count()
+        if n:
+            h.write(delta)
+            self.resolve(name)
+        return self.spark.createDataFrame(
+            [(name, n)], "table STRING, updated_rows BIGINT"
+        )
+
     def execute_ddl(self, statement: str) -> DataFrame | None:
         """Route a CREATE/DROP TABLE connector-DDL string — or an
         INSERT INTO / MERGE INTO an upsert table — into the registry
@@ -721,6 +807,12 @@ class TableRegistry:
         mrg = self._execute_merge(statement)
         if mrg is not None:
             return mrg
+        dml = self._execute_delete_from(statement)
+        if dml is not None:
+            return dml
+        dml = self._execute_update(statement)
+        if dml is not None:
+            return dml
         ctas = self._execute_ctas(statement)
         if ctas is not None:
             return ctas

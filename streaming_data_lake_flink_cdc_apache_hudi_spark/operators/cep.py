@@ -212,17 +212,22 @@ def pattern_match_quantified(
         int(within_seconds) * 1_000_000 if within_seconds is not None else None
     )
     dtypes = dict(df.dtypes)
-    out_cols = [
-        key_col,
-        "start_" + order_tiebreak,
-        "start_ts",
-        "end_ts",
-        "n_rows",
-    ]
+    # a start_<tiebreak> column only when the tiebreak is a real extra
+    # column (ORDER BY ts alone would duplicate start_ts)
+    has_tb = order_tiebreak != time_col
+    out_cols = (
+        [key_col]
+        + (["start_" + order_tiebreak] if has_tb else [])
+        + ["start_ts", "end_ts", "n_rows"]
+    )
     schema = (
         f"`{key_col}` {dtypes[key_col]}, "
-        f"`start_{order_tiebreak}` {dtypes[order_tiebreak]}, "
-        "start_ts string, end_ts string, n_rows long"
+        + (
+            f"`start_{order_tiebreak}` {dtypes[order_tiebreak]}, "
+            if has_tb
+            else ""
+        )
+        + "start_ts string, end_ts string, n_rows long"
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -235,21 +240,15 @@ def pattern_match_quantified(
         )
         fmt = pdf[time_col].dt.strftime("%Y-%m-%d %H:%M:%S")
         rows = [
-            (
-                pdf[key_col].iat[0],
-                pdf[order_tiebreak].iat[s],
-                fmt.iat[s],
-                fmt.iat[e],
-                e - s + 1,
-            )
+            (pdf[key_col].iat[0],)
+            + ((pdf[order_tiebreak].iat[s],) if has_tb else ())
+            + (fmt.iat[s], fmt.iat[e], e - s + 1)
             for s, e in scan_matches(
                 types, times_us, toks, within_us, skip_past
             )
         ]
         return pd.DataFrame(rows, columns=out_cols)
 
-    return (
-        df.select(key_col, time_col, order_tiebreak, type_col)
-        .groupBy(key_col)
-        .applyInPandas(fn, schema)
-    )
+    # dedupe: ORDER BY may name the time column as its own tiebreak
+    sel = list(dict.fromkeys([key_col, time_col, order_tiebreak, type_col]))
+    return df.select(*sel).groupBy(key_col).applyInPandas(fn, schema)

@@ -194,22 +194,42 @@ def _mask_agg(spark: SparkSession, dir_path: str, column: str) -> DataFrame:
     )
 
 
+# above this many files the json sidecar (one driver-side mask row
+# per file) flips to the distributed parquet sidecar automatically —
+# ~10k masks is still comfortably driver-metadata, beyond it isn't
+AUTO_PARQUET_FILE_THRESHOLD = 10_000
+
+
 def build_bloom_index(
     spark: SparkSession,
     dir_path: str,
     column: str,
-    sidecar_format: str = "json",
+    sidecar_format: str = "auto",
 ) -> dict[str, list[int]] | int:
     """Scan the parquet files under ``dir_path`` once and write the
     per-file bloom sidecar for ``column``.
 
-    ``sidecar_format="json"`` (default, metadata-scale tables): the
-    masks pass through the driver into one json sidecar; returns
-    {file: masks}. ``"parquet"`` (millions of files): the aggregated
-    mask table is written DISTRIBUTED — no mask ever reaches the
-    driver — and lookups resolve candidates with a Spark filter that
-    collects only the matching paths; returns the file count."""
+    ``sidecar_format="json"`` (metadata-scale tables): the masks pass
+    through the driver into one json sidecar; returns {file: masks}.
+    ``"parquet"`` (millions of files): the aggregated mask table is
+    written DISTRIBUTED — no mask ever reaches the driver — and
+    lookups resolve candidates with a Spark filter that collects only
+    the matching paths; returns the file count. ``"auto"`` (default)
+    picks json below AUTO_PARQUET_FILE_THRESHOLD files and parquet at
+    or above it, so the driver-collect path can never be selected by
+    default on a millions-of-files table."""
     agg = _mask_agg(spark, dir_path, column)
+    if sidecar_format == "auto":
+        # recursive walk, matching _mask_agg's recursiveFileLookup
+        n_files = sum(
+            1
+            for _, _, fs in os.walk(dir_path)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        sidecar_format = (
+            "parquet" if n_files >= AUTO_PARQUET_FILE_THRESHOLD else "json"
+        )
     if sidecar_format == "parquet":
         agg.write.mode("overwrite").parquet(
             index_parquet_path(dir_path, column)

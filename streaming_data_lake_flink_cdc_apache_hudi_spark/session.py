@@ -105,8 +105,143 @@ class EngineSession:
         handled = self.registry.execute_ddl(statement)
         if handled is not None:
             return handled
+        mr = self._execute_match_recognize(statement)
+        if mr is not None:
+            return mr
         statement = self._rewrite_window_tvf(statement)
         return self.spark.sql(self._rewrite_time_travel(statement))
+
+    def _execute_match_recognize(self, statement: str) -> DataFrame | None:
+        """Flink SQL's MATCH_RECOGNIZE spelling, routed to the greedy
+        CEP matcher (``operators/cep.py``) — restricted to its
+        relational core:
+
+          SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY k  ORDER BY ts [, tiebreak]
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+            PATTERN (A B+ C?)  [WITHIN INTERVAL 'n' MINUTES]
+            DEFINE A AS [A.]type_col = 'lit', B AS ... )
+
+        Every pattern variable must be DEFINEd as one equality of the
+        SAME column against a string literal (the funnel/escalation
+        shape), and the projection is the operator's canonical output
+        (key, start_<tiebreak>, start_ts, end_ts, n_rows) — MEASURES
+        clauses raise with guidance rather than being ignored.
+        Returns None when the statement has no MATCH_RECOGNIZE."""
+        import re
+
+        if not re.search(r"\bMATCH_RECOGNIZE\b", statement, re.IGNORECASE):
+            return None
+        m = re.match(
+            r"^\s*SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?\s+MATCH_RECOGNIZE\s*"
+            r"\(\s*(.*)\)\s*;?\s*$",
+            statement.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "MATCH_RECOGNIZE: only `SELECT * FROM <table> "
+                "MATCH_RECOGNIZE (...)` is supported"
+            )
+        if m.group(1).strip() != "*":
+            raise ValueError(
+                "MATCH_RECOGNIZE: use SELECT * — output columns are "
+                "(key, start_<tiebreak>, start_ts, end_ts, n_rows); "
+                "MEASURES projections are not supported"
+            )
+        tbl, body = m.group(2), m.group(3)
+        if re.search(r"\bMEASURES\b", body, re.IGNORECASE):
+            raise ValueError(
+                "MATCH_RECOGNIZE MEASURES is not supported; the "
+                "operator emits (key, start_<tiebreak>, start_ts, "
+                "end_ts, n_rows) per match"
+            )
+
+        def grab(pattern, required=True, flags=0):
+            g = re.search(pattern, body, re.IGNORECASE | flags)
+            if g is None and required:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: missing clause {pattern!r}"
+                )
+            return g
+
+        part = grab(r"PARTITION\s+BY\s+`?(\w+)`?").group(1)
+        order = grab(
+            r"ORDER\s+BY\s+`?(\w+)`?(?:\s*,\s*`?(\w+)`?)?"
+        )
+        ts_col, tiebreak = order.group(1), order.group(2) or order.group(1)
+        if grab(r"(ONE)\s+ROW\s+PER\s+MATCH", required=False) is None:
+            raise ValueError(
+                "MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported"
+            )
+        skip = grab(
+            r"AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)",
+            required=False,
+        )
+        after = (
+            "next_row"
+            if skip and skip.group(1).upper().startswith("TO")
+            else "past_last_row"
+        )
+        pat = grab(r"PATTERN\s*\(\s*([^)]*)\)").group(1)
+        within = grab(
+            r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", required=False
+        )
+        within_seconds = None
+        if within:
+            unit = within.group(2).lower().rstrip("s")
+            mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+            if unit not in mult:
+                raise ValueError(f"WITHIN: unsupported unit {within.group(2)!r}")
+            within_seconds = int(within.group(1)) * mult[unit]
+        define = grab(r"DEFINE\s+(.*)$", flags=re.DOTALL).group(1)
+        type_col = None
+        var_types: dict[str, str] = {}
+        for clause in re.split(
+            r",\s*(?=\w+\s+AS\s)", define, flags=re.IGNORECASE
+        ):
+            dm = re.match(
+                r"^\s*(\w+)\s+AS\s+(?:\w+\.)?`?(\w+)`?\s*=\s*'([^']*)'\s*$",
+                clause.strip(),
+            )
+            if not dm:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE DEFINE: {clause.strip()!r} — only "
+                    "`VAR AS [VAR.]col = 'literal'` conditions are "
+                    "supported"
+                )
+            var, col, lit = dm.groups()
+            if type_col is None:
+                type_col = col
+            elif col != type_col:
+                raise ValueError(
+                    "MATCH_RECOGNIZE DEFINE: all variables must test "
+                    f"the same column ({type_col!r} vs {col!r})"
+                )
+            var_types[var.upper()] = lit
+        pattern = []
+        for tok in pat.split():
+            quant = tok[-1] if tok[-1] in "+*?" else ""
+            var = tok.rstrip("+*?").upper()
+            if var not in var_types:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: pattern variable {var} has no "
+                    "DEFINE clause (wildcard variables unsupported)"
+                )
+            pattern.append(var_types[var] + quant)
+        from .operators.cep import pattern_match_quantified
+
+        return pattern_match_quantified(
+            self.spark.table(tbl),
+            key_col=part,
+            time_col=ts_col,
+            order_tiebreak=tiebreak,
+            type_col=type_col,
+            pattern=pattern,
+            within_seconds=within_seconds,
+            after_match=after,
+        )
 
     def _rewrite_window_tvf(self, statement: str) -> str:
         return rewrite_window_tvf(statement)

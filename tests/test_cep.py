@@ -292,3 +292,87 @@ def test_quantified_within_bounds_greedy_expansion(spark):
         for r in _qmatch(df, ["a+", "b"], within=60).collect()
     )
     assert got == [(1, 3)]
+
+
+def test_match_recognize_sql_spelling(spark, tmp_path):
+    """The Flink SQL MATCH_RECOGNIZE spelling routes to the greedy
+    matcher: result identical to calling pattern_match_quantified,
+    WITHIN and AFTER MATCH honored; restricted-surface violations
+    raise with guidance."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import (
+        EngineSession,
+    )
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "t.json")
+    )
+    eng.register_testdata("/root/testdata/sf0.001")
+    got = sorted(
+        map(
+            tuple,
+            eng.sql(
+                """
+                SELECT * FROM events MATCH_RECOGNIZE (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ONE ROW PER MATCH
+                  AFTER MATCH SKIP PAST LAST ROW
+                  PATTERN (A+ B)
+                  WITHIN INTERVAL '1' DAYS
+                  DEFINE A AS A.event_type = 'click',
+                         B AS event_type = 'purchase'
+                )
+                """
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            pattern_match_quantified(
+                spark.table("events"),
+                "user_id", "ts", "event_id", "event_type",
+                ["click+", "purchase"],
+                within_seconds=86400,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # ORDER BY a single column: no start_<tiebreak> duplicate column
+    one = eng.sql(
+        """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          ONE ROW PER MATCH
+          PATTERN (A B)
+          DEFINE A AS event_type = 'view', B AS event_type = 'click'
+        )
+        """
+    )
+    assert one.columns == ["user_id", "start_ts", "end_ts", "n_rows"]
+    assert one.count() > 0
+
+    with _pytest.raises(ValueError, match="MEASURES"):
+        eng.sql(
+            """
+            SELECT * FROM events MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES A.ts AS a_ts
+              ONE ROW PER MATCH
+              PATTERN (A) DEFINE A AS event_type = 'view'
+            )
+            """
+        )
+    with _pytest.raises(ValueError, match="no.*DEFINE|DEFINE"):
+        eng.sql(
+            """
+            SELECT * FROM events MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              ONE ROW PER MATCH
+              PATTERN (A X+) DEFINE A AS event_type = 'view'
+            )
+            """
+        )

@@ -800,3 +800,57 @@ def test_sql_merge_multi_insert_clauses_first_match_wins(spark, tmp_path):
             WHEN MATCHED THEN UPDATE SET v = s.v
             """
         )
+
+
+def test_sql_delete_from_and_update_dml(spark, tmp_path):
+    """DELETE FROM ... WHERE and UPDATE ... SET ... WHERE — the
+    Delta/Hudi Spark-SQL DML spellings — each compile to ONE lake
+    commit (tombstones / keyed upsert), visible to CDC-changes reads
+    like any other write."""
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    eng.sql(
+        f"""
+        CREATE TABLE dml (
+          id BIGINT, grp STRING, qty INT,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector' = 'hudi', 'path' = '{tmp_path / "dml"}',
+                'num_buckets' = '2')
+        """
+    )
+    eng.sql(
+        "INSERT INTO dml VALUES (1, 'a', 10), (2, 'a', 20), "
+        "(3, 'b', 30), (4, 'b', 40)"
+    )
+    h = eng.registry.upsert_handle("dml")
+    before = h.last_commit_seq()
+
+    res = eng.sql("UPDATE dml SET qty = qty + 5 WHERE grp = 'a'")
+    assert res.collect()[0]["updated_rows"] == 2
+    assert h.last_commit_seq() == before + 1  # one commit
+    got = {r["id"]: r["qty"] for r in eng.sql("SELECT * FROM dml").collect()}
+    assert got == {1: 15, 2: 25, 3: 30, 4: 40}
+
+    res = eng.sql("DELETE FROM dml WHERE qty > 28")
+    assert res.collect()[0]["deleted_rows"] == 2
+    assert h.last_commit_seq() == before + 2
+    got = {r["id"]: r["qty"] for r in eng.sql("SELECT * FROM dml").collect()}
+    assert got == {1: 15, 2: 25}
+
+    # the delete surfaces in the CDC-changes read like any write
+    ch = h.changes(since_seq=before + 1)
+    assert {(r["id"], r["_change_type"]) for r in ch.collect()} == {
+        (3, "delete"), (4, "delete"),
+    }
+
+    # key columns are immutable through UPDATE (that's a MERGE job)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="record-key"):
+        eng.sql("UPDATE dml SET id = id + 1")
+
+    # no-match DML: zero rows, NO empty commit
+    seq = h.last_commit_seq()
+    assert eng.sql("DELETE FROM dml WHERE qty > 999").collect()[0][
+        "deleted_rows"
+    ] == 0
+    assert h.last_commit_seq() == seq

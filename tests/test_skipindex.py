@@ -292,3 +292,25 @@ def test_distributed_parquet_sidecar_collects_only_matches(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     # the sidecar dir is _-prefixed: data reads must not pick it up
     assert spark.read.parquet(path).columns == ["id", "who"]
+
+
+def test_build_bloom_auto_mode_picks_by_file_count(spark, tmp_path, monkeypatch):
+    """The default 'auto' sidecar format selects json at metadata
+    scale and the distributed parquet sidecar past the file-count
+    threshold (the driver-collect path can't be silently chosen on a
+    millions-of-files table)."""
+    import streaming_data_lake_flink_cdc_apache_hudi_spark.operators.skipindex as SI
+
+    d = str(tmp_path / "auto_tbl")
+    spark.createDataFrame(
+        [(i, f"k{i}") for i in range(100)], "id long, k string"
+    ).repartition(4).write.parquet(d)
+    # small table -> json sidecar (a dict) + json file on disk
+    out = SI.build_bloom_index(spark, d, "k")
+    assert isinstance(out, dict) and os.path.exists(SI.index_path(d, "k"))
+    # force the threshold under the file count -> parquet sidecar
+    monkeypatch.setattr(SI, "AUTO_PARQUET_FILE_THRESHOLD", 2)
+    out = SI.build_bloom_index(spark, d, "k")
+    assert isinstance(out, int) and out >= 4
+    files, total = SI.candidate_files_distributed(spark, d, "k", "k7")
+    assert total >= 4 and len(files) >= 1
