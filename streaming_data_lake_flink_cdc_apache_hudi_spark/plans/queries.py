@@ -817,6 +817,48 @@ def q_session_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cumulate_window_tvf",
+    """
+WITH base AS (
+  SELECT ts, value, time_bucket(INTERVAL 10 MINUTE, ts) AS ws FROM events
+), ks AS (SELECT unnest(generate_series(1, 5)) AS k)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + to_seconds(k * 120), '%Y-%m-%d %H:%M:%S')
+           AS window_end,
+       count(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM base CROSS JOIN ks
+WHERE ts < ws + to_seconds(k * 120)
+GROUP BY 1, 2
+""",
+    doc="Flink CUMULATE window TVF — TABLE(CUMULATE(TABLE t, "
+    "DESCRIPTOR(ts), INTERVAL '2' MINUTES, INTERVAL '10' MINUTES)) — "
+    "run verbatim through the engine's SQL rewrite: expanding "
+    "windows emitting early results every step and the full total at "
+    "window close. Rewrites to a tumbling size-window + map-side "
+    "explode over the step index (Generate before the aggregation "
+    "shuffle, HOP's in-map Expand pattern); completes the Flink "
+    "windowing-TVF quartet TUMBLE/HOP/SESSION/CUMULATE.",
+)
+def q_cumulate_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import rewrite_window_tvf  # lazy: session imports us
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_ctvf"
+    )
+    sql = rewrite_window_tvf(
+        "SELECT date_format(window_start, 'yyyy-MM-dd HH:mm:ss') "
+        "  AS window_start, "
+        "date_format(window_end, 'yyyy-MM-dd HH:mm:ss') AS window_end, "
+        "COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value "
+        "FROM TABLE(CUMULATE(TABLE events_ctvf, DESCRIPTOR(ts), "
+        "INTERVAL '2' MINUTES, INTERVAL '10' MINUTES)) "
+        "GROUP BY window_start, window_end"
+    )
+    return spark.sql(sql)
+
+
+@register(
     "semi_anti_join",
     """
 SELECT 'with_orders' AS grp, count(*) AS n

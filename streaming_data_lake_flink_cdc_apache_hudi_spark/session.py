@@ -315,6 +315,16 @@ def rewrite_window_tvf(statement: str) -> str:
                 INTERVAL '10' MINUTES))            -- slide, size
       TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts),
                     INTERVAL '5' MINUTES))         -- gap
+      TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), INTERVAL '2' MINUTES,
+                     INTERVAL '10' MINUTES))       -- step, size
+
+    CUMULATE becomes tumbling size-windows exploded over the step
+    index: an event at offset o in its size-window lands in every
+    cumulative window [ws, ws + k*step) with k*step > o — exactly
+    Flink's expanding-window fan-out (early results every step, one
+    full-size total at window close). The explode happens map-side
+    (Generate node) before any aggregation shuffle, mirroring HOP's
+    in-map Expand.
 
     TUMBLE/HOP become derived tables over Spark's ``window()``
     function exposing Flink's ``window_start`` / ``window_end``
@@ -340,7 +350,7 @@ def rewrite_window_tvf(statement: str) -> str:
     if _TVF_RE is None:
         iv = r"INTERVAL\s+'([^']+)'\s+(\w+)"
         _TVF_RE = re.compile(
-            r"TABLE\s*\(\s*(TUMBLE|HOP|SESSION)\s*\(\s*(?:TABLE\s+)?"
+            r"TABLE\s*\(\s*(TUMBLE|HOP|SESSION|CUMULATE)\s*\(\s*(?:TABLE\s+)?"
             r"`?(\w+)`?"
             r"(?:\s+PARTITION\s+BY\s+((?:`?\w+`?\s*,\s*)*`?\w+`?))?"
             r"\s*,\s*DESCRIPTOR\s*\(\s*`?(\w+)`?\s*\)\s*,\s*"
@@ -356,6 +366,12 @@ def rewrite_window_tvf(statement: str) -> str:
         if u not in {"second", "minute", "hour", "day"}:
             raise ValueError(f"unsupported window interval unit {unit!r}")
         return f"{amount} {u}s"
+
+    _SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+    def secs(canonical: str) -> int:
+        amount, unit = canonical.split()
+        return int(amount) * _SECS[unit.rstrip("s")]
 
     def sub(m: re.Match) -> str:
         kind, tbl, part, ts = (
@@ -396,6 +412,25 @@ def rewrite_window_tvf(statement: str) -> str:
                 "FROM (SELECT * EXCEPT (_new_sess), "
                 f"SUM(_new_sess) {over_run} AS _sess_no "
                 f"FROM (SELECT *, {flag} FROM {tbl})))"
+            )
+        if kind == "CUMULATE":  # (step, size)
+            if second is None:
+                raise ValueError("CUMULATE needs step AND size intervals")
+            step_s, size_s = secs(first), secs(second)
+            if size_s % step_s:
+                raise ValueError(
+                    f"CUMULATE size ({second}) must be a multiple of "
+                    f"step ({first})"
+                )
+            n = size_s // step_s
+            end = f"_ws + make_interval(0,0,0,0,0,0, _k * {step_s})"
+            return (
+                "(SELECT * EXCEPT (_ws, _k), _ws AS window_start, "
+                f"{end} AS window_end "
+                f"FROM (SELECT *, window(`{ts}`, '{second}').start AS _ws "
+                f"FROM {tbl}) "
+                f"LATERAL VIEW explode(sequence(1, {n})) _e AS _k "
+                f"WHERE `{ts}` < {end})"
             )
         if kind == "TUMBLE":
             win = f"window(`{ts}`, '{first}')"

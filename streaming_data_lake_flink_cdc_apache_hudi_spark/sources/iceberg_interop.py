@@ -21,18 +21,24 @@ The metadata tree is walked exactly as the spec defines it:
 
 The Avro layer is ``avro_codec`` (stdlib-only, schema-driven off the
 embedded writer schema), so v1 and v2 manifest layouts both decode.
-v2 POSITION deletes (merge-on-read row deletes) are applied at read
-time: delete files are parquet of (file_path, pos), the data scan
-exposes Spark's parquet ``_metadata.file_path`` / ``row_index``
-hidden columns, and one distributed anti-join on the normalized
-(file, pos) pair drops the deleted rows — no driver materialization,
-the same shape an Iceberg runtime's MoR scan has. Boundaries that
-still gate with ``UnsupportedIcebergFeature``: EQUALITY deletes
-(need the table's equality-field semantics) and sequence-number
-scoping (position deletes are applied globally within the snapshot —
-exact for the append+delete workflows that produce them, since data
-file names are UUIDs and positions are file-scoped; a rewrite that
-reuses a data-file path would need sequence-aware filtering).
+v2 row-level deletes (merge-on-read) are applied at read time:
+
+- POSITION deletes are parquet of (file_path, pos); the data scan
+  exposes Spark's parquet ``_metadata.file_path`` / ``row_index``
+  hidden columns, and one distributed anti-join on the normalized
+  (file, pos) pair drops the deleted rows — no driver
+  materialization, the same shape an Iceberg runtime's MoR scan has.
+- EQUALITY deletes are parquet of the ``equality_ids`` columns'
+  values; each is anti-joined null-safely on those columns, scoped by
+  SEQUENCE NUMBERS (spec inheritance: manifest-list seq when the
+  entry's is null) — the delete applies only to data files with a
+  strictly smaller sequence number, so later re-inserts survive.
+
+Remaining gate: an equality delete whose ``equality_ids`` can't be
+resolved against the table schema raises rather than resurrecting
+rows. Position deletes are applied snapshot-globally without seq
+scoping — exact for the append+delete workflows that produce them
+(data file names are UUIDs and positions are file-scoped).
 
 Scale notes: the metadata walk touches only KB-scale Avro files
 driver-side (the same footprint every Iceberg client has — that IS
@@ -106,26 +112,42 @@ def live_data_files(
     path: str, snapshot_id: int | None = None
 ) -> list[str]:
     """Data-file paths reachable from the chosen snapshot (default:
-    current), with DELETED manifest entries dropped. Position-delete
-    files are ignored here (``read_iceberg`` applies them); equality
-    deletes gate."""
-    return sorted(_live_files(path, snapshot_id)[0].values())
+    current), with DELETED manifest entries dropped. Position- and
+    equality-delete files are ignored here (``read_iceberg`` applies
+    them)."""
+    return sorted(v for v, _ in _live_files(path, snapshot_id)[0].values())
+
+
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if meta.get("schema") else []
+    )
+    out: dict[int, str] = {}
+    for sch in schemas:
+        for f in sch.get("fields", []):
+            out[f["id"]] = f["name"]
+    return out
 
 
 def _live_files(
     path: str, snapshot_id: int | None = None
-) -> tuple[dict[str, str], list[str]]:
-    """({recorded_data_path: resolved_local_path}, position_delete
-    files) reachable from the chosen snapshot. The recorded form is
-    kept because position-delete rows reference data files by the
-    URI the WRITER recorded, not by our re-rooted local path. v2
-    manifest-list entries carry ``content`` (0 data / 1 deletes);
-    delete-manifest entries carry ``data_file.content`` (1 position /
-    2 equality)."""
+) -> tuple[
+    dict[str, tuple[str, int]],
+    list[str],
+    list[tuple[str, int, list[str]]],
+]:
+    """({recorded_data_path: (resolved_local_path, data_seq)},
+    position_delete_files, [(equality_delete_file, delete_seq,
+    equality_column_names)]) reachable from the chosen snapshot. The
+    recorded form is kept because position-delete rows reference data
+    files by the URI the WRITER recorded, not by our re-rooted local
+    path. v2 manifest-list entries carry ``content`` (0 data /
+    1 deletes) and a ``sequence_number``; manifest entries inherit it
+    when their own is null (the spec's sequence-number inheritance)."""
     meta = json.load(open(_current_metadata_path(path)))
     snaps = meta.get("snapshots", [])
     if not snaps:
-        return {}, []
+        return {}, [], []
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
     snap = next(
@@ -133,16 +155,21 @@ def _live_files(
     )
     if snap is None:
         raise ValueError(f"snapshot {snapshot_id} not in table metadata")
+    names_by_id = _field_names_by_id(meta)
     mlist_path = _resolve(snap["manifest-list"], path)
     _, manifests = read_avro(mlist_path)
-    data: dict[str, str] = {}
-    deletes: list[str] = []
+    data: dict[str, tuple[str, int]] = {}
+    pos_deletes: list[str] = []
+    eq_deletes: list[tuple[str, int, list[str]]] = []
     for m in manifests:
+        m_seq = m.get("sequence_number") or 0
         _, entries = read_avro(_resolve(m["manifest_path"], path))
         for e in entries:
             if e.get("status") == 2:  # DELETED
                 continue
             df_rec = e["data_file"]
+            seq = e.get("sequence_number")
+            seq = m_seq if seq is None else seq
             content = df_rec.get("content", 0) or m.get("content", 0)
             fmt = (df_rec.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
@@ -150,17 +177,24 @@ def _live_files(
                     f"data file format {fmt} (parquet only)"
                 )
             if content == 0:
-                data[df_rec["file_path"]] = _resolve(
-                    df_rec["file_path"], path
+                data[df_rec["file_path"]] = (
+                    _resolve(df_rec["file_path"], path),
+                    int(seq),
                 )
             elif content == 1:
-                deletes.append(_resolve(df_rec["file_path"], path))
-            else:
-                raise UnsupportedIcebergFeature(
-                    "equality delete files present; applying them "
-                    "needs the table's equality-field semantics"
+                pos_deletes.append(_resolve(df_rec["file_path"], path))
+            else:  # equality deletes
+                ids = df_rec.get("equality_ids") or []
+                cols = [names_by_id[i] for i in ids if i in names_by_id]
+                if not cols or len(cols) != len(ids):
+                    raise UnsupportedIcebergFeature(
+                        "equality delete file without resolvable "
+                        "equality_ids field names"
+                    )
+                eq_deletes.append(
+                    (_resolve(df_rec["file_path"], path), int(seq), cols)
                 )
-    return data, sorted(set(deletes))
+    return data, sorted(set(pos_deletes)), eq_deletes
 
 
 def read_iceberg(
@@ -169,23 +203,31 @@ def read_iceberg(
     """Mount an Iceberg table (filesystem catalog layout) as a
     DataFrame; ``snapshot_id`` time-travels over the snapshot log.
 
-    v2 position deletes are applied distributedly: the data scan adds
-    Spark's hidden parquet ``_metadata.file_path`` / ``row_index``
-    columns, the delete side is a pruned parquet scan of the
-    (file_path, pos) delete files joined through a BROADCAST
-    recorded-URI -> local-path mapping (one row per data file —
-    metadata scale), and one anti-join on (file, pos) drops deleted
-    rows. Row positions never pass through the driver."""
+    v2 row-level deletes are applied distributedly:
+
+    - POSITION deletes: the data scan adds Spark's hidden parquet
+      ``_metadata.file_path`` / ``row_index`` columns, the delete
+      side is a pruned parquet scan of the (file_path, pos) delete
+      files joined through a BROADCAST recorded-URI -> local-path
+      mapping (one row per data file — metadata scale), and one
+      anti-join on (file, pos) drops deleted rows. Row positions
+      never pass through the driver.
+    - EQUALITY deletes: each delete file's rows are anti-joined
+      null-safely on its ``equality_ids`` columns, scoped by the
+      spec's sequence numbers — a delete applies only to data files
+      with a STRICTLY SMALLER sequence number, so rows re-inserted
+      after the delete survive. The seq comparison rides the same
+      broadcast file mapping."""
     from pyspark.sql import functions as F
 
-    mapping, delete_files = _live_files(path, snapshot_id)
+    mapping, pos_files, eq_deletes = _live_files(path, snapshot_id)
     if not mapping:
         raise FileNotFoundError(
             f"Iceberg table at {path} has no live data files"
         )
-    files = sorted(mapping.values())
+    files = sorted(v for v, _ in mapping.values())
     df = spark.read.option("basePath", path).parquet(*files)
-    if not delete_files:
+    if not pos_files and not eq_deletes:
         return df
     cols = df.columns
     data = df.select(
@@ -201,23 +243,44 @@ def read_iceberg(
     )
     map_df = F.broadcast(
         spark.createDataFrame(
-            [(k, v) for k, v in mapping.items()],
-            "_ice_recorded string, _ice_fp string",
+            [(k, v, s) for k, (v, s) in mapping.items()],
+            "_ice_recorded string, _ice_fp string, _ice_seq long",
         )
     )
-    dels = (
-        spark.read.parquet(*delete_files)
-        .select(
-            F.col("file_path").alias("_ice_recorded"),
-            F.col("pos").alias("_ice_pos"),
+    if pos_files:
+        dels = (
+            spark.read.parquet(*pos_files)
+            .select(
+                F.col("file_path").alias("_ice_recorded"),
+                F.col("pos").alias("_ice_pos"),
+            )
+            .join(map_df, "_ice_recorded")
+            .select("_ice_fp", "_ice_pos")
+            .distinct()
         )
-        .join(map_df, "_ice_recorded")
-        .select("_ice_fp", "_ice_pos")
-        .distinct()
-    )
-    return data.join(
-        dels, ["_ice_fp", "_ice_pos"], "left_anti"
-    ).select(*cols)
+        data = data.join(dels, ["_ice_fp", "_ice_pos"], "left_anti")
+    if eq_deletes:
+        data = data.join(
+            map_df.select("_ice_fp", "_ice_seq"), "_ice_fp"
+        )
+        # group delete files by their equality-column signature: one
+        # anti-join per signature, each delete row carrying its seq
+        by_cols: dict[tuple[str, ...], list[tuple[str, int]]] = {}
+        for fp, seq, dcols in eq_deletes:
+            by_cols.setdefault(tuple(dcols), []).append((fp, seq))
+        for dcols, files_seqs in by_cols.items():
+            del_df = None
+            for fp, seq in files_seqs:
+                part = spark.read.parquet(fp).select(
+                    *[F.col(c).alias(f"_del_{c}") for c in dcols],
+                    F.lit(seq).alias("_del_seq"),
+                )
+                del_df = part if del_df is None else del_df.unionByName(part)
+            cond = F.col("_ice_seq") < F.col("_del_seq")
+            for c in dcols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_del_{c}"))
+            data = data.join(del_df, cond, "left_anti")
+    return data.select(*cols)
 
 
 def snapshots(path: str) -> list[dict]:

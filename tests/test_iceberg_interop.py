@@ -169,16 +169,24 @@ def test_hand_built_two_snapshots_time_travel_and_deletes(spark, tmp_path):
     assert old == [(1, "one"), (2, "two")]
 
 
-def _entry_v2(fp, content, status=1, snap=2):
+def _entry_v2(fp, content, status=1, snap=2, seq=None, eq_ids=None):
     """Manifest entry whose data_file carries the v2 ``content`` field
-    (0 data / 1 position deletes / 2 equality deletes)."""
+    (0 data / 1 position deletes / 2 equality deletes), an optional
+    entry-level sequence_number, and equality_ids."""
     e = _entry(fp, status=status, snap=snap)
+    e["sequence_number"] = seq
     e["data_file"]["content"] = content
+    e["data_file"]["equality_ids"] = eq_ids
     return e
 
 
 _V2_DF_FIELDS = [
-    {"name": "content", "type": "int", "field-id": 134}
+    {"name": "content", "type": "int", "field-id": 134},
+    {
+        "name": "equality_ids",
+        "type": ["null", {"type": "array", "items": "int"}],
+        "field-id": 135,
+    },
 ] + _MANIFEST_ENTRY_SCHEMA["fields"][2]["type"]["fields"]
 
 _MANIFEST_ENTRY_V2_SCHEMA = {
@@ -187,6 +195,7 @@ _MANIFEST_ENTRY_V2_SCHEMA = {
     "fields": [
         _MANIFEST_ENTRY_SCHEMA["fields"][0],
         _MANIFEST_ENTRY_SCHEMA["fields"][1],
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
         {
             "name": "data_file",
             "field-id": 2,
@@ -202,14 +211,14 @@ def _manifest_v2(path, name, entries):
     return p
 
 
-def _v2_meta(path, snapshots_list, current):
+def _v2_meta(path, snapshots_list, current, schema=None):
     meta = {
         "format-version": 2,
         "table-uuid": "u",
         "location": path,
         "last-updated-ms": 0,
         "last-column-id": 2,
-        "schema": {"type": "struct", "fields": []},
+        "schema": schema or {"type": "struct", "fields": []},
         "partition-spec": [],
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "default-spec-id": 0,
@@ -265,26 +274,76 @@ def test_v2_position_deletes_applied_with_time_travel(spark, tmp_path):
                    (5, "five"), (6, "six"), (7, "seven")]
 
 
-def test_v2_equality_deletes_are_gated(spark, tmp_path):
-    """Equality-delete files (content=2) still gate: applying them
-    needs the table's equality-field semantics, and serving
-    resurrected rows would be wrong."""
+def test_v2_equality_deletes_applied_with_seq_scoping(spark, tmp_path):
+    """Equality deletes (content=2) are applied null-safely on the
+    equality_ids columns and scoped by sequence numbers: a row
+    re-inserted AFTER the delete (higher seq) survives; unresolvable
+    equality_ids still gate."""
     path = str(tmp_path / "v2_eq_iceberg")
     sch = "id LONG, v STRING"
     fa = os.path.join(path, "data", "a.parquet")
-    _stage_parquet(spark, [(1, "one")], sch, fa)
+    fb = os.path.join(path, "data", "b.parquet")
+    _stage_parquet(
+        spark,
+        [(1, "one"), (2, "two"), (3, "three"), (4, "four")],
+        sch, fa,
+    )
+    # re-insert of id=3 AFTER the delete (data seq 3 > delete seq 2)
+    _stage_parquet(spark, [(3, "three-new")], sch, fb)
     fd = os.path.join(path, "data", "eqdel.parquet")
-    _stage_parquet(spark, [(1,)], "id LONG", fd)
-    m1 = _manifest(path, "m1.avro", [_entry(fa)])
-    md = _manifest_v2(path, "m2-del.avro", [_entry_v2(fd, content=2)])
-    l1 = _mlist(path, "snap-1.avro", [m1, md], 1)
+    _stage_parquet(spark, [(2,), (3,)], "id LONG", fd)
+    table_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+        ],
+    }
+    m = _manifest_v2(
+        path,
+        "m.avro",
+        [
+            _entry_v2(fa, content=0, seq=1),
+            _entry_v2(fd, content=2, seq=2, eq_ids=[1]),
+            _entry_v2(fb, content=0, seq=3),
+        ],
+    )
+    l1 = _mlist(path, "snap-1.avro", [m], 1)
     _v2_meta(
         path,
         [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": l1}],
         current=1,
+        schema=table_schema,
+    )
+    got = sorted(map(tuple, read_iceberg(spark, path).collect()))
+    # id 2 deleted; id 3's seq-1 row deleted but the seq-3 re-insert
+    # survives the seq-2 delete
+    assert got == [(1, "one"), (3, "three-new"), (4, "four")]
+
+    # unresolvable equality_ids must gate, never resurrect
+    path2 = str(tmp_path / "v2_eq_bad")
+    fa2 = os.path.join(path2, "data", "a.parquet")
+    _stage_parquet(spark, [(1, "one")], sch, fa2)
+    fd2 = os.path.join(path2, "data", "eqdel.parquet")
+    _stage_parquet(spark, [(1,)], "id LONG", fd2)
+    m2 = _manifest_v2(
+        path2,
+        "m.avro",
+        [
+            _entry_v2(fa2, content=0, seq=1),
+            _entry_v2(fd2, content=2, seq=2, eq_ids=[99]),
+        ],
+    )
+    l2 = _mlist(path2, "snap-1.avro", [m2], 1)
+    _v2_meta(
+        path2,
+        [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": l2}],
+        current=1,
+        schema=table_schema,
     )
     with pytest.raises(UnsupportedIcebergFeature):
-        read_iceberg(spark, path)
+        read_iceberg(spark, path2)
 
 
 def test_lake_table_export_iceberg_round_trip(spark, tmp_path):

@@ -854,3 +854,40 @@ def test_sql_delete_from_and_update_dml(spark, tmp_path):
         "deleted_rows"
     ] == 0
     assert h.last_commit_seq() == seq
+
+
+def test_flink_window_tvf_cumulate_expansion(spark, tmp_path):
+    """CUMULATE TVF: an event at offset o in its 10-min window lands
+    in every cumulative [start, start + k*2min) window with
+    k*2min > o — 5 windows at offset 0, 1 window at offset 9min."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import (
+        rewrite_window_tvf,
+    )
+
+    spark.createDataFrame(
+        [("2024-01-01 00:00:30",), ("2024-01-01 00:09:00",)], "t string"
+    ).selectExpr("CAST(t AS TIMESTAMP) AS ts").createOrReplaceTempView(
+        "cum_edge"
+    )
+    rows = spark.sql(
+        rewrite_window_tvf(
+            "SELECT CAST(ts AS STRING) AS ts, window_end "
+            "FROM TABLE(CUMULATE(TABLE cum_edge, DESCRIPTOR(ts), "
+            "INTERVAL '2' MINUTES, INTERVAL '10' MINUTES))"
+        )
+    ).collect()
+    per_event = {}
+    for r in rows:
+        per_event.setdefault(r["ts"], []).append(str(r["window_end"]))
+    # offset 30s -> all 5 cumulative windows; offset 9min -> only the
+    # full-size one
+    assert len(per_event["2024-01-01 00:00:30"]) == 5
+    assert per_event["2024-01-01 00:09:00"] == ["2024-01-01 00:10:00"]
+    # size not a multiple of step is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        rewrite_window_tvf(
+            "SELECT * FROM TABLE(CUMULATE(TABLE cum_edge, "
+            "DESCRIPTOR(ts), INTERVAL '3' MINUTES, INTERVAL '10' MINUTES))"
+        )
