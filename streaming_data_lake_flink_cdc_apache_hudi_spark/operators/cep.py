@@ -117,26 +117,31 @@ def match_at(
     start: int,
     toks: list[tuple[str, int, int | None]],
     within_us: int | None,
-) -> tuple[int | None, bool]:
+) -> tuple[int | None, bool, list[tuple[int, int, int]]]:
     """Greedy-with-backtracking match attempt at row ``start`` over a
     per-key timeline sorted by (time, tiebreak). Returns
-    ``(end_index_inclusive | None, hit_buffer_end)`` — the second
-    flag is True when any quantifier expansion was truncated by the
-    END of the buffer (rather than a mismatching row or the WITHIN
-    bound), i.e. the outcome could still change if later rows were
-    appended; the streaming flavor defers those. WITHIN truncation is
-    final because timelines are time-sorted: once a row exceeds
-    start_ts + within, every later row does too."""
+    ``(end_index_inclusive | None, hit_buffer_end, assignments)`` —
+    the flag is True when any quantifier expansion was truncated by
+    the END of the buffer (rather than a mismatching row or the
+    WITHIN bound), i.e. the outcome could still change if later rows
+    were appended; the streaming flavor defers those. WITHIN
+    truncation is final because timelines are time-sorted: once a row
+    exceeds start_ts + within, every later row does too.
+    ``assignments`` is one ``(token_index, row_pos, n_rows)`` per
+    pattern variable on the successful path (n_rows may be 0 for
+    skipped optional variables) — the MEASURES surface."""
     n = len(types)
     limit = (
         times_us[start] + within_us if within_us is not None else None
     )
     hit_end = False
 
-    def rec(pos: int, ti: int) -> int | None:
+    def rec(
+        pos: int, ti: int
+    ) -> tuple[int, list[tuple[int, int, int]]] | None:
         nonlocal hit_end
         if ti == len(toks):
-            return pos - 1 if pos > start else None
+            return (pos - 1, []) if pos > start else None
         et, lo, hi = toks[ti]
         k = 0
         while (
@@ -151,10 +156,14 @@ def match_at(
         for take in range(k, lo - 1, -1):
             r = rec(pos + take, ti + 1)
             if r is not None:
-                return r
+                end, tail = r
+                return end, [(ti, pos, take)] + tail
         return None
 
-    return rec(start, 0), hit_end
+    r = rec(start, 0)
+    if r is None:
+        return None, hit_end, []
+    return r[0], hit_end, r[1]
 
 
 def scan_matches(
@@ -163,18 +172,18 @@ def scan_matches(
     toks: list[tuple[str, int, int | None]],
     within_us: int | None,
     skip_past_last_row: bool,
-) -> list[tuple[int, int]]:
-    """Left-to-right scan emitting every match as (start, end) index
-    pairs. ``skip_past_last_row`` resumes after a match's last row
-    (AFTER MATCH SKIP PAST LAST ROW — matches never overlap);
-    otherwise at start+1 (SKIP TO NEXT ROW — overlaps enumerated,
-    the fixed-sequence operator's convention)."""
-    out: list[tuple[int, int]] = []
+) -> list[tuple[int, int, list[tuple[int, int, int]]]]:
+    """Left-to-right scan emitting every match as (start, end,
+    assignments) triples. ``skip_past_last_row`` resumes after a
+    match's last row (AFTER MATCH SKIP PAST LAST ROW — matches never
+    overlap); otherwise at start+1 (SKIP TO NEXT ROW — overlaps
+    enumerated, the fixed-sequence operator's convention)."""
+    out: list[tuple[int, int, list[tuple[int, int, int]]]] = []
     p, n = 0, len(types)
     while p < n:
-        end, _ = match_at(types, times_us, p, toks, within_us)
+        end, _, assigns = match_at(types, times_us, p, toks, within_us)
         if end is not None:
-            out.append((p, end))
+            out.append((p, end, assigns))
             p = end + 1 if skip_past_last_row else p + 1
         else:
             p += 1
@@ -190,16 +199,24 @@ def pattern_match_quantified(
     pattern: Sequence[str],
     within_seconds: int | None = None,
     after_match: str = "past_last_row",
+    measures: Sequence[tuple[str, str, Sequence[int], str | None]] | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE with greedy quantifiers, ONE ROW PER MATCH:
     one output row per match — (key, start_<tiebreak>, start/end
-    second strings, n_rows). ``after_match``: ``"past_last_row"``
-    (Flink's default — non-overlapping, scan resumes after the
-    match) or ``"next_row"`` (overlap enumeration).
+    second strings, n_rows[, measures...]). ``after_match``:
+    ``"past_last_row"`` (Flink's default — non-overlapping, scan
+    resumes after the match) or ``"next_row"`` (overlap enumeration).
+
+    ``measures``: MEASURES clauses as ``(out_name, agg,
+    token_indices, col)`` — agg in first/last/count/sum/min/max/avg
+    evaluated over the rows the named pattern variable(s) consumed in
+    each match (count ignores col). A variable that consumed zero
+    rows (skipped optional) yields NULL (count 0).
 
     Scale: groupBy(key).applyInPandas — one key shuffle, Arrow
     batches, per-task memory = one key's timeline (Flink keyed-state
-    contract). Cf. reference CDC-Hudi-Notebook.zpln's Flink SQL
+    contract); measures are pandas slice aggregations per match, no
+    extra pass. Cf. reference CDC-Hudi-Notebook.zpln's Flink SQL
     surface, where MATCH_RECOGNIZE is the platform's CEP spelling
     (SURVEY.md §2.5 extension)."""
     import pandas as pd
@@ -211,7 +228,25 @@ def pattern_match_quantified(
     within_us = (
         int(within_seconds) * 1_000_000 if within_seconds is not None else None
     )
+    measures = list(measures or [])
     dtypes = dict(df.dtypes)
+
+    def mtype(agg: str, col: str | None) -> str:
+        if agg == "count":
+            return "bigint"
+        if agg == "avg":
+            return "double"
+        if agg == "sum":
+            return "double" if dtypes[col] in ("float", "double") else "bigint"
+        return dtypes[col]
+
+    for name, agg, tis, col in measures:
+        if agg not in ("first", "last", "count", "sum", "min", "max", "avg"):
+            raise ValueError(f"unsupported MEASURES aggregate {agg!r}")
+        if agg != "count" and col is None:
+            raise ValueError(f"MEASURES {name}: {agg} needs a column")
+        if any(ti < 0 or ti >= len(toks) for ti in tis):
+            raise ValueError(f"MEASURES {name}: token index out of range")
     # a start_<tiebreak> column only when the tiebreak is a real extra
     # column (ORDER BY ts alone would duplicate start_ts)
     has_tb = order_tiebreak != time_col
@@ -219,6 +254,7 @@ def pattern_match_quantified(
         [key_col]
         + (["start_" + order_tiebreak] if has_tb else [])
         + ["start_ts", "end_ts", "n_rows"]
+        + [name for name, _, _, _ in measures]
     )
     schema = (
         f"`{key_col}` {dtypes[key_col]}, "
@@ -228,6 +264,10 @@ def pattern_match_quantified(
             else ""
         )
         + "start_ts string, end_ts string, n_rows long"
+        + "".join(
+            f", `{name}` {mtype(agg, col)}"
+            for name, agg, _, col in measures
+        )
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -239,16 +279,47 @@ def pattern_match_quantified(
             pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
         )
         fmt = pdf[time_col].dt.strftime("%Y-%m-%d %H:%M:%S")
+
+        def mval(assigns, agg, tis, col):
+            idxs = [
+                i
+                for ti, pos, take in assigns
+                if ti in tis
+                for i in range(pos, pos + take)
+            ]
+            if agg == "count":
+                return len(idxs)
+            if not idxs:
+                return None
+            vals = pdf[col].iloc[idxs]
+            if agg == "first":
+                return vals.iloc[0]
+            if agg == "last":
+                return vals.iloc[-1]
+            if agg == "avg":
+                return float(vals.mean())
+            return getattr(vals, agg)()  # sum / min / max
+
         rows = [
             (pdf[key_col].iat[0],)
             + ((pdf[order_tiebreak].iat[s],) if has_tb else ())
             + (fmt.iat[s], fmt.iat[e], e - s + 1)
-            for s, e in scan_matches(
+            + tuple(
+                mval(assigns, agg, tis, col)
+                for _, agg, tis, col in measures
+            )
+            for s, e, assigns in scan_matches(
                 types, times_us, toks, within_us, skip_past
             )
         ]
         return pd.DataFrame(rows, columns=out_cols)
 
-    # dedupe: ORDER BY may name the time column as its own tiebreak
-    sel = list(dict.fromkeys([key_col, time_col, order_tiebreak, type_col]))
+    # dedupe: ORDER BY may name the time column as its own tiebreak;
+    # measures may reference already-selected columns
+    sel = list(
+        dict.fromkeys(
+            [key_col, time_col, order_tiebreak, type_col]
+            + [col for _, _, _, col in measures if col is not None]
+        )
+    )
     return df.select(*sel).groupBy(key_col).applyInPandas(fn, schema)

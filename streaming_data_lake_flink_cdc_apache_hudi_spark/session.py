@@ -123,12 +123,16 @@ class EngineSession:
             PATTERN (A B+ C?)  [WITHIN INTERVAL 'n' MINUTES]
             DEFINE A AS [A.]type_col = 'lit', B AS ... )
 
+        MEASURES are supported as per-variable aggregates —
+        ``FIRST(V.col)`` / ``LAST(V.col)`` / ``COUNT(V.*)`` /
+        ``SUM|MIN|MAX|AVG(V.col)`` / bare ``V.col`` (= FIRST), each
+        ``AS name`` — appended after the operator's canonical output
+        (key, start_<tiebreak>, start_ts, end_ts, n_rows).
+
         Every pattern variable must be DEFINEd as one equality of the
         SAME column against a string literal (the funnel/escalation
-        shape), and the projection is the operator's canonical output
-        (key, start_<tiebreak>, start_ts, end_ts, n_rows) — MEASURES
-        clauses raise with guidance rather than being ignored.
-        Returns None when the statement has no MATCH_RECOGNIZE."""
+        shape). Returns None when the statement has no
+        MATCH_RECOGNIZE."""
         import re
 
         if not re.search(r"\bMATCH_RECOGNIZE\b", statement, re.IGNORECASE):
@@ -151,12 +155,11 @@ class EngineSession:
                 "MEASURES projections are not supported"
             )
         tbl, body = m.group(2), m.group(3)
-        if re.search(r"\bMEASURES\b", body, re.IGNORECASE):
-            raise ValueError(
-                "MATCH_RECOGNIZE MEASURES is not supported; the "
-                "operator emits (key, start_<tiebreak>, start_ts, "
-                "end_ts, n_rows) per match"
-            )
+        measures_m = re.search(
+            r"\bMEASURES\s+(.*?)\s+(?=ONE\s+ROW|AFTER\s+MATCH|PATTERN\s*\()",
+            body,
+            re.IGNORECASE | re.DOTALL,
+        )
 
         def grab(pattern, required=True, flags=0):
             g = re.search(pattern, body, re.IGNORECASE | flags)
@@ -221,7 +224,8 @@ class EngineSession:
                 )
             var_types[var.upper()] = lit
         pattern = []
-        for tok in pat.split():
+        var_tokens: dict[str, list[int]] = {}
+        for ti, tok in enumerate(pat.split()):
             quant = tok[-1] if tok[-1] in "+*?" else ""
             var = tok.rstrip("+*?").upper()
             if var not in var_types:
@@ -229,7 +233,46 @@ class EngineSession:
                     f"MATCH_RECOGNIZE: pattern variable {var} has no "
                     "DEFINE clause (wildcard variables unsupported)"
                 )
+            var_tokens.setdefault(var, []).append(ti)
             pattern.append(var_types[var] + quant)
+        measures = []
+        if measures_m:
+            for clause in re.split(
+                r",\s*(?=(?:\w+\s*\()|(?:\w+\.\w+\s+AS\s))",
+                measures_m.group(1).strip(),
+                flags=re.IGNORECASE,
+            ):
+                mm = re.match(
+                    r"^\s*(?:(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
+                    r"(\w+)\s*\.\s*(\w+|\*)\s*\)|(\w+)\s*\.\s*(\w+))"
+                    r"\s+AS\s+`?(\w+)`?\s*$",
+                    clause.strip(),
+                    re.IGNORECASE,
+                )
+                if not mm:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE MEASURES: {clause.strip()!r} — "
+                        "supported: FIRST/LAST/COUNT/SUM/MIN/MAX/AVG"
+                        "(VAR.col|VAR.*) AS name, or VAR.col AS name"
+                    )
+                if mm.group(1):
+                    agg = mm.group(1).lower()
+                    var, col = mm.group(2).upper(), mm.group(3)
+                else:
+                    agg, var, col = "first", mm.group(4).upper(), mm.group(5)
+                if var not in var_tokens:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE MEASURES: unknown pattern "
+                        f"variable {var}"
+                    )
+                if col == "*":
+                    if agg != "count":
+                        raise ValueError(
+                            "MATCH_RECOGNIZE MEASURES: VAR.* is only "
+                            "valid under COUNT"
+                        )
+                    col = None
+                measures.append((mm.group(6), agg, var_tokens[var], col))
         from .operators.cep import pattern_match_quantified
 
         return pattern_match_quantified(
@@ -241,6 +284,7 @@ class EngineSession:
             pattern=pattern,
             within_seconds=within_seconds,
             after_match=after,
+            measures=measures,
         )
 
     def _rewrite_window_tvf(self, statement: str) -> str:

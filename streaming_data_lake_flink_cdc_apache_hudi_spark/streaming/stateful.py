@@ -352,7 +352,7 @@ def pattern_match_stream(
         n = len(ty_l)
         rows, p, keep_from = [], 0, n
         while p < n:
-            end, hit = match_at(ty_l, ts_l, p, toks, within_us)
+            end, hit, _ = match_at(ty_l, ts_l, p, toks, within_us)
             if end is not None and not hit:
                 rows.append((p, end))
                 p = end + 1

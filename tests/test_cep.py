@@ -355,17 +355,6 @@ def test_match_recognize_sql_spelling(spark, tmp_path):
     assert one.columns == ["user_id", "start_ts", "end_ts", "n_rows"]
     assert one.count() > 0
 
-    with _pytest.raises(ValueError, match="MEASURES"):
-        eng.sql(
-            """
-            SELECT * FROM events MATCH_RECOGNIZE (
-              PARTITION BY user_id ORDER BY ts
-              MEASURES A.ts AS a_ts
-              ONE ROW PER MATCH
-              PATTERN (A) DEFINE A AS event_type = 'view'
-            )
-            """
-        )
     with _pytest.raises(ValueError, match="no.*DEFINE|DEFINE"):
         eng.sql(
             """
@@ -376,3 +365,62 @@ def test_match_recognize_sql_spelling(spark, tmp_path):
             )
             """
         )
+
+
+def test_match_recognize_measures_values(spark, tmp_path):
+    """MEASURES aggregates evaluate over exactly the rows each
+    pattern variable consumed: SUM/COUNT/AVG over the greedy a-run,
+    FIRST/LAST picking the run's endpoints, skipped optional
+    variables yielding NULL (count 0)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import (
+        EngineSession,
+    )
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "t.json")
+    )
+    spark.createDataFrame(
+        [
+            (1, 7, dt.datetime(2024, 1, 1, 0, 0, 1), "a", 10.0),
+            (2, 7, dt.datetime(2024, 1, 1, 0, 0, 2), "a", 20.0),
+            (3, 7, dt.datetime(2024, 1, 1, 0, 0, 3), "a", 30.0),
+            (4, 7, dt.datetime(2024, 1, 1, 0, 0, 4), "b", 99.0),
+            (5, 8, dt.datetime(2024, 1, 1, 0, 0, 1), "a", 5.0),
+            (6, 8, dt.datetime(2024, 1, 1, 0, 0, 2), "b", 7.0),
+            (7, 8, dt.datetime(2024, 1, 1, 0, 0, 3), "x", 1.0),
+            (8, 8, dt.datetime(2024, 1, 1, 0, 0, 4), "b", 8.0),
+        ],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    ).createOrReplaceTempView("mr_events")
+    rows = {
+        r["user_id"]: r
+        for r in eng.sql(
+            """
+            SELECT * FROM mr_events MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts, event_id
+              MEASURES SUM(A.value) AS a_sum, COUNT(A.*) AS a_n,
+                       AVG(A.value) AS a_avg, FIRST(A.event_id) AS a_first,
+                       LAST(A.event_id) AS a_last, B.value AS b_val,
+                       COUNT(X.*) AS x_n
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (A+ X? B)
+              DEFINE A AS event_type = 'a', X AS event_type = 'x',
+                     B AS event_type = 'b'
+            )
+            """
+        ).collect()
+    }
+    # user 7: a-run 10+20+30, no x
+    r7 = rows[7]
+    assert (r7["a_sum"], r7["a_n"], r7["a_avg"]) == (60.0, 3, 20.0)
+    assert (r7["a_first"], r7["a_last"], r7["b_val"]) == (1, 3, 99.0)
+    assert r7["x_n"] == 0
+    # user 8: greedy takes a(5), then x? ... first match is a,b at 5-6
+    # (x at 7 not adjacent to the a-run); SKIP PAST LAST ROW
+    r8 = rows[8]
+    assert (r8["a_sum"], r8["a_n"], r8["b_val"], r8["x_n"]) == (
+        5.0, 1, 7.0, 0,
+    )
