@@ -304,3 +304,65 @@ def q_cep_quantified_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         type_col="event_type",
         pattern=["click+", "purchase"],
     )
+
+
+@register(
+    "cep_measures_match",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), isl AS (
+  SELECT *, rn - row_number() OVER (
+             PARTITION BY user_id, event_type ORDER BY rn) AS grp
+  FROM ordered
+), runs AS (
+  SELECT user_id, grp, max(rn) AS ern,
+         arg_min(event_id, rn) AS start_event_id,
+         count(*) AS n_clicks,
+         ROUND(SUM(value), 2) AS click_value_sum,
+         arg_max(event_id, rn) AS last_click_id
+  FROM isl WHERE event_type = 'click'
+  GROUP BY user_id, grp
+)
+SELECT r.user_id, r.start_event_id, r.n_clicks, r.click_value_sum,
+       r.last_click_id, ROUND(o.value, 2) AS purchase_value
+FROM runs r JOIN ordered o
+  ON o.user_id = r.user_id AND o.rn = r.ern + 1
+     AND o.event_type = 'purchase'
+""",
+    doc="MATCH_RECOGNIZE MEASURES surface, value-oracled: PATTERN "
+    "(click+ purchase) with SUM/COUNT over the greedy click run, "
+    "LAST over its ids, and the purchase row's value — the oracle "
+    "replays each measure relationally over gaps-and-islands maximal "
+    "runs (arg_min/arg_max/SUM per island). Measures are pandas "
+    "slice aggregations inside the same Arrow batch pass as the "
+    "match scan; no extra shuffle.",
+)
+def q_cep_measures_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import pattern_match_quantified
+
+    ev = load_table(spark, sf_dir, "events")
+    out = pattern_match_quantified(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        type_col="event_type",
+        pattern=["click+", "purchase"],
+        measures=[
+            ("click_value_sum", "sum", [0], "value"),
+            ("n_clicks", "count", [0], None),
+            ("last_click_id", "last", [0], "event_id"),
+            ("purchase_value", "last", [1], "value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        "start_event_id",
+        "n_clicks",
+        F.round("click_value_sum", 2).alias("click_value_sum"),
+        "last_click_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
