@@ -291,24 +291,56 @@ class EngineSession:
         return rewrite_window_tvf(statement)
 
     def _rewrite_time_travel(self, statement: str) -> str:
-        """Bind `t VERSION AS OF n` references to registered upsert
-        tables as point-in-time temp views (plain temp views cannot
-        carry v2 time-travel syntax, so the snapshot is materialized
-        as a view named t__v<n> and the reference rewritten)."""
+        """Bind `t VERSION AS OF n` / `t TIMESTAMP AS OF '<wall
+        time>'` references to registered upsert tables as
+        point-in-time temp views (plain temp views cannot carry v2
+        time-travel syntax, so the snapshot is materialized as a view
+        named t__v<n> and the reference rewritten). The TIMESTAMP
+        spelling (Delta/Hudi parity) resolves to the LAST commit
+        whose wall time is <= the bound — commit wall times are in
+        the timeline, so the lookup is metadata-only."""
+        import datetime as _dt
         import re
 
-        def sub(m: re.Match) -> str:
-            name, seq = m.group(1), int(m.group(2))
-            try:
-                h = self.registry.upsert_handle(name)
-            except Exception:
-                return m.group(0)  # not an engine upsert table
+        def bind(name: str, seq: int) -> str:
+            h = self.registry.upsert_handle(name)
             view = f"{name}__v{seq}"
             h.snapshot(as_of_seq=seq).createOrReplaceTempView(view)
             return view
 
+        def sub_version(m: re.Match) -> str:
+            try:
+                return bind(m.group(1), int(m.group(2)))
+            except Exception:
+                return m.group(0)  # not an engine upsert table
+
+        def sub_timestamp(m: re.Match) -> str:
+            name, lit = m.group(1), m.group(2)
+            try:
+                h = self.registry.upsert_handle(name)
+            except Exception:
+                return m.group(0)
+            bound = _dt.datetime.fromisoformat(lit).timestamp()
+            seqs = [
+                int(c["seq"])
+                for c in h.commits()
+                if float(c.get("wall_time", 0.0)) <= bound
+            ]
+            if not seqs:
+                raise ValueError(
+                    f"TIMESTAMP AS OF '{lit}': no commit of {name} at "
+                    "or before that time"
+                )
+            return bind(name, max(seqs))
+
+        statement = re.sub(
+            r"`?(\w+)`?\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+            sub_timestamp,
+            statement,
+            flags=re.IGNORECASE,
+        )
         return re.sub(
-            r"`?(\w+)`?\s+VERSION\s+AS\s+OF\s+(\d+)", sub, statement,
+            r"`?(\w+)`?\s+VERSION\s+AS\s+OF\s+(\d+)", sub_version, statement,
             flags=re.IGNORECASE,
         )
 

@@ -891,3 +891,32 @@ def test_flink_window_tvf_cumulate_expansion(spark, tmp_path):
             "SELECT * FROM TABLE(CUMULATE(TABLE cum_edge, "
             "DESCRIPTOR(ts), INTERVAL '3' MINUTES, INTERVAL '10' MINUTES))"
         )
+
+
+def test_sql_timestamp_as_of_time_travel(spark, tmp_path):
+    """`t TIMESTAMP AS OF '<wall time>'` (Delta/Hudi parity) resolves
+    to the last commit at or before the bound via timeline wall
+    times — metadata-only lookup."""
+    import datetime as dt
+    import time
+
+    import pytest as _pytest
+
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    t = eng.create_upsert_table("tt", str(tmp_path / "tt"), key=["id"])
+    t.write(
+        spark.createDataFrame([(1, "a")], "id int, v string"), commit_id="c1"
+    )
+    time.sleep(0.05)
+    mid = dt.datetime.now().isoformat()
+    time.sleep(0.05)
+    t.write(
+        spark.createDataFrame([(1, "a2")], "id int, v string"), commit_id="c2"
+    )
+    got = eng.sql(f"SELECT v FROM tt TIMESTAMP AS OF '{mid}'").collect()
+    assert [r["v"] for r in got] == ["a"]
+    now = dt.datetime.now().isoformat()
+    got = eng.sql(f"SELECT v FROM tt TIMESTAMP AS OF '{now}'").collect()
+    assert [r["v"] for r in got] == ["a2"]
+    with _pytest.raises(ValueError, match="no commit"):
+        eng.sql("SELECT v FROM tt TIMESTAMP AS OF '2000-01-01 00:00:00'")
