@@ -813,6 +813,51 @@ class TableRegistry:
         dml = self._execute_update(statement)
         if dml is not None:
             return dml
+        tm = _re.match(
+            r"^\s*TRUNCATE\s+TABLE\s+`?(\w+)`?\s*;?\s*$",
+            statement,
+            _re.IGNORECASE,
+        )
+        if tm and tm.group(1) in self._tables:
+            # one tombstone commit for every live row — time travel to
+            # the pre-truncate state still works, unlike a data wipe
+            return self._execute_delete_from(
+                f"DELETE FROM {tm.group(1)}"
+            )
+        sm = _re.match(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*;?\s*$",
+            statement,
+            _re.IGNORECASE,
+        )
+        if sm and sm.group(1) in self._tables:
+            t = self._tables[sm.group(1)]
+            schema = self._insert_schema(t.name)
+            cols = (
+                ",\n".join(
+                    f"  `{f.name}` {f.dataType.simpleString().upper()}"
+                    for f in schema.fields
+                )
+                if schema is not None
+                else "  -- schema inferred from data"
+            )
+            pk = (
+                f",\n  PRIMARY KEY ({', '.join(t.key)}) NOT ENFORCED"
+                if t.key
+                else ""
+            )
+            opts = {"connector": "hudi" if t.kind == "upsert" else t.kind,
+                    "path": t.path, **t.options}
+            with_opts = ",\n".join(
+                f"  '{k}' = '{v}'" for k, v in opts.items()
+                if k != "schema_json"
+            )
+            ddl = (
+                f"CREATE TABLE {t.name} (\n{cols}{pk}\n) WITH (\n"
+                f"{with_opts}\n)"
+            )
+            return self.spark.createDataFrame(
+                [(t.name, ddl)], "table STRING, create_statement STRING"
+            )
         ctas = self._execute_ctas(statement)
         if ctas is not None:
             return ctas

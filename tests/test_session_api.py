@@ -920,3 +920,37 @@ def test_sql_timestamp_as_of_time_travel(spark, tmp_path):
     assert [r["v"] for r in got] == ["a2"]
     with _pytest.raises(ValueError, match="no commit"):
         eng.sql("SELECT v FROM tt TIMESTAMP AS OF '2000-01-01 00:00:00'")
+
+
+def test_sql_truncate_and_show_create_table(spark, tmp_path):
+    """TRUNCATE TABLE = one tombstone commit (time travel to the
+    pre-truncate state still works); SHOW CREATE TABLE reconstructs
+    the engine DDL."""
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    eng.sql(
+        f"""
+        CREATE TABLE trunc_t (
+          id BIGINT, v STRING,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector' = 'hudi', 'path' = '{tmp_path / "trunc_t"}',
+                'num_buckets' = '2')
+        """
+    )
+    eng.sql("INSERT INTO trunc_t VALUES (1, 'a'), (2, 'b')")
+    h = eng.registry.upsert_handle("trunc_t")
+    pre = h.last_commit_seq()
+    res = eng.sql("TRUNCATE TABLE trunc_t")
+    assert res.collect()[0]["deleted_rows"] == 2
+    assert eng.sql("SELECT * FROM trunc_t").count() == 0
+    # pre-truncate state is still reachable
+    assert eng.sql(
+        f"SELECT * FROM trunc_t VERSION AS OF {pre}"
+    ).count() == 2
+
+    ddl = eng.sql("SHOW CREATE TABLE trunc_t").collect()[0][
+        "create_statement"
+    ]
+    assert "CREATE TABLE trunc_t" in ddl
+    assert "`id` BIGINT" in ddl and "`v` STRING" in ddl
+    assert "PRIMARY KEY (id) NOT ENFORCED" in ddl
+    assert "'connector' = 'hudi'" in ddl
