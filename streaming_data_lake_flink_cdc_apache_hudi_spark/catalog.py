@@ -172,13 +172,14 @@ class TableRegistry:
         from pyspark.sql import functions as F
 
         m = re.match(
-            r"^\s*INSERT\s+INTO\s+`?(\w+)`?\s+(.+)$",
+            r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?`?(\w+)`?\s+(.+)$",
             statement.strip().rstrip(";"),
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             return None
-        name, body = m.group(1), m.group(2).strip()
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        name, body = m.group(2), m.group(3).strip()
         if name not in self._tables or self._tables[name].kind != "upsert":
             return None
         schema = self._insert_schema(name)
@@ -208,10 +209,34 @@ class TableRegistry:
         pre = self._tables[name].options.get(
             "precombine"
         ) or self._tables[name].options.get("precombine.field")
-        seq = self.upsert_handle(name).write(
-            df,
-            precombine=[c.strip() for c in pre.split(",")] if pre else None,
-        )
+        h = self.upsert_handle(name)
+        if overwrite:
+            # Hudi's insert_overwrite: replace the table contents in
+            # ONE commit — the new rows plus tombstones for existing
+            # keys absent from them (keyed anti-join, never a wipe;
+            # time travel to the pre-overwrite state keeps working)
+            doomed = (
+                h.snapshot()
+                .join(df.select(*h.key), h.key, "left_anti")
+                .withColumn("_ins_del", F.lit(True))
+            )
+            delta = df.withColumn("_ins_del", F.lit(False)).unionByName(
+                doomed
+            )
+            seq = h.write(
+                delta,
+                delete_col="_ins_del",
+                precombine=(
+                    [c.strip() for c in pre.split(",")] if pre else None
+                ),
+            )
+        else:
+            seq = h.write(
+                df,
+                precombine=(
+                    [c.strip() for c in pre.split(",")] if pre else None
+                ),
+            )
         self.resolve(name)  # refresh the bound temp view
         return self.spark.createDataFrame([(str(seq),)], "result string")
 

@@ -954,3 +954,31 @@ def test_sql_truncate_and_show_create_table(spark, tmp_path):
     assert "`id` BIGINT" in ddl and "`v` STRING" in ddl
     assert "PRIMARY KEY (id) NOT ENFORCED" in ddl
     assert "'connector' = 'hudi'" in ddl
+
+
+def test_sql_insert_overwrite_single_commit(spark, tmp_path):
+    """INSERT OVERWRITE replaces the table contents in ONE commit
+    (new rows + tombstones for vanished keys); the pre-overwrite
+    state stays time-travelable."""
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    eng.sql(
+        f"""
+        CREATE TABLE ow (
+          id BIGINT, v STRING,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector' = 'hudi', 'path' = '{tmp_path / "ow"}',
+                'num_buckets' = '2')
+        """
+    )
+    eng.sql("INSERT INTO ow VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    h = eng.registry.upsert_handle("ow")
+    pre = h.last_commit_seq()
+    eng.sql("INSERT OVERWRITE ow VALUES (2, 'B'), (4, 'd')")
+    assert h.last_commit_seq() == pre + 1  # exactly one commit
+    got = {r["id"]: r["v"] for r in eng.sql("SELECT * FROM ow").collect()}
+    assert got == {2: "B", 4: "d"}
+    old = {
+        r["id"]: r["v"]
+        for r in eng.sql(f"SELECT * FROM ow VERSION AS OF {pre}").collect()
+    }
+    assert old == {1: "a", 2: "b", 3: "c"}
