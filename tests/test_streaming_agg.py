@@ -937,3 +937,61 @@ def test_stream_pattern_match_parity_with_batch(spark, tmp_path):
     )
     assert got == want
     assert len(got) > 20
+
+
+def test_window_tvf_sql_over_streaming_view(spark, tmp_path):
+    """The Flink window-TVF spellings run on STREAMING inputs too
+    (Flink's TVFs are streaming-first): TUMBLE and CUMULATE rewrite
+    to projection/explode + groupBy, which Structured Streaming
+    accepts; results match the batch run of the same statement."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import (
+        rewrite_window_tvf,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path / "tvffeed"
+    d.mkdir()
+    half = ev.count() // 2
+    ev.limit(half).write.parquet(str(d / "a.parquet"))
+    ev.subtract(ev.limit(half)).write.parquet(str(d / "b.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    stream.createOrReplaceTempView("events_stream_tvf")
+    ev.createOrReplaceTempView("events_batch_tvf")
+    for tvf in [
+        "TUMBLE(TABLE {t}, DESCRIPTOR(ts), INTERVAL '10' MINUTES)",
+        "CUMULATE(TABLE {t}, DESCRIPTOR(ts), INTERVAL '5' MINUTES, "
+        "INTERVAL '10' MINUTES)",
+    ]:
+        sql = (
+            "SELECT window_start, window_end, COUNT(*) AS n, "
+            "ROUND(SUM(value), 2) AS total FROM TABLE({tvf}) "
+            "GROUP BY window_start, window_end"
+        ).replace("{tvf}", tvf)
+        sdf = spark.sql(rewrite_window_tvf(sql.format(t="events_stream_tvf")))
+        assert sdf.isStreaming
+        qname = "tvfstream" + ("c" if "CUMULATE" in tvf else "t")
+        q = (
+            sdf.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", str(tmp_path / ("ck_" + qname)))
+            .start()
+        )
+        q.processAllAvailable()
+        got = sorted(
+            map(tuple, spark.sql(f"SELECT * FROM {qname}").collect())
+        )
+        q.stop()
+        want = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    rewrite_window_tvf(sql.format(t="events_batch_tvf"))
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0, tvf
