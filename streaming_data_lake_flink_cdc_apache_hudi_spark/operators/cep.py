@@ -22,9 +22,12 @@ numpy-backed pandas. Per-task memory is one key-group's timeline,
 the same keyed-state contract Flink's MATCH_RECOGNIZE operator has;
 the streaming flavor (``streaming/stateful.py:pattern_match_stream``)
 holds only the unfinalized tail per key. Backtracking is benign
-here: every pattern variable is a single literal type, so expansion
-is run-length bounded and the scan is O(rows · pattern_len) worst
-case, not regex-exponential.
+here: every pattern variable is a single literal type, so each
+attempt is run-length bounded (never regex-exponential), and the
+scan run-skips a failed unbounded first variable's whole run — the
+all-'a' never-matching worst case is O(rows); with a WITHIN bound
+the skip is disabled (a later start has a looser window) and the
+worst case is O(rows · within-span).
 """
 
 from __future__ import annotations
@@ -180,11 +183,23 @@ def scan_matches(
     enumerated, the fixed-sequence operator's convention)."""
     out: list[tuple[int, int, list[tuple[int, int, int]]]] = []
     p, n = 0, len(types)
+    first_et, _, first_hi = toks[0]
+    # run-skip: with an UNBOUNDED first variable and no WITHIN, a
+    # failed attempt at p implies failure at every later position of
+    # the same-type run (each continuation checkpoint from p+1 was
+    # already tried as a longer take from p) — turns the all-'a'
+    # never-matching worst case from O(n²) into O(n). Invalid under
+    # WITHIN: a later start has a LOOSER remaining window.
+    can_skip = first_hi is None and within_us is None
     while p < n:
         end, _, assigns = match_at(types, times_us, p, toks, within_us)
         if end is not None:
             out.append((p, end, assigns))
             p = end + 1 if skip_past_last_row else p + 1
+        elif can_skip and types[p] == first_et:
+            p += 1
+            while p < n and types[p] == first_et:
+                p += 1
         else:
             p += 1
     return out

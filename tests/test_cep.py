@@ -424,3 +424,48 @@ def test_match_recognize_measures_values(spark, tmp_path):
     assert (r8["a_sum"], r8["a_n"], r8["b_val"], r8["x_n"]) == (
         5.0, 1, 7.0, 0,
     )
+
+
+def test_quantified_run_skip_linear_on_pathological_run(spark):
+    """A never-matching unbounded first variable over one long run is
+    linear (run-skip), and the skip never changes results — verified
+    against brute force on run-heavy random data in both skip modes."""
+    import time as _time
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        parse_pattern,
+        scan_matches,
+    )
+
+    toks = parse_pattern(["a+", "b"])
+    n = 200_000
+    types = ["a"] * n
+    times = list(range(n))
+    t0 = _time.perf_counter()
+    assert scan_matches(types, times, toks, None, True) == []
+    assert _time.perf_counter() - t0 < 1.0  # O(n^2) would take minutes
+
+    # equivalence on run-heavy data (long same-type stretches)
+    rng = random.Random(99)
+    seq, ts = [], []
+    t = 0
+    while len(seq) < 400:
+        ty = rng.choice("aab")
+        run = rng.randint(1, 25)
+        for _ in range(run):
+            t += 1
+            seq.append(ty)
+            ts.append(t)
+    rows = [(i + 1, ts[i], seq[i]) for i in range(len(seq))]
+    for pattern in [["a+", "b"], ["a*", "b", "a?"], ["b", "a+"]]:
+        toks = parse_pattern(pattern)
+        for skip_past in (True, False):
+            got = [
+                (s, e)
+                for s, e, _ in scan_matches(
+                    seq, ts, toks, None, skip_past
+                )
+            ]
+            assert got == _brute(rows, pattern, None, skip_past), (
+                pattern, skip_past,
+            )
