@@ -716,11 +716,16 @@ class TableRegistry:
         h = self.upsert_handle(name)
         snap = h.snapshot()
         doomed = snap.filter(F.expr(cond)) if cond else snap
-        delta = doomed.withColumn("_dml_delete", F.lit(True))
-        n = delta.count()
-        if n:
-            h.write(delta, delete_col="_dml_delete")
-            self.resolve(name)
+        # persist: the affected-row count AND the commit write share
+        # one scan of the filtered snapshot
+        delta = doomed.withColumn("_dml_delete", F.lit(True)).persist()
+        try:
+            n = delta.count()
+            if n:
+                h.write(delta, delete_col="_dml_delete")
+                self.resolve(name)
+        finally:
+            delta.unpersist()
         return self.spark.createDataFrame(
             [(name, n)], "table STRING, deleted_rows BIGINT"
         )
@@ -767,11 +772,14 @@ class TableRegistry:
                 assigns.get(c, F.col(c)).cast(snap.schema[c].dataType).alias(c)
                 for c in snap.columns
             ]
-        )
-        n = delta.count()
-        if n:
-            h.write(delta)
-            self.resolve(name)
+        ).persist()  # count + commit write share one scan
+        try:
+            n = delta.count()
+            if n:
+                h.write(delta)
+                self.resolve(name)
+        finally:
+            delta.unpersist()
         return self.spark.createDataFrame(
             [(name, n)], "table STRING, updated_rows BIGINT"
         )
