@@ -800,8 +800,39 @@ class UpsertLakeTable:
         columns incl. read-time ``_partition_path``/``_file_name``.
         ``as_of_seq`` reads the table AS OF that commit (time travel —
         Hudi's point-in-time query); history visibility is bounded by
-        compaction, like Hudi's cleaner retention."""
+        compaction, like Hudi's cleaner retention — a point BEFORE a
+        compaction raises (the deltas are folded; a silent empty/stale
+        answer would be wrong), exactly the restore() rule."""
         self._ensure_recovered()
+        if as_of_seq is not None:
+            # servable horizon: the base preserves per-row WINNER seqs,
+            # so the state AT the last delta before a compaction is
+            # intact — but older versions it LWW-merged away are gone.
+            # Raise for points strictly before that horizon instead of
+            # serving a silently empty/stale answer.
+            try:
+                metas = list(self.commits()) + list(self._archived())
+            except Exception:
+                metas = list(self.commits())
+            comps = [m["seq"] for m in metas if m["kind"] == "compaction"]
+            if comps:
+                last_comp = max(comps)
+                horizon = max(
+                    (
+                        m["seq"]
+                        for m in metas
+                        if m["seq"] < last_comp and m["kind"] != "compaction"
+                    ),
+                    default=None,
+                )
+                if horizon is not None and int(as_of_seq) < horizon:
+                    raise ValueError(
+                        f"time travel to seq {as_of_seq}: compaction at "
+                        f"seq {last_comp} folded deltas before seq "
+                        f"{horizon} into the base; retained history "
+                        f"starts at {horizon} (take savepoints at a "
+                        "cadence >= compact_every)"
+                    )
         merged = self._merged(
             bucket_filter=bucket_filter, with_file=with_meta, as_of_seq=as_of_seq
         )

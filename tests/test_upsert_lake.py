@@ -1042,3 +1042,40 @@ def test_sync_incremental_chains_tables_exactly_once(spark, tmp_path):
         if f.startswith("_sync_from_")
     ]
     assert len(state) == 1
+
+
+def test_time_travel_before_compaction_raises(spark, tmp_path):
+    """as_of_seq strictly before the last delta preceding a compaction
+    must RAISE (the folded history cannot be served) — a silently
+    empty or stale answer would be wrong; the state AT that last
+    delta is still served exactly (winner seqs survive the fold)."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "ttc"), key="k", num_buckets=2,
+        compact_every=3,
+    )
+    for i, (k, v) in enumerate([(1, "a"), (1, "b"), (2, "c")], start=1):
+        t.write(
+            spark.createDataFrame([(k, v)], "k int, v string"),
+            commit_id=f"c{i}",
+        )
+    t.wait_for_compaction(timeout=60)
+    # 3 deltas triggered a compaction; seq 3 (the last delta) is the
+    # retained horizon and still serves the exact pre-fold state
+    horizon = {tuple(r) for r in t.snapshot(as_of_seq=3).collect()}
+    assert horizon == {(1, "b"), (2, "c")}
+    with _pytest.raises(ValueError, match="folded"):
+        t.snapshot(as_of_seq=1).collect()
+    # post-compaction deltas keep time traveling fine
+    t.write(
+        spark.createDataFrame([(2, "c2")], "k int, v string"), commit_id="c4"
+    )
+    seq4 = t.last_commit_seq()
+    assert {tuple(r) for r in t.snapshot(as_of_seq=seq4).collect()} == {
+        (1, "b"), (2, "c2"),
+    }
