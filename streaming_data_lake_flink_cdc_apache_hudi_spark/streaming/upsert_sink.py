@@ -622,6 +622,38 @@ class UpsertLakeTable:
 
     # -- read path (≙ snapshot query S4) ------------------------------------
 
+    def _check_travel_horizon(self, seq: int, what: str) -> None:
+        """Raise when ``seq`` predates the retained history horizon.
+        The base preserves per-row WINNER seqs, so the state AT the
+        last delta before the latest compaction is intact — but older
+        versions it LWW-merged away are gone; serving a point (or a
+        change-range start) strictly before that horizon would be a
+        silently empty/stale answer, so it raises instead (≙ Hudi
+        raising on incremental reads past cleaner retention)."""
+        try:
+            metas = list(self.commits()) + list(self._archived())
+        except Exception:
+            metas = list(self.commits())
+        comps = [m["seq"] for m in metas if m["kind"] == "compaction"]
+        if not comps:
+            return
+        last_comp = max(comps)
+        horizon = max(
+            (
+                m["seq"]
+                for m in metas
+                if m["seq"] < last_comp and m["kind"] != "compaction"
+            ),
+            default=None,
+        )
+        if horizon is not None and seq < horizon:
+            raise ValueError(
+                f"{what} seq {seq}: compaction at seq {last_comp} "
+                f"folded deltas before seq {horizon} into the base; "
+                f"retained history starts at {horizon} (take "
+                "savepoints at a cadence >= compact_every)"
+            )
+
     def _merged(
         self,
         bucket_filter: Sequence[int] | None = None,
@@ -805,34 +837,7 @@ class UpsertLakeTable:
         answer would be wrong), exactly the restore() rule."""
         self._ensure_recovered()
         if as_of_seq is not None:
-            # servable horizon: the base preserves per-row WINNER seqs,
-            # so the state AT the last delta before a compaction is
-            # intact — but older versions it LWW-merged away are gone.
-            # Raise for points strictly before that horizon instead of
-            # serving a silently empty/stale answer.
-            try:
-                metas = list(self.commits()) + list(self._archived())
-            except Exception:
-                metas = list(self.commits())
-            comps = [m["seq"] for m in metas if m["kind"] == "compaction"]
-            if comps:
-                last_comp = max(comps)
-                horizon = max(
-                    (
-                        m["seq"]
-                        for m in metas
-                        if m["seq"] < last_comp and m["kind"] != "compaction"
-                    ),
-                    default=None,
-                )
-                if horizon is not None and int(as_of_seq) < horizon:
-                    raise ValueError(
-                        f"time travel to seq {as_of_seq}: compaction at "
-                        f"seq {last_comp} folded deltas before seq "
-                        f"{horizon} into the base; retained history "
-                        f"starts at {horizon} (take savepoints at a "
-                        "cadence >= compact_every)"
-                    )
+            self._check_travel_horizon(int(as_of_seq), "time travel to")
         merged = self._merged(
             bucket_filter=bucket_filter, with_file=with_meta, as_of_seq=as_of_seq
         )
@@ -1058,14 +1063,17 @@ class UpsertLakeTable:
         this is the non-default one), the natural consumer of the
         commit log for chained pipelines.
 
-        Like Hudi, incremental visibility is bounded by compaction:
-        once commits are folded into the base their per-commit
-        attribution collapses to the compaction seq. Read path:
-        changed keys come from a `_commit_seq > N` scan filter (per
-        log file this is a parquet min/max stats skip), then the
-        state read is bucket-pruned to the changed keys' buckets when
-        the table is bucketed on its key."""
+        Like Hudi, incremental visibility is bounded by compaction: a
+        ``since_seq`` strictly before the retained horizon RAISES
+        (compaction physically drops tombstones, so serving it would
+        silently lose the range's delete markers — the consumer must
+        re-baseline, exactly Hudi's behavior past cleaner retention).
+        Read path: changed keys come from a `_commit_seq > N` scan
+        filter (per log file this is a parquet min/max stats skip),
+        then the state read is bucket-pruned to the changed keys'
+        buckets when the table is bucketed on its key."""
         self._ensure_recovered()
+        self._check_travel_horizon(int(since_seq), "incremental since")
         base, log = self._read_dir(self._base), self._read_dir(self._log)
         parts = [d for d in (base, log) if d is not None]
         if not parts:
@@ -1129,6 +1137,7 @@ class UpsertLakeTable:
         self._ensure_recovered()
         end_seq = self.last_commit_seq() if end_seq is None else int(end_seq)
         since_seq = int(since_seq)
+        self._check_travel_horizon(since_seq, "changes since")
         base, log = self._read_dir(self._base), self._read_dir(self._log)
         parts = [d for d in (base, log) if d is not None]
         if not parts:

@@ -1079,3 +1079,41 @@ def test_time_travel_before_compaction_raises(spark, tmp_path):
     assert {tuple(r) for r in t.snapshot(as_of_seq=seq4).collect()} == {
         (1, "b"), (2, "c2"),
     }
+
+
+def test_incremental_and_changes_before_horizon_raise(spark, tmp_path):
+    """incremental()/changes() with a range start strictly before the
+    compaction horizon must raise — compaction physically drops
+    tombstones, so serving the range would silently lose its delete
+    markers."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "inc_h"), key="k", num_buckets=2,
+        compact_every=3,
+    )
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+            commit_id="c1")
+    t.write(
+        spark.createDataFrame([(2, "b")], "k int, v string").withColumn(
+            "_d", F.lit(True)
+        ),
+        commit_id="c2",
+        delete_col="_d",
+    )
+    t.write(spark.createDataFrame([(3, "c")], "k int, v string"),
+            commit_id="c3")
+    t.wait_for_compaction(timeout=60)
+    with _pytest.raises(ValueError, match="folded"):
+        t.incremental(since_seq=1).collect()
+    with _pytest.raises(ValueError, match="folded"):
+        t.changes(since_seq=1).collect()
+    # from the horizon forward still serves
+    t.write(spark.createDataFrame([(4, "d")], "k int, v string"),
+            commit_id="c4")
+    got = {r["k"] for r in t.incremental(since_seq=3).collect()}
+    assert got == {4}
