@@ -102,15 +102,18 @@ def test_slices_are_filename_arithmetic_only(spark, tmp_path):
     assert by_inst == {t1, t2}
 
 
-def test_mor_log_files_gate(spark, tmp_path):
+def test_mor_log_without_meta_fields_gates(spark, tmp_path):
+    """MoR log merging needs _hoodie_record_key in the base files;
+    this table's bases carry no meta fields, so the real-time view
+    gates rather than mis-merging, while read-optimized serves the
+    base-only view. (Full real-time merging over meta-field bases:
+    tests/test_hudi_log.py.)"""
     root = str(tmp_path / "hudi_mor")
     _mk_table(spark, root)
-    # an unmerged MoR log file: snapshot read must refuse,
-    # read-optimized must serve base files
     open(
         os.path.join(root, f".{FG1}_20240101000000002.log.1_0-1-0"), "w"
     ).close()
-    with pytest.raises(UnsupportedHudiFeature):
+    with pytest.raises(UnsupportedHudiFeature, match="record_key"):
         read_hudi(spark, root)
     got = sorted(map(tuple, read_hudi(spark, root, read_optimized=True).collect()))
     assert got == [(1, "a"), (2, "B2"), (3, "c")]

@@ -1,0 +1,220 @@
+"""Hudi MoR log-file codec (sources/hudi_log.py) and the real-time
+read view it enables (read_hudi merging base parquet with log
+blocks) — spec-layout fixtures, cf.
+https://hudi.apache.org/tech-specs/#log-file-format and the
+reference's MERGE_ON_READ tables (CDC-Hudi-Notebook.zpln:292 ¶7)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources import hudi_log as HL
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+    export_hudi_cow,
+    read_hudi,
+)
+
+_SCHEMA = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {"name": "_hoodie_record_key", "type": "string"},
+        {"name": "k", "type": "long"},
+        {"name": "v", "type": ["null", "string"]},
+    ],
+}
+
+
+def test_log_codec_round_trip_rollback_and_corrupt_tail():
+    b1 = HL.encode_block(
+        "avro",
+        {HL.INSTANT_TIME: "001"},
+        records=[
+            {"_hoodie_record_key": "1", "k": 1, "v": "a"},
+            {"_hoodie_record_key": "2", "k": 2, "v": "b"},
+        ],
+        schema=_SCHEMA,
+    )
+    b2 = HL.encode_block(
+        "delete",
+        {HL.INSTANT_TIME: "002"},
+        records=[{"recordKey": "2", "partitionPath": "", "orderingVal": 5}],
+    )
+    b3 = HL.encode_block(
+        "avro",
+        {HL.INSTANT_TIME: "003"},
+        records=[{"_hoodie_record_key": "1", "k": 1, "v": "a2"}],
+        schema=_SCHEMA,
+    )
+    rb = HL.encode_block(
+        "command",
+        {HL.TARGET_INSTANT_TIME: "003", HL.COMMAND_BLOCK_TYPE: "0"},
+    )
+    blocks = HL.decode_blocks(b1 + b2 + b3 + rb)
+    assert [b["type"] for b in blocks] == ["avro", "delete", "avro", "command"]
+    assert blocks[0]["records"][1] == {
+        "_hoodie_record_key": "2", "k": 2, "v": "b",
+    }
+    assert blocks[1]["records"][0]["recordKey"] == "2"
+    # rollback drops the 003 data block AND the command block itself
+    after = HL.apply_rollbacks(blocks)
+    assert [
+        (b["type"], b["header"].get(HL.INSTANT_TIME)) for b in after
+    ] == [("avro", "001"), ("delete", "002")]
+    # a truncated trailing block surfaces as corrupt and ends the scan
+    broken = HL.decode_blocks(b1 + HL.MAGIC + b"\x00\x01")
+    assert [b["type"] for b in broken] == ["avro", "corrupt"]
+
+
+def _mor_fixture(spark, tmp_path):
+    """CoW base (2 keys per file group) + a spec-named log file with
+    an upsert, an insert, a delete, and a rolled-back block; every
+    visible instant committed on the timeline as a deltacommit."""
+    path = str(tmp_path / "mor")
+    src = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three"), (4, "four")],
+        "k long, v string",
+    )
+    export_hudi_cow(
+        src, path, record_key="k", instant="20240601000000000", num_files=1
+    )
+    base = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+    file_id = base.split("_")[0]
+    blocks = [
+        HL.encode_block(  # upsert k=2, insert k=9
+            "avro",
+            {HL.INSTANT_TIME: "20240601000001000"},
+            records=[
+                {"_hoodie_record_key": "2", "k": 2, "v": "two-v2"},
+                {"_hoodie_record_key": "9", "k": 9, "v": "nine"},
+            ],
+            schema=_SCHEMA,
+        ),
+        HL.encode_block(  # delete k=3
+            "delete",
+            {HL.INSTANT_TIME: "20240601000002000"},
+            records=[
+                {"recordKey": "3", "partitionPath": "", "orderingVal": 0}
+            ],
+        ),
+        HL.encode_block(  # later upsert of k=2 again, then ROLLED BACK
+            "avro",
+            {HL.INSTANT_TIME: "20240601000003000"},
+            records=[
+                {"_hoodie_record_key": "2", "k": 2, "v": "two-v3-rolled"}
+            ],
+            schema=_SCHEMA,
+        ),
+        HL.encode_block(
+            "command",
+            {
+                HL.TARGET_INSTANT_TIME: "20240601000003000",
+                HL.COMMAND_BLOCK_TYPE: "0",
+            },
+        ),
+    ]
+    HL.write_log_file(
+        os.path.join(
+            path, HL.log_file_name(file_id, "20240601000000000")
+        ),
+        blocks,
+    )
+    for inst in ("20240601000001000", "20240601000002000"):
+        open(os.path.join(path, ".hoodie", f"{inst}.deltacommit"), "w").close()
+    return path
+
+
+def test_read_hudi_merges_log_blocks_real_time_view(spark, tmp_path):
+    path = _mor_fixture(spark, tmp_path)
+    got = sorted(
+        map(tuple, read_hudi(spark, path).select("k", "v").collect())
+    )
+    # upsert applied, insert visible, delete dropped, rolled-back
+    # block invisible
+    assert got == [(1, "one"), (2, "two-v2"), (4, "four"), (9, "nine")]
+    # read-optimized still serves the base-only columnar view
+    ro = sorted(
+        map(
+            tuple,
+            read_hudi(spark, path, read_optimized=True)
+            .select("k", "v")
+            .collect(),
+        )
+    )
+    assert ro == [(1, "one"), (2, "two"), (3, "three"), (4, "four")]
+
+
+def test_read_hudi_log_uncommitted_instants_invisible(spark, tmp_path):
+    """Blocks whose instant has no completed deltacommit on the
+    timeline are in-flight and must not be served (crash
+    consistency)."""
+    path = _mor_fixture(spark, tmp_path)
+    os.remove(
+        os.path.join(path, ".hoodie", "20240601000002000.deltacommit")
+    )
+    got = sorted(
+        map(tuple, read_hudi(spark, path).select("k", "v").collect())
+    )
+    # the delete of k=3 is now in-flight -> row stays visible
+    assert got == [
+        (1, "one"), (2, "two-v2"), (3, "three"), (4, "four"), (9, "nine"),
+    ]
+
+
+def test_read_hudi_log_time_travel(spark, tmp_path):
+    path = _mor_fixture(spark, tmp_path)
+    got = sorted(
+        map(
+            tuple,
+            read_hudi(spark, path, as_of="20240601000001000")
+            .select("k", "v")
+            .collect(),
+        )
+    )
+    # as-of before the delete: k=3 still present, upsert+insert visible
+    assert got == [
+        (1, "one"), (2, "two-v2"), (3, "three"), (4, "four"), (9, "nine"),
+    ]
+
+
+def test_read_hudi_log_without_record_key_gates(spark, tmp_path):
+    """Log merging needs _hoodie_record_key in the base files; a base
+    without it still gates rather than mis-merging."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        UnsupportedHudiFeature,
+    )
+
+    path = str(tmp_path / "plain")
+    os.makedirs(os.path.join(path, ".hoodie"))
+    spark.createDataFrame([(1, "x")], "k long, v string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "stage"))
+    part = [
+        f for f in os.listdir(str(tmp_path / "stage")) if f.endswith(".parquet")
+    ][0]
+    fid = "00000000-0000-0000-0000-000000000000-0"
+    os.replace(
+        os.path.join(str(tmp_path / "stage"), part),
+        os.path.join(path, f"{fid}_0-0-0_20240601000000000.parquet"),
+    )
+    open(
+        os.path.join(path, ".hoodie", "20240601000000000.commit"), "w"
+    ).write("{}")
+    HL.write_log_file(
+        os.path.join(path, HL.log_file_name(fid, "20240601000000000")),
+        [
+            HL.encode_block(
+                "avro",
+                {HL.INSTANT_TIME: "20240601000001000"},
+                records=[{"_hoodie_record_key": "1", "k": 1, "v": "y"}],
+                schema=_SCHEMA,
+            )
+        ],
+    )
+    open(
+        os.path.join(path, ".hoodie", "20240601000001000.deltacommit"), "w"
+    ).close()
+    with pytest.raises(UnsupportedHudiFeature, match="record_key"):
+        read_hudi(spark, path).collect()
