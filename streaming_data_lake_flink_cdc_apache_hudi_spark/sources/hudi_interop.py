@@ -22,11 +22,14 @@ slice selection is pure filename arithmetic (no data-file IO); the
 result is one parquet scan over exactly the live files, so pushdown,
 pruning, and partition discovery are Spark-native.
 
-Boundary (enforced): merge-on-read log files (``.log.*``) require the
-Hudi runtime's record merger; if the table has any, this reader
-serves the read-optimized view (base files only) — the same contract
-as Hudi's own read-optimized query type — and a snapshot read raises
-``UnsupportedHudiFeature`` instead of silently dropping updates.
+MERGE_ON_READ real-time view: un-compacted log files (``.log.*``)
+are decoded with the ``hudi_log`` codec distributedly and merged per
+record key on top of the base files (rollback command blocks and
+in-flight instants honored); ``read_optimized=True`` keeps the
+base-only view. :func:`export_hudi_mor` writes the complementary
+layout — base at the engine table's compaction horizon + one log
+block per later delta commit. Remaining boundary: bases without the
+``_hoodie_record_key`` meta field gate rather than mis-merging.
 """
 
 from __future__ import annotations
@@ -386,7 +389,6 @@ def export_hudi_cow(
     commit phase has. Returns the number of base files committed.
     """
     import time as _time
-    import uuid as _uuid
 
     if instant is None:
         instant = _time.strftime("%Y%m%d%H%M%S") + "000"
@@ -399,7 +401,7 @@ def export_hudi_cow(
     # from the partition id so _hoodie_file_name can be materialized
     # BEFORE the files exist
     def file_id(pid: int) -> str:
-        return str(_uuid.uuid5(_uuid.NAMESPACE_URL, f"{name}/{pid}")) + "-0"
+        return _export_file_id(name, pid)
 
     def file_name(pid: int) -> str:
         return f"{file_id(pid)}_0-{pid}-0_{instant}.parquet"
@@ -499,3 +501,210 @@ def export_hudi_cow(
     with open(os.path.join(path, _HOODIE, f"{instant}.commit"), "w") as fh:
         json.dump(meta, fh)
     return len(write_stats)
+
+
+def _export_file_id(name: str, pid: int) -> str:
+    import uuid as _uuid
+
+    return str(_uuid.uuid5(_uuid.NAMESPACE_URL, f"{name}/{pid}")) + "-0"
+
+
+def _avro_schema_for(fields) -> dict:
+    """Spark payload schema → Avro writer schema for log records
+    (timestamps as timestamp-micros longs, nullable unions)."""
+    from pyspark.sql import types as T
+
+    prim = {
+        T.LongType: "long",
+        T.IntegerType: "int",
+        T.DoubleType: "double",
+        T.FloatType: "float",
+        T.StringType: "string",
+        T.BooleanType: "boolean",
+        T.TimestampType: "long",  # timestamp-micros
+    }
+    out = [{"name": "_hoodie_record_key", "type": "string"}]
+    for f in fields:
+        t = prim.get(type(f.dataType))
+        if t is None:
+            raise UnsupportedHudiFeature(
+                f"MoR log export: no Avro mapping for column "
+                f"{f.name}: {f.dataType.simpleString()}"
+            )
+        out.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": "rec", "fields": out}
+
+
+def export_hudi_mor(
+    table,
+    path: str,
+    num_files: int = 4,
+    table_name: str | None = None,
+) -> dict:
+    """Export an engine ``UpsertLakeTable`` as a MERGE_ON_READ layout:
+    base files at the table's compaction horizon (or its first commit)
+    via :func:`export_hudi_cow`, plus ONE log file per base file group
+    holding one Avro-data/delete block PER LATER DELTA COMMIT — the
+    reference's table type (``'table.type' = 'MERGE_ON_READ'``,
+    zpln:292 ¶7), so un-compacted engine state exports without a full
+    rewrite. Every delta instant completes on the timeline as a
+    ``.deltacommit``; :func:`read_hudi` serves the real-time view and
+    ``read_optimized=True`` the base-only one.
+
+    Scale: the base goes through the distributed CoW exporter; delta
+    rows route to their owning file group by the SAME hash
+    (pmod(hash(key), num_files) — the CoW repartition's assignment)
+    and each group's log file is written by its own Arrow-batched
+    task through ``pyarrow.fs`` (one applyInPandas pass over the
+    delta, per-commit blocks sorted in-task; driver sees one stats
+    row per group). Returns {"data_files", "log_files",
+    "delta_commits"}."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from . import hudi_log as HL
+
+    name = table_name or os.path.basename(table.path.rstrip("/"))
+    key = table.key[0] if isinstance(table.key, list) else table.key
+
+    def inst(seq: int) -> str:
+        # 17-digit Hudi instant (yyyyMMddHHmmssSSS-shaped), monotone
+        # in the commit seq
+        return str(20000101000000000 + int(seq))
+
+    commits = list(table.commits())
+    comps = [c["seq"] for c in commits if c["kind"] == "compaction"]
+    deltas = sorted(
+        c["seq"] for c in commits if c["kind"] != "compaction"
+    )
+    if not deltas:
+        raise FileNotFoundError(f"nothing to export at {table.path}")
+    if comps:
+        last_comp = max(comps)
+        base_seq = max(s for s in deltas if s < last_comp)
+    else:
+        base_seq = deltas[0]
+    later = [s for s in deltas if s > base_seq]
+
+    base_df = table.snapshot(as_of_seq=base_seq)
+    n_data = export_hudi_cow(
+        base_df,
+        path,
+        record_key=key,
+        table_name=name,
+        instant=inst(base_seq),
+        num_files=num_files,
+    )
+    if not later:
+        return {"data_files": n_data, "log_files": 0, "delta_commits": 0}
+
+    payload_fields = [f for f in base_df.schema.fields]
+    avro_schema = _avro_schema_for(payload_fields)
+    names = [f.name for f in payload_fields]
+    from pyspark.sql import types as T
+
+    ts_cols = {
+        f.name
+        for f in payload_fields
+        if isinstance(f.dataType, T.TimestampType)
+    }
+    raw = table._read_dir(table._log)
+    delta_rows = (
+        raw.filter(F.col("_commit_seq") > int(base_seq))
+        .select(
+            *names,
+            F.col("_op"),
+            F.col("_commit_seq").cast("long").alias("_seq"),
+            F.pmod(F.hash(F.col(key)), F.lit(num_files)).alias("_pid"),
+        )
+    )
+    base_instant = inst(base_seq)
+    dest_abs = os.path.abspath(path)
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.fs as pafs
+
+        if not len(pdf):
+            return pd.DataFrame(
+                [], columns=["pid", "n_blocks", "n_records"]
+            )
+        pid = int(pdf["_pid"].iat[0])
+        pdf = pdf.sort_values("_seq", kind="mergesort")
+        blocks = []
+        for seq, grp in pdf.groupby("_seq", sort=True):
+            header = {HL.INSTANT_TIME: inst(int(seq))}
+            ups = grp[grp["_op"] != "D"]
+            dels = grp[grp["_op"] == "D"]
+            if len(ups):
+                recs = []
+                for _, r in ups.iterrows():
+                    rec = {"_hoodie_record_key": str(r[key])}
+                    for nm in names:
+                        v = r[nm]
+                        if pd.isna(v):
+                            v = None
+                        elif nm in ts_cols:
+                            v = int(pd.Timestamp(v).value // 1000)
+                        elif isinstance(v, (pd.Timestamp,)):
+                            v = int(v.value // 1000)
+                        else:
+                            v = v.item() if hasattr(v, "item") else v
+                        rec[nm] = v
+                    recs.append(rec)
+                blocks.append(
+                    HL.encode_block(
+                        "avro", header, records=recs, schema=avro_schema
+                    )
+                )
+            if len(dels):
+                blocks.append(
+                    HL.encode_block(
+                        "delete",
+                        header,
+                        records=[
+                            {
+                                "recordKey": str(r[key]),
+                                "partitionPath": "",
+                                "orderingVal": int(seq),
+                            }
+                            for _, r in dels.iterrows()
+                        ],
+                    )
+                )
+        fname = HL.log_file_name(
+            _export_file_id(name, pid), base_instant
+        )
+        fs, rel = pafs.FileSystem.from_uri(
+            "file://" + os.path.join(dest_abs, fname)
+        )
+        with fs.open_output_stream(rel) as fh:
+            for b in blocks:
+                fh.write(b)
+        return pd.DataFrame(
+            [
+                {
+                    "pid": pid,
+                    "n_blocks": len(blocks),
+                    "n_records": int(len(pdf)),
+                }
+            ]
+        )
+
+    stats = (
+        delta_rows.groupBy("_pid")
+        .applyInPandas(
+            write_group, "pid int, n_blocks int, n_records long"
+        )
+        .collect()
+    )
+    for s in later:
+        open(
+            os.path.join(path, _HOODIE, f"{inst(s)}.deltacommit"), "w"
+        ).close()
+    return {
+        "data_files": n_data,
+        "log_files": len(stats),
+        "delta_commits": len(later),
+    }

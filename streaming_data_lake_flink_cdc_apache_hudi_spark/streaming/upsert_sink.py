@@ -1023,16 +1023,32 @@ class UpsertLakeTable:
             name=os.path.basename(self.path.rstrip("/")),
         )
 
-    def export_hudi(self, dest: str, instant: str | None = None) -> int:
-        """Materialize the current snapshot as a spec-conformant Hudi
-        COPY_ON_WRITE table at ``dest`` (base-file naming, .hoodie
-        timeline, materialized ``_hoodie_*`` meta columns) so external
-        Hudi readers — including this engine's own ``read_hudi`` and
-        Athena's Hudi integration (lib/rds-cdc-flink-hudi-stack.ts:
-        470-519) — can mount the lake's output without this engine.
-        See ``sources/hudi_interop.export_hudi_cow``."""
-        from ..sources.hudi_interop import export_hudi_cow
+    def export_hudi(
+        self, dest: str, instant: str | None = None, mode: str = "cow"
+    ) -> int:
+        """Materialize the table as a spec-conformant Hudi layout at
+        ``dest`` so external Hudi readers — including this engine's
+        own ``read_hudi`` and Athena's Hudi integration
+        (lib/rds-cdc-flink-hudi-stack.ts:470-519) — can mount the
+        lake's output without this engine.
 
+        ``mode="cow"``: the current snapshot as COPY_ON_WRITE
+        (base-file naming, .hoodie timeline, materialized
+        ``_hoodie_*`` meta columns). ``mode="mor"``: MERGE_ON_READ —
+        base at the compaction horizon plus one log block per later
+        delta commit (the reference's table type), un-compacted state
+        exported without a full rewrite. See
+        ``sources/hudi_interop.export_hudi_cow`` / ``export_hudi_mor``."""
+        from ..sources.hudi_interop import export_hudi_cow, export_hudi_mor
+
+        if mode == "mor":
+            return export_hudi_mor(
+                self,
+                dest,
+                table_name=os.path.basename(self.path.rstrip("/")),
+            )["data_files"]
+        if mode != "cow":
+            raise ValueError(f"unknown export mode {mode!r}")
         return export_hudi_cow(
             self.snapshot(),
             dest,

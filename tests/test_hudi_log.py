@@ -218,3 +218,62 @@ def test_read_hudi_log_without_record_key_gates(spark, tmp_path):
     ).close()
     with pytest.raises(UnsupportedHudiFeature, match="record_key"):
         read_hudi(spark, path).collect()
+
+
+def test_export_hudi_mor_round_trips_uncompacted_state(spark, tmp_path):
+    """export_hudi_mor: base at the engine table's first commit + one
+    log block per later delta commit (upserts AND deletes), written
+    per file group by executors; read_hudi's real-time view
+    reproduces the live snapshot, read_optimized the base state."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        export_hudi_mor,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+    from pyspark.sql import functions as F
+
+    t = UpsertLakeTable(
+        spark, str(tmp_path / "src"), key="k", num_buckets=2,
+        compact_every=100,
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)],
+            "k long, v string, x double",
+        ),
+        commit_id="c1",
+    )
+    t.write(
+        spark.createDataFrame([(2, "B2", 9.0), (4, "d", 4.5)],
+                              "k long, v string, x double"),
+        commit_id="c2",
+    )
+    t.write(
+        spark.createDataFrame([(3, "c", 0.0)], "k long, v string, x double")
+        .withColumn("_del", F.lit(True)),
+        commit_id="c3",
+        delete_col="_del",
+    )
+    dest = str(tmp_path / "mor_out")
+    res = export_hudi_mor(t, dest, num_files=2)
+    assert res["data_files"] >= 1 and res["delta_commits"] == 2
+    assert res["log_files"] >= 1
+
+    rt = sorted(
+        map(tuple, read_hudi(spark, dest).select("k", "v", "x").collect())
+    )
+    want = sorted(
+        map(tuple, t.snapshot().select("k", "v", "x").collect())
+    )
+    assert rt == want == [(1, "a", 1.5), (2, "B2", 9.0), (4, "d", 4.5)]
+    ro = sorted(
+        map(
+            tuple,
+            read_hudi(spark, dest, read_optimized=True)
+            .select("k", "v", "x")
+            .collect(),
+        )
+    )
+    # base = state at commit 1
+    assert ro == [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)]
