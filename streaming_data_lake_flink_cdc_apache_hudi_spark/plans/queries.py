@@ -1760,6 +1760,60 @@ def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hudi_mor_read",
+    """
+SELECT * FROM (VALUES
+  ('id1', 'Danny', 23),
+  ('id2', 'Stephen II', 34)
+) AS t(uuid, name, age)
+""",
+    doc="Hudi MERGE_ON_READ round trip, value-oracled: a 3-commit "
+    "engine lake table (insert, upsert, hard delete) exports as a "
+    "MoR layout (base at the first commit + one HoodieLogFile block "
+    "per later delta commit, sources/hudi_log.py codec) and "
+    "read_hudi's REAL-TIME view — distributed log decode, rollback/"
+    "in-flight filtering, one record-key merge window — serves "
+    "exactly the live state: the upsert applied, the deleted key "
+    "gone. Literal oracle pins the merge contract; cf. reference "
+    "'table.type'='MERGE_ON_READ' (CDC-Hudi-Notebook.zpln:292 ¶7).",
+)
+def q_hudi_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.hudi_interop import export_hudi_mor, read_hudi
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    root = tempfile.mkdtemp(prefix="mor_read_")
+    t = UpsertLakeTable(
+        spark, f"{root}/t", key="uuid", num_buckets=2, compact_every=100
+    )
+    schema = "uuid string, name string, age int"
+    t.write(
+        spark.createDataFrame(
+            [("id1", "Danny", 23), ("id2", "Stephen", 33),
+             ("id4", "Fabian", 31)],
+            schema,
+        ),
+        commit_id="c1",
+    )
+    t.write(
+        spark.createDataFrame([("id2", "Stephen II", 34)], schema),
+        commit_id="c2",
+    )
+    t.write(
+        spark.createDataFrame([("id4", "Fabian", 31)], schema).withColumn(
+            "_del", F.lit(True)
+        ),
+        commit_id="c3",
+        delete_col="_del",
+    )
+    # base = commit 1; the upsert (c2) and the hard delete (c3)
+    # travel as log blocks
+    export_hudi_mor(t, f"{root}/mor", num_files=2)
+    return read_hudi(spark, f"{root}/mor").select("uuid", "name", "age")
+
+
+@register(
     "time_travel_read",
     f"""
 SELECT uuid, name, age FROM {_t1_values_sql(_T1_ROWS)}
