@@ -13,8 +13,10 @@ then map-side comparisons. No joins, no state, no quantifier
 backtracking. :func:`pattern_match` stays the windowed fast path for
 fixed sequences.
 
-Greedy quantifiers (``A+ B* C?``) and ``AFTER MATCH SKIP PAST LAST
-ROW`` genuinely need sequential per-key matching, so
+Quantifiers — greedy (``A+ B* C?``) and reluctant (``A+? B*? C??``)
+— and the ``AFTER MATCH SKIP`` family (``PAST LAST ROW``,
+``TO FIRST|LAST <var>``) genuinely need sequential per-key matching,
+so
 :func:`pattern_match_quantified` runs the Arrow-batched grouped path
 (``applyInPandas``): ONE shuffle on the key — the identical exchange
 the window version pays — then a per-key greedy backtracking scan in
@@ -91,23 +93,32 @@ def pattern_match(
 # -- greedy-quantifier matcher core (shared with the streaming flavor) ------
 
 
-def parse_pattern(pattern: Sequence[str]) -> list[tuple[str, int, int | None]]:
-    """``["a+", "b*", "c?", "d"]`` → ``[(type, min_rep, max_rep)]``
-    with ``max_rep=None`` meaning unbounded. Flink MATCH_RECOGNIZE's
-    greedy quantifier surface (reluctant variants are out of scope —
-    with single-literal variables and ONE ROW PER MATCH they only
-    change which of several overlapping matches is reported)."""
-    toks: list[tuple[str, int, int | None]] = []
+def parse_pattern(
+    pattern: Sequence[str],
+) -> list[tuple[str, int, int | None, bool]]:
+    """``["a+", "b*?", "c?", "d"]`` → ``[(type, min_rep, max_rep,
+    greedy)]`` with ``max_rep=None`` meaning unbounded. Covers Flink
+    MATCH_RECOGNIZE's greedy (``+ * ?``) AND reluctant (``+? *? ??``)
+    quantifier surface: with single-literal variables both yield the
+    same match SET under SKIP TO NEXT ROW, but under SKIP PAST LAST
+    ROW / SKIP TO FIRST|LAST the consumed span decides where the scan
+    resumes, so greediness changes the result — e.g. ``a+? b`` takes
+    the shortest a-run reaching a b."""
+    toks: list[tuple[str, int, int | None, bool]] = []
     for p in pattern:
-        if p.endswith("+"):
-            toks.append((p[:-1], 1, None))
-        elif p.endswith("*"):
-            toks.append((p[:-1], 0, None))
-        elif p.endswith("?"):
-            toks.append((p[:-1], 0, 1))
+        greedy = not p.endswith("??") and not (
+            len(p) > 1 and p[-1] == "?" and p[-2] in "+*"
+        )
+        core = p[:-1] if not greedy else p
+        if core.endswith("+"):
+            toks.append((core[:-1], 1, None, greedy))
+        elif core.endswith("*"):
+            toks.append((core[:-1], 0, None, greedy))
+        elif core.endswith("?"):
+            toks.append((core[:-1], 0, 1, greedy))
         else:
-            toks.append((p, 1, 1))
-    if not any(lo > 0 for _, lo, _ in toks):
+            toks.append((core, 1, 1, True))
+    if not any(lo > 0 for _, lo, _, _ in toks):
         raise ValueError(
             "pattern must contain at least one non-optional variable"
         )
@@ -118,11 +129,12 @@ def match_at(
     types,
     times_us,
     start: int,
-    toks: list[tuple[str, int, int | None]],
+    toks: list[tuple[str, int, int | None, bool]],
     within_us: int | None,
 ) -> tuple[int | None, bool, list[tuple[int, int, int]]]:
-    """Greedy-with-backtracking match attempt at row ``start`` over a
-    per-key timeline sorted by (time, tiebreak). Returns
+    """Backtracking match attempt at row ``start`` over a per-key
+    timeline sorted by (time, tiebreak) — greedy tokens expand
+    longest-first, reluctant tokens shortest-first. Returns
     ``(end_index_inclusive | None, hit_buffer_end, assignments)`` —
     the flag is True when any quantifier expansion was truncated by
     the END of the buffer (rather than a mismatching row or the
@@ -145,7 +157,7 @@ def match_at(
         nonlocal hit_end
         if ti == len(toks):
             return (pos - 1, []) if pos > start else None
-        et, lo, hi = toks[ti]
+        et, lo, hi, greedy = toks[ti]
         k = 0
         while (
             pos + k < n
@@ -156,7 +168,10 @@ def match_at(
             k += 1
         if pos + k >= n and (hi is None or k < hi):
             hit_end = True
-        for take in range(k, lo - 1, -1):
+        takes = (
+            range(k, lo - 1, -1) if greedy else range(lo, k + 1)
+        )
+        for take in takes:
             r = rec(pos + take, ti + 1)
             if r is not None:
                 end, tail = r
@@ -172,30 +187,65 @@ def match_at(
 def scan_matches(
     types,
     times_us,
-    toks: list[tuple[str, int, int | None]],
+    toks: list[tuple[str, int, int | None, bool]],
     within_us: int | None,
     skip_past_last_row: bool,
+    skip_to: tuple[str, Sequence[int]] | None = None,
 ) -> list[tuple[int, int, list[tuple[int, int, int]]]]:
     """Left-to-right scan emitting every match as (start, end,
     assignments) triples. ``skip_past_last_row`` resumes after a
     match's last row (AFTER MATCH SKIP PAST LAST ROW — matches never
     overlap); otherwise at start+1 (SKIP TO NEXT ROW — overlaps
-    enumerated, the fixed-sequence operator's convention)."""
+    enumerated, the fixed-sequence operator's convention).
+
+    ``skip_to`` overrides both: ``("first"|"last", token_indices)``
+    resumes AT the first/last row the named variable's tokens
+    consumed (AFTER MATCH SKIP TO FIRST|LAST <var> — that row is
+    re-examined as a potential next start). Like Flink, a resume
+    point equal to the match's own start row (or a variable that
+    consumed no rows) raises — it cannot make progress."""
     out: list[tuple[int, int, list[tuple[int, int, int]]]] = []
     p, n = 0, len(types)
-    first_et, _, first_hi = toks[0]
+    first_et, _, first_hi, _ = toks[0]
     # run-skip: with an UNBOUNDED first variable and no WITHIN, a
     # failed attempt at p implies failure at every later position of
     # the same-type run (each continuation checkpoint from p+1 was
-    # already tried as a longer take from p) — turns the all-'a'
-    # never-matching worst case from O(n²) into O(n). Invalid under
-    # WITHIN: a later start has a LOOSER remaining window.
+    # already tried as a longer take from p; reluctant order tries the
+    # same take set) — turns the all-'a' never-matching worst case
+    # from O(n²) into O(n). Invalid under WITHIN: a later start has a
+    # LOOSER remaining window.
     can_skip = first_hi is None and within_us is None
     while p < n:
         end, _, assigns = match_at(types, times_us, p, toks, within_us)
         if end is not None:
             out.append((p, end, assigns))
-            p = end + 1 if skip_past_last_row else p + 1
+            if skip_to is not None:
+                mode, tis = skip_to
+                rows = [
+                    (pos, pos + take - 1)
+                    for ti, pos, take in assigns
+                    if ti in tis and take > 0
+                ]
+                if not rows:
+                    raise ValueError(
+                        "AFTER MATCH SKIP TO: variable consumed no "
+                        "rows in a match — cannot resume (Flink "
+                        "raises here too)"
+                    )
+                nxt = (
+                    min(r[0] for r in rows)
+                    if mode == "first"
+                    else max(r[1] for r in rows)
+                )
+                if nxt <= p:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {mode.upper()}: resume "
+                        "point is the match's own start row — "
+                        "infinite loop (Flink raises here too)"
+                    )
+                p = nxt
+            else:
+                p = end + 1 if skip_past_last_row else p + 1
         elif can_skip and types[p] == first_et:
             p += 1
             while p < n and types[p] == first_et:
@@ -213,20 +263,28 @@ def pattern_match_quantified(
     type_col: str,
     pattern: Sequence[str],
     within_seconds: int | None = None,
-    after_match: str = "past_last_row",
+    after_match: str | tuple[str, Sequence[int]] = "past_last_row",
     measures: Sequence[tuple[str, str, Sequence[int], str | None]] | None = None,
 ) -> DataFrame:
-    """MATCH_RECOGNIZE with greedy quantifiers, ONE ROW PER MATCH:
-    one output row per match — (key, start_<tiebreak>, start/end
-    second strings, n_rows[, measures...]). ``after_match``:
-    ``"past_last_row"`` (Flink's default — non-overlapping, scan
-    resumes after the match) or ``"next_row"`` (overlap enumeration).
+    """MATCH_RECOGNIZE with greedy AND reluctant quantifiers
+    (``a+ b*? c??``), ONE ROW PER MATCH: one output row per match —
+    (key, start_<tiebreak>, start/end second strings, n_rows[,
+    measures...]). ``after_match``: ``"past_last_row"`` (Flink's
+    default — non-overlapping, scan resumes after the match),
+    ``"next_row"`` (overlap enumeration), or ``("to_first"|"to_last",
+    token_indices)`` (AFTER MATCH SKIP TO FIRST|LAST <var> — resume
+    AT the first/last row that variable consumed; raises like Flink
+    when the resume point cannot advance).
 
     ``measures``: MEASURES clauses as ``(out_name, agg,
     token_indices, col)`` — agg in first/last/count/sum/min/max/avg
     evaluated over the rows the named pattern variable(s) consumed in
-    each match (count ignores col). A variable that consumed zero
-    rows (skipped optional) yields NULL (count 0).
+    each match (count ignores col; token_indices spanning EVERY token
+    is the unqualified whole-match aggregate, e.g. ``COUNT(*)``), or
+    ``match_number`` (Flink's MATCH_NUMBER() — 1-based sequential
+    match index within the key, scan order; ignores col and tokens).
+    A variable that consumed zero rows (skipped optional) yields NULL
+    (count 0).
 
     Scale: groupBy(key).applyInPandas — one key shuffle, Arrow
     batches, per-task memory = one key's timeline (Flink keyed-state
@@ -237,9 +295,19 @@ def pattern_match_quantified(
     import pandas as pd
 
     toks = parse_pattern(pattern)
-    if after_match not in ("past_last_row", "next_row"):
+    skip_to: tuple[str, Sequence[int]] | None = None
+    if isinstance(after_match, tuple):
+        mode, tis = after_match
+        if mode not in ("to_first", "to_last"):
+            raise ValueError(f"unknown after_match {after_match!r}")
+        if any(ti < 0 or ti >= len(toks) for ti in tis):
+            raise ValueError("after_match: token index out of range")
+        skip_to = (mode.removeprefix("to_"), list(tis))
+        skip_past = True  # unused when skip_to is set
+    elif after_match in ("past_last_row", "next_row"):
+        skip_past = after_match == "past_last_row"
+    else:
         raise ValueError(f"unknown after_match {after_match!r}")
-    skip_past = after_match == "past_last_row"
     within_us = (
         int(within_seconds) * 1_000_000 if within_seconds is not None else None
     )
@@ -247,7 +315,7 @@ def pattern_match_quantified(
     dtypes = dict(df.dtypes)
 
     def mtype(agg: str, col: str | None) -> str:
-        if agg == "count":
+        if agg in ("count", "match_number"):
             return "bigint"
         if agg == "avg":
             return "double"
@@ -256,9 +324,12 @@ def pattern_match_quantified(
         return dtypes[col]
 
     for name, agg, tis, col in measures:
-        if agg not in ("first", "last", "count", "sum", "min", "max", "avg"):
+        if agg not in (
+            "first", "last", "count", "sum", "min", "max", "avg",
+            "match_number",
+        ):
             raise ValueError(f"unsupported MEASURES aggregate {agg!r}")
-        if agg != "count" and col is None:
+        if agg not in ("count", "match_number") and col is None:
             raise ValueError(f"MEASURES {name}: {agg} needs a column")
         if any(ti < 0 or ti >= len(toks) for ti in tis):
             raise ValueError(f"MEASURES {name}: token index out of range")
@@ -295,7 +366,9 @@ def pattern_match_quantified(
         )
         fmt = pdf[time_col].dt.strftime("%Y-%m-%d %H:%M:%S")
 
-        def mval(assigns, agg, tis, col):
+        def mval(assigns, agg, tis, col, mi):
+            if agg == "match_number":
+                return mi
             idxs = [
                 i
                 for ti, pos, take in assigns
@@ -320,11 +393,14 @@ def pattern_match_quantified(
             + ((pdf[order_tiebreak].iat[s],) if has_tb else ())
             + (fmt.iat[s], fmt.iat[e], e - s + 1)
             + tuple(
-                mval(assigns, agg, tis, col)
+                mval(assigns, agg, tis, col, mi)
                 for _, agg, tis, col in measures
             )
-            for s, e, assigns in scan_matches(
-                types, times_us, toks, within_us, skip_past
+            for mi, (s, e, assigns) in enumerate(
+                scan_matches(
+                    types, times_us, toks, within_us, skip_past, skip_to
+                ),
+                start=1,
             )
         ]
         return pd.DataFrame(rows, columns=out_cols)

@@ -120,14 +120,19 @@ class EngineSession:
             PARTITION BY k  ORDER BY ts [, tiebreak]
             ONE ROW PER MATCH
             AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
-            PATTERN (A B+ C?)  [WITHIN INTERVAL 'n' MINUTES]
+                             | SKIP TO FIRST v | SKIP TO LAST v
+            PATTERN (A B+ C? D*?)  [WITHIN INTERVAL 'n' MINUTES]
             DEFINE A AS [A.]type_col = 'lit', B AS ... )
 
-        MEASURES are supported as per-variable aggregates —
-        ``FIRST(V.col)`` / ``LAST(V.col)`` / ``COUNT(V.*)`` /
-        ``SUM|MIN|MAX|AVG(V.col)`` / bare ``V.col`` (= FIRST), each
-        ``AS name`` — appended after the operator's canonical output
-        (key, start_<tiebreak>, start_ts, end_ts, n_rows).
+        Quantifiers may be greedy (``+ * ?``) or reluctant
+        (``+? *? ??``). MEASURES are supported as per-variable
+        aggregates — ``FIRST(V.col)`` / ``LAST(V.col)`` /
+        ``COUNT(V.*)`` / ``SUM|MIN|MAX|AVG(V.col)`` / bare ``V.col``
+        (= FIRST) — plus the whole-match (unqualified) forms
+        ``COUNT(*)`` / ``SUM|MIN|MAX|AVG|FIRST|LAST(col)`` and
+        ``MATCH_NUMBER()``, each ``AS name`` — appended after the
+        operator's canonical output (key, start_<tiebreak>,
+        start_ts, end_ts, n_rows).
 
         Every pattern variable must be DEFINEd as one equality of the
         SAME column against a string literal (the funnel/escalation
@@ -179,14 +184,20 @@ class EngineSession:
                 "MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported"
             )
         skip = grab(
-            r"AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)",
+            r"AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
+            r"|TO\s+(FIRST|LAST)\s+(?!ROW\b)(\w+))",
             required=False,
         )
-        after = (
-            "next_row"
-            if skip and skip.group(1).upper().startswith("TO")
-            else "past_last_row"
-        )
+        skip_to_var: tuple[str, str] | None = None
+        if skip and skip.group(2):
+            skip_to_var = (skip.group(2).lower(), skip.group(3).upper())
+            after: str | tuple = "past_last_row"  # rebound below
+        else:
+            after = (
+                "next_row"
+                if skip and skip.group(1).upper().startswith("TO")
+                else "past_last_row"
+            )
         pat = grab(r"PATTERN\s*\(\s*([^)]*)\)").group(1)
         within = grab(
             r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", required=False
@@ -226,7 +237,12 @@ class EngineSession:
         pattern = []
         var_tokens: dict[str, list[int]] = {}
         for ti, tok in enumerate(pat.split()):
-            quant = tok[-1] if tok[-1] in "+*?" else ""
+            if tok[-2:] in ("+?", "*?", "??"):
+                quant = tok[-2:]
+            elif tok[-1] in "+*?":
+                quant = tok[-1]
+            else:
+                quant = ""
             var = tok.rstrip("+*?").upper()
             if var not in var_types:
                 raise ValueError(
@@ -235,6 +251,14 @@ class EngineSession:
                 )
             var_tokens.setdefault(var, []).append(ti)
             pattern.append(var_types[var] + quant)
+        if skip_to_var is not None:
+            mode, svar = skip_to_var
+            if svar not in var_tokens:
+                raise ValueError(
+                    f"AFTER MATCH SKIP TO {mode.upper()}: unknown "
+                    f"pattern variable {svar}"
+                )
+            after = (f"to_{mode}", var_tokens[svar])
         measures = []
         if measures_m:
             for clause in re.split(
@@ -243,8 +267,10 @@ class EngineSession:
                 flags=re.IGNORECASE,
             ):
                 mm = re.match(
-                    r"^\s*(?:(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
-                    r"(\w+)\s*\.\s*(\w+|\*)\s*\)|(\w+)\s*\.\s*(\w+))"
+                    r"^\s*(?:(MATCH_NUMBER)\s*\(\s*\)"
+                    r"|(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
+                    r"(?:(\w+)\s*\.\s*)?(\w+|\*)\s*\)"
+                    r"|(\w+)\s*\.\s*(\w+))"
                     r"\s+AS\s+`?(\w+)`?\s*$",
                     clause.strip(),
                     re.IGNORECASE,
@@ -253,14 +279,21 @@ class EngineSession:
                     raise ValueError(
                         f"MATCH_RECOGNIZE MEASURES: {clause.strip()!r} — "
                         "supported: FIRST/LAST/COUNT/SUM/MIN/MAX/AVG"
-                        "(VAR.col|VAR.*) AS name, or VAR.col AS name"
+                        "([VAR.]col|[VAR.]*) AS name, VAR.col AS name, "
+                        "or MATCH_NUMBER() AS name"
                     )
+                name = mm.group(7)
+                all_tis = list(range(len(pattern)))
                 if mm.group(1):
-                    agg = mm.group(1).lower()
-                    var, col = mm.group(2).upper(), mm.group(3)
+                    measures.append((name, "match_number", [], None))
+                    continue
+                if mm.group(2):
+                    agg = mm.group(2).lower()
+                    var = mm.group(3).upper() if mm.group(3) else None
+                    col = mm.group(4)
                 else:
-                    agg, var, col = "first", mm.group(4).upper(), mm.group(5)
-                if var not in var_tokens:
+                    agg, var, col = "first", mm.group(5).upper(), mm.group(6)
+                if var is not None and var not in var_tokens:
                     raise ValueError(
                         f"MATCH_RECOGNIZE MEASURES: unknown pattern "
                         f"variable {var}"
@@ -268,11 +301,12 @@ class EngineSession:
                 if col == "*":
                     if agg != "count":
                         raise ValueError(
-                            "MATCH_RECOGNIZE MEASURES: VAR.* is only "
+                            "MATCH_RECOGNIZE MEASURES: [VAR.]* is only "
                             "valid under COUNT"
                         )
                     col = None
-                measures.append((mm.group(6), agg, var_tokens[var], col))
+                tis = var_tokens[var] if var is not None else all_tis
+                measures.append((name, agg, tis, col))
         from .operators.cep import pattern_match_quantified
 
         return pattern_match_quantified(

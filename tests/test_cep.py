@@ -142,17 +142,17 @@ from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
 
 def _brute(rows, pattern, within=None, skip_past=True):
     """Independent per-key brute force: encode the type sequence as a
-    string and drive Python's regex engine (greedy backtracking) over
-    it — WITHIN handled by truncating the searchable prefix at each
-    start (rows beyond start_ts + within are unconsumable).
-    rows: [(id, ts_seconds, type)] sorted by (ts, id)."""
+    string and drive Python's regex engine (greedy AND reluctant
+    backtracking) over it — WITHIN handled by truncating the
+    searchable prefix at each start (rows beyond start_ts + within
+    are unconsumable). rows: [(id, ts_seconds, type)] sorted by
+    (ts, id)."""
     base = sorted({t for _, _, t in rows} | {p.rstrip("+*?") for p in pattern})
     enc = {t: chr(97 + i) for i, t in enumerate(base)}
     s = "".join(enc[t] for _, _, t in rows)
     rx = re.compile(
         "".join(
-            re.escape(enc[p.rstrip("+*?")])
-            + (p[-1] if p[-1] in "+*?" else "")
+            re.escape(enc[p.rstrip("+*?")]) + p[len(p.rstrip("+*?")):]
             for p in pattern
         )
     )
@@ -469,3 +469,246 @@ def test_quantified_run_skip_linear_on_pathological_run(spark):
             assert got == _brute(rows, pattern, None, skip_past), (
                 pattern, skip_past,
             )
+
+
+# -- reluctant quantifiers, SKIP TO FIRST/LAST, extended MEASURES ------------
+
+
+def test_reluctant_takes_shortest_span(spark):
+    # a b b : greedy (a b*) eats both b's; reluctant (a b*?) takes none
+    df = _ev(spark, [(1, 7, 1, "a"), (2, 7, 2, "b"), (3, 7, 3, "b")])
+    got = sorted(
+        (r["start_event_id"], r["n_rows"])
+        for r in _qmatch(df, ["a", "b*"]).collect()
+    )
+    assert got == [(1, 3)]
+    got = sorted(
+        (r["start_event_id"], r["n_rows"])
+        for r in _qmatch(df, ["a", "b*?"]).collect()
+    )
+    assert got == [(1, 1)]
+    # a+? b: shortest a-run still reaching b — span is forced, but
+    # SKIP PAST LAST ROW resume equals greedy here (same match span)
+    df2 = _ev(
+        spark,
+        [(1, 7, 1, "a"), (2, 7, 2, "a"), (3, 7, 3, "b"), (4, 7, 4, "b")],
+    )
+    got = sorted(
+        (r["start_event_id"], r["n_rows"])
+        for r in _qmatch(df2, ["a", "b+?"]).collect()
+    )
+    # b+? takes ONE b; scan resumes at 4 (no a) — vs greedy's (1..4)
+    assert got == [(2, 2)]
+
+
+def test_reluctant_randomized_differential_vs_bruteforce(spark):
+    """Reluctant quantifier surface vs the regex brute force (regex
+    +?/*?/?? are the spec), both skip modes, with/without WITHIN."""
+    patterns = [
+        ["a+?", "b"],
+        ["a", "b*?", "c"],
+        ["a+?", "b+"],
+        ["c??", "a+", "b"],
+        ["a", "x*?", "b?"],
+    ]
+    rng = random.Random(7)
+    per_key = {}
+    for key in range(10):
+        n = rng.randint(10, 60)
+        seq = rng.choices("abcx", weights=[4, 3, 2, 2], k=n)
+        ts, t = [], 0
+        for _ in range(n):
+            t += rng.choice([0, 1, 1, 2, 5, 30])
+            ts.append(t)
+        per_key[key] = [(i + 1, ts[i], seq[i]) for i in range(n)]
+    data = [
+        (rid, k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), ty)
+        for k, rows in per_key.items()
+        for (rid, s, ty) in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    total = 0
+    for pattern in patterns:
+        for after, skip_past in [("past_last_row", True), ("next_row", False)]:
+            for within in [None, 10]:
+                got = sorted(
+                    (r["user_id"], r["start_event_id"], r["n_rows"])
+                    for r in _qmatch(
+                        df, pattern, within=within, after=after
+                    ).collect()
+                )
+                want = sorted(
+                    (k, rows[s][0], e - s + 1)
+                    for k, rows in per_key.items()
+                    for s, e in _brute(
+                        rows, pattern, within=within, skip_past=skip_past
+                    )
+                )
+                assert got == want, (pattern, after, within)
+                total += len(want)
+    assert total > 60
+
+
+def test_skip_to_last_variable_resumes_inside_match(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        parse_pattern,
+        scan_matches,
+    )
+
+    # a a b b c a b b c : SKIP TO LAST B re-examines the final b
+    types = list("aabbcabbc")
+    ts = list(range(9))
+    toks = parse_pattern(["a+", "b+", "c"])
+    got = [
+        (s, e)
+        for s, e, _ in scan_matches(types, ts, toks, None, True, ("last", [1]))
+    ]
+    assert got == [(0, 4), (5, 8)]
+    # a b a b a : pattern (A B A), SKIP TO FIRST B re-examines the
+    # shared 'a' — finds the overlapping second match that
+    # SKIP PAST LAST ROW misses
+    types = list("ababa")
+    toks = parse_pattern(["a", "b", "a"])
+    got = [
+        (s, e)
+        for s, e, _ in scan_matches(
+            types, list(range(5)), toks, None, True, ("first", [1])
+        )
+    ]
+    assert got == [(0, 2), (2, 4)]
+    got = [
+        (s, e)
+        for s, e, _ in scan_matches(
+            types, list(range(5)), toks, None, True, None
+        )
+    ]
+    assert got == [(0, 2)]
+
+
+def test_skip_to_nonadvancing_raises_like_flink(spark):
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        parse_pattern,
+        scan_matches,
+    )
+
+    toks = parse_pattern(["a+", "b+"])
+    # match [a:0, b:1]; SKIP TO FIRST A -> row 0 == start -> raise
+    with _pytest.raises(ValueError, match="SKIP TO FIRST"):
+        scan_matches(list("ab"), [0, 1], toks, None, True, ("first", [0]))
+    # optional variable consumed no rows -> raise
+    toks = parse_pattern(["a", "x?", "b"])
+    with _pytest.raises(ValueError, match="consumed no rows"):
+        scan_matches(list("ab"), [0, 1], toks, None, True, ("last", [1]))
+
+
+def test_match_recognize_sql_skip_to_and_reluctant(spark, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        pattern_match_quantified,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import (
+        EngineSession,
+    )
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "t.json")
+    )
+    spark.createDataFrame(
+        [
+            (i, 7, dt.datetime(2024, 1, 1, 0, 0, s), t)
+            for i, (s, t) in enumerate(
+                [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c"),
+                 (6, "a"), (7, "b"), (8, "b"), (9, "c")],
+                start=1,
+            )
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    ).createOrReplaceTempView("sk_events")
+    got = sorted(
+        map(
+            tuple,
+            eng.sql(
+                """
+                SELECT * FROM sk_events MATCH_RECOGNIZE (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ONE ROW PER MATCH
+                  AFTER MATCH SKIP TO LAST B
+                  PATTERN (A+ B+ C)
+                  DEFINE A AS event_type = 'a', B AS event_type = 'b',
+                         C AS event_type = 'c'
+                )
+                """
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            pattern_match_quantified(
+                spark.table("sk_events"),
+                "user_id", "ts", "event_id", "event_type",
+                ["a+", "b+", "c"],
+                after_match=("to_last", [1]),
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 2
+
+    # reluctant spelling in PATTERN: B*? consumes zero b's
+    one = eng.sql(
+        """
+        SELECT * FROM sk_events MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ONE ROW PER MATCH
+          PATTERN (A B*?)
+          DEFINE A AS event_type = 'a', B AS event_type = 'b'
+        )
+        """
+    )
+    assert {(r["start_event_id"], r["n_rows"]) for r in one.collect()} == {
+        (1, 1), (2, 1), (6, 1),
+    }
+
+
+def test_match_recognize_sql_whole_match_measures(spark, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import (
+        EngineSession,
+    )
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "t.json")
+    )
+    spark.createDataFrame(
+        [
+            (1, 7, dt.datetime(2024, 1, 1, 0, 0, 1), "a", 10.0),
+            (2, 7, dt.datetime(2024, 1, 1, 0, 0, 2), "b", 20.0),
+            (3, 7, dt.datetime(2024, 1, 1, 0, 0, 3), "a", 30.0),
+            (4, 7, dt.datetime(2024, 1, 1, 0, 0, 4), "b", 40.0),
+        ],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    ).createOrReplaceTempView("wm_events")
+    rows = sorted(
+        eng.sql(
+            """
+            SELECT * FROM wm_events MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts, event_id
+              MEASURES SUM(value) AS total, COUNT(*) AS n,
+                       MATCH_NUMBER() AS mn, LAST(value) AS last_v
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (A B)
+              DEFINE A AS event_type = 'a', B AS event_type = 'b'
+            )
+            """
+        ).collect(),
+        key=lambda r: r["mn"],
+    )
+    assert [(r["total"], r["n"], r["mn"], r["last_v"]) for r in rows] == [
+        (30.0, 2, 1, 20.0),
+        (70.0, 2, 2, 40.0),
+    ]
