@@ -366,3 +366,119 @@ def q_cep_measures_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_click_id",
         F.round("purchase_value", 2).alias("purchase_value"),
     )
+
+
+@register(
+    "cep_skip_to_chain",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER w AS rn,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts, 2) OVER w AS ets,
+         lead(value, 1) OVER w AS v1,
+         lead(value, 2) OVER w AS v2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), m AS (
+  SELECT user_id, event_id AS start_event_id, ts, ets,
+         ROUND(value + v1 + v2, 2) AS total_value,
+         row_number() OVER (PARTITION BY user_id ORDER BY rn) AS mn
+  FROM o
+  WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'view'
+)
+SELECT user_id, start_event_id,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(date_trunc('second', ets), '%Y-%m-%d %H:%M:%S') AS end_ts,
+       3::BIGINT AS n_rows, mn, total_value
+FROM m
+""",
+    doc="MATCH_RECOGNIZE AFTER MATCH SKIP TO LAST V2: PATTERN "
+    "(V1 C V2) with the scan resuming AT each match's final view row "
+    "— chained view-click-view triples SHARE their boundary view, so "
+    "every consecutive (view, click, view) triple is a match "
+    "(SKIP PAST LAST ROW would drop every other link of a chain). "
+    "MEASURES carry MATCH_NUMBER() (per-key scan index) and the "
+    "whole-match (unqualified) SUM(value). The oracle replays the "
+    "triple enumeration with two leads and numbers matches in rn "
+    "order; the engine path is the same one-key-shuffle Arrow scan "
+    "as every quantified CEP query (operators/cep.py scan_matches "
+    "skip_to).",
+)
+def q_cep_skip_to_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import pattern_match_quantified
+
+    ev = load_table(spark, sf_dir, "events")
+    out = pattern_match_quantified(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        type_col="event_type",
+        pattern=["view", "click", "view"],
+        after_match=("to_last", [2]),
+        measures=[
+            ("mn", "match_number", [], None),
+            ("total_value", "sum", [0, 1, 2], "value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        "start_event_id",
+        "start_ts",
+        "end_ts",
+        "n_rows",
+        "mn",
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+@register(
+    "cep_reluctant_pairs",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER w AS rn,
+         lead(ts, 1) OVER w AS ets
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, rn - row_number() OVER (
+             PARTITION BY user_id, event_type ORDER BY rn) AS grp
+  FROM ordered
+), runs AS (
+  SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern
+  FROM isl WHERE event_type = 'click'
+  GROUP BY user_id, grp
+)
+SELECT i.user_id, i.event_id AS start_event_id,
+       strftime(date_trunc('second', i.ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(date_trunc('second', i.ets), '%Y-%m-%d %H:%M:%S') AS end_ts,
+       2::BIGINT AS n_rows
+FROM isl i JOIN runs r ON i.user_id = r.user_id AND i.grp = r.grp
+WHERE i.event_type = 'click'
+  AND (i.rn - r.srn) % 2 = 0 AND i.rn + 1 <= r.ern
+""",
+    doc="RELUCTANT quantifier semantics, value-oracled: PATTERN "
+    "(C+? C) with AFTER MATCH SKIP PAST LAST ROW chops each maximal "
+    "consecutive click run into non-overlapping PAIRS (reluctant C+? "
+    "takes exactly one click before the closing C), where the greedy "
+    "spelling would consume the whole run as one match — the two "
+    "quantifier modes differ exactly when adjacent pattern tokens "
+    "share a type. Oracle: gaps-and-islands click runs emit rows at "
+    "even offsets with a successor inside the run (floor(len/2) "
+    "pairs per run).",
+)
+def q_cep_reluctant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import pattern_match_quantified
+
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_match_quantified(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        type_col="event_type",
+        pattern=["click+?", "click"],
+    )

@@ -195,6 +195,22 @@ def _log_files_for_slices(
     return sorted(out)
 
 
+def _record_key_fields(path: str) -> list[str]:
+    """``hoodie.table.recordkey.fields`` from hoodie.properties — the
+    key-generator input Hudi writers declare; empty when absent."""
+    p = os.path.join(path, _HOODIE, "hoodie.properties")
+    if not os.path.exists(p):
+        return []
+    for line in open(p):
+        line = line.strip()
+        if line.startswith("#") or "=" not in line:
+            continue
+        k, v = line.split("=", 1)
+        if k.strip() == "hoodie.table.recordkey.fields":
+            return [f.strip() for f in v.split(",") if f.strip()]
+    return []
+
+
 def _log_records_df(
     spark: SparkSession,
     log_files: list[tuple[str, int]],
@@ -307,10 +323,18 @@ def read_hudi(
     log, Arrow-batched block decode), rollback command blocks and
     in-flight instants dropped, then ONE record-key window picks the
     newest version per key across base ∪ logs (delete blocks
-    tombstone). Requires the base files to carry
-    ``_hoodie_record_key`` (populated meta fields — the default for
-    spec-conformant writers); gates otherwise.
-    """
+    tombstone).
+
+    Bases WITHOUT ``_hoodie_*`` meta columns (writers with
+    ``hoodie.populate.meta.fields=false``) merge too: the record key
+    is DERIVED from ``hoodie.table.recordkey.fields`` in
+    hoodie.properties (Simple key generator for one field,
+    ``f1:v1,f2:v2`` Complex form for several — matching the key
+    strings Hudi delete blocks carry), and the base row's commit
+    instant comes from its file name (``<fileId>_<token>_<instant>``)
+    via the hidden ``_metadata.file_path`` column — both map-side
+    expressions, no extra scan. Gates only when the key fields are
+    undeclared or missing from the base schema."""
     slices = live_file_slices(path, as_of)
     if not slices:
         raise FileNotFoundError(
@@ -325,33 +349,70 @@ def read_hudi(
     logs = _log_files_for_slices(path, slices)
     if not logs:
         return base
-    if "_hoodie_record_key" not in base.columns:
-        raise UnsupportedHudiFeature(
-            "merge-on-read log merge needs _hoodie_record_key in the "
-            "base files (spec meta fields); pass read_optimized=True "
-            "for the base-only view"
-        )
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    def _key_expr():
+        kf = _record_key_fields(path)
+        if not kf or not all(f in base.columns for f in kf):
+            raise UnsupportedHudiFeature(
+                "merge-on-read log merge needs _hoodie_record_key in "
+                "the base files, or hoodie.table.recordkey.fields in "
+                "hoodie.properties naming base columns to derive it "
+                "from; pass read_optimized=True for the base-only view"
+            )
+        if len(kf) == 1:
+            return F.col(kf[0]).cast("string")
+        return F.concat_ws(
+            ",",
+            *[
+                F.concat(F.lit(f + ":"), F.col(f).cast("string"))
+                for f in kf
+            ],
+        )
+
+    derived = "_hoodie_record_key" not in base.columns
+    if derived:
+        key_expr = _key_expr()
+        base = base.withColumn(
+            "_commit_src",
+            F.regexp_extract(
+                F.col("_metadata.file_path"),
+                r"_([0-9]+)(?:_[0-9-]+)?\.parquet$",
+                1,
+            ),
+        ).withColumn("_hoodie_record_key", key_expr)
+    else:
+        base = base.withColumn(
+            "_commit_src", F.col("_hoodie_commit_time")
+        )
     done = _log_completed_instants(path)
     if as_of is not None:
         done = {i for i in done if i <= as_of}
-    rec = _log_records_df(spark, logs, base.schema, done, as_of)
+    log_schema = base.drop("_commit_src").schema
+    rec = _log_records_df(spark, logs, log_schema, done, as_of)
+    if derived:
+        # data-block records carry the key FIELDS, not the meta col
+        rec = rec.withColumn(
+            "_hoodie_record_key",
+            F.coalesce(F.col("_hoodie_record_key"), key_expr),
+        )
     tagged = base.withColumn(
         "_log_ord",
-        F.concat(F.col("_hoodie_commit_time"), F.lit(".000000.000000")),
-    ).withColumn("_log_del", F.lit(False))
+        F.concat(F.col("_commit_src"), F.lit(".000000.000000")),
+    ).withColumn("_log_del", F.lit(False)).drop("_commit_src")
     w = Window.partitionBy("_hoodie_record_key").orderBy(
         F.col("_log_ord").desc()
     )
-    return (
+    merged = (
         tagged.unionByName(rec)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .filter(~F.col("_log_del"))
         .drop("_rn", "_log_ord", "_log_del")
     )
+    # a derived key is an implementation detail, not table schema
+    return merged.drop("_hoodie_record_key") if derived else merged
 
 
 # -- exporter: spec-conformant Hudi COPY_ON_WRITE layout --------------------

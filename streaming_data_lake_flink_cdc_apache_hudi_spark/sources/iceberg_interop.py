@@ -34,11 +34,13 @@ v2 row-level deletes (merge-on-read) are applied at read time:
   entry's is null) — the delete applies only to data files with a
   strictly smaller sequence number, so later re-inserts survive.
 
-Remaining gate: an equality delete whose ``equality_ids`` can't be
-resolved against the table schema raises rather than resurrecting
-rows. Position deletes are applied snapshot-globally without seq
-scoping — exact for the append+delete workflows that produce them
-(data file names are UUIDs and positions are file-scoped).
+Both delete kinds are sequence-number scoped per the spec: a
+position delete applies to data files with seq <= the delete's seq,
+an equality delete to data files with seq strictly smaller — so a
+data file REWRITTEN at the same path after the delete (higher seq)
+serves all its rows. Remaining gate: an equality delete whose
+``equality_ids`` can't be resolved against the table schema raises
+rather than resurrecting rows.
 
 Scale notes: the metadata walk touches only KB-scale Avro files
 driver-side (the same footprint every Iceberg client has — that IS
@@ -133,12 +135,13 @@ def _live_files(
     path: str, snapshot_id: int | None = None
 ) -> tuple[
     dict[str, tuple[str, int]],
-    list[str],
+    list[tuple[str, int]],
     list[tuple[str, int, list[str]]],
 ]:
     """({recorded_data_path: (resolved_local_path, data_seq)},
-    position_delete_files, [(equality_delete_file, delete_seq,
-    equality_column_names)]) reachable from the chosen snapshot. The
+    [(position_delete_file, delete_seq)], [(equality_delete_file,
+    delete_seq, equality_column_names)]) reachable from the chosen
+    snapshot. The
     recorded form is kept because position-delete rows reference data
     files by the URI the WRITER recorded, not by our re-rooted local
     path. v2 manifest-list entries carry ``content`` (0 data /
@@ -159,7 +162,7 @@ def _live_files(
     mlist_path = _resolve(snap["manifest-list"], path)
     _, manifests = read_avro(mlist_path)
     data: dict[str, tuple[str, int]] = {}
-    pos_deletes: list[str] = []
+    pos_deletes: list[tuple[str, int]] = []
     eq_deletes: list[tuple[str, int, list[str]]] = []
     for m in manifests:
         m_seq = m.get("sequence_number") or 0
@@ -182,7 +185,9 @@ def _live_files(
                     int(seq),
                 )
             elif content == 1:
-                pos_deletes.append(_resolve(df_rec["file_path"], path))
+                pos_deletes.append(
+                    (_resolve(df_rec["file_path"], path), int(seq))
+                )
             else:  # equality deletes
                 ids = df_rec.get("equality_ids") or []
                 cols = [names_by_id[i] for i in ids if i in names_by_id]
@@ -210,8 +215,10 @@ def read_iceberg(
       side is a pruned parquet scan of the (file_path, pos) delete
       files joined through a BROADCAST recorded-URI -> local-path
       mapping (one row per data file — metadata scale), and one
-      anti-join on (file, pos) drops deleted rows. Row positions
-      never pass through the driver.
+      anti-join on (file, pos, data_seq <= delete_seq) drops deleted
+      rows — a data file rewritten at the same path AFTER the delete
+      (higher seq) serves all its rows, per the spec's scoping rule.
+      Row positions never pass through the driver.
     - EQUALITY deletes: each delete file's rows are anti-joined
       null-safely on its ``equality_ids`` columns, scoped by the
       spec's sequence numbers — a delete applies only to data files
@@ -247,22 +254,36 @@ def read_iceberg(
             "_ice_recorded string, _ice_fp string, _ice_seq long",
         )
     )
+    # every data row carries its file's data sequence number (one
+    # broadcast hash join against the per-file mapping)
+    data = data.join(map_df.select("_ice_fp", "_ice_seq"), "_ice_fp")
     if pos_files:
-        dels = (
-            spark.read.parquet(*pos_files)
-            .select(
+        by_seq: dict[int, list[str]] = {}
+        for fp, seq in pos_files:
+            by_seq.setdefault(seq, []).append(fp)
+        dels = None
+        for seq, fps in sorted(by_seq.items()):
+            part = spark.read.parquet(*sorted(fps)).select(
                 F.col("file_path").alias("_ice_recorded"),
-                F.col("pos").alias("_ice_pos"),
+                F.col("pos").alias("_del_pos"),
+                F.lit(seq).cast("long").alias("_del_seq"),
             )
-            .join(map_df, "_ice_recorded")
-            .select("_ice_fp", "_ice_pos")
+            dels = part if dels is None else dels.unionByName(part)
+        dels = (
+            dels.join(map_df.select("_ice_recorded", "_ice_fp"), "_ice_recorded")
+            .select(
+                F.col("_ice_fp").alias("_del_fp"), "_del_pos", "_del_seq"
+            )
             .distinct()
         )
-        data = data.join(dels, ["_ice_fp", "_ice_pos"], "left_anti")
-    if eq_deletes:
         data = data.join(
-            map_df.select("_ice_fp", "_ice_seq"), "_ice_fp"
+            dels,
+            (F.col("_ice_fp") == F.col("_del_fp"))
+            & (F.col("_ice_pos") == F.col("_del_pos"))
+            & (F.col("_ice_seq") <= F.col("_del_seq")),
+            "left_anti",
         )
+    if eq_deletes:
         # group delete files by their equality-column signature: one
         # anti-join per signature, each delete row carrying its seq
         by_cols: dict[tuple[str, ...], list[tuple[str, int]]] = {}

@@ -277,3 +277,75 @@ def test_export_hudi_mor_round_trips_uncompacted_state(spark, tmp_path):
     )
     # base = state at commit 1
     assert ro == [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)]
+
+
+_NOMETA_SCHEMA = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "v", "type": ["null", "string"]},
+    ],
+}
+
+
+def test_read_hudi_mor_base_without_meta_columns(spark, tmp_path):
+    """Bases written with hoodie.populate.meta.fields=false carry no
+    _hoodie_* columns; the real-time view derives the record key from
+    hoodie.table.recordkey.fields and the commit instant from the
+    base file NAME — merge, delete, and insert all still apply, and
+    the derived key does not leak into the result schema."""
+    path = str(tmp_path / "mor_nometa")
+    os.makedirs(os.path.join(path, ".hoodie"))
+    with open(os.path.join(path, ".hoodie", "hoodie.properties"), "w") as fh:
+        fh.write(
+            "hoodie.table.name=mor_nometa\n"
+            "hoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.recordkey.fields=k\n"
+        )
+    inst = "20240601000000000"
+    file_id = "00000000-0000-0000-0000-000000000001-0"
+    base_name = f"{file_id}_0-0-0_{inst}.parquet"
+    spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three"), (4, "four")],
+        "k long, v string",
+    ).toPandas().to_parquet(os.path.join(path, base_name), index=False)
+    with open(os.path.join(path, ".hoodie", f"{inst}.commit"), "w") as fh:
+        fh.write("{}")
+    blocks = [
+        HL.encode_block(  # upsert k=2, insert k=9 — NO meta field
+            "avro",
+            {HL.INSTANT_TIME: "20240601000001000"},
+            records=[{"k": 2, "v": "two-v2"}, {"k": 9, "v": "nine"}],
+            schema=_NOMETA_SCHEMA,
+        ),
+        HL.encode_block(  # delete k=3 by its generated key string
+            "delete",
+            {HL.INSTANT_TIME: "20240601000002000"},
+            records=[
+                {"recordKey": "3", "partitionPath": "", "orderingVal": 0}
+            ],
+        ),
+    ]
+    HL.write_log_file(
+        os.path.join(path, HL.log_file_name(file_id, inst)), blocks
+    )
+    for d in ("20240601000001000", "20240601000002000"):
+        open(os.path.join(path, ".hoodie", f"{d}.deltacommit"), "w").close()
+    df = read_hudi(spark, path)
+    assert "_hoodie_record_key" not in df.columns
+    got = sorted(map(tuple, df.select("k", "v").collect()))
+    assert got == [(1, "one"), (2, "two-v2"), (4, "four"), (9, "nine")]
+
+    # no recordkey declaration -> pointed gate, base-only still works
+    os.rename(
+        os.path.join(path, ".hoodie", "hoodie.properties"),
+        os.path.join(path, ".hoodie", "hoodie.properties.bak"),
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        UnsupportedHudiFeature,
+    )
+
+    with pytest.raises(UnsupportedHudiFeature, match="recordkey"):
+        read_hudi(spark, path).collect()
+    assert read_hudi(spark, path, read_optimized=True).count() == 4

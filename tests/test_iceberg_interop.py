@@ -447,3 +447,53 @@ def test_avro_union_accepts_int_for_float_double_branch(tmp_path):
         {"x": 3.0, "y": 2.0, "z": 4},
         {"x": None, "y": 7.5, "z": None},
     ]
+
+
+def test_v2_position_deletes_seq_scoped_rewrite_survives(spark, tmp_path):
+    """Spec scoping for position deletes: the delete applies only to
+    data files with data seq <= delete seq. A data file REWRITTEN at
+    the same recorded path after the delete (higher seq) serves every
+    row; a sibling file at the delete's own seq still loses its
+    deleted positions."""
+    path = str(tmp_path / "v2_pos_seq")
+    sch = "id LONG, v STRING"
+    fa = os.path.join(path, "data", "a.parquet")
+    fb = os.path.join(path, "data", "b.parquet")
+    # a.parquet as REWRITTEN at seq 3 (rows must all survive)
+    _stage_parquet(spark, [(1, "one-new"), (2, "two-new")], sch, fa)
+    # b.parquet at seq 1 (delete still applies: seq 1 <= 2)
+    _stage_parquet(spark, [(5, "five"), (6, "six")], sch, fb)
+    fd = os.path.join(path, "data", "del.parquet")
+    _stage_parquet(
+        spark,
+        [(fa, 0), (fa, 1), (fb, 1)],
+        "file_path STRING, pos LONG",
+        fd,
+    )
+    table_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+        ],
+    }
+    m = _manifest_v2(
+        path,
+        "m.avro",
+        [
+            _entry_v2(fb, content=0, seq=1),
+            _entry_v2(fd, content=1, seq=2),
+            _entry_v2(fa, content=0, seq=3),
+        ],
+    )
+    l1 = _mlist(path, "snap-1.avro", [m], 1)
+    _v2_meta(
+        path,
+        [{"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": l1}],
+        current=1,
+        schema=table_schema,
+    )
+    got = sorted(map(tuple, read_iceberg(spark, path).collect()))
+    # b.parquet pos 1 (id 6) dropped; rewritten a.parquet untouched
+    assert got == [(1, "one-new"), (2, "two-new"), (5, "five")]
