@@ -1400,6 +1400,166 @@ def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _envelope_presentation(env):
+    """Shared presentation for the CDC wire-format queries: UTC wall
+    time string + before/after images flattened with coalesce."""
+    ts_utc = F.expr(
+        "timestampadd(MICROSECOND, unix_micros(ts), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return env.select(
+        "op",
+        F.date_format(ts_utc, "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "seq",
+        F.coalesce(F.col("after.uuid"), F.col("before.uuid")).alias("uuid"),
+        F.coalesce(F.col("after.name"), F.col("before.name")).alias("name"),
+        F.coalesce(F.col("after.age"), F.col("before.age")).alias("age"),
+        F.col("before.name").alias("before_name"),
+    )
+
+
+@register(
+    "canal_parse",
+    """
+SELECT * FROM (VALUES
+  ('I', '2023-06-15 12:00:00', 7, 'id1', 'Danny', 23, NULL),
+  ('I', '2023-06-15 12:00:00', 7, 'id2', 'Stephen', 33, NULL),
+  ('U', '2023-06-15 12:00:01', 8, 'id1', 'Dan', 24, 'Danny'),
+  ('D', '2023-06-15 12:00:02', 9, 'id2', 'Stephen', 33, 'Stephen'))
+AS t(op, ts_str, seq, uuid, name, age, before_name)
+""",
+    doc="Canal-JSON change events (Flink's canal-json CDC wire "
+    "format, the second of the platform's three CDC spellings after "
+    "debezium-json) parsed to the engine envelope: a BATCHED data[] "
+    "array posexplodes to one row each, string-encoded values cast "
+    "per target column, UPDATE before-images reconstructed by "
+    "overlaying old[] (changed columns only) on the after-image, "
+    "es->commit ts, batch id->seq. Pure from_json + in-row explode — "
+    "map-only, shuffle-free. sources/canal_maxwell.py.",
+)
+def q_canal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.canal_maxwell import parse_canal_json
+
+    row_schema = T.StructType(
+        [
+            T.StructField("uuid", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.IntegerType()),
+        ]
+    )
+    raw = [
+        '{"id":7,"type":"INSERT","es":1686830400000,"ts":1686830400100,'
+        '"data":[{"uuid":"id1","name":"Danny","age":"23"},'
+        '{"uuid":"id2","name":"Stephen","age":"33"}],"old":null}',
+        '{"id":8,"type":"UPDATE","es":1686830401000,"ts":1686830401100,'
+        '"data":[{"uuid":"id1","name":"Dan","age":"24"}],'
+        '"old":[{"name":"Danny"}]}',
+        '{"id":9,"type":"DELETE","es":1686830402000,"ts":1686830402100,'
+        '"data":[{"uuid":"id2","name":"Stephen","age":"33"}],"old":null}',
+    ]
+    df = spark.createDataFrame([(s,) for s in raw], "value string")
+    return _envelope_presentation(parse_canal_json(df, "value", row_schema))
+
+
+@register(
+    "maxwell_parse",
+    """
+SELECT * FROM (VALUES
+  ('I', '2023-06-15 12:00:00', 101, 'id1', 'Danny', 23, NULL),
+  ('U', '2023-06-15 12:00:01', 102, 'id1', 'Dan', 24, 'Danny'),
+  ('D', '2023-06-15 12:00:02', 103, 'id2', 'Stephen', 33, 'Stephen'))
+AS t(op, ts_str, seq, uuid, name, age, before_name)
+""",
+    doc="Maxwell-JSON change events (Flink's maxwell-json CDC wire "
+    "format — the third CDC spelling) parsed to the engine envelope: "
+    "typed data/old objects, UPDATE before-images overlay old "
+    "(changed columns only) on data, second-precision ts->commit ts, "
+    "xid->seq. Pure from_json — map-only, shuffle-free. "
+    "sources/canal_maxwell.py.",
+)
+def q_maxwell_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.canal_maxwell import parse_maxwell_json
+
+    row_schema = T.StructType(
+        [
+            T.StructField("uuid", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.IntegerType()),
+        ]
+    )
+    raw = [
+        '{"type":"insert","ts":1686830400,"xid":101,'
+        '"data":{"uuid":"id1","name":"Danny","age":23}}',
+        '{"type":"update","ts":1686830401,"xid":102,'
+        '"data":{"uuid":"id1","name":"Dan","age":24},'
+        '"old":{"name":"Danny"}}',
+        '{"type":"delete","ts":1686830402,"xid":103,'
+        '"data":{"uuid":"id2","name":"Stephen","age":33}}',
+    ]
+    df = spark.createDataFrame([(s,) for s in raw], "value string")
+    return _envelope_presentation(
+        parse_maxwell_json(df, "value", row_schema)
+    )
+
+
+@register(
+    "upsert_kafka_parse",
+    """
+SELECT * FROM (VALUES
+  ('U', '2023-06-15 12:00:00', 0, 'id1', 'Danny', 23),
+  ('U', '2023-06-15 12:00:01', 1, 'id2', 'Stephen', 33),
+  ('U', '2023-06-15 12:00:02', 2, 'id1', 'Dan', 24),
+  ('D', '2023-06-15 12:00:03', 3, 'id2', NULL, NULL))
+AS t(op, ts_str, seq, uuid, name, age)
+""",
+    doc="upsert-kafka keyed-changelog decode (Flink's upsert-kafka "
+    "connector semantics): non-null value upserts the key (U), a "
+    "Kafka TOMBSTONE (null value) deletes it (D) with the key as the "
+    "before-image; record timestamp/offset become ts/seq (offsets = "
+    "per-partition total order). Two from_json calls, map-only, "
+    "shuffle-free. sources/upsert_kafka.py.",
+)
+def q_upsert_kafka_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.upsert_kafka import parse_upsert_kafka
+
+    key_schema = T.StructType([T.StructField("uuid", T.StringType())])
+    value_schema = T.StructType(
+        [
+            T.StructField("uuid", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.IntegerType()),
+        ]
+    )
+    rows = [
+        ('{"uuid":"id1"}',
+         '{"uuid":"id1","name":"Danny","age":23}', 1686830400000, 0),
+        ('{"uuid":"id2"}',
+         '{"uuid":"id2","name":"Stephen","age":33}', 1686830401000, 1),
+        ('{"uuid":"id1"}',
+         '{"uuid":"id1","name":"Dan","age":24}', 1686830402000, 2),
+        ('{"uuid":"id2"}', None, 1686830403000, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, value string, ts_ms long, offset long"
+    )
+    env = parse_upsert_kafka(
+        df,
+        "key",
+        "value",
+        key_schema,
+        value_schema,
+        ts=F.timestamp_millis(F.col("ts_ms")),
+        seq=F.col("offset"),
+    )
+    return _envelope_presentation(env).drop("before_name")
+
+
 @register(
     "media_decode",
     """

@@ -1,0 +1,173 @@
+"""Canal-JSON and Maxwell-JSON change-event parsers → engine CDC
+envelope.
+
+Flink ships three JSON CDC wire formats — ``debezium-json``,
+``canal-json``, ``maxwell-json`` — and the reference's platform (a
+Flink CDC pipeline, SURVEY.md §2.1) can be fed by any of them. The
+Debezium envelope lives in ``sources/debezium.py``; this module adds
+the other two, mapping both onto the same engine envelope
+(``op/ts/seq/before/after``, sources/cdc_feed.py) so everything
+downstream — feed replay, LWW upsert, IVM — is format-agnostic.
+
+Wire shapes (public format docs: Alibaba Canal, Zendesk Maxwell, and
+Flink's format pages):
+
+- **Canal**: one message carries a BATCH of rows::
+
+      {"id": 7, "type": "INSERT|UPDATE|DELETE",
+       "es": 1589373515000, "ts": 1589373515477,
+       "data": [{...row...}, ...], "old": [{changed cols only}, ...]}
+
+  ``data`` holds after-images (for DELETE: the deleted rows);
+  ``old`` aligns with ``data`` by position and holds ONLY the
+  changed columns' before values (UPDATE). Canal serializes every
+  value as a JSON string, so rows parse as ``map<string,string>``
+  and cast per target column — the same per-column cast Flink's
+  canal-json format applies.
+
+- **Maxwell**: one message per row, typed values::
+
+      {"type": "insert|update|delete", "ts": 1477053217,
+       "xid": 23396, "data": {...row...}, "old": {changed cols}}
+
+  ``ts`` is SECONDS; ``old`` again holds only changed columns'
+  before values.
+
+Envelope mapping: INSERT→I, UPDATE→U, DELETE→D; Canal ``es`` (source
+event time, ms) / Maxwell ``ts`` (s) → commit ts; Canal batch ``id``
+/ Maxwell ``xid`` → seq. Before-images are reconstructed by overlaying
+``old`` on the after-image per column (unchanged columns keep their
+after value — exactly the Flink format semantics); DELETE rows carry
+their full before-image in ``data``.
+
+Scale: pure ``from_json`` + (for Canal) one generator-free
+``posexplode`` of an in-row array — JVM-side, map-only, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CANAL_OPS = {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}
+_MAXWELL_OPS = {"insert": "I", "update": "U", "delete": "D"}
+
+
+def _op_expr(op_col, mapping):
+    expr = F.lit(None).cast("string")
+    for wire, eng in mapping.items():
+        expr = F.when(op_col == wire, F.lit(eng)).otherwise(expr)
+    return expr
+
+
+def parse_canal_json(
+    df: DataFrame, value_col: str, row_schema: T.StructType
+) -> DataFrame:
+    """Parse a column of Canal-JSON strings into engine envelope rows
+    (one per element of each message's ``data`` batch). Values arrive
+    as JSON strings (Canal's wire convention) and are cast to
+    ``row_schema``'s column types; unknown ``type`` values parse to
+    NULL op (malformed rows are data, not exceptions, at 100 TB)."""
+    outer = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("type", T.StringType(), True),
+            T.StructField("es", T.LongType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField(
+                "data",
+                T.ArrayType(T.MapType(T.StringType(), T.StringType())),
+                True,
+            ),
+            T.StructField(
+                "old",
+                T.ArrayType(T.MapType(T.StringType(), T.StringType())),
+                True,
+            ),
+        ]
+    )
+    p = df.select(F.from_json(F.col(value_col), outer).alias("_m")).select(
+        "_m.*", F.posexplode_outer("_m.data").alias("_i", "_row")
+    )
+    is_del = F.col("type") == "DELETE"
+    old_i = F.col("old")[F.col("_i")]
+
+    def cast(c, field):
+        return c.cast(field.dataType).alias(field.name)
+
+    after = F.when(is_del, F.lit(None)).otherwise(
+        F.struct(
+            *[cast(F.col("_row")[f.name], f) for f in row_schema.fields]
+        )
+    )
+    # UPDATE: old holds only changed columns -> overlay on the after
+    # image; DELETE: data IS the before image; INSERT: no before
+    before = (
+        F.when(is_del, F.struct(*[
+            cast(F.col("_row")[f.name], f) for f in row_schema.fields
+        ]))
+        .when(
+            F.col("type") == "UPDATE",
+            F.struct(*[
+                cast(
+                    F.coalesce(old_i[f.name], F.col("_row")[f.name]), f
+                )
+                for f in row_schema.fields
+            ]),
+        )
+        .otherwise(F.lit(None))
+    )
+    return p.select(
+        _op_expr(F.col("type"), _CANAL_OPS).alias("op"),
+        F.timestamp_millis(F.col("es")).alias("ts"),
+        F.col("id").alias("seq"),
+        before.alias("before"),
+        after.alias("after"),
+    )
+
+
+def parse_maxwell_json(
+    df: DataFrame, value_col: str, row_schema: T.StructType
+) -> DataFrame:
+    """Parse a column of Maxwell-JSON strings into engine envelope
+    rows. Maxwell emits typed JSON values, so ``data``/``old`` parse
+    directly against ``row_schema`` (``old`` columns all nullable —
+    it carries only the changed subset)."""
+    old_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in row_schema.fields]
+    )
+    outer = T.StructType(
+        [
+            T.StructField("type", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("xid", T.LongType(), True),
+            T.StructField("data", row_schema, True),
+            T.StructField("old", old_schema, True),
+        ]
+    )
+    p = df.select(F.from_json(F.col(value_col), outer).alias("_m")).select(
+        "_m.*"
+    )
+    is_del = F.col("type") == "delete"
+    after = F.when(is_del, F.lit(None)).otherwise(F.col("data"))
+    before = (
+        F.when(is_del, F.col("data"))
+        .when(
+            F.col("type") == "update",
+            F.struct(*[
+                F.coalesce(
+                    F.col("old")[f.name], F.col("data")[f.name]
+                ).alias(f.name)
+                for f in row_schema.fields
+            ]),
+        )
+        .otherwise(F.lit(None).cast(old_schema))
+    )
+    return p.select(
+        _op_expr(F.col("type"), _MAXWELL_OPS).alias("op"),
+        F.timestamp_seconds(F.col("ts")).alias("ts"),
+        F.col("xid").alias("seq"),
+        before.alias("before"),
+        after.alias("after"),
+    )
