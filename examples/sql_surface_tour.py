@@ -3,7 +3,11 @@ own paragraphs — the statements a Flink/lakehouse user would paste
 next (SURVEY.md §2.5 extension surface):
 
   1. Flink window TVFs: TUMBLE / HOP / SESSION / CUMULATE
-  2. MATCH_RECOGNIZE with greedy quantifiers + MEASURES
+  2. MATCH_RECOGNIZE with greedy quantifiers + MEASURES — plus
+     reluctant quantifiers (B+?), AFTER MATCH SKIP TO LAST <var>,
+     MATCH_NUMBER() and whole-match (unqualified) aggregates
+  2c. the three CDC wire formats (canal-json, maxwell-json,
+     upsert-kafka tombstones) decoding to ONE engine envelope
   3. Lakehouse DML: MERGE, DELETE FROM, UPDATE, INSERT OVERWRITE,
      TRUNCATE, and VERSION / TIMESTAMP AS OF time travel
 
@@ -65,6 +69,64 @@ eng.sql(
     )
     """
 ).orderBy("user_id", "start_event_id").show(5, truncate=False)
+
+print("== 2b. reluctant quantifiers, SKIP TO, MATCH_NUMBER() ========")
+eng.sql(
+    """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES MATCH_NUMBER() AS mn, COUNT(*) AS span_rows,
+               SUM(value) AS span_value
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO LAST B
+      PATTERN (A B+? C)
+      DEFINE A AS event_type = 'view', B AS event_type = 'click',
+             C AS event_type = 'purchase'
+    )
+    """
+).orderBy("user_id", "mn").show(5, truncate=False)
+
+print("== 2c. CDC wire formats -> one engine envelope ===============")
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.canal_maxwell import (  # noqa: E402
+    parse_canal_json,
+    parse_maxwell_json,
+)
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.upsert_kafka import (  # noqa: E402
+    parse_upsert_kafka,
+)
+
+row_s = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+)
+canal = spark.createDataFrame(
+    [('{"id":1,"type":"UPDATE","es":1686830400000,"ts":1,'
+      '"data":[{"id":"1","v":"new"}],"old":[{"v":"old"}]}',)],
+    "value string",
+)
+maxw = spark.createDataFrame(
+    [('{"type":"delete","ts":1686830401,"xid":2,"data":{"id":1,"v":"x"}}',)],
+    "value string",
+)
+upk = spark.createDataFrame(
+    [('{"id":1}', None, 1686830402000, 3)],
+    "key string, value string, ts_ms long, offset long",
+)
+env = (
+    parse_canal_json(canal, "value", row_s)
+    .unionByName(parse_maxwell_json(maxw, "value", row_s))
+    .unionByName(
+        parse_upsert_kafka(
+            upk, "key", "value",
+            T.StructType([T.StructField("id", T.LongType())]), row_s,
+            ts=F.timestamp_millis(F.col("ts_ms")), seq=F.col("offset"),
+        )
+    )
+)
+env.show(truncate=False)
 
 print("== 3. Lakehouse DML + time travel ============================")
 eng.sql(

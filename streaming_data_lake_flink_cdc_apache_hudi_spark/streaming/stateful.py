@@ -297,9 +297,13 @@ def pattern_match_stream(
     type_col: str,
     pattern,
     within_seconds: int | None = None,
+    after_match="past_last_row",
 ) -> DataFrame:
-    """Streaming MATCH_RECOGNIZE with greedy quantifiers and
-    AFTER MATCH SKIP PAST LAST ROW — the cross-micro-batch flavor of
+    """Streaming MATCH_RECOGNIZE with greedy AND reluctant
+    quantifiers and the full AFTER MATCH SKIP family
+    (``"past_last_row"``, ``"next_row"``, ``("to_first"|"to_last",
+    token_indices)`` — the batch operator's surface) — the
+    cross-micro-batch flavor of
     ``operators/cep.py:pattern_match_quantified`` (same matcher
     core, parity-tested against it).
 
@@ -324,9 +328,47 @@ def pattern_match_stream(
     from ..operators.cep import match_at, parse_pattern
 
     toks = parse_pattern(pattern)
+    skip_to = None
+    if isinstance(after_match, tuple):
+        mode, s_tis = after_match
+        if mode not in ("to_first", "to_last") or any(
+            ti < 0 or ti >= len(toks) for ti in s_tis
+        ):
+            raise ValueError(f"unknown after_match {after_match!r}")
+        skip_to = (mode.removeprefix("to_"), list(s_tis))
+    elif after_match not in ("past_last_row", "next_row"):
+        raise ValueError(f"unknown after_match {after_match!r}")
+    skip_past = after_match == "past_last_row"
     within_us = (
         int(within_seconds) * 1_000_000 if within_seconds is not None else None
     )
+
+    def _resume(p, end, assigns):
+        if skip_to is None:
+            return end + 1 if skip_past else p + 1
+        mode, tis = skip_to
+        rows = [
+            (pos, pos + take - 1)
+            for ti, pos, take in assigns
+            if ti in tis and take > 0
+        ]
+        if not rows:
+            raise ValueError(
+                "AFTER MATCH SKIP TO: variable consumed no rows in a "
+                "match — cannot resume (Flink raises here too)"
+            )
+        nxt = (
+            min(r[0] for r in rows)
+            if mode == "first"
+            else max(r[1] for r in rows)
+        )
+        if nxt <= p:
+            raise ValueError(
+                f"AFTER MATCH SKIP TO {mode.upper()}: resume point is "
+                "the match's own start row — infinite loop (Flink "
+                "raises here too)"
+            )
+        return nxt
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -352,10 +394,10 @@ def pattern_match_stream(
         n = len(ty_l)
         rows, p, keep_from = [], 0, n
         while p < n:
-            end, hit, _ = match_at(ty_l, ts_l, p, toks, within_us)
+            end, hit, assigns = match_at(ty_l, ts_l, p, toks, within_us)
             if end is not None and not hit:
                 rows.append((p, end))
-                p = end + 1
+                p = _resume(p, end, assigns)
             elif hit:
                 keep_from = p
                 break

@@ -939,6 +939,89 @@ def test_stream_pattern_match_parity_with_batch(spark, tmp_path):
     assert len(got) > 20
 
 
+def test_stream_pattern_match_reluctant_and_skip_to_parity(spark, tmp_path):
+    """The streaming CEP flavor carries the batch operator's full
+    AFTER MATCH surface: reluctant quantifiers (a+? a = pair-chopping
+    runs) and SKIP TO FIRST <var> (overlapping chains) both match the
+    batch operator across a micro-batch split."""
+    import datetime as dt
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        pattern_match_quantified,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.stateful import (
+        pattern_match_stream,
+    )
+
+    rng = random.Random(21)
+    rows, rid = [], 0
+    for user in range(5):
+        t = 0
+        for _ in range(40):
+            rid += 1
+            t += rng.choice([1, 2])
+            rows.append(
+                (
+                    rid,
+                    user,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t),
+                    rng.choice(["a", "a", "b", "x"]),
+                )
+            )
+    for user in range(5):  # close tail runs -> everything finalizes
+        rid += 1
+        rows.append((rid, user, dt.datetime(2024, 1, 1, 1), "x"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    d = tmp_path / "cepfeed2"
+    d.mkdir()
+    ordered = ev.orderBy("ts", "event_id").collect()
+    half = len(ordered) // 2
+    for name, chunk in [("a", ordered[:half]), ("b", ordered[half:])]:
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
+        )
+    for i, (pattern, after) in enumerate(
+        [
+            (["a+?", "a"], "past_last_row"),
+            (["a", "b", "a"], ("to_first", [1])),
+        ]
+    ):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "*"))
+        )
+        res = pattern_match_stream(
+            stream, "user_id", "ts", "event_id", "event_type", pattern,
+            after_match=after,
+        )
+        q = (
+            res.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"cepstream2_{i}")
+            .option("checkpointLocation", str(tmp_path / f"ck2_{i}"))
+            .start()
+        )
+        q.processAllAvailable()
+        got = sorted(
+            (int(r["key"]), r["start_id"], r["n_rows"])
+            for r in spark.sql(f"SELECT * FROM cepstream2_{i}").collect()
+        )
+        q.stop()
+        want = sorted(
+            (r["user_id"], r["start_event_id"], r["n_rows"])
+            for r in pattern_match_quantified(
+                ev, "user_id", "ts", "event_id", "event_type", pattern,
+                after_match=after,
+            ).collect()
+        )
+        assert got == want, (pattern, after)
+        assert len(got) > 5, (pattern, after)
+
+
 def test_window_tvf_sql_over_streaming_view(spark, tmp_path):
     """The Flink window-TVF spellings run on STREAMING inputs too
     (Flink's TVFs are streaming-first): TUMBLE and CUMULATE rewrite
