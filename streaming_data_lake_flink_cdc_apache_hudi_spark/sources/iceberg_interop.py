@@ -304,6 +304,60 @@ def read_iceberg(
     return data.select(*cols)
 
 
+def read_iceberg_incremental(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental APPEND scan between two snapshots (exclusive
+    ``from``, inclusive ``to``, default current) — rows in data files
+    live at ``to`` but not at ``from``. Matches Iceberg's own
+    incremental-read contract: every snapshot in the range must be an
+    ``append`` (a replace/overwrite/delete in the range raises, as
+    the Java incremental scan does — serving it would silently miss
+    row-level changes). The same interop surface Hudi's
+    ``incremental()`` read gives the lake's own tables.
+
+    Scale: two metadata-tree walks (KB-scale Avro driver-side, the
+    footprint every Iceberg client has) and ONE pruned parquet scan
+    of exactly the appended files."""
+    meta = json.load(open(_current_metadata_path(path)))
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda s: s.get("timestamp-ms") or 0
+    )
+    ids = [s["snapshot-id"] for s in snaps]
+    if from_snapshot_id not in ids:
+        raise ValueError(f"snapshot {from_snapshot_id} not in table metadata")
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id")
+    if to_snapshot_id not in ids:
+        raise ValueError(f"snapshot {to_snapshot_id} not in table metadata")
+    lo, hi = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
+    if hi < lo:
+        raise ValueError("to_snapshot precedes from_snapshot")
+    for s in snaps[lo + 1 : hi + 1]:
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            raise UnsupportedIcebergFeature(
+                f"incremental read across non-append snapshot "
+                f"{s['snapshot-id']} (operation={op}) — Iceberg's "
+                "incremental scan has the same restriction"
+            )
+    base, _, _ = _live_files(path, from_snapshot_id)
+    head, _, _ = _live_files(path, to_snapshot_id)
+    new_files = sorted(
+        v for k, (v, _) in head.items() if k not in base
+    )
+    if not new_files:
+        return (
+            spark.read.option("basePath", path)
+            .parquet(*sorted(v for v, _ in head.values()))
+            .limit(0)
+        )
+    return spark.read.option("basePath", path).parquet(*new_files)
+
+
 def snapshots(path: str) -> list[dict]:
     """The table's snapshot log (id, timestamp, summary) — the
     time-travel surface."""

@@ -497,3 +497,63 @@ def test_v2_position_deletes_seq_scoped_rewrite_survives(spark, tmp_path):
     got = sorted(map(tuple, read_iceberg(spark, path).collect()))
     # b.parquet pos 1 (id 6) dropped; rewritten a.parquet untouched
     assert got == [(1, "one-new"), (2, "two-new"), (5, "five")]
+
+
+def test_incremental_append_scan_between_snapshots(spark, tmp_path):
+    """read_iceberg_incremental serves exactly the files appended in
+    (from, to]: append chains work, a non-append snapshot in the
+    range raises like Iceberg's own incremental scan."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        read_iceberg_incremental,
+    )
+
+    path = str(tmp_path / "inc_iceberg")
+    sch = "id LONG, v STRING"
+    fa = os.path.join(path, "data", "a.parquet")
+    fb = os.path.join(path, "data", "b.parquet")
+    fc = os.path.join(path, "data", "c.parquet")
+    _stage_parquet(spark, [(1, "one")], sch, fa)
+    _stage_parquet(spark, [(2, "two")], sch, fb)
+    _stage_parquet(spark, [(3, "three")], sch, fc)
+    m1 = _manifest(path, "m1.avro", [_entry(fa, snap=1)])
+    m2 = _manifest(path, "m2.avro", [_entry(fb, snap=2)])
+    m3 = _manifest(path, "m3.avro", [_entry(fc, snap=3)])
+    l1 = _mlist(path, "s1.avro", [m1], 1)
+    l2 = _mlist(path, "s2.avro", [m1, m2], 2)
+    l3 = _mlist(path, "s3.avro", [m1, m2, m3], 3)
+    snapshots_list = [
+        {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": l1,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 2, "timestamp-ms": 2, "manifest-list": l2,
+         "summary": {"operation": "append"}},
+        {"snapshot-id": 3, "timestamp-ms": 3, "manifest-list": l3,
+         "summary": {"operation": "append"}},
+    ]
+    _v2_meta(path, snapshots_list, current=3)
+    got = sorted(
+        map(
+            tuple,
+            read_iceberg_incremental(spark, path, 1).collect(),
+        )
+    )
+    assert got == [(2, "two"), (3, "three")]
+    got = sorted(
+        map(
+            tuple,
+            read_iceberg_incremental(
+                spark, path, 1, to_snapshot_id=2
+            ).collect(),
+        )
+    )
+    assert got == [(2, "two")]
+    # empty range -> empty frame with the table schema
+    empty = read_iceberg_incremental(spark, path, 3)
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+
+    # replace snapshot inside the range -> raise
+    snapshots_list[2]["summary"] = {"operation": "replace"}
+    _v2_meta(path, snapshots_list, current=3)
+    with pytest.raises(UnsupportedIcebergFeature, match="non-append"):
+        read_iceberg_incremental(spark, path, 1)
+    # but the range BEFORE the replace still serves
+    assert read_iceberg_incremental(spark, path, 1, 2).count() == 1
