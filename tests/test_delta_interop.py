@@ -422,3 +422,67 @@ def test_partition_values_typed_and_null_safe(spark, tmp_path):
         (1, 7, datetime.date(2024, 1, 1)),
         (2, 8, None),
     ]
+
+
+def test_incremental_append_scan_between_versions(spark, tmp_path):
+    """read_delta_incremental serves exactly the files added in
+    (from, to]; a remove action in the range raises (append-only
+    ranges — CDF territory otherwise), as does a vacuumed commit."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        read_delta_incremental,
+    )
+
+    path = str(tmp_path / "inc_delta")
+    os.makedirs(path)
+    schema = "id LONG, name STRING"
+    for fname, rows in {
+        "a.parquet": [(1, "one")],
+        "b.parquet": [(2, "two")],
+        "c.parquet": [(3, "three")],
+    }.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / ("inc_stage_" + fname)))
+        part = [
+            f
+            for f in os.listdir(tmp_path / ("inc_stage_" + fname))
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(
+            str(tmp_path / ("inc_stage_" + fname) / part),
+            os.path.join(path, fname),
+        )
+    sj = spark.createDataFrame([], schema).schema.json()
+
+    def add(p):
+        return {
+            "add": {
+                "path": p,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(path, p)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+
+    _log(path, 0, _proto_meta(sj) + [add("a.parquet")])
+    _log(path, 1, [add("b.parquet")])
+    _log(path, 2, [add("c.parquet")])
+    got = sorted(map(tuple, read_delta_incremental(spark, path, 0).collect()))
+    assert got == [(2, "two"), (3, "three")]
+    got = sorted(
+        map(tuple, read_delta_incremental(spark, path, 0, 1).collect())
+    )
+    assert got == [(2, "two")]
+    empty = read_delta_incremental(spark, path, 2)
+    assert empty.count() == 0 and empty.columns == ["id", "name"]
+
+    # remove action inside the range -> raise; before it -> fine
+    _log(path, 3, [{"remove": {"path": "a.parquet", "dataChange": True}}])
+    with pytest.raises(UnsupportedDeltaFeature, match="remove action"):
+        read_delta_incremental(spark, path, 0)
+    assert read_delta_incremental(spark, path, 1, 2).count() == 1
+    # vacuumed commit JSON in the range -> raise
+    os.remove(os.path.join(path, "_delta_log", "%020d.json" % 2))
+    with pytest.raises(UnsupportedDeltaFeature, match="missing"):
+        read_delta_incremental(spark, path, 1, 3)
