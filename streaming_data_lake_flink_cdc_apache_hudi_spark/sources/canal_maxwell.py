@@ -127,6 +127,79 @@ def parse_canal_json(
     )
 
 
+def to_canal_json(
+    changes: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    es_ms=None,
+    batch_id=None,
+) -> DataFrame:
+    """The OUTBOUND half of the Canal bridge (mirror of
+    ``debezium.to_debezium_json``): rows in the shape
+    ``UpsertLakeTable.changes()`` emits (key cols + after-image value
+    cols + ``_change_type`` + ``_before`` struct) serialized as
+    one-row-per-message Canal-JSON — values stringified per Canal's
+    wire convention, UPDATE ``old`` carrying ONLY the changed
+    columns. Exactly what :func:`parse_canal_json` parses back
+    (round-trip pinned in tests). Map-only ``to_json``."""
+    es_ms = (
+        es_ms
+        if es_ms is not None
+        else (F.unix_timestamp(F.current_timestamp()) * 1000)
+    )
+    batch_id = (
+        batch_id if batch_id is not None else F.monotonically_increasing_id()
+    )
+    cols = [*key_cols, *value_cols]
+    ctype = F.col("_change_type")
+    wire_type = (
+        F.when(ctype == "insert", F.lit("INSERT"))
+        .when(ctype == "update", F.lit("UPDATE"))
+        .when(ctype == "delete", F.lit("DELETE"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    # DELETE messages carry the deleted row in data[] — its value
+    # columns come from the before image, keys from the key columns
+    def _data_val(c):
+        if c in key_cols:
+            return F.col(c)
+        return F.when(
+            ctype == "delete", F.col("_before")[c]
+        ).otherwise(F.col(c))
+
+    row_map = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[_data_val(c).cast("string") for c in cols]),
+    )
+    # old: only columns whose before value differs from the after
+    # image (Canal's changed-columns-only convention)
+    old_map = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in value_cols]),
+            F.array(*[
+                F.when(
+                    ~F.col("_before")[c].eqNullSafe(F.col(c)),
+                    F.col("_before")[c].cast("string"),
+                )
+                for c in value_cols
+            ]),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    payload = F.struct(
+        batch_id.cast("long").alias("id"),
+        wire_type.alias("type"),
+        es_ms.cast("long").alias("es"),
+        es_ms.cast("long").alias("ts"),
+        F.array(row_map).alias("data"),
+        F.when(
+            (ctype == "update") & F.col("_before").isNotNull(),
+            F.array(old_map),
+        ).alias("old"),
+    )
+    return changes.select(F.to_json(payload).alias("value"))
+
+
 def parse_maxwell_json(
     df: DataFrame, value_col: str, row_schema: T.StructType
 ) -> DataFrame:
