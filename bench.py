@@ -105,18 +105,36 @@ def _prev_round_ab(spark, names, sf_dir: str) -> dict:
     import subprocess
     import tempfile
 
-    try:
-        rev = subprocess.run(
-            ["git", "log", "--grep", "^round [0-9]*:", "-1", "--format=%H"],
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _pkg_tree(ref: str) -> str:
+        return subprocess.run(
+            ["git", "rev-parse", f"{ref}:{_PKG}"],
             capture_output=True,
             text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            cwd=here,
             timeout=30,
         ).stdout.strip()
+
+    try:
+        revs = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-8", "--format=%H"],
+            capture_output=True,
+            text=True,
+            cwd=here,
+            timeout=30,
+        ).stdout.split()
+        # The driver benches AFTER the end-of-round snapshot commit, so
+        # the newest round-commit can be THIS round's own code (r6 bug:
+        # ab_vs_prev compared identical trees and measured pure noise).
+        # Skip round commits whose package tree equals HEAD's; the first
+        # one that differs is the genuine previous revision.
+        head_tree = _pkg_tree("HEAD")
+        rev = next((r for r in revs if _pkg_tree(r) != head_tree), "")
     except Exception as exc:  # noqa: BLE001
         return {"skipped": f"git unavailable: {exc}"}
     if not rev:
-        return {"skipped": "no prior round commit found"}
+        return {"skipped": "no prior round commit with a differing tree"}
     tmp = tempfile.mkdtemp(prefix="bench_prev_")
     saved = {
         k: v for k, v in sys.modules.items() if k.split(".")[0] == _PKG

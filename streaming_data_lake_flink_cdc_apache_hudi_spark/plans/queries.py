@@ -3385,12 +3385,27 @@ _DRIVER_VERIFIED = frozenset({
     "semi_anti_join", "outer_join_agg", "rollup_agg", "distinct_agg",
     "pivot_agg", "asof_join", "tumbling_window_agg", "revenue_by_nation",
     "shipping_priority", "corpus_curation", "ivf_ann_topk",
-    "approx_sketches", "connected_components", "debezium_parse",
+    # approx_sketches deliberately NOT listed: its r02-r04 rows were
+    # err=no_oracle; the full oracle added in r5 (see its register
+    # site) must earn a real driver row before it counts as verified.
+    "connected_components", "debezium_parse",
     "media_decode", "stratified_sample", "sequence_packing",
     "ivf_kmeans_topk", "percentiles", "jaccard_block_pairs", "cube_agg",
     "topk_ngrams", "purchase_click_attribution", "incremental_read",
     "time_travel_read", "cdc_changes_read", "schema_evolution_read",
     "read_optimized_read", "decontaminate_docs", "doc_repetition",
+    # --- r06 green rows (48 full value-hash matches) ---
+    "canal_parse", "cep_measures_match", "cep_pattern_match",
+    "cep_quantified_match", "cep_reluctant_pairs", "cep_skip_to_chain",
+    "cumulate_window_tvf", "doc_chunks_overlap",
+    "embedding_near_dup_portable", "embedding_outliers",
+    "excess_stock_suppliers", "gopher_rules", "hard_negatives",
+    "hudi_mor_read", "hybrid_search_rrf", "interpolated_series",
+    "last_shipper", "m4_downsample", "matryoshka_topk", "maxwell_parse",
+    "name_entity_clusters", "name_typo_pairs", "part_triangles",
+    "perplexity_buckets", "sample_per_group", "semantic_dedup",
+    "session_window_tvf", "stock_concentration", "temporal_enrich",
+    "upsert_kafka_parse",
 })
 
 
@@ -3424,18 +3439,14 @@ def _verified_names() -> frozenset:
     return frozenset(names)
 
 
-# Names that have NEVER had a driver CORRECTNESS row (as of r05) get
-# absolute priority for the 50-slot window this round — queries added
-# later in round 6 must not displace them (VERDICT r5 ask #1; all 20
-# below were judge-verified green at sf0.01 in the r5 session).
+# Names that have NEVER had a driver-green CORRECTNESS row (as of r06)
+# get absolute priority for the 50-slot window this round — queries
+# added later must not displace them (VERDICT r6 ask #1):
+# linestatus_priority_counts was driver-red only for DuckDB HUGEINT
+# typing (oracle now CASTs to BIGINT); approx_sketches' full oracle
+# (added r5) has never been driver-exercised.
 _WINDOW_PRIORITY = (
-    "linestatus_priority_counts", "last_shipper", "stock_concentration",
-    "excess_stock_suppliers", "cep_pattern_match", "doc_chunks_overlap",
-    "sample_per_group", "matryoshka_topk", "name_typo_pairs",
-    "embedding_outliers", "interpolated_series", "m4_downsample",
-    "name_entity_clusters", "hybrid_search_rrf", "semantic_dedup",
-    "hard_negatives", "perplexity_buckets", "part_triangles",
-    "gopher_rules", "temporal_enrich",
+    "linestatus_priority_counts", "approx_sketches",
 )
 
 
