@@ -34,6 +34,9 @@ worst case is O(rows · within-span).
 
 from __future__ import annotations
 
+import ast as _ast
+import operator as _op
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -95,34 +98,120 @@ def pattern_match(
 
 def parse_pattern(
     pattern: Sequence[str],
-) -> list[tuple[str, int, int | None, bool]]:
-    """``["a+", "b*?", "c?", "d"]`` → ``[(type, min_rep, max_rep,
+) -> list[tuple[object, int, int | None, bool]]:
+    """``["a+", "b*?", "c?", "d"]`` → ``[(test, min_rep, max_rep,
     greedy)]`` with ``max_rep=None`` meaning unbounded. Covers Flink
     MATCH_RECOGNIZE's greedy (``+ * ?``) AND reluctant (``+? *? ??``)
     quantifier surface: with single-literal variables both yield the
     same match SET under SKIP TO NEXT ROW, but under SKIP PAST LAST
     ROW / SKIP TO FIRST|LAST the consumed span decides where the scan
     resumes, so greediness changes the result — e.g. ``a+? b`` takes
-    the shortest a-run reaching a b."""
-    toks: list[tuple[str, int, int | None, bool]] = []
+    the shortest a-run reaching a b.
+
+    ``test`` is a plain string for a single type literal, plus two
+    SQL:2016 pattern forms Flink's own MATCH_RECOGNIZE lacks:
+
+    - ``"(a|b)"`` (alternation, quantifiable) → a ``frozenset`` test —
+      the row's type may be any member;
+    - ``"permute(a,b,c)"`` (unquantified, distinct members) → one
+      ``("perm", members, j)`` token per member: ``len(members)``
+      consecutive rows whose types are exactly the member set in ANY
+      order (lexicographic preference is moot — with distinct
+      single-row members every valid assignment consumes the same
+      rows). Member token ``j`` is remapped after a match to the row
+      whose type equals ``members[j]``, so MEASURES bind by NAME, not
+      by the order the rows arrived in.
+    """
+    toks: list[tuple[object, int, int | None, bool]] = []
     for p in pattern:
         greedy = not p.endswith("??") and not (
             len(p) > 1 and p[-1] == "?" and p[-2] in "+*"
         )
         core = p[:-1] if not greedy else p
         if core.endswith("+"):
-            toks.append((core[:-1], 1, None, greedy))
+            lo, hi, core = 1, None, core[:-1]
         elif core.endswith("*"):
-            toks.append((core[:-1], 0, None, greedy))
+            lo, hi, core = 0, None, core[:-1]
         elif core.endswith("?"):
-            toks.append((core[:-1], 0, 1, greedy))
+            lo, hi, core = 0, 1, core[:-1]
         else:
-            toks.append((core, 1, 1, True))
+            lo, hi = 1, 1
+        pm = re.match(r"^permute\(\s*(.*?)\s*\)$", core, re.IGNORECASE)
+        if pm:
+            if (lo, hi) != (1, 1) or not greedy:
+                raise ValueError(
+                    f"PERMUTE element {p!r} cannot carry a quantifier"
+                )
+            members = tuple(v.strip() for v in pm.group(1).split(","))
+            if len(members) < 2 or len(set(members)) != len(members) or not all(
+                members
+            ):
+                raise ValueError(
+                    f"PERMUTE needs >=2 distinct non-empty members: {p!r}"
+                )
+            toks.extend(
+                (("perm", members, j), 1, 1, True)
+                for j in range(len(members))
+            )
+            continue
+        if core.startswith("(") and core.endswith(")"):
+            alts = frozenset(v.strip() for v in core[1:-1].split("|"))
+            if len(alts) < 2 or not all(alts):
+                raise ValueError(f"bad alternation element {p!r}")
+            toks.append((alts, lo, hi, greedy))
+            continue
+        toks.append((core, lo, hi, greedy))
     if not any(lo > 0 for _, lo, _, _ in toks):
         raise ValueError(
             "pattern must contain at least one non-optional variable"
         )
     return toks
+
+
+def _row_ok(et, types, i: int) -> bool:
+    """Row-local token test: type literal, alternation set, PERMUTE
+    member (membership minus the types the group's earlier members
+    already claimed — members are distinct single-row tokens at
+    consecutive positions, so member ``j``'s row is ``i`` with the
+    group occupying ``i-j..i``), or a precomputed DEFINE mask."""
+    if isinstance(et, str):
+        return types[i] == et
+    if isinstance(et, frozenset):
+        return types[i] in et
+    if et[0] == "mask":
+        return bool(et[1][i])
+    if et[0] == "perm":
+        j = et[2]
+        return types[i] in et[1] and (
+            j == 0 or types[i] not in types[i - j : i]
+        )
+    raise TypeError(f"token test {et!r} needs match context")
+
+
+def _remap_perm(assigns, toks, types):
+    """After a successful match, point each PERMUTE member token at
+    the row whose type equals that member's declared name (the scan
+    assigned rows positionally), so MEASURES/SKIP TO resolve by
+    variable name regardless of arrival order."""
+    if not any(
+        isinstance(t[0], tuple) and t[0][0] == "perm" for t in toks
+    ):
+        return assigns
+    out = list(assigns)
+    i = 0
+    while i < len(out):
+        ti = out[i][0]
+        et = toks[ti][0]
+        if isinstance(et, tuple) and et[0] == "perm" and et[2] == 0:
+            k = len(et[1])
+            grp = out[i : i + k]
+            row_of = {types[pos]: pos for _, pos, _ in grp}
+            for j, member in enumerate(et[1]):
+                out[i + j] = (grp[j][0], row_of[member], 1)
+            i += k
+        else:
+            i += 1
+    return out
 
 
 def match_at(
@@ -144,24 +233,40 @@ def match_at(
     exceeds start_ts + within, every later row does too.
     ``assignments`` is one ``(token_index, row_pos, n_rows)`` per
     pattern variable on the successful path (n_rows may be 0 for
-    skipped optional variables) — the MEASURES surface."""
-    n = len(types)
+    skipped optional variables) — the MEASURES surface.
+
+    Token tests beyond the type literal (see :func:`parse_pattern`
+    and :func:`pattern_match_define`): alternation ``frozenset``s,
+    PERMUTE members, precomputed ``("mask", ndarray)`` DEFINE
+    predicates, and ``("ctx", fn)`` match-relative predicates — the
+    last receive ``(row, bindings_so_far, run_start)`` so FIRST/LAST
+    references can see the rows earlier variables consumed (and the
+    current variable's partial run, candidate row included).
+    Bindings are threaded forward for exactly that reason; predicate
+    checks are prefix-closed, so a backtracked shorter take never
+    invalidates rows already accepted."""
+    n = len(times_us)
     limit = (
         times_us[start] + within_us if within_us is not None else None
     )
     hit_end = False
 
+    def ok(et, i: int, bound, pos: int) -> bool:
+        if isinstance(et, tuple) and et[0] == "ctx":
+            return et[1](i, bound, pos)
+        return _row_ok(et, types, i)
+
     def rec(
-        pos: int, ti: int
+        pos: int, ti: int, bound: list[tuple[int, int, int]]
     ) -> tuple[int, list[tuple[int, int, int]]] | None:
         nonlocal hit_end
         if ti == len(toks):
-            return (pos - 1, []) if pos > start else None
+            return (pos - 1, bound) if pos > start else None
         et, lo, hi, greedy = toks[ti]
         k = 0
         while (
             pos + k < n
-            and types[pos + k] == et
+            and ok(et, pos + k, bound, pos)
             and (limit is None or times_us[pos + k] <= limit)
             and (hi is None or k < hi)
         ):
@@ -172,16 +277,15 @@ def match_at(
             range(k, lo - 1, -1) if greedy else range(lo, k + 1)
         )
         for take in takes:
-            r = rec(pos + take, ti + 1)
+            r = rec(pos + take, ti + 1, bound + [(ti, pos, take)])
             if r is not None:
-                end, tail = r
-                return end, [(ti, pos, take)] + tail
+                return r
         return None
 
-    r = rec(start, 0)
+    r = rec(start, 0, [])
     if r is None:
         return None, hit_end, []
-    return r[0], hit_end, r[1]
+    return r[0], hit_end, _remap_perm(r[1], toks, types)
 
 
 def scan_matches(
@@ -205,16 +309,21 @@ def scan_matches(
     point equal to the match's own start row (or a variable that
     consumed no rows) raises — it cannot make progress."""
     out: list[tuple[int, int, list[tuple[int, int, int]]]] = []
-    p, n = 0, len(types)
+    p, n = 0, len(times_us)
     first_et, _, first_hi, _ = toks[0]
     # run-skip: with an UNBOUNDED first variable and no WITHIN, a
     # failed attempt at p implies failure at every later position of
-    # the same-type run (each continuation checkpoint from p+1 was
+    # the same-test run (each continuation checkpoint from p+1 was
     # already tried as a longer take from p; reluctant order tries the
     # same take set) — turns the all-'a' never-matching worst case
-    # from O(n²) into O(n). Invalid under WITHIN: a later start has a
-    # LOOSER remaining window.
-    can_skip = first_hi is None and within_us is None
+    # from O(n²) into O(n). Invalid under WITHIN (a later start has a
+    # LOOSER remaining window) and for match-relative ("ctx")
+    # predicates, whose row test is not a pure function of the row.
+    can_skip = (
+        first_hi is None
+        and within_us is None
+        and not (isinstance(first_et, tuple) and first_et[0] == "ctx")
+    )
     while p < n:
         end, _, assigns = match_at(types, times_us, p, toks, within_us)
         if end is not None:
@@ -246,55 +355,34 @@ def scan_matches(
                 p = nxt
             else:
                 p = end + 1 if skip_past_last_row else p + 1
-        elif can_skip and types[p] == first_et:
+        elif can_skip and _row_ok(first_et, types, p):
             p += 1
-            while p < n and types[p] == first_et:
+            while p < n and _row_ok(first_et, types, p):
                 p += 1
         else:
             p += 1
     return out
 
 
-def pattern_match_quantified(
+def _grouped_match(
     df: DataFrame,
     key_col: str,
     time_col: str,
     order_tiebreak: str,
-    type_col: str,
-    pattern: Sequence[str],
-    within_seconds: int | None = None,
-    after_match: str | tuple[str, Sequence[int]] = "past_last_row",
-    measures: Sequence[tuple[str, str, Sequence[int], str | None]] | None = None,
+    extra_cols: Sequence[str],
+    toks: list,
+    bind_toks,
+    within_seconds: int | None,
+    after_match: str | tuple[str, Sequence[int]],
+    measures: Sequence[tuple[str, str, Sequence[int], str | None]] | None,
 ) -> DataFrame:
-    """MATCH_RECOGNIZE with greedy AND reluctant quantifiers
-    (``a+ b*? c??``), ONE ROW PER MATCH: one output row per match —
-    (key, start_<tiebreak>, start/end second strings, n_rows[,
-    measures...]). ``after_match``: ``"past_last_row"`` (Flink's
-    default — non-overlapping, scan resumes after the match),
-    ``"next_row"`` (overlap enumeration), or ``("to_first"|"to_last",
-    token_indices)`` (AFTER MATCH SKIP TO FIRST|LAST <var> — resume
-    AT the first/last row that variable consumed; raises like Flink
-    when the resume point cannot advance).
-
-    ``measures``: MEASURES clauses as ``(out_name, agg,
-    token_indices, col)`` — agg in first/last/count/sum/min/max/avg
-    evaluated over the rows the named pattern variable(s) consumed in
-    each match (count ignores col; token_indices spanning EVERY token
-    is the unqualified whole-match aggregate, e.g. ``COUNT(*)``), or
-    ``match_number`` (Flink's MATCH_NUMBER() — 1-based sequential
-    match index within the key, scan order; ignores col and tokens).
-    A variable that consumed zero rows (skipped optional) yields NULL
-    (count 0).
-
-    Scale: groupBy(key).applyInPandas — one key shuffle, Arrow
-    batches, per-task memory = one key's timeline (Flink keyed-state
-    contract); measures are pandas slice aggregations per match, no
-    extra pass. Cf. reference CDC-Hudi-Notebook.zpln's Flink SQL
-    surface, where MATCH_RECOGNIZE is the platform's CEP spelling
-    (SURVEY.md §2.5 extension)."""
+    """Shared applyInPandas core behind the quantified (type-literal)
+    and DEFINE-predicate matchers: ONE key shuffle, per-key Arrow
+    batch, scan_matches over tokens produced by ``bind_toks(pdf) ->
+    (types_or_None, bound_toks)``. Validation of after_match /
+    MEASURES happens here against the template ``toks``."""
     import pandas as pd
 
-    toks = parse_pattern(pattern)
     skip_to: tuple[str, Sequence[int]] | None = None
     if isinstance(after_match, tuple):
         mode, tis = after_match
@@ -360,7 +448,7 @@ def pattern_match_quantified(
         pdf = pdf.sort_values(
             [time_col, order_tiebreak], kind="mergesort"
         ).reset_index(drop=True)
-        types = pdf[type_col].to_numpy()
+        types, btoks = bind_toks(pdf)
         times_us = (
             pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
         )
@@ -398,7 +486,7 @@ def pattern_match_quantified(
             )
             for mi, (s, e, assigns) in enumerate(
                 scan_matches(
-                    types, times_us, toks, within_us, skip_past, skip_to
+                    types, times_us, btoks, within_us, skip_past, skip_to
                 ),
                 start=1,
             )
@@ -409,8 +497,561 @@ def pattern_match_quantified(
     # measures may reference already-selected columns
     sel = list(
         dict.fromkeys(
-            [key_col, time_col, order_tiebreak, type_col]
+            [key_col, time_col, order_tiebreak]
+            + list(extra_cols)
             + [col for _, _, _, col in measures if col is not None]
         )
     )
     return df.select(*sel).groupBy(key_col).applyInPandas(fn, schema)
+
+
+def pattern_match_quantified(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    order_tiebreak: str,
+    type_col: str,
+    pattern: Sequence[str],
+    within_seconds: int | None = None,
+    after_match: str | tuple[str, Sequence[int]] = "past_last_row",
+    measures: Sequence[tuple[str, str, Sequence[int], str | None]] | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE with greedy AND reluctant quantifiers
+    (``a+ b*? c??``), ONE ROW PER MATCH: one output row per match —
+    (key, start_<tiebreak>, start/end second strings, n_rows[,
+    measures...]). ``after_match``: ``"past_last_row"`` (Flink's
+    default — non-overlapping, scan resumes after the match),
+    ``"next_row"`` (overlap enumeration), or ``("to_first"|"to_last",
+    token_indices)`` (AFTER MATCH SKIP TO FIRST|LAST <var> — resume
+    AT the first/last row that variable consumed; raises like Flink
+    when the resume point cannot advance).
+
+    ``measures``: MEASURES clauses as ``(out_name, agg,
+    token_indices, col)`` — agg in first/last/count/sum/min/max/avg
+    evaluated over the rows the named pattern variable(s) consumed in
+    each match (count ignores col; token_indices spanning EVERY token
+    is the unqualified whole-match aggregate, e.g. ``COUNT(*)``), or
+    ``match_number`` (Flink's MATCH_NUMBER() — 1-based sequential
+    match index within the key, scan order; ignores col and tokens).
+    A variable that consumed zero rows (skipped optional) yields NULL
+    (count 0).
+
+    Scale: groupBy(key).applyInPandas — one key shuffle, Arrow
+    batches, per-task memory = one key's timeline (Flink keyed-state
+    contract); measures are pandas slice aggregations per match, no
+    extra pass. Cf. reference CDC-Hudi-Notebook.zpln's Flink SQL
+    surface, where MATCH_RECOGNIZE is the platform's CEP spelling
+    (SURVEY.md §2.5 extension).
+
+    Pattern elements may also be alternations (``"(a|b)+"``) or an
+    unquantified ``"permute(a,b,c)"`` — SQL:2016 row-pattern forms
+    Flink itself rejects; see :func:`parse_pattern`. NOTE a PERMUTE
+    element expands to one token per member, so ``token_indices`` in
+    ``after_match``/``measures`` index the EXPANDED token list."""
+    toks = parse_pattern(pattern)
+    return _grouped_match(
+        df,
+        key_col,
+        time_col,
+        order_tiebreak,
+        [type_col],
+        toks,
+        lambda pdf: (pdf[type_col].to_numpy(), toks),
+        within_seconds,
+        after_match,
+        measures,
+    )
+
+
+# -- DEFINE predicate compiler (Flink MATCH_RECOGNIZE DEFINE clause) --------
+#
+# Flink 1.15's MATCH_RECOGNIZE (the reference platform's Flink SQL — cf.
+# CDC-Hudi-Notebook.zpln's runtime) lets DEFINE bind a pattern variable to
+# an arbitrary boolean expression over row values with navigation
+# functions — the canonical V-shape `PRICE_DOWN AS PRICE_DOWN.price <
+# PREV(PRICE_DOWN.price)`. Two evaluation strategies, chosen per clause:
+#
+# - ROW-LOCAL (no FIRST/LAST, no foreign-variable references): the
+#   predicate is a pure function of the row and fixed-offset PREV/NEXT
+#   neighbors in the key's timeline, so it compiles to ONE vectorized
+#   pandas evaluation per key group — a boolean mask the scanner indexes,
+#   with SQL null semantics (a comparison against a shifted-in null is
+#   False). This covers the documented Flink examples and keeps the
+#   matcher's inner loop numpy-cheap.
+# - MATCH-RELATIVE (FIRST/LAST(V.col[, off]) or references to OTHER
+#   pattern variables — Flink resolves a bare foreign `A.col` as the LAST
+#   row mapped to A): compiles to a per-row closure the scanner calls with
+#   the bindings accumulated so far; the current variable's own span
+#   includes the candidate row, matching Flink's running semantics.
+#
+# The expression grammar is the SQL boolean subset: comparisons
+# (= <> < <= > >=), AND/OR/NOT, + - * / %, IN (...), literals, column
+# refs (bare or VAR.col), PREV/NEXT(expr[, n]), FIRST/LAST(VAR.col[, n]),
+# ABS(x). Parsed by rewriting the SQL spellings to Python syntax
+# (precedence of AND/OR/NOT matches SQL) and walking the ast — the tree
+# is evaluated by OUR interpreter, never executed as Python code.
+
+_CMP_OPS = {
+    _ast.Lt: _op.lt,
+    _ast.LtE: _op.le,
+    _ast.Gt: _op.gt,
+    _ast.GtE: _op.ge,
+    _ast.Eq: _op.eq,
+    _ast.NotEq: _op.ne,
+}
+_BIN_OPS = {
+    _ast.Add: _op.add,
+    _ast.Sub: _op.sub,
+    _ast.Mult: _op.mul,
+    _ast.Div: _op.truediv,
+    _ast.Mod: _op.mod,
+}
+_NAV_FUNCS = frozenset({"prev", "next", "first", "last", "abs"})
+
+
+def _sql_predicate_ast(expr: str):
+    """SQL boolean expression → (python ast, stashed string literals).
+    String literals are stashed before keyword rewriting so a column
+    value like ``'and'`` cannot corrupt the expression."""
+    lits: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        lits.append(m.group(1).replace("''", "'"))
+        return f" __lit{len(lits) - 1}__ "
+
+    s = re.sub(r"'((?:[^']|'')*)'", stash, expr)
+    s = s.replace("<>", "!=")
+    s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
+    s = re.sub(r"\bAND\b", " and ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bOR\b", " or ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bNOT\b", " not ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bIN\b", " in ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bTRUE\b", "True", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bFALSE\b", "False", s, flags=re.IGNORECASE)
+    try:
+        tree = _ast.parse(s, mode="eval").body
+    except SyntaxError as exc:
+        raise ValueError(f"DEFINE: cannot parse {expr!r}: {exc}") from None
+    return tree, lits
+
+
+def _analyze_define(tree, var: str, all_vars: frozenset, expr: str):
+    """Validate the node surface and decide the evaluation mode.
+    Returns (needs_ctx, referenced_columns)."""
+    needs_ctx = False
+    cols: set[str] = set()
+    varset = {v.upper() for v in all_vars}
+
+    def walk(node):
+        nonlocal needs_ctx
+        if isinstance(node, _ast.Constant):
+            if not isinstance(node.value, (int, float, str, bool)):
+                raise ValueError(f"DEFINE {expr!r}: bad literal")
+            return
+        if isinstance(node, _ast.Name):
+            if not re.fullmatch(r"__lit\d+__", node.id):
+                cols.add(node.id)
+            return
+        if isinstance(node, _ast.Attribute):
+            if not isinstance(node.value, _ast.Name):
+                raise ValueError(f"DEFINE {expr!r}: bad qualifier")
+            q = node.value.id.upper()
+            if q not in varset:
+                raise ValueError(
+                    f"DEFINE {expr!r}: {node.value.id}.{node.attr} does "
+                    "not qualify a pattern variable"
+                )
+            if q != var.upper():
+                needs_ctx = True  # foreign-var ref resolves to its LAST row
+            cols.add(node.attr)
+            return
+        if isinstance(node, _ast.BoolOp):
+            for v in node.values:
+                walk(v)
+            return
+        if isinstance(node, _ast.UnaryOp):
+            if not isinstance(node.op, (_ast.Not, _ast.USub)):
+                raise ValueError(f"DEFINE {expr!r}: unsupported operator")
+            walk(node.operand)
+            return
+        if isinstance(node, _ast.BinOp):
+            if type(node.op) not in _BIN_OPS:
+                raise ValueError(f"DEFINE {expr!r}: unsupported operator")
+            walk(node.left)
+            walk(node.right)
+            return
+        if isinstance(node, _ast.Compare):
+            walk(node.left)
+            for cop, comp in zip(node.ops, node.comparators):
+                if isinstance(cop, (_ast.In, _ast.NotIn)):
+                    if not isinstance(comp, _ast.Tuple):
+                        raise ValueError(
+                            f"DEFINE {expr!r}: IN needs a literal list"
+                        )
+                    for e in comp.elts:
+                        walk(e)
+                elif type(cop) not in _CMP_OPS:
+                    raise ValueError(f"DEFINE {expr!r}: unsupported comparison")
+                else:
+                    walk(comp)
+            return
+        if isinstance(node, _ast.Call):
+            if not isinstance(node.func, _ast.Name):
+                raise ValueError(f"DEFINE {expr!r}: unsupported call")
+            f = node.func.id.lower()
+            if f not in _NAV_FUNCS:
+                raise ValueError(f"DEFINE {expr!r}: unknown function {f}()")
+            if f in ("first", "last"):
+                needs_ctx = True
+                if not (
+                    node.args and isinstance(node.args[0], _ast.Attribute)
+                ):
+                    raise ValueError(
+                        f"DEFINE {expr!r}: {f.upper()} needs VAR.col"
+                    )
+            if len(node.args) > 1 and not (
+                isinstance(node.args[1], _ast.Constant)
+                and isinstance(node.args[1].value, int)
+            ):
+                raise ValueError(
+                    f"DEFINE {expr!r}: {f.upper()} offset must be an "
+                    "integer literal"
+                )
+            if node.keywords or len(node.args) not in (1, 2):
+                raise ValueError(f"DEFINE {expr!r}: bad {f.upper()} call")
+            walk(node.args[0])
+            return
+        if isinstance(node, _ast.Tuple):
+            for e in node.elts:
+                walk(e)
+            return
+        raise ValueError(
+            f"DEFINE {expr!r}: unsupported syntax "
+            f"({type(node).__name__})"
+        )
+
+    walk(tree)
+    return needs_ctx, cols
+
+
+def _vec_eval(node, pdf, lits):
+    """Vectorized (row-local) evaluation over the whole key timeline.
+    Returns a pandas Series / scalar; comparisons with shifted-in
+    nulls are False, matching SQL's unknown-is-not-matched."""
+    import numpy as np
+    import pandas as pd
+
+    def as_bool(v):
+        if isinstance(v, pd.Series):
+            if v.dtype != bool:
+                v = v.fillna(False).astype(bool)
+            return v
+        return bool(v)
+
+    def ev(node):
+        if isinstance(node, _ast.Constant):
+            return node.value
+        if isinstance(node, _ast.Name):
+            m = re.fullmatch(r"__lit(\d+)__", node.id)
+            if m:
+                return lits[int(m.group(1))]
+            if node.id not in pdf.columns:
+                raise ValueError(f"DEFINE: unknown column {node.id!r}")
+            return pdf[node.id]
+        if isinstance(node, _ast.Attribute):
+            # row-local mode only ever sees the variable being defined
+            if node.attr not in pdf.columns:
+                raise ValueError(f"DEFINE: unknown column {node.attr!r}")
+            return pdf[node.attr]
+        if isinstance(node, _ast.BoolOp):
+            vals = [as_bool(ev(v)) for v in node.values]
+            out = vals[0]
+            for v in vals[1:]:
+                out = out & v if isinstance(node.op, _ast.And) else out | v
+            return out
+        if isinstance(node, _ast.UnaryOp):
+            if isinstance(node.op, _ast.Not):
+                return ~as_bool(ev(node.operand))
+            return -ev(node.operand)
+        if isinstance(node, _ast.BinOp):
+            return _BIN_OPS[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, _ast.Compare):
+            out, left = None, ev(node.left)
+            for cop, comp in zip(node.ops, node.comparators):
+                if isinstance(cop, (_ast.In, _ast.NotIn)):
+                    vals = [ev(e) for e in comp.elts]
+                    part = (
+                        left.isin(vals)
+                        if isinstance(left, pd.Series)
+                        else left in vals
+                    )
+                    if isinstance(cop, _ast.NotIn):
+                        part = ~part if isinstance(part, pd.Series) else not part
+                    right = left
+                else:
+                    right = ev(comp)
+                    with np.errstate(invalid="ignore"):
+                        part = _CMP_OPS[type(cop)](left, right)
+                part = as_bool(part)
+                out = part if out is None else out & part
+                left = right
+            return out
+        if isinstance(node, _ast.Call):
+            f = node.func.id.lower()
+            if f == "abs":
+                return abs(ev(node.args[0]))
+            v = ev(node.args[0])  # prev / next
+            n = node.args[1].value if len(node.args) > 1 else 1
+            if not isinstance(v, pd.Series):
+                raise ValueError(
+                    f"DEFINE: {f.upper()}() of a constant is meaningless"
+                )
+            return v.shift(n if f == "prev" else -n)
+        raise AssertionError(f"unvalidated node {node!r}")
+
+    return ev(node)
+
+
+def _ctx_eval(node, i, pdf, spans, var, lits):
+    """Per-row (match-relative) evaluation at row ``i`` given the
+    variable spans bound so far. Null/None/NaN operands make
+    comparisons False and arithmetic None (SQL unknown)."""
+    n = len(pdf)
+
+    def isnull(v):
+        return v is None or (isinstance(v, float) and v != v)
+
+    def colval(col, at):
+        if at is None or at < 0 or at >= n:
+            return None
+        v = pdf[col].iat[at]
+        return None if isnull(v) else v
+
+    def ev(node, at):
+        if isinstance(node, _ast.Constant):
+            return node.value
+        if isinstance(node, _ast.Name):
+            m = re.fullmatch(r"__lit(\d+)__", node.id)
+            if m:
+                return lits[int(m.group(1))]
+            if node.id not in pdf.columns:
+                raise ValueError(f"DEFINE: unknown column {node.id!r}")
+            return colval(node.id, at)
+        if isinstance(node, _ast.Attribute):
+            q = node.value.id.upper()
+            if node.attr not in pdf.columns:
+                raise ValueError(f"DEFINE: unknown column {node.attr!r}")
+            if q == var.upper():
+                return colval(node.attr, at)
+            span = spans.get(q)
+            # Flink: a bare foreign-variable reference = its LAST row
+            return colval(node.attr, span[1]) if span else None
+        if isinstance(node, _ast.BoolOp):
+            if isinstance(node.op, _ast.And):
+                return all(bool(ev(v, at)) for v in node.values)
+            return any(bool(ev(v, at)) for v in node.values)
+        if isinstance(node, _ast.UnaryOp):
+            v = ev(node.operand, at)
+            if isinstance(node.op, _ast.Not):
+                return not bool(v)
+            return None if isnull(v) else -v
+        if isinstance(node, _ast.BinOp):
+            l, r = ev(node.left, at), ev(node.right, at)
+            if isnull(l) or isnull(r):
+                return None
+            return _BIN_OPS[type(node.op)](l, r)
+        if isinstance(node, _ast.Compare):
+            left = ev(node.left, at)
+            for cop, comp in zip(node.ops, node.comparators):
+                if isinstance(cop, (_ast.In, _ast.NotIn)):
+                    vals = [ev(e, at) for e in comp.elts]
+                    hit = (not isnull(left)) and left in vals
+                    ok = (not hit) if isinstance(cop, _ast.NotIn) else hit
+                    right = left
+                else:
+                    right = ev(comp, at)
+                    if isnull(left) or isnull(right):
+                        return False
+                    ok = _CMP_OPS[type(cop)](left, right)
+                if not ok:
+                    return False
+                left = right
+            return True
+        if isinstance(node, _ast.Call):
+            f = node.func.id.lower()
+            off = node.args[1].value if len(node.args) > 1 else None
+            if f == "abs":
+                v = ev(node.args[0], at)
+                return None if isnull(v) else abs(v)
+            if f in ("prev", "next"):
+                step = off if off is not None else 1
+                if at is None:
+                    return None
+                return ev(
+                    node.args[0], at - step if f == "prev" else at + step
+                )
+            # FIRST/LAST(V.col[, off]) over the variable's bound span
+            attr = node.args[0]
+            q = attr.value.id.upper()
+            span = spans.get(q)
+            if span is None:
+                return None
+            o = off or 0
+            idx = span[0] + o if f == "first" else span[1] - o
+            if idx < span[0] or idx > span[1]:
+                return None
+            return colval(attr.attr, idx)
+        raise AssertionError(f"unvalidated node {node!r}")
+
+    return ev(node, i)
+
+
+def compile_define(
+    expr: str, var: str, all_vars: Sequence[str]
+) -> tuple[str, object, frozenset]:
+    """Compile one DEFINE clause. Returns ``(kind, compiled, cols)``:
+    ``("mask", fn)`` with ``fn(pdf) -> np.bool_[n]`` for row-local
+    predicates, or ``("ctx", maker)`` with ``maker(pdf, tok_var) ->
+    fn(i, bound, run_start) -> bool`` for match-relative ones."""
+    import numpy as np
+
+    tree, lits = _sql_predicate_ast(expr)
+    needs_ctx, cols = _analyze_define(
+        tree, var, frozenset(all_vars), expr
+    )
+    if not needs_ctx:
+
+        def mask_fn(pdf):
+            v = _vec_eval(tree, pdf, lits)
+            if hasattr(v, "to_numpy"):
+                if v.dtype != bool:
+                    v = v.fillna(False).astype(bool)
+                return v.to_numpy()
+            return np.full(len(pdf), bool(v))
+
+        return "mask", mask_fn, frozenset(cols)
+
+    def maker(pdf, tok_var):
+        def fn(i, bound, run_start):
+            spans = {}
+            for bti, bpos, btake in bound:
+                if btake > 0 and tok_var.get(bti):
+                    spans[tok_var[bti].upper()] = (bpos, bpos + btake - 1)
+            spans[var.upper()] = (run_start, i)
+            v = _ctx_eval(tree, i, pdf, spans, var, lits)
+            return bool(v) if v is not None else False
+
+        return fn
+
+    return "ctx", maker, frozenset(cols)
+
+
+def pattern_match_define(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    order_tiebreak: str,
+    pattern: Sequence[str],
+    define: dict[str, str],
+    within_seconds: int | None = None,
+    after_match: str | tuple[str, Sequence[int]] = "past_last_row",
+    measures: Sequence[tuple[str, str, Sequence[int], str | None]] | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE whose pattern variables are DEFINEd by boolean
+    expressions over row values (Flink 1.15's DEFINE surface) instead
+    of type literals — ``pattern`` lists VARIABLE names with
+    quantifiers (``["STRT", "DOWN+", "UP+"]``, alternation
+    ``"(A|B)+"`` allowed), ``define`` maps variables to SQL
+    predicates, e.g. the canonical V-shape::
+
+        define={"DOWN": "value < PREV(value)",
+                "UP":   "value > PREV(value)"}
+
+    Variables without a DEFINE entry match any row (Flink's undefined
+    = TRUE). PREV/NEXT navigate the key's input timeline (not the
+    variable's rows — Flink semantics); FIRST/LAST(V.col[, off]) and
+    foreign ``V.col`` references resolve against the rows the match
+    has bound so far (own span includes the candidate row). Output
+    schema and after_match/measures semantics are identical to
+    :func:`pattern_match_quantified`; PERMUTE elements are not
+    supported here (their bijection test needs literal types).
+
+    Scale: identical to the quantified matcher — ONE key shuffle into
+    applyInPandas; row-local predicates become one vectorized mask
+    per key group (numpy inner loop), only genuinely match-relative
+    clauses fall back to per-row closures."""
+    toks = parse_pattern(pattern)
+    var_names: list[str] = []
+    for et, _, _, _ in toks:
+        if isinstance(et, tuple) and et[0] == "perm":
+            raise ValueError(
+                "pattern_match_define: PERMUTE needs literal type "
+                "DEFINEs — use pattern_match_quantified"
+            )
+        var_names.extend([et] if isinstance(et, str) else sorted(et))
+    unknown = set(define) - set(var_names)
+    if unknown:
+        raise ValueError(
+            f"DEFINE names absent from the pattern: {sorted(unknown)}"
+        )
+    compiled = {
+        v: compile_define(e, v, var_names) for v, e in define.items()
+    }
+    extra_cols = sorted(
+        set().union(*(c for _, _, c in compiled.values())) if compiled else ()
+    )
+    missing = set(extra_cols) - set(df.columns)
+    if missing:
+        raise ValueError(f"DEFINE references unknown columns {sorted(missing)}")
+    # token index -> variable name (None for alternations, whose rows
+    # belong to the group, not a single variable)
+    tok_var = {
+        ti: et if isinstance(et, str) else None
+        for ti, (et, _, _, _) in enumerate(toks)
+    }
+
+    def bind_toks(pdf):
+        import numpy as np
+
+        masks: dict[str, object] = {}
+        ctx: dict[str, object] = {}
+        for v in var_names:
+            if v not in compiled:
+                masks[v] = np.ones(len(pdf), dtype=bool)
+                continue
+            kind, f, _ = compiled[v]
+            if kind == "mask":
+                masks[v] = f(pdf)
+            else:
+                ctx[v] = f(pdf, tok_var)
+        bound = []
+        for et, lo, hi, greedy in toks:
+            if isinstance(et, frozenset):
+                members = sorted(et)
+                if any(m in ctx for m in members):
+                    raise ValueError(
+                        "alternation members must be row-local "
+                        "predicates (no FIRST/LAST/foreign refs)"
+                    )
+                m = masks[members[0]].copy()
+                for v in members[1:]:
+                    m |= masks[v]
+                bound.append((("mask", m), lo, hi, greedy))
+            elif et in ctx:
+                bound.append((("ctx", ctx[et]), lo, hi, greedy))
+            else:
+                bound.append((("mask", masks[et]), lo, hi, greedy))
+        return None, bound
+
+    return _grouped_match(
+        df,
+        key_col,
+        time_col,
+        order_tiebreak,
+        extra_cols,
+        toks,
+        bind_toks,
+        within_seconds,
+        after_match,
+        measures,
+    )

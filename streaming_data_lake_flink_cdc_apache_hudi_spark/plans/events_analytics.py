@@ -482,3 +482,192 @@ def q_cep_reluctant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         type_col="event_type",
         pattern=["click+?", "click"],
     )
+
+
+@register(
+    "cep_define_predicate",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER w AS rn,
+         lag(value) OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), dirs AS (
+  SELECT *, CASE WHEN pv IS NULL THEN 'F'
+                 WHEN value < pv THEN 'D'
+                 WHEN value > pv THEN 'U' ELSE 'F' END AS d
+  FROM ordered
+), isl AS (
+  SELECT *, rn - row_number() OVER (
+             PARTITION BY user_id, d ORDER BY rn) AS grp
+  FROM dirs
+), druns AS (
+  SELECT user_id, min(rn) AS ds, max(rn) AS de,
+         CAST(count(*) AS BIGINT) AS nd,
+         arg_min(event_id, rn) AS start_event_id,
+         strftime(date_trunc('second', min(ts)),
+                  '%Y-%m-%d %H:%M:%S') AS start_ts,
+         arg_max(value, rn) AS bottom_value
+  FROM isl WHERE d = 'D' GROUP BY user_id, grp
+), uruns AS (
+  SELECT user_id, min(rn) AS us, CAST(count(*) AS BIGINT) AS nu,
+         strftime(date_trunc('second', max(ts)),
+                  '%Y-%m-%d %H:%M:%S') AS end_ts
+  FROM isl WHERE d = 'U' GROUP BY user_id, grp
+)
+SELECT d.user_id, d.start_event_id, d.start_ts, u.end_ts,
+       CAST(d.nd + u.nu AS BIGINT) AS n_rows,
+       d.bottom_value, d.nd AS n_down
+FROM druns d JOIN uruns u
+  ON u.user_id = d.user_id AND u.us = d.de + 1
+""",
+    doc="MATCH_RECOGNIZE with DEFINE predicates (Flink 1.15's "
+    "canonical V-shape): PATTERN (DOWN+ UP+) where DOWN AS value < "
+    "PREV(value) and UP AS value > PREV(value) over each user's "
+    "timeline, AFTER MATCH SKIP PAST LAST ROW, surfacing the valley "
+    "bottom (LAST(DOWN.value)) and descent length. The predicates "
+    "are row-local, so operators/cep.py compiles them to ONE "
+    "vectorized boolean mask per key group (pandas shift + "
+    "comparison — numpy inner loop) feeding the same one-shuffle "
+    "applyInPandas scan as the literal matcher. Oracle: classify "
+    "each row's direction vs lag(value), gaps-and-islands the "
+    "maximal D/U runs, and join D-runs to the U-run starting "
+    "immediately after — exactly the greedy skip-past match set "
+    "(equal neighbors break both runs; backtracking cannot produce "
+    "alternate matches because a D-classified row always fails the "
+    "UP predicate).",
+)
+def q_cep_define_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import pattern_match_define
+
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_match_define(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["DOWN+", "UP+"],
+        define={
+            "DOWN": "value < PREV(value)",
+            "UP": "value > PREV(value)",
+        },
+        measures=[
+            ("bottom_value", "last", [0], "value"),
+            ("n_down", "count", [0], None),
+        ],
+    )
+
+
+@register(
+    "cep_alternation_match",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), isl AS (
+  SELECT *, rn - row_number() OVER (
+             PARTITION BY user_id ORDER BY rn) AS grp
+  FROM ordered WHERE event_type IN ('click', 'error')
+), cruns AS (
+  SELECT user_id, grp, min(rn) AS s, max(rn) AS e,
+         CAST(count(*) AS BIGINT) AS n_mid
+  FROM isl GROUP BY user_id, grp
+)
+SELECT o1.user_id, o1.event_id AS start_event_id,
+       strftime(date_trunc('second', o1.ts),
+                '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(date_trunc('second', o2.ts),
+                '%Y-%m-%d %H:%M:%S') AS end_ts,
+       CAST(c.n_mid + 2 AS BIGINT) AS n_rows,
+       c.n_mid
+FROM cruns c
+JOIN ordered o1 ON o1.user_id = c.user_id AND o1.rn = c.s - 1
+               AND o1.event_type = 'view'
+JOIN ordered o2 ON o2.user_id = c.user_id AND o2.rn = c.e + 1
+               AND o2.event_type = 'purchase'
+""",
+    doc="SQL:2016 pattern ALTERNATION (a form Flink's own "
+    "MATCH_RECOGNIZE rejects): PATTERN (view (click|error)+ "
+    "purchase), AFTER MATCH SKIP PAST LAST ROW — a view, then a "
+    "maximal run of clicks-or-errors in any mix, closed by a "
+    "purchase. The alternation compiles to a frozenset row test in "
+    "the same backtracking scan (operators/cep.py parse_pattern). "
+    "Oracle: gaps-and-islands over class membership (type IN "
+    "(click,error)), then require the row before the run to be a "
+    "view and the row after it a purchase; greedy+skip-past can "
+    "produce no other match set because class runs are maximal and "
+    "the closing literal is outside the class.",
+)
+def q_cep_alternation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import pattern_match_quantified
+
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_match_quantified(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        type_col="event_type",
+        pattern=["view", "(click|error)+", "purchase"],
+        measures=[("n_mid", "count", [1], None)],
+    )
+
+
+@register(
+    "cep_permute_match",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(event_type, 3) OVER w AS t3,
+         lead(value, 1) OVER w AS v1,
+         lead(value, 2) OVER w AS v2,
+         lead(ts, 3) OVER w AS ets
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS start_event_id,
+       strftime(date_trunc('second', ts),
+                '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(date_trunc('second', ets),
+                '%Y-%m-%d %H:%M:%S') AS end_ts,
+       CAST(4 AS BIGINT) AS n_rows,
+       CASE WHEN t1 = 'view' THEN v1 ELSE v2 END AS view_value,
+       CASE WHEN t1 = 'click' THEN v1 ELSE v2 END AS click_value
+FROM o
+WHERE event_type = 'signup' AND t3 = 'purchase'
+  AND ((t1 = 'view' AND t2 = 'click')
+       OR (t1 = 'click' AND t2 = 'view'))
+""",
+    doc="SQL:2016 PERMUTE pattern (also absent from Flink): PATTERN "
+    "(signup PERMUTE(view, click) purchase) — signup, then view and "
+    "click in EITHER order on consecutive rows, then purchase. Each "
+    "PERMUTE member expands to one token tested as set-membership "
+    "minus already-claimed types, and after a match the member "
+    "tokens are remapped to the row bearing their declared type, so "
+    "the view_value/click_value MEASURES bind by name regardless of "
+    "arrival order (operators/cep.py _remap_perm). Matches are 4 "
+    "fixed rows with no interior signup, so overlapping starts are "
+    "impossible and the lead()-enumeration oracle equals the "
+    "skip-past-last-row match set.",
+)
+def q_cep_permute_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import pattern_match_quantified
+
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_match_quantified(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        type_col="event_type",
+        pattern=["signup", "permute(view,click)", "purchase"],
+        measures=[
+            ("view_value", "first", [1], "value"),
+            ("click_value", "first", [2], "value"),
+        ],
+    )

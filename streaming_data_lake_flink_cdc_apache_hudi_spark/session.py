@@ -121,7 +121,8 @@ class EngineSession:
             ONE ROW PER MATCH
             AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
                              | SKIP TO FIRST v | SKIP TO LAST v
-            PATTERN (A B+ C? D*?)  [WITHIN INTERVAL 'n' MINUTES]
+            PATTERN (A B+ (C|D)? PERMUTE(E, F) G*?)
+                                   [WITHIN INTERVAL 'n' MINUTES]
             DEFINE A AS [A.]type_col = 'lit', B AS ... )
 
         Quantifiers may be greedy (``+ * ?``) or reluctant
@@ -134,10 +135,20 @@ class EngineSession:
         operator's canonical output (key, start_<tiebreak>,
         start_ts, end_ts, n_rows).
 
-        Every pattern variable must be DEFINEd as one equality of the
-        SAME column against a string literal (the funnel/escalation
-        shape). Returns None when the statement has no
-        MATCH_RECOGNIZE."""
+        DEFINE takes two shapes. When EVERY clause is an equality of
+        the SAME column against a string literal (the
+        funnel/escalation shape), the literal matcher runs and the
+        full pattern surface above applies. Otherwise each clause may
+        be an arbitrary boolean predicate over row values — Flink
+        1.15's DEFINE surface: comparisons, AND/OR/NOT, arithmetic,
+        ``IN (...)``, ``PREV/NEXT(col[, n])`` over the key's
+        timeline, ``FIRST/LAST(V.col[, off])`` over a bound
+        variable's rows, e.g. the canonical V-shape ``PRICE_DOWN AS
+        PRICE_DOWN.price < PREV(PRICE_DOWN.price)`` — routed to
+        ``pattern_match_define``; pattern variables WITHOUT a DEFINE
+        match any row (Flink's undefined-is-TRUE), and PERMUTE
+        elements are literal-shape only. Returns None when the
+        statement has no MATCH_RECOGNIZE."""
         import re
 
         if not re.search(r"\bMATCH_RECOGNIZE\b", statement, re.IGNORECASE):
@@ -198,7 +209,10 @@ class EngineSession:
                 if skip and skip.group(1).upper().startswith("TO")
                 else "past_last_row"
             )
-        pat = grab(r"PATTERN\s*\(\s*([^)]*)\)").group(1)
+        # one nesting level for (A|B) / PERMUTE(A, B) elements
+        pat = grab(
+            r"PATTERN\s*\(\s*((?:[^()]|\([^()]*\))*)\)"
+        ).group(1)
         within = grab(
             r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", required=False
         )
@@ -210,47 +224,95 @@ class EngineSession:
                 raise ValueError(f"WITHIN: unsupported unit {within.group(2)!r}")
             within_seconds = int(within.group(1)) * mult[unit]
         define = grab(r"DEFINE\s+(.*)$", flags=re.DOTALL).group(1)
-        type_col = None
-        var_types: dict[str, str] = {}
+        raw_defs: dict[str, str] = {}
         for clause in re.split(
             r",\s*(?=\w+\s+AS\s)", define, flags=re.IGNORECASE
         ):
-            dm = re.match(
-                r"^\s*(\w+)\s+AS\s+(?:\w+\.)?`?(\w+)`?\s*=\s*'([^']*)'\s*$",
-                clause.strip(),
+            cm = re.match(
+                r"^\s*(\w+)\s+AS\s+(.+?)\s*$", clause.strip(), re.DOTALL
             )
-            if not dm:
+            if not cm:
                 raise ValueError(
-                    f"MATCH_RECOGNIZE DEFINE: {clause.strip()!r} — only "
-                    "`VAR AS [VAR.]col = 'literal'` conditions are "
-                    "supported"
+                    f"MATCH_RECOGNIZE DEFINE: cannot parse "
+                    f"{clause.strip()!r}"
                 )
-            var, col, lit = dm.groups()
-            if type_col is None:
-                type_col = col
-            elif col != type_col:
-                raise ValueError(
-                    "MATCH_RECOGNIZE DEFINE: all variables must test "
-                    f"the same column ({type_col!r} vs {col!r})"
-                )
-            var_types[var.upper()] = lit
+            raw_defs[cm.group(1).upper()] = cm.group(2)
+        # literal shape: EVERY clause is `[VAR.]col = 'literal'` on one
+        # shared column; anything else routes to the predicate matcher
+        type_col = None
+        var_types: dict[str, str] = {}
+        for var, rhs in raw_defs.items():
+            dm = re.match(r"^(?:\w+\.)?`?(\w+)`?\s*=\s*'([^']*)'$", rhs)
+            if not dm or (type_col is not None and dm.group(1) != type_col):
+                var_types = {}
+                break
+            type_col = dm.group(1)
+            var_types[var] = dm.group(2)
+        literal_mode = bool(var_types) and len(var_types) == len(raw_defs)
+        # pattern elements: VAR, (A|B), or PERMUTE(A, B) — each with an
+        # optional greedy/reluctant quantifier. PERMUTE expands to one
+        # token per member, so var_tokens indexes the EXPANDED list.
+        elem_re = re.compile(
+            r"(PERMUTE\s*\([^)]*\)|\(\s*\w+(?:\s*\|\s*\w+)*\s*\)|\w+)"
+            r"\s*([+*?]{0,2})\s*",
+            re.IGNORECASE,
+        )
+        covered, elems = 0, []
+        for em in elem_re.finditer(pat):
+            if pat[covered : em.start()].strip():
+                break
+            covered = em.end()
+            elems.append((em.group(1), em.group(2)))
+        if pat[covered:].strip() or not elems:
+            raise ValueError(f"MATCH_RECOGNIZE: cannot parse PATTERN ({pat})")
         pattern = []
         var_tokens: dict[str, list[int]] = {}
-        for ti, tok in enumerate(pat.split()):
-            if tok[-2:] in ("+?", "*?", "??"):
-                quant = tok[-2:]
-            elif tok[-1] in "+*?":
-                quant = tok[-1]
-            else:
-                quant = ""
-            var = tok.rstrip("+*?").upper()
-            if var not in var_types:
-                raise ValueError(
-                    f"MATCH_RECOGNIZE: pattern variable {var} has no "
-                    "DEFINE clause (wildcard variables unsupported)"
+        ti = 0
+
+        def resolve(var: str) -> str:
+            if literal_mode:
+                if var not in var_types:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE: pattern variable {var} has "
+                        "no DEFINE clause (wildcards need the "
+                        "predicate DEFINE shape)"
+                    )
+                return var_types[var]
+            return var
+
+        for core, quant in elems:
+            pm = re.match(r"^PERMUTE\s*\(\s*(.*?)\s*\)$", core, re.IGNORECASE)
+            if pm:
+                if not literal_mode:
+                    raise ValueError(
+                        "MATCH_RECOGNIZE: PERMUTE requires the literal "
+                        "`col = 'lit'` DEFINE shape"
+                    )
+                members = [v.strip().upper() for v in pm.group(1).split(",")]
+                for v in members:
+                    var_tokens.setdefault(v, []).append(ti)
+                    ti += 1
+                pattern.append(
+                    "permute(" + ",".join(resolve(v) for v in members) + ")"
+                    + quant
                 )
+                continue
+            am = re.match(r"^\(\s*(.*?)\s*\)$", core)
+            if am:
+                members = [
+                    v.strip().upper() for v in am.group(1).split("|")
+                ]
+                for v in members:
+                    var_tokens.setdefault(v, []).append(ti)
+                ti += 1
+                pattern.append(
+                    "(" + "|".join(resolve(v) for v in members) + ")" + quant
+                )
+                continue
+            var = core.upper()
             var_tokens.setdefault(var, []).append(ti)
-            pattern.append(var_types[var] + quant)
+            ti += 1
+            pattern.append(resolve(var) + quant)
         if skip_to_var is not None:
             mode, svar = skip_to_var
             if svar not in var_tokens:
@@ -307,15 +369,29 @@ class EngineSession:
                     col = None
                 tis = var_tokens[var] if var is not None else all_tis
                 measures.append((name, agg, tis, col))
-        from .operators.cep import pattern_match_quantified
+        if literal_mode:
+            from .operators.cep import pattern_match_quantified
 
-        return pattern_match_quantified(
+            return pattern_match_quantified(
+                self.spark.table(tbl),
+                key_col=part,
+                time_col=ts_col,
+                order_tiebreak=tiebreak,
+                type_col=type_col,
+                pattern=pattern,
+                within_seconds=within_seconds,
+                after_match=after,
+                measures=measures,
+            )
+        from .operators.cep import pattern_match_define
+
+        return pattern_match_define(
             self.spark.table(tbl),
             key_col=part,
             time_col=ts_col,
             order_tiebreak=tiebreak,
-            type_col=type_col,
             pattern=pattern,
+            define=raw_defs,
             within_seconds=within_seconds,
             after_match=after,
             measures=measures,

@@ -712,3 +712,292 @@ def test_match_recognize_sql_whole_match_measures(spark, tmp_path):
         (30.0, 2, 1, 20.0),
         (70.0, 2, 2, 40.0),
     ]
+
+
+# -- DEFINE predicates / alternation / PERMUTE (round 7) --------------------
+
+
+def _priced(spark, vals, user=1):
+    return spark.createDataFrame(
+        [
+            (i, user, dt.datetime(2024, 1, 1, 0, 0, i), "t", float(v))
+            for i, v in enumerate(vals)
+        ],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+
+
+def test_define_vshape_masks(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_define
+
+    df = _priced(spark, [10, 9, 8, 7, 9, 11, 12, 5, 4, 6])
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["DOWN+", "UP+"],
+        define={
+            "DOWN": "value < PREV(value)",
+            "UP": "value > PREV(value)",
+        },
+        measures=[("bottom", "last", [0], "value")],
+    ).collect()
+    got = sorted((r.start_event_id, r.n_rows, r.bottom) for r in out)
+    # valley 1: rows 1-3 down (9,8,7) + rows 4-6 up (9,11,12)
+    # valley 2: rows 7-8 down (5,4) + row 9 up (6)
+    assert got == [(1, 6, 7.0), (7, 3, 4.0)]
+
+
+def test_define_undefined_var_matches_any_row(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_define
+
+    df = _priced(spark, [10, 9, 8, 11])
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["STRT", "DOWN+", "UP"],
+        define={
+            "DOWN": "value < PREV(value)",
+            "UP": "value > PREV(value)",
+        },
+    ).collect()
+    # STRT binds the row BEFORE the descent (Flink's undefined=TRUE)
+    assert [(r.start_event_id, r.n_rows) for r in out] == [(0, 4)]
+
+
+def test_define_first_reference_ctx_path(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_define
+
+    df = _priced(spark, [10, 9, 8, 7, 9, 11, 12, 5, 4, 6])
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["DOWN+", "UP+"],
+        define={
+            "DOWN": "value < PREV(value)",
+            # full recovery: every UP row must beat the descent start
+            "UP": "value > PREV(value) AND value > FIRST(DOWN.value)",
+        },
+    ).collect()
+    # valley 1 fails (9,11,12 would need > 9 from the FIRST down row,
+    # but the first up step 7->9 equals the descent start, not above);
+    # wait: FIRST(DOWN.value)=9 so up rows must exceed 9 -> 9 fails.
+    # valley 2: FIRST(DOWN.value)=5, up row 6 > 5 -> matches.
+    assert [(r.start_event_id, r.n_rows) for r in out] == [(7, 3)]
+
+
+def test_define_in_list_and_literals(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_define
+
+    df = spark.createDataFrame(
+        [
+            (i, 1, dt.datetime(2024, 1, 1, 0, 0, i), t, float(i))
+            for i, t in enumerate(["view", "click", "error", "purchase"])
+        ],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["V", "MID+", "P"],
+        define={
+            "V": "event_type = 'view'",
+            "MID": "event_type IN ('click', 'error')",
+            "P": "event_type = 'purchase'",
+        },
+    ).collect()
+    assert [(r.start_event_id, r.n_rows) for r in out] == [(0, 4)]
+
+
+def test_alternation_set_test(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_quantified
+
+    df = _ev(
+        spark,
+        [
+            (0, 1, 0, "view"), (1, 1, 1, "click"), (2, 1, 2, "error"),
+            (3, 1, 3, "click"), (4, 1, 4, "purchase"),
+            (5, 1, 5, "view"), (6, 1, 6, "signup"), (7, 1, 7, "purchase"),
+        ],
+    )
+    out = pattern_match_quantified(
+        df, "user_id", "ts", "event_id", "event_type",
+        pattern=["view", "(click|error)+", "purchase"],
+    ).collect()
+    # second view fails: signup is not in the alternation set
+    assert [(r.start_event_id, r.n_rows) for r in out] == [(0, 5)]
+
+
+def test_permute_matches_both_orders_and_remaps_measures(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_quantified
+
+    df = spark.createDataFrame(
+        [
+            (i, 1, dt.datetime(2024, 1, 1, 0, 0, i), t, float(10 + i))
+            for i, t in enumerate(
+                ["s", "v", "c", "p", "s", "c", "v", "p", "s", "v", "v", "p"]
+            )
+        ],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = pattern_match_quantified(
+        df, "user_id", "ts", "event_id", "event_type",
+        pattern=["s", "permute(v,c)", "p"],
+        measures=[
+            ("v_val", "first", [1], "value"),
+            ("c_val", "first", [2], "value"),
+        ],
+    ).collect()
+    got = sorted((r.start_event_id, r.v_val, r.c_val) for r in out)
+    # v,v at rows 9-10 is NOT a permutation of {v,c} -> no third match;
+    # measures bind by member NAME in both arrival orders
+    assert got == [(0, 11.0, 12.0), (4, 16.0, 15.0)]
+
+
+def test_permute_rejects_quantifier_and_dupes(spark):
+    import pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import parse_pattern
+
+    with pytest.raises(ValueError, match="quantifier"):
+        parse_pattern(["permute(a,b)+"])
+    with pytest.raises(ValueError, match="distinct"):
+        parse_pattern(["permute(a,a)"])
+
+
+def test_match_recognize_sql_define_predicates(spark, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.config import EngineConfig
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        EngineConfig(shuffle_partitions=4),
+        spark=spark,
+        registry_path=str(tmp_path / "tables.json"),
+    )
+    _priced(spark, [10, 9, 8, 7, 9, 11, 12, 5, 4, 6]).createOrReplaceTempView(
+        "ticker_r7"
+    )
+    out = eng.sql(
+        """
+        SELECT * FROM ticker_r7 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES LAST(DOWN.value) AS bottom, COUNT(DOWN.*) AS n_down
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT DOWN+ UP+)
+          DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+                 UP AS UP.value > PREV(UP.value) )
+        """
+    ).collect()
+    got = sorted((r.start_event_id, r.n_rows, r.bottom, r.n_down) for r in out)
+    assert got == [(0, 7, 7.0, 3), (7, 3, 4.0, 1)]
+
+
+def test_match_recognize_sql_permute_and_alternation(spark, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.config import EngineConfig
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        EngineConfig(shuffle_partitions=4),
+        spark=spark,
+        registry_path=str(tmp_path / "tables2.json"),
+    )
+    _ev(
+        spark,
+        [
+            (0, 1, 0, "s"), (1, 1, 1, "v"), (2, 1, 2, "c"), (3, 1, 3, "p"),
+            (4, 1, 4, "s"), (5, 1, 5, "c"), (6, 1, 6, "v"), (7, 1, 7, "p"),
+        ],
+    ).createOrReplaceTempView("ev_r7")
+    perm = eng.sql(
+        """
+        SELECT * FROM ev_r7 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A PERMUTE(B, C) D)
+          DEFINE A AS event_type = 's', B AS event_type = 'v',
+                 C AS event_type = 'c', D AS event_type = 'p' )
+        """
+    ).collect()
+    assert sorted(r.start_event_id for r in perm) == [0, 4]
+    alt = eng.sql(
+        """
+        SELECT * FROM ev_r7 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A (B|C)+ D)
+          DEFINE A AS event_type = 's', B AS event_type = 'v',
+                 C AS event_type = 'c', D AS event_type = 'p' )
+        """
+    ).collect()
+    assert sorted((r.start_event_id, r.n_rows) for r in alt) == [
+        (0, 4), (4, 4),
+    ]
+
+
+def test_define_randomized_differential_vs_bruteforce(spark):
+    """Mask-path DEFINE matching vs a brute-force reference over
+    random walks: classify directions in plain Python, enumerate
+    greedy skip-past D+U+ matches by hand, compare."""
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_define
+
+    rng = random.Random(77)
+    rows = []
+    expected = []
+    for user in range(12):
+        n = rng.randrange(4, 40)
+        vals = [rng.randrange(0, 6) for _ in range(n)]
+        for i, v in enumerate(vals):
+            rows.append((user * 1000 + i, user, i, float(v)))
+        dirs = ["F"] + [
+            "D" if b < a else ("U" if b > a else "F")
+            for a, b in zip(vals, vals[1:])
+        ]
+        p = 0
+        while p < n:
+            if dirs[p] == "D":
+                e = p
+                while e + 1 < n and dirs[e + 1] == "D":
+                    e += 1
+                if e + 1 < n and dirs[e + 1] == "U":
+                    u = e + 1
+                    while u + 1 < n and dirs[u + 1] == "U":
+                        u += 1
+                    expected.append((user, user * 1000 + p, u - p + 1))
+                    p = u + 1
+                    continue
+                p = e + 1
+            else:
+                p += 1
+    df = spark.createDataFrame(
+        [
+            (eid, u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v)
+            for eid, u, s, v in rows
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["DOWN+", "UP+"],
+        define={
+            "DOWN": "value < PREV(value)",
+            "UP": "value > PREV(value)",
+        },
+    ).collect()
+    got = sorted((r.user_id, r.start_event_id, r.n_rows) for r in out)
+    assert got == sorted(expected)
