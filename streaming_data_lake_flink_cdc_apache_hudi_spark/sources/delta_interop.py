@@ -25,26 +25,220 @@ into one ``spark.read.parquet(*files)`` scan, so pushdown/pruning
 behave exactly as a native scan; checkpoint parsing reads only the
 checkpoint parquet (actions, not data).
 
-Boundary (documented, enforced): reader protocol support is
-``minReaderVersion <= 1`` — deletion vectors, column mapping, and
-generated columns raise ``UnsupportedDeltaFeature`` instead of
-returning wrong rows.
+Deletion vectors (reader protocol v3, ``readerFeatures =
+["deletionVectors"]``) are fully applied: DV descriptors on ``add``
+actions are decoded from their sidecar ``.bin`` files (or inline
+Base85 payloads) by parsing the spec's 64-bit RoaringBitmapArray
+"portable" serialization — magic ``1681511377``, then standard
+32-bit roaring bitmaps (array / bitmap / run containers) keyed by
+array index — and the deleted positions are dropped via ONE
+anti-join on Spark's hidden parquet ``_metadata.file_path`` /
+``row_index`` columns, mirroring the Iceberg v2 position-delete path
+(``iceberg_interop.py``). DV bytes are read and decoded on
+EXECUTORS (``mapInPandas`` over the descriptor list through
+``pyarrow.fs``); row positions never pass through the driver.
+
+Boundary (documented, enforced): column mapping, generated columns,
+and reader features beyond deletionVectors raise
+``UnsupportedDeltaFeature`` instead of returning wrong rows.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import struct
 import uuid
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class UnsupportedDeltaFeature(RuntimeError):
-    """Delta table requires reader features beyond protocol v1."""
+    """Delta table requires reader features beyond protocol v1 (+DV)."""
 
 
 _LOG_DIR = "_delta_log"
+
+# -- deletion-vector bitmap codec (Delta PROTOCOL.md "Deletion Vector
+#    Format": 64-bit RoaringBitmapArray, "portable" serialization) ---------
+
+_DV_MAGIC = 1681511377  # little-endian marker preceding the bitmap array
+_SERIAL_COOKIE = 12347  # standard roaring, run containers possible
+_SERIAL_COOKIE_NO_RUN = 12346
+
+
+def _roaring32_read(buf: bytes, off: int) -> tuple[list[int], int]:
+    """One standard-format 32-bit RoaringBitmap → (values, next_off).
+    Handles all three container kinds (array / bitmap / run) per the
+    public RoaringFormatSpec."""
+    cookie = struct.unpack_from("<I", buf, off)[0]
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        off += 4
+        nb = (n + 7) // 8
+        run_flags = buf[off : off + nb]
+        off += nb
+        has_offsets = n >= 4
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        n = struct.unpack_from("<I", buf, off + 4)[0]
+        off += 8
+        run_flags = b"\x00" * ((n + 7) // 8)
+        has_offsets = True
+    else:
+        raise UnsupportedDeltaFeature(
+            f"deletion vector: bad roaring cookie {cookie}"
+        )
+    keys_cards = []
+    for _ in range(n):
+        key, card_m1 = struct.unpack_from("<HH", buf, off)
+        off += 4
+        keys_cards.append((key, card_m1 + 1))
+    if has_offsets:
+        off += 4 * n  # containers follow in order; offsets redundant
+    vals: list[int] = []
+    for i, (key, card) in enumerate(keys_cards):
+        base = key << 16
+        if run_flags[i // 8] & (1 << (i % 8)):
+            (nruns,) = struct.unpack_from("<H", buf, off)
+            off += 2
+            for _ in range(nruns):
+                start, length = struct.unpack_from("<HH", buf, off)
+                off += 4
+                vals.extend(range(base + start, base + start + length + 1))
+        elif card <= 4096:
+            vals.extend(
+                base + v
+                for v in struct.unpack_from("<%dH" % card, buf, off)
+            )
+            off += 2 * card
+        else:
+            words = struct.unpack_from("<1024Q", buf, off)
+            off += 8192
+            for wi, w in enumerate(words):
+                wbase = base + wi * 64
+                while w:
+                    vals.append(wbase + ((w & -w).bit_length() - 1))
+                    w &= w - 1
+    return vals, off
+
+
+def decode_roaring_bitmap_array(data: bytes) -> list[int]:
+    """Delta's RoaringBitmapArray portable bytes (magic + count +
+    concatenated 32-bit bitmaps, high-32 key = array index) → sorted
+    deleted row positions."""
+    if len(data) < 12 or struct.unpack_from("<I", data, 0)[0] != _DV_MAGIC:
+        raise UnsupportedDeltaFeature(
+            "deletion vector payload lacks the portable magic number"
+        )
+    (count,) = struct.unpack_from("<q", data, 4)
+    off, out = 12, []
+    for hi in range(count):
+        vals, off = _roaring32_read(data, off)
+        out.extend((hi << 32) | v for v in vals)
+    return sorted(out)
+
+
+def serialize_roaring_bitmap_array(positions) -> bytes:
+    """Sorted positions → Delta portable RoaringBitmapArray bytes
+    (array containers ≤4096 cardinality, bitmap containers above —
+    the no-run cookie form every standard reader accepts). Used by
+    the DV round-trip tests and any future DV-writing path."""
+    by_hi: dict[int, dict[int, list[int]]] = {}
+    for p in positions:
+        if p < 0:
+            raise ValueError("negative row position")
+        by_hi.setdefault(p >> 32, {}).setdefault(
+            (p >> 16) & 0xFFFF, []
+        ).append(p & 0xFFFF)
+    n_bitmaps = (max(by_hi) + 1) if by_hi else 0
+    out = bytearray(struct.pack("<Iq", _DV_MAGIC, n_bitmaps))
+    for hi in range(n_bitmaps):
+        containers = sorted((by_hi.get(hi) or {}).items())
+        n = len(containers)
+        out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+        for key, lows in containers:
+            out += struct.pack("<HH", key, len(set(lows)) - 1)
+        # offset header: container start offsets from bitmap start
+        pos = 8 + 4 * n + 4 * n
+        for _, lows in containers:
+            out += struct.pack("<I", pos)
+            card = len(set(lows))
+            pos += 2 * card if card <= 4096 else 8192
+        for _, lows in containers:
+            uniq = sorted(set(lows))
+            if len(uniq) <= 4096:
+                out += struct.pack("<%dH" % len(uniq), *uniq)
+            else:
+                words = [0] * 1024
+                for v in uniq:
+                    words[v >> 6] |= 1 << (v & 63)
+                out += struct.pack("<1024Q", *words)
+    return bytes(out)
+
+
+def write_deletion_vector_file(bin_path: str, positions) -> dict:
+    """Write one on-disk DV file (format version 1: a version byte,
+    then the length-prefixed, CRC-32-trailed bitmap blob) and return
+    the descriptor fields a ``p``-storage add action needs."""
+    data = serialize_roaring_bitmap_array(sorted(positions))
+    os.makedirs(os.path.dirname(bin_path), exist_ok=True)
+    with open(bin_path, "wb") as fh:
+        fh.write(b"\x01")
+        offset = fh.tell()
+        fh.write(struct.pack(">i", len(data)))
+        fh.write(data)
+        fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    return {
+        "storageType": "p",
+        "pathOrInlineDv": os.path.abspath(bin_path),
+        "offset": offset,
+        "sizeInBytes": len(data),
+        "cardinality": len(set(positions)),
+    }
+
+
+def _dv_payload(table_path: str, desc: dict, read_bytes) -> bytes:
+    """Resolve a DV descriptor to its raw bitmap-array bytes.
+    ``read_bytes(path) -> bytes`` abstracts the filesystem so the
+    executor decode path can use pyarrow.fs."""
+    import base64
+
+    st = desc.get("storageType")
+    blob = desc.get("pathOrInlineDv") or ""
+    size = int(desc["sizeInBytes"])
+    if st == "i":
+        data = base64.b85decode(blob)
+        if len(data) != size:
+            raise UnsupportedDeltaFeature(
+                f"inline DV size {len(data)} != sizeInBytes {size}"
+            )
+        return data
+    if st == "u":
+        # <random prefix><20-char Base85 uuid> (RFC 1924 alphabet)
+        prefix, enc = blob[:-20], blob[-20:]
+        u = uuid.UUID(bytes=base64.b85decode(enc))
+        fp = os.path.join(
+            table_path, *([prefix] if prefix else []),
+            f"deletion_vector_{u}.bin",
+        )
+    elif st == "p":
+        fp = blob
+    else:
+        raise UnsupportedDeltaFeature(f"DV storageType {st!r}")
+    raw = read_bytes(fp)
+    off = int(desc.get("offset") or 0)
+    (dlen,) = struct.unpack_from(">i", raw, off)
+    if dlen != size:
+        raise UnsupportedDeltaFeature(
+            f"DV at {fp}:{off}: stored size {dlen} != descriptor "
+            f"sizeInBytes {size}"
+        )
+    data = raw[off + 4 : off + 4 + dlen]
+    (crc,) = struct.unpack_from(">I", raw, off + 4 + dlen)
+    if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+        raise UnsupportedDeltaFeature(f"DV at {fp}:{off}: CRC mismatch")
+    return data
 
 
 def _log_path(path: str, version: int) -> str:
@@ -165,6 +359,12 @@ def _replay_log(
     for v in versions:
         if v < start:
             continue
+        # actions within one commit are a SET: a remove and an add of
+        # the same path means "replace" (DV writers and OPTIMIZE emit
+        # both), so removes apply before the commit's adds regardless
+        # of line order
+        commit_adds: dict[str, dict] = {}
+        commit_removes: set[str] = set()
         with open(_log_path(path, v)) as fh:
             for line in fh:
                 if not line.strip():
@@ -175,16 +375,22 @@ def _replay_log(
                 if "metaData" in a:
                     meta = a["metaData"]
                 if "add" in a:
-                    adds[a["add"]["path"]] = a["add"]
+                    commit_adds[a["add"]["path"]] = a["add"]
                 if "remove" in a:
-                    adds.pop(a["remove"]["path"], None)
+                    commit_removes.add(a["remove"]["path"])
+        for p in commit_removes:
+            adds.pop(p, None)
+        adds.update(commit_adds)
     if proto is not None:
-        if proto.get("minReaderVersion", 1) > 1 or proto.get(
-            "readerFeatures"
-        ):
+        mrv = proto.get("minReaderVersion", 1)
+        feats = set(proto.get("readerFeatures") or [])
+        # v2 = column-mapping-capable (gated below on the actual
+        # mode); v3 tables are readable iff their feature list is
+        # exactly the deletionVectors support implemented here
+        if mrv > 3 or (feats - {"deletionVectors"}):
             raise UnsupportedDeltaFeature(
-                "reader supports Delta protocol v1 only; table needs "
-                f"{proto}"
+                "reader supports Delta protocol v1 + deletionVectors "
+                f"only; table needs {proto}"
             )
     if meta is not None:
         cm = (meta.get("configuration") or {}).get(
@@ -198,23 +404,98 @@ def _replay_log(
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
-    """Mount a Delta table (protocol v1) as a DataFrame.
+    """Mount a Delta table (protocol v1 + deletion vectors) as a
+    DataFrame.
 
     Replays ``_delta_log`` (checkpoint + JSON commits) to the live
     file set, then issues one parquet scan over exactly those files —
     pushdown and column pruning pass straight through. Partition
     columns recorded in ``partitionValues`` are re-attached as
-    literal columns per file-group scan.
+    literal columns per file-group scan. Adds carrying a
+    ``deletionVector`` descriptor have their deleted positions
+    decoded on executors and dropped by one anti-join on
+    ``_metadata.file_path`` / ``row_index`` (see module docstring).
     """
     adds, meta = _replay_log(spark, path)
-    return _frame_from_adds(spark, path, adds, meta)
+    dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
+    if not dv_adds:
+        return _frame_from_adds(spark, path, adds, meta)
+
+    from pyspark.sql import functions as F
+
+    df = _frame_from_adds(spark, path, adds, meta, with_meta=True)
+    desc = spark.createDataFrame(
+        [
+            (
+                os.path.abspath(os.path.join(path, rel)),
+                json.dumps(a["deletionVector"]),
+                os.path.abspath(path),
+            )
+            for rel, a in sorted(dv_adds.items())
+        ],
+        "_dv_fp string, _dv_desc string, _dv_root string",
+    ).repartition(min(len(dv_adds), 32))
+
+    def decode(it):
+        import pandas as pd
+        import pyarrow.fs as pafs
+
+        def read_bytes(fp: str) -> bytes:
+            fs, rel = pafs.FileSystem.from_uri(
+                fp if "://" in fp else "file://" + fp
+            )
+            with fs.open_input_stream(rel) as fh:
+                return fh.read()
+
+        for pdf in it:
+            for _, r in pdf.iterrows():
+                d = json.loads(r["_dv_desc"])
+                pos = decode_roaring_bitmap_array(
+                    _dv_payload(r["_dv_root"], d, read_bytes)
+                )
+                if len(pos) != int(d.get("cardinality", len(pos))):
+                    raise UnsupportedDeltaFeature(
+                        f"DV for {r['_dv_fp']}: decoded {len(pos)} "
+                        f"positions, descriptor says {d['cardinality']}"
+                    )
+                yield pd.DataFrame(
+                    {"_dv_fp": r["_dv_fp"], "_dv_pos": pos}
+                )
+
+    dels = desc.mapInPandas(decode, "_dv_fp string, _dv_pos long")
+    return df.join(dels, ["_dv_fp", "_dv_pos"], "left_anti").drop(
+        "_dv_fp", "_dv_pos"
+    )
 
 
 def _frame_from_adds(
-    spark: SparkSession, path: str, adds: dict[str, dict], meta: dict | None
+    spark: SparkSession,
+    path: str,
+    adds: dict[str, dict],
+    meta: dict | None,
+    with_meta: bool = False,
 ) -> DataFrame:
     """One pruned parquet scan over an add-file map, partition values
-    re-attached per file group with their schemaString types."""
+    re-attached per file group with their schemaString types. With
+    ``with_meta`` each scan leg also carries the normalized file path
+    (``_dv_fp``) and parquet row index (``_dv_pos``) for DV
+    anti-joins."""
+    from pyspark.sql import functions as F
+
+    def add_meta(df):
+        if not with_meta:
+            return df
+        return df.select(
+            "*",
+            # file:///abs/p, file:/abs/p -> /abs/p (cf. iceberg_interop)
+            F.regexp_replace(
+                F.col("_metadata.file_path"),
+                r"^[A-Za-z0-9+.-]+:(//[^/]*)?",
+                "",
+            ).alias("_dv_fp"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+
     if not adds:
         # empty table: derive schema from metaData when present
         if meta is not None:
@@ -224,12 +505,10 @@ def _frame_from_adds(
             return spark.createDataFrame([], schema)
         raise FileNotFoundError(f"Delta table at {path} has no metaData")
 
-    from pyspark.sql import functions as F
-
     part_cols = (meta or {}).get("partitionColumns") or []
     if not part_cols:
         files = [os.path.join(path, a["path"]) for a in adds.values()]
-        return spark.read.parquet(*files)
+        return add_meta(spark.read.parquet(*files))
     # partition values are serialized as strings in the log; recover
     # each column's real type from metaData.schemaString so a date/int
     # partition column does not come back as string
@@ -255,7 +534,7 @@ def _frame_from_adds(
     for key, files in sorted(
         groups.items(), key=lambda kv: tuple((x is None, x) for x in kv[0])
     ):
-        df = spark.read.parquet(*files)
+        df = add_meta(spark.read.parquet(*files))
         for c, v in zip(part_cols, key):
             lit = F.lit(v)
             if c in part_types:
@@ -320,5 +599,12 @@ def read_delta_incremental(
                         ">v1)"
                     )
                 if "add" in a:
+                    if a["add"].get("deletionVector"):
+                        raise UnsupportedDeltaFeature(
+                            f"incremental read across a deletion-"
+                            f"vector add at version {v} — a DV'd "
+                            "re-add is a row-level change, not an "
+                            "append"
+                        )
                     adds[a["add"]["path"]] = a["add"]
     return _frame_from_adds(spark, path, adds, meta)

@@ -486,3 +486,175 @@ def test_incremental_append_scan_between_versions(spark, tmp_path):
     os.remove(os.path.join(path, "_delta_log", "%020d.json" % 2))
     with pytest.raises(UnsupportedDeltaFeature, match="missing"):
         read_delta_incremental(spark, path, 1, 3)
+
+
+# -- deletion vectors (round 7) ---------------------------------------------
+
+
+def test_roaring_bitmap_array_round_trip():
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        decode_roaring_bitmap_array,
+        serialize_roaring_bitmap_array,
+    )
+
+    rng = random.Random(7)
+    # array containers, a >4096-cardinality bitmap container, two
+    # 16-bit keys, and a >2^32 position (second 32-bit bitmap)
+    pos = sorted(
+        set(
+            rng.sample(range(0, 70_000), 6000)
+            + [1, 65535, 65536, 2**32 + 5, 2**32 + 70_000]
+        )
+    )
+    assert decode_roaring_bitmap_array(
+        serialize_roaring_bitmap_array(pos)
+    ) == pos
+    assert decode_roaring_bitmap_array(
+        serialize_roaring_bitmap_array([])
+    ) == []
+
+
+def test_roaring_run_container_decode():
+    import struct
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        decode_roaring_bitmap_array,
+    )
+
+    # hand-built run-cookie bitmap: 1 container (key 0, card 5),
+    # run bitset = 1 container with runs, runs (10,len4=3+1) (20,0)
+    bm = struct.pack("<I", 12347 | (0 << 16))  # cookie, size-1=0
+    bm += b"\x01"  # run flag bitset (container 0 has runs)
+    bm += struct.pack("<HH", 0, 4)  # key 0, cardinality-1 = 4
+    # size < 4 with run cookie -> no offset header
+    bm += struct.pack("<H", 2)  # n_runs
+    bm += struct.pack("<HH", 10, 3)  # 10..13
+    bm += struct.pack("<HH", 20, 0)  # 20
+    data = struct.pack("<Iq", 1681511377, 1) + bm
+    assert decode_roaring_bitmap_array(data) == [10, 11, 12, 13, 20]
+
+
+def _dv_table(spark, tmp_path, name, storage):
+    """export a 100-row single-file table, then commit 1 re-adds the
+    file with a DV deleting positions {3, 4, 5} via the requested
+    storage type."""
+    import base64
+    import struct as _struct
+    import uuid as _uuid
+    import zlib as _zlib
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        serialize_roaring_bitmap_array,
+        write_deletion_vector_file,
+    )
+
+    path = str(tmp_path / name)
+    df = spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(1)
+    export_delta(df.sortWithinPartitions("id"), path)
+    with open(os.path.join(path, "_delta_log", "%020d.json" % 0)) as fh:
+        add0 = next(
+            json.loads(l)["add"] for l in fh if '"add"' in l
+        )
+    deleted = [3, 4, 5]
+    if storage == "p":
+        desc = write_deletion_vector_file(
+            os.path.join(path, "dv", "dv0.bin"), deleted
+        )
+    elif storage == "i":
+        data = serialize_roaring_bitmap_array(deleted)
+        desc = {
+            "storageType": "i",
+            "pathOrInlineDv": base64.b85encode(data).decode(),
+            "sizeInBytes": len(data),
+            "cardinality": len(deleted),
+        }
+    else:  # "u"
+        u = _uuid.uuid4()
+        data = serialize_roaring_bitmap_array(deleted)
+        with open(
+            os.path.join(path, f"deletion_vector_{u}.bin"), "wb"
+        ) as fh:
+            fh.write(b"\x01")
+            offset = fh.tell()
+            fh.write(_struct.pack(">i", len(data)))
+            fh.write(data)
+            fh.write(_struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF))
+        desc = {
+            "storageType": "u",
+            "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+            "offset": offset,
+            "sizeInBytes": len(data),
+            "cardinality": len(deleted),
+        }
+    _log(
+        path,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            # add listed BEFORE remove: same-commit actions are a set,
+            # remove tombstones the OLD version, the DV'd add wins
+            {"add": {**add0, "deletionVector": desc}},
+            {"remove": {"path": add0["path"], "dataChange": True}},
+        ],
+    )
+    return path
+
+
+@pytest.mark.parametrize("storage", ["p", "i", "u"])
+def test_deletion_vector_read(spark, tmp_path, storage):
+    path = _dv_table(spark, tmp_path, f"dv_{storage}", storage)
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    assert got == [i for i in range(100) if i not in (3, 4, 5)]
+
+
+def test_deletion_vector_cardinality_mismatch_raises(spark, tmp_path):
+    path = _dv_table(spark, tmp_path, "dv_bad", "p")
+    # corrupt the descriptor's cardinality
+    lp = os.path.join(path, "_delta_log", "%020d.json" % 1)
+    lines = [json.loads(l) for l in open(lp) if l.strip()]
+    for a in lines:
+        if "add" in a:
+            a["add"]["deletionVector"]["cardinality"] = 99
+    with open(lp, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    with pytest.raises(Exception, match="cardinality|positions"):
+        read_delta(spark, path).collect()
+
+
+def test_incremental_across_dv_add_raises(spark, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        read_delta_incremental,
+    )
+
+    path = _dv_table(spark, tmp_path, "dv_incr", "p")
+    with pytest.raises(UnsupportedDeltaFeature, match="deletion-vector"):
+        read_delta_incremental(spark, path, from_version=0)
+
+
+def test_same_commit_remove_and_readd_is_replace(spark, tmp_path):
+    """A remove and add of the same path in ONE commit must keep the
+    add regardless of line order (Delta set semantics — OPTIMIZE/DV
+    writers emit both)."""
+    path = str(tmp_path / "readd")
+    df = spark.range(10).coalesce(1)
+    export_delta(df, path)
+    with open(os.path.join(path, "_delta_log", "%020d.json" % 0)) as fh:
+        add0 = next(json.loads(l)["add"] for l in fh if '"add"' in l)
+    _log(
+        path,
+        1,
+        [
+            {"add": add0},
+            {"remove": {"path": add0["path"], "dataChange": False}},
+        ],
+    )
+    assert read_delta(spark, path).count() == 10
