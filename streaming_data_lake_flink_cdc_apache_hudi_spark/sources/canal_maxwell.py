@@ -102,19 +102,26 @@ def parse_canal_json(
         )
     )
     # UPDATE: old holds only changed columns -> overlay on the after
-    # image; DELETE: data IS the before image; INSERT: no before
+    # image; DELETE: data IS the before image; INSERT: no before.
+    # KEY PRESENCE (map_contains_key), not coalesce, decides the
+    # overlay: an `old` entry with an explicit JSON null means the
+    # column changed FROM NULL, which a coalesce would wrongly
+    # replace with the after value
+    def before_col(f):
+        return cast(
+            F.when(
+                F.map_contains_key(old_i, f.name), old_i[f.name]
+            ).otherwise(F.col("_row")[f.name]),
+            f,
+        )
+
     before = (
         F.when(is_del, F.struct(*[
             cast(F.col("_row")[f.name], f) for f in row_schema.fields
         ]))
         .when(
             F.col("type") == "UPDATE",
-            F.struct(*[
-                cast(
-                    F.coalesce(old_i[f.name], F.col("_row")[f.name]), f
-                )
-                for f in row_schema.fields
-            ]),
+            F.struct(*[before_col(f) for f in row_schema.fields]),
         )
         .otherwise(F.lit(None))
     )
@@ -172,19 +179,30 @@ def to_canal_json(
         F.array(*[_data_val(c).cast("string") for c in cols]),
     )
     # old: only columns whose before value differs from the after
-    # image (Canal's changed-columns-only convention)
-    old_map = F.map_filter(
-        F.map_from_arrays(
-            F.array(*[F.lit(c) for c in value_cols]),
-            F.array(*[
-                F.when(
-                    ~F.col("_before")[c].eqNullSafe(F.col(c)),
-                    F.col("_before")[c].cast("string"),
-                )
-                for c in value_cols
-            ]),
-        ),
-        lambda _, v: v.isNotNull(),
+    # image (Canal's changed-columns-only convention). Changed-ness
+    # is decided on a separate flag, NOT on the before value being
+    # non-null, so a NULL -> value update keeps its column in `old`
+    # as an explicit JSON null (Canal carries nulls on the wire;
+    # to_json always serializes null MAP values) — dropping it would
+    # make the parse-side overlay reconstruct the before image with
+    # the after value
+    old_map = F.map_from_entries(
+        F.transform(
+            F.filter(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("key"),
+                        F.col("_before")[c].cast("string").alias("value"),
+                        (~F.col("_before")[c].eqNullSafe(F.col(c))).alias(
+                            "chg"
+                        ),
+                    )
+                    for c in value_cols
+                ]),
+                lambda e: e["chg"],
+            ),
+            lambda e: F.struct(e["key"], e["value"]),
+        )
     )
     payload = F.struct(
         batch_id.cast("long").alias("id"),

@@ -172,15 +172,15 @@ def _log_completed_instants(path: str) -> set[str]:
 
 def _log_files_for_slices(
     path: str, slices: list[tuple[str, str]]
-) -> list[tuple[str, int]]:
-    """(abs_path, version) of log files belonging to the served file
-    slices (same file group, base-instant match)."""
+) -> list[tuple[str, int, str]]:
+    """(abs_path, version, partition_path) of log files belonging to
+    the served file slices (same file group, base-instant match)."""
     by_group: dict[tuple[str, str], str] = {}
     for rel, inst in slices:
         part = os.path.dirname(rel)
         m = _BASE_FILE_RE.match(os.path.basename(rel))
         by_group[(part, m.group("file_id"))] = inst
-    out: list[tuple[str, int]] = []
+    out: list[tuple[str, int, str]] = []
     for root, dirs, files in os.walk(path):
         dirs[:] = [d for d in dirs if d != _HOODIE]
         relp = os.path.relpath(root, path)
@@ -191,7 +191,9 @@ def _log_files_for_slices(
                 continue
             key = (relp, lm.group("file_id"))
             if by_group.get(key) == lm.group("base"):
-                out.append((os.path.join(root, f), int(lm.group("ver"))))
+                out.append(
+                    (os.path.join(root, f), int(lm.group("ver")), relp)
+                )
     return sorted(out)
 
 
@@ -213,7 +215,7 @@ def _record_key_fields(path: str) -> list[str]:
 
 def _log_records_df(
     spark: SparkSession,
-    log_files: list[tuple[str, int]],
+    log_files: list[tuple[str, int, str]],
     base_schema,
     done: set[str],
     as_of: str | None,
@@ -242,6 +244,7 @@ def _log_records_df(
         + [
             T.StructField("_log_ord", T.StringType()),
             T.StructField("_log_del", T.BooleanType()),
+            T.StructField("_part_src", T.StringType()),
         ]
     )
 
@@ -286,6 +289,12 @@ def _log_records_df(
                                 row["_hoodie_commit_time"] = inst
                             row["_log_ord"] = ord_s
                             row["_log_del"] = False
+                            # the log file lives in its partition dir;
+                            # a record-carried meta path wins when set
+                            row["_part_src"] = (
+                                rec.get("_hoodie_partition_path")
+                                or r["part"]
+                            )
                             rows.append(row)
                     elif b["type"] == "delete":
                         for rec in b["records"]:
@@ -293,13 +302,20 @@ def _log_records_df(
                             row["_hoodie_record_key"] = rec["recordKey"]
                             row["_log_ord"] = ord_s
                             row["_log_del"] = True
+                            # spec DeleteRecord carries partitionPath —
+                            # a delete must not tombstone the same key
+                            # in OTHER partition paths
+                            row["_part_src"] = (
+                                rec.get("partitionPath") or r["part"]
+                            )
                             rows.append(row)
             yield pd.DataFrame(
-                rows, columns=names + ["_log_ord", "_log_del"]
+                rows, columns=names + ["_log_ord", "_log_del", "_part_src"]
             )
 
     paths_df = spark.createDataFrame(
-        [(p, v) for p, v in log_files], "path string, ver int"
+        [(p, v, part) for p, v, part in log_files],
+        "path string, ver int, part string",
     ).repartition(len(log_files))
     return paths_df.mapInPandas(fn, out_schema)
 
@@ -386,10 +402,34 @@ def read_hudi(
         base = base.withColumn(
             "_commit_src", F.col("_hoodie_commit_time")
         )
+    # partition-path scoping: a non-global Hudi index can hold the
+    # SAME record key in different partition paths — the LWW window
+    # and delete matching must not collapse them across partitions.
+    # Meta column when materialized, else the file's partition dir.
+    if "_hoodie_partition_path" in base.columns:
+        part_src = F.coalesce(
+            F.col("_hoodie_partition_path"), F.lit("")
+        )
+    else:
+        import re as _re
+
+        rel = F.regexp_replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"),
+                r"^[A-Za-z0-9+.-]+:(//[^/]*)?",
+                "",
+            ),
+            "^" + _re.escape(os.path.abspath(path)) + "/",
+            "",
+        )
+        part_src = F.when(
+            rel.contains("/"), F.regexp_extract(rel, r"^(.*)/[^/]+$", 1)
+        ).otherwise(F.lit(""))
+    base = base.withColumn("_part_src", part_src)
     done = _log_completed_instants(path)
     if as_of is not None:
         done = {i for i in done if i <= as_of}
-    log_schema = base.drop("_commit_src").schema
+    log_schema = base.drop("_commit_src", "_part_src").schema
     rec = _log_records_df(spark, logs, log_schema, done, as_of)
     if derived:
         # data-block records carry the key FIELDS, not the meta col
@@ -401,7 +441,7 @@ def read_hudi(
         "_log_ord",
         F.concat(F.col("_commit_src"), F.lit(".000000.000000")),
     ).withColumn("_log_del", F.lit(False)).drop("_commit_src")
-    w = Window.partitionBy("_hoodie_record_key").orderBy(
+    w = Window.partitionBy("_hoodie_record_key", "_part_src").orderBy(
         F.col("_log_ord").desc()
     )
     merged = (
@@ -409,7 +449,7 @@ def read_hudi(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .filter(~F.col("_log_del"))
-        .drop("_rn", "_log_ord", "_log_del")
+        .drop("_rn", "_log_ord", "_log_del", "_part_src")
     )
     # a derived key is an implementation detail, not table schema
     return merged.drop("_hoodie_record_key") if derived else merged

@@ -164,6 +164,7 @@ def _live_files(
     data: dict[str, tuple[str, int]] = {}
     pos_deletes: list[tuple[str, int]] = []
     eq_deletes: list[tuple[str, int, list[str]]] = []
+    fmt_version = int(meta.get("format-version", 1))
     for m in manifests:
         m_seq = m.get("sequence_number") or 0
         _, entries = read_avro(_resolve(m["manifest_path"], path))
@@ -172,7 +173,19 @@ def _live_files(
                 continue
             df_rec = e["data_file"]
             seq = e.get("sequence_number")
-            seq = m_seq if seq is None else seq
+            if seq is None:
+                # spec: sequence-number inheritance applies to ADDED
+                # (status=1) entries only; an EXISTING entry carried
+                # forward with a null seq in a v2 manifest would get
+                # an inflated number and escape equality deletes that
+                # should still apply to it
+                if fmt_version < 2 or e.get("status") == 1:
+                    seq = m_seq
+                else:
+                    raise UnsupportedIcebergFeature(
+                        "EXISTING manifest entry with null "
+                        "sequence_number in a v2 manifest"
+                    )
             content = df_rec.get("content", 0) or m.get("content", 0)
             fmt = (df_rec.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
@@ -255,8 +268,29 @@ def read_iceberg(
         )
     )
     # every data row carries its file's data sequence number (one
-    # broadcast hash join against the per-file mapping)
-    data = data.join(map_df.select("_ice_fp", "_ice_seq"), "_ice_fp")
+    # broadcast hash join against the per-file mapping). LEFT join +
+    # fail-fast: an inner join would silently DROP every row of a
+    # data file whose path the normalization above failed to match
+    # (symlinked warehouse, URI-escaped writer paths); raising beats
+    # losing rows
+    data = data.join(
+        map_df.select("_ice_fp", "_ice_seq"), "_ice_fp", "left"
+    ).withColumn(
+        "_ice_seq",
+        F.when(
+            F.col("_ice_seq").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "iceberg read: scanned data file missing from "
+                        "the snapshot's file mapping (path "
+                        "normalization mismatch): "
+                    ),
+                    F.col("_ice_fp"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_ice_seq")),
+    )
     if pos_files:
         by_seq: dict[int, list[str]] = {}
         for fp, seq in pos_files:
@@ -323,20 +357,43 @@ def read_iceberg_incremental(
     footprint every Iceberg client has) and ONE pruned parquet scan
     of exactly the appended files."""
     meta = json.load(open(_current_metadata_path(path)))
-    snaps = sorted(
-        meta.get("snapshots", []), key=lambda s: s.get("timestamp-ms") or 0
-    )
-    ids = [s["snapshot-id"] for s in snaps]
-    if from_snapshot_id not in ids:
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if from_snapshot_id not in by_id:
         raise ValueError(f"snapshot {from_snapshot_id} not in table metadata")
     if to_snapshot_id is None:
         to_snapshot_id = meta.get("current-snapshot-id")
-    if to_snapshot_id not in ids:
+    if to_snapshot_id not in by_id:
         raise ValueError(f"snapshot {to_snapshot_id} not in table metadata")
-    lo, hi = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
-    if hi < lo:
-        raise ValueError("to_snapshot precedes from_snapshot")
-    for s in snaps[lo + 1 : hi + 1]:
+    # walk the parent-snapshot-id lineage from `to` back to `from` —
+    # the AUTHORITATIVE order. Sorting by timestamp-ms misorders
+    # same-millisecond commits / skewed writer clocks, silently
+    # flipping which snapshots fall inside (from, to]. Metadata whose
+    # snapshots carry NO parent ids at all (minimal/legacy writers)
+    # falls back to timestamp order — the only order it has
+    chain: list[dict] = []
+    if any("parent-snapshot-id" in s for s in by_id.values()):
+        cur: int | None = to_snapshot_id
+        while cur is not None and cur != from_snapshot_id:
+            s = by_id.get(cur)
+            if s is None:
+                break
+            chain.append(s)
+            cur = s.get("parent-snapshot-id")
+        if cur != from_snapshot_id:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snapshot_id} (reversed range or divergent branch)"
+            )
+    else:
+        snaps = sorted(
+            by_id.values(), key=lambda s: s.get("timestamp-ms") or 0
+        )
+        ids = [s["snapshot-id"] for s in snaps]
+        lo, hi = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
+        if hi < lo:
+            raise ValueError("to_snapshot precedes from_snapshot")
+        chain = snaps[lo + 1 : hi + 1]
+    for s in chain:
         op = (s.get("summary") or {}).get("operation", "append")
         if op != "append":
             raise UnsupportedIcebergFeature(

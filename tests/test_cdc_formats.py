@@ -120,3 +120,46 @@ def test_upsert_kafka_tombstone_and_upsert(spark):
     assert (d["before"]["id"], d["before"]["name"], d["before"]["qty"]) == (
         1, None, None,
     )
+
+
+def test_canal_round_trip_null_transitions(spark):
+    """ADVICE r6: an UPDATE changing a column FROM NULL must keep
+    that column in `old` as an explicit JSON null, and the parser
+    must overlay on key PRESENCE, reconstructing before = NULL — a
+    coalesce overlay would silently substitute the after value.
+    Both null->value and value->null transitions round-trip."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.canal_maxwell import (
+        to_canal_json,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            # name: NULL -> 'n1' ; qty: 5 -> NULL
+            (1, "n1", None, "update", (1, None, 5)),
+            (2, "same", 7, "update", (2, "same", 3)),
+        ],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("qty", T.IntegerType()),
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_before", _ROW),
+            ]
+        ),
+    )
+    wire = to_canal_json(
+        changes, key_cols=["id"], value_cols=["name", "qty"],
+        es_ms=F.lit(1000), batch_id=F.lit(1),
+    )
+    raw = {r.value for r in wire.collect()}
+    # the null->value transition is on the wire as an explicit null
+    assert any('"old":[{"name":null,"qty":"5"}]' in v for v in raw), raw
+    parsed = parse_canal_json(wire, "value", _ROW).collect()
+    by_id = {r.after.id: r for r in parsed}
+    assert by_id[1].before.name is None  # changed FROM NULL
+    assert by_id[1].before.qty == 5
+    assert by_id[1].after.name == "n1" and by_id[1].after.qty is None
+    assert by_id[2].before.qty == 3 and by_id[2].before.name == "same"

@@ -349,3 +349,63 @@ def test_read_hudi_mor_base_without_meta_columns(spark, tmp_path):
     with pytest.raises(UnsupportedHudiFeature, match="recordkey"):
         read_hudi(spark, path).collect()
     assert read_hudi(spark, path, read_optimized=True).count() == 4
+
+
+def test_mor_same_key_across_partition_paths_not_collapsed(
+    spark, tmp_path
+):
+    """ADVICE r6: a non-global Hudi index can hold the SAME record
+    key in different partition paths. The real-time merge must scope
+    its LWW window and delete matching by partition path — a delete
+    logged in one partition must not tombstone (or collapse) the
+    key's row in another."""
+    path = str(tmp_path / "mor_parts")
+    os.makedirs(os.path.join(path, ".hoodie"))
+    sch = (
+        "_hoodie_record_key string, _hoodie_commit_time string, "
+        "k long, v string"
+    )
+    t1 = "20240601000000000"
+
+    def stage(rows, dest):
+        s = dest + ".stage"
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(s)
+        part = [f for f in os.listdir(s) if f.endswith(".parquet")][0]
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(os.path.join(s, part), dest)
+
+    fga, fgb = "aaaa1111-0000-0000-0000-000000000000-0", \
+               "bbbb2222-0000-0000-0000-000000000000-0"
+    stage(
+        [("k1", t1, 1, "a-part")],
+        os.path.join(path, "p=a", f"{fga}_0-1-0_{t1}.parquet"),
+    )
+    stage(
+        [("k1", t1, 1, "b-part")],
+        os.path.join(path, "p=b", f"{fgb}_0-1-0_{t1}.parquet"),
+    )
+    open(os.path.join(path, ".hoodie", f"{t1}.commit"), "w").close()
+    # delete k1 — logged against partition p=a's file group only
+    t2 = "20240601000001000"
+    HL.write_log_file(
+        os.path.join(path, "p=a", HL.log_file_name(fga, t1)),
+        [
+            HL.encode_block(
+                "delete",
+                {HL.INSTANT_TIME: t2},
+                records=[
+                    {"recordKey": "k1", "partitionPath": "p=a",
+                     "orderingVal": 1}
+                ],
+            )
+        ],
+    )
+    open(os.path.join(path, ".hoodie", f"{t2}.deltacommit"), "w").close()
+    got = sorted(
+        (str(r["p"]), r["v"])
+        for r in read_hudi(spark, path).select("p", "v").collect()
+    )
+    # p=a's k1 tombstoned; p=b's k1 SURVIVES
+    assert got == [("b", "b-part")]

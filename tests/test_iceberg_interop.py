@@ -557,3 +557,100 @@ def test_incremental_append_scan_between_snapshots(spark, tmp_path):
         read_iceberg_incremental(spark, path, 1)
     # but the range BEFORE the replace still serves
     assert read_iceberg_incremental(spark, path, 1, 2).count() == 1
+
+
+# -- round-7 ADVICE hardening ------------------------------------------------
+
+
+def test_incremental_lineage_walk_beats_same_millisecond_timestamps(
+    spark, tmp_path
+):
+    """Snapshots committed in the same millisecond: the parent-id
+    lineage walk orders the range correctly where a timestamp sort
+    could flip it; a reversed range raises."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        read_iceberg_incremental,
+    )
+
+    path = str(tmp_path / "lineage_iceberg")
+    sch = "id LONG, v STRING"
+    fa = os.path.join(path, "data", "a.parquet")
+    fb = os.path.join(path, "data", "b.parquet")
+    fc = os.path.join(path, "data", "c.parquet")
+    _stage_parquet(spark, [(1, "one")], sch, fa)
+    _stage_parquet(spark, [(2, "two")], sch, fb)
+    _stage_parquet(spark, [(3, "three")], sch, fc)
+    m1 = _manifest(path, "m1.avro", [_entry(fa, snap=1)])
+    m2 = _manifest(path, "m2.avro", [_entry(fb, snap=2)])
+    m3 = _manifest(path, "m3.avro", [_entry(fc, snap=3)])
+    l1 = _mlist(path, "s1.avro", [m1], 1)
+    l2 = _mlist(path, "s2.avro", [m1, m2], 2)
+    l3 = _mlist(path, "s3.avro", [m1, m2, m3], 3)
+    # identical timestamps; listed out of commit order on purpose —
+    # only parent-snapshot-id carries the true lineage 1 -> 2 -> 3
+    snaps = [
+        {"snapshot-id": 3, "timestamp-ms": 7, "manifest-list": l3,
+         "parent-snapshot-id": 2, "summary": {"operation": "append"}},
+        {"snapshot-id": 1, "timestamp-ms": 7, "manifest-list": l1,
+         "parent-snapshot-id": None, "summary": {"operation": "append"}},
+        {"snapshot-id": 2, "timestamp-ms": 7, "manifest-list": l2,
+         "parent-snapshot-id": 1, "summary": {"operation": "append"}},
+    ]
+    _v2_meta(path, snaps, current=3)
+    got = sorted(
+        map(tuple, read_iceberg_incremental(spark, path, 1).collect())
+    )
+    assert got == [(2, "two"), (3, "three")]
+    assert read_iceberg_incremental(spark, path, 2, 3).count() == 1
+    with pytest.raises(ValueError, match="not an ancestor"):
+        read_iceberg_incremental(spark, path, 3, to_snapshot_id=1)
+
+
+def test_v2_existing_entry_null_seq_raises(spark, tmp_path):
+    """Spec: sequence-number inheritance is for ADDED entries only —
+    an EXISTING (status=0) entry with a null seq in a v2 manifest
+    must raise, not inherit an inflated number that dodges equality
+    deletes."""
+    path = str(tmp_path / "seq_iceberg")
+    sch = "id LONG, v STRING"
+    fa = os.path.join(path, "data", "a.parquet")
+    _stage_parquet(spark, [(1, "one")], sch, fa)
+    m = _manifest_v2(
+        path, "mseq.avro", [_entry_v2(fa, content=0, status=0, seq=None)]
+    )
+    lp = _mlist(path, "lseq.avro", [m], 2)
+    _v2_meta(
+        path,
+        [{"snapshot-id": 2, "timestamp-ms": 2, "manifest-list": lp,
+          "summary": {"operation": "append"}}],
+        current=2,
+    )
+    with pytest.raises(UnsupportedIcebergFeature, match="EXISTING"):
+        read_iceberg(spark, path)
+
+
+def test_unmatched_scan_file_raises_instead_of_dropping_rows(
+    spark, tmp_path
+):
+    """ADVICE r6 (medium): when the recorded data-file path fails to
+    normalize to the scanned path (here: a doubled slash the
+    filesystem resolves but Hadoop normalizes away), the delete-
+    application join must RAISE — the old inner join silently
+    dropped every row of the unmatched file."""
+    path = str(tmp_path / "mismatch_iceberg")
+    sch = "id LONG, v STRING"
+    fa = os.path.join(path, "data", "a.parquet")
+    _stage_parquet(spark, [(1, "one"), (2, "two")], sch, fa)
+    fd = os.path.join(path, "data", "del.parquet")
+    _stage_parquet(spark, [(fa, 0)], "file_path STRING, pos LONG", fd)
+    fa_doubled = os.path.join(path, "data") + "//a.parquet"
+    m1 = _manifest(path, "m1.avro", [_entry(fa_doubled)])
+    md = _manifest_v2(path, "m2.avro", [_entry_v2(fd, content=1)])
+    l2 = _mlist(path, "s2.avro", [m1, md], 2)
+    _v2_meta(
+        path,
+        [{"snapshot-id": 2, "timestamp-ms": 2, "manifest-list": l2}],
+        current=2,
+    )
+    with pytest.raises(Exception, match="file mapping"):
+        read_iceberg(spark, path).collect()
