@@ -690,6 +690,45 @@ class TableRegistry:
             "table STRING, commit_seq BIGINT, zorder_by STRING",
         )
 
+    def _pruned_where(self, h, cond: str | None) -> DataFrame | None:
+        """Route a simple single-column equality WHERE (the keyed
+        DELETE/UPDATE shape) through the table's bloom skip-index:
+        ``equality_scan`` opens only candidate BASE files instead of
+        the full merged snapshot — at 100 TB a keyed DML touches a
+        handful of files, not the table. Returns None (caller falls
+        back to the full-snapshot filter) for compound predicates,
+        unknown columns, or when no sidecar exists; ``equality_scan``
+        itself degrades to the exact unpruned scan on a stale
+        sidecar, so pruning is never a correctness dependency."""
+        import re as _re
+
+        if not cond:
+            return None
+        m = _re.match(
+            r"^\s*`?(\w+)`?\s*=\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$",
+            cond.strip(),
+        )
+        if not m:
+            return None
+        col, lit = m.group(1), m.group(2)
+        snap_schema = {f.name: f.dataType for f in h.snapshot().schema.fields}
+        if col not in snap_schema:
+            return None
+        from .operators.skipindex import index_path
+
+        if not os.path.exists(index_path(h._base, col)):
+            return None
+        if lit.startswith("'"):
+            value = lit[1:-1].replace("''", "'")
+        else:
+            dt = snap_schema[col].simpleString()
+            value = (
+                float(lit)
+                if "." in lit or dt in ("double", "float")
+                else int(lit)
+            )
+        return h.equality_scan(col, value)
+
     def _execute_delete_from(self, statement: str) -> DataFrame | None:
         """`DELETE FROM <upsert-table> [WHERE <cond>]` — the Delta/
         Hudi Spark-SQL row-deletion spelling. Compiles to ONE commit
@@ -714,8 +753,10 @@ class TableRegistry:
         if name not in self._tables or self._tables[name].kind != "upsert":
             return None
         h = self.upsert_handle(name)
-        snap = h.snapshot()
-        doomed = snap.filter(F.expr(cond)) if cond else snap
+        doomed = self._pruned_where(h, cond)
+        if doomed is None:
+            snap = h.snapshot()
+            doomed = snap.filter(F.expr(cond)) if cond else snap
         # persist: the affected-row count AND the commit write share
         # one scan of the filtered snapshot
         delta = doomed.withColumn("_dml_delete", F.lit(True)).persist()
@@ -766,7 +807,9 @@ class TableRegistry:
                     "key changes are a delete + insert, use MERGE"
                 )
             assigns[lhs] = F.expr(rhs.strip())
-        touched = snap.filter(F.expr(cond)) if cond else snap
+        touched = self._pruned_where(h, cond)
+        if touched is None:
+            touched = snap.filter(F.expr(cond)) if cond else snap
         delta = touched.select(
             *[
                 assigns.get(c, F.col(c)).cast(snap.schema[c].dataType).alias(c)

@@ -1,0 +1,188 @@
+"""Byte-level conformance goldens for the exported interop layouts
+(VERDICT r6 #7): the Hudi MoR ``.log`` block framing, the Iceberg
+manifest / manifest-list Avro containers, and the Delta deletion-
+vector file. The writers are deterministic (fixed Avro sync marker,
+no randomness), so a refactor that silently drifts from the framing
+the spec prescribes — magic, versions, header-map encoding, length
+fields — flips a pinned digest here even when the repo's own
+read-side still round-trips.
+
+The structural assertions decode the frames FIELD BY FIELD from the
+public spec text (hudi tech-specs log-file-format, Avro container
+spec, Delta PROTOCOL.md DV format) rather than through this repo's
+decoders, so writer and reader cannot drift together unnoticed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import struct
+import zlib
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources import hudi_log as HL
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.avro_codec import write_avro
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+    serialize_roaring_bitmap_array,
+    write_deletion_vector_file,
+)
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+    _MANIFEST_ENTRY_SCHEMA,
+    _MANIFEST_LIST_SCHEMA,
+)
+
+_REC_SCHEMA = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "v", "type": ["null", "string"]},
+    ],
+}
+
+
+def _sha(b: bytes) -> str:
+    return hashlib.sha256(b).hexdigest()
+
+
+def test_hudi_log_block_framing_golden():
+    b_avro = HL.encode_block(
+        "avro",
+        {HL.INSTANT_TIME: "20240601000000000"},
+        records=[{"k": 1, "v": "a"}, {"k": 2, "v": None}],
+        schema=_REC_SCHEMA,
+    )
+    b_del = HL.encode_block(
+        "delete",
+        {HL.INSTANT_TIME: "20240601000001000"},
+        records=[
+            {"recordKey": "k1", "partitionPath": "p=a", "orderingVal": 7}
+        ],
+    )
+    b_cmd = HL.encode_block(
+        "command",
+        {
+            HL.TARGET_INSTANT_TIME: "20240601000001000",
+            HL.COMMAND_BLOCK_TYPE: "0",
+        },
+    )
+    assert (len(b_avro), _sha(b_avro)) == (
+        220,
+        "49223addbfda3c556852a5fc17cedba38c9a0d987b2c649c9a4124971b5a7eaf",
+    )
+    assert (len(b_del), _sha(b_del)) == (
+        89,
+        "26b518f89eebac4a1f75b14ec52f4856f0051d7c8c70e552f3eb46aed0b4cc4b",
+    )
+    # the command block is small enough to pin verbatim
+    assert b_cmd.hex() == (
+        "2348554449230000000000000042000000010000000000000002000000010000"
+        "0011323032343036303130303030303130303000000003000000013000000000"
+        "00000000000000000000000000000050"
+    )
+    # field-by-field frame walk per hudi tech-specs (spec text, not
+    # this repo's decoder)
+    for blk, expect_type in ((b_avro, 3), (b_del, 1), (b_cmd, 0)):
+        assert blk[:6] == b"#HUDI#"
+        (blen,) = struct.unpack(">q", blk[6:14])
+        assert 14 + blen == len(blk)  # length covers rest incl. trailer
+        (fmt_ver, btype) = struct.unpack(">ii", blk[14:22])
+        assert fmt_ver == 1 and btype == expect_type
+        (total,) = struct.unpack(">q", blk[-8:])
+        assert total == len(blk)  # reverse-traversal trailer
+    # header map: count, then (ordinal, len, bytes)
+    (n_hdr,) = struct.unpack(">i", b_cmd[22:26])
+    assert n_hdr == 2
+    (ordinal, vlen) = struct.unpack(">ii", b_cmd[26:34])
+    assert ordinal == HL.TARGET_INSTANT_TIME
+    assert b_cmd[34 : 34 + vlen] == b"20240601000001000"
+
+
+def test_iceberg_manifest_avro_container_golden(tmp_path):
+    mp = str(tmp_path / "m.avro")
+    entry = {
+        "status": 1,
+        "snapshot_id": 7,
+        "data_file": {
+            "file_path": "data/a.parquet",
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 3,
+            "file_size_in_bytes": 1234,
+        },
+    }
+    write_avro(mp, _MANIFEST_ENTRY_SCHEMA, [entry])
+    mb = open(mp, "rb").read()
+    assert (len(mb), _sha(mb)) == (
+        708,
+        "730f4ef5015dd84c8f0bac3bb6692dbd535a993795f081b8bbda48a3922f9a8a",
+    )
+    lp = str(tmp_path / "l.avro")
+    write_avro(
+        lp,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": "metadata/m.avro",
+                "manifest_length": len(mb),
+                "partition_spec_id": 0,
+                "added_snapshot_id": 7,
+            }
+        ],
+    )
+    lb = open(lp, "rb").read()
+    assert (len(lb), _sha(lb)) == (
+        412,
+        "feebaff8004972ea96549c07b362e122201cfc8bdba414fa78778e44624bc0a9",
+    )
+    # container layout per the Avro spec: magic, file-metadata map
+    # with the embedded writer schema, 16-byte sync, framed block
+    assert mb[:4] == b"Obj\x01"
+    # hand-decode the metadata map enough to find avro.schema and
+    # confirm the embedded schema names the Iceberg manifest_entry
+    # record with its spec field-ids
+    assert b"avro.schema" in mb[:600]
+    start = mb.index(b'{"type"')
+    depth, end = 0, start
+    for i in range(start, len(mb)):
+        if mb[i : i + 1] == b"{":
+            depth += 1
+        elif mb[i : i + 1] == b"}":
+            depth -= 1
+            if depth == 0:
+                end = i + 1
+                break
+    schema = json.loads(mb[start:end])
+    assert schema["name"] == "manifest_entry"
+    ids = {f["name"]: f.get("field-id") for f in schema["fields"]}
+    assert ids["status"] == 0 and ids["snapshot_id"] == 1
+    assert ids["data_file"] == 2
+
+
+def test_delta_deletion_vector_file_golden(tmp_path):
+    positions = [3, 4, 5, 70000]
+    bitmap = serialize_roaring_bitmap_array(positions)
+    # pinned portable bytes: magic 1681511377 LE, 1 bitmap, no-run
+    # cookie 12346, two 16-bit containers (keys 0 and 1), offset
+    # header, array containers [3,4,5] and [70000 & 0xFFFF = 4464]
+    assert bitmap.hex() == (
+        "d1d3396401000000000000003a3000000200000000000200010000001800"
+        "00001e0000000300040005007011"
+    )
+    dvp = str(tmp_path / "dv.bin")
+    desc = write_deletion_vector_file(dvp, positions)
+    db = open(dvp, "rb").read()
+    assert (len(db), _sha(db)) == (
+        53,
+        "bf7e9da962e14c1b385b80a84bacaf42e8a7badd5af7bdd22d1cacb7a06ddfa3",
+    )
+    # PROTOCOL.md DV file framing: version byte 1, then at offset a
+    # 4-byte big-endian size, the bitmap data, a CRC-32 trailer
+    assert db[0] == 1 and desc["offset"] == 1
+    (dlen,) = struct.unpack_from(">i", db, 1)
+    assert dlen == desc["sizeInBytes"] == len(bitmap)
+    assert db[5 : 5 + dlen] == bitmap
+    (crc,) = struct.unpack_from(">I", db, 5 + dlen)
+    assert crc == (zlib.crc32(bitmap) & 0xFFFFFFFF)
+    assert struct.unpack_from("<I", bitmap, 0)[0] == 1681511377
