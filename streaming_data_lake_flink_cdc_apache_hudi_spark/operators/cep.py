@@ -1055,3 +1055,34 @@ def pattern_match_define(
         after_match,
         measures,
     )
+
+
+def analyze_navigation(expr: str) -> tuple[int, bool]:
+    """(max PREV offset, uses NEXT) for one DEFINE expression — the
+    streaming flavor keeps ``max_prev`` context rows ahead of the
+    provisional tail so a kept row's PREV still sees its true
+    predecessor, and refuses NEXT (a tail row's NEXT is unknowable
+    until more data arrives, which would break emit-once
+    finalization)."""
+    tree, _ = _sql_predicate_ast(expr)
+    max_prev, uses_next = 0, False
+
+    def walk(node):
+        nonlocal max_prev, uses_next
+        if isinstance(node, _ast.Call) and isinstance(node.func, _ast.Name):
+            f = node.func.id.lower()
+            if f == "prev":
+                off = (
+                    node.args[1].value
+                    if len(node.args) > 1
+                    and isinstance(node.args[1], _ast.Constant)
+                    else 1
+                )
+                max_prev = max(max_prev, int(off))
+            elif f == "next":
+                uses_next = True
+        for child in _ast.iter_child_nodes(node):
+            walk(child)
+
+    walk(tree)
+    return max_prev, uses_next

@@ -436,3 +436,245 @@ def pattern_match_stream(
     return projected.groupBy("key").applyInPandasWithState(
         fn, _CEP_OUT, _CEP_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def pattern_match_define_stream(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    order_tiebreak: str,
+    pattern,
+    define: dict[str, str],
+    within_seconds: int | None = None,
+    after_match="past_last_row",
+) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE with DEFINE predicates — the
+    cross-micro-batch flavor of
+    ``operators/cep.py:pattern_match_define`` (same predicate
+    compiler and matcher core, parity-tested against it), completing
+    the Flink-parity story: Flink's MATCH_RECOGNIZE is a streaming
+    operator and its canonical V-shape example is a DEFINE pattern.
+
+    Same finalization contract as :func:`pattern_match_stream`
+    (emit once, only when no quantifier expansion was truncated by
+    the buffer tail), with one extra piece of state: ``max PREV
+    offset`` CONTEXT rows are kept ahead of the provisional tail so
+    a kept row's ``PREV(col, n)`` still sees its true predecessor
+    after earlier rows were finalized away — the scan never starts
+    inside the context prefix, so nothing double-emits. ``NEXT`` is
+    refused here (a tail row's NEXT is unknowable until more data
+    arrives, which would break emit-once); the batch operator keeps
+    it. Referenced predicate columns ride per-key state as arrays —
+    state stays bounded by the unfinalized tail exactly as before.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.cep import (
+        analyze_navigation,
+        compile_define,
+        match_at,
+        parse_pattern,
+    )
+
+    toks = parse_pattern(pattern)
+    var_names: list[str] = []
+    for et, _, _, _ in toks:
+        if isinstance(et, tuple):
+            raise ValueError(
+                "pattern_match_define_stream: PERMUTE needs literal "
+                "type DEFINEs — use pattern_match_stream"
+            )
+        var_names.extend([et] if isinstance(et, str) else sorted(et))
+    max_prev = 0
+    for v, expr in define.items():
+        mp, uses_next = analyze_navigation(expr)
+        if uses_next:
+            raise ValueError(
+                f"DEFINE {v}: NEXT() is not streamable — a tail "
+                "row's successor is unknown until more data arrives"
+            )
+        max_prev = max(max_prev, mp)
+    compiled = {
+        v: compile_define(e, v, var_names) for v, e in define.items()
+    }
+    need_cols = sorted(
+        set().union(*(c for _, _, c in compiled.values())) if compiled else ()
+    )
+    dtypes = dict(stream.dtypes)
+    missing = [c for c in need_cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"DEFINE references unknown columns {missing}")
+    _OK_STATE = {"bigint", "int", "smallint", "tinyint", "double",
+                 "float", "string", "boolean"}
+    bad = [c for c in need_cols if dtypes[c] not in _OK_STATE]
+    if bad:
+        raise ValueError(
+            f"DEFINE columns {bad} have types the streaming state "
+            "does not carry (numeric/string/boolean only)"
+        )
+    tok_var = {
+        ti: et if isinstance(et, str) else None
+        for ti, (et, _, _, _) in enumerate(toks)
+    }
+    skip_to = None
+    if isinstance(after_match, tuple):
+        mode, s_tis = after_match
+        if mode not in ("to_first", "to_last") or any(
+            ti < 0 or ti >= len(toks) for ti in s_tis
+        ):
+            raise ValueError(f"unknown after_match {after_match!r}")
+        skip_to = (mode.removeprefix("to_"), list(s_tis))
+    elif after_match not in ("past_last_row", "next_row"):
+        raise ValueError(f"unknown after_match {after_match!r}")
+    skip_past = after_match == "past_last_row"
+    within_us = (
+        int(within_seconds) * 1_000_000 if within_seconds is not None else None
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.ArrayType(T.LongType())),
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("ctx_rows", T.IntegerType()),
+        ]
+        + [
+            T.StructField(
+                f"c_{c}", T.ArrayType(stream.schema[c].dataType)
+            )
+            for c in need_cols
+        ]
+    )
+
+    def _resume(p, end, assigns):
+        if skip_to is None:
+            return end + 1 if skip_past else p + 1
+        mode, tis = skip_to
+        rows = [
+            (pos, pos + take - 1)
+            for ti, pos, take in assigns
+            if ti in tis and take > 0
+        ]
+        if not rows:
+            raise ValueError(
+                "AFTER MATCH SKIP TO: variable consumed no rows in a "
+                "match — cannot resume (Flink raises here too)"
+            )
+        nxt = (
+            min(r[0] for r in rows)
+            if mode == "first"
+            else max(r[1] for r in rows)
+        )
+        if nxt <= p:
+            raise ValueError(
+                f"AFTER MATCH SKIP TO {mode.upper()}: resume point is "
+                "the match's own start row — infinite loop (Flink "
+                "raises here too)"
+            )
+        return nxt
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            st = state.get
+            ts_l, id_l, ctx0 = list(st[0]), list(st[1]), int(st[2])
+            col_l = {c: list(st[3 + i]) for i, c in enumerate(need_cols)}
+        else:
+            ts_l, id_l, ctx0 = [], [], 0
+            col_l = {c: [] for c in need_cols}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_l.extend(
+                pdf["_ts"].astype("datetime64[us]").astype("int64").tolist()
+            )
+            id_l.extend(pdf["_id"].astype("int64").tolist())
+            for c in need_cols:
+                col_l[c].extend(pdf[c].tolist())
+        order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], id_l[i]))
+        ts_l = [ts_l[i] for i in order]
+        id_l = [id_l[i] for i in order]
+        for c in need_cols:
+            col_l[c] = [col_l[c][i] for i in order]
+        n = len(ts_l)
+        # masks over the FULL held timeline (context prefix included,
+        # so kept rows' PREV sees its true predecessor). Rebuilt
+        # python lists lose Arrow dtypes (None -> object columns, on
+        # which pandas comparisons raise) — coerce numerics back so
+        # null semantics match the batch operator's NaN-compares
+        pdf_all = pd.DataFrame(col_l, index=range(n))
+        for c in need_cols:
+            if dtypes[c] in (
+                "bigint", "int", "smallint", "tinyint", "double", "float"
+            ):
+                pdf_all[c] = pd.to_numeric(pdf_all[c])
+        masks, ctx_fns = {}, {}
+        for v in var_names:
+            if v not in compiled:
+                masks[v] = np.ones(n, dtype=bool)
+                continue
+            kind, f, _ = compiled[v]
+            if kind == "mask":
+                masks[v] = f(pdf_all)
+            else:
+                ctx_fns[v] = f(pdf_all, tok_var)
+        btoks = []
+        for et, lo, hi, greedy in toks:
+            if isinstance(et, frozenset):
+                members = sorted(et)
+                if any(m in ctx_fns for m in members):
+                    raise ValueError(
+                        "alternation members must be row-local "
+                        "predicates"
+                    )
+                m = masks[members[0]].copy()
+                for v in members[1:]:
+                    m |= masks[v]
+                btoks.append((("mask", m), lo, hi, greedy))
+            elif et in ctx_fns:
+                btoks.append((("ctx", ctx_fns[et]), lo, hi, greedy))
+            else:
+                btoks.append((("mask", masks[et]), lo, hi, greedy))
+        rows, p, keep_from = [], ctx0, n
+        while p < n:
+            end, hit, assigns = match_at(None, ts_l, p, btoks, within_us)
+            if end is not None and not hit:
+                rows.append((p, end))
+                p = _resume(p, end, assigns)
+            elif hit:
+                keep_from = p
+                break
+            else:
+                p += 1
+        ctx_from = max(0, keep_from - max_prev)
+        state.update(
+            (
+                ts_l[ctx_from:],
+                id_l[ctx_from:],
+                keep_from - ctx_from,
+            )
+            + tuple(col_l[c][ctx_from:] for c in need_cols)
+        )
+        if rows:
+            fmt = lambda us: pd.Timestamp(us, unit="us").strftime(  # noqa: E731
+                "%Y-%m-%d %H:%M:%S"
+            )
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])] * len(rows),
+                    "start_id": [id_l[s] for s, _ in rows],
+                    "start_ts": [fmt(ts_l[s]) for s, _ in rows],
+                    "end_ts": [fmt(ts_l[e]) for _, e in rows],
+                    "n_rows": [e - s + 1 for s, e in rows],
+                }
+            )
+
+    projected = stream.selectExpr(
+        f"CAST({key_col} AS STRING) AS key",
+        f"{time_col} AS _ts",
+        f"CAST({order_tiebreak} AS LONG) AS _id",
+        *[f"`{c}`" for c in need_cols],
+    )
+    return projected.groupBy("key").applyInPandasWithState(
+        fn, _CEP_OUT, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

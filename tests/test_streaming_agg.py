@@ -1078,3 +1078,96 @@ def test_window_tvf_sql_over_streaming_view(spark, tmp_path):
             )
         )
         assert got == want and len(got) > 0, tvf
+
+
+def test_stream_define_cep_parity_with_batch(spark, tmp_path):
+    """streaming/stateful.py pattern_match_define_stream: the DEFINE
+    V-shape across time-split micro-batches emits exactly the batch
+    operator's finalized matches — including a valley STRADDLING the
+    batch boundary, where the first kept row's PREV(value) must see
+    its true predecessor from the finalized prefix (context rows in
+    state). NEXT() refuses up front."""
+    import datetime as dt
+    import random
+
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        pattern_match_define,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.stateful import (
+        pattern_match_define_stream,
+    )
+
+    rng = random.Random(13)
+    rows, rid = [], 0
+    for user in range(6):
+        t = 0
+        for _ in range(50):
+            rid += 1
+            t += rng.choice([1, 2, 5])
+            rows.append(
+                (
+                    rid,
+                    user,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t),
+                    float(rng.randrange(0, 8)),
+                )
+            )
+        # close any tail run: a long flat plateau finalizes everything
+        for k in range(3):
+            rid += 1
+            rows.append(
+                (rid, user, dt.datetime(2024, 1, 1, 1, k), 4.0)
+            )
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    define = {"DOWN": "value < PREV(value)", "UP": "value > PREV(value)"}
+    d = tmp_path / "definefeed"
+    d.mkdir()
+    ordered = ev.orderBy("ts", "event_id").collect()
+    third = len(ordered) // 3
+    for name, chunk in [
+        ("a", ordered[:third]),
+        ("b", ordered[third : 2 * third]),
+        ("c", ordered[2 * third :]),
+    ]:
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    res = pattern_match_define_stream(
+        stream, "user_id", "ts", "event_id", ["DOWN+", "UP+"], define
+    )
+    q = (
+        res.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("definestream")
+        .option("checkpointLocation", str(tmp_path / "ck_def"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = sorted(
+        (int(r["key"]), r["start_id"], r["start_ts"], r["end_ts"], r["n_rows"])
+        for r in spark.sql("SELECT * FROM definestream").collect()
+    )
+    q.stop()
+    want = sorted(
+        (r["user_id"], r["start_event_id"], r["start_ts"], r["end_ts"],
+         r["n_rows"])
+        for r in pattern_match_define(
+            ev, "user_id", "ts", "event_id", ["DOWN+", "UP+"], define
+        ).collect()
+    )
+    assert got == want and len(want) > 10
+
+    with _pytest.raises(ValueError, match="NEXT"):
+        pattern_match_define_stream(
+            stream, "user_id", "ts", "event_id", ["A+"],
+            {"A": "value > NEXT(value)"},
+        )
