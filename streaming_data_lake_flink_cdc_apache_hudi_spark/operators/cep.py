@@ -375,13 +375,31 @@ def _grouped_match(
     within_seconds: int | None,
     after_match: str | tuple[str, Sequence[int]],
     measures: Sequence[tuple[str, str, Sequence[int], str | None]] | None,
+    rows_per_match: str = "one",
+    tok_names: Sequence[str] | None = None,
 ) -> DataFrame:
     """Shared applyInPandas core behind the quantified (type-literal)
     and DEFINE-predicate matchers: ONE key shuffle, per-key Arrow
     batch, scan_matches over tokens produced by ``bind_toks(pdf) ->
     (types_or_None, bound_toks)``. Validation of after_match /
-    MEASURES happens here against the template ``toks``."""
+    MEASURES happens here against the template ``toks``.
+
+    ``rows_per_match="all"`` is SQL:2016's ALL ROWS PER MATCH (a form
+    Flink rejects): every consumed input row is emitted carrying its
+    original columns plus ``match_no`` (MATCH_NUMBER(), 1-based scan
+    order within the key) and ``classifier`` (CLASSIFIER() — the
+    pattern variable the row bound to, from ``tok_names``). MEASURES
+    are ONE-ROW-PER-MATCH territory (SQL RUNNING semantics are out of
+    scope) and raise here."""
     import pandas as pd
+
+    if rows_per_match not in ("one", "all"):
+        raise ValueError(f"unknown rows_per_match {rows_per_match!r}")
+    if rows_per_match == "all" and measures:
+        raise ValueError(
+            "ALL ROWS PER MATCH does not take MEASURES (RUNNING "
+            "semantics unimplemented) — use ONE ROW PER MATCH"
+        )
 
     skip_to: tuple[str, Sequence[int]] | None = None
     if isinstance(after_match, tuple):
@@ -421,6 +439,50 @@ def _grouped_match(
             raise ValueError(f"MEASURES {name}: {agg} needs a column")
         if any(ti < 0 or ti >= len(toks) for ti in tis):
             raise ValueError(f"MEASURES {name}: token index out of range")
+
+    if rows_per_match == "all":
+        names = list(tok_names or [])
+        if len(names) != len(toks):
+            raise ValueError(
+                "ALL ROWS PER MATCH needs one tok_names entry per "
+                "token (CLASSIFIER() output)"
+            )
+        all_schema = ", ".join(
+            f"`{c}` {t}" for c, t in df.dtypes
+        ) + ", match_no long, classifier string"
+
+        def all_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(
+                [time_col, order_tiebreak], kind="mergesort"
+            ).reset_index(drop=True)
+            types, btoks = bind_toks(pdf)
+            times_us = (
+                pdf[time_col]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy()
+            )
+            idxs: list[int] = []
+            mnos: list[int] = []
+            cls: list[str] = []
+            for mi, (s, e, assigns) in enumerate(
+                scan_matches(
+                    types, times_us, btoks, within_us, skip_past, skip_to
+                ),
+                start=1,
+            ):
+                for ti, pos, take in assigns:
+                    for i in range(pos, pos + take):
+                        idxs.append(i)
+                        mnos.append(mi)
+                        cls.append(names[ti])
+            out = pdf.take(idxs).reset_index(drop=True)
+            out["match_no"] = pd.Series(mnos, dtype="int64")
+            out["classifier"] = cls if cls else pd.Series(dtype=object)
+            return out
+
+        return df.groupBy(key_col).applyInPandas(all_fn, all_schema)
+
     # a start_<tiebreak> column only when the tiebreak is a real extra
     # column (ORDER BY ts alone would duplicate start_ts)
     has_tb = order_tiebreak != time_col
@@ -515,6 +577,7 @@ def pattern_match_quantified(
     within_seconds: int | None = None,
     after_match: str | tuple[str, Sequence[int]] = "past_last_row",
     measures: Sequence[tuple[str, str, Sequence[int], str | None]] | None = None,
+    rows_per_match: str = "one",
 ) -> DataFrame:
     """MATCH_RECOGNIZE with greedy AND reluctant quantifiers
     (``a+ b*? c??``), ONE ROW PER MATCH: one output row per match —
@@ -547,7 +610,14 @@ def pattern_match_quantified(
     unquantified ``"permute(a,b,c)"`` — SQL:2016 row-pattern forms
     Flink itself rejects; see :func:`parse_pattern`. NOTE a PERMUTE
     element expands to one token per member, so ``token_indices`` in
-    ``after_match``/``measures`` index the EXPANDED token list."""
+    ``after_match``/``measures`` index the EXPANDED token list.
+
+    ``rows_per_match="all"`` switches to SQL:2016's ALL ROWS PER
+    MATCH output (every consumed row + match_no + classifier; see
+    :func:`_grouped_match`) — the classifier for a type-literal
+    token is the type itself, for an alternation the ``(a|b)``
+    spelling, for a PERMUTE member its declared type (remapped to
+    the row actually bearing it)."""
     toks = parse_pattern(pattern)
     return _grouped_match(
         df,
@@ -560,7 +630,20 @@ def pattern_match_quantified(
         within_seconds,
         after_match,
         measures,
+        rows_per_match=rows_per_match,
+        tok_names=[_tok_name(et) for et, _, _, _ in toks],
     )
+
+
+def _tok_name(et) -> str:
+    """CLASSIFIER() spelling of a token test."""
+    if isinstance(et, str):
+        return et
+    if isinstance(et, frozenset):
+        return "(" + "|".join(sorted(et)) + ")"
+    if et[0] == "perm":
+        return et[1][et[2]]
+    raise ValueError(f"no classifier name for token {et!r}")
 
 
 # -- DEFINE predicate compiler (Flink MATCH_RECOGNIZE DEFINE clause) --------
@@ -956,6 +1039,7 @@ def pattern_match_define(
     within_seconds: int | None = None,
     after_match: str | tuple[str, Sequence[int]] = "past_last_row",
     measures: Sequence[tuple[str, str, Sequence[int], str | None]] | None = None,
+    rows_per_match: str = "one",
 ) -> DataFrame:
     """MATCH_RECOGNIZE whose pattern variables are DEFINEd by boolean
     expressions over row values (Flink 1.15's DEFINE surface) instead
@@ -1054,6 +1138,8 @@ def pattern_match_define(
         within_seconds,
         after_match,
         measures,
+        rows_per_match=rows_per_match,
+        tok_names=[_tok_name(et) for et, _, _, _ in toks],
     )
 
 

@@ -671,3 +671,63 @@ def q_cep_permute_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("click_value", "first", [2], "value"),
         ],
     )
+
+
+@register(
+    "cep_all_rows_match",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type, value, props,
+         row_number() OVER w AS rn,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), starts AS (
+  SELECT user_id, rn AS srn,
+         row_number() OVER (PARTITION BY user_id ORDER BY rn)
+           AS match_no
+  FROM ordered
+  WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+)
+SELECT o.user_id, o.event_id,
+       strftime(date_trunc('second', o.ts),
+                '%Y-%m-%d %H:%M:%S') AS ts_s,
+       o.event_type, o.value, o.props,
+       CAST(s.match_no AS BIGINT) AS match_no,
+       o.event_type AS classifier
+FROM starts s JOIN ordered o
+  ON o.user_id = s.user_id AND o.rn BETWEEN s.srn AND s.srn + 2
+""",
+    doc="SQL:2016 ALL ROWS PER MATCH (Flink supports ONE ROW only): "
+    "PATTERN (view click purchase) per user emits every CONSUMED row "
+    "with its original columns plus MATCH_NUMBER() and CLASSIFIER() "
+    "— the per-row spelling funnels/debuggers need. Distinct literal "
+    "types make overlap impossible, so the lead()-enumeration oracle "
+    "(3 rows per start, match_no = per-user start order) equals the "
+    "skip-past match set; classifier equals the matched type for "
+    "literal tokens by construction, pinning the token-name plumbing.",
+)
+def q_cep_all_rows_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import pattern_match_quantified
+
+    ev = load_table(spark, sf_dir, "events")
+    out = pattern_match_quantified(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        type_col="event_type",
+        pattern=["view", "click", "purchase"],
+        rows_per_match="all",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        "value",
+        "props",
+        "match_no",
+        "classifier",
+    )

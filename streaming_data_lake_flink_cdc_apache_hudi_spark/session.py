@@ -118,12 +118,17 @@ class EngineSession:
 
           SELECT * FROM t MATCH_RECOGNIZE (
             PARTITION BY k  ORDER BY ts [, tiebreak]
-            ONE ROW PER MATCH
+            ONE ROW PER MATCH | ALL ROWS PER MATCH
             AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
                              | SKIP TO FIRST v | SKIP TO LAST v
             PATTERN (A B+ (C|D)? PERMUTE(E, F) G*?)
                                    [WITHIN INTERVAL 'n' MINUTES]
             DEFINE A AS [A.]type_col = 'lit', B AS ... )
+
+        ALL ROWS PER MATCH (SQL:2016; Flink rejects it) emits every
+        consumed input row with its original columns plus
+        ``match_no`` (MATCH_NUMBER()) and ``classifier``
+        (CLASSIFIER()); it takes no MEASURES.
 
         Quantifiers may be greedy (``+ * ?``) or reluctant
         (``+? *? ??``). MEASURES are supported as per-variable
@@ -172,7 +177,8 @@ class EngineSession:
             )
         tbl, body = m.group(2), m.group(3)
         measures_m = re.search(
-            r"\bMEASURES\s+(.*?)\s+(?=ONE\s+ROW|AFTER\s+MATCH|PATTERN\s*\()",
+            r"\bMEASURES\s+(.*?)\s+"
+            r"(?=ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN\s*\()",
             body,
             re.IGNORECASE | re.DOTALL,
         )
@@ -190,10 +196,15 @@ class EngineSession:
             r"ORDER\s+BY\s+`?(\w+)`?(?:\s*,\s*`?(\w+)`?)?"
         )
         ts_col, tiebreak = order.group(1), order.group(2) or order.group(1)
-        if grab(r"(ONE)\s+ROW\s+PER\s+MATCH", required=False) is None:
+        rpm = grab(r"(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH", required=False)
+        if rpm is None:
             raise ValueError(
-                "MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported"
+                "MATCH_RECOGNIZE: specify ONE ROW PER MATCH or ALL "
+                "ROWS PER MATCH"
             )
+        rows_per_match = (
+            "all" if rpm.group(1).upper().startswith("ALL") else "one"
+        )
         skip = grab(
             r"AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
             r"|TO\s+(FIRST|LAST)\s+(?!ROW\b)(\w+))",
@@ -382,6 +393,7 @@ class EngineSession:
                 within_seconds=within_seconds,
                 after_match=after,
                 measures=measures,
+                rows_per_match=rows_per_match,
             )
         from .operators.cep import pattern_match_define
 
@@ -395,6 +407,7 @@ class EngineSession:
             within_seconds=within_seconds,
             after_match=after,
             measures=measures,
+            rows_per_match=rows_per_match,
         )
 
     def _rewrite_window_tvf(self, statement: str) -> str:

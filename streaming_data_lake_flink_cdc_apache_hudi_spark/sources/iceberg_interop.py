@@ -273,23 +273,24 @@ def read_iceberg(
     # data file whose path the normalization above failed to match
     # (symlinked warehouse, URI-escaped writer paths); raising beats
     # losing rows
+    # The guard is a FILTER (not a projected-column expression): every
+    # row the scan yields must pass it, so the raise cannot be skipped
+    # by a plan that never evaluates the seq column for rows without a
+    # delete-side join partner.
     data = data.join(
         map_df.select("_ice_fp", "_ice_seq"), "_ice_fp", "left"
-    ).withColumn(
-        "_ice_seq",
-        F.when(
-            F.col("_ice_seq").isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "iceberg read: scanned data file missing from "
-                        "the snapshot's file mapping (path "
-                        "normalization mismatch): "
-                    ),
-                    F.col("_ice_fp"),
-                )
-            ).cast("long"),
-        ).otherwise(F.col("_ice_seq")),
+    ).filter(
+        F.col("_ice_seq").isNotNull()
+        | F.raise_error(
+            F.concat(
+                F.lit(
+                    "iceberg read: scanned data file missing from "
+                    "the snapshot's file mapping (path "
+                    "normalization mismatch): "
+                ),
+                F.col("_ice_fp"),
+            )
+        ).cast("boolean")
     )
     if pos_files:
         by_seq: dict[int, list[str]] = {}

@@ -1001,3 +1001,40 @@ def test_define_randomized_differential_vs_bruteforce(spark):
     ).collect()
     got = sorted((r.user_id, r.start_event_id, r.n_rows) for r in out)
     assert got == sorted(expected)
+
+
+def test_all_rows_per_match_define_and_measures_refusal(spark):
+    import pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        pattern_match_define,
+        pattern_match_quantified,
+    )
+
+    df = _priced(spark, [10, 9, 8, 11, 5, 7])
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["DOWN+", "UP"],
+        define={
+            "DOWN": "value < PREV(value)",
+            "UP": "value > PREV(value)",
+        },
+        rows_per_match="all",
+    ).collect()
+    got = sorted((r.match_no, r.event_id, r.classifier) for r in out)
+    # match 1: rows 1,2 DOWN + row 3 UP; match 2: row 4 DOWN + row 5 UP
+    assert got == [
+        (1, 1, "DOWN"), (1, 2, "DOWN"), (1, 3, "UP"),
+        (2, 4, "DOWN"), (2, 5, "UP"),
+    ]
+    # original columns survive untouched
+    assert {r.event_id: r.value for r in out}[4] == 5.0
+    with pytest.raises(ValueError, match="MEASURES"):
+        pattern_match_quantified(
+            df, "user_id", "ts", "event_id", "typ", ["t+"],
+            measures=[("c", "count", [0], None)],
+            rows_per_match="all",
+        )
