@@ -87,6 +87,40 @@ eng.sql(
     """
 ).orderBy("user_id", "mn").show(5, truncate=False)
 
+print("== 2d. DEFINE predicates (Flink's V-shape), ALL ROWS, PERMUTE =")
+# arbitrary boolean DEFINEs with PREV navigation — the canonical
+# price-valley; plus SQL:2016 forms Flink itself rejects:
+# alternation, PERMUTE, ALL ROWS PER MATCH
+eng.sql(
+    """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES LAST(DOWN.value) AS bottom, COUNT(DOWN.*) AS n_down
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (DOWN+ UP+)
+      DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+             UP AS UP.value > PREV(UP.value)
+    )
+    """
+).orderBy("user_id", "start_event_id").show(3, truncate=False)
+eng.sql(
+    """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (V (C|E)+ P)
+      DEFINE V AS event_type = 'view', C AS event_type = 'click',
+             E AS event_type = 'error', P AS event_type = 'purchase'
+    )
+    """
+).orderBy("user_id", "match_no", "event_id").select(
+    "user_id", "match_no", "classifier", "event_type", "event_id"
+).show(6, truncate=False)
+
 print("== 2c. CDC wire formats -> one engine envelope ===============")
 from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402

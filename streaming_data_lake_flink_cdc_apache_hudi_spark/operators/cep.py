@@ -24,12 +24,21 @@ numpy-backed pandas. Per-task memory is one key-group's timeline,
 the same keyed-state contract Flink's MATCH_RECOGNIZE operator has;
 the streaming flavor (``streaming/stateful.py:pattern_match_stream``)
 holds only the unfinalized tail per key. Backtracking is benign
-here: every pattern variable is a single literal type, so each
-attempt is run-length bounded (never regex-exponential), and the
-scan run-skips a failed unbounded first variable's whole run — the
-all-'a' never-matching worst case is O(rows); with a WITHIN bound
-the skip is disabled (a later start has a looser window) and the
-worst case is O(rows · within-span).
+here: every pattern variable is a single row test (type literal,
+alternation set, or DEFINE mask), so each attempt is run-length
+bounded (never regex-exponential), and the scan run-skips a failed
+unbounded first variable's whole run — the all-'a' never-matching
+worst case is O(rows); with a WITHIN bound the skip is disabled (a
+later start has a looser window) and the worst case is
+O(rows · within-span).
+
+Round 7 widens the surface to Flink 1.15's DEFINE clause —
+arbitrary boolean predicates over row values with PREV/NEXT
+navigation and FIRST/LAST match-relative references
+(:func:`pattern_match_define`, streaming flavor
+``pattern_match_define_stream``) — plus three SQL:2016 forms Flink
+itself rejects: alternation ``(a|b)``, ``PERMUTE(a,b)``, and ALL
+ROWS PER MATCH with MATCH_NUMBER()/CLASSIFIER() output.
 """
 
 from __future__ import annotations
