@@ -1038,3 +1038,83 @@ def test_all_rows_per_match_define_and_measures_refusal(spark):
             measures=[("c", "count", [0], None)],
             rows_per_match="all",
         )
+
+
+def test_alternation_equals_relabeled_literal_fuzz(spark):
+    """Equivalence differential: (a|b) over random timelines must
+    match EXACTLY what a single literal matches after relabeling
+    a,b -> c — alternation is set membership, nothing more."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        pattern_match_quantified,
+    )
+
+    rng = random.Random(99)
+    rows = []
+    rid = 0
+    for user in range(8):
+        for s in range(60):
+            rid += 1
+            rows.append(
+                (rid, user, s, rng.choice(["a", "b", "p", "x"]))
+            )
+    df = _ev(spark, rows)
+    alt = pattern_match_quantified(
+        df, "user_id", "ts", "event_id", "event_type",
+        ["(a|b)+", "p"], after_match="next_row",
+    )
+    relabeled = df.withColumn(
+        "event_type",
+        F.when(F.col("event_type").isin("a", "b"), "c").otherwise(
+            F.col("event_type")
+        ),
+    )
+    lit = pattern_match_quantified(
+        relabeled, "user_id", "ts", "event_id", "event_type",
+        ["c+", "p"], after_match="next_row",
+    )
+    a = sorted(map(tuple, alt.collect()))
+    l = sorted(map(tuple, lit.collect()))
+    assert a == l and len(a) > 20
+
+
+def test_permute_equals_union_of_orders_fuzz(spark):
+    """Equivalence differential: PERMUTE(v,c) between anchors equals
+    the UNION of the two fixed orders — under SKIP TO NEXT ROW both
+    sides enumerate every occurrence, so the sets must be equal."""
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        pattern_match_quantified,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    rid = 0
+    for user in range(8):
+        for _ in range(120):
+            rid += 1
+            # constant ts: the event_id tiebreak orders the timeline
+            rows.append(
+                (rid, user, 0, rng.choice(["s", "v", "c", "p"]))
+            )
+    df = _ev(spark, rows)
+    perm = pattern_match_quantified(
+        df, "user_id", "ts", "event_id", "event_type",
+        ["s", "permute(v,c)", "p"], after_match="next_row",
+    )
+    got = sorted(
+        (r.user_id, r.start_event_id, r.n_rows) for r in perm.collect()
+    )
+    want = sorted(
+        (r.user_id, r.start_event_id, r.n_rows)
+        for order in (["s", "v", "c", "p"], ["s", "c", "v", "p"])
+        for r in pattern_match_quantified(
+            df, "user_id", "ts", "event_id", "event_type",
+            order, after_match="next_row",
+        ).collect()
+    )
+    assert got == want and len(got) >= 3
