@@ -1004,7 +1004,16 @@ def compile_define(
     """Compile one DEFINE clause. Returns ``(kind, compiled, cols)``:
     ``("mask", fn)`` with ``fn(pdf) -> np.bool_[n]`` for row-local
     predicates, or ``("ctx", maker)`` with ``maker(pdf, tok_var) ->
-    fn(i, bound, run_start) -> bool`` for match-relative ones."""
+    fn(i, bound, run_start) -> bool`` for match-relative ones.
+
+    Null semantics: a comparison whose operand is NULL/NaN (e.g.
+    ``PREV(value)`` before the first row) is FALSE, matching SQL's
+    unknown-is-not-matched at the predicate level. The collapse to
+    two-valued logic happens AT THE COMPARISON, so ``NOT (a < b)``
+    over a null operand evaluates TRUE here where strict tri-valued
+    SQL keeps it unknown→false — the one documented divergence;
+    write the positive comparison (``a >= b``) when nulls matter.
+    ``IS [NOT] NULL`` is not part of the grammar."""
     import numpy as np
 
     tree, lits = _sql_predicate_ast(expr)
