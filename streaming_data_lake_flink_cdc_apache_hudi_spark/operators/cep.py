@@ -333,7 +333,41 @@ def scan_matches(
         and within_us is None
         and not (isinstance(first_et, tuple) and first_et[0] == "ctx")
     )
+    # vectorized start prefilter: a match can only begin where the
+    # FIRST token's row test holds (its min_rep is >= 1, or the scan
+    # must try every row anyway), so compute the candidate positions
+    # in one numpy pass and walk only those — for a selective first
+    # variable this removes the per-row Python match_at call on the
+    # (1 - selectivity) majority of the timeline
+    starts = None
+    if toks[0][1] > 0:
+        import numpy as _np
+
+        if isinstance(first_et, str):
+            starts = _np.flatnonzero(_np.asarray(types) == first_et)
+        elif isinstance(first_et, frozenset):
+            t_arr = _np.asarray(types)
+            hit = _np.zeros(len(t_arr), dtype=bool)
+            for m in first_et:
+                hit |= t_arr == m
+            starts = _np.flatnonzero(hit)
+        elif isinstance(first_et, tuple) and first_et[0] == "mask":
+            starts = _np.flatnonzero(first_et[1])
+        elif isinstance(first_et, tuple) and first_et[0] == "perm":
+            # group member 0's test is plain membership
+            t_arr = _np.asarray(types)
+            hit = _np.zeros(len(t_arr), dtype=bool)
+            for m in first_et[1]:
+                hit |= t_arr == m
+            starts = _np.flatnonzero(hit)
+    si = 0
     while p < n:
+        if starts is not None:
+            # jump to the next candidate start >= p
+            si = int(_np.searchsorted(starts, p))
+            if si >= len(starts):
+                break
+            p = int(starts[si])
         end, _, assigns = match_at(types, times_us, p, toks, within_us)
         if end is not None:
             out.append((p, end, assigns))
@@ -386,6 +420,7 @@ def _grouped_match(
     measures: Sequence[tuple[str, str, Sequence[int], str | None]] | None,
     rows_per_match: str = "one",
     tok_names: Sequence[str] | None = None,
+    prepare=None,
 ) -> DataFrame:
     """Shared applyInPandas core behind the quantified (type-literal)
     and DEFINE-predicate matchers: ONE key shuffle, per-key Arrow
@@ -408,6 +443,78 @@ def _grouped_match(
         raise ValueError(
             "ALL ROWS PER MATCH does not take MEASURES (RUNNING "
             "semantics unimplemented) — use ONE ROW PER MATCH"
+        )
+
+    def by_key_map(frame: DataFrame, per_key_fn, schema: str) -> DataFrame:
+        """ONE hash exchange on the key, then per-key matching via
+        mapInPandas with an in-pandas groupby — NOT groupBy().
+        applyInPandas: that API pays a Python call + Arrow batch per
+        GROUP, and CEP keys are many and small (1500 keys at sf0.1
+        made the identity applyInPandas alone cost 2.4 s). Each task
+        concatenates its partition, sorts ONCE by (key, time,
+        tiebreak) — which leaves every group time-ordered — and
+        precomputes the microsecond timeline once, so the per-key fn
+        does no sorting/casting of its own. Per-task memory is the
+        shuffle partition (the sessionization contract); match
+        results are identical because every key's rows land in
+        exactly one partition."""
+
+        def part_fn(it):
+            chunks = [c for c in it if len(c)]
+            if not chunks:
+                return
+            whole = pd.concat(chunks, ignore_index=True)
+            whole = whole.sort_values(
+                [key_col, time_col, order_tiebreak],
+                kind="mergesort",
+                ignore_index=True,
+            )
+            whole["_cep_us"] = (
+                whole[time_col].astype("datetime64[us]").astype("int64")
+            )
+            if prepare is not None:
+                # whole-partition precompute (e.g. DEFINE masks via
+                # group-aware shifts) — one vectorized pass for every
+                # key in the partition instead of per-key pandas calls
+                whole = prepare(whole)
+            # dropna=False: Spark's groupBy treats a null key as a
+            # group; pandas would silently drop it. Outputs buffer
+            # into ONE concat + ONE Arrow batch per partition — a
+            # yield per key would pay per-batch serialization 1500×
+            outs = []
+            for _, g in whole.groupby(key_col, sort=False, dropna=False):
+                out = per_key_fn(g)
+                if len(out):
+                    outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+        # EXPLICIT partition count: a bare repartition(col) lets AQE
+        # coalesce the exchange by byte size, and a CEP input is tiny
+        # in bytes but heavy in per-row Python work — at sf0.1 AQE
+        # folded it to ONE task and serialized the whole matcher.
+        # Pinning numPartitions keeps the Python work spread across
+        # the cluster; the shuffle itself is unchanged.
+        try:
+            n_parts = int(
+                frame.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            n_parts = frame.sparkSession.sparkContext.defaultParallelism
+        return frame.repartition(n_parts, F.col(key_col)).mapInPandas(
+            part_fn, schema
+        )
+
+    def fmt_us(times_us, idx) -> list:
+        """Vectorized second-precision strings for the MATCHED rows
+        only — strftime over every input row was the second-largest
+        cost in the profile."""
+        if not idx:
+            return []
+        return list(
+            pd.to_datetime(times_us[idx], unit="us").strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
         )
 
     skip_to: tuple[str, Sequence[int]] | None = None
@@ -461,16 +568,8 @@ def _grouped_match(
         ) + ", match_no long, classifier string"
 
         def all_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(
-                [time_col, order_tiebreak], kind="mergesort"
-            ).reset_index(drop=True)
             types, btoks = bind_toks(pdf)
-            times_us = (
-                pdf[time_col]
-                .astype("datetime64[us]")
-                .astype("int64")
-                .to_numpy()
-            )
+            times_us = pdf["_cep_us"].to_numpy()
             idxs: list[int] = []
             mnos: list[int] = []
             cls: list[str] = []
@@ -486,11 +585,14 @@ def _grouped_match(
                         mnos.append(mi)
                         cls.append(names[ti])
             out = pdf.take(idxs).reset_index(drop=True)
+            out = out.drop(
+                columns=[c for c in out.columns if c.startswith("_cep_")]
+            )
             out["match_no"] = pd.Series(mnos, dtype="int64")
             out["classifier"] = cls if cls else pd.Series(dtype=object)
             return out
 
-        return df.groupBy(key_col).applyInPandas(all_fn, all_schema)
+        return by_key_map(df, all_fn, all_schema)
 
     # a start_<tiebreak> column only when the tiebreak is a real extra
     # column (ORDER BY ts alone would duplicate start_ts)
@@ -516,14 +618,8 @@ def _grouped_match(
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            [time_col, order_tiebreak], kind="mergesort"
-        ).reset_index(drop=True)
         types, btoks = bind_toks(pdf)
-        times_us = (
-            pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
-        )
-        fmt = pdf[time_col].dt.strftime("%Y-%m-%d %H:%M:%S")
+        times_us = pdf["_cep_us"].to_numpy()
 
         def mval(assigns, agg, tis, col, mi):
             if agg == "match_number":
@@ -547,20 +643,20 @@ def _grouped_match(
                 return float(vals.mean())
             return getattr(vals, agg)()  # sum / min / max
 
+        ms = scan_matches(
+            types, times_us, btoks, within_us, skip_past, skip_to
+        )
+        f_s = fmt_us(times_us, [s for s, _, _ in ms])
+        f_e = fmt_us(times_us, [e for _, e, _ in ms])
         rows = [
             (pdf[key_col].iat[0],)
             + ((pdf[order_tiebreak].iat[s],) if has_tb else ())
-            + (fmt.iat[s], fmt.iat[e], e - s + 1)
+            + (f_s[j], f_e[j], e - s + 1)
             + tuple(
-                mval(assigns, agg, tis, col, mi)
+                mval(assigns, agg, tis, col, j + 1)
                 for _, agg, tis, col in measures
             )
-            for mi, (s, e, assigns) in enumerate(
-                scan_matches(
-                    types, times_us, btoks, within_us, skip_past, skip_to
-                ),
-                start=1,
-            )
+            for j, (s, e, assigns) in enumerate(ms)
         ]
         return pd.DataFrame(rows, columns=out_cols)
 
@@ -573,7 +669,7 @@ def _grouped_match(
             + [col for _, _, _, col in measures if col is not None]
         )
     )
-    return df.select(*sel).groupBy(key_col).applyInPandas(fn, schema)
+    return by_key_map(df.select(*sel), fn, schema)
 
 
 def pattern_match_quantified(
@@ -826,10 +922,17 @@ def _analyze_define(tree, var: str, all_vars: frozenset, expr: str):
     return needs_ctx, cols
 
 
-def _vec_eval(node, pdf, lits):
+def _vec_eval(node, pdf, lits, gkey=None):
     """Vectorized (row-local) evaluation over the whole key timeline.
     Returns a pandas Series / scalar; comparisons with shifted-in
-    nulls are False, matching SQL's unknown-is-not-matched."""
+    nulls are False, matching SQL's unknown-is-not-matched.
+
+    ``gkey`` (a Series aligned with ``pdf``) switches PREV/NEXT to
+    GROUP-AWARE shifts (``v.groupby(gkey).shift(n)`` — one C pass
+    over every key at once, nulls at each key's boundary), so a
+    caller holding a whole multi-key partition can evaluate the mask
+    ONCE instead of per key — per-key pandas evaluation was the
+    dominant cost for many-small-keys CEP."""
     import numpy as np
     import pandas as pd
 
@@ -898,7 +1001,10 @@ def _vec_eval(node, pdf, lits):
                 raise ValueError(
                     f"DEFINE: {f.upper()}() of a constant is meaningless"
                 )
-            return v.shift(n if f == "prev" else -n)
+            step = n if f == "prev" else -n
+            if gkey is not None:
+                return v.groupby(gkey, sort=False).shift(step)
+            return v.shift(step)
         raise AssertionError(f"unvalidated node {node!r}")
 
     return ev(node)
@@ -1022,8 +1128,8 @@ def compile_define(
     )
     if not needs_ctx:
 
-        def mask_fn(pdf):
-            v = _vec_eval(tree, pdf, lits)
+        def mask_fn(pdf, gkey=None):
+            v = _vec_eval(tree, pdf, lits, gkey=gkey)
             if hasattr(v, "to_numpy"):
                 if v.dtype != bool:
                     v = v.fillna(False).astype(bool)
@@ -1112,6 +1218,18 @@ def pattern_match_define(
         for ti, (et, _, _, _) in enumerate(toks)
     }
 
+    def prepare(whole):
+        # DEFINE masks for the WHOLE partition in one vectorized pass:
+        # PREV/NEXT become group-aware shifts keyed on the partition
+        # column, so key boundaries still read as nulls — identical
+        # semantics to per-key evaluation at a fraction of the pandas
+        # overhead when keys are many and small
+        gk = whole[key_col]
+        for v, (kind, f, _) in compiled.items():
+            if kind == "mask":
+                whole[f"_cep_m_{v}"] = f(whole, gkey=gk)
+        return whole
+
     def bind_toks(pdf):
         import numpy as np
 
@@ -1123,7 +1241,12 @@ def pattern_match_define(
                 continue
             kind, f, _ = compiled[v]
             if kind == "mask":
-                masks[v] = f(pdf)
+                col = f"_cep_m_{v}"
+                masks[v] = (
+                    pdf[col].to_numpy()
+                    if col in pdf.columns
+                    else f(pdf)  # unprepared caller (direct use)
+                )
             else:
                 ctx[v] = f(pdf, tok_var)
         bound = []
@@ -1158,6 +1281,7 @@ def pattern_match_define(
         measures,
         rows_per_match=rows_per_match,
         tok_names=[_tok_name(et) for et, _, _, _ in toks],
+        prepare=prepare,
     )
 
 
