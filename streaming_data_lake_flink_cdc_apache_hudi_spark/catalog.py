@@ -690,6 +690,131 @@ class TableRegistry:
             "table STRING, commit_seq BIGINT, zorder_by STRING",
         )
 
+    def _execute_call(self, statement: str) -> DataFrame | None:
+        """Hudi Spark-SQL CALL procedures (the 0.11+ table-service
+        spellings) against registered upsert tables:
+
+          CALL show_commits(table => 't' [, limit => n])
+          CALL run_compaction(table => 't')
+          CALL rollback_to_instant(table => 't', instant_time => n)
+          CALL run_clean(table => 't')
+          CALL show_bloom_index(table => 't', column => 'c')  [ext]
+          CALL create_bloom_index(table => 't', column => 'c') [ext]
+
+        Arguments parse in Hudi's ``name => value`` form (a single
+        positional argument is taken as the table). show_commits is
+        the timeline; run_compaction folds the delta log (touched
+        buckets only); rollback_to_instant is ``restore(seq)``
+        (compaction-horizon-guarded); run_clean is the fsck repair
+        pass (orphan commit dirs + compaction scratch — old file
+        slices fold at compaction in this engine, so there is no
+        separate slice-retention cleaner); the bloom procedures are
+        engine extensions over the skip-index sidecar. Unknown
+        procedures raise (a typo must not fall through to
+        spark.sql's parser and produce a confusing error)."""
+        import re as _re
+
+        from pyspark.sql import functions as F  # noqa: F401
+
+        cm = _re.match(
+            r"^\s*CALL\s+(\w+)\s*\(\s*(.*?)\s*\)\s*;?\s*$",
+            statement,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if not cm:
+            return None
+        proc = cm.group(1).lower()
+        args: dict[str, str] = {}
+        if cm.group(2).strip():
+            for i, part in enumerate(cm.group(2).split(",")):
+                am = _re.match(
+                    r"^\s*(?:(\w+)\s*=>\s*)?('([^']*)'|[\w.-]+)\s*$",
+                    part,
+                )
+                if not am:
+                    raise ValueError(f"CALL: cannot parse argument {part!r}")
+                key = (am.group(1) or ("table" if i == 0 else "")).lower()
+                if not key:
+                    raise ValueError(
+                        "CALL: only the first argument may be positional"
+                    )
+                args[key] = (
+                    am.group(3) if am.group(3) is not None else am.group(2)
+                )
+        known = {
+            "show_commits", "run_compaction", "rollback_to_instant",
+            "run_clean", "show_bloom_index", "create_bloom_index",
+        }
+        if proc not in known:
+            raise ValueError(
+                f"CALL: unknown procedure {proc!r} (supported: "
+                f"{', '.join(sorted(known))})"
+            )
+        name = args.get("table")
+        if not name or name not in self._tables:
+            raise ValueError(f"CALL {proc}: unknown table {name!r}")
+        h = self.upsert_handle(name)
+        if proc == "show_commits":
+            tl = h.timeline()
+            lim = args.get("limit")
+            return tl.limit(int(lim)) if lim else tl
+        if proc == "run_compaction":
+            n = h.compact()
+            return self.spark.createDataFrame(
+                [(name, n)], "table STRING, compacted_rows BIGINT"
+            )
+        if proc == "rollback_to_instant":
+            seq = args.get("instant_time", args.get("instant"))
+            if seq is None:
+                raise ValueError(
+                    "CALL rollback_to_instant needs instant_time => <seq>"
+                )
+            h.restore(int(seq))
+            self.resolve(name)
+            return self.spark.createDataFrame(
+                [(name, int(seq))], "table STRING, restored_to BIGINT"
+            )
+        if proc == "run_clean":
+            res = h.fsck(repair=True)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        name,
+                        len(res.get("orphan_commit_dirs", [])),
+                        len(res.get("scratch_dirs", [])),
+                        int(res.get("removed", 0)),
+                    )
+                ],
+                "table STRING, orphan_commit_dirs BIGINT, "
+                "scratch_dirs BIGINT, removed BIGINT",
+            )
+        col = args.get("column")
+        if not col:
+            raise ValueError(f"CALL {proc} needs column => '<col>'")
+        if proc == "create_bloom_index":
+            n = h.build_bloom(col)
+            return self.spark.createDataFrame(
+                [(name, col, n)],
+                "table STRING, column STRING, indexed_files BIGINT",
+            )
+        # show_bloom_index: the sidecar's per-file coverage
+        import json as _json
+
+        from .operators.skipindex import index_path
+
+        p = index_path(h._base, col)
+        if not os.path.exists(p):
+            raise ValueError(
+                f"CALL show_bloom_index: no index on {name}.{col} — "
+                "run CALL create_bloom_index first"
+            )
+        idx = _json.load(open(p))
+        rows = sorted((f, len(w)) for f, w in idx["files"].items())
+        return self.spark.createDataFrame(
+            rows or [("", 0)],
+            "file STRING, mask_words BIGINT",
+        ).filter(F.col("file") != "")
+
     def _pruned_where(self, h, cond: str | None) -> DataFrame | None:
         """Route a simple single-column equality WHERE (the keyed
         DELETE/UPDATE shape) through the table's bloom skip-index:
@@ -839,6 +964,9 @@ class TableRegistry:
         exp = self._execute_export(statement)
         if exp is not None:
             return exp
+        callp = self._execute_call(statement)
+        if callp is not None:
+            return callp
         alt = self._execute_alter(statement)
         if alt is not None:
             return alt

@@ -839,3 +839,45 @@ def q_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.round("signup_value", 2).alias("signup_value"),
     )
+
+
+@register(
+    "bpe_top_pairs",
+    """
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+), wf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words
+  WHERE w <> '' GROUP BY w
+), pairs AS (
+  SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair,
+         CAST(SUM(c) AS BIGINT) AS cnt
+  FROM wf, unnest(generate_series(1, length(w) - 1)) AS t(i)
+  GROUP BY 1
+)
+SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair ASC LIMIT 20
+""",
+    doc="Tokenizer training, step zero: the BPE pair-count table "
+    "(Sennrich et al. 2016) — the top candidate merges over the "
+    "corpus vocabulary. One corpus-sized shuffle builds the (word, "
+    "freq) table; pair counting then runs on word SHAPES via "
+    "zip_with over sliced symbol arrays (JVM, no explode of "
+    "characters, no Python), weighted by frequency — the shape "
+    "operators/bpe.py's learn_bpe_merges iterates, applying each "
+    "winning merge with an F.aggregate lambda fold (the sequential "
+    "left-to-right fuse, inside codegen). Oracle: DuckDB character "
+    "bigrams over the same word-frequency table.",
+)
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import _pair_counts, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(docs, "text")
+    symbols = wf.select(F.split("word", "").alias("syms"),
+                        F.col("freq"))
+    return (
+        _pair_counts(symbols)
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+    )

@@ -1038,3 +1038,54 @@ def test_keyed_dml_prunes_base_files_via_bloom_sidecar(spark, tmp_path):
     assert 7 not in ids and 9 not in ids and 8 in ids
     got = {r["id"]: r["qty"] for r in eng.sql("SELECT * FROM kdml").collect()}
     assert got[8] == 999
+
+
+def test_call_procedures_hudi_spellings(spark, tmp_path):
+    """Hudi 0.11+ CALL table-service procedures through eng.sql:
+    show_commits / run_compaction / rollback_to_instant / run_clean
+    plus the bloom-index extensions; unknown procedures raise instead
+    of falling through to spark.sql."""
+    import pytest as _pytest
+
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "c.json"))
+    eng.sql(
+        f"""
+        CREATE TABLE callt (
+          id BIGINT, v INT, PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector' = 'hudi', 'path' = '{tmp_path / "callt"}',
+                'num_buckets' = '2')
+        """
+    )
+    eng.sql("INSERT INTO callt VALUES (1, 10), (2, 20)")
+    eng.sql("INSERT INTO callt VALUES (2, 21), (3, 30)")
+    tl = eng.sql("CALL show_commits(table => 'callt')").collect()
+    assert len(tl) == 2
+    assert eng.sql("CALL show_commits('callt', limit => 1)").count() == 1
+
+    # rollback BEFORE compaction (restore past a compaction horizon
+    # rightly refuses — folded deltas cannot be unfolded)
+    eng.sql(
+        "CALL rollback_to_instant(table => 'callt', instant_time => 1)"
+    )
+    got = {r["id"]: r["v"] for r in eng.sql("SELECT * FROM callt").collect()}
+    assert got == {1: 10, 2: 20}  # commit 2 rolled back
+    eng.sql("INSERT INTO callt VALUES (4, 40)")
+
+    res = eng.sql("CALL run_compaction(table => 'callt')").collect()[0]
+    assert res["table"] == "callt" and res["compacted_rows"] >= 3
+
+    res = eng.sql(
+        "CALL create_bloom_index(table => 'callt', column => 'id')"
+    ).collect()[0]
+    assert res["indexed_files"] >= 1
+    assert eng.sql(
+        "CALL show_bloom_index(table => 'callt', column => 'id')"
+    ).count() == res["indexed_files"]
+
+    res = eng.sql("CALL run_clean(table => 'callt')").collect()[0]
+    assert res["removed"] == 0  # healthy table: nothing to reap
+
+    with _pytest.raises(ValueError, match="unknown procedure"):
+        eng.sql("CALL do_magic(table => 'callt')")
+    with _pytest.raises(ValueError, match="unknown table"):
+        eng.sql("CALL show_commits(table => 'nope')")
