@@ -794,7 +794,22 @@ _BIN_OPS = {
     _ast.Div: _op.truediv,
     _ast.Mod: _op.mod,
 }
-_NAV_FUNCS = frozenset({"prev", "next", "first", "last", "abs"})
+_NAV_FUNCS = frozenset(
+    {"prev", "next", "first", "last", "abs", "like"}
+)
+
+
+def _like_regex(pat: str) -> str:
+    """SQL LIKE pattern -> anchored regex (% = any run, _ = one)."""
+    out = []
+    for ch in pat:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
 
 
 def _sql_predicate_ast(expr: str):
@@ -810,6 +825,28 @@ def _sql_predicate_ast(expr: str):
     s = re.sub(r"'((?:[^']|'')*)'", stash, expr)
     s = s.replace("<>", "!=")
     s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
+    # infix sugar rewritten to calls BEFORE the AND/OR pass (BETWEEN
+    # carries its own AND). Operands are simple refs/literals — the
+    # common DEFINE shapes; anything fancier parenthesizes itself.
+    s = re.sub(
+        r"(\w+(?:\.\w+)?|__lit\d+__)\s+NOT\s+LIKE\s+(__lit\d+__)",
+        r" not LIKE(\1, \2) ",
+        s,
+        flags=re.IGNORECASE,
+    )
+    s = re.sub(
+        r"(\w+(?:\.\w+)?|__lit\d+__)\s+LIKE\s+(__lit\d+__)",
+        r" LIKE(\1, \2) ",
+        s,
+        flags=re.IGNORECASE,
+    )
+    s = re.sub(
+        r"(\w+(?:\.\w+)?)\s+BETWEEN\s+(\w+(?:\.\w+)?|__lit\d+__|-?[\d.]+)"
+        r"\s+AND\s+(\w+(?:\.\w+)?|__lit\d+__|-?[\d.]+)",
+        r" ((\1 >= \2) and (\1 <= \3)) ",
+        s,
+        flags=re.IGNORECASE,
+    )
     s = re.sub(r"\bAND\b", " and ", s, flags=re.IGNORECASE)
     s = re.sub(r"\bOR\b", " or ", s, flags=re.IGNORECASE)
     s = re.sub(r"\bNOT\b", " not ", s, flags=re.IGNORECASE)
@@ -817,7 +854,7 @@ def _sql_predicate_ast(expr: str):
     s = re.sub(r"\bTRUE\b", "True", s, flags=re.IGNORECASE)
     s = re.sub(r"\bFALSE\b", "False", s, flags=re.IGNORECASE)
     try:
-        tree = _ast.parse(s, mode="eval").body
+        tree = _ast.parse(s.strip(), mode="eval").body
     except SyntaxError as exc:
         raise ValueError(f"DEFINE: cannot parse {expr!r}: {exc}") from None
     return tree, lits
@@ -897,6 +934,17 @@ def _analyze_define(tree, var: str, all_vars: frozenset, expr: str):
                     raise ValueError(
                         f"DEFINE {expr!r}: {f.upper()} needs VAR.col"
                     )
+            if f == "like":
+                if len(node.args) != 2 or not (
+                    isinstance(node.args[1], _ast.Name)
+                    and re.fullmatch(r"__lit\d+__", node.args[1].id)
+                ):
+                    raise ValueError(
+                        f"DEFINE {expr!r}: LIKE needs a string-literal "
+                        "pattern"
+                    )
+                walk(node.args[0])
+                return
             if len(node.args) > 1 and not (
                 isinstance(node.args[1], _ast.Constant)
                 and isinstance(node.args[1].value, int)
@@ -995,6 +1043,12 @@ def _vec_eval(node, pdf, lits, gkey=None):
             f = node.func.id.lower()
             if f == "abs":
                 return abs(ev(node.args[0]))
+            if f == "like":
+                target = ev(node.args[0])
+                rx = _like_regex(ev(node.args[1]))
+                if isinstance(target, pd.Series):
+                    return target.astype("string").str.match(rx, na=False)
+                return bool(re.match(rx, str(target)))
             v = ev(node.args[0])  # prev / next
             n = node.args[1].value if len(node.args) > 1 else 1
             if not isinstance(v, pd.Series):
@@ -1081,6 +1135,11 @@ def _ctx_eval(node, i, pdf, spans, var, lits):
             if f == "abs":
                 v = ev(node.args[0], at)
                 return None if isnull(v) else abs(v)
+            if f == "like":
+                v = ev(node.args[0], at)
+                if isnull(v):
+                    return False
+                return bool(re.match(_like_regex(ev(node.args[1], at)), str(v)))
             if f in ("prev", "next"):
                 step = off if off is not None else 1
                 if at is None:

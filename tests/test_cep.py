@@ -1118,3 +1118,55 @@ def test_permute_equals_union_of_orders_fuzz(spark):
         ).collect()
     )
     assert got == want and len(got) >= 3
+
+
+def test_define_like_and_between(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        pattern_match_define,
+    )
+
+    rows = [
+        (i, 1, dt.datetime(2024, 1, 1, 0, i), t, float(v))
+        for i, (t, v) in enumerate(
+            [("view_home", 1), ("click_buy", 2), ("click_ad", 9),
+             ("purchase", 3), ("view_cart", 12), ("click_buy", 4),
+             ("purchase", 5), ("view_x", 1), ("click_big", 99),
+             ("purchase", 1)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["V", "C+", "P"],
+        define={
+            "V": "event_type LIKE 'view%'",
+            "C": "event_type LIKE 'click%' AND value BETWEEN 1 AND 10",
+            "P": "event_type = 'purchase'",
+        },
+    ).collect()
+    # third funnel fails: click_big's value 99 is outside BETWEEN
+    assert sorted((r.start_event_id, r.n_rows) for r in out) == [
+        (0, 4), (4, 3),
+    ]
+    neg = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["NC+", "P"],
+        define={
+            "NC": "event_type NOT LIKE 'view%' AND "
+                  "event_type NOT LIKE 'purchase%'",
+            "P": "event_type = 'purchase'",
+        },
+    ).collect()
+    assert sorted((r.start_event_id, r.n_rows) for r in neg) == [
+        (1, 3), (5, 2), (8, 2),
+    ]
