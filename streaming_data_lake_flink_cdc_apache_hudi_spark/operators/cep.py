@@ -1018,6 +1018,11 @@ def _vec_eval(node, pdf, lits, gkey=None):
             return -ev(node.operand)
         if isinstance(node, _ast.BinOp):
             return _BIN_OPS[type(node.op)](ev(node.left), ev(node.right))
+        def not_null(x):
+            if isinstance(x, pd.Series):
+                return x.notna()
+            return x is not None and x == x
+
         if isinstance(node, _ast.Compare):
             out, left = None, ev(node.left)
             for cop, comp in zip(node.ops, node.comparators):
@@ -1035,7 +1040,12 @@ def _vec_eval(node, pdf, lits, gkey=None):
                     right = ev(comp)
                     with np.errstate(invalid="ignore"):
                         part = _CMP_OPS[type(cop)](left, right)
-                part = as_bool(part)
+                # SQL null semantics: ANY comparison against NULL is
+                # unknown -> False. pandas != / NOT IN would say True
+                # for a null operand (the one place the engines'
+                # natural semantics differ — the ctx evaluator and
+                # the consistency fuzz pin this)
+                part = as_bool(part) & not_null(left) & not_null(right)
                 out = part if out is None else out & part
                 left = right
             return out
@@ -1117,7 +1127,9 @@ def _ctx_eval(node, i, pdf, spans, var, lits):
             for cop, comp in zip(node.ops, node.comparators):
                 if isinstance(cop, (_ast.In, _ast.NotIn)):
                     vals = [ev(e, at) for e in comp.elts]
-                    hit = (not isnull(left)) and left in vals
+                    if isnull(left):
+                        return False  # NULL [NOT] IN (...) is unknown
+                    hit = left in vals
                     ok = (not hit) if isinstance(cop, _ast.NotIn) else hit
                     right = left
                 else:
@@ -1131,7 +1143,6 @@ def _ctx_eval(node, i, pdf, spans, var, lits):
             return True
         if isinstance(node, _ast.Call):
             f = node.func.id.lower()
-            off = node.args[1].value if len(node.args) > 1 else None
             if f == "abs":
                 v = ev(node.args[0], at)
                 return None if isnull(v) else abs(v)
@@ -1140,6 +1151,8 @@ def _ctx_eval(node, i, pdf, spans, var, lits):
                 if isnull(v):
                     return False
                 return bool(re.match(_like_regex(ev(node.args[1], at)), str(v)))
+            # prev/next/first/last: optional integer-literal offset
+            off = node.args[1].value if len(node.args) > 1 else None
             if f in ("prev", "next"):
                 step = off if off is not None else 1
                 if at is None:

@@ -1170,3 +1170,62 @@ def test_define_like_and_between(spark):
     assert sorted((r.start_event_id, r.n_rows) for r in neg) == [
         (1, 3), (5, 2), (8, 2),
     ]
+
+
+def test_define_vec_vs_ctx_evaluator_consistency_fuzz():
+    """The DEFINE compiler has two evaluation engines — vectorized
+    masks (row-local) and per-row closures (match-relative). Pin them
+    against each other: random row-local expressions over random
+    frames (with nulls) must produce identical truth vectors whether
+    evaluated as a mask or row-by-row through the ctx interpreter.
+    No Spark needed — this is the pure compiler."""
+    import random
+
+    import pandas as pd
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        _ctx_eval,
+        _sql_predicate_ast,
+        _vec_eval,
+    )
+
+    rng = random.Random(2024)
+    atoms = [
+        "v < PREV(v)",
+        "v > PREV(v, 2)",
+        "v >= 3",
+        "v + 1 < PREV(v)",
+        "t = 'a'",
+        "t <> 'b'",
+        "t IN ('a', 'c')",
+        "ABS(v - 5) <= 2",
+        "t LIKE 'a%'",
+        "v BETWEEN 2 AND 7",
+        "NOT v < 4",
+    ]
+    for case in range(60):
+        parts = rng.sample(atoms, rng.randint(1, 3))
+        expr = (" " + rng.choice(["AND", "OR"]) + " ").join(parts)
+        n = rng.randint(1, 20)
+        vals = [
+            None if rng.random() < 0.15 else float(rng.randint(0, 9))
+            for _ in range(n)
+        ]
+        ts = [
+            None if rng.random() < 0.1 else rng.choice(["a", "b", "c", "ax"])
+            for _ in range(n)
+        ]
+        pdf = pd.DataFrame({"v": vals, "t": ts})
+        tree, lits = _sql_predicate_ast(expr)
+        v = _vec_eval(tree, pdf, lits)
+        if hasattr(v, "to_numpy"):
+            if v.dtype != bool:
+                v = v.fillna(False).astype(bool)
+            mask = list(v.to_numpy())
+        else:
+            mask = [bool(v)] * n
+        rowwise = []
+        for i in range(n):
+            r = _ctx_eval(tree, i, pdf, {}, "X", lits)
+            rowwise.append(bool(r) if r is not None else False)
+        assert mask == rowwise, (case, expr, vals, ts, mask, rowwise)
