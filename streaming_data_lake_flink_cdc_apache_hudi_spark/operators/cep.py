@@ -17,13 +17,17 @@ Quantifiers — greedy (``A+ B* C?``) and reluctant (``A+? B*? C??``)
 — and the ``AFTER MATCH SKIP`` family (``PAST LAST ROW``,
 ``TO FIRST|LAST <var>``) genuinely need sequential per-key matching,
 so
-:func:`pattern_match_quantified` runs the Arrow-batched grouped path
-(``applyInPandas``): ONE shuffle on the key — the identical exchange
-the window version pays — then a per-key greedy backtracking scan in
-numpy-backed pandas. Per-task memory is one key-group's timeline,
-the same keyed-state contract Flink's MATCH_RECOGNIZE operator has;
-the streaming flavor (``streaming/stateful.py:pattern_match_stream``)
-holds only the unfinalized tail per key. Backtracking is benign
+:func:`pattern_match_quantified` runs the Arrow-batched keyed path:
+ONE pinned-width shuffle on the key — the identical exchange the
+window version pays, explicitly sized because AQE's byte-based
+coalescing would collapse a Python-heavy-but-byte-light exchange to
+one task — then ``mapInPandas`` with an in-pandas groupby (one
+Python call and one Arrow batch per PARTITION, not per key) running
+a per-key greedy backtracking scan in numpy-backed pandas. Per-task
+memory is the shuffle partition (the sessionization contract); the
+streaming flavor
+(``streaming/stateful.py:pattern_match_stream``) holds only the
+unfinalized tail per key. Backtracking is benign
 here: every pattern variable is a single row test (type literal,
 alternation set, or DEFINE mask), so each attempt is run-length
 bounded (never regex-exponential), and the scan run-skips a failed
