@@ -61,6 +61,7 @@ def main() -> None:
 
     streaming = _streaming_ingest_bench(spark)
     per_sf = _per_sf_sweep(spark, names, sf_dir, timings)
+    cep = _cep_suite_bench(spark, sf_dir)
     ab = _prev_round_ab(spark, names, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -74,11 +75,40 @@ def main() -> None:
                 "sf": _sf_from_dir(sf_dir),
                 "streaming": streaming,
                 "per_sf": per_sf,
+                "cep_suite": cep,
                 "ab_vs_prev": ab,
             }
         )
     )
     spark.stop()
+
+
+def _cep_suite_bench(spark, sf_dir: str) -> dict:
+    """MATCH_RECOGNIZE suite timings (quantified / DEFINE / SQL:2016
+    forms) — kept OUT of the headline metric so cross-round headline
+    totals stay comparable, but recorded because the matcher is a
+    Python-side operator whose cost profile differs from the codegen
+    queries (round 7: pinned-width exchange + per-partition
+    vectorization took the suite from ~23 s to ~5 s at sf0.1)."""
+    names = [
+        "cep_pattern_match", "cep_quantified_match", "cep_measures_match",
+        "cep_skip_to_chain", "cep_reluctant_pairs", "cep_define_predicate",
+        "cep_alternation_match", "cep_permute_match", "cep_all_rows_match",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warmup
+        best = float("inf")
+        for _ in range(2):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return {"total": round(sum(out.values()), 3), "queries": out}
 
 
 _PKG = "streaming_data_lake_flink_cdc_apache_hudi_spark"
