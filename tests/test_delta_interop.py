@@ -658,3 +658,75 @@ def test_same_commit_remove_and_readd_is_replace(spark, tmp_path):
         ],
     )
     assert read_delta(spark, path).count() == 10
+
+
+def test_multiple_dvs_share_one_sidecar_file(spark, tmp_path):
+    """Real writers pack several deletion vectors into one .bin file
+    at different offsets — both descriptors must resolve through
+    their own offset/length/CRC frames."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        serialize_roaring_bitmap_array,
+    )
+
+    path = str(tmp_path / "dv_multi")
+    # two data files, 50 rows each (ids 0-49 / 50-99)
+    a = spark.range(0, 50).coalesce(1)
+    b = spark.range(50, 100).coalesce(1)
+    export_delta(a, path)
+    bdir = str(tmp_path / "bstage")
+    b.write.parquet(bdir)
+    part = [f for f in os.listdir(bdir) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(bdir, part), os.path.join(path, "b.parquet"))
+    with open(os.path.join(path, "_delta_log", "%020d.json" % 0)) as fh:
+        add0 = next(json.loads(l)["add"] for l in fh if '"add"' in l)
+    addb = {
+        "path": "b.parquet",
+        "partitionValues": {},
+        "size": os.path.getsize(os.path.join(path, "b.parquet")),
+        "modificationTime": 0,
+        "dataChange": True,
+    }
+    # one sidecar carrying BOTH DVs
+    dv_path = os.path.join(path, "dvs.bin")
+    descs = []
+    with open(dv_path, "wb") as fh:
+        fh.write(b"\x01")
+        for positions in ([1, 2], [0, 49]):
+            data = serialize_roaring_bitmap_array(positions)
+            offset = fh.tell()
+            fh.write(_struct.pack(">i", len(data)))
+            fh.write(data)
+            fh.write(_struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF))
+            descs.append(
+                {
+                    "storageType": "p",
+                    "pathOrInlineDv": os.path.abspath(dv_path),
+                    "offset": offset,
+                    "sizeInBytes": len(data),
+                    "cardinality": len(positions),
+                }
+            )
+    _log(
+        path,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {"remove": {"path": add0["path"], "dataChange": True}},
+            {"add": {**add0, "deletionVector": descs[0]}},
+            {"add": {**addb, "deletionVector": descs[1]}},
+        ],
+    )
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    # file a loses positions 1,2 (ids 1,2); file b loses positions
+    # 0,49 (ids 50, 99)
+    assert got == [i for i in range(100) if i not in (1, 2, 50, 99)]
