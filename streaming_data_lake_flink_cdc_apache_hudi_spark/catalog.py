@@ -990,6 +990,46 @@ class TableRegistry:
             # Delta's DESCRIBE HISTORY spelling -> the commit timeline
             # (≙ Hudi CLI `commits show`); metadata-only
             return self.upsert_handle(hm.group(1)).timeline()
+        dm = _re.match(
+            r"^\s*DESCRIBE\s+DETAIL\s+`?(\w+)`?\s*;?\s*$",
+            statement,
+            _re.IGNORECASE,
+        )
+        if dm and dm.group(1) in self._tables:
+            # Delta's DESCRIBE DETAIL: one metadata row — a directory
+            # walk (file counts/bytes), never a data scan
+            t = self._tables[dm.group(1)]
+            n_files = size_b = 0
+            if os.path.isdir(t.path):
+                for root, _dirs, fs in os.walk(t.path):
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            n_files += 1
+                            size_b += os.path.getsize(
+                                os.path.join(root, f)
+                            )
+            commits = 0
+            if t.kind == "upsert":
+                try:
+                    commits = len(self.upsert_handle(t.name).commits())
+                except Exception:
+                    pass
+            return self.spark.createDataFrame(
+                [
+                    (
+                        "upsert-lake" if t.kind == "upsert" else t.kind,
+                        t.name,
+                        t.path,
+                        ",".join(t.key or []),
+                        n_files,
+                        size_b,
+                        commits,
+                    )
+                ],
+                "format STRING, name STRING, location STRING, "
+                "primary_key STRING, num_files BIGINT, "
+                "size_in_bytes BIGINT, num_commits BIGINT",
+            )
         if _re.match(
             r"^\s*SHOW\s+ENGINE\s+TABLES\s*;?\s*$", statement, _re.IGNORECASE
         ):

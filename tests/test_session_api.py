@@ -1089,3 +1089,24 @@ def test_call_procedures_hudi_spellings(spark, tmp_path):
         eng.sql("CALL do_magic(table => 'callt')")
     with _pytest.raises(ValueError, match="unknown table"):
         eng.sql("CALL show_commits(table => 'nope')")
+
+
+def test_describe_detail_ddl(spark, tmp_path):
+    """Delta's DESCRIBE DETAIL spelling: one metadata row (format,
+    location, key, file count/bytes, commit count) from a directory
+    walk — no data scan."""
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "d.json"))
+    eng.sql(
+        f"""
+        CREATE TABLE ddet (
+          id BIGINT, v INT, PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector' = 'hudi', 'path' = '{tmp_path / "ddet"}',
+                'num_buckets' = '2')
+        """
+    )
+    eng.sql("INSERT INTO ddet VALUES (1, 10), (2, 20)")
+    row = eng.sql("DESCRIBE DETAIL ddet").collect()[0]
+    assert row["format"] == "upsert-lake"
+    assert row["primary_key"] == "id"
+    assert row["num_files"] >= 1 and row["size_in_bytes"] > 0
+    assert row["num_commits"] == 1
