@@ -171,9 +171,11 @@ class EngineSession:
             )
         if m.group(1).strip() != "*":
             raise ValueError(
-                "MATCH_RECOGNIZE: use SELECT * — output columns are "
-                "(key, start_<tiebreak>, start_ts, end_ts, n_rows); "
-                "MEASURES projections are not supported"
+                "MATCH_RECOGNIZE: use SELECT * — the operator emits "
+                "(key, start_<tiebreak>, start_ts, end_ts, n_rows) "
+                "plus each MEASURES ... AS name column (or the input "
+                "columns + match_no/classifier under ALL ROWS PER "
+                "MATCH); project with an outer SELECT if needed"
             )
         tbl, body = m.group(2), m.group(3)
         measures_m = re.search(
