@@ -824,7 +824,20 @@ class TableRegistry:
         back to the full-snapshot filter) for compound predicates,
         unknown columns, or when no sidecar exists; ``equality_scan``
         itself degrades to the exact unpruned scan on a stale
-        sidecar, so pruning is never a correctness dependency."""
+        sidecar, so pruning is never a correctness dependency.
+
+        The probe value must render EXACTLY as the index was built
+        (Spark ``CAST(col AS STRING)``), so literal coercion is
+        dtype-aware and refuses any shape whose rendering could
+        diverge: a dotted literal on an integer column ('5.0' vs
+        stored '5'), a quoted literal on a non-string column (Spark
+        coerces the comparison, the rendering doesn't follow), a
+        decimal column probed with a float ('5.5' vs stored '5.50' —
+        decimals render at declared scale, so the probe carries it
+        via ``Decimal.quantize``), and float columns outright
+        (``Float.toString`` shortest-digits diverge from the
+        ``Double.toString`` probe rendering). Refusal = return None
+        = exact full-snapshot filter, never a missed row."""
         import re as _re
 
         if not cond:
@@ -843,15 +856,33 @@ class TableRegistry:
 
         if not os.path.exists(index_path(h._base, col)):
             return None
+        dts = snap_schema[col].simpleString()
+        int_like = dts in ("tinyint", "smallint", "int", "bigint")
         if lit.startswith("'"):
+            if dts != "string":
+                return None  # cross-type coercion: rendering diverges
             value = lit[1:-1].replace("''", "'")
-        else:
-            dt = snap_schema[col].simpleString()
-            value = (
-                float(lit)
-                if "." in lit or dt in ("double", "float")
-                else int(lit)
+        elif int_like:
+            if "." in lit:
+                return None  # '5.0' probe vs stored '5'
+            value = int(lit)
+        elif dts == "double":
+            value = float(lit)
+        elif dts.startswith("decimal("):
+            import decimal as _dec
+
+            scale = int(dts[len("decimal(") : -1].split(",")[1])
+            d = _dec.Decimal(lit)
+            q = d.quantize(
+                _dec.Decimal(1).scaleb(-scale), rounding=_dec.ROUND_HALF_UP
             )
+            if q != d:
+                return None  # literal finer than the declared scale
+            value = q
+        else:
+            # float (Float.toString divergence), date/timestamp/bool:
+            # exact unpruned scan
+            return None
         return h.equality_scan(col, value)
 
     def _execute_delete_from(self, statement: str) -> DataFrame | None:

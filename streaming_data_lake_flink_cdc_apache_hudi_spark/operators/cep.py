@@ -169,10 +169,16 @@ def parse_pattern(
             continue
         if core.startswith("(") and core.endswith(")"):
             alts = frozenset(v.strip() for v in core[1:-1].split("|"))
-            if len(alts) < 2 or not all(alts):
+            if len(alts) < 2 or not all(
+                re.fullmatch(r"\w+", a) for a in alts
+            ):
                 raise ValueError(f"bad alternation element {p!r}")
             toks.append((alts, lo, hi, greedy))
             continue
+        if not re.fullmatch(r"\w+", core):
+            # catches malformed quantifiers too: 'A++' strips one '+'
+            # and would otherwise become a never-matching variable 'A+'
+            raise ValueError(f"bad pattern element {p!r}")
         toks.append((core, lo, hi, greedy))
     if not any(lo > 0 for _, lo, _, _ in toks):
         raise ValueError(
@@ -1111,7 +1117,7 @@ def _ctx_eval(node, i, pdf, spans, var, lits):
                 return colval(node.attr, at)
             span = spans.get(q)
             # Flink: a bare foreign-variable reference = its LAST row
-            return colval(node.attr, span[1]) if span else None
+            return colval(node.attr, span[-1]) if span else None
         if isinstance(node, _ast.BoolOp):
             if isinstance(node.op, _ast.And):
                 return all(bool(ev(v, at)) for v in node.values)
@@ -1164,16 +1170,18 @@ def _ctx_eval(node, i, pdf, spans, var, lits):
                 return ev(
                     node.args[0], at - step if f == "prev" else at + step
                 )
-            # FIRST/LAST(V.col[, off]) over the variable's bound span
+            # FIRST/LAST(V.col[, off]) over the variable's bound rows
+            # (the union across all pattern tokens sharing the name —
+            # offsets step through THAT row list, not the raw timeline)
             attr = node.args[0]
             q = attr.value.id.upper()
             span = spans.get(q)
             if span is None:
                 return None
             o = off or 0
-            idx = span[0] + o if f == "first" else span[1] - o
-            if idx < span[0] or idx > span[1]:
+            if o >= len(span):
                 return None
+            idx = span[o] if f == "first" else span[len(span) - 1 - o]
             return colval(attr.attr, idx)
         raise AssertionError(f"unvalidated node {node!r}")
 
@@ -1216,11 +1224,21 @@ def compile_define(
 
     def maker(pdf, tok_var):
         def fn(i, bound, run_start):
-            spans = {}
+            # positions are UNIONED per variable name, not overwritten:
+            # PATTERN (A B A) binds A via two tokens, and Flink resolves
+            # FIRST(A.col)/LAST(A.col) against all rows mapped to A.
+            # ``bound`` is in token order with ascending row positions
+            # and excludes the current token's run, so extending keeps
+            # each list sorted.
+            spans: dict[str, list[int]] = {}
             for bti, bpos, btake in bound:
                 if btake > 0 and tok_var.get(bti):
-                    spans[tok_var[bti].upper()] = (bpos, bpos + btake - 1)
-            spans[var.upper()] = (run_start, i)
+                    spans.setdefault(tok_var[bti].upper(), []).extend(
+                        range(bpos, bpos + btake)
+                    )
+            spans.setdefault(var.upper(), []).extend(
+                range(run_start, i + 1)
+            )
             v = _ctx_eval(tree, i, pdf, spans, var, lits)
             return bool(v) if v is not None else False
 

@@ -274,8 +274,17 @@ class EngineSession:
         for em in elem_re.finditer(pat):
             if pat[covered : em.start()].strip():
                 break
+            q = em.group(2)
+            if q not in ("", "+", "*", "?", "+?", "*?", "??"):
+                # [+*?]{0,2} also matches '++'/'*+'/'?*' — without this
+                # guard an invalid quantifier would be stripped and the
+                # remainder ('A+') treated as a never-matching VARIABLE
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: invalid quantifier {q!r} on "
+                    f"pattern element {em.group(1)!r}"
+                )
             covered = em.end()
-            elems.append((em.group(1), em.group(2)))
+            elems.append((em.group(1), q))
         if pat[covered:].strip() or not elems:
             raise ValueError(f"MATCH_RECOGNIZE: cannot parse PATTERN ({pat})")
         pattern = []

@@ -463,8 +463,37 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     dels = desc.mapInPandas(decode, "_dv_fp string, _dv_pos long")
+    # Coverage guard (cf. iceberg_interop's left-join fail-fast): the
+    # anti-join keys on the NORMALIZED ``_metadata.file_path``, and if
+    # that normalization fails to line up with the add-path rendering
+    # (symlinked warehouse, URL-encoded add paths) the left_anti would
+    # silently remove NOTHING and deleted rows resurface. Every
+    # scanned row must therefore join the add-path map; the guard is a
+    # FILTER so the plan cannot skip the raise.
+    path_map = F.broadcast(
+        spark.createDataFrame(
+            [
+                (os.path.abspath(os.path.join(path, rel)), True)
+                for rel in sorted(adds)
+            ],
+            "_dv_fp string, _dv_known boolean",
+        )
+    )
+    df = df.join(path_map, "_dv_fp", "left").filter(
+        F.col("_dv_known").isNotNull()
+        | F.raise_error(
+            F.concat(
+                F.lit(
+                    "delta read: scanned file missing from the "
+                    "add-path map (path normalization mismatch — "
+                    "deletion vectors would not apply): "
+                ),
+                F.col("_dv_fp"),
+            )
+        ).cast("boolean")
+    )
     return df.join(dels, ["_dv_fp", "_dv_pos"], "left_anti").drop(
-        "_dv_fp", "_dv_pos"
+        "_dv_fp", "_dv_pos", "_dv_known"
     )
 
 

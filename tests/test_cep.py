@@ -1229,3 +1229,114 @@ def test_define_vec_vs_ctx_evaluator_consistency_fuzz():
             r = _ctx_eval(tree, i, pdf, {}, "X", lits)
             rowwise.append(bool(r) if r is not None else False)
         assert mask == rowwise, (case, expr, vals, ts, mask, rowwise)
+
+
+def test_define_repeated_variable_unions_spans(spark):
+    """ADVICE r7: PATTERN (A B A C) binds A via TWO tokens —
+    FIRST(A.col)/LAST(A.col) must resolve against the union of all
+    rows mapped to A (Flink semantics), not just the latest token's
+    span."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_define
+
+    def run(vals):
+        df = spark.createDataFrame(
+            [
+                (i, 1, dt.datetime(2024, 1, 1, 0, 0, i), t, float(v))
+                for i, (t, v) in enumerate(vals)
+            ],
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double",
+        )
+        return pattern_match_define(
+            df,
+            key_col="user_id",
+            time_col="ts",
+            order_tiebreak="event_id",
+            pattern=["A", "B", "A", "C"],
+            define={
+                "A": "event_type = 'a'",
+                "B": "event_type = 'b'",
+                "C": "event_type = 'c' AND value > FIRST(A.value)",
+            },
+        ).collect()
+
+    # union-first = 3 (row 0), so C's 7 > 3 matches; the buggy
+    # latest-token span would use FIRST = 10 and reject
+    rows = run([("a", 3), ("b", 5), ("a", 10), ("c", 7)])
+    assert [(r.start_event_id, r.n_rows) for r in rows] == [(0, 4)]
+    # union-first = 10, so C's 7 fails; the buggy span (FIRST = 3)
+    # would wrongly match
+    assert run([("a", 10), ("b", 5), ("a", 3), ("c", 7)]) == []
+
+    # LAST over the union = the latest row bound to A in either case;
+    # FIRST(A.value, 1) steps through A's OWN row list (skipping the
+    # interleaved B row)
+    def run2(vals, cdef):
+        df = spark.createDataFrame(
+            [
+                (i, 1, dt.datetime(2024, 1, 1, 0, 0, i), t, float(v))
+                for i, (t, v) in enumerate(vals)
+            ],
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double",
+        )
+        return pattern_match_define(
+            df,
+            key_col="user_id",
+            time_col="ts",
+            order_tiebreak="event_id",
+            pattern=["A", "B", "A", "C"],
+            define={
+                "A": "event_type = 'a'",
+                "B": "event_type = 'b'",
+                "C": cdef,
+            },
+        ).collect()
+
+    vals = [("a", 3), ("b", 5), ("a", 10), ("c", 7)]
+    assert len(run2(vals, "event_type = 'c' AND LAST(A.value) = 10")) == 1
+    # offset 1 from FIRST skips to A's second bound row (10), NOT the
+    # next timeline row (the B at 5)
+    assert len(run2(vals, "event_type = 'c' AND FIRST(A.value, 1) = 10")) == 1
+    assert run2(vals, "event_type = 'c' AND FIRST(A.value, 1) = 5") == []
+    # offset beyond the variable's bound rows is NULL -> predicate false
+    assert run2(vals, "event_type = 'c' AND FIRST(A.value, 2) = 10") == []
+
+
+def test_parse_pattern_rejects_malformed_quantifiers(spark):
+    """ADVICE r7: 'A++' / 'A*+' must raise, not silently become a
+    never-matching variable named 'A+'."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import parse_pattern
+
+    for bad in ("A++", "A*+", "A?*", "A+*"):
+        with _pytest.raises(ValueError, match="bad pattern element"):
+            parse_pattern([bad])
+    # the legal set still parses
+    assert len(parse_pattern(["A+", "B*", "C?", "D+?", "E*?", "F??", "G"])) == 7
+
+
+def test_match_recognize_sql_rejects_malformed_quantifier(spark, tmp_path):
+    """session.py PATTERN parser: 'A++' raises instead of matching
+    nothing."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "q.json")
+    )
+    eng.register_testdata("/root/testdata/sf0.001")
+    with _pytest.raises(ValueError, match="invalid quantifier"):
+        eng.sql(
+            """
+            SELECT * FROM events MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              ONE ROW PER MATCH
+              PATTERN (A++ B)
+              DEFINE A AS event_type = 'click',
+                     B AS event_type = 'purchase'
+            )
+            """
+        )

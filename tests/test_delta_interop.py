@@ -730,3 +730,32 @@ def test_multiple_dvs_share_one_sidecar_file(spark, tmp_path):
     # file a loses positions 1,2 (ids 1,2); file b loses positions
     # 0,49 (ids 50, 99)
     assert got == [i for i in range(100) if i not in (1, 2, 50, 99)]
+
+
+def test_dv_path_normalization_mismatch_raises(spark, tmp_path):
+    """ADVICE r7: the DV anti-join keys on the normalized
+    ``_metadata.file_path``; when that rendering diverges from the
+    add-path map (here: a filename with a space, which Spark
+    URI-renders as %20) the anti-join would silently remove NOTHING
+    and deleted rows resurface. The coverage guard must raise
+    instead."""
+    path = _dv_table(spark, tmp_path, "dv_guard", "p")
+    add_rel = None
+    for i in (0, 1):
+        lp = os.path.join(path, "_delta_log", "%020d.json" % i)
+        lines = [json.loads(l) for l in open(lp) if l.strip()]
+        for a in lines:
+            for k in ("add", "remove"):
+                if k in a and a[k]["path"].endswith(".parquet"):
+                    add_rel = add_rel or a[k]["path"]
+                    a[k]["path"] = a[k]["path"].replace(
+                        add_rel, "part with space.parquet"
+                    )
+        with open(lp, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    os.rename(
+        os.path.join(path, add_rel),
+        os.path.join(path, "part with space.parquet"),
+    )
+    with pytest.raises(Exception, match="normalization|add-path"):
+        read_delta(spark, path).collect()

@@ -1110,3 +1110,81 @@ def test_describe_detail_ddl(spark, tmp_path):
     assert row["primary_key"] == "id"
     assert row["num_files"] >= 1 and row["size_in_bytes"] > 0
     assert row["num_commits"] == 1
+
+
+def test_dml_bloom_prune_dtype_aware_probe(spark, tmp_path):
+    """ADVICE r7: the bloom probe must render exactly as the index was
+    built (Spark CAST-to-STRING). A decimal column probed with a float
+    ('5.5' vs stored '5.50') or an int column probed with a dotted
+    literal ('5.0' vs stored '5') would be a silent bloom FALSE
+    NEGATIVE — DML missing rows. The fix makes literal coercion
+    dtype-aware: decimals probe at the declared scale, mismatched
+    shapes fall back to the exact unpruned scan. DML results must be
+    correct in every case."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "d.json"))
+    eng.sql(
+        f"""
+        CREATE TABLE ddml (
+          id BIGINT, price DECIMAL(10,2), qty INT,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector' = 'hudi', 'path' = '{tmp_path / "ddml"}',
+                'num_buckets' = '4')
+        """
+    )
+    eng.sql(
+        "INSERT INTO ddml VALUES "
+        + ", ".join(
+            f"({i}, CAST({i} + 0.5 AS DECIMAL(10,2)), {i * 10})"
+            for i in range(1, 21)
+        )
+    )
+    h = eng.registry.upsert_handle("ddml")
+    h.compact()
+    assert h.build_bloom("price") >= 1
+    assert h.build_bloom("id") >= 1
+    assert h.build_bloom("qty") >= 1
+    calls = []
+    orig = UpsertLakeTable.equality_scan
+
+    def spy(self, column, value):
+        calls.append((column, value))
+        return orig(self, column, value)
+
+    UpsertLakeTable.equality_scan = spy
+    try:
+        # decimal probed with a coarser literal: pruned path taken,
+        # probe carries the declared scale (Decimal('5.50'), which
+        # renders exactly as the index stored it)
+        res = eng.sql("DELETE FROM ddml WHERE price = 5.5")
+        assert res.collect()[0]["deleted_rows"] == 1
+        import decimal as _dec
+
+        assert calls == [("price", _dec.Decimal("5.50"))]
+        # literal finer than the declared scale: refuse pruning,
+        # exact scan still returns the true (empty) answer
+        res = eng.sql("DELETE FROM ddml WHERE price = 6.505")
+        assert res.collect()[0]["deleted_rows"] == 0
+        assert len(calls) == 1
+        # dotted literal on a BIGINT column: '7.0' renders unlike the
+        # stored '7' — must fall back, and the row must still delete
+        res = eng.sql("DELETE FROM ddml WHERE id = 7.0")
+        assert res.collect()[0]["deleted_rows"] == 1
+        assert len(calls) == 1
+        # quoted literal on an INT column: cross-type coercion -> no
+        # pruning, row still updates
+        res = eng.sql("UPDATE ddml SET qty = 999 WHERE qty = '80'")
+        assert res.collect()[0]["updated_rows"] == 1
+        assert len(calls) == 1
+        # clean int probe still prunes
+        res = eng.sql("DELETE FROM ddml WHERE id = 9")
+        assert res.collect()[0]["deleted_rows"] == 1
+        assert calls[-1] == ("id", 9)
+    finally:
+        UpsertLakeTable.equality_scan = orig
+    got = {r["id"]: r for r in eng.sql("SELECT * FROM ddml").collect()}
+    assert 5 not in got and 7 not in got and 9 not in got
+    assert got[8]["qty"] == 999
