@@ -8,6 +8,16 @@ Each query is forced with the noop sink (full execution, no driver
 collect). Each query gets one warmup run (JVM/codegen/broadcast
 warmup) and the second run is reported — steady-state latency, which
 is what a resident engine serves.
+
+The stdout line is kept COMPACT (<=1500 bytes — the driver captures a
+2000-byte tail; round 7's full blob outgrew it and the artifact
+recorded "parsed": null, losing the streaming-vs-BASELINE numbers).
+It carries the headline total, the per-query dict, the streaming
+summary (events/min capacity, flagship backfill, commit latency — the
+only reference-derived bounds in BASELINE.md), per-SF totals, the CEP
+suite total, and the same-session A/B's worst delta. The FULL detail
+(per-query A/B rows, per-SF per-query timings, commit-latency split)
+is written to BENCH_DETAIL.json next to this file.
 """
 
 from __future__ import annotations
@@ -62,24 +72,60 @@ def main() -> None:
     streaming = _streaming_ingest_bench(spark)
     per_sf = _per_sf_sweep(spark, names, sf_dir, timings)
     cep = _cep_suite_bench(spark, sf_dir)
-    ab = _prev_round_ab(spark, names, sf_dir)
+    # A/B covers the headline set AND the CEP suite (the Python-side
+    # matcher is the most regression-prone surface; its round-7 4-7x
+    # win was only docstring-evidenced until it joined the A/B)
+    ab = _prev_round_ab(spark, names + list(cep["queries"]), sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-                "streaming": streaming,
-                "per_sf": per_sf,
-                "cep_suite": cep,
-                "ab_vs_prev": ab,
-            }
-        )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "streaming": streaming,
+        "per_sf": per_sf,
+        "cep_suite": cep,
+        "ab_vs_prev": ab,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    ab_q = ab.get("queries", {})
+    worst = (
+        max(ab_q, key=lambda n: abs(ab_q[n]["delta_pct"])) if ab_q else None
     )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(sf_dir),
+        "queries": timings,
+        "streaming": {
+            "events_per_min_capacity": streaming["events_per_min_capacity"],
+            "flagship_backfill_sec": streaming["flagship_backfill_sec"],
+            "commit_mean_sec": streaming["commit_latency"]["async"][
+                "mean_commit_sec"
+            ],
+        },
+        "per_sf_totals": {k: v["total"] for k, v in per_sf.items()},
+        "cep_suite_total": cep["total"],
+        "ab_prev_rev": ab.get("prev_rev", ab.get("skipped", "")),
+        "ab_worst": (
+            {"query": worst, **ab_q[worst]} if worst else None
+        ),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # hard ceiling: the tail capture must parse
+        compact.pop("per_sf_totals", None)
+        line = json.dumps(compact)
+    if len(line) > 1500:
+        compact["queries"] = {"total_only": total}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -338,10 +338,18 @@ def scan_matches(
     # from O(n²) into O(n). Invalid under WITHIN (a later start has a
     # LOOSER remaining window) and for match-relative ("ctx")
     # predicates, whose row test is not a pure function of the row.
+    # ... and invalid when ANY token is match-relative ("ctx"), not
+    # just the first: a later ctx predicate (e.g. UP AS value >
+    # AVG(DOWN.value)) sees a DIFFERENT bound span from a later start
+    # (the run suffix shrinks, the aggregate moves), so a failed
+    # attempt at p does NOT imply failure at p+1.
     can_skip = (
         first_hi is None
         and within_us is None
-        and not (isinstance(first_et, tuple) and first_et[0] == "ctx")
+        and not any(
+            isinstance(et, tuple) and et[0] == "ctx"
+            for et, _, _, _ in toks
+        )
     )
     # vectorized start prefilter: a match can only begin where the
     # FIRST token's row test holds (its min_rep is >= 1, or the scan
@@ -442,18 +450,20 @@ def _grouped_match(
     Flink rejects): every consumed input row is emitted carrying its
     original columns plus ``match_no`` (MATCH_NUMBER(), 1-based scan
     order within the key) and ``classifier`` (CLASSIFIER() — the
-    pattern variable the row bound to, from ``tok_names``). MEASURES
-    are ONE-ROW-PER-MATCH territory (SQL RUNNING semantics are out of
-    scope) and raise here."""
+    pattern variable the row bound to, from ``tok_names``).
+
+    ``measures`` entries are ``(name, agg, token_indices, col)`` or
+    ``(name, agg, token_indices, col, mode)`` with mode ``"running"``
+    (SQL:2016's default under ALL ROWS PER MATCH: aggregate over the
+    match's rows up to AND including the emitted row, restricted to
+    the named tokens) or ``"final"`` (the whole-match value repeated
+    on every row). Under ONE ROW PER MATCH the two coincide (the only
+    emitted row is the final one), so the mode is accepted and
+    ignored there."""
     import pandas as pd
 
     if rows_per_match not in ("one", "all"):
         raise ValueError(f"unknown rows_per_match {rows_per_match!r}")
-    if rows_per_match == "all" and measures:
-        raise ValueError(
-            "ALL ROWS PER MATCH does not take MEASURES (RUNNING "
-            "semantics unimplemented) — use ONE ROW PER MATCH"
-        )
 
     def by_key_map(frame: DataFrame, per_key_fn, schema: str) -> DataFrame:
         """ONE hash exchange on the key, then per-key matching via
@@ -543,7 +553,10 @@ def _grouped_match(
     within_us = (
         int(within_seconds) * 1_000_000 if within_seconds is not None else None
     )
-    measures = list(measures or [])
+    measures = [
+        (m[0], m[1], list(m[2]), m[3], m[4] if len(m) > 4 else "final")
+        for m in (measures or [])
+    ]
     dtypes = dict(df.dtypes)
 
     def mtype(agg: str, col: str | None) -> str:
@@ -555,7 +568,7 @@ def _grouped_match(
             return "double" if dtypes[col] in ("float", "double") else "bigint"
         return dtypes[col]
 
-    for name, agg, tis, col in measures:
+    for name, agg, tis, col, mode in measures:
         if agg not in (
             "first", "last", "count", "sum", "min", "max", "avg",
             "match_number",
@@ -565,6 +578,29 @@ def _grouped_match(
             raise ValueError(f"MEASURES {name}: {agg} needs a column")
         if any(ti < 0 or ti >= len(toks) for ti in tis):
             raise ValueError(f"MEASURES {name}: token index out of range")
+        if mode not in ("running", "final"):
+            raise ValueError(
+                f"MEASURES {name}: mode must be running|final, "
+                f"got {mode!r}"
+            )
+
+    def measure_val(pdf, idxs, agg, col, mi):
+        """One aggregate over the given row positions (SQL semantics:
+        empty -> NULL, COUNT -> row count, sum/avg skip nulls)."""
+        if agg == "match_number":
+            return mi
+        if agg == "count":
+            return len(idxs)
+        if not idxs:
+            return None
+        vals = pdf[col].iloc[idxs]
+        if agg == "first":
+            return vals.iloc[0]
+        if agg == "last":
+            return vals.iloc[-1]
+        if agg == "avg":
+            return float(vals.mean())
+        return getattr(vals, agg)()  # sum / min / max
 
     if rows_per_match == "all":
         names = list(tok_names or [])
@@ -573,9 +609,14 @@ def _grouped_match(
                 "ALL ROWS PER MATCH needs one tok_names entry per "
                 "token (CLASSIFIER() output)"
             )
-        all_schema = ", ".join(
-            f"`{c}` {t}" for c, t in df.dtypes
-        ) + ", match_no long, classifier string"
+        all_schema = (
+            ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+            + ", match_no long, classifier string"
+            + "".join(
+                f", `{name}` {mtype(agg, col)}"
+                for name, agg, _, col, _ in measures
+            )
+        )
 
         def all_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             types, btoks = bind_toks(pdf)
@@ -583,23 +624,47 @@ def _grouped_match(
             idxs: list[int] = []
             mnos: list[int] = []
             cls: list[str] = []
+            mvals: list[list] = [[] for _ in measures]
             for mi, (s, e, assigns) in enumerate(
                 scan_matches(
                     types, times_us, btoks, within_us, skip_past, skip_to
                 ),
                 start=1,
             ):
-                for ti, pos, take in assigns:
-                    for i in range(pos, pos + take):
-                        idxs.append(i)
-                        mnos.append(mi)
-                        cls.append(names[ti])
+                rows = [
+                    (ti, i)
+                    for ti, pos, take in assigns
+                    for i in range(pos, pos + take)
+                ]
+                for ti, i in rows:
+                    idxs.append(i)
+                    mnos.append(mi)
+                    cls.append(names[ti])
+                for j, (_, agg, tis, col, mode) in enumerate(measures):
+                    midx = [i for ti, i in rows if ti in tis]
+                    if mode == "final" or agg == "match_number":
+                        v = measure_val(pdf, midx, agg, col, mi)
+                        mvals[j].extend([v] * len(rows))
+                    else:
+                        # RUNNING: rows bound so far, emitted row incl.
+                        for _, i in rows:
+                            mvals[j].append(
+                                measure_val(
+                                    pdf,
+                                    [x for x in midx if x <= i],
+                                    agg,
+                                    col,
+                                    mi,
+                                )
+                            )
             out = pdf.take(idxs).reset_index(drop=True)
             out = out.drop(
                 columns=[c for c in out.columns if c.startswith("_cep_")]
             )
             out["match_no"] = pd.Series(mnos, dtype="int64")
             out["classifier"] = cls if cls else pd.Series(dtype=object)
+            for j, (name, _, _, _, _) in enumerate(measures):
+                out[name] = pd.Series(mvals[j], dtype=object)
             return out
 
         return by_key_map(df, all_fn, all_schema)
@@ -611,7 +676,7 @@ def _grouped_match(
         [key_col]
         + (["start_" + order_tiebreak] if has_tb else [])
         + ["start_ts", "end_ts", "n_rows"]
-        + [name for name, _, _, _ in measures]
+        + [name for name, _, _, _, _ in measures]
     )
     schema = (
         f"`{key_col}` {dtypes[key_col]}, "
@@ -623,7 +688,7 @@ def _grouped_match(
         + "start_ts string, end_ts string, n_rows long"
         + "".join(
             f", `{name}` {mtype(agg, col)}"
-            for name, agg, _, col in measures
+            for name, agg, _, col, _ in measures
         )
     )
 
@@ -632,26 +697,13 @@ def _grouped_match(
         times_us = pdf["_cep_us"].to_numpy()
 
         def mval(assigns, agg, tis, col, mi):
-            if agg == "match_number":
-                return mi
             idxs = [
                 i
                 for ti, pos, take in assigns
                 if ti in tis
                 for i in range(pos, pos + take)
             ]
-            if agg == "count":
-                return len(idxs)
-            if not idxs:
-                return None
-            vals = pdf[col].iloc[idxs]
-            if agg == "first":
-                return vals.iloc[0]
-            if agg == "last":
-                return vals.iloc[-1]
-            if agg == "avg":
-                return float(vals.mean())
-            return getattr(vals, agg)()  # sum / min / max
+            return measure_val(pdf, idxs, agg, col, mi)
 
         ms = scan_matches(
             types, times_us, btoks, within_us, skip_past, skip_to
@@ -664,7 +716,7 @@ def _grouped_match(
             + (f_s[j], f_e[j], e - s + 1)
             + tuple(
                 mval(assigns, agg, tis, col, j + 1)
-                for _, agg, tis, col in measures
+                for _, agg, tis, col, _ in measures
             )
             for j, (s, e, assigns) in enumerate(ms)
         ]
@@ -676,7 +728,7 @@ def _grouped_match(
         dict.fromkeys(
             [key_col, time_col, order_tiebreak]
             + list(extra_cols)
-            + [col for _, _, _, col in measures if col is not None]
+            + [col for _, _, _, col, _ in measures if col is not None]
         )
     )
     return by_key_map(df.select(*sel), fn, schema)
@@ -807,6 +859,12 @@ _BIN_OPS = {
 _NAV_FUNCS = frozenset(
     {"prev", "next", "first", "last", "abs", "like"}
 )
+# Running aggregates over a pattern variable's bound rows (Flink 1.15
+# DEFINE surface: ``B AS AVG(B.price) <= 15``). Evaluated over the
+# variable's row-position list — for the variable being defined that
+# list includes the candidate row (SQL RUNNING semantics), for foreign
+# variables it is their completed span union.
+_AGG_FUNCS = frozenset({"avg", "sum", "min", "max", "count"})
 
 
 def _like_regex(pat: str) -> str:
@@ -934,8 +992,20 @@ def _analyze_define(tree, var: str, all_vars: frozenset, expr: str):
             if not isinstance(node.func, _ast.Name):
                 raise ValueError(f"DEFINE {expr!r}: unsupported call")
             f = node.func.id.lower()
-            if f not in _NAV_FUNCS:
+            if f not in _NAV_FUNCS and f not in _AGG_FUNCS:
                 raise ValueError(f"DEFINE {expr!r}: unknown function {f}()")
+            if f in _AGG_FUNCS:
+                needs_ctx = True  # aggregates see the match's bound rows
+                if (
+                    len(node.args) != 1
+                    or node.keywords
+                    or not isinstance(node.args[0], _ast.Attribute)
+                ):
+                    raise ValueError(
+                        f"DEFINE {expr!r}: {f.upper()} needs VAR.col"
+                    )
+                walk(node.args[0])
+                return
             if f in ("first", "last"):
                 needs_ctx = True
                 if not (
@@ -1161,6 +1231,27 @@ def _ctx_eval(node, i, pdf, spans, var, lits):
                 if isnull(v):
                     return False
                 return bool(re.match(_like_regex(ev(node.args[1], at)), str(v)))
+            if f in _AGG_FUNCS:
+                # running aggregate over the variable's bound rows (the
+                # defining variable's list includes the candidate row);
+                # SQL semantics: nulls ignored, COUNT counts non-null,
+                # empty -> NULL (COUNT -> 0)
+                attr = node.args[0]
+                q = attr.value.id.upper()
+                vals = [
+                    v
+                    for p in spans.get(q, ())
+                    if (v := colval(attr.attr, p)) is not None
+                ]
+                if f == "count":
+                    return len(vals)
+                if not vals:
+                    return None
+                if f == "sum":
+                    return sum(vals)
+                if f == "avg":
+                    return sum(vals) / len(vals)
+                return min(vals) if f == "min" else max(vals)
             # prev/next/first/last: optional integer-literal offset
             off = node.args[1].value if len(node.args) > 1 else None
             if f in ("prev", "next"):
@@ -1189,12 +1280,21 @@ def _ctx_eval(node, i, pdf, spans, var, lits):
 
 
 def compile_define(
-    expr: str, var: str, all_vars: Sequence[str]
+    expr: str,
+    var: str,
+    all_vars: Sequence[str],
+    subset: dict[str, Sequence[str]] | None = None,
 ) -> tuple[str, object, frozenset]:
     """Compile one DEFINE clause. Returns ``(kind, compiled, cols)``:
     ``("mask", fn)`` with ``fn(pdf) -> np.bool_[n]`` for row-local
     predicates, or ``("ctx", maker)`` with ``maker(pdf, tok_var) ->
     fn(i, bound, run_start) -> bool`` for match-relative ones.
+
+    ``subset`` maps SQL:2016 SUBSET union names to their member
+    variables: a reference to the union name (``FIRST(U.col)``,
+    ``AVG(U.price)``) resolves against the merged row list of every
+    member bound so far. Union names participate in ``all_vars`` for
+    qualifier validation.
 
     Null semantics: a comparison whose operand is NULL/NaN (e.g.
     ``PREV(value)`` before the first row) is FALSE, matching SQL's
@@ -1239,6 +1339,14 @@ def compile_define(
             spans.setdefault(var.upper(), []).extend(
                 range(run_start, i + 1)
             )
+            for u, members in (subset or {}).items():
+                pos = sorted(
+                    p
+                    for mvar in members
+                    for p in spans.get(mvar.upper(), ())
+                )
+                if pos:
+                    spans[u.upper()] = pos
             v = _ctx_eval(tree, i, pdf, spans, var, lits)
             return bool(v) if v is not None else False
 
@@ -1256,8 +1364,9 @@ def pattern_match_define(
     define: dict[str, str],
     within_seconds: int | None = None,
     after_match: str | tuple[str, Sequence[int]] = "past_last_row",
-    measures: Sequence[tuple[str, str, Sequence[int], str | None]] | None = None,
+    measures: Sequence[tuple] | None = None,
     rows_per_match: str = "one",
+    subset: dict[str, Sequence[str]] | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE whose pattern variables are DEFINEd by boolean
     expressions over row values (Flink 1.15's DEFINE surface) instead
@@ -1296,8 +1405,23 @@ def pattern_match_define(
         raise ValueError(
             f"DEFINE names absent from the pattern: {sorted(unknown)}"
         )
+    subset = {u.upper(): list(ms) for u, ms in (subset or {}).items()}
+    vset = {v.upper() for v in var_names}
+    for u, members in subset.items():
+        if u in vset:
+            raise ValueError(
+                f"SUBSET name {u} collides with a pattern variable"
+            )
+        bad = [m for m in members if m.upper() not in vset]
+        if bad or not members:
+            raise ValueError(
+                f"SUBSET {u}: members must be pattern variables "
+                f"(bad: {bad})"
+            )
+    all_scope = var_names + sorted(subset)
     compiled = {
-        v: compile_define(e, v, var_names) for v, e in define.items()
+        v: compile_define(e, v, all_scope, subset=subset)
+        for v, e in define.items()
     }
     extra_cols = sorted(
         set().union(*(c for _, _, c in compiled.values())) if compiled else ()

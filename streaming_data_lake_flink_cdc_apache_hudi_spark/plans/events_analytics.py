@@ -731,3 +731,258 @@ def q_cep_all_rows_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_no",
         "classifier",
     )
+
+
+# --- round 8: aggregates in DEFINE, SUBSET unions, RUNNING MEASURES -------
+#
+# Exactness contract shared by the three queries below: event values
+# are 2-decimal doubles, so any aggregate COMPARISON on raw doubles
+# could flip on summation order between engines. Each query therefore
+# quantizes to integer cents (CAST(round(value*100) AS BIGINT)) and
+# phrases every aggregate decision in integers (cents * n > sum is
+# exact; avg emitted as exact-int division) — the same portable-math
+# discipline as the embedding near-dup family.
+
+
+@register(
+    "cep_define_agg",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER w AS pc
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+            AS grp
+  FROM ordered WHERE pc IS NOT NULL AND cents < pc
+), runs AS (
+  SELECT user_id, grp, rn, event_id, ts, cents,
+         max(rn) OVER (PARTITION BY user_id, grp) AS de,
+         CAST(sum(cents) OVER (PARTITION BY user_id, grp
+                               ORDER BY rn DESC) AS BIGINT) AS sfx_sum,
+         CAST(count(*) OVER (PARTITION BY user_id, grp
+                             ORDER BY rn DESC) AS BIGINT) AS sfx_n
+  FROM isl
+), cand AS (
+  -- the row after the run, joined per suffix start; the DEFINE
+  -- decision cents_r * n > sum is integer-exact in both engines
+  SELECT r.*, o.ts AS rts
+  FROM runs r JOIN ordered o
+    ON o.user_id = r.user_id AND o.rn = r.de + 1
+  WHERE o.cents * r.sfx_n > r.sfx_sum
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, de ORDER BY rn) AS k
+  FROM cand
+)
+SELECT user_id, event_id AS start_event_id,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(date_trunc('second', rts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+       CAST(de - rn + 2 AS BIGINT) AS n_rows,
+       CAST(sfx_sum AS DOUBLE) / sfx_n AS down_avg_cents,
+       CAST(de - rn + 1 AS BIGINT) AS n_down
+FROM best WHERE k = 1
+""",
+    doc="Aggregates in DEFINE (Flink 1.15 surface, new r8): PATTERN "
+    "(DOWN+ UP) where UP AS cents * COUNT(DOWN.cents) > "
+    "SUM(DOWN.cents) — the rebound row must beat the MEAN of the "
+    "descent it follows, phrased in integer cents so the decision is "
+    "exact in both engines. Greedy backtracking cannot shorten DOWN "
+    "from a fixed start (a shorter take's UP candidate is a descent "
+    "row, below every prefix mean), and the suffix mean falls as the "
+    "start advances, so the scan's first match is the EARLIEST "
+    "descent suffix whose mean the rebound beats — which is what the "
+    "oracle computes via reverse-cumulative window sums over "
+    "gaps-and-islands descent runs. Run-skip is disabled for ctx "
+    "patterns (a later start sees a different bound span — the r8 "
+    "soundness fix this query exercises).",
+)
+def q_cep_define_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import pattern_match_define
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return pattern_match_define(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["DOWN+", "UP"],
+        define={
+            "DOWN": "cents < PREV(cents)",
+            "UP": "cents * COUNT(DOWN.cents) > SUM(DOWN.cents)",
+        },
+        measures=[
+            ("down_avg_cents", "avg", [0], "cents"),
+            ("n_down", "count", [0], None),
+        ],
+    )
+
+
+@register(
+    "cep_subset_union",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER w AS pc
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), dirs AS (
+  SELECT *, CASE WHEN pc IS NULL THEN 'F'
+                 WHEN cents < pc THEN 'D'
+                 WHEN cents > pc THEN 'U' ELSE 'F' END AS d
+  FROM ordered
+), isl AS (
+  SELECT *, rn - row_number() OVER (
+             PARTITION BY user_id, d ORDER BY rn) AS grp
+  FROM dirs
+), druns AS (
+  SELECT user_id, min(rn) AS ds, max(rn) AS de,
+         arg_min(event_id, rn) AS start_event_id,
+         strftime(date_trunc('second', min(ts)),
+                  '%Y-%m-%d %H:%M:%S') AS start_ts,
+         arg_min(cents, rn) AS fc,
+         arg_min(value, rn) AS v_first,
+         arg_max(value, rn) AS v_min
+  FROM isl WHERE d = 'D' GROUP BY user_id, grp
+), uruns AS (
+  SELECT user_id, min(rn) AS us, max(rn) AS ue
+  FROM isl WHERE d = 'U' GROUP BY user_id, grp
+), matched AS (
+  -- UP run = the ascent prefix where every row stays under 2.5x the
+  -- descent start (the SUBSET bound FIRST(V.cents)); the first
+  -- violator truncates it
+  SELECT d.user_id, d.start_event_id, d.start_ts, d.ds, d.de,
+         d.v_first, d.v_min,
+         coalesce(
+           (SELECT min(o.rn) - 1 FROM isl o
+            WHERE o.user_id = d.user_id AND o.d = 'U'
+              AND o.rn BETWEEN u.us AND u.ue
+              AND o.cents * 10 >= d.fc * 25),
+           u.ue) AS te
+  FROM druns d JOIN uruns u
+    ON u.user_id = d.user_id AND u.us = d.de + 1
+)
+SELECT m.user_id, m.start_event_id, m.start_ts,
+       strftime(date_trunc('second', o.ts),
+                '%Y-%m-%d %H:%M:%S') AS end_ts,
+       CAST(m.te - m.ds + 1 AS BIGINT) AS n_rows,
+       m.v_first, m.v_min
+FROM matched m JOIN ordered o
+  ON o.user_id = m.user_id AND o.rn = m.te
+WHERE m.te > m.de
+""",
+    doc="SQL:2016 SUBSET union variables (Flink rejects the clause, "
+    "new r8): PATTERN (DOWN+ UP+) with SUBSET V = (DOWN, UP); UP's "
+    "DEFINE bounds the recovery at 2.5x the descent start via "
+    "FIRST(V.cents) (the union's first row = the first DOWN row — "
+    "resolved against the members' merged rows-so-far), and MEASURES "
+    "FIRST/MIN over V aggregate across both variables' rows. The "
+    "bound is integer-exact (cents*10 < fc*25). Oracle: V-shape "
+    "gaps-and-islands, with each ascent run truncated at its first "
+    "bound violator; a match needs >=1 surviving UP row.",
+)
+def q_cep_subset_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import pattern_match_define
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return pattern_match_define(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["DOWN+", "UP+"],
+        define={
+            "DOWN": "cents < PREV(cents)",
+            "UP": "cents > PREV(cents) AND cents * 10 < FIRST(V.cents) * 25",
+        },
+        subset={"V": ["DOWN", "UP"]},
+        measures=[
+            ("v_first", "first", [0, 1], "value"),
+            ("v_min", "min", [0, 1], "value"),
+        ],
+    )
+
+
+@register(
+    "cep_running_measures",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), starts AS (
+  SELECT user_id, rn AS srn,
+         row_number() OVER (PARTITION BY user_id ORDER BY rn) AS match_no
+  FROM ordered
+  WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+), joined AS (
+  SELECT o.user_id, o.event_id, o.ts, o.event_type, o.cents, o.rn,
+         s.srn, CAST(s.match_no AS BIGINT) AS match_no
+  FROM starts s JOIN ordered o
+    ON o.user_id = s.user_id AND o.rn BETWEEN s.srn AND s.srn + 2
+)
+SELECT user_id, event_id,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+       event_type, cents, match_no,
+       event_type AS classifier,
+       CAST(rn - srn + 1 AS BIGINT) AS rows_so_far,
+       CAST(sum(cents) OVER (PARTITION BY user_id, srn
+                             ORDER BY rn) AS BIGINT) AS cum_cents,
+       CAST(sum(cents) OVER (PARTITION BY user_id, srn)
+            AS BIGINT) AS match_cents
+FROM joined
+""",
+    doc="ALL ROWS PER MATCH with RUNNING and FINAL MEASURES (SQL:2016 "
+    "semantics the r7 matcher refused, new r8): PATTERN (view click "
+    "purchase) emits every consumed row with RUNNING COUNT(*) / "
+    "RUNNING SUM(cents) (the aggregate over the match's rows up to "
+    "and including the emitted row) and FINAL SUM(cents) (the "
+    "whole-match value on every row). Distinct literal types make "
+    "overlap impossible, so the lead()-enumeration oracle with "
+    "within-match cumulative window sums equals the skip-past match "
+    "set; sums are integer cents, exact in both engines.",
+)
+def q_cep_running_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import pattern_match_quantified
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = pattern_match_quantified(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        type_col="event_type",
+        pattern=["view", "click", "purchase"],
+        rows_per_match="all",
+        measures=[
+            ("rows_so_far", "count", [0, 1, 2], None, "running"),
+            ("cum_cents", "sum", [0, 1, 2], "cents", "running"),
+            ("match_cents", "sum", [0, 1, 2], "cents", "final"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        "cents",
+        "match_no",
+        "classifier",
+        "rows_so_far",
+        "cum_cents",
+        "match_cents",
+    )

@@ -534,34 +534,25 @@ def q_knn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only. ---
 
 
-@register(
-    "embedding_near_dup",
-    None,
-    doc="Embedding-cosine near-dup pairs (sign-LSH bucketed, "
-    "cos >= 0.95).",
-)
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return DD.embedding_near_dup_pairs(e, "embedding", "vec_id")
-
-
-# --- embedding near-dup, PORTABLE family (full value oracle) --------------
+# --- embedding near-dup, PORTABLE family (full value oracles) -------------
 #
 # The plain `embedding_near_dup` query's true answer at oracle scale is
-# ZERO pairs (no organic cosine>=0.95 neighbors in the testdata), so its
-# rows-only driver row never exercises the pairing math.  This variant
-# derives planted near-duplicates FROM the embeddings table itself —
-# every 25th vector gets a perturbed copy (component j scaled by
-# 1 + ((vec_id+j)%7-3)/100, a deterministic ±3% wobble) under a shifted
-# id — and runs the identical sign-LSH pipeline (bucket -> hamming-1
-# probe -> cosine verify) under the portable contract: vectors and
-# hyperplanes quantized to integer-valued doubles, so every dot
-# product is an EXACT integer (< 2^53) whose sum is engine- and
-# order-independent; the hyperplane literals are regenerated inside
-# the DuckDB oracle below.  Nonzero pairs, every float decision
-# replayed exactly.
+# ZERO pairs (no organic cosine>=0.95 neighbors in the testdata); under
+# the portable hash family that answer is now a FULL value oracle — the
+# identical sign-LSH pipeline (bucket -> hamming-1 probe -> cosine
+# verify) replays in DuckDB and must ALSO arrive at the empty set, so a
+# spurious pair on either side is a hash mismatch (it was err=no_oracle
+# through r07, structurally capping the scoreboard).  The `_portable`
+# sibling proves the NONZERO path: it derives planted near-duplicates
+# FROM the embeddings table itself — every 25th vector gets a perturbed
+# copy (component j scaled by 1 + ((vec_id+j)%7-3)/100, a deterministic
+# ±3% wobble) under a shifted id — and value-checks real pairs through
+# the same pipeline.  Portable contract: vectors and hyperplanes
+# quantized to integer-valued doubles, so every dot product is an EXACT
+# integer (< 2^53) whose sum is engine- and order-independent; the
+# hyperplane literals are regenerated inside the DuckDB oracle below.
 
-def _near_dup_portable_oracle() -> str:
+def _near_dup_portable_oracle(planted: bool = True) -> str:
     from ..functions import vectors as VEC
 
     planes = VEC.portable_hyperplanes(64, 12, 42)
@@ -571,8 +562,8 @@ def _near_dup_portable_oracle() -> str:
         + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, plane in enumerate(planes)
     )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    uq = (
+        """
 pl AS (
   -- perturb with the ORIGINAL id in the inner query (DuckDB lateral
   -- alias binding would otherwise resolve vec_id to the shifted id)
@@ -583,7 +574,13 @@ pl AS (
     FROM e WHERE vec_id % 25 = 0
   )
 ),
-uq AS (SELECT * FROM e UNION ALL SELECT * FROM pl),
+uq AS (SELECT * FROM e UNION ALL SELECT * FROM pl),"""
+        if planted
+        else "uq AS (SELECT * FROM e),"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{uq}
 u AS (SELECT vec_id, [floor(x * 1e6 + 0.5) for x in v] AS v FROM uq),
 b AS (SELECT vec_id, v, CAST({bkt} AS BIGINT) AS bkt FROM u),
 pr AS (
@@ -605,6 +602,28 @@ WHERE floor(list_dot_product(x.v, y.v) /
         (sqrt(list_dot_product(x.v, x.v)) *
          sqrt(list_dot_product(y.v, y.v))) * 1e4 + 0.5) / 1e4 >= 0.95
 """
+
+
+@register(
+    "embedding_near_dup",
+    _near_dup_portable_oracle(planted=False),
+    doc="Embedding-cosine near-dup pairs over the raw corpus (sign-LSH "
+    "bucketed, hamming-1 multi-probe, cos >= 0.95) under the PORTABLE "
+    "rounded-float family: the full pipeline replays in DuckDB, so the "
+    "organically-empty answer at oracle scale is value-verified (a "
+    "spurious pair on either side mismatches) instead of unchecked; "
+    "the _portable sibling plants perturbed copies to value-check the "
+    "nonzero-recall path through the identical math.",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as VEC
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double(F.col("embedding")).alias("embedding")
+    )
+    return DD.embedding_near_dup_pairs(
+        e, "embedding", "vec_id", hash_family="portable"
+    )
 
 
 @register(
@@ -3381,7 +3400,10 @@ _DRIVER_VERIFIED = frozenset({
     "projection_cast", "orderby_limit", "group_agg", "upsert_literals",
     "cdc_current_state", "text_stats", "doc_quality", "lang_id",
     "token_count_regex", "dedup_exact", "embedding_topk", "knn_multi",
-    "embedding_near_dup", "window_rank", "window_running", "sessionize",
+    # embedding_near_dup deliberately NOT listed: its r01-r07 rows were
+    # all err=no_oracle; the full portable oracle added in r8 must earn
+    # a real driver hash-green row before it counts as verified.
+    "window_rank", "window_running", "sessionize",
     "semi_anti_join", "outer_join_agg", "rollup_agg", "distinct_agg",
     "pivot_agg", "asof_join", "tumbling_window_agg", "revenue_by_nation",
     "shipping_priority", "corpus_curation", "ivf_ann_topk",
@@ -3406,6 +3428,12 @@ _DRIVER_VERIFIED = frozenset({
     "perplexity_buckets", "sample_per_group", "semantic_dedup",
     "session_window_tvf", "stock_concentration", "temporal_enrich",
     "upsert_kafka_parse",
+    # --- r07 green rows (49 full value-hash matches; names not already
+    # folded in above). approx_sketches earned its real driver row here
+    # (r05's full oracle, hash-green in CORRECTNESS_r07.json) ---
+    "approx_sketches", "bpe_top_pairs", "cep_all_rows_match",
+    "cep_alternation_match", "cep_define_predicate", "cep_permute_match",
+    "linestatus_priority_counts",
 })
 
 
@@ -3439,14 +3467,13 @@ def _verified_names() -> frozenset:
     return frozenset(names)
 
 
-# Names that have NEVER had a driver-green CORRECTNESS row (as of r06)
+# Names that have NEVER had a driver-green CORRECTNESS row (as of r07)
 # get absolute priority for the 50-slot window this round — queries
 # added later must not displace them (VERDICT r6 ask #1):
-# linestatus_priority_counts was driver-red only for DuckDB HUGEINT
-# typing (oracle now CASTs to BIGINT); approx_sketches' full oracle
-# (added r5) has never been driver-exercised.
+# embedding_near_dup's r01-r07 rows were all err=no_oracle; its full
+# portable oracle (added r8) has never been driver-exercised.
 _WINDOW_PRIORITY = (
-    "linestatus_priority_counts", "approx_sketches",
+    "embedding_near_dup",
 )
 
 

@@ -128,7 +128,11 @@ class EngineSession:
         ALL ROWS PER MATCH (SQL:2016; Flink rejects it) emits every
         consumed input row with its original columns plus
         ``match_no`` (MATCH_NUMBER()) and ``classifier``
-        (CLASSIFIER()); it takes no MEASURES.
+        (CLASSIFIER()), then any MEASURES columns — RUNNING
+        semantics by default (the aggregate over the match's rows up
+        to and including the emitted row), ``FINAL agg(...)`` for
+        the whole-match value on every row. Under ONE ROW PER MATCH
+        the two coincide and both prefixes are accepted.
 
         Quantifiers may be greedy (``+ * ?``) or reluctant
         (``+? *? ??``). MEASURES are supported as per-variable
@@ -138,7 +142,11 @@ class EngineSession:
         ``COUNT(*)`` / ``SUM|MIN|MAX|AVG|FIRST|LAST(col)`` and
         ``MATCH_NUMBER()``, each ``AS name`` — appended after the
         operator's canonical output (key, start_<tiebreak>,
-        start_ts, end_ts, n_rows).
+        start_ts, end_ts, n_rows). ``SUBSET U = (A, B)`` (SQL:2016;
+        Flink rejects it) declares union variables usable in
+        MEASURES (``AVG(U.col)`` aggregates over every row bound to
+        any member) and in DEFINE (``FIRST(U.col)``/``AVG(U.col)``
+        resolve against the members' merged rows-so-far).
 
         DEFINE takes two shapes. When EVERY clause is an equality of
         the SAME column against a string literal (the
@@ -236,6 +244,24 @@ class EngineSession:
             if unit not in mult:
                 raise ValueError(f"WITHIN: unsupported unit {within.group(2)!r}")
             within_seconds = int(within.group(1)) * mult[unit]
+        subset_m = re.search(
+            r"\bSUBSET\s+(.*?)\s+(?=DEFINE\b)", body, re.IGNORECASE | re.DOTALL
+        )
+        subset: dict[str, list[str]] = {}
+        if subset_m:
+            for clause in re.split(r",\s*(?=\w+\s*=)", subset_m.group(1)):
+                sm = re.match(
+                    r"^\s*(\w+)\s*=\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*$",
+                    clause.strip(),
+                )
+                if not sm:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE SUBSET: cannot parse "
+                        f"{clause.strip()!r} — expected U = (A, B)"
+                    )
+                subset[sm.group(1).upper()] = [
+                    v.strip().upper() for v in sm.group(2).split(",")
+                ]
         define = grab(r"DEFINE\s+(.*)$", flags=re.DOTALL).group(1)
         raw_defs: dict[str, str] = {}
         for clause in re.split(
@@ -344,14 +370,19 @@ class EngineSession:
                 )
             after = (f"to_{mode}", var_tokens[svar])
         measures = []
+        # SQL:2016 default: RUNNING under ALL ROWS PER MATCH, FINAL
+        # under ONE ROW PER MATCH (where the two coincide anyway)
+        default_mode = "running" if rows_per_match == "all" else "final"
         if measures_m:
             for clause in re.split(
-                r",\s*(?=(?:\w+\s*\()|(?:\w+\.\w+\s+AS\s))",
+                r",\s*(?=(?:(?:RUNNING|FINAL)\s+)?\w+\s*\()"
+                r"|,\s*(?=(?:(?:RUNNING|FINAL)\s+)?\w+\.\w+\s+AS\s)",
                 measures_m.group(1).strip(),
                 flags=re.IGNORECASE,
             ):
                 mm = re.match(
-                    r"^\s*(?:(MATCH_NUMBER)\s*\(\s*\)"
+                    r"^\s*(?:(RUNNING|FINAL)\s+)?"
+                    r"(?:(MATCH_NUMBER)\s*\(\s*\)"
                     r"|(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
                     r"(?:(\w+)\s*\.\s*)?(\w+|\*)\s*\)"
                     r"|(\w+)\s*\.\s*(\w+))"
@@ -362,26 +393,43 @@ class EngineSession:
                 if not mm:
                     raise ValueError(
                         f"MATCH_RECOGNIZE MEASURES: {clause.strip()!r} — "
-                        "supported: FIRST/LAST/COUNT/SUM/MIN/MAX/AVG"
-                        "([VAR.]col|[VAR.]*) AS name, VAR.col AS name, "
-                        "or MATCH_NUMBER() AS name"
+                        "supported: [RUNNING|FINAL] FIRST/LAST/COUNT/"
+                        "SUM/MIN/MAX/AVG([VAR.]col|[VAR.]*) AS name, "
+                        "VAR.col AS name, or MATCH_NUMBER() AS name"
                     )
-                name = mm.group(7)
+                mode = (mm.group(1) or default_mode).lower()
+                name = mm.group(8)
                 all_tis = list(range(len(pattern)))
-                if mm.group(1):
-                    measures.append((name, "match_number", [], None))
-                    continue
                 if mm.group(2):
-                    agg = mm.group(2).lower()
-                    var = mm.group(3).upper() if mm.group(3) else None
-                    col = mm.group(4)
+                    measures.append((name, "match_number", [], None, mode))
+                    continue
+                if mm.group(3):
+                    agg = mm.group(3).lower()
+                    var = mm.group(4).upper() if mm.group(4) else None
+                    col = mm.group(5)
                 else:
-                    agg, var, col = "first", mm.group(5).upper(), mm.group(6)
+                    agg, var, col = "first", mm.group(6).upper(), mm.group(7)
                 if var is not None and var not in var_tokens:
-                    raise ValueError(
-                        f"MATCH_RECOGNIZE MEASURES: unknown pattern "
-                        f"variable {var}"
-                    )
+                    if var in subset:
+                        # SUBSET union: every member's token indices
+                        tis_u = sorted(
+                            {
+                                ti
+                                for mvar in subset[var]
+                                for ti in var_tokens.get(mvar, ())
+                            }
+                        )
+                        if not tis_u:
+                            raise ValueError(
+                                f"MATCH_RECOGNIZE SUBSET {var}: no member "
+                                "appears in the pattern"
+                            )
+                        var_tokens[var] = tis_u
+                    else:
+                        raise ValueError(
+                            f"MATCH_RECOGNIZE MEASURES: unknown pattern "
+                            f"variable {var}"
+                        )
                 if col == "*":
                     if agg != "count":
                         raise ValueError(
@@ -390,7 +438,7 @@ class EngineSession:
                         )
                     col = None
                 tis = var_tokens[var] if var is not None else all_tis
-                measures.append((name, agg, tis, col))
+                measures.append((name, agg, tis, col, mode))
         if literal_mode:
             from .operators.cep import pattern_match_quantified
 
@@ -419,6 +467,7 @@ class EngineSession:
             after_match=after,
             measures=measures,
             rows_per_match=rows_per_match,
+            subset=subset or None,
         )
 
     def _rewrite_window_tvf(self, statement: str) -> str:

@@ -1032,10 +1032,11 @@ def test_all_rows_per_match_define_and_measures_refusal(spark):
     ]
     # original columns survive untouched
     assert {r.event_id: r.value for r in out}[4] == 5.0
-    with pytest.raises(ValueError, match="MEASURES"):
+    # bad measure mode still raises
+    with pytest.raises(ValueError, match="running|final"):
         pattern_match_quantified(
-            df, "user_id", "ts", "event_id", "typ", ["t+"],
-            measures=[("c", "count", [0], None)],
+            df, "user_id", "ts", "event_id", "event_type", ["t+"],
+            measures=[("c", "count", [0], None, "sideways")],
             rows_per_match="all",
         )
 
@@ -1340,3 +1341,277 @@ def test_match_recognize_sql_rejects_malformed_quantifier(spark, tmp_path):
             )
             """
         )
+
+
+# --- round 8: aggregates in DEFINE, SUBSET, RUNNING MEASURES ---------------
+
+
+def test_define_agg_running_segmentation(spark):
+    """Own-variable running aggregate: PATTERN (A+) with A AS
+    SUM(A.value) <= 10 greedily packs each key's timeline into
+    consecutive segments whose cumulative sum (candidate row
+    included) stays under the cap."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_define
+
+    df = _priced(spark, [4, 5, 3, 9, 2, 8])
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["A+"],
+        define={"A": "SUM(A.value) <= 10"},
+    ).collect()
+    got = sorted((r.start_event_id, r.n_rows) for r in out)
+    # [4,5]=9 | [3]=3 (+9 would be 12) | [9]=9 | [2,8]=10
+    assert got == [(0, 2), (2, 1), (3, 1), (4, 2)]
+
+
+def test_define_foreign_agg_and_count(spark):
+    """Foreign-variable aggregate: UP must beat the MEAN of the
+    descent it follows; a shorter-descent suffix qualifies when the
+    full run's mean is too high (the attempt at the run start fails,
+    the scan then matches from the suffix)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_define
+
+    df = _priced(spark, [10, 9, 1, 8])
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["DOWN+", "UP"],
+        define={
+            "DOWN": "value < PREV(value)",
+            "UP": "value > AVG(DOWN.value)",
+        },
+        measures=[("n_down", "count", [0], None)],
+    ).collect()
+    # avg(9,1)=5 < 8 -> whole descent matches from its start
+    assert [(r.start_event_id, r.n_rows, r.n_down) for r in out] == [
+        (1, 3, 2)
+    ]
+
+
+def test_run_skip_disabled_for_ctx_patterns(spark):
+    """r8 soundness fix: with a mask-first + ctx-later pattern, a
+    failed attempt at a run's start does NOT imply failure at later
+    positions of the run (the aggregate's bound span shrinks) — the
+    old run-skip would have skipped the matching suffix start."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_define
+
+    # descent 9,1 after 10, then 2: attempt at row1 fails
+    # (2*2=4 <= 9+1), backtrack to DOWN=[9] fails (1*1 <= 9);
+    # attempt at row2 matches (2*1 > 1)
+    df = _priced(spark, [10, 9, 1, 2])
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["DOWN+", "UP"],
+        define={
+            "DOWN": "value < PREV(value)",
+            "UP": "value * COUNT(DOWN.value) > SUM(DOWN.value)",
+        },
+    ).collect()
+    assert [(r.start_event_id, r.n_rows) for r in out] == [(2, 2)]
+
+
+def test_define_agg_differential_vs_bruteforce(spark):
+    """Aggregate-DEFINE matching vs an independent spec-level brute
+    force over random integer walks: attempts at every position in
+    scan order, greedy take enumeration, UP tested against the bound
+    descent span, skip past last row."""
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_define
+
+    rng = random.Random(88)
+    rows = []
+    expected = []
+    for user in range(14):
+        n = rng.randrange(4, 36)
+        vals = [float(rng.randrange(0, 8)) for _ in range(n)]
+        for i, v in enumerate(vals):
+            rows.append((user * 1000 + i, user, i, v))
+        p = 0
+        while p < n:
+            matched = None
+            # greedy DOWN+ from p: maximal k with each row < its prev
+            k = 0
+            while (
+                p + k < n
+                and p + k >= 1
+                and vals[p + k] < vals[p + k - 1]
+            ):
+                k += 1
+            for take in range(k, 0, -1):
+                r = p + take
+                if r < n and vals[r] * take > sum(vals[p : p + take]):
+                    matched = (p, r)
+                    break
+            if matched:
+                expected.append((user, user * 1000 + p, r - p + 1))
+                p = r + 1
+            else:
+                p += 1
+    df = spark.createDataFrame(
+        [
+            (eid, u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v)
+            for eid, u, s, v in rows
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["DOWN+", "UP"],
+        define={
+            "DOWN": "value < PREV(value)",
+            "UP": "value * COUNT(DOWN.value) > SUM(DOWN.value)",
+        },
+    ).collect()
+    got = sorted((r.user_id, r.start_event_id, r.n_rows) for r in out)
+    assert got == sorted(expected)
+
+
+def test_subset_union_define_and_measures(spark):
+    """SUBSET V = (DOWN, UP): DEFINE resolves FIRST(V.col) against
+    the union's first row; MEASURES aggregate across both members'
+    rows; validation rejects unknown members and name collisions."""
+    import pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_define
+
+    df = _priced(spark, [10, 9, 1, 8, 30])
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["DOWN+", "UP+"],
+        define={
+            "DOWN": "value < PREV(value)",
+            # recovery capped at 2.5x the descent start (= FIRST of
+            # the union): 8 < 22.5 passes, 30 >= 22.5 truncates
+            "UP": "value > PREV(value) AND value * 10 < FIRST(V.value) * 25",
+        },
+        subset={"V": ["DOWN", "UP"]},
+        measures=[
+            ("v_first", "first", [0, 1], "value"),
+            ("v_min", "min", [0, 1], "value"),
+        ],
+    ).collect()
+    assert [
+        (r.start_event_id, r.n_rows, r.v_first, r.v_min) for r in out
+    ] == [(1, 3, 9.0, 1.0)]
+    with pytest.raises(ValueError, match="members must be pattern"):
+        pattern_match_define(
+            df, "user_id", "ts", "event_id", ["A+"],
+            define={"A": "value > 0"}, subset={"U": ["NOPE"]},
+        )
+    with pytest.raises(ValueError, match="collides"):
+        pattern_match_define(
+            df, "user_id", "ts", "event_id", ["A+"],
+            define={"A": "value > 0"}, subset={"A": ["A"]},
+        )
+
+
+def test_running_and_final_measures_all_rows(spark):
+    """SQL:2016 RUNNING vs FINAL MEASURES under ALL ROWS PER MATCH:
+    running aggregates cover the match's rows up to and including the
+    emitted row (NULL before the measured variable binds), final
+    values repeat on every row."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_quantified
+
+    ev = spark.createDataFrame(
+        [
+            (i, 1, dt.datetime(2024, 1, 1, 0, 0, i), t, float(i + 1))
+            for i, t in enumerate(["view", "click", "purchase", "view"])
+        ],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = pattern_match_quantified(
+        ev, "user_id", "ts", "event_id", "event_type",
+        ["view", "click", "purchase"],
+        rows_per_match="all",
+        measures=[
+            ("cum_v", "sum", [0, 1, 2], "value", "running"),
+            ("tot_v", "sum", [0, 1, 2], "value", "final"),
+            ("n_so_far", "count", [0, 1, 2], None, "running"),
+            # measured variable is the LAST token: running value is
+            # NULL until the purchase row arrives
+            ("p_v", "last", [2], "value", "running"),
+            ("mno", "match_number", [], None),
+        ],
+    ).collect()
+    rows = {r.event_id: r for r in out}
+    assert [rows[i].cum_v for i in (0, 1, 2)] == [1.0, 3.0, 6.0]
+    assert [rows[i].tot_v for i in (0, 1, 2)] == [6.0, 6.0, 6.0]
+    assert [rows[i].n_so_far for i in (0, 1, 2)] == [1, 2, 3]
+    assert [rows[i].p_v for i in (0, 1, 2)] == [None, None, 3.0]
+    assert all(rows[i].mno == 1 for i in (0, 1, 2))
+
+
+def test_match_recognize_sql_subset_and_running_measures(spark, tmp_path):
+    """SQL spellings: SUBSET clause, RUNNING/FINAL MEASURES prefixes,
+    MEASURES under ALL ROWS PER MATCH."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "s.json")
+    )
+    spark.createDataFrame(
+        [
+            (i, 1, dt.datetime(2024, 1, 1, 0, 0, i), t, float(i + 1))
+            for i, t in enumerate(["view", "click", "purchase", "view"])
+        ],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    ).createOrReplaceTempView("mr8_ev")
+    out = eng.sql(
+        """
+        SELECT * FROM mr8_ev MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES RUNNING SUM(value) AS cum_v,
+                   FINAL SUM(value) AS tot_v
+          ALL ROWS PER MATCH
+          PATTERN (A B C)
+          DEFINE A AS event_type = 'view', B AS event_type = 'click',
+                 C AS event_type = 'purchase'
+        )
+        """
+    ).collect()
+    rows = {r.event_id: r for r in out}
+    assert [rows[i].cum_v for i in (0, 1, 2)] == [1.0, 3.0, 6.0]
+    assert [rows[i].tot_v for i in (0, 1, 2)] == [6.0, 6.0, 6.0]
+
+    spark.createDataFrame(
+        [
+            (i, 1, dt.datetime(2024, 1, 1, 0, 0, i), "t", float(v))
+            for i, v in enumerate([10, 9, 1, 8])
+        ],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    ).createOrReplaceTempView("mr8_pr")
+    out = eng.sql(
+        """
+        SELECT * FROM mr8_pr MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES MIN(V.value) AS vmin, AVG(V.value) AS vavg
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP)
+          SUBSET V = (DOWN, UP)
+          DEFINE DOWN AS value < PREV(value),
+                 UP AS value > AVG(DOWN.value)
+        )
+        """
+    ).collect()
+    assert [
+        (r.start_event_id, r.n_rows, r.vmin, r.vavg) for r in out
+    ] == [(1, 3, 1.0, 6.0)]
