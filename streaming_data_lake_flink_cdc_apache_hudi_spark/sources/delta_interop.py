@@ -38,9 +38,19 @@ anti-join on Spark's hidden parquet ``_metadata.file_path`` /
 EXECUTORS (``mapInPandas`` over the descriptor list through
 ``pyarrow.fs``); row positions never pass through the driver.
 
-Boundary (documented, enforced): column mapping, generated columns,
-and reader features beyond deletionVectors raise
-``UnsupportedDeltaFeature`` instead of returning wrong rows.
+NAME-mode column mapping (reader protocol v2, the default on modern
+Databricks-written tables) is supported on read AND write: parquet
+files store physical ``col-<id>`` names, the logical schema carries
+``delta.columnMapping.physicalName`` field metadata, and the reader
+resolves the rename in one metadata-only ``select`` of aliases over
+the scan (partition values are looked up under their physical names,
+per the spec).
+
+Boundary (documented, enforced): ID-mode column mapping (parquet
+field-id resolution), column mapping over nested struct columns,
+generated columns, and reader features beyond deletionVectors +
+columnMapping raise ``UnsupportedDeltaFeature`` instead of returning
+wrong rows.
 """
 
 from __future__ import annotations
@@ -245,14 +255,39 @@ def _log_path(path: str, version: int) -> str:
     return os.path.join(path, _LOG_DIR, "%020d.json" % version)
 
 
-def export_delta(df: DataFrame, path: str, name: str | None = None) -> int:
+def export_delta(
+    df: DataFrame,
+    path: str,
+    name: str | None = None,
+    column_mapping: bool = False,
+) -> int:
     """Write ``df`` as a new single-commit Delta table at ``path``.
 
     Data files go through the distributed parquet writer; the commit
     JSON lists them as ``add`` actions with sizes and row-count
     stats. Returns the number of data files committed.
-    """
-    df.write.mode("overwrite").parquet(path)
+
+    ``column_mapping=True`` writes the table in NAME-mode column
+    mapping (protocol reader v2 / writer v5, the default on modern
+    Databricks-written tables): parquet files store deterministic
+    physical column names (``col-<id>``) and the logical schema
+    carries ``delta.columnMapping.physicalName`` / ``.id`` field
+    metadata, exactly as PROTOCOL.md's Column Mapping section
+    specifies — also the self-generated fixture for this reader's
+    name-mode support."""
+    phys_df, field_meta = df, {}
+    if column_mapping:
+        field_meta = {
+            f.name: (i + 1, f"col-{i + 1}")
+            for i, f in enumerate(df.schema.fields)
+        }
+        phys_df = df.select(
+            *(
+                df[f.name].alias(field_meta[f.name][1])
+                for f in df.schema.fields
+            )
+        )
+    phys_df.write.mode("overwrite").parquet(path)
     os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
     # spark writes _SUCCESS + part files; delta logs only the parts
     parts = sorted(
@@ -261,16 +296,30 @@ def export_delta(df: DataFrame, path: str, name: str | None = None) -> int:
         if f.endswith(".parquet") and not f.startswith("_")
     )
     now_ms = int(os.stat(os.path.join(path, parts[0])).st_mtime * 1000)
+    schema_json = json.loads(df.schema.json())
+    config: dict[str, str] = {}
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    if column_mapping:
+        for f in schema_json["fields"]:
+            cid, phys = field_meta[f["name"]]
+            f.setdefault("metadata", {})
+            f["metadata"]["delta.columnMapping.id"] = cid
+            f["metadata"]["delta.columnMapping.physicalName"] = phys
+        config = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(len(field_meta)),
+        }
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
     actions: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": protocol},
         {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "name": name,
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": df.schema.json(),
+                "schemaString": json.dumps(schema_json),
                 "partitionColumns": [],
-                "configuration": {},
+                "configuration": config,
                 "createdTime": now_ms,
             }
         },
@@ -384,23 +433,73 @@ def _replay_log(
     if proto is not None:
         mrv = proto.get("minReaderVersion", 1)
         feats = set(proto.get("readerFeatures") or [])
-        # v2 = column-mapping-capable (gated below on the actual
-        # mode); v3 tables are readable iff their feature list is
-        # exactly the deletionVectors support implemented here
-        if mrv > 3 or (feats - {"deletionVectors"}):
+        # v2 = column mapping (name mode resolved at scan time, id
+        # mode gated below); v3 tables are readable iff their feature
+        # list is within the support implemented here
+        if mrv > 3 or (feats - {"deletionVectors", "columnMapping"}):
             raise UnsupportedDeltaFeature(
                 "reader supports Delta protocol v1 + deletionVectors "
-                f"only; table needs {proto}"
+                f"+ name-mode columnMapping only; table needs {proto}"
             )
     if meta is not None:
         cm = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if cm not in ("none", None):
+        if cm not in ("none", None, "name"):
+            # id mode resolves columns by parquet field ID, a
+            # different resolution path than the physicalName rename
             raise UnsupportedDeltaFeature(
-                f"column mapping mode {cm!r} not supported"
+                f"column mapping mode {cm!r} not supported (name mode "
+                "is; id mode needs parquet-field-id resolution)"
             )
+        _column_mapping(meta)  # fail fast on unmappable schemas
     return adds, meta
+
+
+def _contains_struct(t) -> bool:
+    """True when a schemaString type JSON nests named fields (struct
+    anywhere inside) — those carry their OWN physical names inside
+    the parquet schema, which a top-level rename cannot reach."""
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return True
+        return any(
+            _contains_struct(t.get(k))
+            for k in ("elementType", "keyType", "valueType")
+        )
+    return False
+
+
+def _column_mapping(meta) -> dict[str, str] | None:
+    """logical name -> physical parquet name from the schemaString's
+    ``delta.columnMapping.physicalName`` field metadata, or None when
+    the table has no column mapping. Raises on id-less fields and on
+    nested struct columns (their inner physical names would leak
+    through a top-level rename)."""
+    if meta is None:
+        return None
+    cm = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if cm in ("none", None):
+        return None
+    mapping: dict[str, str] = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        )
+        if not phys:
+            raise UnsupportedDeltaFeature(
+                f"column mapping: field {f['name']!r} carries no "
+                "delta.columnMapping.physicalName"
+            )
+        if _contains_struct(f.get("type")):
+            raise UnsupportedDeltaFeature(
+                f"column mapping over nested struct column "
+                f"{f['name']!r} not supported"
+            )
+        mapping[f["name"]] = phys
+    return mapping
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
@@ -508,22 +607,45 @@ def _frame_from_adds(
     re-attached per file group with their schemaString types. With
     ``with_meta`` each scan leg also carries the normalized file path
     (``_dv_fp``) and parquet row index (``_dv_pos``) for DV
-    anti-joins."""
+    anti-joins. Name-mode column mapping is resolved here: parquet
+    columns are read under their physical names and renamed to the
+    logical schema via one ``select`` of aliases — a metadata-only
+    projection, no data rewrite, and pushdown still reaches the scan
+    (filters are expressed on the aliased plan)."""
     from pyspark.sql import functions as F
 
+    mapping = _column_mapping(meta)
+
+    part_names = (meta or {}).get("partitionColumns") or []
+
     def add_meta(df):
-        if not with_meta:
-            return df
-        return df.select(
-            "*",
-            # file:///abs/p, file:/abs/p -> /abs/p (cf. iceberg_interop)
-            F.regexp_replace(
-                F.col("_metadata.file_path"),
-                r"^[A-Za-z0-9+.-]+:(//[^/]*)?",
-                "",
-            ).alias("_dv_fp"),
-            F.col("_metadata.row_index").alias("_dv_pos"),
+        # physical -> logical rename and the _metadata-derived DV key
+        # columns in ONE projection directly over the scan relation
+        # (hidden metadata columns resolve only there); partition
+        # columns are not in the parquet files, so they are excluded
+        # from the rename and re-attached by the caller under their
+        # logical names
+        cols = (
+            [
+                df[phys].alias(log)
+                for log, phys in mapping.items()
+                if log not in part_names
+            ]
+            if mapping
+            else [F.col("*")]
         )
+        if with_meta:
+            cols += [
+                # file:///abs/p, file:/abs/p -> /abs/p (cf.
+                # iceberg_interop)
+                F.regexp_replace(
+                    F.col("_metadata.file_path"),
+                    r"^[A-Za-z0-9+.-]+:(//[^/]*)?",
+                    "",
+                ).alias("_dv_fp"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            ]
+        return df.select(*cols)
 
     if not adds:
         # empty table: derive schema from metaData when present
@@ -547,13 +669,19 @@ def _frame_from_adds(
 
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_types = {f.name: f.dataType for f in schema.fields}
-    # group files by identical partitionValues to keep scan count low
+    # group files by identical partitionValues to keep scan count low;
+    # under column mapping the log keys partitionValues by PHYSICAL
+    # name (PROTOCOL.md Column Mapping: partition values and stats are
+    # tracked under physical names)
+    pv_key = {
+        c: (mapping.get(c, c) if mapping else c) for c in part_cols
+    }
     groups: dict[tuple, list[str]] = {}
     for a in adds.values():
         vals = a.get("partitionValues", {})
         key = tuple(
             None
-            if (v := vals.get(c)) in (None, "__HIVE_DEFAULT_PARTITION__")
+            if (v := vals.get(pv_key[c])) in (None, "__HIVE_DEFAULT_PARTITION__")
             else v
             for c in part_cols
         )
