@@ -55,6 +55,7 @@ import os
 import re
 import time
 import uuid
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -117,7 +118,24 @@ def live_data_files(
     current), with DELETED manifest entries dropped. Position- and
     equality-delete files are ignored here (``read_iceberg`` applies
     them)."""
-    return sorted(v for v, _ in _live_files(path, snapshot_id)[0].values())
+    return sorted(v for v, _, _ in _live_files(path, snapshot_id)[0].values())
+
+
+def _table_columns(path: str) -> list[str]:
+    """The CURRENT schema's column names, in declared order."""
+    meta = json.load(open(_current_metadata_path(path)))
+    sch = meta.get("schema")
+    if not sch:
+        sid = meta.get("current-schema-id")
+        sch = next(
+            (
+                s
+                for s in meta.get("schemas", [])
+                if s.get("schema-id") == sid
+            ),
+            None,
+        )
+    return [f["name"] for f in (sch or {}).get("fields", [])]
 
 
 def _field_names_by_id(meta: dict) -> dict[int, str]:
@@ -138,7 +156,8 @@ def _live_files(
     list[tuple[str, int]],
     list[tuple[str, int, list[str]]],
 ]:
-    """({recorded_data_path: (resolved_local_path, data_seq)},
+    """({recorded_data_path: (resolved_local_path, data_seq,
+    partition_struct)},
     [(position_delete_file, delete_seq)], [(equality_delete_file,
     delete_seq, equality_column_names)]) reachable from the chosen
     snapshot. The
@@ -196,6 +215,7 @@ def _live_files(
                 data[df_rec["file_path"]] = (
                     _resolve(df_rec["file_path"], path),
                     int(seq),
+                    dict(df_rec.get("partition") or {}),
                 )
             elif content == 1:
                 pos_deletes.append(
@@ -216,10 +236,21 @@ def _live_files(
 
 
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Mount an Iceberg table (filesystem catalog layout) as a
     DataFrame; ``snapshot_id`` time-travels over the snapshot log.
+
+    ``partition_filter`` ({partition_field_name: value}) prunes the
+    FILE LIST from the manifests' per-file ``partition`` structs
+    before any scan is planned — the metadata-level pruning Iceberg
+    planners do, which at 100 TB means never opening the footers of
+    the non-matching files (a post-hoc DataFrame filter would still
+    list and stat every file). Keys must name partition fields
+    recorded in the manifests; unknown keys raise.
 
     v2 row-level deletes are applied distributedly:
 
@@ -245,8 +276,40 @@ def read_iceberg(
         raise FileNotFoundError(
             f"Iceberg table at {path} has no live data files"
         )
-    files = sorted(v for v, _ in mapping.values())
+    if partition_filter:
+        known = set().union(*(p.keys() for _, _, p in mapping.values()))
+        bad = set(partition_filter) - known
+        if bad:
+            raise ValueError(
+                f"partition_filter: {sorted(bad)} are not partition "
+                f"fields of this table (has {sorted(known)})"
+            )
+        mapping = {
+            k: v
+            for k, v in mapping.items()
+            if all(v[2].get(c) == pv for c, pv in partition_filter.items())
+        }
+        if not mapping:
+            # metadata says no file can match: empty frame, no scan
+            all_files = sorted(
+                v for v, _, _ in _live_files(path, snapshot_id)[0].values()
+            )
+            return (
+                spark.read.option("basePath", path)
+                .parquet(*all_files)
+                .limit(0)
+            )
+    files = sorted(v for v, _, _ in mapping.values())
     df = spark.read.option("basePath", path).parquet(*files)
+    # basePath makes Spark infer key=value directory levels as extra
+    # columns (wanted for hive-migrated tables whose files LACK the
+    # partition columns; unwanted for the exporter's shadow _p_* dirs,
+    # whose source columns are in the files) — project back to the
+    # table schema's columns
+    tbl_cols = _table_columns(path)
+    keep = [c for c in tbl_cols if c in df.columns]
+    if keep and set(keep) != set(df.columns):
+        df = df.select(*keep)
     if not pos_files and not eq_deletes:
         return df
     cols = df.columns
@@ -263,7 +326,7 @@ def read_iceberg(
     )
     map_df = F.broadcast(
         spark.createDataFrame(
-            [(k, v, s) for k, (v, s) in mapping.items()],
+            [(k, v, s) for k, (v, s, _) in mapping.items()],
             "_ice_recorded string, _ice_fp string, _ice_seq long",
         )
     )
@@ -405,12 +468,12 @@ def read_iceberg_incremental(
     base, _, _ = _live_files(path, from_snapshot_id)
     head, _, _ = _live_files(path, to_snapshot_id)
     new_files = sorted(
-        v for k, (v, _) in head.items() if k not in base
+        v for k, (v, _, _) in head.items() if k not in base
     )
     if not new_files:
         return (
             spark.read.option("basePath", path)
-            .parquet(*sorted(v for v, _ in head.values()))
+            .parquet(*sorted(v for v, _, _ in head.values()))
             .limit(0)
         )
     return spark.read.option("basePath", path).parquet(*new_files)
@@ -499,75 +562,242 @@ _MANIFEST_LIST_SCHEMA = {
 }
 
 
+_PART_AVRO = {"int": "int", "long": "long", "string": "string"}
+
+
+def _single_value_bytes(ice_type: str, v) -> bytes:
+    """Iceberg single-value binary serialization for bound values
+    (spec Appendix D): int = 4-byte LE, long = 8-byte LE, string =
+    UTF-8 bytes."""
+    import struct as _struct
+
+    if ice_type == "int":
+        return _struct.pack("<i", int(v))
+    if ice_type == "long":
+        return _struct.pack("<q", int(v))
+    return str(v).encode("utf-8")
+
+
 def export_iceberg(
-    df: DataFrame, path: str, table_name: str | None = None
+    df: DataFrame,
+    path: str,
+    table_name: str | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> int:
-    """Write ``df`` as a new single-snapshot, unpartitioned Iceberg
-    v1 table at ``path`` (filesystem catalog layout: data/ parquet +
-    metadata/ tree with version-hint). Data goes through the normal
-    distributed parquet writer; only per-file stats (one record per
-    file) pass through the driver — the footprint every Iceberg
-    writer's commit has. Returns the number of data files."""
+    """Write ``df`` as a new single-snapshot Iceberg v1 table at
+    ``path`` (filesystem catalog layout: data/ parquet + metadata/
+    tree with version-hint). Data goes through the normal distributed
+    parquet writer; only per-file stats (one record per file) pass
+    through the driver — the footprint every Iceberg writer's commit
+    has. Returns the number of data files.
+
+    ``partition_by`` (identity transforms over int/long/string
+    columns) writes a PARTITIONED table external engines can prune:
+    ONE distributed write grouped by shadow ``_p_<col>=`` directories
+    (the source columns stay IN the data files, as Iceberg writers
+    emit them), then one manifest PER PARTITION whose entries carry
+    real ``partition`` structs, and manifest-list entries carrying
+    the spec's field summaries (contains_null + single-value-encoded
+    lower/upper bounds, equal per single-partition manifest) — the
+    two levels Iceberg planners prune on. The per-partition manifest
+    loop is driver-side but metadata-scale (one small avro per
+    partition, the same commit cost any Iceberg writer pays)."""
+    import urllib.parse
+
     import pyarrow.parquet as pq
 
+    from pyspark.sql import functions as F
+
+    part_cols = list(partition_by or [])
+    schema_fields = {f.name: f for f in df.schema.fields}
+    ice_types = {}
+    for c in part_cols:
+        if c not in schema_fields:
+            raise ValueError(f"partition_by: unknown column {c!r}")
+        t = _SPARK_TO_ICEBERG.get(schema_fields[c].dataType.simpleString())
+        if t not in _PART_AVRO:
+            raise UnsupportedIcebergFeature(
+                f"identity partition over {c}: only int/long/string "
+                "partition columns are supported by the exporter"
+            )
+        ice_types[c] = t
     data_dir = os.path.join(path, "data")
-    df.write.mode("overwrite").parquet(data_dir)
-    parts = sorted(
-        f
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet") and not f.startswith("_")
-    )
+    if part_cols:
+        w = df
+        for c in part_cols:
+            w = w.withColumn(f"_p_{c}", F.col(c))
+        w.write.partitionBy(*(f"_p_{c}" for c in part_cols)).mode(
+            "overwrite"
+        ).parquet(data_dir)
+    else:
+        df.write.mode("overwrite").parquet(data_dir)
+    parts: list[tuple[str, dict]] = []  # (relpath, partition values)
+    for root, _dirs, fs in sorted(os.walk(data_dir)):
+        vals: dict[str, object] = {}
+        rel_dir = os.path.relpath(root, data_dir)
+        for comp in rel_dir.split(os.sep):
+            if "=" not in comp:
+                continue
+            k, _, raw = comp.partition("=")
+            if not k.startswith("_p_"):
+                continue
+            c = k[len("_p_") :]
+            raw = urllib.parse.unquote(raw)
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                vals[c] = None
+            else:
+                vals[c] = int(raw) if ice_types[c] != "string" else raw
+        for f in sorted(fs):
+            if f.endswith(".parquet") and not f.startswith("_"):
+                parts.append((os.path.join(root, f), vals))
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     now_ms = int(time.time() * 1000)
-    entries = []
-    total_rows = 0
-    for f in parts:
-        full = os.path.join(data_dir, f)
-        n = pq.ParquetFile(full).metadata.num_rows
-        total_rows += n
-        entries.append(
+    field_ids = {f.name: i + 1 for i, f in enumerate(df.schema.fields)}
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": field_ids[c],
+            "field-id": 1000 + j,
+        }
+        for j, c in enumerate(part_cols)
+    ]
+    entry_schema = _MANIFEST_ENTRY_SCHEMA
+    if part_cols:
+        entry_schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+        part_rec = next(
+            fl
+            for fl in entry_schema["fields"][2]["type"]["fields"]
+            if fl["name"] == "partition"
+        )
+        part_rec["type"]["fields"] = [
             {
-                "status": 1,  # ADDED
-                "snapshot_id": snapshot_id,
-                "data_file": {
-                    # spec: file_path is a full URI, not a bare path
-                    "file_path": "file://" + full,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": n,
-                    "file_size_in_bytes": os.path.getsize(full),
-                },
+                "name": c,
+                "type": ["null", _PART_AVRO[ice_types[c]]],
+                "field-id": 1000 + j,
+                "default": None,
+            }
+            for j, c in enumerate(part_cols)
+        ]
+    # one manifest per distinct partition tuple: entries carry real
+    # partition structs, the manifest list carries per-field bound
+    # summaries — both Iceberg pruning levels
+    by_part: dict[tuple, list[tuple[str, dict]]] = {}
+    for full, vals in parts:
+        by_part.setdefault(
+            tuple(vals.get(c) for c in part_cols), []
+        ).append((full, vals))
+    md = os.path.join(path, _META_DIR)
+    os.makedirs(md, exist_ok=True)
+    manifest_rows = []
+    total_rows = 0
+    n_files = 0
+    for gi, (key, group) in enumerate(sorted(
+        by_part.items(),
+        key=lambda kv: tuple((x is None, x) for x in kv[0]),
+    )):
+        entries = []
+        for full, vals in group:
+            n = pq.ParquetFile(full).metadata.num_rows
+            total_rows += n
+            n_files += 1
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        # spec: file_path is a full URI, not a bare path
+                        "file_path": "file://" + full,
+                        "file_format": "PARQUET",
+                        "partition": {c: vals.get(c) for c in part_cols},
+                        "record_count": n,
+                        "file_size_in_bytes": os.path.getsize(full),
+                    },
+                }
+            )
+        manifest_path = os.path.join(
+            md, f"manifest-{snapshot_id}-{gi}.avro"
+        )
+        write_avro(
+            manifest_path,
+            entry_schema,
+            entries,
+            # key-value metadata Java manifest readers require (spec
+            # "Manifests": schema, spec, ids, format-version, content)
+            metadata={
+                "schema": json.dumps(_iceberg_schema(df)).encode(),
+                "schema-id": b"0",
+                "partition-spec": json.dumps(spec_fields).encode(),
+                "partition-spec-id": b"0",
+                "format-version": b"1",
+                "content": b"data",
+            },
+        )
+        row = {
+            "manifest_path": "file://" + manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+        }
+        if part_cols:
+            row["partitions"] = [
+                {
+                    "contains_null": v is None,
+                    "lower_bound": None
+                    if v is None
+                    else _single_value_bytes(ice_types[c], v),
+                    "upper_bound": None
+                    if v is None
+                    else _single_value_bytes(ice_types[c], v),
+                }
+                for c, v in zip(part_cols, key)
+            ]
+        manifest_rows.append(row)
+    mlist_schema = _MANIFEST_LIST_SCHEMA
+    if part_cols:
+        mlist_schema = json.loads(json.dumps(_MANIFEST_LIST_SCHEMA))
+        mlist_schema["fields"].append(
+            {
+                "name": "partitions",
+                "field-id": 507,
+                "default": None,
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "element-id": 508,
+                        "items": {
+                            "type": "record",
+                            "name": "r508",
+                            "fields": [
+                                {
+                                    "name": "contains_null",
+                                    "type": "boolean",
+                                    "field-id": 509,
+                                },
+                                {
+                                    "name": "lower_bound",
+                                    "type": ["null", "bytes"],
+                                    "field-id": 510,
+                                    "default": None,
+                                },
+                                {
+                                    "name": "upper_bound",
+                                    "type": ["null", "bytes"],
+                                    "field-id": 511,
+                                    "default": None,
+                                },
+                            ],
+                        },
+                    },
+                ],
             }
         )
-    md = os.path.join(path, _META_DIR)
-    manifest_path = os.path.join(md, f"manifest-{snapshot_id}.avro")
-    write_avro(
-        manifest_path,
-        _MANIFEST_ENTRY_SCHEMA,
-        entries,
-        # key-value metadata Java manifest readers require (spec
-        # "Manifests": schema, spec, ids, format-version, content)
-        metadata={
-            "schema": json.dumps(_iceberg_schema(df)).encode(),
-            "schema-id": b"0",
-            "partition-spec": b"[]",
-            "partition-spec-id": b"0",
-            "format-version": b"1",
-            "content": b"data",
-        },
-    )
     mlist_path = os.path.join(md, f"snap-{snapshot_id}.avro")
     write_avro(
         mlist_path,
-        _MANIFEST_LIST_SCHEMA,
-        [
-            {
-                "manifest_path": "file://" + manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
-                "added_snapshot_id": snapshot_id,
-            }
-        ],
+        mlist_schema,
+        manifest_rows,
         metadata={
             "format-version": b"1",
             "snapshot-id": str(snapshot_id).encode(),
@@ -580,8 +810,8 @@ def export_iceberg(
         "last-updated-ms": now_ms,
         "last-column-id": len(df.schema.fields),
         "schema": _iceberg_schema(df),
-        "partition-spec": [],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
         "properties": {
             **({"name": table_name} if table_name else {}),
@@ -595,7 +825,7 @@ def export_iceberg(
                 "manifest-list": "file://" + mlist_path,
                 "summary": {
                     "operation": "append",
-                    "added-data-files": str(len(parts)),
+                    "added-data-files": str(n_files),
                     "added-records": str(total_rows),
                 },
             }
@@ -605,7 +835,7 @@ def export_iceberg(
         json.dump(meta, fh)
     with open(os.path.join(md, "version-hint.text"), "w") as fh:
         fh.write("1")
-    return len(parts)
+    return n_files
 
 
 def _iceberg_schema(df: DataFrame) -> dict:

@@ -186,3 +186,77 @@ def test_delta_deletion_vector_file_golden(tmp_path):
     (crc,) = struct.unpack_from(">I", db, 5 + dlen)
     assert crc == (zlib.crc32(bitmap) & 0xFFFFFFFF)
     assert struct.unpack_from("<I", bitmap, 0)[0] == 1681511377
+
+
+def test_iceberg_partitioned_manifest_golden(spark, tmp_path):
+    """Partitioned export (r8): the manifest's embedded writer schema
+    must declare the partition record with spec field-ids (1000+),
+    the manifest list must declare the field-summaries column
+    (field-id 507 with contains_null/lower/upper), and bounds must
+    use the spec's single-value binary encoding (little-endian
+    ints/longs, UTF-8 strings) — decoded from the container bytes,
+    not through this repo's reader."""
+    import struct
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _single_value_bytes,
+        export_iceberg,
+    )
+
+    # spec Appendix D single-value serialization
+    assert _single_value_bytes("int", 7) == struct.pack("<i", 7)
+    assert _single_value_bytes("long", -2) == struct.pack("<q", -2)
+    assert _single_value_bytes("string", "g1") == b"g1"
+
+    path = str(tmp_path / "pg_iceberg")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "id long, k long, g string"
+    )
+    export_iceberg(df, path, partition_by=["k", "g"])
+    md = os.path.join(path, "metadata")
+    manifest = sorted(
+        f for f in os.listdir(md) if f.startswith("manifest-")
+    )[0]
+    mb = open(os.path.join(md, manifest), "rb").read()
+    assert mb[:4] == b"Obj\x01"
+    schema = json.loads(_embedded_schema(mb))
+    part = next(
+        f
+        for f in next(
+            f for f in schema["fields"] if f["name"] == "data_file"
+        )["type"]["fields"]
+        if f["name"] == "partition"
+    )
+    ids = {f["name"]: f["field-id"] for f in part["type"]["fields"]}
+    assert ids == {"k": 1000, "g": 1001}
+    assert [f["type"] for f in part["type"]["fields"]] == [
+        ["null", "long"],
+        ["null", "string"],
+    ]
+    mlist = [f for f in os.listdir(md) if f.startswith("snap-")][0]
+    lb = open(os.path.join(md, mlist), "rb").read()
+    lschema = json.loads(_embedded_schema(lb))
+    summaries = next(
+        f for f in lschema["fields"] if f["name"] == "partitions"
+    )
+    assert summaries["field-id"] == 507
+    rec = summaries["type"][1]["items"]
+    sids = {f["name"]: f["field-id"] for f in rec["fields"]}
+    assert sids == {
+        "contains_null": 509,
+        "lower_bound": 510,
+        "upper_bound": 511,
+    }
+
+
+def _embedded_schema(raw: bytes) -> bytes:
+    start = raw.index(b'{"type"')
+    depth = 0
+    for i in range(start, len(raw)):
+        if raw[i : i + 1] == b"{":
+            depth += 1
+        elif raw[i : i + 1] == b"}":
+            depth -= 1
+            if depth == 0:
+                return raw[start : i + 1]
+    raise AssertionError("no embedded schema found")

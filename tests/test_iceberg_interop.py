@@ -654,3 +654,88 @@ def test_unmatched_scan_file_raises_instead_of_dropping_rows(
     )
     with pytest.raises(Exception, match="file mapping"):
         read_iceberg(spark, path).collect()
+
+
+def test_partitioned_export_prunes_and_round_trips(spark, tmp_path):
+    """VERDICT r7 #6: identity-partitioned export. The manifests carry
+    real per-file partition structs (one manifest per partition) and
+    the manifest list carries bound summaries, so engines prune from
+    metadata alone: a one-partition read plans a scan over ONLY that
+    partition's files (asserted via inputFiles), and the source
+    columns stay in the data files."""
+    path = str(tmp_path / "part_iceberg")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"g{i % 2}", float(i)) for i in range(30)],
+        "id long, bucket long, grp string, v double",
+    ).repartition(4)
+    n = export_iceberg(df, path, partition_by=["bucket", "grp"])
+    assert n >= 6  # at least one file per (bucket, grp) combo
+    meta = json.load(open(os.path.join(path, "metadata", "v1.metadata.json")))
+    assert meta["partition-spec"] == [
+        {"name": "bucket", "transform": "identity", "source-id": 2,
+         "field-id": 1000},
+        {"name": "grp", "transform": "identity", "source-id": 3,
+         "field-id": 1001},
+    ]
+    # full read returns everything with partition columns intact
+    back = read_iceberg(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # manifest-level facts: one manifest per partition tuple, entries
+    # carry the partition struct
+    mlist = [
+        f
+        for f in os.listdir(os.path.join(path, "metadata"))
+        if f.startswith("snap-")
+    ][0]
+    _, manifests = read_avro(os.path.join(path, "metadata", mlist))
+    assert len(manifests) == 6
+    assert all(m["partitions"] is not None for m in manifests)
+    some_manifest = manifests[0]["manifest_path"].replace("file://", "")
+    _, entries = read_avro(some_manifest)
+    assert all(
+        set(e["data_file"]["partition"]) == {"bucket", "grp"}
+        for e in entries
+    )
+    # metadata-level pruning: the planned scan lists ONLY the matching
+    # partition's files
+    pruned = read_iceberg(
+        spark, path, partition_filter={"bucket": 1, "grp": "g1"}
+    )
+    want_rows = [(i, i % 3, f"g{i % 2}", float(i))
+                 for i in range(30) if i % 3 == 1 and i % 2 == 1]
+    assert sorted(map(tuple, pruned.collect())) == sorted(want_rows)
+    all_files = set(read_iceberg(spark, path).inputFiles())
+    pruned_files = set(pruned.inputFiles())
+    assert 0 < len(pruned_files) < len(all_files)
+    # every planned file genuinely belongs to the filtered partition
+    assert all(
+        "_p_bucket=1" in f and "_p_grp=g1" in f for f in pruned_files
+    )
+    # filter matching nothing: metadata answers without scanning
+    assert (
+        read_iceberg(spark, path, partition_filter={"bucket": 99}).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="not partition fields"):
+        read_iceberg(spark, path, partition_filter={"nope": 1})
+    # unsupported partition type gated
+    with pytest.raises(UnsupportedIcebergFeature, match="int/long/string"):
+        export_iceberg(
+            df, str(tmp_path / "bad"), partition_by=["v"]
+        )
+
+
+def test_partitioned_export_null_partition_value(spark, tmp_path):
+    path = str(tmp_path / "nullpart_iceberg")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "id long, k string"
+    )
+    export_iceberg(df, path, partition_by=["k"])
+    back = read_iceberg(spark, path)
+    assert sorted(map(tuple, back.collect()), key=str) == sorted(
+        [(1, "a"), (2, None), (3, "a")], key=str
+    )
+    got = read_iceberg(spark, path, partition_filter={"k": "a"})
+    assert sorted(r.id for r in got.collect()) == [1, 3]
