@@ -1503,32 +1503,33 @@ def pattern_match_define(
     )
 
 
-def analyze_navigation(expr: str) -> tuple[int, bool]:
-    """(max PREV offset, uses NEXT) for one DEFINE expression — the
-    streaming flavor keeps ``max_prev`` context rows ahead of the
+def analyze_navigation(expr: str) -> tuple[int, int]:
+    """(max PREV offset, max NEXT offset) for one DEFINE expression —
+    the streaming flavor keeps ``max_prev`` context rows ahead of the
     provisional tail so a kept row's PREV still sees its true
-    predecessor, and refuses NEXT (a tail row's NEXT is unknowable
-    until more data arrives, which would break emit-once
-    finalization)."""
+    predecessor, and holds back the last ``max_next`` rows from
+    finalization (a tail row's NEXT is unknowable until more data
+    arrives; deciding on it would break emit-once)."""
     tree, _ = _sql_predicate_ast(expr)
-    max_prev, uses_next = 0, False
+    max_prev, max_next = 0, 0
 
     def walk(node):
-        nonlocal max_prev, uses_next
+        nonlocal max_prev, max_next
         if isinstance(node, _ast.Call) and isinstance(node.func, _ast.Name):
             f = node.func.id.lower()
-            if f == "prev":
+            if f in ("prev", "next"):
                 off = (
                     node.args[1].value
                     if len(node.args) > 1
                     and isinstance(node.args[1], _ast.Constant)
                     else 1
                 )
-                max_prev = max(max_prev, int(off))
-            elif f == "next":
-                uses_next = True
+                if f == "prev":
+                    max_prev = max(max_prev, int(off))
+                else:
+                    max_next = max(max_next, int(off))
         for child in _ast.iter_child_nodes(node):
             walk(child)
 
     walk(tree)
-    return max_prev, uses_next
+    return max_prev, max_next

@@ -461,10 +461,22 @@ def pattern_match_define_stream(
     offset`` CONTEXT rows are kept ahead of the provisional tail so
     a kept row's ``PREV(col, n)`` still sees its true predecessor
     after earlier rows were finalized away — the scan never starts
-    inside the context prefix, so nothing double-emits. ``NEXT`` is
-    refused here (a tail row's NEXT is unknowable until more data
-    arrives, which would break emit-once); the batch operator keeps
-    it. Referenced predicate columns ride per-key state as arrays —
+    inside the context prefix, so nothing double-emits.
+
+    ``NEXT(col, k)`` streams via a k-row HOLD-BACK (new r8, replacing
+    the previous refusal): the last ``max_next`` rows of each key's
+    held timeline have undecided predicates (their successors haven't
+    arrived — the mask reads null→False today but may flip once the
+    next event lands), so the scan treats the buffer as ending before
+    them; they finalize one batch later, when their successors exist.
+    Emit-once is preserved — every decision is made only over rows
+    whose NEXT targets are held — at the cost of ``max_next`` events
+    of extra latency and state per key (the same trade Flink's CEP
+    makes for lookahead). A key whose stream simply stops never
+    finalizes its last ``max_next`` rows — identical to a greedy
+    ``a+`` run waiting at the tail.
+
+    Referenced predicate columns ride per-key state as arrays —
     state stays bounded by the unfinalized tail exactly as before.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -485,15 +497,11 @@ def pattern_match_define_stream(
                 "type DEFINEs — use pattern_match_stream"
             )
         var_names.extend([et] if isinstance(et, str) else sorted(et))
-    max_prev = 0
+    max_prev = max_next = 0
     for v, expr in define.items():
-        mp, uses_next = analyze_navigation(expr)
-        if uses_next:
-            raise ValueError(
-                f"DEFINE {v}: NEXT() is not streamable — a tail "
-                "row's successor is unknown until more data arrives"
-            )
+        mp, mn = analyze_navigation(expr)
         max_prev = max(max_prev, mp)
+        max_next = max(max_next, mn)
     compiled = {
         v: compile_define(e, v, var_names) for v, e in define.items()
     }
@@ -635,9 +643,21 @@ def pattern_match_define_stream(
                 btoks.append((("ctx", ctx_fns[et]), lo, hi, greedy))
             else:
                 btoks.append((("mask", masks[et]), lo, hi, greedy))
-        rows, p, keep_from = [], ctx0, n
-        while p < n:
-            end, hit, assigns = match_at(None, ts_l, p, btoks, within_us)
+        # NEXT hold-back: the last max_next rows have undecided masks
+        # (their NEXT targets haven't arrived — the mask evaluated
+        # null->False today but may be True next batch), so the scan
+        # runs as if the buffer ENDED before them: masks are computed
+        # over the full held timeline (rows before the boundary see
+        # their true successors), match_at gets the truncated
+        # timeline, and everything past the boundary stays in state
+        # unfinalized — emit-once preserved, one batch of latency per
+        # NEXT offset
+        n_eff = n - max_next
+        rows, p, keep_from = [], ctx0, max(n_eff, ctx0)
+        while p < n_eff:
+            end, hit, assigns = match_at(
+                None, ts_l[:n_eff], p, btoks, within_us
+            )
             if end is not None and not hit:
                 rows.append((p, end))
                 p = _resume(p, end, assigns)

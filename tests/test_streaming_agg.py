@@ -1086,11 +1086,9 @@ def test_stream_define_cep_parity_with_batch(spark, tmp_path):
     operator's finalized matches — including a valley STRADDLING the
     batch boundary, where the first kept row's PREV(value) must see
     its true predecessor from the finalized prefix (context rows in
-    state). NEXT() refuses up front."""
+    state)."""
     import datetime as dt
     import random
-
-    import pytest as _pytest
 
     from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
         pattern_match_define,
@@ -1166,8 +1164,87 @@ def test_stream_define_cep_parity_with_batch(spark, tmp_path):
     )
     assert got == want and len(want) > 10
 
-    with _pytest.raises(ValueError, match="NEXT"):
-        pattern_match_define_stream(
-            stream, "user_id", "ts", "event_id", ["A+"],
-            {"A": "value > NEXT(value)"},
+
+def test_stream_define_next_lookahead_parity(spark, tmp_path):
+    """r8 (VERDICT ask #8): NEXT(col) streams via a one-row hold-back
+    instead of refusing — the last row of each key's held timeline
+    stays unfinalized until its successor arrives, so a NEXT-using
+    DEFINE matches across micro-batch boundaries with exactly the
+    batch operator's results. The trailing equal-value plateau keeps
+    the final row out of every batch match, so everything
+    finalizes."""
+    import datetime as dt
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        pattern_match_define,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.stateful import (
+        pattern_match_define_stream,
+    )
+
+    rng = random.Random(29)
+    rows, rid = [], 0
+    for user in range(5):
+        t = 0
+        for _ in range(40):
+            rid += 1
+            t += rng.choice([1, 2, 5])
+            rows.append(
+                (
+                    rid,
+                    user,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t),
+                    float(rng.randrange(0, 8)),
+                )
+            )
+        for k in range(3):  # equal plateau: no match touches the tail
+            rid += 1
+            rows.append((rid, user, dt.datetime(2024, 1, 1, 1, k), 4.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    # A = rows whose SUCCESSOR rises; B (undefined) = the riser itself
+    define = {"A": "NEXT(value) > value"}
+    pattern = ["A+", "B"]
+    d = tmp_path / "nextfeed"
+    d.mkdir()
+    ordered = ev.orderBy("ts", "event_id").collect()
+    third = len(ordered) // 3
+    for name, chunk in [
+        ("a", ordered[:third]),
+        ("b", ordered[third : 2 * third]),
+        ("c", ordered[2 * third :]),
+    ]:
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
         )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    res = pattern_match_define_stream(
+        stream, "user_id", "ts", "event_id", pattern, define
+    )
+    q = (
+        res.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nextstream")
+        .option("checkpointLocation", str(tmp_path / "ck_next"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = sorted(
+        (int(r["key"]), r["start_id"], r["start_ts"], r["end_ts"], r["n_rows"])
+        for r in spark.sql("SELECT * FROM nextstream").collect()
+    )
+    q.stop()
+    want = sorted(
+        (r["user_id"], r["start_event_id"], r["start_ts"], r["end_ts"],
+         r["n_rows"])
+        for r in pattern_match_define(
+            ev, "user_id", "ts", "event_id", pattern, define
+        ).collect()
+    )
+    assert got == want and len(want) > 10
