@@ -1615,3 +1615,89 @@ def test_match_recognize_sql_subset_and_running_measures(spark, tmp_path):
     assert [
         (r.start_event_id, r.n_rows, r.vmin, r.vavg) for r in out
     ] == [(1, 3, 1.0, 6.0)]
+
+
+def test_define_aggregate_evaluator_vs_naive_fuzz():
+    """r8: pin the ctx interpreter's aggregate + FIRST/LAST-over-row-
+    list semantics against a naive Python reference over random
+    frames, random variable row lists (with nulls), and random
+    expressions — no Spark, pure compiler."""
+    import random
+
+    import pandas as pd
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        _ctx_eval,
+        _sql_predicate_ast,
+    )
+
+    rng = random.Random(4096)
+
+    def naive_agg(vals, agg):
+        vs = [v for v in vals if v is not None]
+        if agg == "count":
+            return len(vs)
+        if not vs:
+            return None
+        if agg == "sum":
+            return sum(vs)
+        if agg == "avg":
+            return sum(vs) / len(vs)
+        return min(vs) if agg == "min" else max(vs)
+
+    for case in range(80):
+        n = rng.randint(2, 16)
+        vals = [
+            None if rng.random() < 0.2 else float(rng.randint(0, 9))
+            for _ in range(n)
+        ]
+        pdf = pd.DataFrame({"v": vals})
+        pos = sorted(rng.sample(range(n), rng.randint(1, n)))
+        pos_b = sorted(rng.sample(range(n), rng.randint(1, n)))
+        spans = {"A": pos, "B": pos_b}
+        agg = rng.choice(["sum", "avg", "min", "max", "count"])
+        kind = rng.choice(["const", "own", "cross", "nav"])
+        if kind == "const":
+            expr = f"{agg.upper()}(A.v) > 10"
+        elif kind == "own":
+            expr = f"v * COUNT(A.v) <= SUM(A.v)"
+        elif kind == "cross":
+            expr = f"AVG(B.v) < {agg.upper()}(A.v)"
+        else:
+            off = rng.randint(0, 3)
+            f = rng.choice(["FIRST", "LAST"])
+            expr = f"{f}(A.v, {off}) >= 4"
+        tree, lits = _sql_predicate_ast(expr)
+        a_vals = [vals[p] for p in pos]
+        b_vals = [vals[p] for p in pos_b]
+        for i in range(n):
+
+            def cmp(l, r, op):
+                if l is None or r is None:
+                    return False
+                return op(l, r)
+
+            if kind == "const":
+                want = cmp(naive_agg(a_vals, agg), 10, lambda a, b: a > b)
+            elif kind == "own":
+                want = cmp(
+                    None if vals[i] is None else vals[i] * naive_agg(a_vals, "count"),
+                    naive_agg(a_vals, "sum"),
+                    lambda a, b: a <= b,
+                )
+            elif kind == "cross":
+                want = cmp(
+                    naive_agg(b_vals, "avg"),
+                    naive_agg(a_vals, agg),
+                    lambda a, b: a < b,
+                )
+            else:
+                nn = [v for v in a_vals]  # FIRST/LAST step raw rows
+                if off >= len(nn):
+                    pick = None
+                else:
+                    pick = nn[off] if f == "FIRST" else nn[len(nn) - 1 - off]
+                want = cmp(pick, 4, lambda a, b: a >= b)
+            got = _ctx_eval(tree, i, pdf, spans, "X", lits)
+            got = bool(got) if got is not None else False
+            assert got == want, (case, expr, i, vals, pos, pos_b, got, want)
