@@ -447,6 +447,7 @@ def pattern_match_define_stream(
     define: dict[str, str],
     within_seconds: int | None = None,
     after_match="past_last_row",
+    subset: dict | None = None,
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE with DEFINE predicates — the
     cross-micro-batch flavor of
@@ -497,13 +498,32 @@ def pattern_match_define_stream(
                 "type DEFINEs — use pattern_match_stream"
             )
         var_names.extend([et] if isinstance(et, str) else sorted(et))
+    subset = {u.upper(): list(ms) for u, ms in (subset or {}).items()}
+    vset = {v.upper() for v in var_names}
+    for u, members in subset.items():
+        if u in vset:
+            raise ValueError(
+                f"SUBSET name {u} collides with a pattern variable"
+            )
+        bad = [m for m in members if m.upper() not in vset]
+        if bad or not members:
+            raise ValueError(
+                f"SUBSET {u}: members must be pattern variables "
+                f"(bad: {bad})"
+            )
     max_prev = max_next = 0
     for v, expr in define.items():
         mp, mn = analyze_navigation(expr)
         max_prev = max(max_prev, mp)
         max_next = max(max_next, mn)
     compiled = {
-        v: compile_define(e, v, var_names) for v, e in define.items()
+        v: compile_define(
+            e,
+            v,
+            var_names + sorted(subset),
+            subset=subset,
+        )
+        for v, e in define.items()
     }
     need_cols = sorted(
         set().union(*(c for _, _, c in compiled.values())) if compiled else ()

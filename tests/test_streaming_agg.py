@@ -1248,3 +1248,91 @@ def test_stream_define_next_lookahead_parity(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 10
+
+
+def test_stream_define_aggregate_and_subset_parity(spark, tmp_path):
+    """r8: aggregate DEFINEs (ctx path) and SUBSET unions stream with
+    batch parity — the aggregate sees only rows the match has bound
+    (all held), so emit-once decisions are stable across batches."""
+    import datetime as dt
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import (
+        pattern_match_define,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.stateful import (
+        pattern_match_define_stream,
+    )
+
+    rng = random.Random(61)
+    rows, rid = [], 0
+    for user in range(5):
+        t = 0
+        for _ in range(40):
+            rid += 1
+            t += rng.choice([1, 2, 5])
+            rows.append(
+                (
+                    rid,
+                    user,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t),
+                    float(rng.randrange(0, 8)),
+                )
+            )
+        for k in range(3):  # plateau closes tail runs
+            rid += 1
+            rows.append((rid, user, dt.datetime(2024, 1, 1, 1, k), 4.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    pattern = ["DOWN+", "UP"]
+    define = {
+        "DOWN": "value < PREV(value)",
+        # aggregate over the union: rebound must beat the match MIN
+        # and the descent MEAN
+        "UP": "value * COUNT(DOWN.value) > SUM(DOWN.value) "
+        "AND value > MIN(V.value)",
+    }
+    subset = {"V": ["DOWN", "UP"]}
+    d = tmp_path / "aggfeed"
+    d.mkdir()
+    ordered = ev.orderBy("ts", "event_id").collect()
+    third = len(ordered) // 3
+    for name, chunk in [
+        ("a", ordered[:third]),
+        ("b", ordered[third : 2 * third]),
+        ("c", ordered[2 * third :]),
+    ]:
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    res = pattern_match_define_stream(
+        stream, "user_id", "ts", "event_id", pattern, define,
+        subset=subset,
+    )
+    q = (
+        res.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("aggstream")
+        .option("checkpointLocation", str(tmp_path / "ck_agg"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = sorted(
+        (int(r["key"]), r["start_id"], r["n_rows"])
+        for r in spark.sql("SELECT * FROM aggstream").collect()
+    )
+    q.stop()
+    want = sorted(
+        (r["user_id"], r["start_event_id"], r["n_rows"])
+        for r in pattern_match_define(
+            ev, "user_id", "ts", "event_id", pattern, define,
+            subset=subset,
+        ).collect()
+    )
+    assert got == want and len(want) > 5
