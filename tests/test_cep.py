@@ -785,11 +785,14 @@ def test_define_first_reference_ctx_path(spark):
             "UP": "value > PREV(value) AND value > FIRST(DOWN.value)",
         },
     ).collect()
-    # valley 1 fails (9,11,12 would need > 9 from the FIRST down row,
-    # but the first up step 7->9 equals the descent start, not above);
-    # wait: FIRST(DOWN.value)=9 so up rows must exceed 9 -> 9 fails.
-    # valley 2: FIRST(DOWN.value)=5, up row 6 > 5 -> matches.
-    assert [(r.start_event_id, r.n_rows) for r in out] == [(7, 3)]
+    # attempt at row 1 fails (FIRST(DOWN.value)=9, first up row 9 is
+    # not > 9), so the scan resumes at row 2 — where DOWN=[8,7] gives
+    # FIRST=8 and the ascent 9,11,12 clears it: match rows 2..6.
+    # (The r7 matcher run-skipped the whole descent after the row-1
+    # failure and missed this match — the r8 soundness fix disables
+    # run-skip for match-relative patterns.) Valley 2: FIRST=5,
+    # up row 6 > 5 -> matches.
+    assert [(r.start_event_id, r.n_rows) for r in out] == [(2, 5), (7, 3)]
 
 
 def test_define_in_list_and_literals(spark):
