@@ -57,6 +57,7 @@ import time
 import uuid
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .avro_codec import read_avro, write_avro
@@ -565,6 +566,60 @@ _MANIFEST_LIST_SCHEMA = {
 _PART_AVRO = {"int": "int", "long": "long", "string": "string"}
 
 
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain algorithm) — the hash
+    the Iceberg spec's bucket transform mandates (Appendix B). Pure
+    stdlib; returns a SIGNED 32-bit int like the Java reference.
+    Pinned against the spec's published test vectors in
+    tests/test_format_goldens.py."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def iceberg_bucket(value, ice_type: str, n: int) -> int | None:
+    """Spec bucket transform: ``(murmur3_32(bytes(v)) & MAX_INT) % n``
+    with int/long hashed as 8-byte little-endian longs and strings as
+    UTF-8 bytes; NULL stays NULL."""
+    import struct as _struct
+
+    if value is None:
+        return None
+    if ice_type in ("int", "long"):
+        data = _struct.pack("<q", int(value))
+    else:
+        data = str(value).encode("utf-8")
+    return (murmur3_32(data) & 0x7FFFFFFF) % n
+
+
 def _single_value_bytes(ice_type: str, v) -> bytes:
     """Iceberg single-value binary serialization for bound values
     (spec Appendix D): int = 4-byte LE, long = 8-byte LE, string =
@@ -591,46 +646,99 @@ def export_iceberg(
     through the driver — the footprint every Iceberg writer's commit
     has. Returns the number of data files.
 
-    ``partition_by`` (identity transforms over int/long/string
-    columns) writes a PARTITIONED table external engines can prune:
-    ONE distributed write grouped by shadow ``_p_<col>=`` directories
-    (the source columns stay IN the data files, as Iceberg writers
-    emit them), then one manifest PER PARTITION whose entries carry
-    real ``partition`` structs, and manifest-list entries carrying
-    the spec's field summaries (contains_null + single-value-encoded
-    lower/upper bounds, equal per single-partition manifest) — the
-    two levels Iceberg planners prune on. The per-partition manifest
-    loop is driver-side but metadata-scale (one small avro per
-    partition, the same commit cost any Iceberg writer pays)."""
+    ``partition_by`` writes a PARTITIONED table external engines can
+    prune. Entries are ``"col"`` (identity transform) or
+    ``"bucket(N, col)"`` (the spec's murmur3 bucket transform,
+    Appendix B — partition field ``col_bucket``, values
+    ``(murmur3(v) & MAX_INT) % N``), over int/long/string source
+    columns. ONE distributed write grouped by shadow ``_p_<field>=``
+    directories (the source columns stay IN the data files, as
+    Iceberg writers emit them; bucket numbers are computed by an
+    Arrow-batched pandas UDF), then one manifest PER PARTITION whose
+    entries carry real ``partition`` structs, and manifest-list
+    entries carrying the spec's field summaries (contains_null +
+    single-value-encoded lower/upper bounds, equal per
+    single-partition manifest) — the two levels Iceberg planners
+    prune on. The per-partition manifest loop is driver-side but
+    metadata-scale (one small avro per partition, the same commit
+    cost any Iceberg writer pays)."""
     import urllib.parse
 
     import pyarrow.parquet as pq
 
     from pyspark.sql import functions as F
 
-    part_cols = list(partition_by or [])
     schema_fields = {f.name: f for f in df.schema.fields}
-    ice_types = {}
-    for c in part_cols:
+
+    def _src_type(c: str) -> str:
         if c not in schema_fields:
             raise ValueError(f"partition_by: unknown column {c!r}")
         t = _SPARK_TO_ICEBERG.get(schema_fields[c].dataType.simpleString())
         if t not in _PART_AVRO:
             raise UnsupportedIcebergFeature(
-                f"identity partition over {c}: only int/long/string "
+                f"partition transform over {c}: only int/long/string "
                 "partition columns are supported by the exporter"
             )
-        ice_types[c] = t
+        return t
+
+    pspecs: list[dict] = []  # parsed partition-field specs
+    for spec in partition_by or []:
+        bm = re.match(r"^\s*bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$", spec)
+        if bm:
+            nb, c = int(bm.group(1)), bm.group(2)
+            pspecs.append(
+                {
+                    "fname": f"{c}_bucket",
+                    "src": c,
+                    "transform": f"bucket[{nb}]",
+                    "n": nb,
+                    "src_type": _src_type(c),
+                    "out_type": "int",
+                }
+            )
+        else:
+            c = spec.strip()
+            pspecs.append(
+                {
+                    "fname": c,
+                    "src": c,
+                    "transform": "identity",
+                    "n": None,
+                    "src_type": _src_type(c),
+                    "out_type": _src_type(c),
+                }
+            )
     data_dir = os.path.join(path, "data")
-    if part_cols:
+    if pspecs:
+        from pyspark.sql.functions import pandas_udf
+
         w = df
-        for c in part_cols:
-            w = w.withColumn(f"_p_{c}", F.col(c))
-        w.write.partitionBy(*(f"_p_{c}" for c in part_cols)).mode(
+        for ps in pspecs:
+            if ps["transform"] == "identity":
+                w = w.withColumn(f"_p_{ps['fname']}", F.col(ps["src"]))
+            else:
+
+                def _make_bkt(nb, st):
+                    @pandas_udf("int")
+                    def _bkt(s: pd.Series) -> pd.Series:
+                        return s.map(
+                            lambda v: None
+                            if v is None
+                            else iceberg_bucket(v, st, nb)
+                        ).astype("Int32")
+
+                    return _bkt
+
+                w = w.withColumn(
+                    f"_p_{ps['fname']}",
+                    _make_bkt(ps["n"], ps["src_type"])(F.col(ps["src"])),
+                )
+        w.write.partitionBy(*(f"_p_{ps['fname']}" for ps in pspecs)).mode(
             "overwrite"
         ).parquet(data_dir)
     else:
         df.write.mode("overwrite").parquet(data_dir)
+    out_types = {ps["fname"]: ps["out_type"] for ps in pspecs}
     parts: list[tuple[str, dict]] = []  # (relpath, partition values)
     for root, _dirs, fs in sorted(os.walk(data_dir)):
         vals: dict[str, object] = {}
@@ -646,7 +754,7 @@ def export_iceberg(
             if raw == "__HIVE_DEFAULT_PARTITION__":
                 vals[c] = None
             else:
-                vals[c] = int(raw) if ice_types[c] != "string" else raw
+                vals[c] = int(raw) if out_types[c] != "string" else raw
         for f in sorted(fs):
             if f.endswith(".parquet") and not f.startswith("_"):
                 parts.append((os.path.join(root, f), vals))
@@ -655,15 +763,15 @@ def export_iceberg(
     field_ids = {f.name: i + 1 for i, f in enumerate(df.schema.fields)}
     spec_fields = [
         {
-            "name": c,
-            "transform": "identity",
-            "source-id": field_ids[c],
+            "name": ps["fname"],
+            "transform": ps["transform"],
+            "source-id": field_ids[ps["src"]],
             "field-id": 1000 + j,
         }
-        for j, c in enumerate(part_cols)
+        for j, ps in enumerate(pspecs)
     ]
     entry_schema = _MANIFEST_ENTRY_SCHEMA
-    if part_cols:
+    if pspecs:
         entry_schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
         part_rec = next(
             fl
@@ -672,12 +780,12 @@ def export_iceberg(
         )
         part_rec["type"]["fields"] = [
             {
-                "name": c,
-                "type": ["null", _PART_AVRO[ice_types[c]]],
+                "name": ps["fname"],
+                "type": ["null", _PART_AVRO[ps["out_type"]]],
                 "field-id": 1000 + j,
                 "default": None,
             }
-            for j, c in enumerate(part_cols)
+            for j, ps in enumerate(pspecs)
         ]
     # one manifest per distinct partition tuple: entries carry real
     # partition structs, the manifest list carries per-field bound
@@ -685,7 +793,7 @@ def export_iceberg(
     by_part: dict[tuple, list[tuple[str, dict]]] = {}
     for full, vals in parts:
         by_part.setdefault(
-            tuple(vals.get(c) for c in part_cols), []
+            tuple(vals.get(ps["fname"]) for ps in pspecs), []
         ).append((full, vals))
     md = os.path.join(path, _META_DIR)
     os.makedirs(md, exist_ok=True)
@@ -709,7 +817,10 @@ def export_iceberg(
                         # spec: file_path is a full URI, not a bare path
                         "file_path": "file://" + full,
                         "file_format": "PARQUET",
-                        "partition": {c: vals.get(c) for c in part_cols},
+                        "partition": {
+                            ps["fname"]: vals.get(ps["fname"])
+                            for ps in pspecs
+                        },
                         "record_count": n,
                         "file_size_in_bytes": os.path.getsize(full),
                     },
@@ -739,22 +850,22 @@ def export_iceberg(
             "partition_spec_id": 0,
             "added_snapshot_id": snapshot_id,
         }
-        if part_cols:
+        if pspecs:
             row["partitions"] = [
                 {
                     "contains_null": v is None,
                     "lower_bound": None
                     if v is None
-                    else _single_value_bytes(ice_types[c], v),
+                    else _single_value_bytes(ps["out_type"], v),
                     "upper_bound": None
                     if v is None
-                    else _single_value_bytes(ice_types[c], v),
+                    else _single_value_bytes(ps["out_type"], v),
                 }
-                for c, v in zip(part_cols, key)
+                for ps, v in zip(pspecs, key)
             ]
         manifest_rows.append(row)
     mlist_schema = _MANIFEST_LIST_SCHEMA
-    if part_cols:
+    if pspecs:
         mlist_schema = json.loads(json.dumps(_MANIFEST_LIST_SCHEMA))
         mlist_schema["fields"].append(
             {

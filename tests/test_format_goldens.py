@@ -260,3 +260,23 @@ def _embedded_schema(raw: bytes) -> bytes:
             if depth == 0:
                 return raw[start : i + 1]
     raise AssertionError("no embedded schema found")
+
+
+def test_iceberg_murmur3_bucket_spec_vectors():
+    """The spec's Appendix B hash test vectors: bucket transforms use
+    murmur3_x86_32 over the single-value binary form (ints widened to
+    8-byte LE longs, strings as UTF-8)."""
+    import struct
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        iceberg_bucket,
+        murmur3_32,
+    )
+
+    assert murmur3_32(struct.pack("<q", 34)) == 2017239379
+    assert murmur3_32("iceberg".encode()) == 1210000089
+    # int and long 34 hash identically (ints hash as longs)
+    big = 1 << 31
+    assert iceberg_bucket(34, "int", big) == iceberg_bucket(34, "long", big)
+    assert iceberg_bucket(34, "long", big) == 2017239379
+    assert iceberg_bucket(None, "long", 4) is None

@@ -739,3 +739,33 @@ def test_partitioned_export_null_partition_value(spark, tmp_path):
     )
     got = read_iceberg(spark, path, partition_filter={"k": "a"})
     assert sorted(r.id for r in got.collect()) == [1, 3]
+
+
+def test_bucket_transform_export_and_prune(spark, tmp_path):
+    """Spec bucket transform (murmur3, Appendix B): export with
+    bucket(4, id) writes a col_bucket partition field whose values
+    the spec's hash defines; partition_filter on the bucket number
+    prunes to exactly that bucket's files, and every row's id hashes
+    to the filtered bucket."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        iceberg_bucket,
+    )
+
+    path = str(tmp_path / "bkt_iceberg")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(50)], "id long, name string"
+    ).repartition(3)
+    export_iceberg(df, path, partition_by=["bucket(4, id)"])
+    meta = json.load(open(os.path.join(path, "metadata", "v1.metadata.json")))
+    assert meta["partition-spec"] == [
+        {"name": "id_bucket", "transform": "bucket[4]", "source-id": 1,
+         "field-id": 1000}
+    ]
+    back = read_iceberg(spark, path)
+    assert sorted(r.id for r in back.collect()) == list(range(50))
+    pruned = read_iceberg(spark, path, partition_filter={"id_bucket": 2})
+    got = sorted(r.id for r in pruned.collect())
+    want = sorted(i for i in range(50) if iceberg_bucket(i, "long", 4) == 2)
+    assert got == want and 0 < len(want) < 50
+    all_files = set(read_iceberg(spark, path).inputFiles())
+    assert 0 < len(set(pruned.inputFiles())) < len(all_files)
