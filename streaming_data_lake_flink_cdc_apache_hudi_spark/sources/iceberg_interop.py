@@ -638,13 +638,23 @@ def export_iceberg(
     path: str,
     table_name: str | None = None,
     partition_by: Sequence[str] | None = None,
+    format_version: int = 1,
 ) -> int:
-    """Write ``df`` as a new single-snapshot Iceberg v1 table at
+    """Write ``df`` as a new single-snapshot Iceberg table at
     ``path`` (filesystem catalog layout: data/ parquet + metadata/
     tree with version-hint). Data goes through the normal distributed
     parquet writer; only per-file stats (one record per file) pass
     through the driver — the footprint every Iceberg writer's commit
     has. Returns the number of data files.
+
+    ``format_version=2`` writes the v2 metadata shape: the table
+    tracks ``last-sequence-number``, the snapshot carries its
+    ``sequence-number``, manifest-list entries carry
+    ``sequence_number``/``min_sequence_number``/``content`` fields,
+    and manifest entries rely on the spec's sequence-number
+    INHERITANCE (ADDED entries with a null sequence number inherit
+    the manifest's) — the layout v2 readers (including this module's
+    own, which applies v2 row-level deletes) expect.
 
     ``partition_by`` writes a PARTITIONED table external engines can
     prune. Entries are ``"col"`` (identity transform) or
@@ -668,6 +678,8 @@ def export_iceberg(
 
     from pyspark.sql import functions as F
 
+    if format_version not in (1, 2):
+        raise ValueError(f"format_version must be 1 or 2, got {format_version}")
     schema_fields = {f.name: f for f in df.schema.fields}
 
     def _src_type(c: str) -> str:
@@ -840,7 +852,7 @@ def export_iceberg(
                 "schema-id": b"0",
                 "partition-spec": json.dumps(spec_fields).encode(),
                 "partition-spec-id": b"0",
-                "format-version": b"1",
+                "format-version": str(format_version).encode(),
                 "content": b"data",
             },
         )
@@ -850,6 +862,10 @@ def export_iceberg(
             "partition_spec_id": 0,
             "added_snapshot_id": snapshot_id,
         }
+        if format_version == 2:
+            row["content"] = 0  # data manifest
+            row["sequence_number"] = 1
+            row["min_sequence_number"] = 1
         if pspecs:
             row["partitions"] = [
                 {
@@ -865,8 +881,19 @@ def export_iceberg(
             ]
         manifest_rows.append(row)
     mlist_schema = _MANIFEST_LIST_SCHEMA
+    if format_version == 2:
+        mlist_schema = json.loads(json.dumps(mlist_schema))
+        mlist_schema["fields"] += [
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {
+                "name": "min_sequence_number",
+                "type": "long",
+                "field-id": 516,
+            },
+        ]
     if pspecs:
-        mlist_schema = json.loads(json.dumps(_MANIFEST_LIST_SCHEMA))
+        mlist_schema = json.loads(json.dumps(mlist_schema))
         mlist_schema["fields"].append(
             {
                 "name": "partitions",
@@ -910,20 +937,26 @@ def export_iceberg(
         mlist_schema,
         manifest_rows,
         metadata={
-            "format-version": b"1",
+            "format-version": str(format_version).encode(),
             "snapshot-id": str(snapshot_id).encode(),
         },
     )
     meta = {
-        "format-version": 1,
+        "format-version": format_version,
+        **({"last-sequence-number": 1} if format_version == 2 else {}),
         "table-uuid": str(uuid.uuid4()),
         "location": path,
         "last-updated-ms": now_ms,
         "last-column-id": len(df.schema.fields),
         "schema": _iceberg_schema(df),
+        "schemas": [_iceberg_schema(df)],
+        "current-schema-id": 0,
         "partition-spec": spec_fields,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
+        "last-partition-id": 999 + len(pspecs),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
         "properties": {
             **({"name": table_name} if table_name else {}),
             "write.format.default": "parquet",
@@ -933,6 +966,7 @@ def export_iceberg(
             {
                 "snapshot-id": snapshot_id,
                 "timestamp-ms": now_ms,
+                **({"sequence-number": 1} if format_version == 2 else {}),
                 "manifest-list": "file://" + mlist_path,
                 "summary": {
                     "operation": "append",

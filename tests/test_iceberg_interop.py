@@ -769,3 +769,47 @@ def test_bucket_transform_export_and_prune(spark, tmp_path):
     assert got == want and 0 < len(want) < 50
     all_files = set(read_iceberg(spark, path).inputFiles())
     assert 0 < len(set(pruned.inputFiles())) < len(all_files)
+
+
+def test_export_format_version_2_round_trip(spark, tmp_path):
+    """v2 export: last-sequence-number/snapshot sequence-number in the
+    metadata, content + sequence_number/min_sequence_number in the
+    manifest list, manifest entries inheriting the sequence number —
+    readable by the module's own v2 reader (which resolves seqs for
+    delete scoping) and carrying the v2-required metadata fields."""
+    path = str(tmp_path / "v2_iceberg")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(20)], "id long, k long"
+    )
+    export_iceberg(df, path, partition_by=["k"], format_version=2)
+    meta = json.load(open(os.path.join(path, "metadata", "v1.metadata.json")))
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 1
+    assert meta["snapshots"][0]["sequence-number"] == 1
+    assert meta["current-schema-id"] == 0 and meta["schemas"]
+    assert meta["default-sort-order-id"] == 0
+    mlist = [
+        f
+        for f in os.listdir(os.path.join(path, "metadata"))
+        if f.startswith("snap-")
+    ][0]
+    _, manifests = read_avro(os.path.join(path, "metadata", mlist))
+    assert all(
+        m["content"] == 0
+        and m["sequence_number"] == 1
+        and m["min_sequence_number"] == 1
+        for m in manifests
+    )
+    back = read_iceberg(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # the reader resolves inherited data sequence numbers to 1
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import _live_files
+
+    mapping, _, _ = _live_files(path)
+    assert {seq for _, seq, _ in mapping.values()} == {1}
+    got = read_iceberg(spark, path, partition_filter={"k": 1})
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(20) if i % 3 == 1
+    ]
+    with pytest.raises(ValueError, match="format_version"):
+        export_iceberg(df, str(tmp_path / "v9"), format_version=9)
