@@ -813,3 +813,71 @@ def test_export_format_version_2_round_trip(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="format_version"):
         export_iceberg(df, str(tmp_path / "v9"), format_version=9)
+
+
+def test_hive_layout_partition_column_from_directories(spark, tmp_path):
+    """Hive-migrated shape: data files under k=<v>/ directories with
+    the partition column ABSENT from the parquet — Spark's basePath
+    inference supplies it, and the schema projection keeps it because
+    the table schema declares it (while shadow/export dirs that are
+    NOT schema columns are dropped)."""
+    path = str(tmp_path / "hive_iceberg")
+    os.makedirs(os.path.join(path, "metadata"))
+    for v in (1, 2):
+        _stage_parquet(
+            spark,
+            [(10 * v,), (10 * v + 1,)],
+            "id LONG",
+            os.path.join(path, "data", f"k={v}", "f.parquet"),
+        )
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": 5,
+            "data_file": {
+                "file_path": f"data/k={v}/f.parquet",
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 2,
+                "file_size_in_bytes": 1,
+            },
+        }
+        for v in (1, 2)
+    ]
+    mp = _manifest(path, "m0.avro", entries)
+    _mlist(path, "snap-5.avro", [mp], 5)
+    meta = {
+        "format-version": 1,
+        "table-uuid": "u",
+        "location": path,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "schema": {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "k", "required": False, "type": "int"},
+            ],
+        },
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": 5,
+        "snapshots": [
+            {
+                "snapshot-id": 5,
+                "timestamp-ms": 0,
+                "manifest-list": "file://"
+                + os.path.join(path, "metadata", "snap-5.avro"),
+                "summary": {"operation": "append"},
+            }
+        ],
+    }
+    with open(os.path.join(path, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(path, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+    got = sorted(map(tuple, read_iceberg(spark, path).collect()))
+    assert got == [(10, 1), (11, 1), (20, 2), (21, 2)]
