@@ -121,6 +121,40 @@ eng.sql(
     "user_id", "match_no", "classifier", "event_type", "event_id"
 ).show(6, truncate=False)
 
+# round 8: running aggregates in DEFINE, SUBSET unions, and
+# RUNNING/FINAL MEASURES under ALL ROWS PER MATCH (SQL:2016 forms
+# beyond Flink's surface)
+eng.sql(
+    """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES MIN(V.value) AS valley_min, AVG(V.value) AS valley_avg
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (DOWN+ UP)
+      SUBSET V = (DOWN, UP)
+      DEFINE DOWN AS value < PREV(value),
+             UP AS value > AVG(DOWN.value)
+    )
+    """
+).orderBy("user_id", "start_event_id").show(3, truncate=False)
+eng.sql(
+    """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES RUNNING COUNT(*) AS rows_so_far,
+               FINAL SUM(value) AS match_value
+      ALL ROWS PER MATCH
+      PATTERN (A B)
+      DEFINE A AS event_type = 'view', B AS event_type = 'click'
+    )
+    """
+).orderBy("user_id", "match_no", "event_id").select(
+    "user_id", "match_no", "classifier", "rows_so_far", "match_value"
+).show(4, truncate=False)
+
 print("== 2c. CDC wire formats -> one engine envelope ===============")
 from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
