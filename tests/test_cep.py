@@ -1035,6 +1035,27 @@ def test_all_rows_per_match_define_and_measures_refusal(spark):
     ]
     # original columns survive untouched
     assert {r.event_id: r.value for r in out}[4] == 5.0
+    # r8: the DEFINE matcher's ALL ROWS path takes MEASURES too —
+    # RUNNING count per emitted row, FINAL min repeated on every row
+    out = pattern_match_define(
+        df,
+        key_col="user_id",
+        time_col="ts",
+        order_tiebreak="event_id",
+        pattern=["DOWN+", "UP"],
+        define={
+            "DOWN": "value < PREV(value)",
+            "UP": "value > PREV(value)",
+        },
+        rows_per_match="all",
+        measures=[
+            ("k", "count", [0, 1], None, "running"),
+            ("bottom", "min", [0, 1], "value", "final"),
+        ],
+    ).collect()
+    got = {(r.match_no, r.event_id): (r.k, r.bottom) for r in out}
+    assert got[(1, 1)] == (1, 8.0) and got[(1, 3)] == (3, 8.0)
+    assert got[(2, 4)] == (1, 5.0) and got[(2, 5)] == (2, 5.0)
     # bad measure mode still raises
     with pytest.raises(ValueError, match="running|final"):
         pattern_match_quantified(
