@@ -895,3 +895,46 @@ def test_column_mapping_nested_struct_gated(spark, tmp_path):
     export_delta(df, path, column_mapping=True)
     with pytest.raises(UnsupportedDeltaFeature, match="nested"):
         read_delta(spark, path)
+
+
+def test_partition_filter_prunes_scan_legs(spark, tmp_path):
+    """Partition values are re-attached as per-file-group LITERALS, so
+    a filter on the partition column constant-folds to false on the
+    non-matching union legs and Catalyst removes their scans entirely
+    — metadata-level partition pruning for free (pinned via
+    inputFiles on the filtered plan)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "prune_delta")
+    os.makedirs(path)
+
+    def stage(rows, dest):
+        st = dest + ".st"
+        spark.createDataFrame(rows, "id LONG").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(st)
+        part = [f for f in os.listdir(st) if f.endswith(".parquet")][0]
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(os.path.join(st, part), dest)
+
+    stage([(1,), (2,)], os.path.join(path, "dt=a", "f1.parquet"))
+    stage([(3,)], os.path.join(path, "dt=b", "f2.parquet"))
+    sj = spark.createDataFrame([], "id LONG, dt STRING").schema.json()
+    adds = [
+        {
+            "add": {
+                "path": f"dt={v}/f{i}.parquet",
+                "partitionValues": {"dt": v},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for i, v in ((1, "a"), (2, "b"))
+    ]
+    _log(path, 0, _proto_meta(sj, partition_cols=["dt"]) + adds)
+    df = read_delta(spark, path)
+    pruned = df.filter(F.col("dt") == "b")
+    assert sorted(map(tuple, pruned.collect())) == [(3, "b")]
+    assert len(df.inputFiles()) == 2
+    assert len(pruned.inputFiles()) == 1
