@@ -325,3 +325,16 @@ def test_no_query_broadcasts_raw_fact_scan(spark):
         if _broadcasts_raw_fact(exec_plan):
             offenders.append(name)
     assert offenders == []
+
+
+def test_r8_cep_queries_single_exchange(spark):
+    """The round-8 MATCH_RECOGNIZE queries pay exactly ONE exchange
+    (the pinned-width key shuffle into mapInPandas) and prune their
+    scans to the referenced columns — the same contract as the r7
+    matcher queries, and the shape Flink's keyed MATCH_RECOGNIZE
+    pays."""
+    for name in ("cep_define_agg", "cep_subset_union",
+                 "cep_running_measures"):
+        tree = _tree(_plan(spark, name))
+        assert tree.count("Exchange") == 1, (name, tree)
+        assert "CartesianProduct" not in tree, name
