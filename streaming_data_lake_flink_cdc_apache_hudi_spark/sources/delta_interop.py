@@ -260,6 +260,7 @@ def export_delta(
     path: str,
     name: str | None = None,
     column_mapping: bool = False,
+    data_files: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new single-commit Delta table at ``path``.
 
@@ -274,7 +275,17 @@ def export_delta(
     carries ``delta.columnMapping.physicalName`` / ``.id`` field
     metadata, exactly as PROTOCOL.md's Column Mapping section
     specifies — also the self-generated fixture for this reader's
-    name-mode support."""
+    name-mode support.
+
+    ``data_files`` (relative parquet names already at ``path``) skips
+    the data write and commits a log over EXISTING files — the
+    UniForm path (``sources/uniform.py``), where one parquet set is
+    shared by several formats' metadata."""
+    if data_files is not None and column_mapping:
+        raise ValueError(
+            "data_files injection cannot be combined with "
+            "column_mapping (the physical rename happens at write)"
+        )
     phys_df, field_meta = df, {}
     if column_mapping:
         field_meta = {
@@ -287,14 +298,17 @@ def export_delta(
                 for f in df.schema.fields
             )
         )
-    phys_df.write.mode("overwrite").parquet(path)
+    if data_files is None:
+        phys_df.write.mode("overwrite").parquet(path)
+        # spark writes _SUCCESS + part files; delta logs only the parts
+        parts = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+    else:
+        parts = sorted(data_files)
     os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
-    # spark writes _SUCCESS + part files; delta logs only the parts
-    parts = sorted(
-        f
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith("_")
-    )
     now_ms = int(os.stat(os.path.join(path, parts[0])).st_mtime * 1000)
     schema_json = json.loads(df.schema.json())
     config: dict[str, str] = {}

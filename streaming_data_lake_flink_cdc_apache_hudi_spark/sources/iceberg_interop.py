@@ -639,6 +639,7 @@ def export_iceberg(
     table_name: str | None = None,
     partition_by: Sequence[str] | None = None,
     format_version: int = 1,
+    data_files: Sequence[str] | None = None,
 ) -> int:
     """Write ``df`` as a new single-snapshot Iceberg table at
     ``path`` (filesystem catalog layout: data/ parquet + metadata/
@@ -671,7 +672,11 @@ def export_iceberg(
     single-partition manifest) — the two levels Iceberg planners
     prune on. The per-partition manifest loop is driver-side but
     metadata-scale (one small avro per partition, the same commit
-    cost any Iceberg writer pays)."""
+    cost any Iceberg writer pays).
+
+    ``data_files`` (absolute parquet paths, already written) skips
+    the data write and commits metadata over EXISTING files — the
+    UniForm path (``sources/uniform.py``); unpartitioned only."""
     import urllib.parse
 
     import pyarrow.parquet as pq
@@ -720,8 +725,12 @@ def export_iceberg(
                     "out_type": _src_type(c),
                 }
             )
+    if data_files is not None and pspecs:
+        raise ValueError("data_files injection is unpartitioned-only")
     data_dir = os.path.join(path, "data")
-    if pspecs:
+    if data_files is not None:
+        pass  # files already on disk; no write
+    elif pspecs:
         from pyspark.sql.functions import pandas_udf
 
         w = df
@@ -751,8 +760,10 @@ def export_iceberg(
     else:
         df.write.mode("overwrite").parquet(data_dir)
     out_types = {ps["fname"]: ps["out_type"] for ps in pspecs}
-    parts: list[tuple[str, dict]] = []  # (relpath, partition values)
-    for root, _dirs, fs in sorted(os.walk(data_dir)):
+    parts: list[tuple[str, dict]] = []  # (abspath, partition values)
+    if data_files is not None:
+        parts = [(os.path.abspath(f), {}) for f in sorted(data_files)]
+    for root, _dirs, fs in sorted(os.walk(data_dir)) if data_files is None else []:
         vals: dict[str, object] = {}
         rel_dir = os.path.relpath(root, data_dir)
         for comp in rel_dir.split(os.sep):

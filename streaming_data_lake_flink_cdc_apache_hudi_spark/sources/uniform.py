@@ -1,0 +1,58 @@
+"""UniForm-style multi-format export: ONE parquet dataset exposed
+under BOTH table formats' metadata — a Delta ``_delta_log`` and an
+Iceberg ``metadata/`` tree naming the SAME data files.
+
+This is the publicly-documented "universal format" pattern
+(Delta UniForm / Iceberg metadata over Delta data): the expensive
+artifact — the data — is written once through the distributed parquet
+writer, and each format's commit is a metadata-only pass over the
+file list (KB-scale, driver-side, the same footprint either format's
+native writer pays). A Delta client mounts the table through the log;
+an Iceberg client mounts it through the manifest tree; both read the
+identical bytes, so the two views can never diverge on content.
+
+Layout::
+
+    table/
+      part-*.parquet      <- the single data set (Delta-style root)
+      _delta_log/         <- Delta commit naming the parts (relative)
+      metadata/           <- Iceberg tree; manifests carry absolute
+                             file:// URIs to the SAME parts
+
+Scale: identical to the single-format exporters — data distributed,
+metadata per-file records only. Boundary: unpartitioned, single
+snapshot (both formats' incremental/partitioned flavors remain
+single-format exports); column mapping stays a Delta-only option and
+is excluded here because the physical rename would change the parquet
+schema the Iceberg view reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from .delta_interop import export_delta
+from .iceberg_interop import export_iceberg
+
+
+def export_uniform(
+    df: DataFrame, path: str, name: str | None = None
+) -> int:
+    """Write ``df`` once and commit Delta AND Iceberg metadata over
+    the same files. Returns the number of data files."""
+    df.write.mode("overwrite").parquet(path)
+    parts = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    export_delta(df, path, name=name, data_files=parts)
+    export_iceberg(
+        df,
+        path,
+        table_name=name,
+        data_files=[os.path.join(path, f) for f in parts],
+    )
+    return len(parts)
