@@ -439,11 +439,46 @@ class EngineSession:
                     col = None
                 tis = var_tokens[var] if var is not None else all_tis
                 measures.append((name, agg, tis, col, mode))
+        src = self.spark.table(tbl)
+        if src.isStreaming:
+            # Flink's MATCH_RECOGNIZE is a streaming SQL operator —
+            # route the same spelling to the cross-micro-batch
+            # matchers (streaming/stateful.py: emit-once finalized
+            # matches, per-key unfinalized-tail state, NEXT via
+            # lookahead hold-back). The streaming output schema is
+            # the matcher core (key, start_id, start_ts, end_ts,
+            # n_rows); clauses beyond it refuse with guidance.
+            if measures:
+                raise ValueError(
+                    "MATCH_RECOGNIZE on a STREAM: MEASURES are not "
+                    "supported yet — project from the match span "
+                    "downstream, or run the batch spelling on the "
+                    "materialized table"
+                )
+            if rows_per_match == "all":
+                raise ValueError(
+                    "MATCH_RECOGNIZE on a STREAM: ALL ROWS PER MATCH "
+                    "is not supported — use ONE ROW PER MATCH"
+                )
+            if literal_mode:
+                from .streaming.stateful import pattern_match_stream
+
+                return pattern_match_stream(
+                    src, part, ts_col, tiebreak, type_col, pattern,
+                    within_seconds=within_seconds, after_match=after,
+                )
+            from .streaming.stateful import pattern_match_define_stream
+
+            return pattern_match_define_stream(
+                src, part, ts_col, tiebreak, pattern, raw_defs,
+                within_seconds=within_seconds, after_match=after,
+                subset=subset or None,
+            )
         if literal_mode:
             from .operators.cep import pattern_match_quantified
 
             return pattern_match_quantified(
-                self.spark.table(tbl),
+                src,
                 key_col=part,
                 time_col=ts_col,
                 order_tiebreak=tiebreak,
@@ -457,7 +492,7 @@ class EngineSession:
         from .operators.cep import pattern_match_define
 
         return pattern_match_define(
-            self.spark.table(tbl),
+            src,
             key_col=part,
             time_col=ts_col,
             order_tiebreak=tiebreak,

@@ -1725,3 +1725,113 @@ def test_define_aggregate_evaluator_vs_naive_fuzz():
             got = _ctx_eval(tree, i, pdf, spans, "X", lits)
             got = bool(got) if got is not None else False
             assert got == want, (case, expr, i, vals, pos, pos_b, got, want)
+
+
+def test_match_recognize_sql_on_stream_routes_to_stateful(spark, tmp_path):
+    """r8: the SQL MATCH_RECOGNIZE spelling over a STREAMING view
+    routes to the cross-micro-batch matchers (Flink's MATCH_RECOGNIZE
+    is streaming SQL) — literal DEFINEs to pattern_match_stream,
+    predicate DEFINEs to pattern_match_define_stream — and the
+    finalized matches equal the batch spelling's on the drained
+    stream. MEASURES / ALL ROWS refuse with guidance."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+
+    eng = EngineSession(
+        spark=spark, registry_path=str(tmp_path / "reg" / "st.json")
+    )
+    seq = ["view", "click", "purchase", "view", "click", "click",
+           "purchase", "view"] * 2
+    rows = [
+        (u * 1000 + i, u, dt.datetime(2024, 1, 1, 0, 0, i), t, float(i))
+        for u in (1, 2)
+        for i, t in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    d = tmp_path / "sqlfeed"
+    d.mkdir()
+    ordered = ev.orderBy("ts", "event_id").collect()
+    half = len(ordered) // 2
+    for name, chunk in [("a", ordered[:half]), ("b", ordered[half:])]:
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
+        )
+    (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+        .createOrReplaceTempView("mr_stream")
+    )
+    ev.createOrReplaceTempView("mr_batch")
+    sql = """
+        SELECT * FROM {src} MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+ C)
+          DEFINE A AS event_type = 'view', B AS event_type = 'click',
+                 C AS event_type = 'purchase'
+        )
+    """
+    res = eng.sql(sql.format(src="mr_stream"))
+    assert res.isStreaming
+    q = (
+        res.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mrsql")
+        .option("checkpointLocation", str(tmp_path / "ck_mrsql"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = sorted(
+        (int(r["key"]), r["start_id"], r["n_rows"])
+        for r in spark.sql("SELECT * FROM mrsql").collect()
+    )
+    q.stop()
+    want = sorted(
+        (r["user_id"], r["start_event_id"], r["n_rows"])
+        for r in eng.sql(sql.format(src="mr_batch")).collect()
+    )
+    assert got == want and len(want) > 3
+
+    with _pytest.raises(ValueError, match="MEASURES"):
+        eng.sql(
+            """
+            SELECT * FROM mr_stream MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts, event_id
+              MEASURES COUNT(*) AS n ONE ROW PER MATCH
+              PATTERN (A B) DEFINE A AS event_type = 'view',
+                                   B AS event_type = 'click'
+            )
+            """
+        )
+    with _pytest.raises(ValueError, match="ALL ROWS"):
+        eng.sql(
+            """
+            SELECT * FROM mr_stream MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ALL ROWS PER MATCH
+              PATTERN (A B) DEFINE A AS event_type = 'view',
+                                   B AS event_type = 'click'
+            )
+            """
+        )
+    # predicate DEFINE shape routes to the streaming DEFINE matcher
+    res2 = eng.sql(
+        """
+        SELECT * FROM mr_stream MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP)
+          DEFINE DOWN AS value < PREV(value),
+                 UP AS value > AVG(DOWN.value)
+        )
+        """
+    )
+    assert res2.isStreaming
