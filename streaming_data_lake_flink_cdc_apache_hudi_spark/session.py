@@ -148,6 +148,12 @@ class EngineSession:
         any member) and in DEFINE (``FIRST(U.col)``/``AVG(U.col)``
         resolve against the members' merged rows-so-far).
 
+        Over a STREAMING temp view the same spelling routes to the
+        cross-micro-batch matchers (``streaming/stateful.py`` —
+        emit-once finalized matches; MEASURES / ALL ROWS refuse
+        there), matching Flink, whose MATCH_RECOGNIZE is a streaming
+        operator.
+
         DEFINE takes two shapes. When EVERY clause is an equality of
         the SAME column against a string literal (the
         funnel/escalation shape), the literal matcher runs and the
