@@ -334,6 +334,8 @@ class EngineSession:
                 return var_types[var]
             return var
 
+        pattern_vars: list[str] = []  # variable-name spelling (for
+        # the streaming MEASURES route, which runs DEFINE predicates)
         for core, quant in elems:
             pm = re.match(r"^PERMUTE\s*\(\s*(.*?)\s*\)$", core, re.IGNORECASE)
             if pm:
@@ -350,6 +352,7 @@ class EngineSession:
                     "permute(" + ",".join(resolve(v) for v in members) + ")"
                     + quant
                 )
+                pattern_vars.append(None)  # PERMUTE: literal-only
                 continue
             am = re.match(r"^\(\s*(.*?)\s*\)$", core)
             if am:
@@ -362,11 +365,13 @@ class EngineSession:
                 pattern.append(
                     "(" + "|".join(resolve(v) for v in members) + ")" + quant
                 )
+                pattern_vars.append("(" + "|".join(members) + ")" + quant)
                 continue
             var = core.upper()
             var_tokens.setdefault(var, []).append(ti)
             ti += 1
             pattern.append(resolve(var) + quant)
+            pattern_vars.append(var + quant)
         if skip_to_var is not None:
             mode, svar = skip_to_var
             if svar not in var_tokens:
@@ -454,31 +459,39 @@ class EngineSession:
             # lookahead hold-back). The streaming output schema is
             # the matcher core (key, start_id, start_ts, end_ts,
             # n_rows); clauses beyond it refuse with guidance.
-            if measures:
-                raise ValueError(
-                    "MATCH_RECOGNIZE on a STREAM: MEASURES are not "
-                    "supported yet — project from the match span "
-                    "downstream, or run the batch spelling on the "
-                    "materialized table"
-                )
             if rows_per_match == "all":
                 raise ValueError(
                     "MATCH_RECOGNIZE on a STREAM: ALL ROWS PER MATCH "
                     "is not supported — use ONE ROW PER MATCH"
                 )
-            if literal_mode:
+            if literal_mode and not measures:
                 from .streaming.stateful import pattern_match_stream
 
                 return pattern_match_stream(
                     src, part, ts_col, tiebreak, type_col, pattern,
                     within_seconds=within_seconds, after_match=after,
                 )
+            # MEASURES on a stream run through the DEFINE matcher
+            # (literal equalities are valid predicates), whose state
+            # already carries the referenced value columns
+            if any(pv is None for pv in pattern_vars):
+                raise ValueError(
+                    "MATCH_RECOGNIZE on a STREAM: PERMUTE with "
+                    "MEASURES is not supported"
+                )
             from .streaming.stateful import pattern_match_define_stream
 
             return pattern_match_define_stream(
-                src, part, ts_col, tiebreak, pattern, raw_defs,
-                within_seconds=within_seconds, after_match=after,
+                src,
+                part,
+                ts_col,
+                tiebreak,
+                pattern_vars if measures else pattern,
+                raw_defs,
+                within_seconds=within_seconds,
+                after_match=after,
                 subset=subset or None,
+                measures=measures,
             )
         if literal_mode:
             from .operators.cep import pattern_match_quantified

@@ -448,6 +448,7 @@ def pattern_match_define_stream(
     within_seconds: int | None = None,
     after_match="past_last_row",
     subset: dict | None = None,
+    measures=None,
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE with DEFINE predicates — the
     cross-micro-batch flavor of
@@ -476,6 +477,15 @@ def pattern_match_define_stream(
     makes for lookahead). A key whose stream simply stops never
     finalizes its last ``max_next`` rows — identical to a greedy
     ``a+`` run waiting at the tail.
+
+    ``measures`` (new r8): the batch operator's MEASURES tuples
+    (``(name, agg, token_indices, col[, mode])`` — mode is accepted
+    and ignored, RUNNING and FINAL coincide under one row per match)
+    evaluate per FINALIZED match from the same per-key state arrays
+    the predicates ride; ``match_number`` is a per-key counter carried
+    in state, so numbering stays Flink-cumulative across micro-batches.
+    Measure columns join the referenced-column state, so state remains
+    bounded by the unfinalized tail.
 
     Referenced predicate columns ride per-key state as arrays —
     state stays bounded by the unfinalized tail exactly as before.
@@ -525,8 +535,22 @@ def pattern_match_define_stream(
         )
         for v, e in define.items()
     }
+    measures = [
+        (m[0], m[1], list(m[2]), m[3]) for m in (measures or [])
+    ]
+    for name, agg, tis, col in measures:
+        if agg not in (
+            "first", "last", "count", "sum", "min", "max", "avg",
+            "match_number",
+        ):
+            raise ValueError(f"unsupported MEASURES aggregate {agg!r}")
+        if agg not in ("count", "match_number") and col is None:
+            raise ValueError(f"MEASURES {name}: {agg} needs a column")
+        if any(ti < 0 or ti >= len(toks) for ti in tis):
+            raise ValueError(f"MEASURES {name}: token index out of range")
     need_cols = sorted(
-        set().union(*(c for _, _, c in compiled.values())) if compiled else ()
+        (set().union(*(c for _, _, c in compiled.values())) if compiled else set())
+        | {col for _, _, _, col in measures if col is not None}
     )
     dtypes = dict(stream.dtypes)
     missing = [c for c in need_cols if c not in dtypes]
@@ -563,6 +587,7 @@ def pattern_match_define_stream(
             T.StructField("ts_us", T.ArrayType(T.LongType())),
             T.StructField("ids", T.ArrayType(T.LongType())),
             T.StructField("ctx_rows", T.IntegerType()),
+            T.StructField("mno", T.LongType()),
         ]
         + [
             T.StructField(
@@ -570,6 +595,24 @@ def pattern_match_define_stream(
             )
             for c in need_cols
         ]
+    )
+
+    def _mtype(agg: str, col: str | None) -> T.DataType:
+        if agg in ("count", "match_number"):
+            return T.LongType()
+        if agg == "avg":
+            return T.DoubleType()
+        if agg == "sum":
+            return (
+                T.DoubleType()
+                if dtypes[col] in ("float", "double")
+                else T.LongType()
+            )
+        return stream.schema[col].dataType
+
+    out_schema = T.StructType(
+        list(_CEP_OUT.fields)
+        + [T.StructField(n, _mtype(a, c)) for n, a, _, c in measures]
     )
 
     def _resume(p, end, assigns):
@@ -606,9 +649,10 @@ def pattern_match_define_stream(
         if state.exists:
             st = state.get
             ts_l, id_l, ctx0 = list(st[0]), list(st[1]), int(st[2])
-            col_l = {c: list(st[3 + i]) for i, c in enumerate(need_cols)}
+            mno = int(st[3] or 0)
+            col_l = {c: list(st[4 + i]) for i, c in enumerate(need_cols)}
         else:
-            ts_l, id_l, ctx0 = [], [], 0
+            ts_l, id_l, ctx0, mno = [], [], 0, 0
             col_l = {c: [] for c in need_cols}
         for pdf in pdfs:
             if not len(pdf):
@@ -672,14 +716,53 @@ def pattern_match_define_stream(
         # timeline, and everything past the boundary stays in state
         # unfinalized — emit-once preserved, one batch of latency per
         # NEXT offset
+        def mval(assigns, agg, tis, col, mi):
+            if agg == "match_number":
+                return mi
+            idxs = [
+                i
+                for ti, pos, take in assigns
+                if ti in tis
+                for i in range(pos, pos + take)
+            ]
+            if agg == "count":
+                return len(idxs)
+            if not idxs:
+                return None
+            raw = [col_l[col][i] for i in idxs]
+            if agg == "first":
+                return raw[0]
+            if agg == "last":
+                return raw[-1]
+            vs = [
+                v
+                for v in raw
+                if v is not None and not (isinstance(v, float) and v != v)
+            ]
+            if not vs:
+                return None
+            if agg == "avg":
+                return float(sum(vs) / len(vs))
+            if agg == "sum":
+                return sum(vs)
+            return min(vs) if agg == "min" else max(vs)
+
         n_eff = n - max_next
         rows, p, keep_from = [], ctx0, max(n_eff, ctx0)
+        mrows: list[tuple] = []
         while p < n_eff:
             end, hit, assigns = match_at(
                 None, ts_l[:n_eff], p, btoks, within_us
             )
             if end is not None and not hit:
                 rows.append((p, end))
+                mno += 1
+                mrows.append(
+                    tuple(
+                        mval(assigns, agg, tis, col, mno)
+                        for _, agg, tis, col in measures
+                    )
+                )
                 p = _resume(p, end, assigns)
             elif hit:
                 keep_from = p
@@ -692,6 +775,7 @@ def pattern_match_define_stream(
                 ts_l[ctx_from:],
                 id_l[ctx_from:],
                 keep_from - ctx_from,
+                mno,
             )
             + tuple(col_l[c][ctx_from:] for c in need_cols)
         )
@@ -699,15 +783,18 @@ def pattern_match_define_stream(
             fmt = lambda us: pd.Timestamp(us, unit="us").strftime(  # noqa: E731
                 "%Y-%m-%d %H:%M:%S"
             )
-            yield pd.DataFrame(
-                {
-                    "key": [str(key[0])] * len(rows),
-                    "start_id": [id_l[s] for s, _ in rows],
-                    "start_ts": [fmt(ts_l[s]) for s, _ in rows],
-                    "end_ts": [fmt(ts_l[e]) for _, e in rows],
-                    "n_rows": [e - s + 1 for s, e in rows],
-                }
-            )
+            out = {
+                "key": [str(key[0])] * len(rows),
+                "start_id": [id_l[s] for s, _ in rows],
+                "start_ts": [fmt(ts_l[s]) for s, _ in rows],
+                "end_ts": [fmt(ts_l[e]) for _, e in rows],
+                "n_rows": [e - s + 1 for s, e in rows],
+            }
+            for j, (name, _, _, _) in enumerate(measures):
+                out[name] = pd.Series(
+                    [m[j] for m in mrows], dtype=object
+                )
+            yield pd.DataFrame(out)
 
     projected = stream.selectExpr(
         f"CAST({key_col} AS STRING) AS key",
@@ -716,5 +803,5 @@ def pattern_match_define_stream(
         *[f"`{c}`" for c in need_cols],
     )
     return projected.groupBy("key").applyInPandasWithState(
-        fn, _CEP_OUT, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

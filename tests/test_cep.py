@@ -1799,17 +1799,44 @@ def test_match_recognize_sql_on_stream_routes_to_stateful(spark, tmp_path):
     )
     assert got == want and len(want) > 3
 
-    with _pytest.raises(ValueError, match="MEASURES"):
-        eng.sql(
-            """
-            SELECT * FROM mr_stream MATCH_RECOGNIZE (
-              PARTITION BY user_id ORDER BY ts, event_id
-              MEASURES COUNT(*) AS n ONE ROW PER MATCH
-              PATTERN (A B) DEFINE A AS event_type = 'view',
-                                   B AS event_type = 'click'
-            )
-            """
+    # MEASURES on a stream route through the DEFINE matcher (r8):
+    # values must equal the batch spelling's, keyed by start row
+    msql = """
+        SELECT * FROM {src} MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES SUM(value) AS total_v, LAST(B.value) AS last_b,
+                   COUNT(B.*) AS n_b, MATCH_NUMBER() AS mno
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+ C)
+          DEFINE A AS event_type = 'view', B AS event_type = 'click',
+                 C AS event_type = 'purchase'
         )
+    """
+    mres = eng.sql(msql.format(src="mr_stream"))
+    assert mres.isStreaming
+    q = (
+        mres.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mrsqlm")
+        .option("checkpointLocation", str(tmp_path / "ck_mrsqlm"))
+        .start()
+    )
+    q.processAllAvailable()
+    gotm = {
+        (int(r["key"]), r["start_id"]): (
+            r["total_v"], r["last_b"], r["n_b"], r["mno"]
+        )
+        for r in spark.sql("SELECT * FROM mrsqlm").collect()
+    }
+    q.stop()
+    wantm = {
+        (r["user_id"], r["start_event_id"]): (
+            r["total_v"], r["last_b"], r["n_b"], r["mno"]
+        )
+        for r in eng.sql(msql.format(src="mr_batch")).collect()
+    }
+    assert gotm == wantm and len(wantm) > 3
     with _pytest.raises(ValueError, match="ALL ROWS"):
         eng.sql(
             """
