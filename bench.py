@@ -140,6 +140,7 @@ def _cep_suite_bench(spark, sf_dir: str) -> dict:
         "cep_pattern_match", "cep_quantified_match", "cep_measures_match",
         "cep_skip_to_chain", "cep_reluctant_pairs", "cep_define_predicate",
         "cep_alternation_match", "cep_permute_match", "cep_all_rows_match",
+        "cep_define_agg", "cep_subset_union", "cep_running_measures",
     ]
     out: dict[str, float] = {}
     for name in names:
