@@ -561,8 +561,8 @@ def pattern_match_define_stream(
     bad = [c for c in need_cols if dtypes[c] not in _OK_STATE]
     if bad:
         raise ValueError(
-            f"DEFINE columns {bad} have types the streaming state "
-            "does not carry (numeric/string/boolean only)"
+            f"DEFINE/MEASURES columns {bad} have types the streaming "
+            "state does not carry (numeric/string/boolean only)"
         )
     tok_var = {
         ti: et if isinstance(et, str) else None
