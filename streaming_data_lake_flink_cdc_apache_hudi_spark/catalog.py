@@ -448,14 +448,16 @@ class TableRegistry:
     _EXPORT_RE = None  # compiled lazily below
 
     def _execute_export(self, statement: str) -> DataFrame | None:
-        """EXPORT TABLE <name> AS DELTA|HUDI|ICEBERG LOCATION '<path>'
-        — the SQL spelling of the lakehouse-format exporters, so the
-        interop trio is reachable from the paste-SQL front door."""
+        """EXPORT TABLE <name> AS DELTA|HUDI|ICEBERG|UNIFORM LOCATION
+        '<path>' — the SQL spelling of the lakehouse-format exporters,
+        so the interop trio (plus the UniForm dual-metadata flavor:
+        one parquet set under BOTH Delta and Iceberg metadata) is
+        reachable from the paste-SQL front door."""
         import re as _re
 
         m = _re.match(
             r"^\s*EXPORT\s+TABLE\s+`?(\w+)`?\s+AS\s+"
-            r"(DELTA|HUDI|ICEBERG)\s+LOCATION\s+'([^']+)'\s*;?\s*$",
+            r"(DELTA|HUDI|ICEBERG|UNIFORM)\s+LOCATION\s+'([^']+)'\s*;?\s*$",
             statement,
             _re.IGNORECASE,
         )
@@ -467,6 +469,10 @@ class TableRegistry:
             n = h.export_delta(dest)
         elif fmt == "HUDI":
             n = h.export_hudi(dest)
+        elif fmt == "UNIFORM":
+            from .sources.uniform import export_uniform
+
+            n = export_uniform(h.snapshot(), dest, name=name)
         else:
             n = h.export_iceberg(dest)
         return self.spark.createDataFrame(

@@ -494,6 +494,18 @@ def test_export_table_ddl_all_three_formats(spark, tmp_path):
             (r["id"], r["v"]) for r in reader(spark, dest).select("id", "v").collect()
         )
         assert got == [(1, "a"), (2, "b")], fmt
+    # UNIFORM: one parquet set, BOTH Delta and Iceberg metadata (r8)
+    dest = str(tmp_path / "out_uniform")
+    res = eng.sql(
+        f"EXPORT TABLE exp_src AS UNIFORM LOCATION '{dest}'"
+    ).collect()[0]
+    assert res["format"] == "UNIFORM" and res["data_files"] >= 1
+    for reader in (read_delta, read_iceberg):
+        got = sorted(
+            (r["id"], r["v"])
+            for r in reader(spark, dest).select("id", "v").collect()
+        )
+        assert got == [(1, "a"), (2, "b")], reader.__name__
 
 
 def test_flink_window_tvf_tumble_spelling(spark, tmp_path):
