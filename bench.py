@@ -135,7 +135,12 @@ def _cep_suite_bench(spark, sf_dir: str) -> dict:
     totals stay comparable, but recorded because the matcher is a
     Python-side operator whose cost profile differs from the codegen
     queries (round 7: pinned-width exchange + per-partition
-    vectorization took the suite from ~23 s to ~5 s at sf0.1)."""
+    vectorization took the suite from ~23 s to ~5 s at sf0.1).
+
+    NOTE the name list GREW in round 8 (+cep_define_agg,
+    cep_subset_union, cep_running_measures — ~2.5 s at sf0.1), so
+    cross-round comparisons of the suite TOTAL must use the shared
+    names from the per-query dict, not the headline sum."""
     names = [
         "cep_pattern_match", "cep_quantified_match", "cep_measures_match",
         "cep_skip_to_chain", "cep_reluctant_pairs", "cep_define_predicate",
