@@ -1993,6 +1993,42 @@ def q_hudi_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_partitioned_read",
+    """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents
+FROM lineitem WHERE l_returnflag = 'R'
+""",
+    doc="Partitioned Iceberg round trip with metadata pruning (new "
+    "r8), value-oracled against the source table: a lineitem slice "
+    "exports identity-partitioned by l_returnflag (one manifest per "
+    "partition, real partition structs, bound summaries), and "
+    "read_iceberg(partition_filter={'l_returnflag': 'R'}) prunes the "
+    "file list from the manifests BEFORE planning — so the returned "
+    "rows must equal the plain SQL filter. Quantity carried as "
+    "integer cents so the value hash is engine-exact. At 100 TB the "
+    "pruned read opens only the R partition's files; the unpruned "
+    "scan never runs.",
+)
+def q_iceberg_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.iceberg_interop import export_iceberg, read_iceberg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="ice_part_read_")
+    export_iceberg(li, f"{root}/t", partition_by=["l_returnflag"])
+    return read_iceberg(
+        spark, f"{root}/t", partition_filter={"l_returnflag": "R"}
+    )
+
+
+@register(
     "time_travel_read",
     f"""
 SELECT uuid, name, age FROM {_t1_values_sql(_T1_ROWS)}
