@@ -2029,6 +2029,34 @@ def q_iceberg_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_mapped_read",
+    """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+    doc="NAME-mode column-mapped Delta round trip (new r8), "
+    "value-oracled against the source table: nation exports with "
+    "delta.columnMapping.mode=name (physical col-<id> parquet names, "
+    "physicalName field metadata, protocol v2/v5 — the modern "
+    "Databricks default) and read_delta resolves the rename back to "
+    "the logical schema in one metadata-only select of aliases, so "
+    "the returned rows must equal the plain source projection. The "
+    "scan itself is one pruned parquet read; pushdown passes through "
+    "the aliases.",
+)
+def q_delta_mapped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import export_delta, read_delta
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="delta_mapped_")
+    export_delta(n, f"{root}/t", column_mapping=True)
+    return read_delta(spark, f"{root}/t")
+
+
+@register(
     "time_travel_read",
     f"""
 SELECT uuid, name, age FROM {_t1_values_sql(_T1_ROWS)}
