@@ -60,12 +60,18 @@ def build_sfx(spark, out: str) -> None:
     docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
     d = None
     for i in range(COPIES):
-        p = i * 7
+        # rotation offset 1 + (7*i mod (size-1)) lies in [1, size-1]
+        # for size >= 2, so a copy is NEVER byte-identical to the
+        # original (7*i mod size could be 0 for short documents,
+        # silently creating exact cross-copy duplicates and biasing
+        # the very exponent this probe measures); 1-word docs cannot
+        # rotate and stay identical — negligible and unavoidable
+        p = f"(1 + ({7 * i} % greatest(size(split(text, ' ')) - 1, 1)))"
         rotated = F.expr(
             f"array_join(concat("
-            f"slice(split(text, ' '), ({p} % greatest(size(split(text, ' ')), 1)) + 1,"
+            f"slice(split(text, ' '), {p} + 1,"
             f" size(split(text, ' '))),"
-            f"slice(split(text, ' '), 1, {p} % greatest(size(split(text, ' ')), 1))"
+            f"slice(split(text, ' '), 1, {p})"
             f"), ' ')"
         )
         c = docs.withColumn(

@@ -169,15 +169,17 @@ def parse_pattern(
             continue
         if core.startswith("(") and core.endswith(")"):
             alts = frozenset(v.strip() for v in core[1:-1].split("|"))
-            if len(alts) < 2 or not all(
-                re.fullmatch(r"\w+", a) for a in alts
+            if len(alts) < 2 or not all(alts) or any(
+                a[-1] in "+*?" for a in alts
             ):
                 raise ValueError(f"bad alternation element {p!r}")
             toks.append((alts, lo, hi, greedy))
             continue
-        if not re.fullmatch(r"\w+", core):
-            # catches malformed quantifiers too: 'A++' strips one '+'
-            # and would otherwise become a never-matching variable 'A+'
+        # a literal type may contain any characters ('add-to-cart',
+        # 'page.view'), but a TRAILING quantifier character means a
+        # malformed quantifier ('A++' strips one '+' and would
+        # otherwise become a never-matching literal 'A+')
+        if not core or core[-1] in "+*?":
             raise ValueError(f"bad pattern element {p!r}")
         toks.append((core, lo, hi, greedy))
     if not any(lo > 0 for _, lo, _, _ in toks):
@@ -553,8 +555,12 @@ def _grouped_match(
     within_us = (
         int(within_seconds) * 1_000_000 if within_seconds is not None else None
     )
+    # SQL:2016 default mode: RUNNING under ALL ROWS PER MATCH, FINAL
+    # under ONE ROW PER MATCH (where the two coincide) — matching the
+    # SQL front door's default, so 4-tuple callers get spec semantics
+    default_mode = "running" if rows_per_match == "all" else "final"
     measures = [
-        (m[0], m[1], list(m[2]), m[3], m[4] if len(m) > 4 else "final")
+        (m[0], m[1], list(m[2]), m[3], m[4] if len(m) > 4 else default_mode)
         for m in (measures or [])
     ]
     dtypes = dict(df.dtypes)

@@ -285,21 +285,26 @@ def read_iceberg(
                 f"partition_filter: {sorted(bad)} are not partition "
                 f"fields of this table (has {sorted(known)})"
             )
+        all_files = sorted(v for v, _, _ in mapping.values())
         mapping = {
             k: v
             for k, v in mapping.items()
             if all(v[2].get(c) == pv for c, pv in partition_filter.items())
         }
         if not mapping:
-            # metadata says no file can match: empty frame, no scan
-            all_files = sorted(
-                v for v, _, _ in _live_files(path, snapshot_id)[0].values()
-            )
-            return (
+            # metadata says no file can match: empty frame, no data
+            # scan — with the SAME schema projection a non-empty read
+            # gets (the shadow _p_* dirs must not leak here either)
+            df = (
                 spark.read.option("basePath", path)
                 .parquet(*all_files)
                 .limit(0)
             )
+            tbl_cols = _table_columns(path)
+            keep = [c for c in tbl_cols if c in df.columns]
+            if keep and set(keep) != set(df.columns):
+                df = df.select(*keep)
+            return df
     files = sorted(v for v, _, _ in mapping.values())
     df = spark.read.option("basePath", path).parquet(*files)
     # basePath makes Spark infer key=value directory levels as extra
@@ -742,9 +747,12 @@ def export_iceberg(
                 def _make_bkt(nb, st):
                     @pandas_udf("int")
                     def _bkt(s: pd.Series) -> pd.Series:
+                        # pd.isna, not `is None`: Arrow hands a
+                        # nullable int column to pandas as float64
+                        # with NaN, which `is None` misses
                         return s.map(
                             lambda v: None
-                            if v is None
+                            if pd.isna(v)
                             else iceberg_bucket(v, st, nb)
                         ).astype("Int32")
 

@@ -881,3 +881,33 @@ def test_hive_layout_partition_column_from_directories(spark, tmp_path):
         fh.write("1")
     got = sorted(map(tuple, read_iceberg(spark, path).collect()))
     assert got == [(10, 1), (11, 1), (20, 2), (21, 2)]
+
+
+def test_bucket_transform_null_values_and_empty_prune_schema(spark, tmp_path):
+    """Code-review r8 fixes: (a) NULLs in a bucket-partition source
+    column survive export (Arrow hands nullable ints as float64+NaN —
+    pd.isna, not `is None`); (b) a partition_filter matching nothing
+    returns an empty frame with the SAME schema as a non-empty read
+    (no shadow _p_* leak)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        iceberg_bucket,
+    )
+
+    path = str(tmp_path / "bktnull_iceberg")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, k long"
+    )
+    export_iceberg(df, path, partition_by=["bucket(4, k)"])
+    back = read_iceberg(spark, path)
+    assert sorted(map(tuple, back.collect()), key=str) == sorted(
+        [(1, 10), (2, None), (3, 30)], key=str
+    )
+    b10 = iceberg_bucket(10, "long", 4)
+    got = read_iceberg(spark, path, partition_filter={"k_bucket": b10})
+    assert (1, 10) in {tuple(r) for r in got.collect()}
+    # empty prune: same columns as the full read, zero rows
+    other = next(b for b in range(4) if b not in
+                 {iceberg_bucket(v, "long", 4) for v in (10, 30)})
+    empty = read_iceberg(spark, path, partition_filter={"k_bucket": other})
+    assert empty.columns == back.columns
+    assert empty.count() == 0
