@@ -604,6 +604,13 @@ def _grouped_match(
             return vals.iloc[0]
         if agg == "last":
             return vals.iloc[-1]
+        # SQL aggregates skip NULLs but return NULL when NOTHING remains;
+        # pandas skipna would instead give sum()==0.0 / mean()==NaN over
+        # an all-null window.  Mirror the streaming matcher's
+        # `if not vs: return None` so batch and stream agree.
+        vals = vals.dropna()
+        if len(vals) == 0:
+            return None
         if agg == "avg":
             return float(vals.mean())
         return getattr(vals, agg)()  # sum / min / max

@@ -3498,6 +3498,12 @@ _DRIVER_VERIFIED = frozenset({
     "approx_sketches", "bpe_top_pairs", "cep_all_rows_match",
     "cep_alternation_match", "cep_define_predicate", "cep_permute_match",
     "linestatus_priority_counts",
+    # --- r08 green rows (50/50 full value-hash matches — the first
+    # all-green window; names not already folded in above).
+    # embedding_near_dup earned its first REAL driver hash-green row
+    # here (full portable oracle added in r8) ---
+    "cep_define_agg", "cep_running_measures", "cep_subset_union",
+    "delta_mapped_read", "embedding_near_dup", "iceberg_partitioned_read",
 })
 
 

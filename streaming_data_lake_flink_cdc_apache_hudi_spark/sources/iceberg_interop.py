@@ -122,8 +122,8 @@ def live_data_files(
     return sorted(v for v, _, _ in _live_files(path, snapshot_id)[0].values())
 
 
-def _table_columns(path: str) -> list[str]:
-    """The CURRENT schema's column names, in declared order."""
+def _current_schema(path: str) -> dict:
+    """The CURRENT schema struct from the table metadata."""
     meta = json.load(open(_current_metadata_path(path)))
     sch = meta.get("schema")
     if not sch:
@@ -136,7 +136,47 @@ def _table_columns(path: str) -> list[str]:
             ),
             None,
         )
-    return [f["name"] for f in (sch or {}).get("fields", [])]
+    return sch or {}
+
+
+def _table_columns(path: str) -> list[str]:
+    """The CURRENT schema's column names, in declared order."""
+    return [f["name"] for f in _current_schema(path).get("fields", [])]
+
+
+_ICEBERG_TO_SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+    "binary": "binary",
+    "uuid": "string",
+}
+
+
+def _table_schema_ddl(path: str) -> str | None:
+    """Spark DDL for the CURRENT Iceberg schema, or None when a field
+    type has no Spark mapping (caller falls back to a file scan)."""
+    fields = _current_schema(path).get("fields", [])
+    if not fields:
+        return None
+    parts = []
+    for f in fields:
+        t = f.get("type")
+        if not isinstance(t, str):
+            return None  # nested struct/list/map: let the scan decide
+        spark_t = _ICEBERG_TO_SPARK.get(
+            t, t if t.startswith("decimal(") else None
+        )
+        if spark_t is None:
+            return None
+        parts.append(f"`{f['name']}` {spark_t}")
+    return ", ".join(parts)
 
 
 def _field_names_by_id(meta: dict) -> dict[int, str]:
@@ -292,9 +332,17 @@ def read_iceberg(
             if all(v[2].get(c) == pv for c, pv in partition_filter.items())
         }
         if not mapping:
-            # metadata says no file can match: empty frame, no data
-            # scan — with the SAME schema projection a non-empty read
-            # gets (the shadow _p_* dirs must not leak here either)
+            # metadata says no file can match: build the zero-row frame
+            # from the TABLE SCHEMA in the metadata file — a
+            # parquet(*all_files).limit(0) would list and open the
+            # footers of every non-matching file, which at 100 TB
+            # defeats the point of manifest pruning
+            ddl = _table_schema_ddl(path)
+            if ddl is not None:
+                return spark.createDataFrame([], ddl)
+            # unmappable/nested type: fall back to a footer-schema scan
+            # with the SAME projection a non-empty read gets (the
+            # shadow _p_* dirs must not leak here either)
             df = (
                 spark.read.option("basePath", path)
                 .parquet(*all_files)
@@ -802,8 +850,15 @@ def export_iceberg(
         for j, ps in enumerate(pspecs)
     ]
     entry_schema = _MANIFEST_ENTRY_SCHEMA
-    if pspecs:
+    if pspecs or format_version == 2:
         entry_schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    if format_version == 2:
+        # v2 spec: data_file.content is REQUIRED (0 = DATA) — Java v2
+        # readers reject manifest entries that omit it
+        entry_schema["fields"][2]["type"]["fields"].insert(
+            1, {"name": "content", "type": "int", "field-id": 134}
+        )
+    if pspecs:
         part_rec = next(
             fl
             for fl in entry_schema["fields"][2]["type"]["fields"]
@@ -840,21 +895,23 @@ def export_iceberg(
             n = pq.ParquetFile(full).metadata.num_rows
             total_rows += n
             n_files += 1
+            data_file = {
+                # spec: file_path is a full URI, not a bare path
+                "file_path": "file://" + full,
+                "file_format": "PARQUET",
+                "partition": {
+                    ps["fname"]: vals.get(ps["fname"]) for ps in pspecs
+                },
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(full),
+            }
+            if format_version == 2:
+                data_file["content"] = 0  # DATA
             entries.append(
                 {
                     "status": 1,  # ADDED
                     "snapshot_id": snapshot_id,
-                    "data_file": {
-                        # spec: file_path is a full URI, not a bare path
-                        "file_path": "file://" + full,
-                        "file_format": "PARQUET",
-                        "partition": {
-                            ps["fname"]: vals.get(ps["fname"])
-                            for ps in pspecs
-                        },
-                        "record_count": n,
-                        "file_size_in_bytes": os.path.getsize(full),
-                    },
+                    "data_file": data_file,
                 }
             )
         manifest_path = os.path.join(
@@ -885,6 +942,16 @@ def export_iceberg(
             row["content"] = 0  # data manifest
             row["sequence_number"] = 1
             row["min_sequence_number"] = 1
+            # v2 spec marks the file/row counts REQUIRED in the
+            # manifest list; all entries here are status=ADDED
+            row["added_files_count"] = len(entries)
+            row["existing_files_count"] = 0
+            row["deleted_files_count"] = 0
+            row["added_rows_count"] = sum(
+                e["data_file"]["record_count"] for e in entries
+            )
+            row["existing_rows_count"] = 0
+            row["deleted_rows_count"] = 0
         if pspecs:
             row["partitions"] = [
                 {
@@ -910,6 +977,21 @@ def export_iceberg(
                 "type": "long",
                 "field-id": 516,
             },
+            # required in v2 manifest lists (spec "Manifest Lists")
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {
+                "name": "existing_files_count",
+                "type": "int",
+                "field-id": 505,
+            },
+            {"name": "deleted_files_count", "type": "int", "field-id": 506},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {
+                "name": "existing_rows_count",
+                "type": "long",
+                "field-id": 513,
+            },
+            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
         ]
     if pspecs:
         mlist_schema = json.loads(json.dumps(mlist_schema))

@@ -748,11 +748,14 @@ def pattern_match_define_stream(
             return min(vs) if agg == "min" else max(vs)
 
         n_eff = n - max_next
+        # Slice the held timeline ONCE per key, not per match_at call —
+        # re-slicing inside the loop is O(n * matches) list copying.
+        ts_trunc = ts_l if max_next == 0 else ts_l[:n_eff]
         rows, p, keep_from = [], ctx0, max(n_eff, ctx0)
         mrows: list[tuple] = []
         while p < n_eff:
             end, hit, assigns = match_at(
-                None, ts_l[:n_eff], p, btoks, within_us
+                None, ts_trunc, p, btoks, within_us
             )
             if end is not None and not hit:
                 rows.append((p, end))

@@ -750,6 +750,43 @@ def test_define_vshape_masks(spark):
     assert got == [(1, 6, 7.0), (7, 3, 4.0)]
 
 
+def test_measures_agg_over_all_null_column_is_null(spark):
+    """Advice r8 fix: SUM/AVG/MIN/MAX over a match whose referenced
+    values are ALL NULL must return NULL (SQL semantics, and what the
+    streaming matcher's mval already does) — not pandas' skipna
+    sum()==0.0 / mean()==NaN. COUNT(col-less) still counts rows."""
+    import math
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_quantified
+
+    df = spark.createDataFrame(
+        [
+            (0, 1, dt.datetime(2024, 1, 1, 0, 0, 0), "a", None),
+            (1, 1, dt.datetime(2024, 1, 1, 0, 0, 1), "b", None),
+            (2, 1, dt.datetime(2024, 1, 1, 0, 0, 2), "b", None),
+        ],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = pattern_match_quantified(
+        df, "user_id", "ts", "event_id", "event_type",
+        pattern=["a", "b+"],
+        measures=[
+            ("s", "sum", [1], "value"),
+            ("a_", "avg", [1], "value"),
+            ("mn", "min", [1], "value"),
+            ("mx", "max", [1], "value"),
+            ("c", "count", [1], None),
+        ],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    for v in (r.s, r.a_, r.mn, r.mx):
+        assert v is None or (isinstance(v, float) and math.isnan(v)) is False
+        assert v is None
+    assert r.c == 2
+
+
 def test_define_undefined_var_matches_any_row(spark):
     from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.cep import pattern_match_define
 

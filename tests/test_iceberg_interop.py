@@ -800,6 +800,21 @@ def test_export_format_version_2_round_trip(spark, tmp_path):
         and m["min_sequence_number"] == 1
         for m in manifests
     )
+    # v2-REQUIRED manifest-list count fields (spec "Manifest Lists")
+    # and the v2-required data_file.content=0 in every manifest entry
+    for m in manifests:
+        assert m["existing_files_count"] == 0
+        assert m["deleted_files_count"] == 0
+        assert m["existing_rows_count"] == 0
+        assert m["deleted_rows_count"] == 0
+        mpath = m["manifest_path"].replace("file://", "")
+        _, entries = read_avro(mpath)
+        assert m["added_files_count"] == len(entries)
+        assert m["added_rows_count"] == sum(
+            e["data_file"]["record_count"] for e in entries
+        )
+        assert all(e["data_file"]["content"] == 0 for e in entries)
+    assert sum(m["added_rows_count"] for m in manifests) == 20
     back = read_iceberg(spark, path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
     # the reader resolves inherited data sequence numbers to 1
@@ -910,4 +925,29 @@ def test_bucket_transform_null_values_and_empty_prune_schema(spark, tmp_path):
                  {iceberg_bucket(v, "long", 4) for v in (10, 30)})
     empty = read_iceberg(spark, path, partition_filter={"k_bucket": other})
     assert empty.columns == back.columns
+    assert empty.count() == 0
+
+
+def test_empty_prune_never_opens_data_file_footers(spark, tmp_path):
+    """Advice r8 fix: a partition_filter the metadata proves empty
+    must build its zero-row frame from the TABLE SCHEMA, not from a
+    parquet(*all_files).limit(0) scan — at 100 TB that scan lists and
+    opens every non-matching footer. Proof: truncate every data file
+    after export; the pruned-empty read still succeeds (it never
+    touches them), while a full read would fail."""
+    path = str(tmp_path / "noscan_iceberg")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, k string, v double"
+    )
+    export_iceberg(df, path, partition_by=["k"])
+    for root, _, files in os.walk(os.path.join(path, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"not parquet")
+    empty = read_iceberg(spark, path, partition_filter={"k": "zzz"})
+    assert empty.columns == ["id", "k", "v"]
+    assert [f.dataType.simpleString() for f in empty.schema.fields] == [
+        "bigint", "string", "double",
+    ]
     assert empty.count() == 0
