@@ -456,28 +456,26 @@ class EngineSession:
             # route the same spelling to the cross-micro-batch
             # matchers (streaming/stateful.py: emit-once finalized
             # matches, per-key unfinalized-tail state, NEXT via
-            # lookahead hold-back). The streaming output schema is
-            # the matcher core (key, start_id, start_ts, end_ts,
-            # n_rows); clauses beyond it refuse with guidance.
-            if rows_per_match == "all":
-                raise ValueError(
-                    "MATCH_RECOGNIZE on a STREAM: ALL ROWS PER MATCH "
-                    "is not supported — use ONE ROW PER MATCH"
-                )
-            if literal_mode and not measures:
+            # lookahead hold-back; ALL ROWS PER MATCH emits every
+            # consumed row at finalization with RUNNING/FINAL
+            # measures — new r9).
+            if literal_mode and not measures and rows_per_match == "one":
                 from .streaming.stateful import pattern_match_stream
 
                 return pattern_match_stream(
                     src, part, ts_col, tiebreak, type_col, pattern,
                     within_seconds=within_seconds, after_match=after,
                 )
-            # MEASURES on a stream run through the DEFINE matcher
-            # (literal equalities are valid predicates), whose state
-            # already carries the referenced value columns
+            # MEASURES / ALL ROWS on a stream run through the DEFINE
+            # matcher (literal equalities are valid predicates), whose
+            # state already carries the referenced value columns —
+            # under ALL ROWS the variable-name spelling keeps
+            # CLASSIFIER() returning the SQL variable, not its
+            # resolved type literal
             if any(pv is None for pv in pattern_vars):
                 raise ValueError(
                     "MATCH_RECOGNIZE on a STREAM: PERMUTE with "
-                    "MEASURES is not supported"
+                    "MEASURES or ALL ROWS PER MATCH is not supported"
                 )
             from .streaming.stateful import pattern_match_define_stream
 
@@ -486,12 +484,15 @@ class EngineSession:
                 part,
                 ts_col,
                 tiebreak,
-                pattern_vars if measures else pattern,
+                pattern_vars
+                if (measures or rows_per_match == "all")
+                else pattern,
                 raw_defs,
                 within_seconds=within_seconds,
                 after_match=after,
                 subset=subset or None,
                 measures=measures,
+                rows_per_match=rows_per_match,
             )
         if literal_mode:
             from .operators.cep import pattern_match_quantified

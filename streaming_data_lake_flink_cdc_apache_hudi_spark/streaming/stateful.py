@@ -449,6 +449,7 @@ def pattern_match_define_stream(
     after_match="past_last_row",
     subset: dict | None = None,
     measures=None,
+    rows_per_match: str = "one",
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE with DEFINE predicates — the
     cross-micro-batch flavor of
@@ -479,13 +480,29 @@ def pattern_match_define_stream(
     ``a+`` run waiting at the tail.
 
     ``measures`` (new r8): the batch operator's MEASURES tuples
-    (``(name, agg, token_indices, col[, mode])`` — mode is accepted
-    and ignored, RUNNING and FINAL coincide under one row per match)
-    evaluate per FINALIZED match from the same per-key state arrays
-    the predicates ride; ``match_number`` is a per-key counter carried
+    (``(name, agg, token_indices, col[, mode])`` — under ONE ROW PER
+    MATCH the mode is irrelevant, RUNNING and FINAL coincide) evaluate
+    per FINALIZED match from the same per-key state arrays the
+    predicates ride; ``match_number`` is a per-key counter carried
     in state, so numbering stays Flink-cumulative across micro-batches.
     Measure columns join the referenced-column state, so state remains
     bounded by the unfinalized tail.
+
+    ``rows_per_match="all"`` (new r9, replacing the previous refusal):
+    SQL:2016 ALL ROWS PER MATCH on a stream — one output row per
+    consumed row of each FINALIZED match, carrying every source
+    column (original order and dtypes; the tiebreak arrives as the
+    projected long, the time column is reconstructed exactly from the
+    microsecond state array), plus ``match_no``, ``classifier``, and
+    the measures with TRUE per-row semantics: ``mode="running"``
+    aggregates the match rows up to and including the emitted row,
+    ``mode="final"`` the whole match — batch-parity with
+    ``operators/cep.py`` ALL ROWS even when a match straddles a
+    micro-batch boundary, because rows only emit at finalization.
+    All source columns ride the per-key state arrays (Flink's keyed
+    CEP state holds whole rows too), so columns must be
+    numeric/string/boolean; state stays bounded by the unfinalized
+    tail exactly as in one-row mode.
 
     Referenced predicate columns ride per-key state as arrays —
     state stays bounded by the unfinalized tail exactly as before.
@@ -535,10 +552,16 @@ def pattern_match_define_stream(
         )
         for v, e in define.items()
     }
+    if rows_per_match not in ("one", "all"):
+        raise ValueError(
+            f"rows_per_match must be one|all, got {rows_per_match!r}"
+        )
+    all_mode = rows_per_match == "all"
     measures = [
-        (m[0], m[1], list(m[2]), m[3]) for m in (measures or [])
+        (m[0], m[1], list(m[2]), m[3], m[4] if len(m) > 4 else "final")
+        for m in (measures or [])
     ]
-    for name, agg, tis, col in measures:
+    for name, agg, tis, col, mode in measures:
         if agg not in (
             "first", "last", "count", "sum", "min", "max", "avg",
             "match_number",
@@ -548,16 +571,40 @@ def pattern_match_define_stream(
             raise ValueError(f"MEASURES {name}: {agg} needs a column")
         if any(ti < 0 or ti >= len(toks) for ti in tis):
             raise ValueError(f"MEASURES {name}: token index out of range")
+        if mode not in ("running", "final"):
+            raise ValueError(
+                f"MEASURES {name}: mode must be running|final, "
+                f"got {mode!r}"
+            )
+    dtypes = dict(stream.dtypes)
+    _OK_STATE = {"bigint", "int", "smallint", "tinyint", "double",
+                 "float", "string", "boolean"}
     need_cols = sorted(
         (set().union(*(c for _, _, c in compiled.values())) if compiled else set())
-        | {col for _, _, _, col in measures if col is not None}
+        | {col for _, _, _, col, _ in measures if col is not None}
     )
-    dtypes = dict(stream.dtypes)
+    if all_mode:
+        # ALL ROWS reproduces every source column, so every column
+        # (beyond the ts/tiebreak already in core state) rides the
+        # per-key state arrays — the same whole-row keyed state
+        # Flink's CEP holds
+        carry = [
+            c
+            for c in stream.columns
+            if c not in (time_col, order_tiebreak)
+        ]
+        bad_carry = [c for c in carry if dtypes[c] not in _OK_STATE]
+        if bad_carry:
+            raise ValueError(
+                f"ALL ROWS PER MATCH on a stream: columns {bad_carry} "
+                "have types the streaming state does not carry "
+                "(numeric/string/boolean only) — drop them before "
+                "MATCH_RECOGNIZE"
+            )
+        need_cols = sorted(set(need_cols) | set(carry))
     missing = [c for c in need_cols if c not in dtypes]
     if missing:
         raise ValueError(f"DEFINE references unknown columns {missing}")
-    _OK_STATE = {"bigint", "int", "smallint", "tinyint", "double",
-                 "float", "string", "boolean"}
     bad = [c for c in need_cols if dtypes[c] not in _OK_STATE]
     if bad:
         raise ValueError(
@@ -610,10 +657,29 @@ def pattern_match_define_stream(
             )
         return stream.schema[col].dataType
 
-    out_schema = T.StructType(
-        list(_CEP_OUT.fields)
-        + [T.StructField(n, _mtype(a, c)) for n, a, _, c in measures]
-    )
+    measure_fields = [
+        T.StructField(n, _mtype(a, c)) for n, a, _, c, _ in measures
+    ]
+    if all_mode:
+        from ..operators.cep import _tok_name
+
+        tok_disp = [_tok_name(et) for et, _, _, _ in toks]
+        out_schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType())
+                if f.name == order_tiebreak and f.name != time_col
+                else T.StructField(f.name, f.dataType)
+                for f in stream.schema.fields
+            ]
+            + [
+                T.StructField("match_no", T.LongType()),
+                T.StructField("classifier", T.StringType()),
+            ]
+            + measure_fields
+        )
+    else:
+        out_schema = T.StructType(list(_CEP_OUT.fields) + measure_fields)
+    stream_cols = list(stream.columns)
 
     def _resume(p, end, assigns):
         if skip_to is None:
@@ -716,15 +782,9 @@ def pattern_match_define_stream(
         # timeline, and everything past the boundary stays in state
         # unfinalized — emit-once preserved, one batch of latency per
         # NEXT offset
-        def mval(assigns, agg, tis, col, mi):
+        def mval_idx(idxs, agg, col, mi):
             if agg == "match_number":
                 return mi
-            idxs = [
-                i
-                for ti, pos, take in assigns
-                if ti in tis
-                for i in range(pos, pos + take)
-            ]
             if agg == "count":
                 return len(idxs)
             if not idxs:
@@ -747,25 +807,71 @@ def pattern_match_define_stream(
                 return sum(vs)
             return min(vs) if agg == "min" else max(vs)
 
+        def mval(assigns, agg, tis, col, mi):
+            return mval_idx(
+                [
+                    i
+                    for ti, pos, take in assigns
+                    if ti in tis
+                    for i in range(pos, pos + take)
+                ],
+                agg,
+                col,
+                mi,
+            )
+
         n_eff = n - max_next
         # Slice the held timeline ONCE per key, not per match_at call —
         # re-slicing inside the loop is O(n * matches) list copying.
         ts_trunc = ts_l if max_next == 0 else ts_l[:n_eff]
         rows, p, keep_from = [], ctx0, max(n_eff, ctx0)
         mrows: list[tuple] = []
+        arows: list[tuple] = []  # all-mode: (row_idx, mno, cls, *mvals)
         while p < n_eff:
             end, hit, assigns = match_at(
                 None, ts_trunc, p, btoks, within_us
             )
             if end is not None and not hit:
-                rows.append((p, end))
                 mno += 1
-                mrows.append(
-                    tuple(
+                if all_mode:
+                    consumed = [
+                        (ti, i)
+                        for ti, pos, take in assigns
+                        for i in range(pos, pos + take)
+                    ]
+                    finals = [
                         mval(assigns, agg, tis, col, mno)
-                        for _, agg, tis, col in measures
+                        if (mode == "final" or agg == "match_number")
+                        else None
+                        for _, agg, tis, col, mode in measures
+                    ]
+                    for ti, i in consumed:
+                        mv = tuple(
+                            finals[j]
+                            if (mode == "final" or agg == "match_number")
+                            else mval_idx(
+                                [
+                                    x
+                                    for tx, x in consumed
+                                    if tx in tis and x <= i
+                                ],
+                                agg,
+                                col,
+                                mno,
+                            )
+                            for j, (_, agg, tis, col, mode) in enumerate(
+                                measures
+                            )
+                        )
+                        arows.append((i, mno, tok_disp[ti]) + mv)
+                else:
+                    rows.append((p, end))
+                    mrows.append(
+                        tuple(
+                            mval(assigns, agg, tis, col, mno)
+                            for _, agg, tis, col, _ in measures
+                        )
                     )
-                )
                 p = _resume(p, end, assigns)
             elif hit:
                 keep_from = p
@@ -782,7 +888,32 @@ def pattern_match_define_stream(
             )
             + tuple(col_l[c][ctx_from:] for c in need_cols)
         )
-        if rows:
+        if all_mode and arows:
+            idxs = [a[0] for a in arows]
+            out = {}
+            for c in stream_cols:
+                if c == time_col:
+                    out[c] = pd.to_datetime(
+                        [ts_l[i] for i in idxs], unit="us"
+                    )
+                elif c == order_tiebreak:
+                    out[c] = pd.Series(
+                        [id_l[i] for i in idxs], dtype="int64"
+                    )
+                else:
+                    out[c] = pd.Series(
+                        [col_l[c][i] for i in idxs], dtype=object
+                    )
+            out["match_no"] = pd.Series(
+                [a[1] for a in arows], dtype="int64"
+            )
+            out["classifier"] = [a[2] for a in arows]
+            for j, (name, _, _, _, _) in enumerate(measures):
+                out[name] = pd.Series(
+                    [a[3 + j] for a in arows], dtype=object
+                )
+            yield pd.DataFrame(out)
+        elif rows:
             fmt = lambda us: pd.Timestamp(us, unit="us").strftime(  # noqa: E731
                 "%Y-%m-%d %H:%M:%S"
             )
@@ -793,7 +924,7 @@ def pattern_match_define_stream(
                 "end_ts": [fmt(ts_l[e]) for _, e in rows],
                 "n_rows": [e - s + 1 for s, e in rows],
             }
-            for j, (name, _, _, _) in enumerate(measures):
+            for j, (name, _, _, _, _) in enumerate(measures):
                 out[name] = pd.Series(
                     [m[j] for m in mrows], dtype=object
                 )

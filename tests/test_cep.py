@@ -1770,7 +1770,8 @@ def test_match_recognize_sql_on_stream_routes_to_stateful(spark, tmp_path):
     is streaming SQL) — literal DEFINEs to pattern_match_stream,
     predicate DEFINEs to pattern_match_define_stream — and the
     finalized matches equal the batch spelling's on the drained
-    stream. MEASURES / ALL ROWS refuse with guidance."""
+    stream. MEASURES and ALL ROWS PER MATCH (r9) run through the
+    DEFINE matcher; PERMUTE-with-MEASURES refuses with guidance."""
     import pytest as _pytest
 
     from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
@@ -1874,14 +1875,59 @@ def test_match_recognize_sql_on_stream_routes_to_stateful(spark, tmp_path):
         for r in eng.sql(msql.format(src="mr_batch")).collect()
     }
     assert gotm == wantm and len(wantm) > 3
-    with _pytest.raises(ValueError, match="ALL ROWS"):
+    # ALL ROWS PER MATCH on a stream (r9, replacing the refusal):
+    # per-consumed-row emission with RUNNING measures equals the
+    # batch spelling's output — SQL:2016 default mode under ALL ROWS
+    # is RUNNING, so SUM(value) here is a running sum
+    asql = """
+        SELECT * FROM {src} MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES SUM(value) AS run_v, FINAL SUM(value) AS fin_v,
+                   MATCH_NUMBER() AS mno
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+ C)
+          DEFINE A AS event_type = 'view', B AS event_type = 'click',
+                 C AS event_type = 'purchase'
+        )
+    """
+    ares = eng.sql(asql.format(src="mr_stream"))
+    assert ares.isStreaming
+    q = (
+        ares.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mrsqla")
+        .option("checkpointLocation", str(tmp_path / "ck_mrsqla"))
+        .start()
+    )
+    q.processAllAvailable()
+    # the streaming route's CLASSIFIER() is the SQL variable name
+    # (SQL:2016); the batch literal route emits the resolved type —
+    # map one onto the other for the comparison
+    var_ty = {"A": "view", "B": "click", "C": "purchase"}
+    gota = sorted(
+        (r["user_id"], r["event_id"], r["match_no"],
+         var_ty[r["classifier"]], r["run_v"], r["fin_v"], r["mno"])
+        for r in spark.sql("SELECT * FROM mrsqla").collect()
+    )
+    q.stop()
+    wanta = sorted(
+        (r["user_id"], r["event_id"], r["match_no"], r["classifier"],
+         r["run_v"], r["fin_v"], r["mno"])
+        for r in eng.sql(asql.format(src="mr_batch")).collect()
+    )
+    assert gota == wanta and len(wanta) > 10
+    # PERMUTE with MEASURES still refuses on a stream
+    with _pytest.raises(ValueError, match="PERMUTE"):
         eng.sql(
             """
             SELECT * FROM mr_stream MATCH_RECOGNIZE (
               PARTITION BY user_id ORDER BY ts, event_id
-              ALL ROWS PER MATCH
-              PATTERN (A B) DEFINE A AS event_type = 'view',
-                                   B AS event_type = 'click'
+              MEASURES SUM(value) AS v
+              ONE ROW PER MATCH
+              PATTERN (PERMUTE(A, B))
+              DEFINE A AS event_type = 'view',
+                     B AS event_type = 'click'
             )
             """
         )
