@@ -2057,6 +2057,34 @@ def q_delta_mapped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_id_mapped_read",
+    """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+""",
+    doc="ID-mode column-mapped Delta round trip (new r9), "
+    "value-oracled against the source table: supplier exports with "
+    "delta.columnMapping.mode=id — parquet files carry REAL field "
+    "ids (Spark's parquet.field.id metadata becomes the footer "
+    "field_id) under physical col-<id> names — and read_delta "
+    "resolves logical columns BY FIELD ID from one driver-side "
+    "footer read (KB-scale), then renames via the same metadata-only "
+    "alias projection as name mode. Returned rows must equal the "
+    "plain source projection.",
+)
+def q_delta_id_mapped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import export_delta, read_delta
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="delta_id_mapped_")
+    export_delta(s, f"{root}/t", column_mapping="id")
+    return read_delta(spark, f"{root}/t")
+
+
+@register(
     "time_travel_read",
     f"""
 SELECT uuid, name, age FROM {_t1_values_sql(_T1_ROWS)}

@@ -38,19 +38,24 @@ anti-join on Spark's hidden parquet ``_metadata.file_path`` /
 EXECUTORS (``mapInPandas`` over the descriptor list through
 ``pyarrow.fs``); row positions never pass through the driver.
 
-NAME-mode column mapping (reader protocol v2, the default on modern
-Databricks-written tables) is supported on read AND write: parquet
-files store physical ``col-<id>`` names, the logical schema carries
-``delta.columnMapping.physicalName`` field metadata, and the reader
-resolves the rename in one metadata-only ``select`` of aliases over
-the scan (partition values are looked up under their physical names,
-per the spec).
+Column mapping (reader protocol v2, the default on modern
+Databricks-written tables) is supported on read AND write in BOTH
+modes. NAME mode: parquet files store physical ``col-<id>`` names,
+the logical schema carries ``delta.columnMapping.physicalName``
+field metadata, and the reader resolves the rename in one
+metadata-only ``select`` of aliases over the scan (partition values
+are looked up under their physical names, per the spec). ID mode
+(new r9): the parquet footers' field ids are authoritative — one
+driver-side footer read builds the field-id -> parquet-name map
+(KB-scale; all live files share the table schema's ids), and the
+same alias projection renames to logical names; the exporter's id
+fixture writes real field ids via Spark's ``parquet.field.id``
+field metadata.
 
-Boundary (documented, enforced): ID-mode column mapping (parquet
-field-id resolution), column mapping over nested struct columns,
-generated columns, and reader features beyond deletionVectors +
-columnMapping raise ``UnsupportedDeltaFeature`` instead of returning
-wrong rows.
+Boundary (documented, enforced): column mapping over nested struct
+columns, generated columns, id-mode tables whose files lack field
+ids, and reader features beyond deletionVectors + columnMapping
+raise ``UnsupportedDeltaFeature`` instead of returning wrong rows.
 """
 
 from __future__ import annotations
@@ -259,7 +264,7 @@ def export_delta(
     df: DataFrame,
     path: str,
     name: str | None = None,
-    column_mapping: bool = False,
+    column_mapping: bool | str = False,
     data_files: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new single-commit Delta table at ``path``.
@@ -268,19 +273,31 @@ def export_delta(
     JSON lists them as ``add`` actions with sizes and row-count
     stats. Returns the number of data files committed.
 
-    ``column_mapping=True`` writes the table in NAME-mode column
-    mapping (protocol reader v2 / writer v5, the default on modern
-    Databricks-written tables): parquet files store deterministic
-    physical column names (``col-<id>``) and the logical schema
-    carries ``delta.columnMapping.physicalName`` / ``.id`` field
-    metadata, exactly as PROTOCOL.md's Column Mapping section
-    specifies — also the self-generated fixture for this reader's
-    name-mode support.
+    ``column_mapping=True`` (or ``"name"``) writes the table in
+    NAME-mode column mapping (protocol reader v2 / writer v5, the
+    default on modern Databricks-written tables): parquet files store
+    deterministic physical column names (``col-<id>``) and the
+    logical schema carries ``delta.columnMapping.physicalName`` /
+    ``.id`` field metadata, exactly as PROTOCOL.md's Column Mapping
+    section specifies — also the self-generated fixture for this
+    reader's name-mode support. ``column_mapping="id"`` (new r9)
+    writes ID mode: the same physical rename PLUS parquet field ids
+    in the files (Spark's ``parquet.field.id`` field metadata, which
+    the parquet writer persists as the schema's field_id), and
+    ``delta.columnMapping.mode=id`` — the fixture for this reader's
+    field-id resolution path.
 
     ``data_files`` (relative parquet names already at ``path``) skips
     the data write and commits a log over EXISTING files — the
     UniForm path (``sources/uniform.py``), where one parquet set is
     shared by several formats' metadata."""
+    if column_mapping is True:
+        column_mapping = "name"
+    if column_mapping not in (False, "name", "id"):
+        raise ValueError(
+            f"column_mapping must be False, 'name' or 'id', "
+            f"got {column_mapping!r}"
+        )
     if data_files is not None and column_mapping:
         raise ValueError(
             "data_files injection cannot be combined with "
@@ -294,7 +311,21 @@ def export_delta(
         }
         phys_df = df.select(
             *(
-                df[f.name].alias(field_meta[f.name][1])
+                df[f.name].alias(
+                    field_meta[f.name][1],
+                    # id mode: files must carry parquet field ids —
+                    # Spark's parquet writer persists this field
+                    # metadata as the schema's field_id
+                    **(
+                        {
+                            "metadata": {
+                                "parquet.field.id": field_meta[f.name][0]
+                            }
+                        }
+                        if column_mapping == "id"
+                        else {}
+                    ),
+                )
                 for f in df.schema.fields
             )
         )
@@ -320,7 +351,7 @@ def export_delta(
             f["metadata"]["delta.columnMapping.id"] = cid
             f["metadata"]["delta.columnMapping.physicalName"] = phys
         config = {
-            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.mode": column_mapping,
             "delta.columnMapping.maxColumnId": str(len(field_meta)),
         }
         protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
@@ -447,24 +478,23 @@ def _replay_log(
     if proto is not None:
         mrv = proto.get("minReaderVersion", 1)
         feats = set(proto.get("readerFeatures") or [])
-        # v2 = column mapping (name mode resolved at scan time, id
-        # mode gated below); v3 tables are readable iff their feature
-        # list is within the support implemented here
+        # v2 = column mapping (name mode via physicalName rename, id
+        # mode via parquet field-id resolution); v3 tables are
+        # readable iff their feature list is within the support
+        # implemented here
         if mrv > 3 or (feats - {"deletionVectors", "columnMapping"}):
             raise UnsupportedDeltaFeature(
                 "reader supports Delta protocol v1 + deletionVectors "
-                f"+ name-mode columnMapping only; table needs {proto}"
+                f"+ name/id-mode columnMapping only; table needs {proto}"
             )
     if meta is not None:
         cm = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if cm not in ("none", None, "name"):
-            # id mode resolves columns by parquet field ID, a
-            # different resolution path than the physicalName rename
+        if cm not in ("none", None, "name", "id"):
             raise UnsupportedDeltaFeature(
-                f"column mapping mode {cm!r} not supported (name mode "
-                "is; id mode needs parquet-field-id resolution)"
+                f"column mapping mode {cm!r} not supported "
+                "(name and id modes are)"
             )
         _column_mapping(meta)  # fail fast on unmappable schemas
     return adds, meta
@@ -514,6 +544,48 @@ def _column_mapping(meta) -> dict[str, str] | None:
             )
         mapping[f["name"]] = phys
     return mapping
+
+
+def _resolve_id_mapping(
+    meta: dict, path: str, adds: dict[str, dict], part_names: list[str]
+) -> dict[str, str]:
+    """logical name -> parquet column name resolved by FIELD ID — the
+    authoritative resolution in id-mode column mapping (PROTOCOL.md:
+    physical names are merely conventional there). One driver-side
+    footer read resolves the whole table: all live files share the
+    table schema's field ids by the protocol's append rules (KB-scale
+    metadata, never a data scan). Partition columns are absent from
+    the files, so they keep their physicalName (used only to key
+    ``partitionValues``)."""
+    import pyarrow.parquet as pq
+
+    first = min(adds.values(), key=lambda a: a["path"])["path"]
+    by_id: dict[int, str] = {}
+    for f in pq.ParquetFile(os.path.join(path, first)).schema_arrow:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            by_id[int(fid)] = f.name
+    out: dict[str, str] = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        fmeta = f.get("metadata") or {}
+        if f["name"] in part_names:
+            out[f["name"]] = fmeta.get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            continue
+        cid = fmeta.get("delta.columnMapping.id")
+        if cid is None:
+            raise UnsupportedDeltaFeature(
+                f"id-mode column mapping: field {f['name']!r} carries "
+                "no delta.columnMapping.id"
+            )
+        if int(cid) not in by_id:
+            raise UnsupportedDeltaFeature(
+                f"id-mode column mapping: parquet files carry no "
+                f"field id {cid} for column {f['name']!r}"
+            )
+        out[f["name"]] = by_id[int(cid)]
+    return out
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
@@ -631,6 +703,13 @@ def _frame_from_adds(
     mapping = _column_mapping(meta)
 
     part_names = (meta or {}).get("partitionColumns") or []
+    cm_mode = ((meta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mapping and cm_mode == "id" and adds:
+        # id mode: field ids in the parquet footers are authoritative;
+        # the physicalName rename is replaced by footer-resolved names
+        mapping = _resolve_id_mapping(meta, path, adds, part_names)
 
     def add_meta(df):
         # physical -> logical rename and the _metadata-derived DV key

@@ -321,14 +321,15 @@ def test_protocol_v2_and_column_mapping_refused(spark, tmp_path):
     with pytest.raises(UnsupportedDeltaFeature):
         read_delta(spark, path)
 
-    # id-mode column mapping stays gated (parquet field-id resolution)
+    # id-mode column mapping is supported (r9) but a schema with NO
+    # mapping metadata at all still fails fast
     path2 = str(tmp_path / "cm_delta")
     _log(
         path2,
         0,
         _proto_meta(sj, config={"delta.columnMapping.mode": "id"}),
     )
-    with pytest.raises(UnsupportedDeltaFeature, match="id"):
+    with pytest.raises(UnsupportedDeltaFeature, match="physicalName"):
         read_delta(spark, path2)
     # name mode with a field missing physicalName metadata fails fast
     path3 = str(tmp_path / "cm_nophys")
@@ -797,6 +798,171 @@ def test_column_mapping_name_mode_round_trip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
     # pushdown reaches the scan through the rename (logical filter)
     assert back.filter("id = 2").collect()[0]["label"] == "b"
+
+
+def test_column_mapping_id_mode_round_trip(spark, tmp_path):
+    """VERDICT r8 #4: ID-mode column mapping. The exporter writes
+    parquet files with REAL field ids (Spark persists the
+    parquet.field.id field metadata as the schema's field_id) and
+    delta.columnMapping.mode=id; read_delta resolves logical columns
+    by field id from one footer read and renames to the logical
+    schema."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "cmid_rt")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, 3.5)],
+        "id long, label string, score double",
+    )
+    export_delta(df, path, column_mapping="id")
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    # the files genuinely carry field ids 1..3
+    sch = pq.ParquetFile(files[0]).schema_arrow
+    fids = sorted(
+        int((f.metadata or {}).get(b"PARQUET:field_id")) for f in sch
+    )
+    assert fids == [1, 2, 3]
+    meta_line = [
+        json.loads(line)
+        for line in open(
+            os.path.join(path, "_delta_log", "%020d.json" % 0)
+        )
+        if "metaData" in line
+    ][0]["metaData"]
+    assert (
+        meta_line["configuration"]["delta.columnMapping.mode"] == "id"
+    )
+    back = read_delta(spark, path)
+    assert back.columns == ["id", "label", "score"]
+    assert sorted(map(tuple, back.collect()), key=str) == sorted(
+        map(tuple, df.collect()), key=str
+    )
+    assert back.filter("id = 2").collect()[0]["label"] == "b"
+
+
+def test_column_mapping_id_mode_resolves_by_field_id_not_name(
+    spark, tmp_path
+):
+    """Field ids are AUTHORITATIVE in id mode: a table whose parquet
+    column names match neither the logical nor the recorded physical
+    names must still read correctly through the field ids — and a
+    table whose files carry NO field ids must refuse, not guess by
+    name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "cmid_auth")
+    os.makedirs(path, exist_ok=True)
+    sch = pa.schema(
+        [
+            pa.field(
+                "weird_a", pa.int64(),
+                metadata={b"PARQUET:field_id": b"1"},
+            ),
+            pa.field(
+                "weird_b", pa.string(),
+                metadata={b"PARQUET:field_id": b"2"},
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.table({"weird_a": [1, 2], "weird_b": ["x", "y"]}, schema=sch),
+        os.path.join(path, "f1.parquet"),
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "k",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-1",
+                },
+            },
+            {
+                "name": "v",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-2",
+                },
+            },
+        ],
+    }
+    _log(
+        path,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "t",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "2",
+                    },
+                }
+            },
+            {
+                "add": {
+                    "path": "f1.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    got = sorted((r["k"], r["v"]) for r in read_delta(spark, path).collect())
+    assert got == [(1, "x"), (2, "y")]
+    # no field ids in the files -> refuse (never resolve by name)
+    path2 = str(tmp_path / "cmid_noids")
+    os.makedirs(path2, exist_ok=True)
+    pq.write_table(
+        pa.table({"col-1": [1], "col-2": ["x"]}),
+        os.path.join(path2, "f1.parquet"),
+    )
+    _log(
+        path2,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "t2",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "2",
+                    },
+                }
+            },
+            {
+                "add": {
+                    "path": "f1.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    with pytest.raises(UnsupportedDeltaFeature, match="field id"):
+        read_delta(spark, path2).collect()
 
 
 def test_column_mapping_partitioned_physical_keys(spark, tmp_path):
