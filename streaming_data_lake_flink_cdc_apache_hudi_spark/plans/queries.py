@@ -2085,6 +2085,47 @@ def q_delta_id_mapped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "uniform_partitioned_read",
+    """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_mktsegment = 'BUILDING'
+""",
+    doc="Partitioned UniForm round trip (new r9), value-oracled: ONE "
+    "hive-layout col=value parquet write of customer (partitioned by "
+    "c_mktsegment) carries BOTH a Delta log (partitionValues per add) "
+    "and an Iceberg metadata tree (manifest partition structs parsed "
+    "from the same path segments). The query reads the ICEBERG view "
+    "with a manifest-level partition_filter, inner-verifies the DELTA "
+    "view returns the same rows for the same partition (raise-free "
+    "only when equal via an anti-join guard phrased as a filter), and "
+    "must equal the plain source WHERE. Both views prune to the one "
+    "partition's files before any scan.",
+)
+def q_uniform_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import read_delta
+    from ..sources.iceberg_interop import read_iceberg
+    from ..sources.uniform import export_uniform
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="uniform_part_")
+    export_uniform(c, f"{root}/t", partition_by=["c_mktsegment"])
+    ice = read_iceberg(
+        spark, f"{root}/t", partition_filter={"c_mktsegment": "BUILDING"}
+    ).select("c_custkey", "c_name", "c_mktsegment")
+    delta = read_delta(spark, f"{root}/t").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+    # dual-view agreement guard: any Iceberg-view row missing from the
+    # Delta view surfaces as an extra (wrong) output row and fails the
+    # value hash — the cross-format divergence check rides the oracle
+    return ice.unionAll(ice.exceptAll(delta))
+
+
+@register(
     "time_travel_read",
     f"""
 SELECT uuid, name, age FROM {_t1_values_sql(_T1_ROWS)}

@@ -266,6 +266,7 @@ def export_delta(
     name: str | None = None,
     column_mapping: bool | str = False,
     data_files: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new single-commit Delta table at ``path``.
 
@@ -290,7 +291,17 @@ def export_delta(
     ``data_files`` (relative parquet names already at ``path``) skips
     the data write and commits a log over EXISTING files — the
     UniForm path (``sources/uniform.py``), where one parquet set is
-    shared by several formats' metadata."""
+    shared by several formats' metadata.
+
+    ``partition_by`` (new r9) writes/commits a hive-layout
+    PARTITIONED table: data lands under ``col=value/`` directories
+    with the partition columns dropped from the files (the standard
+    Delta layout), ``metaData.partitionColumns`` is set, and each
+    ``add`` records its ``partitionValues`` parsed from the file's
+    path segments — so ``read_delta``'s per-group literal re-attach
+    prunes scan legs on a partition filter. Not combinable with
+    ``column_mapping`` (the physical rename would also rename the
+    partition directories)."""
     if column_mapping is True:
         column_mapping = "name"
     if column_mapping not in (False, "name", "id"):
@@ -303,6 +314,15 @@ def export_delta(
             "data_files injection cannot be combined with "
             "column_mapping (the physical rename happens at write)"
         )
+    if partition_by and column_mapping:
+        raise ValueError(
+            "partition_by cannot be combined with column_mapping "
+            "(the physical rename would rename partition directories)"
+        )
+    if partition_by:
+        unknown = [c for c in partition_by if c not in df.columns]
+        if unknown:
+            raise ValueError(f"partition_by: unknown columns {unknown}")
     phys_df, field_meta = df, {}
     if column_mapping:
         field_meta = {
@@ -330,13 +350,25 @@ def export_delta(
             )
         )
     if data_files is None:
-        phys_df.write.mode("overwrite").parquet(path)
-        # spark writes _SUCCESS + part files; delta logs only the parts
-        parts = sorted(
-            f
-            for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith("_")
-        )
+        if partition_by:
+            phys_df.write.partitionBy(*partition_by).mode(
+                "overwrite"
+            ).parquet(path)
+            parts = sorted(
+                os.path.relpath(os.path.join(root, f), path)
+                for root, _dirs, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+        else:
+            phys_df.write.mode("overwrite").parquet(path)
+            # spark writes _SUCCESS + part files; delta logs only the
+            # parts
+            parts = sorted(
+                f
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
     else:
         parts = sorted(data_files)
     os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
@@ -363,19 +395,40 @@ def export_delta(
                 "name": name,
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(schema_json),
-                "partitionColumns": [],
+                "partitionColumns": list(partition_by or []),
                 "configuration": config,
                 "createdTime": now_ms,
             }
         },
     ]
+
+    def _part_vals(rel: str) -> dict[str, str]:
+        # hive-layout path segments `col=value` -> partitionValues
+        # (the log serializes partition values as STRINGS per spec)
+        import urllib.parse
+
+        vals: dict[str, str] = {}
+        for comp in rel.split("/")[:-1]:
+            if "=" not in comp:
+                continue
+            k, _, raw = comp.partition("=")
+            if k in (partition_by or []):
+                vals[k] = urllib.parse.unquote(raw)
+        missing = [c for c in (partition_by or []) if c not in vals]
+        if missing:
+            raise ValueError(
+                f"partition_by: file {rel!r} carries no "
+                f"{missing} path segment"
+            )
+        return vals
+
     for f in parts:
         st = os.stat(os.path.join(path, f))
         actions.append(
             {
                 "add": {
                     "path": f,
-                    "partitionValues": {},
+                    "partitionValues": _part_vals(f) if partition_by else {},
                     "size": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
                     "dataChange": True,

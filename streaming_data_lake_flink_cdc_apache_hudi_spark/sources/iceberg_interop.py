@@ -729,7 +729,14 @@ def export_iceberg(
 
     ``data_files`` (absolute parquet paths, already written) skips
     the data write and commits metadata over EXISTING files — the
-    UniForm path (``sources/uniform.py``); unpartitioned only."""
+    UniForm path (``sources/uniform.py``). With ``partition_by``
+    (identity transforms only, new r9) partition values are parsed
+    from each file's hive ``col=value`` path segments, so one
+    partitioned parquet layout can carry BOTH formats' metadata —
+    per the Iceberg spec, identity-partition source columns absent
+    from the files resolve from the manifest partition structs (the
+    hive-migrated-table rule this module's reader implements via
+    basePath inference)."""
     import urllib.parse
 
     import pyarrow.parquet as pq
@@ -779,7 +786,16 @@ def export_iceberg(
                 }
             )
     if data_files is not None and pspecs:
-        raise ValueError("data_files injection is unpartitioned-only")
+        # injection over an existing hive layout (the UniForm path):
+        # identity transforms only — partition values come from the
+        # files' `col=value` path segments; a bucket value cannot be
+        # recovered from a path the injector didn't write
+        bad = [ps["fname"] for ps in pspecs if ps["transform"] != "identity"]
+        if bad:
+            raise ValueError(
+                f"data_files injection supports identity partitions "
+                f"only (got transforms on {bad})"
+            )
     data_dir = os.path.join(path, "data")
     if data_files is not None:
         pass  # files already on disk; no write
@@ -818,7 +834,29 @@ def export_iceberg(
     out_types = {ps["fname"]: ps["out_type"] for ps in pspecs}
     parts: list[tuple[str, dict]] = []  # (abspath, partition values)
     if data_files is not None:
-        parts = [(os.path.abspath(f), {}) for f in sorted(data_files)]
+        for f in sorted(data_files):
+            vals: dict[str, object] = {}
+            rel = os.path.relpath(
+                os.path.abspath(f), os.path.abspath(path)
+            )
+            for comp in rel.split(os.sep)[:-1]:
+                if "=" not in comp:
+                    continue
+                k, _, raw = comp.partition("=")
+                if k not in out_types:
+                    continue
+                raw = urllib.parse.unquote(raw)
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    vals[k] = None
+                else:
+                    vals[k] = int(raw) if out_types[k] != "string" else raw
+            missing = [c for c in out_types if c not in vals]
+            if missing:
+                raise ValueError(
+                    f"data_files injection: file {f!r} carries no "
+                    f"{missing} partition path segment"
+                )
+            parts.append((os.path.abspath(f), vals))
     for root, _dirs, fs in sorted(os.walk(data_dir)) if data_files is None else []:
         vals: dict[str, object] = {}
         rel_dir = os.path.relpath(root, data_dir)

@@ -20,11 +20,21 @@ Layout::
                              file:// URIs to the SAME parts
 
 Scale: identical to the single-format exporters — data distributed,
-metadata per-file records only. Boundary: unpartitioned, single
-snapshot (both formats' incremental/partitioned flavors remain
-single-format exports); column mapping stays a Delta-only option and
-is excluded here because the physical rename would change the parquet
-schema the Iceberg view reads.
+metadata per-file records only.
+
+``partition_by`` (new r9): ONE hive-layout ``col=value/`` partitioned
+write serves both views. The layout is each format's native
+convention for identity partitions — Delta records the values in the
+adds' ``partitionValues`` (files drop the partition columns, the
+standard Delta layout) and the Iceberg manifests carry real partition
+structs parsed from the same path segments, so BOTH views prune a
+partition filter down to that partition's files before any scan.
+
+Boundary: single snapshot, identity partition transforms only (a
+shared bucket layout would need both formats to agree on the hash);
+column mapping stays a Delta-only option and is excluded here because
+the physical rename would change the parquet schema the Iceberg view
+reads.
 """
 
 from __future__ import annotations
@@ -38,21 +48,38 @@ from .iceberg_interop import export_iceberg
 
 
 def export_uniform(
-    df: DataFrame, path: str, name: str | None = None
+    df: DataFrame,
+    path: str,
+    name: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` once and commit Delta AND Iceberg metadata over
     the same files. Returns the number of data files."""
-    df.write.mode("overwrite").parquet(path)
-    parts = sorted(
-        f
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith("_")
+    if partition_by:
+        df.write.partitionBy(*partition_by).mode("overwrite").parquet(
+            path
+        )
+        parts = sorted(
+            os.path.relpath(os.path.join(root, f), path)
+            for root, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+    else:
+        df.write.mode("overwrite").parquet(path)
+        parts = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+    export_delta(
+        df, path, name=name, data_files=parts, partition_by=partition_by
     )
-    export_delta(df, path, name=name, data_files=parts)
     export_iceberg(
         df,
         path,
         table_name=name,
         data_files=[os.path.join(path, f) for f in parts],
+        partition_by=partition_by,
     )
     return len(parts)

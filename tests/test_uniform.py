@@ -65,10 +65,65 @@ def test_uniform_rejects_incompatible_options(spark, tmp_path):
             column_mapping=True,
             data_files=["a.parquet"],
         )
-    with pytest.raises(ValueError, match="unpartitioned"):
+    # identity partitions are now allowed in injection mode (r9);
+    # bucket transforms still refuse (the hash value is not in the path)
+    with pytest.raises(ValueError, match="identity"):
         export_iceberg(
             df,
             str(tmp_path / "y"),
+            partition_by=["bucket(4, r_regionkey)"],
+            data_files=["a.parquet"],
+        )
+    # injected identity partitions need the col=value path segment
+    with pytest.raises(ValueError, match="partition path segment"):
+        export_iceberg(
+            df,
+            str(tmp_path / "y2"),
             partition_by=["r_regionkey"],
             data_files=["a.parquet"],
         )
+
+
+def test_uniform_partitioned_both_views_prune_and_agree(spark, tmp_path):
+    """VERDICT r8 ask #5: partitioned UniForm — ONE hive-layout
+    parquet write under BOTH formats' metadata. A partition filter on
+    EACH view must scan only that partition's files (asserted via the
+    scan's inputFiles), and the two full views must return identical
+    rows."""
+    from pyspark.sql import functions as F
+
+    src = (
+        load_table(spark, SF_SMOKE, "nation")
+        .withColumn("grp", F.when(F.col("n_regionkey") < 2, "lo").otherwise("hi"))
+        .select("n_nationkey", "n_name", "grp")
+    )
+    path = str(tmp_path / "uniform_part")
+    n = export_uniform(src, path, name="nation_p", partition_by=["grp"])
+    assert n >= 2  # at least one file per partition value
+    want = sorted(map(tuple, src.collect()))
+    d = read_delta(spark, path)
+    i = read_iceberg(spark, path)
+    assert sorted(tuple(r) for r in d.select("n_nationkey", "n_name", "grp").collect()) == want
+    assert sorted(tuple(r) for r in i.select("n_nationkey", "n_name", "grp").collect()) == want
+    # pruning, Delta view: the filtered plan's scan legs cover only
+    # the lo partition's files
+    lo_files = {
+        os.path.join(path, rel)
+        for rel in (
+            json.loads(l)["add"]["path"]
+            for l in open(os.path.join(path, "_delta_log", "%020d.json" % 0))
+            if '"add"' in l
+        )
+        if "grp=lo" in rel
+    }
+    got_d = {f.replace("file://", "").replace("file:", "")
+             for f in d.filter("grp = 'lo'").inputFiles()}
+    assert got_d == lo_files and 0 < len(lo_files) < n
+    # pruning, Iceberg view: manifest-level partition_filter
+    ip = read_iceberg(spark, path, partition_filter={"grp": "lo"})
+    got_i = {f.replace("file://", "").replace("file:", "")
+             for f in ip.inputFiles()}
+    assert got_i == lo_files
+    assert sorted(tuple(r) for r in ip.select("n_nationkey", "n_name", "grp").collect()) == sorted(
+        t for t in want if t[2] == "lo"
+    )
