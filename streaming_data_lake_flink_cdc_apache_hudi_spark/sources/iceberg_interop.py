@@ -547,6 +547,292 @@ def snapshots(path: str) -> list[dict]:
     ]
 
 
+# -- table maintenance (metadata-only commits) -------------------------------
+
+
+def _commit_metadata(path: str, new_meta: dict) -> str:
+    """Write ``new_meta`` as the next vN.metadata.json and bump the
+    version hint — the filesystem catalog's atomic commit step."""
+    md = os.path.join(path, _META_DIR)
+    versions = [
+        int(m.group(1))
+        for f in os.listdir(md)
+        if (m := re.match(r"v(\d+)\.metadata\.json$", f))
+    ]
+    v = (max(versions) if versions else 0) + 1
+    p = os.path.join(md, f"v{v}.metadata.json")
+    with open(p, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+    return p
+
+
+def _snapshot_reachable(
+    path: str, snap: dict
+) -> tuple[str, list[str], set[str]]:
+    """(manifest-list path, manifest paths, data-file paths) a
+    snapshot references — ALL statuses, so a file recorded as DELETED
+    by a retained snapshot is still treated as reachable (the
+    conservative reachability Iceberg's expireSnapshots uses)."""
+    mlist = _resolve(snap["manifest-list"], path)
+    _, manifests = read_avro(mlist)
+    mpaths: list[str] = []
+    dpaths: set[str] = set()
+    for m in manifests:
+        mp = _resolve(m["manifest_path"], path)
+        mpaths.append(mp)
+        _, entries = read_avro(mp)
+        for e in entries:
+            dpaths.add(_resolve(e["data_file"]["file_path"], path))
+    return mlist, mpaths, dpaths
+
+
+def expire_snapshots(
+    path: str, keep_last: int = 1, clean_files: bool = True
+) -> dict:
+    """Iceberg's ``expire_snapshots`` maintenance procedure for the
+    filesystem-catalog layout: retain the last ``keep_last``
+    snapshots on the CURRENT lineage (parent-snapshot-id chain;
+    timestamp order for legacy metadata without parent ids), drop
+    every other snapshot from the table metadata in one metadata-only
+    commit (a new vN.metadata.json), and — with ``clean_files`` —
+    delete the manifest lists, manifests, and data files reachable
+    ONLY from expired snapshots.
+
+    Scale: without expiry an exported table accumulates one manifest
+    list + manifest per commit FOREVER; at 100 TB commit counts the
+    planning walk grows unboundedly. Expiry keeps external-view
+    metadata O(active window) — the same timeline-archiving contract
+    the engine's own upsert tables document in SCALING.md. Everything
+    here is KB-scale driver metadata; no data scan.
+
+    Returns counts: expired snapshots and removed file tallies."""
+    meta = json.load(open(_current_metadata_path(path)))
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    snaps = meta.get("snapshots", [])
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    cur = meta.get("current-snapshot-id")
+    chain: list[dict] = []
+    if any("parent-snapshot-id" in s for s in snaps):
+        c = cur
+        while c in by_id:
+            chain.append(by_id[c])
+            c = by_id[c].get("parent-snapshot-id")
+    else:
+        chain = sorted(
+            snaps,
+            key=lambda s: (s.get("timestamp-ms") or 0, s["snapshot-id"]),
+            reverse=True,
+        )
+    keep_ids = {s["snapshot-id"] for s in chain[:keep_last]}
+    if cur is not None:
+        keep_ids.add(cur)  # never expire the current snapshot
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    removed = {
+        "expired_snapshots": len(expired),
+        "manifest_lists": 0,
+        "manifests": 0,
+        "data_files": 0,
+    }
+    if not expired:
+        return removed
+    keep_paths: set[str] = set()
+    keep_data: set[str] = set()
+    for sid in keep_ids:
+        ml, mps, dps = _snapshot_reachable(path, by_id[sid])
+        keep_paths.add(ml)
+        keep_paths.update(mps)
+        keep_data.update(dps)
+    if clean_files:
+        for s in expired:
+            try:
+                ml, mps, dps = _snapshot_reachable(path, s)
+            except (FileNotFoundError, OSError):
+                continue  # already cleaned by an earlier expiry
+            for mp in mps:
+                if mp not in keep_paths and os.path.exists(mp):
+                    os.remove(mp)
+                    removed["manifests"] += 1
+            if ml not in keep_paths and os.path.exists(ml):
+                os.remove(ml)
+                removed["manifest_lists"] += 1
+            for dp in dps:
+                if dp not in keep_data and os.path.exists(dp):
+                    os.remove(dp)
+                    removed["data_files"] += 1
+    new_meta = dict(meta)
+    new_meta["snapshots"] = [
+        s for s in snaps if s["snapshot-id"] in keep_ids
+    ]
+    if "snapshot-log" in new_meta:
+        new_meta["snapshot-log"] = [
+            e
+            for e in new_meta["snapshot-log"]
+            if e.get("snapshot-id") in keep_ids
+        ]
+    _commit_metadata(path, new_meta)
+    return removed
+
+
+def rewrite_manifests(path: str) -> dict:
+    """Iceberg's ``rewrite_manifests`` maintenance procedure: compact
+    the CURRENT snapshot's DATA manifests into ONE manifest of
+    EXISTING entries (explicit sequence numbers in v2, per the spec's
+    inheritance rule being ADDED-only), committed as a new snapshot
+    with ``operation=replace`` — the same data files, one metadata
+    pass, no data rewrite. Delete manifests (v2 content=1) pass
+    through untouched. Per-manifest partition bound summaries are not
+    recomputed (entries keep their real partition structs, which is
+    the level ``read_iceberg``'s ``partition_filter`` prunes on).
+
+    Refuses across multiple partition-spec ids (entries would not fit
+    one manifest schema). Returns before/after manifest counts."""
+    meta = json.load(open(_current_metadata_path(path)))
+    fmt_version = int(meta.get("format-version", 1))
+    cur = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"Iceberg table at {path} has no current snapshot")
+    mlist_path = _resolve(snap["manifest-list"], path)
+    mlist_schema, manifests = read_avro(mlist_path)
+    data_manifests = [m for m in manifests if (m.get("content") or 0) == 0]
+    passthrough = [m for m in manifests if (m.get("content") or 0) != 0]
+    out = {
+        "data_manifests_before": len(data_manifests),
+        "data_manifests_after": min(1, len(data_manifests)),
+        "rewritten": 0,
+    }
+    if len(data_manifests) <= 1:
+        return out
+    spec_ids = {m.get("partition_spec_id") or 0 for m in data_manifests}
+    if len(spec_ids) > 1:
+        raise UnsupportedIcebergFeature(
+            "rewrite_manifests across multiple partition specs"
+        )
+    entry_schema = None
+    entries_out: list[dict] = []
+    min_seq = None
+    for m in data_manifests:
+        mp = _resolve(m["manifest_path"], path)
+        es, entries = read_avro(mp)
+        if entry_schema is None:
+            entry_schema = es
+        elif json.dumps(es, sort_keys=True) != json.dumps(
+            entry_schema, sort_keys=True
+        ):
+            # encoding under the first schema would silently DROP
+            # fields the other schema carries (e.g. data_file.content
+            # on a delete entry) — refuse instead of corrupting
+            raise UnsupportedIcebergFeature(
+                "rewrite_manifests over heterogeneous manifest entry "
+                "schemas"
+            )
+        m_seq = m.get("sequence_number") or 0
+        for e in entries:
+            if e.get("status") == 2:  # DELETED: drops out of the compaction
+                continue
+            ne = {
+                "status": 0,  # EXISTING
+                "snapshot_id": e.get("snapshot_id"),
+                "data_file": e["data_file"],
+            }
+            if fmt_version == 2:
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = m_seq  # ADDED inheritance resolved here
+                ne["sequence_number"] = seq
+                min_seq = seq if min_seq is None else min(min_seq, seq)
+            entries_out.append(ne)
+    entry_schema = json.loads(json.dumps(entry_schema))
+    if fmt_version == 2 and not any(
+        f["name"] == "sequence_number" for f in entry_schema["fields"]
+    ):
+        entry_schema["fields"].insert(
+            2,
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "field-id": 3,
+                "default": None,
+            },
+        )
+    new_sid = int(uuid.uuid4().int % (1 << 62))
+    new_seq = int(meta.get("last-sequence-number") or 0) + 1
+    md = os.path.join(path, _META_DIR)
+    manifest_path = os.path.join(md, f"manifest-{new_sid}-rw.avro")
+    write_avro(
+        manifest_path,
+        entry_schema,
+        entries_out,
+        metadata={
+            "schema": json.dumps(_current_schema(path)).encode(),
+            "schema-id": b"0",
+            "partition-spec": json.dumps(
+                (meta.get("partition-specs") or [{}])[0].get("fields", [])
+            ).encode(),
+            "partition-spec-id": str(sorted(spec_ids)[0]).encode(),
+            "format-version": str(fmt_version).encode(),
+            "content": b"data",
+        },
+    )
+    full_row = {
+        "manifest_path": "file://" + manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": sorted(spec_ids)[0],
+        "added_snapshot_id": new_sid,
+        "content": 0,
+        "sequence_number": new_seq,
+        "min_sequence_number": min_seq if min_seq is not None else 0,
+        "added_files_count": 0,
+        "existing_files_count": len(entries_out),
+        "deleted_files_count": 0,
+        "added_rows_count": 0,
+        "existing_rows_count": sum(
+            e["data_file"].get("record_count") or 0 for e in entries_out
+        ),
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+    new_row = {
+        f["name"]: full_row.get(f["name"])
+        for f in mlist_schema["fields"]
+    }
+    new_mlist = os.path.join(md, f"snap-{new_sid}.avro")
+    write_avro(
+        new_mlist,
+        mlist_schema,
+        [new_row] + passthrough,
+        metadata={
+            "format-version": str(fmt_version).encode(),
+            "snapshot-id": str(new_sid).encode(),
+        },
+    )
+    new_meta = dict(meta)
+    new_snap = {
+        "snapshot-id": new_sid,
+        "parent-snapshot-id": cur,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": "file://" + new_mlist,
+        "summary": {
+            "operation": "replace",
+            "compacted-manifests": str(len(data_manifests)),
+        },
+    }
+    if fmt_version == 2:
+        new_snap["sequence-number"] = new_seq
+        new_meta["last-sequence-number"] = new_seq
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [new_snap]
+    new_meta["current-snapshot-id"] = new_sid
+    _commit_metadata(path, new_meta)
+    out["rewritten"] = len(entries_out)
+    return out
+
+
 # -- exporter (format-version 1, unpartitioned) -----------------------------
 
 _SPARK_TO_ICEBERG = {

@@ -951,3 +951,156 @@ def test_empty_prune_never_opens_data_file_footers(spark, tmp_path):
         "bigint", "string", "double",
     ]
     assert empty.count() == 0
+
+
+def test_expire_snapshots_keeps_last_k_and_cleans_unreachable(
+    spark, tmp_path
+):
+    """VERDICT r8 ask #6: expire_snapshots retains the last k
+    snapshots on the current lineage in one metadata-only commit
+    (new vN.metadata.json + hint bump) and deletes manifest lists /
+    manifests / data files reachable ONLY from expired snapshots —
+    shared files survive, and reads + remaining time travel stay
+    green."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        expire_snapshots,
+        snapshots,
+    )
+
+    path = str(tmp_path / "expire_iceberg")
+    sch = "id LONG, v STRING"
+    fa = os.path.join(path, "data", "a.parquet")
+    fb = os.path.join(path, "data", "b.parquet")
+    fc = os.path.join(path, "data", "c.parquet")
+    _stage_parquet(spark, [(1, "one")], sch, fa)
+    _stage_parquet(spark, [(2, "two")], sch, fb)
+    _stage_parquet(spark, [(3, "three")], sch, fc)
+    # snap1 adds a+b (m1); snap2 REPLACES: drops b, keeps a, adds c
+    # (m2 only) -> b and m1 are reachable ONLY from snapshot 1;
+    # snap3 appends nothing new (m2 carried forward)
+    m1 = _manifest(path, "m1.avro", [_entry(fa), _entry(fb)])
+    m2 = _manifest(
+        path, "m2.avro", [_entry(fa, status=0), _entry(fc, snap=2)]
+    )
+    l1 = _mlist(path, "snap-1.avro", [m1], 1)
+    l2 = _mlist(path, "snap-2.avro", [m2], 2)
+    l3 = _mlist(path, "snap-3.avro", [m2], 3)
+    meta = {
+        "format-version": 1,
+        "table-uuid": "u",
+        "location": path,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "schema": {"type": "struct", "fields": []},
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": 3,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1, "manifest-list": l1},
+            {
+                "snapshot-id": 2,
+                "timestamp-ms": 2,
+                "parent-snapshot-id": 1,
+                "manifest-list": l2,
+            },
+            {
+                "snapshot-id": 3,
+                "timestamp-ms": 3,
+                "parent-snapshot-id": 2,
+                "manifest-list": l3,
+            },
+        ],
+    }
+    os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+    with open(os.path.join(path, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    removed = expire_snapshots(path, keep_last=2)
+    assert removed["expired_snapshots"] == 1
+    assert removed["manifest_lists"] == 1  # l1
+    assert removed["manifests"] == 1  # m1 (m2 shared with kept snaps)
+    assert removed["data_files"] == 1  # b only reachable from snap 1
+    assert not os.path.exists(fb) and not os.path.exists(l1)
+    assert not os.path.exists(m1)
+    assert os.path.exists(fa) and os.path.exists(fc) and os.path.exists(m2)
+    # the commit is a NEW metadata version, hint bumped
+    hint = open(os.path.join(path, "metadata", "version-hint.text")).read()
+    assert hint.strip() == "2"
+    assert [s["snapshot_id"] for s in snapshots(path)] == [2, 3]
+    cur = sorted(map(tuple, read_iceberg(spark, path).collect()))
+    assert cur == [(1, "one"), (3, "three")]
+    old = sorted(
+        map(tuple, read_iceberg(spark, path, snapshot_id=2).collect())
+    )
+    assert old == [(1, "one"), (3, "three")]
+    with pytest.raises(ValueError, match="not in table metadata"):
+        read_iceberg(spark, path, snapshot_id=1)
+    # keep_last below 1 refuses; a second expiry is a no-op
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(path, keep_last=0)
+    again = expire_snapshots(path, keep_last=2)
+    assert again["expired_snapshots"] == 0
+
+
+def test_rewrite_manifests_compacts_current_snapshot(spark, tmp_path):
+    """VERDICT r8 ask #6: rewrite_manifests compacts the current
+    snapshot's per-partition manifests into ONE manifest of EXISTING
+    entries, committed as a new `replace` snapshot over the SAME data
+    files — reads, partition pruning, and v2 sequence numbers all
+    survive; a second call is a no-op."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _live_files,
+        rewrite_manifests,
+        snapshots,
+    )
+
+    for fv in (1, 2):
+        path = str(tmp_path / f"rw_iceberg_v{fv}")
+        df = spark.createDataFrame(
+            [(i, i % 4) for i in range(40)], "id long, k long"
+        )
+        export_iceberg(df, path, partition_by=["k"], format_version=fv)
+        mlists = lambda: [  # noqa: E731
+            f
+            for f in os.listdir(os.path.join(path, "metadata"))
+            if f.startswith("manifest-")
+        ]
+        assert len(mlists()) == 4  # one per partition
+        before_files = set(read_iceberg(spark, path).inputFiles())
+        out = rewrite_manifests(path)
+        assert out["data_manifests_before"] == 4
+        assert out["rewritten"] == len(before_files)
+        snaps = snapshots(path)
+        assert len(snaps) == 2
+        assert snaps[-1]["summary"]["operation"] == "replace"
+        back = read_iceberg(spark, path)
+        assert set(back.inputFiles()) == before_files  # same data files
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+        # partition pruning still works off the compacted entries
+        pruned = read_iceberg(spark, path, partition_filter={"k": 1})
+        assert sorted(r.id for r in pruned.collect()) == [
+            i for i in range(40) if i % 4 == 1
+        ]
+        assert 0 < len(set(pruned.inputFiles())) < len(before_files)
+        if fv == 2:
+            mapping, _, _ = _live_files(path)
+            assert {seq for _, seq, _ in mapping.values()} == {1}
+        # idempotent: one data manifest left, nothing to do
+        out2 = rewrite_manifests(path)
+        assert out2["rewritten"] == 0
+        # expire the pre-compaction snapshot: the old per-partition
+        # manifests become unreachable and are cleaned; reads green
+        from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+            expire_snapshots,
+        )
+
+        removed = expire_snapshots(path, keep_last=1)
+        assert removed["expired_snapshots"] == 1
+        assert removed["manifests"] == 4 and removed["data_files"] == 0
+        assert sorted(map(tuple, read_iceberg(spark, path).collect())) == sorted(
+            map(tuple, df.collect())
+        )
