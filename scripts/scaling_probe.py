@@ -81,11 +81,42 @@ def build_sfx(spark, out: str) -> None:
     d.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
     )
+    # flagship inputs (r9 streaming/backfill probe): 10x the KEYS with
+    # per-key work constant — keys shifted per copy, and customer
+    # names suffixed so the view's PRIMARY KEY full_name stays unique
+    # per copy (identical names would LWW-collapse the copies and
+    # silently hold the materialized key count flat)
+    cust = spark.read.parquet(os.path.join(SF01, "customer.parquet"))
+    ordr = spark.read.parquet(os.path.join(SF01, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(SF01, "lineitem.parquet"))
+    uc = uo = ul = None
+    for i in range(COPIES):
+        cc = cust.withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(i * 10_000_000)
+        ).withColumn(
+            "c_name",
+            F.col("c_name") if i == 0 else F.concat(
+                F.col("c_name"), F.lit(f"#{i}")
+            ),
+        )
+        oo = ordr.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000)
+        ).withColumn(
+            "o_custkey", F.col("o_custkey") + F.lit(i * 10_000_000)
+        )
+        ll = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000)
+        )
+        uc = cc if uc is None else uc.unionByName(cc)
+        uo = oo if uo is None else uo.unionByName(oo)
+        ul = ll if ul is None else ul.unionByName(ll)
+    for name, frame in (("customer", uc), ("orders", uo), ("lineitem", ul)):
+        frame.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
     # remaining tables: same content (none of the probed queries read
     # them, but load_table must find the files)
-    for t in (
-        "region nation customer supplier part orders lineitem embeddings"
-    ).split():
+    for t in "region nation supplier part embeddings".split():
         src = os.path.join(SF01, f"{t}.parquet")
         if os.path.exists(src):
             dst = os.path.join(out, f"{t}.parquet")
@@ -104,6 +135,103 @@ def timed(spark, name: str, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def _exp(t_small: float, t_big: float) -> float:
+    return round(math.log(t_big / t_small) / math.log(COPIES), 2)
+
+
+def streaming_ingest_probe(spark) -> dict:
+    """r9 (VERDICT r8 ask #7): measured scaling point for the CDC
+    ingest path — the same workload bench.py times (snapshot + one
+    reference-minute of transfers through feed -> stream_upsert ->
+    keyed lake table), at 1x and 10x KEYS (persons/tickets/transfers
+    all x10, per-event work constant). The capacity claim
+    (events/min) gets an observed exponent instead of a single
+    point."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.cdc_feed import (
+        read_feed_stream,
+        write_feed_events,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.workload import (
+        TICKET_SCHEMA,
+        TicketWorkload,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.pipeline import (
+        stream_upsert,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    def run(scale: int) -> tuple[float, int]:
+        root = tempfile.mkdtemp(prefix=f"probe_stream_x{scale}_")
+        try:
+            wl = TicketWorkload(
+                spark, n_persons=1000 * scale, n_tickets=5000 * scale
+            )
+            feed = f"{root}/feed"
+            write_feed_events(
+                spark, feed, wl.snapshot_tickets(), commit_id="snap"
+            )
+            t_env, _ = wl.transfer_batch(500 * scale)
+            write_feed_events(spark, feed, t_env, commit_id="m1")
+            table = UpsertLakeTable(spark, f"{root}/table", key="id")
+            t0 = time.perf_counter()
+            q = stream_upsert(
+                read_feed_stream(
+                    spark, feed, TICKET_SCHEMA, max_files_per_trigger=1
+                ),
+                table,
+                f"{root}/ck",
+                trigger={"availableNow": True},
+            )
+            q.awaitTermination(600)
+            sec = round(time.perf_counter() - t0, 3)
+            return sec, table.snapshot().count()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    t1, n1 = run(1)
+    t10, n10 = run(10)
+    assert n10 >= 9 * n1  # the key count genuinely grew ~10x
+    return {
+        "x1_sec": t1,
+        "x10_sec": t10,
+        "x1_events": 5500,
+        "x10_events": 55000,
+        "exponent": _exp(t1, t10),
+        "x10_events_per_min_capacity": round(55000 / t10 * 60, 0),
+    }
+
+
+def flagship_backfill_probe(spark, sfx_dir: str) -> dict:
+    """Flagship ticket_view materialization (3-way join + LWW keyed
+    upsert write) at sf0.1 vs the synthesized 10x-keys tables — the
+    BASELINE.md '<6 min to first data' bound gets an exponent."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    def run(sf_dir: str) -> float:
+        root = tempfile.mkdtemp(prefix="probe_backfill_")
+        try:
+            view = UpsertLakeTable(
+                spark, f"{root}/view", key="full_name"
+            )
+            t0 = time.perf_counter()
+            view.write(
+                QUERIES["ticket_view"].fn(spark, sf_dir),
+                commit_id="backfill",
+            )
+            view.snapshot().count()
+            return round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    t1 = run(SF01)
+    t10 = run(sfx_dir)
+    return {"sf0.1_sec": t1, "sf1_sec": t10, "exponent": _exp(t1, t10)}
+
+
 def main() -> None:
     spark = EngineConfig(
         app_name="scaling_probe",
@@ -120,10 +248,10 @@ def main() -> None:
             res[name] = {
                 "sf0.1_sec": t_small,
                 "sf1_sec": t_big,
-                "exponent": round(
-                    math.log(t_big / t_small) / math.log(COPIES), 2
-                ),
+                "exponent": _exp(t_small, t_big),
             }
+        res["streaming_ingest"] = streaming_ingest_probe(spark)
+        res["flagship_backfill"] = flagship_backfill_probe(spark, out)
         print(json.dumps(res))
     finally:
         shutil.rmtree(out, ignore_errors=True)

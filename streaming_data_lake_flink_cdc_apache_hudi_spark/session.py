@@ -352,7 +352,11 @@ class EngineSession:
                     "permute(" + ",".join(resolve(v) for v in members) + ")"
                     + quant
                 )
-                pattern_vars.append(None)  # PERMUTE: literal-only
+                # the variable-name spelling keeps the RESOLVED types:
+                # perm members match the type column directly (the
+                # streaming DEFINE matcher tests them against
+                # type_col, not against DEFINE masks)
+                pattern_vars.append(pattern[-1])
                 continue
             am = re.match(r"^\(\s*(.*?)\s*\)$", core)
             if am:
@@ -471,12 +475,9 @@ class EngineSession:
             # state already carries the referenced value columns —
             # under ALL ROWS the variable-name spelling keeps
             # CLASSIFIER() returning the SQL variable, not its
-            # resolved type literal
-            if any(pv is None for pv in pattern_vars):
-                raise ValueError(
-                    "MATCH_RECOGNIZE on a STREAM: PERMUTE with "
-                    "MEASURES or ALL ROWS PER MATCH is not supported"
-                )
+            # resolved type literal. PERMUTE (r9) rides the same
+            # matcher: members are resolved types tested against
+            # type_col, with match_at's perm remap binding MEASURES.
             from .streaming.stateful import pattern_match_define_stream
 
             return pattern_match_define_stream(
@@ -493,6 +494,7 @@ class EngineSession:
                 subset=subset or None,
                 measures=measures,
                 rows_per_match=rows_per_match,
+                type_col=type_col if literal_mode else None,
             )
         if literal_mode:
             from .operators.cep import pattern_match_quantified

@@ -450,6 +450,7 @@ def pattern_match_define_stream(
     subset: dict | None = None,
     measures=None,
     rows_per_match: str = "one",
+    type_col: str | None = None,
 ) -> DataFrame:
     """Streaming MATCH_RECOGNIZE with DEFINE predicates — the
     cross-micro-batch flavor of
@@ -504,6 +505,14 @@ def pattern_match_define_stream(
     numeric/string/boolean; state stays bounded by the unfinalized
     tail exactly as in one-row mode.
 
+    ``PERMUTE`` elements (new r9, replacing the previous refusal):
+    SQL:2016's unordered group streams when ``type_col`` names the
+    event-type column — members are resolved type literals tested
+    against the carried type array (one extra state column), and
+    ``match_at``'s own perm remap points each member token at the row
+    bearing its type before MEASURES/SKIP-TO resolve, exactly as the
+    batch operator does.
+
     Referenced predicate columns ride per-key state as arrays —
     state stays bounded by the unfinalized tail exactly as before.
     """
@@ -518,13 +527,23 @@ def pattern_match_define_stream(
 
     toks = parse_pattern(pattern)
     var_names: list[str] = []
+    has_perm = False
     for et, _, _, _ in toks:
         if isinstance(et, tuple):
-            raise ValueError(
-                "pattern_match_define_stream: PERMUTE needs literal "
-                "type DEFINEs — use pattern_match_stream"
-            )
+            if et[0] != "perm":
+                raise ValueError(
+                    f"pattern_match_define_stream: unsupported token {et!r}"
+                )
+            # PERMUTE members are resolved TYPE literals matched
+            # against type_col (new r9) — not DEFINE variables
+            has_perm = True
+            continue
         var_names.extend([et] if isinstance(et, str) else sorted(et))
+    if has_perm and type_col is None:
+        raise ValueError(
+            "pattern_match_define_stream: PERMUTE needs type_col "
+            "(members match event types, the literal DEFINE shape)"
+        )
     subset = {u.upper(): list(ms) for u, ms in (subset or {}).items()}
     vset = {v.upper() for v in var_names}
     for u, members in subset.items():
@@ -582,6 +601,7 @@ def pattern_match_define_stream(
     need_cols = sorted(
         (set().union(*(c for _, _, c in compiled.values())) if compiled else set())
         | {col for _, _, _, col, _ in measures if col is not None}
+        | ({type_col} if has_perm else set())
     )
     if all_mode:
         # ALL ROWS reproduces every source column, so every column
@@ -758,7 +778,11 @@ def pattern_match_define_stream(
                 ctx_fns[v] = f(pdf_all, tok_var)
         btoks = []
         for et, lo, hi, greedy in toks:
-            if isinstance(et, frozenset):
+            if isinstance(et, tuple) and et[0] == "perm":
+                # perm tokens test the carried TYPE column; match_at
+                # remaps the group's assigns to member order itself
+                btoks.append((et, lo, hi, greedy))
+            elif isinstance(et, frozenset):
                 members = sorted(et)
                 if any(m in ctx_fns for m in members):
                     raise ValueError(
@@ -824,12 +848,13 @@ def pattern_match_define_stream(
         # Slice the held timeline ONCE per key, not per match_at call —
         # re-slicing inside the loop is O(n * matches) list copying.
         ts_trunc = ts_l if max_next == 0 else ts_l[:n_eff]
+        types_arr = col_l[type_col] if has_perm else None
         rows, p, keep_from = [], ctx0, max(n_eff, ctx0)
         mrows: list[tuple] = []
         arows: list[tuple] = []  # all-mode: (row_idx, mno, cls, *mvals)
         while p < n_eff:
             end, hit, assigns = match_at(
-                None, ts_trunc, p, btoks, within_us
+                types_arr, ts_trunc, p, btoks, within_us
             )
             if end is not None and not hit:
                 mno += 1

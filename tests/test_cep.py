@@ -1772,8 +1772,6 @@ def test_match_recognize_sql_on_stream_routes_to_stateful(spark, tmp_path):
     finalized matches equal the batch spelling's on the drained
     stream. MEASURES and ALL ROWS PER MATCH (r9) run through the
     DEFINE matcher; PERMUTE-with-MEASURES refuses with guidance."""
-    import pytest as _pytest
-
     from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
 
     eng = EngineSession(
@@ -1917,20 +1915,42 @@ def test_match_recognize_sql_on_stream_routes_to_stateful(spark, tmp_path):
         for r in eng.sql(asql.format(src="mr_batch")).collect()
     )
     assert gota == wanta and len(wanta) > 10
-    # PERMUTE with MEASURES still refuses on a stream
-    with _pytest.raises(ValueError, match="PERMUTE"):
-        eng.sql(
-            """
-            SELECT * FROM mr_stream MATCH_RECOGNIZE (
-              PARTITION BY user_id ORDER BY ts, event_id
-              MEASURES SUM(value) AS v
-              ONE ROW PER MATCH
-              PATTERN (PERMUTE(A, B))
-              DEFINE A AS event_type = 'view',
-                     B AS event_type = 'click'
-            )
-            """
+    # PERMUTE with MEASURES streams (r9 stretch): members are resolved
+    # types tested against the type column; match_at's perm remap
+    # binds each member's MEASURES to the row bearing its type
+    # regardless of arrival order — parity with the batch spelling
+    psql = """
+        SELECT * FROM {src} MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES FIRST(A.value) AS a_v, FIRST(B.value) AS b_v,
+                   MATCH_NUMBER() AS mno
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (PERMUTE(A, B) C)
+          DEFINE A AS event_type = 'view', B AS event_type = 'click',
+                 C AS event_type = 'purchase'
         )
+    """
+    pres = eng.sql(psql.format(src="mr_stream"))
+    assert pres.isStreaming
+    q = (
+        pres.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mrsqlp")
+        .option("checkpointLocation", str(tmp_path / "ck_mrsqlp"))
+        .start()
+    )
+    q.processAllAvailable()
+    gotp = sorted(
+        (int(r["key"]), r["start_id"], r["a_v"], r["b_v"], r["mno"])
+        for r in spark.sql("SELECT * FROM mrsqlp").collect()
+    )
+    q.stop()
+    wantp = sorted(
+        (r["user_id"], r["start_event_id"], r["a_v"], r["b_v"], r["mno"])
+        for r in eng.sql(psql.format(src="mr_batch")).collect()
+    )
+    assert gotp == wantp and len(wantp) > 3
     # predicate DEFINE shape routes to the streaming DEFINE matcher
     res2 = eng.sql(
         """
