@@ -7,19 +7,22 @@ the lakehouse-idiomatic layout (cf. Spark's built-in ``image`` and
 tested: schemas, Arrow batch shapes, ``mapInPandas`` operator
 signatures, partition-parallel execution.
 
-Codecs: ``_decode_bytes`` sniffs the payload magic. PPM (P6),
-uncompressed 24-bit BMP, **PNG (stdlib zlib inflate + full filter
-reconstruction: None/Sub/Up/Average/Paeth, gray/RGB/palette/alpha at
-8-bit depth)**, **GIF87a/89a (pure-Python LZW, color tables,
-deinterlace; animations decode to frame 1)**, and RIFF/WAVE PCM16
-audio decode FOR REAL —
-pure-Python header parse + numpy sample/pixel math, end-to-end in
-this container (dims/rate/duration, checksum, and an 8-dim feature
-from actual pixels or samples). Formats genuinely needing external
-libs (JPEG, 16-bit/interlaced PNG, non-PCM audio, av containers)
-stay a declared ``NotImplementedError`` stub — swapping a real codec
-in changes only ``_decode_bytes``. Payloads with no known magic use
-the deterministic 8-byte fake header (test fixtures).
+Codecs: ``_decode_bytes`` sniffs the payload magic. PPM (P6, 8- and
+16-bit), uncompressed 24-bit BMP, **PNG (stdlib zlib inflate + full
+filter reconstruction: None/Sub/Up/Average/Paeth,
+gray/RGB/palette/alpha at 8- AND 16-bit depth, Adam7 interlace —
+new r9)**, **GIF87a/89a (pure-Python LZW, color tables, deinterlace;
+animations decode to frame 1)**, **baseline JPEG (SOF0 huffman +
+dequant + numpy IDCT, 4:4:4/4:2:2/4:2:0, restart markers,
+grayscale/YCbCr — ``operators/jpeg.py``, new r9)**, and RIFF/WAVE
+PCM16 audio decode FOR REAL — pure-Python header parse + numpy
+sample/pixel math, end-to-end in this container (dims/rate/duration,
+checksum, and an 8-dim feature from actual pixels or samples).
+Formats genuinely needing external libs (progressive/arithmetic
+JPEG, non-PCM audio, av containers) stay a declared
+``NotImplementedError`` stub — swapping a real codec in changes only
+``_decode_bytes``. Payloads with no known magic use the
+deterministic 8-byte fake header (test fixtures).
 
 Scale: mapInPandas streams Arrow batches, so per-executor memory is
 bounded by batch size × blob size, not partition size; decode is
@@ -90,9 +93,19 @@ def _decode_ppm(b: bytes) -> tuple[int, int, bytes]:
             pos += 1
         tokens.append(b[start:pos])
     w, h, maxval = (int(t) for t in tokens)
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
     pos += 1  # the single whitespace after maxval
+    if maxval > 255:
+        # 16-bit P6 (new r9): two-byte big-endian samples, rescaled
+        # to 8 bits by maxval (exact round, not just the high byte —
+        # maxval need not be 65535)
+        import numpy as np
+
+        n = w * h * 3
+        raw = b[pos : pos + 2 * n]
+        if len(raw) != 2 * n:
+            raise ValueError("truncated PPM pixel data")
+        vals = np.frombuffer(raw, dtype=">u2").astype(np.float64)
+        return w, h, np.round(vals * 255.0 / maxval).astype(np.uint8).tobytes()
     pixels = bytes(b[pos : pos + w * h * 3])
     if len(pixels) != w * h * 3:
         raise ValueError("truncated PPM pixel data")
@@ -240,8 +253,9 @@ def _paeth(a: int, b: int, c: int) -> int:
 def _decode_png(b: bytes) -> tuple[int, int, bytes]:
     """PNG decode with ONLY the stdlib: chunk walk, zlib inflate of
     the IDAT stream, scanline filter reconstruction (all five filter
-    types), then expansion of gray/palette/alpha to RGB. Boundary
-    (declared): 8-bit depth, non-interlaced — 16-bit and Adam7 raise.
+    types), then expansion of gray/palette/alpha to RGB. 8- and
+    16-bit depths (16-bit rescaled to 8 via the high byte) and Adam7
+    interlace (new r9) are covered; sub-byte depths (1/2/4) raise.
     Cites the public PNG spec (RFC 2083) layout only."""
     import struct
     import zlib
@@ -268,43 +282,79 @@ def _decode_png(b: bytes) -> tuple[int, int, bytes]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+    if depth not in (8, 16) or interlace not in (0, 1) or comp != 0 or filt != 0:
         raise NotImplementedError(
             f"PNG depth={depth}/interlace={interlace} needs an external "
-            "decoder; this codec covers 8-bit non-interlaced images"
+            "decoder; this codec covers 8/16-bit, None or Adam7"
         )
     if color_type not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color_type}")
+    if depth == 16 and color_type == 3:
+        raise ValueError("PNG palette images are at most 8-bit by spec")
     ch = _PNG_CHANNELS[color_type]
+    bpp = ch * (depth // 8)  # filter byte offset = bytes per pixel
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data truncated")
-    out = bytearray(h * stride)
-    prev = bytes(stride)
-    for y in range(h):
-        base = y * (stride + 1)
-        ft = raw[base]
-        row = bytearray(raw[base + 1 : base + 1 + stride])
-        if ft == 1:
-            for x in range(ch, stride):
-                row[x] = (row[x] + row[x - ch]) & 0xFF
-        elif ft == 2:
-            for x in range(stride):
-                row[x] = (row[x] + prev[x]) & 0xFF
-        elif ft == 3:
-            for x in range(stride):
-                a = row[x - ch] if x >= ch else 0
-                row[x] = (row[x] + (a + prev[x]) // 2) & 0xFF
-        elif ft == 4:
-            for x in range(stride):
-                a = row[x - ch] if x >= ch else 0
-                c = prev[x - ch] if x >= ch else 0
-                row[x] = (row[x] + _paeth(a, prev[x], c)) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"unknown PNG filter {ft}")
-        out[y * stride : (y + 1) * stride] = row
-        prev = bytes(row)
+
+    def unfilter(src: bytes, off: int, ph: int, pw: int) -> tuple[bytes, int]:
+        """Reconstruct one (sub-)image of ph scanlines of pw pixels
+        starting at src[off]; returns (pixels, next offset)."""
+        stride = pw * bpp
+        if len(src) - off < ph * (stride + 1):
+            raise ValueError("PNG scanline data truncated")
+        out = bytearray(ph * stride)
+        prev = bytes(stride)
+        for y in range(ph):
+            base = off + y * (stride + 1)
+            ft = src[base]
+            row = bytearray(src[base + 1 : base + 1 + stride])
+            if ft == 1:
+                for x in range(bpp, stride):
+                    row[x] = (row[x] + row[x - bpp]) & 0xFF
+            elif ft == 2:
+                for x in range(stride):
+                    row[x] = (row[x] + prev[x]) & 0xFF
+            elif ft == 3:
+                for x in range(stride):
+                    a = row[x - bpp] if x >= bpp else 0
+                    row[x] = (row[x] + (a + prev[x]) // 2) & 0xFF
+            elif ft == 4:
+                for x in range(stride):
+                    a = row[x - bpp] if x >= bpp else 0
+                    c = prev[x - bpp] if x >= bpp else 0
+                    row[x] = (row[x] + _paeth(a, prev[x], c)) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"unknown PNG filter {ft}")
+            out[y * stride : (y + 1) * stride] = row
+            prev = bytes(row)
+        return bytes(out), off + ph * (stride + 1)
+
+    if interlace == 0:
+        out, _ = unfilter(raw, 0, h, w)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back on the spec's (x0, y0, dx, dy) lattice
+        full = bytearray(h * w * bpp)
+        off = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = unfilter(raw, off, ph, pw)
+            for py in range(ph):
+                yy = y0 + py * dy
+                for px in range(pw):
+                    si = (py * pw + px) * bpp
+                    di = (yy * w + x0 + px * dx) * bpp
+                    full[di : di + bpp] = sub[si : si + bpp]
+        out = bytes(full)
+    if depth == 16:
+        # 16 -> 8 bit: the high byte of each big-endian sample (the
+        # spec's sample-depth rescale for display)
+        out = bytes(out[0::2])
     # expand to RGB
     if color_type == 2:
         return w, h, bytes(out)
@@ -468,11 +518,21 @@ def _decode_bytes(payload: bytes) -> dict:
             "feature": _audio_feature(a, rate),
         }
     if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decoding needs PIL/turbojpeg — not shipped in this "
-            "container; re-encode to PNG/PPM/BMP or swap a real codec "
-            "into _decode_bytes"
-        )
+        # baseline sequential JPEG (SOF0): real decode from the public
+        # ITU T.81 spec (operators/jpeg.py, new r9 — formerly a stub);
+        # progressive/arithmetic still raise inside decode_jpeg
+        from .jpeg import decode_jpeg
+
+        w, h, rgb = decode_jpeg(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": checksum,
+            "width": w,
+            "height": h,
+            "sample_rate": None,
+            "duration_ms": None,
+            "feature": _pixel_feature(w, h, rgb),
+        }
     width = int.from_bytes(payload[0:2], "big")
     height = int.from_bytes(payload[2:4], "big")
     feature = [

@@ -143,15 +143,70 @@ def test_bmp_through_decode_media_operator(spark):
     assert abs(row["feature"][2] - 30 / 255.0) < 1e-6
 
 
-def test_jpeg_magic_is_a_declared_stub(spark):
-    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
-        _decode_bytes,
+def test_jpeg_baseline_codec_round_trips(spark):
+    """r9: the JPEG stub is now a REAL baseline codec (ITU T.81,
+    pure stdlib+numpy). Self-generated fixtures: encode->decode must
+    reproduce pixels within JPEG's lossy tolerance across 4:4:4,
+    4:2:0, restart intervals, grayscale, and non-multiple-of-MCU
+    dims; progressive (SOF2) stays a declared refusal."""
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
     )
 
-    import pytest
+    w, h = 48, 32
+    a = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            a[y, x] = (x * 5 % 256, y * 7 % 256, (x + y) * 3 % 256)
+    rgb = a.tobytes()
+    for sub, tol in (("444", 4), ("420", 12)):
+        for ri in (0, 3):
+            enc = encode_jpeg(
+                w, h, rgb, quality=92, subsample=sub, restart_interval=ri
+            )
+            assert enc[:3] == b"\xff\xd8\xff" and enc[-2:] == b"\xff\xd9"
+            dw, dh, out = decode_jpeg(enc)
+            assert (dw, dh) == (w, h)
+            got = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+            assert np.abs(got - a.astype(int)).max() <= tol
+    # grayscale single-component scan
+    g3 = np.repeat(
+        np.repeat((np.arange(w) * 5 % 256).astype(np.uint8)[None, :, None],
+                  h, axis=0),
+        3, axis=2,
+    )
+    dw, dh, out = decode_jpeg(
+        encode_jpeg(w, h, g3.tobytes(), quality=92, grayscale=True)
+    )
+    got = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(got - g3.astype(int)).max() <= 4
+    # non-multiple-of-16 dims exercise edge padding on encode and the
+    # plane crop on decode
+    w2, h2 = 13, 9
+    a2 = a[:h2, :w2].copy()
+    dw, dh, out = decode_jpeg(
+        encode_jpeg(w2, h2, a2.tobytes(), quality=92, subsample="420")
+    )
+    assert (dw, dh) == (w2, h2)
+    # _decode_bytes routes the FF D8 magic to the real decoder now
+    enc = encode_jpeg(w, h, rgb, quality=90)
+    meta = MM._decode_bytes(enc)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["sample_rate"] is None and len(meta["feature"]) == 8
+    # the feature comes from REAL pixels: close to the source image's
+    import numpy as _np
 
-    with pytest.raises(NotImplementedError, match="PIL"):
-        _decode_bytes(b"\xff\xd8\xff\xe0" + bytes(16))
+    src_means = a.reshape(-1, 3).mean(axis=0) / 255.0
+    assert _np.abs(_np.array(meta["feature"][:3]) - src_means).max() < 0.02
+    # progressive (SOF2) is the remaining declared boundary
+    prog = bytearray(enc)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(prog))
 
 # --- real in-container audio codec: RIFF/WAVE PCM16 -----------------------
 
@@ -347,25 +402,92 @@ def test_png_through_decode_media_operator(spark):
     assert all(abs(x - y) < 1e-6 for x, y in zip(got, want))
 
 
-def test_png_interlaced_and_16bit_are_declared_stubs(spark):
+def _png_chunk(tag, body):
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big") + tag + body
+        + zlib.crc32(tag + body).to_bytes(4, "big")
+    )
+
+
+def test_png_16bit_and_adam7_decode(spark):
+    """r9: 16-bit depth and Adam7 interlace decode for real (formerly
+    declared stubs). Fixtures are hand-built from the spec layout —
+    an INDEPENDENT reimplementation of the pass lattice — and must
+    equal the plain 8-bit non-interlaced decode of the same pixels.
+    Sub-byte depths stay a declared refusal."""
     import struct
     import zlib
 
-    def chunk(tag, body):
-        return (
-            len(body).to_bytes(4, "big") + tag + body
-            + zlib.crc32(tag + body).to_bytes(4, "big")
-        )
+    w, h = 11, 7  # odd dims exercise partial Adam7 passes
+    px = [
+        ((x * 23 + y * 7) % 256, (x * 5) % 256, (y * 31) % 256)
+        for y in range(h)
+        for x in range(w)
+    ]
+    flat8 = bytes(v for p in px for v in p)
+    # 16-bit: each sample v replicated as v*257 (high byte == v), so
+    # the rescale-to-8 decode must reproduce flat8 exactly
+    raw16 = bytearray()
+    for y in range(h):
+        raw16.append(0)  # filter None
+        for x in range(w):
+            for v in px[y * w + x]:
+                raw16 += (v * 257).to_bytes(2, "big")
+    ihdr16 = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    png16 = (
+        MM._PNG_MAGIC + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw16)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert MM._decode_png(png16) == (w, h, flat8)
+    # Adam7: seven passes, filter None scanlines, independent lattice
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw7 = bytearray()
+    for x0, y0, dx, dy in passes:
+        ys = list(range(y0, h, dy))
+        xs = list(range(x0, w, dx))
+        if not ys or not xs:
+            continue
+        for yy in ys:
+            raw7.append(0)
+            for xx in xs:
+                raw7 += bytes(px[yy * w + xx])
+    ihdr7 = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    png7 = (
+        MM._PNG_MAGIC + _png_chunk(b"IHDR", ihdr7)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw7)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert MM._decode_png(png7) == (w, h, flat8)
+    # sub-byte depth: still a declared boundary
+    ihdr4 = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    bad = (
+        MM._PNG_MAGIC + _png_chunk(b"IHDR", ihdr4)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        MM._decode_png(bad)
 
-    for depth, interlace in [(16, 0), (8, 1)]:
-        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, 2, 0, 0, interlace)
-        bad = (
-            MM._PNG_MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
-            + chunk(b"IEND", b"")
-        )
-        with pytest.raises(NotImplementedError):
-            MM._decode_png(bad)
+
+def test_ppm_16bit_decodes_with_maxval_rescale(spark):
+    """r9: 16-bit P6 (maxval > 255) decodes for real — big-endian
+    two-byte samples rescaled by the DECLARED maxval (exact round),
+    not just a high-byte truncation."""
+    w, h = 3, 2
+    vals = [0, 1000, 4095, 2048, 4094, 7, 500, 123, 4001,
+            3000, 2000, 1, 4095, 42, 77, 1234, 999, 3333]
+    body = b"".join(v.to_bytes(2, "big") for v in vals)
+    ppm = f"P6\n{w} {h}\n4095\n".encode() + body
+    dw, dh, rgb = MM._decode_ppm(ppm)
+    assert (dw, dh) == (w, h)
+    want = bytes(round(v * 255 / 4095) for v in vals)
+    assert rgb == want
 
 
 def test_resize_handles_png_payloads(spark):
