@@ -1591,16 +1591,23 @@ FROM (VALUES
   (CAST(2 AS BIGINT), 'image', CAST(78 AS BIGINT), CAST(729 AS BIGINT),
    2, 3, 0.0392, 0.0784, 0.1176),
   (CAST(3 AS BIGINT), 'video', CAST(16 AS BIGINT), CAST(24 AS BIGINT),
-   16, 8, 0.0, 0.0627, 0.0))
+   16, 8, 0.0, 0.0627, 0.0),
+  (CAST(4 AS BIGINT), 'image', CAST(613 AS BIGINT), CAST(49452 AS BIGINT),
+   8, 8, 0.3922, 0.5882, 0.7843))
 AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
 """,
     doc="Multimodal decode through mapInPandas (operators/"
     "multimodal.py): a real PPM (P6) file, a real padded bottom-up "
-    "24-bit BMP, and a stub-header 'video' payload decoded to dims, "
-    "checksum, and pixel color features. The oracle rows are the "
-    "HAND-derived decode of the fixed payloads (header byte sums, "
-    "per-channel pixel means), so the pure-Python codecs are checked "
-    "against independent arithmetic, not themselves.",
+    "24-bit BMP, a stub-header 'video' payload, and (new r9) a real "
+    "baseline JPEG decoded to dims, checksum, and pixel color "
+    "features. The oracle rows are the HAND-derived decode of the "
+    "fixed payloads (header byte sums, per-channel pixel means), so "
+    "the pure-Python codecs are checked against independent "
+    "arithmetic, not themselves — for the JPEG, a solid-color 8x8 "
+    "image is a DC-only block whose quantize->dequantize round trip "
+    "is exact integer math: Y'=140.75, Cb'=161.375, Cr'=98.75 "
+    "reconstruct (100,150,200) bit-exactly, features 100/150/200 "
+    "over 255.",
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1610,10 +1617,13 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_ppm,
     )
 
+    from ..operators.jpeg import encode_jpeg
+
     p1 = encode_ppm(2, 2, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255,
                                  255, 255, 255]))
     p2 = encode_bmp(2, 3, bytes([10, 20, 30] * 6))
     p3 = bytes([0, 16, 0, 8, 0, 0, 0, 0]) + bytes(8)
+    p4 = encode_jpeg(8, 8, bytes([100, 150, 200] * 64), quality=90)
     rows = [
         (1, "image", bytearray(p1),
          {"mime": "image/x-portable-pixmap", "n_bytes": len(p1),
@@ -1624,6 +1634,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (3, "video", bytearray(p3),
          {"mime": "video/x-stub", "n_bytes": len(p3),
           "width": 16, "height": 8, "duration_ms": 8}),
+        (4, "image", bytearray(p4),
+         {"mime": "image/jpeg", "n_bytes": len(p4),
+          "width": 8, "height": 8, "duration_ms": None}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     dec = decode_media(media)
