@@ -2139,6 +2139,57 @@ def q_uniform_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "uniform_incremental_read",
+    """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_regionkey >= 2
+""",
+    doc="Incremental UniForm (new r9), value-oracled: nation's low "
+    "regions export as commit 1, the high regions APPEND as commit 2 "
+    "— ONE shared parquet write per commit, the next Delta log "
+    "version (add actions only) AND the next Iceberg snapshot "
+    "(parent-chained, manifests carried forward) land over exactly "
+    "those new files. The query is the Iceberg INCREMENTAL read "
+    "after snapshot 1 — it must equal the appended subset — plus a "
+    "two-sided lockstep guard (symmetric exceptAll of the full Delta "
+    "vs Iceberg views) that rides the value hash: any divergence "
+    "between the two formats' views surfaces as extra rows. At scale "
+    "each commit is one distributed write + KB-scale metadata on both "
+    "trees; incremental consumers replay only new-snapshot manifests.",
+)
+def q_uniform_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import read_delta
+    from ..sources.iceberg_interop import (
+        read_iceberg,
+        read_iceberg_incremental,
+        snapshots,
+    )
+    from ..sources.uniform import export_uniform
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="uniform_inc_")
+    export_uniform(n.filter(F.col("n_regionkey") < 2), f"{root}/t")
+    snap1 = snapshots(f"{root}/t")[-1]["snapshot_id"]
+    export_uniform(
+        n.filter(F.col("n_regionkey") >= 2), f"{root}/t", mode="append"
+    )
+    inc = read_iceberg_incremental(spark, f"{root}/t", snap1).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    d = read_delta(spark, f"{root}/t").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    i = read_iceberg(spark, f"{root}/t").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return inc.unionAll(d.exceptAll(i)).unionAll(i.exceptAll(d))
+
+
+@register(
     "time_travel_read",
     f"""
 SELECT uuid, name, age FROM {_t1_values_sql(_T1_ROWS)}

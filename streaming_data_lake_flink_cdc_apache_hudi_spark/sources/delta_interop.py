@@ -267,6 +267,7 @@ def export_delta(
     column_mapping: bool | str = False,
     data_files: list[str] | None = None,
     partition_by: list[str] | None = None,
+    mode: str = "overwrite",
 ) -> int:
     """Write ``df`` as a new single-commit Delta table at ``path``.
 
@@ -301,7 +302,16 @@ def export_delta(
     path segments — so ``read_delta``'s per-group literal re-attach
     prunes scan legs on a partition filter. Not combinable with
     ``column_mapping`` (the physical rename would also rename the
-    partition directories)."""
+    partition directories).
+
+    ``mode="append"`` (new r9) commits the NEXT log version onto an
+    existing exported table (add actions only — protocol/metaData
+    stay the version-0 ones, per the Delta log's replay rule): new
+    part files land beside the old via Spark's append write (or the
+    caller's ``data_files``), and the frame's schema and
+    partitioning must equal the table's (raises otherwise) — the
+    multi-commit flavor the UniForm path composes with the Iceberg
+    append for dual-format incremental tables."""
     if column_mapping is True:
         column_mapping = "name"
     if column_mapping not in (False, "name", "id"):
@@ -323,6 +333,50 @@ def export_delta(
         unknown = [c for c in partition_by if c not in df.columns]
         if unknown:
             raise ValueError(f"partition_by: unknown columns {unknown}")
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    append_version: int | None = None
+    if mode == "append":
+        if column_mapping:
+            raise UnsupportedDeltaFeature(
+                "append onto a column-mapped table is not supported"
+            )
+        versions = sorted(
+            int(f[:20])
+            for f in os.listdir(os.path.join(path, _LOG_DIR))
+            if f.endswith(".json") and f[:20].isdigit()
+        )
+        if not versions:
+            raise FileNotFoundError(f"no Delta log at {path} to append to")
+        append_version = versions[-1] + 1
+        _, prev_m = _replay_log(df.sparkSession, path)
+        if prev_m is None:
+            raise ValueError("Delta log has no metaData action")
+        prev_schema = [
+            (f["name"], f["type"])
+            for f in json.loads(prev_m["schemaString"])["fields"]
+        ]
+        new_schema = [
+            (f["name"], f["type"])
+            for f in json.loads(df.schema.json())["fields"]
+        ]
+        if prev_schema != new_schema:
+            raise UnsupportedDeltaFeature(
+                f"append: frame schema {new_schema} differs from the "
+                f"table schema {prev_schema}"
+            )
+        prev_parts = prev_m.get("partitionColumns") or []
+        if list(partition_by or []) != list(prev_parts):
+            raise UnsupportedDeltaFeature(
+                f"append: partitioning {partition_by or []} differs "
+                f"from the table's {prev_parts}"
+            )
+        if (prev_m.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) not in ("none", None):
+            raise UnsupportedDeltaFeature(
+                "append onto a column-mapped table is not supported"
+            )
     phys_df, field_meta = df, {}
     if column_mapping:
         field_meta = {
@@ -349,26 +403,32 @@ def export_delta(
                 for f in df.schema.fields
             )
         )
-    if data_files is None:
+    def _list_parts() -> list[str]:
         if partition_by:
-            phys_df.write.partitionBy(*partition_by).mode(
-                "overwrite"
-            ).parquet(path)
-            parts = sorted(
+            return sorted(
                 os.path.relpath(os.path.join(root, f), path)
                 for root, _dirs, fs in os.walk(path)
                 for f in fs
-                if f.endswith(".parquet") and not f.startswith("_")
+                if f.endswith(".parquet")
+                and not f.startswith("_")
+                and _LOG_DIR not in root
             )
-        else:
-            phys_df.write.mode("overwrite").parquet(path)
-            # spark writes _SUCCESS + part files; delta logs only the
-            # parts
-            parts = sorted(
-                f
-                for f in os.listdir(path)
-                if f.endswith(".parquet") and not f.startswith("_")
-            )
+        # spark writes _SUCCESS + part files; delta logs only the parts
+        return sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+
+    if data_files is None:
+        before = set(_list_parts()) if mode == "append" else set()
+        writer = phys_df.write.mode(
+            "append" if mode == "append" else "overwrite"
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        parts = sorted(set(_list_parts()) - before)
     else:
         parts = sorted(data_files)
     os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
@@ -387,20 +447,24 @@ def export_delta(
             "delta.columnMapping.maxColumnId": str(len(field_meta)),
         }
         protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
-    actions: list[dict] = [
-        {"protocol": protocol},
-        {
-            "metaData": {
-                "id": str(uuid.uuid4()),
-                "name": name,
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": json.dumps(schema_json),
-                "partitionColumns": list(partition_by or []),
-                "configuration": config,
-                "createdTime": now_ms,
-            }
-        },
-    ]
+    actions: list[dict] = (
+        []  # append commits carry adds only; v0's protocol/metaData rule
+        if append_version is not None
+        else [
+            {"protocol": protocol},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "name": name,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema_json),
+                    "partitionColumns": list(partition_by or []),
+                    "configuration": config,
+                    "createdTime": now_ms,
+                }
+            },
+        ]
+    )
 
     def _part_vals(rel: str) -> dict[str, str]:
         # hive-layout path segments `col=value` -> partitionValues
@@ -435,7 +499,7 @@ def export_delta(
                 }
             }
         )
-    with open(_log_path(path, 0), "w") as fh:
+    with open(_log_path(path, append_version or 0), "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
     return len(parts)
 
@@ -483,9 +547,15 @@ def _checkpoint_state(
 
 
 def _replay_log(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, version_as_of: int | None = None
 ) -> tuple[dict[str, dict], dict | None]:
-    """Replay checkpoint + JSON commits into the live add-file map."""
+    """Replay checkpoint + JSON commits into the live add-file map.
+
+    ``version_as_of`` stops the replay at that commit (inclusive) —
+    Delta time travel. A checkpoint NEWER than the requested version
+    is skipped and the JSON commits replay from 0; if those early
+    commits were cleaned up the version is no longer reconstructable
+    and this raises instead of silently serving a later state."""
     log_dir = os.path.join(path, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {path}")
@@ -493,7 +563,9 @@ def _replay_log(
     adds: dict[str, dict] = {}
     meta = proto = None
     cp = _read_last_checkpoint(path)
-    if cp is not None:
+    if cp is not None and (
+        version_as_of is None or cp["version"] <= version_as_of
+    ):
         adds, meta, proto = _checkpoint_state(
             spark, path, cp["version"], cp.get("parts")
         )
@@ -503,9 +575,28 @@ def _replay_log(
         for f in os.listdir(log_dir)
         if f.endswith(".json") and f[:20].isdigit()
     )
+    if version_as_of is not None:
+        newest = max(versions) if versions else cp["version"] if cp else -1
+        if version_as_of < 0 or version_as_of > newest:
+            raise ValueError(
+                f"version_as_of={version_as_of} out of range "
+                f"(table is at version {newest})"
+            )
+        have = set(versions)
+        missing = [
+            v for v in range(start, version_as_of + 1) if v not in have
+        ]
+        if missing:
+            raise UnsupportedDeltaFeature(
+                f"version_as_of={version_as_of}: commits {missing} "
+                "missing from _delta_log (log cleanup?) — the "
+                "requested version is no longer reconstructable"
+            )
     for v in versions:
         if v < start:
             continue
+        if version_as_of is not None and v > version_as_of:
+            break
         # actions within one commit are a SET: a remove and an add of
         # the same path means "replace" (DV writers and OPTIMIZE emit
         # both), so removes apply before the commit's adds regardless
@@ -641,7 +732,9 @@ def _resolve_id_mapping(
     return out
 
 
-def read_delta(spark: SparkSession, path: str) -> DataFrame:
+def read_delta(
+    spark: SparkSession, path: str, version_as_of: int | None = None
+) -> DataFrame:
     """Mount a Delta table (protocol v1 + deletion vectors) as a
     DataFrame.
 
@@ -653,8 +746,12 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     ``deletionVector`` descriptor have their deleted positions
     decoded on executors and dropped by one anti-join on
     ``_metadata.file_path`` / ``row_index`` (see module docstring).
-    """
-    adds, meta = _replay_log(spark, path)
+
+    ``version_as_of`` (new r9) is Delta time travel — the replay
+    stops at that commit, so the scan covers exactly the files live
+    AT that version (the spec's ``VERSION AS OF``; same driver-side
+    KB-scale metadata pass, one pruned scan either way)."""
+    adds, meta = _replay_log(spark, path, version_as_of=version_as_of)
     dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
     if not dv_adds:
         return _frame_from_adds(spark, path, adds, meta)

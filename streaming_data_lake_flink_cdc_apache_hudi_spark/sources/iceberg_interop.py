@@ -979,6 +979,7 @@ def export_iceberg(
     partition_by: Sequence[str] | None = None,
     format_version: int = 1,
     data_files: Sequence[str] | None = None,
+    mode: str = "overwrite",
 ) -> int:
     """Write ``df`` as a new single-snapshot Iceberg table at
     ``path`` (filesystem catalog layout: data/ parquet + metadata/
@@ -1022,7 +1023,21 @@ def export_iceberg(
     per the Iceberg spec, identity-partition source columns absent
     from the files resolve from the manifest partition structs (the
     hive-migrated-table rule this module's reader implements via
-    basePath inference)."""
+    basePath inference).
+
+    ``mode="append"`` (new r9) commits a SECOND (third, ...) snapshot
+    onto an existing exported table: new data files land beside the
+    old (Spark append write, or the caller's ``data_files``), get
+    their own manifests at the NEXT sequence number, and the new
+    manifest list carries the previous snapshot's manifest entries
+    forward — a real multi-commit lineage (parent-snapshot-id chain)
+    that ``read_iceberg_incremental``, ``expire_snapshots``, and
+    ``rewrite_manifests`` all operate on. The appended frame's schema
+    and partition spec must equal the table's (raises otherwise);
+    format_version is taken FROM the table. Walk-mode appends detect
+    new files by diffing against every prior snapshot's reachable
+    set, so a file recorded DELETED by an earlier snapshot is never
+    resurrected as an add."""
     import urllib.parse
 
     import pyarrow.parquet as pq
@@ -1031,6 +1046,22 @@ def export_iceberg(
 
     if format_version not in (1, 2):
         raise ValueError(f"format_version must be 1 or 2, got {format_version}")
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    prev_meta: dict | None = None
+    if mode == "append":
+        prev_meta = json.load(open(_current_metadata_path(path)))
+        format_version = int(prev_meta.get("format-version", 1))
+        prev_fields = _current_schema(path).get("fields", [])
+        new_fields = _iceberg_schema(df)["fields"]
+        if [(f["name"], f["type"]) for f in prev_fields] != [
+            (f["name"], f["type"]) for f in new_fields
+        ]:
+            raise UnsupportedIcebergFeature(
+                "append: frame schema differs from the table schema "
+                f"({[(f['name'], f['type']) for f in new_fields]} vs "
+                f"{[(f['name'], f['type']) for f in prev_fields]})"
+            )
     schema_fields = {f.name: f for f in df.schema.fields}
 
     def _src_type(c: str) -> str:
@@ -1083,6 +1114,26 @@ def export_iceberg(
                 f"only (got transforms on {bad})"
             )
     data_dir = os.path.join(path, "data")
+    prev_ref: set[str] = set()
+    if prev_meta is not None:
+        prev_specs = (prev_meta.get("partition-specs") or [{}])[0].get(
+            "fields", []
+        )
+        if [(s["name"], s["transform"]) for s in prev_specs] != [
+            (ps["fname"], ps["transform"]) for ps in pspecs
+        ]:
+            raise UnsupportedIcebergFeature(
+                "append: partition spec differs from the table's"
+            )
+        # every file ANY prior snapshot references (all statuses) —
+        # the diff base for walk-mode new-file detection
+        for s in prev_meta.get("snapshots", []):
+            try:
+                _, _, dps = _snapshot_reachable(path, s)
+                prev_ref |= dps
+            except (FileNotFoundError, OSError):
+                continue
+    write_mode = "append" if mode == "append" else "overwrite"
     if data_files is not None:
         pass  # files already on disk; no write
     elif pspecs:
@@ -1113,10 +1164,10 @@ def export_iceberg(
                     _make_bkt(ps["n"], ps["src_type"])(F.col(ps["src"])),
                 )
         w.write.partitionBy(*(f"_p_{ps['fname']}" for ps in pspecs)).mode(
-            "overwrite"
+            write_mode
         ).parquet(data_dir)
     else:
-        df.write.mode("overwrite").parquet(data_dir)
+        df.write.mode(write_mode).parquet(data_dir)
     out_types = {ps["fname"]: ps["out_type"] for ps in pspecs}
     parts: list[tuple[str, dict]] = []  # (abspath, partition values)
     if data_files is not None:
@@ -1160,7 +1211,9 @@ def export_iceberg(
                 vals[c] = int(raw) if out_types[c] != "string" else raw
         for f in sorted(fs):
             if f.endswith(".parquet") and not f.startswith("_"):
-                parts.append((os.path.join(root, f), vals))
+                full = os.path.join(root, f)
+                if full not in prev_ref:  # append: NEW files only
+                    parts.append((full, vals))
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     now_ms = int(time.time() * 1000)
     field_ids = {f.name: i + 1 for i, f in enumerate(df.schema.fields)}
@@ -1207,6 +1260,11 @@ def export_iceberg(
         ).append((full, vals))
     md = os.path.join(path, _META_DIR)
     os.makedirs(md, exist_ok=True)
+    new_seq = (
+        int(prev_meta.get("last-sequence-number") or 0) + 1
+        if prev_meta is not None
+        else 1
+    )
     manifest_rows = []
     total_rows = 0
     n_files = 0
@@ -1264,8 +1322,8 @@ def export_iceberg(
         }
         if format_version == 2:
             row["content"] = 0  # data manifest
-            row["sequence_number"] = 1
-            row["min_sequence_number"] = 1
+            row["sequence_number"] = new_seq
+            row["min_sequence_number"] = new_seq
             # v2 spec marks the file/row counts REQUIRED in the
             # manifest list; all entries here are status=ADDED
             row["added_files_count"] = len(entries)
@@ -1356,6 +1414,27 @@ def export_iceberg(
                 ],
             }
         )
+    if prev_meta is not None:
+        # carry the previous snapshot's manifests forward (delete
+        # manifests included) — re-encoded under the new list schema,
+        # gaps filled with their defaults
+        prev_snap = next(
+            s
+            for s in prev_meta["snapshots"]
+            if s["snapshot-id"] == prev_meta.get("current-snapshot-id")
+        )
+        _, prev_rows = read_avro(_resolve(prev_snap["manifest-list"], path))
+        schema_names = [f["name"] for f in mlist_schema["fields"]]
+        carried = [
+            {
+                name: m.get(
+                    name, 0 if "count" in name or "rows" in name else None
+                )
+                for name in schema_names
+            }
+            for m in prev_rows
+        ]
+        manifest_rows = carried + manifest_rows
     mlist_path = os.path.join(md, f"snap-{snapshot_id}.avro")
     write_avro(
         mlist_path,
@@ -1366,6 +1445,33 @@ def export_iceberg(
             "snapshot-id": str(snapshot_id).encode(),
         },
     )
+    if prev_meta is not None:
+        new_snap = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": prev_meta.get("current-snapshot-id"),
+            "timestamp-ms": now_ms,
+            **(
+                {"sequence-number": new_seq}
+                if format_version == 2
+                else {}
+            ),
+            "manifest-list": "file://" + mlist_path,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(n_files),
+                "added-records": str(total_rows),
+            },
+        }
+        new_meta = dict(prev_meta)
+        new_meta["last-updated-ms"] = now_ms
+        if format_version == 2:
+            new_meta["last-sequence-number"] = new_seq
+        new_meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [
+            new_snap
+        ]
+        new_meta["current-snapshot-id"] = snapshot_id
+        _commit_metadata(path, new_meta)
+        return n_files
     meta = {
         "format-version": format_version,
         **({"last-sequence-number": 1} if format_version == 2 else {}),

@@ -52,28 +52,48 @@ def export_uniform(
     path: str,
     name: str | None = None,
     partition_by: list[str] | None = None,
+    mode: str = "overwrite",
 ) -> int:
     """Write ``df`` once and commit Delta AND Iceberg metadata over
-    the same files. Returns the number of data files."""
-    if partition_by:
-        df.write.partitionBy(*partition_by).mode("overwrite").parquet(
-            path
-        )
-        parts = sorted(
-            os.path.relpath(os.path.join(root, f), path)
-            for root, _dirs, fs in os.walk(path)
-            for f in fs
-            if f.endswith(".parquet") and not f.startswith("_")
-        )
-    else:
-        df.write.mode("overwrite").parquet(path)
-        parts = sorted(
+    the same files. ``mode="append"`` (new r9) lands NEW files beside
+    the old and commits the next Delta log version AND the next
+    Iceberg snapshot over exactly those files — incremental UniForm:
+    both views advance in lockstep, ``read_iceberg_incremental``
+    serves the appended rows, and the shared data is still written
+    once. Returns the number of data files in this commit."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+
+    def _list_parts() -> set[str]:
+        if partition_by:
+            return {
+                os.path.relpath(os.path.join(root, f), path)
+                for root, _dirs, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+                and not f.startswith("_")
+                and "_delta_log" not in root
+                and os.sep + "metadata" not in root
+            }
+        return {
             f
             for f in os.listdir(path)
             if f.endswith(".parquet") and not f.startswith("_")
-        )
+        }
+
+    before = _list_parts() if mode == "append" else set()
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    parts = sorted(_list_parts() - before)
     export_delta(
-        df, path, name=name, data_files=parts, partition_by=partition_by
+        df,
+        path,
+        name=name,
+        data_files=parts,
+        partition_by=partition_by,
+        mode=mode,
     )
     export_iceberg(
         df,
@@ -81,5 +101,6 @@ def export_uniform(
         table_name=name,
         data_files=[os.path.join(path, f) for f in parts],
         partition_by=partition_by,
+        mode=mode,
     )
     return len(parts)

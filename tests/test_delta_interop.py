@@ -1104,3 +1104,85 @@ def test_partition_filter_prunes_scan_legs(spark, tmp_path):
     assert sorted(map(tuple, pruned.collect())) == [(3, "b")]
     assert len(df.inputFiles()) == 2
     assert len(pruned.inputFiles()) == 1
+
+
+def test_export_delta_append_commits_next_version(spark, tmp_path):
+    """r9: mode='append' lands new part files beside the old and
+    writes the NEXT log version with add actions only; the replayed
+    table serves the union, schema/partitioning drift refuses."""
+    path = str(tmp_path / "delta_append")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    extra = spark.createDataFrame([(3, "c")], "id long, v string")
+    export_delta(base, path)
+    export_delta(extra, path, mode="append")
+    got = sorted(map(tuple, read_delta(spark, path).collect()))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    v1 = os.path.join(path, "_delta_log", "%020d.json" % 1)
+    acts = [json.loads(l) for l in open(v1) if l.strip()]
+    assert acts and all(set(a) == {"add"} for a in acts)
+    with pytest.raises(UnsupportedDeltaFeature, match="schema"):
+        export_delta(
+            spark.createDataFrame([(4,)], "id long"), path, mode="append"
+        )
+    with pytest.raises(UnsupportedDeltaFeature, match="partition"):
+        export_delta(extra, path, partition_by=["v"], mode="append")
+    with pytest.raises(FileNotFoundError):
+        export_delta(extra, str(tmp_path / "nolog"), mode="append")
+    # partitioned append: new files under their value dirs, adds carry
+    # partitionValues, pruning still leg-level
+    p2 = str(tmp_path / "delta_append_part")
+    export_delta(base, p2, partition_by=["v"])
+    export_delta(extra, p2, partition_by=["v"], mode="append")
+    d = read_delta(spark, p2)
+    assert sorted(map(tuple, d.collect())) == [(1, "a"), (2, "b"), (3, "c")]
+    assert {f.rsplit("/", 2)[-2] for f in d.filter("v = 'c'").inputFiles()} == {
+        "v=c"
+    }
+
+
+def test_read_delta_version_as_of_time_travel(spark, tmp_path):
+    """r9: version_as_of stops the log replay at that commit — each
+    version serves exactly its live file set; removes later in the
+    log resurrect; out-of-range and non-reconstructable versions
+    raise instead of silently serving a different state."""
+    import shutil
+
+    path = str(tmp_path / "delta_tt")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    e1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    e2 = spark.createDataFrame([(4, "d")], "id long, v string")
+    export_delta(base, path)
+    export_delta(e1, path, mode="append")
+    export_delta(e2, path, mode="append")
+    want = {
+        0: [(1, "a"), (2, "b")],
+        1: [(1, "a"), (2, "b"), (3, "c")],
+        2: [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+    }
+    for v, rows in want.items():
+        got = sorted(map(tuple, read_delta(spark, path, version_as_of=v).collect()))
+        assert got == rows, v
+    assert sorted(map(tuple, read_delta(spark, path).collect())) == want[2]
+    for bad in (3, -1):
+        with pytest.raises(ValueError, match="out of range"):
+            read_delta(spark, path, version_as_of=bad)
+    # a remove later in the log: v0 read resurrects the removed file
+    path2 = str(tmp_path / "delta_tt_rm")
+    export_delta(base, path2)
+    parts = [
+        f for f in os.listdir(path2)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    _log(path2, 1, [{"remove": {"path": parts[0], "dataChange": True}}])
+    assert read_delta(spark, path2).count() < len(want[0])
+    assert sorted(
+        map(tuple, read_delta(spark, path2, version_as_of=0).collect())
+    ) == want[0]
+    # vacuumed early commit -> the version is not reconstructable
+    path3 = str(tmp_path / "delta_tt_gone")
+    shutil.copytree(path, path3)
+    os.remove(os.path.join(path3, "_delta_log", "%020d.json" % 0))
+    with pytest.raises(UnsupportedDeltaFeature, match="reconstructable"):
+        read_delta(spark, path3, version_as_of=1)

@@ -1104,3 +1104,76 @@ def test_rewrite_manifests_compacts_current_snapshot(spark, tmp_path):
         assert sorted(map(tuple, read_iceberg(spark, path).collect())) == sorted(
             map(tuple, df.collect())
         )
+
+
+def test_export_iceberg_append_multi_snapshot(spark, tmp_path):
+    """r9: mode='append' commits a second snapshot carrying the prior
+    manifests forward — full read serves the union, time travel the
+    base, incremental read exactly the appended rows; v2 sequence
+    numbers advance; schema/spec drift refuses; expire_snapshots then
+    prunes the lineage this append created."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        UnsupportedIcebergFeature,
+        _live_files,
+        expire_snapshots,
+        read_iceberg_incremental,
+    )
+
+    for fv in (1, 2):
+        path = str(tmp_path / f"ice_append_v{fv}")
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        )
+        extra = spark.createDataFrame([(3, "c")], "id long, v string")
+        export_iceberg(base, path, format_version=fv)
+        s1 = snapshots(path)[-1]["snapshot_id"]
+        export_iceberg(extra, path, mode="append")
+        snaps = snapshots(path)
+        assert len(snaps) == 2
+        got = sorted(map(tuple, read_iceberg(spark, path).collect()))
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+        old = read_iceberg(spark, path, snapshot_id=s1)
+        assert sorted(map(tuple, old.collect())) == [(1, "a"), (2, "b")]
+        inc = read_iceberg_incremental(spark, path, s1)
+        assert sorted(map(tuple, inc.collect())) == [(3, "c")]
+        if fv == 2:
+            mapping, _, _ = _live_files(path)
+            # appended file(s) at the NEXT sequence number; each
+            # export may land several part files
+            assert sorted(
+                {seq for _, seq, _ in mapping.values()}
+            ) == [1, 2]
+        with pytest.raises(UnsupportedIcebergFeature, match="schema"):
+            export_iceberg(
+                spark.createDataFrame([(4,)], "id long"),
+                path,
+                mode="append",
+            )
+        with pytest.raises(UnsupportedIcebergFeature, match="spec"):
+            export_iceberg(
+                extra, path, partition_by=["v"], mode="append"
+            )
+        removed = expire_snapshots(path, keep_last=1)
+        assert removed["expired_snapshots"] == 1
+        # the base files are shared with the current snapshot: nothing
+        # but the old manifest list may go
+        assert removed["data_files"] == 0
+        assert sorted(map(tuple, read_iceberg(spark, path).collect())) == got
+    # partitioned walk-mode append: new files only, spec preserved
+    path = str(tmp_path / "ice_append_part")
+    base = spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "id long, k long"
+    )
+    extra = spark.createDataFrame(
+        [(100 + i, i % 2) for i in range(4)], "id long, k long"
+    )
+    export_iceberg(base, path, partition_by=["k"])
+    export_iceberg(extra, path, partition_by=["k"], mode="append")
+    got = sorted(r.id for r in read_iceberg(spark, path).collect())
+    assert got == sorted(
+        [r.id for r in base.collect()] + [r.id for r in extra.collect()]
+    )
+    pruned = read_iceberg(spark, path, partition_filter={"k": 1})
+    assert sorted(r.id for r in pruned.collect()) == sorted(
+        i for i in range(10) if i % 2
+    ) + [101, 103]

@@ -127,3 +127,86 @@ def test_uniform_partitioned_both_views_prune_and_agree(spark, tmp_path):
     assert sorted(tuple(r) for r in ip.select("n_nationkey", "n_name", "grp").collect()) == sorted(
         t for t in want if t[2] == "lo"
     )
+
+
+def test_uniform_append_advances_both_views_in_lockstep(spark, tmp_path):
+    """r9: incremental UniForm — mode='append' lands NEW files beside
+    the old and commits the next Delta log version AND the next
+    Iceberg snapshot over exactly those files. Both views serve the
+    union; the Iceberg incremental read serves ONLY the appended
+    rows; time travel to snapshot 1 serves only the base."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        read_iceberg_incremental,
+        snapshots,
+    )
+
+    base = load_table(spark, SF_SMOKE, "region")
+    extra = spark.createDataFrame(
+        [(90, "MOON"), (91, "MARS")],
+        base.schema,
+    )
+    path = str(tmp_path / "uniform_inc")
+    n1 = export_uniform(base, path, name="region_u")
+    snap1 = snapshots(path)[-1]["snapshot_id"]
+    n2 = export_uniform(extra, path, name="region_u", mode="append")
+    assert n1 >= 1 and n2 >= 1
+    want = sorted(map(tuple, base.collect()) , key=str) + sorted(
+        map(tuple, extra.collect()), key=str
+    )
+    want = sorted(want, key=str)
+    got_d = sorted(map(tuple, read_delta(spark, path).collect()), key=str)
+    got_i = sorted(map(tuple, read_iceberg(spark, path).collect()), key=str)
+    assert got_d == want and got_i == want
+    # delta log: version 1 exists and carries ONLY add actions
+    v1 = os.path.join(path, "_delta_log", "%020d.json" % 1)
+    acts = [json.loads(l) for l in open(v1) if l.strip()]
+    assert acts and all("add" in a for a in acts)
+    # iceberg: two snapshots, parent chain, incremental = appended rows
+    snaps = snapshots(path)
+    assert len(snaps) == 2
+    inc = read_iceberg_incremental(spark, path, snap1)
+    assert sorted(map(tuple, inc.collect()), key=str) == sorted(
+        map(tuple, extra.collect()), key=str
+    )
+    old = read_iceberg(spark, path, snapshot_id=snap1)
+    assert sorted(map(tuple, old.collect()), key=str) == sorted(
+        map(tuple, base.collect()), key=str
+    )
+    # schema drift refuses on both exporters
+    bad = extra.withColumnRenamed("r_name", "nope")
+    with pytest.raises(Exception, match="schema"):
+        export_uniform(bad, path, mode="append")
+
+
+def test_uniform_append_partitioned_keeps_pruning(spark, tmp_path):
+    """Appended partitions join the shared hive layout; a partition
+    filter on each view still scans only that partition's files."""
+    from pyspark.sql import functions as F
+
+    src = (
+        load_table(spark, SF_SMOKE, "nation")
+        .withColumn("grp", F.lit("lo"))
+        .select("n_nationkey", "n_name", "grp")
+    )
+    extra = (
+        load_table(spark, SF_SMOKE, "nation")
+        .withColumn("grp", F.lit("hi"))
+        .withColumn("n_nationkey", F.col("n_nationkey") + 100)
+        .select("n_nationkey", "n_name", "grp")
+    )
+    path = str(tmp_path / "uniform_inc_part")
+    export_uniform(src, path, partition_by=["grp"])
+    export_uniform(extra, path, partition_by=["grp"], mode="append")
+    d = read_delta(spark, path)
+    i = read_iceberg(spark, path)
+    n_all = len(set(i.inputFiles()))
+    hi_i = read_iceberg(spark, path, partition_filter={"grp": "hi"})
+    assert 0 < len(set(hi_i.inputFiles())) < n_all
+    assert sorted(r.n_nationkey for r in hi_i.collect()) == sorted(
+        r.n_nationkey for r in extra.collect()
+    )
+    hi_d = d.filter("grp = 'hi'")
+    assert {f.rsplit("/", 2)[-2] for f in hi_d.inputFiles()} == {"grp=hi"}
+    assert sorted(r.n_nationkey for r in hi_d.collect()) == sorted(
+        r.n_nationkey for r in extra.collect()
+    )
