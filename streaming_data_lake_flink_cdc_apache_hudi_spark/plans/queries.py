@@ -2190,6 +2190,59 @@ def q_uniform_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_checkpoint_read",
+    """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+    doc="Delta maintenance (new r9), value-oracled end-to-end: nation "
+    "exports as THREE append commits, write_checkpoint snapshots the "
+    "live state as the spec's parquet checkpoint + _last_checkpoint, "
+    "cleanup_log deletes the covered JSON commits (the read now "
+    "replays checkpoint-only), then OPTIMIZE bin-packs the live files "
+    "into one with a dataChange=false remove+add commit. The returned "
+    "frame is the post-OPTIMIZE read plus a two-sided exceptAll guard "
+    "against the pre-OPTIMIZE (checkpoint-replayed) view — any row "
+    "maintenance loses or invents rides the value hash. At 100 TB "
+    "commit counts this is what keeps a multi-commit export mountable: "
+    "replay cost O(live files) not O(history), scan count O(1) after "
+    "compaction.",
+)
+def q_delta_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import (
+        cleanup_log,
+        export_delta,
+        optimize_delta,
+        read_delta,
+        write_checkpoint,
+    )
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="delta_cp_")
+    t = f"{root}/t"
+    export_delta(n.filter(F.col("n_regionkey") < 2), t)
+    export_delta(
+        n.filter(F.col("n_regionkey") == 2), t, mode="append"
+    )
+    export_delta(n.filter(F.col("n_regionkey") > 2), t, mode="append")
+    write_checkpoint(spark, t)
+    cleanup_log(t)
+    pre = read_delta(spark, t).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    optimize_delta(spark, t)
+    post = read_delta(spark, t).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return post.unionAll(pre.exceptAll(post)).unionAll(
+        post.exceptAll(pre)
+    )
+
+
+@register(
     "time_travel_read",
     f"""
 SELECT uuid, name, age FROM {_t1_values_sql(_T1_ROWS)}

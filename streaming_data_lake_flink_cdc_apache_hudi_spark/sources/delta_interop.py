@@ -346,10 +346,16 @@ def export_delta(
             for f in os.listdir(os.path.join(path, _LOG_DIR))
             if f.endswith(".json") and f[:20].isdigit()
         )
-        if not versions:
+        cp = _read_last_checkpoint(path)
+        if not versions and cp is None:
             raise FileNotFoundError(f"no Delta log at {path} to append to")
-        append_version = versions[-1] + 1
-        _, prev_m = _replay_log(df.sparkSession, path)
+        # after cleanup_log the JSON commits up to the checkpoint are
+        # gone — the checkpoint version still anchors the next one
+        append_version = (
+            max(versions[-1] if versions else -1, cp["version"] if cp else -1)
+            + 1
+        )
+        _, prev_m, _ = _replay_log(df.sparkSession, path)
         if prev_m is None:
             raise ValueError("Delta log has no metaData action")
         prev_schema = [
@@ -548,8 +554,8 @@ def _checkpoint_state(
 
 def _replay_log(
     spark: SparkSession, path: str, version_as_of: int | None = None
-) -> tuple[dict[str, dict], dict | None]:
-    """Replay checkpoint + JSON commits into the live add-file map.
+) -> tuple[dict[str, dict], dict | None, dict | None]:
+    """Replay checkpoint + JSON commits into (adds, metaData, protocol).
 
     ``version_as_of`` stops the replay at that commit (inclusive) —
     Delta time travel. A checkpoint NEWER than the requested version
@@ -641,7 +647,7 @@ def _replay_log(
                 "(name and id modes are)"
             )
         _column_mapping(meta)  # fail fast on unmappable schemas
-    return adds, meta
+    return adds, meta, proto
 
 
 def _contains_struct(t) -> bool:
@@ -751,7 +757,7 @@ def read_delta(
     stops at that commit, so the scan covers exactly the files live
     AT that version (the spec's ``VERSION AS OF``; same driver-side
     KB-scale metadata pass, one pruned scan either way)."""
-    adds, meta = _replay_log(spark, path, version_as_of=version_as_of)
+    adds, meta, _ = _replay_log(spark, path, version_as_of=version_as_of)
     dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
     if not dv_adds:
         return _frame_from_adds(spark, path, adds, meta)
@@ -977,7 +983,7 @@ def read_delta_incremental(
         raise ValueError("to_version precedes from_version")
     # protocol / column-mapping gates ride the full replay (also the
     # source of the CURRENT schema for partition typing)
-    _, meta = _replay_log(spark, path)
+    _, meta, _ = _replay_log(spark, path)
     have = set(versions)
     adds: dict[str, dict] = {}
     for v in range(from_version + 1, to_version + 1):
@@ -1008,3 +1014,201 @@ def read_delta_incremental(
                         )
                     adds[a["add"]["path"]] = a["add"]
     return _frame_from_adds(spark, path, adds, meta)
+
+
+# -- table maintenance: checkpoints, log cleanup, OPTIMIZE (new r9) -------
+
+
+def _data_file_set(path: str) -> set[str]:
+    """Relative paths of every data parquet under ``path`` (hive
+    partition dirs included), excluding the Delta log and any Iceberg
+    ``metadata/`` tree a UniForm table shares the directory with."""
+    out: set[str] = set()
+    for root, dirs, fs in os.walk(path):
+        dirs[:] = [d for d in dirs if d not in (_LOG_DIR, "metadata")]
+        for f in fs:
+            if f.endswith(".parquet") and not f.startswith("_"):
+                out.add(os.path.relpath(os.path.join(root, f), path))
+    return out
+
+
+def write_checkpoint(spark: SparkSession, path: str) -> dict:
+    """Write the spec's parquet checkpoint of the CURRENT table state.
+
+    One classic single-file checkpoint at the newest commit version —
+    one row per live action (``protocol``, ``metaData``, every live
+    ``add``) — plus the ``_delta_log/_last_checkpoint`` pointer.
+    ``read_delta`` then replays the checkpoint and only the commits
+    AFTER it, so a long-lived table's mount cost is O(live files),
+    not O(commit history) — the 100 TB posture for the multi-commit
+    tables ``export_delta(mode="append")`` builds (every JSON commit
+    replay is a driver-side file read; at production commit counts
+    that dominates without checkpoints). Per the protocol, JSON
+    commits at or below the checkpoint version become deletable
+    (``cleanup_log``); time travel to them then raises
+    not-reconstructable instead of lying.
+
+    The checkpoint parquet is written by round-tripping the action
+    dicts through ``spark.read.json`` — the exact schema the JSON
+    commits carry, so checkpoint replay and commit replay see the
+    same shapes (DV descriptors and partitionValues included)."""
+    log_dir = os.path.join(path, _LOG_DIR)
+    versions = [
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no JSON commits to checkpoint at {path}")
+    version = max(versions)
+    adds, meta, proto = _replay_log(spark, path)
+    if meta is None or proto is None:
+        raise UnsupportedDeltaFeature(
+            "table has no metaData/protocol action — nothing to anchor "
+            "a checkpoint on"
+        )
+    lines = [json.dumps({"protocol": proto}), json.dumps({"metaData": meta})]
+    lines += [json.dumps({"add": adds[p]}) for p in sorted(adds)]
+    cp_df = spark.read.json(spark.sparkContext.parallelize(lines, 1))
+    tmp = os.path.join(log_dir, ".checkpoint_tmp_%020d" % version)
+    cp_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+    )
+    final = os.path.join(log_dir, "%020d.checkpoint.parquet" % version)
+    os.replace(os.path.join(tmp, part), final)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(lines)}, fh)
+    return {"version": version, "actions": len(lines)}
+
+
+def cleanup_log(path: str) -> int:
+    """Delete JSON commits covered by the newest checkpoint (the
+    protocol's metadata cleanup). Returns the number of commit files
+    removed. Requires a checkpoint — without one the log is the only
+    copy of the table state and nothing is deletable. Reads replay
+    checkpoint + later commits exactly as before; ``version_as_of``
+    into the cleaned range raises not-reconstructable (tested) rather
+    than silently serving a later state."""
+    cp = _read_last_checkpoint(path)
+    if cp is None:
+        raise UnsupportedDeltaFeature(
+            "cleanup_log needs a checkpoint (write_checkpoint first) — "
+            "the JSON commits are the only copy of the table state"
+        )
+    log_dir = os.path.join(path, _LOG_DIR)
+    removed = 0
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".json") and f[:20].isdigit() and int(f[:20]) <= cp[
+            "version"
+        ]:
+            os.remove(os.path.join(log_dir, f))
+            removed += 1
+    return removed
+
+
+def optimize_delta(spark: SparkSession, path: str) -> dict:
+    """Bin-packing OPTIMIZE as a Delta log commit.
+
+    Rewrites the live file set into one file per partition (a single
+    coalesced file for unpartitioned tables) and commits
+    ``remove`` + ``add`` actions with ``dataChange: false`` — the
+    protocol's compaction commit. Readers replaying the log swap the
+    file sets atomically; while the pre-OPTIMIZE JSON commits
+    survive, ``version_as_of`` still serves the old files (the
+    rewrite ADDS files, it never deletes data). Files carrying
+    deletion vectors are materialized through ``read_delta``'s DV
+    anti-join, so OPTIMIZE also purges DVs (Delta's REORG/PURGE
+    behavior). At scale this is the same shape as the engine's own
+    lake compaction: one distributed read + one distributed write,
+    KB-scale action records on the driver.
+
+    Column-mapped tables refuse — the rewrite would have to reproduce
+    physical names / field ids, which the exporter only does on a
+    fresh table."""
+    adds, meta, _ = _replay_log(spark, path)
+    if meta is None:
+        raise UnsupportedDeltaFeature("table has no metaData action")
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) not in ("none", None):
+        raise UnsupportedDeltaFeature(
+            "OPTIMIZE on a column-mapped table is not supported"
+        )
+    if not adds:
+        return {"version": None, "removed_files": 0, "added_files": 0}
+    part_cols = meta.get("partitionColumns") or []
+    df = read_delta(spark, path)
+    before = _data_file_set(path)
+    if part_cols:
+        # repartition ON the partition columns puts each partition
+        # value wholly in one task -> exactly one output file per
+        # hive dir
+        (
+            df.repartition(*part_cols)
+            .write.partitionBy(*part_cols)
+            .mode("append")
+            .parquet(path)
+        )
+    else:
+        df.coalesce(1).write.mode("append").parquet(path)
+    new_files = sorted(_data_file_set(path) - before)
+
+    def _part_vals(rel: str) -> dict[str, str]:
+        import urllib.parse
+
+        vals: dict[str, str] = {}
+        for comp in rel.split("/")[:-1]:
+            if "=" in comp:
+                k, _, raw = comp.partition("=")
+                if k in part_cols:
+                    vals[k] = urllib.parse.unquote(raw)
+        return vals
+
+    actions: list[dict] = []
+    for p in sorted(adds):
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "dataChange": False,
+                    "deletionTimestamp": int(
+                        os.stat(os.path.join(path, new_files[0])).st_mtime
+                        * 1000
+                    ),
+                }
+            }
+        )
+    for f in new_files:
+        st = os.stat(os.path.join(path, f))
+        actions.append(
+            {
+                "add": {
+                    "path": f,
+                    "partitionValues": _part_vals(f) if part_cols else {},
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": False,
+                }
+            }
+        )
+    log_dir = os.path.join(path, _LOG_DIR)
+    versions = [
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    ]
+    cp = _read_last_checkpoint(path)
+    version = (
+        max(versions + ([cp["version"]] if cp else []) or [-1]) + 1
+    )
+    with open(_log_path(path, version), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return {
+        "version": version,
+        "removed_files": len(adds),
+        "added_files": len(new_files),
+    }

@@ -1186,3 +1186,122 @@ def test_read_delta_version_as_of_time_travel(spark, tmp_path):
     os.remove(os.path.join(path3, "_delta_log", "%020d.json" % 0))
     with pytest.raises(UnsupportedDeltaFeature, match="reconstructable"):
         read_delta(spark, path3, version_as_of=1)
+
+
+def test_write_checkpoint_and_cleanup_log(spark, tmp_path):
+    """r9: write_checkpoint snapshots the live state as the spec's
+    parquet checkpoint + _last_checkpoint; cleanup_log then deletes
+    the covered JSON commits; reads replay checkpoint + later commits
+    only; time travel into the cleaned range raises; appends anchor
+    on the checkpoint version when no JSON commits remain."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        cleanup_log,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "delta_cp")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_delta(mk([(1, "a"), (2, "b")]), path)
+    export_delta(mk([(3, "c")]), path, mode="append")
+    export_delta(mk([(4, "d")]), path, mode="append")
+    with pytest.raises(UnsupportedDeltaFeature, match="checkpoint"):
+        cleanup_log(path)
+    info = write_checkpoint(spark, path)
+    assert info["version"] == 2
+    log = os.path.join(path, "_delta_log")
+    assert os.path.exists(os.path.join(log, "%020d.checkpoint.parquet" % 2))
+    lc = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert lc == {"version": 2, "size": info["actions"]}
+    want = [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert sorted(map(tuple, read_delta(spark, path).collect())) == want
+    assert cleanup_log(path) == 3
+    assert not [f for f in os.listdir(log) if f.endswith(".json")]
+    # replay now rides the checkpoint alone
+    assert sorted(map(tuple, read_delta(spark, path).collect())) == want
+    with pytest.raises(UnsupportedDeltaFeature, match="reconstructable"):
+        read_delta(spark, path, version_as_of=1)
+    # append after cleanup anchors on the checkpoint version
+    export_delta(mk([(5, "e")]), path, mode="append")
+    assert os.path.exists(os.path.join(log, "%020d.json" % 3))
+    assert sorted(map(tuple, read_delta(spark, path).collect())) == want + [
+        (5, "e")
+    ]
+    # a second checkpoint covers the post-cleanup commit too
+    assert write_checkpoint(spark, path)["version"] == 3
+    assert cleanup_log(path) == 1
+    assert sorted(map(tuple, read_delta(spark, path).collect())) == want + [
+        (5, "e")
+    ]
+
+
+def test_optimize_delta_compacts_files(spark, tmp_path):
+    """r9: OPTIMIZE rewrites the live set into one file per partition
+    with a dataChange=false remove+add commit; values unchanged; time
+    travel to the pre-OPTIMIZE version still serves the old files;
+    column-mapped tables refuse."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        optimize_delta,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "id long, k string")
+    # unpartitioned: 3 commits -> >=3 files -> 1 file
+    path = str(tmp_path / "delta_opt")
+    export_delta(mk([(1, "x"), (2, "y")]), path)
+    export_delta(mk([(3, "x")]), path, mode="append")
+    export_delta(mk([(4, "y")]), path, mode="append")
+    want = sorted(map(tuple, read_delta(spark, path).collect()))
+    n_before = len(read_delta(spark, path).inputFiles())
+    assert n_before >= 3
+    res = optimize_delta(spark, path)
+    assert res["version"] == 3
+    assert res["removed_files"] == n_before and res["added_files"] == 1
+    after = read_delta(spark, path)
+    assert len(after.inputFiles()) == 1
+    assert sorted(map(tuple, after.collect())) == want
+    # the commit is all dataChange=false
+    acts = [
+        json.loads(l)
+        for l in open(os.path.join(path, "_delta_log", "%020d.json" % 3))
+        if l.strip()
+    ]
+    assert acts and all(
+        not next(iter(a.values()))["dataChange"] for a in acts
+    )
+    # pre-OPTIMIZE version still serves the old (multi-file) state
+    old = read_delta(spark, path, version_as_of=2)
+    assert len(old.inputFiles()) == n_before
+    assert sorted(map(tuple, old.collect())) == want
+    # partitioned: one file PER partition dir
+    p2 = str(tmp_path / "delta_opt_part")
+    export_delta(mk([(1, "x"), (2, "y")]), p2, partition_by=["k"])
+    export_delta(mk([(3, "x"), (4, "y")]), p2, partition_by=["k"], mode="append")
+    assert len(read_delta(spark, p2).inputFiles()) == 4
+    res = optimize_delta(spark, p2)
+    assert res["added_files"] == 2
+    d = read_delta(spark, p2)
+    assert len(d.inputFiles()) == 2
+    assert sorted(map(tuple, d.collect())) == want
+    assert {
+        f.rsplit("/", 2)[-2] for f in d.filter("k = 'x'").inputFiles()
+    } == {"k=x"}
+    # column-mapped tables refuse
+    p3 = str(tmp_path / "delta_opt_cm")
+    export_delta(mk([(1, "x")]), p3, column_mapping="name")
+    with pytest.raises(UnsupportedDeltaFeature, match="column-mapped"):
+        optimize_delta(spark, p3)
+
+
+def test_write_checkpoint_round_trips_dv_descriptors(spark, tmp_path):
+    """r9: a DV'd add survives the checkpoint parquet round trip —
+    after cleanup the DV anti-join still drops the deleted rows."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        cleanup_log,
+        write_checkpoint,
+    )
+
+    path = _dv_table(spark, tmp_path, "dv_cp", "p")
+    want = [i for i in range(100) if i not in (3, 4, 5)]
+    write_checkpoint(spark, path)
+    assert cleanup_log(path) == 2
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    assert got == want
