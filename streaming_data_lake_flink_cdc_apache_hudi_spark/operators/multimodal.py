@@ -517,6 +517,24 @@ def _decode_bytes(payload: bytes) -> dict:
             "duration_ms": int(frames * 1000 // rate) if rate else None,
             "feature": _audio_feature(a, rate),
         }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # AVI/MJPG container (new r9): real in-container decode — the
+        # RIFF layout parses per the public AVI reference, each frame
+        # is an independent baseline JPEG (operators/avi.py); the
+        # feature vector comes from the FIRST frame's pixels
+        from .avi import decode_avi_frame, parse_avi
+
+        parsed = parse_avi(payload)
+        w, h, rgb = decode_avi_frame(parsed, 0)
+        return {
+            "n_bytes": len(payload),
+            "checksum": checksum,
+            "width": parsed["width"],
+            "height": parsed["height"],
+            "sample_rate": parsed["fps"],  # frame rate in the slot
+            "duration_ms": parsed["duration_ms"],
+            "feature": _pixel_feature(w, h, rgb),
+        }
     if payload[:3] == b"\xff\xd8\xff":
         # baseline sequential JPEG (SOF0): real decode from the public
         # ITU T.81 spec (operators/jpeg.py, new r9 — formerly a stub);
@@ -612,6 +630,60 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
     return df.filter(F.col("kind") == "video").mapInPandas(
         _op, "media_id long, frame_idx int, frame binary"
+    )
+
+
+def sample_video_frames(df: DataFrame, num_frames: int = 3) -> DataFrame:
+    """REAL video frame sampling (new r9): AVI/MJPG payloads explode
+    into ``num_frames`` uniformly-spaced DECODED frames — one output
+    row per sampled frame with the frame index, decoded dimensions,
+    and per-channel pixel means. Container parse + JPEG decode run on
+    executors inside ``mapInPandas`` (Arrow-batched); a video's bytes
+    never leave the worker holding its payload, and the fan-out per
+    row is bounded by ``num_frames`` — the shape a 100 TB multimodal
+    corpus needs (decode scales with executors, driver sees only the
+    emitted scalars). Non-AVI payloads raise the declared stub error
+    via ``parse_avi`` rather than producing fake rows."""
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .avi import decode_avi_frame, parse_avi, sample_frame_indices
+
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "n_frames": [],
+                "width": [],
+                "height": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                parsed = parse_avi(bytes(payload))
+                for idx in sample_frame_indices(
+                    parsed["n_frames"], num_frames
+                ):
+                    w, h, rgb = decode_avi_frame(parsed, idx)
+                    a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(parsed["n_frames"])
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_r"].append(float(a[:, 0].mean()))
+                    out["mean_g"].append(float(a[:, 1].mean()))
+                    out["mean_b"].append(float(a[:, 2].mean()))
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        _op,
+        "media_id long, frame_idx int, n_frames int, width int, "
+        "height int, mean_r double, mean_g double, mean_b double",
     )
 
 

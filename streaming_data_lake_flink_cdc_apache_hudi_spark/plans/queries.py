@@ -1593,21 +1593,23 @@ FROM (VALUES
   (CAST(3 AS BIGINT), 'video', CAST(16 AS BIGINT), CAST(24 AS BIGINT),
    16, 8, 0.0, 0.0627, 0.0),
   (CAST(4 AS BIGINT), 'image', CAST(613 AS BIGINT), CAST(49452 AS BIGINT),
-   8, 8, 0.3922, 0.5882, 0.7843))
+   8, 8, 0.3922, 0.5882, 0.7843),
+  (CAST(5 AS BIGINT), 'video', CAST(1514 AS BIGINT), CAST(105797 AS BIGINT),
+   16, 8, 0.3922, 0.5882, 0.7843))
 AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
 """,
     doc="Multimodal decode through mapInPandas (operators/"
     "multimodal.py): a real PPM (P6) file, a real padded bottom-up "
-    "24-bit BMP, a stub-header 'video' payload, and (new r9) a real "
-    "baseline JPEG decoded to dims, checksum, and pixel color "
-    "features. The oracle rows are the HAND-derived decode of the "
-    "fixed payloads (header byte sums, per-channel pixel means), so "
-    "the pure-Python codecs are checked against independent "
-    "arithmetic, not themselves — for the JPEG, a solid-color 8x8 "
-    "image is a DC-only block whose quantize->dequantize round trip "
-    "is exact integer math: Y'=140.75, Cb'=161.375, Cr'=98.75 "
-    "reconstruct (100,150,200) bit-exactly, features 100/150/200 "
-    "over 255.",
+    "24-bit BMP, a stub-header 'video' payload, a real baseline JPEG "
+    "(r9), and a REAL AVI/MJPG video container (new r9, operators/"
+    "avi.py — RIFF parse + first-frame JPEG decode, dims from avih). "
+    "The oracle rows are the HAND-derived decode of the fixed "
+    "payloads (header byte sums, per-channel pixel means), so the "
+    "pure-Python codecs are checked against independent arithmetic, "
+    "not themselves — solid-color JPEG blocks are DC-only and round-"
+    "trip bit-exactly (for the AVI, quality=100 all-ones quant "
+    "tables make ANY solid color exact), features 100/150/200 over "
+    "255 for both the JPEG and the AVI's first frame.",
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1624,6 +1626,14 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = encode_bmp(2, 3, bytes([10, 20, 30] * 6))
     p3 = bytes([0, 16, 0, 8, 0, 0, 0, 0]) + bytes(8)
     p4 = encode_jpeg(8, 8, bytes([100, 150, 200] * 64), quality=90)
+    from ..operators.avi import encode_avi_mjpeg
+
+    p5 = encode_avi_mjpeg(
+        16,
+        8,
+        [bytes([100, 150, 200] * 128), bytes([40, 80, 120] * 128)],
+        fps=5,
+    )
     rows = [
         (1, "image", bytearray(p1),
          {"mime": "image/x-portable-pixmap", "n_bytes": len(p1),
@@ -1637,6 +1647,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (4, "image", bytearray(p4),
          {"mime": "image/jpeg", "n_bytes": len(p4),
           "width": 8, "height": 8, "duration_ms": None}),
+        (5, "video", bytearray(p5),
+         {"mime": "video/x-msvideo", "n_bytes": len(p5),
+          "width": 16, "height": 8, "duration_ms": 400}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     dec = decode_media(media)
@@ -1650,6 +1663,77 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("feature")[0].cast("double"), 4).alias("f0"),
         F.round(F.col("feature")[1].cast("double"), 4).alias("f1"),
         F.round(F.col("feature")[2].cast("double"), 4).alias("f2"),
+    )
+
+
+@register(
+    "video_frame_sample",
+    """
+SELECT media_id, frame_idx, n_frames, width, height,
+       ROUND(r / 255.0, 4) AS f0,
+       ROUND(g / 255.0, 4) AS f1,
+       ROUND(b / 255.0, 4) AS f2
+FROM (VALUES
+  (CAST(1 AS BIGINT), 0, 5, 16, 8,   5,   4,   3),
+  (CAST(1 AS BIGINT), 2, 5, 16, 8,  25,  44,  63),
+  (CAST(1 AS BIGINT), 4, 5, 16, 8,  45,  84, 123),
+  (CAST(2 AS BIGINT), 0, 4,  8, 8, 200, 100,  50),
+  (CAST(2 AS BIGINT), 1, 4,  8, 8, 210,  80,  55),
+  (CAST(2 AS BIGINT), 3, 4,  8, 8, 230,  40,  65))
+AS t(media_id, frame_idx, n_frames, width, height, r, g, b)
+""",
+    doc="REAL video frame sampling (new r9, operators/avi.py + "
+    "multimodal.sample_video_frames): two AVI/MJPG containers — 5 "
+    "frames at 16x8 and 4 frames at 8x8 — explode into 3 uniformly-"
+    "spaced DECODED frames each (indices i*(n-1)//(k-1): [0,2,4] and "
+    "[0,1,3]), emitting per-frame dims and channel means. Frames are "
+    "solid colors encoded at quality=100 (all-ones quant tables), so "
+    "the JPEG round trip is bit-exact and the oracle is independent "
+    "arithmetic: ROUND(channel/255, 4) over the color literals. The "
+    "operator is mapInPandas — container parse + JPEG decode on "
+    "executors, fan-out bounded by k, driver sees only scalars.",
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.avi import encode_avi_mjpeg
+    from ..operators.multimodal import MEDIA_SCHEMA, sample_video_frames
+
+    v1 = encode_avi_mjpeg(
+        16,
+        8,
+        [
+            bytes([10 * i + 5, 20 * i + 4, 30 * i + 3] * 128)
+            for i in range(5)
+        ],
+        fps=10,
+    )
+    v2 = encode_avi_mjpeg(
+        8,
+        8,
+        [
+            bytes([200 + 10 * i, 100 - 20 * i, 50 + 5 * i] * 64)
+            for i in range(4)
+        ],
+        fps=25,
+    )
+    rows = [
+        (1, "video", bytearray(v1),
+         {"mime": "video/x-msvideo", "n_bytes": len(v1),
+          "width": 16, "height": 8, "duration_ms": 500}),
+        (2, "video", bytearray(v2),
+         {"mime": "video/x-msvideo", "n_bytes": len(v2),
+          "width": 8, "height": 8, "duration_ms": 160}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sampled = sample_video_frames(media, num_frames=3)
+    return sampled.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        F.round(F.col("mean_r") / 255.0, 4).alias("f0"),
+        F.round(F.col("mean_g") / 255.0, 4).alias("f1"),
+        F.round(F.col("mean_b") / 255.0, 4).alias("f2"),
     )
 
 

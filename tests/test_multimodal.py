@@ -724,3 +724,141 @@ def test_phash_band_join_is_lossless_vs_bruteforce(spark):
             if d <= 6:
                 want.add((i, j, d))
     assert got == want
+
+
+# -- AVI/MJPG video container (new r9) -------------------------------------
+
+
+def test_avi_mjpeg_round_trip_exact_solid_frames():
+    """Solid-color frames at quality=100 (all-ones quant tables)
+    survive the AVI mux + JPEG round trip bit-exactly; header fields
+    parse per the RIFF reference."""
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.avi import (
+        decode_avi_frame,
+        encode_avi_mjpeg,
+        parse_avi,
+    )
+
+    colors = [(5, 4, 3), (250, 1, 128), (77, 200, 13), (0, 255, 7)]
+    b = encode_avi_mjpeg(
+        16, 8, [bytes(list(c) * 128) for c in colors], fps=25
+    )
+    p = parse_avi(b)
+    assert (p["width"], p["height"], p["n_frames"], p["fps"]) == (
+        16, 8, 4, 25,
+    )
+    assert p["duration_ms"] == 4 * 40
+    for i, c in enumerate(colors):
+        w, h, rgb = decode_avi_frame(p, i)
+        a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+        assert (w, h) == (16, 8)
+        assert (a == np.array(c)).all(), (i, c)
+
+
+def test_avi_gradient_frames_near_exact():
+    """Non-solid frames aren't DC-only — the decode must still land
+    within the baseline-JPEG tolerance at quality=100."""
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.avi import (
+        decode_avi_frame,
+        encode_avi_mjpeg,
+        parse_avi,
+    )
+
+    w, h = 16, 16
+    grad = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            grad[y, x] = (x * 16, y * 16, (x + y) * 8)
+    b = encode_avi_mjpeg(w, h, [grad.tobytes()], fps=10)
+    _, _, rgb = decode_avi_frame(parse_avi(b), 0)
+    got = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(got - grad.astype(int)).max() <= 2
+
+
+def test_avi_non_mjpg_codec_raises():
+    """Interframe codecs are the declared boundary — an XVID fourcc
+    raises NotImplementedError, truncated/foreign bytes ValueError."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.avi import (
+        encode_avi_mjpeg,
+        parse_avi,
+    )
+
+    b = bytearray(
+        encode_avi_mjpeg(16, 8, [bytes([1, 2, 3] * 128)], fps=10)
+    )
+    i = b.find(b"vids") + 4
+    assert b[i : i + 4] == b"MJPG"
+    b[i : i + 4] = b"XVID"
+    j = b.find(b"MJPG")  # biCompression in strf
+    b[j : j + 4] = b"XVID"
+    with pytest.raises(NotImplementedError, match="XVID"):
+        parse_avi(bytes(b))
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_avi(b"RIFX" + bytes(20))
+    with pytest.raises(ValueError, match="avih"):
+        parse_avi(b"RIFF" + (4).to_bytes(4, "little") + b"AVI ")
+
+
+def test_decode_media_handles_avi(spark):
+    """decode_media routes RIFF/'AVI ' payloads through the real
+    container decode: avih dims, fps in the rate slot, duration, and
+    first-frame features."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.avi import (
+        encode_avi_mjpeg,
+    )
+
+    b = encode_avi_mjpeg(
+        16, 8, [bytes([100, 150, 200] * 128), bytes([0, 0, 0] * 128)],
+        fps=5,
+    )
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b),
+          {"mime": "video/x-msvideo", "n_bytes": len(b),
+           "width": 16, "height": 8, "duration_ms": 400})],
+        MM.MEDIA_SCHEMA,
+    )
+    row = MM.decode_media(media).collect()[0]
+    assert (row.width, row.height) == (16, 8)
+    assert row.sample_rate == 5 and row.duration_ms == 400
+    assert [round(row.feature[i], 4) for i in range(3)] == [
+        0.3922, 0.5882, 0.7843,
+    ]
+
+
+def test_sample_video_frames_uniform_and_exact(spark):
+    """sample_video_frames: k uniformly-spaced decoded frames per
+    video, exact channel means for solid frames; k >= n yields every
+    frame; non-video rows are filtered out before decode."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.avi import (
+        encode_avi_mjpeg,
+    )
+
+    v = encode_avi_mjpeg(
+        8, 8, [bytes([10 * i, 5 * i, i] * 64) for i in range(6)], fps=10
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(v),
+             {"mime": "video/x-msvideo", "n_bytes": len(v),
+              "width": 8, "height": 8, "duration_ms": 600}),
+            (2, "image", bytearray(b"P6 not really"),
+             {"mime": "image/x-portable-pixmap", "n_bytes": 13,
+              "width": 1, "height": 1, "duration_ms": None}),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    got = {
+        (r.frame_idx, r.mean_r, r.mean_g, r.mean_b, r.n_frames)
+        for r in MM.sample_video_frames(media, num_frames=3).collect()
+    }
+    assert got == {
+        (0, 0.0, 0.0, 0.0, 6),
+        (2, 20.0, 10.0, 2.0, 6),
+        (5, 50.0, 25.0, 5.0, 6),
+    }
+    allf = MM.sample_video_frames(media, num_frames=99).collect()
+    assert sorted(r.frame_idx for r in allf) == list(range(6))
