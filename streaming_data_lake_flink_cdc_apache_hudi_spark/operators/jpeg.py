@@ -1,23 +1,33 @@
-"""Baseline JPEG codec — pure stdlib + numpy, from the PUBLIC ITU
-T.81 spec only (no PIL/turbojpeg in this container).
+"""JPEG codec — pure stdlib + numpy, from the PUBLIC ITU T.81 spec
+only (no PIL/turbojpeg in this container).
 
 Closes the longest-standing declared stub in
 ``operators/multimodal.py``: ``_decode_bytes`` previously raised on
 the ``FF D8 FF`` magic. The decoder covers the baseline sequential
 DCT process (SOF0) that the overwhelming majority of real-world
-JPEGs use: DQT (8- and 16-bit tables), DHT, interleaved scans with
+JPEGs use — DQT (8- and 16-bit tables), DHT, interleaved scans with
 arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 tested), restart
 markers (DRI/RSTn with byte-alignment + DC-predictor reset), byte
-stuffing, and 1- or 3-component images (grayscale / YCbCr per the
-JFIF convention). Progressive (SOF2), arithmetic coding, 12-bit
-precision, and 4-component CMYK raise ``NotImplementedError`` — the
-documented boundary, now far narrower than "all of JPEG".
+stuffing, 1- or 3-component images (grayscale / YCbCr per the JFIF
+convention) — AND (new r9) the progressive Huffman process (SOF2):
+multi-scan spectral selection + successive approximation per T.81
+Annex G, EOB runs, AC refinement correction bits, interleaved DC /
+non-interleaved AC scan geometry, restart markers inside progressive
+scans. Arithmetic coding, 12-bit precision, lossless/hierarchical
+processes, and 4-component CMYK raise ``NotImplementedError`` — the
+documented boundary, now covering the two processes real encoders
+emit.
 
-The encoder exists to SELF-GENERATE fixtures (the same pattern as
+The encoders exist to SELF-GENERATE fixtures (the same pattern as
 the PNG/BMP/Avro/murmur3 codecs here): standard Annex K quantization
 + Huffman tables, libjpeg's quality scaling, 4:4:4 or 4:2:0
-subsampling, optional restart intervals. Encode->decode round trips
-pin the decoder against known pixels within JPEG's lossy tolerance.
+subsampling, optional restart intervals, and a progressive scan
+script with per-scan Huffman tables. Because the successive-
+approximation split is losslessly invertible, decoding a progressive
+encoding is BIT-IDENTICAL to decoding the baseline encoding of the
+same image at the same quality — the round-trip tests pin exactly
+that, which checks both progressive paths against the independently-
+tested baseline path.
 
 Scale shape: decoding runs inside ``mapInPandas`` Arrow batches (one
 image per row, executor-side) exactly like the other codecs — the
@@ -428,7 +438,11 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline-sequential JPEG to (width, height, RGB24)."""
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2,
+    new r9) JPEG to (width, height, RGB24). Progressive files decode
+    scan by scan into per-component coefficient arrays (spectral
+    selection + successive approximation per T.81 Annex G), then
+    reconstruct once at EOI."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -437,6 +451,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
     comps: list[dict] = []
     w = h = 0
     restart = 0
+    progressive = False
+    coefs: list[np.ndarray] = []
     while pos < len(b):
         if b[pos] != 0xFF:
             pos += 1
@@ -446,6 +462,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
             pos += 2
             continue
         if marker == 0xD9:  # EOI
+            if progressive and coefs:
+                return _reconstruct(w, h, comps, coefs, qtabs)
             break
         size = int.from_bytes(b[pos + 2 : pos + 4], "big")
         body = b[pos + 4 : pos + 2 + size]
@@ -477,7 +495,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 values = list(body[i + 17 : i + 17 + n])
                 htabs[(cls, tid)] = _decode_table(bits, values)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -495,12 +514,13 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 }
                 for i in range(nc)
             ]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) decodes here "
-                f"(SOF marker 0x{marker:02X}) — progressive/arithmetic/"
-                "lossless need an external decoder"
+                "only baseline (SOF0/SOF1) and progressive-Huffman "
+                f"(SOF2) JPEG decode here (SOF marker 0x{marker:02X}) "
+                "— arithmetic/lossless/hierarchical need an external "
+                "decoder"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[:2], "big")
@@ -510,9 +530,29 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
             for i in range(ns):
                 cid, tids = body[1 + 2 * i], body[2 + 2 * i]
                 scan[cid] = (tids >> 4, tids & 0xF)
-            return _decode_scan(
-                b, pos, w, h, comps, scan, qtabs, htabs, restart
+            if not progressive:
+                return _decode_scan(
+                    b, pos, w, h, comps, scan, qtabs, htabs, restart
+                )
+            if not comps or not w or not h:
+                raise ValueError("JPEG SOS before SOF")
+            if not coefs:
+                max_h = max(c["h"] for c in comps)
+                max_v = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * max_h))
+                mcuy = -(-h // (8 * max_v))
+                coefs = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+                    for c in comps
+                ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            aa = body[3 + 2 * ns]
+            pos = _progressive_scan(
+                b, pos, w, h, comps, scan, ss, se, aa >> 4, aa & 0xF,
+                restart, htabs, coefs,
             )
+    if progressive and coefs:  # EOI missing but scans complete
+        return _reconstruct(w, h, comps, coefs, qtabs)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -585,7 +625,15 @@ def _decode_scan(b, pos, w, h, comps, scan, qtabs, htabs, restart):
                     f"unexpected marker 0x{mh.marker:02X} in scan"
                 ) from None
             n_mcu += 1
-    # upsample each component to full resolution by replication
+    return _planes_to_rgb(w, h, comps, planes)
+
+
+def _planes_to_rgb(w, h, comps, planes):
+    """Upsample each component plane to full resolution by replication
+    and convert to RGB24 (shared by the baseline and progressive
+    paths)."""
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         ys = (np.arange(h) * c["v"]) // max_v
@@ -600,3 +648,546 @@ def _decode_scan(b, pos, w, h, comps, scan, qtabs, htabs, restart):
     bl = y + 1.772 * cb
     rgb = np.stack([r, g, bl], axis=2)
     return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+# -- progressive JPEG (SOF2, new r9): T.81 Annex G Huffman process ---------
+#
+# A progressive file carries the SAME quantized coefficients as a
+# baseline file, split across scans two ways: SPECTRAL SELECTION (each
+# AC scan covers one zigzag band [Ss..Se] of ONE component; DC scans
+# cover coefficient 0, optionally interleaved) and SUCCESSIVE
+# APPROXIMATION (the first scan of a band sends the coefficients at
+# reduced precision — DC arithmetic-shifted by Al, AC point-transformed
+# toward zero — and refinement scans (Ah>0) send one lower bit each).
+# The split is losslessly invertible, so a progressive decode of the
+# same coefficients is BIT-IDENTICAL to the baseline decode — which the
+# tests pin. The scan algorithms below mirror T.81 G.1.2/G.2 (the same
+# control flow libjpeg's public jdphuff.c documents): EOB runs (EOBn
+# symbols batch end-of-band across blocks), ZRL in both passes, and
+# refinement correction bits for already-significant coefficients.
+
+
+def _progressive_scan(
+    b, pos, w, h, comps, scan, ss, se, ah, al, restart, htabs, coefs
+):
+    """Decode one progressive SOS's entropy segment into the per-
+    component zigzag coefficient arrays; returns the position of the
+    terminating marker."""
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    sel = [ci for ci, c in enumerate(comps) if c["id"] in scan]
+    if not sel:
+        raise ValueError("scan references unknown components")
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive scan mixing DC and AC bands")
+    if not is_dc and len(sel) != 1:
+        raise ValueError("progressive AC scans are single-component")
+    br = _BitReader(b, pos)
+    preds = [0] * len(comps)
+    state = {"eobrun": 0}
+
+    def dc_block(ci, by, bx):
+        blk = coefs[ci][by, bx]
+        if ah == 0:
+            dc_t = htabs[(0, scan[comps[ci]["id"]][0])]
+            s = _read_huff(br, dc_t)
+            diff = _extend(br.bits(s), s) if s else 0
+            preds[ci] += diff
+            blk[0] = preds[ci] << al
+        elif br.bit():
+            blk[0] |= 1 << al
+
+    def ac_first(ci, by, bx):
+        if state["eobrun"]:
+            state["eobrun"] -= 1
+            return
+        ac_t = htabs[(1, scan[comps[ci]["id"]][1])]
+        blk = coefs[ci][by, bx]
+        k = ss
+        while k <= se:
+            rs = _read_huff(br, ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC band overrun")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def ac_refine(ci, by, bx):
+        p1, m1 = 1 << al, -(1 << al)
+        ac_t = htabs[(1, scan[comps[ci]["id"]][1])]
+        blk = coefs[ci][by, bx]
+
+        def correct(k):
+            c = int(blk[k])
+            if c and br.bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _read_huff(br, ac_t)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:  # EOBn: refine the rest, then skip
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.bits(r)
+                        break
+                    # ZRL: pass 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement size != 1")
+                    val = p1 if br.bit() else m1
+                while k <= se:
+                    if blk[k]:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("AC refinement overrun")
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                correct(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    decode_one = dc_block if is_dc else (
+        ac_first if ah == 0 else ac_refine
+    )
+
+    # unit list: MCUs when interleaved, the single component's own
+    # block raster otherwise (T.81 A.2: non-interleaved dimensions
+    # come from ceil(comp_size/8), no MCU padding)
+    units: list[list[tuple[int, int, int]]] = []
+    if is_dc and len(sel) > 1:
+        mcux = -(-w // (8 * max_h))
+        mcuy = -(-h // (8 * max_v))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for ci in sel:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append(
+                                (ci, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+                units.append(unit)
+    else:
+        ci = sel[0]
+        c = comps[ci]
+        nbx = -(-(-(-w * c["h"] // max_h)) // 8)
+        nby = -(-(-(-h * c["v"] // max_v)) // 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                units.append([(ci, by, bx)])
+    n = 0
+    done = False
+    for unit in units:
+        if done:
+            break
+        if restart and n and n % restart == 0:
+            m = br.align_to_marker()
+            if 0xD0 <= m <= 0xD7:
+                preds[:] = [0] * len(comps)
+                state["eobrun"] = 0
+            elif m == 0xD9:
+                break
+            else:
+                raise ValueError(f"expected RSTn, got 0x{m:02X}")
+        try:
+            for ci, by, bx in unit:
+                decode_one(ci, by, bx)
+        except _MarkerHit as mh:
+            if mh.marker == 0xD9:
+                done = True
+                break
+            raise ValueError(
+                f"unexpected marker 0x{mh.marker:02X} in scan"
+            ) from None
+        n += 1
+    return br.pos
+
+
+def _reconstruct(w, h, comps, coefs, qtabs):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    hand off to the shared upsample/color-convert."""
+    planes = []
+    for ci, c in enumerate(comps):
+        zz = coefs[ci]  # (nby, nbx, 64) zigzag order
+        nby, nbx = zz.shape[:2]
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[:, :, ZIGZAG] = zz  # natural[ZIGZAG[i]] = zigzag[i]
+        blocks = nat.reshape(nby, nbx, 8, 8) * qtabs[c["q"]]
+        pix = np.einsum("ij,abjk,kl->abil", _M.T, blocks, _M) + 128.0
+        planes.append(
+            pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+    return _planes_to_rgb(w, h, comps, planes)
+
+
+def _quantized_components(width, height, rgb, quality, subsample, grayscale):
+    """Forward path shared math for the progressive encoder: color
+    convert, pad, (optionally) subsample, DCT + quantize every block.
+    Returns (comp_specs, per-comp zigzag coefficient arrays
+    (nby, nbx, 64) int)."""
+    a = (
+        np.frombuffer(rgb, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    y = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    cb = (
+        -0.168736 * a[..., 0] - 0.331264 * a[..., 1] + 0.5 * a[..., 2]
+        + 128.0
+    )
+    cr = (
+        0.5 * a[..., 0] - 0.418688 * a[..., 1] - 0.081312 * a[..., 2]
+        + 128.0
+    )
+    qy, qc = _quality_tables(quality)
+    hy = vy = 2 if (subsample == "420" and not grayscale) else 1
+    mcux = -(-width // (8 * hy))
+    mcuy = -(-height // (8 * vy))
+
+    def pad(plane, ph, pw):
+        return np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+
+    planes = [(pad(y, mcuy * vy * 8, mcux * hy * 8), qy)]
+    if not grayscale:
+        if hy == 2:
+            cbp = pad(cb, mcuy * 16, mcux * 16)
+            crp = pad(cr, mcuy * 16, mcux * 16)
+            cbp = cbp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+            crp = crp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        else:
+            cbp = pad(cb, mcuy * 8, mcux * 8)
+            crp = pad(cr, mcuy * 8, mcux * 8)
+        planes += [(cbp, qc), (crp, qc)]
+    if grayscale:
+        specs = [{"id": 1, "h": 1, "v": 1, "q": 0}]
+    else:
+        specs = [
+            {"id": 1, "h": hy, "v": vy, "q": 0},
+            {"id": 2, "h": 1, "v": 1, "q": 1},
+            {"id": 3, "h": 1, "v": 1, "q": 1},
+        ]
+    coefs = []
+    for plane, qt in planes:
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        c = np.einsum("ij,abjk,kl->abil", _M, blocks, _M.T)
+        q = np.round(c / qt).astype(np.int64)
+        coefs.append(q.reshape(nby, nbx, 64)[:, :, ZIGZAG])
+    return specs, coefs, (qy, qc)
+
+
+def _uniform_table(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """A valid canonical Huffman table giving every used symbol the
+    same code length (fixture-encoder simplicity over optimality);
+    n <= 2^L - 1 keeps the all-ones code unassigned per T.81."""
+    vals = sorted(symbols)
+    n = len(vals)
+    length = max(2, (n + 1 - 1).bit_length())
+    while (1 << length) - 1 < n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 90,
+    subsample: str = "444",
+    grayscale: bool = False,
+) -> bytes:
+    """Progressive JPEG encoder (SOF2) for fixtures — the same
+    quantized coefficients the baseline encoder produces, emitted as
+    a 2-level successive-approximation scan script:
+
+    1. DC first, all components interleaved, Al=1
+    2. per component: AC first scans (bands 1-5 and 6-63), Al=1
+    3. DC refinement, Ah=1 -> Al=0 (raw bits)
+    4. per component: AC refinement of 1-63, Ah=1 -> Al=0
+
+    AC scans get per-scan Huffman tables (two passes: collect the
+    symbol set — EOBn symbols are not in the Annex K tables — then
+    emit with a uniform-length canonical table). Because the
+    approximation split is lossless, ``decode_jpeg`` of this output
+    is bit-identical to decoding the baseline encoding — the
+    round-trip tests pin exactly that."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb must be width*height*3 bytes")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be 444|420, got {subsample!r}")
+    specs, coefs, (qy, qc) = _quantized_components(
+        width, height, rgb, quality, subsample, grayscale
+    )
+    max_h = max(s["h"] for s in specs)
+    max_v = max(s["v"] for s in specs)
+    mcux = -(-width // (8 * max_h))
+    mcuy = -(-height // (8 * max_v))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes((0xFF, marker))
+            + (len(body) + 2).to_bytes(2, "big")
+            + body
+        )
+
+    def sos(comp_tids: list[tuple[int, int, int]], ss, se, ah, al):
+        body = bytes([len(comp_tids)])
+        for cid, td, ta in comp_tids:
+            body += bytes([cid, (td << 4) | ta])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xDB,
+        bytes([0]) + bytes(int(qy.flatten()[i]) for i in ZIGZAG),
+    )
+    if not grayscale:
+        out += seg(
+            0xDB,
+            bytes([1]) + bytes(int(qc.flatten()[i]) for i in ZIGZAG),
+        )
+    sof_body = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(
+        2, "big"
+    ) + bytes([len(specs)])
+    for s in specs:
+        sof_body += bytes([s["id"], (s["h"] << 4) | s["v"], s["q"]])
+    out += seg(0xC2, sof_body)
+    out += seg(
+        0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1])
+    )
+    if not grayscale:
+        out += seg(
+            0xC4,
+            bytes([0x01]) + bytes(_DC_CHROMA[0]) + bytes(_DC_CHROMA[1]),
+        )
+
+    # --- scan 1: DC first (interleaved), Al=1 ---
+    bw = _BitWriter()
+    dc_codes = [
+        _canonical_codes(*(_DC_LUMA if s["q"] == 0 else _DC_CHROMA))
+        for s in specs
+    ]
+    preds = [0] * len(specs)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, s in enumerate(specs):
+                for by in range(s["v"]):
+                    for bx in range(s["h"]):
+                        dc = int(
+                            coefs[ci][my * s["v"] + by, mx * s["h"] + bx, 0]
+                        )
+                        t = dc >> 1  # arithmetic point transform
+                        diff = t - preds[ci]
+                        preds[ci] = t
+                        sz = abs(diff).bit_length()
+                        code, ln = dc_codes[ci][sz]
+                        bw.write(code, ln)
+                        if sz:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << sz) - 1,
+                                sz,
+                            )
+    bw.pad()
+    out += sos(
+        [(s["id"], s["q"], 0) for s in specs], 0, 0, 0, 1
+    ) + bw.out
+
+    # --- AC scans: two passes each (symbol set -> uniform table) ---
+    def _ac_blocks(ci):
+        # non-interleaved scans cover ceil(comp/8) blocks (T.81 A.2),
+        # NOT the MCU-padded grid the DC interleave addresses
+        s = specs[ci]
+        nbx = -(--(-width * s["h"] // max_h) // 8)
+        nby = -(--(-height * s["v"] // max_v) // 8)
+        return coefs[ci][:nby, :nbx].reshape(-1, 64)
+
+    def ac_first_scan(ci, ss, se, al):
+        blocks = _ac_blocks(ci)
+
+        def run(emit_sym, emit_bits):
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    emit_sym(r << 4)
+                    emit_bits(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for blk in blocks:
+                band = blk[ss : se + 1]
+                vals = [
+                    (v >> al) if v >= 0 else -((-v) >> al)
+                    for v in map(int, band)
+                ]
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                runlen = 0
+                for v in vals:
+                    if v == 0:
+                        runlen += 1
+                        continue
+                    while runlen > 15:
+                        emit_sym(0xF0)
+                        runlen -= 16
+                    sz = abs(v).bit_length()
+                    emit_sym((runlen << 4) | sz)
+                    emit_bits(v if v >= 0 else v + (1 << sz) - 1, sz)
+                    runlen = 0
+                if runlen:
+                    eobrun = 1
+            flush_eob()
+
+        return run
+
+    def ac_refine_scan(ci, ss, se, al):
+        blocks = _ac_blocks(ci)
+
+        def run(emit_sym, emit_bits):
+            eobrun = 0
+            pending: list[int] = []
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    emit_sym(r << 4)
+                    emit_bits(eobrun - (1 << r), r)
+                    eobrun = 0
+                for bit in pending:
+                    emit_bits(bit, 1)
+                pending.clear()
+
+            for blk in blocks:
+                band = [int(v) for v in blk[ss : se + 1]]
+                absv = [abs(v) >> al for v in band]
+                eobpos = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eobpos = i
+                runlen = 0
+                br_local: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        runlen += 1
+                        continue
+                    # emit ZRLs as soon as the zero-history run
+                    # exceeds 15 at ANY nonzero (correction coefs
+                    # included) unless it folds into the EOB —
+                    # the decoder's ZRL walk reads the buffered
+                    # correction bits positionally, so deferring
+                    # desyncs the stream (T.81 G.1.2.3 order)
+                    while runlen > 15 and i <= eobpos:
+                        flush_eob()
+                        emit_sym(0xF0)
+                        runlen -= 16
+                        for bit in br_local:
+                            emit_bits(bit, 1)
+                        br_local = []
+                    if t > 1:
+                        br_local.append(t & 1)
+                        continue
+                    # newly significant (t == 1)
+                    flush_eob()
+                    emit_sym((runlen << 4) | 1)
+                    emit_bits(1 if band[i] >= 0 else 0, 1)
+                    for bit in br_local:
+                        emit_bits(bit, 1)
+                    br_local = []
+                    runlen = 0
+                if runlen > 0 or br_local:
+                    eobrun += 1
+                    pending.extend(br_local)
+                    if eobrun == 0x7FFF or len(pending) > 900:
+                        flush_eob()
+            flush_eob()
+
+        return run
+
+    def emit_ac_scan(ci, ss, se, ah, al, run):
+        syms: set[int] = set()
+        run(syms.add, lambda v, n: None)
+        if not syms:
+            syms = {0x00}
+        bits, vals = _uniform_table(syms)
+        codes = _canonical_codes(bits, vals)
+        bw = _BitWriter()
+        run(
+            lambda s: bw.write(*codes[s]),
+            lambda v, n: bw.write(v, n) if n else None,
+        )
+        bw.pad()
+        return (
+            seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+            + sos([(specs[ci]["id"], 0, 0)], ss, se, ah, al)
+            + bw.out
+        )
+
+    for ci in range(len(specs)):
+        if ci == 0:
+            out += emit_ac_scan(0, 1, 5, 0, 1, ac_first_scan(0, 1, 5, 1))
+            out += emit_ac_scan(
+                0, 6, 63, 0, 1, ac_first_scan(0, 6, 63, 1)
+            )
+        else:
+            out += emit_ac_scan(
+                ci, 1, 63, 0, 1, ac_first_scan(ci, 1, 63, 1)
+            )
+
+    # --- DC refinement (raw bits, no Huffman) ---
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, s in enumerate(specs):
+                for by in range(s["v"]):
+                    for bx in range(s["h"]):
+                        dc = int(
+                            coefs[ci][my * s["v"] + by, mx * s["h"] + bx, 0]
+                        )
+                        bw.write(dc & 1, 1)
+    bw.pad()
+    out += sos([(s["id"], 0, 0) for s in specs], 0, 0, 1, 0) + bw.out
+
+    # --- AC refinement scans ---
+    for ci in range(len(specs)):
+        out += emit_ac_scan(
+            ci, 1, 63, 1, 0, ac_refine_scan(ci, 1, 63, 0)
+        )
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -12,16 +12,18 @@ Codecs: ``_decode_bytes`` sniffs the payload magic. PPM (P6, 8- and
 filter reconstruction: None/Sub/Up/Average/Paeth,
 gray/RGB/palette/alpha at 8- AND 16-bit depth, Adam7 interlace —
 new r9)**, **GIF87a/89a (pure-Python LZW, color tables, deinterlace;
-animations decode to frame 1)**, **baseline JPEG (SOF0 huffman +
-dequant + numpy IDCT, 4:4:4/4:2:2/4:2:0, restart markers,
-grayscale/YCbCr — ``operators/jpeg.py``, new r9)**, and RIFF/WAVE
-PCM16 audio decode FOR REAL — pure-Python header parse + numpy
-sample/pixel math, end-to-end in this container (dims/rate/duration,
-checksum, and an 8-dim feature from actual pixels or samples).
-Formats genuinely needing external libs (progressive/arithmetic
-JPEG, non-PCM audio, av containers) stay a declared
-``NotImplementedError`` stub — swapping a real codec in changes only
-``_decode_bytes``. Payloads with no known magic use the
+animations decode to frame 1)**, **baseline AND progressive JPEG
+(SOF0/SOF2 huffman + dequant + numpy IDCT, 4:4:4/4:2:2/4:2:0,
+restart markers, grayscale/YCbCr, spectral selection + successive
+approximation — ``operators/jpeg.py``, r9)**, **AVI/MJPG video
+containers (``operators/avi.py``, r9)**, and RIFF/WAVE PCM16 audio
+decode FOR REAL — pure-Python header parse + numpy sample/pixel
+math, end-to-end in this container (dims/rate/duration, checksum,
+and an 8-dim feature from actual pixels or samples). Formats
+genuinely needing external libs (arithmetic/lossless JPEG, non-PCM
+audio, ISO-BMFF containers + interframe video codecs) stay a
+declared ``NotImplementedError`` stub — swapping a real codec in
+changes only ``_decode_bytes``. Payloads with no known magic use the
 deterministic 8-byte fake header (test fixtures).
 
 Scale: mapInPandas streams Arrow batches, so per-executor memory is
@@ -536,9 +538,9 @@ def _decode_bytes(payload: bytes) -> dict:
             "feature": _pixel_feature(w, h, rgb),
         }
     if payload[:3] == b"\xff\xd8\xff":
-        # baseline sequential JPEG (SOF0): real decode from the public
-        # ITU T.81 spec (operators/jpeg.py, new r9 — formerly a stub);
-        # progressive/arithmetic still raise inside decode_jpeg
+        # baseline (SOF0) AND progressive (SOF2) JPEG: real decode
+        # from the public ITU T.81 spec (operators/jpeg.py, r9);
+        # arithmetic/lossless still raise inside decode_jpeg
         from .jpeg import decode_jpeg
 
         w, h, rgb = decode_jpeg(payload)

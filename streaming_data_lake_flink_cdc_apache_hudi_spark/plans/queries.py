@@ -1595,7 +1595,9 @@ FROM (VALUES
   (CAST(4 AS BIGINT), 'image', CAST(613 AS BIGINT), CAST(49452 AS BIGINT),
    8, 8, 0.3922, 0.5882, 0.7843),
   (CAST(5 AS BIGINT), 'video', CAST(1514 AS BIGINT), CAST(105797 AS BIGINT),
-   16, 8, 0.3922, 0.5882, 0.7843))
+   16, 8, 0.3922, 0.5882, 0.7843),
+  (CAST(6 AS BIGINT), 'image', CAST(493 AS BIGINT), CAST(13925 AS BIGINT),
+   8, 8, 0.1569, 0.3137, 0.4706))
 AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
 """,
     doc="Multimodal decode through mapInPandas (operators/"
@@ -1609,7 +1611,11 @@ AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
     "not themselves — solid-color JPEG blocks are DC-only and round-"
     "trip bit-exactly (for the AVI, quality=100 all-ones quant "
     "tables make ANY solid color exact), features 100/150/200 over "
-    "255 for both the JPEG and the AVI's first frame.",
+    "255 for both the JPEG and the AVI's first frame. Row 6 (new "
+    "r9): a PROGRESSIVE JPEG (SOF2, multi-scan spectral selection + "
+    "successive approximation) of solid (40,80,120) at quality=100 — "
+    "the approximation split is lossless, so it reconstructs "
+    "bit-exactly too.",
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1627,6 +1633,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     p3 = bytes([0, 16, 0, 8, 0, 0, 0, 0]) + bytes(8)
     p4 = encode_jpeg(8, 8, bytes([100, 150, 200] * 64), quality=90)
     from ..operators.avi import encode_avi_mjpeg
+    from ..operators.jpeg import encode_jpeg_progressive
 
     p5 = encode_avi_mjpeg(
         16,
@@ -1634,6 +1641,8 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         [bytes([100, 150, 200] * 128), bytes([40, 80, 120] * 128)],
         fps=5,
     )
+    p6 = encode_jpeg_progressive(8, 8, bytes([40, 80, 120] * 64),
+                                 quality=100)
     rows = [
         (1, "image", bytearray(p1),
          {"mime": "image/x-portable-pixmap", "n_bytes": len(p1),
@@ -1650,6 +1659,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (5, "video", bytearray(p5),
          {"mime": "video/x-msvideo", "n_bytes": len(p5),
           "width": 16, "height": 8, "duration_ms": 400}),
+        (6, "image", bytearray(p6),
+         {"mime": "image/jpeg", "n_bytes": len(p6),
+          "width": 8, "height": 8, "duration_ms": None}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     dec = decode_media(media)

@@ -201,11 +201,12 @@ def test_jpeg_baseline_codec_round_trips(spark):
 
     src_means = a.reshape(-1, 3).mean(axis=0) / 255.0
     assert _np.abs(_np.array(meta["feature"][:3]) - src_means).max() < 0.02
-    # progressive (SOF2) is the remaining declared boundary
+    # a baseline stream RELABELED SOF2 is malformed (r9: progressive
+    # now decodes for real, and its scans cannot span Ss=0..Se=63)
     prog = bytearray(enc)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="DC and AC"):
         decode_jpeg(bytes(prog))
 
 # --- real in-container audio codec: RIFF/WAVE PCM16 -----------------------
@@ -862,3 +863,105 @@ def test_sample_video_frames_uniform_and_exact(spark):
     }
     allf = MM.sample_video_frames(media, num_frames=99).collect()
     assert sorted(r.frame_idx for r in allf) == list(range(6))
+
+
+# -- progressive JPEG (SOF2, new r9) ----------------------------------------
+
+
+def test_progressive_jpeg_bit_identical_to_baseline():
+    """The successive-approximation split is losslessly invertible:
+    decoding the progressive encoding equals decoding the baseline
+    encoding BIT-FOR-BIT at the same quality — across subsampling,
+    grayscale, non-multiple-of-8 dims, and qualities."""
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (16, 16, "444", False),
+        (24, 17, "420", False),  # unaligned 420: AC grid != MCU grid
+        (8, 8, "444", True),
+        (33, 9, "444", False),
+        (7, 5, "420", False),
+    ]
+    for w, h, sub, gray in cases:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+        for q in (30, 90, 100):
+            base = decode_jpeg(
+                encode_jpeg(w, h, img, quality=q, subsample=sub,
+                            grayscale=gray)
+            )
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    w, h, img, quality=q, subsample=sub, grayscale=gray
+                )
+            )
+            assert base == prog, (w, h, sub, gray, q)
+
+
+def test_progressive_jpeg_smooth_image_eob_runs():
+    """A smooth gradient makes most AC bands all-zero — the EOBn
+    batching path (multi-block runs + buffered refinement bits) must
+    still reproduce the baseline decode exactly, and the progressive
+    file should be the smaller one (EOB runs amortize)."""
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    w, h = 64, 48
+    img = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = (x * 255 // w, y * 255 // h, 128)
+    pb = encode_jpeg_progressive(w, h, img.tobytes(), quality=85)
+    bb = encode_jpeg(w, h, img.tobytes(), quality=85)
+    assert decode_jpeg(pb) == decode_jpeg(bb)
+    got = np.frombuffer(decode_jpeg(pb)[2], np.uint8).reshape(h, w, 3)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 14
+
+
+def test_progressive_jpeg_solid_exact_and_marker_layout():
+    """Solid color at quality=100 round-trips exactly through the
+    progressive path too; the file really is SOF2 multi-scan."""
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    b = encode_jpeg_progressive(
+        16, 8, bytes([100, 150, 200] * 128), quality=100
+    )
+    assert b.count(b"\xff\xc2") == 1 and b.count(b"\xff\xc0") == 0
+    assert b.count(b"\xff\xda") >= 6  # multi-scan script
+    w, h, rgb = decode_jpeg(b)
+    a = np.frombuffer(rgb, np.uint8).reshape(-1, 3)
+    assert (w, h) == (16, 8)
+    assert (a == np.array([100, 150, 200])).all()
+
+
+def test_jpeg_arithmetic_and_lossless_still_raise():
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    b = bytearray(
+        encode_jpeg_progressive(8, 8, bytes([1, 2, 3] * 64), quality=90)
+    )
+    i = b.find(b"\xff\xc2")
+    for sof in (0xC3, 0xCA):  # lossless, progressive-arithmetic
+        b2 = bytearray(b)
+        b2[i + 1] = sof
+        with pytest.raises(NotImplementedError, match="SOF"):
+            decode_jpeg(bytes(b2))
