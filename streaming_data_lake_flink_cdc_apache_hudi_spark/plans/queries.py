@@ -836,6 +836,64 @@ def q_session_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_native",
+    """
+WITH flags AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM flags
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM numbered GROUP BY user_id, sess_no
+""",
+    doc="Spark's NATIVE session_window grouping (new r9) pinned "
+    "against an INDEPENDENT gaps-and-islands DuckDB oracle — the "
+    "same oracle as session_window_tvf, so the native operator and "
+    "the lag()-rewrite provably agree. This is the exact plan the "
+    "streaming SESSION TVF route (session._streaming_session_stmt) "
+    "produces on STREAMING views, where lag() is unsupported: one "
+    "key exchange + Spark's session-merge aggregation node, "
+    "state-backed across micro-batches on streams. Half-open Flink "
+    "boundary (an event at exactly last_ts + gap starts a new "
+    "session) — verified value-for-value here.",
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "cumulate_window_tvf",
     """
 WITH base AS (

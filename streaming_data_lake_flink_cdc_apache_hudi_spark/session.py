@@ -528,7 +528,7 @@ class EngineSession:
         )
 
     def _rewrite_window_tvf(self, statement: str) -> str:
-        return rewrite_window_tvf(statement)
+        return rewrite_window_tvf(statement, spark=self.spark)
 
     def _rewrite_time_travel(self, statement: str) -> str:
         """Bind `t VERSION AS OF n` / `t TIMESTAMP AS OF '<wall
@@ -622,7 +622,7 @@ class EngineSession:
 _TVF_RE = None  # compiled lazily
 
 
-def rewrite_window_tvf(statement: str) -> str:
+def rewrite_window_tvf(statement: str, spark=None) -> str:
     """Flink SQL windowing-TVF spellings → Spark SQL, so the notebook
     dialect's windowed queries run verbatim:
 
@@ -659,6 +659,18 @@ def rewrite_window_tvf(statement: str) -> str:
     sorts). Without it the session spec is a single global sort —
     Flink's semantics for the keyless spelling; partition when the
     data is big.
+
+    STREAMING SESSION (new r9): when ``spark`` is passed and the
+    SESSION TVF's table is a STREAMING view, the gaps-and-islands
+    rewrite (lag() — unsupported on streams) is replaced by Spark's
+    native ``session_window`` grouping: the canonical aggregate shape
+    ``SELECT ... FROM TABLE(SESSION(...)) GROUP BY window_start,
+    window_end[, keys]`` becomes ``GROUP BY session_window(ts, gap)
+    [, keys]`` with ``window_start``/``window_end`` resolved to the
+    session struct's bounds — identical half-open merge semantics,
+    state-backed across micro-batches. Non-aggregate shapes raise:
+    Spark assigns MERGED sessions only during aggregation, so the
+    row-tagging TVF form is genuinely batch-only.
     """
     import re
 
@@ -688,6 +700,22 @@ def rewrite_window_tvf(statement: str) -> str:
     def secs(canonical: str) -> int:
         amount, unit = canonical.split()
         return int(amount) * _SECS[unit.rstrip("s")]
+
+    def _is_streaming_view(tbl: str) -> bool:
+        if spark is None:
+            return False
+        try:
+            return spark.table(tbl).isStreaming
+        except Exception:
+            return False
+
+    for m in _TVF_RE.finditer(statement):
+        if m.group(1).upper() == "SESSION" and _is_streaming_view(
+            m.group(2)
+        ):
+            return _streaming_session_stmt(
+                statement, m, m.group(4), canon(m.group(5), m.group(6))
+            )
 
     def sub(m: re.Match) -> str:
         kind, tbl, part, ts = (
@@ -761,3 +789,62 @@ def rewrite_window_tvf(statement: str) -> str:
         )
 
     return _TVF_RE.sub(sub, statement)
+
+
+def _streaming_session_stmt(statement, m, ts, gap):
+    """Rewrite the whole statement for a SESSION TVF over a STREAMING
+    view: the canonical aggregate shape routes to Spark's native
+    ``session_window`` grouping (see ``rewrite_window_tvf``)."""
+    import re
+
+    stmt = statement.replace(m.group(0), f"`{m.group(2)}`")
+    gb = re.search(r"\bGROUP\s+BY\b", stmt, re.IGNORECASE)
+    if gb is None:
+        raise ValueError(
+            "SESSION over a STREAMING view supports the aggregate "
+            "shape only (… GROUP BY window_start, window_end[, keys]) "
+            "— Spark assigns merged sessions only during aggregation; "
+            "run the row-tagging TVF form on a batch view"
+        )
+    tail_m = re.search(
+        r"\b(HAVING|ORDER\s+BY|LIMIT)\b", stmt[gb.end():], re.IGNORECASE
+    )
+    gb_end = gb.end() + (tail_m.start() if tail_m else len(stmt) - gb.end())
+    items = [i.strip() for i in stmt[gb.end():gb_end].split(",")]
+    names = {i.strip("`").lower() for i in items}
+    if not {"window_start", "window_end"} <= names:
+        raise ValueError(
+            "streaming SESSION: GROUP BY must include window_start "
+            "and window_end (the session bounds ARE the group)"
+        )
+    keep = [
+        i
+        for i in items
+        if i.strip("`").lower() not in ("window_start", "window_end")
+    ]
+    new_gb = ", ".join([f"session_window(`{ts}`, '{gap}')"] + keep)
+    stmt = stmt[:gb.end()] + " " + new_gb + (
+        " " + stmt[gb_end:] if tail_m else ""
+    )
+    # resolve window_start/window_end references: aliased to keep the
+    # TVF's output column names in the select list, bare expressions
+    # elsewhere (HAVING/ORDER BY)
+    sel = re.search(r"\bSELECT\b", stmt, re.IGNORECASE)
+    frm = re.search(r"\bFROM\b", stmt, re.IGNORECASE)
+    head, rest = stmt[sel.end():frm.start()], stmt[frm.start():]
+
+    def repl(which: str, expr: str, seg: str, alias: bool) -> str:
+        def f(mm):
+            if alias and not re.match(
+                r"\s+AS\b", seg[mm.end():], re.IGNORECASE
+            ):
+                return f"{expr} AS {which}"
+            return expr
+
+        return re.sub(rf"\b{which}\b", f, seg, flags=re.IGNORECASE)
+
+    for which, field in (("window_start", "start"), ("window_end", "end")):
+        expr = f"session_window.{field}"
+        head = repl(which, expr, head, alias=True)
+        rest = repl(which, expr, rest, alias=False)
+    return stmt[: sel.end()] + head + rest

@@ -1048,15 +1048,34 @@ def test_window_tvf_sql_over_streaming_view(spark, tmp_path):
         "TUMBLE(TABLE {t}, DESCRIPTOR(ts), INTERVAL '10' MINUTES)",
         "CUMULATE(TABLE {t}, DESCRIPTOR(ts), INTERVAL '5' MINUTES, "
         "INTERVAL '10' MINUTES)",
+        "HOP(TABLE {t}, DESCRIPTOR(ts), INTERVAL '5' MINUTES, "
+        "INTERVAL '10' MINUTES)",
+        "SESSION(TABLE {t} PARTITION BY user_id, DESCRIPTOR(ts), "
+        "INTERVAL '5' MINUTES)",
     ]:
+        is_session = "SESSION" in tvf
         sql = (
             "SELECT window_start, window_end, COUNT(*) AS n, "
             "ROUND(SUM(value), 2) AS total FROM TABLE({tvf}) "
             "GROUP BY window_start, window_end"
         ).replace("{tvf}", tvf)
-        sdf = spark.sql(rewrite_window_tvf(sql.format(t="events_stream_tvf")))
+        if is_session:
+            # the streaming SESSION route (r9) supports the aggregate
+            # shape; per-key sessions, keys in GROUP BY
+            sql = sql.replace(
+                "SELECT window_start",
+                "SELECT user_id, window_start",
+            ).replace(
+                "GROUP BY window_start, window_end",
+                "GROUP BY user_id, window_start, window_end",
+            )
+        sdf = spark.sql(
+            rewrite_window_tvf(
+                sql.format(t="events_stream_tvf"), spark=spark
+            )
+        )
         assert sdf.isStreaming
-        qname = "tvfstream" + ("c" if "CUMULATE" in tvf else "t")
+        qname = "tvfstream" + tvf[:4].lower().strip("(")
         q = (
             sdf.writeStream.outputMode("complete")
             .format("memory")
