@@ -636,15 +636,17 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
 
 def sample_video_frames(df: DataFrame, num_frames: int = 3) -> DataFrame:
-    """REAL video frame sampling (new r9): AVI/MJPG payloads explode
-    into ``num_frames`` uniformly-spaced DECODED frames — one output
-    row per sampled frame with the frame index, decoded dimensions,
-    and per-channel pixel means. Container parse + JPEG decode run on
+    """REAL video frame sampling (new r9): AVI/MJPG payloads AND
+    animated GIFs explode into ``num_frames`` uniformly-spaced
+    DECODED frames — one output row per sampled frame with the frame
+    index, decoded dimensions, and per-channel pixel means (GIF
+    frames are the COMPOSITED canvas, so sub-rectangle patch frames
+    sample correctly). Container parse + frame decode run on
     executors inside ``mapInPandas`` (Arrow-batched); a video's bytes
     never leave the worker holding its payload, and the fan-out per
     row is bounded by ``num_frames`` — the shape a 100 TB multimodal
     corpus needs (decode scales with executors, driver sees only the
-    emitted scalars). Non-AVI payloads raise the declared stub error
+    emitted scalars). Other payloads raise the declared stub error
     via ``parse_avi`` rather than producing fake rows."""
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -666,15 +668,21 @@ def sample_video_frames(df: DataFrame, num_frames: int = 3) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                parsed = parse_avi(bytes(payload))
-                for idx in sample_frame_indices(
-                    parsed["n_frames"], num_frames
-                ):
-                    w, h, rgb = decode_avi_frame(parsed, idx)
+                raw = bytes(payload)
+                if raw[:6] in _GIF_MAGICS:
+                    g = decode_gif_frames(raw)
+                    n, w, h = g["n_frames"], g["width"], g["height"]
+                    frame_at = lambda i: (w, h, g["frames"][i])
+                else:
+                    parsed = parse_avi(raw)
+                    n = parsed["n_frames"]
+                    frame_at = lambda i: decode_avi_frame(parsed, i)
+                for idx in sample_frame_indices(n, num_frames):
+                    w, h, rgb = frame_at(idx)
                     a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
-                    out["n_frames"].append(parsed["n_frames"])
+                    out["n_frames"].append(n)
                     out["width"].append(w)
                     out["height"].append(h)
                     out["mean_r"].append(float(a[:, 0].mean()))
@@ -769,25 +777,23 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
 _GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 
-def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
-    """Real single-frame GIF89a encoder: palette built from the
-    image's distinct colors (<= 256 required), LZW-compressed index
-    stream per the GIF spec. Exists so tests can round-trip the
-    decoder against an independent layout of the same spec."""
-    if len(rgb) != width * height * 3:
-        raise ValueError("rgb must be width*height*3 bytes")
-    pixels = [tuple(rgb[i : i + 3]) for i in range(0, len(rgb), 3)]
-    palette = sorted(set(pixels))
+def _gif_palette(frames_rgb: list[bytes]):
+    """Shared palette across frames (<=256 colors) + size exponent."""
+    colors: set[tuple] = set()
+    for rgb in frames_rgb:
+        colors.update(
+            tuple(rgb[i : i + 3]) for i in range(0, len(rgb), 3)
+        )
+    palette = sorted(colors)
     if len(palette) > 256:
         raise ValueError("GIF encoder supports <= 256 distinct colors")
-    # color table size = next power of two >= max(2, len(palette))
     size_exp = max(1, (max(2, len(palette)) - 1).bit_length())
-    table_n = 1 << size_exp
-    index = {c: i for i, c in enumerate(palette)}
-    codes = [index[p] for p in pixels]
+    return palette, size_exp
 
-    # LZW encode with variable code width
-    min_code_size = max(2, size_exp)
+
+def _lzw_encode(codes: list[int], min_code_size: int) -> bytes:
+    """GIF variable-width LZW of an index stream (shared by the
+    single-frame and animation encoders)."""
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     dict_ = {(i,): i for i in range(1 << min_code_size)}
     next_code = eoi + 1
@@ -834,26 +840,218 @@ def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
                 width_bits += 1
     if bitpos:
         buf.append(bits & 0xFF)
+    return bytes(buf)
 
-    def u16(n: int) -> bytes:
-        return n.to_bytes(2, "little")
 
+def _u16(n: int) -> bytes:
+    return n.to_bytes(2, "little")
+
+
+def _gif_header(width, height, palette, size_exp) -> bytes:
+    table_n = 1 << size_exp
     gct = bytearray()
     for i in range(table_n):
         gct += bytes(palette[i]) if i < len(palette) else b"\x00\x00\x00"
     out = bytearray()
-    out += b"GIF89a" + u16(width) + u16(height)
+    out += b"GIF89a" + _u16(width) + _u16(height)
     out.append(0x80 | (size_exp - 1))  # GCT present, 2^size_exp entries
     out += b"\x00\x00"  # bg color, aspect
     out += bytes(gct)
-    out += b"," + u16(0) + u16(0) + u16(width) + u16(height) + b"\x00"
+    return bytes(out)
+
+
+def _gif_image_block(
+    rgb, x, y, w, h, index: dict, min_code_size: int
+) -> bytes:
+    codes = [
+        index[tuple(rgb[i : i + 3])] for i in range(0, len(rgb), 3)
+    ]
+    buf = _lzw_encode(codes, min_code_size)
+    out = bytearray()
+    out += b"," + _u16(x) + _u16(y) + _u16(w) + _u16(h) + b"\x00"
     out.append(min_code_size)
     for i in range(0, len(buf), 255):
         chunk = bytes(buf[i : i + 255])
         out.append(len(chunk))
         out += chunk
-    out += b"\x00;"  # block terminator + trailer
+    out += b"\x00"  # block terminator
     return bytes(out)
+
+
+def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """Real single-frame GIF89a encoder: palette built from the
+    image's distinct colors (<= 256 required), LZW-compressed index
+    stream per the GIF spec. Exists so tests can round-trip the
+    decoder against an independent layout of the same spec."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb must be width*height*3 bytes")
+    palette, size_exp = _gif_palette([rgb])
+    index = {c: i for i, c in enumerate(palette)}
+    min_code_size = max(2, size_exp)
+    return (
+        _gif_header(width, height, palette, size_exp)
+        + _gif_image_block(rgb, 0, 0, width, height, index, min_code_size)
+        + b";"
+    )
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames_rgb: list[bytes],
+    delay_cs: int = 10,
+    rects: list[tuple[int, int, int, int]] | None = None,
+    disposals: list[int] | None = None,
+) -> bytes:
+    """Animated GIF89a encoder (new r9): one shared global color
+    table, a NETSCAPE loop extension, and per frame a Graphic Control
+    Extension (disposal + delay) + image descriptor. ``rects`` gives
+    each frame's (x, y, w, h) sub-rectangle on the logical screen
+    (full-frame when omitted) — the patch-update layout real
+    animation optimizers emit; ``disposals`` the per-frame disposal
+    method (default 1 = leave in place). Exists so the multi-frame
+    decoder is pinned against an independently-written layout of the
+    public spec."""
+    if rects is None:
+        rects = [(0, 0, width, height)] * len(frames_rgb)
+    if disposals is None:
+        disposals = [1] * len(frames_rgb)
+    for rgb, (_x, _y, w, h) in zip(frames_rgb, rects):
+        if len(rgb) != w * h * 3:
+            raise ValueError("frame rgb must be rect_w*rect_h*3 bytes")
+    palette, size_exp = _gif_palette(frames_rgb)
+    index = {c: i for i, c in enumerate(palette)}
+    min_code_size = max(2, size_exp)
+    out = bytearray(_gif_header(width, height, palette, size_exp))
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for rgb, (x, y, w, h), disp in zip(frames_rgb, rects, disposals):
+        out += bytes(
+            [0x21, 0xF9, 4, (disp & 0x7) << 2]
+        ) + _u16(delay_cs) + bytes([0, 0])
+        out += _gif_image_block(rgb, x, y, w, h, index, min_code_size)
+    out += b";"
+    return bytes(out)
+
+
+def decode_gif_frames(b: bytes) -> dict:
+    """Decode ALL frames of a GIF87a/89a animation (new r9) with the
+    stdlib only: frames composite onto the logical screen per the
+    public spec — sub-rectangle descriptors patch the canvas,
+    transparency (GCE flag) leaves covered pixels, disposal methods
+    0/1 (leave), 2 (restore background), 3 (restore previous) apply
+    AFTER each frame is emitted. Returns ``{"width", "height",
+    "n_frames", "delays_ms": [...], "frames": [full-canvas RGB24
+    bytes, ...]}``. Single-frame images come back as 1-frame
+    animations; ``_decode_gif`` (the thumbnail semantic) stays the
+    frame-1 fast path."""
+    if b[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    pos = 6
+    sw = int.from_bytes(b[pos : pos + 2], "little")
+    sh = int.from_bytes(b[pos + 2 : pos + 4], "little")
+    packed = b[pos + 4]
+    bg_index = b[pos + 5]
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    bg = (
+        tuple(gct[3 * bg_index : 3 * bg_index + 3])
+        if gct and 3 * bg_index + 3 <= len(gct)
+        else (0, 0, 0)
+    )
+    canvas = bytearray(bytes(bg) * (sw * sh))
+    frames: list[bytes] = []
+    delays: list[int] = []
+    disposal, delay_cs, transp = 0, 0, None
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:
+            label = b[pos + 1]
+            pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                sz = b[pos]
+                flags = b[pos + 1]
+                disposal = (flags >> 2) & 0x7
+                delay_cs = int.from_bytes(b[pos + 2 : pos + 4], "little")
+                transp = b[pos + 4] if flags & 0x1 else None
+                pos += 1 + sz
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            ix = int.from_bytes(b[pos + 1 : pos + 3], "little")
+            iy = int.from_bytes(b[pos + 3 : pos + 5], "little")
+            iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            interlaced = bool(ipacked & 0x40)
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = b[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code_size = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # image block terminator
+            indices = _lzw_decode(bytes(data), min_code_size)
+            if len(indices) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            indices = indices[: iw * ih]
+            if interlaced:
+                deinter = [0] * (iw * ih)
+                rows = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                for src_row, dst_row in enumerate(rows):
+                    deinter[dst_row * iw : (dst_row + 1) * iw] = indices[
+                        src_row * iw : (src_row + 1) * iw
+                    ]
+                indices = deinter
+            prev = bytes(canvas) if disposal == 3 else None
+            for r in range(ih):
+                for c in range(iw):
+                    idx = indices[r * iw + c]
+                    if transp is not None and idx == transp:
+                        continue
+                    o = ((iy + r) * sw + (ix + c)) * 3
+                    canvas[o : o + 3] = ct[3 * idx : 3 * idx + 3]
+            frames.append(bytes(canvas))
+            delays.append(delay_cs * 10)
+            if disposal == 2:  # restore rect to background
+                for r in range(ih):
+                    o = ((iy + r) * sw + ix) * 3
+                    canvas[o : o + 3 * iw] = bytes(bg) * iw
+            elif disposal == 3 and prev is not None:
+                canvas = bytearray(prev)
+            disposal, delay_cs, transp = 0, 0, None
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF carries no image frame")
+    return {
+        "width": sw,
+        "height": sh,
+        "n_frames": len(frames),
+        "delays_ms": delays,
+        "frames": frames,
+    }
 
 
 def _decode_gif(b: bytes) -> tuple[int, int, bytes]:

@@ -1749,19 +1749,24 @@ FROM (VALUES
   (CAST(1 AS BIGINT), 4, 5, 16, 8,  45,  84, 123),
   (CAST(2 AS BIGINT), 0, 4,  8, 8, 200, 100,  50),
   (CAST(2 AS BIGINT), 1, 4,  8, 8, 210,  80,  55),
-  (CAST(2 AS BIGINT), 3, 4,  8, 8, 230,  40,  65))
+  (CAST(2 AS BIGINT), 3, 4,  8, 8, 230,  40,  65),
+  (CAST(3 AS BIGINT), 0, 6,  4, 3,   1,   2,   3),
+  (CAST(3 AS BIGINT), 2, 6,  4, 3,   7,  16,  25),
+  (CAST(3 AS BIGINT), 5, 6,  4, 3,  16,  37,  58))
 AS t(media_id, frame_idx, n_frames, width, height, r, g, b)
 """,
     doc="REAL video frame sampling (new r9, operators/avi.py + "
     "multimodal.sample_video_frames): two AVI/MJPG containers — 5 "
-    "frames at 16x8 and 4 frames at 8x8 — explode into 3 uniformly-"
-    "spaced DECODED frames each (indices i*(n-1)//(k-1): [0,2,4] and "
-    "[0,1,3]), emitting per-frame dims and channel means. Frames are "
-    "solid colors encoded at quality=100 (all-ones quant tables), so "
-    "the JPEG round trip is bit-exact and the oracle is independent "
-    "arithmetic: ROUND(channel/255, 4) over the color literals. The "
-    "operator is mapInPandas — container parse + JPEG decode on "
-    "executors, fan-out bounded by k, driver sees only scalars.",
+    "frames at 16x8 and 4 frames at 8x8 — plus a 6-frame ANIMATED "
+    "GIF at 4x3, each exploding into 3 uniformly-spaced DECODED "
+    "frames (indices i*(n-1)//(k-1): [0,2,4], [0,1,3], [0,2,5]), "
+    "emitting per-frame dims and channel means. AVI frames are solid "
+    "colors encoded at quality=100 (all-ones quant tables: JPEG "
+    "round trip bit-exact); GIF is lossless by construction — so the "
+    "oracle is independent arithmetic: ROUND(channel/255, 4) over "
+    "the color literals. The operator is mapInPandas — container "
+    "parse + frame decode on executors, fan-out bounded by k, driver "
+    "sees only scalars.",
 )
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.avi import encode_avi_mjpeg
@@ -1785,6 +1790,17 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         fps=25,
     )
+    from ..operators.multimodal import encode_gif_animation
+
+    v3 = encode_gif_animation(
+        4,
+        3,
+        [
+            bytes([3 * i + 1, 7 * i + 2, 11 * i + 3] * 12)
+            for i in range(6)
+        ],
+        delay_cs=4,
+    )
     rows = [
         (1, "video", bytearray(v1),
          {"mime": "video/x-msvideo", "n_bytes": len(v1),
@@ -1792,6 +1808,9 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2, "video", bytearray(v2),
          {"mime": "video/x-msvideo", "n_bytes": len(v2),
           "width": 8, "height": 8, "duration_ms": 160}),
+        (3, "video", bytearray(v3),
+         {"mime": "image/gif", "n_bytes": len(v3),
+          "width": 4, "height": 3, "duration_ms": 240}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     sampled = sample_video_frames(media, num_frames=3)

@@ -965,3 +965,80 @@ def test_jpeg_arithmetic_and_lossless_still_raise():
         b2[i + 1] = sof
         with pytest.raises(NotImplementedError, match="SOF"):
             decode_jpeg(bytes(b2))
+
+
+# -- animated GIF multi-frame decode (new r9) --------------------------------
+
+
+def test_gif_animation_full_frames_round_trip():
+    """Multi-frame GIF: all frames decode losslessly, delays carried;
+    the single-frame fast path still serves frame 1."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        _decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    frames = [
+        bytes([3 * i + 1, 7 * i + 2, 11 * i + 3] * 12) for i in range(6)
+    ]
+    b = encode_gif_animation(4, 3, frames, delay_cs=4)
+    d = decode_gif_frames(b)
+    assert (d["width"], d["height"], d["n_frames"]) == (4, 3, 6)
+    assert d["delays_ms"] == [40] * 6
+    assert d["frames"] == frames
+    assert _decode_gif(b) == (4, 3, frames[0])
+
+
+def test_gif_animation_subrect_composite_and_disposal():
+    """Sub-rectangle patch frames composite onto the canvas; disposal
+    3 restores the pre-frame canvas before the next frame lands."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    base = bytes([1, 1, 1] * 12)
+    patch = bytes([9, 9, 9] * 2)  # 2x1 rect at (1,1)
+    last = bytes([5, 5, 5] * 2)  # 2x1 rect at (0,0)
+    b = encode_gif_animation(
+        4, 3, [base, patch, last],
+        rects=[(0, 0, 4, 3), (1, 1, 2, 1), (0, 0, 2, 1)],
+        disposals=[1, 3, 1],
+    )
+    d = decode_gif_frames(b)
+    f2 = bytearray(base)
+    for c in range(2):
+        o = (1 * 4 + 1 + c) * 3
+        f2[o : o + 3] = bytes([9, 9, 9])
+    assert d["frames"][1] == bytes(f2)
+    f3 = bytearray(base)  # frame 2's patch was disposed (restore prev)
+    for c in range(2):
+        f3[c * 3 : c * 3 + 3] = bytes([5, 5, 5])
+    assert d["frames"][2] == bytes(f3)
+
+
+def test_sample_video_frames_handles_gif(spark):
+    """sample_video_frames routes GIF payloads through the multi-frame
+    decode — exact channel means (GIF is lossless)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        encode_gif_animation,
+    )
+
+    frames = [bytes([10 * i, 5 * i, i] * 12) for i in range(5)]
+    g = encode_gif_animation(4, 3, frames, delay_cs=10)
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(g),
+          {"mime": "image/gif", "n_bytes": len(g),
+           "width": 4, "height": 3, "duration_ms": 500})],
+        MM.MEDIA_SCHEMA,
+    )
+    got = sorted(
+        (r.frame_idx, r.width, r.height, r.mean_r, r.mean_g, r.mean_b)
+        for r in MM.sample_video_frames(media, num_frames=3).collect()
+    )
+    assert got == [
+        (0, 4, 3, 0.0, 0.0, 0.0),
+        (2, 4, 3, 20.0, 10.0, 2.0),
+        (4, 4, 3, 40.0, 20.0, 4.0),
+    ]
