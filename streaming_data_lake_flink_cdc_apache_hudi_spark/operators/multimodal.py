@@ -16,12 +16,13 @@ animations decode to frame 1)**, **baseline AND progressive JPEG
 (SOF0/SOF2 huffman + dequant + numpy IDCT, 4:4:4/4:2:2/4:2:0,
 restart markers, grayscale/YCbCr, spectral selection + successive
 approximation — ``operators/jpeg.py``, r9)**, **AVI/MJPG video
-containers (``operators/avi.py``, r9)**, and RIFF/WAVE PCM16 audio
-decode FOR REAL — pure-Python header parse + numpy sample/pixel
-math, end-to-end in this container (dims/rate/duration, checksum,
-and an 8-dim feature from actual pixels or samples). Formats
-genuinely needing external libs (arithmetic/lossless JPEG, non-PCM
-audio, ISO-BMFF containers + interframe video codecs) stay a
+containers (``operators/avi.py``, r9)**, and RIFF/WAVE audio — PCM16
+plus (r9) G.711 u-law/A-law and IMA ADPCM — decode FOR REAL —
+pure-Python header parse + numpy sample/pixel math, end-to-end in
+this container (dims/rate/duration, checksum, and an 8-dim feature
+from actual pixels or samples). Formats genuinely needing external
+libs (arithmetic/lossless JPEG, perceptual audio codecs like
+MP3/AAC, ISO-BMFF containers + interframe video codecs) stay a
 declared ``NotImplementedError`` stub — swapping a real codec in
 changes only ``_decode_bytes``. Payloads with no known magic use the
 deterministic 8-byte fake header (test fixtures).
@@ -401,11 +402,246 @@ def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
     )
 
 
+# -- compressed WAV codecs (new r9): G.711 u-law/A-law + IMA ADPCM ---------
+#
+# All three are PUBLIC specs (ITU-T G.711; the IMA ADPCM reference
+# algorithm as used by WAV format tag 0x11). Decode tables are built
+# from the spec formulas; the encoders exist for fixtures and mirror
+# the standard reference algorithms, so encode->decode round trips
+# pin the decoder within each codec's quantization step.
+
+
+def _build_ulaw_table():
+    import numpy as np
+
+    out = np.zeros(256, np.int16)
+    for u in range(256):
+        v = ~u & 0xFF
+        sign, exp, mant = v & 0x80, (v >> 4) & 7, v & 0x0F
+        s = (((mant << 3) + 0x84) << exp) - 0x84
+        out[u] = -s if sign else s
+    return out
+
+
+def _build_alaw_table():
+    import numpy as np
+
+    out = np.zeros(256, np.int16)
+    for a in range(256):
+        v = a ^ 0x55
+        sign, exp, mant = v & 0x80, (v >> 4) & 7, v & 0x0F
+        s = ((mant << 4) + 0x108) << (exp - 1) if exp else (mant << 4) + 8
+        # A-law: the sign bit SET means positive (opposite of u-law)
+        out[a] = s if sign else -s
+    return out
+
+
+_ULAW_TABLE = _build_ulaw_table()
+_ALAW_TABLE = _build_alaw_table()
+
+
+def _g711_encode(samples, table) -> bytes:
+    """Nearest-decoded-value quantizer over the codec's 256 decode
+    levels — the optimal (spec-consistent) companding quantizer,
+    provably the inverse-of-decode this module implements."""
+    import numpy as np
+
+    order = np.argsort(table, kind="stable")
+    levels = table[order].astype(np.int32)
+    x = np.asarray(samples, np.int32)
+    j = np.clip(np.searchsorted(levels, x), 1, 255)
+    pick = np.where(
+        np.abs(levels[j - 1] - x) <= np.abs(levels[j] - x), j - 1, j
+    )
+    return order[pick].astype(np.uint8).tobytes()
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, nib: int) -> tuple[int, int]:
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+    return pred, index
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """IMA ADPCM (WAV tag 0x11) block decode: per channel a 4-byte
+    header (int16 predictor = sample 0, uint8 step index), then
+    4-byte nibble groups interleaved across channels."""
+    import numpy as np
+
+    if channels not in (1, 2):
+        raise NotImplementedError("IMA ADPCM: 1 or 2 channels only")
+    if block_align <= 4 * channels:
+        raise ValueError("IMA ADPCM block_align too small")
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    out: list[list[int]] = []
+    for boff in range(0, len(data) - 4 * channels + 1, block_align):
+        block = data[boff : boff + block_align]
+        preds, idxs, chans = [], [], []
+        for c in range(channels):
+            p = int.from_bytes(
+                block[4 * c : 4 * c + 2], "little", signed=True
+            )
+            preds.append(p)
+            idxs.append(block[4 * c + 2])
+            chans.append([p])
+        pos = 4 * channels
+        while pos + 4 * channels <= len(block) and len(chans[0]) < spb:
+            for c in range(channels):
+                for byte in block[pos + 4 * c : pos + 4 * c + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(
+                            preds[c], idxs[c], nib
+                        )
+                        chans[c].append(preds[c])
+            pos += 4 * channels
+        for f in range(min(spb, len(chans[0]))):
+            out.append([chans[c][f] for c in range(channels)])
+    return np.array(out, np.int16).reshape(-1, channels)
+
+
+def _ima_adpcm_encode(
+    samples: list[int], channels: int, block_align: int
+) -> bytes:
+    """Reference IMA encoder (fixture generator): per block, sample 0
+    seeds the predictor; each later sample quantizes the diff to the
+    nibble whose decode lands nearest."""
+    import struct
+
+    if len(samples) % channels:
+        raise ValueError("samples must interleave evenly across channels")
+    frames = [
+        samples[i : i + channels]
+        for i in range(0, len(samples), channels)
+    ]
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    out = bytearray()
+    idxs = [0] * channels
+    for boff in range(0, len(frames), spb):
+        blk = frames[boff : boff + spb]
+        preds = [blk[0][c] for c in range(channels)]
+        for c in range(channels):
+            out += struct.pack("<h", preds[c]) + bytes([idxs[c], 0])
+        nibbles: list[list[int]] = [[] for _ in range(channels)]
+        for f in blk[1:]:
+            for c in range(channels):
+                diff = f[c] - preds[c]
+                step = _IMA_STEPS[idxs[c]]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibbles[c].append(nib)
+        # pad each channel to full 8-nibble groups, then interleave
+        groups = -(-max(len(n) for n in nibbles) // 8) if blk[1:] else 0
+        body_groups = (block_align - 4 * channels) // (4 * channels)
+        groups = body_groups  # fixed-size blocks per the format
+        for g in range(groups):
+            for c in range(channels):
+                for k in range(4):
+                    i = g * 8 + 2 * k
+                    lo = nibbles[c][i] if i < len(nibbles[c]) else 0
+                    hi = (
+                        nibbles[c][i + 1]
+                        if i + 1 < len(nibbles[c])
+                        else 0
+                    )
+                    out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def encode_wav_compressed(
+    sample_rate: int,
+    channels: int,
+    samples: list[int],
+    fmt: str,
+    block_align: int = 256,
+) -> bytes:
+    """RIFF/WAVE encoder for the compressed formats the decoder
+    serves: ``fmt`` in {"ulaw", "alaw", "ima"}. Writes the spec's
+    fmt-chunk extension (cbSize + samplesPerBlock for IMA) and a
+    ``fact`` chunk, as real encoders do."""
+    import struct
+
+    if fmt == "ima":
+        data = _ima_adpcm_encode(samples, channels, block_align)
+        spb = (block_align - 4 * channels) * 2 // channels + 1
+        fmt_body = struct.pack(
+            "<HHIIHHHH",
+            0x11,
+            channels,
+            sample_rate,
+            sample_rate * block_align // spb,
+            block_align,
+            4,
+            2,
+            spb,
+        )
+        tag = None
+    elif fmt in ("ulaw", "alaw"):
+        table = _ULAW_TABLE if fmt == "ulaw" else _ALAW_TABLE
+        data = _g711_encode(samples, table)
+        fmt_body = struct.pack(
+            "<HHIIHHH",
+            7 if fmt == "ulaw" else 6,
+            channels,
+            sample_rate,
+            sample_rate * channels,
+            channels,
+            8,
+            0,
+        )
+    else:
+        raise ValueError(f"fmt must be ulaw|alaw|ima, got {fmt!r}")
+    n_frames = len(samples) // channels
+    chunks = (
+        b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+        + b"fact" + (4).to_bytes(4, "little")
+        + n_frames.to_bytes(4, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return (
+        b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE"
+        + chunks
+    )
+
+
 def _decode_wav(b: bytes) -> tuple[int, int, int, "object"]:
     """RIFF chunk walk -> (sample_rate, channels, n_frames, float
-    samples in [-1,1] shaped (frames, channels)). PCM16 only — the
-    format every in-container fixture and most raw-audio lakes use;
-    compressed codecs stay behind the declared stub."""
+    samples in [-1,1] shaped (frames, channels)). Decodes PCM16 and
+    (new r9) the compressed formats real telephony/archive WAVs use:
+    G.711 mu-law (tag 7) / A-law (tag 6) table expansion and IMA
+    ADPCM (tag 0x11) block decode. Other tags stay the declared
+    stub."""
     import struct
 
     import numpy as np
@@ -419,24 +655,34 @@ def _decode_wav(b: bytes) -> tuple[int, int, int, "object"]:
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            block_align = fmt[4]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
-    audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if audio_format == 1 and bits == 16:
+        frames = len(data) // (channels * 2)
+        lin = np.frombuffer(
+            data[: frames * channels * 2], dtype="<i2"
+        ).reshape(frames, channels)
+    elif audio_format in (6, 7) and bits == 8:
+        table = _ALAW_TABLE if audio_format == 6 else _ULAW_TABLE
+        frames = len(data) // channels
+        lin = table[
+            np.frombuffer(data[: frames * channels], dtype=np.uint8)
+        ].reshape(frames, channels)
+    elif audio_format == 0x11:
+        lin = _ima_adpcm_decode(data, channels, block_align)
+        frames = lin.shape[0]
+    else:
         raise NotImplementedError(
-            f"only PCM16 WAV decodes here (format={audio_format}, bits={bits}); "
-            "swap a real codec into _decode_bytes for compressed audio"
+            f"WAV format tag {audio_format} (bits={bits}) needs an "
+            "external codec; PCM16, G.711 u-law/A-law, and IMA ADPCM "
+            "decode here"
         )
-    frames = len(data) // (channels * 2)
-    a = (
-        np.frombuffer(data[: frames * channels * 2], dtype="<i2")
-        .reshape(frames, channels)
-        .astype(np.float64)
-        / 32768.0
-    )
+    a = lin.astype(np.float64) / 32768.0
     return sample_rate, channels, frames, a
 
 

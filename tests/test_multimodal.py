@@ -1042,3 +1042,100 @@ def test_sample_video_frames_handles_gif(spark):
         (2, 4, 3, 20.0, 10.0, 2.0),
         (4, 4, 3, 40.0, 20.0, 4.0),
     ]
+
+
+# -- compressed WAV codecs (new r9): G.711 + IMA ADPCM -----------------------
+
+
+def test_g711_tables_match_stdlib_reference():
+    """The u-law/A-law decode tables must equal an INDEPENDENT
+    implementation byte-for-byte (stdlib audioop, present on this
+    Python; skip where removed)."""
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+    )
+
+    codes = bytes(range(256))
+    assert (
+        np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2") == _ULAW_TABLE
+    ).all()
+    assert (
+        np.frombuffer(audioop.alaw2lin(codes, 2), "<i2") == _ALAW_TABLE
+    ).all()
+
+
+def test_compressed_wav_round_trips_and_decode_media(spark):
+    """u-law/A-law within G.711 quantization, IMA ADPCM within its
+    adaptation envelope after convergence; decode_media serves real
+    rate/duration/features for all three; unknown tags still raise."""
+    import math
+
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_wav,
+        decode_media,
+        encode_wav_compressed,
+    )
+
+    sine = [
+        int(12000 * math.sin(2 * math.pi * 200 * i / 16000))
+        for i in range(4000)
+    ]
+    payloads = {}
+    for fmt in ("ulaw", "alaw"):
+        b = encode_wav_compressed(16000, 1, sine, fmt)
+        rate, ch, frames, a = _decode_wav(b)
+        assert (rate, ch, frames) == (16000, 1, 4000)
+        err = np.abs(
+            (a[:, 0] * 32768).round().astype(int) - np.array(sine)
+        )
+        assert err.max() < 1024  # half the top G.711 segment step
+        payloads[fmt] = b
+    b = encode_wav_compressed(16000, 1, sine, "ima")
+    rate, ch, frames, a = _decode_wav(b)
+    got = (a[:, 0] * 32768).round().astype(int)[: len(sine)]
+    err = np.abs(got - np.array(sine))
+    assert err[100:].max() < 800  # post-adaptation envelope
+    payloads["ima"] = b
+    # stereo IMA: channels de-interleave correctly (distinct tones)
+    stereo = []
+    for i in range(4000):
+        stereo += [
+            int(9000 * math.sin(2 * math.pi * 150 * i / 8000)),
+            int(7000 * math.sin(2 * math.pi * 350 * i / 8000)),
+        ]
+    rate, ch, frames, a = _decode_wav(
+        encode_wav_compressed(8000, 2, stereo, "ima", block_align=256)
+    )
+    assert ch == 2
+    src = np.array(stereo).reshape(-1, 2)
+    got = (a * 32768).round().astype(int)[: src.shape[0]]
+    assert np.abs(got[200:] - src[200 : got.shape[0]]).max() < 1200
+    # decode_media: real rate + duration for compressed payloads
+    rows = [
+        (i, "audio", bytearray(p),
+         {"mime": "audio/wav", "n_bytes": len(p),
+          "width": 1, "height": None, "duration_ms": 250})
+        for i, p in enumerate(payloads.values())
+    ]
+    out = decode_media(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()
+    for r in out:
+        assert r.sample_rate == 16000 and r.duration_ms in (250, 252)
+        # real peak from real samples: amplitude 12000/32768 ~ 0.366
+        assert 0.3 < r.feature[1] <= 0.45
+    # unsupported tag (e.g. MP3 = 0x55) still the declared boundary
+    import struct
+
+    bad = bytearray(payloads["ulaw"])
+    i = bad.find(b"fmt ") + 8
+    bad[i : i + 2] = struct.pack("<H", 0x55)
+    with pytest.raises(Exception, match="format tag|NotImplemented"):
+        _decode_wav(bytes(bad))
