@@ -20,9 +20,12 @@ containers (``operators/avi.py``, r9)**, and RIFF/WAVE audio — PCM16
 plus (r9) G.711 u-law/A-law and IMA ADPCM — decode FOR REAL —
 pure-Python header parse + numpy sample/pixel math, end-to-end in
 this container (dims/rate/duration, checksum, and an 8-dim feature
-from actual pixels or samples). Formats genuinely needing external
-libs (arithmetic/lossless JPEG, perceptual audio codecs like
-MP3/AAC, ISO-BMFF containers + interframe video codecs) stay a
+from actual pixels or samples). ISO-BMFF (MP4/MOV) containers parse
+for real too (``operators/mp4.py``, r9): box walk, timescales, track
+dims, full sample table — Motion-JPEG tracks decode to pixels,
+interframe tracks report metadata with a null feature. Only the
+genuinely-external layers (arithmetic/lossless JPEG, perceptual
+audio codecs like MP3/AAC, interframe video entropy decode) stay a
 declared ``NotImplementedError`` stub — swapping a real codec in
 changes only ``_decode_bytes``. Payloads with no known magic use the
 deterministic 8-byte fake header (test fixtures).
@@ -783,6 +786,27 @@ def _decode_bytes(payload: bytes) -> dict:
             "duration_ms": parsed["duration_ms"],
             "feature": _pixel_feature(w, h, rgb),
         }
+    if payload[4:8] == b"ftyp":
+        # ISO-BMFF (MP4/MOV, new r9): the container layer parses for
+        # real (operators/mp4.py); pixels decode only for Motion-JPEG
+        # tracks — interframe codecs report metadata with a null
+        # feature (the honest boundary)
+        from .mp4 import decode_mp4_frame, parse_mp4
+
+        parsed = parse_mp4(payload)
+        feature = None
+        if parsed["codec"] in ("jpeg", "mjpa") and parsed["n_frames"]:
+            w, h, rgb = decode_mp4_frame(parsed, 0)
+            feature = _pixel_feature(w, h, rgb)
+        return {
+            "n_bytes": len(payload),
+            "checksum": checksum,
+            "width": parsed["width"],
+            "height": parsed["height"],
+            "sample_rate": parsed["fps"],
+            "duration_ms": parsed["duration_ms"],
+            "feature": feature,
+        }
     if payload[:3] == b"\xff\xd8\xff":
         # baseline (SOF0) AND progressive (SOF2) JPEG: real decode
         # from the public ITU T.81 spec (operators/jpeg.py, r9);
@@ -919,6 +943,12 @@ def sample_video_frames(df: DataFrame, num_frames: int = 3) -> DataFrame:
                     g = decode_gif_frames(raw)
                     n, w, h = g["n_frames"], g["width"], g["height"]
                     frame_at = lambda i: (w, h, g["frames"][i])
+                elif raw[4:8] == b"ftyp":
+                    from .mp4 import decode_mp4_frame, parse_mp4
+
+                    mp = parse_mp4(raw)
+                    n = mp["n_frames"]
+                    frame_at = lambda i: decode_mp4_frame(mp, i)
                 else:
                     parsed = parse_avi(raw)
                     n = parsed["n_frames"]

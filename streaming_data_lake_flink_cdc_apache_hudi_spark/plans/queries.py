@@ -1655,7 +1655,9 @@ FROM (VALUES
   (CAST(5 AS BIGINT), 'video', CAST(1514 AS BIGINT), CAST(105797 AS BIGINT),
    16, 8, 0.3922, 0.5882, 0.7843),
   (CAST(6 AS BIGINT), 'image', CAST(493 AS BIGINT), CAST(13925 AS BIGINT),
-   8, 8, 0.1569, 0.3137, 0.4706))
+   8, 8, 0.1569, 0.3137, 0.4706),
+  (CAST(7 AS BIGINT), 'video', CAST(1829 AS BIGINT), CAST(109531 AS BIGINT),
+   16, 8, 0.3922, 0.5882, 0.7843))
 AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
 """,
     doc="Multimodal decode through mapInPandas (operators/"
@@ -1673,7 +1675,11 @@ AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
     "r9): a PROGRESSIVE JPEG (SOF2, multi-scan spectral selection + "
     "successive approximation) of solid (40,80,120) at quality=100 — "
     "the approximation split is lossless, so it reconstructs "
-    "bit-exactly too.",
+    "bit-exactly too. Row 7 (new r9): an ISO-BMFF MP4 with a "
+    "Motion-JPEG track (operators/mp4.py — ftyp/moov/trak/stbl box "
+    "walk, sample table resolved to frame byte ranges), first frame "
+    "(100,150,200) exact at quality=100, dims from tkhd, duration "
+    "from mdhd timescale.",
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1701,6 +1707,14 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p6 = encode_jpeg_progressive(8, 8, bytes([40, 80, 120] * 64),
                                  quality=100)
+    from ..operators.mp4 import encode_mp4_mjpeg
+
+    p7 = encode_mp4_mjpeg(
+        16,
+        8,
+        [bytes([100, 150, 200] * 128), bytes([40, 80, 120] * 128)],
+        fps=5,
+    )
     rows = [
         (1, "image", bytearray(p1),
          {"mime": "image/x-portable-pixmap", "n_bytes": len(p1),
@@ -1720,6 +1734,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (6, "image", bytearray(p6),
          {"mime": "image/jpeg", "n_bytes": len(p6),
           "width": 8, "height": 8, "duration_ms": None}),
+        (7, "video", bytearray(p7),
+         {"mime": "video/mp4", "n_bytes": len(p7),
+          "width": 16, "height": 8, "duration_ms": 400}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     dec = decode_media(media)
@@ -1752,15 +1769,19 @@ FROM (VALUES
   (CAST(2 AS BIGINT), 3, 4,  8, 8, 230,  40,  65),
   (CAST(3 AS BIGINT), 0, 6,  4, 3,   1,   2,   3),
   (CAST(3 AS BIGINT), 2, 6,  4, 3,   7,  16,  25),
-  (CAST(3 AS BIGINT), 5, 6,  4, 3,  16,  37,  58))
+  (CAST(3 AS BIGINT), 5, 6,  4, 3,  16,  37,  58),
+  (CAST(4 AS BIGINT), 0, 4,  8, 8,  50,  60,  70),
+  (CAST(4 AS BIGINT), 1, 4,  8, 8,  57,  71,  83),
+  (CAST(4 AS BIGINT), 3, 4,  8, 8,  71,  93, 109))
 AS t(media_id, frame_idx, n_frames, width, height, r, g, b)
 """,
     doc="REAL video frame sampling (new r9, operators/avi.py + "
-    "multimodal.sample_video_frames): two AVI/MJPG containers — 5 "
-    "frames at 16x8 and 4 frames at 8x8 — plus a 6-frame ANIMATED "
-    "GIF at 4x3, each exploding into 3 uniformly-spaced DECODED "
-    "frames (indices i*(n-1)//(k-1): [0,2,4], [0,1,3], [0,2,5]), "
-    "emitting per-frame dims and channel means. AVI frames are solid "
+    "operators/mp4.py + multimodal.sample_video_frames): two AVI/MJPG "
+    "containers — 5 frames at 16x8 and 4 frames at 8x8 — a 6-frame "
+    "ANIMATED GIF at 4x3, and a 4-frame Motion-JPEG MP4 (ISO-BMFF "
+    "sample-table walk) at 8x8, each exploding into 3 uniformly-"
+    "spaced DECODED frames (indices i*(n-1)//(k-1)), emitting "
+    "per-frame dims and channel means. AVI/MP4 frames are solid "
     "colors encoded at quality=100 (all-ones quant tables: JPEG "
     "round trip bit-exact); GIF is lossless by construction — so the "
     "oracle is independent arithmetic: ROUND(channel/255, 4) over "
@@ -1801,6 +1822,17 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         delay_cs=4,
     )
+    from ..operators.mp4 import encode_mp4_mjpeg
+
+    v4 = encode_mp4_mjpeg(
+        8,
+        8,
+        [
+            bytes([50 + 7 * i, 60 + 11 * i, 70 + 13 * i] * 64)
+            for i in range(4)
+        ],
+        fps=10,
+    )
     rows = [
         (1, "video", bytearray(v1),
          {"mime": "video/x-msvideo", "n_bytes": len(v1),
@@ -1811,6 +1843,9 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (3, "video", bytearray(v3),
          {"mime": "image/gif", "n_bytes": len(v3),
           "width": 4, "height": 3, "duration_ms": 240}),
+        (4, "video", bytearray(v4),
+         {"mime": "video/mp4", "n_bytes": len(v4),
+          "width": 8, "height": 8, "duration_ms": 400}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     sampled = sample_video_frames(media, num_frames=3)

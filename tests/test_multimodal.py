@@ -1139,3 +1139,91 @@ def test_compressed_wav_round_trips_and_decode_media(spark):
     bad[i : i + 2] = struct.pack("<H", 0x55)
     with pytest.raises(Exception, match="format tag|NotImplemented"):
         _decode_wav(bytes(bad))
+
+
+# -- ISO-BMFF (MP4) container (new r9) ---------------------------------------
+
+
+def test_mp4_mjpeg_round_trip_and_metadata():
+    """Minimal MJPEG MP4 fixture parses: codec/dims/frames/duration
+    from the box tree, per-sample byte ranges from stsz/stco/stsc;
+    solid frames decode exactly at quality=100."""
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.mp4 import (
+        decode_mp4_frame,
+        encode_mp4_mjpeg,
+        parse_mp4,
+    )
+
+    colors = [(100, 150, 200), (10, 20, 30), (250, 1, 128)]
+    b = encode_mp4_mjpeg(
+        16, 8, [bytes(list(c) * 128) for c in colors], fps=10
+    )
+    p = parse_mp4(b)
+    assert (p["codec"], p["width"], p["height"]) == ("jpeg", 16, 8)
+    assert (p["n_frames"], p["fps"], p["duration_ms"]) == (3, 10, 300)
+    for i, c in enumerate(colors):
+        w, h, rgb = decode_mp4_frame(p, i)
+        a = np.frombuffer(rgb, np.uint8).reshape(-1, 3)
+        assert (a == np.array(c)).all(), i
+    # foreign bytes / missing boxes raise ValueError
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4(b"\x00" * 32)
+    with pytest.raises(ValueError, match="moov"):
+        parse_mp4(b[: b.find(b"moov") - 4])
+
+
+def test_mp4_interframe_codec_metadata_only(spark):
+    """An avc1-style track parses to metadata; pixel decode raises
+    the declared boundary; decode_media serves dims/fps/duration
+    with a NULL feature."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.mp4 import (
+        decode_mp4_frame,
+        encode_mp4_mjpeg,
+        parse_mp4,
+    )
+
+    b = bytearray(
+        encode_mp4_mjpeg(16, 8, [bytes([1, 2, 3] * 128)] * 2, fps=4)
+    )
+    i = b.find(b"jpeg", b.find(b"stsd"))
+    b[i : i + 4] = b"avc1"
+    p = parse_mp4(bytes(b))
+    assert p["codec"] == "avc1" and p["n_frames"] == 2
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_frame(p, 0)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(bytes(b)),
+          {"mime": "video/mp4", "n_bytes": len(b),
+           "width": 16, "height": 8, "duration_ms": 500})],
+        MM.MEDIA_SCHEMA,
+    )
+    row = MM.decode_media(media).collect()[0]
+    assert (row.width, row.height, row.sample_rate) == (16, 8, 4)
+    assert row.duration_ms == 500 and row.feature is None
+
+
+def test_sample_video_frames_handles_mp4(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.mp4 import (
+        encode_mp4_mjpeg,
+    )
+
+    v = encode_mp4_mjpeg(
+        8, 8, [bytes([10 * i, 5 * i, i] * 64) for i in range(5)], fps=10
+    )
+    media = spark.createDataFrame(
+        [(9, "video", bytearray(v),
+          {"mime": "video/mp4", "n_bytes": len(v),
+           "width": 8, "height": 8, "duration_ms": 500})],
+        MM.MEDIA_SCHEMA,
+    )
+    got = sorted(
+        (r.frame_idx, r.mean_r, r.mean_g, r.mean_b)
+        for r in MM.sample_video_frames(media, num_frames=3).collect()
+    )
+    assert got == [
+        (0, 0.0, 0.0, 0.0),
+        (2, 20.0, 10.0, 2.0),
+        (4, 40.0, 20.0, 4.0),
+    ]
