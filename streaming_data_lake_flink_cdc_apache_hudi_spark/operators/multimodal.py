@@ -665,27 +665,62 @@ def _decode_wav(b: bytes) -> tuple[int, int, int, "object"]:
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
     audio_format, channels, sample_rate, _, block_align, bits = fmt
-    if audio_format == 1 and bits == 16:
-        frames = len(data) // (channels * 2)
-        lin = np.frombuffer(
-            data[: frames * channels * 2], dtype="<i2"
-        ).reshape(frames, channels)
+    if audio_format == 1 and bits in (8, 16, 24, 32):
+        bw = bits // 8
+        frames = len(data) // (channels * bw)
+        data = data[: frames * channels * bw]
+        if bits == 8:  # PCM8 is UNSIGNED per the WAV spec
+            a = (
+                np.frombuffer(data, np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        elif bits == 16:
+            a = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            v = (
+                raw[:, 0].astype(np.int64)
+                | (raw[:, 1].astype(np.int64) << 8)
+                | (raw[:, 2].astype(np.int64) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            a = v.astype(np.float64) / float(1 << 23)
+        else:
+            a = np.frombuffer(data, "<i4").astype(np.float64) / float(
+                1 << 31
+            )
+        a = a.reshape(frames, channels)
+    elif audio_format == 3 and bits in (32, 64):  # IEEE float
+        bw = bits // 8
+        frames = len(data) // (channels * bw)
+        a = (
+            np.frombuffer(
+                data[: frames * channels * bw],
+                "<f4" if bits == 32 else "<f8",
+            )
+            .astype(np.float64)
+            .reshape(frames, channels)
+        )
     elif audio_format in (6, 7) and bits == 8:
         table = _ALAW_TABLE if audio_format == 6 else _ULAW_TABLE
         frames = len(data) // channels
-        lin = table[
-            np.frombuffer(data[: frames * channels], dtype=np.uint8)
-        ].reshape(frames, channels)
+        a = (
+            table[
+                np.frombuffer(data[: frames * channels], dtype=np.uint8)
+            ]
+            .reshape(frames, channels)
+            .astype(np.float64)
+            / 32768.0
+        )
     elif audio_format == 0x11:
         lin = _ima_adpcm_decode(data, channels, block_align)
         frames = lin.shape[0]
+        a = lin.astype(np.float64) / 32768.0
     else:
         raise NotImplementedError(
             f"WAV format tag {audio_format} (bits={bits}) needs an "
-            "external codec; PCM16, G.711 u-law/A-law, and IMA ADPCM "
-            "decode here"
+            "external codec; PCM 8/16/24/32, IEEE float, G.711 "
+            "u-law/A-law, and IMA ADPCM decode here"
         )
-    a = lin.astype(np.float64) / 32768.0
     return sample_rate, channels, frames, a
 
 

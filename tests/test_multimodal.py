@@ -1227,3 +1227,52 @@ def test_sample_video_frames_handles_mp4(spark):
         (2, 20.0, 10.0, 2.0),
         (4, 40.0, 20.0, 4.0),
     ]
+
+
+def test_wav_pcm_width_variants_decode():
+    """PCM 8 (unsigned) / 24 / 32-bit and IEEE float WAVs decode to
+    the same normalized samples as the PCM16 reference encoding."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        _decode_wav,
+        encode_wav,
+    )
+
+    sine16 = [
+        int(12000 * math.sin(2 * math.pi * 100 * i / 8000))
+        for i in range(800)
+    ]
+    _, _, _, ref = _decode_wav(encode_wav(8000, 1, sine16))
+
+    def wav(fmt_tag, bits, data):
+        body = struct.pack(
+            "<HHIIHH", fmt_tag, 1, 8000, 8000 * bits // 8, bits // 8, bits
+        )
+        return (
+            b"RIFF" + (28 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + body
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+
+    # 8-bit unsigned
+    d8 = bytes((s >> 8) + 128 for s in sine16)
+    _, _, n, a = _decode_wav(wav(1, 8, d8))
+    assert n == 800 and np.abs(a[:, 0] - ref[:, 0]).max() < 1 / 100
+    # 24-bit
+    d24 = b"".join(
+        ((s << 8) & 0xFFFFFF).to_bytes(3, "little") for s in sine16
+    )
+    _, _, n, a = _decode_wav(wav(1, 24, d24))
+    assert n == 800 and np.abs(a[:, 0] - ref[:, 0]).max() < 1e-9
+    # 32-bit int
+    d32 = struct.pack("<800i", *[s << 16 for s in sine16])
+    _, _, n, a = _decode_wav(wav(1, 32, d32))
+    assert n == 800 and np.abs(a[:, 0] - ref[:, 0]).max() < 1e-9
+    # IEEE float32
+    df = struct.pack("<800f", *[s / 32768.0 for s in sine16])
+    _, _, n, a = _decode_wav(wav(3, 32, df))
+    assert n == 800 and np.abs(a[:, 0] - ref[:, 0]).max() < 1e-6
