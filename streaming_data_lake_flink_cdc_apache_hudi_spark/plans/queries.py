@@ -1861,6 +1861,54 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "subtitle_cues",
+    """
+SELECT doc_id, cue_idx, start_ms, end_ms, text FROM (VALUES
+  (CAST(1 AS BIGINT), 0, CAST(1000 AS BIGINT), CAST(3500 AS BIGINT),
+   'Hello there.'),
+  (CAST(1 AS BIGINT), 1, CAST(4000 AS BIGINT), CAST(6250 AS BIGINT),
+   'Second cue spanning two lines.'),
+  (CAST(1 AS BIGINT), 2, CAST(3723004 AS BIGINT), CAST(3725006 AS BIGINT),
+   'Third.'),
+  (CAST(2 AS BIGINT), 0, CAST(7000 AS BIGINT), CAST(9500 AS BIGINT),
+   'VTT cue one.'),
+  (CAST(2 AS BIGINT), 1, CAST(10000 AS BIGINT), CAST(12000 AS BIGINT),
+   'VTT cue two.'))
+AS t(doc_id, cue_idx, start_ms, end_ms, text)
+""",
+    doc="Subtitle extraction (new r9, functions/subtitles.py): SRT "
+    "and WebVTT documents explode into one row per cue — (doc_id, "
+    "cue_idx, start_ms, end_ms, text) — the text-side complement of "
+    "video frame sampling for a multimodal corpus. The parse is "
+    "Spark BUILT-INS end to end (split on blank lines, posexplode, "
+    "regexp_extract with try_cast, array ops for multi-line cue "
+    "text) — map-only whole-stage codegen, no UDF; VTT headers, cue "
+    "ids, and NOTE comment blocks drop out; hours optional in VTT "
+    "timestamps. Oracle = hand-derived literal rows (01:02:03,004 = "
+    "3723004 ms).",
+)
+def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.subtitles import parse_subtitles
+
+    srt = (
+        "1\n00:00:01,000 --> 00:00:03,500\nHello there.\n\n"
+        "2\n00:00:04,000 --> 00:00:06,250\nSecond cue\n"
+        "spanning two lines.\n\n"
+        "3\n01:02:03,004 --> 01:02:05,006\nThird.\n"
+    )
+    vtt = (
+        "WEBVTT - some header\n\n"
+        "NOTE this is a comment\nand should vanish\n\n"
+        "intro\n00:07.000 --> 00:09.500\nVTT cue one.\n\n"
+        "00:00:10.000 --> 00:00:12.000\nVTT cue two.\n"
+    )
+    df = spark.createDataFrame(
+        [(1, srt), (2, vtt)], "doc_id long, body string"
+    )
+    return parse_subtitles(df, "body", ["doc_id"])
+
+
 _SAMPLE_RATES = {"en": 0.5, "es": 0.25}
 _SAMPLE_DEFAULT = 0.1
 

@@ -284,3 +284,30 @@ def test_gopher_rules_planted_failures(spark):
     assert got[5]["passes"] is False and got[5]["ok_word_count"] is False
     # flags are independent: the short doc still reports its stats
     assert got[5]["n_words"] < 50 and got[5]["n_req_stopwords"] >= 2
+
+
+def test_parse_subtitles_srt_vtt_edge_cases(spark):
+    """functions/subtitles.py (new r9): SRT + WebVTT cue extraction —
+    CRLF, missing trailing newline, malformed blocks dropped, dense
+    per-doc renumbering, VTT hour-less timestamps."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.functions.subtitles import (
+        parse_subtitles,
+    )
+
+    srt_crlf = (
+        "1\r\n00:00:01,000 --> 00:00:02,000\r\nA\r\n\r\n"
+        "garbage block without timing\r\n\r\n"
+        "3\r\n00:00:05,000 --> 00:00:06,000\r\nB"
+    )
+    vtt = "WEBVTT\n\n01:02.003 --> 01:04.000\nshort stamp"
+    df = spark.createDataFrame(
+        [(1, srt_crlf), (2, vtt)], "doc_id long, body string"
+    )
+    got = sorted(
+        map(tuple, parse_subtitles(df, "body", ["doc_id"]).collect())
+    )
+    assert got == [
+        (1, 0, 1000, 2000, "A"),
+        (1, 1, 5000, 6000, "B"),  # dense renumber skips the bad block
+        (2, 0, 62003, 64000, "short stamp"),
+    ]
