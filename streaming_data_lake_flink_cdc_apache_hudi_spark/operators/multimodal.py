@@ -1684,3 +1684,54 @@ def audio_spectral_features(df: DataFrame) -> DataFrame:
         "bandwidth_hz double, rolloff_hz double, flatness double, "
         "band_rms array<double>",
     )
+
+
+def extract_exif(df: DataFrame) -> DataFrame:
+    """EXIF metadata extraction over JPEG payload columns (new r9,
+    ``operators/exif.py``): one output row per image with camera
+    make/model, orientation, capture time, pixel dims, ISO, and GPS
+    decimal degrees (``has_exif`` false = no APP1; non-JPEG payloads
+    are skipped). Header-only byte walk inside ``mapInPandas`` — no
+    pixel decode, KB of reads per image, map-only at any scale. The
+    provenance/PII-scrub companion: ``operators/exif.strip_exif``
+    removes the segment without touching the entropy stream."""
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .exif import parse_exif
+
+        cols = [
+            "media_id", "has_exif", "make", "model", "orientation",
+            "datetime_original", "pixel_x", "pixel_y", "iso",
+            "gps_lat", "gps_lon",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or bytes(payload)[:2] != b"\xff\xd8":
+                    continue
+                try:
+                    meta = parse_exif(bytes(payload))
+                    has = True
+                except ValueError:
+                    meta, has = {}, False
+                out["media_id"].append(mid)
+                out["has_exif"].append(has)
+                out["make"].append(meta.get("make"))
+                out["model"].append(meta.get("model"))
+                out["orientation"].append(meta.get("orientation"))
+                out["datetime_original"].append(
+                    meta.get("datetime_original")
+                )
+                out["pixel_x"].append(meta.get("pixel_x"))
+                out["pixel_y"].append(meta.get("pixel_y"))
+                out["iso"].append(meta.get("iso"))
+                out["gps_lat"].append(meta.get("gps_lat"))
+                out["gps_lon"].append(meta.get("gps_lon"))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        _op,
+        "media_id long, has_exif boolean, make string, model string, "
+        "orientation int, datetime_original string, pixel_x long, "
+        "pixel_y long, iso int, gps_lat double, gps_lon double",
+    )

@@ -1909,6 +1909,62 @@ def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_subtitles(df, "body", ["doc_id"])
 
 
+@register(
+    "exif_metadata",
+    """
+SELECT media_id, has_exif, make, orientation, pixel_x, gps_lat, gps_lon
+FROM (VALUES
+  (CAST(1 AS BIGINT), TRUE, 'ACME', 6, CAST(16 AS BIGINT),
+   CAST(37.7749 AS DOUBLE), CAST(-122.4194 AS DOUBLE)),
+  (CAST(2 AS BIGINT), TRUE, 'Octo', 1, CAST(16 AS BIGINT),
+   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+  (CAST(3 AS BIGINT), FALSE, NULL, NULL, CAST(NULL AS BIGINT),
+   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)))
+AS t(media_id, has_exif, make, orientation, pixel_x, gps_lat, gps_lon)
+""",
+    doc="EXIF metadata extraction (new r9, operators/exif.py + "
+    "multimodal.extract_exif): JPEG APP1/TIFF-IFD parse — camera "
+    "make, orientation, pixel dims, GPS decimal degrees from D/M/S "
+    "rational triplets + hemisphere refs — via a header-only byte "
+    "walk in mapInPandas (no pixel decode; provenance + PII-scrub "
+    "companion strip_exif removes the segment losslessly). Fixtures: "
+    "one little-endian (II) tagged image with GPS, one big-endian "
+    "(MM) without, one EXIF-less JPEG; oracle = the literal tag "
+    "values written (GPS re-derived from the D/M/S encoding, exact "
+    "at 6 decimals).",
+)
+def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.exif import insert_app1, make_exif_app1
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import MEDIA_SCHEMA, extract_exif
+
+    base = encode_jpeg(16, 8, bytes([100, 150, 200] * 128), quality=90)
+    j1 = insert_app1(
+        base,
+        make_exif_app1(
+            make="ACME", orientation=6, pixel_x=16,
+            gps=(37.7749, -122.4194), byte_order="II",
+        ),
+    )
+    j2 = insert_app1(
+        base,
+        make_exif_app1(
+            make="Octo", orientation=1, pixel_x=16, byte_order="MM"
+        ),
+    )
+    rows = [
+        (i, "image", bytearray(p),
+         {"mime": "image/jpeg", "n_bytes": len(p),
+          "width": 16, "height": 8, "duration_ms": None})
+        for i, p in ((1, j1), (2, j2), (3, base))
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return extract_exif(media).select(
+        "media_id", "has_exif", "make", "orientation", "pixel_x",
+        "gps_lat", "gps_lon",
+    )
+
+
 _SAMPLE_RATES = {"en": 0.5, "es": 0.25}
 _SAMPLE_DEFAULT = 0.1
 

@@ -1309,3 +1309,47 @@ def test_write_checkpoint_round_trips_dv_descriptors(spark, tmp_path):
     assert cleanup_log(path) == 2
     got = sorted(r.id for r in read_delta(spark, path).collect())
     assert got == want
+
+
+def test_optimize_delta_zorder_by(spark, tmp_path):
+    """r9: OPTIMIZE ... ZORDER BY — the rewritten file's rows are
+    Morton-sorted on the named columns (values identical; z-values
+    non-decreasing in file order), unknown columns refuse."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.zorder import (
+        column_bounds,
+        zorder_value,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        optimize_delta,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, rng.randrange(1000), rng.randrange(1000))
+        for i in range(400)
+    ]
+    path = str(tmp_path / "delta_opt_z")
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    export_delta(df.repartition(4), path)
+    with pytest.raises(ValueError, match="unknown"):
+        optimize_delta(spark, path, zorder_by=["nope"])
+    res = optimize_delta(spark, path, zorder_by=["x", "y"])
+    assert res["added_files"] == 1
+    after = read_delta(spark, path)
+    assert sorted(map(tuple, after.collect())) == sorted(rows)
+    # file order = z order: recompute z over the single compacted
+    # file read in one partition and assert non-decreasing
+    mins, maxs = column_bounds(after, ["x", "y"])
+    z = [
+        r.z
+        for r in after.coalesce(1)
+        .select(
+            zorder_value([F.col("x"), F.col("y")], mins, maxs).alias("z")
+        )
+        .collect()
+    ]
+    assert all(z[i] <= z[i + 1] for i in range(len(z) - 1))

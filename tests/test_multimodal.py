@@ -1276,3 +1276,82 @@ def test_wav_pcm_width_variants_decode():
     df = struct.pack("<800f", *[s / 32768.0 for s in sine16])
     _, _, n, a = _decode_wav(wav(3, 32, df))
     assert n == 800 and np.abs(a[:, 0] - ref[:, 0]).max() < 1e-6
+
+
+# -- EXIF metadata (new r9) ---------------------------------------------------
+
+
+def test_exif_round_trip_both_byte_orders_and_strip():
+    """EXIF APP1 write->parse round trip in II and MM byte orders;
+    strip_exif removes the segment without touching pixels."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.exif import (
+        insert_app1,
+        make_exif_app1,
+        parse_exif,
+        strip_exif,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    base = encode_jpeg(16, 8, bytes([100, 150, 200] * 128), quality=90)
+    for bo in ("II", "MM"):
+        j = insert_app1(
+            base,
+            make_exif_app1(
+                make="ACME", model="Cam 9", orientation=6,
+                datetime="2024:01:02 03:04:05",
+                datetime_original="2023:12:31 23:59:58",
+                pixel_x=16, pixel_y=8, iso=400,
+                gps=(37.7749, -122.4194), byte_order=bo,
+            ),
+        )
+        meta = parse_exif(j)
+        assert meta["make"] == "ACME" and meta["orientation"] == 6
+        assert meta["datetime_original"] == "2023:12:31 23:59:58"
+        assert (meta["pixel_x"], meta["pixel_y"], meta["iso"]) == (
+            16, 8, 400,
+        )
+        assert (meta["gps_lat"], meta["gps_lon"]) == (
+            37.7749, -122.4194,
+        )
+        assert decode_jpeg(j) == decode_jpeg(base)
+        stripped = strip_exif(j)
+        assert decode_jpeg(stripped) == decode_jpeg(base)
+        with pytest.raises(ValueError, match="no EXIF"):
+            parse_exif(stripped)
+    with pytest.raises(ValueError, match="no EXIF"):
+        parse_exif(base)
+
+
+def test_extract_exif_operator(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.exif import (
+        insert_app1,
+        make_exif_app1,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+
+    base = encode_jpeg(8, 8, bytes([1, 2, 3] * 64), quality=90)
+    j = insert_app1(base, make_exif_app1(make="X", orientation=3))
+    rows = [
+        (1, "image", bytearray(j),
+         {"mime": "image/jpeg", "n_bytes": len(j),
+          "width": 8, "height": 8, "duration_ms": None}),
+        (2, "image", bytearray(base),
+         {"mime": "image/jpeg", "n_bytes": len(base),
+          "width": 8, "height": 8, "duration_ms": None}),
+        (3, "image", bytearray(b"P6 1 1 255 xxx"),
+         {"mime": "image/x-portable-pixmap", "n_bytes": 14,
+          "width": 1, "height": 1, "duration_ms": None}),
+    ]
+    got = {
+        r.media_id: (r.has_exif, r.make, r.orientation)
+        for r in MM.extract_exif(
+            spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        ).collect()
+    }
+    # non-JPEG payloads are skipped entirely
+    assert got == {1: (True, "X", 3), 2: (False, None, None)}
