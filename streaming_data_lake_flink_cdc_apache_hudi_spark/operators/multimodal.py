@@ -821,6 +821,29 @@ def _decode_bytes(payload: bytes) -> dict:
             "duration_ms": parsed["duration_ms"],
             "feature": _pixel_feature(w, h, rgb),
         }
+    if payload[:4] == b"fLaC" or payload[:3] == b"ID3" or (
+        payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        # perceptual audio (new r9): the container/frame layer parses
+        # for real (operators/audio_meta.py — FLAC STREAMINFO, ID3v2 +
+        # MPEG frame walk); the entropy decode stays external, so the
+        # feature is null — same stance as interframe video
+        from .audio_meta import parse_flac, parse_mp3
+
+        meta = (
+            parse_flac(payload)
+            if payload[:4] == b"fLaC"
+            else parse_mp3(payload)
+        )
+        return {
+            "n_bytes": len(payload),
+            "checksum": checksum,
+            "width": meta["channels"],
+            "height": None,
+            "sample_rate": meta["sample_rate"],
+            "duration_ms": meta["duration_ms"],
+            "feature": None,
+        }
     if payload[4:8] == b"ftyp":
         # ISO-BMFF (MP4/MOV, new r9): the container layer parses for
         # real (operators/mp4.py); pixels decode only for Motion-JPEG

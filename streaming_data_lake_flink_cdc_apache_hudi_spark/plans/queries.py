@@ -1965,6 +1965,94 @@ def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_container_meta",
+    """
+SELECT media_id, title, artist, sample_rate, channels, duration_ms,
+       bitrate_kbps, vbr
+FROM (VALUES
+  (CAST(1 AS BIGINT), 'Song A', 'Artist B', 44100, 2,
+   CAST(992 AS BIGINT), 127, FALSE),
+  (CAST(2 AS BIGINT), 'T', NULL, 48000, 1,
+   CAST(10000 AS BIGINT), NULL, NULL))
+AS t(media_id, title, artist, sample_rate, channels, duration_ms,
+     bitrate_kbps, vbr)
+""",
+    doc="Perceptual-audio container metadata (new r9, operators/"
+    "audio_meta.py): MP3 = ID3v2 text frames + an exact MPEG "
+    "frame-header walk (bitrate/sample-rate tables, padding, CBR/VBR "
+    "detection, duration = frames x 1152 / rate); FLAC = STREAMINFO "
+    "bit unpack + VORBIS_COMMENT tags. The entropy decode stays the "
+    "declared external boundary — this is the metadata a corpus "
+    "pipeline needs for routing/budgeting without decoding audio. "
+    "Oracle = hand-derived literals: 38 frames x 1152 / 44100 = "
+    "992 ms; FLAC 480000 samples / 48 kHz = 10000 ms; mean CBR "
+    "bitrate floors to 127 kbps because frame length floors to 417 "
+    "bytes.",
+)
+def q_audio_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..operators.audio_meta import (
+        encode_flac_headers,
+        encode_mp3_silence,
+        parse_flac,
+        parse_mp3,
+    )
+
+    mp3 = encode_mp3_silence(
+        n_frames=38, sample_rate=44100, bitrate=128,
+        tags={"TIT2": "Song A", "TPE1": "Artist B"},
+    )
+    flac = encode_flac_headers(
+        48000, 1, 16, 480000, tags={"TITLE": "T"}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(mp3)), (2, bytearray(flac))], schema
+    )
+
+    def _op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                if b[:4] == b"fLaC":
+                    m = parse_flac(b)
+                    rows.append(
+                        (mid, m["tags"].get("TITLE"),
+                         m["tags"].get("ARTIST"), m["sample_rate"],
+                         m["channels"], m["duration_ms"], None, None)
+                    )
+                else:
+                    m = parse_mp3(b)
+                    rows.append(
+                        (mid, m["title"], m["artist"],
+                         m["sample_rate"], m["channels"],
+                         m["duration_ms"], m["bitrate_kbps"], m["vbr"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "title", "artist", "sample_rate",
+                    "channels", "duration_ms", "bitrate_kbps", "vbr",
+                ],
+            )
+
+    return df.mapInPandas(
+        _op,
+        "media_id long, title string, artist string, sample_rate int, "
+        "channels int, duration_ms long, bitrate_kbps int, vbr boolean",
+    )
+
+
 _SAMPLE_RATES = {"en": 0.5, "es": 0.25}
 _SAMPLE_DEFAULT = 0.1
 

@@ -1355,3 +1355,62 @@ def test_extract_exif_operator(spark):
     }
     # non-JPEG payloads are skipped entirely
     assert got == {1: (True, "X", 3), 2: (False, None, None)}
+
+
+# -- perceptual audio container metadata (new r9) -----------------------------
+
+
+def test_mp3_frame_walk_and_id3(spark):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.audio_meta import (
+        encode_mp3_silence,
+        parse_mp3,
+    )
+
+    b = encode_mp3_silence(
+        n_frames=38, sample_rate=44100, bitrate=128,
+        tags={"TIT2": "Song A", "TPE1": "Artist B", "TALB": "Album C"},
+    )
+    m = parse_mp3(b)
+    assert (m["title"], m["artist"], m["album"]) == (
+        "Song A", "Artist B", "Album C",
+    )
+    assert (m["sample_rate"], m["channels"], m["n_frames"]) == (
+        44100, 2, 38,
+    )
+    assert m["duration_ms"] == 38 * 1152 * 1000 // 44100
+    assert m["vbr"] is False
+    # trailing junk after the last frame is tolerated
+    m2 = parse_mp3(b + b"TAGjunkjunk")
+    assert m2["n_frames"] == 38
+    with pytest.raises(ValueError, match="frames"):
+        parse_mp3(b"ID3\x03\x00\x00\x00\x00\x00\x00no frames here")
+    # decode_media: metadata with a null feature
+    row = MM.decode_media(
+        spark.createDataFrame(
+            [(1, "audio", bytearray(b),
+              {"mime": "audio/mpeg", "n_bytes": len(b),
+               "width": 2, "height": None, "duration_ms": 992})],
+            MM.MEDIA_SCHEMA,
+        )
+    ).collect()[0]
+    assert row.sample_rate == 44100 and row.duration_ms == 992
+    assert row.feature is None
+
+
+def test_flac_streaminfo_and_tags():
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.audio_meta import (
+        encode_flac_headers,
+        parse_flac,
+    )
+
+    f = encode_flac_headers(
+        96000, 2, 24, 960000, tags={"TITLE": "X", "ARTIST": "Y"}
+    )
+    m = parse_flac(f)
+    assert (m["sample_rate"], m["channels"], m["bits_per_sample"]) == (
+        96000, 2, 24,
+    )
+    assert m["duration_ms"] == 10000
+    assert m["tags"] == {"TITLE": "X", "ARTIST": "Y"}
+    with pytest.raises(ValueError, match="FLAC"):
+        parse_flac(b"not flac")
