@@ -72,6 +72,7 @@ def main() -> None:
     streaming = _streaming_ingest_bench(spark)
     per_sf = _per_sf_sweep(spark, names, sf_dir, timings)
     cep = _cep_suite_bench(spark, sf_dir)
+    media = _media_suite_bench(spark, sf_dir)
     # A/B covers the headline set AND the CEP suite (the Python-side
     # matcher is the most regression-prone surface; its round-7 4-7x
     # win was only docstring-evidenced until it joined the A/B)
@@ -87,6 +88,7 @@ def main() -> None:
         "streaming": streaming,
         "per_sf": per_sf,
         "cep_suite": cep,
+        "media_suite": media,
         "ab_vs_prev": ab,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -112,6 +114,7 @@ def main() -> None:
         },
         "per_sf_totals": {k: v["total"] for k, v in per_sf.items()},
         "cep_suite_total": cep["total"],
+        "media_suite_total": media["total"],
         "ab_prev_rev": ab.get("prev_rev", ab.get("skipped", "")),
         "ab_worst": (
             {"query": worst, **ab_q[worst]} if worst else None
@@ -127,6 +130,32 @@ def main() -> None:
         line = json.dumps(compact)
     print(line)
     spark.stop()
+
+
+def _media_suite_bench(spark, sf_dir: str) -> dict:
+    """The r9 multimodal/metadata surface (codecs are fixture-built
+    inside each query, so this times build+decode end to end): the
+    map-only mapInPandas stack the 100 TB corpus path rides."""
+    names = [
+        "media_decode", "video_frame_sample", "exif_metadata",
+        "subtitle_cues", "audio_container_meta",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warmup
+        best = float("inf")
+        for _ in range(3):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return {"queries": out, "total": round(sum(out.values()), 3)}
 
 
 def _cep_suite_bench(spark, sf_dir: str) -> dict:

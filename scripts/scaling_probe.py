@@ -232,6 +232,68 @@ def flagship_backfill_probe(spark, sfx_dir: str) -> dict:
     return {"sf0.1_sec": t1, "sf1_sec": t10, "exponent": _exp(t1, t10)}
 
 
+def media_decode_probe(spark) -> dict:
+    """Multimodal decode + frame sampling at N vs 10N images (new r9):
+    the codec stack is mapInPandas map-only, so the exponent should
+    sit at ~1.0 — this pins that claim with a measurement the same
+    way the CEP/dedup stacks are pinned."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.avi import (
+        encode_avi_mjpeg,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_ppm,
+        sample_video_frames,
+    )
+
+    def build(n: int):
+        rows = []
+        for i in range(n):
+            c = [(i * 37) % 256, (i * 57) % 256, (i * 77) % 256]
+            if i % 3 == 0:
+                p = encode_jpeg(16, 16, bytes(c * 256), quality=85)
+                kind = "image"
+            elif i % 3 == 1:
+                p = encode_ppm(16, 16, bytes(c * 256))
+                kind = "image"
+            else:
+                p = encode_avi_mjpeg(16, 8, [bytes(c * 128)] * 3, fps=10)
+                kind = "video"
+            rows.append(
+                (i, kind, bytearray(p),
+                 {"mime": "x", "n_bytes": len(p), "width": 16,
+                  "height": 16, "duration_ms": None})
+            )
+        return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(
+            DEFAULT_CPUS
+        )
+
+    def run(n: int) -> float:
+        df = build(n).cache()
+        df.count()
+        # warm the Python workers + Arrow path before timing — the
+        # first mapInPandas pass pays one-time interpreter startup
+        decode_media(df).agg(F.sum("checksum")).collect()
+        sample_video_frames(df, num_frames=2).count()
+        t0 = time.perf_counter()
+        decode_media(df).agg(F.sum("checksum")).collect()
+        sample_video_frames(df, num_frames=2).count()
+        dt = round(time.perf_counter() - t0, 3)
+        df.unpersist()
+        return dt
+
+    t1, t10 = run(400), run(4000)
+    return {
+        "n400_sec": t1,
+        "n4000_sec": t10,
+        "exponent": _exp(t1, t10),
+    }
+
+
 def main() -> None:
     spark = EngineConfig(
         app_name="scaling_probe",
@@ -252,6 +314,7 @@ def main() -> None:
             }
         res["streaming_ingest"] = streaming_ingest_probe(spark)
         res["flagship_backfill"] = flagship_backfill_probe(spark, out)
+        res["media_decode"] = media_decode_probe(spark)
         print(json.dumps(res))
     finally:
         shutil.rmtree(out, ignore_errors=True)

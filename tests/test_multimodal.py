@@ -266,21 +266,23 @@ def test_wav_stereo_interleave_and_word_alignment(spark):
     assert abs(a[:, 1].mean() + 0.25) < 1e-3
 
 
-def test_wav_non_pcm_is_a_declared_stub(spark):
+def test_wav_perceptual_codec_is_a_declared_stub(spark):
+    """r9 moved the WAV boundary: PCM widths, IEEE float, G.711, and
+    IMA ADPCM all decode now — only perceptual codecs (e.g. MP3-in-
+    WAV, format tag 0x55) stay the declared refusal."""
     import struct
 
     from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
         _decode_bytes,
     )
 
-    # format tag 3 = IEEE float: compressed/non-PCM16 stays a stub
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 32000, 4, 0)
     payload = (
         b"RIFF" + (36).to_bytes(4, "little") + b"WAVEfmt "
         + (16).to_bytes(4, "little") + fmt
         + b"data" + (0).to_bytes(4, "little")
     )
-    with pytest.raises(NotImplementedError, match="PCM16"):
+    with pytest.raises(NotImplementedError, match="format tag"):
         _decode_bytes(payload)
 
 
