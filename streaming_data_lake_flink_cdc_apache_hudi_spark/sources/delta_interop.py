@@ -568,7 +568,32 @@ def _replay_log(
     start = 0
     adds: dict[str, dict] = {}
     meta = proto = None
-    cp = _read_last_checkpoint(path)
+    cp = latest_cp = _read_last_checkpoint(path)
+    if (
+        version_as_of is not None
+        and cp is not None
+        and cp["version"] > version_as_of
+    ):
+        # the pointer names a checkpoint PAST the requested version;
+        # an older checkpoint file may still anchor the replay —
+        # delta-spark likewise lists for the newest checkpoint <= the
+        # requested version instead of trusting _last_checkpoint alone
+        older = {}
+        for f in os.listdir(log_dir):
+            if ".checkpoint." not in f or not f.endswith(".parquet"):
+                continue
+            v = int(f[:20])
+            if v <= version_as_of:
+                seg = f[len("%020d.checkpoint." % 0):-len(".parquet")]
+                parts = (
+                    int(seg.split(".")[-1]) if "." in seg else None
+                )
+                older[v] = parts
+        cp = (
+            {"version": max(older), "parts": older[max(older)]}
+            if older
+            else None
+        )
     if cp is not None and (
         version_as_of is None or cp["version"] <= version_as_of
     ):
@@ -582,7 +607,11 @@ def _replay_log(
         if f.endswith(".json") and f[:20].isdigit()
     )
     if version_as_of is not None:
-        newest = max(versions) if versions else cp["version"] if cp else -1
+        newest = (
+            max(versions)
+            if versions
+            else latest_cp["version"] if latest_cp else -1
+        )
         if version_as_of < 0 or version_as_of > newest:
             raise ValueError(
                 f"version_as_of={version_as_of} out of range "
@@ -1058,9 +1087,16 @@ def write_checkpoint(spark: SparkSession, path: str) -> dict:
         for f in os.listdir(log_dir)
         if f.endswith(".json") and f[:20].isdigit()
     ]
+    cp = _read_last_checkpoint(path)
     if not versions:
+        if cp is not None:
+            # nothing committed since the last checkpoint (e.g. right
+            # after cleanup_log): checkpointing is idempotent
+            return {"version": cp["version"], "actions": cp.get("size")}
         raise FileNotFoundError(f"no JSON commits to checkpoint at {path}")
-    version = max(versions)
+    version = max(versions + ([cp["version"]] if cp else []))
+    if cp is not None and cp["version"] == version:
+        return {"version": version, "actions": cp.get("size")}
     adds, meta, proto = _replay_log(spark, path)
     if meta is None or proto is None:
         raise UnsupportedDeltaFeature(
