@@ -513,6 +513,20 @@ def read_iceberg_incremental(
         chain = snaps[lo + 1 : hi + 1]
     for s in chain:
         op = (s.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            # a metadata-only REPLACE (rewrite_manifests) changes no
+            # data files — Java's IncrementalAppendScan likewise
+            # ignores such snapshots in the range (r9). Verified
+            # against the FILE SETS, not the summary counters: a
+            # replace that really rewrote data files still raises
+            # (the endpoint set-diff could not distinguish compacted
+            # rows from appended ones)
+            parent = s.get("parent-snapshot-id")
+            if parent is not None and parent in by_id:
+                here, _, _ = _live_files(path, s["snapshot-id"])
+                there, _, _ = _live_files(path, parent)
+                if set(here) == set(there):
+                    continue
         if op != "append":
             raise UnsupportedIcebergFeature(
                 f"incremental read across non-append snapshot "

@@ -1,0 +1,101 @@
+"""Model-based randomized differential for the Iceberg maintenance
+surface (r9): random append / expire_snapshots / rewrite_manifests
+sequences run against BOTH the real exporter/reader and a trivial
+Python model (per-snapshot row multisets + the appended delta). After
+every step the current read, every retained snapshot's time-travel
+read, and the incremental read from every retained ancestor must
+equal the model; expired snapshot ids must be gone from ``snapshots``
+and raise on time travel — maintenance may change only HOW the
+metadata is stored, never what any retained snapshot contains.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+    expire_snapshots,
+    export_iceberg,
+    read_iceberg,
+    read_iceberg_incremental,
+    rewrite_manifests,
+    snapshots,
+)
+
+
+def _rows_of(df):
+    return Counter(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("seed,fv", [(5, 1), (13, 2)])
+def test_random_iceberg_maintenance_matches_model(
+    spark, tmp_path, seed, fv
+):
+    rng = random.Random(seed)
+    path = str(tmp_path / f"ice_model_{seed}")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    next_id = 0
+
+    def fresh_rows(n):
+        nonlocal next_id
+        out = [(next_id + i, f"v{next_id + i}") for i in range(n)]
+        next_id += n
+        return out
+
+    base = fresh_rows(3)
+    export_iceberg(mk(base), path, format_version=fv)
+    sid0 = snapshots(path)[-1]["snapshot_id"]
+    # model: snapshot_id -> (cumulative rows, delta rows of the commit)
+    model: dict[int, tuple[Counter, Counter]] = {
+        sid0: (Counter(base), Counter(base))
+    }
+    lineage: list[int] = [sid0]  # retained, oldest -> newest
+
+    for step in range(10):
+        op = rng.choice(["append", "append", "expire", "rewrite"])
+        if op == "append":
+            rows = fresh_rows(rng.randint(1, 3))
+            export_iceberg(mk(rows), path, mode="append")
+            sid = snapshots(path)[-1]["snapshot_id"]
+            model[sid] = (
+                model[lineage[-1]][0] + Counter(rows),
+                Counter(rows),
+            )
+            lineage.append(sid)
+        elif op == "expire":
+            keep = rng.randint(1, 3)
+            expire_snapshots(path, keep_last=keep)
+            lineage = lineage[-keep:]
+        else:
+            rewrite_manifests(path)
+            # compaction commits a REAL replace snapshot: same rows,
+            # empty delta (incremental reads skip it, like Java's
+            # IncrementalAppendScan ignores REPLACE)
+            sid = snapshots(path)[-1]["snapshot_id"]
+            model[sid] = (Counter(model[lineage[-1]][0]), Counter())
+            lineage.append(sid)
+        live = {s["snapshot_id"] for s in snapshots(path)}
+        assert live == set(lineage), (seed, step, op)
+        cur = _rows_of(read_iceberg(spark, path))
+        assert cur == model[lineage[-1]][0], (seed, step, op)
+        for sid in lineage:
+            got = _rows_of(read_iceberg(spark, path, snapshot_id=sid))
+            assert got == model[sid][0], (seed, step, op, sid)
+        # incremental from every retained ancestor = the union of the
+        # deltas after it
+        for i, sid in enumerate(lineage[:-1]):
+            want = Counter()
+            for later in lineage[i + 1 :]:
+                want += model[later][1]
+            got = _rows_of(read_iceberg_incremental(spark, path, sid))
+            assert got == want, (seed, step, op, sid)
+        # an expired id must raise on time travel
+        dead = set(model) - set(lineage)
+        if dead:
+            with pytest.raises(Exception, match="snapshot"):
+                read_iceberg(
+                    spark, path, snapshot_id=sorted(dead)[0]
+                )
