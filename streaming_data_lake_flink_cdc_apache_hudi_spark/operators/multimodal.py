@@ -1758,3 +1758,76 @@ def extract_exif(df: DataFrame) -> DataFrame:
         "orientation int, datetime_original string, pixel_x long, "
         "pixel_y long, iso int, gps_lat double, gps_lon double",
     )
+
+
+def png_text_chunks(pairs: dict[str, str], dpi: int | None = None) -> bytes:
+    """Fixture helper: serialize tEXt (+ optional pHYs) chunks for
+    splicing into a PNG right after IHDR."""
+    import struct
+    import zlib as _z
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        c = _z.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", c
+        )
+
+    out = bytearray()
+    if dpi is not None:
+        ppm = round(dpi / 0.0254)
+        out += chunk(b"pHYs", struct.pack(">IIB", ppm, ppm, 1))
+    for k, v in pairs.items():
+        out += chunk(
+            b"tEXt", k.encode("latin1") + b"\x00" + v.encode("latin1")
+        )
+    return bytes(out)
+
+
+def parse_png_metadata(b: bytes) -> dict:
+    """PNG ancillary metadata (new r9): tEXt / zTXt / iTXt key-value
+    pairs (zlib-inflated where flagged) and pHYs resolution (pixels
+    per metre -> DPI). Header walk only — no pixel decode; the PNG
+    counterpart of the JPEG EXIF parse. Returns
+    ``{"texts": {key: value}, "dpi": int|None, "width", "height"}``."""
+    import struct
+    import zlib as _z
+
+    b = bytes(b)
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    texts: dict[str, str] = {}
+    dpi = None
+    w = h = None
+    pos = 8
+    while pos + 8 <= len(b):
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+        elif tag == b"tEXt":
+            k, _, v = body.partition(b"\x00")
+            texts[k.decode("latin1")] = v.decode("latin1")
+        elif tag == b"zTXt":
+            k, _, rest = body.partition(b"\x00")
+            if rest[:1] == b"\x00":
+                texts[k.decode("latin1")] = _z.decompress(
+                    rest[1:]
+                ).decode("latin1")
+        elif tag == b"iTXt":
+            k, _, rest = body.partition(b"\x00")
+            comp_flag = rest[0]
+            rest = rest[2:]  # compression flag + method
+            _lang, _, rest = rest.partition(b"\x00")
+            _trans, _, text = rest.partition(b"\x00")
+            if comp_flag:
+                text = _z.decompress(text)
+            texts[k.decode("latin1")] = text.decode("utf-8", "replace")
+        elif tag == b"pHYs":
+            x_ppu, _y, unit = struct.unpack(">IIB", body[:9])
+            if unit == 1:  # pixels per metre
+                dpi = round(x_ppu * 0.0254)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    return {"texts": texts, "dpi": dpi, "width": w, "height": h}

@@ -1416,3 +1416,46 @@ def test_flac_streaminfo_and_tags():
     assert m["tags"] == {"TITLE": "X", "ARTIST": "Y"}
     with pytest.raises(ValueError, match="FLAC"):
         parse_flac(b"not flac")
+
+
+def test_png_text_metadata_parse():
+    """PNG ancillary metadata (new r9): tEXt/zTXt/iTXt (incl.
+    zlib-deflated + utf-8) and pHYs DPI parse without pixel decode;
+    the spliced chunks leave the pixel decode byte-identical."""
+    import struct
+    import zlib
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+        parse_png_metadata,
+        png_text_chunks,
+    )
+
+    png = encode_png(2, 2, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255,
+                                  9, 9, 9]))
+    ihdr_end = 8 + 8 + 13 + 4
+
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", crc
+        )
+
+    extra = png_text_chunks({"Title": "Fixture"}, dpi=300)
+    extra += chunk(
+        b"zTXt", b"Comment\x00\x00" + zlib.compress(b"deflated text")
+    )
+    extra += chunk(
+        b"iTXt",
+        b"Desc\x00\x01\x00en\x00\x00" + zlib.compress("uni ✓".encode()),
+    )
+    spliced = png[:ihdr_end] + extra + png[ihdr_end:]
+    m = parse_png_metadata(spliced)
+    assert m["texts"] == {
+        "Title": "Fixture", "Comment": "deflated text", "Desc": "uni ✓",
+    }
+    assert m["dpi"] == 300 and (m["width"], m["height"]) == (2, 2)
+    assert _decode_png(spliced) == _decode_png(png)
+    with pytest.raises(ValueError, match="PNG"):
+        parse_png_metadata(b"nope")
