@@ -803,6 +803,42 @@ def _decode_bytes(payload: bytes) -> dict:
             "duration_ms": int(frames * 1000 // rate) if rate else None,
             "feature": _audio_feature(a, rate),
         }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # WebP (new r9): container + frame-header dims per the public
+        # spec — VP8 lossy keyframe (sync 9D 01 2A + 14-bit dims),
+        # VP8L lossless (0x2F + packed 14-bit dims), VP8X extended
+        # (24-bit canvas) — pixel decode is external (null feature)
+        w = h = None
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"VP8X":
+                w = 1 + int.from_bytes(body[4:7], "little")
+                h = 1 + int.from_bytes(body[7:10], "little")
+                break
+            if cid == b"VP8 " and body[3:6] == b"\x9d\x01\x2a":
+                w = int.from_bytes(body[6:8], "little") & 0x3FFF
+                h = int.from_bytes(body[8:10], "little") & 0x3FFF
+                break
+            if cid == b"VP8L" and body[:1] == b"\x2f":
+                bits = int.from_bytes(body[1:5], "little")
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+                break
+            pos += 8 + size + (size & 1)
+        if w is None:
+            raise ValueError("WebP carries no VP8/VP8L/VP8X chunk")
+        return {
+            "n_bytes": len(payload),
+            "checksum": checksum,
+            "width": w,
+            "height": h,
+            "sample_rate": None,
+            "duration_ms": None,
+            "feature": None,
+        }
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         # AVI/MJPG container (new r9): real in-container decode — the
         # RIFF layout parses per the public AVI reference, each frame

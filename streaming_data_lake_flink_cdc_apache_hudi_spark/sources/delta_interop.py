@@ -1061,7 +1061,9 @@ def _data_file_set(path: str) -> set[str]:
     return out
 
 
-def write_checkpoint(spark: SparkSession, path: str) -> dict:
+def write_checkpoint(
+    spark: SparkSession, path: str, parts: int | None = None
+) -> dict:
     """Write the spec's parquet checkpoint of the CURRENT table state.
 
     One classic single-file checkpoint at the newest commit version —
@@ -1105,20 +1107,52 @@ def write_checkpoint(spark: SparkSession, path: str) -> dict:
         )
     lines = [json.dumps({"protocol": proto}), json.dumps({"metaData": meta})]
     lines += [json.dumps({"add": adds[p]}) for p in sorted(adds)]
-    cp_df = spark.read.json(spark.sparkContext.parallelize(lines, 1))
-    tmp = os.path.join(log_dir, ".checkpoint_tmp_%020d" % version)
-    cp_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = next(
-        f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
-    )
-    final = os.path.join(log_dir, "%020d.checkpoint.parquet" % version)
-    os.replace(os.path.join(tmp, part), final)
     import shutil
 
+    n_parts = max(1, int(parts or 1))
+    cp_df = spark.read.json(
+        spark.sparkContext.parallelize(lines, n_parts)
+    )
+    tmp = os.path.join(log_dir, ".checkpoint_tmp_%020d" % version)
+    if n_parts == 1:
+        cp_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        written = [
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        ]
+        final = [
+            os.path.join(log_dir, "%020d.checkpoint.parquet" % version)
+        ]
+    else:
+        # the spec's MULTI-PART checkpoint
+        # (%020d.checkpoint.%010d.%010d.parquet): at 100 TB a table's
+        # live add set is millions of actions — one parquet per
+        # checkpoint becomes the metadata bottleneck; parts let the
+        # write AND the replay scan parallelize
+        cp_df.repartition(n_parts).write.mode("overwrite").parquet(tmp)
+        written = [
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        ]
+        if len(written) != n_parts:
+            raise RuntimeError(
+                f"checkpoint wrote {len(written)} parts, wanted {n_parts}"
+            )
+        final = [
+            os.path.join(
+                log_dir,
+                "%020d.checkpoint.%010d.%010d.parquet"
+                % (version, i + 1, n_parts),
+            )
+            for i in range(n_parts)
+        ]
+    for src, dst in zip(written, final):
+        os.replace(os.path.join(tmp, src), dst)
     shutil.rmtree(tmp, ignore_errors=True)
+    pointer = {"version": version, "size": len(lines)}
+    if n_parts > 1:
+        pointer["parts"] = n_parts
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
-        json.dump({"version": version, "size": len(lines)}, fh)
-    return {"version": version, "actions": len(lines)}
+        json.dump(pointer, fh)
+    return {"version": version, "actions": len(lines), "parts": n_parts}
 
 
 def cleanup_log(path: str) -> int:

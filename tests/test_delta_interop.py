@@ -1353,3 +1353,42 @@ def test_optimize_delta_zorder_by(spark, tmp_path):
         .collect()
     ]
     assert all(z[i] <= z[i + 1] for i in range(len(z) - 1))
+
+
+def test_write_checkpoint_multi_part(spark, tmp_path):
+    """r9: parts=N writes the spec's multi-part checkpoint
+    (%020d.checkpoint.%010d.%010d.parquet) + a parts pointer; replay
+    reads all parts; cleanup + time travel behave as single-part."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        cleanup_log,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "delta_cp_parts")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_delta(mk([(i, f"v{i}") for i in range(4)]), path)
+    export_delta(mk([(9, "x")]), path, mode="append")
+    info = write_checkpoint(spark, path, parts=3)
+    assert info["parts"] == 3 and info["version"] == 1
+    log = os.path.join(path, "_delta_log")
+    names = sorted(f for f in os.listdir(log) if ".checkpoint." in f)
+    assert names == [
+        "%020d.checkpoint.%010d.%010d.parquet" % (1, i + 1, 3)
+        for i in range(3)
+    ]
+    assert json.load(open(os.path.join(log, "_last_checkpoint")))[
+        "parts"
+    ] == 3
+    assert cleanup_log(path) == 2
+    want = [(i, f"v{i}") for i in range(4)] + [(9, "x")]
+    assert sorted(map(tuple, read_delta(spark, path).collect())) == sorted(
+        want
+    )
+    export_delta(mk([(10, "y")]), path, mode="append")
+    assert sorted(map(tuple, read_delta(spark, path).collect())) == sorted(
+        want + [(10, "y")]
+    )
+    # time travel to the checkpointed version rides the parts
+    assert sorted(
+        map(tuple, read_delta(spark, path, version_as_of=1).collect())
+    ) == sorted(want)

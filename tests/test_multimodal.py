@@ -1459,3 +1459,46 @@ def test_png_text_metadata_parse():
     assert _decode_png(spliced) == _decode_png(png)
     with pytest.raises(ValueError, match="PNG"):
         parse_png_metadata(b"nope")
+
+
+def test_webp_header_dims_metadata_only():
+    """WebP (new r9): dims parse from VP8/VP8L/VP8X headers — pixel
+    decode stays external (null feature through decode_media)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.multimodal import (
+        _decode_bytes,
+    )
+
+    def riff(chunks: bytes) -> bytes:
+        return (
+            b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WEBP"
+            + chunks
+        )
+
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    # VP8 lossy keyframe: 3-byte tag + sync + 14-bit dims
+    vp8 = chunk(
+        b"VP8 ",
+        b"\x00\x00\x00\x9d\x01\x2a"
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little"),
+    )
+    m = _decode_bytes(riff(vp8))
+    assert (m["width"], m["height"], m["feature"]) == (320, 240, None)
+    # VP8L lossless: 0x2f + packed 14+14 bit dims (stored -1)
+    bits = (99) | (49 << 14)
+    vp8l = chunk(b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+    m = _decode_bytes(riff(vp8l))
+    assert (m["width"], m["height"]) == (100, 50)
+    # VP8X extended: 24-bit canvas dims (stored -1)
+    vp8x = chunk(
+        b"VP8X",
+        b"\x00\x00\x00\x00"
+        + (799).to_bytes(3, "little") + (599).to_bytes(3, "little"),
+    )
+    m = _decode_bytes(riff(vp8x))
+    assert (m["width"], m["height"]) == (800, 600)
+    with pytest.raises(ValueError, match="WebP"):
+        _decode_bytes(riff(chunk(b"JUNK", b"\x00" * 8)))
