@@ -266,3 +266,109 @@ def encode_flac_headers(
         out += bytes([last | btype]) + len(body).to_bytes(3, "big")
         out += body
     return bytes(out)
+
+
+def parse_ogg(b: bytes) -> dict:
+    """Ogg container metadata (new r9): page walk (``OggS`` capture
+    pattern, segment lacing) + the first packet's codec id header —
+    ``OpusHead`` (channels, pre-skip, input sample rate) or the
+    Vorbis identification header (channels, rate). Duration comes
+    from the LAST page's granule position per each codec's rule
+    (Opus: 48 kHz samples minus pre-skip; Vorbis: PCM samples at the
+    stream rate). Entropy decode stays external — this is the same
+    metadata-only stance as MP3/FLAC."""
+    b = bytes(b)
+    if b[:4] != b"OggS":
+        raise ValueError("not an Ogg payload")
+    first_packet = None
+    last_granule = 0
+    pos = 0
+    while pos + 27 <= len(b):
+        if b[pos : pos + 4] != b"OggS":
+            break
+        granule = int.from_bytes(
+            b[pos + 6 : pos + 14], "little", signed=True
+        )
+        nsegs = b[pos + 26]
+        lacing = b[pos + 27 : pos + 27 + nsegs]
+        body_start = pos + 27 + nsegs
+        body_len = sum(lacing)
+        if first_packet is None:
+            first_packet = b[body_start : body_start + body_len]
+        if granule > 0:
+            last_granule = max(last_granule, granule)
+        pos = body_start + body_len
+    if first_packet is None:
+        raise ValueError("Ogg has no pages")
+    if first_packet[:8] == b"OpusHead":
+        channels = first_packet[9]
+        pre_skip = int.from_bytes(first_packet[10:12], "little")
+        input_rate = int.from_bytes(first_packet[12:16], "little")
+        dur = max(0, last_granule - pre_skip) * 1000 // 48000
+        return {
+            "codec": "opus",
+            "channels": channels,
+            "sample_rate": input_rate,
+            "pre_skip": pre_skip,
+            "duration_ms": dur if last_granule else None,
+        }
+    if first_packet[:7] == b"\x01vorbis":
+        channels = first_packet[11]
+        rate = int.from_bytes(first_packet[12:16], "little")
+        return {
+            "codec": "vorbis",
+            "channels": channels,
+            "sample_rate": rate,
+            "pre_skip": 0,
+            "duration_ms": (
+                last_granule * 1000 // rate if rate and last_granule
+                else None
+            ),
+        }
+    raise NotImplementedError(
+        f"Ogg codec id {first_packet[:8]!r}: OpusHead and Vorbis "
+        "identification headers parse here"
+    )
+
+
+def encode_ogg_opus_headers(
+    channels: int = 2,
+    input_rate: int = 48000,
+    pre_skip: int = 312,
+    total_samples_48k: int = 96000,
+) -> bytes:
+    """Fixture writer: a minimal two-page Ogg stream — page 0 carries
+    OpusHead, a final page carries the closing granule position —
+    enough structure to pin the page walk and duration math."""
+    import struct as _s
+    import zlib as _z
+
+    def page(granule: int, seq: int, body: bytes, flags: int) -> bytes:
+        lacing = []
+        n = len(body)
+        while True:
+            lacing.append(min(n, 255))
+            n -= lacing[-1]
+            if lacing[-1] < 255:
+                break
+        hdr = (
+            b"OggS" + bytes([0, flags])
+            + _s.pack("<q", granule)
+            + _s.pack("<I", 1)  # serial
+            + _s.pack("<I", seq)
+            + b"\x00\x00\x00\x00"  # crc placeholder
+            + bytes([len(lacing)]) + bytes(lacing)
+        )
+        raw = hdr + body
+        crc = _z.crc32(raw)  # placeholder checksum (not the Ogg poly)
+        return raw[:22] + _s.pack("<I", crc & 0xFFFFFFFF) + raw[26:]
+
+    head = (
+        b"OpusHead" + bytes([1, channels])
+        + _s.pack("<H", pre_skip)
+        + _s.pack("<I", input_rate)
+        + _s.pack("<h", 0) + bytes([0])
+    )
+    return page(0, 0, head, 2) + page(
+        total_samples_48k + pre_skip, 1, b"\x00", 4
+    )

@@ -857,6 +857,37 @@ def _decode_bytes(payload: bytes) -> dict:
             "duration_ms": parsed["duration_ms"],
             "feature": _pixel_feature(w, h, rgb),
         }
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # baseline uncompressed TIFF (new r9): real pixel decode via
+        # the EXIF module's IFD reader (operators/tiff.py)
+        from .tiff import decode_tiff
+
+        w, h, rgb = decode_tiff(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": checksum,
+            "width": w,
+            "height": h,
+            "sample_rate": None,
+            "duration_ms": None,
+            "feature": _pixel_feature(w, h, rgb),
+        }
+    if payload[:4] == b"OggS":
+        # Ogg container (new r9): page walk + OpusHead / Vorbis id
+        # header; duration from the last granule position — metadata
+        # with a null feature like the other perceptual codecs
+        from .audio_meta import parse_ogg
+
+        m = parse_ogg(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": checksum,
+            "width": m["channels"],
+            "height": None,
+            "sample_rate": m["sample_rate"],
+            "duration_ms": m["duration_ms"],
+            "feature": None,
+        }
     if payload[:4] == b"fLaC" or payload[:3] == b"ID3" or (
         payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):

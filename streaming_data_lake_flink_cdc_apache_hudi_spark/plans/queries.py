@@ -1657,7 +1657,9 @@ FROM (VALUES
   (CAST(6 AS BIGINT), 'image', CAST(493 AS BIGINT), CAST(13925 AS BIGINT),
    8, 8, 0.1569, 0.3137, 0.4706),
   (CAST(7 AS BIGINT), 'video', CAST(1829 AS BIGINT), CAST(109531 AS BIGINT),
-   16, 8, 0.3922, 0.5882, 0.7843))
+   16, 8, 0.3922, 0.5882, 0.7843),
+  (CAST(8 AS BIGINT), 'image', CAST(152 AS BIGINT), CAST(3469 AS BIGINT),
+   4, 2, 0.2353, 0.4706, 0.7059))
 AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
 """,
     doc="Multimodal decode through mapInPandas (operators/"
@@ -1679,7 +1681,9 @@ AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
     "Motion-JPEG track (operators/mp4.py — ftyp/moov/trak/stbl box "
     "walk, sample table resolved to frame byte ranges), first frame "
     "(100,150,200) exact at quality=100, dims from tkhd, duration "
-    "from mdhd timescale.",
+    "from mdhd timescale. Row 8 (new r9): a baseline uncompressed "
+    "TIFF (operators/tiff.py — IFD geometry tags + strip concat, "
+    "lossless, solid (60,120,180) exact).",
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1715,6 +1719,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         [bytes([100, 150, 200] * 128), bytes([40, 80, 120] * 128)],
         fps=5,
     )
+    from ..operators.tiff import encode_tiff
+
+    p8 = encode_tiff(4, 2, bytes([60, 120, 180] * 8))
     rows = [
         (1, "image", bytearray(p1),
          {"mime": "image/x-portable-pixmap", "n_bytes": len(p1),
@@ -1737,6 +1744,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (7, "video", bytearray(p7),
          {"mime": "video/mp4", "n_bytes": len(p7),
           "width": 16, "height": 8, "duration_ms": 400}),
+        (8, "image", bytearray(p8),
+         {"mime": "image/tiff", "n_bytes": len(p8),
+          "width": 4, "height": 2, "duration_ms": None}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     dec = decode_media(media)

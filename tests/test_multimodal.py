@@ -1502,3 +1502,68 @@ def test_webp_header_dims_metadata_only():
     assert (m["width"], m["height"]) == (800, 600)
     with pytest.raises(ValueError, match="WebP"):
         _decode_bytes(riff(chunk(b"JUNK", b"\x00" * 8)))
+
+
+def test_tiff_round_trip_and_boundaries(spark):
+    """Baseline uncompressed TIFF (new r9): lossless round trip
+    through the IFD reader + strip concat; compression refuses."""
+    import struct
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rgb = bytes(range(4 * 3 * 3))
+    b = encode_tiff(4, 3, rgb)
+    assert decode_tiff(b) == (4, 3, rgb)
+    # decode_media routes the TIFF magic to real pixels
+    row = MM.decode_media(
+        spark.createDataFrame(
+            [(1, "image", bytearray(b),
+              {"mime": "image/tiff", "n_bytes": len(b),
+               "width": 4, "height": 3, "duration_ms": None})],
+            MM.MEDIA_SCHEMA,
+        )
+    ).collect()[0]
+    assert (row.width, row.height) == (4, 3) and row.feature is not None
+    # LZW-compressed tag refuses
+    bad = bytearray(b)
+    i = bad.find(struct.pack("<HHI", 259, 3, 1))
+    bad[i + 8 : i + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(bytes(bad))
+
+
+def test_ogg_opus_metadata(spark):
+    """Ogg page walk + OpusHead (new r9): channels/rate/pre-skip and
+    duration from the last granule; unknown codec ids refuse."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.audio_meta import (
+        encode_ogg_opus_headers,
+        parse_ogg,
+    )
+
+    b = encode_ogg_opus_headers(
+        channels=2, input_rate=44100, pre_skip=312,
+        total_samples_48k=96000,
+    )
+    m = parse_ogg(b)
+    assert m == {
+        "codec": "opus", "channels": 2, "sample_rate": 44100,
+        "pre_skip": 312, "duration_ms": 2000,
+    }
+    row = MM.decode_media(
+        spark.createDataFrame(
+            [(1, "audio", bytearray(b),
+              {"mime": "audio/ogg", "n_bytes": len(b),
+               "width": 2, "height": None, "duration_ms": 2000})],
+            MM.MEDIA_SCHEMA,
+        )
+    ).collect()[0]
+    assert row.sample_rate == 44100 and row.duration_ms == 2000
+    assert row.feature is None
+    bad = bytearray(b)
+    i = bad.find(b"OpusHead")
+    bad[i : i + 8] = b"Speex   "
+    with pytest.raises(NotImplementedError, match="codec id"):
+        parse_ogg(bytes(bad))
