@@ -210,3 +210,52 @@ def test_uniform_append_partitioned_keeps_pruning(spark, tmp_path):
     assert sorted(r.n_nationkey for r in hi_d.collect()) == sorted(
         r.n_nationkey for r in extra.collect()
     )
+
+
+def test_uniform_random_append_sequences_stay_lockstep(spark, tmp_path):
+    """r9 model check: after EVERY append in a random sequence, the
+    Delta view, the Iceberg view, and the model multiset agree, and
+    the Iceberg incremental read from each earlier snapshot serves
+    exactly the rows appended after it."""
+    import random
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        read_iceberg_incremental,
+        snapshots,
+    )
+
+    rng = random.Random(7)
+    path = str(tmp_path / "uniform_model")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    nid = 0
+
+    def fresh(n):
+        nonlocal nid
+        out = [(nid + i, f"v{nid + i}") for i in range(n)]
+        nid += n
+        return out
+
+    base = fresh(3)
+    export_uniform(mk(base), path)
+    total = Counter(base)
+    deltas = [(snapshots(path)[-1]["snapshot_id"], Counter(base))]
+    for _ in range(5):
+        rows = fresh(rng.randint(1, 3))
+        export_uniform(mk(rows), path, mode="append")
+        total += Counter(rows)
+        deltas.append((snapshots(path)[-1]["snapshot_id"], Counter(rows)))
+        d = Counter(map(tuple, read_delta(spark, path).collect()))
+        i = Counter(map(tuple, read_iceberg(spark, path).collect()))
+        assert d == i == total
+        for k, (sid, _) in enumerate(deltas[:-1]):
+            want = Counter()
+            for _, delta in deltas[k + 1 :]:
+                want += delta
+            got = Counter(
+                map(
+                    tuple,
+                    read_iceberg_incremental(spark, path, sid).collect(),
+                )
+            )
+            assert got == want, sid
