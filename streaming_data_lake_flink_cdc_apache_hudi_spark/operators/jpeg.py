@@ -926,6 +926,7 @@ def encode_jpeg_progressive(
     quality: int = 90,
     subsample: str = "444",
     grayscale: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JPEG encoder (SOF2) for fixtures — the same
     quantized coefficients the baseline encoder produces, emitted as
@@ -992,6 +993,11 @@ def encode_jpeg_progressive(
             bytes([0x01]) + bytes(_DC_CHROMA[0]) + bytes(_DC_CHROMA[1]),
         )
 
+    if restart_interval:
+        # DRI applies to every scan; the interval counts each scan's
+        # own units (MCUs interleaved, blocks non-interleaved)
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+
     # --- scan 1: DC first (interleaved), Al=1 ---
     bw = _BitWriter()
     dc_codes = [
@@ -999,8 +1005,15 @@ def encode_jpeg_progressive(
         for s in specs
     ]
     preds = [0] * len(specs)
+    rst = n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.pad()
+                bw.out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                preds = [0] * len(specs)
+            n_mcu += 1
             for ci, s in enumerate(specs):
                 for by in range(s["v"]):
                     for bx in range(s["h"]):
@@ -1035,7 +1048,7 @@ def encode_jpeg_progressive(
     def ac_first_scan(ci, ss, se, al):
         blocks = _ac_blocks(ci)
 
-        def run(emit_sym, emit_bits):
+        def run(emit_sym, emit_bits, emit_restart=lambda: None):
             eobrun = 0
 
             def flush_eob():
@@ -1046,7 +1059,10 @@ def encode_jpeg_progressive(
                     emit_bits(eobrun - (1 << r), r)
                     eobrun = 0
 
-            for blk in blocks:
+            for bi, blk in enumerate(blocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    flush_eob()
+                    emit_restart()
                 band = blk[ss : se + 1]
                 vals = [
                     (v >> al) if v >= 0 else -((-v) >> al)
@@ -1079,7 +1095,7 @@ def encode_jpeg_progressive(
     def ac_refine_scan(ci, ss, se, al):
         blocks = _ac_blocks(ci)
 
-        def run(emit_sym, emit_bits):
+        def run(emit_sym, emit_bits, emit_restart=lambda: None):
             eobrun = 0
             pending: list[int] = []
 
@@ -1094,7 +1110,10 @@ def encode_jpeg_progressive(
                     emit_bits(bit, 1)
                 pending.clear()
 
-            for blk in blocks:
+            for bi, blk in enumerate(blocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    flush_eob()
+                    emit_restart()
                 band = [int(v) for v in blk[ss : se + 1]]
                 absv = [abs(v) >> al for v in band]
                 eobpos = -1
@@ -1148,9 +1167,17 @@ def encode_jpeg_progressive(
         bits, vals = _uniform_table(syms)
         codes = _canonical_codes(bits, vals)
         bw = _BitWriter()
+        rst_state = [0]
+
+        def emit_restart():
+            bw.pad()
+            bw.out += bytes((0xFF, 0xD0 + rst_state[0]))
+            rst_state[0] = (rst_state[0] + 1) % 8
+
         run(
             lambda s: bw.write(*codes[s]),
             lambda v, n: bw.write(v, n) if n else None,
+            emit_restart,
         )
         bw.pad()
         return (
@@ -1172,8 +1199,14 @@ def encode_jpeg_progressive(
 
     # --- DC refinement (raw bits, no Huffman) ---
     bw = _BitWriter()
+    rst = n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.pad()
+                bw.out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+            n_mcu += 1
             for ci, s in enumerate(specs):
                 for by in range(s["v"]):
                     for bx in range(s["h"]):

@@ -1567,3 +1567,33 @@ def test_ogg_opus_metadata(spark):
     bad[i : i + 8] = b"Speex   "
     with pytest.raises(NotImplementedError, match="codec id"):
         parse_ogg(bytes(bad))
+
+
+def test_progressive_jpeg_restart_markers():
+    """Progressive scans with DRI/RSTn (the decoder resets DC
+    predictors + EOB runs at each marker, per scan-unit counting:
+    MCUs interleaved / blocks non-interleaved) — still bit-identical
+    to the baseline decode, and the file really carries RSTn."""
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(23)
+    for w, h, sub in [(32, 24, "444"), (24, 17, "420")]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+        base = decode_jpeg(encode_jpeg(w, h, img, quality=88,
+                                       subsample=sub))
+        for ri in (1, 3):
+            enc = encode_jpeg_progressive(
+                w, h, img, quality=88, subsample=sub,
+                restart_interval=ri,
+            )
+            assert b"\xff\xdd" in enc  # DRI
+            assert any(
+                bytes((0xFF, 0xD0 + k)) in enc for k in range(8)
+            )
+            assert decode_jpeg(enc) == base, (w, h, sub, ri)
