@@ -9,9 +9,11 @@ follows the public Microsoft *AVI RIFF File Reference* (RIFF 'AVI '
 JPEG decoded by ``operators/jpeg.py`` (ITU T.81). Motion-JPEG is the
 one mainstream video codec with no interframe state — every frame is
 an independent JPEG — which is exactly why it is decodable here
-without an external library. ISO-BMFF containers (MP4/MOV) and
-interframe codecs (H.264/VP9/AV1) remain the declared stub: their
-entropy decode genuinely needs external decoders.
+without an external library. ISO-BMFF containers (MP4/MOV) parse for
+real too (``operators/mp4.py`` — box walk, track metadata, and
+in-container frame decode for JPEG-coded tracks); only interframe
+entropy decode (H.264/VP9/AV1 sample payloads) remains the declared
+boundary, since it genuinely needs external decoders.
 
 The encoder exists for fixtures and round-trip tests: solid-color
 frames encoded at quality=100 (all-ones quantization tables) survive

@@ -1735,6 +1735,8 @@ def audio_spectral_features(df: DataFrame) -> DataFrame:
     values otherwise (total over mixed media)."""
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
             out = {
                 "media_id": list(pdf["media_id"]),
@@ -1758,7 +1760,12 @@ def audio_spectral_features(df: DataFrame) -> DataFrame:
                         out["flatness"].append(f[3])
                         out["band_rms"].append(f[4:8])
                         continue
-                except Exception:
+                except (ValueError, struct.error, IndexError,
+                        NotImplementedError):
+                    # Malformed crawled payload -> NULL row (quarantine
+                    # contract). Deliberately NOT a bare Exception so a
+                    # coding bug in _decode_wav/_spectral_feature still
+                    # surfaces instead of silently NULLing out.
                     pass
                 out["sample_rate"].append(None)
                 out["centroid_hz"].append(None)

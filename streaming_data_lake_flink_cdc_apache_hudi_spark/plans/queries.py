@@ -4100,6 +4100,13 @@ _DRIVER_VERIFIED = frozenset({
     # here (full portable oracle added in r8) ---
     "cep_define_agg", "cep_running_measures", "cep_subset_union",
     "delta_mapped_read", "embedding_near_dup", "iceberg_partitioned_read",
+    # --- r09 green rows (50/50 full value-hash matches — second
+    # consecutive all-green window; names not already folded in above;
+    # all nine new r9 queries hash-green on first driver exposure) ---
+    "audio_container_meta", "delta_checkpoint_read",
+    "delta_id_mapped_read", "exif_metadata", "session_window_native",
+    "subtitle_cues", "uniform_incremental_read",
+    "uniform_partitioned_read", "video_frame_sample",
 })
 
 

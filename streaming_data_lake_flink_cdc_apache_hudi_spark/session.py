@@ -150,9 +150,11 @@ class EngineSession:
 
         Over a STREAMING temp view the same spelling routes to the
         cross-micro-batch matchers (``streaming/stateful.py`` —
-        emit-once finalized matches; MEASURES / ALL ROWS refuse
-        there), matching Flink, whose MATCH_RECOGNIZE is a streaming
-        operator.
+        emit-once finalized matches; ONE ROW and ALL ROWS PER MATCH
+        with true RUNNING/FINAL measures, and PERMUTE with MEASURES,
+        all route there too with batch parity across micro-batch
+        boundaries), matching Flink, whose MATCH_RECOGNIZE is a
+        streaming operator.
 
         DEFINE takes two shapes. When EVERY clause is an equality of
         the SAME column against a string literal (the
