@@ -40,8 +40,11 @@ _EXIF_TAGS = {
 
 
 def _read_ifd(b: bytes, off: int, bo: str) -> dict[int, object]:
-    """One IFD -> {tag: decoded value} (first value for multi-count
-    numeric fields except rationals, full string for ASCII)."""
+    """One IFD -> {tag: decoded value}. Multi-count numeric fields
+    (SHORT/LONG/SLONG and rationals) decode to the FULL value list
+    (scalar when count==1) — TIFF strip geometry (StripOffsets /
+    StripByteCounts with count>1) depends on this; ASCII decodes to
+    the full NUL-terminated string."""
     out: dict[int, object] = {}
     if off + 2 > len(b):
         raise ValueError("EXIF IFD offset out of range")
@@ -72,7 +75,11 @@ def _read_ifd(b: bytes, off: int, bo: str) -> dict[int, object]:
             out[tag] = vals if count > 1 else vals[0]
         elif typ in (3, 4, 9):
             fmt = {3: "H", 4: "I", 9: "i"}[typ]
-            out[tag] = struct.unpack_from(bo + fmt, raw)[0]
+            vals = [
+                struct.unpack_from(bo + fmt, raw, size * k)[0]
+                for k in range(count)
+            ]
+            out[tag] = vals if count > 1 else vals[0]
         else:  # BYTE / UNDEFINED
             out[tag] = bytes(raw)
     return out

@@ -1,13 +1,18 @@
-"""TIFF codec — baseline uncompressed decode, pure stdlib + the
+"""TIFF codec — baseline + PackBits decode, pure stdlib + the
 EXIF module's IFD reader (TIFF *is* the container EXIF borrows).
 
 Scanned-document corpora arrive as TIFF; the baseline profile every
 writer supports (compression=1, strips, 8-bit grayscale or RGB)
 decodes here end to end — header byte order (II/MM), IFD0 geometry
-tags, strip offsets/byte-counts concatenated in row order. LZW/
-PackBits/JPEG-in-TIFF compression and tiled layouts raise the
-declared ``NotImplementedError``. The writer emits a spec-shaped
-single-strip baseline TIFF for fixtures.
+tags, MULTI-strip offsets/byte-counts concatenated in row order
+(real scanner TIFFs set rows_per_strip < height; the IFD reader
+returns the full SHORT/LONG value lists for count>1 tags). PackBits
+(compression=32773 — the TIFF 6.0 §9 byte-oriented RLE, the common
+fax/scan profile) decompresses per strip. LZW/JPEG-in-TIFF
+compression and tiled layouts raise the declared
+``NotImplementedError``. The writer emits spec-shaped baseline TIFFs
+for fixtures — single- or multi-strip, uncompressed or PackBits —
+so the decoder is pinned against independently-written layouts.
 
 Same scale shape as the other codecs: per-image byte walks inside
 ``mapInPandas`` (``multimodal._decode_bytes`` routes the II*/MM*
@@ -33,10 +38,61 @@ _TAGS = {
 }
 
 
+def packbits_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits RLE decode: control byte n in [0,127]
+    copies n+1 literal bytes; n in [-127,-1] (two's complement)
+    repeats the next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            j = i + c + 1
+            if j > n:
+                raise ValueError("PackBits literal run truncated")
+            out += data[i:j]
+            i = j
+        elif c == 128:  # no-op
+            continue
+        else:  # replicate run of 257-c copies
+            if i >= n:
+                raise ValueError("PackBits replicate run truncated")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits encode (fixture writer): greedy run detection —
+    replicate runs of >=2 identical bytes, literal runs otherwise,
+    both capped at 128 per the spec."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 1 < n and data[i + 1] == data[i])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
 def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline uncompressed TIFF to (width, height, RGB24).
-    Grayscale (1 sample) replicates to RGB; RGB (3 samples) passes
-    through. Compressed or tiled files raise NotImplementedError."""
+    """Decode a baseline TIFF (uncompressed or PackBits, single- or
+    multi-strip) to (width, height, RGB24). Grayscale (1 sample)
+    replicates to RGB; RGB (3 samples) passes through. LZW/JPEG
+    compression and tiled files raise NotImplementedError."""
     b = bytes(b)
     if b[:4] == b"II*\x00":
         bo = "<"
@@ -51,11 +107,11 @@ def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
     if not w or not h:
         raise ValueError("TIFF missing ImageWidth/ImageLength")
     comp = int(ifd.get(259, 1))
-    if comp != 1:
+    if comp not in (1, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp}: only baseline uncompressed "
-            "(1) decodes here — LZW/PackBits/JPEG-in-TIFF need an "
-            "external decoder"
+            "(1) and PackBits (32773) decode here — LZW/JPEG-in-TIFF "
+            "need an external decoder"
         )
     if 273 not in ifd or 279 not in ifd:
         raise NotImplementedError(
@@ -78,9 +134,14 @@ def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
 
     offs = as_list(ifd[273])
     counts = as_list(ifd[279])
-    raw = b"".join(
-        b[o : o + c] for o, c in zip(offs, counts)
-    )
+    if len(offs) != len(counts):
+        raise ValueError("TIFF StripOffsets/StripByteCounts mismatch")
+    strips = [b[o : o + c] for o, c in zip(offs, counts)]
+    if any(len(s) != c for s, c in zip(strips, counts)):
+        raise ValueError("TIFF strip extends past end of file")
+    if comp == 32773:
+        strips = [packbits_decode(s) for s in strips]
+    raw = b"".join(strips)
     need = w * h * spp
     if len(raw) < need:
         raise ValueError("TIFF strip data truncated")
@@ -94,36 +155,94 @@ def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(rgb)
 
 
-def encode_tiff(width: int, height: int, rgb: bytes) -> bytes:
-    """Fixture writer: little-endian single-strip uncompressed RGB
-    TIFF (header + pixel strip + IFD), byte-exact round trip."""
+def encode_tiff(
+    width: int,
+    height: int,
+    rgb: bytes,
+    rows_per_strip: int | None = None,
+    compression: str = "none",
+) -> bytes:
+    """Fixture writer: little-endian spec-shaped RGB TIFF. Default is
+    the original single-strip uncompressed layout (byte-exact round
+    trip); ``rows_per_strip`` splits the pixel data into the
+    real-scanner multi-strip layout (count>1 StripOffsets /
+    StripByteCounts, out-of-line LONG arrays), and
+    ``compression='packbits'`` PackBits-encodes each strip
+    (compression tag 32773)."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb must be width*height*3 bytes")
-    strip_off = 8
-    ifd_off = strip_off + len(rgb)
+    if compression not in ("none", "packbits"):
+        raise ValueError("compression must be 'none' or 'packbits'")
+    rps = height if rows_per_strip is None else min(
+        rows_per_strip, height
+    )
+    if rps <= 0:
+        raise ValueError("rows_per_strip must be positive")
+    row_bytes = width * 3
+    strips = [
+        rgb[r * row_bytes : (r + rps) * row_bytes]
+        for r in range(0, height, rps)
+    ]
+    if compression == "packbits":
+        strips = [packbits_encode(s) for s in strips]
+    comp_tag = 32773 if compression == "packbits" else 1
+    n_strips = len(strips)
+
+    strip_off0 = 8
+    data_len = sum(len(s) for s in strips)
+    ifd_off = strip_off0 + data_len
+    offs = []
+    pos = strip_off0
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    counts = [len(s) for s in strips]
+
     entries = [
         (256, 3, 1, width),  # ImageWidth SHORT
         (257, 3, 1, height),  # ImageLength
         (258, 3, 3, None),  # BitsPerSample -> out-of-line (8,8,8)
-        (259, 3, 1, 1),  # Compression = none
+        (259, 3, 1, comp_tag),  # Compression
         (262, 3, 1, 2),  # Photometric = RGB
-        (273, 4, 1, strip_off),  # StripOffsets
+        (273, 4, n_strips, None),  # StripOffsets (inline iff 1)
         (277, 3, 1, 3),  # SamplesPerPixel
-        (278, 3, 1, height),  # RowsPerStrip
-        (279, 4, 1, len(rgb)),  # StripByteCounts
+        (278, 3, 1, rps),  # RowsPerStrip
+        (279, 4, n_strips, None),  # StripByteCounts
     ]
-    bps_off = ifd_off + 2 + 12 * len(entries) + 4
+    # out-of-line area starts after the IFD (entry table + next ptr)
+    blob_off = ifd_off + 2 + 12 * len(entries) + 4
+    blobs = bytearray()
+
+    def blob(raw: bytes) -> int:
+        nonlocal blob_off
+        o = blob_off
+        blobs.extend(raw)
+        blob_off += len(raw)
+        return o
+
     out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
-    out += rgb
+    for s in strips:
+        out += s
     out += struct.pack("<H", len(entries))
     for tag, typ, count, val in entries:
         out += struct.pack("<HHI", tag, typ, count)
         if tag == 258:
-            out += struct.pack("<I", bps_off)
+            out += struct.pack(
+                "<I", blob(struct.pack("<HHH", 8, 8, 8))
+            )
+        elif tag in (273, 279):
+            vals = offs if tag == 273 else counts
+            if n_strips == 1:
+                out += struct.pack("<I", vals[0])
+            else:
+                out += struct.pack(
+                    "<I",
+                    blob(struct.pack(f"<{n_strips}I", *vals)),
+                )
         elif typ == 3:
             out += struct.pack("<HH", val, 0)
         else:
             out += struct.pack("<I", val)
     out += struct.pack("<I", 0)  # next IFD
-    out += struct.pack("<HHH", 8, 8, 8)  # BitsPerSample values
+    out += blobs
     return bytes(out)

@@ -1659,7 +1659,9 @@ FROM (VALUES
   (CAST(7 AS BIGINT), 'video', CAST(1829 AS BIGINT), CAST(109531 AS BIGINT),
    16, 8, 0.3922, 0.5882, 0.7843),
   (CAST(8 AS BIGINT), 'image', CAST(152 AS BIGINT), CAST(3469 AS BIGINT),
-   4, 2, 0.2353, 0.4706, 0.7059))
+   4, 2, 0.2353, 0.4706, 0.7059),
+  (CAST(9 AS BIGINT), 'image', CAST(227 AS BIGINT), CAST(5780 AS BIGINT),
+   4, 6, 0.3529, 0.2353, 0.1176))
 AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
 """,
     doc="Multimodal decode through mapInPandas (operators/"
@@ -1683,7 +1685,11 @@ AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
     "(100,150,200) exact at quality=100, dims from tkhd, duration "
     "from mdhd timescale. Row 8 (new r9): a baseline uncompressed "
     "TIFF (operators/tiff.py — IFD geometry tags + strip concat, "
-    "lossless, solid (60,120,180) exact).",
+    "lossless, solid (60,120,180) exact). Row 9 (new r10): a "
+    "MULTI-STRIP PackBits TIFF (rows_per_strip=2 < height, count>1 "
+    "StripOffsets/StripByteCounts arrays, TIFF 6.0 section 9 RLE "
+    "decompressed per strip — the real scanner/fax profile), solid "
+    "(90,60,30), lossless so f = channel/255 exactly.",
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1722,6 +1728,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tiff import encode_tiff
 
     p8 = encode_tiff(4, 2, bytes([60, 120, 180] * 8))
+    p9 = encode_tiff(
+        4, 6, bytes([90, 60, 30] * 24), rows_per_strip=2,
+        compression="packbits",
+    )
     rows = [
         (1, "image", bytearray(p1),
          {"mime": "image/x-portable-pixmap", "n_bytes": len(p1),
@@ -1747,6 +1757,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (8, "image", bytearray(p8),
          {"mime": "image/tiff", "n_bytes": len(p8),
           "width": 4, "height": 2, "duration_ms": None}),
+        (9, "image", bytearray(p9),
+         {"mime": "image/tiff", "n_bytes": len(p9),
+          "width": 4, "height": 6, "duration_ms": None}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     dec = decode_media(media)

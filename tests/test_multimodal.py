@@ -1535,6 +1535,63 @@ def test_tiff_round_trip_and_boundaries(spark):
         decode_tiff(bytes(bad))
 
 
+def test_tiff_multi_strip_and_packbits(spark):
+    """Multi-strip + PackBits TIFF (new r10, ADVICE r9 fix): count>1
+    StripOffsets/StripByteCounts decode via the full IFD value lists
+    (real scanner TIFFs set rows_per_strip < height), and PackBits
+    (compression 32773) decompresses per strip — both lossless round
+    trips against the independent fixture writer."""
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    rnd = random.Random(10)
+    rgb = bytes(rnd.randrange(256) for _ in range(6 * 5 * 3))
+    # multi-strip uncompressed, strip boundaries mid-image
+    for rps in (1, 2, 3, 5):
+        assert decode_tiff(
+            encode_tiff(6, 5, rgb, rows_per_strip=rps)
+        ) == (6, 5, rgb)
+    # PackBits, single- and multi-strip
+    assert decode_tiff(
+        encode_tiff(6, 5, rgb, compression="packbits")
+    ) == (6, 5, rgb)
+    assert decode_tiff(
+        encode_tiff(6, 5, rgb, rows_per_strip=2,
+                    compression="packbits")
+    ) == (6, 5, rgb)
+    # PackBits RLE round trips on edge shapes (spec: literal runs,
+    # replicate runs, both capped at 128; -128 control is a no-op)
+    for data in (b"", b"a", b"a" * 300, bytes(range(256)) * 2,
+                 b"aabbbccd" * 40):
+        assert packbits_decode(packbits_encode(data)) == data
+    assert packbits_decode(b"\x80\x00a") == b"a"  # no-op control
+    with pytest.raises(ValueError, match="truncated"):
+        packbits_decode(b"\x05ab")  # literal run short
+    with pytest.raises(ValueError, match="truncated"):
+        packbits_decode(b"\xfe")  # replicate run missing byte
+    # byte runs compress (grayscale/fax profile): 300 -> <=8 bytes
+    assert len(packbits_encode(bytes([77] * 300))) <= 8
+    # decode_media routes the packbits payload to real pixels
+    p = encode_tiff(4, 6, bytes([90, 60, 30] * 24), rows_per_strip=2,
+                    compression="packbits")
+    row = MM.decode_media(
+        spark.createDataFrame(
+            [(1, "image", bytearray(p),
+              {"mime": "image/tiff", "n_bytes": len(p),
+               "width": 4, "height": 6, "duration_ms": None})],
+            MM.MEDIA_SCHEMA,
+        )
+    ).collect()[0]
+    assert (row.width, row.height) == (4, 6)
+    assert round(row.feature[0], 4) == round(90 / 255, 4)
+
+
 def test_ogg_opus_metadata(spark):
     """Ogg page walk + OpusHead (new r9): channels/rate/pre-skip and
     duration from the last granule; unknown codec ids refuse."""
