@@ -1047,6 +1047,113 @@ def read_delta_incremental(
 
 # -- table maintenance: checkpoints, log cleanup, OPTIMIZE (new r9) -------
 
+# The spec's checkpoint schema (PROTOCOL.md "Checkpoint Schema"):
+# partitionValues is map<string,string> — NOT a struct of observed
+# keys — and stats/tags are nullable, so delta-spark / delta-rs can
+# replay the checkpoint. Built lazily (pyspark.sql.types import kept
+# local to the writer so module import stays cheap).
+_CP_KNOWN_ADD = frozenset({
+    "path", "partitionValues", "size", "modificationTime",
+    "dataChange", "stats", "tags", "deletionVector",
+})
+_CP_KNOWN_META = frozenset({
+    "id", "name", "description", "format", "schemaString",
+    "partitionColumns", "configuration", "createdTime",
+})
+_CP_KNOWN_PROTO = frozenset({
+    "minReaderVersion", "minWriterVersion", "readerFeatures",
+    "writerFeatures",
+})
+
+
+def _checkpoint_schema():
+    from pyspark.sql import types as T
+
+    str_map = T.MapType(T.StringType(), T.StringType())
+    dv = T.StructType([
+        T.StructField("storageType", T.StringType()),
+        T.StructField("pathOrInlineDv", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("sizeInBytes", T.IntegerType()),
+        T.StructField("cardinality", T.LongType()),
+    ])
+    add = T.StructType([
+        T.StructField("path", T.StringType(), False),
+        T.StructField("partitionValues", str_map, False),
+        T.StructField("size", T.LongType(), False),
+        T.StructField("modificationTime", T.LongType()),
+        T.StructField("dataChange", T.BooleanType()),
+        T.StructField("stats", T.StringType()),
+        T.StructField("tags", str_map),
+        T.StructField("deletionVector", dv),
+    ])
+    remove = T.StructType([
+        T.StructField("path", T.StringType(), False),
+        T.StructField("deletionTimestamp", T.LongType()),
+        T.StructField("dataChange", T.BooleanType()),
+        T.StructField("extendedFileMetadata", T.BooleanType()),
+        T.StructField("partitionValues", str_map),
+        T.StructField("size", T.LongType()),
+        T.StructField("deletionVector", dv),
+    ])
+    meta = T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("name", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("format", T.StructType([
+            T.StructField("provider", T.StringType(), False),
+            T.StructField("options", str_map),
+        ]), False),
+        T.StructField("schemaString", T.StringType(), False),
+        T.StructField("partitionColumns",
+                      T.ArrayType(T.StringType()), False),
+        T.StructField("configuration", str_map),
+        T.StructField("createdTime", T.LongType()),
+    ])
+    proto = T.StructType([
+        T.StructField("minReaderVersion", T.IntegerType(), False),
+        T.StructField("minWriterVersion", T.IntegerType(), False),
+        T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+        T.StructField("writerFeatures", T.ArrayType(T.StringType())),
+    ])
+    return T.StructType([
+        T.StructField("protocol", proto),
+        T.StructField("metaData", meta),
+        T.StructField("add", add),
+        T.StructField("remove", remove),
+    ])
+
+
+def _cp_check_keys(action: dict, known: frozenset, what: str) -> dict:
+    extra = set(action) - known
+    if extra:
+        raise UnsupportedDeltaFeature(
+            f"{what} action carries fields {sorted(extra)} the "
+            "checkpoint writer does not know — refusing to silently "
+            "drop them from the checkpoint"
+        )
+    return action
+
+
+def _cp_dv(dv: dict | None) -> tuple | None:
+    if not dv:
+        return None
+    return (
+        dv.get("storageType"), dv.get("pathOrInlineDv"),
+        dv.get("offset"), dv.get("sizeInBytes"), dv.get("cardinality"),
+    )
+
+
+def _cp_add_row(a: dict) -> tuple:
+    _cp_check_keys(a, _CP_KNOWN_ADD, "add")
+    return (
+        a["path"], dict(a.get("partitionValues") or {}),
+        int(a["size"]), a.get("modificationTime"),
+        a.get("dataChange", True), a.get("stats"),
+        dict(a["tags"]) if a.get("tags") else None,
+        _cp_dv(a.get("deletionVector")),
+    )
+
 
 def _data_file_set(path: str) -> set[str]:
     """Relative paths of every data parquet under ``path`` (hive
@@ -1079,10 +1186,15 @@ def write_checkpoint(
     (``cleanup_log``); time travel to them then raises
     not-reconstructable instead of lying.
 
-    The checkpoint parquet is written by round-tripping the action
-    dicts through ``spark.read.json`` — the exact schema the JSON
-    commits carry, so checkpoint replay and commit replay see the
-    same shapes (DV descriptors and partitionValues included)."""
+    The checkpoint parquet carries the spec's EXPLICIT schema
+    (``_checkpoint_schema``): ``partitionValues`` as
+    map<string,string> (present and empty for unpartitioned tables —
+    never a struct of observed keys), nullable ``stats``/``tags``,
+    and the DV descriptor struct — so delta-spark / delta-rs can
+    replay it, not just this reader (ADVICE r9: JSON schema inference
+    produced struct-typed partitionValues and pruned empty fields).
+    Unknown add/metaData/protocol fields from an external writer
+    raise instead of being silently dropped from the checkpoint."""
     log_dir = os.path.join(path, _LOG_DIR)
     versions = [
         int(f[:20])
@@ -1105,14 +1217,27 @@ def write_checkpoint(
             "table has no metaData/protocol action — nothing to anchor "
             "a checkpoint on"
         )
-    lines = [json.dumps({"protocol": proto}), json.dumps({"metaData": meta})]
-    lines += [json.dumps({"add": adds[p]}) for p in sorted(adds)]
+    _cp_check_keys(proto, _CP_KNOWN_PROTO, "protocol")
+    _cp_check_keys(meta, _CP_KNOWN_META, "metaData")
+    fmt = meta.get("format") or {}
+    proto_row = (
+        int(proto["minReaderVersion"]), int(proto["minWriterVersion"]),
+        proto.get("readerFeatures"), proto.get("writerFeatures"),
+    )
+    meta_row = (
+        meta["id"], meta.get("name"), meta.get("description"),
+        (fmt.get("provider", "parquet"),
+         dict(fmt.get("options") or {})),
+        meta["schemaString"], list(meta.get("partitionColumns") or []),
+        dict(meta.get("configuration") or {}), meta.get("createdTime"),
+    )
+    rows = [(proto_row, None, None, None), (None, meta_row, None, None)]
+    rows += [(None, None, _cp_add_row(adds[p]), None) for p in sorted(adds)]
     import shutil
 
     n_parts = max(1, int(parts or 1))
-    cp_df = spark.read.json(
-        spark.sparkContext.parallelize(lines, n_parts)
-    )
+    cp_df = spark.createDataFrame(rows, _checkpoint_schema())
+    n_actions = len(rows)
     tmp = os.path.join(log_dir, ".checkpoint_tmp_%020d" % version)
     if n_parts == 1:
         cp_df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1147,12 +1272,12 @@ def write_checkpoint(
     for src, dst in zip(written, final):
         os.replace(os.path.join(tmp, src), dst)
     shutil.rmtree(tmp, ignore_errors=True)
-    pointer = {"version": version, "size": len(lines)}
+    pointer = {"version": version, "size": n_actions}
     if n_parts > 1:
         pointer["parts"] = n_parts
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         json.dump(pointer, fh)
-    return {"version": version, "actions": len(lines), "parts": n_parts}
+    return {"version": version, "actions": n_actions, "parts": n_parts}
 
 
 def cleanup_log(path: str) -> int:

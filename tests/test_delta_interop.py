@@ -1238,6 +1238,56 @@ def test_write_checkpoint_and_cleanup_log(spark, tmp_path):
     ]
 
 
+def test_checkpoint_parquet_is_spec_shaped(spark, tmp_path):
+    """r10 (ADVICE r9 fix): the checkpoint parquet carries the spec's
+    EXPLICIT schema — add.partitionValues is map<string,string> and
+    PRESENT (empty map) for unpartitioned tables, stats/tags/remove
+    columns exist as nullables — so delta-spark/delta-rs can replay
+    it (JSON inference used to emit struct-typed partitionValues and
+    prune the empty field entirely)."""
+    from pyspark.sql import types as T
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        write_checkpoint,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "id long, k string")
+
+    # unpartitioned: partitionValues must still be an EMPTY MAP
+    path = str(tmp_path / "cp_plain")
+    export_delta(mk([(1, "a"), (2, "b")]), path)
+    export_delta(mk([(3, "a")]), path, mode="append")
+    write_checkpoint(spark, path)
+    cp = spark.read.parquet(
+        os.path.join(path, "_delta_log", "%020d.checkpoint.parquet" % 1)
+    )
+    f = {x.name: x.dataType for x in cp.schema["add"].dataType.fields}
+    assert f["partitionValues"] == T.MapType(
+        T.StringType(), T.StringType()
+    )
+    assert "stats" in f and f["stats"] == T.StringType()
+    assert "tags" in f and "deletionVector" in f
+    assert "remove" in cp.columns and "protocol" in cp.columns
+    m = {x.name: x.dataType for x in cp.schema["metaData"].dataType.fields}
+    assert m["configuration"] == T.MapType(T.StringType(), T.StringType())
+    adds = [r["add"] for r in cp.collect() if r["add"] is not None]
+    assert adds and all(r["partitionValues"] == {} for r in adds)
+
+    # partitioned: the hive values land in the map, stringly per spec
+    path2 = str(tmp_path / "cp_part")
+    export_delta(mk([(1, "a"), (2, "b")]), path2, partition_by=["k"])
+    write_checkpoint(spark, path2)
+    cp2 = spark.read.parquet(
+        os.path.join(path2, "_delta_log", "%020d.checkpoint.parquet" % 0)
+    )
+    vals = sorted(
+        r["add"]["partitionValues"]["k"]
+        for r in cp2.collect()
+        if r["add"] is not None
+    )
+    assert vals == ["a", "b"]
+
+
 def test_optimize_delta_compacts_files(spark, tmp_path):
     """r9: OPTIMIZE rewrites the live set into one file per partition
     with a dataChange=false remove+add commit; values unchanged; time
