@@ -2521,6 +2521,49 @@ def q_delta_id_mapped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_mapped_append_read",
+    """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+""",
+    doc="Multi-commit append onto COLUMN-MAPPED Delta tables (new "
+    "r10 — closes the r9 #1 interop wall: real Databricks tables are "
+    "mapped by default, so incremental interop must not stop at one "
+    "commit). supplier splits into three chunks committed as v0 + "
+    "two appends onto BOTH a name-mode and an id-mode table; the "
+    "append inherits the table's physicalName/field-id map from its "
+    "metaData (id mode re-stamps parquet field_ids on the new "
+    "files), so every commit's files resolve identically on read. "
+    "Returns the name-mode read plus a two-sided exceptAll lockstep "
+    "guard against the id-mode read riding the value hash; the "
+    "oracle is the plain source projection. Each append is one "
+    "distributed write + one KB-scale log commit at any scale.",
+)
+def q_delta_mapped_append_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import export_delta, read_delta
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="delta_map_app_")
+    chunks = [s.filter(F.col("s_suppkey") % 3 == k) for k in range(3)]
+    for mode, sub in (("name", "n"), ("id", "i")):
+        export_delta(chunks[0], f"{root}/{sub}", column_mapping=mode)
+        export_delta(chunks[1], f"{root}/{sub}", mode="append")
+        export_delta(chunks[2], f"{root}/{sub}", mode="append")
+    dn = read_delta(spark, f"{root}/n").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    di = read_delta(spark, f"{root}/i").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    return dn.unionAll(dn.exceptAll(di)).unionAll(di.exceptAll(dn))
+
+
+@register(
     "uniform_partitioned_read",
     """
 SELECT c_custkey, c_name, c_mktsegment FROM customer

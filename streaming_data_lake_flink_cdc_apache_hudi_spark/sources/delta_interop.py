@@ -311,7 +311,16 @@ def export_delta(
     caller's ``data_files``), and the frame's schema and
     partitioning must equal the table's (raises otherwise) — the
     multi-commit flavor the UniForm path composes with the Iceberg
-    append for dual-format incremental tables."""
+    append for dual-format incremental tables. Appending onto a
+    COLUMN-MAPPED table (new r10 — the default state of real
+    Databricks tables) inherits the table's mapping from its
+    ``metaData``: the frame is renamed to the recorded
+    ``delta.columnMapping.physicalName``s (id mode additionally
+    stamps each field's ``delta.columnMapping.id`` as the parquet
+    ``field_id``), so appended files resolve exactly like v0's.
+    Passing ``column_mapping`` with append must match the table's
+    mode; partitioned mapped tables refuse (partition dirs carry
+    physical names)."""
     if column_mapping is True:
         column_mapping = "name"
     if column_mapping not in (False, "name", "id"):
@@ -336,11 +345,8 @@ def export_delta(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     append_version: int | None = None
+    append_field_meta: dict[str, tuple[int, str]] | None = None
     if mode == "append":
-        if column_mapping:
-            raise UnsupportedDeltaFeature(
-                "append onto a column-mapped table is not supported"
-            )
         versions = sorted(
             int(f[:20])
             for f in os.listdir(os.path.join(path, _LOG_DIR))
@@ -377,15 +383,49 @@ def export_delta(
                 f"append: partitioning {partition_by or []} differs "
                 f"from the table's {prev_parts}"
             )
-        if (prev_m.get("configuration") or {}).get(
+        prev_cm = (prev_m.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
-        ) not in ("none", None):
-            raise UnsupportedDeltaFeature(
-                "append onto a column-mapped table is not supported"
+        )
+        prev_cm = False if prev_cm in ("none", None) else prev_cm
+        if column_mapping and column_mapping != prev_cm:
+            raise ValueError(
+                f"append: column_mapping={column_mapping!r} does not "
+                f"match the table's mode {prev_cm or 'none'!r} — the "
+                "table's metaData determines the mapping on append"
             )
+        # inherit the TABLE's mapping: the writer already knows the
+        # physicalName/field-id map from the read path's metadata
+        # (real Databricks tables are column-mapped by default, so
+        # multi-commit interop with them must not stop at one commit)
+        column_mapping = prev_cm
+        if column_mapping:
+            if data_files is not None:
+                raise ValueError(
+                    "data_files injection cannot be combined with an "
+                    "append onto a column-mapped table (the physical "
+                    "rename happens at write)"
+                )
+            if prev_parts:
+                raise UnsupportedDeltaFeature(
+                    "append onto a PARTITIONED column-mapped table is "
+                    "not supported (partition directories carry "
+                    "physical names)"
+                )
+            append_field_meta = {}
+            for f in json.loads(prev_m["schemaString"])["fields"]:
+                fm = f.get("metadata") or {}
+                cid = fm.get("delta.columnMapping.id")
+                phys = fm.get("delta.columnMapping.physicalName")
+                if cid is None or not phys:
+                    raise UnsupportedDeltaFeature(
+                        f"append: mapped table field {f['name']!r} "
+                        "carries no delta.columnMapping.id/"
+                        "physicalName to write under"
+                    )
+                append_field_meta[f["name"]] = (int(cid), phys)
     phys_df, field_meta = df, {}
     if column_mapping:
-        field_meta = {
+        field_meta = append_field_meta or {
             f.name: (i + 1, f"col-{i + 1}")
             for i, f in enumerate(df.schema.fields)
         }
