@@ -2665,13 +2665,16 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
     "live state as the spec's parquet checkpoint + _last_checkpoint, "
     "cleanup_log deletes the covered JSON commits (the read now "
     "replays checkpoint-only), then OPTIMIZE bin-packs the live files "
-    "into one with a dataChange=false remove+add commit. The returned "
-    "frame is the post-OPTIMIZE read plus a two-sided exceptAll guard "
-    "against the pre-OPTIMIZE (checkpoint-replayed) view — any row "
-    "maintenance loses or invents rides the value hash. At 100 TB "
-    "commit counts this is what keeps a multi-commit export mountable: "
-    "replay cost O(live files) not O(history), scan count O(1) after "
-    "compaction.",
+    "into one with a dataChange=false remove+add commit, and VACUUM "
+    "(new r10) deletes the data files no retained version references "
+    "— the full maintenance lifecycle in one driver check. The "
+    "returned frame is the post-OPTIMIZE+VACUUM read plus a two-sided "
+    "exceptAll guard against the pre-OPTIMIZE (checkpoint-replayed) "
+    "view — any row maintenance loses or invents rides the value "
+    "hash. At 100 TB commit counts this is what keeps a multi-commit "
+    "export mountable: replay cost O(live files) not O(history), "
+    "scan count O(1) after compaction, disk O(live data) after "
+    "vacuum.",
 )
 def q_delta_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -2681,6 +2684,7 @@ def q_delta_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         export_delta,
         optimize_delta,
         read_delta,
+        vacuum_delta,
         write_checkpoint,
     )
 
@@ -2696,10 +2700,17 @@ def q_delta_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     export_delta(n.filter(F.col("n_regionkey") > 2), t, mode="append")
     write_checkpoint(spark, t)
     cleanup_log(t)
-    pre = read_delta(spark, t).select(
-        "n_nationkey", "n_name", "n_regionkey"
+    # materialize the pre-OPTIMIZE view NOW (bounded: nation is a
+    # 25-row dimension): vacuum below deletes the pre-compaction
+    # files, so a lazy plan over them would fail at driver collect
+    pre = spark.createDataFrame(
+        read_delta(spark, t)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect(),
+        "n_nationkey long, n_name string, n_regionkey long",
     )
     optimize_delta(spark, t)
+    vacuum_delta(spark, t)  # drops the pre-compaction files
     post = read_delta(spark, t).select(
         "n_nationkey", "n_name", "n_regionkey"
     )

@@ -825,8 +825,24 @@ def read_delta(
     ``version_as_of`` (new r9) is Delta time travel — the replay
     stops at that commit, so the scan covers exactly the files live
     AT that version (the spec's ``VERSION AS OF``; same driver-side
-    KB-scale metadata pass, one pruned scan either way)."""
+    KB-scale metadata pass, one pruned scan either way). A time
+    travel whose files ``vacuum_delta`` has deleted raises a clear
+    vacuumed error instead of a mid-scan file-not-found (the
+    existence probe runs only on the time-travel path — bounded
+    diagnostic use — never on the live read)."""
     adds, meta, _ = _replay_log(spark, path, version_as_of=version_as_of)
+    if version_as_of is not None:
+        missing = [
+            p
+            for p in sorted(adds)
+            if not os.path.exists(os.path.join(path, p))
+        ]
+        if missing:
+            raise UnsupportedDeltaFeature(
+                f"version {version_as_of} references {len(missing)} "
+                f"vacuumed data file(s) (e.g. {missing[0]!r}) — the "
+                "version is no longer readable after vacuum_delta"
+            )
     dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
     if not dv_adds:
         return _frame_from_adds(spark, path, adds, meta)
@@ -1343,6 +1359,90 @@ def cleanup_log(path: str) -> int:
             os.remove(os.path.join(log_dir, f))
             removed += 1
     return removed
+
+
+def vacuum_delta(
+    spark: SparkSession, path: str, retain_versions: int = 0
+) -> dict:
+    """Delete data files no retained version references (Delta's
+    VACUUM — the one maintenance op r9 left out: ``optimize_delta``
+    tombstones old files with ``remove`` actions and ``cleanup_log``
+    deletes covered JSON commits, but unreferenced DATA files stayed
+    on disk forever).
+
+    Retention is version-based (this log has no wall-clock retention
+    config): with current version V and ``retain_versions`` N, every
+    still-reconstructable version >= V-N keeps its files, and — so
+    vacuum can never break the recovery anchor — the newest version
+    and the newest checkpoint's version are ALWAYS retained, whatever
+    N says. Files referenced only by versions below the floor are
+    deleted; ``read_delta(version_as_of=...)`` into those versions
+    then raises a clear "vacuumed" error (probed on the time-travel
+    path only). The JSON commits / checkpoints themselves are
+    ``cleanup_log``'s job — vacuum touches data files only.
+
+    UniForm directories refuse: the Iceberg metadata tree references
+    the same parquet files, and vacuuming under one format's
+    retention would corrupt the other's snapshots.
+
+    Scale: the retained-version replays are driver-side KB-scale
+    metadata (bounded by checkpoint cadence x retain window); the
+    filesystem walk and deletes are O(files on disk) metadata ops —
+    at 100 TB both are object-store LIST/DELETE passes, the identical
+    shape delta-spark's VACUUM pays (it, too, lists the table root
+    against the live set)."""
+    if os.path.isdir(os.path.join(path, "metadata")):
+        raise UnsupportedDeltaFeature(
+            "vacuum on a UniForm table is not supported — the Iceberg "
+            "metadata tree references the same data files; vacuuming "
+            "under Delta retention would corrupt Iceberg snapshots"
+        )
+    log_dir = os.path.join(path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"no Delta log at {path}")
+    if retain_versions < 0:
+        raise ValueError("retain_versions must be >= 0")
+    json_versions = [
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    ]
+    cp = _read_last_checkpoint(path)
+    all_versions = json_versions + ([cp["version"]] if cp else [])
+    if not all_versions:
+        raise FileNotFoundError(f"no Delta commits at {path}")
+    newest = max(all_versions)
+    floor = max(0, newest - retain_versions)
+    candidates = {v for v in range(floor, newest + 1)}
+    candidates.add(newest)
+    if cp is not None:
+        candidates.add(cp["version"])  # the recovery anchor survives
+    keep: set[str] = set()
+    retained: list[int] = []
+    for v in sorted(candidates):
+        try:
+            adds_v, _, _ = _replay_log(spark, path, version_as_of=v)
+        except UnsupportedDeltaFeature:
+            continue  # version already not reconstructable
+        keep.update(adds_v)
+        retained.append(v)
+    on_disk = _data_file_set(path)
+    doomed = sorted(on_disk - keep)
+    for rel in doomed:
+        os.remove(os.path.join(path, rel))
+    # drop hive partition dirs the deletes emptied (bottom-up so a
+    # parent sees its just-emptied children gone)
+    for root, _dirs, _fs in os.walk(path, topdown=False):
+        if (
+            root != path
+            and "=" in os.path.basename(root)
+            and not os.listdir(root)
+        ):
+            os.rmdir(root)
+    return {
+        "deleted_files": len(doomed),
+        "retained_versions": retained,
+    }
 
 
 def optimize_delta(
