@@ -793,6 +793,32 @@ def rewrite_window_tvf(statement: str, spark=None) -> str:
     return _TVF_RE.sub(sub, statement)
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split a SQL item list on commas OUTSIDE parens/quotes — a
+    grouping expression like ``coalesce(a, b)`` stays one item
+    (ADVICE r9: the naive ``split(',')`` miscounted such items)."""
+    items, depth, start = [], 0, 0
+    quote = None
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in ("'", '"', "`"):
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            items.append(s[start:i])
+            start = i + 1
+        i += 1
+    items.append(s[start:])
+    return [x.strip() for x in items if x.strip()]
+
+
 def _streaming_session_stmt(statement, m, ts, gap):
     """Rewrite the whole statement for a SESSION TVF over a STREAMING
     view: the canonical aggregate shape routes to Spark's native
@@ -812,7 +838,7 @@ def _streaming_session_stmt(statement, m, ts, gap):
         r"\b(HAVING|ORDER\s+BY|LIMIT)\b", stmt[gb.end():], re.IGNORECASE
     )
     gb_end = gb.end() + (tail_m.start() if tail_m else len(stmt) - gb.end())
-    items = [i.strip() for i in stmt[gb.end():gb_end].split(",")]
+    items = _split_top_level(stmt[gb.end():gb_end])
     names = {i.strip("`").lower() for i in items}
     if not {"window_start", "window_end"} <= names:
         raise ValueError(
@@ -828,25 +854,41 @@ def _streaming_session_stmt(statement, m, ts, gap):
     stmt = stmt[:gb.end()] + " " + new_gb + (
         " " + stmt[gb_end:] if tail_m else ""
     )
-    # resolve window_start/window_end references: aliased to keep the
-    # TVF's output column names in the select list, bare expressions
-    # elsewhere (HAVING/ORDER BY)
+    # resolve window_start/window_end references: a select-list item
+    # that is EXACTLY the bare column gets re-aliased to keep the
+    # TVF's output name; inside composite expressions (and in
+    # HAVING/ORDER BY) only the bare substitution applies — ADVICE
+    # r9: the old blind word-boundary alias injection produced
+    # 'session_window.end AS window_end - window_start' inside
+    # composites
     sel = re.search(r"\bSELECT\b", stmt, re.IGNORECASE)
     frm = re.search(r"\bFROM\b", stmt, re.IGNORECASE)
     head, rest = stmt[sel.end():frm.start()], stmt[frm.start():]
+    fields = {"window_start": "start", "window_end": "end"}
 
-    def repl(which: str, expr: str, seg: str, alias: bool) -> str:
-        def f(mm):
-            if alias and not re.match(
-                r"\s+AS\b", seg[mm.end():], re.IGNORECASE
-            ):
-                return f"{expr} AS {which}"
-            return expr
+    def bare_sub(seg: str) -> str:
+        for which, field in fields.items():
+            seg = re.sub(
+                rf"\b{which}\b",
+                f"session_window.{field}",
+                seg,
+                flags=re.IGNORECASE,
+            )
+        return seg
 
-        return re.sub(rf"\b{which}\b", f, seg, flags=re.IGNORECASE)
-
-    for which, field in (("window_start", "start"), ("window_end", "end")):
-        expr = f"session_window.{field}"
-        head = repl(which, expr, head, alias=True)
-        rest = repl(which, expr, rest, alias=False)
-    return stmt[: sel.end()] + head + rest
+    out_items = []
+    for item in _split_top_level(head):
+        key = item.strip().strip("`").lower()
+        if key in fields:
+            out_items.append(
+                f"session_window.{fields[key]} AS {key}"
+            )
+        else:
+            out_items.append(bare_sub(item))
+    return (
+        stmt[: sel.end()]
+        + " "
+        + ", ".join(out_items)
+        + " "
+        + bare_sub(rest)
+    )

@@ -1099,6 +1099,66 @@ def test_window_tvf_sql_over_streaming_view(spark, tmp_path):
         assert got == want and len(got) > 0, tvf
 
 
+def test_streaming_session_tvf_composite_exprs(spark, tmp_path):
+    """r10 (ADVICE r9 fix): the streaming SESSION rewrite handles (a)
+    window_start/window_end INSIDE composite select expressions (the
+    blind alias injection used to emit 'session_window.end AS
+    window_end - window_start' — invalid SQL) and (b) GROUP BY items
+    containing function calls with commas (the naive ',' split
+    miscounted them). Batch parity over the same statement."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import (
+        rewrite_window_tvf,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path / "sessfeed"
+    d.mkdir()
+    half = ev.count() // 2
+    ev.limit(half).write.parquet(str(d / "a.parquet"))
+    ev.subtract(ev.limit(half)).write.parquet(str(d / "b.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    stream.createOrReplaceTempView("events_stream_sess2")
+    ev.createOrReplaceTempView("events_batch_sess2")
+    sql = (
+        "SELECT coalesce(user_id, -1) AS uid, window_start, "
+        "to_unix_timestamp(window_end) - to_unix_timestamp(window_start) "
+        "AS dur_s, COUNT(*) AS n "
+        "FROM TABLE(SESSION(TABLE {t} PARTITION BY user_id, "
+        "DESCRIPTOR(ts), INTERVAL '5' MINUTES)) "
+        "GROUP BY coalesce(user_id, -1), window_start, window_end"
+    )
+    sdf = spark.sql(
+        rewrite_window_tvf(sql.format(t="events_stream_sess2"), spark=spark)
+    )
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_composite")
+        .option("checkpointLocation", str(tmp_path / "ck_sc"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM sess_composite").collect())
+    )
+    q.stop()
+    want = sorted(
+        map(
+            tuple,
+            spark.sql(
+                rewrite_window_tvf(sql.format(t="events_batch_sess2"))
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert all(r[2] >= 300 for r in got)  # every session spans >= gap
+
+
 def test_stream_define_cep_parity_with_batch(spark, tmp_path):
     """streaming/stateful.py pattern_match_define_stream: the DEFINE
     V-shape across time-split micro-batches emits exactly the batch
