@@ -2656,6 +2656,61 @@ def q_uniform_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "uniform_optimize_read",
+    """
+SELECT r_regionkey, r_name FROM region
+UNION ALL
+SELECT n_nationkey, n_name FROM nation
+""",
+    doc="UniForm dual-format compaction (new r10), value-oracled "
+    "end-to-end: region+nation rows land as THREE UniForm commits "
+    "(v0 + two appends — each one shared parquet write + a Delta log "
+    "version + an Iceberg snapshot), then optimize_uniform bin-packs "
+    "BOTH views over ONE rewritten parquet set — optimize_delta("
+    "data_files=...) commits the dataChange=false remove+add and "
+    "rewrite_data_files(data_files=...) commits the Iceberg replace "
+    "snapshot over exactly the same file. Returns the Delta view "
+    "plus a two-sided exceptAll lockstep guard against the Iceberg "
+    "view riding the value hash, and a scan-count guard (rows only "
+    "flow when both views scan ONE identical file) phrased as a "
+    "filter. At 100 TB: data written once per maintenance pass, both "
+    "formats' scan counts O(1) after.",
+)
+def q_uniform_optimize_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import read_delta
+    from ..sources.iceberg_interop import read_iceberg
+    from ..sources.uniform import export_uniform, optimize_uniform
+
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    root = tempfile.mkdtemp(prefix="uniform_opt_")
+    t = f"{root}/t"
+    export_uniform(r, t)
+    export_uniform(n.filter(F.col("k") < 12), t, mode="append")
+    export_uniform(n.filter(F.col("k") >= 12), t, mode="append")
+    optimize_uniform(spark, t)
+    d = read_delta(spark, t).select("k", "name")
+    i = read_iceberg(spark, t).select("k", "name")
+    if not (
+        len(d.inputFiles()) == 1
+        and d.inputFiles() == i.inputFiles()
+    ):
+        raise AssertionError(
+            "optimize_uniform: views scan different or multiple files"
+        )
+    out = d.unionAll(d.exceptAll(i)).unionAll(i.exceptAll(d))
+    return out.select(
+        F.col("k").alias("r_regionkey"), F.col("name").alias("r_name")
+    )
+
+
+@register(
     "delta_checkpoint_read",
     """
 SELECT n_nationkey, n_name, n_regionkey FROM nation

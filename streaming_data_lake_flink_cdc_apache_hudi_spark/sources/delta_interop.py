@@ -1446,7 +1446,10 @@ def vacuum_delta(
 
 
 def optimize_delta(
-    spark: SparkSession, path: str, zorder_by: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    zorder_by: list[str] | None = None,
+    data_files: list[str] | None = None,
 ) -> dict:
     """Bin-packing OPTIMIZE (optionally Z-ORDER BY) as a Delta log
     commit.
@@ -1476,7 +1479,13 @@ def optimize_delta(
 
     Column-mapped tables refuse — the rewrite would have to reproduce
     physical names / field ids, which the exporter only does on a
-    fresh table."""
+    fresh table.
+
+    ``data_files`` (relative paths, already written, holding the FULL
+    live row set — new r10) skips the data write and commits the
+    remove+add action set over those files: the UniForm path, where
+    ONE rewritten parquet set serves both formats' compaction commits
+    (``uniform.optimize_uniform``)."""
     adds, meta, _ = _replay_log(spark, path)
     if meta is None:
         raise UnsupportedDeltaFeature("table has no metaData action")
@@ -1489,6 +1498,32 @@ def optimize_delta(
     if not adds:
         return {"version": None, "removed_files": 0, "added_files": 0}
     part_cols = meta.get("partitionColumns") or []
+    if data_files is not None:
+        # injection (the UniForm path, new r10): the caller already
+        # wrote the compacted parquet set holding the FULL live row
+        # set — commit remove(all live adds) + add(injected) only
+        if zorder_by:
+            raise ValueError(
+                "zorder_by cannot combine with data_files injection "
+                "(the rows were already written)"
+            )
+        new_files = sorted(data_files)
+        missing = [
+            f
+            for f in new_files
+            if not os.path.exists(os.path.join(path, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"data_files injection: {missing} not under {path}"
+            )
+        overlap = set(new_files) & set(adds)
+        if overlap:
+            raise ValueError(
+                f"data_files injection overlaps live adds: "
+                f"{sorted(overlap)[:3]}"
+            )
+        return _commit_optimize(path, adds, meta, part_cols, new_files)
     df = read_delta(spark, path)
     zexpr = None
     if zorder_by:
@@ -1518,6 +1553,20 @@ def optimize_delta(
             w = w.sortWithinPartitions(zexpr)
         w.write.mode("append").parquet(path)
     new_files = sorted(_data_file_set(path) - before)
+    return _commit_optimize(path, adds, meta, part_cols, new_files)
+
+
+def _commit_optimize(
+    path: str,
+    adds: dict[str, dict],
+    meta: dict,
+    part_cols: list[str],
+    new_files: list[str],
+) -> dict:
+    """Commit the OPTIMIZE action set: remove every live add + add
+    the compacted files, all ``dataChange: false`` (the protocol's
+    compaction commit). Shared by the self-writing path and the
+    UniForm ``data_files`` injection."""
 
     def _part_vals(rel: str) -> dict[str, str]:
         import urllib.parse

@@ -779,6 +779,19 @@ def rewrite_manifests(path: str) -> dict:
     new_seq = int(meta.get("last-sequence-number") or 0) + 1
     md = os.path.join(path, _META_DIR)
     manifest_path = os.path.join(md, f"manifest-{new_sid}-rw.avro")
+    # the manifest's partition-spec metadata must describe the SPEC
+    # THE ENTRIES USE — select by spec-id, not position (ADVICE r9:
+    # an externally-written table whose current spec id is not 0,
+    # i.e. an evolved spec, got mismatched spec fields)
+    target_spec_id = sorted(spec_ids)[0]
+    spec = next(
+        (
+            s
+            for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == target_spec_id
+        ),
+        (meta.get("partition-specs") or [{}])[0],
+    )
     write_avro(
         manifest_path,
         entry_schema,
@@ -787,9 +800,9 @@ def rewrite_manifests(path: str) -> dict:
             "schema": json.dumps(_current_schema(path)).encode(),
             "schema-id": b"0",
             "partition-spec": json.dumps(
-                (meta.get("partition-specs") or [{}])[0].get("fields", [])
+                spec.get("fields", [])
             ).encode(),
-            "partition-spec-id": str(sorted(spec_ids)[0]).encode(),
+            "partition-spec-id": str(target_spec_id).encode(),
             "format-version": str(fmt_version).encode(),
             "content": b"data",
         },
@@ -842,8 +855,217 @@ def rewrite_manifests(path: str) -> dict:
         new_meta["last-sequence-number"] = new_seq
     new_meta["snapshots"] = list(meta.get("snapshots", [])) + [new_snap]
     new_meta["current-snapshot-id"] = new_sid
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {
+            "timestamp-ms": new_snap["timestamp-ms"],
+            "snapshot-id": new_sid,
+        }
+    ]
     _commit_metadata(path, new_meta)
     out["rewritten"] = len(entries_out)
+    return out
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    path: str,
+    data_files: Sequence[str] | None = None,
+) -> dict:
+    """Iceberg's ``rewrite_data_files`` (bin-pack compaction, new
+    r10 — the Iceberg twin of ``optimize_delta``): read the CURRENT
+    snapshot's live rows (row-level deletes applied via
+    ``read_iceberg``), rewrite them as ONE data file, and commit a
+    new snapshot with ``operation=replace`` whose manifest list
+    references a single data manifest of ADDED entries. Exported
+    tables accumulate one data file per append commit, so without
+    this the per-scan file count grows unboundedly; afterwards it is
+    O(1) until the next appends. Delete manifests are DROPPED from
+    the new snapshot — compaction materializes position/equality
+    deletes into the rewritten file, Iceberg's REWRITE behavior.
+
+    ``data_files`` (absolute paths of already-written parquet files
+    holding the full live row set) skips the data write and commits
+    the replace over those files — the UniForm path
+    (``uniform.optimize_uniform``), where ONE rewritten parquet set
+    serves both formats' compaction commits.
+
+    ``read_iceberg_incremental`` refuses ranges crossing this
+    snapshot (data files really changed), exactly like Java's
+    IncrementalAppendScan; ``rewrite_manifests``'s metadata-only
+    replace still passes through.
+
+    Boundary: partitioned tables refuse — the rewrite would need to
+    regroup by partition struct and re-emit per-partition manifests
+    (``rewrite_manifests`` still compacts their METADATA).
+
+    Scale: one distributed read + one distributed write of the live
+    data, KB-scale driver metadata — the same shape as any engine's
+    compaction pass."""
+    import pyarrow.parquet as pq
+
+    meta = json.load(open(_current_metadata_path(path)))
+    fmt_version = int(meta.get("format-version", 1))
+    cur = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"Iceberg table at {path} has no current snapshot")
+    default_spec = next(
+        (
+            s
+            for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        (meta.get("partition-specs") or [{}])[0],
+    )
+    if default_spec.get("fields"):
+        raise UnsupportedIcebergFeature(
+            "rewrite_data_files on a partitioned table — "
+            "rewrite_manifests still compacts its metadata"
+        )
+    live, pos_del, eq_del = _live_files(path, cur)
+    out = {
+        "files_before": len(live),
+        "files_after": len(live),
+        "rewritten_rows": 0,
+    }
+    if data_files is None and len(live) <= 1 and not pos_del and not eq_del:
+        return out  # already compact, nothing to materialize
+    if data_files is None:
+        data_dir = os.path.join(path, "data")
+        prev_ref: set[str] = set()
+        for s in meta.get("snapshots", []):
+            try:
+                _, _, dps = _snapshot_reachable(path, s)
+                prev_ref |= dps
+            except (FileNotFoundError, OSError):
+                continue
+        read_iceberg(spark, path).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+        new_files = sorted(
+            os.path.join(root, f)
+            for root, _d, fs in os.walk(data_dir)
+            for f in fs
+            if f.endswith(".parquet")
+            and not f.startswith("_")
+            and os.path.join(root, f) not in prev_ref
+        )
+    else:
+        new_files = [os.path.abspath(f) for f in sorted(data_files)]
+        if pos_del or eq_del:
+            raise UnsupportedIcebergFeature(
+                "rewrite_data_files(data_files=...) over a table with "
+                "delete files — the injected set cannot prove the "
+                "deletes were applied"
+            )
+    if not new_files:
+        raise RuntimeError("rewrite_data_files wrote no parquet files")
+
+    new_sid = int(uuid.uuid4().int % (1 << 62))
+    new_seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(time.time() * 1000)
+    md = os.path.join(path, _META_DIR)
+    entry_schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    if fmt_version == 2:
+        entry_schema["fields"][2]["type"]["fields"].insert(
+            1, {"name": "content", "type": "int", "field-id": 134}
+        )
+    entries = []
+    for full in new_files:
+        data_file = {
+            "file_path": "file://" + full,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": pq.ParquetFile(full).metadata.num_rows,
+            "file_size_in_bytes": os.path.getsize(full),
+        }
+        if fmt_version == 2:
+            data_file["content"] = 0
+        entries.append(
+            # ADDED entries with null seq inherit the manifest's —
+            # the spec's inheritance rule _live_files implements
+            {"status": 1, "snapshot_id": new_sid, "data_file": data_file}
+        )
+    manifest_path = os.path.join(md, f"manifest-{new_sid}-rdf.avro")
+    write_avro(
+        manifest_path,
+        entry_schema,
+        entries,
+        metadata={
+            "schema": json.dumps(_current_schema(path)).encode(),
+            "schema-id": b"0",
+            "partition-spec": json.dumps(
+                default_spec.get("fields", [])
+            ).encode(),
+            "partition-spec-id": str(
+                default_spec.get("spec-id", 0)
+            ).encode(),
+            "format-version": str(fmt_version).encode(),
+            "content": b"data",
+        },
+    )
+    # the new manifest list reuses the table's OWN list schema (like
+    # rewrite_manifests) so externally-written layouts keep their
+    # exact field set; delete manifests are NOT carried forward
+    mlist_schema, _ = read_avro(_resolve(snap["manifest-list"], path))
+    total_rows = sum(e["data_file"]["record_count"] for e in entries)
+    full_row = {
+        "manifest_path": "file://" + manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": default_spec.get("spec-id", 0),
+        "added_snapshot_id": new_sid,
+        "content": 0,
+        "sequence_number": new_seq,
+        "min_sequence_number": new_seq,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+    new_row = {
+        f["name"]: full_row.get(f["name"])
+        for f in mlist_schema["fields"]
+    }
+    new_mlist = os.path.join(md, f"snap-{new_sid}.avro")
+    write_avro(
+        new_mlist,
+        mlist_schema,
+        [new_row],
+        metadata={
+            "format-version": str(fmt_version).encode(),
+            "snapshot-id": str(new_sid).encode(),
+        },
+    )
+    new_snap = {
+        "snapshot-id": new_sid,
+        "parent-snapshot-id": cur,
+        "timestamp-ms": now_ms,
+        "manifest-list": "file://" + new_mlist,
+        "summary": {
+            "operation": "replace",
+            "rewritten-data-files": str(len(live)),
+            "added-data-files": str(len(new_files)),
+        },
+    }
+    new_meta = dict(meta)
+    if fmt_version == 2:
+        new_snap["sequence-number"] = new_seq
+        new_meta["last-sequence-number"] = new_seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [new_snap]
+    new_meta["current-snapshot-id"] = new_sid
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": new_sid}
+    ]
+    _commit_metadata(path, new_meta)
+    out["files_after"] = len(new_files)
+    out["rewritten_rows"] = total_rows
     return out
 
 
@@ -1484,6 +1706,11 @@ def export_iceberg(
             new_snap
         ]
         new_meta["current-snapshot-id"] = snapshot_id
+        # extend snapshot-log so timestamp-based history matches real
+        # Iceberg writers (ADVICE r9: append never grew the log)
+        new_meta["snapshot-log"] = list(
+            prev_meta.get("snapshot-log", [])
+        ) + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
         _commit_metadata(path, new_meta)
         return n_files
     meta = {
@@ -1519,6 +1746,9 @@ def export_iceberg(
                     "added-records": str(total_rows),
                 },
             }
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
         ],
     }
     with open(os.path.join(md, "v1.metadata.json"), "w") as fh:

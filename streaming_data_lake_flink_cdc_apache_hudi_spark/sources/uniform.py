@@ -43,6 +43,8 @@ import os
 
 from pyspark.sql import DataFrame
 
+from pyspark.sql import SparkSession
+
 from .delta_interop import export_delta
 from .iceberg_interop import export_iceberg
 
@@ -104,3 +106,58 @@ def export_uniform(
         mode=mode,
     )
     return len(parts)
+
+
+def optimize_uniform(spark: SparkSession, path: str) -> dict:
+    """Bin-pack BOTH views over ONE rewritten parquet set (new r10):
+    read the Delta view's live rows, write them once as a single
+    compacted file beside the old parts, then commit (a) the Delta
+    OPTIMIZE action set (``optimize_delta(data_files=...)`` —
+    remove+add, ``dataChange: false``) and (b) the Iceberg
+    ``replace`` snapshot (``rewrite_data_files(data_files=...)``)
+    over exactly that file — so after N UniForm appends both formats'
+    scan counts drop back to O(1) without the data ever being written
+    twice or the views diverging.
+
+    Boundary: partitioned UniForm tables refuse (same rule as
+    ``rewrite_data_files``); UniForm has no delete files, so the
+    injected set always holds the full live row set.
+
+    Scale: one distributed read + one distributed write + two
+    KB-scale metadata commits — half the write cost of compacting
+    each format separately."""
+    from .delta_interop import optimize_delta, read_delta
+    from .iceberg_interop import rewrite_data_files
+
+    if any(
+        "=" in d and os.path.isdir(os.path.join(path, d))
+        for d in os.listdir(path)
+    ):
+        raise ValueError(
+            "optimize_uniform on a partitioned UniForm table is not "
+            "supported (same boundary as rewrite_data_files — the "
+            "rewrite would need per-partition manifests)"
+        )
+
+    def _parts() -> set[str]:
+        return {
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        }
+
+    live = read_delta(spark, path)
+    n_live = len(live.inputFiles())  # LIVE adds, not disk files —
+    # earlier compactions leave tombstoned parts on disk
+    if n_live <= 1:
+        return {"files_before": n_live, "files_after": n_live}
+    before = _parts()
+    # one write serves both commits; evaluated fully before either
+    # format's metadata changes
+    live.coalesce(1).write.mode("append").parquet(path)
+    new_parts = sorted(_parts() - before)
+    optimize_delta(spark, path, data_files=new_parts)
+    rewrite_data_files(
+        spark, path, data_files=[os.path.join(path, f) for f in new_parts]
+    )
+    return {"files_before": len(before), "files_after": len(new_parts)}

@@ -1,12 +1,15 @@
 """Model-based randomized differential for the Iceberg maintenance
-surface (r9): random append / expire_snapshots / rewrite_manifests
-sequences run against BOTH the real exporter/reader and a trivial
-Python model (per-snapshot row multisets + the appended delta). After
-every step the current read, every retained snapshot's time-travel
-read, and the incremental read from every retained ancestor must
-equal the model; expired snapshot ids must be gone from ``snapshots``
-and raise on time travel — maintenance may change only HOW the
-metadata is stored, never what any retained snapshot contains.
+surface (r9; rewrite_data_files added r10): random append /
+expire_snapshots / rewrite_manifests / rewrite_data_files sequences
+run against BOTH the real exporter/reader and a trivial Python model
+(per-snapshot row multisets + the appended delta). After every step
+the current read, every retained snapshot's time-travel read, and the
+incremental read from every retained ancestor must equal the model —
+and an incremental range crossing a DATA rewrite must refuse (Java's
+IncrementalAppendScan contract), while metadata-only manifest
+rewrites pass through. Expired snapshot ids must be gone from
+``snapshots`` and raise on time travel. Maintenance may change only
+HOW the data is stored, never what any retained snapshot contains.
 """
 
 from __future__ import annotations
@@ -17,10 +20,12 @@ from collections import Counter
 import pytest
 
 from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+    UnsupportedIcebergFeature,
     expire_snapshots,
     export_iceberg,
     read_iceberg,
     read_iceberg_incremental,
+    rewrite_data_files,
     rewrite_manifests,
     snapshots,
 )
@@ -53,9 +58,12 @@ def test_random_iceberg_maintenance_matches_model(
         sid0: (Counter(base), Counter(base))
     }
     lineage: list[int] = [sid0]  # retained, oldest -> newest
+    data_rewrites: set[int] = set()  # replace snapshots that MOVED data
 
-    for step in range(10):
-        op = rng.choice(["append", "append", "expire", "rewrite"])
+    for step in range(12):
+        op = rng.choice(
+            ["append", "append", "expire", "rewrite", "rewrite_data"]
+        )
         if op == "append":
             rows = fresh_rows(rng.randint(1, 3))
             export_iceberg(mk(rows), path, mode="append")
@@ -69,14 +77,26 @@ def test_random_iceberg_maintenance_matches_model(
             keep = rng.randint(1, 3)
             expire_snapshots(path, keep_last=keep)
             lineage = lineage[-keep:]
-        else:
+        elif op == "rewrite":
             rewrite_manifests(path)
             # compaction commits a REAL replace snapshot: same rows,
             # empty delta (incremental reads skip it, like Java's
-            # IncrementalAppendScan ignores REPLACE)
+            # IncrementalAppendScan ignores metadata-only REPLACE)
             sid = snapshots(path)[-1]["snapshot_id"]
             model[sid] = (Counter(model[lineage[-1]][0]), Counter())
             lineage.append(sid)
+        else:  # rewrite_data (bin-pack compaction, new r10)
+            res = rewrite_data_files(spark, path)
+            if res["files_before"] > 1:
+                sid = snapshots(path)[-1]["snapshot_id"]
+                model[sid] = (Counter(model[lineage[-1]][0]), Counter())
+                lineage.append(sid)
+                data_rewrites.add(sid)
+                # the pinned scan-count contract: one file afterwards
+                assert len(read_iceberg(spark, path).inputFiles()) == 1
+            else:
+                # already compact: a no-op commits NO snapshot
+                assert snapshots(path)[-1]["snapshot_id"] == lineage[-1]
         live = {s["snapshot_id"] for s in snapshots(path)}
         assert live == set(lineage), (seed, step, op)
         cur = _rows_of(read_iceberg(spark, path))
@@ -85,8 +105,15 @@ def test_random_iceberg_maintenance_matches_model(
             got = _rows_of(read_iceberg(spark, path, snapshot_id=sid))
             assert got == model[sid][0], (seed, step, op, sid)
         # incremental from every retained ancestor = the union of the
-        # deltas after it
+        # deltas after it — unless a DATA rewrite sits in the range,
+        # which must refuse
         for i, sid in enumerate(lineage[:-1]):
+            if any(s in data_rewrites for s in lineage[i + 1 :]):
+                with pytest.raises(
+                    UnsupportedIcebergFeature, match="non-append"
+                ):
+                    read_iceberg_incremental(spark, path, sid)
+                continue
             want = Counter()
             for later in lineage[i + 1 :]:
                 want += model[later][1]

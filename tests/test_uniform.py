@@ -212,6 +212,60 @@ def test_uniform_append_partitioned_keeps_pruning(spark, tmp_path):
     )
 
 
+def test_uniform_optimize_compacts_both_views(spark, tmp_path):
+    """r10: optimize_uniform bin-packs BOTH formats' views over ONE
+    rewritten parquet set — rows unchanged in each view, both scan
+    exactly the same single file afterwards, incremental reads across
+    the compaction refuse (data really moved), appends keep working,
+    and partitioned tables refuse."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        UnsupportedIcebergFeature,
+        read_iceberg_incremental,
+        snapshots,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.uniform import (
+        optimize_uniform,
+    )
+
+    path = str(tmp_path / "uniform_opt")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_uniform(mk([(1, "a"), (2, "b")]), path)
+    sid0 = snapshots(path)[-1]["snapshot_id"]
+    export_uniform(mk([(3, "c")]), path, mode="append")
+    export_uniform(mk([(4, "d")]), path, mode="append")
+    res = optimize_uniform(spark, path)
+    assert res["files_after"] == 1 and res["files_before"] > 1
+    want = [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    d = read_delta(spark, path)
+    i = read_iceberg(spark, path)
+    assert sorted(map(tuple, d.collect())) == want
+    assert sorted(map(tuple, i.collect())) == want
+    # the pinned scan-count contract: ONE file, the SAME file
+    assert len(d.inputFiles()) == 1 and d.inputFiles() == i.inputFiles()
+    assert snapshots(path)[-1]["summary"]["operation"] == "replace"
+    with _pytest.raises(UnsupportedIcebergFeature, match="non-append"):
+        read_iceberg_incremental(spark, path, sid0)
+    # idempotent: already compact -> no new commit
+    assert optimize_uniform(spark, path)["files_before"] == 1
+    # appends continue in lockstep afterwards
+    export_uniform(mk([(5, "e")]), path, mode="append")
+    assert sorted(map(tuple, read_delta(spark, path).collect())) == (
+        want + [(5, "e")]
+    )
+    assert sorted(map(tuple, read_iceberg(spark, path).collect())) == (
+        want + [(5, "e")]
+    )
+    # partitioned uniform refuses
+    p2 = str(tmp_path / "uniform_opt_part")
+    export_uniform(
+        mk([(1, "a"), (2, "b")]), p2, partition_by=["v"]
+    )
+    with _pytest.raises(ValueError, match="partitioned"):
+        optimize_uniform(spark, p2)
+
+
 def test_uniform_random_append_sequences_stay_lockstep(spark, tmp_path):
     """r9 model check: after EVERY append in a random sequence, the
     Delta view, the Iceberg view, and the model multiset agree, and
