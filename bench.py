@@ -73,10 +73,15 @@ def main() -> None:
     per_sf = _per_sf_sweep(spark, names, sf_dir, timings)
     cep = _cep_suite_bench(spark, sf_dir)
     media = _media_suite_bench(spark, sf_dir)
-    # A/B covers the headline set AND the CEP suite (the Python-side
+    # A/B covers the headline set, the CEP suite (the Python-side
     # matcher is the most regression-prone surface; its round-7 4-7x
-    # win was only docstring-evidenced until it joined the A/B)
-    ab = _prev_round_ab(spark, names + list(cep["queries"]), sf_dir)
+    # win was only docstring-evidenced until it joined the A/B), and
+    # — from r10, now that r9 is the prev rev — the media suite
+    ab = _prev_round_ab(
+        spark,
+        names + list(cep["queries"]) + list(media["queries"]),
+        sf_dir,
+    )
 
     total = round(sum(timings.values()), 3)
     detail = {

@@ -590,15 +590,48 @@ def _grouped_match(
                 f"got {mode!r}"
             )
 
-    def measure_val(pdf, idxs, agg, col, mi):
+    def measure_val(pdf, idxs, agg, col, mi, arrs=None):
         """One aggregate over the given row positions (SQL semantics:
-        empty -> NULL, COUNT -> row count, sum/avg skip nulls)."""
+        empty -> NULL, COUNT -> row count, sum/avg skip nulls).
+
+        ``arrs`` is a per-GROUP numpy column cache: per-match pandas
+        ``.iloc[list]`` + ``dropna`` were the profiled hot path after
+        the r10 matcher speedups. int/uint/float columns take the
+        numpy path (identical results — NaN is float's only null);
+        every other dtype keeps the exact pandas semantics and return
+        types (Timestamps, strings, objects)."""
         if agg == "match_number":
             return mi
         if agg == "count":
             return len(idxs)
         if not idxs:
             return None
+        arr = None
+        if arrs is not None:
+            arr = arrs.get(col)
+            if arr is None:
+                a = pdf[col].to_numpy()
+                # False marks "not numeric: use the pandas path"
+                arr = arrs[col] = a if a.dtype.kind in "iuf" else False
+            if arr is False:
+                arr = None
+        if arr is not None:
+            if agg == "first":
+                return arr[idxs[0]]
+            if agg == "last":
+                return arr[idxs[-1]]
+            vals = arr[idxs]
+            if arr.dtype.kind == "f":
+                vals = vals[vals == vals]  # drop NaN (float's null)
+            if len(vals) == 0:
+                return None
+            if agg == "avg":
+                return float(vals.mean())
+            return (
+                vals.sum()
+                if agg == "sum"
+                else (vals.min() if agg == "min" else vals.max())
+            )
         vals = pdf[col].iloc[idxs]
         if agg == "first":
             return vals.iloc[0]
@@ -634,6 +667,7 @@ def _grouped_match(
         def all_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             types, btoks = bind_toks(pdf)
             times_us = pdf["_cep_us"].to_numpy()
+            arrs: dict = {}  # per-group numpy cache for measure_val
             idxs: list[int] = []
             mnos: list[int] = []
             cls: list[str] = []
@@ -656,7 +690,7 @@ def _grouped_match(
                 for j, (_, agg, tis, col, mode) in enumerate(measures):
                     midx = [i for ti, i in rows if ti in tis]
                     if mode == "final" or agg == "match_number":
-                        v = measure_val(pdf, midx, agg, col, mi)
+                        v = measure_val(pdf, midx, agg, col, mi, arrs)
                         mvals[j].extend([v] * len(rows))
                     else:
                         # RUNNING: rows bound so far, emitted row incl.
@@ -668,6 +702,7 @@ def _grouped_match(
                                     agg,
                                     col,
                                     mi,
+                                    arrs,
                                 )
                             )
             out = pdf.take(idxs).reset_index(drop=True)
@@ -708,6 +743,7 @@ def _grouped_match(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         types, btoks = bind_toks(pdf)
         times_us = pdf["_cep_us"].to_numpy()
+        arrs: dict = {}  # per-group numpy cache for measure_val
 
         def mval(assigns, agg, tis, col, mi):
             idxs = [
@@ -716,7 +752,7 @@ def _grouped_match(
                 if ti in tis
                 for i in range(pos, pos + take)
             ]
-            return measure_val(pdf, idxs, agg, col, mi)
+            return measure_val(pdf, idxs, agg, col, mi, arrs)
 
         ms = scan_matches(
             types, times_us, btoks, within_us, skip_past, skip_to
@@ -1167,19 +1203,31 @@ def _vec_eval(node, pdf, lits, gkey=None):
     return ev(node)
 
 
-def _ctx_eval(node, i, pdf, spans, var, lits):
+def _ctx_eval(node, i, pdf, spans, var, lits, arrs=None):
     """Per-row (match-relative) evaluation at row ``i`` given the
     variable spans bound so far. Null/None/NaN operands make
-    comparisons False and arithmetic None (SQL unknown)."""
+    comparisons False and arithmetic None (SQL unknown).
+
+    ``arrs`` is an optional per-GROUP numpy column cache (dict the
+    caller keeps across rows): pandas ``.iat`` scalar access was the
+    profiled hot path (r10 — frame.__getitem__ chains dominated the
+    SUBSET-union query), one ``to_numpy()`` per referenced column
+    amortizes it away."""
     n = len(pdf)
 
     def isnull(v):
         return v is None or (isinstance(v, float) and v != v)
 
+    if arrs is None:
+        arrs = {}
+
     def colval(col, at):
         if at is None or at < 0 or at >= n:
             return None
-        v = pdf[col].iat[at]
+        arr = arrs.get(col)
+        if arr is None:
+            arr = arrs[col] = pdf[col].to_numpy()
+        v = arr[at]
         return None if isnull(v) else v
 
     def ev(node, at):
@@ -1335,8 +1383,51 @@ def compile_define(
 
         return "mask", mask_fn, frozenset(cols)
 
+    # r10 perf (the cep_subset_union A/B watch item): split a
+    # top-level AND into row-local conjuncts — vectorized ONCE per
+    # group, exactly like a pure mask DEFINE — and the genuinely
+    # match-relative rest. In descent/ascent shapes most candidate
+    # rows fail the cheap local conjunct (e.g. ``cents >
+    # PREV(cents)``), and rejecting them BEFORE building spans and
+    # walking the ctx tree removes the profiled per-row cost. AND is
+    # commutative here: every conjunct collapses null to False at
+    # the comparison, so evaluation order cannot change the result.
+    local_tree = ctx_tree = None
+    if isinstance(tree, _ast.BoolOp) and isinstance(tree.op, _ast.And):
+        local_parts, ctx_parts = [], []
+        for sub in tree.values:
+            sub_ctx, _ = _analyze_define(
+                sub, var, frozenset(all_vars), expr
+            )
+            (ctx_parts if sub_ctx else local_parts).append(sub)
+        if local_parts and ctx_parts:
+            local_tree = (
+                local_parts[0]
+                if len(local_parts) == 1
+                else _ast.BoolOp(op=_ast.And(), values=local_parts)
+            )
+            ctx_tree = (
+                ctx_parts[0]
+                if len(ctx_parts) == 1
+                else _ast.BoolOp(op=_ast.And(), values=ctx_parts)
+            )
+    if ctx_tree is None:
+        ctx_tree = tree
+
     def maker(pdf, tok_var):
+        lmask = None
+        if local_tree is not None:
+            lv = _vec_eval(local_tree, pdf, lits)
+            lmask = (
+                lv.fillna(False).astype(bool).to_numpy()
+                if hasattr(lv, "to_numpy")
+                else np.full(len(pdf), bool(lv))
+            )
+        arrs: dict = {}  # per-group numpy column cache for _ctx_eval
+
         def fn(i, bound, run_start):
+            if lmask is not None and not lmask[i]:
+                return False
             # positions are UNIONED per variable name, not overwritten:
             # PATTERN (A B A) binds A via two tokens, and Flink resolves
             # FIRST(A.col)/LAST(A.col) against all rows mapped to A.
@@ -1360,7 +1451,7 @@ def compile_define(
                 )
                 if pos:
                     spans[u.upper()] = pos
-            v = _ctx_eval(tree, i, pdf, spans, var, lits)
+            v = _ctx_eval(ctx_tree, i, pdf, spans, var, lits, arrs)
             return bool(v) if v is not None else False
 
         return fn
