@@ -670,9 +670,13 @@ def rewrite_window_tvf(statement: str, spark=None) -> str:
     window_end[, keys]`` becomes ``GROUP BY session_window(ts, gap)
     [, keys]`` with ``window_start``/``window_end`` resolved to the
     session struct's bounds — identical half-open merge semantics,
-    state-backed across micro-batches. Non-aggregate shapes raise:
-    Spark assigns MERGED sessions only during aggregation, so the
-    row-tagging TVF form is genuinely batch-only.
+    state-backed across micro-batches. The MEASURES-less per-row
+    (row-tagging) shape works on streams too (new r10): Spark
+    assigns MERGED sessions only during aggregation, so it routes
+    through the same ``session_window`` grouping with
+    ``collect_list(struct(*))`` per session, exploded back to rows
+    tagged with their session's final bounds. Aggregate shapes whose
+    GROUP BY omits window_start/window_end still raise.
     """
     import re
 
@@ -828,12 +832,31 @@ def _streaming_session_stmt(statement, m, ts, gap):
     stmt = statement.replace(m.group(0), f"`{m.group(2)}`")
     gb = re.search(r"\bGROUP\s+BY\b", stmt, re.IGNORECASE)
     if gb is None:
-        raise ValueError(
-            "SESSION over a STREAMING view supports the aggregate "
-            "shape only (… GROUP BY window_start, window_end[, keys]) "
-            "— Spark assigns merged sessions only during aggregation; "
-            "run the row-tagging TVF form on a batch view"
+        # MEASURES-less per-row shape (new r10): Spark assigns merged
+        # sessions only during aggregation, so the row-tagging form
+        # routes through the SAME native session_window grouping —
+        # collect_list(struct(*)) per session, exploded back to rows
+        # tagged with their session's bounds. State per key is the
+        # open session's row list (the row-tagging contract: every
+        # row of a session is emitted with its FINAL bounds, which
+        # are unknowable until the session closes). Drop-in derived
+        # table, so arbitrary outer selects/filters keep working.
+        keys = [
+            k.strip().strip("`")
+            for k in (m.group(3) or "").split(",")
+            if k.strip()
+        ]
+        sw = f"session_window(`{ts}`, '{gap}')"
+        gb_keys = "".join(f", `{k}`" for k in keys)
+        inner = (
+            "(SELECT r.*, _sw.start AS window_start, "
+            "_sw.end AS window_end "
+            f"FROM (SELECT {sw} AS _sw, "
+            "collect_list(struct(*)) AS _rows "
+            f"FROM `{m.group(2)}` GROUP BY {sw}{gb_keys}) "
+            "LATERAL VIEW explode(_rows) _e AS r)"
         )
+        return statement.replace(m.group(0), inner)
     tail_m = re.search(
         r"\b(HAVING|ORDER\s+BY|LIMIT)\b", stmt[gb.end():], re.IGNORECASE
     )

@@ -1159,6 +1159,64 @@ def test_streaming_session_tvf_composite_exprs(spark, tmp_path):
     assert all(r[2] >= 300 for r in got)  # every session spans >= gap
 
 
+def test_streaming_session_tvf_row_tagging_shape(spark, tmp_path):
+    """r10 (VERDICT r9 stretch): the MEASURES-less per-row SESSION
+    shape runs on STREAMS — native session_window grouping +
+    collect_list(struct(*)) + explode tags every row with its merged
+    session's FINAL bounds. Batch parity with the gaps-and-islands
+    row-tagging rewrite across a micro-batch boundary; outer filters
+    over the derived table keep working."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import (
+        rewrite_window_tvf,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path / "sessrow"
+    d.mkdir()
+    half = ev.count() // 2
+    ev.limit(half).write.parquet(str(d / "a.parquet"))
+    ev.subtract(ev.limit(half)).write.parquet(str(d / "b.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    stream.createOrReplaceTempView("events_stream_rowsess")
+    ev.createOrReplaceTempView("events_batch_rowsess")
+    sql = (
+        "SELECT user_id, event_id, window_start, window_end "
+        "FROM TABLE(SESSION(TABLE {t} PARTITION BY user_id, "
+        "DESCRIPTOR(ts), INTERVAL '5' MINUTES)) "
+        "WHERE user_id < 40"
+    )
+    sdf = spark.sql(
+        rewrite_window_tvf(sql.format(t="events_stream_rowsess"),
+                           spark=spark)
+    )
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rowsess_q")
+        .option("checkpointLocation", str(tmp_path / "ck_rs"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM rowsess_q").collect())
+    )
+    q.stop()
+    want = sorted(
+        map(
+            tuple,
+            spark.sql(
+                rewrite_window_tvf(sql.format(t="events_batch_rowsess"))
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 50
+
+
 def test_stream_define_cep_parity_with_batch(spark, tmp_path):
     """streaming/stateful.py pattern_match_define_stream: the DEFINE
     V-shape across time-split micro-batches emits exactly the batch
