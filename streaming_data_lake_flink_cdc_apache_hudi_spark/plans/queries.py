@@ -2656,6 +2656,54 @@ def q_uniform_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_dv_delete_read",
+    """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE NOT (s_nationkey < 10 OR s_suppkey % 7 = 0)
+""",
+    doc="Row-level DELETE via DELETION VECTORS (new r10 — the WRITE "
+    "side of the reader's protocol-v3 DV support), value-oracled: "
+    "supplier exports as two append commits, then TWO delete_delta "
+    "calls (s_nationkey < 10, then s_suppkey % 7 = 0 — the second "
+    "MERGES its positions into the first's sidecars) mark rows "
+    "deleted without rewriting any data file: per-file "
+    "RoaringBitmapArray sidecars written by applyInPandas workers "
+    "(positions never touch the driver), remove+add commits carrying "
+    "u-storage descriptors, protocol upgraded to v3/v7 "
+    "deletionVectors. The read applies the DVs via the _metadata "
+    "anti-join and must equal the plain WHERE NOT oracle; a "
+    "version_as_of guard (pre-delete read minus the full source, "
+    "riding the value hash as extra rows when wrong) pins that the "
+    "delete never mutated the original files.",
+)
+def q_delta_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import (
+        delete_delta,
+        export_delta,
+        read_delta,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="delta_dv_del_")
+    t = f"{root}/t"
+    export_delta(s.filter(F.col("s_suppkey") % 2 == 0), t)
+    export_delta(
+        s.filter(F.col("s_suppkey") % 2 == 1), t, mode="append"
+    )
+    delete_delta(spark, t, "s_nationkey < 10")
+    delete_delta(spark, t, "s_suppkey % 7 = 0")
+    cols = ["s_suppkey", "s_name", "s_nationkey"]
+    post = read_delta(spark, t).select(*cols)
+    # guard: version 1 (pre-delete) must still equal the full source
+    pre = read_delta(spark, t, version_as_of=1).select(*cols)
+    return post.unionAll(pre.exceptAll(s)).unionAll(s.exceptAll(pre))
+
+
+@register(
     "uniform_optimize_read",
     """
 SELECT r_regionkey, r_name FROM region

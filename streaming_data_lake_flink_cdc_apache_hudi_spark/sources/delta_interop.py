@@ -1361,6 +1361,179 @@ def cleanup_log(path: str) -> int:
     return removed
 
 
+def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Row-level DELETE on an exported Delta table via DELETION
+    VECTORS (new r10 — the write side of the reader's protocol-v3 DV
+    support): rows matching ``predicate`` are marked deleted WITHOUT
+    rewriting any data file.
+
+    How: one scan of the live files carrying the hidden parquet
+    ``_metadata.file_path``/``row_index`` columns (partition values
+    re-attached and column mapping resolved, so predicates bind
+    logical names), filtered by the predicate; the matched positions
+    group by file into ``applyInPandas`` workers that each serialize
+    the spec's 64-bit RoaringBitmapArray (``
+    serialize_roaring_bitmap_array``), union it with the file's
+    EXISTING deletion vector when one is present, and write a
+    ``deletion_vector_<uuid>.bin`` sidecar (1-byte version, 4-byte
+    big-endian size, payload, CRC32 — the layout ``_dv_payload``
+    and delta-spark read). The commit is one remove+add pair per
+    touched file, the add carrying the ``u``-storage DV descriptor
+    (relative-path Base85 uuid, offset 1), plus a protocol upgrade
+    to v3/v7 ``deletionVectors`` features when the table is not
+    there yet — after which delta-spark reads the table minus the
+    deleted rows. ``optimize_delta`` later materializes and purges
+    the DVs (REORG semantics); superseded ``.bin`` sidecars are
+    garbage delta-spark's VACUUM also leaves until its retention
+    passes.
+
+    Scale: positions never pass through the driver — each worker
+    writes its own file's bitmap; the driver sees one KB-scale
+    descriptor row per touched file. The sidecar write uses the
+    local filesystem (the lake layouts this engine exports); an
+    object-store deployment would swap in pyarrow.fs like the read
+    path."""
+    from pyspark.sql import functions as F
+
+    adds, meta, proto = _replay_log(spark, path)
+    if meta is None:
+        raise UnsupportedDeltaFeature("table has no metaData action")
+    if not adds:
+        return {"version": None, "deleted_rows": 0, "files_touched": 0}
+    live = _frame_from_adds(spark, path, adds, meta, with_meta=True)
+    matches = live.filter(predicate).select("_dv_fp", "_dv_pos")
+    table_abs = os.path.abspath(path)
+    rel_by_abs = {
+        os.path.abspath(os.path.join(path, p)): p for p in adds
+    }
+    dv_by_abs = {
+        os.path.abspath(os.path.join(path, p)): json.dumps(
+            a["deletionVector"]
+        )
+        for p, a in adds.items()
+        if a.get("deletionVector")
+    }
+    bdv = spark.sparkContext.broadcast(dv_by_abs)
+
+    def _write_dv(pdf):
+        import base64
+        import uuid as _uuid
+
+        import pandas as pd
+
+        fp = pdf["_dv_fp"].iloc[0]
+        pos = {int(x) for x in pdf["_dv_pos"]}
+        old_card = 0
+        prev = bdv.value.get(fp)
+        if prev:
+
+            def rb(p):
+                with open(p, "rb") as fh:
+                    return fh.read()
+
+            old = decode_roaring_bitmap_array(
+                _dv_payload(table_abs, json.loads(prev), rb)
+            )
+            old_card = len(old)
+            pos.update(old)
+        payload = serialize_roaring_bitmap_array(sorted(pos))
+        u = _uuid.uuid4()
+        blob = (
+            b"\x01"
+            + struct.pack(">i", len(payload))
+            + payload
+            + struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+        )
+        with open(
+            os.path.join(table_abs, f"deletion_vector_{u}.bin"), "wb"
+        ) as fh:
+            fh.write(blob)
+        return pd.DataFrame(
+            {
+                "fp": [fp],
+                "uuid_b85": [base64.b85encode(u.bytes).decode()],
+                "size": [len(payload)],
+                "card": [len(pos)],
+                "old_card": [old_card],
+            }
+        )
+
+    touched = matches.groupBy("_dv_fp").applyInPandas(
+        _write_dv,
+        "fp string, uuid_b85 string, size long, card long, old_card long",
+    ).collect()  # bounded: one descriptor row per touched file
+    if not touched:
+        return {"version": None, "deleted_rows": 0, "files_touched": 0}
+    actions: list[dict] = []
+    feats = set((proto or {}).get("readerFeatures") or [])
+    if (
+        proto is None
+        or int(proto.get("minReaderVersion", 1)) < 3
+        or "deletionVectors" not in feats
+    ):
+        cm = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        upgraded = sorted(
+            feats
+            | {"deletionVectors"}
+            | ({"columnMapping"} if cm not in ("none", None) else set())
+        )
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": upgraded,
+                    "writerFeatures": upgraded,
+                }
+            }
+        )
+    deleted = 0
+    for r in sorted(touched, key=lambda r: r["fp"]):
+        rel = rel_by_abs[r["fp"]]
+        old_add = adds[rel]
+        deleted += r["card"] - r["old_card"]
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "dataChange": True,
+                    "deletionTimestamp": int(
+                        os.stat(r["fp"]).st_mtime * 1000
+                    ),
+                }
+            }
+        )
+        new_add = dict(old_add)
+        new_add["dataChange"] = True
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": r["uuid_b85"],
+            "offset": 1,
+            "sizeInBytes": int(r["size"]),
+            "cardinality": int(r["card"]),
+        }
+        actions.append({"add": new_add})
+    log_dir = os.path.join(path, _LOG_DIR)
+    versions = [
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    ]
+    cp = _read_last_checkpoint(path)
+    version = (
+        max(versions + ([cp["version"]] if cp else []) or [-1]) + 1
+    )
+    with open(_log_path(path, version), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return {
+        "version": version,
+        "deleted_rows": deleted,
+        "files_touched": len(touched),
+    }
+
+
 def vacuum_delta(
     spark: SparkSession, path: str, retain_versions: int = 0
 ) -> dict:

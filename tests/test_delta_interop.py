@@ -1142,6 +1142,79 @@ def test_export_delta_append_commits_next_version(spark, tmp_path):
     }
 
 
+def test_delete_delta_writes_deletion_vectors(spark, tmp_path):
+    """r10: delete_delta marks rows deleted via real DV sidecars —
+    no data rewrite. Second deletes MERGE with existing DVs, time
+    travel before the delete sees everything, checkpoints carry the
+    descriptor through cleanup, OPTIMIZE purges the DVs, and the
+    protocol upgrades to v3/v7 deletionVectors features. Partitioned
+    and column-mapped tables work (the scan resolves both before the
+    predicate binds)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        cleanup_log,
+        delete_delta,
+        optimize_delta,
+        write_checkpoint,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    path = str(tmp_path / "dv_del")
+    export_delta(mk([(i, chr(97 + i % 5)) for i in range(20)]), path)
+    export_delta(
+        mk([(i, chr(97 + i % 5)) for i in range(20, 30)]),
+        path,
+        mode="append",
+    )
+    res = delete_delta(spark, path, "id % 3 = 0")
+    assert res["deleted_rows"] == 10 and res["files_touched"] >= 1
+    want = [i for i in range(30) if i % 3 != 0]
+    assert sorted(r[0] for r in read_delta(spark, path).collect()) == want
+    # a real .bin sidecar exists; data files untouched
+    assert any(
+        f.startswith("deletion_vector_") and f.endswith(".bin")
+        for f in os.listdir(path)
+    )
+    # protocol upgraded in the delete commit
+    v2 = os.path.join(path, "_delta_log", "%020d.json" % res["version"])
+    acts = [json.loads(l) for l in open(v2) if l.strip()]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos and protos[0]["minReaderVersion"] == 3
+    assert "deletionVectors" in protos[0]["readerFeatures"]
+    # second delete merges with the existing DVs
+    delete_delta(spark, path, "v = 'b'")
+    want2 = [i for i in want if chr(97 + i % 5) != "b"]
+    assert sorted(r[0] for r in read_delta(spark, path).collect()) == want2
+    # no-match delete commits nothing
+    assert delete_delta(spark, path, "id = 999")["files_touched"] == 0
+    # time travel to the pre-delete version still serves every row
+    assert sorted(
+        r[0] for r in read_delta(spark, path, version_as_of=1).collect()
+    ) == list(range(30))
+    # checkpoint round-trips the DV descriptor; OPTIMIZE purges DVs
+    write_checkpoint(spark, path)
+    cleanup_log(path)
+    assert sorted(r[0] for r in read_delta(spark, path).collect()) == want2
+    optimize_delta(spark, path)
+    d = read_delta(spark, path)
+    assert sorted(r[0] for r in d.collect()) == want2
+    assert len(d.inputFiles()) == 1
+    # partitioned: predicate over the re-attached partition column
+    p2 = str(tmp_path / "dv_part")
+    export_delta(
+        mk([(1, "a"), (2, "b"), (3, "a"), (4, "c")]),
+        p2,
+        partition_by=["v"],
+    )
+    delete_delta(spark, p2, "v = 'a' OR id = 4")
+    assert sorted(r[0] for r in read_delta(spark, p2).collect()) == [2]
+    # column-mapped: predicate binds LOGICAL names
+    p3 = str(tmp_path / "dv_mapped")
+    export_delta(mk([(1, "a"), (2, "b"), (3, "c")]), p3,
+                 column_mapping="name")
+    delete_delta(spark, p3, "v = 'b'")
+    assert sorted(r[0] for r in read_delta(spark, p3).collect()) == [1, 3]
+
+
 def test_export_delta_append_onto_column_mapped(spark, tmp_path):
     """r10 (VERDICT r9 ask #3): append inherits the table's column
     mapping from its metaData — name AND id mode — so appended files

@@ -29,6 +29,7 @@ import pytest
 from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
     UnsupportedDeltaFeature,
     cleanup_log,
+    delete_delta,
     export_delta,
     optimize_delta,
     read_delta,
@@ -65,10 +66,35 @@ def test_random_maintenance_sequences_match_model(spark, tmp_path, seed):
     cps_on_disk: set[int] = set()  # checkpoint FILES survive cleanup
 
     ops = ["append", "append", "optimize", "checkpoint", "cleanup",
-           "vacuum"]
+           "vacuum", "delete"]
     for step in range(14):
         op = rng.choice(ops)
-        if op == "append":
+        if op == "delete":
+            # DV delete (new r10): rows vanish, the FILE SET does not
+            # (sidecar bitmaps, not rewrites) — so the version mints
+            # no new token and inherits its parent's
+            live_ids = sorted({k[0] for k in versions[-1]})
+            if not live_ids:
+                continue
+            victims = rng.sample(
+                live_ids, rng.randint(1, min(3, len(live_ids)))
+            )
+            res = delete_delta(
+                spark, path,
+                f"id IN ({', '.join(map(str, victims))})",
+            )
+            assert res["files_touched"] >= 1
+            assert res["version"] == len(versions)
+            gone = set(victims)
+            versions.append(
+                Counter(
+                    {k: c for k, c in versions[-1].items()
+                     if k[0] not in gone}
+                )
+            )
+            vfiles.append(set(vfiles[-1]))
+            reconstructable.add(len(versions) - 1)
+        elif op == "append":
             rows = fresh_rows(rng.randint(1, 4))
             export_delta(mk(rows), path, mode="append")
             versions.append(versions[-1] + Counter(rows))
