@@ -411,18 +411,7 @@ def export_delta(
                     "not supported (partition directories carry "
                     "physical names)"
                 )
-            append_field_meta = {}
-            for f in json.loads(prev_m["schemaString"])["fields"]:
-                fm = f.get("metadata") or {}
-                cid = fm.get("delta.columnMapping.id")
-                phys = fm.get("delta.columnMapping.physicalName")
-                if cid is None or not phys:
-                    raise UnsupportedDeltaFeature(
-                        f"append: mapped table field {f['name']!r} "
-                        "carries no delta.columnMapping.id/"
-                        "physicalName to write under"
-                    )
-                append_field_meta[f["name"]] = (int(cid), phys)
+            append_field_meta = _mapped_field_meta(prev_m, "append")
     phys_df, field_meta = df, {}
     if column_mapping:
         field_meta = append_field_meta or {
@@ -548,6 +537,25 @@ def export_delta(
     with open(_log_path(path, append_version or 0), "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
     return len(parts)
+
+
+def _mapped_field_meta(meta: dict, what: str) -> dict[str, tuple[int, str]]:
+    """{logical name: (column id, physical name)} from a mapped
+    table's metaData — the map a writer needs to land new files that
+    resolve exactly like the table's existing ones (append, OPTIMIZE).
+    Raises when a field lacks the mapping metadata."""
+    out: dict[str, tuple[int, str]] = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        fm = f.get("metadata") or {}
+        cid = fm.get("delta.columnMapping.id")
+        phys = fm.get("delta.columnMapping.physicalName")
+        if cid is None or not phys:
+            raise UnsupportedDeltaFeature(
+                f"{what}: mapped table field {f['name']!r} carries no "
+                "delta.columnMapping.id/physicalName to write under"
+            )
+        out[f["name"]] = (int(cid), phys)
+    return out
 
 
 def _read_last_checkpoint(path: str) -> dict | None:
@@ -1650,9 +1658,12 @@ def optimize_delta(
     lake compaction: one distributed read + one distributed write,
     KB-scale action records on the driver.
 
-    Column-mapped tables refuse — the rewrite would have to reproduce
-    physical names / field ids, which the exporter only does on a
-    fresh table.
+    Column-mapped tables compact too (new r10): the rewrite reuses
+    the table's metaData mapping — logical rows rename to the
+    recorded physicalNames as the final projection before the write
+    (id mode re-stamps parquet field_ids), so compacted files resolve
+    exactly like the originals. Partitioned mapped tables still
+    refuse (partition directories carry physical names).
 
     ``data_files`` (relative paths, already written, holding the FULL
     live row set — new r10) skips the data write and commits the
@@ -1662,15 +1673,18 @@ def optimize_delta(
     adds, meta, _ = _replay_log(spark, path)
     if meta is None:
         raise UnsupportedDeltaFeature("table has no metaData action")
-    if (meta.get("configuration") or {}).get(
+    cm = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
-    ) not in ("none", None):
-        raise UnsupportedDeltaFeature(
-            "OPTIMIZE on a column-mapped table is not supported"
-        )
+    )
+    cm = False if cm in ("none", None) else cm
     if not adds:
         return {"version": None, "removed_files": 0, "added_files": 0}
     part_cols = meta.get("partitionColumns") or []
+    if cm and part_cols:
+        raise UnsupportedDeltaFeature(
+            "OPTIMIZE on a PARTITIONED column-mapped table is not "
+            "supported (partition directories carry physical names)"
+        )
     if data_files is not None:
         # injection (the UniForm path, new r10): the caller already
         # wrote the compacted parquet set holding the FULL live row
@@ -1724,6 +1738,25 @@ def optimize_delta(
         w = df.coalesce(1)
         if zexpr is not None:
             w = w.sortWithinPartitions(zexpr)
+        if cm:
+            # rewrite under the TABLE's mapping (r10 — the rename is
+            # the LAST projection so the z-order sort above, expressed
+            # on logical names, still applies; id mode re-stamps the
+            # parquet field_ids exactly like the mapped append path)
+            fm = _mapped_field_meta(meta, "OPTIMIZE")
+            w = w.select(
+                *(
+                    w[name].alias(
+                        phys,
+                        **(
+                            {"metadata": {"parquet.field.id": cid}}
+                            if cm == "id"
+                            else {}
+                        ),
+                    )
+                    for name, (cid, phys) in fm.items()
+                )
+            )
         w.write.mode("append").parquet(path)
     new_files = sorted(_data_file_set(path) - before)
     return _commit_optimize(path, adds, meta, part_cols, new_files)

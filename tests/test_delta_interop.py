@@ -1462,11 +1462,30 @@ def test_optimize_delta_compacts_files(spark, tmp_path):
     assert {
         f.rsplit("/", 2)[-2] for f in d.filter("k = 'x'").inputFiles()
     } == {"k=x"}
-    # column-mapped tables refuse
-    p3 = str(tmp_path / "delta_opt_cm")
-    export_delta(mk([(1, "x")]), p3, column_mapping="name")
-    with pytest.raises(UnsupportedDeltaFeature, match="column-mapped"):
-        optimize_delta(spark, p3)
+    # column-mapped tables compact too (r10): rewritten files store
+    # PHYSICAL names (+ field ids in id mode) so they resolve exactly
+    # like the originals
+    import pyarrow.parquet as pq
+
+    for mode in ("name", "id"):
+        p3 = str(tmp_path / f"delta_opt_cm_{mode}")
+        export_delta(mk([(1, "x"), (2, "y")]), p3, column_mapping=mode)
+        export_delta(mk([(3, "z")]), p3, mode="append")
+        res3 = optimize_delta(spark, p3, zorder_by=["id"])
+        assert res3["added_files"] == 1
+        d3 = read_delta(spark, p3)
+        assert sorted(map(tuple, d3.collect())) == [
+            (1, "x"), (2, "y"), (3, "z"),
+        ]
+        assert len(d3.inputFiles()) == 1
+        f = d3.inputFiles()[0].replace("file://", "").replace("file:", "")
+        arrow = pq.ParquetFile(f).schema_arrow
+        assert set(arrow.names) == {"col-1", "col-2"}
+        if mode == "id":
+            assert {
+                int((fl.metadata or {}).get(b"PARQUET:field_id", -1))
+                for fl in arrow
+            } == {1, 2}
 
 
 def test_write_checkpoint_round_trips_dv_descriptors(spark, tmp_path):
