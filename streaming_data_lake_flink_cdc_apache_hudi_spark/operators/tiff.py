@@ -8,11 +8,14 @@ tags, MULTI-strip offsets/byte-counts concatenated in row order
 (real scanner TIFFs set rows_per_strip < height; the IFD reader
 returns the full SHORT/LONG value lists for count>1 tags). PackBits
 (compression=32773 — the TIFF 6.0 §9 byte-oriented RLE, the common
-fax/scan profile) decompresses per strip. LZW/JPEG-in-TIFF
-compression and tiled layouts raise the declared
-``NotImplementedError``. The writer emits spec-shaped baseline TIFFs
-for fixtures — single- or multi-strip, uncompressed or PackBits —
-so the decoder is pinned against independently-written layouts.
+fax/scan profile) and LZW (compression=5 — §13's MSB-first
+variable-width codes with the early-change width rule, the common
+desktop-writer profile) decompress per strip. JPEG-in-TIFF/deflate
+compression, the horizontal-differencing predictor, and tiled
+layouts raise the declared ``NotImplementedError``. The writer emits
+spec-shaped baseline TIFFs for fixtures — single- or multi-strip;
+uncompressed, PackBits or LZW — so the decoders are pinned against
+independently-written layouts.
 
 Same scale shape as the other codecs: per-image byte walks inside
 ``mapInPandas`` (``multimodal._decode_bytes`` routes the II*/MM*
@@ -88,11 +91,120 @@ def packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW decode: MSB-first bit packing, 9→12-bit
+    variable-width codes, ClearCode 256 / EOI 257, and the spec's
+    EARLY CHANGE rule — the code width grows as soon as the next
+    table slot reaches 2^width - 1 (one code earlier than GIF's
+    LSB-first variant in ``operators/gif.py``)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+    width = 9
+
+    def next_code() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return eoi  # truncated stream ends the scan
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        return (acc >> nbits) & ((1 << width) - 1)
+
+    table: list[bytes] | None = None
+    next_idx = 258
+    prev: bytes | None = None
+    while True:
+        code = next_code()
+        if code == eoi:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            next_idx = 258
+            width = 9
+            prev = None
+            continue
+        if table is None:
+            raise ValueError("TIFF LZW stream must start with ClearCode")
+        if prev is None:
+            if code >= next_idx:
+                raise ValueError("corrupt TIFF LZW stream")
+            entry = table[code]
+        else:
+            if code < next_idx:
+                entry = table[code]
+            elif code == next_idx:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt TIFF LZW stream")
+            table.append(prev + entry[:1])
+            next_idx += 1
+            if next_idx == (1 << width) - 1 and width < 12:
+                width += 1  # the spec's early change
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encode (fixture writer) — greedy longest-match with
+    the same MSB-first packing and early-change width rule the
+    decoder implements; emits ClearCode when the table fills."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    def reset() -> tuple[dict[bytes, int], int]:
+        return {bytes([i]): i for i in range(256)}, 258
+
+    put(clear)
+    table, next_idx = reset()
+    run = b""
+    for byte in data:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        put(table[run])
+        table[cand] = next_idx
+        next_idx += 1
+        # the encoder's counter runs ONE ahead of the decoder's (it
+        # adds an entry before emitting the next code, the decoder
+        # after reading it), so the encoder bumps at 2^w where the
+        # decoder bumps at 2^w - 1 — the libtiff maxcode asymmetry
+        # that realizes the spec's early change
+        if next_idx == (1 << width) and width < 12:
+            width += 1
+        if next_idx > 4093:  # table nearly full: clear per the spec
+            put(clear)
+            width = 9
+            table, next_idx = reset()
+        run = bytes([byte])
+    if run:
+        put(table[run])
+    put(eoi)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline TIFF (uncompressed or PackBits, single- or
-    multi-strip) to (width, height, RGB24). Grayscale (1 sample)
-    replicates to RGB; RGB (3 samples) passes through. LZW/JPEG
-    compression and tiled files raise NotImplementedError."""
+    """Decode a baseline TIFF (uncompressed, PackBits or LZW; single-
+    or multi-strip) to (width, height, RGB24). Grayscale (1 sample)
+    replicates to RGB; RGB (3 samples) passes through. JPEG/deflate
+    compression, predictor 2, and tiled files raise
+    NotImplementedError."""
     b = bytes(b)
     if b[:4] == b"II*\x00":
         bo = "<"
@@ -107,11 +219,16 @@ def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
     if not w or not h:
         raise ValueError("TIFF missing ImageWidth/ImageLength")
     comp = int(ifd.get(259, 1))
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp}: only baseline uncompressed "
-            "(1) and PackBits (32773) decode here — LZW/JPEG-in-TIFF "
+            f"TIFF compression {comp}: uncompressed (1), LZW (5) and "
+            "PackBits (32773) decode here — JPEG-in-TIFF/deflate "
             "need an external decoder"
+        )
+    if comp == 5 and int(ifd.get(317, 1)) != 1:
+        raise NotImplementedError(
+            "TIFF LZW with horizontal-differencing predictor "
+            f"{ifd.get(317)} is not supported"
         )
     if 273 not in ifd or 279 not in ifd:
         raise NotImplementedError(
@@ -141,6 +258,8 @@ def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
         raise ValueError("TIFF strip extends past end of file")
     if comp == 32773:
         strips = [packbits_decode(s) for s in strips]
+    elif comp == 5:
+        strips = [tiff_lzw_decode(s) for s in strips]
     raw = b"".join(strips)
     need = w * h * spp
     if len(raw) < need:
@@ -166,13 +285,15 @@ def encode_tiff(
     the original single-strip uncompressed layout (byte-exact round
     trip); ``rows_per_strip`` splits the pixel data into the
     real-scanner multi-strip layout (count>1 StripOffsets /
-    StripByteCounts, out-of-line LONG arrays), and
-    ``compression='packbits'`` PackBits-encodes each strip
-    (compression tag 32773)."""
+    StripByteCounts, out-of-line LONG arrays);
+    ``compression='packbits'`` (tag 32773) or ``'lzw'`` (tag 5)
+    compresses each strip."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb must be width*height*3 bytes")
-    if compression not in ("none", "packbits"):
-        raise ValueError("compression must be 'none' or 'packbits'")
+    if compression not in ("none", "packbits", "lzw"):
+        raise ValueError(
+            "compression must be 'none', 'packbits' or 'lzw'"
+        )
     rps = height if rows_per_strip is None else min(
         rows_per_strip, height
     )
@@ -185,7 +306,9 @@ def encode_tiff(
     ]
     if compression == "packbits":
         strips = [packbits_encode(s) for s in strips]
-    comp_tag = 32773 if compression == "packbits" else 1
+    elif compression == "lzw":
+        strips = [tiff_lzw_encode(s) for s in strips]
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
     n_strips = len(strips)
 
     strip_off0 = 8

@@ -1527,10 +1527,10 @@ def test_tiff_round_trip_and_boundaries(spark):
         )
     ).collect()[0]
     assert (row.width, row.height) == (4, 3) and row.feature is not None
-    # LZW-compressed tag refuses
+    # deflate-compressed tag refuses (LZW decodes since r10)
     bad = bytearray(b)
     i = bad.find(struct.pack("<HHI", 259, 3, 1))
-    bad[i + 8 : i + 10] = struct.pack("<H", 5)
+    bad[i + 8 : i + 10] = struct.pack("<H", 8)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(bad))
 
@@ -1577,6 +1577,58 @@ def test_tiff_multi_strip_and_packbits(spark):
         packbits_decode(b"\xfe")  # replicate run missing byte
     # byte runs compress (grayscale/fax profile): 300 -> <=8 bytes
     assert len(packbits_encode(bytes([77] * 300))) <= 8
+
+
+def test_tiff_lzw_codec_and_decode(spark):
+    """TIFF LZW (compression 5, new r10): MSB-first variable-width
+    codes with the spec's early-change rule — round trips across the
+    9->10->11->12-bit boundaries and a mid-stream ClearCode; the
+    9-bit MSB packing of the stream head is pinned by INDEPENDENT
+    bit arithmetic; full-TIFF decode matches; predictor-2 and
+    unknown compressions refuse."""
+    import random
+    import struct
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+        tiff_lzw_decode,
+        tiff_lzw_encode,
+    )
+
+    rnd = random.Random(5)
+    for data in (
+        b"",
+        b"a",
+        b"TOBEORNOTTOBEORTOBEORNOT",
+        b"ab" * 5000,  # long run of 2-byte period
+        bytes(rnd.randrange(256) for _ in range(20000)),  # all widths
+        bytes(rnd.choice(b"abcd") for _ in range(30000)),  # + clear
+    ):
+        assert tiff_lzw_decode(tiff_lzw_encode(data)) == data
+    # independent pin of the bit layout: first codes of the classic
+    # string are CLEAR, T, O, B, E — unpacked here by hand, not by
+    # the codec under test
+    enc = tiff_lzw_encode(b"TOBEORNOTTOBEORTOBEORNOT")
+    acc = int.from_bytes(enc[:8], "big")
+    got = [(acc >> (64 - 9 * (k + 1))) & 0x1FF for k in range(5)]
+    assert got == [256, 84, 79, 66, 69], got
+    # full-TIFF LZW decode, single- and multi-strip
+    rgb = bytes(rnd.randrange(256) for _ in range(40 * 40 * 3))
+    assert decode_tiff(
+        encode_tiff(40, 40, rgb, compression="lzw")
+    ) == (40, 40, rgb)
+    assert decode_tiff(
+        encode_tiff(40, 40, rgb, rows_per_strip=7, compression="lzw")
+    ) == (40, 40, rgb)
+    # deflate (8) still refuses; corrupt LZW raises, not garbage
+    bad = bytearray(encode_tiff(4, 2, bytes(24), compression="lzw"))
+    i = bad.find(struct.pack("<HHI", 259, 3, 1))
+    bad[i + 8 : i + 10] = struct.pack("<H", 8)
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(bytes(bad))
+    with pytest.raises(ValueError, match="LZW"):
+        tiff_lzw_decode(b"\xff\xff\xff\xff")  # no leading ClearCode
     # decode_media routes the packbits payload to real pixels
     p = encode_tiff(4, 6, bytes([90, 60, 30] * 24), rows_per_strip=2,
                     compression="packbits")
