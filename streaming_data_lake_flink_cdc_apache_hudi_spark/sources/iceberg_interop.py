@@ -894,9 +894,15 @@ def rewrite_data_files(
     IncrementalAppendScan; ``rewrite_manifests``'s metadata-only
     replace still passes through.
 
-    Boundary: partitioned tables refuse — the rewrite would need to
-    regroup by partition struct and re-emit per-partition manifests
-    (``rewrite_manifests`` still compacts their METADATA).
+    Identity-PARTITIONED tables compact too (new r10): the rewrite
+    regroups on the partition tuple (one task -> one compacted file
+    per partition, the ``optimize_delta`` shape) and re-emits one
+    manifest per partition with real partition structs and bound
+    summaries — both pruning levels survive compaction. Boundary:
+    non-identity transforms (bucket) refuse — their values would
+    need the transform re-derived (``rewrite_manifests`` still
+    compacts their METADATA) — and ``data_files`` injection over a
+    partitioned table refuses.
 
     Scale: one distributed read + one distributed write of the live
     data, KB-scale driver metadata — the same shape as any engine's
@@ -920,10 +926,39 @@ def rewrite_data_files(
         ),
         (meta.get("partition-specs") or [{}])[0],
     )
-    if default_spec.get("fields"):
+    # identity-partitioned tables compact too (new r10): the rewrite
+    # regroups by partition (one task -> one file per partition, the
+    # optimize_delta shape) and re-emits per-partition manifests with
+    # real partition structs + bound summaries. Non-identity
+    # transforms (bucket) refuse — recomputing their values would
+    # re-derive the transform; rewrite_manifests still compacts
+    # their metadata.
+    pfields = default_spec.get("fields", [])
+    names_by_id = _field_names_by_id(meta)
+    schema_types = {
+        f["name"]: f["type"] for f in _current_schema(path)["fields"]
+    }
+    pspecs: list[tuple[str, str, str, int]] = []  # (fname, src, t, fid)
+    for pf in pfields:
+        if pf.get("transform") != "identity":
+            raise UnsupportedIcebergFeature(
+                "rewrite_data_files over non-identity partition "
+                f"transform {pf.get('transform')!r} — "
+                "rewrite_manifests still compacts its metadata"
+            )
+        src = names_by_id.get(pf.get("source-id"))
+        t = schema_types.get(src)
+        if src is None or t not in _PART_AVRO:
+            raise UnsupportedIcebergFeature(
+                f"rewrite_data_files: partition field {pf.get('name')!r} "
+                f"has unresolvable source or type {t!r}"
+            )
+        pspecs.append((pf["name"], src, t, int(pf.get("field-id", 1000))))
+    if pspecs and data_files is not None:
         raise UnsupportedIcebergFeature(
-            "rewrite_data_files on a partitioned table — "
-            "rewrite_manifests still compacts its metadata"
+            "rewrite_data_files(data_files=...) on a partitioned "
+            "table is not supported (partition values cannot be "
+            "proven for an injected set)"
         )
     live, pos_del, eq_del = _live_files(path, cur)
     out = {
@@ -942,9 +977,21 @@ def rewrite_data_files(
                 prev_ref |= dps
             except (FileNotFoundError, OSError):
                 continue
-        read_iceberg(spark, path).coalesce(1).write.mode(
-            "append"
-        ).parquet(data_dir)
+        from pyspark.sql import functions as F
+
+        w = read_iceberg(spark, path)
+        if pspecs:
+            for fname, src, _t, _fid in pspecs:
+                w = w.withColumn(f"_p_{fname}", F.col(src))
+            shadows = [f"_p_{fname}" for fname, _s, _t, _f in pspecs]
+            # repartition ON the partition tuple: one task per value
+            # -> exactly one compacted file per partition dir
+            w = w.repartition(*[F.col(c) for c in shadows])
+            w.write.partitionBy(*shadows).mode("append").parquet(
+                data_dir
+            )
+        else:
+            w.coalesce(1).write.mode("append").parquet(data_dir)
         new_files = sorted(
             os.path.join(root, f)
             for root, _d, fs in os.walk(data_dir)
@@ -973,70 +1020,151 @@ def rewrite_data_files(
         entry_schema["fields"][2]["type"]["fields"].insert(
             1, {"name": "content", "type": "int", "field-id": 134}
         )
-    entries = []
-    for full in new_files:
-        data_file = {
-            "file_path": "file://" + full,
-            "file_format": "PARQUET",
-            "partition": {},
-            "record_count": pq.ParquetFile(full).metadata.num_rows,
-            "file_size_in_bytes": os.path.getsize(full),
-        }
-        if fmt_version == 2:
-            data_file["content"] = 0
-        entries.append(
-            # ADDED entries with null seq inherit the manifest's —
-            # the spec's inheritance rule _live_files implements
-            {"status": 1, "snapshot_id": new_sid, "data_file": data_file}
+    if pspecs:
+        part_rec = next(
+            fl
+            for fl in entry_schema["fields"][2]["type"]["fields"]
+            if fl["name"] == "partition"
         )
-    manifest_path = os.path.join(md, f"manifest-{new_sid}-rdf.avro")
-    write_avro(
-        manifest_path,
-        entry_schema,
-        entries,
-        metadata={
-            "schema": json.dumps(_current_schema(path)).encode(),
-            "schema-id": b"0",
-            "partition-spec": json.dumps(
-                default_spec.get("fields", [])
-            ).encode(),
-            "partition-spec-id": str(
-                default_spec.get("spec-id", 0)
-            ).encode(),
-            "format-version": str(fmt_version).encode(),
-            "content": b"data",
-        },
-    )
+        part_rec["type"]["fields"] = [
+            {
+                "name": fname,
+                "type": ["null", _PART_AVRO[t]],
+                "field-id": fid,
+                "default": None,
+            }
+            for fname, _src, t, fid in pspecs
+        ]
+
+    def _pvals(full: str) -> dict:
+        import urllib.parse
+
+        types = {fname: t for fname, _s, t, _f in pspecs}
+        vals: dict = {}
+        rel = os.path.relpath(full, os.path.join(path, "data"))
+        for comp in rel.split(os.sep)[:-1]:
+            if "=" not in comp:
+                continue
+            k, _, raw = comp.partition("=")
+            if not k.startswith("_p_"):
+                continue
+            c = k[len("_p_"):]
+            raw = urllib.parse.unquote(raw)
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                vals[c] = None
+            else:
+                vals[c] = int(raw) if types.get(c) != "string" else raw
+        return vals
+
+    # one manifest per partition tuple (entries carry real partition
+    # structs, the list rows carry the bound summaries planners prune
+    # on) — exactly the exporter's two pruning levels; unpartitioned
+    # tables collapse to the single () group
+    by_part: dict[tuple, list[str]] = {}
+    for full in new_files:
+        vals = _pvals(full) if pspecs else {}
+        key = tuple(vals.get(fname) for fname, _s, _t, _f in pspecs)
+        by_part.setdefault(key, []).append(full)
     # the new manifest list reuses the table's OWN list schema (like
     # rewrite_manifests) so externally-written layouts keep their
     # exact field set; delete manifests are NOT carried forward
     mlist_schema, _ = read_avro(_resolve(snap["manifest-list"], path))
-    total_rows = sum(e["data_file"]["record_count"] for e in entries)
-    full_row = {
-        "manifest_path": "file://" + manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": default_spec.get("spec-id", 0),
-        "added_snapshot_id": new_sid,
-        "content": 0,
-        "sequence_number": new_seq,
-        "min_sequence_number": new_seq,
-        "added_files_count": len(entries),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": total_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-        "partitions": None,
-    }
-    new_row = {
-        f["name"]: full_row.get(f["name"])
-        for f in mlist_schema["fields"]
-    }
+    mlist_rows = []
+    total_rows = 0
+    for gi, (key, group) in enumerate(
+        sorted(
+            by_part.items(),
+            key=lambda kv: tuple((x is None, x) for x in kv[0]),
+        )
+    ):
+        entries = []
+        for full in sorted(group):
+            data_file = {
+                "file_path": "file://" + full,
+                "file_format": "PARQUET",
+                "partition": dict(
+                    zip((f for f, _s, _t, _i in pspecs), key)
+                ),
+                "record_count": pq.ParquetFile(full).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(full),
+            }
+            if fmt_version == 2:
+                data_file["content"] = 0
+            entries.append(
+                # ADDED entries with null seq inherit the manifest's —
+                # the spec's inheritance rule _live_files implements
+                {
+                    "status": 1,
+                    "snapshot_id": new_sid,
+                    "data_file": data_file,
+                }
+            )
+        manifest_path = os.path.join(
+            md, f"manifest-{new_sid}-rdf-{gi}.avro"
+        )
+        write_avro(
+            manifest_path,
+            entry_schema,
+            entries,
+            metadata={
+                "schema": json.dumps(_current_schema(path)).encode(),
+                "schema-id": b"0",
+                "partition-spec": json.dumps(
+                    default_spec.get("fields", [])
+                ).encode(),
+                "partition-spec-id": str(
+                    default_spec.get("spec-id", 0)
+                ).encode(),
+                "format-version": str(fmt_version).encode(),
+                "content": b"data",
+            },
+        )
+        group_rows = sum(
+            e["data_file"]["record_count"] for e in entries
+        )
+        total_rows += group_rows
+        full_row = {
+            "manifest_path": "file://" + manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": default_spec.get("spec-id", 0),
+            "added_snapshot_id": new_sid,
+            "content": 0,
+            "sequence_number": new_seq,
+            "min_sequence_number": new_seq,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": group_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": (
+                [
+                    {
+                        "contains_null": v is None,
+                        "lower_bound": None
+                        if v is None
+                        else _single_value_bytes(t, v),
+                        "upper_bound": None
+                        if v is None
+                        else _single_value_bytes(t, v),
+                    }
+                    for (_f, _s, t, _i), v in zip(pspecs, key)
+                ]
+                if pspecs
+                else None
+            ),
+        }
+        mlist_rows.append(
+            {
+                f["name"]: full_row.get(f["name"])
+                for f in mlist_schema["fields"]
+            }
+        )
     new_mlist = os.path.join(md, f"snap-{new_sid}.avro")
     write_avro(
         new_mlist,
         mlist_schema,
-        [new_row],
+        mlist_rows,
         metadata={
             "format-version": str(fmt_version).encode(),
             "snapshot-id": str(new_sid).encode(),
