@@ -1783,6 +1783,53 @@ def audio_spectral_features(df: DataFrame) -> DataFrame:
     )
 
 
+def flac_pcm_stats(df: DataFrame) -> DataFrame:
+    """Full FLAC entropy decode (new r10, ``operators/flac.py``) to
+    exact integer PCM statistics: one row per (media_id, channel)
+    with sample_rate, bits, n_samples, min/max/sum of the decoded
+    samples — all integers, so a lossless decode is value-exact
+    against closed-form oracles. Non-FLAC payloads are skipped.
+    mapInPandas: Rice decode + predictor reconstruction run on the
+    executor holding the payload; the driver sees per-channel
+    scalars only."""
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flac import decode_flac
+
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "channel": [],
+                "sample_rate": [],
+                "bits": [],
+                "n_samples": [],
+                "min_v": [],
+                "max_v": [],
+                "sum_v": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:4] != b"fLaC":
+                    continue
+                rate, _nch, bps, chans = decode_flac(p)
+                for ci, ch in enumerate(chans):
+                    out["media_id"].append(int(mid))
+                    out["channel"].append(ci)
+                    out["sample_rate"].append(rate)
+                    out["bits"].append(bps)
+                    out["n_samples"].append(len(ch))
+                    out["min_v"].append(min(ch) if ch else None)
+                    out["max_v"].append(max(ch) if ch else None)
+                    out["sum_v"].append(sum(ch) if ch else None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        _op,
+        "media_id long, channel int, sample_rate int, bits int, "
+        "n_samples long, min_v long, max_v long, sum_v long",
+    )
+
+
 def extract_exif(df: DataFrame) -> DataFrame:
     """EXIF metadata extraction over JPEG payload columns (new r9,
     ``operators/exif.py``): one output row per image with camera

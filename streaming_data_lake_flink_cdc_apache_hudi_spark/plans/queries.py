@@ -2656,6 +2656,73 @@ def q_uniform_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flac_decode",
+    """
+WITH p1 AS (SELECT CASE WHEN i < 256 THEN 100 ELSE i - 256 END AS v
+            FROM range(512) t(i)),
+     p2l AS (SELECT i % 50 AS v FROM range(500) t(i)),
+     p2r AS (SELECT -(i % 30) AS v FROM range(500) t(i)),
+     p3 AS (SELECT ((i * 759) % 1024) - 512 AS v FROM range(500) t(i))
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(channel AS INT) AS channel,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(bits AS INT) AS bits,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(min_v AS BIGINT) AS min_v,
+       CAST(max_v AS BIGINT) AS max_v,
+       CAST(sum_v AS BIGINT) AS sum_v
+FROM (
+  SELECT 1 AS media_id, 0 AS channel, 8000 AS sample_rate, 16 AS bits,
+         COUNT(*) AS n_samples, MIN(v) AS min_v, MAX(v) AS max_v,
+         SUM(v) AS sum_v FROM p1
+  UNION ALL
+  SELECT 2, 0, 16000, 16, COUNT(*), MIN(v), MAX(v), SUM(v) FROM p2l
+  UNION ALL
+  SELECT 2, 1, 16000, 16, COUNT(*), MIN(v), MAX(v), SUM(v) FROM p2r
+  UNION ALL
+  SELECT 3, 0, 22050, 16, COUNT(*), MIN(v), MAX(v), SUM(v) FROM p3
+) s
+""",
+    doc="FULL FLAC entropy decode (new r10, operators/flac.py — the "
+    "audio boundary earlier rounds declared): three fixture FLACs "
+    "(mono constant+ramp; left/side STEREO with the +1-bit side "
+    "subframe; a 759i mod 1024 pseudo-noise ramp) encode with real "
+    "Rice-coded FIXED subframes, UTF-8 frame numbers and CRC-8/16, "
+    "then flac_pcm_stats decodes every frame on executors and emits "
+    "exact integer per-channel stats. The oracle COMPUTES the same "
+    "stats from the closed-form signal definitions via range() — "
+    "fully independent arithmetic, no codec in the loop — so a "
+    "lossless decode is value-exact. Scale: Rice decode + predictor "
+    "reconstruction stay on the worker holding the payload; the "
+    "driver sees per-channel scalars.",
+)
+def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.flac import encode_flac
+    from ..operators.multimodal import MEDIA_SCHEMA, flac_pcm_stats
+
+    p1 = encode_flac([[100] * 256 + list(range(256))], 8000)
+    left = [i % 50 for i in range(500)]
+    right = [-(i % 30) for i in range(500)]
+    p2 = encode_flac([left, right], 16000, stereo="left_side")
+    p3 = encode_flac(
+        [[((i * 759) % 1024) - 512 for i in range(500)]], 22050
+    )
+    rows = [
+        (1, "audio", bytearray(p1),
+         {"mime": "audio/flac", "n_bytes": len(p1),
+          "width": None, "height": None, "duration_ms": None}),
+        (2, "audio", bytearray(p2),
+         {"mime": "audio/flac", "n_bytes": len(p2),
+          "width": None, "height": None, "duration_ms": None}),
+        (3, "audio", bytearray(p3),
+         {"mime": "audio/flac", "n_bytes": len(p3),
+          "width": None, "height": None, "duration_ms": None}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return flac_pcm_stats(media)
+
+
+@register(
     "delta_dv_delete_read",
     """
 SELECT s_suppkey, s_name, s_nationkey FROM supplier
