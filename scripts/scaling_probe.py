@@ -294,6 +294,81 @@ def media_decode_probe(spark) -> dict:
     }
 
 
+def delta_maintenance_probe(spark) -> dict:
+    """Delta maintenance at N vs 4N commits (new r10): pins the
+    O(history)-vs-O(live) claim with a measurement — the un-
+    checkpointed mount replays every JSON commit (cost grows with
+    history), while checkpoint+cleanup makes the mount O(live files),
+    and OPTIMIZE+VACUUM collapse the scan/disk back to O(1)/O(live).
+    Commits are single-row appends, so data size is constant and the
+    timings isolate the METADATA path."""
+    import tempfile as _tf
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        cleanup_log,
+        optimize_delta,
+        read_delta,
+        vacuum_delta,
+        write_checkpoint,
+    )
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+    )
+
+    def run(n_commits: int) -> dict:
+        path = _tf.mkdtemp(prefix="dmaint_") + "/t"
+        mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+        export_delta(mk([(0, "v0")]), path)
+        for i in range(1, n_commits):
+            export_delta(mk([(i, f"v{i}")]), path, mode="append")
+
+        def timed_read(expect_files=None) -> float:
+            read_delta(spark, path).count()  # warm scan + JVM
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                d = read_delta(spark, path)
+                assert d.count() == n_commits
+                best = min(best, time.perf_counter() - t0)
+            if expect_files is not None:
+                assert len(read_delta(spark, path).inputFiles()) == (
+                    expect_files
+                )
+            return round(best, 3)
+
+        t_replay_full = timed_read(expect_files=None)
+        t0 = time.perf_counter()
+        write_checkpoint(spark, path)
+        cleanup_log(path)
+        t_maint_meta = round(time.perf_counter() - t0, 3)
+        t_replay_cp = timed_read()
+        t0 = time.perf_counter()
+        optimize_delta(spark, path)
+        vacuum_delta(spark, path)
+        t_compact = round(time.perf_counter() - t0, 3)
+        t_replay_compacted = timed_read(expect_files=1)
+        return {
+            "replay_full_sec": t_replay_full,
+            "checkpoint_cleanup_sec": t_maint_meta,
+            "replay_checkpointed_sec": t_replay_cp,
+            "optimize_vacuum_sec": t_compact,
+            "replay_compacted_sec": t_replay_compacted,
+        }
+
+    a, b = run(50), run(200)
+    return {
+        "n50": a,
+        "n200": b,
+        "replay_full_exponent": _exp(
+            a["replay_full_sec"], b["replay_full_sec"]
+        ),
+        "replay_checkpointed_exponent": _exp(
+            a["replay_checkpointed_sec"], b["replay_checkpointed_sec"]
+        ),
+    }
+
+
 def main() -> None:
     spark = EngineConfig(
         app_name="scaling_probe",
@@ -315,6 +390,7 @@ def main() -> None:
         res["streaming_ingest"] = streaming_ingest_probe(spark)
         res["flagship_backfill"] = flagship_backfill_probe(spark, out)
         res["media_decode"] = media_decode_probe(spark)
+        res["delta_maintenance"] = delta_maintenance_probe(spark)
         print(json.dumps(res))
     finally:
         shutil.rmtree(out, ignore_errors=True)
