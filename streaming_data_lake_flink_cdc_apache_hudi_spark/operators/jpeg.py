@@ -13,10 +13,14 @@ convention) — AND (new r9) the progressive Huffman process (SOF2):
 multi-scan spectral selection + successive approximation per T.81
 Annex G, EOB runs, AC refinement correction bits, interleaved DC /
 non-interleaved AC scan geometry, restart markers inside progressive
-scans. Arithmetic coding, 12-bit precision, lossless/hierarchical
+scans — AND (new r10) the LOSSLESS Huffman process (SOF3, T.81
+Annex H — the DNG/medical-archive profile): predictors 1-7 over
+decoded neighbors, point transform, SSSS-category differences modulo
+2^16 (SSSS 16 = 32768), 2-16-bit precision mapped to the RGB24
+contract. Arithmetic coding, 12-bit DCT precision, hierarchical
 processes, and 4-component CMYK raise ``NotImplementedError`` — the
-documented boundary, now covering the two processes real encoders
-emit.
+documented boundary, now covering the three Huffman processes real
+encoders emit.
 
 The encoders exist to SELF-GENERATE fixtures (the same pattern as
 the PNG/BMP/Avro/murmur3 codecs here): standard Annex K quantization
@@ -452,6 +456,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
     w = h = 0
     restart = 0
     progressive = False
+    lossless = False
+    precision = 8
     coefs: list[np.ndarray] = []
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -495,11 +501,17 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 values = list(body[i + 17 : i + 17 + n])
                 htabs[(cls, tid)] = _decode_table(bits, values)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 LOSSLESS (r10)
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec = body[0]
-            if prec != 8:
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"JPEG lossless precision {prec}")
+            elif prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
+            precision = prec
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -514,13 +526,19 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 }
                 for i in range(nc)
             ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if lossless and any(
+                c["h"] != 1 or c["v"] != 1 for c in comps
+            ):
+                raise NotImplementedError(
+                    "lossless JPEG with subsampled components"
+                )
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline (SOF0/SOF1) and progressive-Huffman "
-                f"(SOF2) JPEG decode here (SOF marker 0x{marker:02X}) "
-                "— arithmetic/lossless/hierarchical need an external "
-                "decoder"
+                "only baseline (SOF0/SOF1), progressive-Huffman "
+                "(SOF2) and lossless-Huffman (SOF3) JPEG decode here "
+                f"(SOF marker 0x{marker:02X}) — arithmetic/"
+                "hierarchical need an external decoder"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[:2], "big")
@@ -530,6 +548,13 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
             for i in range(ns):
                 cid, tids = body[1 + 2 * i], body[2 + 2 * i]
                 scan[cid] = (tids >> 4, tids & 0xF)
+            if lossless:
+                pred_sel = body[1 + 2 * ns]  # Ss = predictor id
+                pt = body[3 + 2 * ns] & 0xF  # Al = point transform
+                return _decode_lossless_scan(
+                    b, pos, w, h, comps, scan, htabs, restart,
+                    pred_sel, pt, precision,
+                )
             if not progressive:
                 return _decode_scan(
                     b, pos, w, h, comps, scan, qtabs, htabs, restart
@@ -1224,3 +1249,159 @@ def encode_jpeg_progressive(
         )
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# -- lossless JPEG (SOF3, new r10): T.81 Annex H Huffman process ------------
+#
+# The DNG / medical-archive profile: no DCT, no quantization — each
+# sample is predicted from its decoded neighbors (a = left, b = above,
+# c = above-left; predictors 1-7 per H.1.2.1) and the difference is
+# Huffman-coded as an SSSS magnitude category + extension bits, the
+# exact DC-coefficient machinery baseline scans already use. Values
+# reconstruct modulo 2^16; SSSS 16 means a difference of 32768 with no
+# extension bits. Components are coded directly (no color transform).
+
+def _lossless_predict(plane, x, y, pred_sel, default):
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    if pred_sel == 1:
+        return a
+    if pred_sel == 2:
+        return b
+    c = int(plane[y - 1, x - 1])
+    if pred_sel == 3:
+        return c
+    if pred_sel == 4:
+        return a + b - c
+    if pred_sel == 5:
+        return a + ((b - c) >> 1)
+    if pred_sel == 6:
+        return b + ((a - c) >> 1)
+    if pred_sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"JPEG lossless predictor {pred_sel}")
+
+
+def _decode_lossless_scan(
+    b, pos, w, h, comps, scan, htabs, restart, pred_sel, pt, prec
+):
+    if not comps or not w or not h:
+        raise ValueError("JPEG SOS before SOF")
+    if restart:
+        raise NotImplementedError(
+            "restart intervals in lossless JPEG scans"
+        )
+    if set(scan) != {c["id"] for c in comps}:
+        raise NotImplementedError(
+            "non-interleaved lossless JPEG scans (one scan must cover "
+            "every component)"
+        )
+    if not 1 <= pred_sel <= 7:
+        raise ValueError(f"JPEG lossless predictor {pred_sel}")
+    tables = []
+    for c in comps:
+        key = (0, scan[c["id"]][0])
+        if key not in htabs:
+            raise ValueError(f"JPEG lossless scan without DC table {key}")
+        tables.append(htabs[key])
+    default = 1 << (prec - pt - 1)
+    planes = [np.zeros((h, w), np.int32) for _ in comps]
+    br = _BitReader(b, pos)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(len(comps)):
+                s = _read_huff(br, tables[ci])
+                if s == 16:
+                    diff = 32768
+                elif s:
+                    diff = _extend(br.bits(s), s)
+                else:
+                    diff = 0
+                px = _lossless_predict(
+                    planes[ci], x, y, pred_sel, default
+                )
+                planes[ci][y, x] = (px + diff) & 0xFFFF
+    # point transform + P-bit -> 8-bit mapping for the RGB24 contract
+    out = []
+    for p in planes:
+        v = p.astype(np.int64) << pt
+        if prec > 8:
+            v = v >> (prec - 8)
+        elif prec < 8:
+            v = v << (8 - prec)
+        out.append(np.clip(v, 0, 255).astype(np.uint8))
+    if len(out) == 1:
+        g = out[0]
+        rgb = np.dstack([g, g, g])
+    else:
+        rgb = np.dstack(out)  # components ARE R,G,B (no transform)
+    return w, h, rgb.tobytes()
+
+
+def encode_jpeg_lossless(
+    width: int,
+    height: int,
+    rgb: bytes,
+    predictor: int = 4,
+    pt: int = 0,
+) -> bytes:
+    """Fixture writer: 8-bit 3-component LOSSLESS JPEG (SOF3),
+    predictor 1-7, optional point transform — Annex K DC-luminance
+    Huffman table for every component, one interleaved scan. Decoding
+    reproduces the input bytes exactly (for pt>0, the input quantized
+    to multiples of 2^pt)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb must be width*height*3 bytes")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    px = np.frombuffer(bytes(rgb), np.uint8).reshape(height, width, 3)
+    planes = [
+        (px[:, :, ci].astype(np.int32) >> pt) for ci in range(3)
+    ]
+    dc_codes = _canonical_codes(*_DC_LUMA)
+    bw = _BitWriter()
+    default = 1 << (8 - pt - 1)
+    for y in range(height):
+        for x in range(width):
+            for plane in planes:
+                pred = _lossless_predict(plane, x, y, predictor, default)
+                diff = (int(plane[y, x]) - pred) & 0xFFFF
+                if diff >= 0x8000:
+                    diff -= 0x10000  # wrap to the signed window
+                s = abs(diff).bit_length()
+                code, length = dc_codes[s]
+                bw.write(code, length)
+                if s:
+                    bw.write(
+                        diff if diff >= 0 else diff + (1 << s) - 1, s
+                    )
+    bw.pad()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    bits, values = _DC_LUMA
+    dht = seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(values))
+    sof = seg(
+        0xC3,
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([3])
+        + b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3)),
+    )
+    sos = seg(
+        0xDA,
+        bytes([3])
+        + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+        + bytes([predictor, 0, pt]),
+    )
+    return (
+        b"\xff\xd8" + dht + sof + sos + bytes(bw.out) + b"\xff\xd9"
+    )

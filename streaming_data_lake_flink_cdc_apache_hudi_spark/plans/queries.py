@@ -1661,7 +1661,9 @@ FROM (VALUES
   (CAST(8 AS BIGINT), 'image', CAST(152 AS BIGINT), CAST(3469 AS BIGINT),
    4, 2, 0.2353, 0.4706, 0.7059),
   (CAST(9 AS BIGINT), 'image', CAST(227 AS BIGINT), CAST(5780 AS BIGINT),
-   4, 6, 0.3529, 0.2353, 0.1176))
+   4, 6, 0.3529, 0.2353, 0.1176),
+  (CAST(10 AS BIGINT), 'image', CAST(113 AS BIGINT), CAST(8069 AS BIGINT),
+   4, 4, 0.0882, 0.0922, 0.0961))
 AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
 """,
     doc="Multimodal decode through mapInPandas (operators/"
@@ -1689,7 +1691,11 @@ AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
     "MULTI-STRIP PackBits TIFF (rows_per_strip=2 < height, count>1 "
     "StripOffsets/StripByteCounts arrays, TIFF 6.0 section 9 RLE "
     "decompressed per strip — the real scanner/fax profile), solid "
-    "(90,60,30), lossless so f = channel/255 exactly.",
+    "(90,60,30), lossless so f = channel/255 exactly. Row 10 (new "
+    "r10): a LOSSLESS JPEG (SOF3, T.81 Annex H — predictor 7 over a "
+    "0..47 byte gradient): no DCT at all, so the decoded pixels ARE "
+    "the input bytes and f = ROUND(mean(channel)/255, 4) is plain "
+    "arithmetic over range(48).",
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1732,6 +1738,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         4, 6, bytes([90, 60, 30] * 24), rows_per_strip=2,
         compression="packbits",
     )
+    from ..operators.jpeg import encode_jpeg_lossless
+
+    p10 = encode_jpeg_lossless(4, 4, bytes(range(48)), predictor=7)
     rows = [
         (1, "image", bytearray(p1),
          {"mime": "image/x-portable-pixmap", "n_bytes": len(p1),
@@ -1760,6 +1769,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (9, "image", bytearray(p9),
          {"mime": "image/tiff", "n_bytes": len(p9),
           "width": 4, "height": 6, "duration_ms": None}),
+        (10, "image", bytearray(p10),
+         {"mime": "image/jpeg", "n_bytes": len(p10),
+          "width": 4, "height": 4, "duration_ms": None}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     dec = decode_media(media)

@@ -870,6 +870,46 @@ def test_sample_video_frames_uniform_and_exact(spark):
 # -- progressive JPEG (SOF2, new r9) ----------------------------------------
 
 
+def test_lossless_jpeg_sof3_round_trips(spark):
+    """Lossless JPEG (SOF3, new r10): no DCT — decoding reproduces
+    the encoder's input bytes EXACTLY, across all 7 Annex H
+    predictors; point transform quantizes to multiples of 2^Pt;
+    grayscale replicates; decode_media routes it like any JPEG."""
+    import random
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rnd = random.Random(4)
+    for (w, h) in ((8, 5), (16, 16), (1, 1), (3, 7)):
+        rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        for pred in range(1, 8):
+            assert decode_jpeg(
+                encode_jpeg_lossless(w, h, rgb, predictor=pred)
+            ) == (w, h, rgb), (w, h, pred)
+    # point transform: output is the input quantized to 2^pt steps
+    rgb = bytes(rnd.randrange(256) for _ in range(12 * 4 * 3))
+    _w, _h, out = decode_jpeg(
+        encode_jpeg_lossless(12, 4, rgb, predictor=4, pt=2)
+    )
+    assert out == bytes((v >> 2) << 2 for v in rgb)
+    # decode_media routes the SOF3 payload to real pixels
+    p = encode_jpeg_lossless(4, 4, bytes(range(48)), predictor=7)
+    row = MM.decode_media(
+        spark.createDataFrame(
+            [(1, "image", bytearray(p),
+              {"mime": "image/jpeg", "n_bytes": len(p),
+               "width": 4, "height": 4, "duration_ms": None})],
+            MM.MEDIA_SCHEMA,
+        )
+    ).collect()[0]
+    assert (row.width, row.height) == (4, 4)
+    # channel means are plain arithmetic over range(48)
+    assert round(row.feature[0], 4) == round(22.5 / 255, 4)
+
+
 def test_progressive_jpeg_bit_identical_to_baseline():
     """The successive-approximation split is losslessly invertible:
     decoding the progressive encoding equals decoding the baseline
@@ -962,11 +1002,17 @@ def test_jpeg_arithmetic_and_lossless_still_raise():
         encode_jpeg_progressive(8, 8, bytes([1, 2, 3] * 64), quality=90)
     )
     i = b.find(b"\xff\xc2")
-    for sof in (0xC3, 0xCA):  # lossless, progressive-arithmetic
-        b2 = bytearray(b)
-        b2[i + 1] = sof
-        with pytest.raises(NotImplementedError, match="SOF"):
-            decode_jpeg(bytes(b2))
+    # progressive-arithmetic still refuses (SOF3 lossless decodes
+    # since r10, so a flipped-marker stream now fails as MALFORMED
+    # lossless data instead of as an unsupported process)
+    b2 = bytearray(b)
+    b2[i + 1] = 0xCA
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(b2))
+    b3 = bytearray(b)
+    b3[i + 1] = 0xC3
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(bytes(b3))
 
 
 # -- animated GIF multi-frame decode (new r9) --------------------------------
