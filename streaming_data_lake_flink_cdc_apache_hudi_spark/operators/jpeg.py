@@ -17,10 +17,12 @@ scans — AND (new r10) the LOSSLESS Huffman process (SOF3, T.81
 Annex H — the DNG/medical-archive profile): predictors 1-7 over
 decoded neighbors, point transform, SSSS-category differences modulo
 2^16 (SSSS 16 = 32768), 2-16-bit precision mapped to the RGB24
-contract. Arithmetic coding, 12-bit DCT precision, hierarchical
-processes, and 4-component CMYK raise ``NotImplementedError`` — the
-documented boundary, now covering the three Huffman processes real
-encoders emit.
+contract — AND (new r10) 4-component Adobe CMYK/YCCK baseline files
+(APP14 transform byte; inverted ink values per the libjpeg
+convention, RGB = s*s_k/255). Arithmetic coding, 12-bit DCT
+precision, and hierarchical processes raise ``NotImplementedError``
+— the documented boundary, now covering the three Huffman processes
+and all the component layouts real encoders emit.
 
 The encoders exist to SELF-GENERATE fixtures (the same pattern as
 the PNG/BMP/Avro/murmur3 codecs here): standard Annex K quantization
@@ -458,6 +460,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
     progressive = False
     lossless = False
     precision = 8
+    adobe = None  # APP14 transform: 0 CMYK/RGB direct, 1 YCbCr, 2 YCCK
     coefs: list[np.ndarray] = []
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -469,7 +472,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
             continue
         if marker == 0xD9:  # EOI
             if progressive and coefs:
-                return _reconstruct(w, h, comps, coefs, qtabs)
+                return _reconstruct(w, h, comps, coefs, qtabs, adobe)
             break
         size = int.from_bytes(b[pos + 2 : pos + 4], "big")
         body = b[pos + 4 : pos + 2 + size]
@@ -515,7 +518,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4) or (lossless and nc == 4):
                 raise NotImplementedError(f"JPEG with {nc} components")
             comps = [
                 {
@@ -540,6 +543,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 f"(SOF marker 0x{marker:02X}) — arithmetic/"
                 "hierarchical need an external decoder"
             )
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            adobe = body[11]  # APP14 color-transform byte
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -557,7 +562,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 )
             if not progressive:
                 return _decode_scan(
-                    b, pos, w, h, comps, scan, qtabs, htabs, restart
+                    b, pos, w, h, comps, scan, qtabs, htabs, restart,
+                    adobe,
                 )
             if not comps or not w or not h:
                 raise ValueError("JPEG SOS before SOF")
@@ -577,11 +583,12 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 restart, htabs, coefs,
             )
     if progressive and coefs:  # EOI missing but scans complete
-        return _reconstruct(w, h, comps, coefs, qtabs)
+        return _reconstruct(w, h, comps, coefs, qtabs, adobe)
     raise ValueError("JPEG has no SOS scan")
 
 
-def _decode_scan(b, pos, w, h, comps, scan, qtabs, htabs, restart):
+def _decode_scan(b, pos, w, h, comps, scan, qtabs, htabs, restart,
+                 adobe=None):
     if not comps or not w or not h:
         raise ValueError("JPEG SOS before SOF")
     max_h = max(c["h"] for c in comps)
@@ -650,13 +657,17 @@ def _decode_scan(b, pos, w, h, comps, scan, qtabs, htabs, restart):
                     f"unexpected marker 0x{mh.marker:02X} in scan"
                 ) from None
             n_mcu += 1
-    return _planes_to_rgb(w, h, comps, planes)
+    return _planes_to_rgb(w, h, comps, planes, adobe)
 
 
-def _planes_to_rgb(w, h, comps, planes):
+def _planes_to_rgb(w, h, comps, planes, adobe=None):
     """Upsample each component plane to full resolution by replication
-    and convert to RGB24 (shared by the baseline and progressive
-    paths)."""
+    and convert to RGB24 (shared by the baseline, progressive and
+    CMYK paths). ``adobe`` is the APP14 color-transform byte: for
+    4-component files, 0 = direct (inverted) CMYK, 2 = YCCK — Adobe
+    CMYK JPEGs store INVERTED ink values (s = 255 - ink, the libjpeg
+    convention), so RGB = s_c * s_k / 255 per channel; for
+    3-component files, 0 = RGB stored directly (no YCbCr)."""
     max_h = max(c["h"] for c in comps)
     max_v = max(c["v"] for c in comps)
     full = []
@@ -667,6 +678,33 @@ def _planes_to_rgb(w, h, comps, planes):
     if len(comps) == 1:
         g = np.clip(full[0], 0, 255).astype(np.uint8)
         return w, h, np.repeat(g[..., None], 3, axis=2).tobytes()
+    if len(comps) == 4:
+        if adobe == 2:  # YCCK: first three channels ride the YCbCr
+            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+            sc = y + 1.402 * cr
+            sm = y - 0.344136 * cb - 0.714136 * cr
+            sy = y + 1.772 * cb
+        elif adobe in (None, 0):  # direct (inverted) CMYK
+            sc, sm, sy = full[0], full[1], full[2]
+        else:
+            raise NotImplementedError(
+                f"4-component JPEG with APP14 transform {adobe}"
+            )
+        sk = np.clip(full[3], 0, 255)
+        rgb = np.stack(
+            [np.clip(x, 0, 255) * sk / 255.0 for x in (sc, sm, sy)],
+            axis=2,
+        )
+        return (
+            w, h,
+            np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes(),
+        )
+    if adobe == 0:  # 3-component, explicitly untransformed: RGB
+        rgb = np.stack(full, axis=2)
+        return (
+            w, h,
+            np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes(),
+        )
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -851,7 +889,7 @@ def _progressive_scan(
     return br.pos
 
 
-def _reconstruct(w, h, comps, coefs, qtabs):
+def _reconstruct(w, h, comps, coefs, qtabs, adobe=None):
     """Dequantize + IDCT the accumulated progressive coefficients and
     hand off to the shared upsample/color-convert."""
     planes = []
@@ -865,7 +903,7 @@ def _reconstruct(w, h, comps, coefs, qtabs):
         planes.append(
             pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         )
-    return _planes_to_rgb(w, h, comps, planes)
+    return _planes_to_rgb(w, h, comps, planes, adobe)
 
 
 def _quantized_components(width, height, rgb, quality, subsample, grayscale):
@@ -1249,6 +1287,106 @@ def encode_jpeg_progressive(
         )
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_cmyk(
+    width: int,
+    height: int,
+    cmyk_stored: bytes,
+    quality: int = 100,
+    transform: int = 0,
+) -> bytes:
+    """Fixture writer: 4-component Adobe CMYK baseline JPEG (APP14
+    color-transform byte 0 = direct, 2 = YCCK). ``cmyk_stored`` is
+    width*height*4 bytes in the ADOBE stored convention (inverted
+    ink: s = 255 - ink). All four components use the luma tables at
+    h=v=1; at quality=100 (all-ones quantization) solid-color blocks
+    round-trip exactly, so decoded RGB = s_c*s_k/255 is
+    hand-derivable."""
+    if len(cmyk_stored) != width * height * 4:
+        raise ValueError("cmyk_stored must be width*height*4 bytes")
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    a = (
+        np.frombuffer(bytes(cmyk_stored), np.uint8)
+        .reshape(height, width, 4)
+        .astype(np.float64)
+    )
+    if transform == 2:
+        sc, sm, sy = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * sc + 0.587 * sm + 0.114 * sy
+        cb = -0.168736 * sc - 0.331264 * sm + 0.5 * sy + 128.0
+        cr = 0.5 * sc - 0.418688 * sm - 0.081312 * sy + 128.0
+        chans = [y, cb, cr, a[..., 3]]
+    else:
+        chans = [a[..., i] for i in range(4)]
+    qy, _ = _quality_tables(quality)
+    bx = -(-width // 8)
+    by = -(-height // 8)
+
+    def pad(plane):
+        return np.pad(
+            plane,
+            ((0, by * 8 - plane.shape[0]), (0, bx * 8 - plane.shape[1])),
+            mode="edge",
+        )
+
+    chans = [pad(c) for c in chans]
+    dcl = _canonical_codes(*_DC_LUMA)
+    acl = _canonical_codes(*_AC_LUMA)
+    bw = _BitWriter()
+    preds = [0, 0, 0, 0]
+    for my in range(by):
+        for mx in range(bx):
+            r0, c0 = my * 8, mx * 8
+            for ci in range(4):
+                preds[ci] = _encode_block(
+                    bw,
+                    chans[ci][r0 : r0 + 8, c0 : c0 + 8],
+                    qy,
+                    dcl,
+                    acl,
+                    preds[ci],
+                )
+    bw.pad()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes((0xFF, marker))
+            + (len(body) + 2).to_bytes(2, "big")
+            + body
+        )
+
+    app14 = seg(
+        0xEE,
+        b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform]),
+    )
+    dqt = seg(
+        0xDB, bytes([0]) + bytes(int(qy.flatten()[i]) for i in ZIGZAG)
+    )
+    dht = seg(
+        0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1])
+    ) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_LUMA[0]) + bytes(_AC_LUMA[1])
+    )
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([4])
+        + b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3, 4)),
+    )
+    sos = seg(
+        0xDA,
+        bytes([4])
+        + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3, 4))
+        + bytes([0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8" + app14 + dqt + sof + dht + sos
+        + bytes(bw.out) + b"\xff\xd9"
+    )
 
 
 # -- lossless JPEG (SOF3, new r10): T.81 Annex H Huffman process ------------

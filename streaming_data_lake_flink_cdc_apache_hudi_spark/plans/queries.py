@@ -1663,7 +1663,9 @@ FROM (VALUES
   (CAST(9 AS BIGINT), 'image', CAST(227 AS BIGINT), CAST(5780 AS BIGINT),
    4, 6, 0.3529, 0.2353, 0.1176),
   (CAST(10 AS BIGINT), 'image', CAST(113 AS BIGINT), CAST(8069 AS BIGINT),
-   4, 4, 0.0882, 0.0922, 0.0961))
+   4, 4, 0.0882, 0.0922, 0.0961),
+  (CAST(11 AS BIGINT), 'image', CAST(353 AS BIGINT), CAST(27132 AS BIGINT),
+   8, 8, 0.7059, 0.5294, 0.3529))
 AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
 """,
     doc="Multimodal decode through mapInPandas (operators/"
@@ -1695,7 +1697,10 @@ AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
     "r10): a LOSSLESS JPEG (SOF3, T.81 Annex H — predictor 7 over a "
     "0..47 byte gradient): no DCT at all, so the decoded pixels ARE "
     "the input bytes and f = ROUND(mean(channel)/255, 4) is plain "
-    "arithmetic over range(48).",
+    "arithmetic over range(48). Row 11 (new r10): a 4-component "
+    "Adobe YCCK JPEG (APP14 transform 2 — the print/scan profile): "
+    "solid stored ink (200,150,100) K 230 at quality=100, so decoded "
+    "RGB = ROUND(s*230/255) exactly and f = ROUND(rgb/255, 4).",
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1741,6 +1746,11 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.jpeg import encode_jpeg_lossless
 
     p10 = encode_jpeg_lossless(4, 4, bytes(range(48)), predictor=7)
+    from ..operators.jpeg import encode_jpeg_cmyk
+
+    p11 = encode_jpeg_cmyk(
+        8, 8, bytes([200, 150, 100, 230] * 64), transform=2
+    )
     rows = [
         (1, "image", bytearray(p1),
          {"mime": "image/x-portable-pixmap", "n_bytes": len(p1),
@@ -1772,6 +1782,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (10, "image", bytearray(p10),
          {"mime": "image/jpeg", "n_bytes": len(p10),
           "width": 4, "height": 4, "duration_ms": None}),
+        (11, "image", bytearray(p11),
+         {"mime": "image/jpeg", "n_bytes": len(p11),
+          "width": 8, "height": 8, "duration_ms": None}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     dec = decode_media(media)

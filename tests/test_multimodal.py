@@ -870,6 +870,50 @@ def test_sample_video_frames_uniform_and_exact(spark):
 # -- progressive JPEG (SOF2, new r9) ----------------------------------------
 
 
+def test_cmyk_ycck_jpeg_decodes(spark):
+    """4-component Adobe JPEG (new r10): APP14 transform 0 (direct
+    inverted CMYK) and 2 (YCCK) both decode; at quality=100 a solid
+    block is DC-only, so RGB = ROUND(s*s_k/255) is exact and
+    hand-derivable; a structured image stays within DCT rounding of
+    the per-pixel formula; unknown APP14 transforms refuse."""
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_cmyk,
+    )
+
+    sc, sm, sy, sk = 200, 150, 100, 230
+    want = bytes(
+        (round(sc * sk / 255), round(sm * sk / 255),
+         round(sy * sk / 255))
+    )
+    for transform in (0, 2):
+        b = encode_jpeg_cmyk(
+            8, 8, bytes([sc, sm, sy, sk] * 64), transform=transform
+        )
+        w, h, rgb = decode_jpeg(b)
+        assert (w, h) == (8, 8) and rgb == want * 64, transform
+    # structured image: within DCT rounding of the formula
+    import random
+
+    rnd = random.Random(11)
+    stored = bytes(rnd.randrange(256) for _ in range(16 * 8 * 4))
+    _w, _h, rgb = decode_jpeg(encode_jpeg_cmyk(16, 8, stored))
+    a = np.frombuffer(stored, np.uint8).reshape(8, 16, 4).astype(float)
+    expect = np.stack(
+        [a[..., i] * a[..., 3] / 255.0 for i in range(3)], axis=2
+    )
+    got = np.frombuffer(rgb, np.uint8).reshape(8, 16, 3).astype(float)
+    assert np.abs(got - expect).max() <= 4.0  # q=100 AC rounding
+    # unknown APP14 transform refuses
+    b = bytearray(encode_jpeg_cmyk(8, 8, bytes([1, 2, 3, 4] * 64)))
+    i = b.find(b"Adobe") + 11
+    b[i] = 9
+    with pytest.raises(NotImplementedError, match="transform"):
+        decode_jpeg(bytes(b))
+
+
 def test_lossless_jpeg_sof3_round_trips(spark):
     """Lossless JPEG (SOF3, new r10): no DCT — decoding reproduces
     the encoder's input bytes EXACTLY, across all 7 Annex H
