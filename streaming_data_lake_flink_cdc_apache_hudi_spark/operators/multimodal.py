@@ -891,10 +891,13 @@ def _decode_bytes(payload: bytes) -> dict:
     if payload[:4] == b"fLaC" or payload[:3] == b"ID3" or (
         payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):
-        # perceptual audio (new r9): the container/frame layer parses
-        # for real (operators/audio_meta.py — FLAC STREAMINFO, ID3v2 +
-        # MPEG frame walk); the entropy decode stays external, so the
-        # feature is null — same stance as interframe video
+        # perceptual audio: the container/frame layer parses for real
+        # (operators/audio_meta.py — FLAC STREAMINFO, ID3v2 + MPEG
+        # frame walk). FLAC additionally gets FULL entropy decode
+        # (operators/flac.py, new r10) — spectral features like WAV;
+        # a frameless or undecodable FLAC falls back to metadata-only
+        # (crawled-data quarantine, never a hard failure). MP3 entropy
+        # decode stays the declared external boundary (feature null).
         from .audio_meta import parse_flac, parse_mp3
 
         meta = (
@@ -902,6 +905,29 @@ def _decode_bytes(payload: bytes) -> dict:
             if payload[:4] == b"fLaC"
             else parse_mp3(payload)
         )
+        feature = None
+        if payload[:4] == b"fLaC":
+            from .flac import decode_flac
+
+            try:
+                rate, _nch, bps, chans = decode_flac(payload)
+                if chans and chans[0]:
+                    import numpy as np
+
+                    a = (
+                        np.array(chans, dtype=np.float64).T
+                        / float(1 << (bps - 1))
+                    )
+                    # same 8-dim time-domain feature as the WAV path,
+                    # so FLAC and WAV of identical PCM embed equal
+                    feature = _audio_feature(a, rate)
+                    meta = dict(meta)
+                    meta["sample_rate"] = rate
+                    meta["duration_ms"] = int(
+                        round(len(chans[0]) * 1000 / rate)
+                    )
+            except (ValueError, NotImplementedError):
+                pass  # metadata-only fallback
         return {
             "n_bytes": len(payload),
             "checksum": checksum,
@@ -909,7 +935,7 @@ def _decode_bytes(payload: bytes) -> dict:
             "height": None,
             "sample_rate": meta["sample_rate"],
             "duration_ms": meta["duration_ms"],
-            "feature": None,
+            "feature": feature,
         }
     if payload[4:8] == b"ftyp":
         # ISO-BMFF (MP4/MOV, new r9): the container layer parses for

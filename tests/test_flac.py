@@ -180,6 +180,45 @@ def test_crc_corruption_detected():
         decode_flac(bytes(b))
 
 
+def test_decode_media_flac_features_match_wav(spark):
+    """decode_media now runs the FULL FLAC decode (r10): a FLAC and a
+    WAV of IDENTICAL PCM emit bit-identical 8-dim audio features
+    (same normalization), real duration/rate from the frames; a
+    frameless FLAC (metadata blocks only) falls back to the
+    metadata-only row with a null feature."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import (
+        multimodal as MM,
+    )
+
+    samples = [
+        int(20000 * math.sin(2 * math.pi * 440 * i / 8000))
+        for i in range(2048)
+    ]
+    flac_p = encode_flac([samples], 8000)
+    wav_p = MM.encode_wav(8000, 1, samples)
+    rows = [
+        (1, "audio", bytearray(flac_p),
+         {"mime": "audio/flac", "n_bytes": len(flac_p),
+          "width": None, "height": None, "duration_ms": None}),
+        (2, "audio", bytearray(wav_p),
+         {"mime": "audio/wav", "n_bytes": len(wav_p),
+          "width": None, "height": None, "duration_ms": None}),
+        (3, "audio",
+         bytearray(encode_flac_headers(48000, 1, 16, 480000)),
+         {"mime": "audio/flac", "n_bytes": 10,
+          "width": None, "height": None, "duration_ms": None}),
+    ]
+    out = {
+        r.media_id: r
+        for r in MM.decode_media(
+            spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert out[1].feature == out[2].feature
+    assert out[1].duration_ms == 256 and out[1].sample_rate == 8000
+    assert out[3].feature is None and out[3].duration_ms == 10000
+
+
 def test_flac_pcm_stats_operator(spark):
     from streaming_data_lake_flink_cdc_apache_hudi_spark.operators import (
         multimodal as MM,
