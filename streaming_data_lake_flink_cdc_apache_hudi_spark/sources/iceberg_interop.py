@@ -954,12 +954,6 @@ def rewrite_data_files(
                 f"has unresolvable source or type {t!r}"
             )
         pspecs.append((pf["name"], src, t, int(pf.get("field-id", 1000))))
-    if pspecs and data_files is not None:
-        raise UnsupportedIcebergFeature(
-            "rewrite_data_files(data_files=...) on a partitioned "
-            "table is not supported (partition values cannot be "
-            "proven for an injected set)"
-        )
     live, pos_del, eq_del = _live_files(path, cur)
     out = {
         "files_before": len(live),
@@ -1041,19 +1035,30 @@ def rewrite_data_files(
 
         types = {fname: t for fname, _s, t, _f in pspecs}
         vals: dict = {}
-        rel = os.path.relpath(full, os.path.join(path, "data"))
+        rel = os.path.relpath(
+            os.path.abspath(full), os.path.abspath(path)
+        )
         for comp in rel.split(os.sep)[:-1]:
             if "=" not in comp:
                 continue
             k, _, raw = comp.partition("=")
-            if not k.startswith("_p_"):
+            # the exporter's own layout shadows partition dirs as
+            # `_p_<field>=`; an injected UniForm layout uses the bare
+            # hive `<field>=` convention — accept both
+            c = k[len("_p_"):] if k.startswith("_p_") else k
+            if c not in types:
                 continue
-            c = k[len("_p_"):]
             raw = urllib.parse.unquote(raw)
             if raw == "__HIVE_DEFAULT_PARTITION__":
                 vals[c] = None
             else:
-                vals[c] = int(raw) if types.get(c) != "string" else raw
+                vals[c] = int(raw) if types[c] != "string" else raw
+        missing = [f for f in types if f not in vals]
+        if missing:
+            raise UnsupportedIcebergFeature(
+                f"rewrite_data_files: file {full!r} carries no "
+                f"{missing} partition path segment"
+            )
         return vals
 
     # one manifest per partition tuple (entries carry real partition

@@ -119,9 +119,14 @@ def optimize_uniform(spark: SparkSession, path: str) -> dict:
     scan counts drop back to O(1) without the data ever being written
     twice or the views diverging.
 
-    Boundary: partitioned UniForm tables refuse (same rule as
-    ``rewrite_data_files``); UniForm has no delete files, so the
-    injected set always holds the full live row set.
+    Identity-PARTITIONED UniForm tables compact too (new r10): the
+    rewrite regroups on the partition tuple — one compacted file per
+    hive dir, partition columns dropped from file contents per the
+    shared layout convention — and both formats' partition pruning
+    survives (Delta re-reads partitionValues from the new paths, the
+    Iceberg replace snapshot re-emits per-partition manifests with
+    bound summaries). UniForm has no delete files, so the injected
+    set always holds the full live row set.
 
     Scale: one distributed read + one distributed write + two
     KB-scale metadata commits — half the write cost of compacting
@@ -129,17 +134,22 @@ def optimize_uniform(spark: SparkSession, path: str) -> dict:
     from .delta_interop import optimize_delta, read_delta
     from .iceberg_interop import rewrite_data_files
 
-    if any(
-        "=" in d and os.path.isdir(os.path.join(path, d))
-        for d in os.listdir(path)
-    ):
-        raise ValueError(
-            "optimize_uniform on a partitioned UniForm table is not "
-            "supported (same boundary as rewrite_data_files — the "
-            "rewrite would need per-partition manifests)"
-        )
+    from .delta_interop import _replay_log
+
+    _, meta, _ = _replay_log(spark, path)
+    part_cols = (meta or {}).get("partitionColumns") or []
 
     def _parts() -> set[str]:
+        if part_cols:
+            return {
+                os.path.relpath(os.path.join(root, f), path)
+                for root, _dirs, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+                and not f.startswith("_")
+                and "_delta_log" not in root
+                and os.sep + "metadata" not in root
+            }
         return {
             f
             for f in os.listdir(path)
@@ -147,14 +157,28 @@ def optimize_uniform(spark: SparkSession, path: str) -> dict:
         }
 
     live = read_delta(spark, path)
-    n_live = len(live.inputFiles())  # LIVE adds, not disk files —
-    # earlier compactions leave tombstoned parts on disk
-    if n_live <= 1:
+    files = live.inputFiles()  # LIVE adds, not disk files — earlier
+    # compactions leave tombstoned parts on disk
+    n_live = len(files)
+    n_groups = (
+        len({f.rsplit("/", 1)[0] for f in files}) if part_cols else 1
+    )
+    if n_live <= n_groups:  # already one file per partition (or one)
         return {"files_before": n_live, "files_after": n_live}
     before = _parts()
     # one write serves both commits; evaluated fully before either
-    # format's metadata changes
-    live.coalesce(1).write.mode("append").parquet(path)
+    # format's metadata changes. Partitioned tables (new r10) regroup
+    # on the partition tuple — one compacted file per hive dir, the
+    # partition columns dropped from file contents per both formats'
+    # shared layout convention
+    if part_cols:
+        from pyspark.sql import functions as F
+
+        live.repartition(*[F.col(c) for c in part_cols]).write.partitionBy(
+            *part_cols
+        ).mode("append").parquet(path)
+    else:
+        live.coalesce(1).write.mode("append").parquet(path)
     new_parts = sorted(_parts() - before)
     optimize_delta(spark, path, data_files=new_parts)
     rewrite_data_files(

@@ -257,13 +257,28 @@ def test_uniform_optimize_compacts_both_views(spark, tmp_path):
     assert sorted(map(tuple, read_iceberg(spark, path).collect())) == (
         want + [(5, "e")]
     )
-    # partitioned uniform refuses
+    # partitioned uniform compacts too (r10): one file per hive dir,
+    # BOTH views prune to it, lockstep preserved
     p2 = str(tmp_path / "uniform_opt_part")
     export_uniform(
-        mk([(1, "a"), (2, "b")]), p2, partition_by=["v"]
+        mk([(1, "a"), (2, "b"), (3, "a")]), p2, partition_by=["v"]
     )
-    with _pytest.raises(ValueError, match="partitioned"):
-        optimize_uniform(spark, p2)
+    export_uniform(mk([(4, "b")]), p2, partition_by=["v"],
+                   mode="append")
+    res2 = optimize_uniform(spark, p2)
+    assert res2["files_after"] == 2  # one per partition value
+    want2 = [(1, "a"), (2, "b"), (3, "a"), (4, "b")]
+    d2 = read_delta(spark, p2)
+    i2 = read_iceberg(spark, p2)
+    assert sorted(map(tuple, d2.collect())) == want2
+    assert sorted(map(tuple, i2.collect())) == want2
+    assert sorted(d2.inputFiles()) == sorted(i2.inputFiles())
+    assert len(d2.filter("v = 'a'").inputFiles()) == 1
+    ip = read_iceberg(spark, p2, partition_filter={"v": "a"})
+    assert sorted(r[0] for r in ip.select("id").collect()) == [1, 3]
+    assert len(ip.inputFiles()) == 1
+    # already one-per-partition: second run is a no-op
+    assert optimize_uniform(spark, p2)["files_before"] == 2
 
 
 def test_uniform_random_append_sequences_stay_lockstep(spark, tmp_path):
