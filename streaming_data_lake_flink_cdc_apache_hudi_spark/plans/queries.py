@@ -4369,6 +4369,11 @@ _DRIVER_VERIFIED = frozenset({
     "delta_id_mapped_read", "exif_metadata", "session_window_native",
     "subtitle_cues", "uniform_incremental_read",
     "uniform_partitioned_read", "video_frame_sample",
+    # --- r10 green rows (50/50 full value-hash matches — third
+    # consecutive all-green window; names not already folded in above;
+    # all four new r10 queries hash-green on first driver exposure) ---
+    "delta_mapped_append_read", "flac_decode", "delta_dv_delete_read",
+    "uniform_optimize_read",
 })
 
 
