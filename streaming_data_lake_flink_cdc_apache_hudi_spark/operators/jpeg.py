@@ -1513,6 +1513,17 @@ def encode_jpeg_lossless(
                 if diff >= 0x8000:
                     diff -= 0x10000  # wrap to the signed window
                 s = abs(diff).bit_length()
+                if s > 11:
+                    # the Annex K DC table defines SSSS 0-11 only; a
+                    # 16-bit-precision encoder would need Annex H's
+                    # SSSS=16 no-extension-bits special case. 8-bit
+                    # inputs keep diffs in [-255, 255], so this is a
+                    # guard against silent table overrun if precision
+                    # is ever extended (ADVICE r11)
+                    raise ValueError(
+                        f"encode_jpeg_lossless: diff magnitude category "
+                        f"{s} exceeds the 8-bit Annex K DC table"
+                    )
                 code, length = dc_codes[s]
                 bw.write(code, length)
                 if s:

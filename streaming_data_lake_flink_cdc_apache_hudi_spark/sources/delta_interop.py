@@ -63,6 +63,7 @@ from __future__ import annotations
 import json
 import os
 import struct
+import time
 import uuid
 import zlib
 
@@ -1473,31 +1474,55 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
     if not touched:
         return {"version": None, "deleted_rows": 0, "files_touched": 0}
     actions: list[dict] = []
-    feats = set((proto or {}).get("readerFeatures") or [])
+    rfeats = set((proto or {}).get("readerFeatures") or [])
     if (
         proto is None
         or int(proto.get("minReaderVersion", 1)) < 3
-        or "deletionVectors" not in feats
+        or "deletionVectors" not in rfeats
     ):
         cm = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        upgraded = sorted(
-            feats
-            | {"deletionVectors"}
-            | ({"columnMapping"} if cm not in ("none", None) else set())
-        )
+        cm_feat = {"columnMapping"} if cm not in ("none", None) else set()
+        # Per the protocol's table-features upgrade rule, moving a
+        # legacy table to (3, 7) must ENUMERATE every feature the old
+        # minReader/minWriterVersion implied — otherwise enforcement
+        # flags like appendOnly/invariants are silently dropped for
+        # external writers (ADVICE r11).
+        old_mwv = int((proto or {}).get("minWriterVersion", 2))
+        old_mrv = int((proto or {}).get("minReaderVersion", 1))
+        legacy_writer = {
+            2: {"appendOnly", "invariants"},
+            3: {"checkConstraints"},
+            4: {"changeDataFeed", "generatedColumns"},
+            5: {"columnMapping"},
+            6: {"identityColumns"},
+        }
+        wfeats = set((proto or {}).get("writerFeatures") or [])
+        if old_mwv < 7:
+            for v, fs in legacy_writer.items():
+                if old_mwv >= v:
+                    wfeats |= fs
+        if old_mrv == 2 and old_mrv < 3:
+            rfeats |= {"columnMapping"}
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": upgraded,
-                    "writerFeatures": upgraded,
+                    "readerFeatures": sorted(
+                        rfeats | {"deletionVectors"} | cm_feat
+                    ),
+                    "writerFeatures": sorted(
+                        wfeats | rfeats | {"deletionVectors"} | cm_feat
+                    ),
                 }
             }
         )
     deleted = 0
+    # the spec's deletionTimestamp is the COMMIT wall time (ordering
+    # metadata for VACUUM retention), not the data file's mtime
+    commit_ts = int(time.time() * 1000)
     for r in sorted(touched, key=lambda r: r["fp"]):
         rel = rel_by_abs[r["fp"]]
         old_add = adds[rel]
@@ -1507,9 +1532,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
                 "remove": {
                     "path": rel,
                     "dataChange": True,
-                    "deletionTimestamp": int(
-                        os.stat(r["fp"]).st_mtime * 1000
-                    ),
+                    "deletionTimestamp": commit_ts,
                 }
             }
         )

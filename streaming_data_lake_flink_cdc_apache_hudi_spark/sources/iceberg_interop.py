@@ -901,8 +901,11 @@ def rewrite_data_files(
     summaries — both pruning levels survive compaction. Boundary:
     non-identity transforms (bucket) refuse — their values would
     need the transform re-derived (``rewrite_manifests`` still
-    compacts their METADATA) — and ``data_files`` injection over a
-    partitioned table refuses.
+    compacts their METADATA). ``data_files`` injection over an
+    identity-partitioned table WORKS — partition values are parsed
+    from the files' bare ``col=value`` hive path segments, which
+    partitioned UniForm compaction (``uniform.optimize_uniform``)
+    depends on.
 
     Scale: one distributed read + one distributed write of the live
     data, KB-scale driver metadata — the same shape as any engine's
@@ -964,13 +967,22 @@ def rewrite_data_files(
         return out  # already compact, nothing to materialize
     if data_files is None:
         data_dir = os.path.join(path, "data")
-        prev_ref: set[str] = set()
-        for s in meta.get("snapshots", []):
-            try:
-                _, _, dps = _snapshot_reachable(path, s)
-                prev_ref |= dps
-            except (FileNotFoundError, OSError):
-                continue
+        # diff the ON-DISK file set around the write (the
+        # optimize_delta._data_file_set shape) instead of
+        # reconstructing prior references from snapshots: a stale
+        # data file whose only referencing snapshot is unreadable
+        # would otherwise be misclassified as compaction output and
+        # swept into the replace snapshot, resurrecting dead rows
+        # (ADVICE r11)
+        def _on_disk() -> set:
+            return {
+                os.path.join(root, f)
+                for root, _d, fs in os.walk(data_dir)
+                for f in fs
+                if f.endswith(".parquet") and not f.startswith("_")
+            }
+
+        before_write = _on_disk()
         from pyspark.sql import functions as F
 
         w = read_iceberg(spark, path)
@@ -986,14 +998,7 @@ def rewrite_data_files(
             )
         else:
             w.coalesce(1).write.mode("append").parquet(data_dir)
-        new_files = sorted(
-            os.path.join(root, f)
-            for root, _d, fs in os.walk(data_dir)
-            for f in fs
-            if f.endswith(".parquet")
-            and not f.startswith("_")
-            and os.path.join(root, f) not in prev_ref
-        )
+        new_files = sorted(_on_disk() - before_write)
     else:
         new_files = [os.path.abspath(f) for f in sorted(data_files)]
         if pos_del or eq_del:

@@ -184,4 +184,7 @@ def optimize_uniform(spark: SparkSession, path: str) -> dict:
     rewrite_data_files(
         spark, path, data_files=[os.path.join(path, f) for f in new_parts]
     )
-    return {"files_before": len(before), "files_after": len(new_parts)}
+    # n_live, not len(before): the on-disk walk counts tombstoned
+    # parquet parts left by earlier compactions, which the early
+    # return above already excludes (ADVICE r11)
+    return {"files_before": n_live, "files_after": len(new_parts)}
