@@ -214,6 +214,29 @@ def write_deletion_vector_file(bin_path: str, positions) -> dict:
     }
 
 
+def _dv_rel_path(table_path: str, desc: dict) -> str | None:
+    """Table-relative sidecar path a DV descriptor references, or
+    None for inline (``i``) storage / ``p`` paths outside the table.
+    The ``u`` decode mirrors ``_dv_payload``: <random prefix><20-char
+    Base85 uuid> -> ``deletion_vector_<uuid>.bin``."""
+    import base64
+
+    st = desc.get("storageType")
+    blob = desc.get("pathOrInlineDv") or ""
+    if st == "u" and len(blob) >= 20:
+        prefix, enc = blob[:-20], blob[-20:]
+        u = uuid.UUID(bytes=base64.b85decode(enc))
+        return os.path.join(
+            *([prefix] if prefix else []), f"deletion_vector_{u}.bin"
+        )
+    if st == "p":
+        ap = os.path.abspath(blob)
+        tp = os.path.abspath(table_path)
+        if ap.startswith(tp + os.sep):
+            return os.path.relpath(ap, tp)
+    return None
+
+
 def _dv_payload(table_path: str, desc: dict, read_bytes) -> bytes:
     """Resolve a DV descriptor to its raw bitmap-array bytes.
     ``read_bytes(path) -> bytes`` abstracts the filesystem so the
@@ -846,11 +869,25 @@ def read_delta(
             for p in sorted(adds)
             if not os.path.exists(os.path.join(path, p))
         ]
+        # DV sidecars superseded in every retained version are
+        # vacuumed too (new r11) — probe them so time travel into
+        # such a version raises the same clear error instead of a
+        # mid-scan file-not-found
+        for p, a in sorted(adds.items()):
+            dv = a.get("deletionVector")
+            if not dv:
+                continue
+            rel_dv = _dv_rel_path(path, dv)
+            if rel_dv is not None and not os.path.exists(
+                os.path.join(path, rel_dv)
+            ):
+                missing.append(rel_dv)
         if missing:
             raise UnsupportedDeltaFeature(
                 f"version {version_as_of} references {len(missing)} "
-                f"vacuumed data file(s) (e.g. {missing[0]!r}) — the "
-                "version is no longer readable after vacuum_delta"
+                f"vacuumed data/deletion-vector file(s) (e.g. "
+                f"{missing[0]!r}) — the version is no longer readable "
+                "after vacuum_delta"
             )
     dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
     if not dv_adds:
@@ -1392,9 +1429,9 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
     to v3/v7 ``deletionVectors`` features when the table is not
     there yet — after which delta-spark reads the table minus the
     deleted rows. ``optimize_delta`` later materializes and purges
-    the DVs (REORG semantics); superseded ``.bin`` sidecars are
-    garbage delta-spark's VACUUM also leaves until its retention
-    passes.
+    the DVs (REORG semantics); superseded ``.bin`` sidecars linger
+    until ``vacuum_delta`` deletes the ones no retained version
+    references (new r11).
 
     Scale: positions never pass through the driver — each worker
     writes its own file's bitmap; the driver sees one KB-scale
@@ -1582,8 +1619,12 @@ def vacuum_delta(
     N says. Files referenced only by versions below the floor are
     deleted; ``read_delta(version_as_of=...)`` into those versions
     then raises a clear "vacuumed" error (probed on the time-travel
-    path only). The JSON commits / checkpoints themselves are
-    ``cleanup_log``'s job — vacuum touches data files only.
+    path only). Deletion-vector sidecars (``deletion_vector_*.bin``)
+    no retained version's add-descriptors reference — superseded by
+    re-deletes or purged by OPTIMIZE — are deleted too (new r11),
+    matching delta-spark's VACUUM. The JSON commits / checkpoints
+    themselves are ``cleanup_log``'s job — vacuum touches data and
+    sidecar files only.
 
     UniForm directories refuse: the Iceberg metadata tree references
     the same parquet files, and vacuuming under one format's
@@ -1622,6 +1663,7 @@ def vacuum_delta(
     if cp is not None:
         candidates.add(cp["version"])  # the recovery anchor survives
     keep: set[str] = set()
+    keep_dv: set[str] = set()
     retained: list[int] = []
     for v in sorted(candidates):
         try:
@@ -1629,10 +1671,32 @@ def vacuum_delta(
         except UnsupportedDeltaFeature:
             continue  # version already not reconstructable
         keep.update(adds_v)
+        for a in adds_v.values():
+            dv = a.get("deletionVector") if isinstance(a, dict) else None
+            if dv:
+                rel_dv = _dv_rel_path(path, dv)
+                if rel_dv is not None:
+                    keep_dv.add(rel_dv)
         retained.append(v)
     on_disk = _data_file_set(path)
     doomed = sorted(on_disk - keep)
     for rel in doomed:
+        os.remove(os.path.join(path, rel))
+    # deletion-vector sidecars superseded by re-deletes or OPTIMIZE's
+    # DV purge are junk no retained version's add-descriptors
+    # reference — delete them too, as delta-spark's VACUUM does after
+    # retention (r10 VERDICT ask #3: without this, delete-heavy
+    # tables leak .bin files forever)
+    dv_on_disk = {
+        os.path.relpath(os.path.join(root, f), path)
+        for root, _d, fs in os.walk(path)
+        for f in fs
+        if f.startswith("deletion_vector_")
+        and f.endswith(".bin")
+        and _LOG_DIR not in root.split(os.sep)
+    }
+    doomed_dv = sorted(dv_on_disk - keep_dv)
+    for rel in doomed_dv:
         os.remove(os.path.join(path, rel))
     # drop hive partition dirs the deletes emptied (bottom-up so a
     # parent sees its just-emptied children gone)
@@ -1645,6 +1709,7 @@ def vacuum_delta(
             os.rmdir(root)
     return {
         "deleted_files": len(doomed),
+        "deleted_dv_files": len(doomed_dv),
         "retained_versions": retained,
     }
 

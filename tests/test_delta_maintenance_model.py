@@ -17,10 +17,19 @@ exact). vacuum(retain=N) keeps the tokens of every replayable version
 checkpoint's version (the recovery anchor); other tokens' files
 disappear, and a version is readable afterwards iff its token set
 survived.
+
+The DV-sidecar model (new r11): each version carries a map of
+data-file -> sidecar path, observed from the delete commit's own JSON
+(an on-disk artifact, not engine internals). A re-delete of the same
+file supersedes its sidecar; OPTIMIZE purges all of them; vacuum
+deletes every sidecar no retained version's map references, and a
+version is readable only if its sidecars also survived.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import random
 from collections import Counter
 
@@ -28,6 +37,7 @@ import pytest
 
 from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
     UnsupportedDeltaFeature,
+    _dv_rel_path,
     cleanup_log,
     delete_delta,
     export_delta,
@@ -36,6 +46,31 @@ from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop impor
     vacuum_delta,
     write_checkpoint,
 )
+
+
+def _commit_dv_map(path: str, version: int) -> dict:
+    """data-file rel -> sidecar rel for adds in ONE commit's JSON."""
+    out = {}
+    with open(
+        os.path.join(path, "_delta_log", f"{version:020d}.json")
+    ) as fh:
+        for line in fh:
+            a = json.loads(line).get("add")
+            if a and a.get("deletionVector"):
+                rel = _dv_rel_path(path, a["deletionVector"])
+                if rel is not None:
+                    out[a["path"]] = rel
+    return out
+
+
+def _dv_files_on_disk(path: str) -> set:
+    return {
+        os.path.relpath(os.path.join(root, f), path)
+        for root, _d, fs in os.walk(path)
+        for f in fs
+        if f.startswith("deletion_vector_") and f.endswith(".bin")
+        and "_delta_log" not in root.split(os.sep)
+    }
 
 
 def _rows_of(df):
@@ -59,8 +94,10 @@ def test_random_maintenance_sequences_match_model(spark, tmp_path, seed):
     export_delta(mk(base), path)
     versions: list[Counter] = [Counter(base)]  # model: rows AT version i
     vfiles: list[set[int]] = [{0}]  # model: file-group tokens AT version i
+    vdv: list[dict] = [{}]  # model: data-file -> sidecar AT version i
     next_token = 1
     alive: set[int] = {0}  # tokens whose files still exist on disk
+    dv_alive: set[str] = set()  # sidecar rels still on disk
     reconstructable = {0}  # versions whose log replay succeeds
     checkpointed = -1
     cps_on_disk: set[int] = set()  # checkpoint FILES survive cleanup
@@ -93,12 +130,19 @@ def test_random_maintenance_sequences_match_model(spark, tmp_path, seed):
                 )
             )
             vfiles.append(set(vfiles[-1]))
+            # the commit's own JSON records which data files got NEW
+            # sidecars — those supersede the files' previous ones
+            new_dv = _commit_dv_map(path, res["version"])
+            assert len(new_dv) == res["files_touched"]
+            vdv.append({**vdv[-1], **new_dv})
+            dv_alive |= set(new_dv.values())
             reconstructable.add(len(versions) - 1)
         elif op == "append":
             rows = fresh_rows(rng.randint(1, 4))
             export_delta(mk(rows), path, mode="append")
             versions.append(versions[-1] + Counter(rows))
             vfiles.append(vfiles[-1] | {next_token})
+            vdv.append(dict(vdv[-1]))
             alive.add(next_token)
             next_token += 1
             reconstructable.add(len(versions) - 1)
@@ -107,6 +151,7 @@ def test_random_maintenance_sequences_match_model(spark, tmp_path, seed):
             assert res["version"] == len(versions)
             versions.append(Counter(versions[-1]))  # values unchanged
             vfiles.append({next_token})  # live set rewritten wholesale
+            vdv.append({})  # OPTIMIZE materializes + purges DVs
             alive.add(next_token)
             next_token += 1
             reconstructable.add(len(versions) - 1)
@@ -133,7 +178,7 @@ def test_random_maintenance_sequences_match_model(spark, tmp_path, seed):
         else:  # vacuum
             retain = rng.randint(0, 3)
             newest = len(versions) - 1
-            vacuum_delta(spark, path, retain_versions=retain)
+            res = vacuum_delta(spark, path, retain_versions=retain)
             protected = {newest}
             if checkpointed >= 0:
                 protected.add(checkpointed)  # the recovery anchor
@@ -143,10 +188,17 @@ def test_random_maintenance_sequences_match_model(spark, tmp_path, seed):
                 if v >= newest - retain
             }
             keep: set[int] = set()
+            keep_dv: set[str] = set()
             for v in protected:
                 if v in reconstructable:
                     keep |= vfiles[v]
+                    keep_dv |= set(vdv[v].values())
+            assert res["deleted_dv_files"] == len(dv_alive - keep_dv)
             alive &= keep
+            dv_alive &= keep_dv
+            # orphan invariant (new r11): the sidecars on disk are
+            # exactly the ones some retained version references
+            assert _dv_files_on_disk(path) == dv_alive, (seed, step)
         # invariant: the live read equals the model's newest version
         assert _rows_of(read_delta(spark, path)) == versions[-1], (
             seed, step, op,
@@ -154,7 +206,8 @@ def test_random_maintenance_sequences_match_model(spark, tmp_path, seed):
         # spot-check up to three versions: a readable one, a cleaned
         # one, and a vacuumed one (when each class exists)
         readable = {
-            v for v in reconstructable if vfiles[v] <= alive
+            v for v in reconstructable
+            if vfiles[v] <= alive and set(vdv[v].values()) <= dv_alive
         }
         cleaned = set(range(len(versions))) - reconstructable
         vacuumed = reconstructable - readable
@@ -210,3 +263,42 @@ def test_vacuum_refuses_uniform_and_cleans_partition_dirs(
         assert not (
             "=" in os.path.basename(root) and not dirs and not fs
         ), root
+
+def test_vacuum_collects_orphaned_dv_sidecars(spark, tmp_path):
+    """delete -> re-delete (supersedes the first sidecar) ->
+    checkpoint+vacuum deletes only the superseded sidecar; then
+    OPTIMIZE (purges DVs) -> checkpoint+vacuum deletes the rest; live
+    reads are unchanged throughout and time travel into a version
+    whose sidecar vacuum removed raises 'vacuumed'."""
+    path = str(tmp_path / "dv_orphans")
+    rows = [(i, f"v{i}") for i in range(10)]
+    export_delta(
+        spark.createDataFrame(rows, "id long, v string").coalesce(1),
+        path,
+    )
+
+    delete_delta(spark, path, "id IN (1, 2)")          # v1: sidecar A
+    assert len(_dv_files_on_disk(path)) == 1
+    delete_delta(spark, path, "id IN (3)")             # v2: sidecar B
+    # supersedes A for the (single) data file; both still on disk
+    assert len(_dv_files_on_disk(path)) == 2
+    live_dv = set(_commit_dv_map(path, 2).values())
+
+    write_checkpoint(spark, path)
+    res = vacuum_delta(spark, path, retain_versions=0)
+    assert res["deleted_dv_files"] == 1
+    assert _dv_files_on_disk(path) == live_dv          # B survives
+    expect = Counter(
+        (i, f"v{i}") for i in range(10) if i not in (1, 2, 3)
+    )
+    assert _rows_of(read_delta(spark, path)) == expect
+    # v1's sidecar is gone -> time travel raises the vacuumed error
+    with pytest.raises(UnsupportedDeltaFeature, match="vacuumed"):
+        read_delta(spark, path, version_as_of=1)
+
+    optimize_delta(spark, path)                        # v3: purges DVs
+    write_checkpoint(spark, path)
+    res = vacuum_delta(spark, path, retain_versions=0)
+    assert res["deleted_dv_files"] == 1                # B now orphaned
+    assert _dv_files_on_disk(path) == set()
+    assert _rows_of(read_delta(spark, path)) == expect
