@@ -894,14 +894,16 @@ def rewrite_data_files(
     IncrementalAppendScan; ``rewrite_manifests``'s metadata-only
     replace still passes through.
 
-    Identity-PARTITIONED tables compact too (new r10): the rewrite
-    regroups on the partition tuple (one task -> one compacted file
-    per partition, the ``optimize_delta`` shape) and re-emits one
-    manifest per partition with real partition structs and bound
-    summaries — both pruning levels survive compaction. Boundary:
-    non-identity transforms (bucket) refuse — their values would
-    need the transform re-derived (``rewrite_manifests`` still
-    compacts their METADATA). ``data_files`` injection over an
+    PARTITIONED tables compact too (identity new r10, bucket new
+    r11): the rewrite regroups on the partition tuple (one task ->
+    one compacted file per partition, the ``optimize_delta`` shape)
+    and re-emits one manifest per partition with real partition
+    structs and bound summaries — both pruning levels survive
+    compaction. ``bucket(N, col)`` values are re-derived at rewrite
+    time with the in-repo golden-tested ``iceberg_bucket`` transform
+    (murmur3, byte-for-byte the Java spec values). Boundary: other
+    transforms (truncate/date) refuse — ``rewrite_manifests`` still
+    compacts their METADATA. ``data_files`` injection over an
     identity-partitioned table WORKS — partition values are parsed
     from the files' bare ``col=value`` hive path segments, which
     partitioned UniForm compaction (``uniform.optimize_uniform``)
@@ -929,24 +931,27 @@ def rewrite_data_files(
         ),
         (meta.get("partition-specs") or [{}])[0],
     )
-    # identity-partitioned tables compact too (new r10): the rewrite
-    # regroups by partition (one task -> one file per partition, the
-    # optimize_delta shape) and re-emits per-partition manifests with
-    # real partition structs + bound summaries. Non-identity
-    # transforms (bucket) refuse — recomputing their values would
-    # re-derive the transform; rewrite_manifests still compacts
-    # their metadata.
+    # partitioned tables compact too (identity new r10, bucket new
+    # r11): the rewrite regroups by the partition tuple (one task ->
+    # one file per partition, the optimize_delta shape) and re-emits
+    # per-partition manifests with real partition structs + bound
+    # summaries. Bucket values are RE-DERIVED at rewrite time with
+    # the in-repo golden-tested iceberg_bucket transform; other
+    # transforms (truncate/date) refuse — rewrite_manifests still
+    # compacts their metadata.
     pfields = default_spec.get("fields", [])
     names_by_id = _field_names_by_id(meta)
     schema_types = {
         f["name"]: f["type"] for f in _current_schema(path)["fields"]
     }
-    pspecs: list[tuple[str, str, str, int]] = []  # (fname, src, t, fid)
+    pspecs: list[dict] = []
     for pf in pfields:
-        if pf.get("transform") != "identity":
+        tr = pf.get("transform")
+        bm = re.match(r"^bucket\[(\d+)\]$", tr or "")
+        if tr != "identity" and not bm:
             raise UnsupportedIcebergFeature(
-                "rewrite_data_files over non-identity partition "
-                f"transform {pf.get('transform')!r} — "
+                "rewrite_data_files over unsupported partition "
+                f"transform {tr!r} — "
                 "rewrite_manifests still compacts its metadata"
             )
         src = names_by_id.get(pf.get("source-id"))
@@ -956,7 +961,16 @@ def rewrite_data_files(
                 f"rewrite_data_files: partition field {pf.get('name')!r} "
                 f"has unresolvable source or type {t!r}"
             )
-        pspecs.append((pf["name"], src, t, int(pf.get("field-id", 1000))))
+        pspecs.append(
+            {
+                "fname": pf["name"],
+                "src": src,
+                "src_type": t,
+                "out_type": "int" if bm else t,
+                "n": int(bm.group(1)) if bm else None,
+                "fid": int(pf.get("field-id", 1000)),
+            }
+        )
     live, pos_del, eq_del = _live_files(path, cur)
     out = {
         "files_before": len(live),
@@ -987,9 +1001,38 @@ def rewrite_data_files(
 
         w = read_iceberg(spark, path)
         if pspecs:
-            for fname, src, _t, _fid in pspecs:
-                w = w.withColumn(f"_p_{fname}", F.col(src))
-            shadows = [f"_p_{fname}" for fname, _s, _t, _f in pspecs]
+            for ps in pspecs:
+                if ps["n"] is None:
+                    w = w.withColumn(
+                        f"_p_{ps['fname']}", F.col(ps["src"])
+                    )
+                else:
+                    # re-derive the bucket value (new r11) with the
+                    # golden-tested spec transform — per-batch Arrow
+                    # UDF, executors only
+                    from pyspark.sql.functions import pandas_udf
+
+                    def _make_bkt(nb, st):
+                        @pandas_udf("int")
+                        def _bkt(s: pd.Series) -> pd.Series:
+                            # pd.isna, not `is None`: Arrow hands a
+                            # nullable int column to pandas as
+                            # float64 with NaN
+                            return s.map(
+                                lambda v: None
+                                if pd.isna(v)
+                                else iceberg_bucket(v, st, nb)
+                            ).astype("Int32")
+
+                        return _bkt
+
+                    w = w.withColumn(
+                        f"_p_{ps['fname']}",
+                        _make_bkt(ps["n"], ps["src_type"])(
+                            F.col(ps["src"])
+                        ),
+                    )
+            shadows = [f"_p_{ps['fname']}" for ps in pspecs]
             # repartition ON the partition tuple: one task per value
             # -> exactly one compacted file per partition dir
             w = w.repartition(*[F.col(c) for c in shadows])
@@ -1027,18 +1070,18 @@ def rewrite_data_files(
         )
         part_rec["type"]["fields"] = [
             {
-                "name": fname,
-                "type": ["null", _PART_AVRO[t]],
-                "field-id": fid,
+                "name": ps["fname"],
+                "type": ["null", _PART_AVRO[ps["out_type"]]],
+                "field-id": ps["fid"],
                 "default": None,
             }
-            for fname, _src, t, fid in pspecs
+            for ps in pspecs
         ]
 
     def _pvals(full: str) -> dict:
         import urllib.parse
 
-        types = {fname: t for fname, _s, t, _f in pspecs}
+        types = {ps["fname"]: ps["out_type"] for ps in pspecs}
         vals: dict = {}
         rel = os.path.relpath(
             os.path.abspath(full), os.path.abspath(path)
@@ -1073,7 +1116,7 @@ def rewrite_data_files(
     by_part: dict[tuple, list[str]] = {}
     for full in new_files:
         vals = _pvals(full) if pspecs else {}
-        key = tuple(vals.get(fname) for fname, _s, _t, _f in pspecs)
+        key = tuple(vals.get(ps["fname"]) for ps in pspecs)
         by_part.setdefault(key, []).append(full)
     # the new manifest list reuses the table's OWN list schema (like
     # rewrite_manifests) so externally-written layouts keep their
@@ -1093,7 +1136,7 @@ def rewrite_data_files(
                 "file_path": "file://" + full,
                 "file_format": "PARQUET",
                 "partition": dict(
-                    zip((f for f, _s, _t, _i in pspecs), key)
+                    zip((ps["fname"] for ps in pspecs), key)
                 ),
                 "record_count": pq.ParquetFile(full).metadata.num_rows,
                 "file_size_in_bytes": os.path.getsize(full),
@@ -1153,12 +1196,12 @@ def rewrite_data_files(
                         "contains_null": v is None,
                         "lower_bound": None
                         if v is None
-                        else _single_value_bytes(t, v),
+                        else _single_value_bytes(ps["out_type"], v),
                         "upper_bound": None
                         if v is None
-                        else _single_value_bytes(t, v),
+                        else _single_value_bytes(ps["out_type"], v),
                     }
-                    for (_f, _s, t, _i), v in zip(pspecs, key)
+                    for ps, v in zip(pspecs, key)
                 ]
                 if pspecs
                 else None

@@ -1048,8 +1048,7 @@ def test_rewrite_data_files_partitioned_identity(spark, tmp_path):
     """r10: rewrite_data_files compacts identity-PARTITIONED tables
     to one file per partition, re-emitting per-partition manifests
     whose partition structs and bound summaries keep manifest-level
-    pruning alive; appends after compaction stay consistent; bucket
-    transforms and data_files injection refuse."""
+    pruning alive; appends after compaction stay consistent."""
     from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
         rewrite_data_files,
     )
@@ -1080,11 +1079,51 @@ def test_rewrite_data_files_partitioned_identity(spark, tmp_path):
         assert sorted(
             map(tuple, read_iceberg(spark, path).collect())
         ) == want + [(7, "c")]
-    bpath = str(tmp_path / "rdf_bucket")
-    export_iceberg(mk([(1, "a"), (2, "b")]), bpath,
-                   partition_by=["bucket(4, id)"])
-    with pytest.raises(UnsupportedIcebergFeature, match="non-identity"):
-        rewrite_data_files(spark, bpath)
+
+
+def test_rewrite_data_files_bucket_transform(spark, tmp_path):
+    """r11: rewrite_data_files compacts BUCKET-partitioned tables by
+    re-deriving bucket values with the golden-tested iceberg_bucket
+    transform — one file per non-empty bucket, pruning survives with
+    a pinned scan count, and appends after compaction stay
+    consistent."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        iceberg_bucket,
+        rewrite_data_files,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "id long, name string")
+    path = str(tmp_path / "rdf_bucket")
+    export_iceberg(
+        mk([(i, f"n{i}") for i in range(30)]).repartition(3),
+        path,
+        partition_by=["bucket(4, id)"],
+    )
+    export_iceberg(
+        mk([(i, f"n{i}") for i in range(30, 50)]).repartition(2),
+        path,
+        partition_by=["bucket(4, id)"],
+        mode="append",
+    )
+    buckets = {iceberg_bucket(i, "long", 4) for i in range(50)}
+    assert len(read_iceberg(spark, path).inputFiles()) > len(buckets)
+    res = rewrite_data_files(spark, path)
+    assert res["files_after"] == len(buckets)  # one per live bucket
+    assert res["rewritten_rows"] == 50
+    d = read_iceberg(spark, path)
+    assert sorted(r.id for r in d.collect()) == list(range(50))
+    assert len(d.inputFiles()) == len(buckets)
+    pr = read_iceberg(spark, path, partition_filter={"id_bucket": 2})
+    want = sorted(i for i in range(50) if iceberg_bucket(i, "long", 4) == 2)
+    assert sorted(r.id for r in pr.collect()) == want and want
+    assert len(pr.inputFiles()) == 1  # pinned: pruning survives
+    export_iceberg(
+        mk([(50, "n50")]), path,
+        partition_by=["bucket(4, id)"], mode="append",
+    )
+    assert sorted(
+        r.id for r in read_iceberg(spark, path).collect()
+    ) == list(range(51))
 
 
 def test_rewrite_manifests_compacts_current_snapshot(spark, tmp_path):
