@@ -2796,6 +2796,64 @@ def q_delta_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_pos_delete_read",
+    """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE NOT (c_nationkey < 10 OR c_custkey % 7 = 0)
+""",
+    doc="Row-level DELETE via v2 POSITION-DELETE files (new r11 — "
+    "the Iceberg twin of delta_dv_delete_read, closing row-level "
+    "delete parity across both formats), value-oracled: customer "
+    "exports as a v2 table in two append snapshots, then TWO "
+    "delete_iceberg calls (c_nationkey < 10, then c_custkey % 7 = 0) "
+    "write spec-shaped position-delete parquets (file_path/pos with "
+    "the reserved field ids, one file per touched data file, "
+    "positions written by applyInPandas workers — never on the "
+    "driver) under operation=delete snapshots at fresh sequence "
+    "numbers. The read applies them via the seq-scoped _metadata "
+    "anti-join and must equal the plain WHERE NOT oracle; a "
+    "snapshot-id time-travel guard (pre-delete read minus the full "
+    "source, riding the value hash as extra rows when wrong) pins "
+    "that the deletes never mutated the original data files.\\n\\n"
+    "Reference parity: the reference's Hudi tables do row-level "
+    "deletes through Flink CDC upsert/delete records "
+    "(CDC-Hudi-Notebook.zpln flagship pipeline); this is the "
+    "lake-format-native delete surface a Spark user gets.",
+)
+def q_iceberg_pos_delete_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..sources.iceberg_interop import (
+        delete_iceberg,
+        export_iceberg,
+        read_iceberg,
+        snapshots,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="ice_posdel_")
+    t = f"{root}/t"
+    export_iceberg(
+        c.filter(F.col("c_custkey") % 2 == 0), t, format_version=2
+    )
+    export_iceberg(
+        c.filter(F.col("c_custkey") % 2 == 1), t, mode="append"
+    )
+    pre_sid = snapshots(t)[-1]["snapshot_id"]
+    delete_iceberg(spark, t, "c_nationkey < 10")
+    delete_iceberg(spark, t, "c_custkey % 7 = 0")
+    cols = ["c_custkey", "c_name", "c_nationkey"]
+    post = read_iceberg(spark, t).select(*cols)
+    # guard: the pre-delete snapshot must still equal the full source
+    pre = read_iceberg(spark, t, snapshot_id=pre_sid).select(*cols)
+    return post.unionAll(pre.exceptAll(c)).unionAll(c.exceptAll(pre))
+
+
+@register(
     "uniform_optimize_read",
     """
 SELECT r_regionkey, r_name FROM region

@@ -1250,6 +1250,299 @@ def rewrite_data_files(
     return out
 
 
+def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Row-level DELETE on a v2 Iceberg table via POSITION-DELETE
+    files (new r11 — the write side of the reader's v2 delete support
+    and the Iceberg twin of ``delete_delta``): rows matching
+    ``predicate`` are marked deleted WITHOUT rewriting any data file.
+
+    How: one scan of the live data files carrying the hidden parquet
+    ``_metadata.file_path`` / ``row_index`` columns (partition
+    columns re-attached by the same basePath projection
+    ``read_iceberg`` uses, so predicates bind logical names),
+    filtered by the predicate; matched positions group by data file
+    into ``applyInPandas`` workers that each write one spec-shaped
+    position-delete parquet (columns ``file_path`` / ``pos`` with
+    the spec's reserved field ids 2147483546 / 2147483545, positions
+    sorted, the data file referenced by its RECORDED manifest URI).
+    The commit is ONE new delete manifest of ADDED ``content=1``
+    entries (each carrying its data file's partition struct —
+    partition-scoped deletes) appended to the carried-forward
+    manifest list under a new ``operation=delete`` snapshot at the
+    next sequence number — so the spec's scoping rule (data seq <=
+    delete seq) makes the deletes apply to every current file while
+    files rewritten later escape them. ``rewrite_data_files``
+    materializes and drops the delete files (REWRITE semantics).
+
+    Format-version 1 tables refuse: v1 has no sequence numbers, so
+    position deletes cannot be scoped (the same restriction Java
+    enforces). Positions come from the RAW file scan, so a predicate
+    that also matches already-deleted rows re-records their
+    positions — harmless per the spec (position deletes union), it
+    only inflates this call's ``deleted_rows`` count.
+
+    Scale: positions never pass through the driver — each worker
+    writes its own file's delete parquet; the driver sees one
+    KB-scale descriptor row per touched file, and the commit is a
+    metadata append (existing manifests are NOT rewritten)."""
+    from pyspark.sql import functions as F
+
+    meta = json.load(open(_current_metadata_path(path)))
+    fmt_version = int(meta.get("format-version", 1))
+    if fmt_version < 2:
+        raise UnsupportedIcebergFeature(
+            "delete_iceberg needs format-version 2 — v1 has no "
+            "sequence numbers to scope position deletes"
+        )
+    cur = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"Iceberg table at {path} has no current snapshot")
+    mapping, _pos, _eq = _live_files(path, cur)
+    if not mapping:
+        raise FileNotFoundError(
+            f"Iceberg table at {path} has no live data files"
+        )
+    files = sorted(v for v, _, _ in mapping.values())
+    df = spark.read.option("basePath", path).parquet(*files)
+    tbl_cols = _table_columns(path)
+    keep = [c for c in tbl_cols if c in df.columns]
+    if keep and set(keep) != set(df.columns):
+        df = df.select(*keep)
+    data = df.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"),
+            r"^[A-Za-z0-9+.-]+:(//[^/]*)?",
+            "",
+        ).alias("_ice_fp"),
+        F.col("_metadata.row_index").alias("_ice_pos"),
+    )
+    matched = data.filter(predicate).select("_ice_fp", "_ice_pos")
+    map_df = F.broadcast(
+        spark.createDataFrame(
+            [(v, k) for k, (v, _s, _p) in mapping.items()],
+            "_ice_fp string, _ice_recorded string",
+        )
+    )
+    # LEFT join + fail-fast filter (the read path's shape): an inner
+    # join would silently SKIP deleting rows whose path normalization
+    # failed to match — not deleting requested rows is as wrong as
+    # dropping rows
+    matched = matched.join(map_df, "_ice_fp", "left").filter(
+        F.col("_ice_recorded").isNotNull()
+        | F.raise_error(
+            F.concat(
+                F.lit(
+                    "delete_iceberg: matched row's data file missing "
+                    "from the snapshot's file mapping: "
+                ),
+                F.col("_ice_fp"),
+            )
+        ).cast("boolean")
+    )
+    data_dir = os.path.join(path, "data")
+
+    def _write_posdel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        rec = pdf["_ice_recorded"].iloc[0]
+        poss = sorted(int(p) for p in pdf["_ice_pos"])
+        schema = pa.schema(
+            [
+                pa.field(
+                    "file_path",
+                    pa.string(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483546"},
+                ),
+                pa.field(
+                    "pos",
+                    pa.int64(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483545"},
+                ),
+            ]
+        )
+        name = f"pos-del-{uuid.uuid4()}.parquet"
+        fp = os.path.join(data_dir, name)
+        papq.write_table(
+            pa.table(
+                {"file_path": [rec] * len(poss), "pos": poss},
+                schema=schema,
+            ),
+            fp,
+        )
+        return pd.DataFrame(
+            {
+                "recorded": [rec],
+                "file": [fp],
+                "n": [len(poss)],
+                "size": [os.path.getsize(fp)],
+            }
+        )
+
+    touched = matched.groupBy("_ice_recorded").applyInPandas(
+        _write_posdel, "recorded string, file string, n long, size long"
+    ).collect()  # bounded: one descriptor row per touched data file
+    if not touched:
+        return {"snapshot_id": None, "deleted_rows": 0, "files_touched": 0}
+
+    default_spec = next(
+        (
+            s
+            for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        (meta.get("partition-specs") or [{}])[0],
+    )
+    pfields = default_spec.get("fields", [])
+    entry_schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    entry_schema["fields"][2]["type"]["fields"].insert(
+        1, {"name": "content", "type": "int", "field-id": 134}
+    )
+    if pfields:
+        # partition values are COPIED from the data files' own
+        # manifest structs (partition-scoped deletes) — no transform
+        # re-derivation needed; the avro types mirror the exporter's
+        # (identity -> source type, bucket -> int, others fall back
+        # to the sample value's type)
+        names_by_id = _field_names_by_id(meta)
+        schema_types = {
+            f["name"]: f["type"] for f in _current_schema(path)["fields"]
+        }
+        sample = next(iter(mapping.values()))[2]
+
+        def _ptype(pf: dict) -> str:
+            tr = pf.get("transform")
+            if tr == "identity":
+                t = schema_types.get(names_by_id.get(pf.get("source-id")))
+                if t in _PART_AVRO:
+                    return _PART_AVRO[t]
+            elif re.match(r"^bucket\[\d+\]$", tr or ""):
+                return "int"
+            v = sample.get(pf["name"])
+            return "string" if isinstance(v, str) else "long"
+
+        part_rec = next(
+            fl
+            for fl in entry_schema["fields"][2]["type"]["fields"]
+            if fl["name"] == "partition"
+        )
+        part_rec["type"]["fields"] = [
+            {
+                "name": pf["name"],
+                "type": ["null", _ptype(pf)],
+                "field-id": int(pf.get("field-id", 1000)),
+                "default": None,
+            }
+            for pf in pfields
+        ]
+    new_sid = int(uuid.uuid4().int % (1 << 62))
+    new_seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(time.time() * 1000)
+    md = os.path.join(path, _META_DIR)
+    entries = []
+    deleted = 0
+    for r in sorted(touched, key=lambda r: r["recorded"]):
+        deleted += int(r["n"])
+        part = dict(mapping[r["recorded"]][2]) if pfields else {}
+        entries.append(
+            # ADDED entries with null seq inherit the manifest's
+            {
+                "status": 1,
+                "snapshot_id": new_sid,
+                "data_file": {
+                    "content": 1,
+                    "file_path": "file://" + r["file"],
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": int(r["n"]),
+                    "file_size_in_bytes": int(r["size"]),
+                },
+            }
+        )
+    manifest_path = os.path.join(md, f"manifest-{new_sid}-del.avro")
+    write_avro(
+        manifest_path,
+        entry_schema,
+        entries,
+        metadata={
+            "schema": json.dumps(_current_schema(path)).encode(),
+            "schema-id": b"0",
+            "partition-spec": json.dumps(pfields).encode(),
+            "partition-spec-id": str(
+                default_spec.get("spec-id", 0)
+            ).encode(),
+            "format-version": b"2",
+            "content": b"deletes",
+        },
+    )
+    mlist_schema, old_rows = read_avro(_resolve(snap["manifest-list"], path))
+    del_row_full = {
+        "manifest_path": "file://" + manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": default_spec.get("spec-id", 0),
+        "added_snapshot_id": new_sid,
+        "content": 1,
+        "sequence_number": new_seq,
+        "min_sequence_number": new_seq,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": deleted,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+    mlist_rows = list(old_rows) + [
+        {
+            f["name"]: del_row_full.get(f["name"])
+            for f in mlist_schema["fields"]
+        }
+    ]
+    new_mlist = os.path.join(md, f"snap-{new_sid}.avro")
+    write_avro(
+        new_mlist,
+        mlist_schema,
+        mlist_rows,
+        metadata={
+            "format-version": b"2",
+            "snapshot-id": str(new_sid).encode(),
+        },
+    )
+    new_snap = {
+        "snapshot-id": new_sid,
+        "parent-snapshot-id": cur,
+        "sequence-number": new_seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": "file://" + new_mlist,
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(entries)),
+            "added-position-deletes": str(deleted),
+        },
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = new_seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [new_snap]
+    new_meta["current-snapshot-id"] = new_sid
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": new_sid}
+    ]
+    _commit_metadata(path, new_meta)
+    return {
+        "snapshot_id": new_sid,
+        "deleted_rows": deleted,
+        "files_touched": len(touched),
+    }
+
+
 # -- exporter (format-version 1, unpartitioned) -----------------------------
 
 _SPARK_TO_ICEBERG = {

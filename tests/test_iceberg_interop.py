@@ -1259,3 +1259,58 @@ def test_export_iceberg_append_multi_snapshot(spark, tmp_path):
     assert sorted(r.id for r in pruned.collect()) == sorted(
         i for i in range(10) if i % 2
     ) + [101, 103]
+
+def test_delete_iceberg_position_deletes_round_trip(spark, tmp_path):
+    """r11: delete_iceberg writes v2 position-delete files + a delete
+    manifest the reader applies; time travel to the pre-delete
+    snapshot serves every row; a second delete stacks; rewrite
+    materializes them; v1 and empty-match behave; partitioned tables
+    keep pruning after a partition-scoped delete."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _current_metadata_path,
+        delete_iceberg,
+        rewrite_data_files,
+    )
+
+    mk = lambda n: spark.createDataFrame(
+        [(i, f"n{i}") for i in range(n)], "id long, name string"
+    )
+    path = str(tmp_path / "del_v2")
+    export_iceberg(mk(20).repartition(3), path, format_version=2)
+    res = delete_iceberg(spark, path, "id IN (3, 7, 11)")
+    assert res["deleted_rows"] == 3 and res["files_touched"] >= 1
+    assert sorted(r.id for r in read_iceberg(spark, path).collect()) == \
+        sorted(set(range(20)) - {3, 7, 11})
+    meta = json.load(open(_current_metadata_path(path)))
+    first = meta["snapshots"][0]["snapshot-id"]
+    assert sorted(
+        r.id for r in read_iceberg(spark, path, snapshot_id=first).collect()
+    ) == list(range(20))
+    assert delete_iceberg(spark, path, "id = 0")["deleted_rows"] == 1
+    want = sorted(set(range(20)) - {0, 3, 7, 11})
+    assert sorted(r.id for r in read_iceberg(spark, path).collect()) == want
+    # no matches -> no commit
+    assert delete_iceberg(spark, path, "id = 999")["snapshot_id"] is None
+    # rewrite materializes the deletes and drops the delete files
+    r3 = rewrite_data_files(spark, path)
+    assert r3["rewritten_rows"] == 16 and r3["files_after"] == 1
+    assert sorted(r.id for r in read_iceberg(spark, path).collect()) == want
+
+    p1 = str(tmp_path / "del_v1")
+    export_iceberg(mk(5), p1, format_version=1)
+    with pytest.raises(UnsupportedIcebergFeature, match="format-version 2"):
+        delete_iceberg(spark, p1, "id = 1")
+
+    p2 = str(tmp_path / "del_part")
+    df2 = spark.createDataFrame(
+        [(i, "abc"[i % 3]) for i in range(30)], "id long, k string"
+    )
+    export_iceberg(df2, p2, partition_by=["k"], format_version=2)
+    delete_iceberg(spark, p2, "id < 10")
+    assert sorted(
+        r.id for r in read_iceberg(spark, p2).collect()
+    ) == list(range(10, 30))
+    pr = read_iceberg(spark, p2, partition_filter={"k": "a"})
+    assert sorted(r.id for r in pr.collect()) == [
+        i for i in range(10, 30) if i % 3 == 0
+    ]

@@ -21,6 +21,7 @@ import pytest
 
 from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
     UnsupportedIcebergFeature,
+    delete_iceberg,
     expire_snapshots,
     export_iceberg,
     read_iceberg,
@@ -62,9 +63,40 @@ def test_random_iceberg_maintenance_matches_model(
 
     for step in range(12):
         op = rng.choice(
-            ["append", "append", "expire", "rewrite", "rewrite_data"]
+            ["append", "append", "expire", "rewrite", "rewrite_data",
+             "delete"]
         )
-        if op == "append":
+        if op == "delete":
+            # position-delete commit (new r11): rows vanish, data
+            # files stay; incremental ranges crossing it refuse like
+            # any non-append. v1 refuses outright.
+            live_ids = sorted({k[0] for k in model[lineage[-1]][0]})
+            if not live_ids:
+                continue
+            victims = rng.sample(
+                live_ids, rng.randint(1, min(3, len(live_ids)))
+            )
+            pred = f"id IN ({', '.join(map(str, victims))})"
+            if fv == 1:
+                with pytest.raises(
+                    UnsupportedIcebergFeature, match="format-version 2"
+                ):
+                    delete_iceberg(spark, path, pred)
+                continue
+            res = delete_iceberg(spark, path, pred)
+            assert res["deleted_rows"] == len(victims)
+            sid = snapshots(path)[-1]["snapshot_id"]
+            gone = set(victims)
+            model[sid] = (
+                Counter(
+                    {k: c for k, c in model[lineage[-1]][0].items()
+                     if k[0] not in gone}
+                ),
+                Counter(),
+            )
+            lineage.append(sid)
+            data_rewrites.add(sid)  # gates the incremental refusal
+        elif op == "append":
             rows = fresh_rows(rng.randint(1, 3))
             export_iceberg(mk(rows), path, mode="append")
             sid = snapshots(path)[-1]["snapshot_id"]
@@ -87,8 +119,11 @@ def test_random_iceberg_maintenance_matches_model(
             lineage.append(sid)
         else:  # rewrite_data (bin-pack compaction, new r10)
             res = rewrite_data_files(spark, path)
-            if res["files_before"] > 1:
-                sid = snapshots(path)[-1]["snapshot_id"]
+            # a commit happens when >1 live file OR live deletes need
+            # materializing (new r11) — detect it from the snapshot
+            # list, the authoritative signal either way
+            sid = snapshots(path)[-1]["snapshot_id"]
+            if sid != lineage[-1]:
                 model[sid] = (Counter(model[lineage[-1]][0]), Counter())
                 lineage.append(sid)
                 data_rewrites.add(sid)
@@ -96,7 +131,7 @@ def test_random_iceberg_maintenance_matches_model(
                 assert len(read_iceberg(spark, path).inputFiles()) == 1
             else:
                 # already compact: a no-op commits NO snapshot
-                assert snapshots(path)[-1]["snapshot_id"] == lineage[-1]
+                assert res["files_before"] <= 1
         live = {s["snapshot_id"] for s in snapshots(path)}
         assert live == set(lineage), (seed, step, op)
         cur = _rows_of(read_iceberg(spark, path))
