@@ -10,12 +10,16 @@ returns the full SHORT/LONG value lists for count>1 tags). PackBits
 (compression=32773 — the TIFF 6.0 §9 byte-oriented RLE, the common
 fax/scan profile) and LZW (compression=5 — §13's MSB-first
 variable-width codes with the early-change width rule, the common
-desktop-writer profile) decompress per strip. JPEG-in-TIFF/deflate
-compression, the horizontal-differencing predictor, and tiled
-layouts raise the declared ``NotImplementedError``. The writer emits
-spec-shaped baseline TIFFs for fixtures — single- or multi-strip;
-uncompressed, PackBits or LZW — so the decoders are pinned against
-independently-written layouts.
+desktop-writer profile) decompress per strip, and so does Deflate
+(compression=8/32946 — the Adobe TIFF extension, stdlib zlib; new
+r11) with the §14 horizontal-differencing predictor (tag 317 = 2,
+undone row-wise with a modular cumsum; valid on LZW and Deflate).
+JPEG-in-TIFF compression, the floating-point predictor (3), and
+tiled layouts raise the declared ``NotImplementedError``. The
+writer emits spec-shaped baseline TIFFs for fixtures — single- or
+multi-strip; uncompressed, PackBits, LZW or Deflate, predictor 1
+or 2 — so the decoders are pinned against independently-written
+layouts.
 
 Same scale shape as the other codecs: per-image byte walks inside
 ``mapInPandas`` (``multimodal._decode_bytes`` routes the II*/MM*
@@ -25,6 +29,7 @@ magic), executor-side, no shuffle.
 from __future__ import annotations
 
 import struct
+import zlib
 
 from .exif import _read_ifd
 
@@ -200,11 +205,12 @@ def tiff_lzw_encode(data: bytes) -> bytes:
 
 
 def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline TIFF (uncompressed, PackBits or LZW; single-
-    or multi-strip) to (width, height, RGB24). Grayscale (1 sample)
-    replicates to RGB; RGB (3 samples) passes through. JPEG/deflate
-    compression, predictor 2, and tiled files raise
-    NotImplementedError."""
+    """Decode a baseline TIFF (uncompressed, PackBits, LZW or
+    Deflate — with the horizontal-differencing predictor on the
+    latter two; single- or multi-strip) to (width, height, RGB24).
+    Grayscale (1 sample) replicates to RGB; RGB (3 samples) passes
+    through. JPEG-in-TIFF, the floating-point predictor, and tiled
+    files raise NotImplementedError."""
     b = bytes(b)
     if b[:4] == b"II*\x00":
         bo = "<"
@@ -219,16 +225,22 @@ def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
     if not w or not h:
         raise ValueError("TIFF missing ImageWidth/ImageLength")
     comp = int(ifd.get(259, 1))
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp}: uncompressed (1), LZW (5) and "
-            "PackBits (32773) decode here — JPEG-in-TIFF/deflate "
-            "need an external decoder"
+            f"TIFF compression {comp}: uncompressed (1), LZW (5), "
+            "Deflate (8/32946) and PackBits (32773) decode here — "
+            "JPEG-in-TIFF needs an external decoder"
         )
-    if comp == 5 and int(ifd.get(317, 1)) != 1:
+    pred = int(ifd.get(317, 1))
+    if pred not in (1, 2):
         raise NotImplementedError(
-            "TIFF LZW with horizontal-differencing predictor "
-            f"{ifd.get(317)} is not supported"
+            f"TIFF predictor {pred}: only none (1) and horizontal "
+            "differencing (2) are supported"
+        )
+    if pred == 2 and comp not in (5, 8, 32946):
+        raise NotImplementedError(
+            "TIFF predictor 2 is only defined for LZW/Deflate "
+            f"compression (got compression {comp})"
         )
     if 273 not in ifd or 279 not in ifd:
         raise NotImplementedError(
@@ -260,11 +272,22 @@ def decode_tiff(b: bytes) -> tuple[int, int, bytes]:
         strips = [packbits_decode(s) for s in strips]
     elif comp == 5:
         strips = [tiff_lzw_decode(s) for s in strips]
+    elif comp in (8, 32946):
+        strips = [zlib.decompress(s) for s in strips]
     raw = b"".join(strips)
     need = w * h * spp
     if len(raw) < need:
         raise ValueError("TIFF strip data truncated")
     raw = raw[:need]
+    if pred == 2:
+        # §14 horizontal differencing: each sample stored as the
+        # delta from the previous pixel's same sample, reset per row
+        # — undo with a modular cumsum along the row axis (strips
+        # hold whole rows, so row boundaries survive the concat)
+        import numpy as np
+
+        arr = np.frombuffer(raw, np.uint8).reshape(h, w, spp)
+        raw = np.cumsum(arr, axis=1, dtype=np.uint8).tobytes()
     if spp == 3:
         return w, h, raw
     rgb = bytearray(w * h * 3)
@@ -280,25 +303,43 @@ def encode_tiff(
     rgb: bytes,
     rows_per_strip: int | None = None,
     compression: str = "none",
+    predictor: int = 1,
 ) -> bytes:
     """Fixture writer: little-endian spec-shaped RGB TIFF. Default is
     the original single-strip uncompressed layout (byte-exact round
     trip); ``rows_per_strip`` splits the pixel data into the
     real-scanner multi-strip layout (count>1 StripOffsets /
     StripByteCounts, out-of-line LONG arrays);
-    ``compression='packbits'`` (tag 32773) or ``'lzw'`` (tag 5)
-    compresses each strip."""
+    ``compression='packbits'`` (tag 32773), ``'lzw'`` (tag 5) or
+    ``'deflate'`` (tag 8, new r11) compresses each strip;
+    ``predictor=2`` (LZW/Deflate only) applies §14 horizontal
+    differencing before compression and writes tag 317."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb must be width*height*3 bytes")
-    if compression not in ("none", "packbits", "lzw"):
+    if compression not in ("none", "packbits", "lzw", "deflate"):
         raise ValueError(
-            "compression must be 'none', 'packbits' or 'lzw'"
+            "compression must be 'none', 'packbits', 'lzw' or "
+            "'deflate'"
         )
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
+    if predictor == 2 and compression not in ("lzw", "deflate"):
+        raise ValueError("predictor 2 needs lzw or deflate")
     rps = height if rows_per_strip is None else min(
         rows_per_strip, height
     )
     if rps <= 0:
         raise ValueError("rows_per_strip must be positive")
+    if predictor == 2:
+        import numpy as np
+
+        arr = (
+            np.frombuffer(bytes(rgb), np.uint8)
+            .reshape(height, width, 3)
+            .copy()
+        )
+        arr[:, 1:, :] -= arr[:, :-1, :].copy()  # wraps mod 256
+        rgb = arr.tobytes()
     row_bytes = width * 3
     strips = [
         rgb[r * row_bytes : (r + rps) * row_bytes]
@@ -308,7 +349,10 @@ def encode_tiff(
         strips = [packbits_encode(s) for s in strips]
     elif compression == "lzw":
         strips = [tiff_lzw_encode(s) for s in strips]
-    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    elif compression == "deflate":
+        strips = [zlib.compress(s, 6) for s in strips]
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773,
+                "deflate": 8}[compression]
     n_strips = len(strips)
 
     strip_off0 = 8
@@ -332,6 +376,8 @@ def encode_tiff(
         (278, 3, 1, rps),  # RowsPerStrip
         (279, 4, n_strips, None),  # StripByteCounts
     ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))  # Predictor = horizontal
     # out-of-line area starts after the IFD (entry table + next ptr)
     blob_off = ifd_off + 2 + 12 * len(entries) + 4
     blobs = bytearray()

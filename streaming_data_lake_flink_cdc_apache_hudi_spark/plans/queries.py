@@ -1665,7 +1665,9 @@ FROM (VALUES
   (CAST(10 AS BIGINT), 'image', CAST(113 AS BIGINT), CAST(8069 AS BIGINT),
    4, 4, 0.0882, 0.0922, 0.0961),
   (CAST(11 AS BIGINT), 'image', CAST(353 AS BIGINT), CAST(27132 AS BIGINT),
-   8, 8, 0.7059, 0.5294, 0.3529))
+   8, 8, 0.7059, 0.5294, 0.3529),
+  (CAST(12 AS BIGINT), 'image', CAST(167 AS BIGINT), CAST(2927 AS BIGINT),
+   4, 4, 0.0882, 0.0922, 0.0961))
 AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
 """,
     doc="Multimodal decode through mapInPandas (operators/"
@@ -1700,7 +1702,14 @@ AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
     "arithmetic over range(48). Row 11 (new r10): a 4-component "
     "Adobe YCCK JPEG (APP14 transform 2 — the print/scan profile): "
     "solid stored ink (200,150,100) K 230 at quality=100, so decoded "
-    "RGB = ROUND(s*230/255) exactly and f = ROUND(rgb/255, 4).",
+    "RGB = ROUND(s*230/255) exactly and f = ROUND(rgb/255, 4). Row "
+    "12 (new r11): a DEFLATE TIFF (compression 8, the Adobe "
+    "extension) with the section-14 horizontal-differencing "
+    "predictor (tag 317 = 2) over the same 0..47 gradient as row 10 "
+    "— zlib decompress per strip + modular row cumsum undo, "
+    "lossless, so the f values equal row 10's by the same "
+    "arithmetic (n_bytes/checksum pin the container's stdlib-zlib "
+    "level-6 output).",
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1751,6 +1760,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     p11 = encode_jpeg_cmyk(
         8, 8, bytes([200, 150, 100, 230] * 64), transform=2
     )
+    p12 = encode_tiff(
+        4, 4, bytes(range(48)), compression="deflate", predictor=2
+    )
     rows = [
         (1, "image", bytearray(p1),
          {"mime": "image/x-portable-pixmap", "n_bytes": len(p1),
@@ -1785,6 +1797,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (11, "image", bytearray(p11),
          {"mime": "image/jpeg", "n_bytes": len(p11),
           "width": 8, "height": 8, "duration_ms": None}),
+        (12, "image", bytearray(p12),
+         {"mime": "image/tiff", "n_bytes": len(p12),
+          "width": 4, "height": 4, "duration_ms": None}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     dec = decode_media(media)

@@ -1617,10 +1617,10 @@ def test_tiff_round_trip_and_boundaries(spark):
         )
     ).collect()[0]
     assert (row.width, row.height) == (4, 3) and row.feature is not None
-    # deflate-compressed tag refuses (LZW decodes since r10)
+    # JPEG-in-TIFF tag refuses (LZW decodes since r10, deflate r11)
     bad = bytearray(b)
     i = bad.find(struct.pack("<HHI", 259, 3, 1))
-    bad[i + 8 : i + 10] = struct.pack("<H", 8)
+    bad[i + 8 : i + 10] = struct.pack("<H", 7)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(bad))
 
@@ -1711,10 +1711,10 @@ def test_tiff_lzw_codec_and_decode(spark):
     assert decode_tiff(
         encode_tiff(40, 40, rgb, rows_per_strip=7, compression="lzw")
     ) == (40, 40, rgb)
-    # deflate (8) still refuses; corrupt LZW raises, not garbage
+    # JPEG-in-TIFF (7) refuses; corrupt LZW raises, not garbage
     bad = bytearray(encode_tiff(4, 2, bytes(24), compression="lzw"))
     i = bad.find(struct.pack("<HHI", 259, 3, 1))
-    bad[i + 8 : i + 10] = struct.pack("<H", 8)
+    bad[i + 8 : i + 10] = struct.pack("<H", 7)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(bad))
     with pytest.raises(ValueError, match="LZW"):
@@ -1732,6 +1732,76 @@ def test_tiff_lzw_codec_and_decode(spark):
     ).collect()[0]
     assert (row.width, row.height) == (4, 6)
     assert round(row.feature[0], 4) == round(90 / 255, 4)
+
+
+def test_tiff_deflate_and_predictor(spark):
+    """TIFF Deflate (compression 8/32946, new r11) + the §14
+    horizontal-differencing predictor (tag 317 = 2): lossless round
+    trips single- and multi-strip, predictor with LZW too; the
+    big-endian/old-style deflate code decodes; predictor 3 and
+    predictor-2-on-uncompressed refuse; decode_media routes it."""
+    import random
+    import struct
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rnd = random.Random(11)
+    rgb = bytes(rnd.randrange(256) for _ in range(9 * 7 * 3))
+    for kwargs in (
+        {"compression": "deflate"},
+        {"compression": "deflate", "rows_per_strip": 3},
+        {"compression": "deflate", "predictor": 2},
+        {"compression": "deflate", "predictor": 2, "rows_per_strip": 2},
+        {"compression": "lzw", "predictor": 2},
+        {"compression": "lzw", "predictor": 2, "rows_per_strip": 4},
+    ):
+        assert decode_tiff(encode_tiff(9, 7, rgb, **kwargs)) == (
+            9, 7, rgb,
+        ), kwargs
+    # a smooth gradient compresses BETTER with the predictor — the
+    # reason the tag exists
+    grad = bytes((x * 2 + c) & 0xFF for _y in range(16)
+                 for x in range(16) for c in range(3))
+    plain = encode_tiff(16, 16, grad, compression="deflate")
+    pred = encode_tiff(16, 16, grad, compression="deflate", predictor=2)
+    assert len(pred) < len(plain)
+    # old-style deflate code 32946 decodes identically
+    b = bytearray(encode_tiff(4, 3, rgb[: 4 * 3 * 3],
+                              compression="deflate"))
+    i = b.find(struct.pack("<HHI", 259, 3, 1))
+    b[i + 8 : i + 10] = struct.pack("<H", 32946 & 0xFFFF)
+    assert decode_tiff(bytes(b)) == (4, 3, rgb[: 4 * 3 * 3])
+    # floating-point predictor (3) refuses
+    p2 = bytearray(encode_tiff(4, 3, rgb[: 4 * 3 * 3],
+                               compression="deflate", predictor=2))
+    j = p2.find(struct.pack("<HHI", 317, 3, 1))
+    p2[j + 8 : j + 10] = struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        decode_tiff(bytes(p2))
+    # predictor 2 on uncompressed data refuses (spec scope): flip a
+    # deflate file's compression tag to 1 and keep tag 317
+    v = bytearray(encode_tiff(4, 3, rgb[: 4 * 3 * 3],
+                              compression="deflate", predictor=2))
+    m = v.find(struct.pack("<HHI", 259, 3, 1))
+    v[m + 8 : m + 10] = struct.pack("<H", 1)
+    with pytest.raises(NotImplementedError, match="predictor 2"):
+        decode_tiff(bytes(v))
+    # decode_media routes the deflate+predictor payload to pixels
+    p = encode_tiff(4, 4, bytes(range(48)), compression="deflate",
+                    predictor=2)
+    row = MM.decode_media(
+        spark.createDataFrame(
+            [(1, "image", bytearray(p),
+              {"mime": "image/tiff", "n_bytes": len(p),
+               "width": 4, "height": 4, "duration_ms": None})],
+            MM.MEDIA_SCHEMA,
+        )
+    ).collect()[0]
+    assert (row.width, row.height) == (4, 4)
+    assert round(row.feature[0], 4) == round(22.5 / 255, 4)
 
 
 def test_ogg_opus_metadata(spark):
