@@ -204,7 +204,24 @@ def minhash_lsh_pairs(
     # (ReusedExchange) — a broadcast here would rebuild signatures
     # for the build side AND ship the sig arrays to every task
     a, b = banded.alias("a").hint("merge"), banded.alias("b").hint("merge")
-    cand = (
+    # estimate + threshold BEFORE the pair-dedup shuffle (r11): a
+    # pair colliding in k bands recomputes the cheap JVM zip_with k
+    # times, but the dropDuplicates exchange then carries 3 scalars
+    # per row instead of two num_hashes-long signature arrays (~20x
+    # fewer shuffle bytes at 32 hashes), and below-threshold
+    # candidates never enter the shuffle at all. Every collision of
+    # the same pair computes the IDENTICAL estimate (it depends only
+    # on the signatures), so keep-any dedup is deterministic.
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("a._sig"),
+            F.col("b._sig"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -214,19 +231,10 @@ def minhash_lsh_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("sig_a"),
-            F.col("b._sig").alias("sig_b"),
+            (matches / F.lit(num_hashes)).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(num_hashes)
-    return (
-        cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
 
