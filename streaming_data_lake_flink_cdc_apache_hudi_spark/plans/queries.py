@@ -2869,6 +2869,52 @@ def q_iceberg_pos_delete_read(
 
 
 @register(
+    "uniform_delete_read",
+    """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE NOT (p_size < 10 OR p_partkey % 5 = 0)
+""",
+    doc="UniForm row-level DELETE (new r11 — the r10 VERDICT's "
+    "stretch goal): BOTH formats' delete encodings committed over "
+    "ONE shared parquet set, value-oracled end-to-end. part exports "
+    "as a v2 UniForm table in two commits, then TWO delete_uniform "
+    "calls (p_size < 10, then p_partkey % 5 = 0) each write Delta "
+    "deletion-vector sidecars AND Iceberg position-delete parquets "
+    "recording the SAME raw-scan positions (the format-version gate "
+    "runs before either commit so the views can never half-apply). "
+    "Returns the Delta view plus a two-sided exceptAll lockstep "
+    "guard against the Iceberg view riding the value hash — rows "
+    "only match the WHERE NOT oracle if BOTH formats dropped "
+    "exactly the deleted rows.",
+)
+def q_uniform_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import read_delta
+    from ..sources.iceberg_interop import read_iceberg
+    from ..sources.uniform import delete_uniform, export_uniform
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size"
+    )
+    root = tempfile.mkdtemp(prefix="uniform_del_")
+    t = f"{root}/t"
+    export_uniform(
+        p.filter(F.col("p_partkey") % 2 == 0), t, format_version=2
+    )
+    export_uniform(
+        p.filter(F.col("p_partkey") % 2 == 1), t,
+        mode="append", format_version=2,
+    )
+    delete_uniform(spark, t, "p_size < 10")
+    delete_uniform(spark, t, "p_partkey % 5 = 0")
+    cols = ["p_partkey", "p_name", "p_size"]
+    d = read_delta(spark, t).select(*cols)
+    i = read_iceberg(spark, t).select(*cols)
+    return d.unionAll(d.exceptAll(i)).unionAll(i.exceptAll(d))
+
+
+@register(
     "uniform_optimize_read",
     """
 SELECT r_regionkey, r_name FROM region

@@ -870,6 +870,7 @@ def rewrite_data_files(
     spark: SparkSession,
     path: str,
     data_files: Sequence[str] | None = None,
+    deletes_applied: bool = False,
 ) -> dict:
     """Iceberg's ``rewrite_data_files`` (bin-pack compaction, new
     r10 — the Iceberg twin of ``optimize_delta``): read the CURRENT
@@ -1044,11 +1045,13 @@ def rewrite_data_files(
         new_files = sorted(_on_disk() - before_write)
     else:
         new_files = [os.path.abspath(f) for f in sorted(data_files)]
-        if pos_del or eq_del:
+        if (pos_del or eq_del) and not deletes_applied:
             raise UnsupportedIcebergFeature(
                 "rewrite_data_files(data_files=...) over a table with "
                 "delete files — the injected set cannot prove the "
-                "deletes were applied"
+                "deletes were applied (pass deletes_applied=True only "
+                "when the injected rows ARE the post-delete row set, "
+                "as optimize_uniform's shared rewrite guarantees)"
             )
     if not new_files:
         raise RuntimeError("rewrite_data_files wrote no parquet files")
@@ -1345,6 +1348,9 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
         ).cast("boolean")
     )
     data_dir = os.path.join(path, "data")
+    # UniForm layouts keep data at the table root and have no data/
+    # dir yet — create it before the workers write into it
+    os.makedirs(data_dir, exist_ok=True)
 
     def _write_posdel(pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa

@@ -55,6 +55,7 @@ def export_uniform(
     name: str | None = None,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    format_version: int = 1,
 ) -> int:
     """Write ``df`` once and commit Delta AND Iceberg metadata over
     the same files. ``mode="append"`` (new r9) lands NEW files beside
@@ -62,7 +63,10 @@ def export_uniform(
     Iceberg snapshot over exactly those files — incremental UniForm:
     both views advance in lockstep, ``read_iceberg_incremental``
     serves the appended rows, and the shared data is still written
-    once. Returns the number of data files in this commit."""
+    once. ``format_version=2`` (new r11) writes the v2 Iceberg
+    metadata shape — required for ``delete_uniform`` (position
+    deletes need sequence numbers). Returns the number of data files
+    in this commit."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
 
@@ -104,8 +108,71 @@ def export_uniform(
         data_files=[os.path.join(path, f) for f in parts],
         partition_by=partition_by,
         mode=mode,
+        format_version=format_version,
     )
     return len(parts)
+
+
+def delete_uniform(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Row-level DELETE on a UniForm table (new r11): BOTH formats'
+    delete encodings committed over the shared data files, so a Delta
+    client and an Iceberg client each stop serving the matched rows.
+
+    The encodings are inherently format-specific — Delta deletion-
+    vector bitmap sidecars (``delete_delta``) vs Iceberg v2
+    position-delete parquets (``delete_iceberg``) — so unlike
+    ``optimize_uniform`` (where ONE rewritten parquet set serves both
+    commits) each side writes its own sidecar artifacts. Both sides
+    evaluate the SAME predicate over the SAME shared raw files with
+    the same hidden ``_metadata`` position columns, so the recorded
+    position sets are identical and the views cannot diverge; the
+    lockstep is pinned by tests reading both views after every
+    delete. Requires the Iceberg view at format-version 2 (export
+    with ``export_uniform(format_version=2)``) — v1 has no sequence
+    numbers to scope position deletes.
+
+    ``optimize_uniform`` afterwards materializes the deletes in both
+    formats at once over one rewritten parquet set.
+
+    Failure atomicity: the format-version gate runs BEFORE either
+    commit, but the two metadata commits themselves are sequential
+    (Delta then Iceberg) — a crash between them leaves the Delta
+    view ahead. Re-running the same delete converges both sides:
+    the Delta re-delete merges the identical positions (no new
+    rows), and the Iceberg side records them for the first time.
+
+    Scale: two raw scans of the live files (one per format's writer)
+    with executor-side sidecar writes; positions never pass through
+    the driver on either side. Sharing one scan would need a
+    cross-format position-injection API — the scan is the cheap part
+    (the sidecar writes and metadata commits dominate at 100 TB
+    commit rates)."""
+    import json
+
+    from .delta_interop import delete_delta
+    from .iceberg_interop import (
+        UnsupportedIcebergFeature,
+        _current_metadata_path,
+        delete_iceberg,
+    )
+
+    # validate the Iceberg side FIRST: refusing after the Delta DV
+    # commit would leave the two views serving different rows
+    meta = json.load(open(_current_metadata_path(path)))
+    if int(meta.get("format-version", 1)) < 2:
+        raise UnsupportedIcebergFeature(
+            "delete_uniform needs the Iceberg view at format-version "
+            "2 (export with export_uniform(format_version=2)) — v1 "
+            "has no sequence numbers to scope position deletes"
+        )
+    d = delete_delta(spark, path, predicate)
+    i = delete_iceberg(spark, path, predicate)
+    return {
+        "delta_version": d["version"],
+        "iceberg_snapshot_id": i["snapshot_id"],
+        "deleted_rows": i["deleted_rows"],
+        "files_touched": i["files_touched"],
+    }
 
 
 def optimize_uniform(spark: SparkSession, path: str) -> dict:
@@ -136,8 +203,15 @@ def optimize_uniform(spark: SparkSession, path: str) -> dict:
 
     from .delta_interop import _replay_log
 
-    _, meta, _ = _replay_log(spark, path)
+    adds, meta, _ = _replay_log(spark, path)
     part_cols = (meta or {}).get("partitionColumns") or []
+    # files carrying deletion vectors (delete_uniform, new r11) must
+    # materialize even when the file count is already minimal —
+    # compaction is what purges BOTH formats' delete artifacts
+    has_dv = any(
+        isinstance(a, dict) and a.get("deletionVector")
+        for a in adds.values()
+    )
 
     def _parts() -> set[str]:
         if part_cols:
@@ -163,7 +237,9 @@ def optimize_uniform(spark: SparkSession, path: str) -> dict:
     n_groups = (
         len({f.rsplit("/", 1)[0] for f in files}) if part_cols else 1
     )
-    if n_live <= n_groups:  # already one file per partition (or one)
+    if n_live <= n_groups and not has_dv:
+        # already one file per partition (or one) and no deletes to
+        # materialize
         return {"files_before": n_live, "files_after": n_live}
     before = _parts()
     # one write serves both commits; evaluated fully before either
@@ -181,8 +257,15 @@ def optimize_uniform(spark: SparkSession, path: str) -> dict:
         live.coalesce(1).write.mode("append").parquet(path)
     new_parts = sorted(_parts() - before)
     optimize_delta(spark, path, data_files=new_parts)
+    # deletes_applied: the injected set came from read_delta, which
+    # applies the deletion vectors delete_uniform mirrors as the
+    # Iceberg side's position deletes — so this replace snapshot
+    # materializes BOTH formats' deletes at once (new r11)
     rewrite_data_files(
-        spark, path, data_files=[os.path.join(path, f) for f in new_parts]
+        spark,
+        path,
+        data_files=[os.path.join(path, f) for f in new_parts],
+        deletes_applied=True,
     )
     # n_live, not len(before): the on-disk walk counts tombstoned
     # parquet parts left by earlier compactions, which the early

@@ -328,3 +328,105 @@ def test_uniform_random_append_sequences_stay_lockstep(spark, tmp_path):
                 )
             )
             assert got == want, sid
+
+def test_uniform_delete_both_views_and_optimize_materializes(
+    spark, tmp_path
+):
+    """delete_uniform (new r11): BOTH formats' delete encodings over
+    the shared files — Delta DV sidecars + Iceberg v2 position
+    deletes record the same positions, both views drop the rows in
+    lockstep, a second overlapping delete stacks, optimize_uniform
+    materializes both sides over ONE rewritten file, and a v1
+    UniForm table refuses BEFORE the Delta side commits."""
+    import glob
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        UnsupportedIcebergFeature,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.uniform import (
+        delete_uniform,
+        optimize_uniform,
+    )
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "id long, v string"
+    )
+    path = str(tmp_path / "uni_del")
+    export_uniform(mk(0, 20).coalesce(2), path, format_version=2)
+    export_uniform(
+        mk(20, 30).coalesce(1), path, mode="append", format_version=2
+    )
+    res = delete_uniform(spark, path, "id IN (2, 5, 25)")
+    assert res["deleted_rows"] == 3 and res["files_touched"] == 2
+    want = sorted(set(range(30)) - {2, 5, 25})
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == want
+    assert sorted(
+        r.id for r in read_iceberg(spark, path).collect()
+    ) == want
+    delete_uniform(spark, path, "id = 0")  # second delete stacks
+    want = sorted(set(range(30)) - {0, 2, 5, 25})
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == want
+    assert sorted(
+        r.id for r in read_iceberg(spark, path).collect()
+    ) == want
+    res = optimize_uniform(spark, path)
+    assert res["files_after"] == 1
+    d, i = read_delta(spark, path), read_iceberg(spark, path)
+    assert sorted(r.id for r in d.collect()) == want
+    assert sorted(r.id for r in i.collect()) == want
+    assert len(d.inputFiles()) == 1
+    assert set(d.inputFiles()) == set(i.inputFiles())
+
+    # single-file table with only deletes: optimize still
+    # materializes (the has_dv gate, not the file count)
+    p1 = str(tmp_path / "uni_del_single")
+    export_uniform(mk(0, 10).coalesce(1), p1, format_version=2)
+    delete_uniform(spark, p1, "id >= 8")
+    res = optimize_uniform(spark, p1)
+    assert res["files_after"] == 1
+    assert sorted(
+        r.id for r in read_iceberg(spark, p1).collect()
+    ) == list(range(8))
+
+    # v1 refuses before ANY commit: no DV sidecar appears
+    p2 = str(tmp_path / "uni_del_v1")
+    export_uniform(mk(0, 5), p2)
+    with pytest.raises(
+        UnsupportedIcebergFeature, match="format-version"
+    ):
+        delete_uniform(spark, p2, "id = 1")
+    assert not glob.glob(os.path.join(p2, "deletion_vector_*"))
+    assert sorted(
+        r.id for r in read_delta(spark, p2).collect()
+    ) == list(range(5))
+
+
+def test_uniform_partitioned_delete_keeps_pruning(spark, tmp_path):
+    """delete_uniform on a partitioned UniForm table: both views drop
+    the rows, partition pruning survives, and partitioned
+    optimize_uniform materializes the deletes per hive dir."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.uniform import (
+        delete_uniform,
+        optimize_uniform,
+    )
+
+    path = str(tmp_path / "uni_del_part")
+    df = spark.createDataFrame(
+        [(i, "abc"[i % 3]) for i in range(30)], "id long, k string"
+    )
+    export_uniform(df, path, partition_by=["k"], format_version=2)
+    delete_uniform(spark, path, "id < 6")
+    want = list(range(6, 30))
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == want
+    assert sorted(
+        r.id for r in read_iceberg(spark, path).collect()
+    ) == want
+    res = optimize_uniform(spark, path)
+    assert res["files_after"] == 3  # one per partition value
+    pr = read_iceberg(spark, path, partition_filter={"k": "a"})
+    assert sorted(r.id for r in pr.collect()) == [
+        i for i in range(6, 30) if i % 3 == 0
+    ]
+    assert sorted(
+        r.id for r in read_delta(spark, path).collect()
+    ) == want
