@@ -1667,7 +1667,9 @@ FROM (VALUES
   (CAST(11 AS BIGINT), 'image', CAST(353 AS BIGINT), CAST(27132 AS BIGINT),
    8, 8, 0.7059, 0.5294, 0.3529),
   (CAST(12 AS BIGINT), 'image', CAST(167 AS BIGINT), CAST(2927 AS BIGINT),
-   4, 4, 0.0882, 0.0922, 0.0961))
+   4, 4, 0.0882, 0.0922, 0.0961),
+  (CAST(13 AS BIGINT), 'image', CAST(491 AS BIGINT), CAST(26121 AS BIGINT),
+   6, 6, 0.2059, 0.2098, 0.2137))
 AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
 """,
     doc="Multimodal decode through mapInPandas (operators/"
@@ -1709,7 +1711,13 @@ AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
     "— zlib decompress per strip + modular row cumsum undo, "
     "lossless, so the f values equal row 10's by the same "
     "arithmetic (n_bytes/checksum pin the container's stdlib-zlib "
-    "level-6 output).",
+    "level-6 output). Row 13 (new r11): a TILED JPEG-in-TIFF "
+    "(compression 7, TechNote 2; section-15 tile grid 4x4 over a "
+    "6x6 image, edge tiles zero-padded and cropped at stitch) whose "
+    "shared Huffman tables live in the JPEGTables tag (347) and are "
+    "spliced after each tile stream's SOI — the segments are "
+    "LOSSLESS SOF3, so the decoded pixels ARE the 0..107 gradient "
+    "and f = ROUND(mean(channel)/255, 4) = (52.5+c)/255 exactly.",
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1763,6 +1771,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     p12 = encode_tiff(
         4, 4, bytes(range(48)), compression="deflate", predictor=2
     )
+    p13 = encode_tiff(
+        6, 6, bytes(range(108)), tile_size=(4, 4),
+        compression="jpeg", jpeg_tables=True,
+    )
     rows = [
         (1, "image", bytearray(p1),
          {"mime": "image/x-portable-pixmap", "n_bytes": len(p1),
@@ -1800,6 +1812,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (12, "image", bytearray(p12),
          {"mime": "image/tiff", "n_bytes": len(p12),
           "width": 4, "height": 4, "duration_ms": None}),
+        (13, "image", bytearray(p13),
+         {"mime": "image/tiff", "n_bytes": len(p13),
+          "width": 6, "height": 6, "duration_ms": None}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     dec = decode_media(media)

@@ -1617,10 +1617,11 @@ def test_tiff_round_trip_and_boundaries(spark):
         )
     ).collect()[0]
     assert (row.width, row.height) == (4, 3) and row.feature is not None
-    # JPEG-in-TIFF tag refuses (LZW decodes since r10, deflate r11)
+    # old-style JPEG (6) refuses (LZW decodes since r10, deflate and
+    # new-style JPEG since r11)
     bad = bytearray(b)
     i = bad.find(struct.pack("<HHI", 259, 3, 1))
-    bad[i + 8 : i + 10] = struct.pack("<H", 7)
+    bad[i + 8 : i + 10] = struct.pack("<H", 6)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(bad))
 
@@ -1711,10 +1712,10 @@ def test_tiff_lzw_codec_and_decode(spark):
     assert decode_tiff(
         encode_tiff(40, 40, rgb, rows_per_strip=7, compression="lzw")
     ) == (40, 40, rgb)
-    # JPEG-in-TIFF (7) refuses; corrupt LZW raises, not garbage
+    # old-style JPEG (6) refuses; corrupt LZW raises, not garbage
     bad = bytearray(encode_tiff(4, 2, bytes(24), compression="lzw"))
     i = bad.find(struct.pack("<HHI", 259, 3, 1))
-    bad[i + 8 : i + 10] = struct.pack("<H", 7)
+    bad[i + 8 : i + 10] = struct.pack("<H", 6)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(bad))
     with pytest.raises(ValueError, match="LZW"):
@@ -1866,3 +1867,62 @@ def test_progressive_jpeg_restart_markers():
                 bytes((0xFF, 0xD0 + k)) in enc for k in range(8)
             )
             assert decode_jpeg(enc) == base, (w, h, sub, ri)
+
+def test_tiff_tiled_and_jpeg_in_tiff(spark):
+    """Tiled TIFF (§15, tags 322-325) + new-style JPEG-in-TIFF
+    (compression 7, TechNote 2) — both new r11: tiles stitch with
+    edge cropping and per-tile predictor undo for every codec;
+    JPEG segments (lossless SOF3, so byte-exact) decode per
+    strip/tile with shared tables from the JPEGTables tag spliced
+    after each segment's SOI; malformed layouts raise."""
+    import random
+    import struct
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.tiff import (
+        _extract_jpeg_dht,
+        _jpeg_with_tables,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rnd = random.Random(4)
+    w, h = 17, 9  # deliberately not multiples of the tile size
+    rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    for kw in (
+        {"tile_size": (8, 8)},
+        {"tile_size": (8, 8), "compression": "deflate", "predictor": 2},
+        {"tile_size": (4, 8), "compression": "lzw", "predictor": 2},
+        {"tile_size": (8, 4), "compression": "packbits"},
+        {"compression": "jpeg"},
+        {"compression": "jpeg", "rows_per_strip": 4},
+        {"compression": "jpeg", "rows_per_strip": 4,
+         "jpeg_tables": True},
+        {"tile_size": (8, 8), "compression": "jpeg"},
+        {"tile_size": (8, 8), "compression": "jpeg",
+         "jpeg_tables": True},
+    ):
+        assert decode_tiff(encode_tiff(w, h, rgb, **kw)) == (
+            w, h, rgb,
+        ), kw
+    # the shared-tables fixture really is abbreviated: across
+    # multiple strips the single shared DHT beats one per strip
+    shared = encode_tiff(w, h, rgb, compression="jpeg",
+                         rows_per_strip=2, jpeg_tables=True)
+    plain = encode_tiff(w, h, rgb, compression="jpeg",
+                        rows_per_strip=2)
+    assert len(shared) < len(plain)  # one table, not per-strip
+    # and the split helper really removes the DHT segment (the first
+    # strip stream starts at offset 8 and ends at its EOI — FF bytes
+    # inside entropy data are stuffed as FF 00, so FF D9 is the EOI)
+    end = plain.index(b"\xff\xd9", 8) + 2
+    body, dht = _extract_jpeg_dht(plain[8:end])
+    assert b"\xff\xc4" in dht and b"\xff\xc4" not in body
+    # splice refuses a tables-less non-JPEG segment
+    with pytest.raises(ValueError, match="SOI"):
+        _jpeg_with_tables(b"\x00\x01", None)
+    # tile grid short of the image raises
+    bad = bytearray(encode_tiff(w, h, rgb, tile_size=(8, 8)))
+    i = bad.find(struct.pack("<HHI", 257, 3, 1))
+    bad[i + 8 : i + 10] = struct.pack("<H", h * 3)  # claim 3x height
+    with pytest.raises(ValueError, match="tile count"):
+        decode_tiff(bytes(bad))
