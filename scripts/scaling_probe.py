@@ -369,6 +369,94 @@ def delta_maintenance_probe(spark) -> dict:
     }
 
 
+def row_delete_probe(spark) -> dict:
+    """Row-level delete scaling (new r11): reads after D accumulated
+    delete commits, D=8 vs D=32, on a constant 20k-row / 8-file
+    table — isolating the DELETE-ARTIFACT path. The claims under
+    measurement: Delta reads stay ~flat in delete-commit count
+    (re-deletes MERGE into at most one DV sidecar per data file, so
+    the anti-join size is bounded by the file count), Iceberg reads
+    grow with it (position-delete files accumulate one per touched
+    file PER COMMIT until rewrite), and materialization
+    (OPTIMIZE / rewrite_data_files) returns both to the no-delete
+    baseline — the reason the maintenance ops exist."""
+    import tempfile as _tf
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        delete_delta,
+        export_delta,
+        optimize_delta,
+        read_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        delete_iceberg,
+        export_iceberg,
+        read_iceberg,
+        rewrite_data_files,
+    )
+
+    NROWS = 20000
+
+    def mk_df():
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(NROWS)
+            .select(
+                F.col("id"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            )
+            .repartition(8)
+        )
+
+    def timed_read(reader, expect_rows: int) -> float:
+        reader().count()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            assert reader().count() == expect_rows
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def run(fmt: str, n_dels: int) -> dict:
+        path = _tf.mkdtemp(prefix=f"rowdel_{fmt}_") + "/t"
+        if fmt == "delta":
+            export_delta(mk_df(), path)
+            reader = lambda: read_delta(spark, path)
+            delete = lambda pred: delete_delta(spark, path, pred)
+            compact = lambda: optimize_delta(spark, path)
+        else:
+            export_iceberg(mk_df(), path, format_version=2)
+            reader = lambda: read_iceberg(spark, path)
+            delete = lambda pred: delete_iceberg(spark, path, pred)
+            compact = lambda: rewrite_data_files(spark, path)
+        t0 = time.perf_counter()
+        for i in range(n_dels):
+            delete(f"id = {i}")
+        t_deletes = round(time.perf_counter() - t0, 3)
+        t_read = timed_read(reader, NROWS - n_dels)
+        compact()
+        t_read_compacted = timed_read(reader, NROWS - n_dels)
+        return {
+            "deletes_total_sec": t_deletes,
+            "read_after_deletes_sec": t_read,
+            "read_after_materialize_sec": t_read_compacted,
+        }
+
+    out = {}
+    for fmt in ("delta", "iceberg"):
+        a, b = run(fmt, 8), run(fmt, 32)
+        out[fmt] = {
+            "d8": a,
+            "d32": b,
+            "read_exponent_in_delete_commits": _exp(
+                a["read_after_deletes_sec"], b["read_after_deletes_sec"]
+            ),
+            "per_delete_sec": round(b["deletes_total_sec"] / 32, 3),
+        }
+    return out
+
+
 def main() -> None:
     spark = EngineConfig(
         app_name="scaling_probe",
@@ -391,6 +479,7 @@ def main() -> None:
         res["flagship_backfill"] = flagship_backfill_probe(spark, out)
         res["media_decode"] = media_decode_probe(spark)
         res["delta_maintenance"] = delta_maintenance_probe(spark)
+        res["row_deletes"] = row_delete_probe(spark)
         print(json.dumps(res))
     finally:
         shutil.rmtree(out, ignore_errors=True)
