@@ -2930,6 +2930,67 @@ def q_uniform_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_upsert_read",
+    """
+SELECT s_suppkey,
+       CASE WHEN s_suppkey % 4 = 0 THEN lower(s_name)
+            WHEN s_suppkey % 3 = 0 THEN upper(s_name)
+            ELSE s_name END AS name,
+       CASE WHEN s_suppkey % 4 = 0 THEN ROUND(s_acctbal + 200.0, 2)
+            WHEN s_suppkey % 3 = 0 THEN ROUND(s_acctbal + 100.0, 2)
+            ELSE ROUND(s_acctbal, 2) END AS bal
+FROM supplier
+""",
+    doc="Iceberg UPSERT commits via EQUALITY DELETES (new r11 — the "
+    "Flink Iceberg sink's UPSERT-mode shape, the same changelog "
+    "semantics the reference's Flink CDC pipeline lands on Hudi), "
+    "value-oracled end-to-end: supplier exports as a v2 table, then "
+    "TWO upsert_iceberg batches (keys s_suppkey % 3 = 0 with "
+    "upper-cased names +100 balance, then % 4 = 0 with lower-cased "
+    "names +200) each commit ONE overwrite snapshot holding a data "
+    "manifest plus an equality-delete manifest over the key's field "
+    "id. Strict sequence scoping (delete applies to seq strictly "
+    "below) retires each key's older row while the batch's own file "
+    "at the same seq survives — so the read must equal the CASE "
+    "expression: %4 keys show batch 2, remaining %3 keys batch 1, "
+    "the rest the original row. Last-writer-wins reproduced purely "
+    "by the format's delete semantics, no engine-side merge.",
+)
+def q_iceberg_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg,
+        upsert_iceberg,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="ice_upsert_")
+    t = f"{root}/t"
+    export_iceberg(s, t, format_version=2)
+    b1 = s.filter(F.col("s_suppkey") % 3 == 0).select(
+        "s_suppkey",
+        F.upper("s_name").alias("s_name"),
+        (F.col("s_acctbal") + 100.0).alias("s_acctbal"),
+    )
+    upsert_iceberg(spark, t, b1, ["s_suppkey"])
+    b2 = s.filter(F.col("s_suppkey") % 4 == 0).select(
+        "s_suppkey",
+        F.lower("s_name").alias("s_name"),
+        (F.col("s_acctbal") + 200.0).alias("s_acctbal"),
+    )
+    upsert_iceberg(spark, t, b2, ["s_suppkey"])
+    return read_iceberg(spark, t).select(
+        "s_suppkey",
+        F.col("s_name").alias("name"),
+        F.round("s_acctbal", 2).alias("bal"),
+    )
+
+
+@register(
     "uniform_optimize_read",
     """
 SELECT r_regionkey, r_name FROM region

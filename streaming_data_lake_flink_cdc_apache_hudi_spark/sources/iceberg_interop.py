@@ -1549,6 +1549,254 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
     }
 
 
+def upsert_iceberg(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    key_cols: Sequence[str],
+) -> dict:
+    """Keyed UPSERT commit on a v2 Iceberg table — the Flink Iceberg
+    sink's UPSERT-mode shape (new r11): ONE ``overwrite`` snapshot
+    carrying (a) a data manifest of the new rows and (b) an
+    EQUALITY-DELETE manifest whose delete file lists the upserted
+    keys with ``equality_ids`` naming the key columns' field ids.
+    The spec's strict sequence scoping (a delete applies only to
+    data files with a STRICTLY SMALLER sequence number) makes the
+    delete retire every key's OLD row while the batch's own data
+    file — at the same sequence number — survives: last-writer-wins
+    per key, exactly how Flink's CDC-fed Iceberg sink commits
+    upserts per checkpoint. Reference parity: the reference's
+    flagship pipeline is Flink CDC upserting into Hudi MoR
+    (CDC-Hudi-Notebook.zpln); this is the same changelog semantics
+    landed on an Iceberg v2 table.
+
+    ``df`` must be key-unique (two rows with one key in the SAME
+    batch would both survive the same-seq scoping — the engine
+    raises rather than committing ambiguity; dedup upstream with the
+    keyed LWW operators). New keys insert, existing keys update, and
+    ``rewrite_data_files`` later materializes the accumulated delete
+    files. Unpartitioned v2 tables only (the Flink writer's
+    equality-delete-per-spec handling is a declared boundary here).
+
+    Scale: the data and the distinct-key delete frame are both
+    distributed parquet writes (keys re-read from the JUST-WRITTEN
+    data files so the two sides can never diverge on a
+    nondeterministic source); the commit is a metadata append —
+    existing manifests are carried forward untouched, KB-scale
+    driver work."""
+    import pyarrow.parquet as pq
+
+    meta = json.load(open(_current_metadata_path(path)))
+    if int(meta.get("format-version", 1)) < 2:
+        raise UnsupportedIcebergFeature(
+            "upsert_iceberg needs format-version 2 — equality "
+            "deletes need sequence numbers"
+        )
+    cur = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"Iceberg table at {path} has no current snapshot")
+    default_spec = next(
+        (
+            s
+            for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        (meta.get("partition-specs") or [{}])[0],
+    )
+    if default_spec.get("fields"):
+        raise UnsupportedIcebergFeature(
+            "upsert_iceberg over a partitioned table — the equality-"
+            "delete-per-partition-spec shape is a declared boundary"
+        )
+    fields = _current_schema(path).get("fields", [])
+    ids_by_name = {f["name"]: int(f["id"]) for f in fields}
+    tbl_cols = [f["name"] for f in fields]
+    key_cols = list(key_cols)
+    unknown = [c for c in key_cols if c not in ids_by_name]
+    if not key_cols or unknown:
+        raise ValueError(
+            f"upsert_iceberg: key columns {unknown or key_cols} not in "
+            f"table schema {tbl_cols}"
+        )
+    if set(df.columns) != set(tbl_cols):
+        raise ValueError(
+            f"upsert_iceberg: frame columns {sorted(df.columns)} != "
+            f"table columns {sorted(tbl_cols)}"
+        )
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    def _on_disk() -> set:
+        return {
+            os.path.join(root, f)
+            for root, _d, fs in os.walk(data_dir)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith("_")
+        }
+
+    before = _on_disk()
+    df.select(*tbl_cols).write.mode("append").parquet(data_dir)
+    new_data = sorted(_on_disk() - before)
+    if not new_data:
+        return {"snapshot_id": None, "rows": 0}
+    # keys come from the WRITTEN rows (one source of truth even for
+    # nondeterministic inputs); the same scan proves key-uniqueness
+    written = spark.read.parquet(*new_data)
+    n_rows = written.count()
+    kdf = written.select(*key_cols).dropDuplicates()
+    n_keys = kdf.count()
+    if n_keys != n_rows:
+        for f in new_data:
+            os.remove(f)  # abort cleanly: nothing was committed yet
+        raise ValueError(
+            f"upsert_iceberg: batch has {n_rows} rows but {n_keys} "
+            f"distinct keys over {key_cols} — dedup to one row per "
+            "key first (same-seq rows would BOTH survive)"
+        )
+    kdf = kdf.select(
+        *(
+            kdf[c].alias(
+                c, metadata={"parquet.field.id": ids_by_name[c]}
+            )
+            for c in key_cols
+        )
+    )
+    before2 = _on_disk()
+    kdf.write.mode("append").parquet(data_dir)
+    new_del = sorted(_on_disk() - before2)
+
+    new_sid = int(uuid.uuid4().int % (1 << 62))
+    new_seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(time.time() * 1000)
+    md = os.path.join(path, _META_DIR)
+    key_ids = [ids_by_name[c] for c in key_cols]
+    entry_schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    entry_schema["fields"][2]["type"]["fields"].insert(
+        1, {"name": "content", "type": "int", "field-id": 134}
+    )
+    entry_schema["fields"][2]["type"]["fields"].insert(
+        2,
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+            "field-id": 135,
+        },
+    )
+
+    def _mk_manifest(
+        name: str, files: list, content: int, eq: list | None
+    ) -> tuple[str, int]:
+        entries = []
+        rows = 0
+        for full in files:
+            nr = pq.ParquetFile(full).metadata.num_rows
+            rows += nr
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": new_sid,
+                    "data_file": {
+                        "content": content,
+                        "equality_ids": eq,
+                        "file_path": "file://" + full,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": nr,
+                        "file_size_in_bytes": os.path.getsize(full),
+                    },
+                }
+            )
+        mp = os.path.join(md, name)
+        write_avro(
+            mp,
+            entry_schema,
+            entries,
+            metadata={
+                "schema": json.dumps(_current_schema(path)).encode(),
+                "schema-id": b"0",
+                "partition-spec": b"[]",
+                "partition-spec-id": str(
+                    default_spec.get("spec-id", 0)
+                ).encode(),
+                "format-version": b"2",
+                "content": b"data" if content == 0 else b"deletes",
+            },
+        )
+        return mp, rows
+
+    data_mp, data_rows = _mk_manifest(
+        f"manifest-{new_sid}-ups-data.avro", new_data, 0, None
+    )
+    del_mp, del_rows = _mk_manifest(
+        f"manifest-{new_sid}-ups-del.avro", new_del, 2, key_ids
+    )
+    mlist_schema, old_rows = read_avro(_resolve(snap["manifest-list"], path))
+
+    def _mlist_row(mp: str, content: int, n_files: int, n_rows: int):
+        full = {
+            "manifest_path": "file://" + mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": default_spec.get("spec-id", 0),
+            "added_snapshot_id": new_sid,
+            "content": content,
+            "sequence_number": new_seq,
+            "min_sequence_number": new_seq,
+            "added_files_count": n_files,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+        return {
+            f["name"]: full.get(f["name"])
+            for f in mlist_schema["fields"]
+        }
+
+    mlist_rows = list(old_rows) + [
+        _mlist_row(data_mp, 0, len(new_data), data_rows),
+        _mlist_row(del_mp, 1, len(new_del), del_rows),
+    ]
+    new_mlist = os.path.join(md, f"snap-{new_sid}.avro")
+    write_avro(
+        new_mlist,
+        mlist_schema,
+        mlist_rows,
+        metadata={
+            "format-version": b"2",
+            "snapshot-id": str(new_sid).encode(),
+        },
+    )
+    new_snap = {
+        "snapshot-id": new_sid,
+        "parent-snapshot-id": cur,
+        "sequence-number": new_seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": "file://" + new_mlist,
+        "summary": {
+            "operation": "overwrite",
+            "added-data-files": str(len(new_data)),
+            "added-delete-files": str(len(new_del)),
+            "added-records": str(data_rows),
+        },
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = new_seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [new_snap]
+    new_meta["current-snapshot-id"] = new_sid
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": new_sid}
+    ]
+    _commit_metadata(path, new_meta)
+    return {"snapshot_id": new_sid, "rows": data_rows}
+
+
 # -- exporter (format-version 1, unpartitioned) -----------------------------
 
 _SPARK_TO_ICEBERG = {

@@ -1314,3 +1314,92 @@ def test_delete_iceberg_position_deletes_round_trip(spark, tmp_path):
     assert sorted(r.id for r in pr.collect()) == [
         i for i in range(10, 30) if i % 3 == 0
     ]
+
+def test_upsert_iceberg_equality_delete_lww(spark, tmp_path):
+    """r11: upsert_iceberg commits the Flink-sink UPSERT shape — one
+    overwrite snapshot with a data manifest + an equality-delete
+    manifest over the key field ids. Strict seq scoping retires old
+    rows while the batch's own data (same seq) survives; composite
+    and NULL keys work (null-safe anti-join); time travel serves the
+    pre-upsert state; incremental ranges refuse; rewrite
+    materializes; key-dup batches refuse with a clean abort; v1 and
+    partitioned tables refuse."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _current_metadata_path,
+        rewrite_data_files,
+        upsert_iceberg,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    path = str(tmp_path / "ups")
+    export_iceberg(
+        mk([(i, f"v{i}") for i in range(10)]).coalesce(2),
+        path, format_version=2,
+    )
+    res = upsert_iceberg(
+        spark, path, mk([(3, "V3"), (4, "V4"), (10, "v10")]), ["id"]
+    )
+    assert res["rows"] == 3
+    want = sorted(
+        [(i, f"v{i}") for i in range(10) if i not in (3, 4)]
+        + [(3, "V3"), (4, "V4"), (10, "v10")]
+    )
+    assert sorted(map(tuple, read_iceberg(spark, path).collect())) == want
+    upsert_iceberg(spark, path, mk([(3, "W3")]), ["id"])
+    want = sorted([t for t in want if t[0] != 3] + [(3, "W3")])
+    assert sorted(map(tuple, read_iceberg(spark, path).collect())) == want
+    meta = json.load(open(_current_metadata_path(path)))
+    s0 = meta["snapshots"][0]["snapshot-id"]
+    assert sorted(
+        map(tuple, read_iceberg(spark, path, snapshot_id=s0).collect())
+    ) == sorted((i, f"v{i}") for i in range(10))
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        read_iceberg_incremental,
+    )
+
+    with pytest.raises(UnsupportedIcebergFeature, match="non-append"):
+        read_iceberg_incremental(spark, path, s0)
+    rr = rewrite_data_files(spark, path)
+    assert rr["files_after"] == 1
+    assert sorted(map(tuple, read_iceberg(spark, path).collect())) == want
+    # key-dup batch refuses and leaves the table intact
+    with pytest.raises(ValueError, match="distinct keys"):
+        upsert_iceberg(spark, path, mk([(1, "a"), (1, "b")]), ["id"])
+    assert sorted(map(tuple, read_iceberg(spark, path).collect())) == want
+
+    # composite + NULL keys: null-safe equality retires the (null, x)
+    # row on re-upsert
+    p2 = str(tmp_path / "ups_nulls")
+    mk2 = lambda rows: spark.createDataFrame(
+        rows, "k1 long, k2 string, v long"
+    )
+    export_iceberg(
+        mk2([(1, "a", 10), (None, "b", 20), (2, None, 30)]),
+        p2, format_version=2,
+    )
+    upsert_iceberg(
+        spark, p2, mk2([(None, "b", 21), (2, None, 31)]), ["k1", "k2"]
+    )
+    got = sorted(
+        map(tuple, read_iceberg(spark, p2).collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == [
+        (1, "a", 10), (2, None, 31), (None, "b", 21),
+    ]
+
+    p3 = str(tmp_path / "ups_v1")
+    export_iceberg(mk([(1, "a")]), p3)
+    with pytest.raises(UnsupportedIcebergFeature, match="format-version"):
+        upsert_iceberg(spark, p3, mk([(1, "b")]), ["id"])
+    p4 = str(tmp_path / "ups_part")
+    export_iceberg(
+        spark.createDataFrame([(1, "a")], "id long, k string"),
+        p4, partition_by=["k"], format_version=2,
+    )
+    with pytest.raises(UnsupportedIcebergFeature, match="partitioned"):
+        upsert_iceberg(
+            spark, p4,
+            spark.createDataFrame([(1, "b")], "id long, k string"),
+            ["id"],
+        )
