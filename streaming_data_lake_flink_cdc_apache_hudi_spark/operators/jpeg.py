@@ -19,10 +19,14 @@ decoded neighbors, point transform, SSSS-category differences modulo
 2^16 (SSSS 16 = 32768), 2-16-bit precision mapped to the RGB24
 contract — AND (new r10) 4-component Adobe CMYK/YCCK baseline files
 (APP14 transform byte; inverted ink values per the libjpeg
-convention, RGB = s*s_k/255). Arithmetic coding, 12-bit DCT
-precision, and hierarchical processes raise ``NotImplementedError``
-— the documented boundary, now covering the three Huffman processes
-and all the component layouts real encoders emit.
+convention, RGB = s*s_k/255) — AND (new r11) 12-BIT EXTENDED
+SEQUENTIAL files (SOF1 precision 12, T.81 §4.11, the
+medical/scientific DCT profile): 16-bit DQT entries (Pq=1), the
+wider SSSS alphabet, level shift 2^11, P-bit range mapped onto the
+RGB24 contract. Arithmetic coding and hierarchical processes raise
+``NotImplementedError`` — the documented boundary, now covering the
+three Huffman processes at both DCT precisions and all the
+component layouts real encoders emit.
 
 The encoders exist to SELF-GENERATE fixtures (the same pattern as
 the PNG/BMP/Avro/murmur3 codecs here): standard Annex K quantization
@@ -214,8 +218,9 @@ def _encode_block(
     dc_codes: dict,
     ac_codes: dict,
     pred: int,
+    center: float = 128.0,
 ) -> int:
-    coef = _M @ (block - 128.0) @ _M.T
+    coef = _M @ (block - center) @ _M.T
     q = np.round(coef / qtab).astype(int)
     zz = q.flatten()[ZIGZAG]
     diff = int(zz[0]) - pred
@@ -512,6 +517,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(f"JPEG lossless precision {prec}")
+            elif marker == 0xC1 and prec == 12:
+                pass  # extended sequential 12-bit (T.81 §4.11, r11)
             elif prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
             precision = prec
@@ -563,7 +570,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
             if not progressive:
                 return _decode_scan(
                     b, pos, w, h, comps, scan, qtabs, htabs, restart,
-                    adobe,
+                    adobe, precision,
                 )
             if not comps or not w or not h:
                 raise ValueError("JPEG SOS before SOF")
@@ -588,9 +595,13 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
 
 
 def _decode_scan(b, pos, w, h, comps, scan, qtabs, htabs, restart,
-                 adobe=None):
+                 adobe=None, precision=8):
     if not comps or not w or not h:
         raise ValueError("JPEG SOS before SOF")
+    # 12-bit extended sequential (r11): level shift 2^(P-1), then map
+    # the P-bit range onto the RGB24 contract before color transform
+    center = float(1 << (precision - 1))
+    scale = float(1 << (precision - 8))
     max_h = max(c["h"] for c in comps)
     max_v = max(c["v"] for c in comps)
     mcux = -(-w // (8 * max_h))
@@ -645,7 +656,7 @@ def _decode_scan(b, pos, w, h, comps, scan, qtabs, htabs, restart,
                             for i, z in enumerate(ZIGZAG):
                                 blk[z] = zz[i]
                             coef = blk.reshape(8, 8) * q
-                            pix = _M.T @ coef @ _M + 128.0
+                            pix = (_M.T @ coef @ _M + center) / scale
                             r0 = (my * c["v"] + by) * 8
                             c0 = (mx * c["h"] + bx) * 8
                             planes[ci][r0 : r0 + 8, c0 : c0 + 8] = pix
@@ -1480,6 +1491,106 @@ def _decode_lossless_scan(
     else:
         rgb = np.dstack(out)  # components ARE R,G,B (no transform)
     return w, h, rgb.tobytes()
+
+
+def encode_jpeg12(
+    width: int,
+    height: int,
+    samples,
+    transform: int = 0,
+) -> bytes:
+    """Fixture writer: 12-BIT EXTENDED SEQUENTIAL JPEG (SOF1, T.81
+    §4.11 — the medical/scientific DCT profile). ``samples`` is
+    width*height*3 ints in 0..4095, stored as direct RGB (APP14
+    Adobe transform 0) with ALL-ONES 16-bit quantization tables (DQT
+    Pq=1), so DC-only content — any solid color — reconstructs
+    exactly and decodes to ROUND(v/16) per channel on the RGB24
+    contract. Huffman tables are uniform-length canonical tables
+    over the 12-bit symbol alphabet (DC SSSS 0-15, AC size 1-14 per
+    Table F.2), built per file like the progressive fixture
+    encoder's."""
+    a = np.asarray(list(samples), np.int64).reshape(height, width, 3)
+    if a.min() < 0 or a.max() > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    if transform != 0:
+        raise ValueError(
+            "only transform 0 (direct RGB) is implemented"
+        )
+    qtab = np.ones((8, 8))
+    dc_syms = set(range(16))
+    ac_syms = {0x00, 0xF0} | {
+        (run << 4) | size for run in range(16) for size in range(1, 15)
+    }
+    dc_bits, dc_vals = _uniform_table(dc_syms)
+    ac_bits, ac_vals = _uniform_table(ac_syms)
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+    bx = -(-width // 8)
+    by = -(-height // 8)
+    planes = [
+        np.pad(
+            a[:, :, ci].astype(np.float64),
+            ((0, by * 8 - height), (0, bx * 8 - width)),
+            mode="edge",
+        )
+        for ci in range(3)
+    ]
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(by):
+        for mx in range(bx):
+            for ci in range(3):
+                preds[ci] = _encode_block(
+                    bw,
+                    planes[ci][
+                        my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                    ],
+                    qtab,
+                    dc_codes,
+                    ac_codes,
+                    preds[ci],
+                    center=2048.0,
+                )
+    bw.pad()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes((0xFF, marker))
+            + (len(body) + 2).to_bytes(2, "big")
+            + body
+        )
+
+    dqt = seg(
+        0xDB,
+        bytes([0x10])  # Pq=1 (16-bit), Tq=0
+        + b"".join(
+            int(qtab.flatten()[z]).to_bytes(2, "big") for z in ZIGZAG
+        ),
+    )
+    sof = seg(
+        0xC1,
+        bytes([12])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([3])
+        + b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3)),
+    )
+    dht = seg(
+        0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    ) + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    app14 = seg(
+        0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+    )
+    sos = seg(
+        0xDA,
+        bytes([3])
+        + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+        + bytes([0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8" + app14 + dqt + sof + dht + sos
+        + bytes(bw.out) + b"\xff\xd9"
+    )
 
 
 def encode_jpeg_lossless(

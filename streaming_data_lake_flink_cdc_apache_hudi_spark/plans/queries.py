@@ -1669,7 +1669,9 @@ FROM (VALUES
   (CAST(12 AS BIGINT), 'image', CAST(167 AS BIGINT), CAST(2927 AS BIGINT),
    4, 4, 0.0882, 0.0922, 0.0961),
   (CAST(13 AS BIGINT), 'image', CAST(491 AS BIGINT), CAST(26121 AS BIGINT),
-   6, 6, 0.2059, 0.2098, 0.2137))
+   6, 6, 0.2059, 0.2098, 0.2137),
+  (CAST(14 AS BIGINT), 'image', CAST(480 AS BIGINT), CAST(35220 AS BIGINT),
+   8, 8, 0.2431, 0.4902, 0.7373))
 AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
 """,
     doc="Multimodal decode through mapInPandas (operators/"
@@ -1717,7 +1719,12 @@ AS t(media_id, kind, n_bytes, checksum, width, height, f0, f1, f2)
     "shared Huffman tables live in the JPEGTables tag (347) and are "
     "spliced after each tile stream's SOI — the segments are "
     "LOSSLESS SOF3, so the decoded pixels ARE the 0..107 gradient "
-    "and f = ROUND(mean(channel)/255, 4) = (52.5+c)/255 exactly.",
+    "and f = ROUND(mean(channel)/255, 4) = (52.5+c)/255 exactly. "
+    "Row 14 (new r11): a 12-BIT EXTENDED SEQUENTIAL JPEG (SOF1 "
+    "precision 12, 16-bit DQT entries — the medical/scientific DCT "
+    "profile) of solid stored (1000,2000,3000): all-ones quant makes "
+    "solid content DC-only exact, the 12-bit range maps onto RGB24 "
+    "as ROUND(v/16) = (62,125,188), f = ROUND(that/255, 4).",
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1775,6 +1782,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         6, 6, bytes(range(108)), tile_size=(4, 4),
         compression="jpeg", jpeg_tables=True,
     )
+    from ..operators.jpeg import encode_jpeg12
+
+    p14 = encode_jpeg12(8, 8, [1000, 2000, 3000] * 64)
     rows = [
         (1, "image", bytearray(p1),
          {"mime": "image/x-portable-pixmap", "n_bytes": len(p1),
@@ -1815,6 +1825,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (13, "image", bytearray(p13),
          {"mime": "image/tiff", "n_bytes": len(p13),
           "width": 6, "height": 6, "duration_ms": None}),
+        (14, "image", bytearray(p14),
+         {"mime": "image/jpeg", "n_bytes": len(p14),
+          "width": 8, "height": 8, "duration_ms": None}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     dec = decode_media(media)

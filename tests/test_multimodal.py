@@ -1926,3 +1926,44 @@ def test_tiff_tiled_and_jpeg_in_tiff(spark):
     bad[i + 8 : i + 10] = struct.pack("<H", h * 3)  # claim 3x height
     with pytest.raises(ValueError, match="tile count"):
         decode_tiff(bytes(bad))
+
+def test_jpeg_12bit_extended_sequential(spark):
+    """12-bit extended sequential JPEG (SOF1 precision 12, new r11):
+    16-bit DQT entries, the wider SSSS alphabet, level shift 2048,
+    P-bit range mapped onto RGB24. Solid colors are DC-only with the
+    all-ones tables, so decode == min(255, ROUND(v/16)) exactly;
+    arbitrary content stays within the /16 rounding envelope;
+    12-bit via SOF0 still refuses."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg12,
+    )
+
+    for r, g, b in [(0, 0, 0), (4095, 4095, 4095), (1000, 2000, 3000),
+                    (123, 45, 4000)]:
+        w, h, rgb = decode_jpeg(encode_jpeg12(8, 8, [r, g, b] * 64))
+        a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+        assert (a == [min(255, round(v / 16)) for v in (r, g, b)]).all()
+    rnd = random.Random(2)
+    samples = [rnd.randrange(4096) for _ in range(12 * 10 * 3)]
+    w, h, rgb = decode_jpeg(encode_jpeg12(12, 10, samples))
+    a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(int)
+    want = np.clip(np.array(samples).reshape(10, 12, 3) / 16.0, 0, 255)
+    assert np.abs(a - want).max() <= 1.0
+    # non-multiple-of-8 dims pad with edge replication
+    w, h, rgb = decode_jpeg(encode_jpeg12(5, 3, [100, 200, 300] * 15))
+    assert (w, h) == (5, 3)
+    # out-of-range samples refuse
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg12(2, 2, [5000] * 12)
+    # SOF0 with precision 12 still refuses (baseline is 8-bit only)
+    enc = bytearray(encode_jpeg12(4, 4, [1, 2, 3] * 16))
+    i = enc.find(b"\xff\xc1")
+    enc[i + 1] = 0xC0
+    with pytest.raises(NotImplementedError, match="precision 12"):
+        decode_jpeg(bytes(enc))
