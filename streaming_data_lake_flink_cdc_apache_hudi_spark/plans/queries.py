@@ -2943,6 +2943,64 @@ def q_uniform_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_cdf_read",
+    """
+SELECT s_suppkey, s_name, 'insert' AS change, CAST(0 AS BIGINT) AS ver
+FROM supplier WHERE s_suppkey % 2 = 0
+UNION ALL
+SELECT s_suppkey, s_name, 'insert' AS change, CAST(1 AS BIGINT) AS ver
+FROM supplier WHERE s_suppkey % 2 = 1
+UNION ALL
+SELECT s_suppkey, s_name, 'delete' AS change, CAST(2 AS BIGINT) AS ver
+FROM supplier WHERE s_nationkey < 10
+UNION ALL
+SELECT s_suppkey, s_name, 'delete' AS change, CAST(3 AS BIGINT) AS ver
+FROM supplier WHERE s_suppkey % 7 = 0 AND NOT s_nationkey < 10
+""",
+    doc="Delta CHANGE DATA FEED read (new r11 — delta-spark's "
+    "table_changes), value-oracled end-to-end: supplier lands as two "
+    "append commits then two delete_delta commits, and read_delta_cdf "
+    "derives the full change stream from the commit actions — new "
+    "dataChange adds become 'insert' rows, and each DV re-add's "
+    "position DIFF (old vs new bitmap, decoded on executors, joined "
+    "back through _metadata.row_index) becomes exactly the NEWLY "
+    "deleted rows, so version 3's deletes exclude rows version 2 "
+    "already deleted — precisely the UNION ALL oracle's four legs. "
+    "Row-level change capture across versions, the surface "
+    "read_delta_incremental declares out of scope, now closed.\\n\\n"
+    "Reference parity: the reference reads Hudi CDC changes "
+    "(query-type incremental/changes in CDC-Hudi-Notebook.zpln); "
+    "this is the Delta-format twin of that changes read.",
+)
+def q_delta_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import (
+        delete_delta,
+        export_delta,
+        read_delta_cdf,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="delta_cdf_")
+    t = f"{root}/t"
+    export_delta(s.filter(F.col("s_suppkey") % 2 == 0), t)
+    export_delta(
+        s.filter(F.col("s_suppkey") % 2 == 1), t, mode="append"
+    )
+    delete_delta(spark, t, "s_nationkey < 10")
+    delete_delta(spark, t, "s_suppkey % 7 = 0")
+    return read_delta_cdf(spark, t, 0).select(
+        "s_suppkey",
+        "s_name",
+        F.col("_change_type").alias("change"),
+        F.col("_commit_version").alias("ver"),
+    )
+
+
+@register(
     "iceberg_upsert_read",
     """
 SELECT s_suppkey,

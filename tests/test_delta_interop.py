@@ -1585,3 +1585,65 @@ def test_write_checkpoint_multi_part(spark, tmp_path):
     assert sorted(
         map(tuple, read_delta(spark, path, version_as_of=1).collect())
     ) == sorted(want)
+
+def test_read_delta_cdf_derives_changes(spark, tmp_path):
+    """r11: read_delta_cdf derives row-level changes from commit
+    actions — inserts from new dataChange adds, deletes from DV
+    diffs on re-adds and from true removes; OPTIMIZE commits are
+    silent; the change stream folds back to the live read; vacuumed
+    ranges and missing commits raise clearly."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        cleanup_log,
+        delete_delta,
+        export_delta,
+        optimize_delta,
+        read_delta,
+        read_delta_cdf,
+        vacuum_delta,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "cdf")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_delta(mk([(i, f"v{i}") for i in range(6)]).coalesce(1), path)
+    export_delta(
+        mk([(6, "v6"), (7, "v7")]).coalesce(1), path, mode="append"
+    )
+    delete_delta(spark, path, "id IN (1, 6)")
+    delete_delta(spark, path, "id = 2")
+    optimize_delta(spark, path)
+
+    C = lambda df: Counter(map(tuple, df.collect()))
+    want = Counter()
+    for i in range(6):
+        want[(i, f"v{i}", "insert", 0)] += 1
+    for i in (6, 7):
+        want[(i, f"v{i}", "insert", 1)] += 1
+    for i in (1, 6):
+        want[(i, f"v{i}", "delete", 2)] += 1
+    want[(2, "v2", "delete", 3)] += 1
+    assert C(read_delta_cdf(spark, path, 0)) == want
+    assert C(read_delta_cdf(spark, path, 2, 3)) == Counter(
+        {
+            (1, "v1", "delete", 2): 1,
+            (6, "v6", "delete", 2): 1,
+            (2, "v2", "delete", 3): 1,
+        }
+    )
+    assert read_delta_cdf(spark, path, 4, 4).count() == 0  # OPTIMIZE
+    # the change stream folds to the live state
+    ins, dels = Counter(), Counter()
+    for (i, v, ch, _vv), n in C(read_delta_cdf(spark, path, 0)).items():
+        (ins if ch == "insert" else dels)[(i, v)] += n
+    assert ins - dels == C(read_delta(spark, path).select("id", "v"))
+    # vacuumed data files in the range raise clearly
+    write_checkpoint(spark, path)
+    vacuum_delta(spark, path, retain_versions=0)
+    with pytest.raises(UnsupportedDeltaFeature, match="vacuumed"):
+        read_delta_cdf(spark, path, 0).count()
+    # cleaned-up commit JSONs raise clearly
+    cleanup_log(path)
+    with pytest.raises(UnsupportedDeltaFeature, match="commit JSON"):
+        read_delta_cdf(spark, path, 0)
