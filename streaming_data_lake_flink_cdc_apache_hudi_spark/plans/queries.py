@@ -3001,6 +3001,89 @@ def q_delta_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_changelog_read",
+    """
+SELECT s_suppkey, s_name AS name, 'insert' AS change, 0 AS ord
+FROM supplier WHERE s_suppkey % 2 = 0
+UNION ALL
+SELECT s_suppkey, s_name, 'insert', 1
+FROM supplier WHERE s_suppkey % 2 = 1
+UNION ALL
+SELECT s_suppkey, s_name, 'delete', 2
+FROM supplier WHERE s_nationkey < 10
+UNION ALL
+SELECT s_suppkey, s_name, 'delete', 3
+FROM supplier WHERE s_suppkey % 7 = 0 AND NOT s_nationkey < 10
+UNION ALL
+SELECT s_suppkey, upper(s_name), 'insert', 3
+FROM supplier WHERE s_suppkey % 7 = 0
+""",
+    doc="Iceberg CHANGELOG scan (new r11 — Java's ChangelogScan / "
+    "create_changelog_view, the Iceberg twin of delta_cdf_read), "
+    "value-oracled: supplier lands as two append snapshots, a "
+    "position-delete snapshot (s_nationkey < 10) and an "
+    "equality-delete UPSERT snapshot (keys s_suppkey % 7 = 0, "
+    "upper-cased names). Appends emit inserts from ONE pruned scan "
+    "of each snapshot's new files; the delete snapshot emits the "
+    "parent state diff (so only rows alive at the parent count — "
+    "no double-deletes); the upsert snapshot emits delete(old row, "
+    "only where the parent still served it: NOT nationkey < 10) "
+    "PLUS insert(new row) per key — exactly the oracle's five "
+    "UNION ALL legs. The ordinal is the commit position, so the "
+    "whole stream is deterministic.",
+)
+def q_iceberg_changelog_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import tempfile
+
+    from ..sources.iceberg_interop import (
+        _current_metadata_path,
+        delete_iceberg,
+        export_iceberg,
+        read_iceberg_changelog,
+        upsert_iceberg,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="ice_chlog_")
+    t = f"{root}/t"
+    export_iceberg(
+        s.filter(F.col("s_suppkey") % 2 == 0), t, format_version=2
+    )
+    export_iceberg(
+        s.filter(F.col("s_suppkey") % 2 == 1), t, mode="append"
+    )
+    delete_iceberg(spark, t, "s_nationkey < 10")
+    ups = s.filter(F.col("s_suppkey") % 7 == 0).select(
+        "s_suppkey", F.upper("s_name").alias("s_name"), "s_nationkey"
+    )
+    upsert_iceberg(spark, t, ups, ["s_suppkey"])
+    meta = _json.load(open(_current_metadata_path(t)))
+    first = meta["snapshots"][0]["snapshot-id"]
+    base = read_iceberg_changelog(spark, t, first).select(
+        "s_suppkey",
+        F.col("s_name").alias("name"),
+        F.col("_change_type").alias("change"),
+        (F.col("_change_ordinal") + 1).alias("ord"),
+    )
+    # the range is EXCLUSIVE of `first`, so re-emit snapshot 0's
+    # inserts directly (its new-file scan) as ordinal 0
+    s0 = s.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey",
+        F.col("s_name").alias("name"),
+        F.lit("insert").alias("change"),
+        F.lit(0).alias("ord"),
+    )
+    return s0.unionByName(base).select(
+        "s_suppkey", "name", "change", F.col("ord").cast("int").alias("ord")
+    )
+
+
+@register(
     "iceberg_upsert_read",
     """
 SELECT s_suppkey,

@@ -1549,6 +1549,126 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
     }
 
 
+def read_iceberg_changelog(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """CHANGELOG scan (new r11 — Java's ``ChangelogScan`` /
+    ``create_changelog_view``): every row-level change committed by
+    the snapshots in (``from``, ``to``] (exclusive from, inclusive
+    to — the incremental-read convention), as the table columns plus
+    ``_change_type`` ('insert'/'delete') and ``_change_ordinal``
+    (0-based commit position within the range).
+
+    Per-snapshot derivation by operation:
+
+    - ``append`` -> ONE pruned scan of exactly the snapshot's new
+      data files (no diffing);
+    - ``replace`` (rewrite_manifests / rewrite_data_files) -> no
+      changes: compaction moves bytes, never rows;
+    - ``delete`` / ``overwrite`` (position deletes, equality-delete
+      upserts) -> the STATE DIFF between the snapshot and its parent
+      (two snapshot reads + exceptAll both ways), which nets the
+      delete-file semantics exactly: a position delete re-recording
+      an already-dead row emits nothing, an upsert emits
+      delete(old row) + insert(new row) per changed key. An upsert
+      that rewrites a key with IDENTICAL values nets to no change —
+      the one divergence from Java's file-level derivation, and the
+      semantically truthful answer.
+
+    Scale: appends stay incremental (scan only the new files); only
+    genuinely row-level snapshots pay the two-snapshot diff, the
+    same order of work Java's changelog does resolving delete files
+    against their affected data files."""
+    from pyspark.sql import functions as F
+
+    meta = json.load(open(_current_metadata_path(path)))
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if from_snapshot_id not in by_id:
+        raise ValueError(
+            f"snapshot {from_snapshot_id} not in table metadata"
+        )
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id")
+    if to_snapshot_id not in by_id:
+        raise ValueError(f"snapshot {to_snapshot_id} not in table metadata")
+    chain: list[dict] = []
+    cur: int | None = to_snapshot_id
+    while cur is not None and cur != from_snapshot_id:
+        s = by_id.get(cur)
+        if s is None:
+            break
+        chain.append(s)
+        cur = s.get("parent-snapshot-id")
+    if cur != from_snapshot_id:
+        raise ValueError(
+            f"snapshot {from_snapshot_id} is not an ancestor of "
+            f"{to_snapshot_id}"
+        )
+    chain.reverse()
+
+    def stamped(df: DataFrame, change: str, ordinal: int) -> DataFrame:
+        return df.select(
+            "*",
+            F.lit(change).alias("_change_type"),
+            F.lit(ordinal).alias("_change_ordinal"),
+        )
+
+    frames: list[DataFrame] = []
+    tbl_cols = _table_columns(path)
+    for ordinal, s in enumerate(chain):
+        sid = s["snapshot-id"]
+        parent = s.get("parent-snapshot-id")
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            continue  # compaction: bytes move, rows do not
+        if op == "append":
+            here, _, _ = _live_files(path, sid)
+            there = set()
+            if parent is not None and parent in by_id:
+                pm, _, _ = _live_files(path, parent)
+                there = set(pm)
+            new_files = sorted(
+                v for k, (v, _sq, _p) in here.items() if k not in there
+            )
+            if not new_files:
+                continue
+            df = spark.read.option("basePath", path).parquet(*new_files)
+            keep = [c for c in tbl_cols if c in df.columns]
+            if keep and set(keep) != set(df.columns):
+                df = df.select(*keep)
+            frames.append(stamped(df, "insert", ordinal))
+            continue
+        if op not in ("delete", "overwrite"):
+            raise UnsupportedIcebergFeature(
+                f"changelog across operation {op!r} snapshot {sid}"
+            )
+        if parent is None or parent not in by_id:
+            raise UnsupportedIcebergFeature(
+                f"changelog: snapshot {sid}'s parent was expired — "
+                "cannot diff a row-level commit without it"
+            )
+        now_df = read_iceberg(spark, path, snapshot_id=sid)
+        then_df = read_iceberg(spark, path, snapshot_id=parent).select(
+            *now_df.columns
+        )
+        frames.append(
+            stamped(then_df.exceptAll(now_df), "delete", ordinal)
+        )
+        frames.append(
+            stamped(now_df.exceptAll(then_df), "insert", ordinal)
+        )
+    if not frames:
+        empty = read_iceberg(spark, path, snapshot_id=to_snapshot_id)
+        return stamped(empty, "insert", 0).limit(0)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def upsert_iceberg(
     spark: SparkSession,
     path: str,

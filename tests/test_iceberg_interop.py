@@ -1403,3 +1403,52 @@ def test_upsert_iceberg_equality_delete_lww(spark, tmp_path):
             spark.createDataFrame([(1, "b")], "id long, k string"),
             ["id"],
         )
+
+def test_read_iceberg_changelog(spark, tmp_path):
+    """r11: the changelog scan — appends emit inserts from ONE scan
+    of the new files, position-delete and equality-upsert snapshots
+    emit the parent state diff (net deletes, delete+insert per
+    upserted key), replace snapshots are silent, and an expired
+    parent of a row-level snapshot raises."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _current_metadata_path,
+        delete_iceberg,
+        read_iceberg_changelog,
+        rewrite_data_files,
+        upsert_iceberg,
+    )
+
+    path = str(tmp_path / "chlog")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_iceberg(
+        mk([(i, f"v{i}") for i in range(6)]).coalesce(1),
+        path, format_version=2,
+    )
+    export_iceberg(
+        mk([(6, "v6"), (7, "v7")]).coalesce(1), path, mode="append"
+    )
+    delete_iceberg(spark, path, "id IN (1, 6)")
+    upsert_iceberg(spark, path, mk([(2, "V2"), (8, "v8")]), ["id"])
+    rewrite_data_files(spark, path)
+    meta = json.load(open(_current_metadata_path(path)))
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+
+    C = lambda df: Counter(map(tuple, df.collect()))
+    want = Counter()
+    for i in (6, 7):
+        want[(i, f"v{i}", "insert", 0)] += 1
+    for i in (1, 6):
+        want[(i, f"v{i}", "delete", 1)] += 1
+    want[(2, "v2", "delete", 2)] += 1
+    want[(2, "V2", "insert", 2)] += 1
+    want[(8, "v8", "insert", 2)] += 1
+    assert C(read_iceberg_changelog(spark, path, sids[0])) == want
+    assert (
+        read_iceberg_changelog(spark, path, sids[3], sids[4]).count()
+        == 0
+    )  # replace only
+    # unknown endpoints / non-ancestor ranges raise
+    with pytest.raises(ValueError, match="not in table metadata"):
+        read_iceberg_changelog(spark, path, 123456)
