@@ -840,7 +840,10 @@ def _resolve_id_mapping(
 
 
 def read_delta(
-    spark: SparkSession, path: str, version_as_of: int | None = None
+    spark: SparkSession,
+    path: str,
+    version_as_of: int | None = None,
+    timestamp_as_of: int | None = None,
 ) -> DataFrame:
     """Mount a Delta table (protocol v1 + deletion vectors) as a
     DataFrame.
@@ -861,7 +864,39 @@ def read_delta(
     travel whose files ``vacuum_delta`` has deleted raises a clear
     vacuumed error instead of a mid-scan file-not-found (the
     existence probe runs only on the time-travel path — bounded
-    diagnostic use — never on the live read)."""
+    diagnostic use — never on the live read).
+
+    ``timestamp_as_of`` (epoch ms, new r11) is the spec's
+    ``TIMESTAMP AS OF``: it resolves to the LAST commit whose
+    timestamp is at or before the given instant, using each commit
+    JSON's file modification time — exactly delta-spark's resolution
+    rule when commits carry no in-commit timestamp. A timestamp
+    before the first commit raises."""
+    if timestamp_as_of is not None:
+        if version_as_of is not None:
+            raise ValueError(
+                "version_as_of and timestamp_as_of are exclusive"
+            )
+        log_dir = os.path.join(path, _LOG_DIR)
+        stamps = sorted(
+            (
+                int(os.stat(os.path.join(log_dir, f)).st_mtime * 1000),
+                int(f[:20]),
+            )
+            for f in os.listdir(log_dir)
+            if f.endswith(".json") and f[:20].isdigit()
+        )
+        if not stamps:
+            raise FileNotFoundError(
+                f"Delta table at {path} has no commits"
+            )
+        eligible = [v for ts, v in stamps if ts <= timestamp_as_of]
+        if not eligible:
+            raise ValueError(
+                f"timestamp_as_of {timestamp_as_of} precedes the "
+                f"first commit (at {stamps[0][0]})"
+            )
+        version_as_of = max(eligible)
     adds, meta, _ = _replay_log(spark, path, version_as_of=version_as_of)
     if version_as_of is not None:
         missing = [

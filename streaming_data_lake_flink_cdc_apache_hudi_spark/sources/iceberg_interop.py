@@ -281,9 +281,15 @@ def read_iceberg(
     path: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Mount an Iceberg table (filesystem catalog layout) as a
-    DataFrame; ``snapshot_id`` time-travels over the snapshot log.
+    DataFrame; ``snapshot_id`` time-travels over the snapshot log,
+    and ``as_of_timestamp_ms`` (new r11 — Java's ``as-of-timestamp``)
+    resolves to the snapshot that was CURRENT at that instant via the
+    metadata's ``snapshot-log`` (falling back to the snapshots' own
+    ``timestamp-ms`` for metadata without a log). A timestamp before
+    the first snapshot raises.
 
     ``partition_filter`` ({partition_field_name: value}) prunes the
     FILE LIST from the manifests' per-file ``partition`` structs
@@ -312,6 +318,29 @@ def read_iceberg(
       broadcast file mapping."""
     from pyspark.sql import functions as F
 
+    if as_of_timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "snapshot_id and as_of_timestamp_ms are exclusive"
+            )
+        meta = json.load(open(_current_metadata_path(path)))
+        log = meta.get("snapshot-log") or [
+            {
+                "timestamp-ms": s.get("timestamp-ms") or 0,
+                "snapshot-id": s["snapshot-id"],
+            }
+            for s in meta.get("snapshots", [])
+        ]
+        log = sorted(log, key=lambda e: e["timestamp-ms"])
+        eligible = [
+            e for e in log if e["timestamp-ms"] <= as_of_timestamp_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"as_of_timestamp_ms {as_of_timestamp_ms} precedes "
+                "the first snapshot"
+            )
+        snapshot_id = eligible[-1]["snapshot-id"]
     mapping, pos_files, eq_deletes = _live_files(path, snapshot_id)
     if not mapping:
         raise FileNotFoundError(

@@ -1647,3 +1647,42 @@ def test_read_delta_cdf_derives_changes(spark, tmp_path):
     cleanup_log(path)
     with pytest.raises(UnsupportedDeltaFeature, match="commit JSON"):
         read_delta_cdf(spark, path, 0)
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """r11: read_delta(timestamp_as_of=ms) resolves to the LAST
+    commit at or before the instant via the commit JSONs' mtimes
+    (delta-spark's rule without in-commit timestamps); pre-history
+    timestamps and combining both travel args raise."""
+    import os
+    import time
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        read_delta,
+    )
+
+    path = str(tmp_path / "ts_travel")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_delta(mk([(1, "a")]), path)
+    export_delta(mk([(2, "b")]), path, mode="append")
+    # pin distinct mtimes so the resolution order is deterministic
+    log = os.path.join(path, "_delta_log")
+    t0 = time.time() - 100
+    os.utime(os.path.join(log, f"{0:020d}.json"), (t0, t0))
+    os.utime(os.path.join(log, f"{1:020d}.json"), (t0 + 50, t0 + 50))
+    at_v0 = int((t0 + 10) * 1000)
+    got = sorted(
+        map(tuple, read_delta(spark, path,
+                              timestamp_as_of=at_v0).collect())
+    )
+    assert got == [(1, "a")]
+    at_v1 = int((t0 + 60) * 1000)
+    assert sorted(
+        map(tuple, read_delta(spark, path,
+                              timestamp_as_of=at_v1).collect())
+    ) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="precedes"):
+        read_delta(spark, path, timestamp_as_of=int((t0 - 10) * 1000))
+    with pytest.raises(ValueError, match="exclusive"):
+        read_delta(spark, path, version_as_of=0,
+                   timestamp_as_of=at_v0)

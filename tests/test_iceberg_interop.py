@@ -1452,3 +1452,45 @@ def test_read_iceberg_changelog(spark, tmp_path):
     # unknown endpoints / non-ancestor ranges raise
     with pytest.raises(ValueError, match="not in table metadata"):
         read_iceberg_changelog(spark, path, 123456)
+
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    """r11: read_iceberg(as_of_timestamp_ms=...) resolves the
+    snapshot current at the instant via the snapshot-log;
+    pre-history and combined args raise."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _current_metadata_path,
+    )
+
+    path = str(tmp_path / "ice_ts")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_iceberg(mk([(1, "a")]), path, format_version=2)
+    export_iceberg(mk([(2, "b")]), path, mode="append")
+    meta = json.load(open(_current_metadata_path(path)))
+    log = sorted(
+        meta["snapshot-log"], key=lambda e: e["timestamp-ms"]
+    )
+    assert len(log) == 2
+    # pin distinct log timestamps so the boundary is deterministic
+    log[0]["timestamp-ms"], log[1]["timestamp-ms"] = 1000, 2000
+    meta["snapshot-log"] = log
+    with open(_current_metadata_path(path), "w") as fh:
+        json.dump(meta, fh)
+    assert sorted(
+        map(
+            tuple,
+            read_iceberg(spark, path, as_of_timestamp_ms=1500).collect(),
+        )
+    ) == [(1, "a")]
+    assert sorted(
+        map(
+            tuple,
+            read_iceberg(spark, path, as_of_timestamp_ms=2500).collect(),
+        )
+    ) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="precedes"):
+        read_iceberg(spark, path, as_of_timestamp_ms=500)
+    with pytest.raises(ValueError, match="exclusive"):
+        read_iceberg(
+            spark, path,
+            snapshot_id=log[0]["snapshot-id"], as_of_timestamp_ms=1500,
+        )
