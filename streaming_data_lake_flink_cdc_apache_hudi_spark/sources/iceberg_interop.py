@@ -1701,8 +1701,9 @@ def read_iceberg_changelog(
 def upsert_iceberg(
     spark: SparkSession,
     path: str,
-    df: DataFrame,
+    df: DataFrame | None,
     key_cols: Sequence[str],
+    deletes: DataFrame | None = None,
 ) -> dict:
     """Keyed UPSERT commit on a v2 Iceberg table — the Flink Iceberg
     sink's UPSERT-mode shape (new r11): ONE ``overwrite`` snapshot
@@ -1726,6 +1727,12 @@ def upsert_iceberg(
     ``rewrite_data_files`` later materializes the accumulated delete
     files. Unpartitioned v2 tables only (the Flink writer's
     equality-delete-per-spec handling is a declared boundary here).
+
+    ``deletes`` (new r11, the CDC ``D`` leg): a keys-only frame
+    whose keys are retired WITHOUT replacement — they ride the same
+    equality-delete file as the upserted keys. A key in both ``df``
+    and ``deletes`` is ambiguous and raises; ``df=None`` commits a
+    delete-only snapshot (operation ``delete``).
 
     Scale: the data and the distinct-key delete frame are both
     distributed parquet writes (keys re-read from the JUST-WRITTEN
@@ -1771,10 +1778,17 @@ def upsert_iceberg(
             f"upsert_iceberg: key columns {unknown or key_cols} not in "
             f"table schema {tbl_cols}"
         )
-    if set(df.columns) != set(tbl_cols):
+    if df is None and deletes is None:
+        raise ValueError("upsert_iceberg: need df and/or deletes")
+    if df is not None and set(df.columns) != set(tbl_cols):
         raise ValueError(
             f"upsert_iceberg: frame columns {sorted(df.columns)} != "
             f"table columns {sorted(tbl_cols)}"
+        )
+    if deletes is not None and set(deletes.columns) != set(key_cols):
+        raise ValueError(
+            f"upsert_iceberg: deletes columns {sorted(deletes.columns)}"
+            f" != key columns {sorted(key_cols)}"
         )
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
@@ -1787,25 +1801,46 @@ def upsert_iceberg(
             if f.endswith(".parquet") and not f.startswith("_")
         }
 
-    before = _on_disk()
-    df.select(*tbl_cols).write.mode("append").parquet(data_dir)
-    new_data = sorted(_on_disk() - before)
-    if not new_data:
-        return {"snapshot_id": None, "rows": 0}
-    # keys come from the WRITTEN rows (one source of truth even for
-    # nondeterministic inputs); the same scan proves key-uniqueness
-    written = spark.read.parquet(*new_data)
-    n_rows = written.count()
-    kdf = written.select(*key_cols).dropDuplicates()
-    n_keys = kdf.count()
-    if n_keys != n_rows:
-        for f in new_data:
-            os.remove(f)  # abort cleanly: nothing was committed yet
-        raise ValueError(
-            f"upsert_iceberg: batch has {n_rows} rows but {n_keys} "
-            f"distinct keys over {key_cols} — dedup to one row per "
-            "key first (same-seq rows would BOTH survive)"
-        )
+    new_data: list[str] = []
+    n_rows = 0
+    kdf = None
+    if df is not None:
+        before = _on_disk()
+        df.select(*tbl_cols).write.mode("append").parquet(data_dir)
+        new_data = sorted(_on_disk() - before)
+    if new_data:
+        # keys come from the WRITTEN rows (one source of truth even
+        # for nondeterministic inputs); the scan proves uniqueness
+        written = spark.read.parquet(*new_data)
+        n_rows = written.count()
+        kdf = written.select(*key_cols).dropDuplicates()
+        n_keys = kdf.count()
+        if n_keys != n_rows:
+            for f in new_data:
+                os.remove(f)  # abort cleanly: nothing committed yet
+            raise ValueError(
+                f"upsert_iceberg: batch has {n_rows} rows but "
+                f"{n_keys} distinct keys over {key_cols} — dedup to "
+                "one row per key first (same-seq rows would BOTH "
+                "survive)"
+            )
+    if deletes is not None:
+        ddf = deletes.select(*key_cols).dropDuplicates()
+        if kdf is not None:
+            overlap = kdf.join(ddf, key_cols, "semi").count()
+            if overlap:
+                for f in new_data:
+                    os.remove(f)
+                raise ValueError(
+                    f"upsert_iceberg: {overlap} key(s) appear in BOTH "
+                    "df and deletes — upsert-or-delete per key is "
+                    "ambiguous"
+                )
+            kdf = kdf.unionByName(ddf)
+        else:
+            kdf = ddf
+    if kdf is None or kdf.count() == 0:
+        return {"snapshot_id": None, "rows": 0}  # empty batch
     kdf = kdf.select(
         *(
             kdf[c].alias(
@@ -1877,9 +1912,12 @@ def upsert_iceberg(
         )
         return mp, rows
 
-    data_mp, data_rows = _mk_manifest(
-        f"manifest-{new_sid}-ups-data.avro", new_data, 0, None
-    )
+    data_mp = None
+    data_rows = 0
+    if new_data:
+        data_mp, data_rows = _mk_manifest(
+            f"manifest-{new_sid}-ups-data.avro", new_data, 0, None
+        )
     del_mp, del_rows = _mk_manifest(
         f"manifest-{new_sid}-ups-del.avro", new_del, 2, key_ids
     )
@@ -1907,10 +1945,11 @@ def upsert_iceberg(
             for f in mlist_schema["fields"]
         }
 
-    mlist_rows = list(old_rows) + [
-        _mlist_row(data_mp, 0, len(new_data), data_rows),
-        _mlist_row(del_mp, 1, len(new_del), del_rows),
-    ]
+    mlist_rows = list(old_rows) + (
+        [_mlist_row(data_mp, 0, len(new_data), data_rows)]
+        if data_mp
+        else []
+    ) + [_mlist_row(del_mp, 1, len(new_del), del_rows)]
     new_mlist = os.path.join(md, f"snap-{new_sid}.avro")
     write_avro(
         new_mlist,
@@ -1928,7 +1967,7 @@ def upsert_iceberg(
         "timestamp-ms": now_ms,
         "manifest-list": "file://" + new_mlist,
         "summary": {
-            "operation": "overwrite",
+            "operation": "overwrite" if new_data else "delete",
             "added-data-files": str(len(new_data)),
             "added-delete-files": str(len(new_del)),
             "added-records": str(data_rows),

@@ -103,6 +103,64 @@ def stream_upsert(
     return writer.trigger(**trigger).start()
 
 
+def stream_upsert_iceberg(
+    changelog: DataFrame,
+    path: str,
+    key: str | Sequence[str],
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """changelog stream → per-micro-batch ICEBERG v2 UPSERT commits
+    (new r11) — the Flink Iceberg sink's UPSERT mode, the modern
+    deployment of the reference's CDC→lake pattern: each micro-batch
+    reduces the envelope to a keyed LWW delta
+    (``reduce_changelog_batch``), splits tombstones out, and commits
+    ONE snapshot via ``upsert_iceberg`` — a data manifest of the
+    upserted rows plus an equality-delete manifest retiring both the
+    upserted and the deleted keys, at the batch's sequence number.
+    Commit cadence = trigger cadence, the same checkpoint-coupled
+    pattern as ``stream_upsert`` (E1). The target table must already
+    exist as an unpartitioned v2 export with the post-image schema.
+
+    Ordering: WITHIN a batch the LWW reduce makes event order
+    irrelevant; ACROSS batches ordering is commit-ordered (the
+    format's strict sequence scoping), not event-time — a key's
+    event arriving a whole micro-batch late overwrites newer state,
+    exactly the Flink upsert sink's documented property (Iceberg has
+    no precombine field; the engine's own lake sink keeps event-time
+    LWW via _cdc_ts/_cdc_seq when that matters). A replayed epoch
+    re-commits its batch, which converges to the same state (the
+    eq-delete retires the replayed rows' previous versions)."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _commit(batch: DataFrame, epoch_id: int) -> None:
+        from ..sources.iceberg_interop import upsert_iceberg
+
+        delta = reduce_changelog_batch(batch, keys)
+        ups = delta.filter(~F.col("_deleted")).drop(
+            "_deleted", "_cdc_ts", "_cdc_seq"
+        )
+        dels = delta.filter(F.col("_deleted")).select(*keys)
+        n_ups, n_dels = ups.count(), dels.count()
+        if not n_ups and not n_dels:
+            return
+        upsert_iceberg(
+            batch.sparkSession,
+            path,
+            ups if n_ups else None,
+            keys,
+            deletes=dels if n_dels else None,
+        )
+
+    writer = (
+        changelog.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
 def stream_static_join(
     changelog_delta: DataFrame,
     static_dim: DataFrame,

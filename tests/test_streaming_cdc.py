@@ -342,3 +342,82 @@ def test_lake_changes_round_trip_through_debezium_wire(spark, tmp_path):
         ("U", 2): ("bob2", "bob"),
         ("D", 1): (None, "alice"),
     }
+
+def test_stream_upsert_iceberg_sink(spark, tmp_path, feed_dir):
+    """r11: CDC stream -> per-micro-batch Iceberg v2 upsert commits
+    (the Flink Iceberg sink's UPSERT mode): inserts, updates,
+    deletes and out-of-order WITHIN-batch events land as equality-
+    delete + data-file snapshots, and the final Iceberg view equals
+    the batch LWW expectation; one snapshot per non-empty batch."""
+    import json
+    import os
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _current_metadata_path,
+        export_iceberg,
+        read_iceberg,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.pipeline import (
+        stream_upsert_iceberg,
+    )
+
+    path = str(tmp_path / "ice_sink")
+    # seed the table (schema + first snapshot) with one pre-CDC row
+    export_iceberg(
+        spark.createDataFrame(
+            [(0.0, "Seed Row", "Row", "Seed")], PERSON
+        ),
+        path,
+        format_version=2,
+    )
+    # batch 1 (one feed file): insert 1+2, update 1 — out of order
+    # within the batch (seq decides)
+    write_feed_events(
+        spark,
+        feed_dir,
+        _feed_df(
+            spark,
+            [
+                ("U", "2024-01-01T00:00:02", 3, _p(1, "Ann Lee"),
+                 _p(1, "Ann Smith")),
+                ("I", "2024-01-01T00:00:00", 1, None, _p(1, "Ann Lee")),
+                ("I", "2024-01-01T00:00:01", 2, None, _p(2, "Bob Ray")),
+            ],
+        ),
+        commit_id="batch1",
+    )
+    # batch 2: delete 2, insert 3
+    write_feed_events(
+        spark,
+        feed_dir,
+        _feed_df(
+            spark,
+            [
+                ("D", "2024-01-01T00:01:00", 4, _p(2, "Bob Ray"), None),
+                ("I", "2024-01-01T00:01:01", 5, None, _p(3, "Cat Fox")),
+            ],
+        ),
+        commit_id="batch2",
+    )
+    stream = read_feed_stream(
+        spark, feed_dir, PERSON, max_files_per_trigger=1
+    )
+    q = stream_upsert_iceberg(
+        stream, path, "id", str(tmp_path / "ckpt_ice"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.id, r.full_name)
+        for r in read_iceberg(spark, path).collect()
+    )
+    assert got == [(0.0, "Seed Row"), (1.0, "Ann Smith"),
+                   (3.0, "Cat Fox")]
+    # one snapshot per non-empty micro-batch on top of the seed
+    meta = json.load(open(_current_metadata_path(path)))
+    ops = [
+        (s.get("summary") or {}).get("operation")
+        for s in meta["snapshots"]
+    ]
+    assert ops[0] == "append" and len(ops) == 3
+    assert all(op in ("overwrite", "delete") for op in ops[1:])
