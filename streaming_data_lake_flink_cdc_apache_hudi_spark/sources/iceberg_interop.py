@@ -719,6 +719,56 @@ def expire_snapshots(
     return removed
 
 
+def _merge_entry_schemas(a: dict, b: dict) -> dict:
+    """Superset of two manifest-entry avro schemas: fields present in
+    only one side must be OPTIONAL (``["null", ...]`` unions, so
+    entries lacking them encode null); same-name fields must match
+    exactly. The ``data_file`` record merges one level deep the same
+    way. Anything else raises — encoding under a narrower schema
+    would silently drop the other manifests' fields."""
+
+    def union(af: list, bf: list, where: str) -> list:
+        by = {f["name"]: f for f in af}
+        out = [json.loads(json.dumps(f)) for f in af]
+        for f in bf:
+            g = by.get(f["name"])
+            if g is None:
+                t = f.get("type")
+                if not (isinstance(t, list) and t and t[0] == "null"):
+                    raise UnsupportedIcebergFeature(
+                        f"rewrite_manifests: non-optional field "
+                        f"{f['name']!r} ({where}) exists in only one "
+                        "manifest entry schema"
+                    )
+                out.append(json.loads(json.dumps(f)))
+            elif f["name"] != "data_file" and json.dumps(
+                g, sort_keys=True
+            ) != json.dumps(f, sort_keys=True):
+                raise UnsupportedIcebergFeature(
+                    f"rewrite_manifests: conflicting definitions of "
+                    f"field {f['name']!r} ({where}) across manifest "
+                    "entry schemas"
+                )
+        return out
+
+    a = json.loads(json.dumps(a))
+    b_by = {f["name"]: f for f in b.get("fields", [])}
+    a_df = next(
+        (f for f in a["fields"] if f["name"] == "data_file"), None
+    )
+    b_df = b_by.get("data_file")
+    merged_fields = union(a["fields"], b.get("fields", []), "entry")
+    if a_df is not None and b_df is not None:
+        df_fields = union(
+            a_df["type"]["fields"], b_df["type"]["fields"], "data_file"
+        )
+        for f in merged_fields:
+            if f["name"] == "data_file":
+                f["type"]["fields"] = df_fields
+    a["fields"] = merged_fields
+    return a
+
+
 def rewrite_manifests(path: str) -> dict:
     """Iceberg's ``rewrite_manifests`` maintenance procedure: compact
     the CURRENT snapshot's DATA manifests into ONE manifest of
@@ -768,13 +818,12 @@ def rewrite_manifests(path: str) -> dict:
         elif json.dumps(es, sort_keys=True) != json.dumps(
             entry_schema, sort_keys=True
         ):
-            # encoding under the first schema would silently DROP
-            # fields the other schema carries (e.g. data_file.content
-            # on a delete entry) — refuse instead of corrupting
-            raise UnsupportedIcebergFeature(
-                "rewrite_manifests over heterogeneous manifest entry "
-                "schemas"
-            )
+            # heterogeneous entry schemas (e.g. an upsert's data
+            # manifest carries optional equality_ids, an append's
+            # does not): merge into the SUPERSET so no manifest's
+            # fields are silently dropped (r11 — conflicting or
+            # non-optional extra fields still refuse)
+            entry_schema = _merge_entry_schemas(entry_schema, es)
         m_seq = m.get("sequence_number") or 0
         for e in entries:
             if e.get("status") == 2:  # DELETED: drops out of the compaction
@@ -804,6 +853,24 @@ def rewrite_manifests(path: str) -> dict:
                 "default": None,
             },
         )
+    # entries read under a narrower schema lack the merged-in
+    # optional fields; the avro encoder indexes record fields by
+    # name, so fill nulls against the FINAL schema (r11)
+    df_schema_fields = next(
+        (
+            f["type"]["fields"]
+            for f in entry_schema["fields"]
+            if f["name"] == "data_file"
+        ),
+        [],
+    )
+    for ne in entries_out:
+        for f in entry_schema["fields"]:
+            ne.setdefault(f["name"], None)
+        dfv = ne.get("data_file")
+        if isinstance(dfv, dict):
+            for f in df_schema_fields:
+                dfv.setdefault(f["name"], None)
     new_sid = int(uuid.uuid4().int % (1 << 62))
     new_seq = int(meta.get("last-sequence-number") or 0) + 1
     md = os.path.join(path, _META_DIR)

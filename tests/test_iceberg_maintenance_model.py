@@ -29,6 +29,7 @@ from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop imp
     rewrite_data_files,
     rewrite_manifests,
     snapshots,
+    upsert_iceberg,
 )
 
 
@@ -64,9 +65,43 @@ def test_random_iceberg_maintenance_matches_model(
     for step in range(12):
         op = rng.choice(
             ["append", "append", "expire", "rewrite", "rewrite_data",
-             "delete"]
+             "delete", "upsert"]
         )
-        if op == "delete":
+        if op == "upsert":
+            # equality-delete upsert commit (new r11): per batch key,
+            # the old row retires and the new one lands at the same
+            # seq; non-append, so incremental ranges refuse. v1
+            # refuses outright.
+            live_ids = sorted({k[0] for k in model[lineage[-1]][0]})
+            upd = rng.sample(
+                live_ids, rng.randint(0, min(2, len(live_ids)))
+            )
+            ins = fresh_rows(rng.randint(0, 2))
+            batch = [(i, f"u{i}_{step}") for i in upd] + ins
+            if not batch:
+                continue
+            bdf = mk(batch)
+            if fv == 1:
+                with pytest.raises(
+                    UnsupportedIcebergFeature, match="format-version 2"
+                ):
+                    upsert_iceberg(spark, path, bdf, ["id"])
+                continue
+            res = upsert_iceberg(spark, path, bdf, ["id"])
+            assert res["rows"] == len(batch)
+            sid = snapshots(path)[-1]["snapshot_id"]
+            gone = {i for i, _v in batch}
+            model[sid] = (
+                Counter(
+                    {k: c for k, c in model[lineage[-1]][0].items()
+                     if k[0] not in gone}
+                )
+                + Counter(batch),
+                Counter(),
+            )
+            lineage.append(sid)
+            data_rewrites.add(sid)  # gates the incremental refusal
+        elif op == "delete":
             # position-delete commit (new r11): rows vanish, data
             # files stay; incremental ranges crossing it refuse like
             # any non-append. v1 refuses outright.
