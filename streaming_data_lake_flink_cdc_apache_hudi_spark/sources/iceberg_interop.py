@@ -1792,8 +1792,12 @@ def upsert_iceberg(
     raises rather than committing ambiguity; dedup upstream with the
     keyed LWW operators). New keys insert, existing keys update, and
     ``rewrite_data_files`` later materializes the accumulated delete
-    files. Unpartitioned v2 tables only (the Flink writer's
-    equality-delete-per-spec handling is a declared boundary here).
+    files. PARTITIONED v2 tables work too (new r11): the data side
+    writes per partition (identity + bucket transforms, one manifest
+    with real partition structs) while the equality deletes go
+    GLOBAL under an UNPARTITIONED spec — minted into
+    ``partition-specs`` on first use — the spec's global-delete
+    shape that applies across every partition.
 
     ``deletes`` (new r11, the CDC ``D`` leg): a keys-only frame
     whose keys are retired WITHOUT replacement — they ride the same
@@ -1830,14 +1834,40 @@ def upsert_iceberg(
         ),
         (meta.get("partition-specs") or [{}])[0],
     )
-    if default_spec.get("fields"):
-        raise UnsupportedIcebergFeature(
-            "upsert_iceberg over a partitioned table — the equality-"
-            "delete-per-partition-spec shape is a declared boundary"
-        )
     fields = _current_schema(path).get("fields", [])
     ids_by_name = {f["name"]: int(f["id"]) for f in fields}
     tbl_cols = [f["name"] for f in fields]
+    # partitioned tables (new r11): the DATA side writes per
+    # partition (identity + bucket, the exporter's transforms); the
+    # equality deletes go GLOBAL under an UNPARTITIONED spec — the
+    # spec's global-delete shape, which applies to every partition
+    names_by_id = _field_names_by_id(meta)
+    schema_types = {f["name"]: f["type"] for f in fields}
+    pspecs: list[dict] = []
+    for pf in default_spec.get("fields", []):
+        tr = pf.get("transform")
+        bm = re.match(r"^bucket\[(\d+)\]$", tr or "")
+        if tr != "identity" and not bm:
+            raise UnsupportedIcebergFeature(
+                f"upsert_iceberg over partition transform {tr!r}"
+            )
+        src = names_by_id.get(pf.get("source-id"))
+        t = schema_types.get(src)
+        if src is None or t not in _PART_AVRO:
+            raise UnsupportedIcebergFeature(
+                f"upsert_iceberg: partition field {pf.get('name')!r} "
+                f"has unresolvable source or type {t!r}"
+            )
+        pspecs.append(
+            {
+                "fname": pf["name"],
+                "src": src,
+                "src_type": t,
+                "out_type": "int" if bm else t,
+                "n": int(bm.group(1)) if bm else None,
+                "fid": int(pf.get("field-id", 1000)),
+            }
+        )
     key_cols = list(key_cols)
     unknown = [c for c in key_cols if c not in ids_by_name]
     if not key_cols or unknown:
@@ -1873,7 +1903,40 @@ def upsert_iceberg(
     kdf = None
     if df is not None:
         before = _on_disk()
-        df.select(*tbl_cols).write.mode("append").parquet(data_dir)
+        w = df.select(*tbl_cols)
+        if pspecs:
+            from pyspark.sql import functions as F
+
+            for ps in pspecs:
+                if ps["n"] is None:
+                    w = w.withColumn(
+                        f"_p_{ps['fname']}", F.col(ps["src"])
+                    )
+                else:
+                    from pyspark.sql.functions import pandas_udf
+
+                    def _make_bkt(nb, st):
+                        @pandas_udf("int")
+                        def _bkt(s: pd.Series) -> pd.Series:
+                            return s.map(
+                                lambda v: None
+                                if pd.isna(v)
+                                else iceberg_bucket(v, st, nb)
+                            ).astype("Int32")
+
+                        return _bkt
+
+                    w = w.withColumn(
+                        f"_p_{ps['fname']}",
+                        _make_bkt(ps["n"], ps["src_type"])(
+                            F.col(ps["src"])
+                        ),
+                    )
+            w.write.partitionBy(
+                *(f"_p_{ps['fname']}" for ps in pspecs)
+            ).mode("append").parquet(data_dir)
+        else:
+            w.write.mode("append").parquet(data_dir)
         new_data = sorted(_on_disk() - before)
     if new_data:
         # keys come from the WRITTEN rows (one source of truth even
@@ -1925,21 +1988,72 @@ def upsert_iceberg(
     now_ms = int(time.time() * 1000)
     md = os.path.join(path, _META_DIR)
     key_ids = [ids_by_name[c] for c in key_cols]
-    entry_schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
-    entry_schema["fields"][2]["type"]["fields"].insert(
-        1, {"name": "content", "type": "int", "field-id": 134}
-    )
-    entry_schema["fields"][2]["type"]["fields"].insert(
-        2,
-        {
-            "name": "equality_ids",
-            "type": ["null", {"type": "array", "items": "int"}],
-            "field-id": 135,
-        },
-    )
+
+    def _entry_schema(part_specs: list[dict]) -> dict:
+        es = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+        es["fields"][2]["type"]["fields"].insert(
+            1, {"name": "content", "type": "int", "field-id": 134}
+        )
+        es["fields"][2]["type"]["fields"].insert(
+            2,
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "field-id": 135,
+            },
+        )
+        if part_specs:
+            part_rec = next(
+                fl
+                for fl in es["fields"][2]["type"]["fields"]
+                if fl["name"] == "partition"
+            )
+            part_rec["type"]["fields"] = [
+                {
+                    "name": ps["fname"],
+                    "type": ["null", _PART_AVRO[ps["out_type"]]],
+                    "field-id": ps["fid"],
+                    "default": None,
+                }
+                for ps in part_specs
+            ]
+        return es
+
+    def _pvals(full: str) -> dict:
+        import urllib.parse
+
+        types = {ps["fname"]: ps["out_type"] for ps in pspecs}
+        vals: dict = {}
+        rel = os.path.relpath(
+            os.path.abspath(full), os.path.abspath(path)
+        )
+        for comp in rel.split(os.sep)[:-1]:
+            if "=" not in comp:
+                continue
+            k, _, raw = comp.partition("=")
+            c = k[len("_p_"):] if k.startswith("_p_") else k
+            if c not in types:
+                continue
+            raw = urllib.parse.unquote(raw)
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                vals[c] = None
+            else:
+                vals[c] = int(raw) if types[c] != "string" else raw
+        missing = [f for f in types if f not in vals]
+        if missing:
+            raise UnsupportedIcebergFeature(
+                f"upsert_iceberg: file {full!r} carries no {missing} "
+                "partition path segment"
+            )
+        return vals
 
     def _mk_manifest(
-        name: str, files: list, content: int, eq: list | None
+        name: str,
+        files: list,
+        content: int,
+        eq: list | None,
+        part_specs: list[dict],
+        spec_id: int,
     ) -> tuple[str, int]:
         entries = []
         rows = 0
@@ -1955,46 +2069,96 @@ def upsert_iceberg(
                         "equality_ids": eq,
                         "file_path": "file://" + full,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": _pvals(full) if part_specs else {},
                         "record_count": nr,
                         "file_size_in_bytes": os.path.getsize(full),
                     },
                 }
             )
         mp = os.path.join(md, name)
+        spec_fields = (
+            [
+                {
+                    "name": ps["fname"],
+                    "transform": "identity"
+                    if ps["n"] is None
+                    else f"bucket[{ps['n']}]",
+                    "source-id": ids_by_name[ps["src"]],
+                    "field-id": ps["fid"],
+                }
+                for ps in part_specs
+            ]
+            if part_specs
+            else []
+        )
         write_avro(
             mp,
-            entry_schema,
+            _entry_schema(part_specs),
             entries,
             metadata={
                 "schema": json.dumps(_current_schema(path)).encode(),
                 "schema-id": b"0",
-                "partition-spec": b"[]",
-                "partition-spec-id": str(
-                    default_spec.get("spec-id", 0)
-                ).encode(),
+                "partition-spec": json.dumps(spec_fields).encode(),
+                "partition-spec-id": str(spec_id).encode(),
                 "format-version": b"2",
                 "content": b"data" if content == 0 else b"deletes",
             },
         )
         return mp, rows
 
+    # global equality deletes live under an UNPARTITIONED spec; reuse
+    # one if the table has it, else mint it in this commit's metadata
+    new_specs = None
+    if pspecs:
+        unpart = next(
+            (
+                s
+                for s in meta.get("partition-specs", [])
+                if not s.get("fields")
+            ),
+            None,
+        )
+        if unpart is None:
+            unpart = {
+                "spec-id": max(
+                    int(s.get("spec-id", 0))
+                    for s in meta.get("partition-specs", [{}])
+                )
+                + 1,
+                "fields": [],
+            }
+            new_specs = list(meta.get("partition-specs", [])) + [unpart]
+        del_spec_id = int(unpart.get("spec-id", 0))
+    else:
+        del_spec_id = int(default_spec.get("spec-id", 0))
     data_mp = None
     data_rows = 0
     if new_data:
         data_mp, data_rows = _mk_manifest(
-            f"manifest-{new_sid}-ups-data.avro", new_data, 0, None
+            f"manifest-{new_sid}-ups-data.avro", new_data, 0, None,
+            pspecs, int(default_spec.get("spec-id", 0)),
         )
     del_mp, del_rows = _mk_manifest(
-        f"manifest-{new_sid}-ups-del.avro", new_del, 2, key_ids
+        f"manifest-{new_sid}-ups-del.avro", new_del, 2, key_ids,
+        [], del_spec_id,
     )
     mlist_schema, old_rows = read_avro(_resolve(snap["manifest-list"], path))
 
-    def _mlist_row(mp: str, content: int, n_files: int, n_rows: int):
+    def _mlist_row(
+        mp: str,
+        content: int,
+        n_files: int,
+        n_rows: int,
+        spec_id: int | None = None,
+    ):
         full = {
             "manifest_path": "file://" + mp,
             "manifest_length": os.path.getsize(mp),
-            "partition_spec_id": default_spec.get("spec-id", 0),
+            "partition_spec_id": (
+                spec_id
+                if spec_id is not None
+                else default_spec.get("spec-id", 0)
+            ),
             "added_snapshot_id": new_sid,
             "content": content,
             "sequence_number": new_seq,
@@ -2016,7 +2180,7 @@ def upsert_iceberg(
         [_mlist_row(data_mp, 0, len(new_data), data_rows)]
         if data_mp
         else []
-    ) + [_mlist_row(del_mp, 1, len(new_del), del_rows)]
+    ) + [_mlist_row(del_mp, 1, len(new_del), del_rows, del_spec_id)]
     new_mlist = os.path.join(md, f"snap-{new_sid}.avro")
     write_avro(
         new_mlist,
@@ -2041,6 +2205,8 @@ def upsert_iceberg(
         },
     }
     new_meta = dict(meta)
+    if new_specs is not None:
+        new_meta["partition-specs"] = new_specs
     new_meta["last-sequence-number"] = new_seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["snapshots"] = list(meta.get("snapshots", [])) + [new_snap]

@@ -1392,17 +1392,67 @@ def test_upsert_iceberg_equality_delete_lww(spark, tmp_path):
     export_iceberg(mk([(1, "a")]), p3)
     with pytest.raises(UnsupportedIcebergFeature, match="format-version"):
         upsert_iceberg(spark, p3, mk([(1, "b")]), ["id"])
-    p4 = str(tmp_path / "ups_part")
-    export_iceberg(
-        spark.createDataFrame([(1, "a")], "id long, k string"),
-        p4, partition_by=["k"], format_version=2,
+
+
+def test_upsert_iceberg_partitioned_global_deletes(spark, tmp_path):
+    """r11: upserts on PARTITIONED tables — data written per
+    partition (identity and bucket), equality deletes GLOBAL under
+    an unpartitioned spec minted into partition-specs, so a key
+    MOVING partitions retires its old row in the old partition;
+    pruning survives; the deletes-only leg works; rewrite
+    materializes."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _current_metadata_path,
+        rewrite_data_files,
+        upsert_iceberg,
     )
-    with pytest.raises(UnsupportedIcebergFeature, match="partitioned"):
-        upsert_iceberg(
-            spark, p4,
-            spark.createDataFrame([(1, "b")], "id long, k string"),
-            ["id"],
-        )
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id long, k string, v long"
+    )
+    p = str(tmp_path / "ups_part")
+    export_iceberg(
+        mk([(i, "abc"[i % 3], i * 10) for i in range(12)]),
+        p, partition_by=["k"], format_version=2,
+    )
+    upsert_iceberg(spark, p, mk([(1, "b", 999), (20, "c", 200)]), ["id"])
+    got = sorted(
+        (r.id, r.k, r.v) for r in read_iceberg(spark, p).collect()
+    )
+    want = sorted(
+        [(i, "abc"[i % 3], i * 10) for i in range(12) if i != 1]
+        + [(1, "b", 999), (20, "c", 200)]
+    )
+    assert got == want
+    pr = read_iceberg(spark, p, partition_filter={"k": "c"})
+    assert sorted(r.id for r in pr.collect()) == sorted(
+        [i for i in range(12) if i % 3 == 2 and i != 1] + [20]
+    )
+    # cross-partition key move: the GLOBAL delete retires the old row
+    upsert_iceberg(spark, p, mk([(2, "a", 22)]), ["id"])
+    got = sorted((r.id, r.k) for r in read_iceberg(spark, p).collect())
+    assert (2, "a") in got and (2, "c") not in got
+    # deletes-only leg
+    upsert_iceberg(
+        spark, p, None, ["id"],
+        deletes=spark.createDataFrame([(20,)], "id long"),
+    )
+    assert 20 not in [r.id for r in read_iceberg(spark, p).collect()]
+    meta = json.load(open(_current_metadata_path(p)))
+    assert any(not s.get("fields") for s in meta["partition-specs"])
+    rewrite_data_files(spark, p)
+    assert len(read_iceberg(spark, p).collect()) == 12
+    # bucket-partitioned upsert re-derives the bucket value
+    pb = str(tmp_path / "ups_bkt")
+    export_iceberg(
+        mk([(i, "x", i) for i in range(10)]),
+        pb, partition_by=["bucket(4, id)"], format_version=2,
+    )
+    upsert_iceberg(spark, pb, mk([(3, "y", 33)]), ["id"])
+    got = sorted(
+        (r.id, r.k, r.v) for r in read_iceberg(spark, pb).collect()
+    )
+    assert (3, "y", 33) in got and len(got) == 10
 
 def test_read_iceberg_changelog(spark, tmp_path):
     """r11: the changelog scan — appends emit inserts from ONE scan
