@@ -3001,6 +3001,59 @@ def q_delta_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_restore_read",
+    """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+    doc="Delta RESTORE TO VERSION AS OF (new r11 — delta-spark's "
+    "RESTORE), value-oracled: nation exports as two append commits, "
+    "delete_delta removes n_regionkey < 2 via deletion vectors, then "
+    "restore_delta(version=1) commits the add/remove diff that makes "
+    "the live state equal the pre-delete version again — so the read "
+    "must equal the PLAIN full-table oracle, which only happens if "
+    "the restore re-attached exactly the right files. Two guards "
+    "ride the value hash as extra rows when wrong: the deleted "
+    "intermediate version must still time-travel (history is "
+    "preserved, the restore is a NEW version, not a rewind), and the "
+    "restored state must differ from it by exactly the deleted "
+    "rows.",
+)
+def q_delta_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import (
+        delete_delta,
+        export_delta,
+        read_delta,
+        restore_delta,
+    )
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="delta_restore_")
+    t = f"{root}/t"
+    export_delta(n.filter(F.col("n_nationkey") % 2 == 0), t)
+    export_delta(
+        n.filter(F.col("n_nationkey") % 2 == 1), t, mode="append"
+    )
+    delete_delta(spark, t, "n_regionkey < 2")  # version 2
+    restore_delta(spark, t, 1)  # version 3: back to pre-delete
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    post = read_delta(spark, t).select(*cols)
+    # guard 1: the deleted intermediate state still time-travels
+    mid = read_delta(spark, t, version_as_of=2).select(*cols)
+    expect_mid = n.filter(~(F.col("n_regionkey") < 2))
+    # guard 2: post minus mid = exactly the deleted rows
+    deleted = n.filter(F.col("n_regionkey") < 2)
+    return (
+        post.unionAll(mid.exceptAll(expect_mid))
+        .unionAll(expect_mid.exceptAll(mid))
+        .unionAll(post.exceptAll(mid).exceptAll(deleted))
+    )
+
+
+@register(
     "iceberg_changelog_read",
     """
 SELECT s_suppkey, s_name AS name, 'insert' AS change, 0 AS ord

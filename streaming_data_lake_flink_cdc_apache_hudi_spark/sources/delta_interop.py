@@ -1872,6 +1872,110 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
     }
 
 
+def restore_delta(spark: SparkSession, path: str, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF (new r11 — delta-spark's
+    RESTORE): one commit whose add/remove actions make the CURRENT
+    state equal the target version's — adds for the target's files
+    not currently live (their deletion-vector descriptors re-attached
+    as-is, so DV-deleted rows stay deleted in the restored state) and
+    removes for the live files the target lacks. History is
+    preserved: the restore is a NEW version, time travel into the
+    range still works, and ``read_delta_cdf`` derives the restore's
+    row-level changes naturally (re-added files -> inserts, removed
+    files -> deletes).
+
+    Refuses when the target's metaData (schema / partition columns /
+    column mapping) differs from the current one — restoring data
+    under a mismatched schema would corrupt the mapping — and when a
+    needed target data file was vacuumed.
+
+    Scale: a driver-side KB-scale action diff; no data moves at
+    all."""
+    adds_now, meta_now, _ = _replay_log(spark, path)
+    adds_tgt, meta_tgt, _ = _replay_log(spark, path, version_as_of=version)
+    if meta_now is None or meta_tgt is None:
+        raise UnsupportedDeltaFeature("table has no metaData action")
+    for k in ("schemaString", "partitionColumns", "configuration"):
+        if meta_now.get(k) != meta_tgt.get(k):
+            raise UnsupportedDeltaFeature(
+                f"restore: metaData field {k!r} changed since version "
+                f"{version} — schema-changing restores are not "
+                "supported"
+            )
+    to_add = {
+        p: a
+        for p, a in adds_tgt.items()
+        if p not in adds_now
+        or json.dumps(adds_now[p].get("deletionVector"), sort_keys=True)
+        != json.dumps(a.get("deletionVector"), sort_keys=True)
+    }
+    to_remove = sorted(p for p in adds_now if p not in adds_tgt)
+    missing = [
+        p
+        for p in sorted(to_add)
+        if not os.path.exists(os.path.join(path, p))
+    ]
+    for p, a in sorted(to_add.items()):
+        dv = a.get("deletionVector")
+        if dv:
+            rel_dv = _dv_rel_path(path, dv)
+            if rel_dv is not None and not os.path.exists(
+                os.path.join(path, rel_dv)
+            ):
+                missing.append(rel_dv)
+    if missing:
+        raise UnsupportedDeltaFeature(
+            f"restore to version {version} needs vacuumed file(s) "
+            f"(e.g. {missing[0]!r})"
+        )
+    if not to_add and not to_remove:
+        return {"version": None, "restored_files": 0, "removed_files": 0}
+    commit_ts = int(time.time() * 1000)
+    actions: list[dict] = []
+    for p in to_remove:
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "dataChange": True,
+                    "deletionTimestamp": commit_ts,
+                }
+            }
+        )
+    for p in sorted(to_add):
+        # a DV change on a still-live file is remove+re-add
+        if p in adds_now:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "dataChange": True,
+                        "deletionTimestamp": commit_ts,
+                    }
+                }
+            )
+        na = dict(adds_tgt[p])
+        na["dataChange"] = True
+        actions.append({"add": na})
+    log_dir = os.path.join(path, _LOG_DIR)
+    versions = [
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    ]
+    cp = _read_last_checkpoint(path)
+    newest = max(versions + ([cp["version"]] if cp else []))
+    new_v = newest + 1
+    with open(_log_path(path, new_v), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return {
+        "version": new_v,
+        "restored_files": len(to_add),
+        "removed_files": len(to_remove),
+    }
+
+
 def vacuum_delta(
     spark: SparkSession, path: str, retain_versions: int = 0
 ) -> dict:

@@ -1645,6 +1645,44 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
     }
 
 
+def rollback_iceberg(path: str, snapshot_id: int) -> dict:
+    """ROLLBACK to an ancestor snapshot (new r11 — Java's
+    ``manageSnapshots().rollbackTo``): a metadata-only commit that
+    points ``current-snapshot-id`` back at the target. The target
+    must be an ANCESTOR of the current snapshot (rolling "back" to a
+    divergent branch would silently drop its history); abandoned
+    descendants stay in ``snapshots`` for time travel until
+    ``expire_snapshots`` cleans them, and the next append chains its
+    parent from the rolled-back snapshot — the Java semantics.
+
+    Scale: a KB-scale metadata rewrite; no data or manifests move."""
+    meta = json.load(open(_current_metadata_path(path)))
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id not in by_id:
+        raise ValueError(f"snapshot {snapshot_id} not in table metadata")
+    cur = meta.get("current-snapshot-id")
+    if snapshot_id == cur:
+        return {"current_snapshot_id": cur, "rolled_back": False}
+    walk = cur
+    while walk is not None and walk != snapshot_id:
+        walk = (by_id.get(walk) or {}).get("parent-snapshot-id")
+    if walk != snapshot_id:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of the "
+            f"current snapshot {cur} — rollback only walks the "
+            "current lineage"
+        )
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    _commit_metadata(path, new_meta)
+    return {"current_snapshot_id": snapshot_id, "rolled_back": True}
+
+
 def read_iceberg_changelog(
     spark: SparkSession,
     path: str,

@@ -1686,3 +1686,57 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     with pytest.raises(ValueError, match="exclusive"):
         read_delta(spark, path, version_as_of=0,
                    timestamp_as_of=at_v0)
+
+def test_restore_delta_point_in_time(spark, tmp_path):
+    """r11: RESTORE TO VERSION AS OF — a new commit whose add/remove
+    diff makes the current state equal the target's, DV descriptors
+    re-attached as-is; history is preserved (time travel into the
+    range still works) and CDF derives the restore's changes; a
+    vacuumed target and a schema-changed target refuse; restoring
+    the current state is a no-op."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        delete_delta,
+        export_delta,
+        optimize_delta,
+        read_delta,
+        restore_delta,
+        vacuum_delta,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "restore")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    C = lambda df: Counter(map(tuple, df.collect()))
+    export_delta(mk([(i, f"v{i}") for i in range(8)]).coalesce(1), path)
+    export_delta(mk([(8, "v8")]).coalesce(1), path, mode="append")
+    delete_delta(spark, path, "id IN (2, 3)")  # v2 (DV)
+    optimize_delta(spark, path)  # v3
+
+    res = restore_delta(spark, path, 1)
+    assert res["version"] == 4 and res["removed_files"] == 1
+    want1 = Counter((i, f"v{i}") for i in range(9))
+    assert C(read_delta(spark, path)) == want1
+    # restore forward again to the DV state: descriptors come back
+    restore_delta(spark, path, 2)
+    want2 = Counter(
+        (i, f"v{i}") for i in range(9) if i not in (2, 3)
+    )
+    assert C(read_delta(spark, path)) == want2
+    # history preserved through both restores
+    assert C(read_delta(spark, path, version_as_of=3)) == want2
+    assert C(read_delta(spark, path, version_as_of=4)) == want1
+    # no-op when the state already matches
+    assert restore_delta(spark, path, 5)["version"] is None
+
+    # a vacuumed target refuses: optimize+vacuum delete the original
+    # files, so restoring to the pre-optimize version is impossible
+    p2 = str(tmp_path / "restore_vac")
+    export_delta(mk([(1, "a")]).coalesce(1), p2)
+    export_delta(mk([(2, "b")]).coalesce(1), p2, mode="append")
+    optimize_delta(spark, p2)
+    write_checkpoint(spark, p2)
+    vacuum_delta(spark, p2, retain_versions=0)
+    with pytest.raises(UnsupportedDeltaFeature, match="vacuumed"):
+        restore_delta(spark, p2, 1)

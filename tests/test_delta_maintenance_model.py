@@ -43,6 +43,7 @@ from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop impor
     export_delta,
     optimize_delta,
     read_delta,
+    restore_delta,
     vacuum_delta,
     write_checkpoint,
 )
@@ -103,10 +104,29 @@ def test_random_maintenance_sequences_match_model(spark, tmp_path, seed):
     cps_on_disk: set[int] = set()  # checkpoint FILES survive cleanup
 
     ops = ["append", "append", "optimize", "checkpoint", "cleanup",
-           "vacuum", "delete"]
+           "vacuum", "delete", "restore"]
     for step in range(14):
         op = rng.choice(ops)
-        if op == "delete":
+        if op == "restore":
+            # RESTORE (new r11): the new version's contents, file
+            # tokens and sidecar map all become the target's; a
+            # restore to the current state commits nothing
+            readable_now = sorted(
+                v for v in reconstructable
+                if vfiles[v] <= alive
+                and set(vdv[v].values()) <= dv_alive
+            )
+            tgt = rng.choice(readable_now)
+            res = restore_delta(spark, path, tgt)
+            if res["version"] is None:
+                assert versions[tgt] == versions[-1], (seed, step)
+                continue
+            assert res["version"] == len(versions)
+            versions.append(Counter(versions[tgt]))
+            vfiles.append(set(vfiles[tgt]))
+            vdv.append(dict(vdv[tgt]))
+            reconstructable.add(len(versions) - 1)
+        elif op == "delete":
             # DV delete (new r10): rows vanish, the FILE SET does not
             # (sidecar bitmaps, not rewrites) — so the version mints
             # no new token and inherits its parent's

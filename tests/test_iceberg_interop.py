@@ -1544,3 +1544,48 @@ def test_as_of_timestamp_time_travel(spark, tmp_path):
             spark, path,
             snapshot_id=log[0]["snapshot-id"], as_of_timestamp_ms=1500,
         )
+
+def test_rollback_iceberg_ancestor_only(spark, tmp_path):
+    """r11: rollback points current-snapshot-id back at an ancestor
+    (metadata-only); abandoned descendants stay time-travelable; the
+    next append chains from the rolled-back snapshot; non-ancestors
+    refuse; rolling back to the current snapshot is a no-op."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _current_metadata_path,
+        rollback_iceberg,
+    )
+
+    path = str(tmp_path / "rb")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_iceberg(mk([(1, "a")]), path, format_version=2)
+    export_iceberg(mk([(2, "b")]), path, mode="append")
+    export_iceberg(mk([(3, "c")]), path, mode="append")
+    meta = json.load(open(_current_metadata_path(path)))
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+
+    res = rollback_iceberg(path, sids[1])
+    assert res["rolled_back"] and res["current_snapshot_id"] == sids[1]
+    assert sorted(r.id for r in read_iceberg(spark, path).collect()) == [1, 2]
+    # the abandoned tip still time-travels
+    assert sorted(
+        r.id
+        for r in read_iceberg(spark, path, snapshot_id=sids[2]).collect()
+    ) == [1, 2, 3]
+    # a new append branches from the rolled-back snapshot
+    export_iceberg(mk([(4, "d")]), path, mode="append")
+    assert sorted(r.id for r in read_iceberg(spark, path).collect()) == [
+        1, 2, 4,
+    ]
+    meta = json.load(open(_current_metadata_path(path)))
+    tip = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert tip["parent-snapshot-id"] == sids[1]
+    # the OLD tip is now a divergent branch: not an ancestor
+    with pytest.raises(ValueError, match="not an ancestor"):
+        rollback_iceberg(path, sids[2])
+    # no-op on the current snapshot
+    assert rollback_iceberg(
+        path, meta["current-snapshot-id"]
+    )["rolled_back"] is False
