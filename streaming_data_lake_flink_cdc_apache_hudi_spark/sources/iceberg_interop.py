@@ -282,14 +282,16 @@ def read_iceberg(
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     as_of_timestamp_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Mount an Iceberg table (filesystem catalog layout) as a
     DataFrame; ``snapshot_id`` time-travels over the snapshot log,
-    and ``as_of_timestamp_ms`` (new r11 — Java's ``as-of-timestamp``)
+    ``as_of_timestamp_ms`` (new r11 — Java's ``as-of-timestamp``)
     resolves to the snapshot that was CURRENT at that instant via the
     metadata's ``snapshot-log`` (falling back to the snapshots' own
-    ``timestamp-ms`` for metadata without a log). A timestamp before
-    the first snapshot raises.
+    ``timestamp-ms`` for metadata without a log; a timestamp before
+    the first snapshot raises), and ``ref`` (new r11) reads a named
+    tag from the v2 ``refs`` map.
 
     ``partition_filter`` ({partition_field_name: value}) prunes the
     FILE LIST from the manifests' per-file ``partition`` structs
@@ -318,6 +320,16 @@ def read_iceberg(
       broadcast file mapping."""
     from pyspark.sql import functions as F
 
+    if ref is not None:
+        if snapshot_id is not None or as_of_timestamp_ms is not None:
+            raise ValueError(
+                "ref is exclusive with snapshot_id/as_of_timestamp_ms"
+            )
+        meta = json.load(open(_current_metadata_path(path)))
+        r = (meta.get("refs") or {}).get(ref)
+        if r is None:
+            raise ValueError(f"ref {ref!r} not in table metadata")
+        snapshot_id = r.get("snapshot-id")
     if as_of_timestamp_ms is not None:
         if snapshot_id is not None:
             raise ValueError(
@@ -672,6 +684,11 @@ def expire_snapshots(
     keep_ids = {s["snapshot-id"] for s in chain[:keep_last]}
     if cur is not None:
         keep_ids.add(cur)  # never expire the current snapshot
+    # named refs pin their snapshots (Java's retention rule: tagged
+    # snapshots survive expiry until the ref is dropped — new r11)
+    for ref in (meta.get("refs") or {}).values():
+        if ref.get("snapshot-id") in by_id:
+            keep_ids.add(ref["snapshot-id"])
     expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
     removed = {
         "expired_snapshots": len(expired),
@@ -1643,6 +1660,44 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
         "deleted_rows": deleted,
         "files_touched": len(touched),
     }
+
+
+def tag_iceberg(
+    path: str, name: str, snapshot_id: int | None = None
+) -> dict:
+    """Create or move a named TAG ref (new r11 — the v2 ``refs`` map,
+    Java's ``manageSnapshots().createTag``): pins ``snapshot_id``
+    (default current) under ``refs[name]`` in one metadata-only
+    commit. ``read_iceberg(ref=name)`` resolves it, and
+    ``expire_snapshots`` RETAINS tagged snapshots until the tag is
+    dropped (``drop_ref_iceberg``) — Java's ref-aware retention."""
+    meta = json.load(open(_current_metadata_path(path)))
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    if snapshot_id not in by_id:
+        raise ValueError(f"snapshot {snapshot_id} not in table metadata")
+    new_meta = dict(meta)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": snapshot_id, "type": "tag"}
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(path, new_meta)
+    return {"name": name, "snapshot_id": snapshot_id}
+
+
+def drop_ref_iceberg(path: str, name: str) -> dict:
+    """Remove a named ref; its snapshot becomes expirable again."""
+    meta = json.load(open(_current_metadata_path(path)))
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"ref {name!r} not in table metadata")
+    dropped = refs.pop(name)
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(path, new_meta)
+    return {"name": name, "snapshot_id": dropped.get("snapshot-id")}
 
 
 def rollback_iceberg(path: str, snapshot_id: int) -> dict:

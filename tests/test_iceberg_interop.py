@@ -1589,3 +1589,47 @@ def test_rollback_iceberg_ancestor_only(spark, tmp_path):
     assert rollback_iceberg(
         path, meta["current-snapshot-id"]
     )["rolled_back"] is False
+
+def test_iceberg_tags_pin_snapshots(spark, tmp_path):
+    """r11: named tag refs (the v2 refs map) — read_iceberg(ref=...)
+    resolves them, expire_snapshots RETAINS tagged snapshots until
+    drop_ref_iceberg, and dropped refs make them expirable again."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _current_metadata_path,
+        drop_ref_iceberg,
+        expire_snapshots,
+        tag_iceberg,
+    )
+
+    path = str(tmp_path / "tags")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_iceberg(mk([(1, "a")]), path, format_version=2)
+    meta = json.load(open(_current_metadata_path(path)))
+    s0 = meta["snapshots"][0]["snapshot-id"]
+    tag_iceberg(path, "v1.0")  # pins s0 (current)
+    export_iceberg(mk([(2, "b")]), path, mode="append")
+    export_iceberg(mk([(3, "c")]), path, mode="append")
+    # the tag resolves to the old state
+    assert sorted(
+        r.id for r in read_iceberg(spark, path, ref="v1.0").collect()
+    ) == [1]
+    with pytest.raises(ValueError, match="not in table metadata"):
+        read_iceberg(spark, path, ref="nope")
+    # expire keeps the tagged ancestor even with keep_last=1
+    res = expire_snapshots(path, keep_last=1)
+    meta = json.load(open(_current_metadata_path(path)))
+    live = {s["snapshot-id"] for s in meta["snapshots"]}
+    assert s0 in live and len(live) == 2
+    assert sorted(
+        r.id for r in read_iceberg(spark, path, ref="v1.0").collect()
+    ) == [1]
+    # drop the tag: the snapshot becomes expirable
+    drop_ref_iceberg(path, "v1.0")
+    expire_snapshots(path, keep_last=1)
+    meta = json.load(open(_current_metadata_path(path)))
+    assert {s["snapshot-id"] for s in meta["snapshots"]} == {
+        meta["current-snapshot-id"]
+    }
+    assert sorted(
+        r.id for r in read_iceberg(spark, path).collect()
+    ) == [1, 2, 3]
