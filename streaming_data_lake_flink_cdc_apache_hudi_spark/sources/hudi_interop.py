@@ -604,6 +604,143 @@ def export_hudi_cow(
     return len(write_stats)
 
 
+def _table_name(path: str) -> str | None:
+    p = os.path.join(path, _HOODIE, "hoodie.properties")
+    if not os.path.exists(p):
+        return None
+    for line in open(p):
+        line = line.strip()
+        if line.startswith("#") or "=" not in line:
+            continue
+        k, v = line.split("=", 1)
+        if k.strip() == "hoodie.table.name":
+            return v.strip()
+    return None
+
+
+def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Row-level DELETE on an EXPORTED MERGE_ON_READ layout (new r11
+    — closing row-delete parity on the third lake format): rows of
+    the real-time view matching ``predicate`` are tombstoned by
+    appending ONE spec-framed DELETE BLOCK per touched file group's
+    log file (created at the group's base instant when the group has
+    no log yet), under a fresh instant completed on the timeline as
+    a ``.deltacommit`` — exactly the block shape the reference's
+    Flink pipeline emits for CDC deletes and ``read_hudi``'s
+    real-time merge already applies. ``as_of`` time travel to an
+    instant before the delete still serves the rows.
+
+    File-group routing uses the exporters' deterministic assignment
+    (``pmod(hash(key), n_groups)``), so the function REFUSES tables
+    whose base files were not written by this repo's exporters (an
+    external writer's groups are placed by its index, which a path
+    walk cannot reproduce) — checked by re-deriving every base file
+    id from the table name.
+
+    Scale: one distributed scan of the real-time view for the
+    matched keys; each touched group's delete block is written by
+    the task holding that group's keys via ``applyInPandas`` (keys
+    never pass through the driver); the timeline commit is one empty
+    marker file."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from . import hudi_log as HL
+
+    name = _table_name(path)
+    slices = live_file_slices(path)
+    if not slices:
+        raise FileNotFoundError(
+            f"Hudi table at {path} has no committed base files"
+        )
+    n_groups = len(slices)
+    base_inst_by_pid: dict[int, str] = {}
+    for rel, inst_ in slices:
+        m = _BASE_FILE_RE.match(os.path.basename(rel))
+        fid = m.group("file_id")
+        pid = next(
+            (
+                i
+                for i in range(n_groups)
+                if name and _export_file_id(name, i) == fid
+            ),
+            None,
+        )
+        if pid is None:
+            raise UnsupportedHudiFeature(
+                "delete_hudi needs this repo's exporter layout — base "
+                f"file id {fid!r} does not match the deterministic "
+                "export assignment, so key-to-group routing cannot "
+                "be reproduced"
+            )
+        base_inst_by_pid[pid] = inst_
+    done = _log_completed_instants(path)
+    new_inst = str(int(max(done)) + 1)
+    key_fields = _record_key_fields(path)
+    if len(key_fields) != 1:
+        raise UnsupportedHudiFeature(
+            "delete_hudi needs a single-field record key declared in "
+            "hoodie.properties (the exporters' shape) — got "
+            f"{key_fields!r}"
+        )
+    df = read_hudi(spark, path)
+    if key_fields[0] not in df.columns:
+        raise UnsupportedHudiFeature(
+            f"record key field {key_fields[0]!r} missing from the "
+            "real-time view"
+        )
+    raw_key = F.col(key_fields[0])
+    matched = df.filter(predicate).select(
+        raw_key.cast("string").alias("_del_key"),
+        # hash the RAW key column: repartition(n, col) assigns by
+        # pmod(murmur3(col), n), the exporters' routing — hashing the
+        # string form would scatter keys into the wrong groups
+        F.pmod(F.hash(raw_key), F.lit(n_groups)).alias("_pid"),
+    )
+    dest_abs = os.path.abspath(path)
+    ordering = int(new_inst)
+
+    def _append_delete(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame([], columns=["pid", "n_keys"])
+        pid = int(pdf["_pid"].iat[0])
+        keys = sorted(set(pdf["_del_key"].astype(str)))
+        block = HL.encode_block(
+            "delete",
+            {HL.INSTANT_TIME: new_inst},
+            records=[
+                {
+                    "recordKey": k,
+                    "partitionPath": "",
+                    "orderingVal": ordering,
+                }
+                for k in keys
+            ],
+        )
+        fname = HL.log_file_name(
+            _export_file_id(name, pid), base_inst_by_pid[pid]
+        )
+        with open(os.path.join(dest_abs, fname), "ab") as fh:
+            fh.write(block)
+        return pd.DataFrame([{"pid": pid, "n_keys": len(keys)}])
+
+    stats = (
+        matched.groupBy("_pid")
+        .applyInPandas(_append_delete, "pid int, n_keys long")
+        .collect()
+    )  # bounded: one row per touched file group
+    if not stats:
+        return {"instant": None, "deleted_keys": 0, "groups_touched": 0}
+    open(
+        os.path.join(path, _HOODIE, f"{new_inst}.deltacommit"), "w"
+    ).close()
+    return {
+        "instant": new_inst,
+        "deleted_keys": int(sum(r["n_keys"] for r in stats)),
+        "groups_touched": len(stats),
+    }
+
+
 def _export_file_id(name: str, pid: int) -> str:
     import uuid as _uuid
 

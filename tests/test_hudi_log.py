@@ -409,3 +409,61 @@ def test_mor_same_key_across_partition_paths_not_collapsed(
     )
     # p=a's k1 tombstoned; p=b's k1 SURVIVES
     assert got == [("b", "b-part")]
+
+def test_delete_hudi_appends_delete_blocks(spark, tmp_path):
+    """r11: delete_hudi tombstones matched rows by appending one
+    spec-framed delete block per touched file group (creating the
+    group's log at its base instant when none exists), completed as
+    a .deltacommit; the real-time merge drops the rows, pre-delete
+    time travel still serves them, deletes stack, and non-exporter
+    layouts refuse."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        UnsupportedHudiFeature,
+        delete_hudi,
+        export_hudi_mor,
+        read_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    t = UpsertLakeTable(spark, str(tmp_path / "eng"), key="id")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    t.write(mk([(i, f"v{i}") for i in range(10)]), commit_id="c1")
+    t.write(mk([(10, "v10"), (3, "V3")]), commit_id="c2")
+    path = str(tmp_path / "mor")
+    export_hudi_mor(t, path, num_files=3)
+
+    res = delete_hudi(spark, path, "id IN (2, 3, 10)")
+    assert res["deleted_keys"] == 3 and res["groups_touched"] >= 1
+    got = sorted(r.id for r in read_hudi(spark, path).collect())
+    assert got == [i for i in range(10) if i not in (2, 3)]
+    # pre-delete instant still serves everything (history preserved)
+    pre = read_hudi(
+        spark, path, as_of=str(int(res["instant"]) - 1)
+    )
+    assert sorted(r.id for r in pre.collect()) == sorted(
+        list(range(10)) + [10]
+    )
+    # a broad second delete touches EVERY group, including ones whose
+    # log the first delete had to create
+    res2 = delete_hudi(spark, path, "id >= 0")
+    assert res2["groups_touched"] == 3
+    assert read_hudi(spark, path).count() == 0
+    # no-match delete is a no-op (no instant committed)
+    assert delete_hudi(spark, path, "id = 999")["instant"] is None
+    # a foreign layout (base file ids not from this exporter) refuses
+    import os
+    import shutil
+
+    p2 = str(tmp_path / "foreign")
+    shutil.copytree(path, p2)
+    for root, _d, fs in os.walk(p2):
+        for f in fs:
+            if f.endswith(".parquet") and "_" in f:
+                os.rename(
+                    os.path.join(root, f),
+                    os.path.join(root, "deadbeef" + f[8:]),
+                )
+    with pytest.raises(UnsupportedHudiFeature, match="exporter"):
+        delete_hudi(spark, p2, "id = 1")
