@@ -1677,7 +1677,25 @@ def cleanup_log(path: str) -> int:
     return removed
 
 
-def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
+def _refuse_uniform_delta(path: str, op: str) -> None:
+    """Row-changing single-format ops on a UniForm directory would
+    silently DIVERGE the two views (the Iceberg tree reads the same
+    files and would keep serving the rows) — refuse with a pointer
+    to the dual-format op (r11)."""
+    if os.path.isdir(os.path.join(path, "metadata")):
+        raise UnsupportedDeltaFeature(
+            f"{op} on a UniForm table would diverge the Delta and "
+            "Iceberg views — use the uniform module's dual-format "
+            "operations (delete_uniform / optimize_uniform)"
+        )
+
+
+def delete_delta(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    _allow_uniform: bool = False,
+) -> dict:
     """Row-level DELETE on an exported Delta table via DELETION
     VECTORS (new r10 — the write side of the reader's protocol-v3 DV
     support): rows matching ``predicate`` are marked deleted WITHOUT
@@ -1711,6 +1729,8 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
     path."""
     from pyspark.sql import functions as F
 
+    if not _allow_uniform:
+        _refuse_uniform_delta(path, "delete_delta")
     adds, meta, proto = _replay_log(spark, path)
     if meta is None:
         raise UnsupportedDeltaFeature("table has no metaData action")
@@ -1891,6 +1911,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> dict:
 
     Scale: a driver-side KB-scale action diff; no data moves at
     all."""
+    _refuse_uniform_delta(path, "restore_delta")
     adds_now, meta_now, _ = _replay_log(spark, path)
     adds_tgt, meta_tgt, _ = _replay_log(spark, path, version_as_of=version)
     if meta_now is None or meta_tgt is None:

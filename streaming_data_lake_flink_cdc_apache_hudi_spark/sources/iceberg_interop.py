@@ -1366,7 +1366,25 @@ def rewrite_data_files(
     return out
 
 
-def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
+def _refuse_uniform_iceberg(path: str, op: str) -> None:
+    """Row-changing single-format ops on a UniForm directory would
+    silently DIVERGE the two views (the Delta log reads the same
+    files and would keep serving the rows) — refuse with a pointer
+    to the dual-format op (r11)."""
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        raise UnsupportedIcebergFeature(
+            f"{op} on a UniForm table would diverge the Iceberg and "
+            "Delta views — use the uniform module's dual-format "
+            "operations (delete_uniform / optimize_uniform)"
+        )
+
+
+def delete_iceberg(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    _allow_uniform: bool = False,
+) -> dict:
     """Row-level DELETE on a v2 Iceberg table via POSITION-DELETE
     files (new r11 — the write side of the reader's v2 delete support
     and the Iceberg twin of ``delete_delta``): rows matching
@@ -1403,6 +1421,8 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
     metadata append (existing manifests are NOT rewritten)."""
     from pyspark.sql import functions as F
 
+    if not _allow_uniform:
+        _refuse_uniform_iceberg(path, "delete_iceberg")
     meta = json.load(open(_current_metadata_path(path)))
     fmt_version = int(meta.get("format-version", 1))
     if fmt_version < 2:
@@ -1711,6 +1731,7 @@ def rollback_iceberg(path: str, snapshot_id: int) -> dict:
     parent from the rolled-back snapshot — the Java semantics.
 
     Scale: a KB-scale metadata rewrite; no data or manifests move."""
+    _refuse_uniform_iceberg(path, "rollback_iceberg")
     meta = json.load(open(_current_metadata_path(path)))
     by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if snapshot_id not in by_id:
@@ -1905,6 +1926,8 @@ def upsert_iceberg(
     existing manifests are carried forward untouched, KB-scale
     driver work."""
     import pyarrow.parquet as pq
+
+    _refuse_uniform_iceberg(path, "upsert_iceberg")
 
     meta = json.load(open(_current_metadata_path(path)))
     if int(meta.get("format-version", 1)) < 2:

@@ -165,8 +165,8 @@ def delete_uniform(spark: SparkSession, path: str, predicate: str) -> dict:
             "2 (export with export_uniform(format_version=2)) — v1 "
             "has no sequence numbers to scope position deletes"
         )
-    d = delete_delta(spark, path, predicate)
-    i = delete_iceberg(spark, path, predicate)
+    d = delete_delta(spark, path, predicate, _allow_uniform=True)
+    i = delete_iceberg(spark, path, predicate, _allow_uniform=True)
     return {
         "delta_version": d["version"],
         "iceberg_snapshot_id": i["snapshot_id"],

@@ -430,3 +430,48 @@ def test_uniform_partitioned_delete_keeps_pruning(spark, tmp_path):
     assert sorted(
         r.id for r in read_delta(spark, path).collect()
     ) == want
+
+def test_single_format_mutators_refuse_uniform(spark, tmp_path):
+    """r11: row-changing SINGLE-format ops on a UniForm directory
+    refuse (they would silently diverge the two views) — only the
+    dual-format uniform ops may mutate; reads of both views stay
+    intact afterwards."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        UnsupportedDeltaFeature,
+        delete_delta,
+        restore_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        UnsupportedIcebergFeature,
+        delete_iceberg,
+        rollback_iceberg,
+        upsert_iceberg,
+    )
+
+    path = str(tmp_path / "uni_guard")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    export_uniform(df, path, format_version=2)
+    with pytest.raises(UnsupportedDeltaFeature, match="diverge"):
+        delete_delta(spark, path, "id = 1")
+    with pytest.raises(UnsupportedDeltaFeature, match="diverge"):
+        restore_delta(spark, path, 0)
+    with pytest.raises(UnsupportedIcebergFeature, match="diverge"):
+        delete_iceberg(spark, path, "id = 1")
+    with pytest.raises(UnsupportedIcebergFeature, match="diverge"):
+        upsert_iceberg(spark, path, df, ["id"])
+    meta_sid = None
+    import json as _json
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _current_metadata_path,
+    )
+
+    meta_sid = _json.load(open(_current_metadata_path(path)))[
+        "current-snapshot-id"
+    ]
+    with pytest.raises(UnsupportedIcebergFeature, match="diverge"):
+        rollback_iceberg(path, meta_sid)
+    # both views still serve the untouched rows
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == [1, 2]
+    assert sorted(
+        r.id for r in read_iceberg(spark, path).collect()
+    ) == [1, 2]
