@@ -2497,6 +2497,58 @@ def q_hudi_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hudi_delete_read",
+    """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE NOT (s_nationkey < 10 OR s_suppkey % 7 = 0)
+""",
+    doc="Row-level DELETE on an exported Hudi MERGE_ON_READ layout "
+    "(new r11 — delete_hudi, completing row-delete parity across "
+    "ALL THREE lake formats), value-oracled: supplier lands in an "
+    "engine lake table, exports as a MoR layout (3 file groups), "
+    "then TWO delete_hudi calls (s_nationkey < 10, then "
+    "s_suppkey % 7 = 0) append spec-framed DELETE BLOCKS to the "
+    "touched file groups' logs under fresh .deltacommit instants — "
+    "the block shape the reference's Flink CDC pipeline emits "
+    "(CDC-Hudi-Notebook.zpln) and read_hudi's real-time merge "
+    "applies. The read must equal the plain WHERE NOT oracle; an "
+    "as_of time-travel guard (pre-delete read minus the full "
+    "source, riding the value hash as extra rows when wrong) pins "
+    "that the deletes are log appends, never base rewrites.",
+)
+def q_hudi_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.hudi_interop import (
+        delete_hudi,
+        export_hudi_mor,
+        read_hudi,
+    )
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="hudi_del_")
+    t = UpsertLakeTable(
+        spark, f"{root}/t", key="s_suppkey", num_buckets=2,
+        compact_every=100,
+    )
+    t.write(s, commit_id="c1")
+    mor = f"{root}/mor"
+    export_hudi_mor(t, mor, num_files=3)
+    r1 = delete_hudi(spark, mor, "s_nationkey < 10")
+    delete_hudi(spark, mor, "s_suppkey % 7 = 0")
+    cols = ["s_suppkey", "s_name", "s_nationkey"]
+    post = read_hudi(spark, mor).select(*cols)
+    # guard: the pre-delete instant still serves the full source
+    pre = read_hudi(
+        spark, mor, as_of=str(int(r1["instant"]) - 1)
+    ).select(*cols)
+    return post.unionAll(pre.exceptAll(s)).unionAll(s.exceptAll(pre))
+
+
+@register(
     "iceberg_partitioned_read",
     """
 SELECT l_orderkey, l_linenumber, l_returnflag,
