@@ -4828,6 +4828,12 @@ _DRIVER_VERIFIED = frozenset({
     # all four new r10 queries hash-green on first driver exposure) ---
     "delta_mapped_append_read", "flac_decode", "delta_dv_delete_read",
     "uniform_optimize_read",
+    # --- r11 green rows (50/50 full value-hash matches — fourth
+    # consecutive all-green window; names not already folded in above;
+    # all seven new r11 queries hash-green on first driver exposure) ---
+    "hudi_delete_read", "iceberg_pos_delete_read", "uniform_delete_read",
+    "delta_cdf_read", "delta_restore_read", "iceberg_changelog_read",
+    "iceberg_upsert_read",
 })
 
 
