@@ -1320,16 +1320,24 @@ def read_delta_cdf(
                     removes_v[a["remove"]["path"]] = a["remove"]
                 elif "metaData" in a:
                     meta = a["metaData"]
-        # new files: inserts
+        # new files: inserts.  r11 ADVICE: an add is only "all-new
+        # inserts" if the path was NOT already live — Delta log replay
+        # replaces adds by path, so a legal external commit that
+        # re-adds a live file WITHOUT a paired remove (e.g. a DV
+        # update committed add-only) must go through the DV-diff
+        # branch below, not re-emit every row as insert.
         new_inserts = {
             p: a
             for p, a in adds_v.items()
-            if p not in removes_v and a.get("dataChange", True)
+            if p not in removes_v
+            and p not in state
+            and a.get("dataChange", True)
         }
         if new_inserts:
             frames.append(rows_of(new_inserts, v, "insert"))
-        # same-file re-adds: DV diff
-        for p in sorted(set(adds_v) & set(removes_v)):
+        # same-file re-adds (paired with a remove, or replacing a
+        # live add by path): DV diff
+        for p in sorted(p for p in adds_v if p in removes_v or p in state):
             new_add = adds_v[p]
             if not new_add.get("dataChange", True):
                 continue  # compaction-shaped rewrite: no row changes

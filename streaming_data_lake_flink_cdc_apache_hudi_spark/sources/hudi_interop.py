@@ -584,6 +584,14 @@ def export_hudi_cow(
                         f"hoodie.table.recordkey.fields={record_key}",
                         "hoodie.datasource.write.hive_style_partitioning=false",
                         "hoodie.table.partition.fields=",
+                        # the exporter's key-routing modulus, persisted
+                        # so mutators (delete_hudi/upsert_hudi) recover
+                        # the EXACT pmod(hash(key), n) assignment even
+                        # when trailing hash partitions were empty and
+                        # wrote no base file (r11 ADVICE: len(slices)
+                        # under-counts in that case). Hudi's own bucket
+                        # index persists the same fact under this name.
+                        f"hoodie.bucket.index.num.buckets={num_files}",
                     ]
                 )
                 + "\n"
@@ -604,7 +612,7 @@ def export_hudi_cow(
     return len(write_stats)
 
 
-def _table_name(path: str) -> str | None:
+def _hoodie_property(path: str, key: str) -> str | None:
     p = os.path.join(path, _HOODIE, "hoodie.properties")
     if not os.path.exists(p):
         return None
@@ -613,9 +621,90 @@ def _table_name(path: str) -> str | None:
         if line.startswith("#") or "=" not in line:
             continue
         k, v = line.split("=", 1)
-        if k.strip() == "hoodie.table.name":
+        if k.strip() == key:
             return v.strip()
     return None
+
+
+def _table_name(path: str) -> str | None:
+    return _hoodie_property(path, "hoodie.table.name")
+
+
+def _export_group_routing(
+    path: str, name: str | None, slices: list[tuple[str, str]]
+) -> tuple[int, dict[int, str]]:
+    """(routing modulus, {pid: base instant}) for an EXPORTED layout.
+
+    The modulus MUST be the exporter's ``num_files``, not the count of
+    base files on disk: r11 ADVICE showed that when the exporter's
+    trailing hash partition was empty (no base file written),
+    ``len(slices) < num_files`` while the on-disk pids stay contiguous
+    — so ``pmod(hash(key), len(slices))`` silently routes every key to
+    the wrong group's log. Exports since r12 persist the modulus in
+    hoodie.properties (``hoodie.bucket.index.num.buckets``); for older
+    exports fall back to ``max(derived pid) + 1`` and REFUSE on pid
+    gaps (a gap proves the fallback modulus is wrong; a trailing empty
+    group remains undetectable without the property, which is why it
+    is now always written).
+
+    ``live_file_slices`` already keeps only the NEWEST committed base
+    file per file group, so the pid→instant map is single-valued by
+    construction. Groups that have log files but no base file (delta
+    rows hashed to an empty base group) recover their base instant
+    from the log file name.
+    """
+    declared = _export_num_buckets(path)
+    search_hi = declared if declared is not None else 4096
+    if not name:
+        raise UnsupportedHudiFeature(
+            "exported-layout mutation needs hoodie.table.name in "
+            "hoodie.properties to re-derive file-group routing"
+        )
+    fid_to_pid = {
+        _export_file_id(name, i): i for i in range(search_hi)
+    }
+    base_inst_by_pid: dict[int, str] = {}
+    for rel, inst_ in slices:
+        m = _BASE_FILE_RE.match(os.path.basename(rel))
+        pid = fid_to_pid.get(m.group("file_id"))
+        if pid is None:
+            raise UnsupportedHudiFeature(
+                "exported-layout mutation needs this repo's exporter "
+                f"layout — base file id {m.group('file_id')!r} does "
+                "not match the deterministic export assignment, so "
+                "key-to-group routing cannot be reproduced"
+            )
+        base_inst_by_pid[pid] = inst_
+    # base-less groups whose logs still carry rows: base instant from
+    # the log file name
+    for f in os.listdir(path):
+        lm = _LOG_FILE_RE.match(f)
+        if lm is None:
+            continue
+        pid = fid_to_pid.get(lm.group("file_id"))
+        if pid is not None and pid not in base_inst_by_pid:
+            base_inst_by_pid[pid] = lm.group("base")
+    if declared is not None:
+        return declared, base_inst_by_pid
+    n = max(base_inst_by_pid) + 1
+    if set(base_inst_by_pid) != set(range(n)):
+        raise UnsupportedHudiFeature(
+            "exported-layout mutation: file-group pids have gaps "
+            f"({sorted(base_inst_by_pid)}) and hoodie.properties does "
+            "not declare hoodie.bucket.index.num.buckets — the "
+            "exporter's routing modulus cannot be recovered"
+        )
+    return n, base_inst_by_pid
+
+
+def _export_num_buckets(path: str) -> int | None:
+    """The exporter's ``num_files`` routing modulus persisted in
+    hoodie.properties (written since r12); None for older exports."""
+    v = _hoodie_property(path, "hoodie.bucket.index.num.buckets")
+    try:
+        return int(v) if v is not None else None
+    except ValueError:
+        return None
 
 
 def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
@@ -653,27 +742,7 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
         raise FileNotFoundError(
             f"Hudi table at {path} has no committed base files"
         )
-    n_groups = len(slices)
-    base_inst_by_pid: dict[int, str] = {}
-    for rel, inst_ in slices:
-        m = _BASE_FILE_RE.match(os.path.basename(rel))
-        fid = m.group("file_id")
-        pid = next(
-            (
-                i
-                for i in range(n_groups)
-                if name and _export_file_id(name, i) == fid
-            ),
-            None,
-        )
-        if pid is None:
-            raise UnsupportedHudiFeature(
-                "delete_hudi needs this repo's exporter layout — base "
-                f"file id {fid!r} does not match the deterministic "
-                "export assignment, so key-to-group routing cannot "
-                "be reproduced"
-            )
-        base_inst_by_pid[pid] = inst_
+    n_groups, base_inst_by_pid = _export_group_routing(path, name, slices)
     done = _log_completed_instants(path)
     new_inst = str(int(max(done)) + 1)
     key_fields = _record_key_fields(path)

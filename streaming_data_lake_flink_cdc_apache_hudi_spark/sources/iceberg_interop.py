@@ -336,12 +336,18 @@ def read_iceberg(
                 "snapshot_id and as_of_timestamp_ms are exclusive"
             )
         meta = json.load(open(_current_metadata_path(path)))
+        # r11 ADVICE: a snapshot with no timestamp-ms must NOT default
+        # to epoch 0 in the fallback log — that would make it eligible
+        # for ANY timestamp and could silently win the as-of
+        # resolution. Skip such snapshots; if none remain, the
+        # eligibility check below raises.
         log = meta.get("snapshot-log") or [
             {
-                "timestamp-ms": s.get("timestamp-ms") or 0,
+                "timestamp-ms": s["timestamp-ms"],
                 "snapshot-id": s["snapshot-id"],
             }
             for s in meta.get("snapshots", [])
+            if s.get("timestamp-ms") is not None
         ]
         log = sorted(log, key=lambda e: e["timestamp-ms"])
         eligible = [
@@ -747,6 +753,21 @@ def _merge_entry_schemas(a: dict, b: dict) -> dict:
     def union(af: list, bf: list, where: str) -> list:
         by = {f["name"]: f for f in af}
         out = [json.loads(json.dumps(f)) for f in af]
+        # r11 ADVICE: the optionality check must run BOTH ways — a
+        # non-optional field present only in the FIRST schema would
+        # otherwise pass, get None backfilled for the other
+        # manifests' entries, and die in write_avro mid-rewrite
+        # instead of refusing cleanly (order-dependent behavior).
+        b_names = {f["name"] for f in bf}
+        for f in af:
+            if f["name"] not in b_names:
+                t = f.get("type")
+                if not (isinstance(t, list) and t and t[0] == "null"):
+                    raise UnsupportedIcebergFeature(
+                        f"rewrite_manifests: non-optional field "
+                        f"{f['name']!r} ({where}) exists in only one "
+                        "manifest entry schema"
+                    )
         for f in bf:
             g = by.get(f["name"])
             if g is None:

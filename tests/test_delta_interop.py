@@ -1740,3 +1740,62 @@ def test_restore_delta_point_in_time(spark, tmp_path):
     vacuum_delta(spark, p2, retain_versions=0)
     with pytest.raises(UnsupportedDeltaFeature, match="vacuumed"):
         restore_delta(spark, p2, 1)
+
+
+def test_cdf_add_only_readd_of_live_file(spark, tmp_path):
+    """r12 (r11 ADVICE): an external commit that re-adds an
+    already-live file WITHOUT a paired remove (e.g. a DV update
+    committed add-only — legal, since log replay replaces adds by
+    path) must flow through the DV-diff branch, not re-emit every
+    row of the file as 'insert'."""
+    import json as _json
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        _log_path,
+        delete_delta,
+        export_delta,
+        read_delta,
+        read_delta_cdf,
+    )
+
+    path = str(tmp_path / "cdf_readd")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_delta(mk([(i, f"v{i}") for i in range(6)]).coalesce(1), path)
+    delete_delta(spark, path, "id = 1")  # v1: remove+add with DV
+
+    # v2: add-only re-add of the SAME path with the SAME DV
+    # descriptor — no row changes
+    v1_actions = [
+        _json.loads(line)
+        for line in open(_log_path(path, 1))
+        if line.strip()
+    ]
+    add1 = next(a for a in v1_actions if "add" in a)
+    with open(_log_path(path, 2), "w") as fh:
+        fh.write(_json.dumps(add1) + "\n")
+
+    # v3: delete id=2 (v3 commit), then strip its remove action so it
+    # becomes an add-only DV update — changes must come out as a
+    # DV-diff delete, not a whole-file insert
+    delete_delta(spark, path, "id = 2")
+    v3_actions = [
+        _json.loads(line)
+        for line in open(_log_path(path, 3))
+        if line.strip()
+    ]
+    with open(_log_path(path, 3), "w") as fh:
+        for a in v3_actions:
+            if "remove" not in a:
+                fh.write(_json.dumps(a) + "\n")
+
+    C = lambda df: Counter(map(tuple, df.collect()))
+    assert read_delta_cdf(spark, path, 2, 2).count() == 0
+    assert C(read_delta_cdf(spark, path, 3, 3)) == Counter(
+        {(2, "v2", "delete", 3): 1}
+    )
+    # full stream folds back to the live state
+    ins, dels = Counter(), Counter()
+    for (i, v, ch, _vv), n in C(read_delta_cdf(spark, path, 0)).items():
+        (ins if ch == "insert" else dels)[(i, v)] += n
+    assert ins - dels == C(read_delta(spark, path).select("id", "v"))

@@ -467,3 +467,70 @@ def test_delete_hudi_appends_delete_blocks(spark, tmp_path):
                 )
     with pytest.raises(UnsupportedHudiFeature, match="exporter"):
         delete_hudi(spark, p2, "id = 1")
+
+
+def test_delete_hudi_routing_with_empty_trailing_group(spark, tmp_path):
+    """r12 (r11 ADVICE): the key→file-group modulus comes from the
+    exporter's persisted ``hoodie.bucket.index.num.buckets``, not
+    from the count of base files on disk — when the exporter's
+    trailing hash partition was empty (no base file written),
+    ``len(slices) < num_files`` would silently mis-route every key."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        _export_num_buckets,
+        delete_hudi,
+        export_hudi_cow,
+        live_file_slices,
+        read_hudi,
+    )
+    from pyspark.sql import functions as F
+
+    # find a num_files where a small key set leaves the TRAILING
+    # hash partition empty (pmod(hash(id), n) never hits n-1)
+    keys = list(range(1, 8))
+    kdf = spark.createDataFrame([(k,) for k in keys], "id long")
+    n = None
+    for cand in range(4, 33):
+        pids = {
+            r[0]
+            for r in kdf.select(
+                F.pmod(F.hash("id"), F.lit(cand))
+            ).collect()
+        }
+        if cand - 1 not in pids:
+            n = cand
+            break
+    assert n is not None, "no candidate modulus with empty tail found"
+
+    path = str(tmp_path / "cow_gap")
+    df = spark.createDataFrame([(k, f"v{k}") for k in keys], "id long, v string")
+    export_hudi_cow(df, path, record_key="id", num_files=n)
+    assert _export_num_buckets(path) == n  # persisted at export
+    assert len(live_file_slices(path)) < n  # the gap this guards
+
+    res = delete_hudi(spark, path, "id IN (1, 5, 7)")
+    assert res["deleted_keys"] == 3
+    assert sorted(r.id for r in read_hudi(spark, path).collect()) == [
+        2, 3, 4, 6,
+    ]
+
+    # legacy export without the persisted property: contiguous pids
+    # fall back to max(pid)+1; the table still mutates correctly when
+    # no trailing group was empty
+    path2 = str(tmp_path / "cow_legacy")
+    export_hudi_cow(df, path2, record_key="id", num_files=2)
+    props = open(f"{path2}/.hoodie/hoodie.properties").read()
+    with open(f"{path2}/.hoodie/hoodie.properties", "w") as fh:
+        fh.write(
+            "\n".join(
+                ln
+                for ln in props.splitlines()
+                if not ln.startswith("hoodie.bucket.index.num.buckets")
+            )
+            + "\n"
+        )
+    assert _export_num_buckets(path2) is None
+    res2 = delete_hudi(spark, path2, "id = 2")
+    assert res2["deleted_keys"] == 1
+    assert sorted(r.id for r in read_hudi(spark, path2).collect()) == [
+        1, 3, 4, 5, 6, 7,
+    ]

@@ -1633,3 +1633,92 @@ def test_iceberg_tags_pin_snapshots(spark, tmp_path):
     assert sorted(
         r.id for r in read_iceberg(spark, path).collect()
     ) == [1, 2, 3]
+
+
+def test_merge_entry_schemas_optionality_is_order_independent():
+    """r12 (r11 ADVICE): a non-optional field present in only ONE of
+    the two manifest-entry schemas must refuse cleanly in BOTH
+    argument orders — previously a non-optional extra in the FIRST
+    schema slipped through and died later in write_avro."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        UnsupportedIcebergFeature,
+        _merge_entry_schemas,
+    )
+
+    base = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [{"name": "status", "type": "int"}],
+    }
+    extra_required = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": "long"},  # NOT optional
+        ],
+    }
+    for a, b in ((extra_required, base), (base, extra_required)):
+        with _pytest.raises(
+            UnsupportedIcebergFeature, match="non-optional"
+        ):
+            _merge_entry_schemas(a, b)
+    # optional extras still merge fine in both orders
+    extra_optional = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+            },
+        ],
+    }
+    for a, b in ((extra_optional, base), (base, extra_optional)):
+        merged = _merge_entry_schemas(a, b)
+        assert {f["name"] for f in merged["fields"]} == {
+            "status",
+            "snapshot_id",
+        }
+
+
+def test_as_of_timestamp_fallback_skips_untimestamped_snapshots(
+    spark, tmp_path
+):
+    """r12 (r11 ADVICE): when metadata has no snapshot-log, the
+    fallback over ``snapshots`` must SKIP snapshots lacking
+    timestamp-ms instead of treating them as epoch-0 (which made
+    them eligible for any as-of instant)."""
+    import json as _json
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _current_metadata_path,
+    )
+
+    path = str(tmp_path / "ice_nots")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_iceberg(mk([(1, "a")]), path, format_version=2)
+    export_iceberg(mk([(2, "b")]), path, mode="append")
+    mp = _current_metadata_path(path)
+    meta = _json.load(open(mp))
+    meta.pop("snapshot-log", None)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])
+    del snaps[0]["timestamp-ms"]  # first snapshot: no timestamp
+    snaps[1]["timestamp-ms"] = 2000
+    meta["snapshots"] = snaps
+    with open(mp, "w") as fh:
+        _json.dump(meta, fh)
+    # an instant before the only TIMESTAMPED snapshot must raise, not
+    # silently resolve to the untimestamped one
+    with pytest.raises(ValueError, match="precedes"):
+        read_iceberg(spark, path, as_of_timestamp_ms=1500)
+    assert sorted(
+        map(
+            tuple,
+            read_iceberg(spark, path, as_of_timestamp_ms=2500).collect(),
+        )
+    ) == [(1, "a"), (2, "b")]
