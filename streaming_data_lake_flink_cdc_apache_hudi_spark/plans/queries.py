@@ -2549,6 +2549,76 @@ def q_hudi_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hudi_upsert_read",
+    """
+SELECT s_suppkey,
+       CASE WHEN s_nationkey < 10 THEN concat('UP-', s_name)
+            ELSE s_name END AS s_name,
+       s_nationkey
+FROM supplier
+UNION ALL
+SELECT s_suppkey + 100000 AS s_suppkey,
+       concat('NEW-', s_name) AS s_name,
+       s_nationkey
+FROM supplier WHERE s_suppkey % 11 = 0
+""",
+    doc="Keyed UPSERT on an exported Hudi MERGE_ON_READ layout (new "
+    "r12 — upsert_hudi, the write twin of delete_hudi, closing "
+    "upsert write parity on the reference's own table type, "
+    "CDC-Hudi-Notebook.zpln:292 ¶7), value-oracled: supplier lands "
+    "in an engine lake table, exports as a MoR layout (3 file "
+    "groups), then upsert_hudi appends spec-framed Avro DATA BLOCKS "
+    "— updating every s_nationkey < 10 row's name to 'UP-…' and "
+    "inserting shifted-key 'NEW-…' rows (some of which start "
+    "LOG-ONLY file slices in groups no base row hashed to) — under "
+    "a fresh .deltacommit instant. The real-time merge must equal "
+    "the CASE-WHEN ∪ inserted-rows oracle; an as_of time-travel "
+    "guard (pre-upsert read minus the full source, riding the value "
+    "hash as extra rows when wrong) pins that the upsert is a log "
+    "append, never a base rewrite.",
+)
+def q_hudi_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.hudi_interop import (
+        export_hudi_mor,
+        read_hudi,
+        upsert_hudi,
+    )
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="hudi_ups_")
+    t = UpsertLakeTable(
+        spark, f"{root}/t", key="s_suppkey", num_buckets=2,
+        compact_every=100,
+    )
+    t.write(s, commit_id="c1")
+    mor = f"{root}/mor"
+    export_hudi_mor(t, mor, num_files=3)
+    updates = s.filter("s_nationkey < 10").select(
+        "s_suppkey",
+        F.concat(F.lit("UP-"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+    )
+    inserts = s.filter("s_suppkey % 11 = 0").select(
+        (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+        F.concat(F.lit("NEW-"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+    )
+    r1 = upsert_hudi(spark, mor, updates.unionAll(inserts))
+    cols = ["s_suppkey", "s_name", "s_nationkey"]
+    post = read_hudi(spark, mor).select(*cols)
+    # guard: the pre-upsert instant still serves the original rows
+    pre = read_hudi(
+        spark, mor, as_of=str(int(r1["instant"]) - 1)
+    ).select(*cols)
+    return post.unionAll(pre.exceptAll(s)).unionAll(s.exceptAll(pre))
+
+
+@register(
     "iceberg_partitioned_read",
     """
 SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -171,10 +171,19 @@ def _log_completed_instants(path: str) -> set[str]:
 
 
 def _log_files_for_slices(
-    path: str, slices: list[tuple[str, str]]
+    path: str,
+    slices: list[tuple[str, str]],
+    log_only_replaced: set[tuple[str, str]] | None = None,
 ) -> list[tuple[str, int, str]]:
     """(abs_path, version, partition_path) of log files belonging to
-    the served file slices (same file group, base-instant match)."""
+    the served file slices (same file group, base-instant match).
+
+    When ``log_only_replaced`` is not None, LOG-ONLY file slices are
+    served too — log files of groups with NO live base file, a legal
+    Hudi MoR shape (e.g. a bucket-index insert, or :func:`upsert_hudi`
+    routing new keys to a group whose base hash partition was empty at
+    export) — excluding groups in the given replaced set (clustering /
+    insert_overwrite obsoleted them along with their bases)."""
     by_group: dict[tuple[str, str], str] = {}
     for rel, inst in slices:
         part = os.path.dirname(rel)
@@ -190,7 +199,11 @@ def _log_files_for_slices(
             if not lm:
                 continue
             key = (relp, lm.group("file_id"))
-            if by_group.get(key) == lm.group("base"):
+            if by_group.get(key) == lm.group("base") or (
+                log_only_replaced is not None
+                and key not in by_group
+                and key not in log_only_replaced
+            ):
                 out.append(
                     (os.path.join(root, f), int(lm.group("ver")), relp)
                 )
@@ -362,7 +375,14 @@ def read_hudi(
     base = spark.read.option("basePath", path).parquet(*files)
     if read_optimized:
         return base
-    logs = _log_files_for_slices(path, slices)
+    done_commits = set(completed_instants(path))
+    if as_of is not None:
+        done_commits = {i for i in done_commits if i <= as_of}
+    logs = _log_files_for_slices(
+        path,
+        slices,
+        log_only_replaced=_replaced_file_groups(path, done_commits),
+    )
     if not logs:
         return base
     from pyspark.sql import Window
@@ -806,6 +826,167 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
     return {
         "instant": new_inst,
         "deleted_keys": int(sum(r["n_keys"] for r in stats)),
+        "groups_touched": len(stats),
+    }
+
+
+def upsert_hudi(spark: SparkSession, path: str, df: DataFrame) -> dict:
+    """Keyed UPSERT on an EXPORTED MERGE_ON_READ layout (new r12 —
+    the write twin of :func:`delete_hudi`, closing upsert write
+    parity on the reference's own table type,
+    CDC-Hudi-Notebook.zpln:292 ¶7): rows of ``df`` land as ONE
+    spec-framed Avro DATA BLOCK appended to each touched file
+    group's log (created at the group's base instant when the group
+    has no log yet), under a fresh instant completed on the timeline
+    as a ``.deltacommit``. :func:`read_hudi`'s real-time merge then
+    serves new keys as inserts and existing keys as last-writer-wins
+    updates — exactly the changelog semantics the reference's Flink
+    CDC pipeline commits into Hudi per checkpoint. ``as_of`` time
+    travel to an instant before the upsert still serves the old
+    rows; a later compaction folds the blocks into new base files.
+
+    ``df`` must carry the table's payload columns (the base schema
+    minus the ``_hoodie_*`` meta columns) and be KEY-UNIQUE — two
+    rows with one key in the same batch would share the block's
+    ordinal and make the merge ambiguous, so the engine raises
+    (dedupe upstream with the keyed LWW operators), matching
+    :func:`upsert_iceberg`'s contract.
+
+    File-group routing reuses the exporters' deterministic
+    assignment via :func:`_export_group_routing` —
+    ``pmod(hash(key), num_buckets)`` with the modulus persisted in
+    hoodie.properties — so a record key's update lands in the SAME
+    group its base row lives in, the invariant every Hudi log merge
+    relies on. Non-exporter layouts refuse.
+
+    Scale: one distributed pass — rows route to their group with a
+    single hash-partition shuffle and each group's Avro block is
+    encoded and appended by the task holding that group's rows via
+    ``applyInPandas`` (row payloads never pass through the driver);
+    the timeline commit is one empty marker file."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from . import hudi_log as HL
+
+    name = _table_name(path)
+    slices = live_file_slices(path)
+    if not slices:
+        raise FileNotFoundError(
+            f"Hudi table at {path} has no committed base files"
+        )
+    n_groups, base_inst_by_pid = _export_group_routing(path, name, slices)
+    key_fields = _record_key_fields(path)
+    if len(key_fields) != 1:
+        raise UnsupportedHudiFeature(
+            "upsert_hudi needs a single-field record key declared in "
+            "hoodie.properties (the exporters' shape) — got "
+            f"{key_fields!r}"
+        )
+    key = key_fields[0]
+    base = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, rel) for rel, _ in slices]
+    )
+    payload_fields = [
+        f for f in base.schema.fields if not f.name.startswith("_hoodie_")
+    ]
+    want = [f.name for f in payload_fields]
+    if sorted(df.columns) != sorted(want):
+        raise UnsupportedHudiFeature(
+            f"upsert_hudi: input columns {sorted(df.columns)} do not "
+            f"match the table payload {sorted(want)}"
+        )
+    if key not in df.columns:
+        raise UnsupportedHudiFeature(
+            f"record key field {key!r} missing from the input"
+        )
+    # align to the base payload order/types; Avro fields are written
+    # as nullable unions so reader alignment never depends on the
+    # input frame's inferred nullability
+    aligned = df.select(
+        *[F.col(f.name).cast(f.dataType) for f in payload_fields]
+    )
+    avro_schema = _avro_schema_for(
+        [T.StructField(f.name, f.dataType, True) for f in payload_fields]
+    )
+    ts_cols = {
+        f.name
+        for f in payload_fields
+        if isinstance(f.dataType, T.TimestampType)
+    }
+    done = _log_completed_instants(path)
+    new_inst = str(int(max(done)) + 1)
+    dest_abs = os.path.abspath(path)
+    routed = aligned.withColumn(
+        # hash the RAW key column — the exporters' repartition
+        # assignment (see delete_hudi)
+        "_pid",
+        F.pmod(F.hash(F.col(key)), F.lit(n_groups)),
+    )
+
+    def _append_data(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame([], columns=["pid", "n_rows", "n_dup"])
+        pid = int(pdf["_pid"].iat[0])
+        keys = pdf[key].astype(str)
+        n_dup = int(keys.duplicated().sum())
+        if n_dup:
+            # raising inside the task surfaces as a job failure with
+            # this message — no partial log append has happened yet
+            raise ValueError(
+                f"upsert_hudi: {n_dup} duplicate record key(s) in the "
+                "input batch (first: "
+                f"{keys[keys.duplicated()].iloc[0]!r}) — upsert "
+                "batches must be key-unique"
+            )
+        recs = []
+        for _, r in pdf.iterrows():
+            rec = {"_hoodie_record_key": str(r[key])}
+            for f in payload_fields:
+                v = r[f.name]
+                if pd.isna(v):
+                    v = None
+                elif f.name in ts_cols:
+                    v = int(pd.Timestamp(v).value // 1000)
+                elif isinstance(v, pd.Timestamp):
+                    v = int(v.value // 1000)
+                else:
+                    v = v.item() if hasattr(v, "item") else v
+                rec[f.name] = v
+            recs.append(rec)
+        block = HL.encode_block(
+            "avro",
+            {HL.INSTANT_TIME: new_inst},
+            records=recs,
+            schema=avro_schema,
+        )
+        # a NEW key can route to a group whose base hash partition
+        # was empty at export: start a LOG-ONLY file slice there,
+        # based at this instant (read_hudi serves base-less slices)
+        fname = HL.log_file_name(
+            _export_file_id(name, pid),
+            base_inst_by_pid.get(pid, new_inst),
+        )
+        with open(os.path.join(dest_abs, fname), "ab") as fh:
+            fh.write(block)
+        return pd.DataFrame(
+            [{"pid": pid, "n_rows": len(recs), "n_dup": 0}]
+        )
+
+    stats = (
+        routed.groupBy("_pid")
+        .applyInPandas(_append_data, "pid int, n_rows long, n_dup long")
+        .collect()
+    )  # bounded: one row per touched file group
+    if not stats:
+        return {"instant": None, "upserted_rows": 0, "groups_touched": 0}
+    open(
+        os.path.join(path, _HOODIE, f"{new_inst}.deltacommit"), "w"
+    ).close()
+    return {
+        "instant": new_inst,
+        "upserted_rows": int(sum(r["n_rows"] for r in stats)),
         "groups_touched": len(stats),
     }
 

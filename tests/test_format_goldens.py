@@ -280,3 +280,47 @@ def test_iceberg_murmur3_bucket_spec_vectors():
     assert iceberg_bucket(34, "int", big) == iceberg_bucket(34, "long", big)
     assert iceberg_bucket(34, "long", big) == 2017239379
     assert iceberg_bucket(None, "long", 4) is None
+
+
+def test_upsert_hudi_data_block_golden(spark, tmp_path):
+    """r12: the log file upsert_hudi appends is a spec-framed Avro
+    DATA block — field-by-field frame walk per hudi tech-specs plus
+    a pinned byte hash (instants pinned so the bytes are exact)."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        export_hudi_cow,
+        upsert_hudi,
+    )
+
+    path = str(tmp_path / "golden_ups")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    export_hudi_cow(
+        df, path, record_key="id", table_name="g", num_files=1,
+        instant="20240601000000000",
+    )
+    res = upsert_hudi(
+        spark, path, spark.createDataFrame([(1, "b")], "id long, v string")
+    )
+    assert res["instant"] == "20240601000000001"
+    logs = [f for f in os.listdir(path) if ".log." in f]
+    assert len(logs) == 1
+    raw = open(os.path.join(path, logs[0]), "rb").read()
+    blocks = HL.decode_blocks(raw)
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert b["type"] == "avro"
+    assert b["header"][HL.INSTANT_TIME] == "20240601000000001"
+    assert b["records"] == [
+        {"_hoodie_record_key": "1", "id": 1, "v": "b"}
+    ]
+    # spec frame walk on the raw bytes (magic, length, version, type)
+    assert raw[:6] == b"#HUDI#"
+    (blen,) = struct.unpack(">q", raw[6:14])
+    assert 14 + blen == len(raw)
+    fmt_ver, btype = struct.unpack(">ii", raw[14:22])
+    assert fmt_ver == 1 and btype == 3  # avro data block
+    (total,) = struct.unpack(">q", raw[-8:])
+    assert total == len(raw)
+    assert (len(raw), _sha(raw)) == (
+        278,
+        "0969cc2583c3c222c5e8984163e1d815243831c11aa939a41f53bc5945574d66",
+    )

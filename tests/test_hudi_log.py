@@ -534,3 +534,121 @@ def test_delete_hudi_routing_with_empty_trailing_group(spark, tmp_path):
     assert sorted(r.id for r in read_hudi(spark, path2).collect()) == [
         1, 3, 4, 5, 6, 7,
     ]
+
+
+def test_upsert_hudi_appends_data_blocks(spark, tmp_path):
+    """r12: upsert_hudi appends one spec-framed Avro DATA block per
+    touched file group's log, completed as a .deltacommit; the
+    real-time merge serves updates LWW and new keys as inserts
+    (including keys routed to a base-less group → log-only file
+    slice); pre-upsert time travel still serves the old rows;
+    read-optimized ignores the logs; duplicate keys in one batch
+    raise; schema mismatches refuse."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        UnsupportedHudiFeature,
+        delete_hudi,
+        export_hudi_mor,
+        read_hudi,
+        upsert_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    t = UpsertLakeTable(spark, str(tmp_path / "eng"), key="id")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    t.write(mk([(i, f"v{i}") for i in range(8)]), commit_id="c1")
+    path = str(tmp_path / "mor")
+    export_hudi_mor(t, path, num_files=3)
+
+    # update 2 existing keys + insert 2 new ones
+    res = upsert_hudi(
+        spark, path, mk([(1, "V1"), (3, "V3"), (100, "v100"), (101, "v101")])
+    )
+    assert res["upserted_rows"] == 4 and res["groups_touched"] >= 1
+    got = {(r.id, r.v) for r in read_hudi(spark, path).select("id", "v").collect()}
+    want = {(i, f"v{i}") for i in range(8) if i not in (1, 3)}
+    want |= {(1, "V1"), (3, "V3"), (100, "v100"), (101, "v101")}
+    assert got == want
+    # pre-upsert instant serves the original rows
+    pre = read_hudi(spark, path, as_of=str(int(res["instant"]) - 1))
+    assert {(r.id, r.v) for r in pre.select("id", "v").collect()} == {
+        (i, f"v{i}") for i in range(8)
+    }
+    # read-optimized view ignores the log blocks
+    ro = read_hudi(spark, path, read_optimized=True)
+    assert {(r.id, r.v) for r in ro.select("id", "v").collect()} == {
+        (i, f"v{i}") for i in range(8)
+    }
+    # upserts stack LWW, and delete_hudi tombstones upserted keys
+    upsert_hudi(spark, path, mk([(1, "V1b")]))
+    assert {
+        r.v for r in read_hudi(spark, path).filter("id = 1").collect()
+    } == {"V1b"}
+    delete_hudi(spark, path, "id IN (100, 1)")
+    got2 = sorted(r.id for r in read_hudi(spark, path).collect())
+    assert got2 == [0, 2, 3, 4, 5, 6, 7, 101]
+    # duplicate keys in one batch raise
+    with _pytest.raises(Exception, match="key-unique"):
+        upsert_hudi(spark, path, mk([(5, "a"), (5, "b")]))
+    # payload schema mismatch refuses
+    bad = spark.createDataFrame([(1, "x", 2.0)], "id long, v string, z double")
+    with _pytest.raises(UnsupportedHudiFeature, match="payload"):
+        upsert_hudi(spark, path, bad)
+
+
+def test_upsert_hudi_new_key_in_empty_group_is_log_only_slice(
+    spark, tmp_path
+):
+    """r12: a new key hashing to a file group whose base hash
+    partition was empty at export starts a LOG-ONLY file slice —
+    served by the real-time view, invisible to read-optimized."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        export_hudi_cow,
+        read_hudi,
+        upsert_hudi,
+    )
+
+    # modulus with an EMPTY trailing partition for the seed keys, and
+    # a probe key that hashes INTO that empty partition
+    seed = list(range(1, 8))
+    n, probe = None, None
+    for cand in range(4, 33):
+        pids = {
+            r[0]
+            for r in spark.createDataFrame([(k,) for k in seed], "id long")
+            .select(F.pmod(F.hash("id"), F.lit(cand)))
+            .collect()
+        }
+        if cand - 1 in pids:
+            continue
+        for c in range(1000, 1200):
+            pid = spark.createDataFrame([(c,)], "id long").select(
+                F.pmod(F.hash("id"), F.lit(cand))
+            ).collect()[0][0]
+            if pid == cand - 1:
+                n, probe = cand, c
+                break
+        if n:
+            break
+    assert n is not None and probe is not None
+
+    path = str(tmp_path / "cow_gap_upsert")
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in seed], "id long, v string"
+    )
+    export_hudi_cow(df, path, record_key="id", num_files=n)
+    res = upsert_hudi(
+        spark,
+        path,
+        spark.createDataFrame([(probe, "vp")], "id long, v string"),
+    )
+    assert res["upserted_rows"] == 1
+    got = {(r.id, r.v) for r in read_hudi(spark, path).select("id", "v").collect()}
+    assert got == {(k, f"v{k}") for k in seed} | {(probe, "vp")}
+    ro = read_hudi(spark, path, read_optimized=True)
+    assert ro.count() == len(seed)
