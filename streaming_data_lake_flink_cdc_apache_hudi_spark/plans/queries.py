@@ -3123,6 +3123,71 @@ def q_delta_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_cdf_update_read",
+    """
+SELECT s_suppkey, s_name, 'insert' AS change, CAST(0 AS BIGINT) AS ver
+FROM supplier
+UNION ALL
+SELECT s_suppkey, s_name, 'update_preimage' AS change,
+       CAST(1 AS BIGINT) AS ver
+FROM supplier WHERE s_nationkey < 10
+UNION ALL
+SELECT s_suppkey, concat('U-', s_name) AS s_name,
+       'update_postimage' AS change, CAST(1 AS BIGINT) AS ver
+FROM supplier WHERE s_nationkey < 10
+UNION ALL
+SELECT s_suppkey,
+       CASE WHEN s_nationkey < 10 THEN concat('U-', s_name)
+            ELSE s_name END AS s_name,
+       'delete' AS change, CAST(2 AS BIGINT) AS ver
+FROM supplier WHERE s_suppkey % 5 = 0
+""",
+    doc="Delta CDF over EXPLICIT cdc actions (new r12 — the "
+    "external-compat path delta-spark's UPDATE takes with CDF "
+    "enabled), value-oracled end-to-end: supplier exports, then "
+    "update_delta('s_nationkey < 10', s_name -> 'U-'||s_name, "
+    "write_cdf=True) commits ONE version carrying DV-retired old "
+    "rows + a rewritten data file + _change_data parquet with the "
+    "spec's literal _change_type column — and read_delta_cdf must "
+    "serve THOSE rows verbatim as update_preimage/update_postimage "
+    "(PROTOCOL.md Change Data Files: cdc actions are the complete "
+    "change description; the same commit's add/remove must NOT also "
+    "derive) — then a delete_delta commit shows the derived and "
+    "explicit paths composing in one stream. Exactly the UNION ALL "
+    "oracle's four legs; any double-count from deriving the UPDATE's "
+    "add/remove would break the hash.",
+)
+def q_delta_cdf_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import (
+        delete_delta,
+        export_delta,
+        read_delta_cdf,
+        update_delta,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="delta_cdf_upd_")
+    t = f"{root}/t"
+    export_delta(s, t)
+    update_delta(
+        spark, t, "s_nationkey < 10",
+        {"s_name": "concat('U-', s_name)"},
+        write_cdf=True,
+    )
+    delete_delta(spark, t, "s_suppkey % 5 = 0")
+    return read_delta_cdf(spark, t, 0).select(
+        "s_suppkey",
+        "s_name",
+        F.col("_change_type").alias("change"),
+        F.col("_commit_version").alias("ver"),
+    )
+
+
+@register(
     "delta_restore_read",
     """
 SELECT n_nationkey, n_name, n_regionkey FROM nation

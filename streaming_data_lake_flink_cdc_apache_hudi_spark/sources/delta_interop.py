@@ -1023,6 +1023,7 @@ def _frame_from_adds(
     adds: dict[str, dict],
     meta: dict | None,
     with_meta: bool = False,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """One pruned parquet scan over an add-file map, partition values
     re-attached per file group with their schemaString types. With
@@ -1032,7 +1033,10 @@ def _frame_from_adds(
     columns are read under their physical names and renamed to the
     logical schema via one ``select`` of aliases — a metadata-only
     projection, no data rewrite, and pushdown still reaches the scan
-    (filters are expressed on the aliased plan)."""
+    (filters are expressed on the aliased plan). ``extra_cols`` are
+    read by their LITERAL parquet names on top of the mapped logical
+    schema — PROTOCOL.md's Change Data Files carry ``_change_type``
+    unmapped even on column-mapped tables."""
     from pyspark.sql import functions as F
 
     mapping = _column_mapping(meta)
@@ -1062,6 +1066,8 @@ def _frame_from_adds(
             if mapping
             else [F.col("*")]
         )
+        if extra_cols and mapping:
+            cols += [df[c] for c in extra_cols]
         if with_meta:
             cols += [
                 # file:///abs/p, file:/abs/p -> /abs/p (cf.
@@ -1204,10 +1210,19 @@ def read_delta_cdf(
     """Change Data Feed read (new r11 — delta-spark's
     ``table_changes``): every row-level change committed in versions
     ``[from_version, to_version]`` (both inclusive, ``to`` defaults
-    latest), as the table columns plus ``_change_type``
-    ('insert'/'delete') and ``_commit_version``.
+    latest), as the table columns plus ``_change_type`` ('insert' /
+    'delete', plus 'update_preimage'/'update_postimage' from commits
+    with explicit change data) and ``_commit_version``.
 
-    Changes are DERIVED from the commit actions, the path delta-spark
+    Commits carrying explicit ``cdc`` actions (delta-spark UPDATE /
+    MERGE with CDF enabled) serve their ``_change_data`` parquet
+    files verbatim — PROTOCOL.md "Change Data Files": the cdc actions
+    are the complete change description for the version, the rows
+    carry a literal ``_change_type`` column (unmapped even under
+    column mapping), and the commit's add/remove actions contribute
+    only to state replay, never to the change stream (new r12).
+
+    Other commits are DERIVED from the actions, the path delta-spark
     itself takes when a commit carries no explicit ``cdc`` actions:
 
     - an ``add`` with ``dataChange`` of a NEW file -> its rows (minus
@@ -1222,9 +1237,7 @@ def read_delta_cdf(
       file must still exist on disk — a vacuumed range raises.
 
     ``dataChange: false`` commits (OPTIMIZE / compaction) produce no
-    changes, exactly like CDF. Update-in-place rewrites that delta-
-    spark expresses with explicit ``cdc``/``_change_data`` actions
-    are not produced by this repo's writers and raise if found.
+    changes, exactly like CDF.
 
     Scale: driver work is the KB-scale JSON action walk per version;
     every row flows through pruned parquet scans + the same
@@ -1304,22 +1317,60 @@ def read_delta_cdf(
     for v in range(from_version, to_version + 1):
         adds_v: dict[str, dict] = {}
         removes_v: dict[str, dict] = {}
+        cdc_v: dict[str, dict] = {}
         with open(_log_path(path, v)) as fh:
             for line in fh:
                 if not line.strip():
                     continue
                 a = json.loads(line)
                 if "cdc" in a:
-                    raise UnsupportedDeltaFeature(
-                        f"explicit cdc action at version {v} — this "
-                        "reader derives changes from add/remove only"
-                    )
-                if "add" in a:
+                    cdc_v[a["cdc"]["path"]] = a["cdc"]
+                elif "add" in a:
                     adds_v[a["add"]["path"]] = a["add"]
                 elif "remove" in a:
                     removes_v[a["remove"]["path"]] = a["remove"]
                 elif "metaData" in a:
                     meta = a["metaData"]
+        if cdc_v:
+            # explicit cdc actions (new r12 — delta-spark's UPDATE /
+            # MERGE commits): PROTOCOL.md "Change Data Files" — when a
+            # commit carries cdc actions they are the COMPLETE change
+            # description for that version; readers must use the
+            # referenced ``_change_data`` parquet (rows + a literal
+            # ``_change_type`` column, incl. update_preimage /
+            # update_postimage) INSTEAD of deriving from add/remove.
+            # The commit's add/remove actions still advance the replay
+            # state below.
+            gone = [
+                p
+                for p in sorted(cdc_v)
+                if not os.path.exists(os.path.join(path, p))
+            ]
+            if gone:
+                raise UnsupportedDeltaFeature(
+                    f"CDF needs vacuumed change file {gone[0]!r}"
+                )
+            cdf = _frame_from_adds(
+                spark, path, cdc_v, meta, extra_cols=["_change_type"]
+            )
+            if "_change_type" not in cdf.columns:
+                raise UnsupportedDeltaFeature(
+                    f"change file at version {v} lacks the "
+                    "_change_type column"
+                )
+            frames.append(
+                cdf.select(
+                    *[c for c in cdf.columns if c != "_change_type"],
+                    F.col("_change_type"),
+                    F.lit(v).alias("_commit_version"),
+                )
+            )
+            for p, a in adds_v.items():
+                state[p] = a
+            for p in removes_v:
+                if p not in adds_v:
+                    state.pop(p, None)
+            continue
         # new files: inserts.  r11 ADVICE: an add is only "all-new
         # inserts" if the path was NOT already live — Delta log replay
         # replaces adds by path, so a legal external commit that
@@ -1735,8 +1786,6 @@ def delete_delta(
     local filesystem (the lake layouts this engine exports); an
     object-store deployment would swap in pyarrow.fs like the read
     path."""
-    from pyspark.sql import functions as F
-
     if not _allow_uniform:
         _refuse_uniform_delta(path, "delete_delta")
     adds, meta, proto = _replay_log(spark, path)
@@ -1746,6 +1795,242 @@ def delete_delta(
         return {"version": None, "deleted_rows": 0, "files_touched": 0}
     live = _frame_from_adds(spark, path, adds, meta, with_meta=True)
     matches = live.filter(predicate).select("_dv_fp", "_dv_pos")
+    actions, deleted, n_touched = _dv_delete_actions(
+        spark, path, matches, adds, meta, proto
+    )
+    if not actions:
+        return {"version": None, "deleted_rows": 0, "files_touched": 0}
+    version = _next_version(path)
+    with open(_log_path(path, version), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return {
+        "version": version,
+        "deleted_rows": deleted,
+        "files_touched": n_touched,
+    }
+
+
+def update_delta(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    write_cdf: bool | None = None,
+    _allow_uniform: bool = False,
+) -> dict:
+    """Row-level ``UPDATE ... SET`` on an exported Delta table (new
+    r12 — delta-spark's UPDATE commit shape): rows matching
+    ``predicate`` get ``set_exprs`` ({column: SQL expression, every
+    expression evaluated against the OLD row, standard UPDATE
+    semantics}) applied, committed as ONE version carrying
+
+    - a remove+re-add pair per touched file whose DELETION VECTOR
+      marks the old rows (the :func:`delete_delta` machinery — no
+      data-file rewrite),
+    - ``add`` actions for the new data file(s) holding the rewritten
+      rows (physical column names / parquet field ids under column
+      mapping, like ``export_delta``'s append), and
+    - when Change Data Feed applies, ``cdc`` actions referencing
+      ``_change_data/`` parquet with the spec's literal
+      ``_change_type`` column: the old rows as ``update_preimage``
+      and the new rows as ``update_postimage`` — PROTOCOL.md "Change
+      Data Files", the exact shape delta-spark's ``table_changes``
+      serves and :func:`read_delta_cdf` reads back.
+
+    ``write_cdf=None`` follows the table's
+    ``delta.enableChangeDataFeed`` configuration (delta-spark's
+    rule); True/False force it. Partitioned tables refuse for now
+    (the rewritten rows would need per-partition placement).
+
+    Scale: one scan finds the matched rows; DV bitmaps are written
+    per-file on executors; the rewritten and change rows go through
+    the distributed parquet writer — the driver handles only
+    KB-scale actions, exactly like delta-spark's UPDATE."""
+    from pyspark.sql import functions as F
+
+    if not _allow_uniform:
+        _refuse_uniform_delta(path, "update_delta")
+    adds, meta, proto = _replay_log(spark, path)
+    if meta is None:
+        raise UnsupportedDeltaFeature("table has no metaData action")
+    if meta.get("partitionColumns"):
+        raise UnsupportedDeltaFeature(
+            "update_delta on a PARTITIONED table is not supported yet "
+            "— rewritten rows would need per-partition placement"
+        )
+    cm_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    field_meta: dict[str, tuple[int, str]] = {}
+    if cm_mode not in ("none", None):
+        field_meta = _mapped_field_meta(meta, "update")
+    schema_cols = [
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    ]
+    bad = sorted(set(set_exprs) - set(schema_cols))
+    if bad:
+        raise ValueError(f"update_delta: unknown SET columns {bad}")
+    if not set_exprs:
+        raise ValueError("update_delta: empty SET clause")
+    if not adds:
+        return {"version": None, "updated_rows": 0, "files_touched": 0}
+
+    live = _frame_from_adds(spark, path, adds, meta, with_meta=True)
+    matched = live.filter(predicate)
+    old_rows = matched.drop("_dv_fp", "_dv_pos")
+    # every SET expression binds the OLD row; types are pinned back
+    # to the table schema so the rewritten file aligns
+    new_rows = old_rows.select(
+        *[
+            (
+                F.expr(set_exprs[c]).cast(old_rows.schema[c].dataType)
+                if c in set_exprs
+                else F.col(c)
+            ).alias(c)
+            for c in old_rows.columns
+        ]
+    )
+
+    def _to_physical(df: DataFrame, extra: list[str] = []) -> DataFrame:
+        if not field_meta:
+            return df
+        cols = [
+            df[c].alias(
+                field_meta[c][1],
+                **(
+                    {"metadata": {"parquet.field.id": field_meta[c][0]}}
+                    if cm_mode == "id"
+                    else {}
+                ),
+            )
+            for c in df.columns
+            if c not in extra
+        ]
+        return df.select(*cols, *[df[c] for c in extra])
+
+    def _staged_parts(dest_rel: str, df: DataFrame) -> list[str]:
+        """Append-write df under path/dest_rel, returning the NEW
+        part files relative to the table root."""
+        dest = os.path.join(path, dest_rel) if dest_rel else path
+        before = (
+            {
+                f
+                for f in os.listdir(dest)
+                if f.endswith(".parquet") and not f.startswith("_")
+            }
+            if os.path.isdir(dest)
+            else set()
+        )
+        df.write.mode("append").parquet(dest)
+        after = {
+            f
+            for f in os.listdir(dest)
+            if f.endswith(".parquet") and not f.startswith("_")
+        }
+        return sorted(
+            os.path.join(dest_rel, f) if dest_rel else f
+            for f in after - before
+        )
+
+    actions, _, n_touched = _dv_delete_actions(
+        spark, path, matched.select("_dv_fp", "_dv_pos"), adds, meta, proto
+    )
+    if not actions:
+        return {"version": None, "updated_rows": 0, "files_touched": 0}
+
+    new_parts = _staged_parts("", _to_physical(new_rows))
+    updated = 0
+    for rel in new_parts:
+        st = os.stat(os.path.join(path, rel))
+        import pyarrow.parquet as pq
+
+        updated += pq.ParquetFile(
+            os.path.join(path, rel)
+        ).metadata.num_rows
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+
+    cdf_on = (
+        write_cdf
+        if write_cdf is not None
+        else (meta.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed"
+        )
+        == "true"
+    )
+    change_parts: list[str] = []
+    if cdf_on:
+        change_df = _to_physical(
+            old_rows.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                new_rows.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            ),
+            extra=["_change_type"],
+        )
+        change_parts = _staged_parts("_change_data", change_df)
+        for rel in change_parts:
+            st = os.stat(os.path.join(path, rel))
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": st.st_size,
+                        "dataChange": False,
+                    }
+                }
+            )
+
+    version = _next_version(path)
+    with open(_log_path(path, version), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return {
+        "version": version,
+        "updated_rows": updated,
+        "files_touched": n_touched,
+        "new_files": len(new_parts),
+        "change_files": len(change_parts),
+    }
+
+
+def _next_version(path: str) -> int:
+    log_dir = os.path.join(path, _LOG_DIR)
+    versions = [
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit()
+    ]
+    cp = _read_last_checkpoint(path)
+    return max(versions + ([cp["version"]] if cp else []) or [-1]) + 1
+
+
+def _dv_delete_actions(
+    spark: SparkSession,
+    path: str,
+    matches: DataFrame,
+    adds: dict[str, dict],
+    meta: dict,
+    proto: dict | None,
+) -> tuple[list[dict], int, int]:
+    """DV sidecar writes + the remove/re-add (and protocol-upgrade)
+    actions retiring the given ``(_dv_fp, _dv_pos)`` rows — the
+    shared core of :func:`delete_delta` and :func:`update_delta`
+    (which compose it into their own single commits). Returns
+    ``(actions, newly_deleted_rows, files_touched)``; all-empty when
+    nothing matched. Positions never pass through the driver (one
+    ``applyInPandas`` DV writer per touched file)."""
     table_abs = os.path.abspath(path)
     rel_by_abs = {
         os.path.abspath(os.path.join(path, p)): p for p in adds
@@ -1807,7 +2092,7 @@ def delete_delta(
         "fp string, uuid_b85 string, size long, card long, old_card long",
     ).collect()  # bounded: one descriptor row per touched file
     if not touched:
-        return {"version": None, "deleted_rows": 0, "files_touched": 0}
+        return [], 0, 0
     actions: list[dict] = []
     rfeats = set((proto or {}).get("readerFeatures") or [])
     if (
@@ -1881,23 +2166,7 @@ def delete_delta(
             "cardinality": int(r["card"]),
         }
         actions.append({"add": new_add})
-    log_dir = os.path.join(path, _LOG_DIR)
-    versions = [
-        int(f[:20])
-        for f in os.listdir(log_dir)
-        if f.endswith(".json") and f[:20].isdigit()
-    ]
-    cp = _read_last_checkpoint(path)
-    version = (
-        max(versions + ([cp["version"]] if cp else []) or [-1]) + 1
-    )
-    with open(_log_path(path, version), "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
-    return {
-        "version": version,
-        "deleted_rows": deleted,
-        "files_touched": len(touched),
-    }
+    return actions, deleted, len(touched)
 
 
 def restore_delta(spark: SparkSession, path: str, version: int) -> dict:

@@ -1799,3 +1799,117 @@ def test_cdf_add_only_readd_of_live_file(spark, tmp_path):
     for (i, v, ch, _vv), n in C(read_delta_cdf(spark, path, 0)).items():
         (ins if ch == "insert" else dels)[(i, v)] += n
     assert ins - dels == C(read_delta(spark, path).select("id", "v"))
+
+
+def test_update_delta_and_cdf_explicit_change_data(spark, tmp_path):
+    """r12: update_delta commits DV-retired old rows + rewritten rows
+    + explicit cdc actions in ONE version; read_delta serves the
+    post-update state; read_delta_cdf serves the _change_data rows
+    verbatim (update_preimage/update_postimage) and ignores the same
+    commit's add/remove for change derivation."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        read_delta,
+        read_delta_cdf,
+        update_delta,
+    )
+
+    path = str(tmp_path / "upd")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string, n long")
+    export_delta(mk([(i, f"v{i}", i * 10) for i in range(6)]).coalesce(1), path)
+
+    res = update_delta(
+        spark, path, "id >= 4",
+        {"v": "concat('U-', v)", "n": "n + 1"},
+        write_cdf=True,
+    )
+    assert res["version"] == 1 and res["updated_rows"] == 2
+    assert res["files_touched"] == 1 and res["change_files"] >= 1
+
+    C = lambda df: Counter(map(tuple, df.collect()))
+    assert C(read_delta(spark, path)) == Counter(
+        {(i, f"v{i}", i * 10): 1 for i in range(4)}
+        | {(4, "U-v4", 41): 1, (5, "U-v5", 51): 1}
+    )
+    # the UPDATE version serves the explicit change data verbatim
+    assert C(read_delta_cdf(spark, path, 1, 1)) == Counter(
+        {
+            (4, "v4", 40, "update_preimage", 1): 1,
+            (5, "v5", 50, "update_preimage", 1): 1,
+            (4, "U-v4", 41, "update_postimage", 1): 1,
+            (5, "U-v5", 51, "update_postimage", 1): 1,
+        }
+    )
+    # SET expressions all bind the OLD row (swap test)
+    res2 = update_delta(
+        spark, path, "id = 0", {"v": "cast(n as string)", "n": "length(v)"},
+        write_cdf=False,
+    )
+    assert res2["change_files"] == 0
+    row = read_delta(spark, path).filter("id = 0").collect()[0]
+    assert (row.v, row.n) == ("0", 2)  # n was 0 -> v='0'; v was 'v0' -> n=2
+    # the no-cdc UPDATE version derives changes from DV diff + new add
+    got = C(read_delta_cdf(spark, path, 2, 2))
+    assert got == Counter(
+        {(0, "v0", 0, "delete", 2): 1, (0, "0", 2, "insert", 2): 1}
+    )
+    # full stream folds to the live state
+    ins, dels = Counter(), Counter()
+    for (i, v, n, ch, _vv), cnt in C(read_delta_cdf(spark, path, 0)).items():
+        tgt = dels if ch in ("delete", "update_preimage") else ins
+        tgt[(i, v, n)] += cnt
+    assert ins - dels == C(read_delta(spark, path))
+
+
+def test_update_delta_column_mapped_and_guards(spark, tmp_path):
+    """r12: update_delta under NAME-mode column mapping writes
+    physical-name data and change files that resolve back through
+    the logical schema; CDF defaults follow delta.enableChangeDataFeed;
+    unknown SET columns and partitioned tables refuse."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        read_delta,
+        read_delta_cdf,
+        update_delta,
+    )
+
+    path = str(tmp_path / "upd_cm")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_delta(
+        mk([(i, f"v{i}") for i in range(4)]).coalesce(1), path,
+        column_mapping="name",
+    )
+    res = update_delta(
+        spark, path, "id = 2", {"v": "'X'"}, write_cdf=True
+    )
+    assert res["updated_rows"] == 1
+    C = lambda df: Counter(map(tuple, df.collect()))
+    assert C(read_delta(spark, path).filter("id = 2")) == Counter(
+        {(2, "X"): 1}
+    )
+    assert C(read_delta_cdf(spark, path, 1, 1)) == Counter(
+        {
+            (2, "v2", "update_preimage", 1): 1,
+            (2, "X", "update_postimage", 1): 1,
+        }
+    )
+    # default write_cdf follows table config (not set here -> no cdc)
+    res2 = update_delta(spark, path, "id = 3", {"v": "'Y'"})
+    assert res2["change_files"] == 0
+    with pytest.raises(ValueError, match="unknown SET"):
+        update_delta(spark, path, "id = 0", {"zz": "'a'"})
+    # partitioned tables refuse
+    p2 = str(tmp_path / "upd_part")
+    export_delta(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], "id long, v string, p string"
+        ),
+        p2,
+        partition_by=["p"],
+    )
+    with pytest.raises(UnsupportedDeltaFeature, match="PARTITIONED"):
+        update_delta(spark, p2, "id = 1", {"v": "'z'"})
