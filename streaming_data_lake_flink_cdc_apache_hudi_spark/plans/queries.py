@@ -3123,6 +3123,78 @@ def q_delta_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_update_read",
+    """
+SELECT n_nationkey,
+       CASE WHEN n_regionkey < 2 THEN concat('U-', n_name)
+            ELSE n_name END AS n_name,
+       CASE WHEN n_regionkey < 2 THEN n_regionkey + 100
+            ELSE n_regionkey END AS n_regionkey
+FROM nation
+""",
+    doc="Row-level UPDATE on a v2 Iceberg table (new r12 — Java's "
+    "RowDelta commit shape, update_iceberg, the Iceberg twin of "
+    "update_delta), value-oracled as CASE-WHEN over the seed: nation "
+    "exports as format-version 2, then "
+    "update_iceberg('n_regionkey < 2', n_name -> 'U-'||n_name, "
+    "n_regionkey -> n_regionkey + 100) commits ONE overwrite "
+    "snapshot carrying position-delete files for the matched rows "
+    "PLUS a data file of the rewritten rows at the same sequence "
+    "number — the spec's scoping applies the deletes to the old "
+    "files by path while the new file survives. Both SET exprs bind "
+    "the OLD row. A pre-update time-travel guard (snapshot read "
+    "minus the source, riding the value hash as extra rows when "
+    "wrong) pins that history is preserved, and a rewrite_data_files "
+    "pass afterwards must leave the answer unchanged (the deletes "
+    "fold into rewritten data files).",
+)
+def q_iceberg_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg,
+        rewrite_data_files,
+        update_iceberg,
+    )
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="ice_upd_read_")
+    t = f"{root}/t"
+    export_iceberg(n, t, format_version=2)
+    r1 = update_iceberg(
+        spark, t, "n_regionkey < 2",
+        {
+            "n_name": "concat('U-', n_name)",
+            "n_regionkey": "n_regionkey + 100",
+        },
+    )
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    # guard 1: pre-update snapshot still serves the source rows
+    pre_sid = next(
+        s["parent-snapshot-id"]
+        for s in __import__("json").load(
+            open(f"{t}/metadata/v2.metadata.json")
+        )["snapshots"]
+        if s["snapshot-id"] == r1["snapshot_id"]
+    )
+    pre = read_iceberg(spark, t, snapshot_id=pre_sid).select(*cols)
+    # guard 2: rewrite_data_files folds the deletes without changing
+    # the answer
+    before = read_iceberg(spark, t).select(*cols)
+    rewrite_data_files(spark, t)
+    post = read_iceberg(spark, t).select(*cols)
+    return (
+        post.unionAll(pre.exceptAll(n))
+        .unionAll(n.exceptAll(pre))
+        .unionAll(post.exceptAll(before))
+        .unionAll(before.exceptAll(post))
+    )
+
+
+@register(
     "delta_cdf_update_read",
     """
 SELECT s_suppkey, s_name, 'insert' AS change, CAST(0 AS BIGINT) AS ver

@@ -1400,6 +1400,95 @@ def _refuse_uniform_iceberg(path: str, op: str) -> None:
         )
 
 
+def _posdel_files(
+    spark: SparkSession,
+    path: str,
+    matched: DataFrame,
+    mapping: dict,
+    what: str,
+) -> list:
+    """Write one spec-shaped POSITION-DELETE parquet per touched data
+    file (columns ``file_path``/``pos`` with the spec's reserved
+    field ids 2147483546/2147483545, positions sorted, the data file
+    referenced by its RECORDED manifest URI) — the shared worker of
+    :func:`delete_iceberg` and :func:`update_iceberg`. ``matched`` is
+    a ``(_ice_fp, _ice_pos)`` frame of normalized paths + row
+    indexes; returns the bounded descriptor rows (one per touched
+    file). Positions never pass through the driver."""
+    from pyspark.sql import functions as F
+
+    map_df = F.broadcast(
+        spark.createDataFrame(
+            [(v, k) for k, (v, _s, _p) in mapping.items()],
+            "_ice_fp string, _ice_recorded string",
+        )
+    )
+    # LEFT join + fail-fast filter (the read path's shape): an inner
+    # join would silently SKIP deleting rows whose path normalization
+    # failed to match — not deleting requested rows is as wrong as
+    # dropping rows
+    matched = matched.join(map_df, "_ice_fp", "left").filter(
+        F.col("_ice_recorded").isNotNull()
+        | F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{what}: matched row's data file missing "
+                    "from the snapshot's file mapping: "
+                ),
+                F.col("_ice_fp"),
+            )
+        ).cast("boolean")
+    )
+    data_dir = os.path.join(path, "data")
+    # UniForm layouts keep data at the table root and have no data/
+    # dir yet — create it before the workers write into it
+    os.makedirs(data_dir, exist_ok=True)
+
+    def _write_posdel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        rec = pdf["_ice_recorded"].iloc[0]
+        poss = sorted(int(p) for p in pdf["_ice_pos"])
+        schema = pa.schema(
+            [
+                pa.field(
+                    "file_path",
+                    pa.string(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483546"},
+                ),
+                pa.field(
+                    "pos",
+                    pa.int64(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483545"},
+                ),
+            ]
+        )
+        name = f"pos-del-{uuid.uuid4()}.parquet"
+        fp = os.path.join(data_dir, name)
+        papq.write_table(
+            pa.table(
+                {"file_path": [rec] * len(poss), "pos": poss},
+                schema=schema,
+            ),
+            fp,
+        )
+        return pd.DataFrame(
+            {
+                "recorded": [rec],
+                "file": [fp],
+                "n": [len(poss)],
+                "size": [os.path.getsize(fp)],
+            }
+        )
+
+    return matched.groupBy("_ice_recorded").applyInPandas(
+        _write_posdel, "recorded string, file string, n long, size long"
+    ).collect()  # bounded: one descriptor row per touched data file
+
+
 def delete_iceberg(
     spark: SparkSession,
     path: str,
@@ -1479,79 +1568,9 @@ def delete_iceberg(
         F.col("_metadata.row_index").alias("_ice_pos"),
     )
     matched = data.filter(predicate).select("_ice_fp", "_ice_pos")
-    map_df = F.broadcast(
-        spark.createDataFrame(
-            [(v, k) for k, (v, _s, _p) in mapping.items()],
-            "_ice_fp string, _ice_recorded string",
-        )
-    )
-    # LEFT join + fail-fast filter (the read path's shape): an inner
-    # join would silently SKIP deleting rows whose path normalization
-    # failed to match — not deleting requested rows is as wrong as
-    # dropping rows
-    matched = matched.join(map_df, "_ice_fp", "left").filter(
-        F.col("_ice_recorded").isNotNull()
-        | F.raise_error(
-            F.concat(
-                F.lit(
-                    "delete_iceberg: matched row's data file missing "
-                    "from the snapshot's file mapping: "
-                ),
-                F.col("_ice_fp"),
-            )
-        ).cast("boolean")
-    )
-    data_dir = os.path.join(path, "data")
-    # UniForm layouts keep data at the table root and have no data/
-    # dir yet — create it before the workers write into it
-    os.makedirs(data_dir, exist_ok=True)
-
-    def _write_posdel(pdf: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-        import pyarrow.parquet as papq
-
-        rec = pdf["_ice_recorded"].iloc[0]
-        poss = sorted(int(p) for p in pdf["_ice_pos"])
-        schema = pa.schema(
-            [
-                pa.field(
-                    "file_path",
-                    pa.string(),
-                    nullable=False,
-                    metadata={b"PARQUET:field_id": b"2147483546"},
-                ),
-                pa.field(
-                    "pos",
-                    pa.int64(),
-                    nullable=False,
-                    metadata={b"PARQUET:field_id": b"2147483545"},
-                ),
-            ]
-        )
-        name = f"pos-del-{uuid.uuid4()}.parquet"
-        fp = os.path.join(data_dir, name)
-        papq.write_table(
-            pa.table(
-                {"file_path": [rec] * len(poss), "pos": poss},
-                schema=schema,
-            ),
-            fp,
-        )
-        return pd.DataFrame(
-            {
-                "recorded": [rec],
-                "file": [fp],
-                "n": [len(poss)],
-                "size": [os.path.getsize(fp)],
-            }
-        )
-
-    touched = matched.groupBy("_ice_recorded").applyInPandas(
-        _write_posdel, "recorded string, file string, n long, size long"
-    ).collect()  # bounded: one descriptor row per touched data file
+    touched = _posdel_files(spark, path, matched, mapping, "delete_iceberg")
     if not touched:
         return {"snapshot_id": None, "deleted_rows": 0, "files_touched": 0}
-
     default_spec = next(
         (
             s
@@ -1700,6 +1719,275 @@ def delete_iceberg(
         "snapshot_id": new_sid,
         "deleted_rows": deleted,
         "files_touched": len(touched),
+    }
+
+
+def update_iceberg(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    _allow_uniform: bool = False,
+) -> dict:
+    """Row-level ``UPDATE ... SET`` on a v2 Iceberg table (new r12 —
+    Java's ``RowDelta`` commit shape, the Iceberg twin of
+    :func:`update_delta`): ONE ``operation=overwrite`` snapshot at
+    the next sequence number carrying
+
+    - POSITION-DELETE files retiring the matched rows (the
+      :func:`delete_iceberg` machinery via :func:`_posdel_files` —
+      no data-file rewrite), and
+    - an appended DATA file of the rewritten rows (parquet field ids
+      stamped from the table schema).
+
+    The spec's scoping makes this atomic-by-construction: position
+    deletes at seq N apply to data files with seq <= N but reference
+    the OLD files by path, so the new data file — at the same seq —
+    is untouched. ``set_exprs`` maps column -> SQL expression, every
+    expression evaluated against the OLD row (standard UPDATE
+    semantics), results cast back to the column's table type.
+
+    Partitioned tables refuse for now (the rewritten rows would need
+    per-partition placement like ``upsert_iceberg``'s data side);
+    format-version 1 refuses (no sequence numbers to scope position
+    deletes). ``rewrite_data_files`` later folds the delete files in.
+
+    Scale: one scan finds the matched rows; per-file delete parquets
+    are written on executors; the rewritten rows go through the
+    distributed parquet writer; the commit appends two manifests to
+    the carried-forward manifest list — KB-scale driver work."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    if not _allow_uniform:
+        _refuse_uniform_iceberg(path, "update_iceberg")
+    meta = json.load(open(_current_metadata_path(path)))
+    if int(meta.get("format-version", 1)) < 2:
+        raise UnsupportedIcebergFeature(
+            "update_iceberg needs format-version 2 — v1 has no "
+            "sequence numbers to scope position deletes"
+        )
+    cur = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"Iceberg table at {path} has no current snapshot")
+    default_spec = next(
+        (
+            s
+            for s in meta.get("partition-specs", [])
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        (meta.get("partition-specs") or [{}])[0],
+    )
+    if default_spec.get("fields"):
+        raise UnsupportedIcebergFeature(
+            "update_iceberg on a PARTITIONED table is not supported "
+            "yet — rewritten rows would need per-partition placement"
+        )
+    fields = _current_schema(path).get("fields", [])
+    tbl_cols = [f["name"] for f in fields]
+    bad = sorted(set(set_exprs) - set(tbl_cols))
+    if bad:
+        raise ValueError(f"update_iceberg: unknown SET columns {bad}")
+    if not set_exprs:
+        raise ValueError("update_iceberg: empty SET clause")
+    mapping, _pos, _eq = _live_files(path, cur)
+    if not mapping:
+        raise FileNotFoundError(
+            f"Iceberg table at {path} has no live data files"
+        )
+    files = sorted(v for v, _s, _p in mapping.values())
+    df = spark.read.option("basePath", path).parquet(*files)
+    keep = [c for c in tbl_cols if c in df.columns]
+    if keep and set(keep) != set(df.columns):
+        df = df.select(*keep)
+    data = df.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"),
+            r"^[A-Za-z0-9+.-]+:(//[^/]*)?",
+            "",
+        ).alias("_ice_fp"),
+        F.col("_metadata.row_index").alias("_ice_pos"),
+    )
+    matched = data.filter(predicate)
+    touched = _posdel_files(
+        spark,
+        path,
+        matched.select("_ice_fp", "_ice_pos"),
+        mapping,
+        "update_iceberg",
+    )
+    if not touched:
+        return {"snapshot_id": None, "updated_rows": 0, "files_touched": 0}
+    # rewritten rows: every SET expression binds the OLD row; types
+    # pinned back via the scanned schema. No parquet field ids — the
+    # exporter's data files carry none, and one id-stamped file in a
+    # multi-file scan makes Spark demand ids from ALL of them
+    # (upsert_iceberg's data side makes the same choice; name
+    # resolution is the layout's contract).
+    old_rows = matched.drop("_ice_fp", "_ice_pos")
+    new_rows = old_rows.select(
+        *[
+            (
+                F.expr(set_exprs[c]).cast(old_rows.schema[c].dataType)
+                if c in set_exprs
+                else F.col(c)
+            ).alias(c)
+            for c in old_rows.columns
+        ]
+    )
+    data_dir = os.path.join(path, "data")
+
+    def _on_disk() -> set:
+        return {
+            os.path.join(root, f)
+            for root, _d, fs in os.walk(data_dir)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith("_")
+        }
+
+    before = _on_disk()
+    new_rows.write.mode("append").parquet(data_dir)
+    new_data = sorted(_on_disk() - before)
+
+    new_sid = int(uuid.uuid4().int % (1 << 62))
+    new_seq = int(meta.get("last-sequence-number") or 0) + 1
+    now_ms = int(time.time() * 1000)
+    md = os.path.join(path, _META_DIR)
+
+    def _entry_schema() -> dict:
+        es = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+        es["fields"][2]["type"]["fields"].insert(
+            1, {"name": "content", "type": "int", "field-id": 134}
+        )
+        return es
+
+    def _mk_manifest(
+        name: str, file_rows: list[tuple[str, int, int]], content: int
+    ) -> tuple[str, int]:
+        entries, rows = [], 0
+        for full, nr, size in file_rows:
+            rows += nr
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": new_sid,
+                    "data_file": {
+                        "content": content,
+                        "file_path": "file://" + full,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": nr,
+                        "file_size_in_bytes": size,
+                    },
+                }
+            )
+        mp = os.path.join(md, name)
+        write_avro(
+            mp,
+            _entry_schema(),
+            entries,
+            metadata={
+                "schema": json.dumps(_current_schema(path)).encode(),
+                "schema-id": b"0",
+                "partition-spec": json.dumps([]).encode(),
+                "partition-spec-id": str(
+                    default_spec.get("spec-id", 0)
+                ).encode(),
+                "format-version": b"2",
+                "content": b"data" if content == 0 else b"deletes",
+            },
+        )
+        return mp, rows
+
+    data_mp, updated = _mk_manifest(
+        f"manifest-{new_sid}-upd-data.avro",
+        [
+            (
+                f,
+                pq.ParquetFile(f).metadata.num_rows,
+                os.path.getsize(f),
+            )
+            for f in new_data
+        ],
+        0,
+    )
+    del_mp, del_positions = _mk_manifest(
+        f"manifest-{new_sid}-upd-del.avro",
+        [(r["file"], int(r["n"]), int(r["size"])) for r in
+         sorted(touched, key=lambda r: r["recorded"])],
+        1,
+    )
+    mlist_schema, old_mrows = read_avro(_resolve(snap["manifest-list"], path))
+
+    def _mlist_row(mp: str, content: int, n_files: int, n_rows: int):
+        full = {
+            "manifest_path": "file://" + mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": default_spec.get("spec-id", 0),
+            "added_snapshot_id": new_sid,
+            "content": content,
+            "sequence_number": new_seq,
+            "min_sequence_number": new_seq,
+            "added_files_count": n_files,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+        return {
+            f["name"]: full.get(f["name"])
+            for f in mlist_schema["fields"]
+        }
+
+    mlist_rows = list(old_mrows) + [
+        _mlist_row(data_mp, 0, len(new_data), updated),
+        _mlist_row(del_mp, 1, len(touched), del_positions),
+    ]
+    new_mlist = os.path.join(md, f"snap-{new_sid}.avro")
+    write_avro(
+        new_mlist,
+        mlist_schema,
+        mlist_rows,
+        metadata={
+            "format-version": b"2",
+            "snapshot-id": str(new_sid).encode(),
+        },
+    )
+    new_snap = {
+        "snapshot-id": new_sid,
+        "parent-snapshot-id": cur,
+        "sequence-number": new_seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": "file://" + new_mlist,
+        "summary": {
+            "operation": "overwrite",
+            "added-data-files": str(len(new_data)),
+            "added-delete-files": str(len(touched)),
+            "added-position-deletes": str(del_positions),
+            "added-records": str(updated),
+        },
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = new_seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [new_snap]
+    new_meta["current-snapshot-id"] = new_sid
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": new_sid}
+    ]
+    _commit_metadata(path, new_meta)
+    return {
+        "snapshot_id": new_sid,
+        "updated_rows": updated,
+        "files_touched": len(touched),
+        "new_files": len(new_data),
     }
 
 

@@ -1722,3 +1722,78 @@ def test_as_of_timestamp_fallback_skips_untimestamped_snapshots(
             read_iceberg(spark, path, as_of_timestamp_ms=2500).collect(),
         )
     ) == [(1, "a"), (2, "b")]
+
+
+def test_update_iceberg_rowdelta_commit(spark, tmp_path):
+    """r12: update_iceberg commits ONE overwrite snapshot carrying
+    position deletes for the matched rows + a data file of rewritten
+    rows (Java's RowDelta shape); reads serve the post-update state;
+    pre-update time travel still serves the old rows; SET exprs bind
+    the OLD row; updates stack and compose with delete_iceberg;
+    guards refuse v1 / partitioned / unknown columns."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        delete_iceberg,
+        rewrite_data_files,
+        update_iceberg,
+    )
+
+    path = str(tmp_path / "ice_upd")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string, n long")
+    export_iceberg(
+        mk([(i, f"v{i}", i * 10) for i in range(6)]), path,
+        format_version=2,
+    )
+    pre_sid = json.load(
+        open(tmp_path / "ice_upd" / "metadata" / "v1.metadata.json")
+    )["current-snapshot-id"]
+
+    res = update_iceberg(
+        spark, path, "id >= 4", {"v": "concat('U-', v)", "n": "n + 1"}
+    )
+    assert res["updated_rows"] == 2 and res["new_files"] >= 1
+    C = lambda df: Counter(map(tuple, df.collect()))
+    want = Counter(
+        {(i, f"v{i}", i * 10): 1 for i in range(4)}
+        | {(4, "U-v4", 41): 1, (5, "U-v5", 51): 1}
+    )
+    assert C(read_iceberg(spark, path)) == want
+    # pre-update snapshot still serves the old rows
+    assert C(read_iceberg(spark, path, snapshot_id=pre_sid)) == Counter(
+        {(i, f"v{i}", i * 10): 1 for i in range(6)}
+    )
+    # SET expressions all bind the OLD row (swap test)
+    update_iceberg(
+        spark, path, "id = 0",
+        {"v": "cast(n as string)", "n": "length(v)"},
+    )
+    row = read_iceberg(spark, path).filter("id = 0").collect()[0]
+    assert (row.v, row.n) == ("0", 2)
+    # composes with delete_iceberg, and rewrite folds it all in
+    delete_iceberg(spark, path, "id = 4")
+    want2 = Counter(
+        {(0, "0", 2): 1, (1, "v1", 10): 1, (2, "v2", 20): 1,
+         (3, "v3", 30): 1, (5, "U-v5", 51): 1}
+    )
+    assert C(read_iceberg(spark, path)) == want2
+    rewrite_data_files(spark, path)
+    assert C(read_iceberg(spark, path)) == want2
+    # guards
+    with pytest.raises(ValueError, match="unknown SET"):
+        update_iceberg(spark, path, "id = 1", {"zz": "'x'"})
+    p1 = str(tmp_path / "ice_v1")
+    export_iceberg(mk([(1, "a", 1)]), p1, format_version=1)
+    with pytest.raises(UnsupportedIcebergFeature, match="format-version 2"):
+        update_iceberg(spark, p1, "id = 1", {"v": "'x'"})
+    pp = str(tmp_path / "ice_part")
+    export_iceberg(
+        mk([(1, "a", 1), (2, "b", 2)]), pp, format_version=2,
+        partition_by=["v"],
+    )
+    with pytest.raises(UnsupportedIcebergFeature, match="PARTITIONED"):
+        update_iceberg(spark, pp, "id = 1", {"n": "0"})
+    # no-match update commits nothing
+    assert update_iceberg(spark, path, "id = 999", {"n": "0"})[
+        "snapshot_id"
+    ] is None

@@ -29,6 +29,7 @@ from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop imp
     rewrite_data_files,
     rewrite_manifests,
     snapshots,
+    update_iceberg,
     upsert_iceberg,
 )
 
@@ -65,7 +66,7 @@ def test_random_iceberg_maintenance_matches_model(
     for step in range(12):
         op = rng.choice(
             ["append", "append", "expire", "rewrite", "rewrite_data",
-             "delete", "upsert"]
+             "delete", "upsert", "update"]
         )
         if op == "upsert":
             # equality-delete upsert commit (new r11): per batch key,
@@ -99,6 +100,39 @@ def test_random_iceberg_maintenance_matches_model(
                 + Counter(batch),
                 Counter(),
             )
+            lineage.append(sid)
+            data_rewrites.add(sid)  # gates the incremental refusal
+        elif op == "update":
+            # RowDelta UPDATE commit (new r12): position deletes for
+            # the matched rows + a rewritten data file in ONE
+            # snapshot; non-append, so incremental ranges crossing it
+            # refuse. v1 refuses outright.
+            live_ids = sorted({k[0] for k in model[lineage[-1]][0]})
+            if not live_ids:
+                continue
+            victims = rng.sample(
+                live_ids, rng.randint(1, min(3, len(live_ids)))
+            )
+            pred = f"id IN ({', '.join(map(str, victims))})"
+            set_exprs = {"v": f"concat('U{step}_', v)"}
+            if fv == 1:
+                with pytest.raises(
+                    UnsupportedIcebergFeature, match="format-version 2"
+                ):
+                    update_iceberg(spark, path, pred, set_exprs)
+                continue
+            res = update_iceberg(spark, path, pred, set_exprs)
+            assert res["updated_rows"] == len(victims)
+            sid = snapshots(path)[-1]["snapshot_id"]
+            gone = set(victims)
+            cur_rows = model[lineage[-1]][0]
+            new_rows = Counter(
+                {k: c for k, c in cur_rows.items() if k[0] not in gone}
+            )
+            for k, c in cur_rows.items():
+                if k[0] in gone:
+                    new_rows[(k[0], f"U{step}_{k[1]}")] += c
+            model[sid] = (new_rows, Counter())
             lineage.append(sid)
             data_rewrites.add(sid)  # gates the incremental refusal
         elif op == "delete":
@@ -148,10 +182,14 @@ def test_random_iceberg_maintenance_matches_model(
             rewrite_manifests(path)
             # compaction commits a REAL replace snapshot: same rows,
             # empty delta (incremental reads skip it, like Java's
-            # IncrementalAppendScan ignores metadata-only REPLACE)
+            # IncrementalAppendScan ignores metadata-only REPLACE).
+            # With <=1 data manifest it is a NO-OP committing nothing
+            # — appending the unchanged sid would duplicate lineage
+            # (latent bug exposed by the r12 op mix)
             sid = snapshots(path)[-1]["snapshot_id"]
-            model[sid] = (Counter(model[lineage[-1]][0]), Counter())
-            lineage.append(sid)
+            if sid != lineage[-1]:
+                model[sid] = (Counter(model[lineage[-1]][0]), Counter())
+                lineage.append(sid)
         else:  # rewrite_data (bin-pack compaction, new r10)
             res = rewrite_data_files(spark, path)
             # a commit happens when >1 live file OR live deletes need
