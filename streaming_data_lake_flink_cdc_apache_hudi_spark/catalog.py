@@ -989,6 +989,144 @@ class TableRegistry:
             [(name, n)], "table STRING, updated_rows BIGINT"
         )
 
+    def _execute_path_dml(self, statement: str) -> DataFrame | None:
+        """Interop DML through SQL (new r12 — VERDICT r11 ask #6):
+        Spark SQL's path-table spelling dispatched to the interop
+        mutators, so exported lake tables take the same statements
+        engine tables do:
+
+          DELETE FROM delta.`/path` [WHERE <cond>]   -> delete_delta
+          DELETE FROM iceberg.`/path` [WHERE <cond>] -> delete_iceberg
+          DELETE FROM hudi.`/path` [WHERE <cond>]    -> delete_hudi
+          DELETE FROM uniform.`/path` [WHERE <cond>] -> delete_uniform
+          UPDATE delta.`/path` SET c = expr[, ...] [WHERE <cond>]
+                                                     -> update_delta
+          UPDATE iceberg.`/path` SET ...             -> update_iceberg
+          UPDATE hudi.`/path` SET ...                -> keyed upsert of
+                       the rewritten matched rows (upsert_hudi; SET
+                       on the record key refuses — key changes are a
+                       delete + insert)
+
+        Single-format mutators keep their UniForm refusal (a
+        ``delta.``/``iceberg.`` statement against a UniForm directory
+        raises; spell it ``uniform.`` to commit BOTH formats'
+        encodings). UPDATE on ``uniform.`` refuses until a
+        dual-format update write side exists. MERGE stays Python-API
+        (``upsert_iceberg`` / ``upsert_hudi``). Returns None when the
+        statement is not path-table DML."""
+        import re as _re
+
+        dm = _re.match(
+            r"^\s*DELETE\s+FROM\s+(delta|iceberg|hudi|uniform)\s*\.\s*"
+            r"`([^`]+)`(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+            statement.strip(),
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if dm:
+            fmt, path, cond = (
+                dm.group(1).lower(),
+                dm.group(2),
+                dm.group(3) or "true",
+            )
+            if fmt == "delta":
+                from .sources.delta_interop import delete_delta
+
+                n = delete_delta(self.spark, path, cond)["deleted_rows"]
+            elif fmt == "iceberg":
+                from .sources.iceberg_interop import delete_iceberg
+
+                n = delete_iceberg(self.spark, path, cond)["deleted_rows"]
+            elif fmt == "hudi":
+                from .sources.hudi_interop import delete_hudi
+
+                n = delete_hudi(self.spark, path, cond)["deleted_keys"]
+            else:
+                from .sources.uniform import delete_uniform
+
+                n = delete_uniform(self.spark, path, cond)["deleted_rows"]
+            return self.spark.createDataFrame(
+                [(f"{fmt}.`{path}`", int(n))],
+                "table STRING, deleted_rows BIGINT",
+            )
+        um = _re.match(
+            r"^\s*UPDATE\s+(delta|iceberg|hudi|uniform)\s*\.\s*"
+            r"`([^`]+)`\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+            statement.strip(),
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if not um:
+            return None
+        fmt, path, set_text, cond = (
+            um.group(1).lower(),
+            um.group(2),
+            um.group(3),
+            um.group(4) or "true",
+        )
+        set_exprs: dict[str, str] = {}
+        for part in _split_assignments(set_text):
+            lhs, _, rhs = part.partition("=")
+            if not rhs:
+                raise ValueError(f"UPDATE SET: malformed assignment {part!r}")
+            set_exprs[lhs.strip().strip("`")] = rhs.strip()
+        if fmt == "delta":
+            from .sources.delta_interop import update_delta
+
+            n = update_delta(self.spark, path, cond, set_exprs)[
+                "updated_rows"
+            ]
+        elif fmt == "iceberg":
+            from .sources.iceberg_interop import update_iceberg
+
+            n = update_iceberg(self.spark, path, cond, set_exprs)[
+                "updated_rows"
+            ]
+        elif fmt == "hudi":
+            from pyspark.sql import functions as F
+
+            from .sources.hudi_interop import (
+                _record_key_fields,
+                read_hudi,
+                upsert_hudi,
+            )
+
+            keys = set(_record_key_fields(path))
+            bad = sorted(keys & set(set_exprs))
+            if bad:
+                raise ValueError(
+                    f"UPDATE SET: {bad} are record-key columns; key "
+                    "changes are a delete + insert"
+                )
+            view = read_hudi(self.spark, path)
+            payload = [
+                c for c in view.columns if not c.startswith("_hoodie_")
+            ]
+            unknown = sorted(set(set_exprs) - set(payload))
+            if unknown:
+                raise ValueError(f"UPDATE SET: unknown columns {unknown}")
+            matched = view.filter(cond)
+            rewritten = matched.select(
+                *[
+                    (
+                        F.expr(set_exprs[c]).cast(view.schema[c].dataType)
+                        if c in set_exprs
+                        else F.col(c)
+                    ).alias(c)
+                    for c in payload
+                ]
+            )
+            res = upsert_hudi(self.spark, path, rewritten)
+            n = res["upserted_rows"]
+        else:
+            raise ValueError(
+                "UPDATE uniform.`...` has no dual-format write side "
+                "yet — run the per-format statement on a single-format "
+                "export, or use the Python API"
+            )
+        return self.spark.createDataFrame(
+            [(f"{fmt}.`{path}`", int(n))],
+            "table STRING, updated_rows BIGINT",
+        )
+
     def execute_ddl(self, statement: str) -> DataFrame | None:
         """Route a CREATE/DROP TABLE connector-DDL string — or an
         INSERT INTO / MERGE INTO an upsert table — into the registry
@@ -1082,6 +1220,9 @@ class TableRegistry:
                 rows or [("", "", "", "")],
                 "name STRING, kind STRING, path STRING, key STRING",
             ).filter(F.col("name") != "")
+        pdml = self._execute_path_dml(statement)
+        if pdml is not None:
+            return pdml
         ins = self._execute_insert(statement)
         if ins is not None:
             return ins

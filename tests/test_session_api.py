@@ -1200,3 +1200,88 @@ def test_dml_bloom_prune_dtype_aware_probe(spark, tmp_path):
     got = {r["id"]: r for r in eng.sql("SELECT * FROM ddml").collect()}
     assert 5 not in got and 7 not in got and 9 not in got
     assert got[8]["qty"] == 999
+
+
+def test_sql_path_dml_routes_to_interop_mutators(spark, tmp_path):
+    """r12 (VERDICT r11 ask #6): DELETE FROM / UPDATE against
+    format.`path` tables dispatch to the interop mutators for all
+    three single formats plus UniForm; single-format statements
+    against a UniForm directory keep their refusal; uniform UPDATE
+    refuses (no dual-format write side yet)."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        UnsupportedDeltaFeature,
+        export_delta,
+        read_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        export_hudi_cow,
+        read_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.uniform import (
+        export_uniform,
+    )
+
+    eng = EngineSession(spark=spark)
+    mk = lambda: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "id long, v string"
+    )
+
+    # Delta
+    d = str(tmp_path / "d")
+    export_delta(mk().coalesce(1), d)
+    res = eng.sql(f"DELETE FROM delta.`{d}` WHERE id < 2").collect()[0]
+    assert res.deleted_rows == 2
+    res = eng.sql(
+        f"UPDATE delta.`{d}` SET v = concat('U-', v) WHERE id = 7"
+    ).collect()[0]
+    assert res.updated_rows == 1
+    got = {(r.id, r.v) for r in read_delta(spark, d).collect()}
+    assert got == {(i, f"v{i}") for i in range(2, 7)} | {(7, "U-v7")}
+
+    # Iceberg (v2)
+    i = str(tmp_path / "i")
+    export_iceberg(mk(), i, format_version=2)
+    assert eng.sql(f"DELETE FROM iceberg.`{i}` WHERE id >= 6").collect()[
+        0
+    ].deleted_rows == 2
+    assert eng.sql(
+        f"UPDATE iceberg.`{i}` SET v = 'X' WHERE id = 0"
+    ).collect()[0].updated_rows == 1
+    got = {(r.id, r.v) for r in read_iceberg(spark, i).collect()}
+    assert got == {(0, "X")} | {(i_, f"v{i_}") for i_ in range(1, 6)}
+
+    # Hudi (UPDATE = keyed upsert of rewritten rows; key SET refuses)
+    h = str(tmp_path / "h")
+    export_hudi_cow(mk(), h, record_key="id", num_files=2)
+    assert eng.sql(f"DELETE FROM hudi.`{h}` WHERE id IN (1, 2)").collect()[
+        0
+    ].deleted_rows == 2
+    assert eng.sql(
+        f"UPDATE hudi.`{h}` SET v = upper(v) WHERE id > 5"
+    ).collect()[0].updated_rows == 2
+    got = {(r.id, r.v) for r in read_hudi(spark, h).select("id", "v").collect()}
+    assert got == {(0, "v0"), (3, "v3"), (4, "v4"), (5, "v5"),
+                   (6, "V6"), (7, "V7")}
+    with _pytest.raises(ValueError, match="record-key"):
+        eng.sql(f"UPDATE hudi.`{h}` SET id = id + 1")
+
+    # UniForm: dual-format delete; single-format statements refuse
+    u = str(tmp_path / "u")
+    export_uniform(mk().coalesce(1), u, format_version=2)
+    with _pytest.raises(UnsupportedDeltaFeature, match="[Uu]ni[Ff]orm"):
+        eng.sql(f"DELETE FROM delta.`{u}` WHERE id = 0")
+    assert eng.sql(f"DELETE FROM uniform.`{u}` WHERE id % 2 = 0").collect()[
+        0
+    ].deleted_rows == 4
+    want = {(i_, f"v{i_}") for i_ in range(8) if i_ % 2 == 1}
+    assert {(r.id, r.v) for r in read_delta(spark, u).collect()} == want
+    assert {(r.id, r.v) for r in read_iceberg(spark, u).collect()} == want
+    with _pytest.raises(ValueError, match="dual-format"):
+        eng.sql(f"UPDATE uniform.`{u}` SET v = 'x'")
