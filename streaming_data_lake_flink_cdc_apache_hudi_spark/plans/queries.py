@@ -3123,6 +3123,70 @@ def q_delta_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_branch_read",
+    """
+SELECT s_suppkey, s_name FROM supplier WHERE NOT (s_suppkey % 3 = 0)
+UNION ALL
+SELECT s_suppkey + 100000 AS s_suppkey,
+       concat('B-', s_name) AS s_name
+FROM supplier WHERE s_nationkey < 5
+""",
+    doc="Writable Iceberg BRANCH refs (new r12 — the v2 refs map's "
+    "other half, Java's createBranch/toBranch, complementing r11 "
+    "tags), value-oracled: supplier exports as v2, branch_iceberg "
+    "creates 'audit' at the head, then a DELETE (s_suppkey % 3 = 0) "
+    "and an APPEND (shifted-key 'B-…' rows) advance the BRANCH via "
+    "branch= — while a separate append lands on MAIN. "
+    "read_iceberg(ref='audit') must equal the branch-only oracle "
+    "(main's extra rows must NOT leak in), and a guard (main read "
+    "minus the expected main state, riding the value hash as extra "
+    "rows when wrong) pins that branch commits never moved the main "
+    "lineage. expire_snapshots(keep_last=1) runs before the read — "
+    "branch ancestors must survive ref-aware retention.",
+)
+def q_iceberg_branch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.iceberg_interop import (
+        branch_iceberg,
+        delete_iceberg,
+        expire_snapshots,
+        export_iceberg,
+        read_iceberg,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    sn = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="ice_branch_read_")
+    t = f"{root}/t"
+    export_iceberg(s, t, format_version=2)
+    branch_iceberg(t, "audit")
+    appended = sn.filter("s_nationkey < 5").select(
+        (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+        F.concat(F.lit("B-"), F.col("s_name")).alias("s_name"),
+    )
+    delete_iceberg(spark, t, "s_suppkey % 3 = 0", branch="audit")
+    export_iceberg(appended, t, mode="append", branch="audit")
+    # main gets its own append the branch must not see
+    main_extra = s.limit(7).select(
+        (F.col("s_suppkey") + 900000).alias("s_suppkey"), "s_name"
+    )
+    export_iceberg(main_extra, t, mode="append")
+    expire_snapshots(t, keep_last=1)
+    cols = ["s_suppkey", "s_name"]
+    branch = read_iceberg(spark, t, ref="audit").select(*cols)
+    main = read_iceberg(spark, t).select(*cols)
+    expect_main = s.unionAll(main_extra)
+    return branch.unionAll(main.exceptAll(expect_main)).unionAll(
+        expect_main.exceptAll(main)
+    )
+
+
+@register(
     "iceberg_update_read",
     """
 SELECT n_nationkey,

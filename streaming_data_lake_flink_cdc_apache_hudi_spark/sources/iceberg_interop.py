@@ -691,10 +691,20 @@ def expire_snapshots(
     if cur is not None:
         keep_ids.add(cur)  # never expire the current snapshot
     # named refs pin their snapshots (Java's retention rule: tagged
-    # snapshots survive expiry until the ref is dropped — new r11)
+    # snapshots survive expiry until the ref is dropped — new r11).
+    # BRANCH refs additionally retain their ANCESTOR chain (new r12):
+    # a branch is a writable lineage, so time travel and changelog
+    # scans along it must keep working until the ref is dropped
     for ref in (meta.get("refs") or {}).values():
-        if ref.get("snapshot-id") in by_id:
-            keep_ids.add(ref["snapshot-id"])
+        sid = ref.get("snapshot-id")
+        if sid not in by_id:
+            continue
+        keep_ids.add(sid)
+        if ref.get("type") == "branch":
+            c = by_id[sid].get("parent-snapshot-id")
+            while c in by_id and c not in keep_ids:
+                keep_ids.add(c)
+                c = by_id[c].get("parent-snapshot-id")
     expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
     removed = {
         "expired_snapshots": len(expired),
@@ -1494,6 +1504,7 @@ def delete_iceberg(
     path: str,
     predicate: str,
     _allow_uniform: bool = False,
+    branch: str | None = None,
 ) -> dict:
     """Row-level DELETE on a v2 Iceberg table via POSITION-DELETE
     files (new r11 — the write side of the reader's v2 delete support
@@ -1541,6 +1552,16 @@ def delete_iceberg(
             "sequence numbers to scope position deletes"
         )
     cur = meta.get("current-snapshot-id")
+    if branch is not None:
+        # branch-scoped delete (new r12): the parent is the BRANCH
+        # head; the commit advances only refs[branch]
+        r = (meta.get("refs") or {}).get(branch)
+        if r is None or r.get("type") != "branch":
+            raise ValueError(
+                f"branch {branch!r} not in table refs — create it "
+                "with branch_iceberg(path, name) first"
+            )
+        cur = r["snapshot-id"]
     snap = next(
         (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
         None,
@@ -1710,10 +1731,15 @@ def delete_iceberg(
     new_meta["last-sequence-number"] = new_seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["snapshots"] = list(meta.get("snapshots", [])) + [new_snap]
-    new_meta["current-snapshot-id"] = new_sid
-    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
-        {"timestamp-ms": now_ms, "snapshot-id": new_sid}
-    ]
+    if branch is not None:
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {"snapshot-id": new_sid, "type": "branch"}
+        new_meta["refs"] = refs
+    else:
+        new_meta["current-snapshot-id"] = new_sid
+        new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now_ms, "snapshot-id": new_sid}
+        ]
     _commit_metadata(path, new_meta)
     return {
         "snapshot_id": new_sid,
@@ -2015,6 +2041,35 @@ def tag_iceberg(
     return {"name": name, "snapshot_id": snapshot_id}
 
 
+def branch_iceberg(
+    path: str, name: str, snapshot_id: int | None = None
+) -> dict:
+    """Create or move a named BRANCH ref (new r12 — the writable half
+    of the v2 ``refs`` map, Java's ``manageSnapshots().createBranch``
+    — complementing r11's tags): points ``refs[name]`` (type
+    ``branch``) at ``snapshot_id`` (default current) in one
+    metadata-only commit. Writers advance it via their ``branch=``
+    argument (``export_iceberg(mode='append', branch=...)``,
+    ``delete_iceberg(branch=...)``) WITHOUT moving the main lineage;
+    ``read_iceberg(ref=name)`` resolves the branch head;
+    ``read_iceberg_changelog(ref=name)`` scopes the change scan to
+    it; ``expire_snapshots`` retains the branch head AND its
+    ancestors until ``drop_ref_iceberg`` removes the ref."""
+    meta = json.load(open(_current_metadata_path(path)))
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    if snapshot_id not in by_id:
+        raise ValueError(f"snapshot {snapshot_id} not in table metadata")
+    new_meta = dict(meta)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": snapshot_id, "type": "branch"}
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(path, new_meta)
+    return {"name": name, "snapshot_id": snapshot_id}
+
+
 def drop_ref_iceberg(path: str, name: str) -> dict:
     """Remove a named ref; its snapshot becomes expirable again."""
     meta = json.load(open(_current_metadata_path(path)))
@@ -2073,6 +2128,7 @@ def read_iceberg_changelog(
     path: str,
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """CHANGELOG scan (new r11 — Java's ``ChangelogScan`` /
     ``create_changelog_view``): every row-level change committed by
@@ -2109,6 +2165,15 @@ def read_iceberg_changelog(
         raise ValueError(
             f"snapshot {from_snapshot_id} not in table metadata"
         )
+    if ref is not None:
+        # scope the scan to a named ref's head (new r12 — branch-
+        # scoped changelog; works for tags too)
+        if to_snapshot_id is not None:
+            raise ValueError("ref is exclusive with to_snapshot_id")
+        r = (meta.get("refs") or {}).get(ref)
+        if r is None:
+            raise ValueError(f"ref {ref!r} not in table metadata")
+        to_snapshot_id = r.get("snapshot-id")
     if to_snapshot_id is None:
         to_snapshot_id = meta.get("current-snapshot-id")
     if to_snapshot_id not in by_id:
@@ -2790,6 +2855,7 @@ def export_iceberg(
     format_version: int = 1,
     data_files: Sequence[str] | None = None,
     mode: str = "overwrite",
+    branch: str | None = None,
 ) -> int:
     """Write ``df`` as a new single-snapshot Iceberg table at
     ``path`` (filesystem catalog layout: data/ parquet + metadata/
@@ -2858,9 +2924,26 @@ def export_iceberg(
         raise ValueError(f"format_version must be 1 or 2, got {format_version}")
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if branch is not None and mode != "append":
+        raise ValueError("branch= needs mode='append' (a branch commit "
+                         "advances an existing lineage)")
     prev_meta: dict | None = None
+    append_head: int | None = None
     if mode == "append":
         prev_meta = json.load(open(_current_metadata_path(path)))
+        # branch commits (new r12 — the writable half of the v2 refs
+        # map, Java's toBranch): the parent is the BRANCH head, not
+        # the table's current snapshot, and the commit advances only
+        # refs[branch] — main lineage and snapshot-log stay put
+        append_head = prev_meta.get("current-snapshot-id")
+        if branch is not None:
+            r = (prev_meta.get("refs") or {}).get(branch)
+            if r is None or r.get("type") != "branch":
+                raise ValueError(
+                    f"branch {branch!r} not in table refs — create it "
+                    "with branch_iceberg(path, name) first"
+                )
+            append_head = r["snapshot-id"]
         format_version = int(prev_meta.get("format-version", 1))
         prev_fields = _current_schema(path).get("fields", [])
         new_fields = _iceberg_schema(df)["fields"]
@@ -3231,7 +3314,7 @@ def export_iceberg(
         prev_snap = next(
             s
             for s in prev_meta["snapshots"]
-            if s["snapshot-id"] == prev_meta.get("current-snapshot-id")
+            if s["snapshot-id"] == append_head
         )
         _, prev_rows = read_avro(_resolve(prev_snap["manifest-list"], path))
         schema_names = [f["name"] for f in mlist_schema["fields"]]
@@ -3258,7 +3341,7 @@ def export_iceberg(
     if prev_meta is not None:
         new_snap = {
             "snapshot-id": snapshot_id,
-            "parent-snapshot-id": prev_meta.get("current-snapshot-id"),
+            "parent-snapshot-id": append_head,
             "timestamp-ms": now_ms,
             **(
                 {"sequence-number": new_seq}
@@ -3279,12 +3362,21 @@ def export_iceberg(
         new_meta["snapshots"] = list(prev_meta.get("snapshots", [])) + [
             new_snap
         ]
-        new_meta["current-snapshot-id"] = snapshot_id
-        # extend snapshot-log so timestamp-based history matches real
-        # Iceberg writers (ADVICE r9: append never grew the log)
-        new_meta["snapshot-log"] = list(
-            prev_meta.get("snapshot-log", [])
-        ) + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+        if branch is not None:
+            # advance ONLY the branch head; the main lineage and the
+            # snapshot-log (which tracks current-table-state changes,
+            # per the spec) are untouched
+            refs = dict(prev_meta.get("refs") or {})
+            refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+            new_meta["refs"] = refs
+        else:
+            new_meta["current-snapshot-id"] = snapshot_id
+            # extend snapshot-log so timestamp-based history matches
+            # real Iceberg writers (ADVICE r9: append never grew the
+            # log)
+            new_meta["snapshot-log"] = list(
+                prev_meta.get("snapshot-log", [])
+            ) + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
         _commit_metadata(path, new_meta)
         return n_files
     meta = {

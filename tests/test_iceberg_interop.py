@@ -1797,3 +1797,73 @@ def test_update_iceberg_rowdelta_commit(spark, tmp_path):
     assert update_iceberg(spark, path, "id = 999", {"n": "0"})[
         "snapshot_id"
     ] is None
+
+
+def test_iceberg_branch_refs_round_trip(spark, tmp_path):
+    """r12: writable BRANCH refs — branch_iceberg creates the ref;
+    export append and delete_iceberg advance it via branch= without
+    moving the main lineage; read_iceberg(ref=) resolves the head;
+    read_iceberg_changelog(ref=) scopes to the branch; expire
+    retains the branch's ancestors until the ref drops; guards
+    refuse unknown branches and branch= on overwrite."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        branch_iceberg,
+        delete_iceberg,
+        drop_ref_iceberg,
+        expire_snapshots,
+        read_iceberg_changelog,
+        snapshots,
+    )
+
+    path = str(tmp_path / "ice_branch")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_iceberg(mk([(1, "a"), (2, "b")]), path, format_version=2)
+    main0 = snapshots(path)[-1]["snapshot_id"]
+    res = branch_iceberg(path, "audit")
+    assert res["snapshot_id"] == main0
+
+    # commits on the branch do not move main
+    export_iceberg(mk([(3, "c")]), path, mode="append", branch="audit")
+    delete_iceberg(spark, path, "id = 1", branch="audit")
+    C = lambda df: Counter(map(tuple, df.collect()))
+    assert C(read_iceberg(spark, path)) == Counter(
+        {(1, "a"): 1, (2, "b"): 1}
+    )
+    assert C(read_iceberg(spark, path, ref="audit")) == Counter(
+        {(2, "b"): 1, (3, "c"): 1}
+    )
+    # main keeps its own lineage: a main append is invisible to the
+    # branch
+    export_iceberg(mk([(9, "z")]), path, mode="append")
+    assert C(read_iceberg(spark, path, ref="audit")) == Counter(
+        {(2, "b"): 1, (3, "c"): 1}
+    )
+    assert C(read_iceberg(spark, path)) == Counter(
+        {(1, "a"): 1, (2, "b"): 1, (9, "z"): 1}
+    )
+    # changelog scoped to the branch: insert(3) then delete(1)
+    got = C(read_iceberg_changelog(spark, path, main0, ref="audit"))
+    assert got == Counter(
+        {(3, "c", "insert", 0): 1, (1, "a", "delete", 1): 1}
+    )
+    # expire keeps the branch's ancestors; after dropping the ref
+    # they become expirable
+    expire_snapshots(path, keep_last=1)
+    assert C(read_iceberg(spark, path, ref="audit")) == Counter(
+        {(2, "b"): 1, (3, "c"): 1}
+    )
+    drop_ref_iceberg(path, "audit")
+    expire_snapshots(path, keep_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ref"):
+        read_iceberg(spark, path, ref="audit")
+    # guards
+    with _pytest.raises(ValueError, match="branch"):
+        export_iceberg(mk([(7, "q")]), path, mode="append", branch="nope")
+    with _pytest.raises(ValueError, match="append"):
+        export_iceberg(mk([(7, "q")]), path, branch="audit")
+    with _pytest.raises(ValueError, match="branch"):
+        delete_iceberg(spark, path, "id = 9", branch="nope")
