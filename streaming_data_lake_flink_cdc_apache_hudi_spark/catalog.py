@@ -1118,9 +1118,10 @@ class TableRegistry:
             n = res["upserted_rows"]
         else:
             raise ValueError(
-                "UPDATE uniform.`...` has no dual-format write side "
-                "yet — run the per-format statement on a single-format "
-                "export, or use the Python API"
+                "UPDATE uniform.`...` cannot route: a dual-format "
+                "update is a keyed upsert (upsert_uniform) and the "
+                "statement carries no record key — use "
+                "upsert_uniform(path, df, key_cols) directly"
             )
         return self.spark.createDataFrame(
             [(f"{fmt}.`{path}`", int(n))],

@@ -3065,6 +3065,63 @@ def q_uniform_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "uniform_upsert_read",
+    """
+SELECT p_partkey,
+       CASE WHEN p_size < 10 THEN concat('U-', p_name)
+            ELSE p_name END AS p_name,
+       p_size
+FROM part
+UNION ALL
+SELECT p_partkey + 500000 AS p_partkey,
+       concat('N-', p_name) AS p_name, p_size
+FROM part WHERE p_partkey % 9 = 0
+""",
+    doc="UniForm keyed UPSERT (new r12 — the r11 VERDICT's stretch "
+    "goal, completing the dual-format DML surface next to "
+    "delete_uniform): the batch's rows are written ONCE as shared "
+    "parquet, then the Delta leg commits DV re-adds retiring the "
+    "old rows of the batch's keys plus adds for the new files, and "
+    "the Iceberg leg commits equality deletes + a data manifest over "
+    "the SAME injected files. part exports as a v2 UniForm table, "
+    "then upsert_uniform updates every p_size < 10 row's name to "
+    "'U-…' and inserts shifted-key 'N-…' rows — the CASE-WHEN ∪ "
+    "inserted-rows oracle. Returns the Delta view plus a two-sided "
+    "exceptAll lockstep guard against the Iceberg view riding the "
+    "value hash — rows only match if BOTH formats serve exactly the "
+    "post-upsert state.",
+)
+def q_uniform_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import read_delta
+    from ..sources.iceberg_interop import read_iceberg
+    from ..sources.uniform import export_uniform, upsert_uniform
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size"
+    )
+    root = tempfile.mkdtemp(prefix="uniform_ups_")
+    t = f"{root}/t"
+    export_uniform(p, t, format_version=2)
+    updates = p.filter("p_size < 10").select(
+        "p_partkey",
+        F.concat(F.lit("U-"), F.col("p_name")).alias("p_name"),
+        "p_size",
+    )
+    inserts = p.filter("p_partkey % 9 = 0").select(
+        (F.col("p_partkey") + 500000).alias("p_partkey"),
+        F.concat(F.lit("N-"), F.col("p_name")).alias("p_name"),
+        "p_size",
+    )
+    upsert_uniform(spark, t, updates.unionAll(inserts), ["p_partkey"])
+    cols = ["p_partkey", "p_name", "p_size"]
+    d = read_delta(spark, t).select(*cols)
+    i = read_iceberg(spark, t).select(*cols)
+    return d.unionAll(d.exceptAll(i)).unionAll(i.exceptAll(d))
+
+
+@register(
     "delta_cdf_read",
     """
 SELECT s_suppkey, s_name, 'insert' AS change, CAST(0 AS BIGINT) AS ver

@@ -2259,6 +2259,8 @@ def upsert_iceberg(
     df: DataFrame | None,
     key_cols: Sequence[str],
     deletes: DataFrame | None = None,
+    data_files: Sequence[str] | None = None,
+    _allow_uniform: bool = False,
 ) -> dict:
     """Keyed UPSERT commit on a v2 Iceberg table — the Flink Iceberg
     sink's UPSERT-mode shape (new r11): ONE ``overwrite`` snapshot
@@ -2301,7 +2303,8 @@ def upsert_iceberg(
     driver work."""
     import pyarrow.parquet as pq
 
-    _refuse_uniform_iceberg(path, "upsert_iceberg")
+    if not _allow_uniform:
+        _refuse_uniform_iceberg(path, "upsert_iceberg")
 
     meta = json.load(open(_current_metadata_path(path)))
     if int(meta.get("format-version", 1)) < 2:
@@ -2365,8 +2368,17 @@ def upsert_iceberg(
             f"upsert_iceberg: key columns {unknown or key_cols} not in "
             f"table schema {tbl_cols}"
         )
-    if df is None and deletes is None:
-        raise ValueError("upsert_iceberg: need df and/or deletes")
+    if df is None and deletes is None and data_files is None:
+        raise ValueError(
+            "upsert_iceberg: need df, data_files and/or deletes"
+        )
+    if df is not None and data_files is not None:
+        raise ValueError("upsert_iceberg: df and data_files are exclusive")
+    if data_files is not None and pspecs:
+        raise UnsupportedIcebergFeature(
+            "upsert_iceberg: data_files injection over a PARTITIONED "
+            "table is not supported"
+        )
     if df is not None and set(df.columns) != set(tbl_cols):
         raise ValueError(
             f"upsert_iceberg: frame columns {sorted(df.columns)} != "
@@ -2428,6 +2440,11 @@ def upsert_iceberg(
         else:
             w.write.mode("append").parquet(data_dir)
         new_data = sorted(_on_disk() - before)
+    elif data_files is not None:
+        # injected SHARED files (the UniForm path): already on disk
+        # and possibly already committed to another format's metadata
+        # — never removed on abort
+        new_data = sorted(os.path.abspath(f) for f in data_files)
     if new_data:
         # keys come from the WRITTEN rows (one source of truth even
         # for nondeterministic inputs); the scan proves uniqueness
@@ -2436,8 +2453,9 @@ def upsert_iceberg(
         kdf = written.select(*key_cols).dropDuplicates()
         n_keys = kdf.count()
         if n_keys != n_rows:
-            for f in new_data:
-                os.remove(f)  # abort cleanly: nothing committed yet
+            if data_files is None:
+                for f in new_data:
+                    os.remove(f)  # abort cleanly: nothing committed yet
             raise ValueError(
                 f"upsert_iceberg: batch has {n_rows} rows but "
                 f"{n_keys} distinct keys over {key_cols} — dedup to "
@@ -2449,8 +2467,9 @@ def upsert_iceberg(
         if kdf is not None:
             overlap = kdf.join(ddf, key_cols, "semi").count()
             if overlap:
-                for f in new_data:
-                    os.remove(f)
+                if data_files is None:
+                    for f in new_data:
+                        os.remove(f)
                 raise ValueError(
                     f"upsert_iceberg: {overlap} key(s) appear in BOTH "
                     "df and deletes — upsert-or-delete per key is "

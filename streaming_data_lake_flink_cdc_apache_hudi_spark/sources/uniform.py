@@ -175,6 +175,161 @@ def delete_uniform(spark: SparkSession, path: str, predicate: str) -> dict:
     }
 
 
+def upsert_uniform(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    key_cols: list[str],
+) -> dict:
+    """Keyed UPSERT on a UniForm table (new r12 — the dual-format
+    twin of ``upsert_iceberg``/the Delta MERGE shape, completing the
+    UniForm DML surface next to ``delete_uniform``): the batch's rows
+    are written ONCE as shared parquet beside the old parts, then
+
+    - the DELTA leg commits one version carrying deletion-vector
+      re-adds retiring the OLD rows of the batch's keys plus ``add``
+      actions for the new files (``_dv_delete_actions`` — the MERGE
+      commit shape), and
+    - the ICEBERG leg commits one ``overwrite`` snapshot with
+      EQUALITY DELETES on the key columns plus a data manifest over
+      the SAME injected files (``upsert_iceberg(data_files=...)``).
+
+    Both legs name identical bytes, so a Delta client and an Iceberg
+    client serve the same post-upsert rows: new keys insert, existing
+    keys update last-writer-wins. The batch must be KEY-UNIQUE
+    (checked against the WRITTEN rows before either commit — both
+    formats' same-sequence scoping would keep duplicate keys alive).
+
+    Requires the Iceberg view at format-version 2 (equality deletes
+    need sequence numbers); partitioned UniForm tables refuse for
+    now. Failure atomicity mirrors ``delete_uniform``: every gate
+    runs before either commit; a crash between the two commits
+    leaves Delta ahead, and re-running the same batch converges both
+    sides (the DV re-delete merges identical positions, the new
+    parquet lands again under a fresh name but the old one is no
+    longer referenced by either head — ``optimize_uniform`` collects
+    it).
+
+    Scale: one distributed shared-data write, one scan for the Delta
+    DV positions (executor-side bitmap writes), one metadata commit
+    per format — the data is never written twice."""
+    import json as _json
+
+    from .delta_interop import (
+        _dv_delete_actions,
+        _frame_from_adds,
+        _log_path,
+        _next_version,
+        _replay_log,
+    )
+    from .iceberg_interop import (
+        UnsupportedIcebergFeature,
+        _current_metadata_path,
+        upsert_iceberg,
+    )
+
+    # every gate BEFORE either commit (lockstep atomicity)
+    meta_i = _json.load(open(_current_metadata_path(path)))
+    if int(meta_i.get("format-version", 1)) < 2:
+        raise UnsupportedIcebergFeature(
+            "upsert_uniform needs the Iceberg view at format-version "
+            "2 (export with export_uniform(format_version=2)) — v1 "
+            "has no sequence numbers to scope equality deletes"
+        )
+    adds, meta_d, _proto = _replay_log(spark, path)
+    if meta_d is None:
+        raise ValueError(f"no Delta metaData at {path}")
+    if meta_d.get("partitionColumns"):
+        raise ValueError(
+            "upsert_uniform on a PARTITIONED UniForm table is not "
+            "supported yet"
+        )
+    tbl_cols = [
+        f["name"]
+        for f in _json.loads(meta_d["schemaString"])["fields"]
+    ]
+    if set(df.columns) != set(tbl_cols):
+        raise ValueError(
+            f"upsert_uniform: frame columns {sorted(df.columns)} != "
+            f"table columns {sorted(tbl_cols)}"
+        )
+    bad = sorted(set(key_cols) - set(tbl_cols))
+    if not key_cols or bad:
+        raise ValueError(
+            f"upsert_uniform: key columns {bad or key_cols} not in "
+            f"table schema {tbl_cols}"
+        )
+
+    # shared data written ONCE at the table root (the UniForm layout)
+    def _parts() -> set[str]:
+        return {
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        }
+
+    before = _parts()
+    df.select(*tbl_cols).write.mode("append").parquet(path)
+    parts = sorted(_parts() - before)
+    abs_parts = [os.path.join(path, f) for f in parts]
+
+    # key uniqueness from the WRITTEN rows, before either commit
+    written = spark.read.parquet(*abs_parts)
+    n_rows = written.count()
+    keys = written.select(*key_cols).dropDuplicates()
+    n_keys = keys.count()
+    if n_keys != n_rows:
+        for f in abs_parts:
+            os.remove(f)  # abort cleanly: nothing committed yet
+        raise ValueError(
+            f"upsert_uniform: batch has {n_rows} rows but {n_keys} "
+            f"distinct keys over {key_cols} — dedup to one row per "
+            "key first"
+        )
+
+    # Delta leg: DV-retire the old rows of the batch's keys + add the
+    # new files, ONE commit
+    live = _frame_from_adds(spark, path, adds, meta_d, with_meta=True)
+    matched = live.join(keys, key_cols, "semi").select(
+        "_dv_fp", "_dv_pos"
+    )
+    actions, _deleted, _n_touched = _dv_delete_actions(
+        spark, path, matched, adds, meta_d, _proto
+    )
+    for rel in parts:
+        st = os.stat(os.path.join(path, rel))
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    version = _next_version(path)
+    with open(_log_path(path, version), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    # Iceberg leg: equality deletes + the SAME injected files
+    res_i = upsert_iceberg(
+        spark,
+        path,
+        None,
+        key_cols,
+        data_files=abs_parts,
+        _allow_uniform=True,
+    )
+    return {
+        "delta_version": version,
+        "iceberg_snapshot_id": res_i["snapshot_id"],
+        "upserted_rows": n_rows,
+        "new_files": len(parts),
+    }
+
+
 def optimize_uniform(spark: SparkSession, path: str) -> dict:
     """Bin-pack BOTH views over ONE rewritten parquet set (new r10):
     read the Delta view's live rows, write them once as a single

@@ -475,3 +475,56 @@ def test_single_format_mutators_refuse_uniform(spark, tmp_path):
     assert sorted(
         r.id for r in read_iceberg(spark, path).collect()
     ) == [1, 2]
+
+
+def test_upsert_uniform_lockstep_both_views(spark, tmp_path):
+    """r12: upsert_uniform writes the batch once as shared parquet
+    and commits BOTH formats' upsert encodings (Delta DV re-adds +
+    adds; Iceberg equality deletes + same files) — both views serve
+    identical post-upsert rows; upserts stack and compose with
+    delete_uniform; key-dup batches abort before either commit; v1
+    Iceberg views refuse."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.uniform import (
+        delete_uniform,
+        export_uniform,
+        upsert_uniform,
+    )
+
+    path = str(tmp_path / "uni_ups")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_uniform(
+        mk([(i, f"v{i}") for i in range(6)]).coalesce(1), path,
+        format_version=2,
+    )
+    res = upsert_uniform(
+        spark, path, mk([(1, "U1"), (4, "U4"), (100, "v100")]), ["id"]
+    )
+    assert res["upserted_rows"] == 3 and res["new_files"] >= 1
+    want = {(i, f"v{i}") for i in range(6) if i not in (1, 4)} | {
+        (1, "U1"), (4, "U4"), (100, "v100"),
+    }
+    got_d = {(r.id, r.v) for r in read_delta(spark, path).collect()}
+    got_i = {(r.id, r.v) for r in read_iceberg(spark, path).collect()}
+    assert got_d == want and got_i == want
+    # upserts stack LWW on both views and compose with delete_uniform
+    upsert_uniform(spark, path, mk([(1, "U1b")]), ["id"])
+    delete_uniform(spark, path, "id IN (100, 0)")
+    want2 = {(1, "U1b"), (2, "v2"), (3, "v3"), (4, "U4"), (5, "v5")}
+    assert {(r.id, r.v) for r in read_delta(spark, path).collect()} == want2
+    assert {(r.id, r.v) for r in read_iceberg(spark, path).collect()} == want2
+    # duplicate keys abort BEFORE either commit (views stay in step)
+    with _pytest.raises(ValueError, match="distinct keys"):
+        upsert_uniform(spark, path, mk([(2, "a"), (2, "b")]), ["id"])
+    assert {(r.id, r.v) for r in read_delta(spark, path).collect()} == want2
+    assert {(r.id, r.v) for r in read_iceberg(spark, path).collect()} == want2
+    # v1 Iceberg view refuses up front
+    p1 = str(tmp_path / "uni_v1")
+    export_uniform(mk([(1, "a")]).coalesce(1), p1, format_version=1)
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        UnsupportedIcebergFeature,
+    )
+
+    with _pytest.raises(UnsupportedIcebergFeature, match="format-version"):
+        upsert_uniform(spark, p1, mk([(1, "b")]), ["id"])
