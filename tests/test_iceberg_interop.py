@@ -1867,3 +1867,43 @@ def test_iceberg_branch_refs_round_trip(spark, tmp_path):
         export_iceberg(mk([(7, "q")]), path, branch="audit")
     with _pytest.raises(ValueError, match="branch"):
         delete_iceberg(spark, path, "id = 9", branch="nope")
+
+
+def test_dml_predicates_see_only_live_rows(spark, tmp_path):
+    """r12: delete_iceberg and update_iceberg scan LIVE rows (prior
+    deletes applied) — an overlapping delete records nothing twice
+    (deleted_rows exact) and an UPDATE whose predicate matches a
+    retired row does NOT resurrect it."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        delete_iceberg,
+        update_iceberg,
+        upsert_iceberg,
+    )
+
+    path = str(tmp_path / "ice_live")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_iceberg(mk([(i, f"v{i}") for i in range(6)]), path, format_version=2)
+    r1 = delete_iceberg(spark, path, "id < 3")
+    assert r1["deleted_rows"] == 3
+    # overlapping delete: only the NEWLY retired row counts
+    r2 = delete_iceberg(spark, path, "id < 4")
+    assert r2["deleted_rows"] == 1
+    # update matching retired rows must not resurrect them
+    r3 = update_iceberg(spark, path, "id <= 4", {"v": "'U'"})
+    assert r3["updated_rows"] == 1  # only id=4 is live
+    C = lambda df: Counter(map(tuple, df.collect()))
+    assert C(read_iceberg(spark, path)) == Counter(
+        {(4, "U"): 1, (5, "v5"): 1}
+    )
+    # rows retired by EQUALITY deletes (upsert) are invisible too
+    upsert_iceberg(
+        spark, path, None, ["id"],
+        deletes=spark.createDataFrame([(5,)], "id long"),
+    )
+    assert delete_iceberg(spark, path, "id = 5")["deleted_rows"] == 0
+    assert update_iceberg(spark, path, "id = 5", {"v": "'X'"})[
+        "updated_rows"
+    ] == 0
+    assert C(read_iceberg(spark, path)) == Counter({(4, "U"): 1})
