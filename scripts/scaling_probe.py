@@ -394,6 +394,12 @@ def row_delete_probe(spark) -> dict:
         read_iceberg,
         rewrite_data_files,
     )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        compact_hudi,
+        delete_hudi,
+        export_hudi_cow,
+        read_hudi,
+    )
 
     NROWS = 20000
 
@@ -425,6 +431,15 @@ def row_delete_probe(spark) -> dict:
             reader = lambda: read_delta(spark, path)
             delete = lambda pred: delete_delta(spark, path, pred)
             compact = lambda: optimize_delta(spark, path)
+        elif fmt == "hudi":
+            # r12: the third format — delete commits append one log
+            # block per commit to the touched group's log, so the
+            # real-time merge grows with commit count until
+            # compact_hudi folds the logs into new base files
+            export_hudi_cow(mk_df(), path, record_key="id", num_files=8)
+            reader = lambda: read_hudi(spark, path)
+            delete = lambda pred: delete_hudi(spark, path, pred)
+            compact = lambda: compact_hudi(spark, path)
         else:
             export_iceberg(mk_df(), path, format_version=2)
             reader = lambda: read_iceberg(spark, path)
@@ -444,7 +459,7 @@ def row_delete_probe(spark) -> dict:
         }
 
     out = {}
-    for fmt in ("delta", "iceberg"):
+    for fmt in ("delta", "iceberg", "hudi"):
         a, b = run(fmt, 8), run(fmt, 32)
         out[fmt] = {
             "d8": a,

@@ -2619,6 +2619,78 @@ def q_hudi_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hudi_compact_read",
+    """
+SELECT s_suppkey,
+       CASE WHEN s_nationkey < 8 THEN concat('UP-', s_name)
+            ELSE s_name END AS s_name,
+       s_nationkey
+FROM supplier WHERE NOT s_suppkey % 6 = 0
+""",
+    doc="MoR COMPACTION on an exported layout (new r12 — "
+    "compact_hudi, the third format's materialization op next to "
+    "optimize_delta / rewrite_data_files), value-oracled: supplier "
+    "exports as MoR (3 file groups), upsert_hudi rewrites every "
+    "s_nationkey < 8 name to 'UP-…' and delete_hudi retires "
+    "s_suppkey % 6 = 0 as log blocks, then compact_hudi folds each "
+    "logged group's real-time view into ONE new base file at a "
+    "fresh .commit instant (fully-deleted groups get an explicit "
+    "empty base so no stale slice survives). The READ-OPTIMIZED "
+    "view — base files only, no merge — must equal the CASE-WHEN + "
+    "WHERE-NOT oracle, which only happens if compaction materialized "
+    "exactly the merged state; two guards ride the value hash: the "
+    "real-time view must equal the read-optimized one "
+    "(post-compaction convergence) and pre-compaction time travel "
+    "must still serve the ORIGINAL rows (history preserved).",
+)
+def q_hudi_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.hudi_interop import (
+        compact_hudi,
+        delete_hudi,
+        export_hudi_mor,
+        read_hudi,
+        upsert_hudi,
+    )
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="hudi_cmp_")
+    t = UpsertLakeTable(
+        spark, f"{root}/t", key="s_suppkey", num_buckets=2,
+        compact_every=100,
+    )
+    t.write(s, commit_id="c1")
+    mor = f"{root}/mor"
+    export_hudi_mor(t, mor, num_files=3)
+    ups = s.filter("s_nationkey < 8").select(
+        "s_suppkey",
+        F.concat(F.lit("UP-"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+    )
+    r1 = upsert_hudi(spark, mor, ups)
+    delete_hudi(spark, mor, "s_suppkey % 6 = 0")
+    compact_hudi(spark, mor)
+    cols = ["s_suppkey", "s_name", "s_nationkey"]
+    ro = read_hudi(spark, mor, read_optimized=True).select(*cols)
+    rt = read_hudi(spark, mor).select(*cols)
+    # guard 1: post-compaction real-time == read-optimized
+    # guard 2: pre-upsert instant still serves the original rows
+    pre = read_hudi(
+        spark, mor, as_of=str(int(r1["instant"]) - 1)
+    ).select(*cols)
+    return (
+        ro.unionAll(rt.exceptAll(ro))
+        .unionAll(ro.exceptAll(rt))
+        .unionAll(pre.exceptAll(s))
+        .unionAll(s.exceptAll(pre))
+    )
+
+
+@register(
     "iceberg_partitioned_read",
     """
 SELECT l_orderkey, l_linenumber, l_returnflag,

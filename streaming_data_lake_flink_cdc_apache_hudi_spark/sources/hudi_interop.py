@@ -991,6 +991,206 @@ def upsert_hudi(spark: SparkSession, path: str, df: DataFrame) -> dict:
     }
 
 
+def compact_hudi(spark: SparkSession, path: str) -> dict:
+    """MoR COMPACTION on an exported layout (new r12 — Hudi's
+    ``compaction.async.enabled`` materialization, the third format's
+    twin of ``optimize_delta`` / ``rewrite_data_files``): every file
+    group carrying log blocks gets its REAL-TIME view (base merged
+    with data/delete blocks, LWW per key) rewritten as ONE new base
+    file at a fresh instant, completed on the timeline as a
+    ``.commit`` with ``compacted: true`` — the commit type Hudi's
+    compactor emits. Groups without logs are untouched.
+
+    After the commit the read-optimized and real-time views coincide
+    for the compacted groups (the old logs' base-instant no longer
+    matches the live slice, so the merge window skips them), while
+    ``as_of`` time travel to a pre-compaction instant still serves
+    the old base + logs. The NEXT ``delete_hudi``/``upsert_hudi``
+    attaches fresh logs at the new base instant. Without this op an
+    exported MoR table's logs grow forever — one block per DML
+    commit — and every real-time read pays the full merge; this is
+    the same bounded-materialization contract the other two formats'
+    compactors document (SCALING.md row-delete probe).
+
+    Scale: one distributed real-time merge of only the LOGGED
+    groups' rows, routed back to their groups by the exporters'
+    persisted ``pmod(hash(key), num_buckets)`` assignment (the
+    repartition's partition id IS the group id, so part files rename
+    deterministically); the timeline commit is KB-scale JSON."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    name = _table_name(path)
+    slices = live_file_slices(path)
+    if not slices:
+        raise FileNotFoundError(
+            f"Hudi table at {path} has no committed base files"
+        )
+    n_groups, base_inst_by_pid = _export_group_routing(path, name, slices)
+    logs = _log_files_for_slices(
+        path, slices, log_only_replaced=_replaced_file_groups(
+            path, set(completed_instants(path))
+        )
+    )
+    if not logs:
+        return {"instant": None, "compacted_groups": 0, "rows": 0}
+    fid_to_pid = {_export_file_id(name, i): i for i in range(n_groups)}
+    log_pids = sorted(
+        {
+            fid_to_pid[m.group("file_id")]
+            for p, _v, _part in logs
+            if (m := _LOG_FILE_RE.match(os.path.basename(p)))
+            and m.group("file_id") in fid_to_pid
+        }
+    )
+    key_fields = _record_key_fields(path)
+    if len(key_fields) != 1:
+        raise UnsupportedHudiFeature(
+            "compact_hudi needs a single-field record key declared in "
+            "hoodie.properties (the exporters' shape) — got "
+            f"{key_fields!r}"
+        )
+    key = key_fields[0]
+    done = _log_completed_instants(path)
+    new_inst = str(int(max(done)) + 1)
+
+    def file_name(pid: int) -> str:
+        return f"{_export_file_id(name, pid)}_0-{pid}-0_{new_inst}.parquet"
+
+    view = read_hudi(spark, path)
+    raw_key = F.col(key)
+    pid_col = F.pmod(F.hash(raw_key), F.lit(n_groups))
+    doomed = view.filter(pid_col.isin([int(p) for p in log_pids]))
+    name_map = F.create_map(
+        *[
+            x
+            for pid in log_pids
+            for x in (F.lit(pid), F.lit(file_name(pid)))
+        ]
+    )
+    meta_cols = [
+        "_hoodie_commit_time",
+        "_hoodie_commit_seqno",
+        "_hoodie_record_key",
+        "_hoodie_partition_path",
+        "_hoodie_file_name",
+    ]
+    payload = [c for c in view.columns if c not in meta_cols]
+    # log-derived rows carry None in most meta columns (only the
+    # commit time is backfilled by the merge) — materialize them per
+    # the exporter's conventions; the record-level commit time is
+    # PRESERVED, matching Hudi's compactor
+    rewritten = (
+        doomed.repartition(n_groups, raw_key)
+        .withColumn(
+            "_hoodie_record_key",
+            F.coalesce(
+                F.col("_hoodie_record_key"), raw_key.cast("string")
+            ),
+        )
+        .withColumn(
+            "_hoodie_commit_seqno",
+            F.coalesce(
+                F.col("_hoodie_commit_seqno"),
+                F.concat_ws(
+                    "_",
+                    F.col("_hoodie_commit_time"),
+                    F.spark_partition_id().cast("string"),
+                    (F.monotonically_increasing_id() % (1 << 33)).cast(
+                        "string"
+                    ),
+                ),
+            ),
+        )
+        .withColumn(
+            "_hoodie_partition_path",
+            F.coalesce(F.col("_hoodie_partition_path"), F.lit("")),
+        )
+        .withColumn("_hoodie_file_name", name_map[F.spark_partition_id()])
+        .select(*meta_cols, *payload)
+    )
+    staged = os.path.join(path, ".compact_stage")
+    rewritten.write.mode("overwrite").parquet(staged)
+    write_stats = []
+    for f in sorted(os.listdir(staged)):
+        m = re.match(r"part-(\d+)-.*\.parquet$", f)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        n_rows = pq.ParquetFile(os.path.join(staged, f)).metadata.num_rows
+        if n_rows == 0:
+            # Spark may emit empty part files for empty partitions —
+            # installing one would shadow a NON-logged group's real
+            # base with an empty newer slice and lose its rows
+            continue
+        dest = os.path.join(path, file_name(pid))
+        os.replace(os.path.join(staged, f), dest)
+        write_stats.append(
+            {
+                "fileId": _export_file_id(name, pid),
+                "path": file_name(pid),
+                "numWrites": n_rows,
+                "fileSizeInBytes": os.path.getsize(dest),
+            }
+        )
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
+    # a logged group whose real-time view compacted to NOTHING (every
+    # row tombstoned) still needs a new base — an explicit EMPTY one —
+    # or its old base would stay the live slice and the read-optimized
+    # view would keep serving the deleted rows. Log-only groups with
+    # no base skip this (there is no older slice to shadow).
+    installed = {s["fileId"] for s in write_stats}
+    base_by_fid = {
+        _BASE_FILE_RE.match(os.path.basename(rel)).group("file_id"):
+            os.path.join(path, rel)
+        for rel, _i in slices
+    }
+    for pid in log_pids:
+        fid = _export_file_id(name, pid)
+        if fid in installed or fid not in base_by_fid:
+            continue
+        import pyarrow as pa
+
+        dest = os.path.join(path, file_name(pid))
+        pq.write_table(
+            pa.Table.from_pylist(
+                [], schema=pq.read_schema(base_by_fid[fid])
+            ),
+            dest,
+        )
+        write_stats.append(
+            {
+                "fileId": fid,
+                "path": file_name(pid),
+                "numWrites": 0,
+                "fileSizeInBytes": os.path.getsize(dest),
+            }
+        )
+    open(
+        os.path.join(path, _HOODIE, f"{new_inst}.commit.requested"), "w"
+    ).close()
+    open(os.path.join(path, _HOODIE, f"{new_inst}.inflight"), "w").close()
+    with open(
+        os.path.join(path, _HOODIE, f"{new_inst}.commit"), "w"
+    ) as fh:
+        json.dump(
+            {
+                "partitionToWriteStats": {"": write_stats},
+                "operationType": "COMPACT",
+                "compacted": True,
+                "extraMetadata": {},
+            },
+            fh,
+        )
+    return {
+        "instant": new_inst,
+        "compacted_groups": len(write_stats),
+        "rows": int(sum(s["numWrites"] for s in write_stats)),
+    }
+
+
 def _export_file_id(name: str, pid: int) -> str:
     import uuid as _uuid
 

@@ -652,3 +652,64 @@ def test_upsert_hudi_new_key_in_empty_group_is_log_only_slice(
     assert got == {(k, f"v{k}") for k in seed} | {(probe, "vp")}
     ro = read_hudi(spark, path, read_optimized=True)
     assert ro.count() == len(seed)
+
+
+def test_compact_hudi_materializes_logs(spark, tmp_path):
+    """r12: compact_hudi rewrites every LOGGED file group's real-time
+    view as a new base file at a fresh .commit instant — after it the
+    read-optimized view equals the real-time one, pre-compaction time
+    travel still merges the old base + logs, later DML attaches logs
+    at the new base instant, and a log-free table no-ops."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        compact_hudi,
+        delete_hudi,
+        export_hudi_cow,
+        read_hudi,
+        upsert_hudi,
+    )
+
+    path = str(tmp_path / "mor_compact")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_hudi_cow(
+        mk([(i, f"v{i}") for i in range(8)]), path, record_key="id",
+        num_files=3,
+    )
+    # log-free: no-op, no instant
+    assert compact_hudi(spark, path)["instant"] is None
+
+    upsert_hudi(spark, path, mk([(1, "U1"), (100, "v100")]))
+    res_del = delete_hudi(spark, path, "id IN (2, 100)")
+    want = {(i, f"v{i}") for i in range(8) if i not in (1, 2)} | {(1, "U1")}
+    res = compact_hudi(spark, path)
+    assert res["compacted_groups"] >= 1 and res["rows"] >= 1
+    rt = {(r.id, r.v) for r in read_hudi(spark, path).select("id", "v").collect()}
+    ro = {
+        (r.id, r.v)
+        for r in read_hudi(spark, path, read_optimized=True)
+        .select("id", "v")
+        .collect()
+    }
+    assert rt == want and ro == want
+    # pre-compaction instant still merges old base + logs
+    pre = read_hudi(spark, path, as_of=res_del["instant"])
+    assert {(r.id, r.v) for r in pre.select("id", "v").collect()} == want
+    # pre-DML instant serves the original rows
+    pre0 = read_hudi(spark, path, as_of=str(int(res_del["instant"]) - 2))
+    assert {(r.id, r.v) for r in pre0.select("id", "v").collect()} == {
+        (i, f"v{i}") for i in range(8)
+    }
+    # later DML attaches logs at the NEW base instant and merges
+    upsert_hudi(spark, path, mk([(3, "U3")]))
+    delete_hudi(spark, path, "id = 0")
+    want2 = (want - {(3, "v3"), (0, "v0")}) | {(3, "U3")}
+    assert {
+        (r.id, r.v) for r in read_hudi(spark, path).select("id", "v").collect()
+    } == want2
+    # and compaction of the new logs converges again
+    compact_hudi(spark, path)
+    assert {
+        (r.id, r.v)
+        for r in read_hudi(spark, path, read_optimized=True)
+        .select("id", "v")
+        .collect()
+    } == want2
