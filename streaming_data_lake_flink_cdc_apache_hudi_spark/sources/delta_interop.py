@@ -1839,8 +1839,12 @@ def update_delta(
 
     ``write_cdf=None`` follows the table's
     ``delta.enableChangeDataFeed`` configuration (delta-spark's
-    rule); True/False force it. Partitioned tables refuse for now
-    (the rewritten rows would need per-partition placement).
+    rule); True/False force it. PARTITIONED tables work (new r12):
+    rewritten rows and change files land hive-partitioned with
+    ``partitionValues`` recorded per action — a SET on a partition
+    column moves rows between partitions naturally. Partitioned
+    column-mapped tables refuse (partition dirs carry physical
+    names, the exporter's own restriction).
 
     Scale: one scan finds the matched rows; DV bitmaps are written
     per-file on executors; the rewritten and change rows go through
@@ -1853,14 +1857,15 @@ def update_delta(
     adds, meta, proto = _replay_log(spark, path)
     if meta is None:
         raise UnsupportedDeltaFeature("table has no metaData action")
-    if meta.get("partitionColumns"):
-        raise UnsupportedDeltaFeature(
-            "update_delta on a PARTITIONED table is not supported yet "
-            "— rewritten rows would need per-partition placement"
-        )
+    part_cols = meta.get("partitionColumns") or []
     cm_mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
+    if part_cols and cm_mode not in ("none", None):
+        raise UnsupportedDeltaFeature(
+            "update_delta on a PARTITIONED column-mapped table is not "
+            "supported (partition directories carry physical names)"
+        )
     field_meta: dict[str, tuple[int, str]] = {}
     if cm_mode not in ("none", None):
         field_meta = _mapped_field_meta(meta, "update")
@@ -1909,28 +1914,59 @@ def update_delta(
         return df.select(*cols, *[df[c] for c in extra])
 
     def _staged_parts(dest_rel: str, df: DataFrame) -> list[str]:
-        """Append-write df under path/dest_rel, returning the NEW
-        part files relative to the table root."""
+        """Append-write df under path/dest_rel (hive-partitioned when
+        the table is), returning the NEW part files relative to the
+        table root."""
         dest = os.path.join(path, dest_rel) if dest_rel else path
-        before = (
-            {
-                f
-                for f in os.listdir(dest)
-                if f.endswith(".parquet") and not f.startswith("_")
-            }
-            if os.path.isdir(dest)
-            else set()
-        )
-        df.write.mode("append").parquet(dest)
-        after = {
-            f
-            for f in os.listdir(dest)
-            if f.endswith(".parquet") and not f.startswith("_")
-        }
+
+        def _list() -> set[str]:
+            if not os.path.isdir(dest):
+                return set()
+            if not part_cols:
+                return {
+                    f
+                    for f in os.listdir(dest)
+                    if f.endswith(".parquet") and not f.startswith("_")
+                }
+            out: set[str] = set()
+            for root, _dirs, fs in os.walk(dest):
+                if _LOG_DIR in root or (
+                    not dest_rel and "_change_data" in root
+                ):
+                    continue
+                for f in fs:
+                    if f.endswith(".parquet") and not f.startswith("_"):
+                        out.add(
+                            os.path.relpath(os.path.join(root, f), dest)
+                        )
+            return out
+
+        before = _list()
+        w = df.write.mode("append")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(dest)
         return sorted(
             os.path.join(dest_rel, f) if dest_rel else f
-            for f in after - before
+            for f in _list() - before
         )
+
+    def _part_vals(rel: str) -> dict[str, str | None]:
+        # hive `col=value` path segments -> partitionValues (strings
+        # per spec; the null sentinel maps to None)
+        import urllib.parse
+
+        vals: dict[str, str | None] = {}
+        for comp in rel.split("/")[:-1]:
+            if "=" not in comp:
+                continue
+            k, _, raw = comp.partition("=")
+            if k in part_cols:
+                v = urllib.parse.unquote(raw)
+                vals[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                )
+        return vals
 
     actions, _, n_touched = _dv_delete_actions(
         spark, path, matched.select("_dv_fp", "_dv_pos"), adds, meta, proto
@@ -1951,7 +1987,7 @@ def update_delta(
             {
                 "add": {
                     "path": rel,
-                    "partitionValues": {},
+                    "partitionValues": _part_vals(rel),
                     "size": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
                     "dataChange": True,
@@ -1986,7 +2022,12 @@ def update_delta(
                 {
                     "cdc": {
                         "path": rel,
-                        "partitionValues": {},
+                        # change files partition like data files, so
+                        # the CDF reader re-attaches the values from
+                        # the action (delta-spark's layout)
+                        "partitionValues": _part_vals(
+                            os.path.relpath(rel, "_change_data")
+                        ),
                         "size": st.st_size,
                         "dataChange": False,
                     }

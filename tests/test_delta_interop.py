@@ -1902,14 +1902,53 @@ def test_update_delta_column_mapped_and_guards(spark, tmp_path):
     assert res2["change_files"] == 0
     with pytest.raises(ValueError, match="unknown SET"):
         update_delta(spark, path, "id = 0", {"zz": "'a'"})
-    # partitioned tables refuse
+    # partitioned tables: rewritten rows + change files land
+    # hive-partitioned; a SET on the partition column MOVES the row
+    from collections import Counter as _C
+
     p2 = str(tmp_path / "upd_part")
     export_delta(
         spark.createDataFrame(
-            [(1, "a", "x"), (2, "b", "y")], "id long, v string, p string"
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "y")],
+            "id long, v string, p string",
         ),
         p2,
         partition_by=["p"],
     )
-    with pytest.raises(UnsupportedDeltaFeature, match="PARTITIONED"):
-        update_delta(spark, p2, "id = 1", {"v": "'z'"})
+    resp = update_delta(
+        spark, p2, "p = 'y'", {"v": "upper(v)"}, write_cdf=True
+    )
+    assert resp["updated_rows"] == 2
+    got = _C(map(tuple, read_delta(spark, p2).collect()))
+    assert got == _C(
+        {(1, "a", "x"): 1, (2, "B", "y"): 1, (3, "C", "y"): 1}
+    )
+    cdf = _C(
+        map(
+            tuple,
+            read_delta_cdf(spark, p2, resp["version"]).collect(),
+        )
+    )
+    v = resp["version"]
+    assert cdf == _C(
+        {
+            (2, "b", "y", "update_preimage", v): 1,
+            (3, "c", "y", "update_preimage", v): 1,
+            (2, "B", "y", "update_postimage", v): 1,
+            (3, "C", "y", "update_postimage", v): 1,
+        }
+    )
+    # SET on the partition column moves the row to the new partition
+    update_delta(spark, p2, "id = 1", {"p": "'y'"})
+    moved = read_delta(spark, p2).filter("id = 1").collect()[0]
+    assert moved.p == "y"
+    import os as _os
+
+    assert any(
+        "p=y" in root
+        for root, _d, fs in _os.walk(p2)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    # partitioned + column-mapped still refuses (exporter refuses the
+    # combo too, so craft the check via the error path)
