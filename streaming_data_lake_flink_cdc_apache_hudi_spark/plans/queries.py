@@ -3137,6 +3137,68 @@ def q_uniform_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_upsert_read",
+    """
+SELECT n_nationkey,
+       CASE WHEN n_regionkey < 2 THEN concat('U-', n_name)
+            ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+UNION ALL
+SELECT n_nationkey + 1000 AS n_nationkey,
+       concat('N-', n_name) AS n_name, n_regionkey
+FROM nation WHERE n_nationkey % 4 = 0
+""",
+    doc="Keyed UPSERT on an exported Delta table (new r12 — "
+    "upsert_delta, the MERGE WHEN MATCHED UPDATE / NOT MATCHED "
+    "INSERT commit shape, closing standalone upsert write parity on "
+    "the first format alongside upsert_iceberg/upsert_hudi), "
+    "value-oracled: nation exports, then upsert_delta commits ONE "
+    "version of deletion-vector re-adds retiring the old rows of "
+    "the batch's keys plus adds for the batch — updating every "
+    "n_regionkey < 2 row's name to 'U-…' and inserting shifted-key "
+    "'N-…' rows, the CASE-WHEN ∪ inserted-rows oracle. A "
+    "pre-upsert time-travel guard (version read minus the source, "
+    "riding the value hash as extra rows when wrong) pins that the "
+    "upsert never rewrote a data file.",
+)
+def q_delta_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import (
+        export_delta,
+        read_delta,
+        upsert_delta,
+    )
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = tempfile.mkdtemp(prefix="delta_ups_")
+    t = f"{root}/t"
+    export_delta(n, t)
+    updates = n.filter("n_regionkey < 2").select(
+        "n_nationkey",
+        F.concat(F.lit("U-"), F.col("n_name")).alias("n_name"),
+        "n_regionkey",
+    )
+    inserts = n.filter("n_nationkey % 4 = 0").select(
+        (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+        F.concat(F.lit("N-"), F.col("n_name")).alias("n_name"),
+        "n_regionkey",
+    )
+    r1 = upsert_delta(
+        spark, t, updates.unionAll(inserts), ["n_nationkey"]
+    )
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    post = read_delta(spark, t).select(*cols)
+    pre = read_delta(
+        spark, t, version_as_of=r1["version"] - 1
+    ).select(*cols)
+    return post.unionAll(pre.exceptAll(n)).unionAll(n.exceptAll(pre))
+
+
+@register(
     "uniform_upsert_read",
     """
 SELECT p_partkey,

@@ -2046,6 +2046,131 @@ def update_delta(
     }
 
 
+def upsert_delta(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame | None,
+    key_cols: list[str],
+    data_files: list[str] | None = None,
+    _allow_uniform: bool = False,
+) -> dict:
+    """Keyed UPSERT commit on an exported Delta table (new r12 — the
+    MERGE ``WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *``
+    commit shape, closing standalone upsert write parity on the
+    first format alongside ``upsert_iceberg`` and ``upsert_hudi``):
+    ONE version carrying deletion-vector re-adds that retire the OLD
+    rows of the batch's keys (:func:`_dv_delete_actions`) plus
+    ``add`` actions for the batch's rows — new keys insert, existing
+    keys update last-writer-wins, no data file is rewritten.
+
+    ``df`` is written as new parquet beside the old parts;
+    ``data_files`` (relative paths already at ``path``, exclusive
+    with ``df``) commits over pre-written files instead — the
+    UniForm path (:func:`~.uniform.upsert_uniform`), where one
+    parquet set serves both formats and must never be removed on
+    abort. The batch must be KEY-UNIQUE, checked against the WRITTEN
+    rows before the commit (both halves of the commit land at the
+    same version, so duplicate keys would all survive).
+
+    Unpartitioned, unmapped tables only for now (the batch write
+    follows the exporter's plain layout). Scale: one distributed
+    parquet write + one scan for the old keys' DV positions
+    (executor-side bitmap writes) + a KB-scale metadata commit."""
+    from pyspark.sql import functions as F
+
+    if not _allow_uniform:
+        _refuse_uniform_delta(path, "upsert_delta")
+    adds, meta, proto = _replay_log(spark, path)
+    if meta is None:
+        raise UnsupportedDeltaFeature("table has no metaData action")
+    if meta.get("partitionColumns"):
+        raise UnsupportedDeltaFeature(
+            "upsert_delta on a PARTITIONED table is not supported yet"
+        )
+    if _column_mapping(meta):
+        raise UnsupportedDeltaFeature(
+            "upsert_delta on a column-mapped table is not supported "
+            "yet — the batch write would need the physical rename"
+        )
+    tbl_cols = [
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    ]
+    bad = sorted(set(key_cols) - set(tbl_cols))
+    if not key_cols or bad:
+        raise ValueError(
+            f"upsert_delta: key columns {bad or key_cols} not in "
+            f"table schema {tbl_cols}"
+        )
+    if (df is None) == (data_files is None):
+        raise ValueError("upsert_delta: need exactly one of df / data_files")
+    if df is not None:
+        if set(df.columns) != set(tbl_cols):
+            raise ValueError(
+                f"upsert_delta: frame columns {sorted(df.columns)} != "
+                f"table columns {sorted(tbl_cols)}"
+            )
+        before = {
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        }
+        df.select(*tbl_cols).write.mode("append").parquet(path)
+        parts = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+            and not f.startswith("_")
+            and f not in before
+        )
+        own_files = True
+    else:
+        parts = sorted(data_files)
+        own_files = False
+    abs_parts = [os.path.join(path, f) for f in parts]
+    written = spark.read.parquet(*abs_parts)
+    n_rows = written.count()
+    keys = written.select(*key_cols).dropDuplicates()
+    n_keys = keys.count()
+    if n_keys != n_rows:
+        if own_files:
+            for f in abs_parts:
+                os.remove(f)  # abort cleanly: nothing committed yet
+        raise ValueError(
+            f"upsert_delta: batch has {n_rows} rows but {n_keys} "
+            f"distinct keys over {key_cols} — dedup to one row per "
+            "key first"
+        )
+    live = _frame_from_adds(spark, path, adds, meta, with_meta=True)
+    matched = live.join(keys, key_cols, "semi").select(
+        "_dv_fp", "_dv_pos"
+    )
+    actions, _deleted, n_touched = _dv_delete_actions(
+        spark, path, matched, adds, meta, proto
+    )
+    for rel in parts:
+        st = os.stat(os.path.join(path, rel))
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    version = _next_version(path)
+    with open(_log_path(path, version), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return {
+        "version": version,
+        "upserted_rows": n_rows,
+        "files_touched": n_touched,
+        "new_files": len(parts),
+    }
+
+
 def _next_version(path: str) -> int:
     log_dir = os.path.join(path, _LOG_DIR)
     versions = [

@@ -215,13 +215,7 @@ def upsert_uniform(
     per format — the data is never written twice."""
     import json as _json
 
-    from .delta_interop import (
-        _dv_delete_actions,
-        _frame_from_adds,
-        _log_path,
-        _next_version,
-        _replay_log,
-    )
+    from .delta_interop import _replay_log, upsert_delta
     from .iceberg_interop import (
         UnsupportedIcebergFeature,
         _current_metadata_path,
@@ -288,30 +282,13 @@ def upsert_uniform(
         )
 
     # Delta leg: DV-retire the old rows of the batch's keys + add the
-    # new files, ONE commit
-    live = _frame_from_adds(spark, path, adds, meta_d, with_meta=True)
-    matched = live.join(keys, key_cols, "semi").select(
-        "_dv_fp", "_dv_pos"
+    # new files, ONE commit (upsert_delta over the pre-written shared
+    # parts — it never removes injected files on abort)
+    res_d = upsert_delta(
+        spark, path, None, key_cols, data_files=parts,
+        _allow_uniform=True,
     )
-    actions, _deleted, _n_touched = _dv_delete_actions(
-        spark, path, matched, adds, meta_d, _proto
-    )
-    for rel in parts:
-        st = os.stat(os.path.join(path, rel))
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": {},
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": True,
-                }
-            }
-        )
-    version = _next_version(path)
-    with open(_log_path(path, version), "w") as fh:
-        fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+    version = res_d["version"]
 
     # Iceberg leg: equality deletes + the SAME injected files
     res_i = upsert_iceberg(

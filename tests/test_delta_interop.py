@@ -1952,3 +1952,60 @@ def test_update_delta_column_mapped_and_guards(spark, tmp_path):
     )
     # partitioned + column-mapped still refuses (exporter refuses the
     # combo too, so craft the check via the error path)
+
+
+def test_upsert_delta_merge_commit_shape(spark, tmp_path):
+    """r12: upsert_delta commits DV re-adds retiring the batch's old
+    keys + adds for the new rows in ONE version — new keys insert,
+    existing keys update LWW; CDF derives delete+insert per updated
+    key; key-dup batches abort before the commit; guards refuse
+    partitioned / column-mapped / bad keys."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        read_delta,
+        read_delta_cdf,
+        upsert_delta,
+    )
+
+    path = str(tmp_path / "ups_delta")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_delta(mk([(i, f"v{i}") for i in range(6)]).coalesce(1), path)
+    res = upsert_delta(
+        spark, path, mk([(1, "U1"), (4, "U4"), (100, "v100")]), ["id"]
+    )
+    assert res["version"] == 1 and res["upserted_rows"] == 3
+    C = lambda df: Counter(map(tuple, df.collect()))
+    want = Counter(
+        {(i, f"v{i}"): 1 for i in range(6) if i not in (1, 4)}
+        | {(1, "U1"): 1, (4, "U4"): 1, (100, "v100"): 1}
+    )
+    assert C(read_delta(spark, path)) == want
+    # CDF: updated keys emit delete(old)+insert(new); new keys insert
+    assert C(read_delta_cdf(spark, path, 1, 1)) == Counter(
+        {
+            (1, "v1", "delete", 1): 1,
+            (4, "v4", "delete", 1): 1,
+            (1, "U1", "insert", 1): 1,
+            (4, "U4", "insert", 1): 1,
+            (100, "v100", "insert", 1): 1,
+        }
+    )
+    # upserts stack LWW
+    upsert_delta(spark, path, mk([(1, "U1b")]), ["id"])
+    assert C(read_delta(spark, path).filter("id = 1")) == Counter(
+        {(1, "U1b"): 1}
+    )
+    # duplicate keys abort cleanly before the commit
+    with pytest.raises(ValueError, match="distinct keys"):
+        upsert_delta(spark, path, mk([(2, "a"), (2, "b")]), ["id"])
+    assert C(read_delta(spark, path).filter("id = 1")) == Counter(
+        {(1, "U1b"): 1}
+    )
+    with pytest.raises(ValueError, match="key columns"):
+        upsert_delta(spark, path, mk([(9, "z")]), ["zz"])
+    p2 = str(tmp_path / "ups_cm")
+    export_delta(mk([(1, "a")]).coalesce(1), p2, column_mapping="name")
+    with pytest.raises(UnsupportedDeltaFeature, match="column-mapped"):
+        upsert_delta(spark, p2, mk([(1, "b")]), ["id"])
