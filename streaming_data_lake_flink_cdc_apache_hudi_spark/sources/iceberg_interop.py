@@ -1791,9 +1791,13 @@ def update_iceberg(
     expression evaluated against the OLD row (standard UPDATE
     semantics), results cast back to the column's table type.
 
-    Partitioned tables refuse for now (the rewritten rows would need
-    per-partition placement like ``upsert_iceberg``'s data side);
-    format-version 1 refuses (no sequence numbers to scope position
+    PARTITIONED tables work (new r12): the rewritten rows write per
+    partition (identity + bucket transforms, ``upsert_iceberg``'s
+    data side) and both manifests carry real partition structs — the
+    delete entries copy each data file's struct from the snapshot
+    mapping, the data entries parse the written paths. A SET on a
+    partition source column moves rows between partitions naturally.
+    Format-version 1 refuses (no sequence numbers to scope position
     deletes). ``rewrite_data_files`` later folds the delete files in.
 
     Scale: one scan finds the matched rows; per-file delete parquets
@@ -1826,12 +1830,13 @@ def update_iceberg(
         ),
         (meta.get("partition-specs") or [{}])[0],
     )
-    if default_spec.get("fields"):
-        raise UnsupportedIcebergFeature(
-            "update_iceberg on a PARTITIONED table is not supported "
-            "yet — rewritten rows would need per-partition placement"
-        )
     fields = _current_schema(path).get("fields", [])
+    # partitioned tables (new r12): the rewritten rows write per
+    # partition (identity + bucket, the exporter's transforms) and
+    # BOTH manifests carry real partition structs — the delete side
+    # copies each data file's struct from the snapshot mapping, the
+    # data side parses the written paths
+    pspecs = _parse_pspecs(meta, default_spec, fields, "update_iceberg")
     tbl_cols = [f["name"] for f in fields]
     bad = sorted(set(set_exprs) - set(tbl_cols))
     if bad:
@@ -1887,26 +1892,59 @@ def update_iceberg(
         }
 
     before = _on_disk()
-    new_rows.write.mode("append").parquet(data_dir)
+    if pspecs:
+        _write_partitioned_data(new_rows, data_dir, pspecs)
+    else:
+        new_rows.write.mode("append").parquet(data_dir)
     new_data = sorted(_on_disk() - before)
 
     new_sid = int(uuid.uuid4().int % (1 << 62))
     new_seq = int(meta.get("last-sequence-number") or 0) + 1
     now_ms = int(time.time() * 1000)
     md = os.path.join(path, _META_DIR)
+    spec_fields = [
+        {
+            "name": ps["fname"],
+            "transform": "identity"
+            if ps["n"] is None
+            else f"bucket[{ps['n']}]",
+            "source-id": next(
+                int(f["id"]) for f in fields if f["name"] == ps["src"]
+            ),
+            "field-id": ps["fid"],
+        }
+        for ps in pspecs
+    ]
 
     def _entry_schema() -> dict:
         es = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
         es["fields"][2]["type"]["fields"].insert(
             1, {"name": "content", "type": "int", "field-id": 134}
         )
+        if pspecs:
+            part_rec = next(
+                fl
+                for fl in es["fields"][2]["type"]["fields"]
+                if fl["name"] == "partition"
+            )
+            part_rec["type"]["fields"] = [
+                {
+                    "name": ps["fname"],
+                    "type": ["null", _PART_AVRO[ps["out_type"]]],
+                    "field-id": ps["fid"],
+                    "default": None,
+                }
+                for ps in pspecs
+            ]
         return es
 
     def _mk_manifest(
-        name: str, file_rows: list[tuple[str, int, int]], content: int
+        name: str,
+        file_rows: list[tuple[str, int, int, dict]],
+        content: int,
     ) -> tuple[str, int]:
         entries, rows = [], 0
-        for full, nr, size in file_rows:
+        for full, nr, size, part in file_rows:
             rows += nr
             entries.append(
                 {
@@ -1916,7 +1954,7 @@ def update_iceberg(
                         "content": content,
                         "file_path": "file://" + full,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": part,
                         "record_count": nr,
                         "file_size_in_bytes": size,
                     },
@@ -1930,7 +1968,7 @@ def update_iceberg(
             metadata={
                 "schema": json.dumps(_current_schema(path)).encode(),
                 "schema-id": b"0",
-                "partition-spec": json.dumps([]).encode(),
+                "partition-spec": json.dumps(spec_fields).encode(),
                 "partition-spec-id": str(
                     default_spec.get("spec-id", 0)
                 ).encode(),
@@ -1947,15 +1985,27 @@ def update_iceberg(
                 f,
                 pq.ParquetFile(f).metadata.num_rows,
                 os.path.getsize(f),
+                _pvals_from_path(f, path, pspecs, "update_iceberg")
+                if pspecs
+                else {},
             )
             for f in new_data
         ],
         0,
     )
+    # delete entries copy each data file's partition struct from the
+    # snapshot mapping (partition-scoped deletes, like delete_iceberg)
     del_mp, del_positions = _mk_manifest(
         f"manifest-{new_sid}-upd-del.avro",
-        [(r["file"], int(r["n"]), int(r["size"])) for r in
-         sorted(touched, key=lambda r: r["recorded"])],
+        [
+            (
+                r["file"],
+                int(r["n"]),
+                int(r["size"]),
+                dict(mapping[r["recorded"]][2]) if pspecs else {},
+            )
+            for r in sorted(touched, key=lambda r: r["recorded"])
+        ],
         1,
     )
     mlist_schema, old_mrows = read_avro(_resolve(snap["manifest-list"], path))
@@ -2263,6 +2313,109 @@ def read_iceberg_changelog(
     return out
 
 
+def _parse_pspecs(
+    meta: dict, default_spec: dict, fields: list, what: str
+) -> list[dict]:
+    """Parsed partition-field specs for the writers (identity +
+    bucket transforms, the exporter's surface) — shared by
+    :func:`upsert_iceberg` and :func:`update_iceberg`."""
+    names_by_id = _field_names_by_id(meta)
+    schema_types = {f["name"]: f["type"] for f in fields}
+    pspecs: list[dict] = []
+    for pf in default_spec.get("fields", []):
+        tr = pf.get("transform")
+        bm = re.match(r"^bucket\[(\d+)\]$", tr or "")
+        if tr != "identity" and not bm:
+            raise UnsupportedIcebergFeature(
+                f"{what} over partition transform {tr!r}"
+            )
+        src = names_by_id.get(pf.get("source-id"))
+        t = schema_types.get(src)
+        if src is None or t not in _PART_AVRO:
+            raise UnsupportedIcebergFeature(
+                f"{what}: partition field {pf.get('name')!r} "
+                f"has unresolvable source or type {t!r}"
+            )
+        pspecs.append(
+            {
+                "fname": pf["name"],
+                "src": src,
+                "src_type": t,
+                "out_type": "int" if bm else t,
+                "n": int(bm.group(1)) if bm else None,
+                "fid": int(pf.get("field-id", 1000)),
+            }
+        )
+    return pspecs
+
+
+def _write_partitioned_data(
+    df: DataFrame, data_dir: str, pspecs: list[dict]
+) -> None:
+    """Distributed data write under identity/bucket shadow ``_p_*``
+    hive dirs (the exporter's layout; source columns stay in the
+    files) — shared by the writers."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    w = df
+    for ps in pspecs:
+        if ps["n"] is None:
+            w = w.withColumn(f"_p_{ps['fname']}", F.col(ps["src"]))
+        else:
+
+            def _make_bkt(nb, st):
+                @pandas_udf("int")
+                def _bkt(s: pd.Series) -> pd.Series:
+                    return s.map(
+                        lambda v: None
+                        if pd.isna(v)
+                        else iceberg_bucket(v, st, nb)
+                    ).astype("Int32")
+
+                return _bkt
+
+            w = w.withColumn(
+                f"_p_{ps['fname']}",
+                _make_bkt(ps["n"], ps["src_type"])(F.col(ps["src"])),
+            )
+    w.write.partitionBy(
+        *(f"_p_{ps['fname']}" for ps in pspecs)
+    ).mode("append").parquet(data_dir)
+
+
+def _pvals_from_path(
+    full: str, path: str, pspecs: list[dict], what: str
+) -> dict:
+    """Partition values parsed from a written file's ``_p_<field>=``
+    hive path segments, typed per the pspec — shared by the
+    writers."""
+    import urllib.parse
+
+    types = {ps["fname"]: ps["out_type"] for ps in pspecs}
+    vals: dict = {}
+    rel = os.path.relpath(os.path.abspath(full), os.path.abspath(path))
+    for comp in rel.split(os.sep)[:-1]:
+        if "=" not in comp:
+            continue
+        k, _, raw = comp.partition("=")
+        c = k[len("_p_"):] if k.startswith("_p_") else k
+        if c not in types:
+            continue
+        raw = urllib.parse.unquote(raw)
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            vals[c] = None
+        else:
+            vals[c] = int(raw) if types[c] != "string" else raw
+    missing = [f for f in types if f not in vals]
+    if missing:
+        raise UnsupportedIcebergFeature(
+            f"{what}: file {full!r} carries no {missing} "
+            "partition path segment"
+        )
+    return vals
+
+
 def upsert_iceberg(
     spark: SparkSession,
     path: str,
@@ -2344,33 +2497,7 @@ def upsert_iceberg(
     # partition (identity + bucket, the exporter's transforms); the
     # equality deletes go GLOBAL under an UNPARTITIONED spec — the
     # spec's global-delete shape, which applies to every partition
-    names_by_id = _field_names_by_id(meta)
-    schema_types = {f["name"]: f["type"] for f in fields}
-    pspecs: list[dict] = []
-    for pf in default_spec.get("fields", []):
-        tr = pf.get("transform")
-        bm = re.match(r"^bucket\[(\d+)\]$", tr or "")
-        if tr != "identity" and not bm:
-            raise UnsupportedIcebergFeature(
-                f"upsert_iceberg over partition transform {tr!r}"
-            )
-        src = names_by_id.get(pf.get("source-id"))
-        t = schema_types.get(src)
-        if src is None or t not in _PART_AVRO:
-            raise UnsupportedIcebergFeature(
-                f"upsert_iceberg: partition field {pf.get('name')!r} "
-                f"has unresolvable source or type {t!r}"
-            )
-        pspecs.append(
-            {
-                "fname": pf["name"],
-                "src": src,
-                "src_type": t,
-                "out_type": "int" if bm else t,
-                "n": int(bm.group(1)) if bm else None,
-                "fid": int(pf.get("field-id", 1000)),
-            }
-        )
+    pspecs = _parse_pspecs(meta, default_spec, fields, "upsert_iceberg")
     key_cols = list(key_cols)
     unknown = [c for c in key_cols if c not in ids_by_name]
     if not key_cols or unknown:
@@ -2417,36 +2544,7 @@ def upsert_iceberg(
         before = _on_disk()
         w = df.select(*tbl_cols)
         if pspecs:
-            from pyspark.sql import functions as F
-
-            for ps in pspecs:
-                if ps["n"] is None:
-                    w = w.withColumn(
-                        f"_p_{ps['fname']}", F.col(ps["src"])
-                    )
-                else:
-                    from pyspark.sql.functions import pandas_udf
-
-                    def _make_bkt(nb, st):
-                        @pandas_udf("int")
-                        def _bkt(s: pd.Series) -> pd.Series:
-                            return s.map(
-                                lambda v: None
-                                if pd.isna(v)
-                                else iceberg_bucket(v, st, nb)
-                            ).astype("Int32")
-
-                        return _bkt
-
-                    w = w.withColumn(
-                        f"_p_{ps['fname']}",
-                        _make_bkt(ps["n"], ps["src_type"])(
-                            F.col(ps["src"])
-                        ),
-                    )
-            w.write.partitionBy(
-                *(f"_p_{ps['fname']}" for ps in pspecs)
-            ).mode("append").parquet(data_dir)
+            _write_partitioned_data(w, data_dir, pspecs)
         else:
             w.write.mode("append").parquet(data_dir)
         new_data = sorted(_on_disk() - before)
@@ -2539,32 +2637,7 @@ def upsert_iceberg(
         return es
 
     def _pvals(full: str) -> dict:
-        import urllib.parse
-
-        types = {ps["fname"]: ps["out_type"] for ps in pspecs}
-        vals: dict = {}
-        rel = os.path.relpath(
-            os.path.abspath(full), os.path.abspath(path)
-        )
-        for comp in rel.split(os.sep)[:-1]:
-            if "=" not in comp:
-                continue
-            k, _, raw = comp.partition("=")
-            c = k[len("_p_"):] if k.startswith("_p_") else k
-            if c not in types:
-                continue
-            raw = urllib.parse.unquote(raw)
-            if raw == "__HIVE_DEFAULT_PARTITION__":
-                vals[c] = None
-            else:
-                vals[c] = int(raw) if types[c] != "string" else raw
-        missing = [f for f in types if f not in vals]
-        if missing:
-            raise UnsupportedIcebergFeature(
-                f"upsert_iceberg: file {full!r} carries no {missing} "
-                "partition path segment"
-            )
-        return vals
+        return _pvals_from_path(full, path, pspecs, "upsert_iceberg")
 
     def _mk_manifest(
         name: str,

@@ -1786,13 +1786,22 @@ def test_update_iceberg_rowdelta_commit(spark, tmp_path):
     export_iceberg(mk([(1, "a", 1)]), p1, format_version=1)
     with pytest.raises(UnsupportedIcebergFeature, match="format-version 2"):
         update_iceberg(spark, p1, "id = 1", {"v": "'x'"})
+    # partitioned tables (r12): rewritten rows land per partition and
+    # both manifests carry real partition structs; partition pruning
+    # still works after the update
     pp = str(tmp_path / "ice_part")
     export_iceberg(
-        mk([(1, "a", 1), (2, "b", 2)]), pp, format_version=2,
-        partition_by=["v"],
+        mk([(1, "a", 1), (2, "b", 2), (3, "a", 3)]), pp,
+        format_version=2, partition_by=["v"],
     )
-    with pytest.raises(UnsupportedIcebergFeature, match="PARTITIONED"):
-        update_iceberg(spark, pp, "id = 1", {"n": "0"})
+    rp = update_iceberg(spark, pp, "v = 'a'", {"n": "n + 10"})
+    assert rp["updated_rows"] == 2
+    assert C(read_iceberg(spark, pp)) == Counter(
+        {(1, "a", 11): 1, (2, "b", 2): 1, (3, "a", 13): 1}
+    )
+    assert C(
+        read_iceberg(spark, pp, partition_filter={"v": "a"})
+    ) == Counter({(1, "a", 11): 1, (3, "a", 13): 1})
     # no-match update commits nothing
     assert update_iceberg(spark, path, "id = 999", {"n": "0"})[
         "snapshot_id"
