@@ -1128,6 +1128,147 @@ class TableRegistry:
             "table STRING, updated_rows BIGINT",
         )
 
+    def _execute_path_merge(self, statement: str) -> DataFrame | None:
+        """Upsert-shaped ``MERGE INTO`` on a format-path table (new
+        r12, completing the SQL DML routing):
+
+          MERGE INTO <fmt>.`/path` [AS t] USING <view>|(<subquery>)
+          [AS s] ON t.k = s.k [AND ...]
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+
+        — the pure keyed-upsert MERGE every Spark/Delta/Hudi tutorial
+        writes — dispatches to the format's upsert writer
+        (``upsert_delta`` / ``upsert_iceberg`` / ``upsert_hudi`` /
+        ``upsert_uniform``). A DELETE-only MERGE (``WHEN MATCHED THEN
+        DELETE``, no insert clause) routes to Iceberg's
+        equality-delete leg (``upsert_iceberg(deletes=...)``); other
+        formats refuse it (no keyed-delete write side). Conditional
+        clauses, partial SET lists, and extra WHEN arms are NOT this
+        spelling — use the Python writers or the engine-table MERGE.
+        ``ON`` must be a conjunction of ``t.col = s.col`` equalities.
+        Returns None when the statement is not path-table MERGE."""
+        import re as _re
+
+        m = _re.match(
+            r"^\s*MERGE\s+INTO\s+(delta|iceberg|hudi|uniform)\s*\.\s*"
+            r"`([^`]+)`(?:\s+AS\s+(\w+))?\s+"
+            r"USING\s+(\((?:[^()]|\([^()]*\))*\)|`?\w+`?)"
+            r"(?:\s+AS\s+(\w+))?\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
+            statement.strip().rstrip(";"),
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if not m:
+            return None
+        fmt, path, ta = m.group(1).lower(), m.group(2), m.group(3) or "t"
+        src_ref, sa, on_cond, when_text = (
+            m.group(4), m.group(5), m.group(6), m.group(7),
+        )
+        if src_ref.startswith("("):
+            src_df = self.spark.sql(src_ref[1:-1])
+            sa = sa or "src"
+        else:
+            src_name = src_ref.strip("`")
+            if src_name in self._tables:
+                src_df = self.resolve(src_name)
+            else:
+                src_df = self.spark.table(src_name)
+            sa = sa or src_name
+        key_cols: list[str] = []
+        for part in _re.split(r"\bAND\b", on_cond, flags=_re.IGNORECASE):
+            em = _re.match(
+                r"^\s*`?(\w+)`?\s*\.\s*`?(\w+)`?\s*=\s*"
+                r"`?(\w+)`?\s*\.\s*`?(\w+)`?\s*$",
+                part,
+            )
+            if not em:
+                raise ValueError(
+                    "path-table MERGE: ON must be a conjunction of "
+                    f"t.col = s.col equalities, got {part.strip()!r}"
+                )
+            la, lc, ra, rc = em.groups()
+            if {la, ra} != {ta, sa} or lc != rc:
+                raise ValueError(
+                    "path-table MERGE: ON must equate the SAME column "
+                    f"of {ta!r} and {sa!r}, got {part.strip()!r}"
+                )
+            key_cols.append(lc)
+        clause_re = _re.compile(
+            r"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+"
+            r"(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
+            _re.IGNORECASE,
+        )
+        clauses = {
+            ("not_matched" if c.group(1) else "matched",
+             c.group(2).upper().split()[0])
+            for c in clause_re.finditer(when_text)
+        }
+        covered = clause_re.sub("", when_text).strip()
+        if covered:
+            raise ValueError(
+                "path-table MERGE supports only WHEN MATCHED THEN "
+                "UPDATE SET * / DELETE and WHEN NOT MATCHED THEN "
+                f"INSERT * — could not parse {covered!r}"
+            )
+        upsert_shape = clauses == {
+            ("matched", "UPDATE"), ("not_matched", "INSERT"),
+        }
+        delete_shape = clauses == {("matched", "DELETE")}
+        if not (upsert_shape or delete_shape):
+            raise ValueError(
+                "path-table MERGE needs either the upsert shape "
+                "(MATCHED UPDATE SET * + NOT MATCHED INSERT *) or the "
+                "delete-only shape (MATCHED DELETE)"
+            )
+        if delete_shape:
+            if fmt != "iceberg":
+                raise ValueError(
+                    f"DELETE-only MERGE on {fmt}.`...` has no keyed-"
+                    "delete write side — use DELETE FROM with a "
+                    "predicate, or Iceberg"
+                )
+            from .sources.iceberg_interop import upsert_iceberg
+
+            res = upsert_iceberg(
+                self.spark, path, None, key_cols,
+                deletes=src_df.select(*key_cols),
+            )
+            n = res["rows"]
+        elif fmt == "delta":
+            from .sources.delta_interop import upsert_delta
+
+            n = upsert_delta(self.spark, path, src_df, key_cols)[
+                "upserted_rows"
+            ]
+        elif fmt == "iceberg":
+            from .sources.iceberg_interop import upsert_iceberg
+
+            n = upsert_iceberg(self.spark, path, src_df, key_cols)["rows"]
+        elif fmt == "hudi":
+            from .sources.hudi_interop import (
+                UnsupportedHudiFeature,
+                _record_key_fields,
+                upsert_hudi,
+            )
+
+            declared = _record_key_fields(path)
+            if key_cols != declared:
+                raise UnsupportedHudiFeature(
+                    f"hudi MERGE: ON keys {key_cols} must equal the "
+                    f"table's declared record key {declared}"
+                )
+            n = upsert_hudi(self.spark, path, src_df)["upserted_rows"]
+        else:
+            from .sources.uniform import upsert_uniform
+
+            n = upsert_uniform(self.spark, path, src_df, key_cols)[
+                "upserted_rows"
+            ]
+        return self.spark.createDataFrame(
+            [(f"{fmt}.`{path}`", int(n))],
+            "table STRING, merged_rows BIGINT",
+        )
+
     def execute_ddl(self, statement: str) -> DataFrame | None:
         """Route a CREATE/DROP TABLE connector-DDL string — or an
         INSERT INTO / MERGE INTO an upsert table — into the registry
@@ -1224,6 +1365,9 @@ class TableRegistry:
         pdml = self._execute_path_dml(statement)
         if pdml is not None:
             return pdml
+        pmrg = self._execute_path_merge(statement)
+        if pmrg is not None:
+            return pmrg
         ins = self._execute_insert(statement)
         if ins is not None:
             return ins

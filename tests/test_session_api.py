@@ -1285,3 +1285,101 @@ def test_sql_path_dml_routes_to_interop_mutators(spark, tmp_path):
     assert {(r.id, r.v) for r in read_iceberg(spark, u).collect()} == want
     with _pytest.raises(ValueError, match="dual-format"):
         eng.sql(f"UPDATE uniform.`{u}` SET v = 'x'")
+
+
+def test_sql_path_merge_routes_to_upsert_writers(spark, tmp_path):
+    """r12: upsert-shaped MERGE INTO format.`path` dispatches to the
+    format's keyed upsert writer for all four formats; a DELETE-only
+    MERGE routes to Iceberg's equality-delete leg; unsupported shapes
+    and non-key ON conditions refuse."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        read_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        export_hudi_cow,
+        read_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.uniform import (
+        export_uniform,
+    )
+
+    eng = EngineSession(spark=spark)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    base = [(i, f"v{i}") for i in range(5)]
+    batch = [(1, "U1"), (9, "v9")]
+    mk(batch).createOrReplaceTempView("merge_src")
+    want = {(0, "v0"), (1, "U1"), (2, "v2"), (3, "v3"), (4, "v4"), (9, "v9")}
+
+    d = str(tmp_path / "md")
+    export_delta(mk(base).coalesce(1), d)
+    res = eng.sql(
+        f"MERGE INTO delta.`{d}` AS t USING merge_src AS s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert res.merged_rows == 2
+    assert {(r.id, r.v) for r in read_delta(spark, d).collect()} == want
+
+    i = str(tmp_path / "mi")
+    export_iceberg(mk(base), i, format_version=2)
+    eng.sql(
+        f"MERGE INTO iceberg.`{i}` AS t USING merge_src AS s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert {(r.id, r.v) for r in read_iceberg(spark, i).collect()} == want
+    # DELETE-only MERGE: iceberg equality-delete leg
+    mk([(9, "x"), (0, "x")]).createOrReplaceTempView("del_src")
+    eng.sql(
+        f"MERGE INTO iceberg.`{i}` AS t USING del_src AS s "
+        "ON t.id = s.id WHEN MATCHED THEN DELETE"
+    )
+    assert {(r.id, r.v) for r in read_iceberg(spark, i).collect()} == (
+        want - {(9, "v9"), (0, "v0")}
+    )
+
+    h = str(tmp_path / "mh")
+    export_hudi_cow(mk(base), h, record_key="id", num_files=2)
+    eng.sql(
+        f"MERGE INTO hudi.`{h}` AS t USING merge_src AS s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert {
+        (r.id, r.v) for r in read_hudi(spark, h).select("id", "v").collect()
+    } == want
+
+    u = str(tmp_path / "mu")
+    export_uniform(mk(base).coalesce(1), u, format_version=2)
+    eng.sql(
+        f"MERGE INTO uniform.`{u}` AS t USING merge_src AS s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert {(r.id, r.v) for r in read_delta(spark, u).collect()} == want
+    assert {(r.id, r.v) for r in read_iceberg(spark, u).collect()} == want
+
+    # guards
+    with _pytest.raises(ValueError, match="conjunction"):
+        eng.sql(
+            f"MERGE INTO delta.`{d}` AS t USING merge_src AS s "
+            "ON t.id > s.id WHEN MATCHED THEN UPDATE SET *"
+        )
+    with _pytest.raises(ValueError, match="keyed-delete"):
+        eng.sql(
+            f"MERGE INTO delta.`{d}` AS t USING merge_src AS s "
+            "ON t.id = s.id WHEN MATCHED THEN DELETE"
+        )
+    with _pytest.raises(ValueError, match="could not parse"):
+        eng.sql(
+            f"MERGE INTO delta.`{d}` AS t USING merge_src AS s "
+            "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 'x'"
+        )
