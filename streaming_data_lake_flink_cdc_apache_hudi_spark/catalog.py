@@ -1221,19 +1221,28 @@ class TableRegistry:
                 "delete-only shape (MATCHED DELETE)"
             )
         if delete_shape:
-            if fmt != "iceberg":
+            if fmt == "iceberg":
+                from .sources.iceberg_interop import upsert_iceberg
+
+                res = upsert_iceberg(
+                    self.spark, path, None, key_cols,
+                    deletes=src_df.select(*key_cols),
+                )
+                n = res["rows"]
+            elif fmt == "delta":
+                from .sources.delta_interop import upsert_delta
+
+                res = upsert_delta(
+                    self.spark, path, None, key_cols,
+                    deletes=src_df.select(*key_cols),
+                )
+                n = res["upserted_rows"]
+            else:
                 raise ValueError(
                     f"DELETE-only MERGE on {fmt}.`...` has no keyed-"
                     "delete write side — use DELETE FROM with a "
-                    "predicate, or Iceberg"
+                    "predicate, or Delta/Iceberg"
                 )
-            from .sources.iceberg_interop import upsert_iceberg
-
-            res = upsert_iceberg(
-                self.spark, path, None, key_cols,
-                deletes=src_df.select(*key_cols),
-            )
-            n = res["rows"]
         elif fmt == "delta":
             from .sources.delta_interop import upsert_delta
 

@@ -2051,6 +2051,7 @@ def upsert_delta(
     path: str,
     df: DataFrame | None,
     key_cols: list[str],
+    deletes: DataFrame | None = None,
     data_files: list[str] | None = None,
     _allow_uniform: bool = False,
 ) -> dict:
@@ -2071,6 +2072,12 @@ def upsert_delta(
     abort. The batch must be KEY-UNIQUE, checked against the WRITTEN
     rows before the commit (both halves of the commit land at the
     same version, so duplicate keys would all survive).
+
+    ``deletes`` (new r12, the CDC ``D`` leg — mirroring
+    ``upsert_iceberg``'s): a keys-only frame whose keys are retired
+    WITHOUT replacement, riding the same commit's deletion vectors.
+    A key in both ``df`` and ``deletes`` is ambiguous and raises;
+    ``df=None`` with ``deletes`` commits a delete-only version.
 
     Unpartitioned, unmapped tables only for now (the batch write
     follows the exporter's plain layout). Scale: one distributed
@@ -2101,8 +2108,17 @@ def upsert_delta(
             f"upsert_delta: key columns {bad or key_cols} not in "
             f"table schema {tbl_cols}"
         )
-    if (df is None) == (data_files is None):
-        raise ValueError("upsert_delta: need exactly one of df / data_files")
+    if df is not None and data_files is not None:
+        raise ValueError("upsert_delta: df and data_files are exclusive")
+    if df is None and data_files is None and deletes is None:
+        raise ValueError(
+            "upsert_delta: need df, data_files and/or deletes"
+        )
+    if deletes is not None and set(deletes.columns) != set(key_cols):
+        raise ValueError(
+            f"upsert_delta: deletes columns {sorted(deletes.columns)} "
+            f"!= key columns {sorted(key_cols)}"
+        )
     if df is not None:
         if set(df.columns) != set(tbl_cols):
             raise ValueError(
@@ -2123,23 +2139,46 @@ def upsert_delta(
             and f not in before
         )
         own_files = True
-    else:
+    elif data_files is not None:
         parts = sorted(data_files)
         own_files = False
+    else:
+        parts, own_files = [], False  # delete-only commit
     abs_parts = [os.path.join(path, f) for f in parts]
-    written = spark.read.parquet(*abs_parts)
-    n_rows = written.count()
-    keys = written.select(*key_cols).dropDuplicates()
-    n_keys = keys.count()
-    if n_keys != n_rows:
-        if own_files:
-            for f in abs_parts:
-                os.remove(f)  # abort cleanly: nothing committed yet
-        raise ValueError(
-            f"upsert_delta: batch has {n_rows} rows but {n_keys} "
-            f"distinct keys over {key_cols} — dedup to one row per "
-            "key first"
-        )
+    n_rows = 0
+    keys = None
+    if abs_parts:
+        written = spark.read.parquet(*abs_parts)
+        n_rows = written.count()
+        keys = written.select(*key_cols).dropDuplicates()
+        n_keys = keys.count()
+        if n_keys != n_rows:
+            if own_files:
+                for f in abs_parts:
+                    os.remove(f)  # abort cleanly: nothing committed yet
+            raise ValueError(
+                f"upsert_delta: batch has {n_rows} rows but {n_keys} "
+                f"distinct keys over {key_cols} — dedup to one row per "
+                "key first"
+            )
+    if deletes is not None:
+        ddf = deletes.select(*key_cols).dropDuplicates()
+        if keys is not None:
+            overlap = keys.join(ddf, key_cols, "semi").count()
+            if overlap:
+                if own_files:
+                    for f in abs_parts:
+                        os.remove(f)
+                raise ValueError(
+                    f"upsert_delta: {overlap} key(s) appear in BOTH "
+                    "df and deletes — upsert-or-delete per key is "
+                    "ambiguous"
+                )
+            keys = keys.unionByName(ddf)
+        else:
+            keys = ddf
+    if keys is None:
+        return {"version": None, "upserted_rows": 0, "files_touched": 0}
     live = _frame_from_adds(spark, path, adds, meta, with_meta=True)
     matched = live.join(keys, key_cols, "semi").select(
         "_dv_fp", "_dv_pos"
@@ -2160,6 +2199,9 @@ def upsert_delta(
                 }
             }
         )
+    if not actions:
+        # delete-only batch matching nothing live: no commit
+        return {"version": None, "upserted_rows": 0, "files_touched": 0}
     version = _next_version(path)
     with open(_log_path(path, version), "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions) + "\n")

@@ -161,6 +161,59 @@ def stream_upsert_iceberg(
     return writer.trigger(**trigger).start()
 
 
+def stream_upsert_delta(
+    changelog: DataFrame,
+    path: str,
+    key: str | Sequence[str],
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """changelog stream → per-micro-batch DELTA MERGE commits (new
+    r12 — the Delta twin of :func:`stream_upsert_iceberg`, the shape
+    delta-spark's ``foreachBatch`` + ``MERGE`` deployment guides
+    document for CDC): each micro-batch reduces the envelope to a
+    keyed LWW delta (``reduce_changelog_batch``), splits tombstones
+    out, and commits ONE Delta version via ``upsert_delta`` —
+    deletion-vector re-adds retiring both the upserted and the
+    deleted keys' old rows plus adds for the upserted rows. Commit
+    cadence = trigger cadence, the checkpoint-coupled pattern of
+    ``stream_upsert`` (E1). The target must already exist as an
+    unpartitioned, unmapped export with the post-image schema.
+
+    Ordering is commit-ordered across batches (log replay replaces
+    adds by path), LWW within a batch — the same contract
+    ``stream_upsert_iceberg`` documents; replayed epochs re-commit
+    and converge (the DV re-delete merges identical positions)."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _commit(batch: DataFrame, epoch_id: int) -> None:
+        from ..sources.delta_interop import upsert_delta
+
+        delta = reduce_changelog_batch(batch, keys)
+        ups = delta.filter(~F.col("_deleted")).drop(
+            "_deleted", "_cdc_ts", "_cdc_seq"
+        )
+        dels = delta.filter(F.col("_deleted")).select(*keys)
+        n_ups, n_dels = ups.count(), dels.count()
+        if not n_ups and not n_dels:
+            return
+        upsert_delta(
+            batch.sparkSession,
+            path,
+            ups if n_ups else None,
+            keys,
+            deletes=dels if n_dels else None,
+        )
+
+    writer = (
+        changelog.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
 def stream_static_join(
     changelog_delta: DataFrame,
     static_dim: DataFrame,

@@ -1373,9 +1373,17 @@ def test_sql_path_merge_routes_to_upsert_writers(spark, tmp_path):
             f"MERGE INTO delta.`{d}` AS t USING merge_src AS s "
             "ON t.id > s.id WHEN MATCHED THEN UPDATE SET *"
         )
+    # DELETE-only MERGE on delta: DV-retire the matched keys
+    eng.sql(
+        f"MERGE INTO delta.`{d}` AS t USING del_src AS s "
+        "ON t.id = s.id WHEN MATCHED THEN DELETE"
+    )
+    assert {(r.id, r.v) for r in read_delta(spark, d).collect()} == (
+        want - {(9, "v9"), (0, "v0")}
+    )
     with _pytest.raises(ValueError, match="keyed-delete"):
         eng.sql(
-            f"MERGE INTO delta.`{d}` AS t USING merge_src AS s "
+            f"MERGE INTO hudi.`{h}` AS t USING merge_src AS s "
             "ON t.id = s.id WHEN MATCHED THEN DELETE"
         )
     with _pytest.raises(ValueError, match="could not parse"):

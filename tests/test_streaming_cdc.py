@@ -421,3 +421,76 @@ def test_stream_upsert_iceberg_sink(spark, tmp_path, feed_dir):
     ]
     assert ops[0] == "append" and len(ops) == 3
     assert all(op in ("overwrite", "delete") for op in ops[1:])
+
+
+def test_stream_upsert_delta_sink(spark, tmp_path, feed_dir):
+    """r12: CDC stream -> per-micro-batch Delta MERGE commits (the
+    foreachBatch+MERGE deployment shape): inserts, updates, deletes
+    and out-of-order WITHIN-batch events land as DV-re-add + add
+    versions, and the final Delta view equals the batch LWW
+    expectation; one version per non-empty batch."""
+    import os
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        read_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.pipeline import (
+        stream_upsert_delta,
+    )
+
+    path = str(tmp_path / "delta_sink")
+    export_delta(
+        spark.createDataFrame(
+            [(0.0, "Seed Row", "Row", "Seed")], PERSON
+        ).coalesce(1),
+        path,
+    )
+    write_feed_events(
+        spark,
+        feed_dir,
+        _feed_df(
+            spark,
+            [
+                ("U", "2024-01-01T00:00:02", 3, _p(1, "Ann Lee"),
+                 _p(1, "Ann Smith")),
+                ("I", "2024-01-01T00:00:00", 1, None, _p(1, "Ann Lee")),
+                ("I", "2024-01-01T00:00:01", 2, None, _p(2, "Bob Ray")),
+            ],
+        ),
+        commit_id="batch1",
+    )
+    write_feed_events(
+        spark,
+        feed_dir,
+        _feed_df(
+            spark,
+            [
+                ("D", "2024-01-01T00:01:00", 4, _p(2, "Bob Ray"), None),
+                ("I", "2024-01-01T00:01:01", 5, None, _p(3, "Cat Fox")),
+            ],
+        ),
+        commit_id="batch2",
+    )
+    stream = read_feed_stream(
+        spark, feed_dir, PERSON, max_files_per_trigger=1
+    )
+    q = stream_upsert_delta(
+        stream, path, "id", str(tmp_path / "ckpt_delta"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.id, r.full_name) for r in read_delta(spark, path).collect()
+    )
+    assert got == [(0.0, "Seed Row"), (1.0, "Ann Smith"),
+                   (3.0, "Cat Fox")]
+    # one commit JSON per non-empty micro-batch on top of version 0
+    n_commits = len(
+        [
+            f
+            for f in os.listdir(os.path.join(path, "_delta_log"))
+            if f.endswith(".json")
+        ]
+    )
+    assert n_commits == 3
