@@ -1191,6 +1191,79 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
     }
 
 
+def clean_hudi(path: str, retain_commits: int = 2) -> dict:
+    """Hudi's CLEANER service for exported layouts (new r12 —
+    ``KEEP_LATEST_COMMITS``, the third format's space reclaimer next
+    to ``vacuum_delta`` / ``expire_snapshots``): per file group, keep
+    every file slice still needed to serve a query anywhere in the
+    window of the last ``retain_commits`` completed instants — the
+    NEWEST base at or before the window start plus everything newer —
+    and delete older base files together with the log files attached
+    to them. Reads and time travel INSIDE the window are unaffected;
+    time travel before it raises the reader's clear no-base-files
+    error. The timeline itself is kept (Hudi archives rather than
+    deletes it; the instants stay listable).
+
+    Without cleaning, every ``compact_hudi`` leaves the previous
+    slice on disk forever — at 100 TB compaction cadences the table
+    doubles per cycle; cleaning bounds disk to O(retained window),
+    the same contract the other two formats' reclaimers document.
+
+    Scale: a driver-side directory walk + unlinks, KB-scale metadata
+    work; no data scan. Returns file/byte counts removed."""
+    if retain_commits < 1:
+        raise ValueError(
+            f"retain_commits must be >= 1, got {retain_commits}"
+        )
+    done = sorted(_log_completed_instants(path))
+    if not done:
+        raise FileNotFoundError(
+            f"Hudi table at {path} has no completed instants"
+        )
+    window_start = done[-retain_commits] if len(
+        done
+    ) >= retain_commits else done[0]
+    # group -> sorted base instants, with file paths
+    bases: dict[tuple[str, str], list[tuple[str, str]]] = {}
+    for part, fname, m in _walk_base_files(path):
+        inst = m.group("instant")
+        if inst not in done:
+            continue  # inflight writes are not the cleaner's business
+        key = (part, m.group("file_id"))
+        bases.setdefault(key, []).append(
+            (inst, os.path.join(path, part, fname) if part else
+             os.path.join(path, fname))
+        )
+    removed = {"base_files": 0, "log_files": 0, "bytes": 0}
+    doomed_slices: set[tuple[str, str, str]] = set()  # (part,fid,inst)
+    for (part, fid), lst in bases.items():
+        lst.sort()
+        older = [i for i, (inst, _p) in enumerate(lst)
+                 if inst <= window_start]
+        # keep the newest base at-or-before the window start (it
+        # serves time travel AT the window start) + everything newer
+        keep_from = older[-1] if older else 0
+        for inst, fp in lst[:keep_from]:
+            removed["bytes"] += os.path.getsize(fp)
+            os.remove(fp)
+            removed["base_files"] += 1
+            doomed_slices.add((part, fid, inst))
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != _HOODIE]
+        relp = os.path.relpath(root, path)
+        relp = "" if relp == "." else relp
+        for f in files:
+            lm = _LOG_FILE_RE.match(f)
+            if not lm:
+                continue
+            if (relp, lm.group("file_id"), lm.group("base")) in doomed_slices:
+                fp = os.path.join(root, f)
+                removed["bytes"] += os.path.getsize(fp)
+                os.remove(fp)
+                removed["log_files"] += 1
+    return removed
+
+
 def _export_file_id(name: str, pid: int) -> str:
     import uuid as _uuid
 

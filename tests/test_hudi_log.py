@@ -713,3 +713,59 @@ def test_compact_hudi_materializes_logs(spark, tmp_path):
         .select("id", "v")
         .collect()
     } == want2
+
+
+def test_clean_hudi_reclaims_old_slices(spark, tmp_path):
+    """r12: clean_hudi deletes file slices older than the retained
+    commit window (base files + their attached logs); reads and time
+    travel inside the window are unaffected; travel before it raises
+    the reader's clear error; disk shrinks."""
+    import os
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        clean_hudi,
+        compact_hudi,
+        export_hudi_cow,
+        read_hudi,
+        upsert_hudi,
+    )
+
+    path = str(tmp_path / "mor_clean")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_hudi_cow(
+        mk([(i, f"v{i}") for i in range(6)]), path, record_key="id",
+        num_files=2,
+    )
+    # two upsert+compact cycles -> three slice generations per group
+    upsert_hudi(spark, path, mk([(1, "U1")]))
+    c1 = compact_hudi(spark, path)
+    upsert_hudi(spark, path, mk([(2, "U2")]))
+    c2 = compact_hudi(spark, path)
+
+    def n_files():
+        return sum(
+            1
+            for f in os.listdir(path)
+            if f.endswith(".parquet") or ".log." in f
+        )
+
+    before = n_files()
+    want = {(0, "v0"), (1, "U1"), (2, "U2"), (3, "v3"), (4, "v4"), (5, "v5")}
+    res = clean_hudi(path, retain_commits=2)
+    assert res["base_files"] >= 1 and n_files() < before
+    got = {(r.id, r.v) for r in read_hudi(spark, path).select("id", "v").collect()}
+    assert got == want
+    # the newest retained instants still time-travel
+    pre = read_hudi(spark, path, as_of=c2["instant"])
+    assert {(r.id, r.v) for r in pre.select("id", "v").collect()} == want
+    # travel before the retained window raises clearly
+    with pytest.raises(FileNotFoundError, match="no committed base"):
+        first = sorted(
+            f.split(".")[0]
+            for f in os.listdir(os.path.join(path, ".hoodie"))
+            if f.endswith(".commit")
+        )[0]
+        read_hudi(spark, path, as_of=str(int(first) - 1)).collect()
+    # idempotent: a second clean removes nothing more
+    res2 = clean_hudi(path, retain_commits=2)
+    assert res2["base_files"] == 0 and res2["log_files"] == 0
