@@ -1477,6 +1477,81 @@ def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "debezium_avro_parse",
+    """
+SELECT * FROM (VALUES
+  ('I', '2023-06-15 12:00:00', 101, 42, 'id1', 'Danny', 23),
+  ('U', '2023-06-15 12:00:01', 102, 42, 'id1', 'Dan', 24),
+  ('D', '2023-06-15 12:00:02', 103, 42, 'id2', 'Stephen', 33),
+  ('I', '2023-06-15 12:00:03', 104, 42, 'id3', 'Julian', 53))
+AS t(op, ts_str, seq, schema_id, uuid, name, age)
+""",
+    doc="Debezium AVRO change events in the CONFLUENT WIRE FORMAT "
+    "(new r12 — Flink SQL's debezium-avro-confluent format, the "
+    "binary sibling of debezium_parse): magic 0x00 + 4-byte schema "
+    "id + one raw Avro datum of the Debezium envelope, decoded with "
+    "this repo's stdlib Avro codec at datum level (named-type "
+    "references pre-registered — the before/after union shares one "
+    "Value record definition). Same envelope mapping as the JSON "
+    "flavor (c/r->I, u->U, d->D, ts_ms->ts, lsn->seq) plus the "
+    "frame's schema id surfaced per row. Arrow-batched mapInPandas "
+    "decode, map-only. sources/debezium_avro.py.",
+)
+def q_debezium_avro_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..sources.debezium_avro import (
+        debezium_avro_value_schema,
+        parse_debezium_avro_confluent,
+        to_confluent_frame,
+    )
+
+    schema = debezium_avro_value_schema(
+        [("uuid", "string"), ("name", "string"), ("age", "int")]
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("uuid", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.IntegerType()),
+        ]
+    )
+    evts = [
+        {"op": "c", "ts_ms": 1686830400000, "before": None,
+         "after": {"uuid": "id1", "name": "Danny", "age": 23},
+         "source": {"lsn": 101}},
+        {"op": "u", "ts_ms": 1686830401000,
+         "before": {"uuid": "id1", "name": "Danny", "age": 23},
+         "after": {"uuid": "id1", "name": "Dan", "age": 24},
+         "source": {"lsn": 102}},
+        {"op": "d", "ts_ms": 1686830402000,
+         "before": {"uuid": "id2", "name": "Stephen", "age": 33},
+         "after": None, "source": {"lsn": 103}},
+        {"op": "r", "ts_ms": 1686830403000, "before": None,
+         "after": {"uuid": "id3", "name": "Julian", "age": 53},
+         "source": {"lsn": 104}},
+    ]
+    df = spark.createDataFrame(
+        [(to_confluent_frame(schema, e, 42),) for e in evts],
+        "value binary",
+    )
+    env = parse_debezium_avro_confluent(df, "value", row_schema, schema)
+    ts_utc = F.expr(
+        "timestampadd(MICROSECOND, unix_micros(ts), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return env.select(
+        "op",
+        F.date_format(ts_utc, "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "seq",
+        "schema_id",
+        F.coalesce(F.col("after.uuid"), F.col("before.uuid")).alias("uuid"),
+        F.coalesce(F.col("after.name"), F.col("before.name")).alias("name"),
+        F.coalesce(F.col("after.age"), F.col("before.age")).alias("age"),
+    )
+
+
 def _envelope_presentation(env):
     """Shared presentation for the CDC wire-format queries: UTC wall
     time string + before/after images flattened with coalesce."""

@@ -315,3 +315,50 @@ def write_avro(
         os.makedirs(parent, exist_ok=True)
     with open(path, "wb") as fh:
         fh.write(bytes(out))
+
+
+def _register_named(schema, named: dict) -> None:
+    """Pre-register every named type in a schema tree. The walkers
+    register names LAZILY as they encode/decode, which misses a named
+    REFERENCE whose definition sits in a union branch that never got
+    taken (e.g. Debezium's ``before: ["null", Value]`` when before is
+    null but ``after: ["null", "Value"]`` is set) — datum-level entry
+    points register upfront instead."""
+    if isinstance(schema, list):
+        for b in schema:
+            _register_named(b, named)
+    elif isinstance(schema, dict):
+        t = schema.get("type")
+        if t == "record":
+            named[schema["name"]] = schema
+            for f in schema["fields"]:
+                _register_named(f["type"], named)
+        elif t in ("enum", "fixed"):
+            named[schema["name"]] = schema
+        elif t == "array":
+            _register_named(schema["items"], named)
+        elif t == "map":
+            _register_named(schema["values"], named)
+        elif isinstance(t, (dict, list)):
+            _register_named(t, named)
+
+
+def decode_datum(schema: dict, data: bytes):
+    """One RAW Avro datum (no container framing) — e.g. the body of a
+    Confluent-wire-format Kafka record (new r12, the decode side of
+    the `debezium-avro-confluent` CDC format)."""
+    named: dict = {}
+    _register_named(schema, named)
+    buf = io.BytesIO(data)
+    return _decode(schema, buf, named)
+
+
+def encode_datum(schema: dict, value) -> bytes:
+    """One RAW Avro datum (no container framing) — the encode twin of
+    :func:`decode_datum`, used by tests/fixtures to build Confluent-
+    framed change events."""
+    named: dict = {}
+    _register_named(schema, named)
+    out = bytearray()
+    _encode(schema, value, out, named)
+    return bytes(out)

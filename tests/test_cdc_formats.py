@@ -163,3 +163,73 @@ def test_canal_round_trip_null_transitions(spark):
     assert by_id[1].before.qty == 5
     assert by_id[1].after.name == "n1" and by_id[1].after.qty is None
     assert by_id[2].before.qty == 3 and by_id[2].before.name == "same"
+
+
+def test_debezium_avro_confluent_parse(spark):
+    """r12: Confluent-framed Debezium AVRO events (Flink's
+    debezium-avro-confluent format) parse to the engine envelope —
+    op mapping, ts_ms->ts, lsn->seq, before/after images, schema id
+    surfaced; bad magic / truncated bodies become NULL-op rows."""
+    from pyspark.sql import types as T
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.debezium_avro import (
+        debezium_avro_value_schema,
+        parse_debezium_avro_confluent,
+        to_confluent_frame,
+    )
+
+    schema = debezium_avro_value_schema(
+        [("uuid", "string"), ("name", "string"), ("age", "int")]
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("uuid", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("age", T.IntegerType()),
+        ]
+    )
+    evts = [
+        {"op": "c", "ts_ms": 1686830400000, "before": None,
+         "after": {"uuid": "id1", "name": "Danny", "age": 23},
+         "source": {"lsn": 101}},
+        {"op": "u", "ts_ms": 1686830401000,
+         "before": {"uuid": "id1", "name": "Danny", "age": 23},
+         "after": {"uuid": "id1", "name": "Dan", "age": 24},
+         "source": {"lsn": 102}},
+        {"op": "d", "ts_ms": 1686830402000,
+         "before": {"uuid": "id2", "name": "Stephen", "age": 33},
+         "after": None, "source": {"lsn": 103}},
+        {"op": "r", "ts_ms": 1686830403000, "before": None,
+         "after": {"uuid": "id3", "name": "Julian", "age": 53},
+         "source": {"lsn": 104}},
+    ]
+    frames = [
+        (to_confluent_frame(schema, e, 42),) for e in evts
+    ] + [(b"\x01junk",), (b"\x00\x00\x00\x00\x2a\xff",)]
+    df = spark.createDataFrame(frames, "value binary")
+    got = parse_debezium_avro_confluent(
+        df, "value", row_schema, schema
+    ).collect()
+    good = sorted(
+        (r.op, r.seq, r.schema_id,
+         r.after.name if r.after else None,
+         r.before.name if r.before else None)
+        for r in got if r.op is not None
+    )
+    assert good == [
+        ("D", 103, 42, None, "Stephen"),
+        ("I", 101, 42, "Danny", None),
+        ("I", 104, 42, "Julian", None),
+        ("U", 102, 42, "Dan", "Danny"),
+    ]
+    bad = [r for r in got if r.op is None]
+    assert len(bad) == 2
+    # the truncated-body frame still surfaces its schema id
+    assert sorted(
+        (r.schema_id is not None) for r in bad
+    ) == [False, True]
+    # timestamps are exact epoch-millis instants
+    ts = {r.seq: r.ts for r in got if r.op is not None}
+    import datetime as _dt
+
+    assert ts[101].astimezone(_dt.timezone.utc).timestamp() == 1686830400.0
