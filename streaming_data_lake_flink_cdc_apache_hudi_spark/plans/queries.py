@@ -2766,6 +2766,74 @@ def q_hudi_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hudi_rollback_read",
+    """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+""",
+    doc="Hudi ROLLBACK point-in-time recovery (new r12 — "
+    "rollback_hudi, Hudi CLI's commit rollback, completing PITR "
+    "parity on the third format next to restore_delta / "
+    "rollback_iceberg), value-oracled: supplier exports as MoR, a "
+    "delete_hudi tombstones s_nationkey < 10 and an upsert_hudi "
+    "mutates more rows, then rollback_hudi(to the export instant) "
+    "undoes BOTH — rolled base files deleted, their log blocks "
+    "killed by appended spec-framed ROLLBACK COMMAND blocks (the "
+    "block type hudi_log.apply_rollbacks and any conformant reader "
+    "honor), timeline markers removed. The read must equal the "
+    "PLAIN full-table oracle, which only happens if the rollback "
+    "undid exactly the two instants; a guard rides the value hash: "
+    "the rolled instants must be GONE from the completed timeline "
+    "(Hudi rollback is destructive, unlike Delta's history-"
+    "preserving RESTORE — one extra sentinel row leaks in if any "
+    "rolled instant survives).",
+)
+def q_hudi_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.hudi_interop import (
+        _log_completed_instants,
+        delete_hudi,
+        export_hudi_mor,
+        read_hudi,
+        rollback_hudi,
+        upsert_hudi,
+    )
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="hudi_rb_")
+    t = UpsertLakeTable(
+        spark, f"{root}/t", key="s_suppkey", num_buckets=2,
+        compact_every=100,
+    )
+    t.write(s, commit_id="c1")
+    mor = f"{root}/mor"
+    export_hudi_mor(t, mor, num_files=3)
+    base_inst = sorted(_log_completed_instants(mor))[0]
+    r1 = delete_hudi(spark, mor, "s_nationkey < 10")
+    ups = s.filter("s_suppkey % 9 = 0").select(
+        "s_suppkey",
+        F.concat(F.lit("X-"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+    )
+    r2 = upsert_hudi(spark, mor, ups)
+    rollback_hudi(mor, base_inst)
+    cols = ["s_suppkey", "s_name", "s_nationkey"]
+    post = read_hudi(spark, mor).select(*cols)
+    # guard: the rolled instants are gone from the completed timeline
+    leaked = {r1["instant"], r2["instant"]} & _log_completed_instants(mor)
+    sentinel = spark.createDataFrame(
+        [(-1, f"ROLLED INSTANT SURVIVED: {sorted(leaked)}", -1)]
+        if leaked
+        else [],
+        "s_suppkey long, s_name string, s_nationkey long",
+    )
+    return post.unionAll(sentinel)
+
+
+@register(
     "iceberg_partitioned_read",
     """
 SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -1191,6 +1191,87 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
     }
 
 
+def rollback_hudi(path: str, instant: str) -> dict:
+    """ROLLBACK an exported layout to ``instant`` (new r12 — Hudi
+    CLI's ``commit rollback`` / the writer's failed-commit rollback,
+    completing point-in-time RECOVERY parity on the third format
+    next to ``restore_delta`` and ``rollback_iceberg``): every
+    completed instant AFTER the target is undone, newest first —
+
+    - its base files (CoW writes / compactions) are deleted,
+    - log blocks it wrote get a spec-framed ROLLBACK COMMAND block
+      appended to their log file (``hudi_log.apply_rollbacks`` — and
+      any spec-conformant external reader — then skips them), and
+    - its timeline completion markers are removed, so the reader's
+      completed-instant gate stops serving it outright.
+
+    Unlike ``restore_delta`` (history-preserving forward commit),
+    Hudi's rollback is DESTRUCTIVE of the rolled-back instants — the
+    format's own semantics: rolled commits disappear from the
+    timeline and their data is unreferenced. Time travel to the
+    target or earlier is untouched.
+
+    Scale: a driver-side timeline walk; per-log command-block
+    appends are KB-scale; base-file unlinks metadata-only."""
+    done = _log_completed_instants(path)
+    if instant not in done:
+        raise ValueError(
+            f"instant {instant!r} is not a completed instant of "
+            f"{path} (has {sorted(done)})"
+        )
+    doomed = sorted((i for i in done if i > instant), reverse=True)
+    if not doomed:
+        return {"rolled_back": [], "base_files": 0, "log_commands": 0}
+    from . import hudi_log as HL
+
+    doomed_set = set(doomed)
+    n_bases = 0
+    for part, fname, m in _walk_base_files(path):
+        if m.group("instant") in doomed_set:
+            os.remove(
+                os.path.join(path, part, fname)
+                if part
+                else os.path.join(path, fname)
+            )
+            n_bases += 1
+    n_cmds = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != _HOODIE]
+        for f in files:
+            if not _LOG_FILE_RE.match(f):
+                continue
+            fp = os.path.join(root, f)
+            with open(fp, "rb") as fh:
+                blocks = HL.decode_blocks(fh.read())
+            hit = {
+                b["header"].get(HL.INSTANT_TIME)
+                for b in blocks
+                if b["type"] in ("avro", "delete")
+            } & doomed_set
+            for r_inst in sorted(hit, reverse=True):
+                with open(fp, "ab") as fh:
+                    fh.write(
+                        HL.encode_block(
+                            "command",
+                            {
+                                HL.TARGET_INSTANT_TIME: r_inst,
+                                HL.COMMAND_BLOCK_TYPE: "0",
+                            },
+                        )
+                    )
+                n_cmds += 1
+    tl = os.path.join(path, _HOODIE)
+    for f in os.listdir(tl):
+        stem = f.split(".")[0]
+        if stem in doomed_set:
+            os.remove(os.path.join(tl, f))
+    return {
+        "rolled_back": doomed,
+        "base_files": n_bases,
+        "log_commands": n_cmds,
+    }
+
+
 def clean_hudi(path: str, retain_commits: int = 2) -> dict:
     """Hudi's CLEANER service for exported layouts (new r12 —
     ``KEEP_LATEST_COMMITS``, the third format's space reclaimer next

@@ -769,3 +769,62 @@ def test_clean_hudi_reclaims_old_slices(spark, tmp_path):
     # idempotent: a second clean removes nothing more
     res2 = clean_hudi(path, retain_commits=2)
     assert res2["base_files"] == 0 and res2["log_files"] == 0
+
+
+def test_rollback_hudi_point_in_time_recovery(spark, tmp_path):
+    """r12: rollback_hudi undoes every instant after the target —
+    base files of rolled commits deleted, their log blocks killed by
+    appended rollback command blocks, timeline markers removed; the
+    table serves exactly the target-instant state; earlier time
+    travel untouched; rolled instants gone; unknown targets raise."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        compact_hudi,
+        delete_hudi,
+        export_hudi_cow,
+        read_hudi,
+        rollback_hudi,
+        upsert_hudi,
+        completed_instants,
+        _log_completed_instants,
+    )
+
+    path = str(tmp_path / "mor_rb")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_hudi_cow(
+        mk([(i, f"v{i}") for i in range(6)]), path, record_key="id",
+        num_files=2,
+    )
+    r_ups = upsert_hudi(spark, path, mk([(1, "U1"), (50, "v50")]))
+    r_del = delete_hudi(spark, path, "id = 2")
+    compact_hudi(spark, path)
+    post_all = {(r.id, r.v) for r in read_hudi(spark, path).select("id", "v").collect()}
+    want_all = {(i, f"v{i}") for i in range(6) if i not in (1, 2)} | {
+        (1, "U1"), (50, "v50"),
+    }
+    assert post_all == want_all
+
+    # roll back to the upsert instant: delete + compaction undone
+    res = rollback_hudi(path, r_ups["instant"])
+    assert len(res["rolled_back"]) == 2 and res["base_files"] >= 1
+    got = {(r.id, r.v) for r in read_hudi(spark, path).select("id", "v").collect()}
+    assert got == {(i, f"v{i}") for i in range(6) if i != 1} | {
+        (1, "U1"), (50, "v50"),
+    }
+    assert r_del["instant"] not in _log_completed_instants(path)
+    # earlier time travel untouched
+    pre = read_hudi(spark, path, as_of=str(int(r_ups["instant"]) - 1))
+    assert {(r.id, r.v) for r in pre.select("id", "v").collect()} == {
+        (i, f"v{i}") for i in range(6)
+    }
+    # rolling back the upsert too returns to the export state
+    rollback_hudi(path, completed_instants(path)[0])
+    assert {
+        (r.id, r.v) for r in read_hudi(spark, path).select("id", "v").collect()
+    } == {(i, f"v{i}") for i in range(6)}
+    # further writes after a rollback work (fresh instants)
+    upsert_hudi(spark, path, mk([(0, "Z")]))
+    assert {
+        r.v for r in read_hudi(spark, path).filter("id = 0").collect()
+    } == {"Z"}
+    with pytest.raises(ValueError, match="not a completed instant"):
+        rollback_hudi(path, "19990101000000000")
