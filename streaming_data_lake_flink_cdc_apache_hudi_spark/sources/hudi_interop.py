@@ -830,7 +830,12 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
     }
 
 
-def upsert_hudi(spark: SparkSession, path: str, df: DataFrame) -> dict:
+def upsert_hudi(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame | None,
+    deletes: DataFrame | None = None,
+) -> dict:
     """Keyed UPSERT on an EXPORTED MERGE_ON_READ layout (new r12 —
     the write twin of :func:`delete_hudi`, closing upsert write
     parity on the reference's own table type,
@@ -851,6 +856,14 @@ def upsert_hudi(spark: SparkSession, path: str, df: DataFrame) -> dict:
     ordinal and make the merge ambiguous, so the engine raises
     (dedupe upstream with the keyed LWW operators), matching
     :func:`upsert_iceberg`'s contract.
+
+    ``deletes`` (new r12, the CDC ``D`` leg — completing the sink
+    surface the reference's Flink pipeline drives): a keys-only
+    frame whose keys are tombstoned in the SAME instant, as
+    spec-framed DELETE BLOCKS riding each touched group's log next
+    to the data block. A key in both ``df`` and ``deletes`` is
+    ambiguous and raises; ``df=None`` commits a delete-only
+    instant.
 
     File-group routing reuses the exporters' deterministic
     assignment via :func:`_export_group_routing` —
@@ -892,21 +905,44 @@ def upsert_hudi(spark: SparkSession, path: str, df: DataFrame) -> dict:
         f for f in base.schema.fields if not f.name.startswith("_hoodie_")
     ]
     want = [f.name for f in payload_fields]
-    if sorted(df.columns) != sorted(want):
+    if df is None and deletes is None:
+        raise ValueError("upsert_hudi: need df and/or deletes")
+    if df is not None and sorted(df.columns) != sorted(want):
         raise UnsupportedHudiFeature(
             f"upsert_hudi: input columns {sorted(df.columns)} do not "
             f"match the table payload {sorted(want)}"
         )
-    if key not in df.columns:
-        raise UnsupportedHudiFeature(
-            f"record key field {key!r} missing from the input"
+    if deletes is not None and set(deletes.columns) != {key}:
+        raise ValueError(
+            f"upsert_hudi: deletes columns {sorted(deletes.columns)} "
+            f"!= the record key [{key!r}]"
         )
+    key_type = next(f.dataType for f in payload_fields if f.name == key)
     # align to the base payload order/types; Avro fields are written
     # as nullable unions so reader alignment never depends on the
-    # input frame's inferred nullability
-    aligned = df.select(
-        *[F.col(f.name).cast(f.dataType) for f in payload_fields]
-    )
+    # input frame's inferred nullability. Deletes ride the same
+    # routed frame as null-payload rows flagged _is_del.
+    parts = []
+    if df is not None:
+        parts.append(
+            df.select(
+                *[F.col(f.name).cast(f.dataType) for f in payload_fields]
+            ).withColumn("_is_del", F.lit(False))
+        )
+    if deletes is not None:
+        parts.append(
+            deletes.select(
+                *[
+                    F.col(key).cast(key_type).alias(key)
+                    if f.name == key
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in payload_fields
+                ]
+            ).withColumn("_is_del", F.lit(True))
+        )
+    aligned = parts[0]
+    for extra in parts[1:]:
+        aligned = aligned.unionByName(extra)
     avro_schema = _avro_schema_for(
         [T.StructField(f.name, f.dataType, True) for f in payload_fields]
     )
@@ -927,21 +963,28 @@ def upsert_hudi(spark: SparkSession, path: str, df: DataFrame) -> dict:
 
     def _append_data(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
-            return pd.DataFrame([], columns=["pid", "n_rows", "n_dup"])
+            return pd.DataFrame(
+                [], columns=["pid", "n_rows", "n_dels"]
+            )
         pid = int(pdf["_pid"].iat[0])
         keys = pdf[key].astype(str)
         n_dup = int(keys.duplicated().sum())
         if n_dup:
             # raising inside the task surfaces as a job failure with
             # this message — no partial log append has happened yet
+            # (an upsert/delete overlap on one key dups here too)
             raise ValueError(
                 f"upsert_hudi: {n_dup} duplicate record key(s) in the "
                 "input batch (first: "
                 f"{keys[keys.duplicated()].iloc[0]!r}) — upsert "
-                "batches must be key-unique"
+                "batches must be key-unique and no key may appear in "
+                "BOTH df and deletes"
             )
+        ups = pdf[~pdf["_is_del"]]
+        dels = pdf[pdf["_is_del"]]
+        blocks = b""
         recs = []
-        for _, r in pdf.iterrows():
+        for _, r in ups.iterrows():
             rec = {"_hoodie_record_key": str(r[key])}
             for f in payload_fields:
                 v = r[f.name]
@@ -955,12 +998,26 @@ def upsert_hudi(spark: SparkSession, path: str, df: DataFrame) -> dict:
                     v = v.item() if hasattr(v, "item") else v
                 rec[f.name] = v
             recs.append(rec)
-        block = HL.encode_block(
-            "avro",
-            {HL.INSTANT_TIME: new_inst},
-            records=recs,
-            schema=avro_schema,
-        )
+        if recs:
+            blocks += HL.encode_block(
+                "avro",
+                {HL.INSTANT_TIME: new_inst},
+                records=recs,
+                schema=avro_schema,
+            )
+        if len(dels):
+            blocks += HL.encode_block(
+                "delete",
+                {HL.INSTANT_TIME: new_inst},
+                records=[
+                    {
+                        "recordKey": str(k),
+                        "partitionPath": "",
+                        "orderingVal": int(new_inst),
+                    }
+                    for k in sorted(dels[key].astype(str))
+                ],
+            )
         # a NEW key can route to a group whose base hash partition
         # was empty at export: start a LOG-ONLY file slice there,
         # based at this instant (read_hudi serves base-less slices)
@@ -969,24 +1026,28 @@ def upsert_hudi(spark: SparkSession, path: str, df: DataFrame) -> dict:
             base_inst_by_pid.get(pid, new_inst),
         )
         with open(os.path.join(dest_abs, fname), "ab") as fh:
-            fh.write(block)
+            fh.write(blocks)
         return pd.DataFrame(
-            [{"pid": pid, "n_rows": len(recs), "n_dup": 0}]
+            [{"pid": pid, "n_rows": len(recs), "n_dels": len(dels)}]
         )
 
     stats = (
         routed.groupBy("_pid")
-        .applyInPandas(_append_data, "pid int, n_rows long, n_dup long")
+        .applyInPandas(_append_data, "pid int, n_rows long, n_dels long")
         .collect()
     )  # bounded: one row per touched file group
     if not stats:
-        return {"instant": None, "upserted_rows": 0, "groups_touched": 0}
+        return {
+            "instant": None, "upserted_rows": 0, "deleted_keys": 0,
+            "groups_touched": 0,
+        }
     open(
         os.path.join(path, _HOODIE, f"{new_inst}.deltacommit"), "w"
     ).close()
     return {
         "instant": new_inst,
         "upserted_rows": int(sum(r["n_rows"] for r in stats)),
+        "deleted_keys": int(sum(r["n_dels"] for r in stats)),
         "groups_touched": len(stats),
     }
 

@@ -214,6 +214,57 @@ def stream_upsert_delta(
     return writer.trigger(**trigger).start()
 
 
+def stream_upsert_hudi(
+    changelog: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """changelog stream → per-micro-batch HUDI MoR delta commits on
+    an EXPORTED layout (new r12 — the reference's EXACT deployment
+    shape, Flink CDC upserting into Hudi MERGE_ON_READ,
+    CDC-Hudi-Notebook.zpln:292 ¶7, now landed on the interop layout
+    external Hudi/Athena readers mount): each micro-batch reduces
+    the envelope to a keyed LWW delta (``reduce_changelog_batch``),
+    splits tombstones out, and commits ONE ``.deltacommit`` via
+    ``upsert_hudi`` — an Avro DATA block per touched file group for
+    the upserted rows plus a DELETE block for the deleted keys, the
+    block shapes the reference's Flink sink emits per checkpoint.
+    Commit cadence = trigger cadence (E1); ``compact_hudi`` /
+    ``clean_hudi`` run the maintenance the reference schedules as
+    async compaction. The record key comes from the layout's
+    hoodie.properties."""
+    from ..sources.hudi_interop import _record_key_fields
+
+    keys = _record_key_fields(path)
+
+    def _commit(batch: DataFrame, epoch_id: int) -> None:
+        from ..sources.hudi_interop import upsert_hudi
+
+        delta = reduce_changelog_batch(batch, keys)
+        ups = delta.filter(~F.col("_deleted")).drop(
+            "_deleted", "_cdc_ts", "_cdc_seq"
+        )
+        dels = delta.filter(F.col("_deleted")).select(*keys)
+        n_ups, n_dels = ups.count(), dels.count()
+        if not n_ups and not n_dels:
+            return
+        upsert_hudi(
+            batch.sparkSession,
+            path,
+            ups if n_ups else None,
+            deletes=dels if n_dels else None,
+        )
+
+    writer = (
+        changelog.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
 def stream_static_join(
     changelog_delta: DataFrame,
     static_dim: DataFrame,

@@ -494,3 +494,86 @@ def test_stream_upsert_delta_sink(spark, tmp_path, feed_dir):
         ]
     )
     assert n_commits == 3
+
+
+def test_stream_upsert_hudi_sink(spark, tmp_path, feed_dir):
+    """r12: CDC stream -> per-micro-batch Hudi MoR delta commits on
+    an exported layout — the reference's exact deployment shape
+    (Flink CDC -> Hudi MoR): data + delete blocks per batch, final
+    real-time view equals the batch LWW expectation, one deltacommit
+    per non-empty batch, and compaction afterwards converges the
+    read-optimized view."""
+    import os
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        compact_hudi,
+        export_hudi_cow,
+        read_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.pipeline import (
+        stream_upsert_hudi,
+    )
+
+    path = str(tmp_path / "hudi_sink")
+    seed = spark.createDataFrame(
+        [(0.0, "Seed Row", "Row", "Seed")], PERSON
+    )
+    export_hudi_cow(seed, path, record_key="id", num_files=2)
+    write_feed_events(
+        spark,
+        feed_dir,
+        _feed_df(
+            spark,
+            [
+                ("U", "2024-01-01T00:00:02", 3, _p(1, "Ann Lee"),
+                 _p(1, "Ann Smith")),
+                ("I", "2024-01-01T00:00:00", 1, None, _p(1, "Ann Lee")),
+                ("I", "2024-01-01T00:00:01", 2, None, _p(2, "Bob Ray")),
+            ],
+        ),
+        commit_id="batch1",
+    )
+    write_feed_events(
+        spark,
+        feed_dir,
+        _feed_df(
+            spark,
+            [
+                ("D", "2024-01-01T00:01:00", 4, _p(2, "Bob Ray"), None),
+                ("I", "2024-01-01T00:01:01", 5, None, _p(3, "Cat Fox")),
+            ],
+        ),
+        commit_id="batch2",
+    )
+    stream = read_feed_stream(
+        spark, feed_dir, PERSON, max_files_per_trigger=1
+    )
+    q = stream_upsert_hudi(
+        stream, path, str(tmp_path / "ckpt_hudi"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    want = [(0.0, "Seed Row"), (1.0, "Ann Smith"), (3.0, "Cat Fox")]
+    got = sorted(
+        (r.id, r.full_name)
+        for r in read_hudi(spark, path).select("id", "full_name").collect()
+    )
+    assert got == want
+    # one deltacommit per non-empty batch
+    n_dc = len(
+        [
+            f
+            for f in os.listdir(os.path.join(path, ".hoodie"))
+            if f.endswith(".deltacommit")
+        ]
+    )
+    assert n_dc == 2
+    # compaction converges the read-optimized view
+    compact_hudi(spark, path)
+    ro = sorted(
+        (r.id, r.full_name)
+        for r in read_hudi(spark, path, read_optimized=True)
+        .select("id", "full_name")
+        .collect()
+    )
+    assert ro == want
