@@ -178,8 +178,9 @@ def delete_uniform(spark: SparkSession, path: str, predicate: str) -> dict:
 def upsert_uniform(
     spark: SparkSession,
     path: str,
-    df: DataFrame,
+    df: DataFrame | None,
     key_cols: list[str],
+    deletes: DataFrame | None = None,
 ) -> dict:
     """Keyed UPSERT on a UniForm table (new r12 — the dual-format
     twin of ``upsert_iceberg``/the Delta MERGE shape, completing the
@@ -199,6 +200,12 @@ def upsert_uniform(
     keys update last-writer-wins. The batch must be KEY-UNIQUE
     (checked against the WRITTEN rows before either commit — both
     formats' same-sequence scoping would keep duplicate keys alive).
+
+    ``deletes`` (new r12, the CDC ``D`` leg): a keys-only frame whose
+    keys are retired on BOTH sides in the same pair of commits —
+    Delta deletion vectors, Iceberg equality deletes. A key in both
+    ``df`` and ``deletes`` raises before either commit; ``df=None``
+    commits a dual delete-only pair.
 
     Requires the Iceberg view at format-version 2 (equality deletes
     need sequence numbers); partitioned UniForm tables refuse for
@@ -242,10 +249,17 @@ def upsert_uniform(
         f["name"]
         for f in _json.loads(meta_d["schemaString"])["fields"]
     ]
-    if set(df.columns) != set(tbl_cols):
+    if df is None and deletes is None:
+        raise ValueError("upsert_uniform: need df and/or deletes")
+    if df is not None and set(df.columns) != set(tbl_cols):
         raise ValueError(
             f"upsert_uniform: frame columns {sorted(df.columns)} != "
             f"table columns {sorted(tbl_cols)}"
+        )
+    if deletes is not None and set(deletes.columns) != set(key_cols):
+        raise ValueError(
+            f"upsert_uniform: deletes columns {sorted(deletes.columns)}"
+            f" != key columns {sorted(key_cols)}"
         )
     bad = sorted(set(key_cols) - set(tbl_cols))
     if not key_cols or bad:
@@ -262,30 +276,48 @@ def upsert_uniform(
             if f.endswith(".parquet") and not f.startswith("_")
         }
 
-    before = _parts()
-    df.select(*tbl_cols).write.mode("append").parquet(path)
-    parts = sorted(_parts() - before)
-    abs_parts = [os.path.join(path, f) for f in parts]
+    parts: list[str] = []
+    abs_parts: list[str] = []
+    n_rows = 0
+    keys = None
+    if df is not None:
+        before = _parts()
+        df.select(*tbl_cols).write.mode("append").parquet(path)
+        parts = sorted(_parts() - before)
+        abs_parts = [os.path.join(path, f) for f in parts]
 
-    # key uniqueness from the WRITTEN rows, before either commit
-    written = spark.read.parquet(*abs_parts)
-    n_rows = written.count()
-    keys = written.select(*key_cols).dropDuplicates()
-    n_keys = keys.count()
-    if n_keys != n_rows:
-        for f in abs_parts:
-            os.remove(f)  # abort cleanly: nothing committed yet
-        raise ValueError(
-            f"upsert_uniform: batch has {n_rows} rows but {n_keys} "
-            f"distinct keys over {key_cols} — dedup to one row per "
-            "key first"
-        )
+        # key uniqueness from the WRITTEN rows, before either commit
+        written = spark.read.parquet(*abs_parts)
+        n_rows = written.count()
+        keys = written.select(*key_cols).dropDuplicates()
+        n_keys = keys.count()
+        if n_keys != n_rows:
+            for f in abs_parts:
+                os.remove(f)  # abort cleanly: nothing committed yet
+            raise ValueError(
+                f"upsert_uniform: batch has {n_rows} rows but {n_keys} "
+                f"distinct keys over {key_cols} — dedup to one row per "
+                "key first"
+            )
+    ddf = None
+    if deletes is not None:
+        ddf = deletes.select(*key_cols).dropDuplicates()
+        if keys is not None:
+            overlap = keys.join(ddf, key_cols, "semi").count()
+            if overlap:
+                for f in abs_parts:
+                    os.remove(f)
+                raise ValueError(
+                    f"upsert_uniform: {overlap} key(s) appear in BOTH "
+                    "df and deletes — upsert-or-delete per key is "
+                    "ambiguous"
+                )
 
     # Delta leg: DV-retire the old rows of the batch's keys + add the
     # new files, ONE commit (upsert_delta over the pre-written shared
     # parts — it never removes injected files on abort)
     res_d = upsert_delta(
-        spark, path, None, key_cols, data_files=parts,
+        spark, path, None, key_cols, deletes=ddf, data_files=parts,
         _allow_uniform=True,
     )
     version = res_d["version"]
@@ -296,7 +328,8 @@ def upsert_uniform(
         path,
         None,
         key_cols,
-        data_files=abs_parts,
+        deletes=ddf,
+        data_files=abs_parts if abs_parts else None,
         _allow_uniform=True,
     )
     return {

@@ -265,6 +265,52 @@ def stream_upsert_hudi(
     return writer.trigger(**trigger).start()
 
 
+def stream_upsert_uniform(
+    changelog: DataFrame,
+    path: str,
+    key: str | Sequence[str],
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """changelog stream → per-micro-batch DUAL-FORMAT upsert commits
+    (new r12 — completing the streaming-sink quadruple next to
+    ``stream_upsert`` / ``stream_upsert_iceberg`` /
+    ``stream_upsert_delta`` / ``stream_upsert_hudi``): each batch's
+    LWW delta lands ONCE as shared parquet and commits BOTH a Delta
+    version (DV re-adds + adds) and an Iceberg snapshot (equality
+    deletes + the same files) via ``upsert_uniform`` — a Delta client
+    and an Iceberg client both follow the stream. Target must be an
+    unpartitioned v2 ``export_uniform`` table."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _commit(batch: DataFrame, epoch_id: int) -> None:
+        from ..sources.uniform import upsert_uniform
+
+        delta = reduce_changelog_batch(batch, keys)
+        ups = delta.filter(~F.col("_deleted")).drop(
+            "_deleted", "_cdc_ts", "_cdc_seq"
+        )
+        dels = delta.filter(F.col("_deleted")).select(*keys)
+        n_ups, n_dels = ups.count(), dels.count()
+        if not n_ups and not n_dels:
+            return
+        upsert_uniform(
+            batch.sparkSession,
+            path,
+            ups if n_ups else None,
+            keys,
+            deletes=dels if n_dels else None,
+        )
+
+    writer = (
+        changelog.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
 def stream_static_join(
     changelog_delta: DataFrame,
     static_dim: DataFrame,

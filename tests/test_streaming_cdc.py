@@ -577,3 +577,75 @@ def test_stream_upsert_hudi_sink(spark, tmp_path, feed_dir):
         .collect()
     )
     assert ro == want
+
+
+def test_stream_upsert_uniform_sink(spark, tmp_path, feed_dir):
+    """r12: CDC stream -> per-micro-batch dual-format commits; a
+    Delta client and an Iceberg client both follow the stream and
+    agree on the final state."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        read_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        read_iceberg,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.uniform import (
+        export_uniform,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.pipeline import (
+        stream_upsert_uniform,
+    )
+
+    path = str(tmp_path / "uni_sink")
+    export_uniform(
+        spark.createDataFrame(
+            [(0.0, "Seed Row", "Row", "Seed")], PERSON
+        ).coalesce(1),
+        path,
+        format_version=2,
+    )
+    write_feed_events(
+        spark,
+        feed_dir,
+        _feed_df(
+            spark,
+            [
+                ("I", "2024-01-01T00:00:00", 1, None, _p(1, "Ann Lee")),
+                ("I", "2024-01-01T00:00:01", 2, None, _p(2, "Bob Ray")),
+            ],
+        ),
+        commit_id="batch1",
+    )
+    write_feed_events(
+        spark,
+        feed_dir,
+        _feed_df(
+            spark,
+            [
+                ("D", "2024-01-01T00:01:00", 3, _p(2, "Bob Ray"), None),
+                ("U", "2024-01-01T00:01:01", 4, _p(1, "Ann Lee"),
+                 _p(1, "Ann Smith")),
+            ],
+        ),
+        commit_id="batch2",
+    )
+    stream = read_feed_stream(
+        spark, feed_dir, PERSON, max_files_per_trigger=1
+    )
+    q = stream_upsert_uniform(
+        stream, path, "id", str(tmp_path / "ckpt_uni"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    want = [(0.0, "Seed Row"), (1.0, "Ann Smith")]
+    got_d = sorted(
+        (r.id, r.full_name)
+        for r in read_delta(spark, path).select("id", "full_name").collect()
+    )
+    got_i = sorted(
+        (r.id, r.full_name)
+        for r in read_iceberg(spark, path)
+        .select("id", "full_name")
+        .collect()
+    )
+    assert got_d == want and got_i == want
