@@ -1054,7 +1054,10 @@ def upsert_hudi(
 
 def compact_hudi(spark: SparkSession, path: str) -> dict:
     """MoR COMPACTION on an exported layout (new r12 — Hudi's
-    ``compaction.async.enabled`` materialization, the third format's
+    ``compaction.async.enabled`` materialization, the service the
+    reference schedules with ``compaction.delta_commits=2/5`` and
+    ``compaction.tasks=3`` on its MoR sink,
+    CDC-Hudi-Notebook.zpln:292 ¶7 / :2234 ¶51; the third format's
     twin of ``optimize_delta`` / ``rewrite_data_files``): every file
     group carrying log blocks gets its REAL-TIME view (base merged
     with data/delete blocks, LWW per key) rewritten as ONE new base
