@@ -1128,6 +1128,74 @@ class TableRegistry:
             "table STRING, updated_rows BIGINT",
         )
 
+    def _execute_path_history(self, statement: str) -> DataFrame | None:
+        """``DESCRIBE HISTORY <fmt>.`/path``` for format-path tables
+        (new r12 — the read-side sibling of the DML routing): one row
+        per commit/snapshot/instant with its kind and ordering key —
+        Delta log versions, Iceberg snapshots (operation from the
+        summary), Hudi timeline instants (action from the marker
+        suffix). Metadata-only: a directory/JSON walk, no data
+        scan."""
+        import re as _re
+
+        m = _re.match(
+            r"^\s*DESCRIBE\s+HISTORY\s+(delta|iceberg|hudi|uniform)"
+            r"\s*\.\s*`([^`]+)`\s*;?\s*$",
+            statement.strip(),
+            _re.IGNORECASE,
+        )
+        if not m:
+            return None
+        fmt, path = m.group(1).lower(), m.group(2)
+        rows: list[tuple[str, str, str]] = []
+        if fmt in ("delta", "uniform"):
+            log_dir = os.path.join(path, "_delta_log")
+            if not os.path.isdir(log_dir):
+                raise FileNotFoundError(f"no _delta_log at {path}")
+            import json as _json
+
+            for f in sorted(os.listdir(log_dir)):
+                if not (f.endswith(".json") and f[:20].isdigit()):
+                    continue
+                ops = set()
+                for line in open(os.path.join(log_dir, f)):
+                    if not line.strip():
+                        continue
+                    a = _json.loads(line)
+                    for k in ("add", "remove", "cdc", "metaData",
+                              "protocol"):
+                        if k in a:
+                            ops.add(k)
+                rows.append(
+                    (str(int(f[:20])), "delta_commit",
+                     "+".join(sorted(ops)))
+                )
+        if fmt in ("iceberg", "uniform"):
+            from .sources.iceberg_interop import snapshots as _snaps
+
+            for s in _snaps(path):
+                rows.append(
+                    (
+                        str(s["snapshot_id"]),
+                        "iceberg_snapshot",
+                        s.get("operation") or "",
+                    )
+                )
+        if fmt == "hudi":
+            tl = os.path.join(path, ".hoodie")
+            if not os.path.isdir(tl):
+                raise FileNotFoundError(f"no .hoodie timeline at {path}")
+            for f in sorted(os.listdir(tl)):
+                stem, _, suf = f.partition(".")
+                if stem.isdigit() and suf in (
+                    "commit", "deltacommit", "replacecommit",
+                ):
+                    rows.append((stem, "hudi_instant", suf))
+        return self.spark.createDataFrame(
+            rows or [("", "", "")],
+            "id STRING, kind STRING, detail STRING",
+        ).filter("id != ''")
+
     def _execute_path_merge(self, statement: str) -> DataFrame | None:
         """Upsert-shaped ``MERGE INTO`` on a format-path table (new
         r12, completing the SQL DML routing):
@@ -1374,6 +1442,9 @@ class TableRegistry:
         pdml = self._execute_path_dml(statement)
         if pdml is not None:
             return pdml
+        ph = self._execute_path_history(statement)
+        if ph is not None:
+            return ph
         pmrg = self._execute_path_merge(statement)
         if pmrg is not None:
             return pmrg

@@ -1391,3 +1391,51 @@ def test_sql_path_merge_routes_to_upsert_writers(spark, tmp_path):
             f"MERGE INTO delta.`{d}` AS t USING merge_src AS s "
             "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 'x'"
         )
+
+
+def test_sql_describe_history_path_tables(spark, tmp_path):
+    """r12: DESCRIBE HISTORY fmt.`path` lists commits/snapshots/
+    instants for all four path-table spellings, metadata-only."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        delete_delta,
+        export_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        export_hudi_cow,
+        upsert_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        export_iceberg,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.uniform import (
+        export_uniform,
+    )
+
+    eng = EngineSession(spark=spark)
+    mk = lambda: spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    d = str(tmp_path / "hd")
+    export_delta(mk().coalesce(1), d)
+    delete_delta(spark, d, "id = 1")
+    h = eng.sql(f"DESCRIBE HISTORY delta.`{d}`").collect()
+    assert [r.id for r in h] == ["0", "1"]
+    assert "add" in h[1].detail and h[0].kind == "delta_commit"
+
+    i = str(tmp_path / "hi")
+    export_iceberg(mk(), i, format_version=2)
+    export_iceberg(mk(), i, mode="append")
+    hi = eng.sql(f"DESCRIBE HISTORY iceberg.`{i}`").collect()
+    assert len(hi) == 2 and all(r.kind == "iceberg_snapshot" for r in hi)
+
+    hu = str(tmp_path / "hh")
+    export_hudi_cow(mk(), hu, record_key="id", num_files=1)
+    upsert_hudi(spark, hu, mk())
+    hh = eng.sql(f"DESCRIBE HISTORY hudi.`{hu}`").collect()
+    assert [r.detail for r in hh] == ["commit", "deltacommit"]
+
+    u = str(tmp_path / "hu")
+    export_uniform(mk().coalesce(1), u, format_version=2)
+    huf = eng.sql(f"DESCRIBE HISTORY uniform.`{u}`").collect()
+    kinds = {r.kind for r in huf}
+    assert kinds == {"delta_commit", "iceberg_snapshot"}
