@@ -2079,8 +2079,12 @@ def upsert_delta(
     A key in both ``df`` and ``deletes`` is ambiguous and raises;
     ``df=None`` with ``deletes`` commits a delete-only version.
 
-    Unpartitioned, unmapped tables only for now (the batch write
-    follows the exporter's plain layout). Scale: one distributed
+    PARTITIONED tables work (new r12): the batch lands
+    hive-partitioned with per-file ``partitionValues`` (the
+    exporter's layout; key moves across partitions work — the old
+    row DV-retires wherever it lives). Column-mapped tables refuse
+    (physical rename); ``data_files`` injection stays
+    unpartitioned-only (UniForm's shape). Scale: one distributed
     parquet write + one scan for the old keys' DV positions
     (executor-side bitmap writes) + a KB-scale metadata commit."""
     from pyspark.sql import functions as F
@@ -2090,9 +2094,12 @@ def upsert_delta(
     adds, meta, proto = _replay_log(spark, path)
     if meta is None:
         raise UnsupportedDeltaFeature("table has no metaData action")
-    if meta.get("partitionColumns"):
+    part_cols = meta.get("partitionColumns") or []
+    if part_cols and data_files is not None:
         raise UnsupportedDeltaFeature(
-            "upsert_delta on a PARTITIONED table is not supported yet"
+            "upsert_delta: data_files injection on a PARTITIONED "
+            "table is not supported (partition values come from the "
+            "batch write's own path segments)"
         )
     if _column_mapping(meta):
         raise UnsupportedDeltaFeature(
@@ -2125,19 +2132,33 @@ def upsert_delta(
                 f"upsert_delta: frame columns {sorted(df.columns)} != "
                 f"table columns {sorted(tbl_cols)}"
             )
-        before = {
-            f
-            for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith("_")
-        }
-        df.select(*tbl_cols).write.mode("append").parquet(path)
-        parts = sorted(
-            f
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-            and not f.startswith("_")
-            and f not in before
-        )
+        def _list() -> set[str]:
+            if not part_cols:
+                return {
+                    f
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet") and not f.startswith("_")
+                }
+            out: set[str] = set()
+            for root, _dirs, fs in os.walk(path):
+                if _LOG_DIR in root or "_change_data" in root:
+                    continue
+                for f in fs:
+                    if f.endswith(".parquet") and not f.startswith("_"):
+                        out.add(
+                            os.path.relpath(os.path.join(root, f), path)
+                        )
+            return out
+
+        before = _list()
+        w = df.select(*tbl_cols).write.mode("append")
+        if part_cols:
+            # partitioned tables (r12): batch rows land hive-
+            # partitioned like the exporter's layout; partitionValues
+            # are parsed from each new file's path segments below
+            w = w.partitionBy(*part_cols)
+        w.parquet(path)
+        parts = sorted(_list() - before)
         own_files = True
     elif data_files is not None:
         parts = sorted(data_files)
@@ -2186,13 +2207,28 @@ def upsert_delta(
     actions, _deleted, n_touched = _dv_delete_actions(
         spark, path, matched, adds, meta, proto
     )
+    def _pvals(rel: str) -> dict:
+        import urllib.parse
+
+        vals: dict = {}
+        for comp in rel.split("/")[:-1]:
+            if "=" not in comp:
+                continue
+            k, _, raw = comp.partition("=")
+            if k in part_cols:
+                v = urllib.parse.unquote(raw)
+                vals[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                )
+        return vals
+
     for rel in parts:
         st = os.stat(os.path.join(path, rel))
         actions.append(
             {
                 "add": {
                     "path": rel,
-                    "partitionValues": {},
+                    "partitionValues": _pvals(rel) if part_cols else {},
                     "size": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
                     "dataChange": True,

@@ -2009,3 +2009,54 @@ def test_upsert_delta_merge_commit_shape(spark, tmp_path):
     export_delta(mk([(1, "a")]).coalesce(1), p2, column_mapping="name")
     with pytest.raises(UnsupportedDeltaFeature, match="column-mapped"):
         upsert_delta(spark, p2, mk([(1, "b")]), ["id"])
+
+
+def test_upsert_delta_partitioned(spark, tmp_path):
+    """r12: upsert_delta on a PARTITIONED table — batch rows land
+    hive-partitioned with partitionValues per add; a key whose new
+    row changes partition moves (old row DV-retired in its old
+    partition); partition pruning still works."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        read_delta,
+        upsert_delta,
+    )
+
+    path = str(tmp_path / "ups_part")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id long, v string, p string"
+    )
+    export_delta(
+        mk([(1, "a", "x"), (2, "b", "y"), (3, "c", "y")]),
+        path,
+        partition_by=["p"],
+    )
+    res = upsert_delta(
+        spark, path,
+        mk([(2, "B", "y"), (4, "d", "x"), (1, "A", "y")]),  # 1 moves x->y
+        ["id"],
+    )
+    assert res["upserted_rows"] == 3
+    C = lambda df: Counter(map(tuple, df.collect()))
+    assert C(read_delta(spark, path)) == Counter(
+        {
+            (1, "A", "y"): 1,
+            (2, "B", "y"): 1,
+            (3, "c", "y"): 1,
+            (4, "d", "x"): 1,
+        }
+    )
+    # pruning: a partition filter scans only that partition's files
+    pruned = read_delta(spark, path).filter("p = 'x'")
+    assert C(pruned) == Counter({(4, "d", "x"): 1})
+    assert all("p=x" in f for f in pruned.inputFiles())
+    # deletes leg works partitioned too
+    upsert_delta(
+        spark, path, None, ["id"],
+        deletes=spark.createDataFrame([(3,)], "id long"),
+    )
+    assert C(read_delta(spark, path)) == Counter(
+        {(1, "A", "y"): 1, (2, "B", "y"): 1, (4, "d", "x"): 1}
+    )
