@@ -472,6 +472,112 @@ def row_delete_probe(spark) -> dict:
     return out
 
 
+def keyed_upsert_probe(spark) -> dict:
+    """Keyed-upsert scaling (new r12, the write-side twin of
+    row_delete_probe): reads after U accumulated single-key upsert
+    commits, U=8 vs U=32, on a constant 20k-row / 8-file table — the
+    claims under measurement: Delta upserts accumulate one DV re-add
+    + one small add per commit (reads ~flat: the anti-join stays
+    bounded by file count, the extra files are tiny); Iceberg
+    equality-delete upserts accumulate one delete file per commit
+    whose key set every read must anti-join (reads grow until
+    rewrite); Hudi MoR upserts append one data block per commit to
+    the touched group's log (reads ~flat at this scale, the merge
+    window's file count is bounded by group count); and each
+    format's materialization op returns reads to baseline."""
+    import tempfile as _tf
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        optimize_delta,
+        read_delta,
+        upsert_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        compact_hudi,
+        export_hudi_cow,
+        read_hudi,
+        upsert_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg,
+        rewrite_data_files,
+        upsert_iceberg,
+    )
+
+    NROWS = 20000
+
+    def mk_df():
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(NROWS)
+            .select(
+                F.col("id"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            )
+            .repartition(8)
+        )
+
+    def one(spark_, i):
+        return spark_.createDataFrame([(i, f"u{i}")], "id long, v string")
+
+    def timed_read(reader, expect_rows: int) -> float:
+        reader().count()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            assert reader().count() == expect_rows
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def run(fmt: str, n_ups: int) -> dict:
+        path = _tf.mkdtemp(prefix=f"rowups_{fmt}_") + "/t"
+        if fmt == "delta":
+            export_delta(mk_df(), path)
+            reader = lambda: read_delta(spark, path)
+            ups = lambda i: upsert_delta(spark, path, one(spark, i), ["id"])
+            compact = lambda: optimize_delta(spark, path)
+        elif fmt == "hudi":
+            export_hudi_cow(mk_df(), path, record_key="id", num_files=8)
+            reader = lambda: read_hudi(spark, path)
+            ups = lambda i: upsert_hudi(spark, path, one(spark, i))
+            compact = lambda: compact_hudi(spark, path)
+        else:
+            export_iceberg(mk_df(), path, format_version=2)
+            reader = lambda: read_iceberg(spark, path)
+            ups = lambda i: upsert_iceberg(
+                spark, path, one(spark, i), ["id"]
+            )
+            compact = lambda: rewrite_data_files(spark, path)
+        t0 = time.perf_counter()
+        for i in range(n_ups):
+            ups(i)  # every commit UPDATES an existing key: count flat
+        t_ups = round(time.perf_counter() - t0, 3)
+        t_read = timed_read(reader, NROWS)
+        compact()
+        t_read_c = timed_read(reader, NROWS)
+        return {
+            "upserts_total_sec": t_ups,
+            "read_after_upserts_sec": t_read,
+            "read_after_materialize_sec": t_read_c,
+        }
+
+    out = {}
+    for fmt in ("delta", "iceberg", "hudi"):
+        a, b = run(fmt, 8), run(fmt, 32)
+        out[fmt] = {
+            "u8": a,
+            "u32": b,
+            "read_exponent_in_upsert_commits": _exp(
+                a["read_after_upserts_sec"], b["read_after_upserts_sec"]
+            ),
+            "per_upsert_sec": round(b["upserts_total_sec"] / 32, 3),
+        }
+    return out
+
+
 def main() -> None:
     spark = EngineConfig(
         app_name="scaling_probe",
@@ -495,6 +601,7 @@ def main() -> None:
         res["media_decode"] = media_decode_probe(spark)
         res["delta_maintenance"] = delta_maintenance_probe(spark)
         res["row_deletes"] = row_delete_probe(spark)
+        res["keyed_upserts"] = keyed_upsert_probe(spark)
         print(json.dumps(res))
     finally:
         shutil.rmtree(out, ignore_errors=True)
