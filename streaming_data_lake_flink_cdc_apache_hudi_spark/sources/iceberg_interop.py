@@ -1581,13 +1581,7 @@ def delete_iceberg(
     if branch is not None:
         # branch-scoped delete (new r12): the parent is the BRANCH
         # head; the commit advances only refs[branch]
-        r = (meta.get("refs") or {}).get(branch)
-        if r is None or r.get("type") != "branch":
-            raise ValueError(
-                f"branch {branch!r} not in table refs — create it "
-                "with branch_iceberg(path, name) first"
-            )
-        cur = r["snapshot-id"]
+        cur = _branch_head(meta, branch, "delete_iceberg")
     snap = next(
         (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
         None,
@@ -1772,6 +1766,7 @@ def update_iceberg(
     predicate: str,
     set_exprs: dict[str, str],
     _allow_uniform: bool = False,
+    branch: str | None = None,
 ) -> dict:
     """Row-level ``UPDATE ... SET`` on a v2 Iceberg table (new r12 —
     Java's ``RowDelta`` commit shape, the Iceberg twin of
@@ -1816,6 +1811,8 @@ def update_iceberg(
             "sequence numbers to scope position deletes"
         )
     cur = meta.get("current-snapshot-id")
+    if branch is not None:
+        cur = _branch_head(meta, branch, "update_iceberg")
     snap = next(
         (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
         None,
@@ -2064,10 +2061,15 @@ def update_iceberg(
     new_meta["last-sequence-number"] = new_seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["snapshots"] = list(meta.get("snapshots", [])) + [new_snap]
-    new_meta["current-snapshot-id"] = new_sid
-    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
-        {"timestamp-ms": now_ms, "snapshot-id": new_sid}
-    ]
+    if branch is not None:
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {"snapshot-id": new_sid, "type": "branch"}
+        new_meta["refs"] = refs
+    else:
+        new_meta["current-snapshot-id"] = new_sid
+        new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now_ms, "snapshot-id": new_sid}
+        ]
     _commit_metadata(path, new_meta)
     return {
         "snapshot_id": new_sid,
@@ -2099,6 +2101,18 @@ def tag_iceberg(
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     _commit_metadata(path, new_meta)
     return {"name": name, "snapshot_id": snapshot_id}
+
+
+def _branch_head(meta: dict, branch: str, what: str) -> int:
+    """Resolve a writable branch ref's head — shared by every writer
+    taking ``branch=``."""
+    r = (meta.get("refs") or {}).get(branch)
+    if r is None or r.get("type") != "branch":
+        raise ValueError(
+            f"{what}: branch {branch!r} not in table refs — create "
+            "it with branch_iceberg(path, name) first"
+        )
+    return r["snapshot-id"]
 
 
 def branch_iceberg(
@@ -2424,6 +2438,7 @@ def upsert_iceberg(
     deletes: DataFrame | None = None,
     data_files: Sequence[str] | None = None,
     _allow_uniform: bool = False,
+    branch: str | None = None,
 ) -> dict:
     """Keyed UPSERT commit on a v2 Iceberg table — the Flink Iceberg
     sink's UPSERT-mode shape (new r11): ONE ``overwrite`` snapshot
@@ -2476,6 +2491,8 @@ def upsert_iceberg(
             "deletes need sequence numbers"
         )
     cur = meta.get("current-snapshot-id")
+    if branch is not None:
+        cur = _branch_head(meta, branch, "upsert_iceberg")
     snap = next(
         (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur),
         None,
@@ -2802,10 +2819,15 @@ def upsert_iceberg(
     new_meta["last-sequence-number"] = new_seq
     new_meta["last-updated-ms"] = now_ms
     new_meta["snapshots"] = list(meta.get("snapshots", [])) + [new_snap]
-    new_meta["current-snapshot-id"] = new_sid
-    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
-        {"timestamp-ms": now_ms, "snapshot-id": new_sid}
-    ]
+    if branch is not None:
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {"snapshot-id": new_sid, "type": "branch"}
+        new_meta["refs"] = refs
+    else:
+        new_meta["current-snapshot-id"] = new_sid
+        new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now_ms, "snapshot-id": new_sid}
+        ]
     _commit_metadata(path, new_meta)
     return {"snapshot_id": new_sid, "rows": data_rows}
 
@@ -3039,13 +3061,7 @@ def export_iceberg(
         # refs[branch] — main lineage and snapshot-log stay put
         append_head = prev_meta.get("current-snapshot-id")
         if branch is not None:
-            r = (prev_meta.get("refs") or {}).get(branch)
-            if r is None or r.get("type") != "branch":
-                raise ValueError(
-                    f"branch {branch!r} not in table refs — create it "
-                    "with branch_iceberg(path, name) first"
-                )
-            append_head = r["snapshot-id"]
+            append_head = _branch_head(prev_meta, branch, "export_iceberg")
         format_version = int(prev_meta.get("format-version", 1))
         prev_fields = _current_schema(path).get("fields", [])
         new_fields = _iceberg_schema(df)["fields"]

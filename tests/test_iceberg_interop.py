@@ -1916,3 +1916,34 @@ def test_dml_predicates_see_only_live_rows(spark, tmp_path):
         "updated_rows"
     ] == 0
     assert C(read_iceberg(spark, path)) == Counter({(4, "U"): 1})
+
+
+def test_iceberg_branch_full_dml_surface(spark, tmp_path):
+    """r12: upsert_iceberg and update_iceberg also take branch= —
+    the whole DML surface advances a branch without moving main."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        branch_iceberg,
+        update_iceberg,
+        upsert_iceberg,
+    )
+
+    path = str(tmp_path / "ice_branch_dml")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_iceberg(mk([(1, "a"), (2, "b")]), path, format_version=2)
+    branch_iceberg(path, "dev")
+    upsert_iceberg(spark, path, mk([(2, "B2"), (3, "c")]), ["id"],
+                   branch="dev")
+    update_iceberg(spark, path, "id = 1", {"v": "'A'"}, branch="dev")
+    C = lambda df: Counter(map(tuple, df.collect()))
+    assert C(read_iceberg(spark, path)) == Counter(
+        {(1, "a"): 1, (2, "b"): 1}
+    )  # main untouched
+    assert C(read_iceberg(spark, path, ref="dev")) == Counter(
+        {(1, "A"): 1, (2, "B2"): 1, (3, "c"): 1}
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="branch"):
+        upsert_iceberg(spark, path, mk([(9, "z")]), ["id"], branch="nope")
