@@ -5439,6 +5439,12 @@ _DRIVER_VERIFIED = frozenset({
     "hudi_delete_read", "iceberg_pos_delete_read", "uniform_delete_read",
     "delta_cdf_read", "delta_restore_read", "iceberg_changelog_read",
     "iceberg_upsert_read",
+    # --- r12 green rows (50/50 full value-hash matches — fifth
+    # consecutive all-green window; names not already folded in above;
+    # all nine new r12 queries hash-green on first driver exposure) ---
+    "debezium_avro_parse", "hudi_upsert_read", "hudi_compact_read",
+    "hudi_rollback_read", "delta_upsert_read", "uniform_upsert_read",
+    "iceberg_branch_read", "iceberg_update_read", "delta_cdf_update_read",
 })
 
 
