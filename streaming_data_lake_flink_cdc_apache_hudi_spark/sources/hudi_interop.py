@@ -226,6 +226,25 @@ def _record_key_fields(path: str) -> list[str]:
     return []
 
 
+def _key_str_expr(key_fields: list[str]):
+    """Spark Column producing the ``_hoodie_record_key`` string for the
+    given declared key fields — the Simple key generator's bare value
+    for one field, the Complex generator's ``f1:v1,f2:v2`` encoding for
+    several (hudi.apache.org/tech-specs record-key encoding; the same
+    strings Hudi delete blocks carry and :func:`read_hudi` derives)."""
+    from pyspark.sql import functions as F
+
+    if len(key_fields) == 1:
+        return F.col(key_fields[0]).cast("string")
+    return F.concat_ws(
+        ",",
+        *[
+            F.concat(F.lit(f + ":"), F.col(f).cast("string"))
+            for f in key_fields
+        ],
+    )
+
+
 def _log_records_df(
     spark: SparkSession,
     log_files: list[tuple[str, int, str]],
@@ -397,15 +416,7 @@ def read_hudi(
                 "hoodie.properties naming base columns to derive it "
                 "from; pass read_optimized=True for the base-only view"
             )
-        if len(kf) == 1:
-            return F.col(kf[0]).cast("string")
-        return F.concat_ws(
-            ",",
-            *[
-                F.concat(F.lit(f + ":"), F.col(f).cast("string"))
-                for f in kf
-            ],
-        )
+        return _key_str_expr(kf)
 
     derived = "_hoodie_record_key" not in base.columns
     if derived:
@@ -481,7 +492,7 @@ def read_hudi(
 def export_hudi_cow(
     df: DataFrame,
     path: str,
-    record_key: str,
+    record_key: str | list[str],
     table_name: str | None = None,
     instant: str | None = None,
     num_files: int = 4,
@@ -501,7 +512,13 @@ def export_hudi_cow(
       completed ``<instant>.commit`` holding HoodieCommitMetadata
       JSON (partitionToWriteStats per file);
     - ``hoodie.properties`` declaring table name/type/version and the
-      record key field.
+      record key field(s).
+
+    ``record_key`` may be one field, a list, or a comma-separated
+    string — COMPOSITE keys (new r13) materialize the Complex key
+    generator's ``f1:v1,f2:v2`` ``_hoodie_record_key`` encoding
+    (hudi.apache.org/tech-specs), and key routing hashes ALL key
+    columns, so the DML mutators recover the same assignment.
 
     Scale: the data write is the normal distributed parquet writer
     (``repartition(num_files)`` by key so a record key lands wholly
@@ -515,6 +532,11 @@ def export_hudi_cow(
         instant = _time.strftime("%Y%m%d%H%M%S") + "000"
     name = table_name or os.path.basename(path.rstrip("/"))
     os.makedirs(os.path.join(path, _HOODIE), exist_ok=True)
+    key_fields = (
+        [f.strip() for f in record_key.split(",") if f.strip()]
+        if isinstance(record_key, str)
+        else list(record_key)
+    )
 
     from pyspark.sql import functions as F
 
@@ -536,7 +558,7 @@ def export_hudi_cow(
     )
     staged = os.path.join(path, ".export_stage")
     with_meta = (
-        df.repartition(num_files, F.col(record_key))
+        df.repartition(num_files, *[F.col(k) for k in key_fields])
         .withColumn("_hoodie_commit_time", F.lit(instant))
         .withColumn(
             "_hoodie_commit_seqno",
@@ -547,7 +569,7 @@ def export_hudi_cow(
                 (F.monotonically_increasing_id() % (1 << 33)).cast("string"),
             ),
         )
-        .withColumn("_hoodie_record_key", F.col(record_key).cast("string"))
+        .withColumn("_hoodie_record_key", _key_str_expr(key_fields))
         .withColumn("_hoodie_partition_path", F.lit(""))
         .withColumn("_hoodie_file_name", name_map[F.spark_partition_id()])
     )
@@ -601,7 +623,8 @@ def export_hudi_cow(
                         "hoodie.table.type=COPY_ON_WRITE",
                         "hoodie.table.version=6",
                         "hoodie.timeline.layout.version=1",
-                        f"hoodie.table.recordkey.fields={record_key}",
+                        "hoodie.table.recordkey.fields="
+                        + ",".join(key_fields),
                         "hoodie.datasource.write.hive_style_partitioning=false",
                         "hoodie.table.partition.fields=",
                         # the exporter's key-routing modulus, persisted
@@ -766,25 +789,28 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
     done = _log_completed_instants(path)
     new_inst = str(int(max(done)) + 1)
     key_fields = _record_key_fields(path)
-    if len(key_fields) != 1:
+    if not key_fields:
         raise UnsupportedHudiFeature(
-            "delete_hudi needs a single-field record key declared in "
-            "hoodie.properties (the exporters' shape) — got "
-            f"{key_fields!r}"
+            "delete_hudi needs hoodie.table.recordkey.fields declared "
+            "in hoodie.properties (the exporters' shape)"
         )
     df = read_hudi(spark, path)
-    if key_fields[0] not in df.columns:
+    missing = [k for k in key_fields if k not in df.columns]
+    if missing:
         raise UnsupportedHudiFeature(
-            f"record key field {key_fields[0]!r} missing from the "
+            f"record key field(s) {missing!r} missing from the "
             "real-time view"
         )
-    raw_key = F.col(key_fields[0])
     matched = df.filter(predicate).select(
-        raw_key.cast("string").alias("_del_key"),
-        # hash the RAW key column: repartition(n, col) assigns by
-        # pmod(murmur3(col), n), the exporters' routing — hashing the
+        # Simple key string for one field, Complex f1:v1,f2:v2 for
+        # composite keys — the spec encoding delete blocks carry
+        _key_str_expr(key_fields).alias("_del_key"),
+        # hash the RAW key columns: repartition(n, cols) assigns by
+        # pmod(murmur3(cols), n), the exporters' routing — hashing the
         # string form would scatter keys into the wrong groups
-        F.pmod(F.hash(raw_key), F.lit(n_groups)).alias("_pid"),
+        F.pmod(
+            F.hash(*[F.col(k) for k in key_fields]), F.lit(n_groups)
+        ).alias("_pid"),
     )
     dest_abs = os.path.abspath(path)
     ordering = int(new_inst)
@@ -891,13 +917,11 @@ def upsert_hudi(
         )
     n_groups, base_inst_by_pid = _export_group_routing(path, name, slices)
     key_fields = _record_key_fields(path)
-    if len(key_fields) != 1:
+    if not key_fields:
         raise UnsupportedHudiFeature(
-            "upsert_hudi needs a single-field record key declared in "
-            "hoodie.properties (the exporters' shape) — got "
-            f"{key_fields!r}"
+            "upsert_hudi needs hoodie.table.recordkey.fields declared "
+            "in hoodie.properties (the exporters' shape)"
         )
-    key = key_fields[0]
     base = spark.read.option("basePath", path).parquet(
         *[os.path.join(path, rel) for rel, _ in slices]
     )
@@ -912,12 +936,11 @@ def upsert_hudi(
             f"upsert_hudi: input columns {sorted(df.columns)} do not "
             f"match the table payload {sorted(want)}"
         )
-    if deletes is not None and set(deletes.columns) != {key}:
+    if deletes is not None and set(deletes.columns) != set(key_fields):
         raise ValueError(
             f"upsert_hudi: deletes columns {sorted(deletes.columns)} "
-            f"!= the record key [{key!r}]"
+            f"!= the record key field(s) {sorted(key_fields)}"
         )
-    key_type = next(f.dataType for f in payload_fields if f.name == key)
     # align to the base payload order/types; Avro fields are written
     # as nullable unions so reader alignment never depends on the
     # input frame's inferred nullability. Deletes ride the same
@@ -933,8 +956,8 @@ def upsert_hudi(
         parts.append(
             deletes.select(
                 *[
-                    F.col(key).cast(key_type).alias(key)
-                    if f.name == key
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in key_fields
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in payload_fields
                 ]
@@ -955,10 +978,16 @@ def upsert_hudi(
     new_inst = str(int(max(done)) + 1)
     dest_abs = os.path.abspath(path)
     routed = aligned.withColumn(
-        # hash the RAW key column — the exporters' repartition
+        # hash the RAW key columns — the exporters' repartition
         # assignment (see delete_hudi)
         "_pid",
-        F.pmod(F.hash(F.col(key)), F.lit(n_groups)),
+        F.pmod(F.hash(*[F.col(k) for k in key_fields]), F.lit(n_groups)),
+    ).withColumn(
+        # record-key string computed SPARK-side so its rendering (e.g.
+        # of float/timestamp key fields) always matches the exporters'
+        # materialized _hoodie_record_key meta column
+        "_rk",
+        _key_str_expr(key_fields),
     )
 
     def _append_data(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -967,7 +996,7 @@ def upsert_hudi(
                 [], columns=["pid", "n_rows", "n_dels"]
             )
         pid = int(pdf["_pid"].iat[0])
-        keys = pdf[key].astype(str)
+        keys = pdf["_rk"].astype(str)
         n_dup = int(keys.duplicated().sum())
         if n_dup:
             # raising inside the task surfaces as a job failure with
@@ -985,7 +1014,7 @@ def upsert_hudi(
         blocks = b""
         recs = []
         for _, r in ups.iterrows():
-            rec = {"_hoodie_record_key": str(r[key])}
+            rec = {"_hoodie_record_key": str(r["_rk"])}
             for f in payload_fields:
                 v = r[f.name]
                 if pd.isna(v):
@@ -1015,7 +1044,7 @@ def upsert_hudi(
                         "partitionPath": "",
                         "orderingVal": int(new_inst),
                     }
-                    for k in sorted(dels[key].astype(str))
+                    for k in sorted(dels["_rk"].astype(str))
                 ],
             )
         # a NEW key can route to a group whose base hash partition
@@ -1108,13 +1137,11 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
         }
     )
     key_fields = _record_key_fields(path)
-    if len(key_fields) != 1:
+    if not key_fields:
         raise UnsupportedHudiFeature(
-            "compact_hudi needs a single-field record key declared in "
-            "hoodie.properties (the exporters' shape) — got "
-            f"{key_fields!r}"
+            "compact_hudi needs hoodie.table.recordkey.fields declared "
+            "in hoodie.properties (the exporters' shape)"
         )
-    key = key_fields[0]
     done = _log_completed_instants(path)
     new_inst = str(int(max(done)) + 1)
 
@@ -1122,8 +1149,8 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
         return f"{_export_file_id(name, pid)}_0-{pid}-0_{new_inst}.parquet"
 
     view = read_hudi(spark, path)
-    raw_key = F.col(key)
-    pid_col = F.pmod(F.hash(raw_key), F.lit(n_groups))
+    raw_keys = [F.col(k) for k in key_fields]
+    pid_col = F.pmod(F.hash(*raw_keys), F.lit(n_groups))
     doomed = view.filter(pid_col.isin([int(p) for p in log_pids]))
     name_map = F.create_map(
         *[
@@ -1145,11 +1172,11 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
     # the exporter's conventions; the record-level commit time is
     # PRESERVED, matching Hudi's compactor
     rewritten = (
-        doomed.repartition(n_groups, raw_key)
+        doomed.repartition(n_groups, *raw_keys)
         .withColumn(
             "_hoodie_record_key",
             F.coalesce(
-                F.col("_hoodie_record_key"), raw_key.cast("string")
+                F.col("_hoodie_record_key"), _key_str_expr(key_fields)
             ),
         )
         .withColumn(
@@ -1473,7 +1500,9 @@ def export_hudi_mor(
     from . import hudi_log as HL
 
     name = table_name or os.path.basename(table.path.rstrip("/"))
-    key = table.key[0] if isinstance(table.key, list) else table.key
+    key_fields = (
+        list(table.key) if isinstance(table.key, list) else [table.key]
+    )
 
     def inst(seq: int) -> str:
         # 17-digit Hudi instant (yyyyMMddHHmmssSSS-shaped), monotone
@@ -1498,7 +1527,7 @@ def export_hudi_mor(
     n_data = export_hudi_cow(
         base_df,
         path,
-        record_key=key,
+        record_key=key_fields,
         table_name=name,
         instant=inst(base_seq),
         num_files=num_files,
@@ -1523,7 +1552,10 @@ def export_hudi_mor(
             *names,
             F.col("_op"),
             F.col("_commit_seq").cast("long").alias("_seq"),
-            F.pmod(F.hash(F.col(key)), F.lit(num_files)).alias("_pid"),
+            F.pmod(
+                F.hash(*[F.col(k) for k in key_fields]), F.lit(num_files)
+            ).alias("_pid"),
+            _key_str_expr(key_fields).alias("_rk"),
         )
     )
     base_instant = inst(base_seq)
@@ -1546,7 +1578,7 @@ def export_hudi_mor(
             if len(ups):
                 recs = []
                 for _, r in ups.iterrows():
-                    rec = {"_hoodie_record_key": str(r[key])}
+                    rec = {"_hoodie_record_key": str(r["_rk"])}
                     for nm in names:
                         v = r[nm]
                         if pd.isna(v):
@@ -1571,7 +1603,7 @@ def export_hudi_mor(
                         header,
                         records=[
                             {
-                                "recordKey": str(r[key]),
+                                "recordKey": str(r["_rk"]),
                                 "partitionPath": "",
                                 "orderingVal": int(seq),
                             }

@@ -828,3 +828,95 @@ def test_rollback_hudi_point_in_time_recovery(spark, tmp_path):
     } == {"Z"}
     with pytest.raises(ValueError, match="not a completed instant"):
         rollback_hudi(path, "19990101000000000")
+
+
+def test_hudi_composite_record_key_dml(spark, tmp_path):
+    """r13 (VERDICT ask #2): COMPOSITE (multi-field) record keys on
+    exported-Hudi DML — export with a two-field key, then upsert
+    (update + insert + delete leg), delete_hudi, and compact_hudi.
+    The materialized ``_hoodie_record_key`` and the delete blocks
+    must carry the Complex key generator's ``f1:v1,f2:v2`` encoding
+    (hudi.apache.org/tech-specs record-key encoding), and LWW /
+    tombstone matching must scope per composite key."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources import hudi_log as HL
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        compact_hudi,
+        delete_hudi,
+        export_hudi_mor,
+        read_hudi,
+        upsert_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    sch = "k1 long, k2 string, v string"
+    mk = lambda rows: spark.createDataFrame(rows, sch)
+    t = UpsertLakeTable(spark, str(tmp_path / "eng"), key=["k1", "k2"])
+    # two rows share k1=1 — only the composite key separates them
+    seed = [(1, "a", "v1a"), (1, "b", "v1b"), (2, "a", "v2a"),
+            (3, "c", "v3c")]
+    t.write(mk(seed), commit_id="c1")
+    path = str(tmp_path / "mor")
+    export_hudi_mor(t, path, num_files=3)
+
+    # golden: the meta column carries the Complex spec encoding
+    keys = {
+        r._hoodie_record_key
+        for r in read_hudi(spark, path)
+        .select("_hoodie_record_key")
+        .collect()
+    }
+    assert keys == {"k1:1,k2:a", "k1:1,k2:b", "k1:2,k2:a", "k1:3,k2:c"}
+
+    # upsert: update (1,a), insert (9,z); delete leg tombstones (1,b)
+    res = upsert_hudi(
+        spark,
+        path,
+        mk([(1, "a", "V1A"), (9, "z", "v9z")]),
+        deletes=spark.createDataFrame(
+            [(1, "b")], "k1 long, k2 string"
+        ),
+    )
+    assert res["upserted_rows"] == 2 and res["deleted_keys"] == 1
+    got = {
+        (r.k1, r.k2, r.v)
+        for r in read_hudi(spark, path).select("k1", "k2", "v").collect()
+    }
+    assert got == {
+        (1, "a", "V1A"), (2, "a", "v2a"), (3, "c", "v3c"),
+        (9, "z", "v9z"),
+    }
+
+    # golden: delete blocks on disk carry the Complex recordKey string
+    del_keys = set()
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != ".hoodie"]
+        for f in files:
+            if ".log." not in f:
+                continue
+            blocks = HL.decode_blocks(
+                open(os.path.join(root, f), "rb").read()
+            )
+            for b in blocks:
+                if b["type"] == "delete":
+                    del_keys |= {r["recordKey"] for r in b["records"]}
+    assert del_keys == {"k1:1,k2:b"}
+
+    # predicate delete + compaction converge read-optimized == real-time
+    delete_hudi(spark, path, "k1 = 2")
+    compact_hudi(spark, path)
+    ro = {
+        (r.k1, r.k2, r.v)
+        for r in read_hudi(spark, path, read_optimized=True)
+        .select("k1", "k2", "v")
+        .collect()
+    }
+    rt = {
+        (r.k1, r.k2, r.v)
+        for r in read_hudi(spark, path).select("k1", "k2", "v").collect()
+    }
+    assert ro == rt == {(1, "a", "V1A"), (3, "c", "v3c"), (9, "z", "v9z")}
+    # duplicate COMPOSITE keys in one batch still raise
+    with pytest.raises(Exception, match="key-unique"):
+        upsert_hudi(spark, path, mk([(5, "x", "p"), (5, "x", "q")]))
