@@ -226,6 +226,28 @@ def _record_key_fields(path: str) -> list[str]:
     return []
 
 
+def _partition_fields(path: str) -> list[str]:
+    """``hoodie.table.partition.fields`` from hoodie.properties —
+    empty for unpartitioned tables."""
+    v = _hoodie_property(path, "hoodie.table.partition.fields")
+    return [f.strip() for f in (v or "").split(",") if f.strip()]
+
+
+def _hive_part_expr(part_fields: list[str]):
+    """Spark Column rendering a row's hive partition dir string
+    (``col1=val1/col2=val2``) — the exporters' on-disk layout and the
+    ``_hoodie_partition_path`` value under hive-style partitioning."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        "/",
+        *[
+            F.concat(F.lit(c + "="), F.col(c).cast("string"))
+            for c in part_fields
+        ],
+    )
+
+
 def _key_str_expr(key_fields: list[str]):
     """Spark Column producing the ``_hoodie_record_key`` string for the
     given declared key fields — the Simple key generator's bare value
@@ -496,6 +518,7 @@ def export_hudi_cow(
     table_name: str | None = None,
     instant: str | None = None,
     num_files: int = 4,
+    partition_by: str | list[str] | None = None,
 ) -> int:
     """Write ``df`` as a single-commit Hudi COPY_ON_WRITE table whose
     on-disk layout follows the public Hudi storage spec
@@ -520,11 +543,23 @@ def export_hudi_cow(
     (hudi.apache.org/tech-specs), and key routing hashes ALL key
     columns, so the DML mutators recover the same assignment.
 
+    ``partition_by`` (new r13 — VERDICT r12 ask #3) writes a
+    HIVE-PARTITIONED layout: base files live under ``col=val/`` dirs,
+    each partition owns its own ``num_files`` file groups (fileId
+    scoped by the partition dir), ``_hoodie_partition_path`` carries
+    the dir string, and hoodie.properties declares
+    ``hoodie.table.partition.fields`` + hive-style partitioning —
+    so the DML mutators route per (partition dir, key hash) and
+    partition pruning reaches the parquet scan on read.
+
     Scale: the data write is the normal distributed parquet writer
     (``repartition(num_files)`` by key so a record key lands wholly
-    in one file group); only per-file rename + stats (one dict per
-    file) touch the driver — the same footprint every Hudi writer's
-    commit phase has. Returns the number of base files committed.
+    in one file group per partition); only per-file rename + stats
+    (one dict per file) touch the driver — the same footprint every
+    Hudi writer's commit phase has. A partitioned export collects the
+    DISTINCT partition values first (one row per partition — metadata
+    scale, the same list any hive writer's commit enumerates).
+    Returns the number of base files committed.
     """
     import time as _time
 
@@ -540,21 +575,46 @@ def export_hudi_cow(
 
     from pyspark.sql import functions as F
 
-    # deterministic fileId per output partition; filename derivable
-    # from the partition id so _hoodie_file_name can be materialized
-    # BEFORE the files exist
-    def file_id(pid: int) -> str:
-        return _export_file_id(name, pid)
+    part_fields = (
+        [partition_by]
+        if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    missing_pf = [c for c in part_fields if c not in df.columns]
+    if missing_pf:
+        raise ValueError(
+            f"partition_by column(s) {missing_pf} not in the frame"
+        )
+    if part_fields:
+        part_expr = _hive_part_expr(part_fields)
+        # one row per partition — metadata scale (documented above)
+        parts = sorted(
+            r["_p"]
+            for r in df.select(part_expr.alias("_p")).distinct().collect()
+        )
+    else:
+        part_expr = F.lit("")
+        parts = [""]
 
-    def file_name(pid: int) -> str:
-        return f"{file_id(pid)}_0-{pid}-0_{instant}.parquet"
+    # deterministic fileId per (partition dir, output partition id);
+    # filename derivable so _hoodie_file_name can be materialized
+    # BEFORE the files exist
+    def file_name(pid: int, part: str = "") -> str:
+        return (
+            f"{_export_file_id(name, pid, part)}_0-{pid}-0_"
+            f"{instant}.parquet"
+        )
 
     name_map = F.create_map(
         *[
             x
+            for part in parts
             for pid in range(num_files)
-            for x in (F.lit(pid), F.lit(file_name(pid)))
+            for x in (F.lit(f"{part}|{pid}"), F.lit(file_name(pid, part)))
         ]
+    )
+    map_key = F.concat(
+        part_expr, F.lit("|"), F.spark_partition_id().cast("string")
     )
     staged = os.path.join(path, ".export_stage")
     with_meta = (
@@ -570,8 +630,8 @@ def export_hudi_cow(
             ),
         )
         .withColumn("_hoodie_record_key", _key_str_expr(key_fields))
-        .withColumn("_hoodie_partition_path", F.lit(""))
-        .withColumn("_hoodie_file_name", name_map[F.spark_partition_id()])
+        .withColumn("_hoodie_partition_path", part_expr)
+        .withColumn("_hoodie_file_name", name_map[map_key])
     )
     # meta columns first, payload after — the Hudi column order
     meta_cols = [
@@ -582,36 +642,50 @@ def export_hudi_cow(
         "_hoodie_file_name",
     ]
     with_meta = with_meta.select(*meta_cols, *df.columns)
-    with_meta.write.mode("overwrite").parquet(staged)
+    writer = with_meta.write.mode("overwrite")
+    if part_fields:
+        # hive-style dirs; partition columns re-attach on read via
+        # basePath, exactly like Hudi's hive_style_partitioning=true
+        writer = writer.partitionBy(*part_fields)
+    writer.parquet(staged)
 
     # rename staged part-<pid>-* files to their spec names (part file
-    # numbering equals the partition id of the repartition above)
-    write_stats = []
-    for f in sorted(os.listdir(staged)):
-        m = re.match(r"part-(\d+)-.*\.parquet$", f)
-        if not m:
-            continue
-        pid = int(m.group(1))
-        dest = os.path.join(path, file_name(pid))
-        os.replace(os.path.join(staged, f), dest)
-        write_stats.append(
-            {
-                "fileId": file_id(pid),
-                "path": file_name(pid),
-                "numWrites": None,  # filled below
-                "fileSizeInBytes": os.path.getsize(dest),
-            }
-        )
+    # numbering equals the partition id of the repartition above; in
+    # the partitioned case each task writes one file per hive dir it
+    # holds rows for, keeping its pid prefix in every dir)
+    write_stats: dict[str, list] = {}
+    for sroot, _dirs, files in os.walk(staged):
+        rel = os.path.relpath(sroot, staged)
+        rel = "" if rel == "." else rel
+        for f in sorted(files):
+            m = re.match(r"part-(\d+)-.*\.parquet$", f)
+            if not m:
+                continue
+            pid = int(m.group(1))
+            if rel:
+                os.makedirs(os.path.join(path, rel), exist_ok=True)
+            rel_dest = os.path.join(rel, file_name(pid, rel))
+            dest = os.path.join(path, rel_dest)
+            os.replace(os.path.join(sroot, f), dest)
+            write_stats.setdefault(rel, []).append(
+                {
+                    "fileId": _export_file_id(name, pid, rel),
+                    "path": rel_dest,
+                    "numWrites": None,  # filled below
+                    "fileSizeInBytes": os.path.getsize(dest),
+                }
+            )
     import shutil
 
     shutil.rmtree(staged, ignore_errors=True)
     # per-file row counts from the parquet footers (metadata read)
     import pyarrow.parquet as pq
 
-    for st in write_stats:
-        st["numWrites"] = pq.ParquetFile(
-            os.path.join(path, st["path"])
-        ).metadata.num_rows
+    for lst in write_stats.values():
+        for st in lst:
+            st["numWrites"] = pq.ParquetFile(
+                os.path.join(path, st["path"])
+            ).metadata.num_rows
 
     props = os.path.join(path, _HOODIE, "hoodie.properties")
     if not os.path.exists(props):
@@ -625,8 +699,11 @@ def export_hudi_cow(
                         "hoodie.timeline.layout.version=1",
                         "hoodie.table.recordkey.fields="
                         + ",".join(key_fields),
-                        "hoodie.datasource.write.hive_style_partitioning=false",
-                        "hoodie.table.partition.fields=",
+                        "hoodie.datasource.write.hive_style_"
+                        "partitioning="
+                        + ("true" if part_fields else "false"),
+                        "hoodie.table.partition.fields="
+                        + ",".join(part_fields),
                         # the exporter's key-routing modulus, persisted
                         # so mutators (delete_hudi/upsert_hudi) recover
                         # the EXACT pmod(hash(key), n) assignment even
@@ -645,14 +722,14 @@ def export_hudi_cow(
     ).close()
     open(os.path.join(path, _HOODIE, f"{instant}.inflight"), "w").close()
     meta = {
-        "partitionToWriteStats": {"": write_stats},
+        "partitionToWriteStats": write_stats,
         "operationType": "INSERT",
         "compacted": False,
         "extraMetadata": {},
     }
     with open(os.path.join(path, _HOODIE, f"{instant}.commit"), "w") as fh:
         json.dump(meta, fh)
-    return len(write_stats)
+    return sum(len(v) for v in write_stats.values())
 
 
 def _hoodie_property(path: str, key: str) -> str | None:
@@ -675,8 +752,9 @@ def _table_name(path: str) -> str | None:
 
 def _export_group_routing(
     path: str, name: str | None, slices: list[tuple[str, str]]
-) -> tuple[int, dict[int, str]]:
-    """(routing modulus, {pid: base instant}) for an EXPORTED layout.
+) -> tuple[int, dict[tuple[str, int], str]]:
+    """(routing modulus, {(partition dir, pid): base instant}) for an
+    EXPORTED layout. Unpartitioned tables use ``""`` as the dir.
 
     The modulus MUST be the exporter's ``num_files``, not the count of
     base files on disk: r11 ADVICE showed that when the exporter's
@@ -688,13 +766,14 @@ def _export_group_routing(
     exports fall back to ``max(derived pid) + 1`` and REFUSE on pid
     gaps (a gap proves the fallback modulus is wrong; a trailing empty
     group remains undetectable without the property, which is why it
-    is now always written).
+    is now always written). Partitioned exports (new r13) are always
+    r13+, so the property is always present for them.
 
     ``live_file_slices`` already keeps only the NEWEST committed base
-    file per file group, so the pid→instant map is single-valued by
-    construction. Groups that have log files but no base file (delta
-    rows hashed to an empty base group) recover their base instant
-    from the log file name.
+    file per file group, so the (dir, pid)→instant map is
+    single-valued by construction. Groups that have log files but no
+    base file (delta rows hashed to an empty base group) recover
+    their base instant from the log file name.
     """
     declared = _export_num_buckets(path)
     search_hi = declared if declared is not None else 4096
@@ -703,41 +782,58 @@ def _export_group_routing(
             "exported-layout mutation needs hoodie.table.name in "
             "hoodie.properties to re-derive file-group routing"
         )
-    fid_to_pid = {
-        _export_file_id(name, i): i for i in range(search_hi)
-    }
-    base_inst_by_pid: dict[int, str] = {}
+    # partition dirs present on disk: base-file dirs ∪ log-file dirs
+    part_dirs = {os.path.dirname(rel) for rel, _ in slices}
+    log_sites: list[tuple[str, re.Match]] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != _HOODIE]
+        relp = os.path.relpath(root, path)
+        relp = "" if relp == "." else relp
+        for f in files:
+            lm = _LOG_FILE_RE.match(f)
+            if lm is not None:
+                part_dirs.add(relp)
+                log_sites.append((relp, lm))
+    fid_to_pp: dict[str, tuple[str, int]] = {}
+    for part in part_dirs:
+        for i in range(search_hi):
+            fid_to_pp[_export_file_id(name, i, part)] = (part, i)
+    base_inst_by_pp: dict[tuple[str, int], str] = {}
     for rel, inst_ in slices:
         m = _BASE_FILE_RE.match(os.path.basename(rel))
-        pid = fid_to_pid.get(m.group("file_id"))
-        if pid is None:
+        pp = fid_to_pp.get(m.group("file_id"))
+        if pp is None:
             raise UnsupportedHudiFeature(
                 "exported-layout mutation needs this repo's exporter "
                 f"layout — base file id {m.group('file_id')!r} does "
                 "not match the deterministic export assignment, so "
                 "key-to-group routing cannot be reproduced"
             )
-        base_inst_by_pid[pid] = inst_
+        base_inst_by_pp[pp] = inst_
     # base-less groups whose logs still carry rows: base instant from
     # the log file name
-    for f in os.listdir(path):
-        lm = _LOG_FILE_RE.match(f)
-        if lm is None:
-            continue
-        pid = fid_to_pid.get(lm.group("file_id"))
-        if pid is not None and pid not in base_inst_by_pid:
-            base_inst_by_pid[pid] = lm.group("base")
+    for relp, lm in log_sites:
+        pp = fid_to_pp.get(lm.group("file_id"))
+        if pp is not None and pp not in base_inst_by_pp:
+            base_inst_by_pp[pp] = lm.group("base")
     if declared is not None:
-        return declared, base_inst_by_pid
-    n = max(base_inst_by_pid) + 1
-    if set(base_inst_by_pid) != set(range(n)):
+        return declared, base_inst_by_pp
+    if part_dirs - {""}:
+        raise UnsupportedHudiFeature(
+            "partitioned exported-layout mutation needs "
+            "hoodie.bucket.index.num.buckets in hoodie.properties "
+            "(always written by the partitioned exporter)"
+        )
+    pids = {pid for (_p, pid) in base_inst_by_pp}
+    n = max(pids) + 1
+    if pids != set(range(n)):
         raise UnsupportedHudiFeature(
             "exported-layout mutation: file-group pids have gaps "
-            f"({sorted(base_inst_by_pid)}) and hoodie.properties does "
+            f"({sorted(pids)}) and hoodie.properties does "
             "not declare hoodie.bucket.index.num.buckets — the "
             "exporter's routing modulus cannot be recovered"
         )
-    return n, base_inst_by_pid
+    return n, base_inst_by_pp
 
 
 def _export_num_buckets(path: str) -> int | None:
@@ -785,7 +881,7 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
         raise FileNotFoundError(
             f"Hudi table at {path} has no committed base files"
         )
-    n_groups, base_inst_by_pid = _export_group_routing(path, name, slices)
+    n_groups, base_inst_by_pp = _export_group_routing(path, name, slices)
     done = _log_completed_instants(path)
     new_inst = str(int(max(done)) + 1)
     key_fields = _record_key_fields(path)
@@ -794,12 +890,15 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
             "delete_hudi needs hoodie.table.recordkey.fields declared "
             "in hoodie.properties (the exporters' shape)"
         )
+    part_fields = _partition_fields(path)
     df = read_hudi(spark, path)
-    missing = [k for k in key_fields if k not in df.columns]
+    missing = [
+        k for k in key_fields + part_fields if k not in df.columns
+    ]
     if missing:
         raise UnsupportedHudiFeature(
-            f"record key field(s) {missing!r} missing from the "
-            "real-time view"
+            f"record key / partition field(s) {missing!r} missing "
+            "from the real-time view"
         )
     matched = df.filter(predicate).select(
         # Simple key string for one field, Complex f1:v1,f2:v2 for
@@ -811,14 +910,20 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
         F.pmod(
             F.hash(*[F.col(k) for k in key_fields]), F.lit(n_groups)
         ).alias("_pid"),
+        # partitioned layouts (r13): the tombstone lands in the
+        # matched row's OWN partition dir's file group
+        (
+            _hive_part_expr(part_fields) if part_fields else F.lit("")
+        ).alias("_part"),
     )
     dest_abs = os.path.abspath(path)
     ordering = int(new_inst)
 
     def _append_delete(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
-            return pd.DataFrame([], columns=["pid", "n_keys"])
+            return pd.DataFrame([], columns=["part", "pid", "n_keys"])
         pid = int(pdf["_pid"].iat[0])
+        part = str(pdf["_part"].iat[0])
         keys = sorted(set(pdf["_del_key"].astype(str)))
         block = HL.encode_block(
             "delete",
@@ -826,22 +931,27 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
             records=[
                 {
                     "recordKey": k,
-                    "partitionPath": "",
+                    "partitionPath": part,
                     "orderingVal": ordering,
                 }
                 for k in keys
             ],
         )
         fname = HL.log_file_name(
-            _export_file_id(name, pid), base_inst_by_pid[pid]
+            _export_file_id(name, pid, part),
+            base_inst_by_pp[(part, pid)],
         )
-        with open(os.path.join(dest_abs, fname), "ab") as fh:
+        if part:
+            os.makedirs(os.path.join(dest_abs, part), exist_ok=True)
+        with open(os.path.join(dest_abs, part, fname), "ab") as fh:
             fh.write(block)
-        return pd.DataFrame([{"pid": pid, "n_keys": len(keys)}])
+        return pd.DataFrame(
+            [{"part": part, "pid": pid, "n_keys": len(keys)}]
+        )
 
     stats = (
-        matched.groupBy("_pid")
-        .applyInPandas(_append_delete, "pid int, n_keys long")
+        matched.groupBy("_part", "_pid")
+        .applyInPandas(_append_delete, "part string, pid int, n_keys long")
         .collect()
     )  # bounded: one row per touched file group
     if not stats:
@@ -861,6 +971,7 @@ def upsert_hudi(
     path: str,
     df: DataFrame | None,
     deletes: DataFrame | None = None,
+    update_partition_path: bool = False,
 ) -> dict:
     """Keyed UPSERT on an EXPORTED MERGE_ON_READ layout (new r12 —
     the write twin of :func:`delete_hudi`, closing upsert write
@@ -898,6 +1009,18 @@ def upsert_hudi(
     group its base row lives in, the invariant every Hudi log merge
     relies on. Non-exporter layouts refuse.
 
+    PARTITIONED layouts (new r13 — VERDICT r12 ask #3): rows route
+    to (their OWN partition dir, key hash) — a non-global Hudi
+    bucket index's semantics, where one key may live in several
+    partition paths. ``deletes`` must then carry the partition
+    columns too (a tombstone needs its partition). With
+    ``update_partition_path=True`` — Hudi's GLOBAL index with
+    ``hoodie.bloom.index.update.partition.path=true`` — a key whose
+    incoming partition value differs from its current one MOVES: the
+    old partition's copy is tombstoned in the SAME instant the new
+    partition's row lands (costs one extra read+join of the current
+    view keyed on the record key).
+
     Scale: one distributed pass — rows route to their group with a
     single hash-partition shuffle and each group's Avro block is
     encoded and appended by the task holding that group's rows via
@@ -915,13 +1038,14 @@ def upsert_hudi(
         raise FileNotFoundError(
             f"Hudi table at {path} has no committed base files"
         )
-    n_groups, base_inst_by_pid = _export_group_routing(path, name, slices)
+    n_groups, base_inst_by_pp = _export_group_routing(path, name, slices)
     key_fields = _record_key_fields(path)
     if not key_fields:
         raise UnsupportedHudiFeature(
             "upsert_hudi needs hoodie.table.recordkey.fields declared "
             "in hoodie.properties (the exporters' shape)"
         )
+    part_fields = _partition_fields(path)
     base = spark.read.option("basePath", path).parquet(
         *[os.path.join(path, rel) for rel, _ in slices]
     )
@@ -936,10 +1060,39 @@ def upsert_hudi(
             f"upsert_hudi: input columns {sorted(df.columns)} do not "
             f"match the table payload {sorted(want)}"
         )
-    if deletes is not None and set(deletes.columns) != set(key_fields):
+    # a tombstone on a partitioned table needs its partition columns
+    # too — the non-global index scopes deletes per partition path
+    del_cols = set(key_fields) | set(part_fields)
+    if deletes is not None and set(deletes.columns) != del_cols:
         raise ValueError(
             f"upsert_hudi: deletes columns {sorted(deletes.columns)} "
-            f"!= the record key field(s) {sorted(key_fields)}"
+            f"!= the record key + partition field(s) {sorted(del_cols)}"
+        )
+    if update_partition_path and part_fields and df is not None:
+        # GLOBAL-index partition move: tombstone the current row of
+        # any incoming key whose partition value changed (one extra
+        # distributed read + equi-join on the record key; key columns
+        # only — no payload moves)
+        cur = read_hudi(spark, path).select(
+            *key_fields,
+            *[F.col(c).alias(f"_old_{c}") for c in part_fields],
+            _hive_part_expr(part_fields).alias("_old_part"),
+        )
+        moved = (
+            df.select(
+                *key_fields, _hive_part_expr(part_fields).alias("_new_part")
+            )
+            .join(cur, on=list(key_fields))
+            .filter(F.col("_old_part") != F.col("_new_part"))
+            .select(
+                *key_fields,
+                *[F.col(f"_old_{c}").alias(c) for c in part_fields],
+            )
+        )
+        deletes = (
+            moved
+            if deletes is None
+            else deletes.select(*moved.columns).unionByName(moved)
         )
     # align to the base payload order/types; Avro fields are written
     # as nullable unions so reader alignment never depends on the
@@ -957,7 +1110,7 @@ def upsert_hudi(
             deletes.select(
                 *[
                     F.col(f.name).cast(f.dataType).alias(f.name)
-                    if f.name in key_fields
+                    if f.name in del_cols
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in payload_fields
                 ]
@@ -988,14 +1141,20 @@ def upsert_hudi(
         # materialized _hoodie_record_key meta column
         "_rk",
         _key_str_expr(key_fields),
+    ).withColumn(
+        # partitioned layouts: each row lands in its OWN partition
+        # dir's file group (non-global index semantics)
+        "_part",
+        _hive_part_expr(part_fields) if part_fields else F.lit(""),
     )
 
     def _append_data(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return pd.DataFrame(
-                [], columns=["pid", "n_rows", "n_dels"]
+                [], columns=["part", "pid", "n_rows", "n_dels"]
             )
         pid = int(pdf["_pid"].iat[0])
+        part = str(pdf["_part"].iat[0])
         keys = pdf["_rk"].astype(str)
         n_dup = int(keys.duplicated().sum())
         if n_dup:
@@ -1041,28 +1200,34 @@ def upsert_hudi(
                 records=[
                     {
                         "recordKey": str(k),
-                        "partitionPath": "",
+                        "partitionPath": part,
                         "orderingVal": int(new_inst),
                     }
                     for k in sorted(dels["_rk"].astype(str))
                 ],
             )
         # a NEW key can route to a group whose base hash partition
-        # was empty at export: start a LOG-ONLY file slice there,
-        # based at this instant (read_hudi serves base-less slices)
+        # was empty at export (or to a brand-new partition dir):
+        # start a LOG-ONLY file slice there, based at this instant
+        # (read_hudi serves base-less slices)
         fname = HL.log_file_name(
-            _export_file_id(name, pid),
-            base_inst_by_pid.get(pid, new_inst),
+            _export_file_id(name, pid, part),
+            base_inst_by_pp.get((part, pid), new_inst),
         )
-        with open(os.path.join(dest_abs, fname), "ab") as fh:
+        if part:
+            os.makedirs(os.path.join(dest_abs, part), exist_ok=True)
+        with open(os.path.join(dest_abs, part, fname), "ab") as fh:
             fh.write(blocks)
         return pd.DataFrame(
-            [{"pid": pid, "n_rows": len(recs), "n_dels": len(dels)}]
+            [{"part": part, "pid": pid, "n_rows": len(recs),
+              "n_dels": len(dels)}]
         )
 
     stats = (
-        routed.groupBy("_pid")
-        .applyInPandas(_append_data, "pid int, n_rows long, n_dels long")
+        routed.groupBy("_part", "_pid")
+        .applyInPandas(
+            _append_data, "part string, pid int, n_rows long, n_dels long"
+        )
         .collect()
     )  # bounded: one row per touched file group
     if not stats:
@@ -1119,7 +1284,7 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
         raise FileNotFoundError(
             f"Hudi table at {path} has no committed base files"
         )
-    n_groups, base_inst_by_pid = _export_group_routing(path, name, slices)
+    n_groups, _base_inst_by_pp = _export_group_routing(path, name, slices)
     logs = _log_files_for_slices(
         path, slices, log_only_replaced=_replaced_file_groups(
             path, set(completed_instants(path))
@@ -1127,13 +1292,20 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
     )
     if not logs:
         return {"instant": None, "compacted_groups": 0, "rows": 0}
-    fid_to_pid = {_export_file_id(name, i): i for i in range(n_groups)}
-    log_pids = sorted(
+    # logged (partition dir, pid) groups — fileIds are scoped by the
+    # partition dir for partitioned layouts (r13)
+    log_parts = {part for _p, _v, part in logs}
+    fid_to_pp = {
+        _export_file_id(name, i, part): (part, i)
+        for part in log_parts
+        for i in range(n_groups)
+    }
+    log_pps = sorted(
         {
-            fid_to_pid[m.group("file_id")]
+            fid_to_pp[m.group("file_id")]
             for p, _v, _part in logs
             if (m := _LOG_FILE_RE.match(os.path.basename(p)))
-            and m.group("file_id") in fid_to_pid
+            and m.group("file_id") in fid_to_pp
         }
     )
     key_fields = _record_key_fields(path)
@@ -1142,21 +1314,32 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
             "compact_hudi needs hoodie.table.recordkey.fields declared "
             "in hoodie.properties (the exporters' shape)"
         )
+    part_fields = _partition_fields(path)
     done = _log_completed_instants(path)
     new_inst = str(int(max(done)) + 1)
 
-    def file_name(pid: int) -> str:
-        return f"{_export_file_id(name, pid)}_0-{pid}-0_{new_inst}.parquet"
+    def file_name(pid: int, part: str = "") -> str:
+        return (
+            f"{_export_file_id(name, pid, part)}_0-{pid}-0_"
+            f"{new_inst}.parquet"
+        )
 
     view = read_hudi(spark, path)
     raw_keys = [F.col(k) for k in key_fields]
     pid_col = F.pmod(F.hash(*raw_keys), F.lit(n_groups))
-    doomed = view.filter(pid_col.isin([int(p) for p in log_pids]))
+    part_expr = _hive_part_expr(part_fields) if part_fields else F.lit("")
+    # (partition dir | pid) group tag — only LOGGED groups rewrite
+    tag = F.concat(part_expr, F.lit("|"), pid_col.cast("string"))
+    doomed = view.filter(
+        tag.isin([f"{part}|{pid}" for part, pid in log_pps])
+    )
     name_map = F.create_map(
         *[
             x
-            for pid in log_pids
-            for x in (F.lit(pid), F.lit(file_name(pid)))
+            for part, pid in log_pps
+            for x in (
+                F.lit(f"{part}|{pid}"), F.lit(file_name(pid, part))
+            )
         ]
     )
     meta_cols = [
@@ -1195,35 +1378,55 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
         )
         .withColumn(
             "_hoodie_partition_path",
-            F.coalesce(F.col("_hoodie_partition_path"), F.lit("")),
+            F.coalesce(F.col("_hoodie_partition_path"), part_expr),
         )
-        .withColumn("_hoodie_file_name", name_map[F.spark_partition_id()])
+        .withColumn(
+            "_hoodie_file_name",
+            name_map[
+                F.concat(
+                    part_expr,
+                    F.lit("|"),
+                    F.spark_partition_id().cast("string"),
+                )
+            ],
+        )
         .select(*meta_cols, *payload)
     )
     staged = os.path.join(path, ".compact_stage")
-    rewritten.write.mode("overwrite").parquet(staged)
-    write_stats = []
-    for f in sorted(os.listdir(staged)):
-        m = re.match(r"part-(\d+)-.*\.parquet$", f)
-        if not m:
-            continue
-        pid = int(m.group(1))
-        n_rows = pq.ParquetFile(os.path.join(staged, f)).metadata.num_rows
-        if n_rows == 0:
-            # Spark may emit empty part files for empty partitions —
-            # installing one would shadow a NON-logged group's real
-            # base with an empty newer slice and lose its rows
-            continue
-        dest = os.path.join(path, file_name(pid))
-        os.replace(os.path.join(staged, f), dest)
-        write_stats.append(
-            {
-                "fileId": _export_file_id(name, pid),
-                "path": file_name(pid),
-                "numWrites": n_rows,
-                "fileSizeInBytes": os.path.getsize(dest),
-            }
-        )
+    writer = rewritten.write.mode("overwrite")
+    if part_fields:
+        writer = writer.partitionBy(*part_fields)
+    writer.parquet(staged)
+    write_stats: dict[str, list] = {}
+    for sroot, _dirs, files in os.walk(staged):
+        rel = os.path.relpath(sroot, staged)
+        rel = "" if rel == "." else rel
+        for f in sorted(files):
+            m = re.match(r"part-(\d+)-.*\.parquet$", f)
+            if not m:
+                continue
+            pid = int(m.group(1))
+            n_rows = pq.ParquetFile(
+                os.path.join(sroot, f)
+            ).metadata.num_rows
+            if n_rows == 0:
+                # Spark may emit empty part files for empty partitions
+                # — installing one would shadow a NON-logged group's
+                # real base with an empty newer slice and lose its rows
+                continue
+            if rel:
+                os.makedirs(os.path.join(path, rel), exist_ok=True)
+            rel_dest = os.path.join(rel, file_name(pid, rel))
+            dest = os.path.join(path, rel_dest)
+            os.replace(os.path.join(sroot, f), dest)
+            write_stats.setdefault(rel, []).append(
+                {
+                    "fileId": _export_file_id(name, pid, rel),
+                    "path": rel_dest,
+                    "numWrites": n_rows,
+                    "fileSizeInBytes": os.path.getsize(dest),
+                }
+            )
     import shutil
 
     shutil.rmtree(staged, ignore_errors=True)
@@ -1232,29 +1435,32 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
     # or its old base would stay the live slice and the read-optimized
     # view would keep serving the deleted rows. Log-only groups with
     # no base skip this (there is no older slice to shadow).
-    installed = {s["fileId"] for s in write_stats}
+    installed = {
+        s["fileId"] for lst in write_stats.values() for s in lst
+    }
     base_by_fid = {
         _BASE_FILE_RE.match(os.path.basename(rel)).group("file_id"):
             os.path.join(path, rel)
         for rel, _i in slices
     }
-    for pid in log_pids:
-        fid = _export_file_id(name, pid)
+    for part, pid in log_pps:
+        fid = _export_file_id(name, pid, part)
         if fid in installed or fid not in base_by_fid:
             continue
         import pyarrow as pa
 
-        dest = os.path.join(path, file_name(pid))
+        rel_dest = os.path.join(part, file_name(pid, part))
+        dest = os.path.join(path, rel_dest)
         pq.write_table(
             pa.Table.from_pylist(
                 [], schema=pq.read_schema(base_by_fid[fid])
             ),
             dest,
         )
-        write_stats.append(
+        write_stats.setdefault(part, []).append(
             {
                 "fileId": fid,
-                "path": file_name(pid),
+                "path": rel_dest,
                 "numWrites": 0,
                 "fileSizeInBytes": os.path.getsize(dest),
             }
@@ -1268,7 +1474,7 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
     ) as fh:
         json.dump(
             {
-                "partitionToWriteStats": {"": write_stats},
+                "partitionToWriteStats": write_stats,
                 "operationType": "COMPACT",
                 "compacted": True,
                 "extraMetadata": {},
@@ -1277,8 +1483,10 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
         )
     return {
         "instant": new_inst,
-        "compacted_groups": len(write_stats),
-        "rows": int(sum(s["numWrites"] for s in write_stats)),
+        "compacted_groups": sum(len(v) for v in write_stats.values()),
+        "rows": int(
+            sum(s["numWrites"] for v in write_stats.values() for s in v)
+        ),
     }
 
 
@@ -1436,10 +1644,15 @@ def clean_hudi(path: str, retain_commits: int = 2) -> dict:
     return removed
 
 
-def _export_file_id(name: str, pid: int) -> str:
+def _export_file_id(name: str, pid: int, part: str = "") -> str:
+    """Deterministic exporter file-group id. Partitioned layouts (new
+    r13) scope the id by the hive partition dir so each partition has
+    its own num_files file groups — recoverable by the DML mutators
+    from (table name, partition dir, pid) alone."""
     import uuid as _uuid
 
-    return str(_uuid.uuid5(_uuid.NAMESPACE_URL, f"{name}/{pid}")) + "-0"
+    seed = f"{name}/{part}/{pid}" if part else f"{name}/{pid}"
+    return str(_uuid.uuid5(_uuid.NAMESPACE_URL, seed)) + "-0"
 
 
 def _avro_schema_for(fields) -> dict:
@@ -1475,6 +1688,7 @@ def export_hudi_mor(
     path: str,
     num_files: int = 4,
     table_name: str | None = None,
+    partition_by: str | list[str] | None = None,
 ) -> dict:
     """Export an engine ``UpsertLakeTable`` as a MERGE_ON_READ layout:
     base files at the table's compaction horizon (or its first commit)
@@ -1485,6 +1699,12 @@ def export_hudi_mor(
     rewrite. Every delta instant completes on the timeline as a
     ``.deltacommit``; :func:`read_hudi` serves the real-time view and
     ``read_optimized=True`` the base-only one.
+
+    ``partition_by`` (new r13) exports a HIVE-PARTITIONED MoR layout:
+    the base goes through the partitioned CoW exporter (per-partition
+    file groups) and each delta row's log block lands in ITS OWN
+    partition dir's file group, so partition pruning holds on the
+    read-optimized view and the DML mutators route per partition.
 
     Scale: the base goes through the distributed CoW exporter; delta
     rows route to their owning file group by the SAME hash
@@ -1502,6 +1722,11 @@ def export_hudi_mor(
     name = table_name or os.path.basename(table.path.rstrip("/"))
     key_fields = (
         list(table.key) if isinstance(table.key, list) else [table.key]
+    )
+    part_fields = (
+        [partition_by]
+        if isinstance(partition_by, str)
+        else list(partition_by or [])
     )
 
     def inst(seq: int) -> str:
@@ -1531,6 +1756,7 @@ def export_hudi_mor(
         table_name=name,
         instant=inst(base_seq),
         num_files=num_files,
+        partition_by=part_fields or None,
     )
     if not later:
         return {"data_files": n_data, "log_files": 0, "delta_commits": 0}
@@ -1556,6 +1782,11 @@ def export_hudi_mor(
                 F.hash(*[F.col(k) for k in key_fields]), F.lit(num_files)
             ).alias("_pid"),
             _key_str_expr(key_fields).alias("_rk"),
+            (
+                _hive_part_expr(part_fields)
+                if part_fields
+                else F.lit("")
+            ).alias("_part"),
         )
     )
     base_instant = inst(base_seq)
@@ -1569,6 +1800,7 @@ def export_hudi_mor(
                 [], columns=["pid", "n_blocks", "n_records"]
             )
         pid = int(pdf["_pid"].iat[0])
+        part = str(pdf["_part"].iat[0])
         pdf = pdf.sort_values("_seq", kind="mergesort")
         blocks = []
         for seq, grp in pdf.groupby("_seq", sort=True):
@@ -1604,7 +1836,7 @@ def export_hudi_mor(
                         records=[
                             {
                                 "recordKey": str(r["_rk"]),
-                                "partitionPath": "",
+                                "partitionPath": part,
                                 "orderingVal": int(seq),
                             }
                             for _, r in dels.iterrows()
@@ -1612,10 +1844,12 @@ def export_hudi_mor(
                     )
                 )
         fname = HL.log_file_name(
-            _export_file_id(name, pid), base_instant
+            _export_file_id(name, pid, part), base_instant
         )
+        if part:
+            os.makedirs(os.path.join(dest_abs, part), exist_ok=True)
         fs, rel = pafs.FileSystem.from_uri(
-            "file://" + os.path.join(dest_abs, fname)
+            "file://" + os.path.join(dest_abs, part, fname)
         )
         with fs.open_output_stream(rel) as fh:
             for b in blocks:
@@ -1631,7 +1865,7 @@ def export_hudi_mor(
         )
 
     stats = (
-        delta_rows.groupBy("_pid")
+        delta_rows.groupBy("_part", "_pid")
         .applyInPandas(
             write_group, "pid int, n_blocks int, n_records long"
         )
