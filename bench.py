@@ -406,9 +406,50 @@ def _streaming_ingest_bench(spark) -> dict:
             "table_rows": n_rows,
             "flagship_backfill_sec": backfill_sec,
             "commit_latency": _commit_latency_bench(spark, root),
+            "laketail_catchup": _laketail_catchup_bench(spark, root),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _laketail_catchup_bench(spark, root: str) -> dict:
+    """Bounded catch-up of the r13 lake-to-lake streaming tail: an
+    externally-written Delta source accumulates 1 snapshot + 4 keyed
+    upsert commits (5k rows, 2k row-level changes), then ONE
+    tail_delta_once applies the whole range into a fresh engine table
+    (CDF read, LWW reduce, keyed MERGE) — the restart/catch-up cost a
+    chained pipeline pays after downtime."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        upsert_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.laketail import (
+        tail_delta_once,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    src = f"{root}/tail_src"
+    base = spark.range(0, 5000).selectExpr(
+        "id", "concat('v', id) AS v"
+    )
+    export_delta(base, src)
+    for i in range(4):
+        upd = spark.range(i * 500, i * 500 + 500).selectExpr(
+            "id", f"concat('u{i}-', id) AS v"
+        )
+        upsert_delta(spark, src, upd, ["id"])
+    table = UpsertLakeTable(spark, f"{root}/tail_down", key="id")
+    t0 = time.perf_counter()
+    res = tail_delta_once(spark, src, table)
+    rows = table.snapshot().count()
+    sec = round(time.perf_counter() - t0, 3)
+    return {
+        "source_commits": (res["to"] or 0) + 1,
+        "table_rows": int(rows),
+        "catchup_sec": sec,
+    }
 
 
 def _commit_latency_bench(spark, root: str) -> dict:
