@@ -3065,6 +3065,183 @@ def q_laketail_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.snapshot().select("s_suppkey", "s_name", "s_nationkey")
 
 
+_EVOLVED_ORACLE = """
+SELECT s_suppkey,
+       CASE WHEN s_suppkey % 5 = 0 THEN concat('UP-', s_name)
+            ELSE s_name END AS s_name,
+       CASE WHEN s_suppkey % 5 = 0 THEN s_suppkey % 100
+            ELSE NULL END AS bonus
+FROM supplier
+UNION ALL
+SELECT s_suppkey + 100000 AS s_suppkey,
+       concat('NEW-', s_name) AS s_name,
+       s_suppkey % 100 AS bonus
+FROM supplier WHERE s_suppkey % 11 = 0
+"""
+
+
+def _evolved_inputs(spark, sf_dir):
+    """Shared fixture for the three *_evolved_read rows: the base
+    supplier frame and the evolving batch that updates every
+    s_suppkey%5=0 row AND adds the new ``bonus`` column, plus
+    shifted-key inserts carrying it."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    bonus = (F.col("s_suppkey") % 100).cast("long").alias("bonus")
+    updates = s.filter("s_suppkey % 5 = 0").select(
+        "s_suppkey",
+        F.concat(F.lit("UP-"), F.col("s_name")).alias("s_name"),
+        bonus,
+    )
+    inserts = s.filter("s_suppkey % 11 = 0").select(
+        (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+        F.concat(F.lit("NEW-"), F.col("s_name")).alias("s_name"),
+        bonus,
+    )
+    return s, updates.unionAll(inserts)
+
+
+@register(
+    "delta_evolved_read",
+    _EVOLVED_ORACLE,
+    doc="ADD-COLUMN schema evolution on the Delta upsert writer (new "
+    "r13 — VERDICT r12 ask #5): supplier exports as Delta, then ONE "
+    "upsert_delta(evolve_schema=True) batch carries a brand-new "
+    "``bonus`` column — the commit writes the WIDENED metaData "
+    "action atomically with the batch (delta-spark's mergeSchema "
+    "commit shape; PROTOCOL.md allows nullable adds without file "
+    "rewrites) and the table-schema scan null-backfills every "
+    "pre-evolution row. The read must equal the CASE-WHEN + NULL ∪ "
+    "inserts oracle; a version-0 time-travel guard (old schema, no "
+    "bonus column) rides the value hash.",
+)
+def q_delta_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import (
+        export_delta,
+        read_delta,
+        upsert_delta,
+    )
+
+    s, batch = _evolved_inputs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="delta_evo_")
+    src = f"{root}/t"
+    export_delta(s, src)
+    upsert_delta(spark, src, batch, ["s_suppkey"], evolve_schema=True)
+    post = read_delta(spark, src).select("s_suppkey", "s_name", "bonus")
+    # guard: version 0 still serves the ORIGINAL schema and rows
+    pre = read_delta(spark, src, version_as_of=0)
+    mism = (
+        pre.select("s_suppkey", "s_name").exceptAll(s)
+        .unionAll(s.exceptAll(pre.select("s_suppkey", "s_name")))
+        .withColumn("bonus", F.lit(None).cast("long"))
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "PRE-EVOLUTION SCHEMA LEAKED bonus", -1)]
+        if "bonus" in pre.columns
+        else [],
+        "s_suppkey long, s_name string, bonus long",
+    )
+    return post.unionAll(mism).unionAll(sentinel)
+
+
+@register(
+    "iceberg_evolved_read",
+    _EVOLVED_ORACLE,
+    doc="ADD-COLUMN schema evolution on the Iceberg upsert writer "
+    "(new r13 — VERDICT r12 ask #5): supplier exports as a v2 "
+    "table, then ONE upsert_iceberg(evolve_schema=True) equality-"
+    "delete upsert assigns the new ``bonus`` field a FRESH field id "
+    "past last-column-id, appends a new schema (new schema-id), and "
+    "bumps current-schema-id — the spec's evolution shape; the "
+    "table-schema scan null-backfills pre-evolution rows. The read "
+    "must equal the CASE-WHEN + NULL ∪ inserts oracle; a guard "
+    "rides the value hash: time travel to the pre-evolution "
+    "snapshot must still serve the original rows.",
+)
+def q_iceberg_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg,
+        snapshots,
+        upsert_iceberg,
+    )
+
+    s, batch = _evolved_inputs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ice_evo_")
+    src = f"{root}/t"
+    export_iceberg(s, src, format_version=2)
+    snap0 = snapshots(src)[0]["snapshot_id"]
+    upsert_iceberg(spark, src, batch, ["s_suppkey"], evolve_schema=True)
+    post = read_iceberg(spark, src).select(
+        "s_suppkey", "s_name", "bonus"
+    )
+    pre = read_iceberg(spark, src, snapshot_id=snap0).select(
+        "s_suppkey", "s_name"
+    )
+    mism = (
+        pre.exceptAll(s)
+        .unionAll(s.exceptAll(pre))
+        .withColumn("bonus", F.lit(None).cast("long"))
+    )
+    return post.unionAll(mism)
+
+
+@register(
+    "hudi_evolved_read",
+    _EVOLVED_ORACLE,
+    doc="ADD-COLUMN schema evolution on the Hudi upsert writer (new "
+    "r13 — VERDICT r12 ask #5, lifting the exact-match payload gate "
+    "at the old hudi_interop upsert): supplier exports as a MoR "
+    "layout, then ONE upsert_hudi(evolve_schema=True) data block "
+    "carries the new ``bonus`` column as a nullable Avro union and "
+    "records it in the deltacommit metadata (≙ Hudi's writer schema "
+    "in commit metadata); read_hudi widens pre-evolution base rows "
+    "with NULLs and pre-evolution time travel never sees the "
+    "column. The real-time merge must equal the CASE-WHEN + NULL ∪ "
+    "inserts oracle; a guard rides the value hash: the pre-upsert "
+    "instant must not expose ``bonus``.",
+)
+def q_hudi_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.hudi_interop import (
+        export_hudi_mor,
+        read_hudi,
+        upsert_hudi,
+    )
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    s, batch = _evolved_inputs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="hudi_evo_")
+    t = UpsertLakeTable(
+        spark, f"{root}/t", key="s_suppkey", num_buckets=2,
+        compact_every=100,
+    )
+    t.write(s, commit_id="c1")
+    mor = f"{root}/mor"
+    export_hudi_mor(t, mor, num_files=3)
+    r1 = upsert_hudi(spark, mor, batch, evolve_schema=True)
+    post = read_hudi(spark, mor).select("s_suppkey", "s_name", "bonus")
+    pre = read_hudi(spark, mor, as_of=str(int(r1["instant"]) - 1))
+    mism = (
+        pre.select("s_suppkey", "s_name").exceptAll(s)
+        .unionAll(s.exceptAll(pre.select("s_suppkey", "s_name")))
+        .withColumn("bonus", F.lit(None).cast("long"))
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "PRE-EVOLUTION SCHEMA LEAKED bonus", -1)]
+        if "bonus" in pre.columns
+        else [],
+        "s_suppkey long, s_name string, bonus long",
+    )
+    return post.unionAll(mism).unionAll(sentinel)
+
+
 @register(
     "iceberg_partitioned_read",
     """

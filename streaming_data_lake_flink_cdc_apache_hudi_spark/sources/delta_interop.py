@@ -280,6 +280,29 @@ def _dv_payload(table_path: str, desc: dict, read_bytes) -> bytes:
     return data
 
 
+def _put_if_absent_commit(path: str, version: int, actions) -> None:
+    """Atomically create ``version``'s commit JSON — PROTOCOL.md
+    requires mutual exclusion on ``N.json`` (put-if-absent); O_EXCL
+    gives it on local/posix filesystems, conditional puts on object
+    stores. The loser raises ``ConcurrentWriterError`` having written
+    NOTHING table-visible; any data files it staged are uncommitted
+    orphans that vacuum reclaims (delta-spark's documented optimistic-
+    concurrency behavior)."""
+    from ..errors import ConcurrentWriterError
+
+    p = _log_path(path, version)
+    try:
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise ConcurrentWriterError(
+            f"Delta commit {version} at {path} already exists — "
+            "another writer won the put-if-absent race; re-read the "
+            "table state and retry the operation"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
 def _log_path(path: str, version: int) -> str:
     return os.path.join(path, _LOG_DIR, "%020d.json" % version)
 
@@ -558,8 +581,35 @@ def export_delta(
                 }
             }
         )
-    with open(_log_path(path, append_version or 0), "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    if append_version is None:
+        # fresh export: version 0 with intended overwrite semantics
+        with open(_log_path(path, 0), "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        return len(parts)
+    # append commit: put-if-absent with ONE retry — an add-only commit
+    # conflicts with nothing except a concurrent schema/protocol
+    # change, so on losing the race re-read the log, verify the missed
+    # commits carried no metaData/protocol action, and land at the new
+    # head (delta-spark's non-conflicting-append retry)
+    from ..errors import ConcurrentWriterError
+
+    try:
+        _put_if_absent_commit(path, append_version, actions)
+    except ConcurrentWriterError:
+        new_v = _next_version(path)
+        for v in range(append_version, new_v):
+            with open(_log_path(path, v)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "metaData" in a or "protocol" in a:
+                        raise ConcurrentWriterError(
+                            f"append lost the commit race to version "
+                            f"{v} which changed table metadata — "
+                            "re-read the table and retry"
+                        )
+        _put_if_absent_commit(path, new_v, actions)
     return len(parts)
 
 
@@ -1090,10 +1140,27 @@ def _frame_from_adds(
             return spark.createDataFrame([], schema)
         raise FileNotFoundError(f"Delta table at {path} has no metaData")
 
+    # scan under the TABLE schema (delta-spark's contract), not a
+    # sampled footer's: after ADD-COLUMN schema evolution (r13) the
+    # old files lack the new column and must null-backfill — a bare
+    # parquet read would pick one footer's schema non-deterministically.
+    # Column-mapped tables keep the physical-name read (their rename
+    # IS the projection); extra literal columns (cdc _change_type)
+    # append as strings.
+    reader = spark.read
+    if meta is not None and not mapping:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        full = StructType.fromJson(json.loads(meta["schemaString"]))
+        fields = [f for f in full.fields if f.name not in part_names]
+        for c in extra_cols or []:
+            fields.append(StructField(c, StringType(), True))
+        reader = spark.read.schema(StructType(fields))
+
     part_cols = (meta or {}).get("partitionColumns") or []
     if not part_cols:
         files = [os.path.join(path, a["path"]) for a in adds.values()]
-        return add_meta(spark.read.parquet(*files))
+        return add_meta(reader.parquet(*files))
     # partition values are serialized as strings in the log; recover
     # each column's real type from metaData.schemaString so a date/int
     # partition column does not come back as string
@@ -1125,7 +1192,7 @@ def _frame_from_adds(
     for key, files in sorted(
         groups.items(), key=lambda kv: tuple((x is None, x) for x in kv[0])
     ):
-        df = add_meta(spark.read.parquet(*files))
+        df = add_meta(reader.parquet(*files))
         for c, v in zip(part_cols, key):
             lit = F.lit(v)
             if c in part_types:
@@ -1789,6 +1856,10 @@ def delete_delta(
     if not _allow_uniform:
         _refuse_uniform_delta(path, "delete_delta")
     adds, meta, proto = _replay_log(spark, path)
+    # commit slot pinned at READ time (r13): a writer that
+    # lands between this replay and our commit is DETECTED by
+    # the put-if-absent create, never silently built over
+    commit_version = _next_version(path)
     if meta is None:
         raise UnsupportedDeltaFeature("table has no metaData action")
     if not adds:
@@ -1800,9 +1871,8 @@ def delete_delta(
     )
     if not actions:
         return {"version": None, "deleted_rows": 0, "files_touched": 0}
-    version = _next_version(path)
-    with open(_log_path(path, version), "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    version = commit_version
+    _put_if_absent_commit(path, version, actions)
     return {
         "version": version,
         "deleted_rows": deleted,
@@ -1855,6 +1925,10 @@ def update_delta(
     if not _allow_uniform:
         _refuse_uniform_delta(path, "update_delta")
     adds, meta, proto = _replay_log(spark, path)
+    # commit slot pinned at READ time (r13): a writer that
+    # lands between this replay and our commit is DETECTED by
+    # the put-if-absent create, never silently built over
+    commit_version = _next_version(path)
     if meta is None:
         raise UnsupportedDeltaFeature("table has no metaData action")
     part_cols = meta.get("partitionColumns") or []
@@ -2034,9 +2108,8 @@ def update_delta(
                 }
             )
 
-    version = _next_version(path)
-    with open(_log_path(path, version), "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    version = commit_version
+    _put_if_absent_commit(path, version, actions)
     return {
         "version": version,
         "updated_rows": updated,
@@ -2054,6 +2127,7 @@ def upsert_delta(
     deletes: DataFrame | None = None,
     data_files: list[str] | None = None,
     _allow_uniform: bool = False,
+    evolve_schema: bool = False,
 ) -> dict:
     """Keyed UPSERT commit on an exported Delta table (new r12 — the
     MERGE ``WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *``
@@ -2092,6 +2166,10 @@ def upsert_delta(
     if not _allow_uniform:
         _refuse_uniform_delta(path, "upsert_delta")
     adds, meta, proto = _replay_log(spark, path)
+    # commit slot pinned at READ time (r13): a writer that
+    # lands between this replay and our commit is DETECTED by
+    # the put-if-absent create, never silently built over
+    commit_version = _next_version(path)
     if meta is None:
         raise UnsupportedDeltaFeature("table has no metaData action")
     part_cols = meta.get("partitionColumns") or []
@@ -2126,12 +2204,41 @@ def upsert_delta(
             f"upsert_delta: deletes columns {sorted(deletes.columns)} "
             f"!= key columns {sorted(key_cols)}"
         )
+    new_cols: list[str] = []
     if df is not None:
-        if set(df.columns) != set(tbl_cols):
+        new_cols = [c for c in df.columns if c not in tbl_cols]
+        missing = sorted(set(tbl_cols) - set(df.columns))
+        if missing or (new_cols and not evolve_schema):
             raise ValueError(
                 f"upsert_delta: frame columns {sorted(df.columns)} != "
                 f"table columns {sorted(tbl_cols)}"
+                + (
+                    f" (new columns {new_cols} need evolve_schema=True)"
+                    if new_cols and not missing
+                    else ""
+                )
             )
+    if new_cols:
+        # ADD-COLUMN schema evolution (new r13 — VERDICT r12 ask #5):
+        # widen the schemaString with the new fields as NULLABLE (the
+        # only evolution PROTOCOL.md allows without rewriting files —
+        # old files null-backfill under the table-schema scan) and
+        # commit the updated metaData action WITH the batch, the
+        # delta-spark mergeSchema commit shape
+        sch = json.loads(meta["schemaString"])
+        for c in new_cols:
+            sch["fields"].append(
+                {
+                    "name": c,
+                    "type": df.schema[c].dataType.jsonValue(),
+                    "nullable": True,
+                    "metadata": {},
+                }
+            )
+        meta = dict(meta)
+        meta["schemaString"] = json.dumps(sch)
+        tbl_cols = tbl_cols + new_cols
+    if df is not None:
         def _list() -> set[str]:
             if not part_cols:
                 return {
@@ -2238,9 +2345,11 @@ def upsert_delta(
     if not actions:
         # delete-only batch matching nothing live: no commit
         return {"version": None, "upserted_rows": 0, "files_touched": 0}
-    version = _next_version(path)
-    with open(_log_path(path, version), "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    if new_cols:
+        # the widened schema commits atomically WITH the batch
+        actions.insert(0, {"metaData": meta})
+    version = commit_version
+    _put_if_absent_commit(path, version, actions)
     return {
         "version": version,
         "upserted_rows": n_rows,
@@ -2508,9 +2617,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> dict:
     cp = _read_last_checkpoint(path)
     newest = max(versions + ([cp["version"]] if cp else []))
     new_v = newest + 1
-    with open(_log_path(path, new_v), "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
+    _put_if_absent_commit(path, new_v, actions)
     return {
         "version": new_v,
         "restored_files": len(to_add),
@@ -2826,8 +2933,7 @@ def _commit_optimize(
     version = (
         max(versions + ([cp["version"]] if cp else []) or [-1]) + 1
     )
-    with open(_log_path(path, version), "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    _put_if_absent_commit(path, version, actions)
     return {
         "version": version,
         "removed_files": len(adds),

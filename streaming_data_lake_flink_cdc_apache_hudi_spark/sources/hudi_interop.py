@@ -226,6 +226,64 @@ def _record_key_fields(path: str) -> list[str]:
     return []
 
 
+def _claim_instant(path: str, instant: str, action: str) -> None:
+    """Put-if-absent CLAIM of a timeline instant (r13 — the first
+    step of Hudi's requested→inflight→completed lifecycle, standing
+    in for its lock-provider configs): the
+    ``<instant>.<action>.requested`` marker is created O_EXCL BEFORE
+    any log block or base file moves, so of two writers that both
+    computed the same next instant exactly one proceeds; the loser
+    raises ``ConcurrentWriterError`` having written nothing. A
+    claimed-but-never-completed instant is invisible to readers (the
+    completed-suffix gate) and reclaimed by rollback."""
+    from ..errors import ConcurrentWriterError
+
+    p = os.path.join(path, _HOODIE, f"{instant}.{action}.requested")
+    try:
+        os.close(os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError as exc:
+        raise ConcurrentWriterError(
+            f"Hudi instant {instant} at {path} is already claimed — "
+            "another writer won the put-if-absent race; re-read the "
+            "timeline and retry the operation"
+        ) from exc
+
+
+def _evolved_extra_columns(
+    path: str, as_of: str | None = None
+) -> list[tuple[str, str]]:
+    """(name, spark DDL type) of columns ADDED by evolving upserts
+    (r13): an ``upsert_hudi(evolve_schema=True)`` records its added
+    columns in its ``.deltacommit`` JSON (≙ Hudi persisting the
+    writer schema in commit metadata); readers widen the base frame
+    with NULLs so old rows serve next to new-column rows. Time travel
+    before the evolving instant never sees the column. Later
+    evolutions accumulate in instant order; a column physically
+    folded into new base files by compaction is filtered out by the
+    caller (name already present)."""
+    tl = os.path.join(path, _HOODIE)
+    if not os.path.isdir(tl):
+        return []
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for f in sorted(os.listdir(tl)):
+        if not f.endswith(".deltacommit"):
+            continue
+        inst = f[: -len(".deltacommit")]
+        if not inst.isdigit() or (as_of is not None and inst > as_of):
+            continue
+        try:
+            raw = open(os.path.join(tl, f)).read().strip()
+            meta = json.loads(raw) if raw else {}
+        except (OSError, ValueError):
+            continue
+        for c in meta.get("evolvedColumns") or []:
+            if c["name"] not in seen:
+                seen.add(c["name"])
+                out.append((c["name"], c["type"]))
+    return out
+
+
 def _partition_fields(path: str) -> list[str]:
     """``hoodie.table.partition.fields`` from hoodie.properties —
     empty for unpartitioned tables."""
@@ -412,8 +470,29 @@ def read_hudi(
             + (f" at instant <= {as_of}" if as_of else "")
         )
     files = [os.path.join(path, rel) for rel, _ in slices]
-    # basePath keeps hive-style partition dirs resolving to columns
-    base = spark.read.option("basePath", path).parquet(*files)
+    # basePath keeps hive-style partition dirs resolving to columns.
+    # r13 schema evolution: an evolved table can hold MIXED base
+    # schemas (compaction folds the new column only into LOGGED
+    # groups' bases) — mergeSchema makes the union deterministic
+    # instead of footer-sampled; the option is paid only when
+    # evolution metadata exists.
+    evolved_all = _evolved_extra_columns(path, as_of)
+    reader = spark.read.option("basePath", path)
+    if evolved_all:
+        reader = reader.option("mergeSchema", "true")
+    base = reader.parquet(*files)
+    # widen with columns ADDED by evolving upserts (recorded in their
+    # deltacommit metadata) — pre-evolution base rows read them as
+    # NULL; once compaction folds a column into every base, the name
+    # filter makes this a no-op
+    evolved = [
+        (n, t) for n, t in evolved_all if n not in base.columns
+    ]
+    if evolved:
+        from pyspark.sql import functions as _F
+
+        for n, t in evolved:
+            base = base.withColumn(n, _F.lit(None).cast(t))
     if read_optimized:
         return base
     done_commits = set(completed_instants(path))
@@ -884,6 +963,7 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
     n_groups, base_inst_by_pp = _export_group_routing(path, name, slices)
     done = _log_completed_instants(path)
     new_inst = str(int(max(done)) + 1)
+    _claim_instant(path, new_inst, "deltacommit")
     key_fields = _record_key_fields(path)
     if not key_fields:
         raise UnsupportedHudiFeature(
@@ -955,6 +1035,13 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
         .collect()
     )  # bounded: one row per touched file group
     if not stats:
+        # nothing matched: release the claimed instant so the next
+        # writer can land at this slot
+        os.remove(
+            os.path.join(
+                path, _HOODIE, f"{new_inst}.deltacommit.requested"
+            )
+        )
         return {"instant": None, "deleted_keys": 0, "groups_touched": 0}
     open(
         os.path.join(path, _HOODIE, f"{new_inst}.deltacommit"), "w"
@@ -972,6 +1059,7 @@ def upsert_hudi(
     df: DataFrame | None,
     deletes: DataFrame | None = None,
     update_partition_path: bool = False,
+    evolve_schema: bool = False,
 ) -> dict:
     """Keyed UPSERT on an EXPORTED MERGE_ON_READ layout (new r12 —
     the write twin of :func:`delete_hudi`, closing upsert write
@@ -1046,20 +1134,58 @@ def upsert_hudi(
             "in hoodie.properties (the exporters' shape)"
         )
     part_fields = _partition_fields(path)
-    base = spark.read.option("basePath", path).parquet(
+    prior_evolved = _evolved_extra_columns(path)
+    reader = spark.read.option("basePath", path)
+    if prior_evolved:
+        reader = reader.option("mergeSchema", "true")
+    base = reader.parquet(
         *[os.path.join(path, rel) for rel, _ in slices]
     )
     payload_fields = [
         f for f in base.schema.fields if not f.name.startswith("_hoodie_")
     ]
+    # columns added by PRIOR evolving upserts are table payload too
+    # (not yet folded into every base file by compaction)
+    from pyspark.sql.types import _parse_datatype_string
+
+    have = {f.name for f in payload_fields}
+    for n, t in prior_evolved:
+        if n not in have:
+            payload_fields.append(
+                T.StructField(n, _parse_datatype_string(t), True)
+            )
     want = [f.name for f in payload_fields]
     if df is None and deletes is None:
         raise ValueError("upsert_hudi: need df and/or deletes")
-    if df is not None and sorted(df.columns) != sorted(want):
+    new_cols = (
+        [c for c in df.columns if c not in want]
+        if df is not None
+        else []
+    )
+    missing = (
+        sorted(set(want) - set(df.columns)) if df is not None else []
+    )
+    if df is not None and (missing or (new_cols and not evolve_schema)):
         raise UnsupportedHudiFeature(
             f"upsert_hudi: input columns {sorted(df.columns)} do not "
             f"match the table payload {sorted(want)}"
+            + (
+                f" (new columns {new_cols} need evolve_schema=True)"
+                if new_cols and not missing
+                else ""
+            )
         )
+    if new_cols:
+        # ADD-COLUMN evolution (r13 — VERDICT r12 ask #5): the new
+        # fields ride this instant's Avro blocks as nullable unions
+        # (the writer-schema alignment the exporter always used) and
+        # the added columns are recorded in the deltacommit metadata
+        # so read_hudi widens pre-evolution rows with NULLs
+        payload_fields = payload_fields + [
+            T.StructField(c, df.schema[c].dataType, True)
+            for c in new_cols
+        ]
+        want = want + new_cols
     # a tombstone on a partitioned table needs its partition columns
     # too — the non-global index scopes deletes per partition path
     del_cols = set(key_fields) | set(part_fields)
@@ -1129,6 +1255,7 @@ def upsert_hudi(
     }
     done = _log_completed_instants(path)
     new_inst = str(int(max(done)) + 1)
+    _claim_instant(path, new_inst, "deltacommit")
     dest_abs = os.path.abspath(path)
     routed = aligned.withColumn(
         # hash the RAW key columns — the exporters' repartition
@@ -1231,13 +1358,33 @@ def upsert_hudi(
         .collect()
     )  # bounded: one row per touched file group
     if not stats:
+        os.remove(
+            os.path.join(
+                path, _HOODIE, f"{new_inst}.deltacommit.requested"
+            )
+        )
         return {
             "instant": None, "upserted_rows": 0, "deleted_keys": 0,
             "groups_touched": 0,
         }
-    open(
+    with open(
         os.path.join(path, _HOODIE, f"{new_inst}.deltacommit"), "w"
-    ).close()
+    ) as fh:
+        if new_cols:
+            # evolving instant: persist the added columns (≙ Hudi's
+            # writer schema in commit metadata) for readers to widen
+            json.dump(
+                {
+                    "evolvedColumns": [
+                        {
+                            "name": c,
+                            "type": df.schema[c].dataType.simpleString(),
+                        }
+                        for c in new_cols
+                    ]
+                },
+                fh,
+            )
     return {
         "instant": new_inst,
         "upserted_rows": int(sum(r["n_rows"] for r in stats)),
@@ -1317,6 +1464,7 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
     part_fields = _partition_fields(path)
     done = _log_completed_instants(path)
     new_inst = str(int(max(done)) + 1)
+    _claim_instant(path, new_inst, "commit")
 
     def file_name(pid: int, part: str = "") -> str:
         return (
@@ -1465,9 +1613,7 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
                 "fileSizeInBytes": os.path.getsize(dest),
             }
         )
-    open(
-        os.path.join(path, _HOODIE, f"{new_inst}.commit.requested"), "w"
-    ).close()
+    # the .commit.requested marker was claimed O_EXCL up front
     open(os.path.join(path, _HOODIE, f"{new_inst}.inflight"), "w").close()
     with open(
         os.path.join(path, _HOODIE, f"{new_inst}.commit"), "w"

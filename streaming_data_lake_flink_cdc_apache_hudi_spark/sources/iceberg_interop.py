@@ -159,10 +159,24 @@ _ICEBERG_TO_SPARK = {
 }
 
 
-def _table_schema_ddl(path: str) -> str | None:
-    """Spark DDL for the CURRENT Iceberg schema, or None when a field
-    type has no Spark mapping (caller falls back to a file scan)."""
-    fields = _current_schema(path).get("fields", [])
+def _table_schema_ddl(path: str, schema_id: int | None = None) -> str | None:
+    """Spark DDL for an Iceberg schema — the CURRENT one by default,
+    or the schema with the given ``schema-id`` (a snapshot's recorded
+    schema, for time travel across evolution). None when a field type
+    has no Spark mapping (caller falls back to a file scan)."""
+    if schema_id is not None:
+        meta = json.load(open(_current_metadata_path(path)))
+        sch = next(
+            (
+                s
+                for s in meta.get("schemas", [])
+                if s.get("schema-id") == schema_id
+            ),
+            None,
+        )
+        fields = (sch or _current_schema(path)).get("fields", [])
+    else:
+        fields = _current_schema(path).get("fields", [])
     if not fields:
         return None
     parts = []
@@ -400,7 +414,26 @@ def read_iceberg(
             if keep and set(keep) != set(df.columns):
                 df = df.select(*keep)
             return df
-    return _live_scan(spark, path, mapping, pos_files, eq_deletes)
+    # time travel across schema evolution (r13): a snapshot that
+    # recorded its schema-id reads under THAT schema (Iceberg's
+    # time-travel contract); snapshots without one fall back to the
+    # current schema, like the Java reader
+    sch_id = None
+    if snapshot_id is not None:
+        meta = json.load(open(_current_metadata_path(path)))
+        s = next(
+            (
+                x
+                for x in meta.get("snapshots", [])
+                if x["snapshot-id"] == snapshot_id
+            ),
+            None,
+        )
+        if s is not None:
+            sch_id = s.get("schema-id")
+    return _live_scan(
+        spark, path, mapping, pos_files, eq_deletes, schema_id=sch_id
+    )
 
 
 def _live_scan(
@@ -410,6 +443,7 @@ def _live_scan(
     pos_files: list,
     eq_deletes: list,
     with_positions: bool = False,
+    schema_id: int | None = None,
 ) -> DataFrame:
     """One pruned scan of a snapshot's live data files with the v2
     row-level deletes (position + equality) APPLIED — the shared
@@ -424,7 +458,19 @@ def _live_scan(
     from pyspark.sql import functions as F
 
     files = sorted(v for v, _, _ in mapping.values())
-    df = spark.read.option("basePath", path).parquet(*files)
+    # scan under the TABLE schema when it is Spark-expressible (the
+    # Iceberg planner's contract): after ADD-COLUMN schema evolution
+    # (r13) the old files lack the new column and must null-backfill
+    # — a footer-sampled schema would drop or keep the column
+    # nondeterministically. Unmappable/nested types fall back to the
+    # footer scan as before.
+    ddl = _table_schema_ddl(path, schema_id)
+    reader = spark.read.option("basePath", path)
+    df = (
+        reader.schema(ddl).parquet(*files)
+        if ddl
+        else reader.parquet(*files)
+    )
     # basePath makes Spark infer key=value directory levels as extra
     # columns (wanted for hive-migrated tables whose files LACK the
     # partition columns; unwanted for the exporter's shadow _p_* dirs,
@@ -636,18 +682,57 @@ def snapshots(path: str) -> list[dict]:
 # -- table maintenance (metadata-only commits) -------------------------------
 
 
-def _commit_metadata(path: str, new_meta: dict) -> str:
+def _meta_base_version(path: str) -> int:
+    """The version number of the metadata file a writer is ABOUT TO
+    BUILD ON (the current one) — passed to :func:`_commit_metadata`
+    so the commit lands at exactly base+1 and a concurrent writer
+    that advanced the table first is DETECTED, not silently built
+    over from a stale read."""
+    m = re.match(
+        r"v(\d+)\.metadata\.json$",
+        os.path.basename(_current_metadata_path(path)),
+    )
+    return int(m.group(1)) if m else 0
+
+
+def _commit_metadata(
+    path: str, new_meta: dict, base_version: int | None = None
+) -> str:
     """Write ``new_meta`` as the next vN.metadata.json and bump the
-    version hint — the filesystem catalog's atomic commit step."""
+    version hint — the filesystem catalog's atomic commit step.
+
+    Put-if-absent (r13): the metadata version file is created O_EXCL
+    (the HadoopTableOperations rename-commit contract). Writers that
+    pass the ``base_version`` they READ commit at exactly base+1, so
+    of two concurrent writers that both derived state from vN exactly
+    one lands v(N+1) and the loser raises ``ConcurrentWriterError``
+    having committed nothing — its staged data/manifest files
+    (content-addressed by snapshot uuid, so never colliding) are
+    unreferenced orphans that ``expire_snapshots``-class maintenance
+    removes. Without ``base_version`` (single-writer maintenance ops)
+    the next free version is taken from a fresh listing."""
+    from ..errors import ConcurrentWriterError
+
     md = os.path.join(path, _META_DIR)
-    versions = [
-        int(m.group(1))
-        for f in os.listdir(md)
-        if (m := re.match(r"v(\d+)\.metadata\.json$", f))
-    ]
-    v = (max(versions) if versions else 0) + 1
+    if base_version is not None:
+        v = base_version + 1
+    else:
+        versions = [
+            int(m.group(1))
+            for f in os.listdir(md)
+            if (m := re.match(r"v(\d+)\.metadata\.json$", f))
+        ]
+        v = (max(versions) if versions else 0) + 1
     p = os.path.join(md, f"v{v}.metadata.json")
-    with open(p, "w") as fh:
+    try:
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise ConcurrentWriterError(
+            f"Iceberg metadata version v{v} at {path} already exists "
+            "— another writer won the put-if-absent race; re-read the "
+            "table state and retry the operation"
+        ) from exc
+    with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh)
     with open(os.path.join(md, "version-hint.text"), "w") as fh:
         fh.write(str(v))
@@ -1571,6 +1656,7 @@ def delete_iceberg(
     if not _allow_uniform:
         _refuse_uniform_iceberg(path, "delete_iceberg")
     meta = json.load(open(_current_metadata_path(path)))
+    base_v = _meta_base_version(path)
     fmt_version = int(meta.get("format-version", 1))
     if fmt_version < 2:
         raise UnsupportedIcebergFeature(
@@ -1752,7 +1838,7 @@ def delete_iceberg(
         new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
             {"timestamp-ms": now_ms, "snapshot-id": new_sid}
         ]
-    _commit_metadata(path, new_meta)
+    _commit_metadata(path, new_meta, base_version=base_v)
     return {
         "snapshot_id": new_sid,
         "deleted_rows": deleted,
@@ -1805,6 +1891,7 @@ def update_iceberg(
     if not _allow_uniform:
         _refuse_uniform_iceberg(path, "update_iceberg")
     meta = json.load(open(_current_metadata_path(path)))
+    base_v = _meta_base_version(path)
     if int(meta.get("format-version", 1)) < 2:
         raise UnsupportedIcebergFeature(
             "update_iceberg needs format-version 2 — v1 has no "
@@ -2070,7 +2157,7 @@ def update_iceberg(
         new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
             {"timestamp-ms": now_ms, "snapshot-id": new_sid}
         ]
-    _commit_metadata(path, new_meta)
+    _commit_metadata(path, new_meta, base_version=base_v)
     return {
         "snapshot_id": new_sid,
         "updated_rows": updated,
@@ -2439,6 +2526,7 @@ def upsert_iceberg(
     data_files: Sequence[str] | None = None,
     _allow_uniform: bool = False,
     branch: str | None = None,
+    evolve_schema: bool = False,
 ) -> dict:
     """Keyed UPSERT commit on a v2 Iceberg table — the Flink Iceberg
     sink's UPSERT-mode shape (new r11): ONE ``overwrite`` snapshot
@@ -2485,6 +2573,7 @@ def upsert_iceberg(
         _refuse_uniform_iceberg(path, "upsert_iceberg")
 
     meta = json.load(open(_current_metadata_path(path)))
+    base_v = _meta_base_version(path)
     if int(meta.get("format-version", 1)) < 2:
         raise UnsupportedIcebergFeature(
             "upsert_iceberg needs format-version 2 — equality "
@@ -2533,11 +2622,71 @@ def upsert_iceberg(
             "upsert_iceberg: data_files injection over a PARTITIONED "
             "table is not supported"
         )
-    if df is not None and set(df.columns) != set(tbl_cols):
+    new_cols = (
+        [c for c in df.columns if c not in tbl_cols]
+        if df is not None
+        else []
+    )
+    if df is not None and (
+        sorted(set(tbl_cols) - set(df.columns)) != []
+        or (new_cols and not evolve_schema)
+    ):
         raise ValueError(
             f"upsert_iceberg: frame columns {sorted(df.columns)} != "
             f"table columns {sorted(tbl_cols)}"
+            + (
+                f" (new columns {new_cols} need evolve_schema=True)"
+                if new_cols and not (set(tbl_cols) - set(df.columns))
+                else ""
+            )
         )
+    evolved_schema = None
+    if new_cols:
+        # ADD-COLUMN schema evolution (new r13 — VERDICT r12 ask #5):
+        # assign FRESH field ids past last-column-id, append a new
+        # schema (new schema-id) to `schemas`, and bump
+        # current-schema-id — the spec's evolution shape; old data
+        # files have no values for the new ids and readers
+        # null-backfill them
+        by_name = {
+            f["name"]: f for f in _iceberg_schema(df)["fields"]
+        }
+        next_id = int(
+            meta.get("last-column-id")
+            or max((f["id"] for f in fields), default=0)
+        )
+        added = []
+        for c in new_cols:
+            next_id += 1
+            added.append(
+                {
+                    "id": next_id,
+                    "name": c,
+                    "required": False,
+                    "type": by_name[c]["type"],
+                }
+            )
+        old_ids = [int(s.get("schema-id", 0)) for s in (
+            meta.get("schemas") or [meta.get("schema") or {}]
+        )]
+        evolved_schema = {
+            "type": "struct",
+            "schema-id": max(old_ids, default=0) + 1,
+            "fields": list(fields) + added,
+        }
+        meta = dict(meta)
+        meta["schemas"] = list(meta.get("schemas") or (
+            [meta["schema"]] if meta.get("schema") else []
+        )) + [evolved_schema]
+        meta["current-schema-id"] = evolved_schema["schema-id"]
+        meta["last-column-id"] = next_id
+        if "schema" in meta:
+            # legacy single-schema key: keep it consistent (readers
+            # like _current_schema prefer it when present)
+            meta["schema"] = evolved_schema
+        fields = evolved_schema["fields"]
+        ids_by_name = {f["name"]: int(f["id"]) for f in fields}
+        tbl_cols = [f["name"] for f in fields]
     if deletes is not None and set(deletes.columns) != set(key_cols):
         raise ValueError(
             f"upsert_iceberg: deletes columns {sorted(deletes.columns)}"
@@ -2805,6 +2954,9 @@ def upsert_iceberg(
         "parent-snapshot-id": cur,
         "sequence-number": new_seq,
         "timestamp-ms": now_ms,
+        # the schema in effect at this snapshot (r13) — time travel
+        # across ADD-COLUMN evolution reads under it
+        "schema-id": int(meta.get("current-schema-id", 0)),
         "manifest-list": "file://" + new_mlist,
         "summary": {
             "operation": "overwrite" if new_data else "delete",
@@ -2828,7 +2980,7 @@ def upsert_iceberg(
         new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
             {"timestamp-ms": now_ms, "snapshot-id": new_sid}
         ]
-    _commit_metadata(path, new_meta)
+    _commit_metadata(path, new_meta, base_version=base_v)
     return {"snapshot_id": new_sid, "rows": data_rows}
 
 
@@ -3466,6 +3618,9 @@ def export_iceberg(
                 if format_version == 2
                 else {}
             ),
+            # schema in effect at this snapshot (r13) — time travel
+            # across later ADD-COLUMN evolution reads under it
+            "schema-id": int(prev_meta.get("current-schema-id", 0)),
             "manifest-list": "file://" + mlist_path,
             "summary": {
                 "operation": "append",
@@ -3523,6 +3678,7 @@ def export_iceberg(
                 "snapshot-id": snapshot_id,
                 "timestamp-ms": now_ms,
                 **({"sequence-number": 1} if format_version == 2 else {}),
+                "schema-id": 0,
                 "manifest-list": "file://" + mlist_path,
                 "summary": {
                     "operation": "append",

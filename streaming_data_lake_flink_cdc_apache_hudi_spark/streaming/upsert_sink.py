@@ -72,8 +72,10 @@ READ_META_COLS = ("_partition_path", "_file_name")
 PRECOMBINE_COLS = ("_cdc_ts", "_cdc_seq")
 
 
-class ConcurrentWriterError(RuntimeError):
-    """Another live writer holds this table's lease."""
+# canonical definition moved to engine-wide errors (r13) so the
+# interop format writers raise the SAME type on put-if-absent loss;
+# re-exported here for every existing import site
+from ..errors import ConcurrentWriterError  # noqa: E402,F401
 
 
 class CheckConstraintViolation(ValueError):
