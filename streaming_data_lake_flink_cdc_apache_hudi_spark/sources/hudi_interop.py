@@ -229,16 +229,19 @@ def _record_key_fields(path: str) -> list[str]:
 def _claim_instant(path: str, instant: str, action: str) -> None:
     """Put-if-absent CLAIM of a timeline instant (r13 — the first
     step of Hudi's requested→inflight→completed lifecycle, standing
-    in for its lock-provider configs): the
-    ``<instant>.<action>.requested`` marker is created O_EXCL BEFORE
-    any log block or base file moves, so of two writers that both
-    computed the same next instant exactly one proceeds; the loser
-    raises ``ConcurrentWriterError`` having written nothing. A
-    claimed-but-never-completed instant is invisible to readers (the
-    completed-suffix gate) and reclaimed by rollback."""
+    in for its lock-provider configs): the ``<instant>.inflight``
+    marker is created O_EXCL BEFORE any log block or base file moves
+    — ONE file name for every action, so a compaction and a
+    deltacommit can never share an instant — plus the spec-shaped
+    ``<instant>.<action>.requested`` lifecycle marker. Of two writers
+    that both computed the same next instant exactly one proceeds;
+    the loser raises ``ConcurrentWriterError`` having written
+    nothing. A claimed-but-never-completed instant is invisible to
+    readers (the completed-suffix gate), skipped by
+    :func:`_next_instant`, and reclaimed by rollback."""
     from ..errors import ConcurrentWriterError
 
-    p = os.path.join(path, _HOODIE, f"{instant}.{action}.requested")
+    p = os.path.join(path, _HOODIE, f"{instant}.inflight")
     try:
         os.close(os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
     except FileExistsError as exc:
@@ -247,6 +250,74 @@ def _claim_instant(path: str, instant: str, action: str) -> None:
             "another writer won the put-if-absent race; re-read the "
             "timeline and retry the operation"
         ) from exc
+    open(
+        os.path.join(path, _HOODIE, f"{instant}.{action}.requested"), "w"
+    ).close()
+
+
+def _release_instant(path: str, instant: str, action: str) -> None:
+    """Undo a claim whose operation turned out to be a no-op (empty
+    batch / nothing to compact)."""
+    for f in (f"{instant}.inflight", f"{instant}.{action}.requested"):
+        try:
+            os.remove(os.path.join(path, _HOODIE, f))
+        except FileNotFoundError:
+            pass
+
+
+def _next_instant(path: str) -> str:
+    """The next free instant: past every COMPLETED instant and every
+    CLAIMED-but-incomplete one (an async compaction's claimed slot
+    must not be reused by the next deltacommit)."""
+    tl = os.path.join(path, _HOODIE)
+    hi = 0
+    for f in os.listdir(tl):
+        stem = f.split(".")[0]
+        if stem.isdigit():
+            hi = max(hi, int(stem))
+    return str(hi + 1)
+
+
+def _pending_compactions(path: str) -> set[str]:
+    """Instants with a claimed ``.commit.requested`` and no completed
+    ``.commit`` — an async compaction mid-rewrite."""
+    tl = os.path.join(path, _HOODIE)
+    names = set(os.listdir(tl))
+    return {
+        f[: -len(".commit.requested")]
+        for f in names
+        if f.endswith(".commit.requested")
+        and f[: -len(".commit.requested")].isdigit()
+        and f[: -len(".commit.requested")] + ".commit" not in names
+    }
+
+
+def _wait_for_pending_compaction(
+    path: str, timeout: float = 300.0
+) -> None:
+    """Block a delta writer while an async compaction is mid-rewrite
+    (r13): a deltacommit landing DURING the rewrite would append to a
+    log slice the compaction is about to obsolete and lose its rows —
+    Hudi fences this with its compaction plan + writer lock; here the
+    pending ``.commit.requested`` marker is the fence. Compaction
+    cadences are minutes while rewrites are seconds, so the wait is
+    rare; a crashed compactor's stale fence times out with a
+    ``ConcurrentWriterError`` pointing at rollback."""
+    import time as _time
+
+    from ..errors import ConcurrentWriterError
+
+    deadline = _time.monotonic() + timeout
+    while _pending_compactions(path):
+        if _time.monotonic() > deadline:
+            raise ConcurrentWriterError(
+                f"Hudi table at {path} has a pending compaction "
+                f"instant {sorted(_pending_compactions(path))} that "
+                f"did not complete within {timeout}s — a crashed "
+                "compactor leaves this fence; roll it back "
+                "(rollback_hudi) before writing"
+            )
+        _time.sleep(0.2)
 
 
 def _evolved_extra_columns(
@@ -961,8 +1032,8 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
             f"Hudi table at {path} has no committed base files"
         )
     n_groups, base_inst_by_pp = _export_group_routing(path, name, slices)
-    done = _log_completed_instants(path)
-    new_inst = str(int(max(done)) + 1)
+    _wait_for_pending_compaction(path)
+    new_inst = _next_instant(path)
     _claim_instant(path, new_inst, "deltacommit")
     key_fields = _record_key_fields(path)
     if not key_fields:
@@ -1035,13 +1106,8 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
         .collect()
     )  # bounded: one row per touched file group
     if not stats:
-        # nothing matched: release the claimed instant so the next
-        # writer can land at this slot
-        os.remove(
-            os.path.join(
-                path, _HOODIE, f"{new_inst}.deltacommit.requested"
-            )
-        )
+        # nothing matched: release the claimed instant
+        _release_instant(path, new_inst, "deltacommit")
         return {"instant": None, "deleted_keys": 0, "groups_touched": 0}
     open(
         os.path.join(path, _HOODIE, f"{new_inst}.deltacommit"), "w"
@@ -1253,8 +1319,8 @@ def upsert_hudi(
         for f in payload_fields
         if isinstance(f.dataType, T.TimestampType)
     }
-    done = _log_completed_instants(path)
-    new_inst = str(int(max(done)) + 1)
+    _wait_for_pending_compaction(path)
+    new_inst = _next_instant(path)
     _claim_instant(path, new_inst, "deltacommit")
     dest_abs = os.path.abspath(path)
     routed = aligned.withColumn(
@@ -1358,11 +1424,7 @@ def upsert_hudi(
         .collect()
     )  # bounded: one row per touched file group
     if not stats:
-        os.remove(
-            os.path.join(
-                path, _HOODIE, f"{new_inst}.deltacommit.requested"
-            )
-        )
+        _release_instant(path, new_inst, "deltacommit")
         return {
             "instant": None, "upserted_rows": 0, "deleted_keys": 0,
             "groups_touched": 0,
@@ -1393,7 +1455,9 @@ def upsert_hudi(
     }
 
 
-def compact_hudi(spark: SparkSession, path: str) -> dict:
+def compact_hudi(
+    spark: SparkSession, path: str, instant: str | None = None
+) -> dict:
     """MoR COMPACTION on an exported layout (new r12 — Hudi's
     ``compaction.async.enabled`` materialization, the service the
     reference schedules with ``compaction.delta_commits=2/5`` and
@@ -1438,6 +1502,8 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
         )
     )
     if not logs:
+        if instant is not None:
+            _release_instant(path, instant, "commit")
         return {"instant": None, "compacted_groups": 0, "rows": 0}
     # logged (partition dir, pid) groups — fileIds are scoped by the
     # partition dir for partitioned layouts (r13)
@@ -1462,9 +1528,14 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
             "in hoodie.properties (the exporters' shape)"
         )
     part_fields = _partition_fields(path)
-    done = _log_completed_instants(path)
-    new_inst = str(int(max(done)) + 1)
-    _claim_instant(path, new_inst, "commit")
+    if instant is not None:
+        # pre-claimed by the caller (async compaction cadence): the
+        # slot is already fenced on the timeline
+        new_inst = instant
+    else:
+        _wait_for_pending_compaction(path)
+        new_inst = _next_instant(path)
+        _claim_instant(path, new_inst, "commit")
 
     def file_name(pid: int, part: str = "") -> str:
         return (
@@ -1613,8 +1684,7 @@ def compact_hudi(spark: SparkSession, path: str) -> dict:
                 "fileSizeInBytes": os.path.getsize(dest),
             }
         )
-    # the .commit.requested marker was claimed O_EXCL up front
-    open(os.path.join(path, _HOODIE, f"{new_inst}.inflight"), "w").close()
+    # the instant was fenced (inflight + commit.requested) up front
     with open(
         os.path.join(path, _HOODIE, f"{new_inst}.commit"), "w"
     ) as fh:

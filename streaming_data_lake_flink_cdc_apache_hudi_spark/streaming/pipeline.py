@@ -219,6 +219,9 @@ def stream_upsert_hudi(
     path: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    compact_delta_commits: int | None = None,
+    compact_delta_seconds: float | None = None,
+    compact_async: bool = True,
 ) -> StreamingQuery:
     """changelog stream → per-micro-batch HUDI MoR delta commits on
     an EXPORTED layout (new r12 — the reference's EXACT deployment
@@ -230,13 +233,96 @@ def stream_upsert_hudi(
     ``upsert_hudi`` — an Avro DATA block per touched file group for
     the upserted rows plus a DELETE block for the deleted keys, the
     block shapes the reference's Flink sink emits per checkpoint.
-    Commit cadence = trigger cadence (E1); ``compact_hudi`` /
-    ``clean_hudi`` run the maintenance the reference schedules as
-    async compaction. The record key comes from the layout's
-    hoodie.properties."""
+    Commit cadence = trigger cadence (E1). The record key comes from
+    the layout's hoodie.properties.
+
+    COMPACTION CADENCE (new r13 — VERDICT r12 stretch; the
+    reference's ``'compaction.trigger.strategy' = 'num_or_time'``
+    with ``compaction.delta_commits`` / ``compaction.delta_seconds``,
+    CDC-Hudi-Notebook.zpln:292 ¶7 / :2234 ¶51):
+    ``compact_delta_commits=N`` / ``compact_delta_seconds=S`` arm a
+    post-commit hook that fires ``compact_hudi`` when N deltacommits
+    have accumulated since the last compaction OR S seconds have
+    elapsed since one — whichever first (num_or_time). With
+    ``compact_async=True`` (the reference's
+    ``compaction.async.enabled``) the fold runs on a daemon thread
+    OFF the commit path, one at a time; the handle rides the
+    returned query as ``query._hudi_compactor`` so tests/operators
+    can join it. Delta counting is a timeline listing (KB-scale)."""
+    import threading
+    import time as _time
+
     from ..sources.hudi_interop import _record_key_fields
 
     keys = _record_key_fields(path)
+    compactor: dict = {"thread": None, "last_time": _time.monotonic()}
+
+    def _deltas_since_last_compaction() -> int:
+        from ..sources.hudi_interop import _HOODIE as _H
+
+        tl = os.path.join(path, _H)
+        import json as _json
+
+        last_comp = ""
+        deltas = []
+        for f in os.listdir(tl):
+            stem, _, suf = f.partition(".")
+            if not stem.isdigit():
+                continue
+            if suf == "deltacommit":
+                deltas.append(stem)
+            elif suf == "commit":
+                try:
+                    raw = open(os.path.join(tl, f)).read().strip()
+                    if raw and _json.loads(raw).get("compacted"):
+                        last_comp = max(last_comp, stem)
+                except (OSError, ValueError):
+                    continue
+        return sum(1 for d in deltas if d > last_comp)
+
+    def _maybe_compact(spark) -> None:
+        if compact_delta_commits is None and compact_delta_seconds is None:
+            return
+        t = compactor["thread"]
+        if t is not None and t.is_alive():
+            return  # one compactor at a time (Hudi's async scheduler)
+        due_n = (
+            compact_delta_commits is not None
+            and _deltas_since_last_compaction() >= compact_delta_commits
+        )
+        due_t = (
+            compact_delta_seconds is not None
+            and _time.monotonic() - compactor["last_time"]
+            >= compact_delta_seconds
+        )
+        if not (due_n or due_t):
+            return
+        if due_t and not due_n and _deltas_since_last_compaction() == 0:
+            return  # time elapsed but nothing to fold (Hudi's no-op)
+        compactor["last_time"] = _time.monotonic()
+        # CLAIM the compaction instant INLINE (the scheduling step
+        # Hudi's writer does under its lock) so the NEXT micro-batch's
+        # deltacommit lands past it — only the data rewrite runs async
+        from ..sources.hudi_interop import (
+            _claim_instant,
+            _next_instant,
+            compact_hudi,
+        )
+
+        inst = _next_instant(path)
+        _claim_instant(path, inst, "commit")
+
+        def run() -> None:
+            compact_hudi(spark, path, instant=inst)
+
+        if compact_async:
+            th = threading.Thread(
+                target=run, name="hudi-async-compactor", daemon=True
+            )
+            compactor["thread"] = th
+            th.start()
+        else:
+            run()
 
     def _commit(batch: DataFrame, epoch_id: int) -> None:
         from ..sources.hudi_interop import upsert_hudi
@@ -255,6 +341,7 @@ def stream_upsert_hudi(
             ups if n_ups else None,
             deletes=dels if n_dels else None,
         )
+        _maybe_compact(batch.sparkSession)
 
     writer = (
         changelog.writeStream.foreachBatch(_commit)
@@ -262,7 +349,9 @@ def stream_upsert_hudi(
         .outputMode("update")
     )
     trigger = trigger or {"availableNow": True}
-    return writer.trigger(**trigger).start()
+    q = writer.trigger(**trigger).start()
+    q._hudi_compactor = compactor
+    return q
 
 
 def stream_upsert_uniform(

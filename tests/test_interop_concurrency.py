@@ -159,27 +159,34 @@ def test_hudi_instant_put_if_absent(spark, tmp_path):
         UpsertLakeTable,
     )
 
+    import streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop as H
+
     t = UpsertLakeTable(spark, str(tmp_path / "eng"), key="id")
     t.write(_mk(spark, [(i, f"v{i}") for i in range(4)]),
             commit_id="c1")
     mor = str(tmp_path / "mor")
     export_hudi_mor(t, mor, num_files=2)
-    done = sorted(
-        f.split(".")[0]
-        for f in os.listdir(os.path.join(mor, ".hoodie"))
-        if f.endswith(".commit") or f.endswith(".deltacommit")
-    )
-    nxt = str(int(done[-1]) + 1)
-    # an interleaving writer claims the next instant first
+    # an interleaving writer claims the next instant an instant after
+    # writer B computed it (simulated by a stale _next_instant)
+    nxt = H._next_instant(mor)
+    open(os.path.join(mor, ".hoodie", f"{nxt}.inflight"), "w").close()
     open(os.path.join(mor, ".hoodie",
                       f"{nxt}.deltacommit.requested"), "w").close()
     before_logs = {
         f for f in os.listdir(mor) if ".log." in f
     }
-    with pytest.raises(ConcurrentWriterError, match="claimed"):
-        upsert_hudi(spark, mor, _mk(spark, [(1, "V1")]))
+    real_next = H._next_instant
+    H._next_instant = lambda p: nxt  # B's pre-winner computation
+    try:
+        with pytest.raises(ConcurrentWriterError, match="claimed"):
+            upsert_hudi(spark, mor, _mk(spark, [(1, "V1")]))
+    finally:
+        H._next_instant = real_next
     # the loser wrote NO log bytes
     assert {f for f in os.listdir(mor) if ".log." in f} == before_logs
+    # the winner's claim (never completed) does not block a fresh
+    # writer: the next instant computation lands PAST it
+    os.remove(os.path.join(mor, ".hoodie", f"{nxt}.inflight"))
     os.remove(os.path.join(mor, ".hoodie",
                            f"{nxt}.deltacommit.requested"))
     upsert_hudi(spark, mor, _mk(spark, [(1, "V1")]))
