@@ -3065,6 +3065,144 @@ def q_laketail_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.snapshot().select("s_suppkey", "s_name", "s_nationkey")
 
 
+@register(
+    "laketail_iceberg_read",
+    """
+SELECT s_suppkey,
+       CASE WHEN s_nationkey < 10 THEN concat('UP-', s_name)
+            ELSE s_name END AS s_name,
+       s_nationkey
+FROM supplier WHERE s_suppkey % 6 != 0
+UNION ALL
+SELECT s_suppkey + 100000 AS s_suppkey,
+       concat('NEW-', s_name) AS s_name,
+       s_nationkey
+FROM supplier
+WHERE s_suppkey % 11 = 0 AND (s_suppkey + 100000) % 6 != 0
+""",
+    doc="Lake-to-lake STREAMING TAIL over an externally-written "
+    "Iceberg v2 table (new r13 — ask #4's second format): supplier "
+    "exports as Iceberg, the tail's first catch-up lands the "
+    "snapshot, then an equality-delete upsert_iceberg (UP-names + "
+    "NEW-rows) and a delete_iceberg (s_suppkey%6=0) land externally "
+    "and ONE catch-up applies BOTH snapshots via the changelog scan "
+    "— LWW across snapshots (the later delete beats the earlier "
+    "update; NEW rows born at snapshot 2 die at snapshot 3 when "
+    "hit). Exactly-once rides laketail:iceberg:<from>:<to> commit "
+    "ids; the final engine snapshot must equal the oracle.",
+)
+def q_laketail_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.iceberg_interop import (
+        delete_iceberg,
+        export_iceberg,
+        upsert_iceberg,
+    )
+    from ..streaming.laketail import tail_iceberg_once
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="laketail_ice_")
+    src = f"{root}/src"
+    export_iceberg(s, src, format_version=2)
+    t = UpsertLakeTable(
+        spark, f"{root}/down", key="s_suppkey", num_buckets=2,
+        compact_every=100,
+    )
+    tail_iceberg_once(spark, src, t)  # snapshot catch-up
+    updates = s.filter("s_nationkey < 10").select(
+        "s_suppkey",
+        F.concat(F.lit("UP-"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+    )
+    inserts = s.filter("s_suppkey % 11 = 0").select(
+        (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+        F.concat(F.lit("NEW-"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+    )
+    upsert_iceberg(
+        spark, src, updates.unionAll(inserts), ["s_suppkey"]
+    )
+    delete_iceberg(spark, src, "s_suppkey % 6 = 0")
+    tail_iceberg_once(spark, src, t)  # one batch, BOTH snapshots
+    return t.snapshot().select("s_suppkey", "s_name", "s_nationkey")
+
+
+@register(
+    "laketail_hudi_read",
+    """
+SELECT s_suppkey,
+       CASE WHEN s_nationkey < 10 THEN concat('UP-', s_name)
+            ELSE s_name END AS s_name,
+       s_nationkey
+FROM supplier WHERE s_suppkey % 6 != 0
+UNION ALL
+SELECT s_suppkey + 100000 AS s_suppkey,
+       concat('NEW-', s_name) AS s_name,
+       s_nationkey
+FROM supplier
+WHERE s_suppkey % 11 = 0 AND (s_suppkey + 100000) % 6 != 0
+""",
+    doc="Lake-to-lake STREAMING TAIL over an externally-written Hudi "
+    "MoR table (new r13 — completing the tail TRIPLE; the Flink "
+    "'streaming read' of a Hudi table that powers the reference's "
+    "own chained pipelines, which its batch Athena query-back "
+    "cannot): supplier exports as MoR, the tail's first catch-up "
+    "lands the real-time view, then an upsert_hudi data block "
+    "(UP-names + NEW-rows) and a delete_hudi (s_suppkey%6=0) land "
+    "as external instants and ONE catch-up applies BOTH via "
+    "read_hudi_changes — the new row-level Hudi incremental query "
+    "(log-block walk by carried instant, LWW per key, delete keys "
+    "re-parsed from the spec's recordKey encoding). Exactly-once "
+    "rides laketail:hudi:<from>:<to> commit ids; the final engine "
+    "snapshot must equal the oracle.",
+)
+def q_laketail_hudi_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.hudi_interop import (
+        delete_hudi,
+        export_hudi_mor,
+        upsert_hudi,
+    )
+    from ..streaming.laketail import tail_hudi_once
+    from ..streaming.upsert_sink import UpsertLakeTable
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="laketail_hudi_")
+    eng = UpsertLakeTable(
+        spark, f"{root}/eng", key="s_suppkey", num_buckets=2,
+        compact_every=100,
+    )
+    eng.write(s, commit_id="c1")
+    src = f"{root}/src"
+    export_hudi_mor(eng, src, num_files=3)
+    t = UpsertLakeTable(
+        spark, f"{root}/down", key="s_suppkey", num_buckets=2,
+        compact_every=100,
+    )
+    tail_hudi_once(spark, src, t)  # snapshot catch-up
+    updates = s.filter("s_nationkey < 10").select(
+        "s_suppkey",
+        F.concat(F.lit("UP-"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+    )
+    inserts = s.filter("s_suppkey % 11 = 0").select(
+        (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+        F.concat(F.lit("NEW-"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+    )
+    upsert_hudi(spark, src, updates.unionAll(inserts))
+    delete_hudi(spark, src, "s_suppkey % 6 = 0")
+    tail_hudi_once(spark, src, t)  # one batch, BOTH instants
+    return t.snapshot().select("s_suppkey", "s_name", "s_nationkey")
+
+
 _EVOLVED_ORACLE = """
 SELECT s_suppkey,
        CASE WHEN s_suppkey % 5 = 0 THEN concat('UP-', s_name)

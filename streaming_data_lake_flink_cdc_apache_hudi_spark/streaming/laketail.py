@@ -52,6 +52,7 @@ from .upsert_sink import UpsertLakeTable
 
 _DELTA_PREFIX = "laketail:delta"
 _ICEBERG_PREFIX = "laketail:iceberg"
+_HUDI_PREFIX = "laketail:hudi"
 
 
 def delta_latest_version(path: str) -> int:
@@ -189,6 +190,53 @@ def tail_iceberg_once(
     return {"from": last, "to": cur, "applied": seq != 0}
 
 
+def tail_hudi_once(
+    spark: SparkSession, src_path: str, table: UpsertLakeTable
+) -> dict:
+    """One bounded catch-up onto a Hudi MoR source (r13 — completing
+    the tail TRIPLE: the Flink 'streaming read' of a Hudi table that
+    powers the reference's own chained pipelines): the first call
+    lands the full real-time view, later calls apply
+    ``read_hudi_changes`` over (watermark, newest instant]. Same
+    exactly-once contract as the Delta/Iceberg tails."""
+    from ..sources.hudi_interop import (
+        _log_completed_instants,
+        read_hudi,
+        read_hudi_changes,
+    )
+
+    keys = [table.key] if isinstance(table.key, str) else list(table.key)
+    cur = max(_log_completed_instants(src_path))
+    last = _tail_watermark(table, _HUDI_PREFIX)
+    if last is not None and int(cur) <= last:
+        return {"from": None, "to": last, "applied": False}
+    if last is None:
+        snap = read_hudi(spark, src_path)
+        snap = snap.drop(
+            *[c for c in snap.columns if c.startswith("_hoodie_")]
+        )
+        seq = table.write(
+            snap.withColumn("_deleted", F.lit(False)),
+            commit_id=f"{_HUDI_PREFIX}:0:{int(cur)}",
+            delete_col="_deleted",
+        )
+        return {"from": 0, "to": int(cur), "applied": seq != 0}
+    changes = read_hudi_changes(spark, src_path, str(last))
+    delta = _reduce_changes(
+        changes.withColumn(
+            "_ord", F.col("_commit_instant").cast("long")
+        ).drop("_commit_instant"),
+        keys,
+        "_ord",
+    )
+    seq = table.write(
+        delta,
+        commit_id=f"{_HUDI_PREFIX}:{last}:{int(cur)}",
+        delete_col="_deleted",
+    )
+    return {"from": last, "to": int(cur), "applied": seq != 0}
+
+
 def _stream_tail(
     spark: SparkSession,
     tick_fn,
@@ -244,6 +292,23 @@ def stream_tail_iceberg(
     return _stream_tail(
         spark,
         lambda: tail_iceberg_once(spark, src_path, table),
+        checkpoint_dir,
+        trigger,
+    )
+
+
+def stream_tail_hudi(
+    spark: SparkSession,
+    src_path: str,
+    table: UpsertLakeTable,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuously chain an externally-written Hudi MoR table into an
+    engine table via the incremental query — see :func:`tail_hudi_once`."""
+    return _stream_tail(
+        spark,
+        lambda: tail_hudi_once(spark, src_path, table),
         checkpoint_dir,
         trigger,
     )

@@ -164,3 +164,56 @@ def test_stream_tail_delta_query(spark, tmp_path):
         assert _state(t) == {(1, "a"), (2, "b")}
     finally:
         q.stop()
+
+
+def test_tail_hudi_incremental_lww(spark, tmp_path):
+    """Hudi (r13 — the tail TRIPLE): initial real-time snapshot, then
+    3 external instants (upsert, delete, another upsert) applied via
+    read_hudi_changes; one catch-up spans multiple instants and LWW
+    orders across them; compaction inside a range contributes no
+    rows."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        compact_hudi,
+        delete_hudi,
+        export_hudi_mor,
+        upsert_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.laketail import (
+        tail_hudi_once,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    eng = UpsertLakeTable(spark, str(tmp_path / "src_eng"), key="id")
+    eng.write(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]),
+              commit_id="c1")
+    src = str(tmp_path / "src")
+    export_hudi_mor(eng, src, num_files=2)
+
+    t = UpsertLakeTable(spark, str(tmp_path / "down"), key="id")
+    r0 = tail_hudi_once(spark, src, t)
+    assert r0["applied"]
+    assert _state(t) == {(1, "a"), (2, "b"), (3, "c")}
+    # quiet source → no-op
+    assert not tail_hudi_once(spark, src, t)["applied"]
+
+    # three external instants in ONE catch-up window: upsert, delete,
+    # upsert again on the deleted key (LWW must net to the re-insert)
+    upsert_hudi(spark, src, _mk(spark, [(2, "B2"), (4, "d")]))
+    delete_hudi(spark, src, "id = 1 OR id = 4")
+    upsert_hudi(spark, src, _mk(spark, [(4, "D2")]))
+    r1 = tail_hudi_once(spark, src, t)
+    assert r1["applied"]
+    assert _state(t) == {(2, "B2"), (3, "c"), (4, "D2")}
+
+    # compaction moves no rows: a range holding only a compaction
+    # commit applies nothing new
+    compact_hudi(spark, src)
+    r2 = tail_hudi_once(spark, src, t)
+    assert _state(t) == {(2, "B2"), (3, "c"), (4, "D2")}
+    # post-compaction DML still tails (old logs detached from the
+    # live slice, blocks found by the full walk)
+    upsert_hudi(spark, src, _mk(spark, [(5, "e")]))
+    tail_hudi_once(spark, src, t)
+    assert _state(t) == {(2, "B2"), (3, "c"), (4, "D2"), (5, "e")}
