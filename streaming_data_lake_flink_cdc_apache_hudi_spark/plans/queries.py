@@ -3826,6 +3826,120 @@ def q_uniform_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionAll(d.exceptAll(i)).unionAll(i.exceptAll(d))
 
 
+_PRUNED_ORACLE_DELTA = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey <= 600 AND o_totalprice > 1000.0
+"""
+
+
+@register(
+    "delta_stats_pruned_read",
+    _PRUNED_ORACLE_DELTA,
+    doc="Delta METADATA-ONLY data skipping (new r13 — "
+    "sources/filestats.py + export_delta(stats=True) + "
+    "read_delta_pruned): orders exports range-partitioned on "
+    "o_orderkey into 8 files whose add actions carry PROTOCOL.md "
+    "Per-file Statistics (numRecords/minValues/maxValues/nullCount "
+    "collected by one distributed parquet-FOOTER pass), then a "
+    "conjunctive predicate read drops every file whose stats prove "
+    "no row can match BEFORE the scan is planned — at 100 TB the "
+    "difference between opening 1 footer and 30,000. The residual "
+    "filter re-applies on the surviving scan so rows equal the "
+    "plain WHERE oracle; a guard rides the value hash: a sentinel "
+    "row appears if the pruned plan scanned as many files as the "
+    "full table (i.e. pruning didn't happen).",
+)
+def q_delta_stats_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..sources.delta_interop import (
+        export_delta,
+        read_delta,
+        read_delta_pruned,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+    )
+    root = tempfile.mkdtemp(prefix="delta_stats_")
+    t = f"{root}/t"
+    export_delta(o, t, stats=True)
+    preds = [
+        ("o_orderkey", "<=", 600),
+        ("o_totalprice", ">", 1000.0),
+    ]
+    pr = read_delta_pruned(spark, t, preds)
+    pruned = spark.createDataFrame(
+        []
+        if len(pr.inputFiles()) < len(read_delta(spark, t).inputFiles())
+        else [(-1, -1, -1.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    return pr.unionAll(pruned)
+
+
+_PRUNED_ORACLE_ICE = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_partkey > 300 AND p_partkey <= 900 AND p_name IS NOT NULL
+"""
+
+
+@register(
+    "iceberg_bounds_pruned_read",
+    _PRUNED_ORACLE_ICE,
+    doc="Iceberg manifest-bounds data skipping (new r13 — "
+    "export_iceberg(stats=True) writes the spec's per-entry "
+    "value_counts/null_value_counts/lower_bounds/upper_bounds maps "
+    "keyed by field id with Appendix-D single-value serialization; "
+    "read_iceberg_pruned decodes them and drops data files a "
+    "conjunctive predicate can never match — the second metadata "
+    "pruning level after partition summaries, evaluated WITHOUT "
+    "opening a single footer). part exports range-partitioned on "
+    "p_partkey into 8 files; the pruned read must equal the plain "
+    "WHERE oracle, and a sentinel row rides the value hash if the "
+    "pruned plan scanned as many files as the full table.",
+)
+def q_iceberg_bounds_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_pruned,
+    )
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .repartitionByRange(8, "p_partkey")
+    )
+    root = tempfile.mkdtemp(prefix="ice_bounds_")
+    t = f"{root}/t"
+    export_iceberg(p, t, format_version=2, stats=True)
+    preds = [
+        ("p_partkey", ">", 300),
+        ("p_partkey", "<=", 900),
+        ("p_name", "not_null", None),
+    ]
+    pr = read_iceberg_pruned(spark, t, preds)
+    pruned = spark.createDataFrame(
+        []
+        if len(pr.inputFiles())
+        < len(read_iceberg(spark, t).inputFiles())
+        else [(-1, "PRUNING DID NOT DROP A FILE", -1.0)],
+        "p_partkey long, p_name string, p_retailprice double",
+    )
+    return pr.unionAll(pruned)
+
+
 @register(
     "delta_upsert_read",
     """

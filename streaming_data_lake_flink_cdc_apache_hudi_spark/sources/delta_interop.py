@@ -315,8 +315,20 @@ def export_delta(
     data_files: list[str] | None = None,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    stats: bool = False,
 ) -> int:
     """Write ``df`` as a new single-commit Delta table at ``path``.
+
+    ``stats=True`` (new r13) writes PROTOCOL.md "Per-file Statistics"
+    into each ``add`` action — ``numRecords``/``minValues``/
+    ``maxValues``/``nullCount`` JSON collected from the written
+    parquet FOOTERS by one distributed metadata pass
+    (``sources/filestats.py``), the same commit-time cost every real
+    Delta writer pays. ``read_delta_pruned`` then drops files from
+    the scan plan on simple predicates without opening them — the
+    data-skipping axis that at 100 TB decides whether a point query
+    touches 3 files or 30,000. Existing tables backfill via
+    ``backfill_delta_stats``.
 
     Data files go through the distributed parquet writer; the commit
     JSON lists them as ``add`` actions with sizes and row-count
@@ -568,19 +580,33 @@ def export_delta(
             )
         return vals
 
+    stats_by_rel: dict[str, str] = {}
+    if stats:
+        from .filestats import parquet_footer_stats
+
+        footer = parquet_footer_stats(
+            df.sparkSession,
+            [os.path.abspath(os.path.join(path, f)) for f in parts],
+        )
+        stats_by_rel = {
+            f: _delta_stats_json(
+                footer[os.path.abspath(os.path.join(path, f))]
+            )
+            for f in parts
+            if os.path.abspath(os.path.join(path, f)) in footer
+        }
     for f in parts:
         st = os.stat(os.path.join(path, f))
-        actions.append(
-            {
-                "add": {
-                    "path": f,
-                    "partitionValues": _part_vals(f) if partition_by else {},
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": True,
-                }
-            }
-        )
+        add = {
+            "path": f,
+            "partitionValues": _part_vals(f) if partition_by else {},
+            "size": st.st_size,
+            "modificationTime": int(st.st_mtime * 1000),
+            "dataChange": True,
+        }
+        if f in stats_by_rel:
+            add["stats"] = stats_by_rel[f]
+        actions.append({"add": add})
     if append_version is None:
         # fresh export: version 0 with intended overwrite semantics
         with open(_log_path(path, 0), "w") as fh:
@@ -974,6 +1000,19 @@ def read_delta(
                 f"{missing[0]!r}) — the version is no longer readable "
                 "after vacuum_delta"
             )
+    return _mount_adds(spark, path, adds, meta)
+
+
+def _mount_adds(
+    spark: SparkSession,
+    path: str,
+    adds: dict[str, dict],
+    meta: dict | None,
+) -> DataFrame:
+    """Frame over a replayed add-file map with deletion vectors
+    applied — the tail every Delta read shares (``read_delta`` on the
+    full live set, ``read_delta_pruned`` on a stats-surviving
+    subset)."""
     dv_adds = {p: a for p, a in adds.items() if a.get("deletionVector")}
     if not dv_adds:
         return _frame_from_adds(spark, path, adds, meta)
@@ -1021,6 +1060,209 @@ def read_delta(
     return df.join(dels, ["_dv_fp", "_dv_pos"], "left_anti").drop(
         "_dv_fp", "_dv_pos", "_dv_known"
     )
+
+
+def _delta_stats_json(st: dict) -> str:
+    """One ``parquet_footer_stats`` record -> the PROTOCOL.md
+    "Per-file Statistics" JSON string for an ``add`` action.
+    Timestamps render at millisecond precision with the max bound
+    rounded UP when truncation loses microseconds (delta-spark's
+    bound-preserving truncation); decimal/binary bounds are dropped
+    (kept boundless) rather than rendered lossily."""
+    import datetime as _dt
+
+    def render(v, ceil: bool):
+        if isinstance(v, _dt.datetime):
+            us = v.microsecond
+            ms = us // 1000
+            v2 = v.replace(microsecond=ms * 1000)
+            if ceil and us % 1000:
+                v2 += _dt.timedelta(milliseconds=1)
+            return v2.isoformat(timespec="milliseconds") + "Z"
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None  # decimal/binary: no lossless JSON rendering
+
+    mins = {k: render(v, False) for k, v in st["min"].items()}
+    maxs = {k: render(v, True) for k, v in st["max"].items()}
+    bad = {k for k in mins if mins[k] is None or maxs.get(k) is None}
+    return json.dumps(
+        {
+            "numRecords": st["numRecords"],
+            "minValues": {
+                k: v for k, v in mins.items() if k not in bad
+            },
+            "maxValues": {
+                k: v for k, v in maxs.items() if k not in bad
+            },
+            "nullCount": dict(st["nulls"]),
+        }
+    )
+
+
+def _parse_stats_value(v, spark_type: str):
+    """Revive one stats JSON value under its schemaString type —
+    the inverse of ``_delta_stats_json``'s rendering. Unknown types
+    return None (boundless)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    t = spark_type
+    if t in ("byte", "short", "integer", "long"):
+        return int(v)
+    if t in ("float", "double"):
+        return float(v)
+    if t == "boolean":
+        return bool(v)
+    if t == "string":
+        return str(v)
+    if t == "date":
+        return _dt.date.fromisoformat(str(v))
+    if t in ("timestamp", "timestamp_ntz"):
+        s = str(v).removesuffix("Z").replace(" ", "T")
+        return _dt.datetime.fromisoformat(s)
+    return None
+
+
+def _bounds_for_add(add: dict, meta: dict | None) -> dict:
+    """A ``filestats.file_survives`` stats record for one add action:
+    the parsed ``stats`` JSON (keys mapped physical->logical under
+    column mapping) merged with ``partitionValues`` as EXACT bounds
+    (min == max == the typed partition value) — so one predicate list
+    prunes on data stats and partition pruning together."""
+    types: dict[str, str] = {}
+    phys_to_log: dict[str, str] = {}
+    if meta is not None:
+        for f in json.loads(meta["schemaString"])["fields"]:
+            if isinstance(f["type"], str):
+                types[f["name"]] = f["type"]
+            phys = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName"
+            )
+            if phys:
+                phys_to_log[phys] = f["name"]
+    out: dict = {"min": {}, "max": {}, "nulls": {}}
+    raw = add.get("stats")
+    if raw:
+        try:
+            s = json.loads(raw)
+        except (TypeError, ValueError):
+            s = None
+        if isinstance(s, dict):
+            out["numRecords"] = s.get("numRecords")
+            for src, dst in (
+                ("minValues", "min"),
+                ("maxValues", "max"),
+            ):
+                for k, v in (s.get(src) or {}).items():
+                    log = phys_to_log.get(k, k)
+                    pv = _parse_stats_value(v, types.get(log, ""))
+                    if pv is not None:
+                        out[dst][log] = pv
+            for k, v in (s.get("nullCount") or {}).items():
+                log = phys_to_log.get(k, k)
+                if isinstance(v, int):
+                    out["nulls"][log] = v
+            # a one-sided bound cannot prune interval-style — drop
+            for k in list(out["min"]):
+                if k not in out["max"]:
+                    del out["min"][k]
+            for k in list(out["max"]):
+                if k not in out["min"]:
+                    del out["max"][k]
+    for k, v in (add.get("partitionValues") or {}).items():
+        log = phys_to_log.get(k, k)
+        if v is None:
+            # null partition value: column is all-null in this file
+            nr = out.get("numRecords")
+            if nr is not None:
+                out["nulls"][log] = nr
+            continue
+        pv = _parse_stats_value(v, types.get(log, "string"))
+        if pv is not None:
+            out["min"][log] = pv
+            out["max"][log] = pv
+            out["nulls"].setdefault(log, 0)
+    return out
+
+
+def read_delta_pruned(
+    spark: SparkSession,
+    path: str,
+    predicates,
+    version_as_of: int | None = None,
+) -> DataFrame:
+    """``read_delta`` with METADATA-ONLY file skipping (new r13).
+
+    ``predicates`` is a list of ``(column, op, value)`` tuples ANDed
+    together (ops ``== != < <= > >=``, ``is_null``/``not_null`` —
+    the explicit no-parser shape of ``operators/skipindex.py``).
+    Files whose ``add.stats`` min/max/nullCount (PROTOCOL.md
+    Per-file Statistics; see ``export_delta(stats=True)`` /
+    ``backfill_delta_stats``) or ``partitionValues`` PROVE no row
+    can match are dropped before the scan is planned — at 100 TB the
+    difference between opening 3 footers and 30,000. Files without
+    stats always survive, and the full predicate is re-applied as an
+    ordinary Spark filter on the surviving scan, so the result is
+    EXACTLY ``read_delta(...).filter(pred)`` regardless of stats
+    coverage — pruning can only remove work, never rows.
+
+    Deletion vectors still apply on the surviving files: stats of a
+    DV-carrying file describe the file's FULL rows (a superset), so
+    bounds-based elimination stays sound."""
+    from .filestats import apply_residual, file_survives
+
+    adds, meta, _ = _replay_log(
+        spark, path, version_as_of=version_as_of
+    )
+    kept = {
+        rel: a
+        for rel, a in adds.items()
+        if file_survives(predicates, _bounds_for_add(a, meta))
+    }
+    return apply_residual(_mount_adds(spark, path, kept, meta), predicates)
+
+
+def backfill_delta_stats(spark: SparkSession, path: str) -> int:
+    """Commit per-file statistics for live files that lack them —
+    delta-rs's stats backfill: one distributed FOOTER pass
+    (``sources/filestats.py``), then one ``dataChange: false`` commit
+    re-adding those files with their ``stats`` JSON (the same
+    action shape OPTIMIZE uses, so CDF readers skip it). Returns the
+    number of files backfilled (0 = no commit written). Column-mapped
+    tables get stats keyed by PHYSICAL name straight from the
+    footers, as PROTOCOL.md specifies."""
+    from .filestats import parquet_footer_stats
+
+    adds, meta, _ = _replay_log(spark, path)
+    todo = {
+        rel: a for rel, a in sorted(adds.items()) if not a.get("stats")
+    }
+    if not todo:
+        return 0
+    footer = parquet_footer_stats(
+        spark,
+        [os.path.abspath(os.path.join(path, r)) for r in todo],
+    )
+    actions = []
+    for rel, a in todo.items():
+        key = os.path.abspath(os.path.join(path, rel))
+        if key not in footer:
+            continue
+        # footer stats describe the file's FULL rows — for a
+        # DV-carrying add that is a superset of the visible rows,
+        # which keeps bounds-based elimination sound
+        re_add = dict(a)
+        re_add["stats"] = _delta_stats_json(footer[key])
+        re_add["dataChange"] = False
+        actions.append({"add": re_add})
+    if not actions:
+        return 0
+    _put_if_absent_commit(path, _next_version(path), actions)
+    return len(actions)
 
 
 def _dv_positions_frame(spark: SparkSession, path: str, items) -> DataFrame:

@@ -204,8 +204,59 @@ def _field_names_by_id(meta: dict) -> dict[int, str]:
     return out
 
 
+def _fields_by_id(meta: dict) -> dict[int, tuple[str, str]]:
+    """field id -> (name, primitive iceberg type) from the table's
+    schemas (nested types are skipped — bounds pruning covers
+    primitives only)."""
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if meta.get("schema") else []
+    )
+    out: dict[int, tuple[str, str]] = {}
+    for sch in schemas:
+        for f in sch.get("fields", []):
+            if isinstance(f.get("type"), str):
+                out[f["id"]] = (f["name"], f["type"])
+    return out
+
+
+def _decode_entry_stats(df_rec: dict, meta: dict) -> dict:
+    """One manifest entry's stats maps -> the ``filestats`` record
+    shape ``{"numRecords", "min", "max", "nulls"}`` with bounds
+    decoded per spec Appendix D. Absent/undecodable maps yield a
+    boundless record (never prunes)."""
+    fields = _fields_by_id(meta)
+
+    def as_map(v) -> dict:
+        if not v:
+            return {}
+        return {e["key"]: e["value"] for e in v}
+
+    lo, hi = as_map(df_rec.get("lower_bounds")), as_map(
+        df_rec.get("upper_bounds")
+    )
+    nulls_raw = as_map(df_rec.get("null_value_counts"))
+    out: dict = {
+        "numRecords": df_rec.get("record_count"),
+        "min": {},
+        "max": {},
+        "nulls": {},
+    }
+    for fid, (name, t) in fields.items():
+        if fid in lo and fid in hi:
+            mn = _single_value_from_bytes(t, bytes(lo[fid]))
+            mx = _single_value_from_bytes(t, bytes(hi[fid]))
+            if mn is not None and mx is not None:
+                out["min"][name] = mn
+                out["max"][name] = mx
+        if fid in nulls_raw:
+            out["nulls"][name] = int(nulls_raw[fid])
+    return out
+
+
 def _live_files(
-    path: str, snapshot_id: int | None = None
+    path: str,
+    snapshot_id: int | None = None,
+    with_stats: bool = False,
 ) -> tuple[
     dict[str, tuple[str, int]],
     list[tuple[str, int]],
@@ -220,7 +271,15 @@ def _live_files(
     files by the URI the WRITER recorded, not by our re-rooted local
     path. v2 manifest-list entries carry ``content`` (0 data /
     1 deletes) and a ``sequence_number``; manifest entries inherit it
-    when their own is null (the spec's sequence-number inheritance)."""
+    when their own is null (the spec's sequence-number inheritance).
+
+    ``with_stats=True`` (new r13) extends each data value to a
+    4-tuple whose last element is a ``filestats``-shaped record
+    decoded from the entry's per-file stats maps (record_count +
+    null_value_counts + Appendix-D lower/upper bounds, field ids
+    resolved to names/types via the CURRENT schema) — the input
+    ``read_iceberg(bounds_filter=...)`` prunes on. Entries written
+    without stats decode to boundless records that never prune."""
     meta = json.load(open(_current_metadata_path(path)))
     snaps = meta.get("snapshots", [])
     if not snaps:
@@ -267,11 +326,14 @@ def _live_files(
                     f"data file format {fmt} (parquet only)"
                 )
             if content == 0:
-                data[df_rec["file_path"]] = (
+                val = (
                     _resolve(df_rec["file_path"], path),
                     int(seq),
                     dict(df_rec.get("partition") or {}),
                 )
+                if with_stats:
+                    val += (_decode_entry_stats(df_rec, meta),)
+                data[df_rec["file_path"]] = val
             elif content == 1:
                 pos_deletes.append(
                     (_resolve(df_rec["file_path"], path), int(seq))
@@ -290,6 +352,28 @@ def _live_files(
     return data, sorted(set(pos_deletes)), eq_deletes
 
 
+def _zero_row_frame(
+    spark: SparkSession, path: str, all_files: list[str]
+) -> DataFrame:
+    """Metadata proved no file can match: build the zero-row frame
+    from the TABLE SCHEMA in the metadata file — a
+    ``parquet(*all_files).limit(0)`` would list and open the footers
+    of every non-matching file, which at 100 TB defeats the point of
+    manifest pruning."""
+    ddl = _table_schema_ddl(path)
+    if ddl is not None:
+        return spark.createDataFrame([], ddl)
+    # unmappable/nested type: fall back to a footer-schema scan with
+    # the SAME projection a non-empty read gets (the shadow _p_* dirs
+    # must not leak here either)
+    df = spark.read.option("basePath", path).parquet(*all_files).limit(0)
+    tbl_cols = _table_columns(path)
+    keep = [c for c in tbl_cols if c in df.columns]
+    if keep and set(keep) != set(df.columns):
+        df = df.select(*keep)
+    return df
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -297,6 +381,7 @@ def read_iceberg(
     partition_filter: dict | None = None,
     as_of_timestamp_ms: int | None = None,
     ref: str | None = None,
+    bounds_filter=None,
 ) -> DataFrame:
     """Mount an Iceberg table (filesystem catalog layout) as a
     DataFrame; ``snapshot_id`` time-travels over the snapshot log,
@@ -314,6 +399,18 @@ def read_iceberg(
     the non-matching files (a post-hoc DataFrame filter would still
     list and stat every file). Keys must name partition fields
     recorded in the manifests; unknown keys raise.
+
+    ``bounds_filter`` (new r13) is the SECOND metadata pruning level:
+    a list of ``(column, op, value)`` predicate tuples (ANDed; ops
+    ``== != < <= > >=`` plus ``is_null``/``not_null`` — the explicit
+    no-parser shape of ``operators/skipindex.py``). Data files whose
+    manifest-entry ``lower_bounds``/``upper_bounds``/
+    ``null_value_counts`` maps (written by
+    ``export_iceberg(stats=True)``, spec Appendix D) PROVE no row
+    can match are dropped before the scan is planned. Entries
+    without stats always survive, so this changes only which files
+    are OPENED, never the visible rows; ``read_iceberg_pruned``
+    layers the residual row filter on top.
 
     v2 row-level deletes are applied distributedly:
 
@@ -373,11 +470,24 @@ def read_iceberg(
                 "the first snapshot"
             )
         snapshot_id = eligible[-1]["snapshot-id"]
-    mapping, pos_files, eq_deletes = _live_files(path, snapshot_id)
+    mapping, pos_files, eq_deletes = _live_files(
+        path, snapshot_id, with_stats=bool(bounds_filter)
+    )
     if not mapping:
         raise FileNotFoundError(
             f"Iceberg table at {path} has no live data files"
         )
+    if bounds_filter:
+        from .filestats import file_survives
+
+        all_files = sorted(v[0] for v in mapping.values())
+        mapping = {
+            k: v[:3]
+            for k, v in mapping.items()
+            if file_survives(bounds_filter, v[3])
+        }
+        if not mapping:
+            return _zero_row_frame(spark, path, all_files)
     if partition_filter:
         known = set().union(*(p.keys() for _, _, p in mapping.values()))
         bad = set(partition_filter) - known
@@ -393,27 +503,7 @@ def read_iceberg(
             if all(v[2].get(c) == pv for c, pv in partition_filter.items())
         }
         if not mapping:
-            # metadata says no file can match: build the zero-row frame
-            # from the TABLE SCHEMA in the metadata file — a
-            # parquet(*all_files).limit(0) would list and open the
-            # footers of every non-matching file, which at 100 TB
-            # defeats the point of manifest pruning
-            ddl = _table_schema_ddl(path)
-            if ddl is not None:
-                return spark.createDataFrame([], ddl)
-            # unmappable/nested type: fall back to a footer-schema scan
-            # with the SAME projection a non-empty read gets (the
-            # shadow _p_* dirs must not leak here either)
-            df = (
-                spark.read.option("basePath", path)
-                .parquet(*all_files)
-                .limit(0)
-            )
-            tbl_cols = _table_columns(path)
-            keep = [c for c in tbl_cols if c in df.columns]
-            if keep and set(keep) != set(df.columns):
-                df = df.select(*keep)
-            return df
+            return _zero_row_frame(spark, path, all_files)
     # time travel across schema evolution (r13): a snapshot that
     # recorded its schema-id reads under THAT schema (Iceberg's
     # time-travel contract); snapshots without one fall back to the
@@ -572,6 +662,34 @@ def _live_scan(
     if with_positions:
         return data.select(*cols, "_ice_fp", "_ice_pos")
     return data.select(*cols)
+
+
+def read_iceberg_pruned(
+    spark: SparkSession,
+    path: str,
+    predicates,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """``read_iceberg`` with manifest-bounds file skipping AND the
+    residual row filter applied (new r13) — the exact rows of
+    ``read_iceberg(...).filter(pred)``, planned over only the files
+    whose per-entry stats could not rule them out. Pruning is
+    bloom-style (no false drops; stat-less entries always scanned),
+    so correctness never rests on the stats — see
+    ``sources/filestats.py``."""
+    from .filestats import apply_residual
+
+    return apply_residual(
+        read_iceberg(
+            spark,
+            path,
+            snapshot_id=snapshot_id,
+            ref=ref,
+            bounds_filter=predicates,
+        ),
+        predicates,
+    )
 
 
 def read_iceberg_incremental(
@@ -3112,15 +3230,113 @@ def iceberg_bucket(value, ice_type: str, n: int) -> int | None:
 
 def _single_value_bytes(ice_type: str, v) -> bytes:
     """Iceberg single-value binary serialization for bound values
-    (spec Appendix D): int = 4-byte LE, long = 8-byte LE, string =
-    UTF-8 bytes."""
+    (spec Appendix D): int/date = 4-byte LE, long/timestamp(micros)
+    = 8-byte LE, float/double = IEEE LE, boolean = 0x00/0x01,
+    string = UTF-8 bytes."""
+    import datetime as _dt
     import struct as _struct
 
     if ice_type == "int":
         return _struct.pack("<i", int(v))
     if ice_type == "long":
         return _struct.pack("<q", int(v))
+    if ice_type == "float":
+        return _struct.pack("<f", float(v))
+    if ice_type == "double":
+        return _struct.pack("<d", float(v))
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "date":
+        days = (
+            (v - _dt.date(1970, 1, 1)).days
+            if isinstance(v, _dt.date)
+            else int(v)
+        )
+        return _struct.pack("<i", days)
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1)
+            v = int((v.replace(tzinfo=None) - epoch).total_seconds() * 1_000_000)
+        return _struct.pack("<q", int(v))
     return str(v).encode("utf-8")
+
+
+def _single_value_from_bytes(ice_type: str, b: bytes):
+    """Inverse of ``_single_value_bytes`` — decodes a manifest
+    entry's lower/upper bound back to a comparable Python value.
+    Returns None for types this reader does not prune on."""
+    import datetime as _dt
+    import struct as _struct
+
+    try:
+        if ice_type == "int":
+            return _struct.unpack("<i", b)[0]
+        if ice_type == "long":
+            return _struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return _struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return _struct.unpack("<d", b)[0]
+        if ice_type == "boolean":
+            return bool(b[0])
+        if ice_type == "date":
+            return _dt.date(1970, 1, 1) + _dt.timedelta(
+                days=_struct.unpack("<i", b)[0]
+            )
+        if ice_type in ("timestamp", "timestamptz"):
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=_struct.unpack("<q", b)[0]
+            )
+        if ice_type == "string":
+            return b.decode("utf-8")
+    except (ValueError, IndexError, UnicodeDecodeError):
+        return None
+    return None
+
+
+# spec "Manifests": the four per-file stats maps with their reserved
+# field ids — Avro map-as-array-of-record encoding (int keys cannot
+# ride Avro's string-keyed map type)
+_STATS_MAP_FIELDS = (
+    ("value_counts", 109, 119, 120, "long"),
+    ("null_value_counts", 110, 121, 122, "long"),
+    ("lower_bounds", 125, 126, 127, "bytes"),
+    ("upper_bounds", 128, 129, 130, "bytes"),
+)
+
+
+def _stats_map_schema_fields() -> list[dict]:
+    return [
+        {
+            "name": name,
+            "field-id": fid,
+            "default": None,
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "logicalType": "map",
+                    "items": {
+                        "type": "record",
+                        "name": f"k{kid}_v{vid}",
+                        "fields": [
+                            {"name": "key", "type": "int", "field-id": kid},
+                            {
+                                "name": "value",
+                                "type": vtype,
+                                "field-id": vid,
+                            },
+                        ],
+                    },
+                },
+            ],
+        }
+        for name, fid, kid, vid, vtype in _STATS_MAP_FIELDS
+    ]
+
+
+def _kv(m: dict) -> list[dict]:
+    return [{"key": k, "value": v} for k, v in sorted(m.items())]
 
 
 def export_iceberg(
@@ -3132,10 +3348,20 @@ def export_iceberg(
     data_files: Sequence[str] | None = None,
     mode: str = "overwrite",
     branch: str | None = None,
+    stats: bool = False,
 ) -> int:
     """Write ``df`` as a new single-snapshot Iceberg table at
     ``path`` (filesystem catalog layout: data/ parquet + metadata/
-    tree with version-hint). Data goes through the normal distributed
+    tree with version-hint). ``stats=True`` (new r13) additionally
+    records the spec's per-file column statistics in each manifest
+    entry — ``value_counts``/``null_value_counts``/``lower_bounds``/
+    ``upper_bounds`` maps keyed by field id (Appendix D single-value
+    serialization), collected by one distributed parquet-FOOTER pass
+    (``sources/filestats.py``) — so ``read_iceberg_pruned`` /
+    ``read_iceberg(bounds_filter=...)`` can drop files from the scan
+    plan without opening them, the second metadata pruning level
+    (after partition summaries) every Iceberg planner uses.
+    Data goes through the normal distributed
     parquet writer; only per-file stats (one record per file) pass
     through the driver — the footprint every Iceberg writer's commit
     has. Returns the number of data files.
@@ -3413,6 +3639,23 @@ def export_iceberg(
             }
             for j, ps in enumerate(pspecs)
         ]
+    file_stats: dict[str, dict] = {}
+    if stats:
+        from .filestats import parquet_footer_stats
+
+        if entry_schema is _MANIFEST_ENTRY_SCHEMA:
+            entry_schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+        entry_schema["fields"][2]["type"]["fields"] += (
+            _stats_map_schema_fields()
+        )
+        file_stats = parquet_footer_stats(
+            df.sparkSession, [full for full, _ in parts]
+        )
+        ice_types = {
+            f["name"]: f["type"]
+            for f in _iceberg_schema(df)["fields"]
+            if isinstance(f["type"], str)
+        }
     # one manifest per distinct partition tuple: entries carry real
     # partition structs, the manifest list carries per-field bound
     # summaries — both Iceberg pruning levels
@@ -3452,6 +3695,26 @@ def export_iceberg(
             }
             if format_version == 2:
                 data_file["content"] = 0  # DATA
+            if stats and full in file_stats:
+                fs = file_stats[full]
+                vc, nvc, lo, hi = {}, {}, {}, {}
+                for c, fid in field_ids.items():
+                    t = ice_types.get(c)
+                    if t is None:
+                        continue
+                    vc[fid] = fs["numRecords"]
+                    if c in fs["nulls"]:
+                        nvc[fid] = fs["nulls"][c]
+                    if c in fs["min"] and c in fs["max"]:
+                        try:
+                            lo[fid] = _single_value_bytes(t, fs["min"][c])
+                            hi[fid] = _single_value_bytes(t, fs["max"][c])
+                        except (TypeError, ValueError):
+                            pass  # unrenderable bound stays absent
+                data_file["value_counts"] = _kv(vc)
+                data_file["null_value_counts"] = _kv(nvc)
+                data_file["lower_bounds"] = _kv(lo)
+                data_file["upper_bounds"] = _kv(hi)
             entries.append(
                 {
                     "status": 1,  # ADDED

@@ -1,0 +1,313 @@
+"""Metadata-only file skipping: parquet footer stats, Delta
+``add.stats`` (PROTOCOL.md Per-file Statistics), Iceberg manifest
+bounds (spec Appendix D). The invariant under test everywhere:
+pruning changes which files are OPENED, never the visible rows."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.filestats import (
+    file_survives,
+    parquet_footer_stats,
+    predicate_column,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return (
+        spark.range(1000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("g"),
+            F.concat(
+                F.lit("s"),
+                F.lpad(F.col("id").cast("string"), 5, "0"),
+            ).alias("s"),
+            F.when(F.col("id") % 10 == 0, None)
+            .otherwise(F.col("id").cast("double"))
+            .alias("v"),
+        )
+        .repartitionByRange(8, "id")
+    )
+
+
+# ---------------------------------------------------------------- unit
+
+
+def test_file_survives_interval_logic():
+    st = {
+        "numRecords": 100,
+        "min": {"a": 10, "s": "m"},
+        "max": {"a": 20, "s": "p"},
+        "nulls": {"a": 0, "s": 5, "n": 100},
+    }
+    # equality inside/outside the interval
+    assert file_survives([("a", "==", 15)], st)
+    assert not file_survives([("a", "==", 9)], st)
+    assert not file_survives([("a", "==", 21)], st)
+    # range ops at the boundaries
+    assert not file_survives([("a", "<", 10)], st)
+    assert file_survives([("a", "<=", 10)], st)
+    assert not file_survives([("a", ">", 20)], st)
+    assert file_survives([("a", ">=", 20)], st)
+    # strings compare lexicographically
+    assert file_survives([("s", ">=", "o")], st)
+    assert not file_survives([("s", ">", "p")], st)
+    # null logic: all-null column fails every value compare
+    assert not file_survives([("n", "==", 1)], st)
+    assert file_survives([("n", "is_null", None)], st)
+    assert not file_survives([("n", "not_null", None)], st)
+    assert not file_survives([("a", "is_null", None)], st)
+    # unknown column / missing stats: conservative keep
+    assert file_survives([("zz", "==", 1)], st)
+    # AND semantics: one impossible conjunct kills the file
+    assert not file_survives([("a", "==", 15), ("a", "==", 9)], st)
+    # type confusion keeps the file rather than mis-dropping
+    assert file_survives([("a", "==", "10")], st)
+    # NaN probes never prune
+    assert file_survives([("a", "==", float("nan"))], st)
+
+
+def test_file_survives_not_equal():
+    st = {
+        "numRecords": 5,
+        "min": {"a": 3},
+        "max": {"a": 3},
+        "nulls": {"a": 0},
+    }
+    assert not file_survives([("a", "!=", 3)], st)  # constant file
+    assert file_survives([("a", "!=", 4)], st)
+
+
+def test_bad_op_raises():
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        file_survives([("a", "like", "x")], {"min": {}, "max": {}, "nulls": {}})
+    with pytest.raises(ValueError, match="empty predicate"):
+        predicate_column([])
+
+
+def test_parquet_footer_stats_distributed(spark, frame, tmp_path):
+    p = str(tmp_path / "pq")
+    frame.write.parquet(p)
+    files = [
+        os.path.join(p, f)
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    ]
+    st = parquet_footer_stats(spark, files)
+    assert len(st) == len(files)
+    assert sum(s["numRecords"] for s in st.values()) == 1000
+    # global min/max across files reconstructs the column extremes
+    assert min(s["min"]["id"] for s in st.values()) == 0
+    assert max(s["max"]["id"] for s in st.values()) == 999
+    assert min(s["min"]["s"] for s in st.values()) == "s00000"
+    assert sum(s["nulls"]["v"] for s in st.values()) == 100
+    # range layout -> disjoint id intervals (the pruning premise)
+    ivals = sorted((s["min"]["id"], s["max"]["id"]) for s in st.values())
+    for (a, b), (c, d) in zip(ivals, ivals[1:]):
+        assert b < c
+
+
+# ---------------------------------------------------------------- delta
+
+
+def test_delta_stats_write_prune_exact(spark, frame, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        read_delta,
+        read_delta_pruned,
+    )
+
+    d = str(tmp_path / "d")
+    export_delta(frame, d, stats=True)
+    log = os.path.join(d, "_delta_log", "%020d.json" % 0)
+    adds = [
+        json.loads(line)["add"]
+        for line in open(log)
+        if '"add"' in line
+    ]
+    st = json.loads(adds[0]["stats"])
+    assert set(st) == {"numRecords", "minValues", "maxValues", "nullCount"}
+    total = len(read_delta(spark, d).inputFiles())
+    pr = read_delta_pruned(spark, d, [("id", "<=", 100)])
+    assert len(pr.inputFiles()) < total
+    expect = {
+        tuple(r)
+        for r in read_delta(spark, d).filter("id <= 100").collect()
+    }
+    assert {tuple(r) for r in pr.collect()} == expect
+    # point string lookup prunes to one file
+    ps = read_delta_pruned(spark, d, [("s", "==", "s00042")])
+    assert len(ps.inputFiles()) == 1
+    assert [r["id"] for r in ps.collect()] == [42]
+    # is_null: the pruned result still finds every null row
+    assert read_delta_pruned(spark, d, [("v", "is_null", None)]).count() == 100
+    # impossible predicate -> zero-row frame under the table schema
+    z = read_delta_pruned(spark, d, [("id", ">", 10_000)])
+    assert z.count() == 0 and z.columns == ["id", "g", "s", "v"]
+
+
+def test_delta_backfill_and_dv_soundness(spark, frame, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        backfill_delta_stats,
+        delete_delta,
+        export_delta,
+        read_delta,
+        read_delta_pruned,
+    )
+
+    d = str(tmp_path / "d")
+    export_delta(frame, d)  # no stats
+    assert (
+        len(read_delta_pruned(spark, d, [("id", "==", 5)]).inputFiles())
+        == len(read_delta(spark, d).inputFiles())
+    )
+    n = backfill_delta_stats(spark, d)
+    assert n == len(read_delta(spark, d).inputFiles())
+    assert backfill_delta_stats(spark, d) == 0  # idempotent
+    # DV delete after the backfill: stats describe the full file (a
+    # superset of visible rows) so pruning stays sound
+    delete_delta(spark, d, "id = 42")
+    pr = read_delta_pruned(spark, d, [("id", ">=", 40), ("id", "<", 45)])
+    assert [r["id"] for r in pr.collect()] == [40, 41, 43, 44]
+    assert len(pr.inputFiles()) == 1
+
+
+def test_delta_partition_values_prune_without_stats(spark, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        read_delta_pruned,
+    )
+
+    d = str(tmp_path / "p")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("b")
+    )
+    export_delta(df, d, partition_by=["b"])  # stats never collected
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        read_delta,
+    )
+
+    total = len(read_delta(spark, d).inputFiles())
+    pr = read_delta_pruned(spark, d, [("b", "==", 2)])
+    assert 0 < len(pr.inputFiles()) < total
+    assert pr.count() == 25
+    assert all("b=2" in f for f in pr.inputFiles())
+
+
+# --------------------------------------------------------------- iceberg
+
+
+@pytest.mark.parametrize("fmt", [1, 2])
+def test_iceberg_bounds_write_prune_exact(spark, frame, tmp_path, fmt):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_pruned,
+    )
+
+    d = str(tmp_path / f"i{fmt}")
+    export_iceberg(frame, d, format_version=fmt, stats=True)
+    total = len(read_iceberg(spark, d).inputFiles())
+    pr = read_iceberg_pruned(spark, d, [("id", "<=", 100)])
+    assert len(pr.inputFiles()) < total
+    expect = {
+        tuple(r)
+        for r in read_iceberg(spark, d).filter("id <= 100").collect()
+    }
+    assert {tuple(r) for r in pr.collect()} == expect
+    ps = read_iceberg_pruned(spark, d, [("s", "==", "s00042")])
+    assert len(ps.inputFiles()) == 1 and ps.count() == 1
+    assert (
+        read_iceberg_pruned(spark, d, [("v", "is_null", None)]).count()
+        == 100
+    )
+    z = read_iceberg_pruned(spark, d, [("id", ">", 10_000)])
+    assert z.count() == 0 and z.columns == ["id", "g", "s", "v"]
+
+
+def test_iceberg_stats_survive_row_deletes(spark, frame, tmp_path):
+    """Bounds pruning composes with v2 row-level deletes: the delete
+    anti-join applies on the SURVIVING files and deleted rows stay
+    invisible in the pruned read."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        delete_iceberg,
+        export_iceberg,
+        read_iceberg_pruned,
+    )
+
+    d = str(tmp_path / "i")
+    export_iceberg(frame, d, format_version=2, stats=True)
+    delete_iceberg(spark, d, "id = 42")
+    pr = read_iceberg_pruned(
+        spark, d, [("id", ">=", 40), ("id", "<", 45)]
+    )
+    assert sorted(r["id"] for r in pr.collect()) == [40, 41, 43, 44]
+
+
+def test_iceberg_no_stats_entries_always_survive(spark, frame, tmp_path):
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_pruned,
+    )
+
+    d = str(tmp_path / "i")
+    export_iceberg(frame, d, format_version=2)  # stats omitted
+    pr = read_iceberg_pruned(spark, d, [("id", "==", 5)])
+    assert len(pr.inputFiles()) == len(
+        read_iceberg(spark, d).inputFiles()
+    )
+    assert pr.count() == 1
+
+
+def test_iceberg_mixed_stats_append(spark, frame, tmp_path):
+    """A stats append onto a stats-less v0 snapshot: old entries keep
+    scanning (boundless), new entries prune — per-entry decode, not
+    per-table."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_pruned,
+    )
+
+    d = str(tmp_path / "i")
+    lo = frame.filter("id < 500").repartitionByRange(4, "id")
+    hi = frame.filter("id >= 500").repartitionByRange(4, "id")
+    export_iceberg(lo, d, format_version=2)
+    export_iceberg(hi, d, format_version=2, mode="append", stats=True)
+    total = len(read_iceberg(spark, d).inputFiles())
+    pr = read_iceberg_pruned(spark, d, [("id", "==", 900)])
+    # all 4 stat-less files survive; 3 of the 4 stats files drop
+    assert len(pr.inputFiles()) == total - 3
+    assert pr.count() == 1
+
+
+def test_single_value_roundtrip():
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _single_value_bytes,
+        _single_value_from_bytes,
+    )
+
+    cases = [
+        ("int", 42),
+        ("long", -(1 << 40)),
+        ("double", 3.5),
+        ("float", 1.5),
+        ("boolean", True),
+        ("string", "héllo"),
+        ("date", datetime.date(2024, 2, 29)),
+        (
+            "timestamp",
+            datetime.datetime(2024, 2, 29, 12, 34, 56, 789012),
+        ),
+    ]
+    for t, v in cases:
+        assert _single_value_from_bytes(t, _single_value_bytes(t, v)) == v
