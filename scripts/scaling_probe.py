@@ -578,12 +578,233 @@ def keyed_upsert_probe(spark) -> dict:
     return out
 
 
+
+def laketail_catchup_probe(spark) -> dict:
+    """Lake-to-lake tail catch-up scaling (new r13): ONE
+    tail_*_once catch-up into a fresh engine table after C
+    accumulated external upsert commits, C=8 vs C=32, per format —
+    the restart/downtime cost of a chained pipeline. The claims
+    under measurement: the catch-up reads each commit's row-level
+    changes (CDF action walk / changelog snapshot chain / log-block
+    walk), so its cost grows with the RANGE's change volume, not
+    with table size; the LWW reduce collapses everything to one
+    downstream MERGE."""
+    import tempfile as _tf
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        upsert_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        export_hudi_cow,
+        upsert_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        export_iceberg,
+        upsert_iceberg,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.laketail import (
+        tail_delta_once,
+        tail_hudi_once,
+        tail_iceberg_once,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    NROWS = 20000
+
+    def mk_df():
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(NROWS)
+            .select(
+                F.col("id"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            )
+            .repartition(8)
+        )
+
+    def batch(i):
+        # 100 updated keys per external commit
+        from pyspark.sql import functions as F
+
+        return spark.range(i * 100, i * 100 + 100).select(
+            F.col("id"),
+            F.concat(F.lit(f"u{i}-"), F.col("id")).alias("v"),
+        )
+
+    def run(fmt: str, n_commits: int) -> dict:
+        root = _tf.mkdtemp(prefix=f"tailprobe_{fmt}_")
+        src = f"{root}/src"
+        if fmt == "delta":
+            export_delta(mk_df(), src)
+            ups = lambda i: upsert_delta(spark, src, batch(i), ["id"])
+            tail = tail_delta_once
+        elif fmt == "hudi":
+            export_hudi_cow(mk_df(), src, record_key="id", num_files=8)
+            ups = lambda i: upsert_hudi(spark, src, batch(i))
+            tail = tail_hudi_once
+        else:
+            export_iceberg(mk_df(), src, format_version=2)
+            ups = lambda i: upsert_iceberg(
+                spark, src, batch(i), ["id"]
+            )
+            tail = tail_iceberg_once
+        for i in range(n_commits):
+            ups(i)
+        down = UpsertLakeTable(spark, f"{root}/down", key="id")
+        tail(spark, src, down)  # snapshot catch-up (measured apart)
+        # ... then the INCREMENTAL catch-up over the range: rebuild a
+        # second downstream that already holds the snapshot watermark
+        down2 = UpsertLakeTable(spark, f"{root}/down2", key="id")
+        t0 = time.perf_counter()
+        tail(spark, src, down2)  # full catch-up incl. snapshot
+        t_full = round(time.perf_counter() - t0, 3)
+        # steady state: one more external commit, one more tail
+        ups(n_commits)
+        t0 = time.perf_counter()
+        tail(spark, src, down2)
+        t_one = round(time.perf_counter() - t0, 3)
+        assert down2.snapshot().count() == NROWS
+        return {
+            "catchup_full_sec": t_full,
+            "tail_one_commit_sec": t_one,
+        }
+
+    out = {}
+    for fmt in ("delta", "iceberg", "hudi"):
+        a, b = run(fmt, 8), run(fmt, 32)
+        out[fmt] = {
+            "catchup_8_sec": a["catchup_full_sec"],
+            "catchup_32_sec": b["catchup_full_sec"],
+            # base log(32/8): exponent IN THE COMMIT COUNT (1.0 =
+            # linear in the range's change volume, the expected
+            # shape for a row-level change walk; _exp's base-10 is
+            # for the 10x-COPIES probes, not this one)
+            "catchup_exponent_in_commits": round(
+                math.log(
+                    b["catchup_full_sec"] / a["catchup_full_sec"]
+                )
+                / math.log(4),
+                2,
+            ),
+            "tail_one_commit_sec": b["tail_one_commit_sec"],
+        }
+    return out
+
+
+def stats_prune_probe(spark) -> dict:
+    """File-skipping scaling (new r13): a POINT LOOKUP on a Delta /
+    Iceberg table at 16 vs 64 range-partitioned files, pruned
+    (add.stats / manifest bounds) vs full-scan+filter. The claim
+    under measurement: the pruned read's cost is ~flat in file count
+    (1 footer opened either way — exponent ≈ 0) while the full scan
+    grows with it; the gap IS the data-skipping win, and at 30,000
+    files it decides whether a point query is interactive."""
+    import tempfile as _tf
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        read_delta,
+        read_delta_pruned,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_pruned,
+    )
+
+    NROWS = 400_000
+
+    def mk(nfiles):
+        return (
+            spark.range(NROWS)
+            .select(
+                F.col("id"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            )
+            .repartitionByRange(nfiles, "id")
+        )
+
+    def t_point(read_fn):
+        t0 = time.perf_counter()
+        assert read_fn().count() == 1
+        return round(time.perf_counter() - t0, 3)
+
+    out = {}
+    for fmt, exp_fn, full_fn, pruned_fn in (
+        (
+            "delta",
+            lambda df, p: export_delta(df, p, stats=True),
+            read_delta,
+            read_delta_pruned,
+        ),
+        (
+            "iceberg",
+            lambda df, p: export_iceberg(
+                df, p, format_version=2, stats=True
+            ),
+            read_iceberg,
+            read_iceberg_pruned,
+        ),
+    ):
+        res = {}
+        for nf in (16, 64):
+            p = _tf.mkdtemp(prefix=f"prune_{fmt}_{nf}_") + "/t"
+            exp_fn(mk(nf), p)
+            key = NROWS // 2
+            # warm the metadata caches out of the timing
+            pruned_fn(spark, p, [("id", "==", key)]).count()
+            res[nf] = {
+                "full_sec": t_point(
+                    lambda: full_fn(spark, p).filter(F.col("id") == key)
+                ),
+                "pruned_sec": t_point(
+                    lambda: pruned_fn(spark, p, [("id", "==", key)])
+                ),
+            }
+        out[fmt] = {
+            "full_16_sec": res[16]["full_sec"],
+            "full_64_sec": res[64]["full_sec"],
+            "pruned_16_sec": res[16]["pruned_sec"],
+            "pruned_64_sec": res[64]["pruned_sec"],
+            "pruned_exponent_in_files": round(
+                math.log(
+                    max(res[64]["pruned_sec"], 1e-3)
+                    / max(res[16]["pruned_sec"], 1e-3)
+                )
+                / math.log(4),
+                2,
+            ),
+        }
+    return out
+
+
 def main() -> None:
+    import sys as _sys
+
+    only = set(_sys.argv[1:])
     spark = EngineConfig(
         app_name="scaling_probe",
         master=f"local[{DEFAULT_CPUS}]",
         extra={"spark.sql.files.maxPartitionBytes": "4m"},
     ).session()
+    if only:
+        # run only the named probes (e.g. `laketail_catchup`)
+        fns = {
+            "streaming_ingest": streaming_ingest_probe,
+            "media_decode": media_decode_probe,
+            "delta_maintenance": delta_maintenance_probe,
+            "row_deletes": row_delete_probe,
+            "keyed_upserts": keyed_upsert_probe,
+            "laketail_catchup": laketail_catchup_probe,
+            "stats_prune": stats_prune_probe,
+        }
+        print(json.dumps({n: fns[n](spark) for n in only}))
+        spark.stop()
+        return
     out = tempfile.mkdtemp(prefix="sfx1_")
     try:
         build_sfx(spark, out)
@@ -602,6 +823,8 @@ def main() -> None:
         res["delta_maintenance"] = delta_maintenance_probe(spark)
         res["row_deletes"] = row_delete_probe(spark)
         res["keyed_upserts"] = keyed_upsert_probe(spark)
+        res["laketail_catchup"] = laketail_catchup_probe(spark)
+        res["stats_prune"] = stats_prune_probe(spark)
         print(json.dumps(res))
     finally:
         shutil.rmtree(out, ignore_errors=True)

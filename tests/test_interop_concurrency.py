@@ -203,3 +203,45 @@ def test_hudi_instant_put_if_absent(spark, tmp_path):
     upsert_hudi(spark, mor, _mk(spark, [(2, "V2")]))
     assert {r.v for r in read_hudi(spark, mor)
             .filter("id = 2").collect()} == {"V2"}
+
+
+def test_uniform_two_writer_race_no_divergence(spark, tmp_path):
+    """UniForm dual-commit under a race: both legs commit DELTA FIRST,
+    so two concurrent upsert_uniform calls collide on the Delta
+    N.json put-if-absent — the loser raises BEFORE touching the
+    Iceberg leg and the two format views never diverge."""
+    import streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop as D
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        read_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        read_iceberg,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.uniform import (
+        export_uniform,
+        upsert_uniform,
+    )
+
+    path = str(tmp_path / "u")
+    export_uniform(
+        _mk(spark, [(1, "a"), (2, "b")]), path, format_version=2
+    )
+    upsert_uniform(spark, path, _mk(spark, [(3, "c")]), ["id"])
+
+    # writer B read before winner A landed: stale delta commit slot
+    real_next = D._next_version
+    D._next_version = lambda p: real_next(p) - 1
+    try:
+        with pytest.raises(ConcurrentWriterError, match="put-if-absent"):
+            upsert_uniform(spark, path, _mk(spark, [(2, "B2")]), ["id"])
+    finally:
+        D._next_version = real_next
+    # both views agree (the loser committed NEITHER leg)
+    d = {(r.id, r.v) for r in read_delta(spark, path).collect()}
+    i = {(r.id, r.v) for r in read_iceberg(spark, path).collect()}
+    assert d == i == {(1, "a"), (2, "b"), (3, "c")}
+    # a fresh attempt lands on both
+    upsert_uniform(spark, path, _mk(spark, [(2, "B2")]), ["id"])
+    d = {(r.id, r.v) for r in read_delta(spark, path).collect()}
+    i = {(r.id, r.v) for r in read_iceberg(spark, path).collect()}
+    assert d == i == {(1, "a"), (2, "B2"), (3, "c")}
