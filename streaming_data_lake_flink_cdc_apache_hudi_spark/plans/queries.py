@@ -3883,6 +3883,77 @@ def q_delta_stats_pruned_read(
     return pr.unionAll(pruned)
 
 
+_PRUNED_ORACLE_HUDI = """
+SELECT s_suppkey, concat('U-', s_name) AS s_name
+FROM supplier WHERE s_suppkey = 7
+UNION ALL
+SELECT s_suppkey,
+       CASE WHEN s_suppkey = 7 THEN concat('U-', s_name)
+            ELSE s_name END AS s_name
+FROM supplier WHERE s_suppkey <= 50
+"""
+
+
+@register(
+    "hudi_pruned_read",
+    _PRUNED_ORACLE_HUDI,
+    doc="Exported-Hudi file skipping (new r13): supplier exports as "
+    "an 8-group CoW layout with the col_stats sidecar "
+    "(build_hudi_col_stats ≙ Hudi's metadata-table col_stats "
+    "partition), one key is upserted (its group gains a log), then "
+    "(a) a BUCKET-INDEX point lookup — full-record-key equality "
+    "routed by the persisted pmod(hash(key), num_buckets) "
+    "assignment — serves the post-upsert value from exactly ONE "
+    "file group's base+log, and (b) a key-range read_hudi_pruned "
+    "returns the same rows as the plain filter oracle (hash "
+    "routing scatters keys, so the range prunes nothing — the "
+    "bloom-style no-false-drop side of the contract). A sentinel "
+    "row rides the value hash if the point lookup scanned more "
+    "than one base parquet.",
+)
+def q_hudi_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.hudi_interop import (
+        export_hudi_cow,
+        read_hudi_pruned,
+        upsert_hudi,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    root = tempfile.mkdtemp(prefix="hudi_pruned_")
+    t = f"{root}/t"
+    export_hudi_cow(
+        s, t, record_key="s_suppkey", num_files=8, col_stats=True
+    )
+    upsert_hudi(
+        spark,
+        t,
+        s.filter("s_suppkey = 7").select(
+            "s_suppkey",
+            F.concat(F.lit("U-"), F.col("s_name")).alias("s_name"),
+        ),
+    )
+    point = read_hudi_pruned(spark, t, [("s_suppkey", "==", 7)]).select(
+        "s_suppkey", "s_name"
+    )
+    n_base = len(
+        [f for f in point.inputFiles() if f.endswith(".parquet")]
+    )
+    rng = read_hudi_pruned(spark, t, [("s_suppkey", "<=", 50)]).select(
+        "s_suppkey", "s_name"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "POINT LOOKUP SCANNED MORE THAN ONE BASE")]
+        if n_base != 1
+        else [],
+        "s_suppkey long, s_name string",
+    )
+    return point.unionAll(rng).unionAll(sentinel)
+
+
 _PRUNED_ORACLE_ICE = """
 SELECT p_partkey, p_name, p_retailprice
 FROM part

@@ -212,6 +212,35 @@ def parquet_footer_stats(
     }
 
 
+def stats_to_json(st: dict) -> dict:
+    """One stats record -> a JSON-encodable dict (tagged scalars for
+    timestamps/dates/decimals) — the persisted-sidecar form
+    (``hudi_interop.build_hudi_col_stats``)."""
+    enc_min = {k: _json_scalar(v) for k, v in st["min"].items()}
+    enc_max = {k: _json_scalar(v) for k, v in st["max"].items()}
+    bad = {
+        k
+        for k in enc_min
+        if enc_min[k] is None or enc_max.get(k) is None
+    }
+    return {
+        "numRecords": st["numRecords"],
+        "min": {k: v for k, v in enc_min.items() if k not in bad},
+        "max": {k: v for k, v in enc_max.items() if k not in bad},
+        "nulls": dict(st["nulls"]),
+    }
+
+
+def stats_from_json(d: dict) -> dict:
+    """Inverse of ``stats_to_json``."""
+    return {
+        "numRecords": d.get("numRecords"),
+        "min": {k: _revive(v) for k, v in (d.get("min") or {}).items()},
+        "max": {k: _revive(v) for k, v in (d.get("max") or {}).items()},
+        "nulls": dict(d.get("nulls") or {}),
+    }
+
+
 def _comparable(a, b) -> bool:
     """Only compare like with like — a type mismatch between the
     probe value and the stored bound keeps the file (and usually

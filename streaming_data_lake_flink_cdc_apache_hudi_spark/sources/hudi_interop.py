@@ -503,11 +503,155 @@ def _log_records_df(
     return paths_df.mapInPandas(fn, out_schema)
 
 
+_COL_STATS_FILE = "col_stats.json"
+
+
+def build_hudi_col_stats(spark: SparkSession, path: str) -> int:
+    """Persist per-base-file column statistics for the table's live
+    file slices — the engine's analog of Hudi's metadata-table
+    ``col_stats`` partition (hudi.apache.org metadata table: min/max/
+    null counts per file per column, the data-skipping index), in the
+    same JSON-sidecar house shape as ``operators/skipindex.py``.
+
+    One distributed parquet-FOOTER pass (``sources/filestats.py``)
+    over the live base files; the driver writes one
+    ``.hoodie/col_stats.json`` keyed by RELATIVE base path (atomic
+    tmp+rename). Base file names are immutable (fileId + instant), so
+    the sidecar can never serve stale bounds: a compaction's NEW base
+    simply isn't in the map and scans unconditionally until
+    ``build_hudi_col_stats`` runs again (``compact_hudi`` refreshes
+    an existing sidecar automatically). Returns the number of files
+    indexed."""
+    from .filestats import parquet_footer_stats, stats_to_json
+
+    slices = live_file_slices(path)
+    by_abs = {
+        os.path.abspath(os.path.join(path, rel)): rel
+        for rel, _ in slices
+    }
+    stats = parquet_footer_stats(spark, list(by_abs))
+    payload = {
+        by_abs[a]: stats_to_json(st) for a, st in stats.items()
+    }
+    dest = os.path.join(path, _HOODIE, _COL_STATS_FILE)
+    tmp = dest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, dest)
+    return len(payload)
+
+
+def _load_col_stats(path: str) -> dict[str, dict]:
+    p = os.path.join(path, _HOODIE, _COL_STATS_FILE)
+    if not os.path.exists(p):
+        return {}
+    from .filestats import stats_from_json
+
+    with open(p) as fh:
+        raw = json.load(fh)
+    return {rel: stats_from_json(d) for rel, d in raw.items()}
+
+
+def _arrow_to_cast(t) -> str | None:
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date32(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    return None
+
+
+def hudi_bucket_for_key(
+    spark: SparkSession, path: str, key_values: dict
+) -> int | None:
+    """The file-group ordinal a record key routes to under the
+    exporters' persisted BUCKET assignment (``pmod(hash(key),
+    hoodie.bucket.index.num.buckets)`` — Hudi's bucket index, the
+    same deterministic key→group contract every engine writer here
+    honors: export, ``upsert_hudi``, ``delete_hudi``,
+    ``compact_hudi``). Returns None when the table declares no
+    bucket modulus or the key types can't be reproduced — callers
+    fall back to scanning every group.
+
+    ``key_values`` must cover the table's record-key fields exactly.
+    The hash is evaluated by Spark itself on one literal row (a
+    driver-local job), so it matches the writers' ``F.hash`` bit for
+    bit; key column TYPES come from one live base file's footer
+    (driver-side metadata read, the ``_resolve_id_mapping``
+    precedent)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    n = _export_num_buckets(path)
+    key_fields = _record_key_fields(path)
+    if n is None or not key_fields or set(key_values) != set(key_fields):
+        return None
+    slices = live_file_slices(path)
+    if not slices:
+        return None
+    sch = pq.ParquetFile(
+        os.path.join(path, slices[0][0])
+    ).schema_arrow
+    exprs = []
+    for k in key_fields:
+        if k not in sch.names:
+            return None
+        cast = _arrow_to_cast(sch.field(k).type)
+        if cast is None:
+            return None
+        exprs.append(F.lit(key_values[k]).cast(cast))
+    return (
+        spark.range(1)
+        .select(F.pmod(F.hash(*exprs), F.lit(n)).alias("p"))
+        .head()["p"]
+    )
+
+
+def read_hudi_pruned(
+    spark: SparkSession,
+    path: str,
+    predicates,
+    as_of: str | None = None,
+    read_optimized: bool = False,
+) -> DataFrame:
+    """``read_hudi`` with col_stats file-group skipping AND the
+    residual row filter applied (new r13) — the exact rows of
+    ``read_hudi(...).filter(pred)``, planned over only the file
+    slices the sidecar could not rule out. See
+    ``read_hudi(bounds_filter=...)`` for the pruning rules."""
+    from .filestats import apply_residual
+
+    return apply_residual(
+        read_hudi(
+            spark,
+            path,
+            as_of=as_of,
+            read_optimized=read_optimized,
+            bounds_filter=predicates,
+        ),
+        predicates,
+    )
+
+
 def read_hudi(
     spark: SparkSession,
     path: str,
     as_of: str | None = None,
     read_optimized: bool = False,
+    bounds_filter=None,
 ) -> DataFrame:
     """Mount a Hudi table as a DataFrame.
 
@@ -515,6 +659,15 @@ def read_hudi(
     timeline, Hudi's point-in-time query — log blocks past the bound
     are excluded too). ``read_optimized=True`` requests the
     base-files-only columnar view over a MoR table.
+
+    ``bounds_filter`` (new r13): ``(column, op, value)`` predicate
+    tuples pruning FILE SLICES via the persisted
+    :func:`build_hudi_col_stats` sidecar (≙ Hudi's metadata-table
+    col_stats data skipping) — see the inline rules below. The
+    surviving scan holds every matching row (only provably
+    non-matching, log-free groups drop), so ``result.filter(pred)``
+    equals the full read's; :func:`read_hudi_pruned` layers exactly
+    that residual filter.
 
     MERGE_ON_READ real-time view (the reference's table type,
     zpln:292 ¶7): un-compacted log files are decoded with the
@@ -540,6 +693,70 @@ def read_hudi(
             f"Hudi table at {path} has no committed base files"
             + (f" at instant <= {as_of}" if as_of else "")
         )
+    bucket_route: tuple[str, int] | None = None
+    if bounds_filter:
+        from .filestats import _norm_predicates, file_survives
+
+        preds = _norm_predicates(bounds_filter)
+        # BUCKET-INDEX point lookup (new r13): a full-record-key
+        # equality routes to exactly ONE file group per partition dir
+        # under the exporters' persisted pmod(hash(key), num_buckets)
+        # assignment — every engine writer lands that key's rows (and
+        # its log blocks) only there, so all other groups drop
+        # without any stats at all. Falls through when the table
+        # declares no modulus / non-exporter layout / partial key.
+        key_fields = _record_key_fields(path)
+        eq = {c: v for c, op, v in preds if op == "=="}
+        bucket_route: tuple[str, int] | None = None
+        if key_fields and all(k in eq for k in key_fields):
+            try:
+                name = _table_name(path)
+                _export_group_routing(path, name, slices)  # layout gate
+                pid = hudi_bucket_for_key(
+                    spark, path, {k: eq[k] for k in key_fields}
+                )
+            except UnsupportedHudiFeature:
+                pid = None
+            if pid is not None:
+                bucket_route = (name, pid)
+                kept = [
+                    (rel, inst)
+                    for rel, inst in slices
+                    if _BASE_FILE_RE.match(os.path.basename(rel)).group(
+                        "file_id"
+                    )
+                    == _export_file_id(name, pid, os.path.dirname(rel))
+                ]
+                slices = kept or slices[:1]
+        # col_stats file-group skipping (new r13 — ≙ Hudi's
+        # metadata-table col_stats index): a slice drops only when
+        # (a) the persisted sidecar has bounds for its CURRENT base
+        # file, (b) the group carries NO log files (a log block can
+        # hold ANY rows, so logged groups always scan — after
+        # compact_hudi every group is log-free and prunes), and
+        # (c) the bounds PROVE no row can match. Everything else is
+        # conservative keep, so the surviving scan holds every
+        # matching row (read_hudi_pruned layers the residual filter).
+        stats = _load_col_stats(path)
+        if stats:
+            logged = {
+                _LOG_FILE_RE.match(os.path.basename(a)).group("file_id")
+                for a, _v, _p in _log_files_for_slices(path, slices)
+            }
+            kept = [
+                (rel, inst)
+                for rel, inst in slices
+                if _BASE_FILE_RE.match(os.path.basename(rel)).group(
+                    "file_id"
+                )
+                in logged
+                or rel not in stats
+                or file_survives(bounds_filter, stats[rel])
+            ]
+            # all groups eliminated: keep ONE slice as the schema
+            # anchor (one footer instead of a schema sidecar; the
+            # residual filter yields the zero-row result)
+            slices = kept or slices[:1]
     files = [os.path.join(path, rel) for rel, _ in slices]
     # basePath keeps hive-style partition dirs resolving to columns.
     # r13 schema evolution: an evolved table can hold MIXED base
@@ -574,6 +791,17 @@ def read_hudi(
         slices,
         log_only_replaced=_replaced_file_groups(path, done_commits),
     )
+    if bucket_route is not None:
+        # the key's rows can only ride the routed group's logs — drop
+        # other groups' log files BEFORE any decode (pruned base
+        # slices would otherwise resurface here as log-only slices)
+        rname, rpid = bucket_route
+        logs = [
+            (a, v, p)
+            for a, v, p in logs
+            if _LOG_FILE_RE.match(os.path.basename(a)).group("file_id")
+            == _export_file_id(rname, rpid, p)
+        ]
     if not logs:
         return base
     from pyspark.sql import Window
@@ -811,12 +1039,16 @@ def export_hudi_cow(
     instant: str | None = None,
     num_files: int = 4,
     partition_by: str | list[str] | None = None,
+    col_stats: bool = False,
 ) -> int:
     """Write ``df`` as a single-commit Hudi COPY_ON_WRITE table whose
     on-disk layout follows the public Hudi storage spec
     (https://hudi.apache.org/tech-specs/) — the write-side
     counterpart of :func:`read_hudi`, closing the interop gap the
-    same way ``export_delta`` does for Delta:
+    same way ``export_delta`` does for Delta. ``col_stats=True``
+    (new r13) additionally persists the
+    :func:`build_hudi_col_stats` data-skipping sidecar at export
+    time — see :func:`read_hudi_pruned`.
 
     - base files named ``<fileId>_<writeToken>_<instantTime>.parquet``
       with the five ``_hoodie_*`` meta columns MATERIALIZED in the
@@ -905,12 +1137,27 @@ def export_hudi_cow(
             for x in (F.lit(f"{part}|{pid}"), F.lit(file_name(pid, part)))
         ]
     )
+    # the file-group ordinal is a DATA column, never a physical
+    # partition id: Catalyst ELIDES a repartition(N, keys) whose
+    # child already satisfies hashpartitioning(keys, N) (an engine
+    # snapshot under shuffle_partitions == num_files), and AQE then
+    # coalesces the surviving ENSURE_REQUIREMENTS exchange — with
+    # spark_partition_id numbering, every row would land in
+    # part-00000 and the export would write ONE base while
+    # persisting num.buckets = N (r13 fix; pinned by
+    # test_export_file_count_immune_to_prepartitioned_input). The
+    # hive partitionBy on _pid keys files by VALUE, so any
+    # coalescing only changes task layout, never group assignment.
+    pid_col = F.pmod(
+        F.hash(*[F.col(k) for k in key_fields]), F.lit(num_files)
+    )
     map_key = F.concat(
-        part_expr, F.lit("|"), F.spark_partition_id().cast("string")
+        part_expr, F.lit("|"), F.col("_pid").cast("string")
     )
     staged = os.path.join(path, ".export_stage")
     with_meta = (
-        df.repartition(num_files, *[F.col(k) for k in key_fields])
+        df.withColumn("_pid", pid_col)
+        .repartition(num_files, F.col("_pid"))
         .withColumn("_hoodie_commit_time", F.lit(instant))
         .withColumn(
             "_hoodie_commit_seqno",
@@ -933,27 +1180,42 @@ def export_hudi_cow(
         "_hoodie_partition_path",
         "_hoodie_file_name",
     ]
-    with_meta = with_meta.select(*meta_cols, *df.columns)
+    with_meta = with_meta.select(*meta_cols, *df.columns, "_pid")
     writer = with_meta.write.mode("overwrite")
-    if part_fields:
-        # hive-style dirs; partition columns re-attach on read via
-        # basePath, exactly like Hudi's hive_style_partitioning=true
-        writer = writer.partitionBy(*part_fields)
+    # hive-style dirs; partition columns re-attach on read via
+    # basePath, exactly like Hudi's hive_style_partitioning=true.
+    # _pid always partitions the staged write (it is the group
+    # assignment — see pid_col above) and is stripped from the files
+    # by the hive layout.
+    writer = writer.partitionBy(*part_fields, "_pid")
     writer.parquet(staged)
 
-    # rename staged part-<pid>-* files to their spec names (part file
-    # numbering equals the partition id of the repartition above; in
-    # the partitioned case each task writes one file per hive dir it
-    # holds rows for, keeping its pid prefix in every dir)
+    # rename staged files to their spec names: the file group comes
+    # from the _pid= path segment (each pid lives wholly in one task
+    # after the repartition — coalescing can only merge tasks, never
+    # split a pid — so each _pid dir holds exactly one part file)
     write_stats: dict[str, list] = {}
     for sroot, _dirs, files in os.walk(staged):
         rel = os.path.relpath(sroot, staged)
         rel = "" if rel == "." else rel
-        for f in sorted(files):
-            m = re.match(r"part-(\d+)-.*\.parquet$", f)
-            if not m:
-                continue
-            pid = int(m.group(1))
+        pm = re.search(r"(?:^|/)_pid=(\d+)$", rel)
+        if pm is None:
+            if any(f.endswith(".parquet") for f in files):
+                raise RuntimeError(
+                    f"export staging wrote a parquet outside a _pid= "
+                    f"dir: {rel!r}"
+                )
+            continue
+        pid = int(pm.group(1))
+        rel = rel[: pm.start()].rstrip("/")
+        pqs = [f for f in files if f.endswith(".parquet")]
+        if len(pqs) > 1:
+            raise RuntimeError(
+                f"export staging split file group {pid} in {rel!r} "
+                f"across {len(pqs)} files — one base per group is "
+                "required"
+            )
+        for f in sorted(pqs):
             if rel:
                 os.makedirs(os.path.join(path, rel), exist_ok=True)
             rel_dest = os.path.join(rel, file_name(pid, rel))
@@ -1021,6 +1283,8 @@ def export_hudi_cow(
     }
     with open(os.path.join(path, _HOODIE, f"{instant}.commit"), "w") as fh:
         json.dump(meta, fh)
+    if col_stats:
+        build_hudi_col_stats(df.sparkSession, path)
     return sum(len(v) for v in write_stats.values())
 
 
@@ -1258,6 +1522,61 @@ def delete_hudi(spark: SparkSession, path: str, predicate: str) -> dict:
         "instant": new_inst,
         "deleted_keys": int(sum(r["n_keys"] for r in stats)),
         "groups_touched": len(stats),
+    }
+
+
+def update_hudi(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+) -> dict:
+    """Row UPDATE on an exported Hudi MoR layout (new r13 — the
+    standalone API twin of ``update_delta``/``update_iceberg``;
+    until now this shape existed only behind the engine's
+    ``UPDATE hudi.`/path``` SQL routing). Hudi has no rewrite-file
+    update primitive — Spark-SQL UPDATE on a Hudi table compiles to
+    a keyed upsert of the rewritten rows — so this evaluates
+    ``predicate`` over the real-time view, applies ``set_exprs``
+    (SQL expression strings keyed by column, cast back to each
+    column's type), and commits ONE :func:`upsert_hudi` delta
+    commit of the matched rows. Record-key columns cannot be SET
+    (a key change is a delete + insert); unknown columns raise.
+    Returns ``{"updated_rows": n, "instant": ...}``.
+
+    Scale shape: the matched set never passes through the driver —
+    filter + projection stay distributed, and the upsert routes rows
+    to file-group logs by the exporter's persisted bucket modulus
+    (one hash-partition shuffle of the UPDATED rows only, KB-scale
+    timeline metadata on the driver)."""
+    from pyspark.sql import functions as F
+
+    keys = set(_record_key_fields(path))
+    bad = sorted(keys & set(set_exprs))
+    if bad:
+        raise ValueError(
+            f"update_hudi: {bad} are record-key columns; key "
+            "changes are a delete + insert"
+        )
+    view = read_hudi(spark, path)
+    payload = [c for c in view.columns if not c.startswith("_hoodie_")]
+    unknown = sorted(set(set_exprs) - set(payload))
+    if unknown:
+        raise ValueError(f"update_hudi: unknown columns {unknown}")
+    rewritten = view.filter(predicate).select(
+        *[
+            (
+                F.expr(set_exprs[c]).cast(view.schema[c].dataType)
+                if c in set_exprs
+                else F.col(c)
+            ).alias(c)
+            for c in payload
+        ]
+    )
+    res = upsert_hudi(spark, path, rewritten)
+    return {
+        "updated_rows": res["upserted_rows"],
+        "instant": res.get("instant"),
     }
 
 
@@ -1715,8 +2034,14 @@ def compact_hudi(
     # commit time is backfilled by the merge) — materialize them per
     # the exporter's conventions; the record-level commit time is
     # PRESERVED, matching Hudi's compactor
+    # group ordinal as a DATA column, not spark_partition_id — the
+    # same elided-repartition + AQE-coalesce hazard the exporter
+    # documents (pid_col in export_hudi_cow): a pre-partitioned
+    # real-time view would otherwise collapse every group's rewrite
+    # into part-00000 and install it as group 0's base
     rewritten = (
-        doomed.repartition(n_groups, *raw_keys)
+        doomed.withColumn("_pid", pid_col)
+        .repartition(n_groups, F.col("_pid"))
         .withColumn(
             "_hoodie_record_key",
             F.coalesce(
@@ -1747,26 +2072,32 @@ def compact_hudi(
                 F.concat(
                     part_expr,
                     F.lit("|"),
-                    F.spark_partition_id().cast("string"),
+                    F.col("_pid").cast("string"),
                 )
             ],
         )
-        .select(*meta_cols, *payload)
+        .select(*meta_cols, *payload, "_pid")
     )
     staged = os.path.join(path, ".compact_stage")
     writer = rewritten.write.mode("overwrite")
-    if part_fields:
-        writer = writer.partitionBy(*part_fields)
+    writer = writer.partitionBy(*part_fields, "_pid")
     writer.parquet(staged)
     write_stats: dict[str, list] = {}
     for sroot, _dirs, files in os.walk(staged):
         rel = os.path.relpath(sroot, staged)
         rel = "" if rel == "." else rel
-        for f in sorted(files):
-            m = re.match(r"part-(\d+)-.*\.parquet$", f)
-            if not m:
-                continue
-            pid = int(m.group(1))
+        pm = re.search(r"(?:^|/)_pid=(\d+)$", rel)
+        if pm is None:
+            continue
+        pid = int(pm.group(1))
+        rel = rel[: pm.start()].rstrip("/")
+        pqs = [f for f in files if f.endswith(".parquet")]
+        if len(pqs) > 1:
+            raise RuntimeError(
+                f"compaction staging split file group {pid} in "
+                f"{rel!r} across {len(pqs)} files"
+            )
+        for f in sorted(pqs):
             n_rows = pq.ParquetFile(
                 os.path.join(sroot, f)
             ).metadata.num_rows
@@ -1839,6 +2170,11 @@ def compact_hudi(
             },
             fh,
         )
+    # a compaction writes NEW base files, which an existing col_stats
+    # sidecar cannot cover (immutable-name keying) — refresh it so
+    # the freshly log-free groups become prunable immediately
+    if os.path.exists(os.path.join(path, _HOODIE, _COL_STATS_FILE)):
+        build_hudi_col_stats(spark, path)
     return {
         "instant": new_inst,
         "compacted_groups": sum(len(v) for v in write_stats.values()),
@@ -2047,8 +2383,11 @@ def export_hudi_mor(
     num_files: int = 4,
     table_name: str | None = None,
     partition_by: str | list[str] | None = None,
+    col_stats: bool = False,
 ) -> dict:
-    """Export an engine ``UpsertLakeTable`` as a MERGE_ON_READ layout:
+    """Export an engine ``UpsertLakeTable`` as a MERGE_ON_READ layout
+    (``col_stats=True`` — new r13 — also persists the
+    :func:`build_hudi_col_stats` data-skipping sidecar):
     base files at the table's compaction horizon (or its first commit)
     via :func:`export_hudi_cow`, plus ONE log file per base file group
     holding one Avro-data/delete block PER LATER DELTA COMMIT — the
@@ -2233,6 +2572,8 @@ def export_hudi_mor(
         open(
             os.path.join(path, _HOODIE, f"{inst(s)}.deltacommit"), "w"
         ).close()
+    if col_stats:
+        build_hudi_col_stats(table.spark, path)
     return {
         "data_files": n_data,
         "log_files": len(stats),

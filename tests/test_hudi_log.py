@@ -1038,3 +1038,103 @@ def test_hudi_partitioned_export_and_dml(spark, tmp_path):
     assert (7, "US", "v7-moved") in ro
     assert not any(i >= 20 for i, _r, _v in ro)
     assert 3 not in {i for i, _r, _v in ro}
+
+
+def test_update_hudi_standalone(spark, tmp_path):
+    """r13: update_hudi — the standalone API twin of
+    update_delta/update_iceberg (the shape that previously existed
+    only behind UPDATE hudi.`path` SQL routing) — evaluates the
+    predicate over the real-time view and commits ONE keyed-upsert
+    delta commit of the rewritten rows; record-key SETs and unknown
+    columns refuse."""
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        export_hudi_mor,
+        read_hudi,
+        update_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    t = UpsertLakeTable(spark, str(tmp_path / "eng"), key="id")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    t.write(mk([(i, f"v{i}") for i in range(8)]), commit_id="c1")
+    path = str(tmp_path / "mor")
+    export_hudi_mor(t, path, num_files=3)
+
+    res = update_hudi(spark, path, "id >= 5", {"v": "upper(v)"})
+    assert res["updated_rows"] == 3 and res["instant"]
+    got = {(r.id, r.v) for r in read_hudi(spark, path).select("id", "v").collect()}
+    assert got == {(i, f"v{i}") for i in range(5)} | {
+        (i, f"V{i}") for i in range(5, 8)
+    }
+    # no-match predicate: no instant, zero rows
+    res0 = update_hudi(spark, path, "id > 999", {"v": "'x'"})
+    assert res0["updated_rows"] == 0
+    with _pytest.raises(ValueError, match="record-key"):
+        update_hudi(spark, path, "true", {"id": "id + 1"})
+    with _pytest.raises(ValueError, match="unknown columns"):
+        update_hudi(spark, path, "true", {"zz": "1"})
+
+
+def test_export_file_count_immune_to_prepartitioned_input(spark, tmp_path):
+    """r13 fix: Catalyst elides repartition(N, keys) when the input
+    is already hashpartitioned(keys, N) (an engine snapshot under
+    shuffle_partitions == num_files) and AQE then coalesces the
+    surviving exchange — with physical-partition-id file numbering
+    the export wrote ONE base while persisting num.buckets = N. The
+    _pid DATA column keys file groups by VALUE, so the layout is
+    immune to plan-level partition elision/coalescing; compaction
+    uses the same assignment."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        compact_hudi,
+        export_hudi_mor,
+        read_hudi,
+        upsert_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.streaming.upsert_sink import (
+        UpsertLakeTable,
+    )
+
+    # the engine-tests session runs shuffle_partitions=8: num_files=8
+    # reproduces the elided-repartition shape exactly
+    t = UpsertLakeTable(spark, str(tmp_path / "eng"), key="id")
+    df = spark.range(200).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    t.write(df, commit_id="c1")
+    path = str(tmp_path / "mor")
+    res = export_hudi_mor(t, path, num_files=8)
+    assert res["data_files"] == 8
+    bases = [
+        f
+        for _r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(bases) == 8
+    assert read_hudi(spark, path).count() == 200
+    # compaction keeps the 8-group layout (same _pid assignment)
+    upsert_hudi(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, f"U{i}") for i in range(0, 200, 10)], "id long, v string"
+        ),
+    )
+    out = compact_hudi(spark, path)
+    assert out["compacted_groups"] >= 1
+    rt = read_hudi(spark, path)
+    assert rt.count() == 200
+    assert len(rt.inputFiles()) == 8
+    got = {(r.id, r.v) for r in rt.select("id", "v").collect()}
+    want = {
+        (i, f"U{i}" if i % 10 == 0 else f"v{i}") for i in range(200)
+    }
+    assert got == want
