@@ -1081,41 +1081,11 @@ class TableRegistry:
                 "updated_rows"
             ]
         elif fmt == "hudi":
-            from pyspark.sql import functions as F
+            from .sources.hudi_interop import update_hudi
 
-            from .sources.hudi_interop import (
-                _record_key_fields,
-                read_hudi,
-                upsert_hudi,
-            )
-
-            keys = set(_record_key_fields(path))
-            bad = sorted(keys & set(set_exprs))
-            if bad:
-                raise ValueError(
-                    f"UPDATE SET: {bad} are record-key columns; key "
-                    "changes are a delete + insert"
-                )
-            view = read_hudi(self.spark, path)
-            payload = [
-                c for c in view.columns if not c.startswith("_hoodie_")
+            n = update_hudi(self.spark, path, cond, set_exprs)[
+                "updated_rows"
             ]
-            unknown = sorted(set(set_exprs) - set(payload))
-            if unknown:
-                raise ValueError(f"UPDATE SET: unknown columns {unknown}")
-            matched = view.filter(cond)
-            rewritten = matched.select(
-                *[
-                    (
-                        F.expr(set_exprs[c]).cast(view.schema[c].dataType)
-                        if c in set_exprs
-                        else F.col(c)
-                    ).alias(c)
-                    for c in payload
-                ]
-            )
-            res = upsert_hudi(self.spark, path, rewritten)
-            n = res["upserted_rows"]
         else:
             raise ValueError(
                 "UPDATE uniform.`...` cannot route: a dual-format "

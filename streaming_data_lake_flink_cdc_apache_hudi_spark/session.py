@@ -27,6 +27,89 @@ from .sources.parquet import TPCH_TABLES, load_table
 from .streaming.upsert_sink import UpsertLakeTable
 
 
+def _extract_simple_conjuncts(where: str) -> list[tuple]:
+    """Top-level AND conjuncts of a WHERE text in the simple shapes
+    ``col <op> literal`` (number / 'string' / TRUE / FALSE) and
+    ``col IS [NOT] NULL``, as ``filestats`` predicate tuples. The
+    split is quote- and paren-aware; anything that doesn't parse is
+    skipped — pruning on a SUBSET of conjuncts is always sound."""
+    import re
+
+    parts: list[str] = []
+    depth, buf, i, in_q = 0, [], 0, False
+    up = where.upper()
+    while i < len(where):
+        ch = where[i]
+        if in_q:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < len(where) and where[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_q = False
+        elif ch == "'":
+            in_q = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif (
+            depth == 0
+            and up.startswith("AND", i)
+            and (
+                i == 0
+                or not (where[i - 1].isalnum() or where[i - 1] == "_")
+            )
+            and (
+                i + 3 >= len(where)
+                or not (
+                    where[i + 3].isalnum() or where[i + 3] == "_"
+                )
+            )
+        ):
+            parts.append("".join(buf))
+            buf = []
+            i += 2
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    out: list[tuple] = []
+    for p in parts:
+        p = p.strip()
+        m = re.fullmatch(
+            r"`?(\w+)`?\s*(=|!=|<>|<=|>=|<|>)\s*"
+            r"(-?\d+\.\d+|-?\d+|'(?:[^']|'')*'|TRUE|FALSE)",
+            p,
+            re.IGNORECASE,
+        )
+        if m:
+            col, op, lit = m.group(1), m.group(2), m.group(3)
+            op = {"=": "==", "<>": "!="}.get(op, op)
+            if lit.upper() in ("TRUE", "FALSE"):
+                val: object = lit.upper() == "TRUE"
+            elif lit.startswith("'"):
+                val = lit[1:-1].replace("''", "'")
+            elif "." in lit:
+                val = float(lit)
+            else:
+                val = int(lit)
+            out.append((col, op, val))
+            continue
+        m = re.fullmatch(
+            r"`?(\w+)`?\s+IS\s+(NOT\s+)?NULL", p, re.IGNORECASE
+        )
+        if m:
+            out.append(
+                (m.group(1), "not_null" if m.group(2) else "is_null", None)
+            )
+    return out
+
+
 class EngineSession:
     def __init__(
         self,
@@ -100,16 +183,97 @@ class EngineSession:
         OPTIONS(...) and DROP TABLE — are routed into the registry so
         the notebook's paste-DDL workflow (¶7/¶24) works verbatim;
         ``<upsert-table> VERSION AS OF n`` (Spark's time-travel
-        spelling) binds the point-in-time snapshot; everything else
-        goes to spark.sql."""
+        spelling) binds the point-in-time snapshot; ``SELECT``s
+        referencing ``delta.`/p```/``iceberg.`/p```/``hudi.`/p```/
+        ``uniform.`/p``` path tables mount through the interop
+        readers with automatic metadata file skipping (new r13 —
+        see :meth:`_execute_format_select`); everything else goes to
+        spark.sql."""
         handled = self.registry.execute_ddl(statement)
         if handled is not None:
             return handled
+        fs = self._execute_format_select(statement)
+        if fs is not None:
+            return fs
         mr = self._execute_match_recognize(statement)
         if mr is not None:
             return mr
         statement = self._rewrite_window_tvf(statement)
         return self.spark.sql(self._rewrite_time_travel(statement))
+
+    def _execute_format_select(self, statement: str) -> DataFrame | None:
+        """SELECT over format-path tables (new r13) — the query-side
+        twin of the DML routing: ``SELECT ... FROM
+        delta.`/p`|iceberg.`/p`|hudi.`/p`|uniform.`/p`` mounts each
+        referenced table through the interop readers (UniForm via its
+        Delta leg) and runs the statement unchanged, so joins between
+        lake formats and engine tables just work — Spark-SQL's own
+        path-table spelling.
+
+        Single-table statements get AUTOMATIC metadata file skipping:
+        the WHERE clause's top-level AND conjuncts of the simple
+        shapes ``col <op> literal`` / ``col IS [NOT] NULL`` are
+        extracted and passed to the reader's stats pruning
+        (``add.stats`` / manifest bounds / Hudi bucket+col_stats).
+        Extraction is SOUND by construction: pruning on a SUBSET of
+        conjuncts only keeps more files, and the full WHERE still
+        evaluates on the mounted scan — unparseable conjuncts, ORs,
+        and subqueries simply contribute no pruning. Returns None
+        for statements without a format-path reference."""
+        import re
+
+        if not re.match(r"^\s*(SELECT|WITH)\b", statement, re.IGNORECASE):
+            return None
+        pat = re.compile(
+            r"\b(delta|iceberg|hudi|uniform)\s*\.\s*`([^`]+)`",
+            re.IGNORECASE,
+        )
+        refs = list(pat.finditer(statement))
+        if not refs:
+            return None
+        distinct = sorted(
+            {(m.group(1).lower(), m.group(2)) for m in refs}
+        )
+        preds = None
+        if len(distinct) == 1 and statement.upper().count("SELECT") == 1:
+            wm = re.search(
+                r"\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b"
+                r"|\bLIMIT\b|\bHAVING\b|;|$)",
+                statement,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if wm:
+                preds = _extract_simple_conjuncts(wm.group(1)) or None
+        views: dict[tuple[str, str], str] = {}
+        for i, (fmt, path) in enumerate(distinct):
+            df = self._mount_format_path(fmt, path, preds)
+            name = f"_fmt_path_{i}"
+            df.createOrReplaceTempView(name)
+            views[(fmt, path)] = name
+        rewritten = pat.sub(
+            lambda m: views[(m.group(1).lower(), m.group(2))], statement
+        )
+        return self.spark.sql(self._rewrite_time_travel(rewritten))
+
+    def _mount_format_path(
+        self, fmt: str, path: str, preds
+    ) -> DataFrame:
+        if fmt == "delta" or fmt == "uniform":
+            from .sources.delta_interop import (
+                read_delta,
+                read_delta_pruned,
+            )
+
+            if preds:
+                return read_delta_pruned(self.spark, path, preds)
+            return read_delta(self.spark, path)
+        if fmt == "iceberg":
+            from .sources.iceberg_interop import read_iceberg
+
+            return read_iceberg(self.spark, path, bounds_filter=preds)
+        from .sources.hudi_interop import read_hudi
+
+        return read_hudi(self.spark, path, bounds_filter=preds)
 
     def _execute_match_recognize(self, statement: str) -> DataFrame | None:
         """Flink SQL's MATCH_RECOGNIZE spelling, routed to the greedy

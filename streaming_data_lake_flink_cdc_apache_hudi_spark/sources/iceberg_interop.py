@@ -408,9 +408,11 @@ def read_iceberg(
     ``null_value_counts`` maps (written by
     ``export_iceberg(stats=True)``, spec Appendix D) PROVE no row
     can match are dropped before the scan is planned. Entries
-    without stats always survive, so this changes only which files
-    are OPENED, never the visible rows; ``read_iceberg_pruned``
-    layers the residual row filter on top.
+    without stats always survive. The surviving scan holds EVERY row
+    matching the predicate (only provably non-matching files drop),
+    so ``result.filter(pred)`` equals the full read's — use
+    ``read_iceberg_pruned``, which layers exactly that residual
+    filter on top.
 
     v2 row-level deletes are applied distributedly:
 

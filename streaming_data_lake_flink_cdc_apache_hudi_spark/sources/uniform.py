@@ -56,6 +56,7 @@ def export_uniform(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     format_version: int = 1,
+    stats: bool = False,
 ) -> int:
     """Write ``df`` once and commit Delta AND Iceberg metadata over
     the same files. ``mode="append"`` (new r9) lands NEW files beside
@@ -100,6 +101,7 @@ def export_uniform(
         data_files=parts,
         partition_by=partition_by,
         mode=mode,
+        stats=stats,
     )
     export_iceberg(
         df,
@@ -109,6 +111,7 @@ def export_uniform(
         partition_by=partition_by,
         mode=mode,
         format_version=format_version,
+        stats=stats,
     )
     return len(parts)
 

@@ -1439,3 +1439,75 @@ def test_sql_describe_history_path_tables(spark, tmp_path):
     huf = eng.sql(f"DESCRIBE HISTORY uniform.`{u}`").collect()
     kinds = {r.kind for r in huf}
     assert kinds == {"delta_commit", "iceberg_snapshot"}
+
+
+def test_select_format_path_tables(spark, tmp_path):
+    """r13: SELECT over delta./iceberg./hudi./uniform. path tables —
+    the query-side twin of the DML routing — mounts through the
+    interop readers, joins across formats, and auto-prunes
+    single-table simple-WHERE statements via the stats metadata."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        export_iceberg,
+    )
+
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    df = (
+        spark.range(100)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("n"), F.col("id")).alias("name"),
+        )
+        .repartitionByRange(4, "id")
+    )
+    d = str(tmp_path / "d")
+    i = str(tmp_path / "i")
+    export_delta(df, d, stats=True)
+    export_iceberg(df, i, format_version=2, stats=True)
+
+    got = eng.sql(
+        f"SELECT count(*) AS n FROM delta.`{d}` WHERE id <= 10"
+    ).collect()
+    assert got[0]["n"] == 11
+    got = eng.sql(
+        f"SELECT name FROM iceberg.`{i}` WHERE id = 42 AND name IS NOT NULL"
+    ).collect()
+    assert [r["name"] for r in got] == ["n42"]
+    # cross-format join
+    got = eng.sql(
+        f"SELECT count(*) AS n FROM delta.`{d}` a "
+        f"JOIN iceberg.`{i}` b ON a.id = b.id WHERE a.id < 5"
+    ).collect()
+    assert got[0]["n"] == 5
+    # the auto-prune actually dropped files on the simple point query
+    pruned = eng._mount_format_path("delta", d, [("id", "==", 42)])
+    full = eng._mount_format_path("delta", d, None)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_select_hudi_path_with_bucket_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        export_hudi_cow,
+    )
+
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "reg.json"))
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    h = str(tmp_path / "h")
+    export_hudi_cow(df, h, record_key="id", num_files=6, col_stats=True)
+    got = eng.sql(
+        f"SELECT id, name FROM hudi.`{h}` WHERE id = 7"
+    ).collect()
+    assert [(r.id, r.name) for r in got] == [(7, "n7")]
+    # the mounted point lookup scanned one file group
+    m = eng._mount_format_path("hudi", h, [("id", "==", 7)])
+    assert len([f for f in m.inputFiles() if f.endswith(".parquet")]) == 1
