@@ -3883,6 +3883,123 @@ def q_delta_stats_pruned_read(
     return pr.unionAll(pruned)
 
 
+_SORTED_ORACLE_ICE = """
+SELECT p_partkey, p_name
+FROM part
+WHERE p_partkey >= 200 AND p_partkey < 400
+"""
+
+
+@register(
+    "iceberg_sorted_rewrite_read",
+    _SORTED_ORACLE_ICE,
+    doc="Iceberg SORT-strategy rewrite_data_files (new r13 — Java's "
+    "strategy => 'sort'): part exports SCATTERED (md5 order, so "
+    "every file's manifest bounds cover every probe and nothing "
+    "prunes), then one sort_by=p_partkey rewrite re-lays the live "
+    "rows into 8 range-disjoint files with fresh Appendix-D bounds "
+    "— after which a range read_iceberg_pruned opens only the "
+    "covering files. Rows must equal the plain WHERE oracle; a "
+    "sentinel rides the value hash if the post-rewrite pruned scan "
+    "still opened every file (i.e. the sort didn't tighten bounds).",
+)
+def q_iceberg_sorted_rewrite_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg_pruned,
+        rewrite_data_files,
+    )
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .orderBy(F.md5(F.col("p_partkey").cast("string")))
+        .repartition(4)
+    )
+    root = tempfile.mkdtemp(prefix="ice_sorted_")
+    t = f"{root}/t"
+    export_iceberg(p, t, format_version=2, stats=True)
+    rewrite_data_files(spark, t, sort_by=["p_partkey"], target_files=8, stats=True)
+    preds = [("p_partkey", ">=", 200), ("p_partkey", "<", 400)]
+    pr = read_iceberg_pruned(spark, t, preds)
+    sentinel = spark.createDataFrame(
+        [(-1, "SORT REWRITE DID NOT TIGHTEN BOUNDS")]
+        if len(pr.inputFiles()) >= 8
+        else [],
+        "p_partkey long, p_name string",
+    )
+    return pr.unionAll(sentinel)
+
+
+_CLUSTERED_ORACLE_HUDI = """
+SELECT s_suppkey,
+       CASE WHEN s_suppkey = 3 THEN concat('U-', s_name)
+            ELSE s_name END AS s_name
+FROM supplier
+WHERE s_suppkey >= 2 AND s_suppkey < 60
+"""
+
+
+@register(
+    "hudi_clustered_read",
+    _CLUSTERED_ORACLE_HUDI,
+    doc="Hudi CLUSTERING (new r13 — the replacecommit table service, "
+    "hudi.apache.org clustering): supplier exports hash-scattered "
+    "across 8 bucket-routed groups with the col_stats sidecar, one "
+    "key is upserted (a log block), then cluster_hudi re-lays the "
+    "REAL-TIME view into sort-by-key range-disjoint groups under "
+    "fresh UUID file ids, retiring every old group via "
+    "partitionToReplaceFileIds (read_hudi's replaced-group gate) "
+    "and rebuilding the sidecar. The range read must show the "
+    "upserted LOG value folded in and equal the CASE-WHEN oracle; "
+    "a sentinel rides the value hash if the post-cluster pruned "
+    "scan still opened every base (bounds not tightened).",
+)
+def q_hudi_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.hudi_interop import (
+        cluster_hudi,
+        export_hudi_cow,
+        read_hudi_pruned,
+        upsert_hudi,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    root = tempfile.mkdtemp(prefix="hudi_cluster_")
+    t = f"{root}/t"
+    export_hudi_cow(
+        s, t, record_key="s_suppkey", num_files=8, col_stats=True
+    )
+    upsert_hudi(
+        spark,
+        t,
+        s.filter("s_suppkey = 3").select(
+            "s_suppkey",
+            F.concat(F.lit("U-"), F.col("s_name")).alias("s_name"),
+        ),
+    )
+    cluster_hudi(spark, t, sort_by="s_suppkey")
+    preds = [("s_suppkey", ">=", 2), ("s_suppkey", "<", 60)]
+    pr = read_hudi_pruned(spark, t, preds).select("s_suppkey", "s_name")
+    n_base = len(
+        [f for f in pr.inputFiles() if f.endswith(".parquet")]
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "CLUSTERING DID NOT TIGHTEN BOUNDS")]
+        if n_base >= 8
+        else [],
+        "s_suppkey long, s_name string",
+    )
+    return pr.unionAll(sentinel)
+
+
 _PRUNED_ORACLE_HUDI = """
 SELECT s_suppkey, concat('U-', s_name) AS s_name
 FROM supplier WHERE s_suppkey = 7

@@ -2184,6 +2184,270 @@ def compact_hudi(
     }
 
 
+def cluster_hudi(
+    spark: SparkSession,
+    path: str,
+    sort_by: str | list[str],
+    num_groups: int | None = None,
+) -> dict:
+    """Hudi CLUSTERING on an exported layout (new r13 — the table
+    service Hudi commits as a ``replacecommit``; hudi.apache.org
+    clustering: rewrite small/unsorted file groups into sorted ones
+    so col_stats data skipping works on the sort key): the REAL-TIME
+    view (logs merged, LWW per key) is re-laid-out into NEW file
+    groups, each owning a contiguous ``sort_by`` range within its
+    partition dir (per-partition ``ntile`` bucketing + in-file
+    sort), committed as one ``.replacecommit`` whose
+    ``partitionToReplaceFileIds`` retires every pre-cluster group —
+    the exact metadata :func:`read_hudi`'s replaced-group gate
+    already honors, so time travel to a pre-cluster instant still
+    serves the old layout.
+
+    New groups get fresh UUID file ids (what Hudi's clusterer
+    writes), which deliberately do NOT match the exporters'
+    deterministic hash assignment — so the keyed DML mutators
+    (``upsert_hudi``/``delete_hudi``/``compact_hudi``) REFUSE a
+    clustered table rather than route keys to groups that no longer
+    own them, and ``read_hudi``'s bucket-index point-lookup fast
+    path disarms itself the same way (its layout gate raises).
+    That mirrors Hudi's own restriction: clustering and the bucket
+    index don't compose. An existing col_stats sidecar is rebuilt
+    so range predicates prune immediately; clustering is the
+    materialization op that makes bounds TIGHT (the sidecar's
+    bounds on hash-scattered exports are vacuously wide).
+
+    Scale: one distributed merge + one per-partition sort (the cost
+    any clustering pays — it IS a sort), group files keyed by the
+    ``_gid`` DATA column (same elision-proof staging as the
+    exporters), KB-scale timeline JSON on the driver.
+
+    Returns {"instant", "new_groups", "replaced_groups", "rows"}."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+    if not sort_cols:
+        raise ValueError("cluster_hudi needs at least one sort column")
+    slices = live_file_slices(path)
+    if not slices:
+        raise FileNotFoundError(
+            f"Hudi table at {path} has no committed base files"
+        )
+    name = _table_name(path)
+    view = read_hudi(spark, path)
+    payload = [c for c in view.columns if not c.startswith("_hoodie_")]
+    missing = [c for c in sort_cols if c not in payload]
+    if missing:
+        raise ValueError(f"sort_by: unknown columns {missing}")
+    need_meta = [
+        "_hoodie_commit_time",
+        "_hoodie_commit_seqno",
+        "_hoodie_record_key",
+        "_hoodie_partition_path",
+    ]
+    lack = [c for c in need_meta if c not in view.columns]
+    if lack:
+        raise UnsupportedHudiFeature(
+            f"cluster_hudi needs materialized meta columns {lack} "
+            "(hoodie.populate.meta.fields=false layouts are not "
+            "re-clusterable here)"
+        )
+    base_fids = {}
+    for rel, _inst in slices:
+        part = os.path.dirname(rel)
+        m = _BASE_FILE_RE.match(os.path.basename(rel))
+        base_fids.setdefault(part, set()).add(m.group("file_id"))
+    # log-only groups (no live base) die with the rewrite too
+    done = set(completed_instants(path))
+    already = _replaced_file_groups(path, done)
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != _HOODIE]
+        relp = os.path.relpath(root, path)
+        relp = "" if relp == "." else relp
+        for f in files:
+            lm = _LOG_FILE_RE.match(f)
+            if lm and (relp, lm.group("file_id")) not in already:
+                base_fids.setdefault(relp, set()).add(
+                    lm.group("file_id")
+                )
+    n = num_groups or max(len(v) for v in base_fids.values())
+    part_fields = [
+        f.strip()
+        for f in (
+            _hoodie_property(path, "hoodie.table.partition.fields") or ""
+        ).split(",")
+        if f.strip()
+    ]
+    _wait_for_pending_compaction(path)
+    new_inst = _next_instant(path)
+    _claim_instant(path, new_inst, "replacecommit")
+
+    def fid_for(part: str, gid: int) -> str:
+        import uuid as _uuid
+
+        return (
+            str(
+                _uuid.uuid5(
+                    _uuid.NAMESPACE_URL,
+                    f"hudi-cluster|{name}|{new_inst}|{part}|{gid}",
+                )
+            )
+            + "-0"
+        )
+
+    def file_name(part: str, gid: int) -> str:
+        return f"{fid_for(part, gid)}_0-{gid}-0_{new_inst}.parquet"
+
+    part_expr = F.coalesce(F.col("_hoodie_partition_path"), F.lit(""))
+    all_parts = sorted(base_fids)
+    name_map = F.create_map(
+        *[
+            x
+            for part in all_parts
+            for gid in range(n)
+            for x in (
+                F.lit(f"{part}|{gid}"),
+                F.lit(file_name(part, gid)),
+            )
+        ]
+    )
+    gid_col = (
+        F.ntile(n).over(
+            Window.partitionBy(part_expr).orderBy(
+                *[F.col(c) for c in sort_cols]
+            )
+        )
+        - 1
+    )
+    key_fields = _record_key_fields(path)
+    meta_cols = [
+        "_hoodie_commit_time",
+        "_hoodie_commit_seqno",
+        "_hoodie_record_key",
+        "_hoodie_partition_path",
+        "_hoodie_file_name",
+    ]
+    rewritten = (
+        view.withColumn("_gid", gid_col)
+        .withColumn(
+            "_hoodie_record_key",
+            F.coalesce(
+                F.col("_hoodie_record_key"),
+                _key_str_expr(key_fields)
+                if key_fields
+                else F.col("_hoodie_record_key"),
+            ),
+        )
+        .withColumn(
+            "_hoodie_partition_path",
+            F.coalesce(F.col("_hoodie_partition_path"), F.lit("")),
+        )
+        .withColumn(
+            "_hoodie_commit_seqno",
+            F.coalesce(
+                F.col("_hoodie_commit_seqno"),
+                F.concat_ws(
+                    "_",
+                    F.col("_hoodie_commit_time"),
+                    F.col("_gid").cast("string"),
+                    (F.monotonically_increasing_id() % (1 << 33)).cast(
+                        "string"
+                    ),
+                ),
+            ),
+        )
+        .withColumn(
+            "_hoodie_file_name",
+            name_map[
+                F.concat(
+                    F.col("_hoodie_partition_path"),
+                    F.lit("|"),
+                    F.col("_gid").cast("string"),
+                )
+            ],
+        )
+        .repartition(
+            max(n * max(len(all_parts), 1), 1),
+            F.col("_hoodie_partition_path"),
+            F.col("_gid"),
+        )
+        .sortWithinPartitions(*sort_cols)
+        .select(
+            *meta_cols,
+            *[c for c in payload if c not in part_fields],
+            *part_fields,
+            "_gid",
+        )
+    )
+    staged = os.path.join(path, ".cluster_stage")
+    rewritten.write.mode("overwrite").partitionBy(
+        *part_fields, "_gid"
+    ).parquet(staged)
+    write_stats: dict[str, list] = {}
+    total_rows = 0
+    for sroot, _dirs, files in os.walk(staged):
+        rel = os.path.relpath(sroot, staged)
+        rel = "" if rel == "." else rel
+        pm = re.search(r"(?:^|/)_gid=(\d+)$", rel)
+        if pm is None:
+            continue
+        gid = int(pm.group(1))
+        rel = rel[: pm.start()].rstrip("/")
+        pqs = [f for f in files if f.endswith(".parquet")]
+        if len(pqs) > 1:
+            raise RuntimeError(
+                f"clustering staging split group {gid} in {rel!r} "
+                f"across {len(pqs)} files"
+            )
+        for f in pqs:
+            n_rows = pq.ParquetFile(
+                os.path.join(sroot, f)
+            ).metadata.num_rows
+            if n_rows == 0:
+                continue
+            if rel:
+                os.makedirs(os.path.join(path, rel), exist_ok=True)
+            rel_dest = os.path.join(rel, file_name(rel, gid))
+            dest = os.path.join(path, rel_dest)
+            os.replace(os.path.join(sroot, f), dest)
+            total_rows += n_rows
+            write_stats.setdefault(rel, []).append(
+                {
+                    "fileId": fid_for(rel, gid),
+                    "path": rel_dest,
+                    "numWrites": n_rows,
+                    "fileSizeInBytes": os.path.getsize(dest),
+                }
+            )
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
+    with open(
+        os.path.join(path, _HOODIE, f"{new_inst}.replacecommit"), "w"
+    ) as fh:
+        json.dump(
+            {
+                "partitionToWriteStats": write_stats,
+                "partitionToReplaceFileIds": {
+                    part: sorted(fids)
+                    for part, fids in base_fids.items()
+                },
+                "operationType": "CLUSTER",
+                "extraMetadata": {},
+            },
+            fh,
+        )
+    if os.path.exists(os.path.join(path, _HOODIE, _COL_STATS_FILE)):
+        build_hudi_col_stats(spark, path)
+    return {
+        "instant": new_inst,
+        "new_groups": sum(len(v) for v in write_stats.values()),
+        "replaced_groups": sum(len(v) for v in base_fids.values()),
+        "rows": total_rows,
+    }
+
+
 def rollback_hudi(path: str, instant: str) -> dict:
     """ROLLBACK an exported layout to ``instant`` (new r12 — Hudi
     CLI's ``commit rollback`` / the writer's failed-commit rollback,

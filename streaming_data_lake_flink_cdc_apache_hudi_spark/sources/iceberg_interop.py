@@ -1245,13 +1245,29 @@ def rewrite_data_files(
     path: str,
     data_files: Sequence[str] | None = None,
     deletes_applied: bool = False,
+    sort_by: Sequence[str] | None = None,
+    target_files: int | None = None,
+    stats: bool = False,
 ) -> dict:
     """Iceberg's ``rewrite_data_files`` (bin-pack compaction, new
     r10 — the Iceberg twin of ``optimize_delta``): read the CURRENT
     snapshot's live rows (row-level deletes applied via
     ``read_iceberg``), rewrite them as ONE data file, and commit a
     new snapshot with ``operation=replace`` whose manifest list
-    references a single data manifest of ADDED entries. Exported
+    references a single data manifest of ADDED entries.
+
+    ``sort_by`` (new r13) is the procedure's SORT strategy
+    (Java's ``strategy => 'sort', sort_order => ...``): rows are
+    range-partitioned into ``target_files`` files (default: the
+    pre-rewrite live file count) and sorted within each, so every
+    file owns a DISJOINT range of the sort key. With ``stats=True``
+    the new manifest entries carry Appendix-D lower/upper bounds
+    (plus value/null counts) from one distributed footer pass —
+    after which ``read_iceberg_pruned`` answers point/range queries
+    on the sort key opening exactly the covering files. This is the
+    materialization op that turns accumulated unsorted appends into
+    a skippable layout (SCALING.md cadence story). Unpartitioned
+    tables only (a hive partition already bounds its files). Exported
     tables accumulate one data file per append commit, so without
     this the per-scan file count grows unboundedly; afterwards it is
     O(1) until the next appends. Delete manifests are DROPPED from
@@ -1288,6 +1304,22 @@ def rewrite_data_files(
     data, KB-scale driver metadata — the same shape as any engine's
     compaction pass."""
     import pyarrow.parquet as pq
+
+    if sort_by and data_files is not None:
+        raise ValueError(
+            "sort_by rewrites the data itself — incompatible with "
+            "data_files injection"
+        )
+    if sort_by and (
+        json.load(open(_current_metadata_path(path)))
+        .get("partition-specs", [{}])[0]
+        .get("fields")
+    ):
+        raise UnsupportedIcebergFeature(
+            "sort_by rewrite over a partitioned table — a hive "
+            "partition already bounds its files; run the bin-pack "
+            "rewrite instead"
+        )
 
     meta = json.load(open(_current_metadata_path(path)))
     fmt_version = int(meta.get("format-version", 1))
@@ -1414,6 +1446,21 @@ def rewrite_data_files(
             w.write.partitionBy(*shadows).mode("append").parquet(
                 data_dir
             )
+        elif sort_by:
+            missing = [c for c in sort_by if c not in w.columns]
+            if missing:
+                raise ValueError(
+                    f"sort_by: unknown columns {missing}"
+                )
+            n_out = target_files or max(len(live), 1)
+            (
+                w.repartitionByRange(
+                    n_out, *[F.col(c) for c in sort_by]
+                )
+                .sortWithinPartitions(*sort_by)
+                .write.mode("append")
+                .parquet(data_dir)
+            )
         else:
             w.coalesce(1).write.mode("append").parquet(data_dir)
         new_files = sorted(_on_disk() - before_write)
@@ -1439,6 +1486,20 @@ def rewrite_data_files(
         entry_schema["fields"][2]["type"]["fields"].insert(
             1, {"name": "content", "type": "int", "field-id": 134}
         )
+    rw_stats: dict[str, dict] = {}
+    rw_ice_types: dict[str, str] = {}
+    rw_field_ids: dict[str, int] = {}
+    if stats:
+        from .filestats import parquet_footer_stats
+
+        entry_schema["fields"][2]["type"]["fields"] += (
+            _stats_map_schema_fields()
+        )
+        rw_stats = parquet_footer_stats(spark, list(new_files))
+        for f in _current_schema(path)["fields"]:
+            if isinstance(f["type"], str):
+                rw_ice_types[f["name"]] = f["type"]
+                rw_field_ids[f["name"]] = f["id"]
     if pspecs:
         part_rec = next(
             fl
@@ -1520,6 +1581,28 @@ def rewrite_data_files(
             }
             if fmt_version == 2:
                 data_file["content"] = 0
+            if stats and full in rw_stats:
+                fs = rw_stats[full]
+                vc, nvc, lo, hi = {}, {}, {}, {}
+                for c, fid in rw_field_ids.items():
+                    t = rw_ice_types[c]
+                    vc[fid] = fs["numRecords"]
+                    if c in fs["nulls"]:
+                        nvc[fid] = fs["nulls"][c]
+                    if c in fs["min"] and c in fs["max"]:
+                        try:
+                            lo[fid] = _single_value_bytes(
+                                t, fs["min"][c]
+                            )
+                            hi[fid] = _single_value_bytes(
+                                t, fs["max"][c]
+                            )
+                        except (TypeError, ValueError):
+                            pass  # unrenderable bound stays absent
+                data_file["value_counts"] = _kv(vc)
+                data_file["null_value_counts"] = _kv(nvc)
+                data_file["lower_bounds"] = _kv(lo)
+                data_file["upper_bounds"] = _kv(hi)
             entries.append(
                 # ADDED entries with null seq inherit the manifest's —
                 # the spec's inheritance rule _live_files implements
