@@ -2984,6 +2984,8 @@ def optimize_delta(
     path: str,
     zorder_by: list[str] | None = None,
     data_files: list[str] | None = None,
+    stats: bool = False,
+    target_files: int | None = None,
 ) -> dict:
     """Bin-packing OPTIMIZE (optionally Z-ORDER BY) as a Delta log
     commit.
@@ -3022,7 +3024,21 @@ def optimize_delta(
     live row set — new r10) skips the data write and commits the
     remove+add action set over those files: the UniForm path, where
     ONE rewritten parquet set serves both formats' compaction commits
-    (``uniform.optimize_uniform``)."""
+    (``uniform.optimize_uniform``).
+
+    ``stats=True`` (new r13) writes fresh PROTOCOL.md Per-file
+    Statistics into the rewritten adds in the same commit — OPTIMIZE
+    without it silently LOSES ``read_delta_pruned`` skipping until a
+    ``backfill_delta_stats`` pass. ``target_files`` (new r13,
+    unpartitioned + zorder_by only) range-partitions ON the z-value
+    into that many z-contiguous files instead of one, so file-level
+    bounds stay tight on every z-ordered column — the 100 TB layout;
+    the single-file default keeps the r9 contract."""
+    if target_files and (data_files is not None or not zorder_by):
+        raise ValueError(
+            "target_files needs zorder_by and is incompatible with "
+            "data_files injection"
+        )
     adds, meta, _ = _replay_log(spark, path)
     if meta is None:
         raise UnsupportedDeltaFeature("table has no metaData action")
@@ -3063,7 +3079,9 @@ def optimize_delta(
                 f"data_files injection overlaps live adds: "
                 f"{sorted(overlap)[:3]}"
             )
-        return _commit_optimize(path, adds, meta, part_cols, new_files)
+        return _commit_optimize(
+            path, adds, meta, part_cols, new_files, spark if stats else None
+        )
     df = read_delta(spark, path)
     zexpr = None
     if zorder_by:
@@ -3079,6 +3097,11 @@ def optimize_delta(
             [F.col(c) for c in zorder_by], mins, maxs
         )
     before = _data_file_set(path)
+    if part_cols and target_files:
+        raise ValueError(
+            "target_files applies to unpartitioned tables (a hive "
+            "partition already scopes its files)"
+        )
     if part_cols:
         # repartition ON the partition columns puts each partition
         # value wholly in one task -> exactly one output file per
@@ -3088,8 +3111,20 @@ def optimize_delta(
             w = w.sortWithinPartitions(*part_cols, zexpr)
         w.write.partitionBy(*part_cols).mode("append").parquet(path)
     else:
-        w = df.coalesce(1)
-        if zexpr is not None:
+        if target_files and zexpr is not None:
+            # range-partition ON the z-value (new r13): many
+            # z-contiguous files instead of one — the 100 TB layout
+            # the docstring describes, and with stats=True each
+            # file's add carries TIGHT multi-column bounds, so
+            # read_delta_pruned skips at FILE level on every
+            # z-ordered column (row-group stats only help after a
+            # footer is already open)
+            w = df.repartitionByRange(
+                target_files, zexpr.alias("_zv")
+            ).sortWithinPartitions(zexpr)
+        else:
+            w = df.coalesce(1)
+        if zexpr is not None and not target_files:
             w = w.sortWithinPartitions(zexpr)
         if cm:
             # rewrite under the TABLE's mapping (r10 — the rename is
@@ -3112,7 +3147,9 @@ def optimize_delta(
             )
         w.write.mode("append").parquet(path)
     new_files = sorted(_data_file_set(path) - before)
-    return _commit_optimize(path, adds, meta, part_cols, new_files)
+    return _commit_optimize(
+        path, adds, meta, part_cols, new_files, spark if stats else None
+    )
 
 
 def _commit_optimize(
@@ -3121,6 +3158,7 @@ def _commit_optimize(
     meta: dict,
     part_cols: list[str],
     new_files: list[str],
+    stats_spark: SparkSession | None = None,
 ) -> dict:
     """Commit the OPTIMIZE action set: remove every live add + add
     the compacted files, all ``dataChange: false`` (the protocol's
@@ -3152,19 +3190,37 @@ def _commit_optimize(
                 }
             }
         )
+    stats_by_rel: dict[str, str] = {}
+    if stats_spark is not None:
+        # optimize_delta(stats=True): the rewritten files get fresh
+        # Per-file Statistics in the same commit — OPTIMIZE ZORDER
+        # without them would silently LOSE data skipping until a
+        # backfill_delta_stats pass
+        from .filestats import parquet_footer_stats
+
+        footer = parquet_footer_stats(
+            stats_spark,
+            [os.path.abspath(os.path.join(path, f)) for f in new_files],
+        )
+        stats_by_rel = {
+            f: _delta_stats_json(
+                footer[os.path.abspath(os.path.join(path, f))]
+            )
+            for f in new_files
+            if os.path.abspath(os.path.join(path, f)) in footer
+        }
     for f in new_files:
         st = os.stat(os.path.join(path, f))
-        actions.append(
-            {
-                "add": {
-                    "path": f,
-                    "partitionValues": _part_vals(f) if part_cols else {},
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": False,
-                }
-            }
-        )
+        add = {
+            "path": f,
+            "partitionValues": _part_vals(f) if part_cols else {},
+            "size": st.st_size,
+            "modificationTime": int(st.st_mtime * 1000),
+            "dataChange": False,
+        }
+        if f in stats_by_rel:
+            add["stats"] = stats_by_rel[f]
+        actions.append({"add": add})
     log_dir = os.path.join(path, _LOG_DIR)
     versions = [
         int(f[:20])

@@ -405,3 +405,48 @@ def test_hudi_col_stats_and_bucket_pruning(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_delta_optimize_zorder_stats_file_skipping(spark, tmp_path):
+    """r13: optimize_delta(zorder_by, stats=True, target_files=N) —
+    the rewritten adds carry fresh Per-file Statistics (OPTIMIZE
+    without stats would silently lose skipping) and the z-range
+    layout keeps FILE-level bounds tight on every z-ordered column,
+    so a 2-D predicate opens a handful of the N files."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        optimize_delta,
+        read_delta,
+        read_delta_pruned,
+    )
+
+    d = str(tmp_path / "d")
+    df = (
+        spark.range(4000)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            F.floor(F.col("id") / 64).alias("y"),
+            F.concat(F.lit("p"), F.col("id")).alias("s"),
+        )
+        .orderBy(F.md5(F.col("id").cast("string")))
+        .repartition(4)
+    )
+    export_delta(df, d, stats=True)
+    preds = [("x", "==", 3), ("y", "<", 10)]
+    assert len(read_delta_pruned(spark, d, preds).inputFiles()) == 4
+    out = optimize_delta(
+        spark, d, zorder_by=["x", "y"], stats=True, target_files=16
+    )
+    assert out["added_files"] == 16
+    pr = read_delta_pruned(spark, d, preds)
+    assert pr.count() == 10
+    assert len(pr.inputFiles()) < 16 // 2
+    full = read_delta(spark, d)
+    assert full.count() == 4000 and len(full.inputFiles()) == 16
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target_files"):
+        optimize_delta(spark, d, target_files=4)
