@@ -1047,13 +1047,25 @@ def _merge_entry_schemas(a: dict, b: dict) -> dict:
     return a
 
 
-def rewrite_manifests(path: str) -> dict:
+def rewrite_manifests(
+    path: str,
+    spark: SparkSession | None = None,
+    stats: bool = False,
+) -> dict:
     """Iceberg's ``rewrite_manifests`` maintenance procedure: compact
     the CURRENT snapshot's DATA manifests into ONE manifest of
     EXISTING entries (explicit sequence numbers in v2, per the spec's
     inheritance rule being ADDED-only), committed as a new snapshot
     with ``operation=replace`` — the same data files, one metadata
-    pass, no data rewrite. Delete manifests (v2 content=1) pass
+    pass, no data rewrite.
+
+    ``stats=True`` (new r13, needs ``spark``) is the Iceberg stats
+    BACKFILL — ``backfill_delta_stats``' twin: entries whose
+    data_file records lack ``lower_bounds`` get the four per-file
+    stats maps (Appendix D) computed by one distributed footer pass
+    during the same metadata-only replace, so a table written before
+    stats existed becomes skippable without rewriting a byte of
+    data. Entries already carrying bounds keep them. Delete manifests (v2 content=1) pass
     through untouched. Per-manifest partition bound summaries are not
     recomputed (entries keep their real partition structs, which is
     the level ``read_iceberg``'s ``partition_filter`` prunes on).
@@ -1078,7 +1090,10 @@ def rewrite_manifests(path: str) -> dict:
         "data_manifests_after": min(1, len(data_manifests)),
         "rewritten": 0,
     }
-    if len(data_manifests) <= 1:
+    # stats backfill must run even over a single manifest (the
+    # common shape of a fresh export) — the rewrite is then a
+    # stats-only metadata replace
+    if len(data_manifests) <= 1 and not (stats and data_manifests):
         return out
     spec_ids = {m.get("partition_spec_id") or 0 for m in data_manifests}
     if len(spec_ids) > 1:
@@ -1119,6 +1134,58 @@ def rewrite_manifests(path: str) -> dict:
                 min_seq = seq if min_seq is None else min(min_seq, seq)
             entries_out.append(ne)
     entry_schema = json.loads(json.dumps(entry_schema))
+    if stats:
+        if spark is None:
+            raise ValueError("rewrite_manifests(stats=True) needs spark")
+        fields_by_id = _fields_by_id(meta)
+        df_field = next(
+            f for f in entry_schema["fields"] if f["name"] == "data_file"
+        )
+        have = {f["name"] for f in df_field["type"]["fields"]}
+        df_field["type"]["fields"] += [
+            fld
+            for fld in _stats_map_schema_fields()
+            if fld["name"] not in have
+        ]
+        todo = [
+            e
+            for e in entries_out
+            if not e["data_file"].get("lower_bounds")
+        ]
+        resolved = {
+            e["data_file"]["file_path"]: _resolve(
+                e["data_file"]["file_path"], path
+            )
+            for e in todo
+        }
+        from .filestats import parquet_footer_stats
+
+        footer = parquet_footer_stats(
+            spark, sorted(set(resolved.values()))
+        )
+        out["stats_backfilled"] = 0
+        for e in todo:
+            fs = footer.get(resolved[e["data_file"]["file_path"]])
+            if fs is None:
+                continue
+            vc, nvc, lo, hi = {}, {}, {}, {}
+            for fid, (cname, t) in fields_by_id.items():
+                vc[fid] = fs["numRecords"]
+                if cname in fs["nulls"]:
+                    nvc[fid] = fs["nulls"][cname]
+                if cname in fs["min"] and cname in fs["max"]:
+                    try:
+                        lo[fid] = _single_value_bytes(t, fs["min"][cname])
+                        hi[fid] = _single_value_bytes(t, fs["max"][cname])
+                    except (TypeError, ValueError):
+                        pass
+            d = dict(e["data_file"])
+            d["value_counts"] = _kv(vc)
+            d["null_value_counts"] = _kv(nvc)
+            d["lower_bounds"] = _kv(lo)
+            d["upper_bounds"] = _kv(hi)
+            e["data_file"] = d
+            out["stats_backfilled"] += 1
     if fmt_version == 2 and not any(
         f["name"] == "sequence_number" for f in entry_schema["fields"]
     ):

@@ -450,3 +450,52 @@ def test_delta_optimize_zorder_stats_file_skipping(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="target_files"):
         optimize_delta(spark, d, target_files=4)
+
+
+def test_iceberg_rewrite_manifests_stats_backfill(spark, tmp_path):
+    """r13: rewrite_manifests(spark, stats=True) — the Iceberg stats
+    BACKFILL (backfill_delta_stats' twin): entries lacking bounds
+    get the four Appendix-D maps in the same metadata-only replace
+    (single-manifest tables included — the fresh-export shape);
+    entries already carrying bounds keep them."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg,
+        read_iceberg_pruned,
+        rewrite_manifests,
+    )
+
+    d = str(tmp_path / "i")
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id"), F.concat(F.lit("s"), F.col("id")).alias("s")
+        )
+        .repartitionByRange(8, "id")
+    )
+    export_iceberg(df, d, format_version=2)  # no stats at write
+    assert (
+        len(
+            read_iceberg_pruned(spark, d, [("id", "==", 500)]).inputFiles()
+        )
+        == 8
+    )
+    out = rewrite_manifests(d, spark=spark, stats=True)
+    assert out["stats_backfilled"] == 8
+    pr = read_iceberg_pruned(spark, d, [("id", "==", 500)])
+    assert len(pr.inputFiles()) == 1 and pr.count() == 1
+    assert read_iceberg(spark, d).count() == 1000
+    # append without stats, backfill only the NEW entries
+    export_iceberg(
+        df.filter("id < 10").withColumn("id", F.col("id") + 10_000),
+        d,
+        format_version=2,
+        mode="append",
+    )
+    out2 = rewrite_manifests(d, spark=spark, stats=True)
+    assert out2["stats_backfilled"] == 8  # old 8 keep their bounds
+    pr2 = read_iceberg_pruned(spark, d, [("id", "==", 10_005)])
+    assert pr2.count() == 1
+    # needs spark
+    with pytest.raises(ValueError, match="needs spark"):
+        rewrite_manifests(d, stats=True)
