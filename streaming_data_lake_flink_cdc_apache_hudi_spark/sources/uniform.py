@@ -343,7 +343,9 @@ def upsert_uniform(
     }
 
 
-def optimize_uniform(spark: SparkSession, path: str) -> dict:
+def optimize_uniform(
+    spark: SparkSession, path: str, stats: bool = False
+) -> dict:
     """Bin-pack BOTH views over ONE rewritten parquet set (new r10):
     read the Delta view's live rows, write them once as a single
     compacted file beside the old parts, then commit (a) the Delta
@@ -424,7 +426,10 @@ def optimize_uniform(spark: SparkSession, path: str) -> dict:
     else:
         live.coalesce(1).write.mode("append").parquet(path)
     new_parts = sorted(_parts() - before)
-    optimize_delta(spark, path, data_files=new_parts)
+    # stats=True (r13): the SAME footer pass effectively serves both
+    # formats — Delta add.stats and Iceberg manifest bounds land over
+    # the shared compacted files in their respective commits
+    optimize_delta(spark, path, data_files=new_parts, stats=stats)
     # deletes_applied: the injected set came from read_delta, which
     # applies the deletion vectors delete_uniform mirrors as the
     # Iceberg side's position deletes — so this replace snapshot
@@ -434,6 +439,7 @@ def optimize_uniform(spark: SparkSession, path: str) -> dict:
         path,
         data_files=[os.path.join(path, f) for f in new_parts],
         deletes_applied=True,
+        stats=stats,
     )
     # n_live, not len(before): the on-disk walk counts tombstoned
     # parquet parts left by earlier compactions, which the early

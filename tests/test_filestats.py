@@ -499,3 +499,40 @@ def test_iceberg_rewrite_manifests_stats_backfill(spark, tmp_path):
     # needs spark
     with pytest.raises(ValueError, match="needs spark"):
         rewrite_manifests(d, stats=True)
+
+
+def test_uniform_stats_both_legs(spark, tmp_path):
+    """r13: export_uniform(stats=True) / optimize_uniform(stats=True)
+    land Delta add.stats AND Iceberg manifest bounds over the SAME
+    shared files, so both formats' pruned readers skip identically."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        read_delta,
+        read_delta_pruned,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        read_iceberg,
+        read_iceberg_pruned,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.uniform import (
+        export_uniform,
+        optimize_uniform,
+    )
+
+    d = str(tmp_path / "u")
+    df = spark.range(500).select(
+        F.col("id"), F.concat(F.lit("s"), F.col("id")).alias("s")
+    )
+    export_uniform(
+        df.repartitionByRange(4, "id"), d, format_version=2, stats=True
+    )
+    pd_ = read_delta_pruned(spark, d, [("id", "==", 250)])
+    pi = read_iceberg_pruned(spark, d, [("id", "==", 250)])
+    assert len(pd_.inputFiles()) == 1 and len(pi.inputFiles()) == 1
+    assert pd_.count() == pi.count() == 1
+    optimize_uniform(spark, d, stats=True)
+    assert read_delta(spark, d).count() == 500
+    assert read_iceberg(spark, d).count() == 500
+    assert read_delta_pruned(spark, d, [("id", ">", 10_000)]).count() == 0
+    assert (
+        read_iceberg_pruned(spark, d, [("id", ">", 10_000)]).count() == 0
+    )
