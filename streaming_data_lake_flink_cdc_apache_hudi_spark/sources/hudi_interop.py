@@ -728,6 +728,64 @@ def read_hudi(
                     == _export_file_id(name, pid, os.path.dirname(rel))
                 ]
                 slices = kept or slices[:1]
+        # hive partition-path pruning (always available — the dir
+        # segments ARE exact values, no sidecar needed): a predicate
+        # naming a partition column eliminates other partitions'
+        # slices, the pruning every Hudi planner does first. Values
+        # coerce to the probe's type; unparseable values keep the
+        # slice (bloom-style, as everywhere in this module).
+        import urllib.parse
+
+        def _hive_vals(rel: str) -> dict[str, str]:
+            vals: dict[str, str] = {}
+            for comp in os.path.dirname(rel).split("/"):
+                if "=" in comp:
+                    k, _, raw = comp.partition("=")
+                    vals[k] = urllib.parse.unquote(raw)
+            return vals
+
+        pred_cols = {c for c, _op, _v in preds}
+        typed_probe = {
+            c: v for c, _op, v in preds if v is not None
+        }
+
+        def _hive_record(rel: str) -> dict:
+            st: dict = {
+                "numRecords": None,
+                "min": {},
+                "max": {},
+                "nulls": {},
+            }
+            for c, raw in _hive_vals(rel).items():
+                if c not in pred_cols:
+                    continue
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    st["numRecords"] = 1
+                    st["nulls"][c] = 1  # all-null partition value
+                    continue
+                probe = typed_probe.get(c)
+                try:
+                    val: object = (
+                        int(raw)
+                        if isinstance(probe, int)
+                        and not isinstance(probe, bool)
+                        else float(raw)
+                        if isinstance(probe, float)
+                        else raw
+                    )
+                except ValueError:
+                    continue  # unparseable: no bound, keep
+                st["min"][c] = val
+                st["max"][c] = val
+                st["nulls"][c] = 0
+            return st
+
+        kept = [
+            (rel, inst)
+            for rel, inst in slices
+            if file_survives(preds, _hive_record(rel))
+        ]
+        slices = kept or slices[:1]
         # col_stats file-group skipping (new r13 — ≙ Hudi's
         # metadata-table col_stats index): a slice drops only when
         # (a) the persisted sidecar has bounds for its CURRENT base

@@ -536,3 +536,36 @@ def test_uniform_stats_both_legs(spark, tmp_path):
     assert (
         read_iceberg_pruned(spark, d, [("id", ">", 10_000)]).count() == 0
     )
+
+
+def test_hudi_hive_partition_pruning(spark, tmp_path):
+    """r13: a bounds_filter predicate naming a hive partition column
+    prunes other partitions' file slices from exact dir-segment
+    values — no sidecar needed; combined with a record-key equality
+    the bucket fast path narrows within the partition."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        export_hudi_cow,
+        read_hudi,
+        read_hudi_pruned,
+    )
+
+    h = str(tmp_path / "h")
+    df = spark.range(120).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    export_hudi_cow(df, h, record_key="id", num_files=4, partition_by="g")
+    total = len(read_hudi(spark, h).inputFiles())
+    assert total == 12  # 3 partitions x 4 groups
+    pr = read_hudi_pruned(spark, h, [("g", "==", 1)])
+    assert len(pr.inputFiles()) == 4
+    assert pr.count() == 40
+    assert {r.g for r in pr.select("g").collect()} == {1}
+    # partition + key: one partition, one group
+    point = read_hudi_pruned(spark, h, [("g", "==", 1), ("id", "==", 7)])
+    assert point.count() == 1
+    assert len(point.inputFiles()) == 1
+    # range over the partition value
+    rng = read_hudi_pruned(spark, h, [("g", ">=", 2)])
+    assert rng.count() == 40 and len(rng.inputFiles()) == 4
