@@ -3886,7 +3886,7 @@ def q_delta_stats_pruned_read(
 _SORTED_ORACLE_ICE = """
 SELECT p_partkey, p_name
 FROM part
-WHERE p_partkey >= 200 AND p_partkey < 400
+WHERE p_partkey >= 40 AND p_partkey < 160
 """
 
 
@@ -3924,7 +3924,7 @@ def q_iceberg_sorted_rewrite_read(
     t = f"{root}/t"
     export_iceberg(p, t, format_version=2, stats=True)
     rewrite_data_files(spark, t, sort_by=["p_partkey"], target_files=8, stats=True)
-    preds = [("p_partkey", ">=", 200), ("p_partkey", "<", 400)]
+    preds = [("p_partkey", ">=", 40), ("p_partkey", "<", 160)]
     pr = read_iceberg_pruned(spark, t, preds)
     sentinel = spark.createDataFrame(
         [(-1, "SORT REWRITE DID NOT TIGHTEN BOUNDS")]
@@ -4074,7 +4074,7 @@ def q_hudi_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRUNED_ORACLE_ICE = """
 SELECT p_partkey, p_name, p_retailprice
 FROM part
-WHERE p_partkey > 300 AND p_partkey <= 900 AND p_name IS NOT NULL
+WHERE p_partkey > 30 AND p_partkey <= 150 AND p_name IS NOT NULL
 """
 
 
@@ -4113,8 +4113,8 @@ def q_iceberg_bounds_pruned_read(
     t = f"{root}/t"
     export_iceberg(p, t, format_version=2, stats=True)
     preds = [
-        ("p_partkey", ">", 300),
-        ("p_partkey", "<=", 900),
+        ("p_partkey", ">", 30),
+        ("p_partkey", "<=", 150),
         ("p_name", "not_null", None),
     ]
     pr = read_iceberg_pruned(spark, t, preds)
