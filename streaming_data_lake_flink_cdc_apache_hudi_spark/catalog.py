@@ -696,6 +696,171 @@ class TableRegistry:
             "table STRING, commit_seq BIGINT, zorder_by STRING",
         )
 
+    def _execute_format_maintenance(
+        self, statement: str
+    ) -> DataFrame | None:
+        """Maintenance SQL on FORMAT-PATH tables (new r13 — the
+        spellings Spark users type, routed to the interop services):
+
+          OPTIMIZE fmt.`/path` [ZORDER BY (c [, ...])]
+              delta -> optimize_delta (Z-order + fresh stats);
+              iceberg -> rewrite_data_files (ZORDER = sort strategy);
+              hudi -> compact_hudi (ZORDER = cluster_hudi);
+              uniform -> optimize_uniform (ZORDER refuses — one
+              shared file set serves both formats' commits).
+          VACUUM fmt.`/path` [RETAIN n VERSIONS]
+              delta -> vacuum_delta; iceberg -> expire_snapshots;
+              hudi -> clean_hudi; uniform refuses (each leg's
+              retention must be driven explicitly).
+          ANALYZE TABLE fmt.`/path` COMPUTE STATISTICS
+              the stats BACKFILL: delta -> backfill_delta_stats;
+              iceberg -> rewrite_manifests(stats=True); hudi ->
+              build_hudi_col_stats; uniform -> both legs over the
+              shared files.
+
+        The SQL spellings always write stats where the op supports
+        them — a real OPTIMIZE never drops data-skipping metadata."""
+        import re as _re
+
+        om = _re.match(
+            r"^\s*OPTIMIZE\s+(delta|iceberg|hudi|uniform)\s*\.\s*"
+            r"`([^`]+)`(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*$",
+            statement,
+            _re.IGNORECASE,
+        )
+        if om:
+            fmt, path = om.group(1).lower(), om.group(2)
+            cols = (
+                [c.strip(" `") for c in om.group(3).split(",")]
+                if om.group(3)
+                else None
+            )
+            if fmt == "delta":
+                from .sources.delta_interop import optimize_delta
+
+                r = optimize_delta(
+                    self.spark, path, zorder_by=cols, stats=True
+                )
+                detail = f"v{r['version']}: {r['added_files']} file(s)"
+            elif fmt == "iceberg":
+                from .sources.iceberg_interop import rewrite_data_files
+
+                r = rewrite_data_files(
+                    self.spark, path, sort_by=cols, stats=True
+                )
+                detail = (
+                    f"{r.get('files_before')} -> "
+                    f"{r.get('files_after')} file(s)"
+                )
+            elif fmt == "hudi":
+                if cols:
+                    from .sources.hudi_interop import cluster_hudi
+
+                    r = cluster_hudi(self.spark, path, sort_by=cols)
+                    detail = (
+                        f"clustered {r['replaced_groups']} -> "
+                        f"{r['new_groups']} group(s) @ {r['instant']}"
+                    )
+                else:
+                    from .sources.hudi_interop import compact_hudi
+
+                    r = compact_hudi(self.spark, path)
+                    detail = (
+                        f"compacted {r['compacted_groups']} group(s) "
+                        f"@ {r['instant']}"
+                    )
+            else:
+                if cols:
+                    raise ValueError(
+                        "OPTIMIZE uniform.`..` ZORDER BY: the dual-"
+                        "format compaction shares ONE rewritten file "
+                        "set; use OPTIMIZE delta.`..` ZORDER BY on "
+                        "the Delta leg if a z-layout is wanted"
+                    )
+                from .sources.uniform import optimize_uniform
+
+                r = optimize_uniform(self.spark, path, stats=True)
+                detail = (
+                    f"{r.get('files_before')} -> "
+                    f"{r.get('files_after')} file(s), both formats"
+                )
+            return self.spark.createDataFrame(
+                [(f"{fmt}.`{path}`", detail)],
+                "table STRING, optimized STRING",
+            )
+        vm = _re.match(
+            r"^\s*VACUUM\s+(delta|iceberg|hudi|uniform)\s*\.\s*"
+            r"`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$",
+            statement,
+            _re.IGNORECASE,
+        )
+        if vm:
+            fmt, path = vm.group(1).lower(), vm.group(2)
+            keep = int(vm.group(3)) if vm.group(3) else None
+            if fmt == "delta":
+                from .sources.delta_interop import vacuum_delta
+
+                r = vacuum_delta(self.spark, path, keep or 0)
+                n = r["deleted_files"] + r["deleted_dv_files"]
+            elif fmt == "iceberg":
+                from .sources.iceberg_interop import expire_snapshots
+
+                r = expire_snapshots(path, keep_last=keep or 1)
+                n = r.get("data_files", 0) + r.get(
+                    "expired_snapshots", 0
+                )
+            elif fmt == "hudi":
+                from .sources.hudi_interop import clean_hudi
+
+                r = clean_hudi(path, retain_commits=keep or 2)
+                n = r["base_files"] + r["log_files"]
+            else:
+                raise ValueError(
+                    "VACUUM uniform.`..` cannot route: Delta VACUUM "
+                    "and Iceberg expire_snapshots have different "
+                    "retention semantics over the SHARED files — "
+                    "drive each leg explicitly"
+                )
+            return self.spark.createDataFrame(
+                [(f"{fmt}.`{path}`", int(n))],
+                "table STRING, removed BIGINT",
+            )
+        am = _re.match(
+            r"^\s*ANALYZE\s+TABLE\s+(delta|iceberg|hudi|uniform)\s*"
+            r"\.\s*`([^`]+)`\s+COMPUTE\s+STATISTICS\s*;?\s*$",
+            statement,
+            _re.IGNORECASE,
+        )
+        if am:
+            fmt, path = am.group(1).lower(), am.group(2)
+            if fmt == "delta":
+                from .sources.delta_interop import backfill_delta_stats
+
+                n = backfill_delta_stats(self.spark, path)
+            elif fmt == "iceberg":
+                from .sources.iceberg_interop import rewrite_manifests
+
+                n = rewrite_manifests(
+                    path, spark=self.spark, stats=True
+                ).get("stats_backfilled", 0)
+            elif fmt == "hudi":
+                from .sources.hudi_interop import build_hudi_col_stats
+
+                n = build_hudi_col_stats(self.spark, path)
+            else:
+                from .sources.delta_interop import backfill_delta_stats
+                from .sources.iceberg_interop import rewrite_manifests
+
+                n = backfill_delta_stats(self.spark, path)
+                n += rewrite_manifests(
+                    path, spark=self.spark, stats=True
+                ).get("stats_backfilled", 0)
+            return self.spark.createDataFrame(
+                [(f"{fmt}.`{path}`", int(n))],
+                "table STRING, stats_files BIGINT",
+            )
+        return None
+
     def _execute_call(self, statement: str) -> DataFrame | None:
         """Hudi Spark-SQL CALL procedures (the 0.11+ table-service
         spellings) against registered upsert tables:
@@ -1337,6 +1502,9 @@ class TableRegistry:
         opt = self._execute_optimize(statement)
         if opt is not None:
             return opt
+        fmnt = self._execute_format_maintenance(statement)
+        if fmnt is not None:
+            return fmnt
         mv = self._execute_create_mv(statement)
         if mv is not None:
             return mv

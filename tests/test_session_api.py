@@ -1511,3 +1511,86 @@ def test_select_hudi_path_with_bucket_pruning(spark, tmp_path):
     # the mounted point lookup scanned one file group
     m = eng._mount_format_path("hudi", h, [("id", "==", 7)])
     assert len([f for f in m.inputFiles() if f.endswith(".parquet")]) == 1
+
+
+def test_format_path_maintenance_sql(spark, tmp_path):
+    """r13: OPTIMIZE / VACUUM / ANALYZE TABLE ... COMPUTE STATISTICS
+    on format-path tables route to the interop services (always
+    stats-writing — a real OPTIMIZE never drops skipping metadata)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.session import EngineSession
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        export_delta,
+        read_delta_pruned,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.hudi_interop import (
+        export_hudi_cow,
+        read_hudi,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        export_iceberg,
+        read_iceberg_pruned,
+    )
+
+    eng = EngineSession(spark=spark, registry_path=str(tmp_path / "r.json"))
+    df = (
+        spark.range(400)
+        .select(
+            F.col("id"),
+            (F.col("id") % 10).alias("g"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+        )
+        .repartition(4)
+    )
+
+    d = str(tmp_path / "d")
+    export_delta(df, d)
+    row = eng.sql(f"OPTIMIZE delta.`{d}` ZORDER BY (id, g)").collect()[0]
+    assert row["optimized"].startswith("v1:")
+    # the optimize wrote stats -> ANALYZE finds nothing left to do
+    assert (
+        eng.sql(f"ANALYZE TABLE delta.`{d}` COMPUTE STATISTICS")
+        .collect()[0]["stats_files"]
+        == 0
+    )
+
+    i = str(tmp_path / "i")
+    export_iceberg(df, i, format_version=2)
+    assert (
+        eng.sql(f"ANALYZE TABLE iceberg.`{i}` COMPUTE STATISTICS")
+        .collect()[0]["stats_files"]
+        == 4
+    )
+    eng.sql(f"OPTIMIZE iceberg.`{i}` ZORDER BY (id)")
+    pr = read_iceberg_pruned(spark, i, [("id", "==", 5)])
+    assert pr.count() == 1 and len(pr.inputFiles()) == 1
+
+    h = str(tmp_path / "h")
+    export_hudi_cow(df, h, record_key="id", num_files=4)
+    assert (
+        eng.sql(f"ANALYZE TABLE hudi.`{h}` COMPUTE STATISTICS")
+        .collect()[0]["stats_files"]
+        == 4
+    )
+    out = eng.sql(f"OPTIMIZE hudi.`{h}` ZORDER BY (id)").collect()[0]
+    assert "clustered" in out["optimized"]
+    assert read_hudi(spark, h).count() == 400
+
+    assert eng.sql(f"VACUUM delta.`{d}`").collect()[0]["removed"] == 4
+    assert eng.sql(f"VACUUM iceberg.`{i}`").collect()[0]["removed"] > 0
+    # uniform refusals
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="VACUUM uniform"):
+        eng.sql(f"VACUUM uniform.`{d}`")
+    with _pytest.raises(ValueError, match="ZORDER"):
+        eng.sql(f"OPTIMIZE uniform.`{d}` ZORDER BY (id)")
+    # engine-table OPTIMIZE spelling still routes to the lake
+    eng.create_upsert_table("t9", str(tmp_path / "t9"), key=["id"])
+    eng.insert_into(
+        "t9", spark.range(5).select("id"), commit_id="c1"
+    )
+    assert eng.sql("OPTIMIZE t9").collect()[0]["table"] == "t9"
+    # a delta-pruned read after SQL optimize still returns exact rows
+    assert read_delta_pruned(spark, d, [("id", "==", 5)]).count() == 1
