@@ -569,3 +569,35 @@ def test_hudi_hive_partition_pruning(spark, tmp_path):
     # range over the partition value
     rng = read_hudi_pruned(spark, h, [("g", ">=", 2)])
     assert rng.count() == 40 and len(rng.inputFiles()) == 4
+
+
+def test_delta_stats_survive_checkpoint_and_cleanup(spark, tmp_path):
+    """Per-file stats ride the parquet checkpoint's nullable stats
+    column, so pruning still works after the JSON commits that
+    carried them are cleaned up — the long-table lifecycle."""
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        cleanup_log,
+        export_delta,
+        read_delta_pruned,
+        write_checkpoint,
+    )
+
+    d = str(tmp_path / "d")
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id"), F.concat(F.lit("s"), F.col("id")).alias("s")
+        )
+        .repartitionByRange(8, "id")
+    )
+    export_delta(df, d, stats=True)
+    export_delta(
+        df.filter("id < 5").withColumn("id", F.col("id") + 5000),
+        d,
+        mode="append",
+        stats=True,
+    )
+    write_checkpoint(spark, d)
+    cleanup_log(d)
+    pr = read_delta_pruned(spark, d, [("id", "==", 500)])
+    assert pr.count() == 1 and len(pr.inputFiles()) == 1
