@@ -324,3 +324,77 @@ def test_upsert_hudi_data_block_golden(spark, tmp_path):
         278,
         "0969cc2583c3c222c5e8984163e1d815243831c11aa939a41f53bc5945574d66",
     )
+
+
+def test_iceberg_stats_maps_golden(spark, tmp_path):
+    """r13: export_iceberg(stats=True) manifests must declare the
+    spec's four per-file stats maps with their RESERVED field ids
+    (value_counts 109 k119/v120, null_value_counts 110 k121/v122,
+    lower_bounds 125 k126/v127, upper_bounds 128 k129/v130) in the
+    Avro map-as-array encoding, and the bound bytes must follow
+    Appendix D single-value serialization — decoded from the
+    container bytes and checked against struct.pack, not through
+    this repo's reader."""
+    import struct
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.avro_codec import (
+        read_avro,
+    )
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.iceberg_interop import (
+        _single_value_bytes,
+        export_iceberg,
+    )
+
+    # Appendix D additions (r13): double/float/boolean/date/timestamp
+    assert _single_value_bytes("double", 1.5) == struct.pack("<d", 1.5)
+    assert _single_value_bytes("float", 0.5) == struct.pack("<f", 0.5)
+    assert _single_value_bytes("boolean", True) == b"\x01"
+    import datetime
+
+    assert _single_value_bytes(
+        "date", datetime.date(1970, 1, 11)
+    ) == struct.pack("<i", 10)
+    assert _single_value_bytes(
+        "timestamp", datetime.datetime(1970, 1, 1, 0, 0, 1)
+    ) == struct.pack("<q", 1_000_000)
+
+    path = str(tmp_path / "stats_ice")
+    df = spark.createDataFrame(
+        [(1, "a"), (5, "bb"), (3, None)], "id long, s string"
+    ).coalesce(1)
+    export_iceberg(df, path, format_version=2, stats=True)
+    md = os.path.join(path, "metadata")
+    manifest = sorted(
+        f for f in os.listdir(md) if f.startswith("manifest-")
+    )[0]
+    raw = open(os.path.join(md, manifest), "rb").read()
+    schema = json.loads(_embedded_schema(raw))
+    df_fields = next(
+        f for f in schema["fields"] if f["name"] == "data_file"
+    )["type"]["fields"]
+    by_name = {f["name"]: f for f in df_fields}
+    expect = {
+        "value_counts": (109, 119, 120, "long"),
+        "null_value_counts": (110, 121, 122, "long"),
+        "lower_bounds": (125, 126, 127, "bytes"),
+        "upper_bounds": (128, 129, 130, "bytes"),
+    }
+    for name, (fid, kid, vid, vtype) in expect.items():
+        f = by_name[name]
+        assert f["field-id"] == fid
+        arr = f["type"][1]  # ["null", {array...}]
+        assert arr["type"] == "array" and arr["logicalType"] == "map"
+        kv = {x["name"]: x for x in arr["items"]["fields"]}
+        assert kv["key"]["field-id"] == kid
+        assert kv["value"]["field-id"] == vid
+        assert kv["value"]["type"] == vtype
+    # decoded values: field ids 1 (id: long) and 2 (s: string)
+    _, entries = read_avro(os.path.join(md, manifest))
+    d = entries[0]["data_file"]
+    as_map = lambda v: {e["key"]: e["value"] for e in v}
+    assert as_map(d["value_counts"]) == {1: 3, 2: 3}
+    assert as_map(d["null_value_counts"]) == {1: 0, 2: 1}
+    lo, hi = as_map(d["lower_bounds"]), as_map(d["upper_bounds"])
+    assert bytes(lo[1]) == struct.pack("<q", 1)
+    assert bytes(hi[1]) == struct.pack("<q", 5)
+    assert bytes(lo[2]) == b"a" and bytes(hi[2]) == b"bb"
