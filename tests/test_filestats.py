@@ -601,3 +601,29 @@ def test_delta_stats_survive_checkpoint_and_cleanup(spark, tmp_path):
     cleanup_log(d)
     pr = read_delta_pruned(spark, d, [("id", "==", 500)])
     assert pr.count() == 1 and len(pr.inputFiles()) == 1
+
+
+def test_delta_stats_timestamp_bounds_round_correctly():
+    """PROTOCOL.md stats render timestamps at ms precision; losing
+    microseconds must round the MAX up (a truncated-down max would
+    be a false upper bound and could wrongly prune a file)."""
+    import datetime as dt
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        _delta_stats_json,
+        _parse_stats_value,
+    )
+
+    t = dt.datetime(2024, 5, 1, 12, 0, 0, 123_456)
+    st = {
+        "numRecords": 1,
+        "min": {"ts": t},
+        "max": {"ts": t},
+        "nulls": {"ts": 0},
+    }
+    s = json.loads(_delta_stats_json(st))
+    assert s["minValues"]["ts"] == "2024-05-01T12:00:00.123Z"
+    assert s["maxValues"]["ts"] == "2024-05-01T12:00:00.124Z"  # ceil
+    lo = _parse_stats_value(s["minValues"]["ts"], "timestamp")
+    hi = _parse_stats_value(s["maxValues"]["ts"], "timestamp")
+    assert lo <= t <= hi  # the rendered interval still covers t
