@@ -707,7 +707,6 @@ def read_hudi(
         # declares no modulus / non-exporter layout / partial key.
         key_fields = _record_key_fields(path)
         eq = {c: v for c, op, v in preds if op == "=="}
-        bucket_route: tuple[str, int] | None = None
         if key_fields and all(k in eq for k in key_fields):
             try:
                 name = _table_name(path)
@@ -809,7 +808,7 @@ def read_hudi(
                 )
                 in logged
                 or rel not in stats
-                or file_survives(bounds_filter, stats[rel])
+                or file_survives(preds, stats[rel])
             ]
             # all groups eliminated: keep ONE slice as the schema
             # anchor (one footer instead of a schema sidecar; the
