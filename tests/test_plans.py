@@ -44,7 +44,10 @@ def test_flagship_joins_broadcast_and_prune(spark):
     # LWW dedup is a max(struct) aggregation: partial (map-side) tier
     # below the exchange, final above — each mapper ships one row per key
     assert "partial_max" in plan
-    assert _tree(plan).count("- Exchange (") == 1  # single LWW hash shuffle
+    # r13 shape: exactly 2 hash shuffles — the per-ticket pre-reduction
+    # (keyed on the LONG l_orderkey, ≤1 row per ticket per mapper) and
+    # the per-name LWW over the already-reduced rows
+    assert _tree(plan).count("- Exchange (") == 2
     # lineitem scan reads only the 3 needed columns of 11
     assert (
         "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_shipdate:timestamp_ntz>"
