@@ -319,6 +319,15 @@ def jaccard_pairs(
         .filter(F.col("_rn") <= prefix_len)
         .select("_id", "_sz", "_s")
     )
+    # r13: the prefix self-join below reads postings twice — without a
+    # materialization the whole dfreq-join + rank-window subtree runs
+    # per side. Pin it once, partitioned + sorted on the join key, so
+    # both sides scan one RDD and the join adds no exchange/sort.
+    postings = (
+        postings.repartition("_s")
+        .sortWithinPartitions("_s")
+        .localCheckpoint(eager=True)
+    )
     pa = postings.select(
         F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_s"
     )
@@ -567,8 +576,16 @@ def embedding_near_dup_pairs(
         vec.alias("_v"),
         V.lsh_bucket(vec, planes).alias("_bkt"),
     )
-    # materialize: n_planes dot products per row, reused on both sides
-    base = base.localCheckpoint(eager=True)
+    # materialize: n_planes dot products per row, reused on both
+    # sides. r13: also hash-partition + sort on the bucket key so the
+    # non-exploded join side scans the checkpoint exchange/sort-free
+    # (the multi-probe side's explode rewrites _bkt, so it must pay
+    # its own shuffle either way; the base side no longer does).
+    base = (
+        base.repartition("_bkt")
+        .sortWithinPartitions("_bkt")
+        .localCheckpoint(eager=True)
+    )
     probe = base
     if multi_probe:
         probe = base.select(
