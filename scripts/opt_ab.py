@@ -79,10 +79,30 @@ def main() -> None:
         prev_q = importlib.import_module(f"{_PKG}.plans.queries").QUERIES
         out: dict[str, dict] = {}
         for name in [n for n in args.names.split(",") if n]:
+            if tmp not in sys.path:
+                sys.path.insert(0, tmp)
             df_prev = prev_q[name].fn(spark, args.sf)
+            # r13 fix: a query fn that lazily imports its operator
+            # module (e.g. `from ..operators.graph import ...` inside
+            # the fn) resolves via sys.modules AT BUILD TIME. The rev
+            # build may have imported pkg submodules that the worktree
+            # snapshot `saved` never loaded — update(saved) would
+            # leave those REV modules live and the "now" side would
+            # silently run rev code (observed: graph-query A/Bs
+            # measuring rev-vs-rev). Purge ALL pkg modules and the
+            # tmp path, then restore the worktree snapshot, so any
+            # lazy import on the now side loads worktree code.
+            for k in [
+                k for k in sys.modules if k.split(".")[0] == _PKG
+            ]:
+                del sys.modules[k]
+            if tmp in sys.path:
+                sys.path.remove(tmp)
             sys.modules.update(saved)
             df_now = QUERIES[name].fn(spark, args.sf)
-            for k in saved:
+            for k in [
+                k for k in sys.modules if k.split(".")[0] == _PKG
+            ]:
                 del sys.modules[k]
             best = {"rev": float("inf"), "now": float("inf")}
             for df, _tag in ((df_prev, "rev"), (df_now, "now")):

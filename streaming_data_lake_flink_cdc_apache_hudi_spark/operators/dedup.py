@@ -196,16 +196,22 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("_id", "_sig", "bk.band", "bk.bhash")
 
-    # r13: materialize the banded table ONCE, hash-partitioned and
-    # sorted on the join key, before the self-join (guide §2.4). The
-    # hint("merge") self-join this replaces never got its promised
-    # ReusedExchange (verified against the executed plan: two full
-    # banding subtrees, two exchanges, two sorts); both sides now
-    # scan ONE materialized RDD whose partitioning/ordering the join
-    # reuses — 0 exchanges and 0 sorts under the join, banding+md5
-    # computed once. At warehouse scale this step is the standard
-    # "write the banded signature table" LSH pass. Measured -62% on
-    # minhash_pairs at sf0.1 (0.967s -> 0.368s), hash-identical.
+    # r13: materialize the banded table ONCE, clustered by the join
+    # key, before the self-join (guide §2.3/§2.4). The hint("merge")
+    # self-join this replaces never got its promised ReusedExchange
+    # (verified against the executed plan: two full banding subtrees,
+    # two exchanges, two sorts). With one materialized RDD the
+    # banding+md5 computes once and the planner is free to pick the
+    # join by the checkpoint's REAL size (executed shape at bench SF:
+    # BroadcastHashJoin over both scans, 0 exchanges/sorts under the
+    # join; past the broadcast threshold it sort-merges, where the
+    # clustered sorted layout feeds presorted runs — PySpark's
+    # localCheckpoint does NOT carry partitioning metadata, so
+    # layout, not plan shape, is what the clustering buys; A/B: the
+    # unclustered checkpoint gives back half the win). At warehouse
+    # scale this step is the standard "write the banded signature
+    # table" LSH pass. Measured -62% on minhash_pairs at sf0.1
+    # (0.967s -> 0.368s), hash-identical.
     banded = (
         banded.repartition("band", "bhash")
         .sortWithinPartitions("band", "bhash")
@@ -321,8 +327,9 @@ def jaccard_pairs(
     )
     # r13: the prefix self-join below reads postings twice — without a
     # materialization the whole dfreq-join + rank-window subtree runs
-    # per side. Pin it once, partitioned + sorted on the join key, so
-    # both sides scan one RDD and the join adds no exchange/sort.
+    # per side. Pin it once, clustered on the join key; both sides
+    # scan one RDD and the planner joins by the checkpoint's real
+    # size (clustered layout feeds presorted runs at SMJ sizes).
     postings = (
         postings.repartition("_s")
         .sortWithinPartitions("_s")
@@ -494,10 +501,12 @@ def simhash_pairs(
         ).alias("ck"),
     ).select("_id", "_sim", "ck.chunk", "ck.cval")
     # r13: same self-join materialization as minhash_lsh_pairs — the
-    # chunked table is partitioned+sorted on the join key and pinned
-    # once; both sides scan the same RDD (0 exchanges/sorts under the
-    # join vs 2+2 with the old hint("merge") spelling, whose
-    # ReusedExchange never fired)
+    # chunked table is clustered on the join key and pinned once, so
+    # the chunking computes once (the old hint("merge") spelling ran
+    # it per side; ReusedExchange never fired) and the planner joins
+    # the checkpoint by its real size (BHJ at bench SF; the clustered
+    # layout carries the win at SMJ sizes — A/B: the unclustered
+    # checkpoint was ~2x slower here)
     chunks = (
         chunks.repartition("chunk", "cval")
         .sortWithinPartitions("chunk", "cval")
@@ -577,10 +586,12 @@ def embedding_near_dup_pairs(
         V.lsh_bucket(vec, planes).alias("_bkt"),
     )
     # materialize: n_planes dot products per row, reused on both
-    # sides. r13: also hash-partition + sort on the bucket key so the
-    # non-exploded join side scans the checkpoint exchange/sort-free
-    # (the multi-probe side's explode rewrites _bkt, so it must pay
-    # its own shuffle either way; the base side no longer does).
+    # sides. r13: also clustered on the bucket key — the layout keeps
+    # every bucket's rows contiguous and presorted for the join's
+    # per-partition work (the multi-probe side's explode rewrites
+    # _bkt, so that side always pays its own shuffle; PySpark's
+    # localCheckpoint carries no partitioning metadata, so this is a
+    # layout win, not a plan-shape one).
     base = (
         base.repartition("_bkt")
         .sortWithinPartitions("_bkt")
@@ -794,11 +805,12 @@ def edit_distance_pairs(
             _deletion_variants(F.col(text_col), max_dist)
         ).alias("_k"),
     )
-    # r13: materialize the variant-keyed table once, partitioned +
-    # sorted on the join key (same self-join fix as minhash_lsh_pairs:
-    # the old hint("merge") spelling computed the deletion-variant
-    # explode twice and shuffled both copies; ReusedExchange never
-    # fired). Both sides now scan one RDD, join exchange/sort-free.
+    # r13: materialize the variant-keyed table once, clustered on the
+    # join key (same self-join fix as minhash_lsh_pairs: the old
+    # hint("merge") spelling computed the deletion-variant explode
+    # twice and shuffled both copies; ReusedExchange never fired).
+    # Both sides scan one RDD; the planner picks the join from the
+    # checkpoint's real size.
     keyed = (
         keyed.repartition("_k")
         .sortWithinPartitions("_k")

@@ -1622,6 +1622,25 @@ def read_delta_cdf(
             F.lit(version).alias("_commit_version"),
         )
 
+    # r13: a file's DV positions at version v are re-read as the
+    # "old" side at version v+1 — without a memo every version
+    # boundary decoded the SAME deletion vector twice (plan audit:
+    # the single-partition decode subtree appeared once per use, 5x
+    # for a 4-commit range; ReusedExchange never fired). Memoized per
+    # (file, descriptor) within this call and localCheckpointed —
+    # positions are KB-scale per DV — each distinct DV decodes once.
+    _dv_cache: dict[tuple[str, str], DataFrame] = {}
+
+    def _dv_pos_memo(fp: str, dv: dict | None) -> DataFrame:
+        if not dv:
+            return spark.createDataFrame([], "_dv_fp string, _dv_pos long")
+        k = (fp, json.dumps(dv, sort_keys=True))
+        if k not in _dv_cache:
+            _dv_cache[k] = _dv_positions_frame(
+                spark, path, [(fp, dv)]
+            ).localCheckpoint(eager=True)
+        return _dv_cache[k]
+
     frames: list[DataFrame] = []
     for v in range(from_version, to_version + 1):
         adds_v: dict[str, dict] = {}
@@ -1719,20 +1738,8 @@ def read_delta_cdf(
             all_rows = _frame_from_adds(
                 spark, path, {p: new_add}, meta, with_meta=True
             )
-            old_pos = (
-                _dv_positions_frame(spark, path, [(fp, old_dv)])
-                if old_dv
-                else spark.createDataFrame(
-                    [], "_dv_fp string, _dv_pos long"
-                )
-            )
-            new_pos = (
-                _dv_positions_frame(spark, path, [(fp, new_dv)])
-                if new_dv
-                else spark.createDataFrame(
-                    [], "_dv_fp string, _dv_pos long"
-                )
-            )
+            old_pos = _dv_pos_memo(fp, old_dv)
+            new_pos = _dv_pos_memo(fp, new_dv)
             newly_deleted = new_pos.exceptAll(old_pos)
             newly_restored = old_pos.exceptAll(new_pos)
             for pos_df, change in (
