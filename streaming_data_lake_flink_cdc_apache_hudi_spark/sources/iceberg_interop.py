@@ -2633,6 +2633,31 @@ def read_iceberg_changelog(
 
     frames: list[DataFrame] = []
     tbl_cols = _table_columns(path)
+    # r13: consecutive row-level snapshots read the SAME state twice —
+    # snapshot v is the diff's "now" at ordinal k and its "then" at
+    # ordinal k+1 (plan audit: the whole live-rows-minus-deletes
+    # subtree appeared once per use; ReusedExchange never fires).
+    # Materialize only the states the chain uses more than once.
+    _uses: dict[int, int] = {}
+    for s in chain:
+        if (s.get("summary") or {}).get("operation", "append") in (
+            "delete",
+            "overwrite",
+        ):
+            _uses[s["snapshot-id"]] = _uses.get(s["snapshot-id"], 0) + 1
+            p = s.get("parent-snapshot-id")
+            if p is not None:
+                _uses[p] = _uses.get(p, 0) + 1
+    _state_cache: dict[int, DataFrame] = {}
+
+    def _state(sid: int) -> DataFrame:
+        if sid not in _state_cache:
+            df = read_iceberg(spark, path, snapshot_id=sid)
+            if _uses.get(sid, 0) > 1:
+                df = df.localCheckpoint(eager=True)
+            _state_cache[sid] = df
+        return _state_cache[sid]
+
     for ordinal, s in enumerate(chain):
         sid = s["snapshot-id"]
         parent = s.get("parent-snapshot-id")
@@ -2665,10 +2690,8 @@ def read_iceberg_changelog(
                 f"changelog: snapshot {sid}'s parent was expired — "
                 "cannot diff a row-level commit without it"
             )
-        now_df = read_iceberg(spark, path, snapshot_id=sid)
-        then_df = read_iceberg(spark, path, snapshot_id=parent).select(
-            *now_df.columns
-        )
+        now_df = _state(sid)
+        then_df = _state(parent).select(*now_df.columns)
         frames.append(
             stamped(then_df.exceptAll(now_df), "delete", ordinal)
         )
