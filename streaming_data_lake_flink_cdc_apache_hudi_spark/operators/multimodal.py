@@ -1699,6 +1699,17 @@ def phash_pairs(
             )
         ).alias("_b"),
     )
+    # r13: materialize the banded table once, clustered on the band
+    # key (same self-join fix as dedup's LSH pairs) — without the pin
+    # both join sides re-derive base, including whatever upstream
+    # stage computed the hashes (for decode outputs that is a full
+    # second decode pass); ReusedExchange does not fire for the
+    # identical subtrees.
+    base = (
+        base.repartition("_b")
+        .sortWithinPartitions("_b")
+        .localCheckpoint(eager=True)
+    )
     a, b = base.alias("a"), base.alias("b")
     cand = (
         a.join(

@@ -1622,25 +1622,6 @@ def read_delta_cdf(
             F.lit(version).alias("_commit_version"),
         )
 
-    # r13: a file's DV positions at version v are re-read as the
-    # "old" side at version v+1 — without a memo every version
-    # boundary decoded the SAME deletion vector twice (plan audit:
-    # the single-partition decode subtree appeared once per use, 5x
-    # for a 4-commit range; ReusedExchange never fired). Memoized per
-    # (file, descriptor) within this call and localCheckpointed —
-    # positions are KB-scale per DV — each distinct DV decodes once.
-    _dv_cache: dict[tuple[str, str], DataFrame] = {}
-
-    def _dv_pos_memo(fp: str, dv: dict | None) -> DataFrame:
-        if not dv:
-            return spark.createDataFrame([], "_dv_fp string, _dv_pos long")
-        k = (fp, json.dumps(dv, sort_keys=True))
-        if k not in _dv_cache:
-            _dv_cache[k] = _dv_positions_frame(
-                spark, path, [(fp, dv)]
-            ).localCheckpoint(eager=True)
-        return _dv_cache[k]
-
     frames: list[DataFrame] = []
     for v in range(from_version, to_version + 1):
         adds_v: dict[str, dict] = {}
@@ -1715,7 +1696,20 @@ def read_delta_cdf(
         if new_inserts:
             frames.append(rows_of(new_inserts, v, "insert"))
         # same-file re-adds (paired with a remove, or replacing a
-        # live add by path): DV diff
+        # live add by path): DV diff. r13: BATCHED PER VERSION, not
+        # per file — a keyed upsert touches most files of the table,
+        # and the old per-file loop appended 2 frames (each with its
+        # own positions build + exceptAll + semi-join) per changed
+        # file, growing the final union to versions x files x 2
+        # subplans (32-file fixture: 17 s of planning + tiny jobs for
+        # 9k change rows). Positions are keyed by (_dv_fp, _dv_pos),
+        # so the per-file diffs are EXACTLY the per-file slices of one
+        # combined diff: one multi-file rows frame, one positions
+        # frame per side, one exceptAll pair, two semi-joins — per
+        # version. (Supersedes this round's earlier per-(file, dv)
+        # decode memo: each side's combined frame decodes all its DVs
+        # in one pass to begin with.)
+        dv_changed: dict[str, dict] = {}
         for p in sorted(p for p in adds_v if p in removes_v or p in state):
             new_add = adds_v[p]
             if not new_add.get("dataChange", True):
@@ -1735,11 +1729,40 @@ def read_delta_cdf(
                 raise UnsupportedDeltaFeature(
                     f"CDF needs vacuumed data file {p!r}"
                 )
+            dv_changed[p] = new_add
+        if dv_changed:
             all_rows = _frame_from_adds(
-                spark, path, {p: new_add}, meta, with_meta=True
+                spark, path, dv_changed, meta, with_meta=True
             )
-            old_pos = _dv_pos_memo(fp, old_dv)
-            new_pos = _dv_pos_memo(fp, new_dv)
+            empty_pos = spark.createDataFrame(
+                [], "_dv_fp string, _dv_pos long"
+            )
+            old_items = [
+                (
+                    os.path.abspath(os.path.join(path, p)),
+                    state[p]["deletionVector"],
+                )
+                for p in dv_changed
+                if state[p].get("deletionVector")
+            ]
+            new_items = [
+                (
+                    os.path.abspath(os.path.join(path, p)),
+                    dv_changed[p]["deletionVector"],
+                )
+                for p in dv_changed
+                if dv_changed[p].get("deletionVector")
+            ]
+            old_pos = (
+                _dv_positions_frame(spark, path, old_items)
+                if old_items
+                else empty_pos
+            )
+            new_pos = (
+                _dv_positions_frame(spark, path, new_items)
+                if new_items
+                else empty_pos
+            )
             newly_deleted = new_pos.exceptAll(old_pos)
             newly_restored = old_pos.exceptAll(new_pos)
             for pos_df, change in (
@@ -1755,12 +1778,14 @@ def read_delta_cdf(
                         F.lit(v).alias("_commit_version"),
                     )
                 )
-        # true removes: the file's live rows are deletes
+        # true removes: the files' live rows are deletes — r13: one
+        # batched rows_of per version (was one frame per file)
         true_removes = {
             p: r
             for p, r in removes_v.items()
             if p not in adds_v and r.get("dataChange", True)
         }
+        rm_adds: dict[str, dict] = {}
         for p in sorted(true_removes):
             old_add = state.get(p)
             if old_add is None:
@@ -1772,7 +1797,9 @@ def read_delta_cdf(
                 raise UnsupportedDeltaFeature(
                     f"CDF needs vacuumed data file {p!r}"
                 )
-            frames.append(rows_of({p: old_add}, v, "delete"))
+            rm_adds[p] = old_add
+        if rm_adds:
+            frames.append(rows_of(rm_adds, v, "delete"))
         # advance the prior state by this commit's actions
         for p, a in adds_v.items():
             state[p] = a
