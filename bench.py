@@ -273,12 +273,29 @@ def _prev_round_ab(spark, names, sf_dir: str) -> dict:
         for name in names:
             if name not in prev_q:
                 continue
+            if tmp not in sys.path:
+                sys.path.insert(0, tmp)
             df_prev = prev_q[name].fn(spark, sf_dir)
             # restore CURRENT modules to build the now-plan (query fns
-            # resolve their module globals at call time)
+            # resolve their module globals at call time). r13 fix
+            # (measurement bug, same as scripts/opt_ab.py): purge ALL
+            # package modules and the rev path first — a lazily-
+            # imported operator module absent from `saved` would
+            # otherwise leave the REV's module live and the now-side
+            # would silently run rev code. (In-practice exposure in
+            # bench.py was nil this round: the earlier phases preload
+            # every benched operator module; fixed for robustness.)
+            for k in [
+                k for k in sys.modules if k.split(".")[0] == _PKG
+            ]:
+                del sys.modules[k]
+            if tmp in sys.path:
+                sys.path.remove(tmp)
             sys.modules.update(saved)
             df_now = QUERIES[name].fn(spark, sf_dir)
-            for k in saved:
+            for k in [
+                k for k in sys.modules if k.split(".")[0] == _PKG
+            ]:
                 del sys.modules[k]
             best = {"prev": float("inf"), "now": float("inf")}
             for df, tag in ((df_prev, "prev"), (df_now, "now")):
