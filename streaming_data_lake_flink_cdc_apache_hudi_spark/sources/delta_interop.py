@@ -1265,20 +1265,40 @@ def backfill_delta_stats(spark: SparkSession, path: str) -> int:
     return len(actions)
 
 
-def _dv_positions_frame(spark: SparkSession, path: str, items) -> DataFrame:
+def _dv_positions_frame(
+    spark: SparkSession, path: str, items, with_ver: bool = False
+) -> DataFrame:
     """(_dv_fp, _dv_pos) frame decoding a list of ``(abs_file_path,
     dv_descriptor_dict)`` deletion vectors on EXECUTORS (mapInPandas
     over the KB-scale descriptor rows; bitmap payloads are read and
     decoded by the worker holding the row, positions never pass
     through the driver). Shared by ``read_delta``'s anti-join and
-    ``read_delta_cdf``'s DV diffing."""
-    desc = spark.createDataFrame(
-        [
+    ``read_delta_cdf``'s DV diffing. With ``with_ver`` the items are
+    ``(abs_file_path, descriptor, version)`` and the output carries
+    ``_dv_ver`` — the key that lets the CDF read diff EVERY version
+    boundary of a range in one combined frame."""
+    if with_ver:
+        rows = [
+            (fp, json.dumps(d), os.path.abspath(path), int(v))
+            for fp, d, v in sorted(
+                items, key=lambda x: (x[0], x[2])
+            )
+        ]
+        in_schema = (
+            "_dv_fp string, _dv_desc string, _dv_root string,"
+            " _dv_ver int"
+        )
+        out_schema = "_dv_fp string, _dv_pos long, _dv_ver int"
+    else:
+        rows = [
             (fp, json.dumps(d), os.path.abspath(path))
             for fp, d in sorted(items)
-        ],
-        "_dv_fp string, _dv_desc string, _dv_root string",
-    ).repartition(min(len(items), 32))
+        ]
+        in_schema = "_dv_fp string, _dv_desc string, _dv_root string"
+        out_schema = "_dv_fp string, _dv_pos long"
+    desc = spark.createDataFrame(rows, in_schema).repartition(
+        min(len(rows), 32)
+    )
 
     def decode(it):
         import pandas as pd
@@ -1302,11 +1322,12 @@ def _dv_positions_frame(spark: SparkSession, path: str, items) -> DataFrame:
                         f"DV for {r['_dv_fp']}: decoded {len(pos)} "
                         f"positions, descriptor says {d['cardinality']}"
                     )
-                yield pd.DataFrame(
-                    {"_dv_fp": r["_dv_fp"], "_dv_pos": pos}
-                )
+                out = {"_dv_fp": r["_dv_fp"], "_dv_pos": pos}
+                if "_dv_ver" in pdf.columns:
+                    out["_dv_ver"] = int(r["_dv_ver"])
+                yield pd.DataFrame(out)
 
-    return desc.mapInPandas(decode, "_dv_fp string, _dv_pos long")
+    return desc.mapInPandas(decode, out_schema)
 
 
 def _frame_from_adds(
@@ -1550,7 +1571,11 @@ def read_delta_cdf(
 
     Scale: driver work is the KB-scale JSON action walk per version;
     every row flows through pruned parquet scans + the same
-    executor-side DV decode the live read uses."""
+    executor-side DV decode the live read uses. The derived changes
+    of the WHOLE range build as three batched frames (inserts, DV
+    diffs, removes — see the flush helpers below), so the plan is
+    O(1) in version count; only a mid-range schema change or a
+    path reused within a batch splits the range."""
     from pyspark.sql import functions as F
 
     log_dir = os.path.join(path, _LOG_DIR)
@@ -1593,21 +1618,38 @@ def read_delta_cdf(
     else:
         state = {}
 
-    def rows_of(add_map: dict, version: int, change: str) -> DataFrame:
-        """Rows of the given adds minus their DV positions, stamped."""
-        gone = [
-            p
-            for p in sorted(add_map)
-            if not os.path.exists(os.path.join(path, p))
-        ]
-        if gone:
-            raise UnsupportedDeltaFeature(
-                f"CDF needs vacuumed data file {gone[0]!r}"
-            )
-        df = _frame_from_adds(spark, path, add_map, meta, with_meta=True)
+    # r13 follow-up to the per-version batching: batch ACROSS the
+    # whole range. Every derived change is keyed by (version, file,
+    # position), so the range's inserts / DV diffs / removes are
+    # slices of THREE combined frames — one pruned scan + a per-file
+    # version stamp per change kind, one version-tagged positions
+    # diff for every DV boundary at once. The plan is O(1) in version
+    # count (it was O(versions): a long CDC catch-up paid planning +
+    # tiny jobs per commit). Batches flush early only on a mid-range
+    # metaData change (frames must build under the schema their
+    # versions were walked with) and on a path reused within one
+    # batch (remove + later re-add: the add-map key and the version
+    # stamp are per file path).
+    frames: list[DataFrame] = []
+    pend_ins: dict[str, dict] = {}
+    pend_ins_ver: dict[str, int] = {}
+    pend_rm: dict[str, dict] = {}
+    pend_rm_ver: dict[str, int] = {}
+    pend_dv: list[tuple[int, str, dict | None, dict | None]] = []
+    pend_dv_adds: dict[str, dict] = {}
+
+    def _flush_kind(
+        batch: dict[str, dict], vers: dict[str, int], change: str
+    ) -> None:
+        """Rows of the batched adds minus their own DV positions,
+        version-stamped per file (one scan, zero shuffles: the stamp
+        is a literal path->version map over _dv_fp)."""
+        if not batch:
+            return
+        df = _frame_from_adds(spark, path, batch, meta, with_meta=True)
         dv_items = [
             (os.path.abspath(os.path.join(path, rel)), a["deletionVector"])
-            for rel, a in add_map.items()
+            for rel, a in batch.items()
             if a.get("deletionVector")
         ]
         if dv_items:
@@ -1616,17 +1658,87 @@ def read_delta_cdf(
                 ["_dv_fp", "_dv_pos"],
                 "left_anti",
             )
-        return df.drop("_dv_fp", "_dv_pos").select(
-            "*",
-            F.lit(change).alias("_change_type"),
-            F.lit(version).alias("_commit_version"),
+        vmap = F.create_map(
+            *[
+                x
+                for fp, ver in sorted(vers.items())
+                for x in (F.lit(fp), F.lit(ver))
+            ]
         )
+        frames.append(
+            df.select(
+                *[c for c in df.columns if c not in ("_dv_fp", "_dv_pos")],
+                F.lit(change).alias("_change_type"),
+                F.element_at(vmap, F.col("_dv_fp")).alias(
+                    "_commit_version"
+                ),
+            )
+        )
+        batch.clear()
+        vers.clear()
 
-    frames: list[DataFrame] = []
+    def _flush_dv() -> None:
+        """One combined DV diff over every pending (version, file)
+        boundary: positions carry _dv_ver, so the per-version diffs
+        are exactly the per-tag slices of one exceptAll pair, and the
+        changed files are scanned ONCE for the whole range."""
+        if not pend_dv:
+            return
+        all_rows = _frame_from_adds(
+            spark, path, pend_dv_adds, meta, with_meta=True
+        )
+        old_items = [
+            (os.path.abspath(os.path.join(path, p)), d, ver)
+            for ver, p, d, _nd in pend_dv
+            if d
+        ]
+        new_items = [
+            (os.path.abspath(os.path.join(path, p)), d, ver)
+            for ver, p, _od, d in pend_dv
+            if d
+        ]
+        empty_pos = spark.createDataFrame(
+            [], "_dv_fp string, _dv_pos long, _dv_ver int"
+        )
+        old_pos = (
+            _dv_positions_frame(spark, path, old_items, with_ver=True)
+            if old_items
+            else empty_pos
+        )
+        new_pos = (
+            _dv_positions_frame(spark, path, new_items, with_ver=True)
+            if new_items
+            else empty_pos
+        )
+        newly_deleted = new_pos.exceptAll(old_pos)
+        newly_restored = old_pos.exceptAll(new_pos)
+        keep = [
+            c for c in all_rows.columns if c not in ("_dv_fp", "_dv_pos")
+        ]
+        for pos_df, change in (
+            (newly_deleted, "delete"),
+            (newly_restored, "insert"),
+        ):
+            frames.append(
+                all_rows.join(pos_df, ["_dv_fp", "_dv_pos"], "inner")
+                .select(
+                    *keep,
+                    F.lit(change).alias("_change_type"),
+                    F.col("_dv_ver").alias("_commit_version"),
+                )
+            )
+        pend_dv.clear()
+        pend_dv_adds.clear()
+
+    def _flush_all() -> None:
+        _flush_kind(pend_ins, pend_ins_ver, "insert")
+        _flush_dv()
+        _flush_kind(pend_rm, pend_rm_ver, "delete")
     for v in range(from_version, to_version + 1):
         adds_v: dict[str, dict] = {}
         removes_v: dict[str, dict] = {}
         cdc_v: dict[str, dict] = {}
+        new_meta: dict | None = None
         with open(_log_path(path, v)) as fh:
             for line in fh:
                 if not line.strip():
@@ -1639,7 +1751,11 @@ def read_delta_cdf(
                 elif "remove" in a:
                     removes_v[a["remove"]["path"]] = a["remove"]
                 elif "metaData" in a:
-                    meta = a["metaData"]
+                    new_meta = a["metaData"]
+        if new_meta is not None:
+            # pending batches were walked under the pre-change schema
+            _flush_all()
+            meta = new_meta
         if cdc_v:
             # explicit cdc actions (new r12 — delta-spark's UPDATE /
             # MERGE commits): PROTOCOL.md "Change Data Files" — when a
@@ -1693,23 +1809,24 @@ def read_delta_cdf(
             and p not in state
             and a.get("dataChange", True)
         }
-        if new_inserts:
-            frames.append(rows_of(new_inserts, v, "insert"))
+        for p in sorted(new_inserts):
+            if not os.path.exists(os.path.join(path, p)):
+                raise UnsupportedDeltaFeature(
+                    f"CDF needs vacuumed data file {p!r}"
+                )
+            if p in pend_ins:  # removed then re-added inside the range
+                _flush_kind(pend_ins, pend_ins_ver, "insert")
+            pend_ins[p] = new_inserts[p]
+            pend_ins_ver[os.path.abspath(os.path.join(path, p))] = v
         # same-file re-adds (paired with a remove, or replacing a
-        # live add by path): DV diff. r13: BATCHED PER VERSION, not
-        # per file — a keyed upsert touches most files of the table,
-        # and the old per-file loop appended 2 frames (each with its
-        # own positions build + exceptAll + semi-join) per changed
-        # file, growing the final union to versions x files x 2
-        # subplans (32-file fixture: 17 s of planning + tiny jobs for
-        # 9k change rows). Positions are keyed by (_dv_fp, _dv_pos),
-        # so the per-file diffs are EXACTLY the per-file slices of one
-        # combined diff: one multi-file rows frame, one positions
-        # frame per side, one exceptAll pair, two semi-joins — per
-        # version. (Supersedes this round's earlier per-(file, dv)
-        # decode memo: each side's combined frame decodes all its DVs
-        # in one pass to begin with.)
-        dv_changed: dict[str, dict] = {}
+        # live add by path): DV diff, batched into the range-wide
+        # pending diff (see _flush_dv) — a keyed upsert touches most
+        # files of the table EVERY version, so per-version frames
+        # still grew the union linearly with the commit range; the
+        # version tag on the positions keeps the combined diff's
+        # slices exactly the per-version ones. old_dv is captured at
+        # walk time (state advances below), so boundary k diffs
+        # state@k-1 vs add@k even when one file changes repeatedly.
         for p in sorted(p for p in adds_v if p in removes_v or p in state):
             new_add = adds_v[p]
             if not new_add.get("dataChange", True):
@@ -1724,68 +1841,19 @@ def read_delta_cdf(
                 )
             if old_dv == new_dv:
                 continue  # descriptor unchanged: no row changes
-            fp = os.path.abspath(os.path.join(path, p))
-            if not os.path.exists(fp):
+            if not os.path.exists(os.path.join(path, p)):
                 raise UnsupportedDeltaFeature(
                     f"CDF needs vacuumed data file {p!r}"
                 )
-            dv_changed[p] = new_add
-        if dv_changed:
-            all_rows = _frame_from_adds(
-                spark, path, dv_changed, meta, with_meta=True
-            )
-            empty_pos = spark.createDataFrame(
-                [], "_dv_fp string, _dv_pos long"
-            )
-            old_items = [
-                (
-                    os.path.abspath(os.path.join(path, p)),
-                    state[p]["deletionVector"],
-                )
-                for p in dv_changed
-                if state[p].get("deletionVector")
-            ]
-            new_items = [
-                (
-                    os.path.abspath(os.path.join(path, p)),
-                    dv_changed[p]["deletionVector"],
-                )
-                for p in dv_changed
-                if dv_changed[p].get("deletionVector")
-            ]
-            old_pos = (
-                _dv_positions_frame(spark, path, old_items)
-                if old_items
-                else empty_pos
-            )
-            new_pos = (
-                _dv_positions_frame(spark, path, new_items)
-                if new_items
-                else empty_pos
-            )
-            newly_deleted = new_pos.exceptAll(old_pos)
-            newly_restored = old_pos.exceptAll(new_pos)
-            for pos_df, change in (
-                (newly_deleted, "delete"),
-                (newly_restored, "insert"),
-            ):
-                frames.append(
-                    all_rows.join(pos_df, ["_dv_fp", "_dv_pos"], "semi")
-                    .drop("_dv_fp", "_dv_pos")
-                    .select(
-                        "*",
-                        F.lit(change).alias("_change_type"),
-                        F.lit(v).alias("_commit_version"),
-                    )
-                )
-        # true removes: the files' live rows are deletes — r13: one
-        # batched rows_of per version (was one frame per file)
+            pend_dv.append((v, p, old_dv, new_dv))
+            pend_dv_adds[p] = new_add
+        # true removes: the files' live rows are deletes — batched
+        # range-wide like the inserts (one scan + per-file stamp)
         true_removes = {
             p: r
             for p, r in removes_v.items()
             if p not in adds_v and r.get("dataChange", True)
         }
-        rm_adds: dict[str, dict] = {}
         for p in sorted(true_removes):
             old_add = state.get(p)
             if old_add is None:
@@ -1797,15 +1865,17 @@ def read_delta_cdf(
                 raise UnsupportedDeltaFeature(
                     f"CDF needs vacuumed data file {p!r}"
                 )
-            rm_adds[p] = old_add
-        if rm_adds:
-            frames.append(rows_of(rm_adds, v, "delete"))
+            if p in pend_rm:  # re-added then removed again in range
+                _flush_kind(pend_rm, pend_rm_ver, "delete")
+            pend_rm[p] = old_add
+            pend_rm_ver[os.path.abspath(os.path.join(path, p))] = v
         # advance the prior state by this commit's actions
         for p, a in adds_v.items():
             state[p] = a
         for p in removes_v:
             if p not in adds_v:
                 state.pop(p, None)
+    _flush_all()
     if not frames:
         base = _frame_from_adds(spark, path, {}, meta)
         return base.select(
