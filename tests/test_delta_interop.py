@@ -1801,6 +1801,102 @@ def test_cdf_add_only_readd_of_live_file(spark, tmp_path):
     assert ins - dels == C(read_delta(spark, path).select("id", "v"))
 
 
+def test_cdf_range_batch_flushes_on_path_reuse(spark, tmp_path):
+    """r13 range-wide CDF batching: a path removed then RE-ADDED (and
+    re-removed) inside one range must split the batched insert/remove
+    frames — the add-map key and per-file version stamp are per path,
+    so without the flush the later occurrence would overwrite the
+    earlier one's version. Exercises both collision flushes."""
+    import json as _json
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        _log_path,
+        export_delta,
+        read_delta,
+        read_delta_cdf,
+    )
+
+    path = str(tmp_path / "cdf_reuse")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_delta(mk([(0, "v0"), (1, "v1")]).coalesce(1), path)
+    v0_actions = [
+        _json.loads(line)
+        for line in open(_log_path(path, 0))
+        if line.strip()
+    ]
+    add0 = next(a for a in v0_actions if "add" in a)["add"]
+    rm = {"remove": {"path": add0["path"], "dataChange": True}}
+    # v1: true remove of the file; v2: re-add of the SAME path
+    # (insert-batch collision with v0's add); v3: remove it again
+    # (remove-batch collision with v1's remove)
+    for ver, action in ((1, rm), (2, {"add": add0}), (3, rm)):
+        with open(_log_path(path, ver), "w") as fh:
+            fh.write(_json.dumps(action) + "\n")
+
+    C = lambda df: Counter(map(tuple, df.collect()))
+    rows = [(0, "v0"), (1, "v1")]
+    want = Counter()
+    for i, v in rows:
+        for ver, ch in (
+            (0, "insert"), (1, "delete"), (2, "insert"), (3, "delete")
+        ):
+            want[(i, v, ch, ver)] += 1
+    assert C(read_delta_cdf(spark, path, 0)) == want
+    # sub-ranges keep per-version stamps exact
+    assert C(read_delta_cdf(spark, path, 2, 3)) == Counter(
+        {(i, v, ch, ver): 1
+         for i, v in rows
+         for ver, ch in ((2, "insert"), (3, "delete"))}
+    )
+    assert read_delta(spark, path).count() == 0
+
+
+def test_cdf_range_batch_flushes_on_metadata_change(spark, tmp_path):
+    """r13 range-wide CDF batching: a mid-range metaData action (here
+    a properties-only change, same columns) flushes the pending
+    batches — the accumulated inserts must keep their own versions'
+    stamps across the split, and changes after the boundary stamp
+    theirs. (A range spanning an ADD-COLUMN evolution still raises
+    NUM_COLUMNS_MISMATCH exactly as it did before the batching —
+    pinned equivalent, not a regression.)"""
+    import json as _json
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        _log_path,
+        delete_delta,
+        export_delta,
+        read_delta_cdf,
+    )
+
+    path = str(tmp_path / "cdf_meta")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_delta(mk([(0, "v0"), (1, "v1")]).coalesce(1), path)
+    export_delta(mk([(2, "v2")]).coalesce(1), path, mode="append")
+    # v2: properties-only metaData change (same schemaString) — the
+    # batched v0+v1 inserts must flush here, stamps intact
+    meta0 = next(
+        _json.loads(line)["metaData"]
+        for line in open(_log_path(path, 0))
+        if "metaData" in line
+    )
+    meta0["configuration"] = {"engine.test": "tweak"}
+    with open(_log_path(path, 2), "w") as fh:
+        fh.write(_json.dumps({"metaData": meta0}) + "\n")
+    delete_delta(spark, path, "id = 0")  # v3: DV diff after the flush
+
+    C = lambda df: Counter(map(tuple, df.collect()))
+    assert C(read_delta_cdf(spark, path, 0)) == Counter(
+        {
+            (0, "v0", "insert", 0): 1,
+            (1, "v1", "insert", 0): 1,
+            (2, "v2", "insert", 1): 1,
+            (0, "v0", "delete", 3): 1,
+        }
+    )
+
+
 def test_update_delta_and_cdf_explicit_change_data(spark, tmp_path):
     """r12: update_delta commits DV-retired old rows + rewritten rows
     + explicit cdc actions in ONE version; read_delta serves the
