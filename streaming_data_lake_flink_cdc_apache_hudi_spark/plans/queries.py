@@ -6294,6 +6294,16 @@ _DRIVER_VERIFIED = frozenset({
     "debezium_avro_parse", "hudi_upsert_read", "hudi_compact_read",
     "hudi_rollback_read", "delta_upsert_read", "uniform_upsert_read",
     "iceberg_branch_read", "iceberg_update_read", "delta_cdf_update_read",
+    # --- r13 green rows (50/50 full value-hash matches — sixth
+    # consecutive all-green window; names not already folded in above;
+    # all thirteen new r13 queries hash-green on first driver
+    # exposure) ---
+    "hudi_composite_key_read", "hudi_partitioned_upsert_read",
+    "laketail_delta_read", "laketail_iceberg_read", "laketail_hudi_read",
+    "delta_evolved_read", "iceberg_evolved_read", "hudi_evolved_read",
+    "delta_stats_pruned_read", "iceberg_sorted_rewrite_read",
+    "hudi_clustered_read", "hudi_pruned_read",
+    "iceberg_bounds_pruned_read",
 })
 
 

@@ -80,6 +80,10 @@ _LOG_DIR = "_delta_log"
 #    Format": 64-bit RoaringBitmapArray, "portable" serialization) ---------
 
 _DV_MAGIC = 1681511377  # little-endian marker preceding the bitmap array
+# CDF per-file version stamp: above this many files per batch the
+# inline literal map gives way to a broadcast mapping join (r14
+# ADVICE — thousands of inlined path literals slow analysis)
+_CDF_STAMP_MAP_MAX = 64
 _SERIAL_COOKIE = 12347  # standard roaring, run containers possible
 _SERIAL_COOKIE_NO_RUN = 12346
 
@@ -1305,9 +1309,12 @@ def _dv_positions_frame(
         import pyarrow.fs as pafs
 
         def read_bytes(fp: str) -> bytes:
-            fs, rel = pafs.FileSystem.from_uri(
-                fp if "://" in fp else "file://" + fp
-            )
+            if "://" in fp:
+                fs, rel = pafs.FileSystem.from_uri(fp)
+            else:
+                # a raw local path must NOT go through from_uri —
+                # characters like spaces are invalid in a URI (r14)
+                fs, rel = pafs.LocalFileSystem(), fp
             with fs.open_input_stream(rel) as fh:
                 return fh.read()
 
@@ -1382,14 +1389,14 @@ def _frame_from_adds(
         if extra_cols and mapping:
             cols += [df[c] for c in extra_cols]
         if with_meta:
+            from .parquet import local_path_expr
+
             cols += [
-                # file:///abs/p, file:/abs/p -> /abs/p (cf.
-                # iceberg_interop)
-                F.regexp_replace(
-                    F.col("_metadata.file_path"),
-                    r"^[A-Za-z0-9+.-]+:(//[^/]*)?",
-                    "",
-                ).alias("_dv_fp"),
+                # file:///abs/p (URI-encoded) -> /abs/p, percent-
+                # decoded to match os.path.abspath (cf. parquet.py)
+                local_path_expr(F.col("_metadata.file_path")).alias(
+                    "_dv_fp"
+                ),
                 F.col("_metadata.row_index").alias("_dv_pos"),
             ]
         return df.select(*cols)
@@ -1658,20 +1665,53 @@ def read_delta_cdf(
                 ["_dv_fp", "_dv_pos"],
                 "left_anti",
             )
-        vmap = F.create_map(
-            *[
-                x
-                for fp, ver in sorted(vers.items())
-                for x in (F.lit(fp), F.lit(ver))
-            ]
+        if len(vers) <= _CDF_STAMP_MAP_MAX:
+            vmap = F.create_map(
+                *[
+                    x
+                    for fp, ver in sorted(vers.items())
+                    for x in (F.lit(fp), F.lit(ver))
+                ]
+            )
+            stamp = F.element_at(vmap, F.col("_dv_fp"))
+        else:
+            # r14 ADVICE: a long catch-up over a wide table would
+            # inline thousands of path literals into one driver-side
+            # map expression (slow analysis / codegen fallback) —
+            # beyond a modest batch, stamp via a broadcast mapping
+            # join on _dv_fp instead
+            vdf = spark.createDataFrame(
+                sorted(vers.items()), "_dv_fp string, _dv_stamp int"
+            )
+            df = df.join(F.broadcast(vdf), "_dv_fp", "left")
+            stamp = F.col("_dv_stamp")
+        # fail-fast FILTER (r14 ADVICE, the _live_scan guard style): a
+        # _metadata.file_path that fails to match the abspath mapping
+        # (symlinks, URI-escaped table paths) must raise, not stamp
+        # NULL versions silently — and a filter cannot be skipped by
+        # a plan that prunes _commit_version
+        df = df.filter(
+            stamp.isNotNull()
+            | F.raise_error(
+                F.concat(
+                    F.lit(
+                        "delta CDF: scanned data file missing from "
+                        "the commit-version stamp mapping (path "
+                        "normalization mismatch): "
+                    ),
+                    F.col("_dv_fp"),
+                )
+            ).cast("boolean")
         )
         frames.append(
             df.select(
-                *[c for c in df.columns if c not in ("_dv_fp", "_dv_pos")],
+                *[
+                    c
+                    for c in df.columns
+                    if c not in ("_dv_fp", "_dv_pos", "_dv_stamp")
+                ],
                 F.lit(change).alias("_change_type"),
-                F.element_at(vmap, F.col("_dv_fp")).alias(
-                    "_commit_version"
-                ),
+                stamp.alias("_commit_version"),
             )
         )
         batch.clear()
@@ -2623,9 +2663,21 @@ def upsert_delta(
     keys = None
     if abs_parts:
         written = spark.read.parquet(*abs_parts)
-        n_rows = written.count()
+        # r14 (§2.6): rows + distinct keys in ONE aggregate job (the
+        # warm commit was ~5 sequential py4j round-trips; the two
+        # validation counts fuse into one pass). groupBy-then-count
+        # keeps dropDuplicates' null-key semantics, which
+        # countDistinct would not.
+        n_rows, n_keys = (
+            written.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.coalesce(F.sum("_c"), F.lit(0)),
+                F.count(F.lit(1)),
+            )
+            .first()
+        )
         keys = written.select(*key_cols).dropDuplicates()
-        n_keys = keys.count()
         if n_keys != n_rows:
             if own_files:
                 for f in abs_parts:

@@ -901,12 +901,10 @@ def read_hudi(
     else:
         import re as _re
 
+        from .parquet import local_path_expr
+
         rel = F.regexp_replace(
-            F.regexp_replace(
-                F.col("_metadata.file_path"),
-                r"^[A-Za-z0-9+.-]+:(//[^/]*)?",
-                "",
-            ),
+            local_path_expr(F.col("_metadata.file_path")),
             "^" + _re.escape(os.path.abspath(path)) + "/",
             "",
         )

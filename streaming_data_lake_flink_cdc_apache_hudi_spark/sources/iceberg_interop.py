@@ -574,16 +574,14 @@ def _live_scan(
         df = df.select(*keep)
     if not pos_files and not eq_deletes and not with_positions:
         return df
+    from .parquet import local_path_expr
+
     cols = df.columns
     data = df.select(
         "*",
-        # file:///abs/p, file:/abs/p, hdfs://nn/abs/p -> /abs/p,
-        # matching the mapping's local form
-        F.regexp_replace(
-            F.col("_metadata.file_path"),
-            r"^[A-Za-z0-9+.-]+:(//[^/]*)?",
-            "",
-        ).alias("_ice_fp"),
+        # file:///abs/p (URI-encoded) -> /abs/p, percent-decoded to
+        # match the mapping's os.path.abspath form (cf. parquet.py)
+        local_path_expr(F.col("_metadata.file_path")).alias("_ice_fp"),
         F.col("_metadata.row_index").alias("_ice_pos"),
     )
     map_df = F.broadcast(
@@ -2585,9 +2583,14 @@ def read_iceberg_changelog(
       semantically truthful answer.
 
     Scale: appends stay incremental (scan only the new files); only
-    genuinely row-level snapshots pay the two-snapshot diff, the
-    same order of work Java's changelog does resolving delete files
-    against their affected data files."""
+    genuinely row-level snapshots pay the state diff, the same order
+    of work Java's changelog does resolving delete files against
+    their affected data files. The whole chain's row-level diffs are
+    evaluated as ONE weighted count-aggregate (r14 — the Delta
+    ``_dv_ver`` range-batch pattern): the plan carries one
+    aggregation exchange regardless of how many delete/overwrite
+    boundaries the range spans; only a mid-chain column-list change
+    splits the batch."""
     from pyspark.sql import functions as F
 
     meta = json.load(open(_current_metadata_path(path)))
@@ -2658,6 +2661,69 @@ def read_iceberg_changelog(
             _state_cache[sid] = df
         return _state_cache[sid]
 
+    # r14: batch the row-level diffs ACROSS the whole chain (the
+    # Delta _dv_ver pattern). Per boundary, the old shape was a
+    # then.exceptAll(now) / now.exceptAll(then) pair — Spark rewrites
+    # each exceptAll into its own count-aggregate + replicate, so a
+    # k-boundary chain paid 2k aggregation shuffles. exceptAll is
+    # multiset difference: then minus now emits each row
+    # max(count_then - count_now, 0) times, and vice versa. So tag
+    # every boundary's parent-state rows +1 and its own-state rows
+    # -1 on the boundary ordinal, aggregate ONCE by (ordinal, row)
+    # summing the weights, and replicate: sum = n > 0 means n
+    # deletes, n < 0 means |n| inserts — exactly both exceptAlls of
+    # every boundary, in ONE shuffle for the whole chain. Batches
+    # split only when a boundary's column list differs (mid-chain
+    # schema change: the union legs must share one schema).
+    pend_rl: list[tuple[int, DataFrame, DataFrame]] = []
+    pend_rl_cols: list[str] | None = None
+
+    def _flush_rowlevel() -> None:
+        nonlocal pend_rl_cols
+        if not pend_rl:
+            return
+        cols = list(pend_rl_cols or [])
+        legs: list[DataFrame] = []
+        for ordinal, now_df, then_df in pend_rl:
+            legs.append(
+                then_df.select(
+                    F.lit(ordinal).alias("_change_ordinal"),
+                    F.lit(1).alias("_w"),
+                    *cols,
+                )
+            )
+            legs.append(
+                now_df.select(
+                    F.lit(ordinal).alias("_change_ordinal"),
+                    F.lit(-1).alias("_w"),
+                    *cols,
+                )
+            )
+        u = legs[0]
+        for leg in legs[1:]:
+            u = u.unionByName(leg)
+        net = (
+            u.groupBy("_change_ordinal", *cols)
+            .agg(F.sum("_w").alias("_net"))
+            .where(F.col("_net") != 0)
+        )
+        frames.append(
+            net.select(
+                *cols,
+                F.when(F.col("_net") > 0, F.lit("delete"))
+                .otherwise(F.lit("insert"))
+                .alias("_change_type"),
+                F.col("_change_ordinal"),
+                F.explode(
+                    F.sequence(
+                        F.lit(1), F.abs(F.col("_net")).cast("int")
+                    )
+                ).alias("_rep"),
+            ).drop("_rep")
+        )
+        pend_rl.clear()
+        pend_rl_cols = None
+
     for ordinal, s in enumerate(chain):
         sid = s["snapshot-id"]
         parent = s.get("parent-snapshot-id")
@@ -2692,12 +2758,11 @@ def read_iceberg_changelog(
             )
         now_df = _state(sid)
         then_df = _state(parent).select(*now_df.columns)
-        frames.append(
-            stamped(then_df.exceptAll(now_df), "delete", ordinal)
-        )
-        frames.append(
-            stamped(now_df.exceptAll(then_df), "insert", ordinal)
-        )
+        if pend_rl and pend_rl_cols != now_df.columns:
+            _flush_rowlevel()
+        pend_rl_cols = now_df.columns
+        pend_rl.append((ordinal, now_df, then_df))
+    _flush_rowlevel()
     if not frames:
         empty = read_iceberg(spark, path, snapshot_id=to_snapshot_id)
         return stamped(empty, "insert", 0).limit(0)
@@ -2862,6 +2927,8 @@ def upsert_iceberg(
     driver work."""
     import pyarrow.parquet as pq
 
+    from pyspark.sql import functions as F
+
     if not _allow_uniform:
         _refuse_uniform_iceberg(path, "upsert_iceberg")
 
@@ -3012,13 +3079,24 @@ def upsert_iceberg(
         # and possibly already committed to another format's metadata
         # — never removed on abort
         new_data = sorted(os.path.abspath(f) for f in data_files)
+    n_keys = 0
     if new_data:
         # keys come from the WRITTEN rows (one source of truth even
-        # for nondeterministic inputs); the scan proves uniqueness
+        # for nondeterministic inputs); the scan proves uniqueness.
+        # r14 (§2.6): rows + distinct keys in ONE aggregate job
+        # (groupBy-then-count keeps dropDuplicates' null-key
+        # semantics, which countDistinct would not).
         written = spark.read.parquet(*new_data)
-        n_rows = written.count()
+        n_rows, n_keys = (
+            written.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.coalesce(F.sum("_c"), F.lit(0)),
+                F.count(F.lit(1)),
+            )
+            .first()
+        )
         kdf = written.select(*key_cols).dropDuplicates()
-        n_keys = kdf.count()
         if n_keys != n_rows:
             if data_files is None:
                 for f in new_data:
@@ -3029,10 +3107,21 @@ def upsert_iceberg(
                 "one row per key first (same-seq rows would BOTH "
                 "survive)"
             )
+    n_del = 0
     if deletes is not None:
         ddf = deletes.select(*key_cols).dropDuplicates()
         if kdf is not None:
-            overlap = kdf.join(ddf, key_cols, "semi").count()
+            # r14 (§2.6): deletes count + batch-key overlap in ONE
+            # job (kdf is deduped, so each ddf row joins at most one
+            # kdf row; count("_m") = the old semi-join count, with
+            # identical null-key never-matches semantics)
+            n_del, overlap = (
+                ddf.join(
+                    kdf.withColumn("_m", F.lit(1)), key_cols, "left"
+                )
+                .agg(F.count(F.lit(1)), F.count("_m"))
+                .first()
+            )
             if overlap:
                 if data_files is None:
                     for f in new_data:
@@ -3044,8 +3133,12 @@ def upsert_iceberg(
                 )
             kdf = kdf.unionByName(ddf)
         else:
+            n_del = ddf.count()
             kdf = ddf
-    if kdf is None or kdf.count() == 0:
+    # after the overlap gate the union is disjoint, so its size is
+    # n_keys + n_del — no extra count job (r14; this was a third
+    # count over kdf)
+    if kdf is None or (n_keys + n_del) == 0:
         return {"snapshot_id": None, "rows": 0}  # empty batch
     kdf = kdf.select(
         *(

@@ -29,6 +29,20 @@ TPCH_TABLES = (
 )
 
 
+def local_path_expr(col: F.Column) -> F.Column:
+    """``file:///abs/p``, ``file:/abs/p``, ``hdfs://nn/abs/p`` (all
+    URI-percent-encoded, the form ``_metadata.file_path`` yields) ->
+    the local filesystem path matching ``os.path.abspath``: strip the
+    scheme/authority, then percent-decode (r14 — a table path with a
+    space previously never matched the interop readers' abspath-keyed
+    maps). ``url_decode`` is form decoding ('+' means space), so a
+    literal '+' is pre-escaped to %2B first — the combination is
+    exact percent-decoding, and the escape sequences are always
+    well-formed because the writer encodes a literal '%' as %25."""
+    stripped = F.regexp_replace(col, r"^[A-Za-z0-9+.-]+:(//[^/]*)?", "")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+
+
 def _parquet_ts_unit(path: str, column: str = "ts") -> str | None:
     """Time unit ('ns', 'us', 'ms', 's') a parquet timestamp column is
     stored in, read from the file footer — never assume the unit; the

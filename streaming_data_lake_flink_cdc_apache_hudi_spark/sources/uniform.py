@@ -240,6 +240,8 @@ def upsert_uniform(
             "2 (export with export_uniform(format_version=2)) — v1 "
             "has no sequence numbers to scope equality deletes"
         )
+    from pyspark.sql import functions as F
+
     adds, meta_d, _proto = _replay_log(spark, path)
     if meta_d is None:
         raise ValueError(f"no Delta metaData at {path}")
@@ -289,11 +291,21 @@ def upsert_uniform(
         parts = sorted(_parts() - before)
         abs_parts = [os.path.join(path, f) for f in parts]
 
-        # key uniqueness from the WRITTEN rows, before either commit
+        # key uniqueness from the WRITTEN rows, before either commit.
+        # r14 (§2.6): rows + distinct keys in ONE aggregate job
+        # (groupBy-then-count keeps dropDuplicates' null-key
+        # semantics, which countDistinct would not).
         written = spark.read.parquet(*abs_parts)
-        n_rows = written.count()
+        n_rows, n_keys = (
+            written.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.coalesce(F.sum("_c"), F.lit(0)),
+                F.count(F.lit(1)),
+            )
+            .first()
+        )
         keys = written.select(*key_cols).dropDuplicates()
-        n_keys = keys.count()
         if n_keys != n_rows:
             for f in abs_parts:
                 os.remove(f)  # abort cleanly: nothing committed yet

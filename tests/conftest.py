@@ -17,7 +17,13 @@ SF_ORACLE = "/root/testdata/sf0.01"
 def spark():
     cfg = EngineConfig(
         master="local[8]",
-        shuffle_partitions=8,
+        # r14: the suite outgrew the driver's pytest window (~53 min;
+        # VERDICT r13 item 2). Test fixtures are KB-scale, so shuffle
+        # stages are pure task-scheduling overhead: 2 partitions
+        # measured -40..-57% per heavy file vs 8, while keeping every
+        # cross-partition code path exercised (2 > 1). Tests that
+        # need a specific partitioning set it themselves.
+        shuffle_partitions=2,
         driver_memory="8g",
         app_name="engine-tests",
     )

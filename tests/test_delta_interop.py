@@ -743,13 +743,13 @@ def test_multiple_dvs_share_one_sidecar_file(spark, tmp_path):
     assert got == [i for i in range(100) if i not in (1, 2, 50, 99)]
 
 
-def test_dv_path_normalization_mismatch_raises(spark, tmp_path):
-    """ADVICE r7: the DV anti-join keys on the normalized
-    ``_metadata.file_path``; when that rendering diverges from the
-    add-path map (here: a filename with a space, which Spark
-    URI-renders as %20) the anti-join would silently remove NOTHING
-    and deleted rows resurface. The coverage guard must raise
-    instead."""
+def test_dv_path_normalization_mismatch_raises(spark, tmp_path, monkeypatch):
+    """ADVICE r7 / updated r14: a filename with a space (Spark
+    URI-renders it %20) used to be the mismatch trigger; the r14
+    percent-decoding normalizer makes it READ CORRECTLY now — assert
+    that. The coverage guard for a GENUINE divergence (simulated by
+    breaking the normalizer) must still raise, never silently skip
+    the DV anti-join."""
     path = _dv_table(spark, tmp_path, "dv_guard", "p")
     add_rel = None
     for i in (0, 1):
@@ -767,6 +767,24 @@ def test_dv_path_normalization_mismatch_raises(spark, tmp_path):
     os.rename(
         os.path.join(path, add_rel),
         os.path.join(path, "part with space.parquet"),
+    )
+    # r14: the encoded rendering now decodes back to the add-path map
+    # form — the DV applies and positions {3,4,5} stay deleted
+    got = sorted(r["id"] for r in read_delta(spark, path).collect())
+    assert got == [i for i in range(100) if i not in (3, 4, 5)]
+
+    # genuine divergence (normalizer that keeps the %20 form) raises
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources import (
+        parquet as pq_src,
+    )
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(
+        pq_src,
+        "local_path_expr",
+        lambda col: F.regexp_replace(
+            col, r"^[A-Za-z0-9+.-]+:(//[^/]*)?", ""
+        ),
     )
     with pytest.raises(Exception, match="normalization|add-path"):
         read_delta(spark, path).collect()
@@ -2156,3 +2174,55 @@ def test_upsert_delta_partitioned(spark, tmp_path):
     assert C(read_delta(spark, path)) == Counter(
         {(1, "A", "y"): 1, (2, "B", "y"): 1, (4, "d", "x"): 1}
     )
+
+
+def test_cdf_table_path_with_space(spark, tmp_path):
+    """r14 ADVICE: the batched CDF version stamp keys on the
+    normalized _metadata.file_path matching os.path.abspath — a table
+    path with a space (URI-encoded by some writers) must still stamp
+    every row a non-null version, or raise, never NULL silently."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        delete_delta,
+        export_delta,
+        read_delta_cdf,
+    )
+
+    path = str(tmp_path / "cdf dir with space" / "t 1")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_delta(mk([(i, f"v{i}") for i in range(4)]).coalesce(1), path)
+    delete_delta(spark, path, "id = 2")
+    got = Counter(map(tuple, read_delta_cdf(spark, path, 0).collect()))
+    want = Counter({(i, f"v{i}", "insert", 0): 1 for i in range(4)})
+    want[(2, "v2", "delete", 1)] = 1
+    assert got == want
+    assert all(k[-1] is not None for k in got)
+
+
+def test_cdf_stamp_broadcast_join_path(spark, tmp_path, monkeypatch):
+    """r14 ADVICE: beyond _CDF_STAMP_MAP_MAX files per batch the
+    version stamp switches from an inline literal map to a broadcast
+    mapping join — same rows, same versions, on both paths."""
+    from collections import Counter
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources import (
+        delta_interop as di,
+    )
+
+    path = str(tmp_path / "cdf_bjoin")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_delta = di.export_delta
+    export_delta(mk([(i, f"v{i}") for i in range(4)]).coalesce(2), path)
+    export_delta(
+        mk([(9, "v9"), (10, "v10")]).coalesce(1), path, mode="append"
+    )
+    di.delete_delta(spark, path, "id IN (1, 9)")
+    C = lambda: Counter(
+        map(tuple, di.read_delta_cdf(spark, path, 0).collect())
+    )
+    via_map = C()
+    monkeypatch.setattr(di, "_CDF_STAMP_MAP_MAX", 0)
+    via_join = C()
+    assert via_map == via_join
+    assert sum(n for (_i, _v, ch, _cv), n in via_map.items() if ch == "delete") == 2

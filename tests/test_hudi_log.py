@@ -1102,25 +1102,27 @@ def test_export_file_count_immune_to_prepartitioned_input(spark, tmp_path):
         UpsertLakeTable,
     )
 
-    # the engine-tests session runs shuffle_partitions=8: num_files=8
-    # reproduces the elided-repartition shape exactly
+    # num_files == the session's shuffle_partitions reproduces the
+    # elided-repartition shape exactly (derived from the live conf so
+    # the shape stays exercised whatever the test session runs at)
+    nf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     t = UpsertLakeTable(spark, str(tmp_path / "eng"), key="id")
     df = spark.range(200).select(
         F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
     )
     t.write(df, commit_id="c1")
     path = str(tmp_path / "mor")
-    res = export_hudi_mor(t, path, num_files=8)
-    assert res["data_files"] == 8
+    res = export_hudi_mor(t, path, num_files=nf)
+    assert res["data_files"] == nf
     bases = [
         f
         for _r, _d, fs in os.walk(path)
         for f in fs
         if f.endswith(".parquet")
     ]
-    assert len(bases) == 8
+    assert len(bases) == nf
     assert read_hudi(spark, path).count() == 200
-    # compaction keeps the 8-group layout (same _pid assignment)
+    # compaction keeps the nf-group layout (same _pid assignment)
     upsert_hudi(
         spark,
         path,
@@ -1132,7 +1134,7 @@ def test_export_file_count_immune_to_prepartitioned_input(spark, tmp_path):
     assert out["compacted_groups"] >= 1
     rt = read_hudi(spark, path)
     assert rt.count() == 200
-    assert len(rt.inputFiles()) == 8
+    assert len(rt.inputFiles()) == nf
     got = {(r.id, r.v) for r in rt.select("id", "v").collect()}
     want = {
         (i, f"U{i}" if i % 10 == 0 else f"v{i}") for i in range(200)
