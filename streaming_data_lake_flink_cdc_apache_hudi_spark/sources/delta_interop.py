@@ -2662,7 +2662,13 @@ def upsert_delta(
     n_rows = 0
     keys = None
     if abs_parts:
-        written = spark.read.parquet(*abs_parts)
+        rd = spark.read
+        if df is not None:
+            # the batch's schema is already known — passing it skips
+            # the footer schema-inference job (r14 §2.6: the warm
+            # commit is a chain of small sequential driver jobs)
+            rd = rd.schema(df.select(*tbl_cols).schema)
+        written = rd.parquet(*abs_parts)
         # r14 (§2.6): rows + distinct keys in ONE aggregate job (the
         # warm commit was ~5 sequential py4j round-trips; the two
         # validation counts fuse into one pass). groupBy-then-count

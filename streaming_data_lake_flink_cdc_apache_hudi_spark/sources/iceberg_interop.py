@@ -3086,7 +3086,12 @@ def upsert_iceberg(
         # r14 (§2.6): rows + distinct keys in ONE aggregate job
         # (groupBy-then-count keeps dropDuplicates' null-key
         # semantics, which countDistinct would not).
-        written = spark.read.parquet(*new_data)
+        rd = spark.read
+        if df is not None:
+            # schema already known from the batch: skip the footer
+            # schema-inference job (r14 §2.6)
+            rd = rd.schema(df.select(*tbl_cols).schema)
+        written = rd.parquet(*new_data)
         n_rows, n_keys = (
             written.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("_c"))

@@ -295,7 +295,12 @@ def upsert_uniform(
         # r14 (§2.6): rows + distinct keys in ONE aggregate job
         # (groupBy-then-count keeps dropDuplicates' null-key
         # semantics, which countDistinct would not).
-        written = spark.read.parquet(*abs_parts)
+        # schema already known from the batch: skip the footer
+        # schema-inference job (r14 §2.6)
+        written = (
+            spark.read.schema(df.select(*tbl_cols).schema)
+            .parquet(*abs_parts)
+        )
         n_rows, n_keys = (
             written.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("_c"))
