@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions import vectors as V
+from .materialize import pin
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -173,7 +174,7 @@ def minhash_lsh_pairs(
     # under the self-join, and would otherwise be re-evaluated
     # (interpreted!) on both join sides. At warehouse scale this step
     # is a signatures table write; localCheckpoint is its local analog.
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = sigs.transform(pin)
     def _band_key(b: int) -> Column:
         slots = [F.element_at("_sig", b * r + j + 1) for j in range(r)]
         if hash_family == "portable":
@@ -215,7 +216,7 @@ def minhash_lsh_pairs(
     banded = (
         banded.repartition("band", "bhash")
         .sortWithinPartitions("band", "bhash")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     a, b = banded.alias("a"), banded.alias("b")
     # estimate + threshold BEFORE the pair-dedup shuffle (r11): a
@@ -333,7 +334,7 @@ def jaccard_pairs(
     postings = (
         postings.repartition("_s")
         .sortWithinPartitions("_s")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     pa = postings.select(
         F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_s"
@@ -472,7 +473,7 @@ def simhash_pairs(
         # materialize the token hashes behind a plan boundary:
         # CollapseProject would otherwise inline the md5 transform into
         # all 60 per-bit filters (60x re-evaluation per row)
-        pre = pre.localCheckpoint(eager=True)
+        pre = pre.transform(pin)
         sh = pre.select(
             "_id", _portable_simhash(F.col("_hs"), F.col("_n")).alias("_sim")
         )
@@ -482,7 +483,7 @@ def simhash_pairs(
             simhash_udf()(F.col(text_col)).alias("_sim"),
         )
     # materialize: the signature must be computed once, not per join side
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(pin)
     chunks = sh.select(
         "_id",
         "_sim",
@@ -510,7 +511,7 @@ def simhash_pairs(
     chunks = (
         chunks.repartition("chunk", "cval")
         .sortWithinPartitions("chunk", "cval")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -595,7 +596,7 @@ def embedding_near_dup_pairs(
     base = (
         base.repartition("_bkt")
         .sortWithinPartitions("_bkt")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     probe = base
     if multi_probe:
@@ -722,7 +723,7 @@ def connected_components(
             .union(nbr)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         changed = (
             new.join(
@@ -814,7 +815,7 @@ def edit_distance_pairs(
     keyed = (
         keyed.repartition("_k")
         .sortWithinPartitions("_k")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
@@ -911,7 +912,7 @@ def semantic_dedup(
         F.sqrt(V.dot(F.col("_v"), F.col("_v"))).alias("_n"),
         F.reverse(F.array_sort(dots))[0]["cid"].alias("cluster"),
     )
-    assigned = assigned.localCheckpoint(eager=True)
+    assigned = assigned.transform(pin)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = V.dot(F.col("a._v"), F.col("b._v")) / (
         F.col("a._n") * F.col("b._n")

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .materialize import pin
 
 
 def pagerank(
@@ -70,7 +71,7 @@ def pagerank(
         contrib_base = (
             contrib_base.repartition("_s")
             .sortWithinPartitions("_s")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         # _deg is functionally dependent on _s, so first() per key ==
         # distinct(); keyed on the clustered _s the partial aggregate
@@ -83,7 +84,7 @@ def pagerank(
     if materialize:
         # one-row scalar, re-read by pr0 + every iteration — pin it
         # so the distinct+count subtree isn't recomputed 4x per run
-        n_nodes = n_nodes.localCheckpoint(eager=True)
+        n_nodes = n_nodes.transform(pin)
 
     # rank_0 = 1/N for every node; the scalar N rides along as a
     # broadcast one-row cross join (never a collect)
@@ -163,13 +164,13 @@ def triangle_count(
     # the distinct runs once, not 3x; deg itself is joined for both
     # endpoints, so pin it too (each join side still shuffles the
     # small (n, d) table by its own key, as it must).
-    und = und.localCheckpoint(eager=True)
+    und = und.transform(pin)
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     ranked = (
         und.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
@@ -194,7 +195,7 @@ def triangle_count(
     oriented = (
         oriented.repartition("s")
         .sortWithinPartitions("s")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedge = (
@@ -220,7 +221,7 @@ def triangle_count(
     # enumeration (wedge self-join + closing join, the expensive part
     # of the whole operator) re-ran per corner column (verified in the
     # executed plan: 3 copies of both joins). Materialize once.
-    tri = tri.localCheckpoint(eager=True)
+    tri = tri.transform(pin)
     corners = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))

@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from .materialize import pin
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -1708,7 +1709,7 @@ def phash_pairs(
     base = (
         base.repartition("_b")
         .sortWithinPartitions("_b")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     a, b = base.alias("a"), base.alias("b")
     cand = (

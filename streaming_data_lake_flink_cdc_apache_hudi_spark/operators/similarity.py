@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from .materialize import pin
 
 
 def cosine_topk(
@@ -233,7 +234,7 @@ def kmeans_centroids(
         vecs = vecs.orderBy(F.xxhash64(F.col("_id"), F.lit(seed))).limit(
             train_limit
         )
-    sample = vecs.localCheckpoint(eager=True)
+    sample = vecs.transform(pin)
     # k-means++-style init: from a bounded hash-ranked pool, greedily
     # pick the vector farthest (min max-cosine) from those chosen so
     # far — random init can seed two centroids in one cluster and

@@ -1923,8 +1923,42 @@ def read_delta_cdf(
             F.lit("insert").alias("_change_type"),
             F.lit(0).alias("_commit_version"),
         ).limit(0)
-    out = frames[0]
-    for f in frames[1:]:
+    # r14 (VERDICT r13 item 7): a range spanning ADD-COLUMN evolution
+    # used to raise on this union — frames walked under the
+    # pre-evolution schema lack the added columns. delta-spark's
+    # table_changes serves the whole range under the range's LATEST
+    # schema (old rows null-backfill the added columns), so align
+    # every frame to it; the flush machinery above is unchanged.
+    # Anything but pure ADD (a frame carrying a column the final
+    # schema lacks: drop/rename evolution) still raises clearly.
+    from pyspark.sql.types import StructField
+
+    tgt_types = {
+        f["name"]: StructField.fromJson(f).dataType
+        for f in json.loads(meta["schemaString"])["fields"]
+    }
+    tgt_cols = list(tgt_types) + ["_change_type", "_commit_version"]
+    aligned: list[DataFrame] = []
+    for f in frames:
+        extra = [c for c in f.columns if c not in tgt_cols]
+        if extra:
+            raise UnsupportedDeltaFeature(
+                f"CDF range spans a drop/rename-column evolution "
+                f"(columns {extra} absent from the range-final "
+                "schema) — only ADD-COLUMN is supported"
+            )
+        missing = [c for c in tgt_cols if c not in f.columns]
+        if missing:
+            f = f.select(
+                "*",
+                *[
+                    F.lit(None).cast(tgt_types[c]).alias(c)
+                    for c in missing
+                ],
+            )
+        aligned.append(f.select(*tgt_cols))
+    out = aligned[0]
+    for f in aligned[1:]:
         out = out.unionByName(f)
     return out
 

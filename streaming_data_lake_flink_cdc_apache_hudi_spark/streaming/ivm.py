@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .upsert_sink import UpsertLakeTable
+from ..operators.materialize import pin
 
 _HIST_SCHEMA = T.StructType(
     [
@@ -260,7 +261,7 @@ class FlagshipViewIVM:
                 person_delta, ticket_delta, hist_delta, ticket_probe
             )
             .select(F.col("pid").alias("a_pid"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
 
         # 3. recompute the flagship join for affected persons only —
@@ -289,7 +290,7 @@ class FlagshipViewIVM:
         pt = (
             p.join(t_state, p["p_id"] == t_state["t_holder"])
             .select("p_full_name", "t_id", "t_price")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         h_buckets = self.hist.bucket_filter_for(
             pt.select(F.col("t_id").alias("sporting_event_ticket_id"))

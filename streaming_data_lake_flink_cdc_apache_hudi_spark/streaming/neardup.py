@@ -43,6 +43,7 @@ from ..operators.dedup import (
 )
 from ..functions.text import shingles as _shingles
 from .upsert_sink import UpsertLakeTable
+from ..operators.materialize import pin
 
 
 class StreamingNearDupIndex:
@@ -120,7 +121,7 @@ class StreamingNearDupIndex:
         )
         # one materialization: the wide HOF expression must not be
         # re-evaluated under every downstream join side
-        return sigs.localCheckpoint(eager=True)
+        return sigs.transform(pin)
 
     def _banded(self, sigs: DataFrame) -> DataFrame:
         return sigs.select(
@@ -212,7 +213,7 @@ class StreamingNearDupIndex:
             "est_jaccard",
         )
         found = intra if cross is None else cross.unionByName(intra)
-        found = found.localCheckpoint(eager=True)
+        found = found.transform(pin)
 
         suffix = "" if epoch_id is None else f"-{epoch_id}"
         if found.limit(1).count():

@@ -1875,9 +1875,9 @@ def test_cdf_range_batch_flushes_on_metadata_change(spark, tmp_path):
     a properties-only change, same columns) flushes the pending
     batches — the accumulated inserts must keep their own versions'
     stamps across the split, and changes after the boundary stamp
-    theirs. (A range spanning an ADD-COLUMN evolution still raises
-    NUM_COLUMNS_MISMATCH exactly as it did before the batching —
-    pinned equivalent, not a regression.)"""
+    theirs. (A range spanning an ADD-COLUMN evolution null-backfills
+    to the range-final schema since r14 —
+    test_cdf_range_spanning_add_column_evolution.)"""
     import json as _json
     from collections import Counter
 
@@ -2226,3 +2226,65 @@ def test_cdf_stamp_broadcast_join_path(spark, tmp_path, monkeypatch):
     via_join = C()
     assert via_map == via_join
     assert sum(n for (_i, _v, ch, _cv), n in via_map.items() if ch == "delete") == 2
+
+
+def test_cdf_range_spanning_add_column_evolution(spark, tmp_path):
+    """r14 (VERDICT r13 item 7): a CDF range spanning an ADD-COLUMN
+    evolution serves the whole range under the range-final schema —
+    pre-evolution rows null-backfill the added column (delta-spark's
+    table_changes contract) instead of raising on the final union.
+    Drop/rename evolution still raises clearly."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        UnsupportedDeltaFeature,
+        delete_delta,
+        export_delta,
+        read_delta_cdf,
+        upsert_delta,
+    )
+
+    path = str(tmp_path / "cdf_evolve")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    export_delta(mk([(0, "v0"), (1, "v1")]).coalesce(1), path)  # v0
+    # v1: ADD-COLUMN evolution (metaData widens mid-range) + upsert
+    ev = spark.createDataFrame([(2, "v2", 20)], "id long, v string, n long")
+    upsert_delta(spark, path, ev, ["id"], evolve_schema=True)
+    delete_delta(spark, path, "id = 0")  # v2: DV diff post-evolution
+
+    C = lambda df: Counter(map(tuple, df.collect()))
+    assert C(read_delta_cdf(spark, path, 0)) == Counter(
+        {
+            (0, "v0", None, "insert", 0): 1,
+            (1, "v1", None, "insert", 0): 1,
+            (2, "v2", 20, "insert", 1): 1,
+            (0, "v0", None, "delete", 2): 1,
+        }
+    )
+    # columns the final schema lacks (a hand-rewritten narrowing
+    # metaData) raise clearly instead of silently dropping data
+    import json as _json
+
+    from streaming_data_lake_flink_cdc_apache_hudi_spark.sources.delta_interop import (
+        _log_path,
+    )
+
+    meta1 = None
+    for ver in (1, 0):
+        for line in open(_log_path(path, ver)):
+            if '"metaData"' in line:
+                meta1 = _json.loads(line)["metaData"]
+                break
+        if meta1:
+            break
+    sch = _json.loads(meta1["schemaString"])
+    sch["fields"] = [f for f in sch["fields"] if f["name"] != "n"]
+    meta1 = dict(meta1)
+    meta1["schemaString"] = _json.dumps(sch)
+    nxt = 3
+    with open(_log_path(path, nxt), "w") as fh:
+        fh.write(_json.dumps({"metaData": meta1}) + "\n")
+    with _pytest.raises(UnsupportedDeltaFeature, match="drop/rename"):
+        read_delta_cdf(spark, path, 0).collect()
