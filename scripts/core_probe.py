@@ -60,7 +60,7 @@ SHIFTS = {
     "part": {"p_partkey": 1_000_000},
     "supplier": {"s_suppkey": 1_000_000},
     "events": {"user_id": 1_000_000, "event_id": 100_000_000},
-    "embeddings": {"id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
 }
 
 

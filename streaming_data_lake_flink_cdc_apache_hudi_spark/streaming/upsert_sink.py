@@ -520,8 +520,22 @@ class UpsertLakeTable:
             # costs ~0.2 s/commit (A/B-measured) on the hot commit
             # path. The commit records -1; timeline() recovers real
             # counts lazily from the parquet footers at read time.
+            #
+            # r14 (guide §6): cluster by bucket BEFORE the dynamic-
+            # partition write — without it every input slice opens a
+            # file per bucket it touches (32 slices x 16 buckets ~505
+            # files/commit at bench shape) and the file-commit
+            # protocol dominates latency. One bucket-keyed shuffle of
+            # the delta (rides spark.sql.shuffle.partitions; AQE
+            # coalesces) cuts it to one file per touched bucket:
+            # commit mean 1.88 -> 0.64 s on the 2k-row bench shape,
+            # 1.60 -> 0.82 s on a 200k-row backfill, files/commit
+            # ~505 -> 16. Write parallelism is then bounded by
+            # num_buckets — the table's own scale knob, exactly like
+            # compaction (which has always repartitioned this way).
             (
                 enriched.withColumn("commit", F.lit(seq))
+                .repartition("bucket")
                 .write.mode("append")
                 .partitionBy("commit", "bucket")
                 .parquet(self._log)
