@@ -73,7 +73,30 @@ def test_all_queries_return_rows_or_are_checks(spark):
     # the planted-duplicate tests in test_dedup_similarity.py
     may_be_empty = {"ticket_view_dup_check", "minhash_pairs",
                     "simhash_pairs", "embedding_near_dup"}
-    for name, spec in QUERIES.items():
-        n = spec.fn(spark, SF_SMOKE).count()
+    # r14 (guide §2.6): 183 independent count jobs were issued
+    # sequentially and this one test took ~245 s of the suite; Spark's
+    # scheduler happily overlaps jobs, so run them from a small thread
+    # pool. Queries that register fixed-name temp views must stay
+    # serial (cross-thread view collisions); same assertions as ever.
+    uses_temp_views = {
+        "session_window_tvf", "cumulate_window_tvf", "grouping_sets_agg",
+    }
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def smoke(item):
+        name, spec = item
+        return name, spec.fn(spark, SF_SMOKE).count()
+
+    results: dict[str, int] = {}
+    pooled = [i for i in QUERIES.items() if i[0] not in uses_temp_views]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for name, n in pool.map(inheritable_thread_target(smoke), pooled):
+            results[name] = n
+    for name in uses_temp_views:
+        results[name] = QUERIES[name].fn(spark, SF_SMOKE).count()
+    assert set(results) == set(QUERIES)
+    for name, n in results.items():
         if name not in may_be_empty:
             assert n > 0, f"{name} returned no rows at smoke scale"
